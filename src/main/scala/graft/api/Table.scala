@@ -1,0 +1,94 @@
+package graft.api
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.functions.Registry
+import graft.sql.Dialect
+
+/** The engine's user-facing table abstraction — "same abstraction as a table
+  * in the relational databases world" (reference: vinum/api/table.py:15-93).
+  *
+  * Wraps a [[DataFrame]]; `sql` binds the receiver as the queried table
+  * (the reference ignores the FROM name and always queries the receiver,
+  * vinum/api/table.py:219-220) and runs the query through Spark SQL after
+  * the [[Dialect]] pre-pass. Unlike the reference — SELECT-only, single
+  * threaded — the full Spark SQL surface (joins, subqueries, windows, set
+  * ops) is available and executes distributed.
+  */
+final class Table private (val df: DataFrame) {
+
+  def spark: SparkSession = df.sparkSession
+
+  /** Run a SQL query against this table. The first FROM identifier is bound
+    * to this table's data; dialect rewrites (np.*, `#` xor) are applied.
+    */
+  def sql(query: String): Table = {
+    Registry.registerAll(spark)
+    val q = Dialect.rewrite(query)
+    val view = Dialect.firstFromTable(q).getOrElse("t")
+    df.createOrReplaceTempView(view)
+    new Table(spark.sql(q))
+  }
+
+  /** Query plan for a SQL statement against this table
+    * (reference: vinum/api/table.py:358-410 `explain`).
+    */
+  def explainSql(query: String, extended: Boolean = false): String = {
+    Registry.registerAll(spark)
+    val q = Dialect.rewrite(query)
+    val view = Dialect.firstFromTable(q).getOrElse("t")
+    df.createOrReplaceTempView(view)
+    val qe = spark.sql(q).queryExecution
+    if (extended) qe.toString else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+  }
+
+  def schema: StructType = df.schema
+  def columnNames: Seq[String] = df.schema.fieldNames.toSeq
+  def head(n: Int = 5): Array[Row] = df.head(n)
+  def count(): Long = df.count()
+  def toDF: DataFrame = df
+  def show(n: Int = 20, truncate: Boolean = true): Unit = df.show(n, truncate)
+}
+
+object Table {
+
+  def apply(df: DataFrame): Table = new Table(df)
+
+  /** Parquet reader (reference: vinum/io/arrow.py:151-248 `read_parquet`).
+    * Column selection becomes a projection that Catalyst pushes into the
+    * scan; filters/partition-pruning are automatic.
+    */
+  def fromParquet(spark: SparkSession, path: String, columns: Seq[String] = Nil): Table = {
+    val df = spark.read.parquet(path)
+    apply(if (columns.nonEmpty) df.select(columns.map(df.col): _*) else df)
+  }
+
+  /** CSV reader with header + schema inference, compressed files auto-detected
+    * (reference: vinum/io/arrow.py:64-108 `read_csv`).
+    */
+  def fromCsv(spark: SparkSession, path: String,
+              header: Boolean = true, inferSchema: Boolean = true): Table =
+    apply(spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path))
+
+  /** Line-delimited JSON reader (reference: vinum/io/arrow.py:111-148). */
+  def fromJson(spark: SparkSession, path: String): Table =
+    apply(spark.read.json(path))
+
+  /** In-memory ingestion from rows + schema
+    * (reference: vinum/api/table.py:95-180 `from_pydict`/`from_arrow`).
+    */
+  def fromRows(spark: SparkSession, schema: StructType, rows: Seq[Row]): Table =
+    apply(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList), schema))
+
+  /** The reference's StreamReader is out-of-core batch input with a fully
+    * materialized result (vinum/api/stream_reader.py:12-31) — on Spark the
+    * ordinary reader already partitions and streams input, so this is an
+    * alias kept for API parity.
+    */
+  def streamCsv(spark: SparkSession, path: String): Table = fromCsv(spark, path)
+}

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression
+}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Deterministic 64-bit mixer (SplitMix64, public-domain algorithm from
+  * Steele et al., "Fast Splittable Pseudorandom Number Generators").
+  * Used to derive per-hash-function / per-hyperplane pseudo-random streams
+  * without any runtime RNG state, so every operator is reproducible across
+  * executors and runs.
+  */
+object Mix64 {
+  final val Gamma = 0x9e3779b97f4a7c15L
+
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + Gamma
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** Cosine similarity between two double vectors: dot / (|a| * |b|).
+  *
+  * Accumulates left-to-right in double precision — bit-for-bit equal to
+  * DuckDB's `list_cosine_similarity` over `DOUBLE[]`, which the correctness
+  * oracle relies on. A native expression (vs composing `zip_with` +
+  * `aggregate`) avoids materializing intermediate arrays per row, which
+  * matters when scoring billions of candidate pairs.
+  *
+  * Capability parity target: similarity search over embedding columns
+  * (engine-extension surface; the reference has no vector ops).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+
+  // callers must pass array<double>; Registry builders insert the casts
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over a set of element hashes (array<long> -> array<long>).
+  *
+  * For each of `numHashes` hash functions i, the signature entry is
+  * min over elements x of mix64(x ^ stream_i). One pass over the input per
+  * row, O(|elements| * numHashes); no per-row allocation beyond the
+  * signature itself. Empty input -> null (a document with no shingles has
+  * no signature).
+  *
+  * Feed it `transform(shingles, s -> xxhash64(s))` so string hashing stays
+  * in codegen'd built-ins.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData].toLongArray()
+    if (xs.isEmpty) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < xs.length) {
+      val x = xs(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = Mix64.mix(x ^ (seed + Mix64.Gamma * (i + 1)))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over element hashes (array<long> -> long).
+  *
+  * Classic Charikar construction: each element votes +1/-1 per bit of its
+  * mixed hash; the fingerprint takes the sign of each bit's tally. Near
+  * duplicates land within a small Hamming distance, checked downstream with
+  * the built-in `bit_count(a ^ b)`.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData].toLongArray()
+    if (xs.isEmpty) return null
+    val tally = new Array[Int](64)
+    var j = 0
+    while (j < xs.length) {
+      val h = Mix64.mix(xs(j) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane sign bits for a double vector (array<double> -> long).
+  *
+  * Bit b of the result is the sign of the projection of the vector onto a
+  * deterministic Rademacher (+1/-1 per dimension) hyperplane derived from
+  * (seed, b, dim). Equal buckets => likely-high cosine similarity, the
+  * standard SimHash-for-vectors LSH family. Used to shard ANN search and
+  * embedding near-dup detection so candidate generation is an equi-join on
+  * the bucket key (shuffle on a long, no cross join) at any scale.
+  */
+case class SignBits(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(bits > 0 && bits <= 63, "bits must be in 1..63")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits"
+
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData].toDoubleArray()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var j = 0
+      while (j < v.length) {
+        // lowest bit of the mixed stream selects +1 / -1 for this coordinate
+        val sign = if ((Mix64.mix(seed + b.toLong * 1048573L + j) & 1L) == 1L) 1.0 else -1.0
+        s += sign * v(j)
+        j += 1
+      }
+      if (s > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.Table
+
+/** Ad-hoc runtime verification driver: exercises the public library
+  * surface (GraftSession + Table.sql + registered functions) against the
+  * driver-generated parquet corpus, including error-path probes.
+  */
+object SmokeMain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println("=== [1] Table.sql: group-by + np.* + casts over lineitem ===")
+    val t = Table.fromParquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    t.sql("""select l_returnflag, count(*) as n, sum(l_quantity) as sq,
+             round(np.log(sum(l_extendedprice)), 6) as nplog,
+             to_int('42') as i42, to_str(l_linenumber) as s
+             from lineitem group by l_returnflag, l_linenumber
+             order by l_returnflag, l_linenumber limit 5""").show()
+
+    println("=== [2] datetime/interval functions + '#' xor via dialect ===")
+    Table(spark.range(1).toDF("x")).sql(
+      """select date('now') d, datetime('2020-10') dt,
+         from_timestamp(1596899421) ft, datetime(18000, 'D') dd,
+         timestamp'2020-01-01' + timedelta(3, 'D') plus3,
+         is_busday(date'2026-08-12') busy, to_bool(1) b,
+         cast(5 # 3 as int) as five_xor_three, '#keep' as lit_untouched
+         from t""").show(20, truncate = false)
+
+    println("=== [3] vector/hash expressions over embeddings + documents ===")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e.createOrReplaceTempView("emb")
+    spark.sql("""select a.vec_id, b.vec_id bid,
+        cosine_sim(a.embedding, b.embedding) cs,
+        sign_bits(a.embedding, 8) sb
+      from emb a join emb b on b.vec_id = a.vec_id + 1
+      where a.vec_id < 3""").show(truncate = false)
+    spark.sql("""select doc_id,
+        simhash64(transform(split(lower(text), '\\W+'), x -> xxhash64(x))) sh,
+        minhash_sig(transform(split(lower(text), '\\W+'), x -> xxhash64(x)), 4) mh
+      from parquet.`/root/testdata/sf0.001/documents.parquet` limit 3""")
+      .show(truncate = false)
+
+    println("=== [probe] unknown np.* function ===")
+    try { t.sql("select np.notafunc(l_quantity) from lineitem").show() }
+    catch { case ex: Exception => println("EXPECTED ERROR: " + ex.getMessage.linesIterator.next()) }
+
+    println("=== [probe] timedelta with bad unit ===")
+    try { t.sql("select l_orderkey + timedelta(1, 'parsec') from lineitem").show() }
+    catch { case ex: Exception => println("EXPECTED ERROR: " + firstLine(ex)) }
+
+    println("=== [probe] to_int on malformed string (ANSI) ===")
+    try { Table(spark.range(1).toDF("x")).sql("select to_int('abc') from t").show() }
+    catch { case ex: Exception => println("EXPECTED ERROR: " + firstLine(ex)) }
+
+    println("=== [probe] variadic cast quirk to_int(a, b) -> array ===")
+    Table(spark.range(1).toDF("x")).sql(
+      "select to_int('1', '2') packed, to_float(1, 2.5) pf from t").show(20, truncate = false)
+
+    println("=== [probe] minhash determinism across two sessions of the plan ===")
+    val sig1 = spark.sql("select minhash_sig(array(1L,2L,3L), 8) s").collect()(0).getSeq[Long](0)
+    val sig2 = spark.sql("select minhash_sig(array(3L,1L,2L), 8) s").collect()(0).getSeq[Long](0)
+    println(s"order-invariant: ${sig1 == sig2}; sig=${sig1.mkString(",")}")
+
+    spark.stop()
+    println("SMOKE OK")
+  }
+
+  private def firstLine(ex: Exception): String = {
+    val m = ex.getMessage
+    if (m == null) ex.getClass.getName else m.linesIterator.next()
+  }
+}
