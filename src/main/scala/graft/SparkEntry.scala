@@ -1,13 +1,265 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.Table
+import graft.functions.Registry
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator/capability from the SURVEY §2
+  * inventory (or a scale-extension beyond it); [[oracleSql]] carries the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Where Spark SQL and DuckDB agree on syntax and semantics the two
+  * strings are identical; where they diverge (xor spelling, ln/log naming,
+  * trunc-on-cast, list vs array functions) the oracle is written to express
+  * the same semantics in DuckDB's dialect.
+  *
+  * Determinism rules used throughout (so a value-hash compare is stable):
+  *   - every query ends in ORDER BY over a unique key set;
+  *   - double aggregations go through DECIMAL casts (exact in both
+  *     engines) or are single IEEE operations on identical operands;
+  *   - transcendental function outputs are round()ed to 6 digits.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def tbl(s: SparkSession, dir: String, name: String): Table =
+    Table.fromParquet(s, s"$dir/$name.parquet")
+
+  /** Query whose Spark SQL text parses and means the same in DuckDB. */
+  private def same(table: String, sql: String): (QFn, Option[String]) =
+    ((s: SparkSession, dir: String) => tbl(s, dir, table).sql(sql).toDF, Some(sql))
+
+  /** Query with distinct Spark SQL and DuckDB oracle texts. */
+  private def diff(table: String, sparkSql: String, oracle: String): (QFn, Option[String]) =
+    ((s: SparkSession, dir: String) => tbl(s, dir, table).sql(sparkSql).toDF, Some(oracle))
+
+  /** DataFrame-API query with a DuckDB oracle. */
+  private def api(fn: QFn, oracle: String): (QFn, Option[String]) = (fn, Some(oracle))
+
+  /** Library operator with no SQL-expressible oracle (rows-only check). */
+  private def noOracle(fn: QFn): (QFn, Option[String]) = (fn, None)
+
+  // ----------------------------------------------------------------------
+  // Reference-parity surface (SURVEY §2) — q…
+  // ----------------------------------------------------------------------
+  private lazy val defs: Seq[(String, (QFn, Option[String]))] = Seq(
+
+    // S4 scan + P1 projection, column pruning reaches the parquet scan
+    "q01_scan_project" -> same("lineitem",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // P2 filter + logical predicates (AND/OR, comparisons)
+    "q02_filter_where" -> same("lineitem",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE (l_returnflag = 'R' AND l_quantity > 30.0)
+            OR (l_linestatus = 'O' AND l_discount < 0.02)
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // P3 scalar arithmetic incl. unary minus, %, bitwise, and pg `#` xor
+    // (dialect rewrite; DuckDB spells xor as a function)
+    "q03_arithmetic" -> diff("lineitem",
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) AS revenue,
+                l_quantity + 1.0 AS qplus, -l_quantity AS qneg,
+                l_extendedprice / l_quantity AS unit_price,
+                CAST(l_orderkey % 7 AS BIGINT) AS m7,
+                CAST(l_orderkey & 255 AS BIGINT) AS band,
+                CAST(l_orderkey | 1 AS BIGINT) AS bor,
+                CAST(l_orderkey # 42 AS BIGINT) AS bxor
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax""",
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) AS revenue,
+                l_quantity + 1.0 AS qplus, -l_quantity AS qneg,
+                l_extendedprice / l_quantity AS unit_price,
+                CAST(l_orderkey % 7 AS BIGINT) AS m7,
+                CAST(l_orderkey & 255 AS BIGINT) AS band,
+                CAST(l_orderkey | 1 AS BIGINT) AS bor,
+                CAST(xor(l_orderkey, 42) AS BIGINT) AS bxor
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // IN / BETWEEN / LIKE / IS NOT NULL predicate family
+    "q04_in_between_like" -> same("lineitem",
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+         FROM lineitem
+         WHERE l_returnflag IN ('A', 'R')
+           AND l_quantity BETWEEN 10 AND 20
+           AND l_linestatus NOT LIKE 'O%'
+           AND l_shipdate IS NOT NULL
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // NULL handling: IS NULL, nullif/coalesce
+    "q05_null_handling" -> same("orders",
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS st2,
+                (nullif(o_orderstatus, 'O') IS NULL) AS is_open
+         FROM orders ORDER BY o_orderkey"""),
+
+    // A1 global aggregate: count(*)/count(col)/min/max/sum/avg, string min/max
+    // (decimal-safe sum + exact-sum-over-count avg per SURVEY §7 semantics)
+    "q06_agg_global" -> same("lineitem",
+      """SELECT count(*) AS n_rows, count(l_quantity) AS n_q,
+                min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_q,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_q,
+                min(l_returnflag) AS min_rf, max(l_linestatus) AS max_ls
+         FROM lineitem"""),
+
+    // A2-A5 hash aggregate, the flagship TPC-H-Q1-shaped query
+    "q07_agg_group" -> same("lineitem",
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""),
+
+    // multi-key group (numeric + string), A3/A4 kernels in the reference
+    "q08_agg_multikey" -> same("lineitem",
+      """SELECT l_linenumber, l_returnflag, count(*) AS n,
+                min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p
+         FROM lineitem GROUP BY l_linenumber, l_returnflag
+         ORDER BY l_linenumber, l_returnflag"""),
+
+    // HAVING after aggregation (planner.py:471-476 in the reference)
+    "q09_having" -> same("lineitem",
+      """SELECT l_partkey, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 4
+         ORDER BY l_partkey"""),
+
+    // SELECT DISTINCT (compiled as group-by in the reference, planner.py:380-382)
+    "q10_distinct" -> same("lineitem",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus"""),
+
+    // O1+O2 sort + limit → top-k (TakeOrderedAndProject in Spark)
+    "q11_topk" -> same("orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+
+    // O2 LIMIT/OFFSET slice
+    "q12_limit_offset" -> same("orders",
+      """SELECT o_orderkey, o_custkey FROM orders
+         ORDER BY o_orderkey LIMIT 50 OFFSET 25"""),
+
+    // O1 sort by computed expression with nulls-last (reference golden
+    // semantics, test_query_results.py:1253-1269)
+    "q13_sort_nulls" -> same("orders",
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+         FROM orders ORDER BY pri ASC NULLS LAST, o_orderkey LIMIT 500"""),
+
+    // §2.8 math library (ln naming shared via Spark's `ln` alias)
+    "q14_math" -> same("lineitem",
+      """SELECT l_orderkey, l_linenumber,
+                round(sqrt(l_quantity), 6) AS r_sqrt,
+                round(ln(l_extendedprice), 6) AS r_ln,
+                round(log10(l_extendedprice), 6) AS r_log10,
+                round(log2(l_quantity), 6) AS r_log2,
+                round(power(l_discount, 2), 6) AS r_pow,
+                abs(-l_tax) AS r_abs,
+                round(sin(l_quantity), 6) AS r_sin,
+                round(cos(l_quantity), 6) AS r_cos
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // §2.8 datetime library: parts, casts, busday, interval arithmetic,
+    // epoch construction (graft functions on the Spark side)
+    "q15_datetime" -> diff("orders",
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+                day(o_orderdate) AS d,
+                CAST(date(o_orderdate) AS DATE) AS od,
+                is_busday(o_orderdate) AS busday,
+                o_orderdate + timedelta(3, 'D') AS plus3,
+                CAST(from_timestamp(1500000000) AS TIMESTAMP_NTZ) AS ft
+         FROM orders ORDER BY o_orderkey""",
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+                day(o_orderdate) AS d,
+                CAST(o_orderdate AS DATE) AS od,
+                (isodow(o_orderdate) <= 5) AS busday,
+                o_orderdate + INTERVAL 3 DAY AS plus3,
+                make_timestamp(1500000000000000) AS ft
+         FROM orders ORDER BY o_orderkey"""),
+
+    // §2.8 string library: upper/lower/concat/||/substring/length
+    "q16_string" -> same("orders",
+      """SELECT o_orderkey, upper(o_orderstatus) AS u, lower(o_orderpriority) AS lo,
+                concat(o_orderstatus, '-', CAST(o_orderkey AS STRING)) AS tag,
+                o_orderpriority || '!' AS bang,
+                substring(o_orderpriority, 1, 3) AS sub3,
+                length(o_orderpriority) AS len
+         FROM orders ORDER BY o_orderkey"""),
+
+    // §2.8 cast functions (numpy astype semantics: float→int truncates;
+    // DuckDB cast rounds, so the oracle spells out trunc)
+    "q17_casts" -> diff("lineitem",
+      """SELECT l_orderkey, l_linenumber,
+                to_int('42') AS i1, to_int(l_quantity) AS i2,
+                to_float(l_linenumber) AS f1, to_str(l_orderkey) AS s1,
+                to_bool(l_linenumber % 2) AS b1
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax""",
+      """SELECT l_orderkey, l_linenumber,
+                CAST(42 AS BIGINT) AS i1, CAST(trunc(l_quantity) AS BIGINT) AS i2,
+                CAST(l_linenumber AS DOUBLE) AS f1, CAST(l_orderkey AS VARCHAR) AS s1,
+                CAST(l_linenumber % 2 AS BOOLEAN) AS b1
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // §2.8/§2.9 np.* namespace through the dialect pre-pass
+    "q18_np_namespace" -> diff("lineitem",
+      """SELECT l_orderkey, l_linenumber,
+                round(np.log(l_extendedprice), 6) AS nplog,
+                round(np.square(l_discount), 6) AS npsq,
+                np.abs(-l_quantity) AS npabs,
+                round(np.power(l_quantity, 1.5), 6) AS nppow,
+                np.maximum(l_tax, l_discount) AS npmax
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax""",
+      """SELECT l_orderkey, l_linenumber,
+                round(ln(l_extendedprice), 6) AS nplog,
+                round(power(l_discount, 2), 6) AS npsq,
+                abs(-l_quantity) AS npabs,
+                round(power(l_quantity, 1.5), 6) AS nppow,
+                greatest(l_tax, l_discount) AS npmax
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
+    // §2.9 user-registered scalar function (register_python parity)
+    "q19_udf" -> ((
+      (s: SparkSession, dir: String) => {
+        s.udf.register("disc_bucket", (d: Double) => (d * 100).toInt)
+        tbl(s, dir, "lineitem").sql(
+          """SELECT l_orderkey, l_linenumber, disc_bucket(l_discount) AS bucket
+             FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax""").toDF
+      },
+      Some(
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(trunc(l_discount * 100) AS INTEGER) AS bucket
+           FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""))
+      : (QFn, Option[String])),
+
+    // §2.4 overflow-safe sum: Decimal(38,0) accumulation (the reference's
+    // hugeint promotion, agg_funcs.h:319-435, with a statically fixed type)
+    "q20_sum_big" -> diff("orders",
+      """SELECT sum_big(o_orderkey * 1000000000) AS big_sum FROM orders""",
+      """SELECT sum(CAST(o_orderkey * 1000000000 AS DECIMAL(38,0))) AS big_sum FROM orders""")
+  )
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    Registry.registerAll(spark)
+    queries("q07_agg_group")(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, QFn] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    defs.collect { case (n, (_, Some(o))) => n -> o }.toMap
 }
