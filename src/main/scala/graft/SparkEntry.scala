@@ -42,6 +42,18 @@ object SparkEntry {
   /** Library operator with no SQL-expressible oracle (rows-only check). */
   private def noOracle(fn: QFn): (QFn, Option[String]) = (fn, None)
 
+  /** Multi-table SQL query, same text for Spark and DuckDB (join hints ride
+    * in comments, which DuckDB ignores).
+    */
+  private def multi(tables: Seq[String], sql: String): (QFn, Option[String]) =
+    ((s: SparkSession, dir: String) => {
+      Registry.registerAll(s)
+      tables.foreach { t =>
+        s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
+      s.sql(sql)
+    }, Some(sql))
+
   // ----------------------------------------------------------------------
   // Reference-parity surface (SURVEY §2) — q…
   // ----------------------------------------------------------------------
@@ -244,7 +256,164 @@ object SparkEntry {
     // hugeint promotion, agg_funcs.h:319-435, with a statically fixed type)
     "q20_sum_big" -> diff("orders",
       """SELECT sum_big(o_orderkey * 1000000000) AS big_sum FROM orders""",
-      """SELECT sum(CAST(o_orderkey * 1000000000 AS DECIMAL(38,0))) AS big_sum FROM orders""")
+      """SELECT sum(CAST(o_orderkey * 1000000000 AS DECIMAL(38,0))) AS big_sum FROM orders"""),
+
+    // ------------------------------------------------------------------
+    // Capability extensions beyond the reference (SURVEY §2.3/2.5/2.7:
+    // joins, windows, set ops, subqueries are absent in vinum; Spark-first
+    // design gets them natively). Broadcast hints: dims are tiny, the big
+    // fact side must never shuffle for them.
+    // ------------------------------------------------------------------
+
+    // multi-way join, star-schema: broadcast dims, single shuffle for agg
+    "j01_join_bcast" -> multi(Seq("lineitem", "orders", "customer", "nation"),
+      """SELECT /*+ BROADCAST(customer), BROADCAST(nation) */ n_name,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name"""),
+
+    // anti join (NOT EXISTS → LeftAnti)
+    "j02_anti_join" -> multi(Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey"""),
+
+    // semi join (EXISTS → LeftSemi)
+    "j03_semi_join" -> multi(Seq("customer", "orders"),
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey"""),
+
+    // big-big equi-join: shuffle join on the key, partial aggregation after
+    "j04_join_shuffle" -> multi(Seq("lineitem", "orders"),
+      """SELECT o_orderpriority, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // outer join preserving unmatched build-side rows
+    "j05_outer_join" -> multi(Seq("part", "lineitem"),
+      """SELECT p_partkey, count(l_orderkey) AS n_li
+         FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+         GROUP BY p_partkey ORDER BY p_partkey"""),
+
+    // window: row_number + running sum per partition (SURVEY §2.5)
+    "w01_window_running" -> multi(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn,
+                sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+         FROM orders ORDER BY o_custkey, rn"""),
+
+    // window top-n per group
+    "w02_rank_topn" -> multi(Seq("orders"),
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) ranked
+         WHERE rk <= 3 ORDER BY o_custkey, rk"""),
+
+    // window lag/lead
+    "w03_lag_lead" -> multi(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_ok,
+                lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_ok
+         FROM orders ORDER BY o_custkey, o_orderkey"""),
+
+    // set operations (SURVEY §2.7 — absent in reference)
+    "set01_union" -> multi(Seq("lineitem", "orders"),
+      """SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'
+         UNION
+         SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY k"""),
+
+    "set02_intersect_except" -> multi(Seq("lineitem", "orders"),
+      """SELECT k, 'both' AS tag FROM (
+           SELECT l_orderkey AS k FROM lineitem
+           INTERSECT
+           SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') a
+         UNION ALL
+         SELECT k, 'only_li' AS tag FROM (
+           SELECT l_orderkey AS k FROM lineitem
+           EXCEPT
+           SELECT o_orderkey FROM orders) b
+         ORDER BY tag, k"""),
+
+    // scalar subquery (threshold computed exactly → engine-stable compare)
+    "sub01_scalar_subquery" -> multi(Seq("orders"),
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                            / count(*) FROM orders)
+         ORDER BY o_orderkey"""),
+
+    // correlated scalar subquery
+    "sub02_correlated" -> multi(Seq("orders", "customer"),
+      """SELECT o.o_orderkey, o.o_custkey FROM orders o
+         WHERE o.o_totalprice >
+               (SELECT 20 * CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                FROM customer c WHERE c.c_custkey = o.o_custkey)
+         ORDER BY o.o_orderkey"""),
+
+    // IN subquery (→ LeftSemi)
+    "sub03_in_subquery" -> multi(Seq("part", "lineitem"),
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+         ORDER BY p_partkey"""),
+
+    // grouping sets via ROLLUP
+    "r01_rollup" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""),
+
+    // exact count-distinct per group
+    "cd01_count_distinct" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // group by computed expressions
+    "g01_groupby_expr" -> multi(Seq("orders"),
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+         FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+         ORDER BY y, m"""),
+
+    // event-time tumbling-window aggregation (batch form; the streaming
+    // variant lives in graft.streaming.Events). events.parquet stores
+    // TIMESTAMP(NANOS), which Spark's reader rejects — read nanos as long
+    // (legacy conf) and rebuild a micro-precision NTZ timestamp.
+    "e01_events_window" -> ((
+      (s: SparkSession, dir: String) => {
+        Registry.registerAll(s)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
+        s.sql(
+          """SELECT h, event_type, count(*) AS n,
+                    sum(CAST(value AS DECIMAL(18,6))) AS sv
+             FROM (SELECT date_trunc('hour',
+                            cast(timestamp_micros(ts div 1000) as timestamp_ntz)) AS h,
+                          event_type, value
+                   FROM events) e
+             GROUP BY h, event_type ORDER BY h, event_type""")
+      },
+      Some(
+        """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,6))) AS sv
+           FROM events GROUP BY date_trunc('hour', ts), event_type
+           ORDER BY h, event_type"""))
+      : (QFn, Option[String]))
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
