@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.api.Table
@@ -413,7 +414,240 @@ object SparkEntry {
                   sum(CAST(value AS DECIMAL(18,6))) AS sv
            FROM events GROUP BY date_trunc('hour', ts), event_type
            ORDER BY h, event_type"""))
-      : (QFn, Option[String]))
+      : (QFn, Option[String])),
+
+    // gap-based sessionization (batch form; streaming variant in
+    // graft.streaming.Events)
+    "e02_sessionize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.streaming.Events.sessionize(graft.streaming.Events.read(s, dir), 30)
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM x ORDER BY user_id, event_id"""),
+
+    // ------------------------------------------------------------------
+    // Training-data-pipeline operators (dedup / similarity / text /
+    // multimodal) — graft.ops; first-class per the build brief.
+    // ------------------------------------------------------------------
+
+    // exact dedup groups: one hash shuffle on the content digest
+    "d01_dedup_exact" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.exactGroups(
+            s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+          .orderBy(col("keep_id"))
+      },
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+
+    // MinHash+LSH near-dup candidate pairs (no SQL oracle: xxhash64/LSH
+    // are engine-specific; exactness covered by d04 + the ScalaTest suite)
+    "d02_minhash_pairs" -> noOracle((s, dir) => {
+      Registry.registerAll(s)
+      graft.ops.Dedup.minhashPairs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleK = 5, threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs with Hamming verify
+    "d03_simhash_pairs" -> noOracle((s, dir) => {
+      Registry.registerAll(s)
+      graft.ops.Dedup.simhashPairs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          maxHamming = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact n-gram Jaccard over same-source candidate pairs — full oracle
+    "d04_ngram_jaccard" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val ids = docs.select(col("doc_id"), col("source"))
+        val cand = ids.as("a").join(ids.as("b"),
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)
+          .filter(col("jaccard") >= 0.02)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH s AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+                                          i -> array_to_string(toks[i:i+2], ' '))) END AS shset
+           FROM s)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                    / len(list_distinct(a.shset || b.shset)) AS jaccard
+           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.02 ORDER BY id_a, id_b"""),
+
+    // embedding near-dup pairs via sign-bit LSH buckets + cosine verify
+    "d05_embed_neardup" -> noOracle((s, dir) => {
+      Registry.registerAll(s)
+      graft.ops.Dedup.embeddingPairs(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          bits = 6, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact ANN baseline: brute-force cosine top-k with the bounded-heap
+    // topk_by aggregate — full oracle (cosine verified bit-identical)
+    "s01_ann_brute" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.ops.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .select(col("probe_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(p.emb, c.emb) AS sim
+           FROM e p, e c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+         SELECT probe_id, rank, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY probe_id, rank"""),
+
+    // approximate ANN: multi-probe sign-bit LSH (recall-bounded, no oracle)
+    "s02_ann_lsh" -> noOracle((s, dir) => {
+      Registry.registerAll(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, bits = 8, multiProbe = true)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("sim"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // language ID by stopword argmax — full oracle
+    "t01_langid" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            graft.ops.TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH c AS (
+           SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|was)\b')) AS c_en,
+                  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS c_de,
+                  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|que|pour|une|pas)\b')) AS c_fr,
+                  len(regexp_extract_all(lower(text), '\b(el|los|las|de|que|y|en|un|por|con)\b')) AS c_es
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+                     ELSE 'und' END AS pred_lang
+         FROM c ORDER BY doc_id"""),
+
+    // quality features + bounded score — full oracle
+    "t02_quality" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.qualityFeatures(
+            s.read.parquet(s"$dir/documents.parquet"), "text")
+          .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+            col("alpha_ratio"), col("punct_ratio"), col("stopword_ratio"),
+            col("avg_token_len"), col("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH f AS (
+           SELECT doc_id, length(text) AS n_chars,
+                  len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|was)\b')) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_chars, n_tokens,
+                CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+                CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+                CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+                CAST(n_alpha AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len,
+                least(1.0, greatest(0.0,
+                  0.5 * least(CAST(n_tokens AS DOUBLE) / 64, 1.0)
+                    + 0.3 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1))
+                    + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0))) AS quality_score
+         FROM f ORDER BY doc_id"""),
+
+    // token counting: word-regex count + BPE-ish estimate — full oracle
+    "t03_tokens" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val t = graft.ops.TextAnalysis
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), length(col("text")).as("len_chars"),
+            t.tokenCount(col("text")).cast("long").as("n_tokens"),
+            t.bpeTokenEstimate(col("text")).as("bpe_est"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS len_chars,
+                CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+                CAST(ceil(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / 4)
+                     + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS bpe_est
+         FROM documents ORDER BY doc_id"""),
+
+    // collision fingerprint (sorted distinct token set) — full oracle
+    "t04_fingerprint" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))), ' ')) AS fp
+         FROM documents ORDER BY doc_id"""),
+
+    // multimodal: binary payload column + expression-level metadata decode
+    // (codec-level decode is the ScalaTest-covered stub; SURVEY brief)
+    "m01_multimodal_meta" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.metaDecode(
+            m.withBinaryPayload(s.read.parquet(s"$dir/documents.parquet"), "text"),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                CAST(octet_length(encode(text)) % 512 + 1 AS INTEGER) AS width,
+                CAST(octet_length(encode(text)) * 7 % 384 + 1 AS INTEGER) AS height,
+                3 AS channels
+         FROM documents ORDER BY doc_id""")
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -212,6 +212,12 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"simhash64() takes 1-2 arguments, got ${other.length}")
     }
+    f("topk_by") {
+      case Seq(score, id, kk) =>
+        TopKByScore(Cast(score, DoubleType), Cast(id, LongType), intLit(kk, "k"))
+      case other => throw new IllegalArgumentException(
+        s"topk_by() takes 3 arguments, got ${other.length}")
+    }
     f("sign_bits") {
       case Seq(a, n)    => SignBits(darr(a), intLit(n, "bits"), DefaultSeed)
       case Seq(a, n, s) => SignBits(darr(a), intLit(n, "bits"), longLit(s, "seed"))

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.Registry
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Four families, all shuffle-bounded and skew-aware by construction:
+  *
+  *  - exact:   one hash shuffle on the content digest.
+  *  - minhash: signature per doc (map-only) → band buckets (equi-join
+  *    shuffle on (band, bucket-hash)) → candidate pairs → signature-overlap
+  *    estimate. The classic MinHash+LSH pipeline; no pairwise cross join
+  *    ever materializes.
+  *  - simhash: 64-bit fingerprint per doc (map-only) → 16-bit chunk
+  *    buckets (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) → popcount
+  *    verify on candidates.
+  *  - embedding: random-hyperplane bucket per vector (map-only) →
+  *    bucket equi-join → exact cosine verify.
+  *
+  * Scale notes (100 TB): every candidate generator is an equi-join on a
+  * small key, so AQE's skew-join splitting handles pathological buckets
+  * (e.g. boilerplate documents sharing a band). Bucket width (bands/bits)
+  * is the knob trading recall against bucket size.
+  */
+object Dedup {
+
+  /** One row per distinct content digest with the representative (minimum)
+    * id and the duplicate count. Single hash-shuffle on the digest.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Input rows filtered to one representative (lowest id) per exact
+    * content duplicate group.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature per document: (id, sig array<long>). Map-only. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleK: Int = 5,
+                        seed: Long = Registry.DefaultSeed): DataFrame =
+    df.select(
+      col(idCol),
+      call_function("minhash_sig",
+        TextOps.shingleHashes(col(textCol), shingleK),
+        lit(numHashes), lit(seed)).as("sig"))
+
+  /** Candidate near-duplicate pairs via LSH banding + signature-overlap
+    * estimate. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+                   threshold: Double = 0.5,
+                   seed: Long = Registry.DefaultSeed): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
+
+    // one (band, bucket) key per band: hash of the band's signature slice
+    val bandArr = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))
+    val banded = sigs
+      .select(col(idCol).as("id"), posexplode(bandArr).as(Seq("band", "bhash")))
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), sigOverlap(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Fraction of equal signature positions — the MinHash Jaccard estimate. */
+  private def sigOverlap(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** SimHash fingerprint per document: (id, simhash long). Map-only. */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          seed: Long = Registry.DefaultSeed): DataFrame =
+    df.select(col(idCol).as("id"),
+      call_function("simhash64", TextOps.tokenHashes(col(textCol)), lit(seed)).as("sh"))
+
+  /** Near-duplicate pairs with Hamming distance ≤ maxHamming on 64-bit
+    * SimHash. Candidates via 16-bit chunk equality (pigeonhole over 4
+    * chunks guarantees recall for maxHamming ≤ 3), verified with
+    * bit_count(xor). Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   seed: Long = Registry.DefaultSeed): DataFrame = {
+    val fp = simhashFingerprints(df, idCol, textCol, seed)
+    val chunked = fp.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cval")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over a candidate pair set (e.g. the output of
+    * [[minhashPairs]] at a low threshold, or any (id_a, id_b) frame).
+    * Output: (id_a, id_b, jaccard).
+    */
+  def ngramJaccard(df: DataFrame, candidates: DataFrame,
+                   idCol: String, textCol: String,
+                   shingleK: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: random-hyperplane bucket join +
+    * exact cosine verify. Output: (id_a, id_b, cosine).
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     bits: Int = 16, threshold: Double = 0.9,
+                     seed: Long = Registry.DefaultSeed): DataFrame = {
+    val b = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      call_function("sign_bits", col(vecCol), lit(bits), lit(seed)).as("bucket"))
+    b.as("a").join(b.as("bb"),
+        col("a.bucket") === col("bb.bucket") && col("a.id") < col("bb.id"))
+      .select(col("a.id").as("id_a"), col("bb.id").as("id_b"),
+        call_function("cosine_sim", col("a.v"), col("bb.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * All pure Catalyst expression trees (regexp/length arithmetic) —
+  * map-only, codegen'd, trivially distributed; and every formula is
+  * mirrorable in ANSI SQL so the DuckDB oracle can check it exactly.
+  */
+object TextAnalysis {
+
+  /** Stopword alternations per language (n-gram heuristic language ID:
+    * count closed-class word hits and take the argmax).
+    */
+  val StopwordRe: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|for|was)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\\b",
+    "fr" -> "\\b(le|la|les|et|est|dans|que|pour|une|pas)\\b",
+    "es" -> "\\b(el|los|las|de|que|y|en|un|por|con)\\b")
+
+  def stopCount(c: Column, re: String): Column =
+    regexp_count(lower(c), lit(re))
+
+  /** Predicted language code, 'und' when no stopword hits at all.
+    * Deterministic argmax: earlier language wins ties.
+    */
+  def langId(c: Column): Column = {
+    val counts = StopwordRe.map { case (lang, re) => lang -> stopCount(c, re) }
+    val best = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("und")) { case ((lang, cnt), els) =>
+      when(cnt > 0 && cnt === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Whitespace/word-boundary token count. */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\w+"))
+
+  /** Cheap BPE-ish token estimate: alphanumeric runs contribute
+    * ceil(len/4) subword units, every other non-space character one.
+    */
+  def bpeTokenEstimate(c: Column): Column = {
+    val alnumChars = length(regexp_replace(c, "[^A-Za-z0-9]", ""))
+    val other = length(regexp_replace(c, "[A-Za-z0-9\\s]", ""))
+    (ceil(alnumChars.cast("double") / 4) + other).cast("bigint")
+  }
+
+  /** Quality features + a bounded [0,1] score. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val nStop = stopCount(t, StopwordRe.head._2)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("alpha_ratio", nAlpha.cast("double") / greatest(nChars, lit(1)))
+      .withColumn("punct_ratio", nPunct.cast("double") / greatest(nChars, lit(1)))
+      .withColumn("stopword_ratio", nStop.cast("double") / greatest(nTokens, lit(1)))
+      .withColumn("avg_token_len", nAlpha.cast("double") / greatest(nTokens, lit(1)))
+      .withColumn("quality_score",
+        least(lit(1.0), greatest(lit(0.0),
+          lit(0.5) * least(nTokens.cast("double") / 64, lit(1.0))
+            + lit(0.3) * (nAlpha.cast("double") / greatest(nChars, lit(1)))
+            + lit(0.2) * least(lit(10.0) * nStop.cast("double") / greatest(nTokens, lit(1)), lit(1.0)))))
+  }
+
+  /** OpenRefine-style collision fingerprint: md5 of the sorted distinct
+    * token set — robust to word order and duplication.
+    */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(TextOps.tokens(c))), " "))
+
+  /** Winnowing-style minimum rolling fingerprint over token-hash windows
+    * of width w: stable under small edits, usable as a near-dup key.
+    */
+  def minRollingFingerprint(c: Column, w: Int = 8): Column = {
+    val hs = TextOps.tokenHashes(c)
+    when(size(hs) < w, xxhash64(array_join(TextOps.tokens(c), " ")))
+      .otherwise(array_min(transform(
+        sequence(lit(0), size(hs) - w),
+        i => xxhash64(slice(hs, i + lit(1), lit(w))))))
+  }
+}
