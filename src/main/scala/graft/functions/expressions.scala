@@ -41,6 +41,8 @@ case class CosineSim(left: Expression, right: Expression)
 
   // callers must pass array<double>; Registry builders insert the casts
   override def dataType: DataType = DoubleType
+  // null for zero-norm vectors even when inputs are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -84,6 +86,8 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   require(numHashes > 0, "numHashes must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null for empty input even when the input is non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(in: Any): Any = {
@@ -120,6 +124,8 @@ case class SimHash64(child: Expression, seed: Long)
     with CodegenFallback {
 
   override def dataType: DataType = LongType
+  // null for empty input even when the input is non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(in: Any): Any = {

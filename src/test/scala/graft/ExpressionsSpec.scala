@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit behavior of the custom Catalyst expressions via the SQL surface. */
+class ExpressionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("cosine_sim matches a hand-computed value and handles zero vectors") {
+    val r = spark.sql(
+      """select cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) a,
+                cosine_sim(array(1.0d, 0.0d), array(0.0d, 2.0d)) b,
+                cosine_sim(array(1.0d, 2.0d), array(3.0d, 4.0d)) c,
+                cosine_sim(array(0.0d, 0.0d), array(1.0d, 1.0d)) z""").collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    val expected = (1.0 * 3 + 2.0 * 4) / (math.sqrt(5.0) * math.sqrt(25.0))
+    assert(r.getDouble(2) == expected)
+    assert(r.isNullAt(3))
+  }
+
+  test("minhash_sig: deterministic, order-invariant, null on empty") {
+    val r = spark.sql(
+      """select minhash_sig(array(1L, 2L, 3L), 16) a,
+                minhash_sig(array(3L, 2L, 1L), 16) b,
+                minhash_sig(array_remove(array(1L), 1L), 16) e""").collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0).length == 16)
+    assert(r.isNullAt(2))
+  }
+
+  test("minhash similarity estimate tracks true overlap") {
+    // sets share 50 of 100 elements -> true jaccard = 50/150
+    val a = (1L to 100L).toArray
+    val b = (51L to 150L).toArray
+    val df = Seq((a, b)).toDF("a", "b")
+    val sim = df.select(
+      aggregate(
+        zip_with(
+          call_function("minhash_sig", col("a"), lit(256)),
+          call_function("minhash_sig", col("b"), lit(256)),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / 256).collect()(0).getDouble(0)
+    val truth = 50.0 / 150.0
+    assert(math.abs(sim - truth) < 0.1, s"est $sim vs true $truth")
+  }
+
+  test("simhash64: identical inputs equal, small edits nearby, disjoint far") {
+    val base = (1L to 64L).toArray
+    val edited = base.take(60) ++ Array(901L, 902L, 903L, 904L)
+    val other = (1001L to 1064L).toArray
+    val df = Seq((base, edited, other)).toDF("a", "b", "c")
+    val r = df.select(
+      bit_count(call_function("simhash64", col("a"))
+        .bitwiseXOR(call_function("simhash64", col("b")))).as("near"),
+      bit_count(call_function("simhash64", col("a"))
+        .bitwiseXOR(call_function("simhash64", col("c")))).as("far")).collect()(0)
+    assert(r.getInt(0) < r.getInt(1), s"near=${r.getInt(0)} far=${r.getInt(1)}")
+    assert(r.getInt(0) <= 16)
+  }
+
+  test("sign_bits: deterministic and sensitive to direction") {
+    // coordinates chosen so no ±1 combination sums to exactly 0 — a zero
+    // projection would leave that hyperplane's bit unflipped for -v
+    val r = spark.sql(
+      """select sign_bits(array(1.0d, 2.25d, 4.125d), 16) a,
+                sign_bits(array(1.0d, 2.25d, 4.125d), 16) a2,
+                sign_bits(array(-1.0d, -2.25d, -4.125d), 16) neg""").collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+    // opposite vector flips every hyperplane side
+    assert((r.getLong(0) ^ r.getLong(2)) == 0xFFFFL)
+  }
+
+  test("topk_by returns best-first with ascending-id tie-break") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (5L, 7.0))
+      .toDF("id", "s")
+    val top = df.agg(call_function("topk_by", col("s"), col("id"), lit(3)).as("t"))
+      .select(posexplode(col("t"))).collect()
+    val got = top.map { case Row(_, r: Row) => (r.getDouble(0), r.getLong(1)) }.toSeq
+    assert(got == Seq((9.0, 2L), (9.0, 3L), (7.0, 5L)))
+  }
+
+  test("topk_by agrees with window ranking on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") === 7)
+    val viaAgg = graft.ops.Similarity
+      .bruteForceTopK(emb, probes, "vec_id", "embedding", 5)
+      .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scored = emb.filter(col("vec_id") =!= 7).crossJoin(
+        probes.select(col("embedding").as("pv")))
+      .select(col("vec_id"),
+        call_function("cosine_sim", col("embedding"), col("pv")).as("sim"))
+    val viaSort = scored.orderBy(desc("sim"), col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaAgg == viaSort)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** Behavioral tests for the pipeline operators on crafted fixtures. */
+class OpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat and runs far away home"), // near dup of 1
+    (4L, "completely different text about spark catalyst optimizer internals"),
+    (5L, "der schnelle braune fuchs springt und ist nicht mit auf zu haus")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per duplicate group") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.filter(col("keep_id") === 1).collect()(0).getAs[Long]("n_dups") == 2)
+  }
+
+  test("minhashPairs finds the exact and near duplicate, not the unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, shingleK = 3, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngramJaccard computes the exact value") {
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j == 1.0) // identical texts
+  }
+
+  test("simhashPairs links identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embeddingPairs finds planted near-identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.99, 0.1, 0.0, 0.0)),   // near dup of 1
+      (3L, Array(-1.0, 0.5, 0.2, 0.0))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+        bits = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lshTopK is a subset of bruteForceTopK candidates with valid sims") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(emb, probes, "vec_id", "embedding",
+      k = 5, bits = 6, multiProbe = true)
+    val rows = lsh.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9)
+    }
+  }
+
+  test("langId picks the dominant stopword language") {
+    val r = TextAnalysis
+    val out = docs.select(col("doc_id"), r.langId(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+  }
+
+  test("fingerprint is word-order and duplication invariant") {
+    val df = Seq("b a c a", "a b c", "x y z").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint(col("t"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("token counts and bpe estimate") {
+    val r = Seq("Hello, world! ab12 cd")
+      .toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.bpeTokenEstimate(col("t")).as("b"))
+      .collect()(0)
+    assert(r.getInt(0) == 4)
+    // alnum = HelloworldAb12cd(16) -> ceil(16/4)=4; other = ",!" -> 2
+    assert(r.getLong(1) == 6L)
+  }
+
+  test("quality score bounded and monotone-ish in substance") {
+    val q = TextAnalysis.qualityFeatures(docs, "text")
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("multimodal stub decode is deterministic and matches metaDecode dims") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val meta = Multimodal.metaDecode(withBin, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    val dec = Multimodal.decodeStub(withBin, "doc_id", "payload")
+      .collect().map(f => f.doc_id -> (f.n_bytes, f.width, f.height)).toMap
+    assert(meta == dec)
+  }
+
+  test("sessionize: seq starts at 1 and increments only on gaps") {
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 00:00:00"),
+      (2L, 10L, "2024-01-01 00:10:00"),
+      (3L, 10L, "2024-01-01 01:10:00"), // > 30 min gap -> new session
+      (4L, 11L, "2024-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val out = graft.streaming.Events.sessionize(ev, 30)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.api.Table
+
+/** Ports of the reference's golden-query patterns over its in-memory
+  * fixtures (reference: vinum/tests/conftest.py:27-102,
+  * test_query_results.py), incl. the null-riddled table A3 and the
+  * SURVEY §7 semantic decisions (null-predicate rows drop, nulls sort
+  * last, HAVING without GROUP BY).
+  */
+class TableApiSpec extends GraftSuite {
+
+  private lazy val trips: Table = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("vendor_id", LongType),
+      StructField("city_from", StringType), StructField("city_to", StringType),
+      StructField("name", StringType), StructField("tax", DoubleType),
+      StructField("tip", DoubleType), StructField("total", DoubleType)))
+    Table.fromRows(spark, schema, Seq(
+      Row(1L, 1L, "Berlin", "Munich", "Joe", 0.43, 1.0, 2.43),
+      Row(2L, 2L, "Munich", "Riva", "Jonas", 0.39, 5.34, 8.39),
+      Row(3L, 1L, "Riva", "Naples", "Joseph", 0.12, 11.0, 11.12),
+      Row(4L, 3L, "San Francisco", "Naples", "Joe", 0.71, 5.0, 15.71)))
+  }
+
+  private lazy val nulls: Table = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("city_from", StringType),
+      StructField("name", StringType), StructField("total", DoubleType)))
+    Table.fromRows(spark, schema, Seq(
+      Row(1L, null, "Ann", null),
+      Row(2L, "Berlin", null, 10.0),
+      Row(3L, null, "Bob", 20.0),
+      Row(4L, "Munich", "Cid", 30.0),
+      Row(5L, "Berlin", null, Double.NaN),
+      Row(6L, "Riva", "Dee", null),
+      Row(7L, "Munich", "Eve", 40.0),
+      Row(8L, "Riva", "Fay", Double.NaN)))
+  }
+
+  test("projection with expressions and aliases") {
+    val r = trips.sql("select id, total - tip - tax as base from trip order by id")
+      .toDF.collect()
+    assert(r.length == 4)
+    assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("filter drops null-predicate rows (standard SQL, not vinum's emit_null)") {
+    val r = nulls.sql("select id from t where total > 15 order by id").toDF.collect()
+    // null predicates drop their rows; NaN sorts greater than any double in
+    // Spark's (and DuckDB's) total ordering, so the NaN rows 5 and 8 pass.
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L, 7L, 8L))
+  }
+
+  test("group by with null group key forms its own group") {
+    val r = nulls.sql(
+      """select city_from, count(*) as n, count(total) as nt from t
+         group by city_from order by city_from asc nulls last""").toDF.collect()
+    assert(r.length == 4)
+    assert(r.last.isNullAt(0) && r.last.getLong(1) == 2)
+  }
+
+  test("count(*) counts nulls, count(col) does not") {
+    val r = nulls.sql("select count(*) as a, count(total) as b, count(name) as c from t")
+      .toDF.collect()(0)
+    assert(r.getLong(0) == 8)
+    assert(r.getLong(1) == 6) // NaN is not null
+    assert(r.getLong(2) == 6)
+  }
+
+  test("all-null group: sum/min/max are null") {
+    val r = nulls.sql(
+      """select sum(total) as s from t where id in (1, 6)""").toDF.collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("order by nulls last (reference golden semantics)") {
+    val r = nulls.sql(
+      "select id, city_from from t order by city_from asc nulls last, id")
+      .toDF.collect()
+    assert(r.takeRight(2).forall(_.isNullAt(1)))
+  }
+
+  test("HAVING without GROUP BY acts as post-aggregation filter") {
+    val ok = trips.sql("select sum(tip) as s from trip having sum(tip) > 20").toDF.collect()
+    assert(ok.length == 1)
+    val empty = trips.sql("select sum(tip) as s from trip having sum(tip) > 1000").toDF.collect()
+    assert(empty.isEmpty)
+  }
+
+  test("distinct") {
+    val r = trips.sql("select distinct name from trip order by name").toDF.collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("Joe", "Jonas", "Joseph"))
+  }
+
+  test("limit / offset") {
+    val r = trips.sql("select id from trip order by id limit 2 offset 1").toDF.collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("shared subexpression computed consistently (CSE parity)") {
+    val r = trips.sql(
+      "select tip + tax as a, (tip + tax) * 2 as b from trip order by id").toDF.collect()
+    r.foreach(row => assert(math.abs(row.getDouble(1) - 2 * row.getDouble(0)) < 1e-12))
+  }
+
+  test("explainSql returns a physical plan") {
+    assert(trips.explainSql("select count(*) from trip").contains("AdaptiveSparkPlan"))
+  }
+
+  test("csv and json round-trip through the readers") {
+    val dir = "target/tmp/tablespec"
+    trips.toDF.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    trips.toDF.write.mode("overwrite").json(s"$dir/json")
+    assert(Table.fromCsv(spark, s"$dir/csv").count() == 4)
+    assert(Table.fromJson(spark, s"$dir/json").count() == 4)
+    assert(Table.streamCsv(spark, s"$dir/csv").count() == 4)
+  }
+
+  test("registered UDF usable from Table.sql (register_python parity)") {
+    spark.udf.register("double_it", (x: Double) => x * 2)
+    val r = trips.sql("select double_it(tip) as d from trip order by id").toDF.collect()
+    assert(r(0).getDouble(0) == 2.0)
+  }
+}
