@@ -472,25 +472,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // exact n-gram Jaccard over same-source candidate pairs — full oracle
+    // exact n-gram Jaccard over blocked candidate pairs (same source +
+    // length band, the standard cheap blocking rules) — full oracle
     "d04_ngram_jaccard" -> api(
       (s, dir) => {
         Registry.registerAll(s)
         val docs = s.read.parquet(s"$dir/documents.parquet")
-        val ids = docs.select(col("doc_id"), col("source"))
+        val ids = docs.select(col("doc_id"), col("source"), col("n_chars"))
         val cand = ids.as("a").join(ids.as("b"),
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+              abs(col("a.n_chars") - col("b.n_chars")) <= 50)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)
           .filter(col("jaccard") >= 0.02)
           .orderBy(col("id_a"), col("id_b"))
       },
       """WITH s AS (
-           SELECT doc_id, source,
+           SELECT doc_id, source, n_chars,
                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
            FROM documents),
          sh AS (
-           SELECT doc_id, source,
+           SELECT doc_id, source, n_chars,
                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                        ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
                                           i -> array_to_string(toks[i:i+2], ' '))) END AS shset
@@ -499,7 +501,8 @@ object SparkEntry {
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
                     / len(list_distinct(a.shset || b.shset)) AS jaccard
-           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) t
+           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+                               AND abs(a.n_chars - b.n_chars) <= 50) t
          WHERE jaccard >= 0.02 ORDER BY id_a, id_b"""),
 
     // embedding near-dup pairs via sign-bit LSH buckets + cosine verify

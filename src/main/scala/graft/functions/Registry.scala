@@ -212,6 +212,12 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"simhash64() takes 1-2 arguments, got ${other.length}")
     }
+    f("window_hashes") {
+      case Seq(a, kk)    => WindowHashes(larr(a), intLit(kk, "k"), DefaultSeed)
+      case Seq(a, kk, s) => WindowHashes(larr(a), intLit(kk, "k"), longLit(s, "seed"))
+      case other         => throw new IllegalArgumentException(
+        s"window_hashes() takes 2-3 arguments, got ${other.length}")
+    }
     f("topk_by") {
       case Seq(score, id, kk) =>
         TopKByScore(Cast(score, DoubleType), Cast(id, LongType), intLit(kk, "k"))

@@ -112,6 +112,46 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Rolling window hashes over element hashes (array<long> -> array<long>):
+  * entry i is a mix of elements [i, i+k). The numeric equivalent of string
+  * k-shingling — same set semantics for MinHash, but no per-shingle string
+  * materialization (the dominant cost of shingling at scale).
+  * Inputs shorter than k yield one hash over all elements; empty -> null.
+  */
+case class WindowHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(in: Any): Any = {
+    val xs = in.asInstanceOf[ArrayData].toLongArray()
+    if (xs.isEmpty) return null
+    val kk = math.min(k, xs.length)
+    val n = xs.length - kk + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = seed
+      var j = 0
+      while (j < kk) {
+        h = Mix64.mix(h ^ xs(i + j))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over element hashes (array<long> -> long).
   *
   * Classic Charikar construction: each element votes +1/-1 per bit of its

@@ -44,14 +44,19 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature per document: (id, sig array<long>). Map-only. */
+  /** MinHash signature per document: (id, sig array<long>). Map-only.
+    * Shingles are hashed numerically (token hashes → rolling window
+    * hashes) — same set semantics as string k-shingles without
+    * materializing shingle strings.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleK: Int = 5,
                         seed: Long = Registry.DefaultSeed): DataFrame =
     df.select(
       col(idCol),
       call_function("minhash_sig",
-        TextOps.shingleHashes(col(textCol), shingleK),
+        call_function("window_hashes",
+          TextOps.tokenHashes(col(textCol)), lit(shingleK)),
         lit(numHashes), lit(seed)).as("sig"))
 
   /** Candidate near-duplicate pairs via LSH banding + signature-overlap
@@ -63,6 +68,12 @@ object Dedup {
                    seed: Long = Registry.DefaultSeed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // signatures are consumed three times (banding + both join sides) and
+    // recomputed each time: the signature pipeline is map-only codegen'd
+    // work, which profiles faster than caching (InMemoryRelation's columnar
+    // encoding of array<long> costs more than the recompute). At cluster
+    // scale, persist/checkpoint the signature frame explicitly if the text
+    // scan itself is the bottleneck.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
 
     // one (band, bucket) key per band: hash of the band's signature slice

@@ -26,7 +26,7 @@ class OpsSpec extends GraftSuite {
 
   test("minhashPairs finds the exact and near duplicate, not the unrelated") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        numHashes = 128, bands = 32, shingleK = 3, threshold = 0.4)
+        numHashes = 128, bands = 64, shingleK = 3, threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
