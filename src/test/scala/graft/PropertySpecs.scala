@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Properties}
+
+import graft.functions.{Mix64, TopKHeap}
+import graft.sql.Dialect
+
+/** Property tests for the pure (no-Spark) kernels. */
+object TopKHeapProps extends Properties("TopKHeap") {
+
+  private val entries = Gen.listOf(Gen.zip(
+    Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 50L)))
+
+  property("matches naive sort-take-k with ascending-id tie-break") =
+    forAll(entries, Gen.chooseNum(1, 12)) { (xs, k) =>
+      val heap = new TopKHeap(k)
+      xs.foreach { case (s, i) => heap.add(s, i) }
+      val naive = xs.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k)
+      heap.sortedDesc.toSeq == naive
+    }
+
+  property("merge order does not change the result") =
+    forAll(entries, entries, Gen.chooseNum(1, 8)) { (xs, ys, k) =>
+      def fill(zs: Seq[(Double, Long)]): TopKHeap = {
+        val h = new TopKHeap(k); zs.foreach { case (s, i) => h.add(s, i) }; h
+      }
+      val ab = fill(xs)
+      fill(ys).sortedDesc.foreach { case (s, i) => ab.add(s, i) }
+      val ba = fill(ys)
+      fill(xs).sortedDesc.foreach { case (s, i) => ba.add(s, i) }
+      ab.sortedDesc.toSeq == ba.sortedDesc.toSeq
+    }
+}
+
+object DialectProps extends Properties("Dialect") {
+
+  private val sqlish = Gen.listOf(Gen.oneOf(
+    "select ", "np.log(x)", "a # b", "'lit#np.x'", "from t ", "1.5", ", ",
+    "\"id#q\"", "np.sqrt(y)", "order by x")).map(_.mkString)
+
+  property("rewrite is idempotent") = forAll(sqlish) { s =>
+    val once = Dialect.rewrite(s)
+    Dialect.rewrite(once) == once
+  }
+
+  property("rewrite preserves length") = forAll(sqlish) { s =>
+    Dialect.rewrite(s).length == s.length
+  }
+}
+
+object Mix64Props extends Properties("Mix64") {
+  property("deterministic") = forAll { (x: Long) => Mix64.mix(x) == Mix64.mix(x) }
+  property("injective on samples (no easy collisions)") =
+    forAll { (x: Long, y: Long) => (x == y) == (Mix64.mix(x) == Mix64.mix(y)) }
+}
