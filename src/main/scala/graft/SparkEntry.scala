@@ -436,6 +436,27 @@ object SparkEntry {
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          FROM x ORDER BY user_id, event_id"""),
 
+    // as-of join (reference has no joins at all; this is the classic
+    // "operator Spark lacks" composed scale-correctly as union + one
+    // keyed window — graft.ops.AsOf). Oracle: DuckDB's native ASOF JOIN.
+    "a01_asof_join" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.read(s, dir)
+        graft.ops.AsOf.join(ev, ev, keyCol = "user_id",
+            leftTimeCol = "ts", rightTimeCol = "ts",
+            valueCols = Seq("event_id", "value"), rightIdCol = "event_id",
+            strict = true)
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"), col("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT e.event_id, e.user_id,
+                e2.event_id AS asof_event_id, e2.value AS asof_value
+         FROM events e ASOF LEFT JOIN events e2
+           ON e.user_id = e2.user_id AND e.ts > e2.ts
+         ORDER BY e.event_id"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.

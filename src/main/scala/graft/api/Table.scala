@@ -25,7 +25,7 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    val q = Dialect.rewrite(query)
+    val q = Dialect.orderByNullsLast(Dialect.rewrite(query))
     val view = Dialect.firstFromTable(q).getOrElse("t")
     df.createOrReplaceTempView(view)
     new Table(spark.sql(q))

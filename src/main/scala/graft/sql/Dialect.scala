@@ -49,6 +49,104 @@ object Dialect {
     out.toString
   }
 
+  /** The reference sorts nulls LAST for both ASC and DESC (Arrow default,
+    * verified by its goldens — reference test_query_results.py:1253-1269),
+    * while Spark defaults to nulls-first for ASC. Append `NULLS LAST` to
+    * every top-level ORDER BY item that has no explicit NULLS clause.
+    * Items inside parentheses (subqueries, window OVER clauses) are left
+    * alone — only the outermost ORDER BY is the reference's sort.
+    */
+  def orderByNullsLast(sql: String): String = {
+    val s = sql
+    var i = 0
+    var depth = 0
+    var inSingle = false
+    var inDouble = false
+    var obStart = -1 // index just after the last top-level ORDER BY
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false; i += 1 }
+      else if (inDouble) { if (c == '"') inDouble = false; i += 1 }
+      else c match {
+        case '\'' => inSingle = true; i += 1
+        case '"'  => inDouble = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case 'o' | 'O' if depth == 0 &&
+            s.regionMatches(true, i, "order", 0, 5) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) =>
+          val rest = s.substring(i + 5)
+          val m = "^\\s+by\\s".r.findFirstIn(rest.toLowerCase)
+          if (m.isDefined) { obStart = i + 5 + m.get.length; i = obStart }
+          else i += 5
+        case _ => i += 1
+      }
+    }
+    if (obStart < 0) return s
+    // sort items run until a top-level LIMIT/OFFSET or end of string
+    var end = s.length
+    for (kw <- Seq("limit", "offset")) {
+      val idx = findTopLevelKeyword(s, obStart, kw)
+      if (idx >= 0 && idx < end) end = idx
+    }
+    val items = splitTopLevel(s.substring(obStart, end))
+    val rewritten = items.map { it =>
+      if ("(?i)\\bnulls\\b".r.findFirstIn(it).isDefined) it
+      else {
+        val trail = it.reverse.takeWhile(_.isWhitespace).reverse
+        it.substring(0, it.length - trail.length) + " NULLS LAST" + trail
+      }
+    }
+    s.substring(0, obStart) + rewritten.mkString(",") + s.substring(end)
+  }
+
+  private def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
+    var i = from
+    var depth = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false }
+      else if (inDouble) { if (c == '"') inDouble = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '"'  => inDouble = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+            (i + kw.length == s.length || !s.charAt(i + kw.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inSingle = false
+    var inDouble = false
+    s.foreach { c =>
+      if (inSingle) { cur.append(c); if (c == '\'') inSingle = false }
+      else if (inDouble) { cur.append(c); if (c == '"') inDouble = false }
+      else c match {
+        case '\'' => inSingle = true; cur.append(c)
+        case '"'  => inDouble = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   /** First table identifier after FROM, outside quotes — the name the
     * receiver table is bound to (the reference binds the receiver
     * regardless of the FROM name, vinum/api/table.py:219-220).

@@ -24,6 +24,27 @@ class DialectSpec extends AnyFunSuite {
       "select a ^ b, '#lit', \"q#id\" from t")
   }
 
+  test("orderByNullsLast appends to bare sort items only") {
+    assert(Dialect.orderByNullsLast("select * from t order by a, b desc limit 3") ==
+      "select * from t order by a NULLS LAST, b desc NULLS LAST limit 3")
+    assert(Dialect.orderByNullsLast("select * from t order by a nulls first, b") ==
+      "select * from t order by a nulls first, b NULLS LAST")
+    assert(Dialect.orderByNullsLast("select f(a, b) from t order by f(a, b), c") ==
+      "select f(a, b) from t order by f(a, b) NULLS LAST, c NULLS LAST")
+  }
+
+  test("orderByNullsLast ignores ORDER BY inside windows and subqueries") {
+    val q = "select row_number() over (partition by k order by v) rn from t"
+    assert(Dialect.orderByNullsLast(q) == q)
+    val q2 = "select * from (select a from t order by a) s"
+    assert(Dialect.orderByNullsLast(q2) == q2)
+  }
+
+  test("orderByNullsLast no-op without ORDER BY or with 'order' in a name") {
+    assert(Dialect.orderByNullsLast("select o_orderkey from orders") ==
+      "select o_orderkey from orders")
+  }
+
   test("firstFromTable finds the bound view name") {
     assert(Dialect.firstFromTable("select * from lineitem where x='from y'")
       .contains("lineitem"))
