@@ -371,6 +371,24 @@ object SparkEntry {
          WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
          ORDER BY p_partkey"""),
 
+    // grouping sets via CUBE
+    "r02_cube" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""),
+
+    // approximate aggregates (HLL++/quantile-sketch; deterministic for a
+    // fixed input but implementation-specific -> no cross-engine oracle)
+    "ap01_approx" -> noOracle((s, dir) => {
+      Registry.registerAll(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // grouping sets via ROLLUP
     "r01_rollup" -> multi(Seq("lineitem"),
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

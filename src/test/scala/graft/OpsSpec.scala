@@ -113,6 +113,24 @@ class OpsSpec extends GraftSuite {
     assert(meta == dec)
   }
 
+  test("streamingSessionize (flatMapGroupsWithState) agrees with batch sessionize") {
+    val ev = graft.streaming.Events.read(spark, "/root/testdata/sf0.001")
+    val stage = "target/tmp/sess_stream_in"
+    ev.write.mode("overwrite").parquet(stage)
+    val q = graft.streaming.Events.streamingSessionize(
+        spark.readStream.schema(ev.schema).parquet(stage), 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess")
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.streaming.Events.sessionize(ev, 30)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("sessionize: seq starts at 1 and increments only on gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 00:00:00"),
