@@ -577,6 +577,17 @@ object SparkEntry {
            FROM scored) t
          WHERE rank <= 10 ORDER BY probe_id, rank"""),
 
+    // approximate ANN: IVF (k-means coarse quantizer, deterministic
+    // training on a driver sample; recall governed by nprobe/nlist)
+    "s03_ann_ivf" -> noOracle((s, dir) => {
+      Registry.registerAll(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, cents, nprobe = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // approximate ANN: multi-probe sign-bit LSH (recall-bounded, no oracle)
     "s02_ann_lsh" -> noOracle((s, dir) => {
       Registry.registerAll(s)

@@ -71,6 +71,26 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("IVF topK: deterministic, and recall tracks the cells-scanned ratio") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 5)
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 8)
+    assert(cents.length == 8 && cents.head.length == 64)
+    val cents2 = Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 8)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    val ivf = Ivf.topK(emb, probes, "vec_id", "embedding", 10, cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    // 4 of 8 cells scanned -> expect recall near 0.5 on unclustered data;
+    // assert a loose floor so the test is robust
+    assert(recall >= 0.2, s"recall $recall")
+    val ivf2 = Ivf.topK(emb, probes, "vec_id", "embedding", 10, cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("langId picks the dominant stopword language") {
     val r = TextAnalysis
     val out = docs.select(col("doc_id"), r.langId(col("text")).as("l"))
