@@ -259,6 +259,21 @@ object SparkEntry {
       """SELECT sum_big(o_orderkey * 1000000000) AS big_sum FROM orders""",
       """SELECT sum(CAST(o_orderkey * 1000000000 AS DECIMAL(38,0))) AS big_sum FROM orders"""),
 
+    // np.* namespace used as aggregates (reference aliases np.min/max/sum
+    // to the aggregate kernels, vinum/core/functions.py:402-406)
+    "q21_np_agg" -> diff("lineitem",
+      """SELECT l_returnflag,
+                np.sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                np.min(l_quantity) AS mn, np.max(l_quantity) AS mx,
+                round(np.mean(l_discount), 6) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """SELECT l_returnflag,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                min(l_quantity) AS mn, max(l_quantity) AS mx,
+                round(avg(l_discount), 6) AS avg_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      ),
+
     // ------------------------------------------------------------------
     // Capability extensions beyond the reference (SURVEY §2.3/2.5/2.7:
     // joins, windows, set ops, subqueries are absent in vinum; Spark-first
@@ -683,6 +698,50 @@ object SparkEntry {
                 md5(array_to_string(list_sort(list_distinct(
                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))), ' ')) AS fp
          FROM documents ORDER BY doc_id"""),
+
+    // end-to-end composed pipeline: exact dedup → quality features →
+    // quality gate → join embeddings → per-language aggregate. The shape
+    // of a real training-data curation job, fully oracle-checked.
+    "p01_pipeline_e2e" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val kept = graft.ops.Dedup.exactDedup(docs, "text", "doc_id")
+        val scored = graft.ops.TextAnalysis.qualityFeatures(kept, "text")
+          .filter(col("n_tokens") >= 30)
+        scored.join(emb, scored("doc_id") === emb("vec_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("quality_score").cast("decimal(18,6)")).as("sq"),
+            sum(col("label").cast("bigint")).as("sl"))
+          .orderBy(col("lang"))
+      },
+      """WITH kept AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT doc_id, lang, text,
+                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) t WHERE rn = 1),
+         f AS (
+           SELECT doc_id, lang,
+                  len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  length(text) AS n_chars,
+                  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|for|was)\b')) AS n_stop
+           FROM kept),
+         s AS (
+           SELECT doc_id, lang, n_tokens,
+                  least(1.0, greatest(0.0,
+                    0.5 * least(CAST(n_tokens AS DOUBLE) / 64, 1.0)
+                      + 0.3 * (CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1))
+                      + 0.2 * least(10.0 * CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 1.0))) AS quality_score
+           FROM f)
+         SELECT s.lang, count(*) AS n,
+                sum(CAST(quality_score AS DECIMAL(18,6))) AS sq,
+                sum(CAST(e.label AS BIGINT)) AS sl
+         FROM s JOIN embeddings e ON s.doc_id = e.vec_id
+         WHERE s.n_tokens >= 30
+         GROUP BY s.lang ORDER BY s.lang"""),
 
     // multimodal: binary payload column + expression-level metadata decode
     // (codec-level decode is the ScalaTest-covered stub; SURVEY brief)
