@@ -449,6 +449,24 @@ object SparkEntry {
            ORDER BY h, event_type"""))
       : (QFn, Option[String])),
 
+    // semi-structured JSON processing over the events props column
+    "e03_events_json" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.streaming.Events.read(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sk,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mn,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mx
+         FROM events GROUP BY event_type ORDER BY event_type"""),
+
     // gap-based sessionization (batch form; streaming variant in
     // graft.streaming.Events)
     "e02_sessionize" -> api(
@@ -531,14 +549,10 @@ object SparkEntry {
     "d04_ngram_jaccard" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-        val ids = docs.select(col("doc_id"), col("source"), col("n_chars"))
-        val cand = ids.as("a").join(ids.as("b"),
-            col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
-              abs(col("a.n_chars") - col("b.n_chars")) <= 50)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)
-          .filter(col("jaccard") >= 0.02)
+        graft.ops.Dedup.blockedJaccard(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            blockCol = "source", lenCol = "n_chars", lengthBand = 50,
+            shingleK = 3, threshold = 0.02)
           .orderBy(col("id_a"), col("id_b"))
       },
       """WITH s AS (
