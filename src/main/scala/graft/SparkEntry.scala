@@ -284,6 +284,70 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       ),
 
+    // datetime(value, unit) truncation semantics: string/temporal input
+    // parses then truncates to the unit; numeric input is epoch-in-unit;
+    // unit 'D' yields DATE (reference: vinum/core/functions.py:34-120)
+    "q22_datetime_unit" -> diff("orders",
+      """SELECT o_orderkey,
+                datetime(CAST(o_orderdate AS STRING), 'D') AS od,
+                CAST(datetime(CAST(o_orderdate AS STRING), 's') AS TIMESTAMP_NTZ) AS ots,
+                datetime(o_orderkey, 'D') AS dk,
+                CAST(datetime(o_orderkey * 1000, 'ms') AS TIMESTAMP_NTZ) AS tk
+         FROM orders ORDER BY o_orderkey""",
+      """SELECT o_orderkey,
+                CAST(o_orderdate AS DATE) AS od,
+                CAST(date_trunc('second', o_orderdate) AS TIMESTAMP) AS ots,
+                CAST(DATE '1970-01-01' + to_days(CAST(o_orderkey AS INT)) AS DATE) AS dk,
+                epoch_ms(o_orderkey * 1000) AS tk
+         FROM orders ORDER BY o_orderkey"""),
+
+    // §2.9 register_numpy analog: whole-column UDF registered as a Column
+    // builder (Registry.registerColumnFn); global stats become unbounded
+    // window aggregates. Min-max normalization here because its window
+    // min/max are order-independent IEEE-exact (a z-score's double
+    // avg/stddev depend on summation order across partitions — fine for
+    // users, not for an exact-hash oracle; the z-score port itself is
+    // FunctionsSpec-tested).
+    "q24_column_udf" -> ((
+      (s: SparkSession, dir: String) => {
+        Registry.registerAll(s)
+        Registry.registerColumnFn(s, "minmax_norm", { case Seq(x) =>
+          (x - Registry.wholeColumn(min(x))) /
+            (Registry.wholeColumn(max(x)) - Registry.wholeColumn(min(x)))
+        })
+        tbl(s, dir, "orders").sql(
+          """SELECT o_orderkey, minmax_norm(o_totalprice) AS norm_price
+             FROM orders ORDER BY o_orderkey""").toDF
+      },
+      Some(
+        """SELECT o_orderkey,
+                  (o_totalprice - min(o_totalprice) OVER ())
+                    / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()) AS norm_price
+           FROM orders ORDER BY o_orderkey"""))
+      : (QFn, Option[String])),
+
+    // S8 FROM-less SELECT (reference: vinum/core/algebra.py:282-287,
+    // planner.py:357-363 — `select 2+2` on an empty one-row relation),
+    // plus unary `~`, pi()/e() constants. DuckDB spells e() as exp(1.0)
+    // — bit-identical to Math.E.
+    "q23_fromless" -> ((
+      (s: SparkSession, dir: String) => {
+        Registry.registerAll(s)
+        s.sql(
+          """SELECT CAST(2 + 2 AS BIGINT) AS four,
+                    CAST(~5 AS BIGINT) AS bnot,
+                    CAST(~CAST(0 AS BIGINT) AS BIGINT) AS bnot0,
+                    pi() AS pi_v, e() AS e_v,
+                    'x' || '-' || 'y' AS cc""")
+      },
+      Some(
+        """SELECT CAST(2 + 2 AS BIGINT) AS four,
+                  CAST(~5 AS BIGINT) AS bnot,
+                  CAST(~CAST(0 AS BIGINT) AS BIGINT) AS bnot0,
+                  pi() AS pi_v, exp(1.0) AS e_v,
+                  'x' || '-' || 'y' AS cc"""))
+      : (QFn, Option[String])),
+
     // ------------------------------------------------------------------
     // Capability extensions beyond the reference (SURVEY §2.3/2.5/2.7:
     // joins, windows, set ops, subqueries are absent in vinum; Spark-first

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Min, Sum}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** SQL function surface of the graft engine.
@@ -24,6 +25,40 @@ object Registry {
 
   /** Default seed for all hashing operators; fixed for reproducibility. */
   val DefaultSeed = 42L
+
+  /** register_numpy analog (reference: vinum/core/udf.py:138-218): register
+    * a named SQL function whose body is assembled from whole [[Column]]s,
+    * so the implementation can use ANY Column-level construct — arithmetic,
+    * built-ins, and window aggregates. Usable from `Table.sql` text like
+    * any built-in; names are case-insensitive and re-registration replaces
+    * (reference UDF-registry semantics, vinum/core/udf.py:221-247).
+    *
+    * Whole-column semantics at scale (SURVEY §7 decision): the reference
+    * hands the ENTIRE column to the function as one numpy array — a
+    * single-node luxury. The distributed equivalent of a whole-column
+    * statistic is an aggregate over an unbounded window
+    * ([[wholeColumn]]: `Window.partitionBy()` — one global frame), which
+    * Spark evaluates with a single-partition exchange only for that
+    * aggregate, not by materializing the column on one node. Example, the
+    * reference README z-score (README.rst:189-207):
+    * {{{
+    * Registry.registerColumnFn(spark, "score", { case Seq(x) =>
+    *   (x - Registry.wholeColumn(avg(x))) / Registry.wholeColumn(stddev_pop(x)) })
+    * spark.sql("SELECT x, score(x) FROM t")
+    * }}}
+    */
+  def registerColumnFn(spark: SparkSession, name: String,
+                       fn: Seq[Column] => Column): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => GraftColumnBridge.toExpression(fn(exprs.map(GraftColumnBridge.toColumn))),
+      "scala_udf")
+
+  /** Aggregate over the whole (unpartitioned) column — the Spark shape of
+    * the reference's whole-array numpy argument. Use inside
+    * [[registerColumnFn]] bodies for global statistics.
+    */
+  def wholeColumn(agg: Column): Column = agg.over(Window.partitionBy())
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -73,9 +108,33 @@ object Registry {
       case Literal(v, StringType) if v != null => v.toString
       case _ => dflt
     }
+    // datetime(temporal-or-string, unit) truncates to the unit — the
+    // reference builds np.array(arg, dtype=datetime64[unit]), and numpy
+    // TRUNCATES string/datetime input to the requested resolution
+    // (reference: vinum/core/functions.py:34-120, UNITS = D/s/ms/us/ns).
+    // Unit 'D' yields a DATE (datetime64[D] maps to arrow date32); 'ns'
+    // caps at Spark's native microsecond resolution. Numeric input stays
+    // epoch-expressed-in-unit, as before.
     f("datetime") {
       case Seq(e)    => Cast(e, TimestampType)
-      case Seq(e, u) => epochToTs(e, unitOf(u, "s"))
+      case Seq(e, u) =>
+        val unit = unitOf(u, "s")
+        val temporal = e.resolved && (e.dataType match {
+          case _: StringType | DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        })
+        if (temporal) {
+          val ts = Cast(e, TimestampType)
+          unit match {
+            case "D"         => Cast(ts, DateType)
+            case "s"         => TruncTimestamp(Literal("SECOND"), ts)
+            case "ms"        => TruncTimestamp(Literal("MILLISECOND"), ts)
+            case "us" | "ns" => TruncTimestamp(Literal("MICROSECOND"), ts)
+            case u0 => throw new IllegalArgumentException(
+              s"unsupported datetime unit '$u0'")
+          }
+        } else if (unit == "D") Cast(epochToTs(e, "D"), DateType)
+        else epochToTs(e, unit)
       case other     => throw new IllegalArgumentException(
         s"datetime() takes 1-2 arguments, got ${other.length}")
     }
@@ -109,6 +168,15 @@ object Registry {
       case other => throw new IllegalArgumentException(
         s"timedelta() takes 2 arguments, got ${other.length}")
     }
+    // now() truncates to seconds (reference: vinum/core/functions.py:25-33
+    // returns np.datetime64(datetime.now(), 's')); overrides the
+    // microsecond-resolution Spark builtin for parity.
+    f("now") {
+      case Seq() => TruncTimestamp(Literal("SECOND"), CurrentTimestamp())
+      case other => throw new IllegalArgumentException(
+        s"now() takes no arguments, got ${other.length}")
+    }
+
     // is_busday(date): Mon..Fri (reference: vinum/core/functions.py:129-138,
     // numpy busday semantics). WeekDay: Monday=0 .. Sunday=6.
     f("is_busday") {

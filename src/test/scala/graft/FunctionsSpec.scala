@@ -26,6 +26,12 @@ class FunctionsSpec extends GraftSuite {
     assert(math.abs(got - System.currentTimeMillis() / 1000) < 60)
   }
 
+  test("now() truncates to whole seconds (reference :25-33)") {
+    // micros of the truncated now() must be an exact multiple of 1e6
+    val micros = one("unix_micros(now())").getLong(0)
+    assert(micros % 1000000L == 0L)
+  }
+
   test("datetime epoch units s/ms/us/ns/m/h/D agree") {
     val r = Table(Seq(1).toDF("x")).sql(
       """select datetime(1500000000, 's') s, datetime(1500000000000, 'ms') ms,
@@ -40,7 +46,27 @@ class FunctionsSpec extends GraftSuite {
     assert(r.getTimestamp(3) == exp)
     assert(r.getTimestamp(4) == exp) // 25e6 min == 1.5e9 s exactly
     assert(r.getTimestamp(5) == Timestamp.valueOf("2017-07-14 02:00:00"))
-    assert(r.getTimestamp(6) == Timestamp.valueOf("2017-07-14 00:00:00"))
+    // unit 'D' yields a DATE: datetime64[D] maps to date32 in the reference
+    assert(r.getDate(6) == java.sql.Date.valueOf("2017-07-14"))
+  }
+
+  test("datetime(str, unit) parses then truncates to the unit (reference :34-120)") {
+    assert(one("datetime('2020-10-24 18:30:45.123456', 'D')").getDate(0) ==
+      java.sql.Date.valueOf("2020-10-24"))
+    assert(one("datetime('2020-10', 'D')").getDate(0) ==
+      java.sql.Date.valueOf("2020-10-01"))
+    assert(one("datetime('2020-10-24 18:30:45.123456', 's')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-10-24 18:30:45"))
+    assert(one("datetime('2020-10-24 18:30:45.123456', 'ms')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-10-24 18:30:45.123"))
+    assert(one("datetime('2020-10-24 18:30:45.123456', 'us')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-10-24 18:30:45.123456"))
+    // 'ns' caps at Spark's native microsecond resolution
+    assert(one("datetime('2020-10-24 18:30:45.123456', 'ns')").getTimestamp(0) ==
+      Timestamp.valueOf("2020-10-24 18:30:45.123456"))
+    // date-typed input truncates the same way
+    assert(one("datetime(timestamp'2021-03-04 05:06:07', 'D')").getDate(0) ==
+      java.sql.Date.valueOf("2021-03-04"))
   }
 
   test("datetime parses full and partial ISO8601 strings (reference :999-1070)") {
@@ -75,6 +101,32 @@ class FunctionsSpec extends GraftSuite {
 
   test("date('now') equals current_date") {
     assert(one("date('now') = current_date()").getBoolean(0))
+  }
+
+  test("registerColumnFn: z-score whole-column UDF (reference README.rst:189-207)") {
+    graft.functions.Registry.registerColumnFn(spark, "score", { case Seq(x) =>
+      (x - graft.functions.Registry.wholeColumn(avg(x))) /
+        graft.functions.Registry.wholeColumn(stddev_pop(x))
+    })
+    val got = Table(Seq(1.0, 2.0, 3.0).toDF("x"))
+      .sql("select x, score(x) as z from t order by x").toDF
+      .collect().map(_.getDouble(1))
+    val exp = Seq(-1.224744871391589, 0.0, 1.224744871391589)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    // two-column variant, invoked twice in one query like the reference doc
+    val both = Table(Seq((1.0, 7.0), (2.0, 13.0), (3.0, 17.0)).toDF("x", "y"))
+      .sql("select score(x) as zx, score(y) as zy from t order by zx").toDF.collect()
+    assert(math.abs(both(0).getDouble(0) + 1.224744871391589) < 1e-12)
+    assert(math.abs(both(0).getDouble(1) + 1.2977713690461004) < 1e-9)
+  }
+
+  test("registerColumnFn is case-insensitive and re-registration replaces") {
+    graft.functions.Registry.registerColumnFn(spark, "cubeit",
+      { case Seq(x) => x * x * x })
+    assert(one("CUBEIT(cast(3.0 as double))").getDouble(0) == 27.0)
+    graft.functions.Registry.registerColumnFn(spark, "CubeIt",
+      { case Seq(x) => x * x })
+    assert(one("cubeit(cast(3.0 as double))").getDouble(0) == 9.0)
   }
 
   test("minRollingFingerprint stable under distant edits, changed by near ones") {
