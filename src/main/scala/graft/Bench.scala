@@ -12,12 +12,20 @@ import graft.functions.Registry
   *    count() would let the optimizer drop sorts and projections);
   *  - one warmup execution of the flagship query amortizes JVM/codegen
   *    startup out of the numbers;
+  *  - every query runs SPARK_GRAFT_BENCH_REPS times (default 3) and
+  *    reports the MEDIAN — the container's CPU contention swings single
+  *    runs 2-3x (round-1 data), so medians are what make round-over-round
+  *    deltas meaningful. `max_rep_spread` (max over queries of max/min
+  *    rep time) quantifies how quiet the machine was;
+  *  - SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the query set (iteration);
   *  - shuffle partitions = cores (local mode; AQE coalesces further).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -47,11 +55,18 @@ object Bench {
     execute("t04_fingerprint")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> execute(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { n =>
+      val ts = (1 to reps).map(_ => execute(n)).filter(_ >= 0).sorted
+      val median = if (ts.isEmpty) -1.0 else ts(ts.length / 2)
+      val spread = if (ts.isEmpty || ts.head == 0) 1.0 else ts.last / ts.head
+      (n, median, spread)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val maxSpread = if (results.isEmpty) 1.0 else results.map(_._3).max
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"max_rep_spread":$maxSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

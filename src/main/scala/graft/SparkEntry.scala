@@ -614,32 +614,38 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs with Hamming verify
+    // SimHash near-dup pairs with Hamming verify. chunks=8 widens the
+    // pigeonhole recall guarantee to hamming<=7 (8-bit chunk keys are
+    // fine at this corpus size; the 100 TB setting is chunks=4, h<=3).
     "d03_simhash_pairs" -> noOracle((s, dir) => {
       Registry.registerAll(s)
       graft.ops.Dedup.simhashPairs(
           s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          maxHamming = 12)
+          maxHamming = 7, chunks = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // exact n-gram Jaccard over blocked candidate pairs (same source +
-    // length band, the standard cheap blocking rules) — full oracle
+    // exact n-gram Jaccard near-dup pairs at scale: LSH-banded candidates
+    // -> exact verify (no within-block cartesian anywhere in the plan).
+    // The oracle enumerates ALL pairs above the threshold exhaustively —
+    // the banding (128 hashes / 32 bands) gives a j>=0.6 pair >=98.8%
+    // candidate probability and the planted corpus near-dups sit at
+    // j>=0.9 (hit probability 1 - 4e-16), so Spark's banded result must
+    // equal the exhaustive set exactly.
     "d04_ngram_jaccard" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        graft.ops.Dedup.blockedJaccard(
+        graft.ops.Dedup.nearDupJaccard(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-            blockCol = "source", lenCol = "n_chars", lengthBand = 50,
-            shingleK = 3, threshold = 0.02)
+            numHashes = 128, bands = 32, shingleK = 3, threshold = 0.6)
           .orderBy(col("id_a"), col("id_b"))
       },
       """WITH s AS (
-           SELECT doc_id, source, n_chars,
+           SELECT doc_id,
                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
            FROM documents),
          sh AS (
-           SELECT doc_id, source, n_chars,
+           SELECT doc_id,
                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                        ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
                                           i -> array_to_string(toks[i:i+2], ' '))) END AS shset
@@ -648,9 +654,8 @@ object SparkEntry {
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
                     / len(list_distinct(a.shset || b.shset)) AS jaccard
-           FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-                               AND abs(a.n_chars - b.n_chars) <= 50) t
-         WHERE jaccard >= 0.02 ORDER BY id_a, id_b"""),
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.6 ORDER BY id_a, id_b"""),
 
     // embedding near-dup pairs via sign-bit LSH buckets + cosine verify
     "d05_embed_neardup" -> noOracle((s, dir) => {

@@ -59,6 +59,33 @@ object Dedup {
           TextOps.tokenHashes(col(textCol)), lit(shingleK)),
         lit(numHashes), lit(seed)).as("sig"))
 
+  /** LSH-banded candidate pairs: (id_a, id_b) with id_a < id_b for every
+    * pair agreeing on at least one band of the MinHash signature. The
+    * probability a pair with true Jaccard j becomes a candidate is
+    * 1 - (1 - j^rows)^bands — size the banding so it is ~1 at the target
+    * similarity. Never materializes a cross join: one equi-join on the
+    * (band, bucket-hash) key.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+                        seed: Long = Registry.DefaultSeed): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
+    // one (band, bucket) key per band: hash of the band's signature slice
+    val bandArr = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))
+    val banded = sigs
+      .select(col(idCol).as("id"), posexplode(bandArr).as(Seq("band", "bhash")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Candidate near-duplicate pairs via LSH banding + signature-overlap
     * estimate. Output: (id_a, id_b, est_jaccard), id_a < id_b.
     */
@@ -66,8 +93,6 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
                    threshold: Double = 0.5,
                    seed: Long = Registry.DefaultSeed): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // signatures are consumed three times (banding + both join sides) and
     // recomputed each time: the signature pipeline is map-only codegen'd
     // work, which profiles faster than caching (InMemoryRelation's columnar
@@ -75,26 +100,45 @@ object Dedup {
     // scale, persist/checkpoint the signature frame explicitly if the text
     // scan itself is the bottleneck.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
-
-    // one (band, bucket) key per band: hash of the band's signature slice
-    val bandArr = transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))
-    val banded = sigs
-      .select(col(idCol).as("id"), posexplode(bandArr).as(Seq("band", "bhash")))
-
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
     val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"), sigOverlap(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact-Jaccard near-duplicate pairs at scale: LSH-banded candidate
+    * generation followed by exact n-gram Jaccard verification. Replaces
+    * attribute blocking (same source + length band), whose within-block
+    * self-join is quadratic in block size — at 100x the corpus the
+    * same-source blocks grow linearly and candidate pairs quadratically,
+    * while banded candidates stay proportional to the number of true
+    * near-duplicates. Size the banding so recall at `threshold` is ~1:
+    * the default 128 hashes / 32 bands of 4 gives a j=0.6 pair a
+    * 1-(1-0.6^4)^32 = 98.8% candidate probability, j=0.9 -> 1-4e-16.
+    * Output: (id_a, id_b, jaccard), jaccard >= threshold.
+    */
+  def nearDupJaccard(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
+                     threshold: Double = 0.6,
+                     seed: Long = Registry.DefaultSeed): DataFrame = {
+    // The candidate list is consumed three times (two id projections for
+    // the semi-filter, then the verify join); it is a tiny (long, long)
+    // frame, so persisting it avoids re-running the whole signature
+    // pipeline per consumer. (The array-heavy frames are NOT persisted —
+    // columnar-encoding arrays costs more than recomputing them.)
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
+      .persist()
+    // compute shingle sets ONLY for documents that appear in some pair:
+    // a broadcast semi-join keeps the verify cost proportional to the
+    // candidate volume, not the corpus size
+    val ids = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val needed = df.join(broadcast(ids), col(idCol) === col("id"), "left_semi")
+    val sets = needed.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+    jaccardOn(sets, cand).filter(col("jaccard") >= threshold)
   }
 
   /** Fraction of equal signature positions — the MinHash Jaccard estimate. */
@@ -109,18 +153,31 @@ object Dedup {
     df.select(col(idCol).as("id"),
       call_function("simhash64", TextOps.tokenHashes(col(textCol)), lit(seed)).as("sh"))
 
-  /** Near-duplicate pairs with Hamming distance ≤ maxHamming on 64-bit
-    * SimHash. Candidates via 16-bit chunk equality (pigeonhole over 4
-    * chunks guarantees recall for maxHamming ≤ 3), verified with
-    * bit_count(xor). Output: (id_a, id_b, hamming).
+  /** All pairs from a fingerprint frame (id, sh: long) within Hamming
+    * distance maxHamming, via chunk-equality candidate generation +
+    * bit_count(xor) verify. Pigeonhole recall contract: maxHamming bit
+    * errors dirty at most maxHamming of the `chunks` equal-width chunks,
+    * so a clean (equal) chunk exists iff maxHamming <= chunks - 1 —
+    * ENFORCED, because running past the guarantee silently drops
+    * legitimate pairs (round-1 d03 did exactly that at maxHamming=12
+    * over 4 chunks).
+    *
+    * Scale trade-off: more chunks widen the guarantee but shrink the key
+    * space (64/chunks bits), so buckets grow ~N/2^(64/chunks) and
+    * candidate volume rises toward quadratic — chunks=4 (16-bit keys,
+    * h<=3) is the 100 TB setting; chunks=8 (8-bit keys, h<=7) suits
+    * corpora where a coarser key times N is still small, or high-dup
+    * batches already reduced by exact dedup.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3,
-                   seed: Long = Registry.DefaultSeed): DataFrame = {
-    val fp = simhashFingerprints(df, idCol, textCol, seed)
+  def fingerprintPairs(fp: DataFrame, maxHamming: Int, chunks: Int = 4): DataFrame = {
+    require(chunks > 0 && 64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(maxHamming <= chunks - 1,
+      s"recall guarantee needs maxHamming <= chunks - 1 (got maxHamming=$maxHamming, chunks=$chunks)")
+    val bitsPer = 64 / chunks
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     val chunked = fp.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sh"), c * bitsPer).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "cval")))
     chunked.as("a")
       .join(chunked.as("b"),
@@ -132,6 +189,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate pairs with Hamming distance ≤ maxHamming on 64-bit
+    * SimHash (see [[fingerprintPairs]] for the recall contract).
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4,
+                   seed: Long = Registry.DefaultSeed): DataFrame =
+    fingerprintPairs(simhashFingerprints(df, idCol, textCol, seed), maxHamming, chunks)
+
   /** Exact n-gram Jaccard over a candidate pair set (e.g. the output of
     * [[minhashPairs]] at a low threshold, or any (id_a, id_b) frame).
     * Output: (id_a, id_b, jaccard).
@@ -141,13 +207,19 @@ object Dedup {
                    shingleK: Int = 3): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+    jaccardOn(sets, candidates)
+  }
+
+  /** Join shingle sets onto a (id_a, id_b) pair frame and compute exact
+    * Jaccard. `sets` must have columns (id, sh).
+    */
+  private def jaccardOn(sets: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-  }
 
   /** Exact n-gram Jaccard with cheap blocking: candidate pairs agree on
     * `blockCol` and differ by at most `lengthBand` in `lenCol`.

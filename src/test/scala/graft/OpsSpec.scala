@@ -46,6 +46,50 @@ class OpsSpec extends GraftSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("fingerprintPairs: planted pairs within the pigeonhole contract are ALL found") {
+    val rnd = new scala.util.Random(7)
+    // 40 well-separated base fingerprints, each with a partner at a known
+    // hamming distance <= chunks-1; recall must be exactly 1.0
+    for ((chunks, maxH) <- Seq((4, 3), (8, 7))) {
+      val rows = (0 until 40).flatMap { i =>
+        val base = rnd.nextLong()
+        val h = rnd.nextInt(maxH + 1)
+        val flipped = rnd.shuffle((0 until 64).toList).take(h)
+          .foldLeft(base)((v, b) => v ^ (1L << b))
+        Seq((i * 2L, base), (i * 2L + 1, flipped))
+      }
+      val fp = rows.toDF("id", "sh")
+      val got = Dedup.fingerprintPairs(fp, maxHamming = maxH, chunks = chunks)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = (0 until 40).map(i => (i * 2L, i * 2L + 1)).toSet
+      assert(planted.subsetOf(got),
+        s"chunks=$chunks missed ${(planted -- got).size} planted pairs")
+      // and nothing reported beyond the hamming bound
+      val over = Dedup.fingerprintPairs(fp, maxHamming = maxH, chunks = chunks)
+        .filter(col("hamming") > maxH).count()
+      assert(over == 0)
+    }
+  }
+
+  test("fingerprintPairs rejects maxHamming beyond the recall guarantee") {
+    val fp = Seq((1L, 42L)).toDF("id", "sh")
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintPairs(fp, maxHamming = 12, chunks = 4)
+    }
+  }
+
+  test("nearDupJaccard finds the exact and near duplicate via banded candidates") {
+    // the (1,3) pair sits exactly at jaccard 0.6 — the hardest admissible
+    // input — so band rows=2 here (miss probability ~3e-13 at j=0.6);
+    // production defaults (rows=4) are sized for the j>=0.9 dup regime
+    val pairs = Dedup.nearDupJaccard(docs, "doc_id", "text",
+        numHashes = 128, bands = 64, shingleK = 3, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
