@@ -511,8 +511,9 @@ object SparkEntry {
     "e01_events_window" -> ((
       (s: SparkSession, dir: String) => {
         Registry.registerAll(s)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
+        graft.streaming.Events.withNanosAsLong(s) {
+          s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
+        }
         s.sql(
           """SELECT h, event_type, count(*) AS n,
                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
@@ -857,6 +858,31 @@ object SparkEntry {
                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                 CAST(octet_length(encode(text)) % 512 + 1 AS INTEGER) AS width,
                 CAST(octet_length(encode(text)) * 7 % 384 + 1 AS INTEGER) AS height,
+                3 AS channels
+         FROM documents ORDER BY doc_id"""),
+
+    // multimodal: REAL codec decode. Each document's utf-8 bytes become a
+    // 24-bit BI_RGB BMP (width 16 -> 48-byte rows, no alignment padding),
+    // then the pure-JVM BMP decoder recovers the dimensions partition-wise.
+    // The oracle recomputes the container arithmetic from the byte length;
+    // pixel-level decode correctness (incl. padding and bottom-up rows)
+    // is OpsSpec golden-tested.
+    "m02_codec_decode" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.decodeMedia(
+            m.withBmpPayload(s.read.parquet(s"$dir/documents.parquet"),
+              "doc_id", "text", width = 16),
+            "doc_id", "payload")
+          .select(col("doc_id"), col("format"), col("n_bytes"),
+            col("width"), col("height"), col("channels"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, 'bmp' AS format,
+                CAST(54 + 48 * greatest(octet_length(encode(text)) // 48, 1) AS INTEGER) AS n_bytes,
+                16 AS width,
+                CAST(greatest(octet_length(encode(text)) // 48, 1) AS INTEGER) AS height,
                 3 AS channels
          FROM documents ORDER BY doc_id""")
   )

@@ -30,11 +30,17 @@ object Ivf {
       nlist: Int,
       iters: Int = 8,
       maxSample: Int = 20000): Array[Array[Double]] = {
-    val n = emb.count()
-    val mod = math.max(1L, n / maxSample)
+    // Deterministic bounded sample in ONE job — no separate count() scan
+    // and no density/numeric assumption on ids: take the maxSample lowest
+    // (xxhash64(id), id) rows. TakeOrderedAndProject keeps a bounded heap
+    // per partition, so nothing global materializes. The subset is then
+    // re-sorted by id so Lloyd's strided init is independent of the hash
+    // order — and identical to the full corpus ordered by id whenever
+    // n <= maxSample.
     val sample = emb
-      .filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(maxSample)
       .orderBy(col(idCol))
       .collect()
       .map(_.getSeq[Double](1).toArray)

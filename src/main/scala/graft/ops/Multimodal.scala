@@ -8,24 +8,187 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * 100 TB (parquet binary + pushdown-able metadata columns; the payload
   * bytes never pass through a shuffle unless explicitly selected).
   *
-  * The container ships no image/audio codecs, so the *decode kernel* here
-  * is a clearly-marked deterministic STUB — but the Spark-side plumbing
-  * (schema, binary columns, batched partition-wise decode, feature
-  * struct) is real and tested.
+  * The decode kernels are REAL pure-JVM codecs for two uncompressed
+  * container formats — BMP (BITMAPINFOHEADER, 24/32-bit BI_RGB) and WAV
+  * (RIFF PCM) — parsed per their public specifications: little-endian
+  * header fields, 4-byte-aligned bottom-up pixel rows for BMP, chunked
+  * RIFF layout for WAV. Compressed formats (JPEG/PNG/MP3) need codec
+  * libraries the container does not ship; [[Codec.decode]] reports them
+  * as format="unsupported" rather than faking values. The decode runs
+  * partition-wise over the binary column ([[decodeMedia]]) — the same
+  * batched shape a JNI/FFI codec binding plugs into.
   */
 object Multimodal {
 
-  /** Decoded-media feature row (what a real codec would emit). */
+  /** Decoded-media feature row. For images: width/height/channels +
+    * mean_value over decoded pixel bytes. For audio: sample_rate/channels
+    * + duration_s + mean_value as RMS amplitude (normalized to [0,1]).
+    */
   case class MediaFeatures(
       doc_id: Long,
+      format: String,
       n_bytes: Int,
       width: Int,
       height: Int,
       channels: Int,
-      mean_byte: Double)
+      sample_rate: Int,
+      duration_s: Double,
+      mean_value: Double)
+
+  /** Pure-JVM codecs for the uncompressed formats. All multi-byte fields
+    * little-endian per both formats' specs.
+    */
+  object Codec {
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    /** Encode pixel bytes as a 24-bit BI_RGB BMP (BITMAPINFOHEADER).
+      * `pixels` are row-major top-down BGR triples, `width` pixels per
+      * row; incomplete trailing data is dropped. Rows are written
+      * bottom-up with 4-byte alignment padding, as the format requires.
+      */
+    def encodeBmp(pixels: Array[Byte], width: Int): Array[Byte] = {
+      require(width > 0, "width must be positive")
+      val rowBytes = width * 3
+      val height = math.max(1, pixels.length / rowBytes)
+      val padded = (rowBytes + 3) / 4 * 4
+      val dataSize = padded * height
+      val out = new Array[Byte](54 + dataSize)
+      def w16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+      def w32(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      out(0) = 'B'; out(1) = 'M'
+      w32(2, out.length); w32(10, 54)          // file size, pixel data offset
+      w32(14, 40)                              // BITMAPINFOHEADER size
+      w32(18, width); w32(22, height)
+      w16(26, 1); w16(28, 24)                  // planes, bits per pixel
+      w32(30, 0); w32(34, dataSize)            // BI_RGB, image size
+      var row = 0
+      while (row < height) {
+        val srcOff = row * rowBytes
+        val dstOff = 54 + (height - 1 - row) * padded  // bottom-up
+        val n = math.min(rowBytes, math.max(0, pixels.length - srcOff))
+        if (n > 0) System.arraycopy(pixels, srcOff, out, dstOff, n)
+        row += 1
+      }
+      out
+    }
+
+    /** Encode 16-bit mono/stereo PCM samples as a RIFF WAV file. */
+    def encodeWav(samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val out = new Array[Byte](44 + dataSize)
+      def w16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+      def w32(o: Int, v: Int): Unit = {
+        out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+        out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+      }
+      def tag(o: Int, s: String): Unit = s.zipWithIndex.foreach { case (c, i) => out(o + i) = c.toByte }
+      tag(0, "RIFF"); w32(4, 36 + dataSize); tag(8, "WAVE")
+      tag(12, "fmt "); w32(16, 16); w16(20, 1)         // PCM
+      w16(22, channels); w32(24, sampleRate)
+      w32(28, sampleRate * channels * 2)               // byte rate
+      w16(32, channels * 2); w16(34, 16)               // block align, bits
+      tag(36, "data"); w32(40, dataSize)
+      var i = 0
+      while (i < samples.length) { w16(44 + i * 2, samples(i)); i += 1 }
+      out
+    }
+
+    /** Decode a BMP payload: dimensions from the header, mean pixel byte
+      * from the pixel array honoring bottom-up rows + alignment padding.
+      * Returns None if the payload is not a parseable uncompressed BMP.
+      */
+    def decodeBmp(b: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+      if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val offset = i32(b, 10)
+      val width = i32(b, 18)
+      val height = i32(b, 22)
+      val bpp = u16(b, 28)
+      val compression = i32(b, 30)
+      if (width <= 0 || height == 0 || compression != 0 ||
+        (bpp != 24 && bpp != 32)) return None
+      val channels = bpp / 8
+      val absH = math.abs(height)
+      val rowBytes = width * channels
+      val padded = (rowBytes + 3) / 4 * 4
+      if (offset.toLong + padded.toLong * absH > b.length) return None
+      var sum = 0L
+      var row = 0
+      while (row < absH) {
+        val off = offset + row * padded
+        var ii = 0
+        while (ii < rowBytes) { sum += b(off + ii) & 0xff; ii += 1 }
+        row += 1
+      }
+      val nPix = rowBytes.toLong * absH
+      Some((width, absH, channels, if (nPix == 0) 0.0 else sum.toDouble / nPix))
+    }
+
+    /** Decode a RIFF/WAVE PCM payload: (sampleRate, channels, durationS,
+      * rms in [0,1]) walking the chunk list for fmt/data.
+      */
+    def decodeWav(b: Array[Byte]): Option[(Int, Int, Double, Double)] = {
+      if (b == null || b.length < 44) return None
+      if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+      var pos = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val size = i32(b, pos + 4)
+        if (size < 0 || pos + 8 + size > b.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            if (u16(b, pos + 8) != 1) return None   // PCM only
+            channels = u16(b, pos + 10)
+            rate = i32(b, pos + 12)
+            bits = u16(b, pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ => ()
+        }
+        pos += 8 + size + (size & 1)               // chunks are word-aligned
+      }
+      if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+      val nSamples = dataLen / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val s = (u16(b, dataOff + i * 2).toShort).toDouble / 32768.0
+        sumSq += s * s
+        i += 1
+      }
+      val frames = nSamples / channels
+      Some((rate, channels, frames.toDouble / rate,
+        if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)))
+    }
+
+    /** Dispatch on magic bytes; unsupported formats are reported, not faked. */
+    def decode(id: Long, b: Array[Byte]): MediaFeatures = {
+      val n = if (b == null) 0 else b.length
+      if (n >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b) match {
+        case Some((w, h, c, mean)) =>
+          return MediaFeatures(id, "bmp", n, w, h, c, 0, 0.0, mean)
+        case None => ()
+      }
+      if (n >= 12 && b(0) == 'R' && b(1) == 'I') decodeWav(b) match {
+        case Some((rate, c, dur, rms)) =>
+          return MediaFeatures(id, "wav", n, 0, 0, c, rate, dur, rms)
+        case None => ()
+      }
+      MediaFeatures(id, "unsupported", n, 0, 0, 0, 0, 0.0, 0.0)
+    }
+  }
 
   /** Attach a binary payload column (here: utf-8 bytes of a text column,
-    * standing in for image bytes).
+    * standing in for stored media bytes).
     */
   def withBinaryPayload(df: DataFrame, srcCol: String, binCol: String = "payload"): DataFrame =
     df.withColumn(binCol, col(srcCol).cast("binary"))
@@ -42,32 +205,35 @@ object Multimodal {
       (octet_length(col(binCol)) * 7 % 384 + 1).as("height"),
       lit(3).as("channels"))
 
-  /** Batched partition-wise decode. STUB: a real implementation would call
-    * an image codec here (per-partition, reusing a decoder instance, the
-    * same shape a JNI/FFI codec binding needs). The fake is deterministic
-    * in the payload bytes so tests can assert on it.
+  /** Batched partition-wise media decode over a binary column. One codec
+    * dispatch per row, no driver involvement, no shuffle: the payload
+    * bytes stay within their input partition.
     */
-  def decodeStub(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+  def decodeMedia(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // codec instance would be created once per partition here
-        it.map { case (id, bytes) =>
-          val n = if (bytes == null) 0 else bytes.length
-          var sum = 0L
-          var i = 0
-          val m = math.min(n, 64)
-          while (i < m) { sum += bytes(i) & 0xff; i += 1 }
-          MediaFeatures(
-            doc_id = id,
-            n_bytes = n,
-            width = n % 512 + 1,
-            height = n * 7 % 384 + 1,
-            channels = 3,
-            mean_byte = if (m == 0) 0.0 else sum.toDouble / m)
-        }
+        // a JNI/FFI codec instance would be created once per partition here
+        it.map { case (id, bytes) => Codec.decode(id, bytes) }
       }
+  }
+
+  /** Build BMP payloads from a binary column (pixels = the column's
+    * bytes, BGR row-major at the given width) — partition-wise, used to
+    * exercise the decode path on corpus data without shipping image
+    * fixtures.
+    */
+  def withBmpPayload(df: DataFrame, idCol: String, srcCol: String,
+                     width: Int = 16, binCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(srcCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, Codec.encodeBmp(if (bytes == null) Array.emptyByteArray else bytes, width))
+      })
+      .toDF(idCol, binCol)
   }
 }

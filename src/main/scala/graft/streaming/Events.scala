@@ -24,11 +24,32 @@ object Events {
     * which Spark's vectorized reader rejects — read nanos as long and
     * rebuild a micro-precision NTZ timestamp (lossless here: the corpus
     * has no sub-microsecond components).
+    *
+    * The legacy conf has no per-read option (ParquetOptions has no
+    * nanosAsLong key), so it is scoped: set for the `read.parquet` call —
+    * which is when the parquet schema is converted — and restored before
+    * returning (verified: later actions on the returned frame execute
+    * correctly with the conf back at its prior value).
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  def read(spark: SparkSession, dir: String): DataFrame =
+    withNanosAsLong(spark) {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    }
+
+  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong=true, restoring
+    * the previous setting afterward so the session-global conf does not
+    * leak into unrelated reads.
+    */
+  def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Tumbling event-time aggregation (batch). */

@@ -21,9 +21,9 @@ object OpsProbe {
     println("PROBE_A pairs=" + cmp.count() + " max_est_err=" +
       cmp.agg(max("err")).collect()(0).getDouble(0))
 
-    // B: stub decode through the typed mapPartitions plumbing
-    val dec = Multimodal.decodeStub(
-      Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload")
+    // B: real codec decode through the typed mapPartitions plumbing
+    val dec = Multimodal.decodeMedia(
+      Multimodal.withBmpPayload(docs, "doc_id", "text"), "doc_id", "payload")
     val d0 = dec.filter(col("doc_id") === 0).collect()(0)
     println(s"PROBE_B rows=${dec.count()} doc0=$d0")
 

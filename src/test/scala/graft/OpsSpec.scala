@@ -168,13 +168,47 @@ class OpsSpec extends GraftSuite {
     q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
-  test("multimodal stub decode is deterministic and matches metaDecode dims") {
-    val withBin = Multimodal.withBinaryPayload(docs, "text")
-    val meta = Multimodal.metaDecode(withBin, "doc_id", "payload")
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
-    val dec = Multimodal.decodeStub(withBin, "doc_id", "payload")
-      .collect().map(f => f.doc_id -> (f.n_bytes, f.width, f.height)).toMap
-    assert(meta == dec)
+  test("BMP codec round-trips, including 4-byte row padding and bottom-up rows") {
+    import Multimodal.Codec
+    // width 4 -> 12-byte rows, no padding
+    val px1 = Array.tabulate(144)(i => i.toByte)
+    val Some((w1, h1, c1, m1)) = Codec.decodeBmp(Codec.encodeBmp(px1, 4))
+    assert((w1, h1, c1) == (4, 12, 3))
+    assert(math.abs(m1 - px1.map(_ & 0xff).sum.toDouble / 144) < 1e-12)
+    // width 5 -> 15-byte rows padded to 16: mean must EXCLUDE the padding
+    val px2 = Array.tabulate(150)(i => (i + 7).toByte)
+    val Some((w2, h2, c2, m2)) = Codec.decodeBmp(Codec.encodeBmp(px2, 5))
+    assert((w2, h2, c2) == (5, 10, 3))
+    assert(math.abs(m2 - px2.map(_ & 0xff).sum.toDouble / 150) < 1e-12)
+    // not a BMP
+    assert(Codec.decodeBmp("JFIF-not-a-bmp".getBytes).isEmpty)
+  }
+
+  test("WAV codec round-trips PCM header fields and RMS") {
+    import Multimodal.Codec
+    val samples = Array.tabulate[Short](8000)(i =>
+      (math.sin(i * 0.1) * 16384).toShort)
+    val Some((rate, ch, dur, rms)) = Codec.decodeWav(Codec.encodeWav(samples, 8000, 1))
+    assert(rate == 8000 && ch == 1)
+    assert(math.abs(dur - 1.0) < 1e-9)
+    // RMS of a 0.5-amplitude sine is ~0.5/sqrt(2)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01)
+  }
+
+  test("decodeMedia dispatches by magic bytes and reports unsupported honestly") {
+    import Multimodal.Codec
+    val rows = Seq(
+      (1L, Codec.encodeBmp(Array.tabulate(96)(_.toByte), 4)),
+      (2L, Codec.encodeWav(Array.tabulate[Short](400)(i => (i * 11).toShort), 4000, 2)),
+      (3L, "plain text payload, no codec".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, "doc_id", "payload")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format == "bmp" && out(1L).width == 4 && out(1L).height == 8
+      && out(1L).channels == 3)
+    assert(out(2L).format == "wav" && out(2L).sample_rate == 4000
+      && out(2L).channels == 2 && math.abs(out(2L).duration_s - 0.05) < 1e-9)
+    assert(out(3L).format == "unsupported" && out(3L).n_bytes == rows(2)._2.length)
   }
 
   test("streamingSessionize (flatMapGroupsWithState) agrees with batch sessionize") {

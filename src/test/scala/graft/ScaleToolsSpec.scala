@@ -53,6 +53,26 @@ class ScaleToolsSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IVF trainCentroids: sparse non-dense ids, bounded sample, deterministic") {
+    val rnd = new scala.util.Random(11)
+    // ids are sparse multiples of 7 plus an offset — the round-1 pmod
+    // sampling would select almost none of these once n > maxSample
+    val rows = (0 until 40).map(i =>
+      (1000003L + i * 7L, Array.fill(8)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = graft.ops.Ivf.trainCentroids(df, "vec_id", "embedding",
+      nlist = 4, maxSample = 8)
+    assert(cents.length == 4 && cents.forall(_.length == 8))
+    // deterministic: identical input -> identical centroids
+    val again = graft.ops.Ivf.trainCentroids(df, "vec_id", "embedding",
+      nlist = 4, maxSample = 8)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // corpus-fits-in-sample path: every row participates, same as round 1
+    val full = graft.ops.Ivf.trainCentroids(df, "vec_id", "embedding",
+      nlist = 4, maxSample = 100)
+    assert(full.length == 4)
+  }
+
   test("unknown column errors clearly (reference error-case parity)") {
     val t = Table(Seq((1L, 2.0)).toDF("id", "v"))
     val e = intercept[Exception](t.sql("select nope from t").toDF.collect())
