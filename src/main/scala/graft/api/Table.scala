@@ -21,14 +21,21 @@ final class Table private (val df: DataFrame) {
   def spark: SparkSession = df.sparkSession
 
   /** Run a SQL query against this table. The first FROM identifier is bound
-    * to this table's data; dialect rewrites (np.*, `#` xor) are applied.
+    * to this table's data; dialect rewrites (np.*, `#` xor) are applied and
+    * output columns are renamed to the reference's naming policy (function
+    * name / col_N / _1-dedup — [[graft.sql.OutputNames]]).
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
     val q = Dialect.orderByNullsLast(Dialect.rewrite(query))
     val view = Dialect.firstFromTable(q).getOrElse("t")
     df.createOrReplaceTempView(view)
-    new Table(spark.sql(q))
+    val out = spark.sql(q)
+    graft.sql.OutputNames.vinumNames(spark.sessionState.sqlParser.parsePlan(q)) match {
+      case Some(names) if names.length == out.columns.length =>
+        new Table(out.toDF(names: _*))
+      case _ => new Table(out)
+    }
   }
 
   /** Query plan for a SQL statement against this table

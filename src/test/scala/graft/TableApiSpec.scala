@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{avg, stddev_pop}
 import org.apache.spark.sql.types._
 
 import graft.api.Table
@@ -46,6 +47,27 @@ class TableApiSpec extends GraftSuite {
       .toDF.collect()
     assert(r.length == 4)
     assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("output naming policy matches the reference (planner.py:290-328)") {
+    // function calls -> function name; duplicates -> _1 suffixes
+    val t1 = trips.sql("select sum(tip), sum(total), count(*) from trip")
+    assert(t1.columnNames == Seq("sum", "sum_1", "count"))
+    // unaliased non-function expressions -> col_N; columns keep their name
+    val t2 = trips.sql("select id, tip + tax, 2 + 2, name from trip order by id")
+    assert(t2.columnNames == Seq("id", "col_0", "col_1", "name"))
+    // explicit aliases win; np.* functions read back with the dot
+    val t3 = trips.sql("select np.log(total), total as t from trip order by t")
+    assert(t3.columnNames == Seq("np.log", "t"))
+    // the README z-score shape: same function twice -> score, score_1
+    graft.functions.Registry.registerColumnFn(spark, "score", { case Seq(x) =>
+      (x - graft.functions.Registry.wholeColumn(avg(x))) /
+        graft.functions.Registry.wholeColumn(stddev_pop(x))
+    })
+    val t4 = trips.sql("select tip, score(tip), total, score(total) from trip order by id")
+    assert(t4.columnNames == Seq("tip", "score", "total", "score_1"))
+    // star select keeps native names untouched
+    assert(trips.sql("select * from trip").columnNames.head == "id")
   }
 
   test("filter drops null-predicate rows (standard SQL, not vinum's emit_null)") {
