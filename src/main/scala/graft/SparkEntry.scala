@@ -284,6 +284,50 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       ),
 
+    // S1 read_csv: round-trip through a real CSV file (header + schema
+    // inference + compression-capable reader), then aggregate — the
+    // oracle runs the same aggregate over the source parquet, so the
+    // whole read path (write, infer, parse) must be value-exact.
+    // Doubles round-trip via shortest-repr text; ints are re-widened
+    // explicitly (inference may pick INT where parquet had BIGINT).
+    "io01_csv_roundtrip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = s"target/tmp/io01_csv_${new java.io.File(dir).getName}"
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        Table.fromCsv(s, tmp).sql(
+          """SELECT l_returnflag, count(*) AS n,
+                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                    CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sk
+             FROM t GROUP BY l_returnflag ORDER BY l_returnflag""").toDF
+      },
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS sk
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // S3 read_json: NDJSON round-trip through the line-delimited reader
+    "io02_json_roundtrip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = s"target/tmp/io02_json_${new java.io.File(dir).getName}"
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").json(tmp)
+        Table.fromJson(s, tmp).sql(
+          """SELECT o_orderstatus, count(*) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+                    CAST(max(o_orderkey) AS BIGINT) AS mx
+             FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""").toDF
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+                CAST(max(o_orderkey) AS BIGINT) AS mx
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
     // datetime(value, unit) truncation semantics: string/temporal input
     // parses then truncates to the unit; numeric input is epoch-in-unit;
     // unit 'D' yields DATE (reference: vinum/core/functions.py:34-120)

@@ -1,0 +1,51 @@
+package graft
+
+/** Hard assertions on physical plan shapes — the properties that make the
+  * operators scale-safe must be visible in the plan, not just intended.
+  * Runs the real driver queries at sf0.001.
+  */
+class PlanSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("d04 near-dup: banded candidates only — no cartesian/nested-loop join") {
+    val p = planOf("d04_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), "cartesian product in d04 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in d04 plan")
+  }
+
+  test("ap01 approx aggregates: sketch-only, no Expand from exact distinct") {
+    val p = planOf("ap01_approx")
+    assert(!p.contains("Expand"), "Expand (exact-distinct rewrite) in ap01 plan")
+  }
+
+  test("j01 star join: both dims broadcast, fact side never re-shuffles for them") {
+    val p = planOf("j01_join_bcast")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan had $broadcasts")
+  }
+
+  test("q01 projection prunes the parquet scan to the selected columns") {
+    val p = planOf("q01_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      s"scan not pruned: $read")
+  }
+
+  test("m02 codec decode is map-only: no shuffle exchange before the sort") {
+    val p = planOf("m02_codec_decode")
+    // exactly the one exchange required by the final global ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"decode pipeline should not shuffle payloads (got $exchanges exchanges):\n$p")
+  }
+
+  test("a01 as-of join: single shuffle on the key, no join operator at all") {
+    val p = planOf("a01_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("BroadcastHashJoin"),
+      "as-of should be union + keyed window, not a join")
+  }
+}
