@@ -224,6 +224,12 @@ object Dedup {
   /** Exact n-gram Jaccard with cheap blocking: candidate pairs agree on
     * `blockCol` and differ by at most `lengthBand` in `lenCol`.
     *
+    * SCALE WARNING: the within-block self-join is quadratic in block
+    * size — same-block volume grows linearly with the corpus, candidate
+    * pairs quadratically. Use [[nearDupJaccard]] (banded candidates +
+    * exact verify) for large corpora; this variant exists for small
+    * batches where an attribute block is genuinely selective.
+    *
     * Deliberately two-phase: candidates are enumerated on SLIM rows
     * (id, block, len) and the shingle arrays are only attached to
     * surviving pairs afterward. A fused self-join of the array-laden

@@ -49,6 +49,24 @@ class TableApiSpec extends GraftSuite {
     assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("unsigned parquet ingestion widens per the SURVEY §1 type table") {
+    // fixture written with uint8/16/32/64 columns (src/test/resources);
+    // Spark's parquet reader widens unsigned types natively — this pins
+    // the mapping (uint8→short, uint16→int, uint32→long,
+    // uint64→decimal(20,0)) and the boundary VALUES above the signed max.
+    // float16 is NOT readable (PARQUET_TYPE_ILLEGAL, verified): convert
+    // half floats upstream before ingestion.
+    val t = Table.fromParquet(spark, "src/test/resources/unsigned_types.parquet")
+    val types = t.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("u8") == "smallint" && types("u16") == "int" &&
+      types("u32") == "bigint" && types("u64") == "decimal(20,0)")
+    val r = t.sql("select u8, u16, u32, u64 from t order by id desc limit 1")
+      .toDF.collect()(0)
+    assert(r.getShort(0) == 255 && r.getInt(1) == 65535)
+    assert(r.getLong(2) == 4294967295L)
+    assert(r.getDecimal(3) == new java.math.BigDecimal("18446744073709551615"))
+  }
+
   test("output naming policy matches the reference (planner.py:290-328)") {
     // function calls -> function name; duplicates -> _1 suffixes
     val t1 = trips.sql("select sum(tip), sum(total), count(*) from trip")
