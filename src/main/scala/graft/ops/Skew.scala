@@ -34,18 +34,15 @@ object Skew {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // a previous session may have left the managed location on disk while
-    // this session's (in-memory) catalog has no such table — clear it, or
-    // saveAsTable fails with LOCATION_ALREADY_EXISTS
+    // a previous session may have left the managed location on storage
+    // while this session's (in-memory) catalog has no such table — clear
+    // it, or saveAsTable fails with LOCATION_ALREADY_EXISTS. Goes through
+    // the Hadoop FileSystem for the warehouse's actual scheme (HDFS, S3,
+    // local), not java.io.File.
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.io.File(new java.net.URI(s"$warehouse/$table"))
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
