@@ -887,6 +887,50 @@ object SparkEntry {
          WHERE s.n_tokens >= 30
          GROUP BY s.lang ORDER BY s.lang"""),
 
+    // deterministic train/val/test split: pure function of md5(doc_id),
+    // reproducible across engines/runs/cluster sizes — the oracle
+    // recomputes the same md5-prefix thresholds (0.8/0.1/0.1 -> hex
+    // cccc/e666)
+    "sp01_det_split" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Sampling.deterministicSplit(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sc"),
+            min(col("doc_id")).as("mn"))
+          .orderBy(col("split"))
+      },
+      """SELECT split, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sc, min(doc_id) AS mn
+         FROM (SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                           ELSE 'test' END AS split, n_chars, doc_id
+               FROM documents) t
+         GROUP BY split ORDER BY split"""),
+
+    // per-group quota: cap any one source's contribution at 15 documents
+    // (first 15 by n_chars asc, id asc; corpus has 25/source, so the cap
+    // genuinely binds) — one shuffle on the group key
+    "sp02_group_quota" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Sampling.perGroupQuota(
+            s.read.parquet(s"$dir/documents.parquet"),
+            groupCol = "source", orderCol = "n_chars", idCol = "doc_id",
+            quota = 15)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 15 ORDER BY doc_id"""),
+
     // multimodal: binary payload column + expression-level metadata decode
     // (codec-level decode is the ScalaTest-covered stub; SURVEY brief)
     "m01_multimodal_meta" -> api(

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling / splitting operators for training-data
+  * pipelines.
+  *
+  * Everything here is a pure function of the row's id — no RNG state, no
+  * partition dependence — so splits are reproducible across runs,
+  * engines, and cluster sizes, and a document keeps its split when the
+  * corpus around it changes (the property that keeps eval sets
+  * uncontaminated as data grows). The hash is the first 16 bits of
+  * md5(id-as-string): md5 hex is identical in Spark and standard SQL
+  * engines, so assignments are verifiable externally.
+  *
+  * Scale shape: split tagging and hash sampling are map-only expressions;
+  * per-group quota is one shuffle on the group key (window row_number) —
+  * all safe at any corpus size.
+  */
+object Sampling {
+
+  private val Buckets = 65536 // 16 bits of md5 -> 4 hex chars
+
+  /** Fixed-width lowercase-hex bucket of a row id in [0, 65536), as a
+    * string whose lexicographic order equals numeric order.
+    */
+  def hashBucket(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 4)
+
+  private def hexThreshold(cum: Double): String =
+    f"${math.min(Buckets, math.floor(cum * Buckets).toLong)}%04x"
+
+  /** Split tag ("train" / "val" / "test" / ...) from cumulative hash
+    * thresholds. `fractions` are (name, fraction) in declaration order;
+    * they must sum to <= 1.0 and any remainder falls into the LAST split.
+    */
+  def splitTag(idCol: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val h = hashBucket(idCol)
+    var cum = 0.0
+    val cases = fractions.init.map { case (name, f) =>
+      cum += f
+      (hexThreshold(cum), name)
+    }
+    cases.foldRight(lit(fractions.last._1): Column) {
+      case ((thr, name), el) => when(h < lit(thr), name).otherwise(el)
+    }
+  }
+
+  /** Deterministic train/val/test split: adds `splitCol` to the frame. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         fractions: Seq[(String, Double)],
+                         splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitTag(col(idCol), fractions))
+
+  /** Keep a deterministic `fraction` of rows (hash-filtered on id). */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    df.filter(hashBucket(col(idCol)) < lit(hexThreshold(fraction)))
+  }
+
+  /** Cap each group at `quota` rows, keeping the first `quota` in
+    * (orderCol, idCol) order — e.g. limit any single source/domain's
+    * contribution to the corpus. One shuffle on the group key.
+    */
+  def perGroupQuota(df: DataFrame, groupCol: String, orderCol: String,
+                    idCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

@@ -211,6 +211,44 @@ class OpsSpec extends GraftSuite {
     assert(out(3L).format == "unsupported" && out(3L).n_bytes == rows(2)._2.length)
   }
 
+  test("deterministicSplit: stable, exhaustive, and id-stable under corpus growth") {
+    val ids = (0L until 2000L).toDF("id")
+    val split = Sampling.deterministicSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    // proportions near the fractions (md5 is uniform; 2000 draws)
+    assert(math.abs(counts("train") - 1600.0) < 120)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // growing the corpus must never move an existing id's split
+    val first = Sampling.deterministicSplit((0L until 500L).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    first.foreach { case (id, s) => assert(grown(id) == s) }
+  }
+
+  test("hashSample keeps a deterministic subset of about the right size") {
+    val ids = (0L until 2000L).toDF("id")
+    val a = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(math.abs(a.size - 500.0) < 80)
+    // nested fractions: a 10% sample is a subset of the 25% sample
+    val c = Sampling.hashSample(ids, "id", 0.10).collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("perGroupQuota caps each group and keeps the deterministic prefix") {
+    val rows = for (g <- Seq("a", "b"); i <- 0 until 10) yield (g, i.toLong, 100 - i)
+    val df = rows.toDF("src", "id", "len")
+    val out = Sampling.perGroupQuota(df, "src", "len", "id", quota = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // order by (len asc, id asc): smallest len = largest i
+    assert(out == Set(("a", 9L), ("a", 8L), ("a", 7L), ("b", 9L), ("b", 8L), ("b", 7L)))
+  }
+
   test("streamingSessionize (flatMapGroupsWithState) agrees with batch sessionize") {
     val ev = graft.streaming.Events.read(spark, "/root/testdata/sf0.001")
     val stage = "target/tmp/sess_stream_in"
