@@ -972,6 +972,29 @@ object SparkEntry {
                 16 AS width,
                 CAST(greatest(octet_length(encode(text)) // 48, 1) AS INTEGER) AS height,
                 3 AS channels
+         FROM documents ORDER BY doc_id"""),
+
+    // multimodal pipeline verbs: encode -> RESIZE (nearest-neighbor,
+    // decode+resample+re-encode per partition) -> decode. The recovered
+    // 8x6 container dims are constant arithmetic for the oracle; pixel
+    // correctness of the resample is OpsSpec golden-tested.
+    "m03_resize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.decodeMedia(
+            m.resizeImages(
+              m.withBmpPayload(s.read.parquet(s"$dir/documents.parquet"),
+                "doc_id", "text", width = 16),
+              "doc_id", "payload", newW = 8, newH = 6),
+            "doc_id", "payload")
+          .select(col("doc_id"), col("format"), col("n_bytes"),
+            col("width"), col("height"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, 'bmp' AS format,
+                CAST(54 + 24 * 6 AS INTEGER) AS n_bytes,
+                8 AS width, 6 AS height
          FROM documents ORDER BY doc_id""")
   )
 

@@ -170,6 +170,103 @@ object Multimodal {
         if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)))
     }
 
+    /** Decoded 24-bit BMP pixels as a top-down row-major BGR array
+      * (padding stripped, bottom-up order undone) + dimensions.
+      */
+    def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+      val offset = i32(b, 10)
+      val width = i32(b, 18)
+      val height = i32(b, 22)
+      if (width <= 0 || height <= 0 || u16(b, 28) != 24 || i32(b, 30) != 0) return None
+      val rowBytes = width * 3
+      val padded = (rowBytes + 3) / 4 * 4
+      if (offset.toLong + padded.toLong * height > b.length) return None
+      val px = new Array[Byte](rowBytes * height)
+      var row = 0
+      while (row < height) {
+        System.arraycopy(b, offset + (height - 1 - row) * padded, px, row * rowBytes, rowBytes)
+        row += 1
+      }
+      Some((width, height, px))
+    }
+
+    /** Nearest-neighbor resize of a 24-bit BMP; returns a re-encoded BMP. */
+    def resizeBmp(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+      require(newW > 0 && newH > 0, "resize dims must be positive")
+      bmpPixels(b).map { case (w, h, px) =>
+        val out = new Array[Byte](newW * newH * 3)
+        var y = 0
+        while (y < newH) {
+          val sy = y.toLong * h / newH
+          var x = 0
+          while (x < newW) {
+            val sx = x.toLong * w / newW
+            val src = (sy * w + sx).toInt * 3
+            val dst = (y * newW + x) * 3
+            out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        encodeBmp(out, newW)
+      }
+    }
+
+    /** Per-channel (B, G, R) pixel means of a 24-bit BMP. */
+    def bmpChannelMeans(b: Array[Byte]): Option[(Double, Double, Double)] =
+      bmpPixels(b).map { case (_, _, px) =>
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+        val n = px.length / 3
+        (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+
+    /** Raw PCM frames of a WAV payload: (sampleRate, channels, samples). */
+    def wavSamples(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      decodeWav(b).flatMap { case (rate, channels, _, _) =>
+        // re-walk for the data chunk (decodeWav validated the layout)
+        var pos = 12
+        while (pos + 8 <= b.length) {
+          val id = new String(b, pos, 4, "US-ASCII")
+          val size = i32(b, pos + 4)
+          if (id == "data") {
+            val n = size / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = u16(b, pos + 8 + i * 2).toShort; i += 1 }
+            return Some((rate, channels, out))
+          }
+          pos += 8 + size + (size & 1)
+        }
+        None
+      }
+    }
+
+    /** Keep every `everyN`-th PCM frame (all channels of it) — plain
+      * decimation without an anti-alias filter, the cheap frame-sampling
+      * step of a media pipeline; the re-encoded WAV carries rate/everyN.
+      */
+    def frameSampleWav(b: Array[Byte], everyN: Int): Option[Array[Byte]] = {
+      require(everyN > 0, "everyN must be positive")
+      wavSamples(b).map { case (rate, channels, samples) =>
+        val frames = samples.length / channels
+        val kept = (0 until frames by everyN).toArray
+        val out = new Array[Short](kept.length * channels)
+        var i = 0
+        while (i < kept.length) {
+          var c = 0
+          while (c < channels) {
+            out(i * channels + c) = samples(kept(i) * channels + c)
+            c += 1
+          }
+          i += 1
+        }
+        encodeWav(out, math.max(1, rate / everyN), channels)
+      }
+    }
+
     /** Dispatch on magic bytes; unsupported formats are reported, not faked. */
     def decode(id: Long, b: Array[Byte]): MediaFeatures = {
       val n = if (b == null) 0 else b.length
@@ -218,6 +315,58 @@ object Multimodal {
         // a JNI/FFI codec instance would be created once per partition here
         it.map { case (id, bytes) => Codec.decode(id, bytes) }
       }
+  }
+
+  /** Partition-wise nearest-neighbor image resize over a BMP binary
+    * column: decode -> resample -> re-encode, payloads never leave their
+    * partition. Non-BMP payloads pass through unchanged (tagged false).
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+                   newW: Int, newH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        Codec.resizeBmp(bytes, newW, newH) match {
+          case Some(r) => (id, r, true)
+          case None    => (id, bytes, false)
+        }
+      })
+      .toDF(idCol, binCol, "resized")
+  }
+
+  /** Image feature extraction: dimensions + per-channel means, the
+    * "feature-extract" step of a media pipeline. Map-only.
+    */
+  def imageFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (Codec.bmpPixels(bytes), Codec.bmpChannelMeans(bytes)) match {
+          case (Some((w, h, _)), Some((mb, mg, mr))) => (id, w, h, 3, mb, mg, mr)
+          case _ => (id, 0, 0, 0, 0.0, 0.0, 0.0)
+        }
+      })
+      .toDF(idCol, "width", "height", "channels", "mean_b", "mean_g", "mean_r")
+  }
+
+  /** Partition-wise audio frame sampling (keep every Nth frame). */
+  def frameSampleAudio(df: DataFrame, idCol: String, binCol: String,
+                       everyN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        Codec.frameSampleWav(bytes, everyN) match {
+          case Some(r) => (id, r, true)
+          case None    => (id, bytes, false)
+        }
+      })
+      .toDF(idCol, binCol, "sampled")
   }
 
   /** Build BMP payloads from a binary column (pixels = the column's

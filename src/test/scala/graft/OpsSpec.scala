@@ -195,6 +195,48 @@ class OpsSpec extends GraftSuite {
     assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01)
   }
 
+  test("BMP resize: nearest-neighbor picks exact source pixels, dims correct") {
+    import Multimodal.Codec
+    // 4x4 image whose pixel (x,y) encodes its coordinates: B=x, G=y, R=77
+    val px = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; ((i % 3) match {
+        case 0 => p % 4; case 1 => p / 4; case 2 => 77
+      }).toByte
+    }
+    val resized = Codec.resizeBmp(Codec.encodeBmp(px, 4), 2, 2).get
+    val Some((w, h, out)) = Codec.bmpPixels(resized)
+    assert((w, h) == (2, 2))
+    // nearest-neighbor with floor mapping: dest (x,y) -> src (x*4/2, y*4/2)
+    val got = (0 until 4).map(p => (out(p * 3) & 0xff, out(p * 3 + 1) & 0xff))
+    assert(got == Seq((0, 0), (2, 0), (0, 2), (2, 2)))
+    assert(out.forall(b => true) && (out(2) & 0xff) == 77)
+    // upscale works too
+    val up = Codec.bmpPixels(Codec.resizeBmp(Codec.encodeBmp(px, 4), 8, 8).get).get
+    assert(up._1 == 8 && up._2 == 8)
+  }
+
+  test("WAV frame sampling keeps every Nth frame across channels") {
+    import Multimodal.Codec
+    // stereo: frame i has samples (2i, 2i+1)
+    val samples = Array.tabulate[Short](20)(i => i.toShort)
+    val wav = Codec.encodeWav(samples, 8000, channels = 2)
+    val sampled = Codec.frameSampleWav(wav, 3).get
+    val Some((rate, ch, out)) = Codec.wavSamples(sampled)
+    assert(rate == 8000 / 3 && ch == 2)
+    // frames 0, 3, 6, 9 -> samples (0,1),(6,7),(12,13),(18,19)
+    assert(out.toSeq == Seq[Short](0, 1, 6, 7, 12, 13, 18, 19))
+  }
+
+  test("imageFeatures extracts per-channel means") {
+    import Multimodal.Codec
+    // all-blue image: B=200, G=0, R=0
+    val px = Array.tabulate(4 * 2 * 3)(i => (if (i % 3 == 0) 200 else 0).toByte)
+    val df = Seq((5L, Codec.encodeBmp(px, 4))).toDF("doc_id", "payload")
+    val r = Multimodal.imageFeatures(df, "doc_id", "payload").collect()(0)
+    assert(r.getInt(1) == 4 && r.getInt(2) == 2 && r.getInt(3) == 3)
+    assert(r.getDouble(4) == 200.0 && r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+  }
+
   test("decodeMedia dispatches by magic bytes and reports unsupported honestly") {
     import Multimodal.Codec
     val rows = Seq(
