@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Shared evaluation kernels for the custom expressions — called both
+  * from the interpreted `nullSafeEval` paths and from generated code
+  * (`doGenCode` emits a static call here), so whole-stage codegen spans
+  * stay unbroken while the per-element loops run as ordinary compiled
+  * JVM code. Scala object methods get static forwarders, so generated
+  * Java can call `graft.functions.Kernels.cosineOrNaN(...)` directly.
+  */
+object Kernels {
+
+  /** Cosine similarity; NaN encodes the null result (zero-norm input). */
+  def cosineOrNaN(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toDoubleArray()
+    val b = r.toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MinHash signature; caller must handle the empty-input null case. */
+  def minhashSig(in: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val xs = in.toLongArray()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < xs.length) {
+      val x = xs(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = Mix64.mix(x ^ (seed + Mix64.Gamma * (i + 1)))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Rolling window hashes; caller must handle the empty-input null case. */
+  def windowHashes(in: ArrayData, k: Int, seed: Long): ArrayData = {
+    val xs = in.toLongArray()
+    val kk = math.min(k, xs.length)
+    val n = xs.length - kk + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = seed
+      var j = 0
+      while (j < kk) {
+        h = Mix64.mix(h ^ xs(i + j))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash; caller must handle the empty-input null case. */
+  def simhash64(in: ArrayData, seed: Long): Long = {
+    val xs = in.toLongArray()
+    val tally = new Array[Int](64)
+    var j = 0
+    while (j < xs.length) {
+      val h = Mix64.mix(xs(j) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Random-hyperplane sign bits. */
+  def signBits(in: ArrayData, bits: Int, seed: Long): Long = {
+    val v = in.toDoubleArray()
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var j = 0
+      while (j < v.length) {
+        // lowest bit of the mixed stream selects +1 / -1 for this coordinate
+        val sign = if ((Mix64.mix(seed + b.toLong * 1048573L + j) & 1L) == 1L) 1.0 else -1.0
+        s += sign * v(j)
+        j += 1
+      }
+      if (s > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}

@@ -1,10 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{
   BinaryExpression, Expression, UnaryExpression
 }
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Deterministic 64-bit mixer (SplitMix64, public-domain algorithm from
@@ -12,6 +12,11 @@ import org.apache.spark.sql.types._
   * Used to derive per-hash-function / per-hyperplane pseudo-random streams
   * without any runtime RNG state, so every operator is reproducible across
   * executors and runs.
+  *
+  * All expressions here implement `doGenCode` as a static call into
+  * [[Kernels]]: the whole-stage codegen span stays unbroken (no
+  * CodegenFallback boxing per row), while the per-element loops run as
+  * ordinary compiled JVM code shared with the interpreted path.
   */
 object Mix64 {
   final val Gamma = 0x9e3779b97f4a7c15L
@@ -36,8 +41,7 @@ object Mix64 {
   * (engine-extension surface; the reference has no vector ops).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression
-    with CodegenFallback {
+    extends BinaryExpression {
 
   // callers must pass array<double>; Registry builders insert the casts
   override def dataType: DataType = DoubleType
@@ -46,22 +50,19 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    val n = math.min(a.length, b.length)
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      dot += a(i) * b(i)
-      na += a(i) * a(i)
-      nb += b(i) * b(i)
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) null
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    val v = Kernels.cosineOrNaN(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(v)) null else v
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double ${ev.value}_raw = graft.functions.Kernels.cosineOrNaN($a, $b);
+         |if (Double.isNaN(${ev.value}_raw)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_raw; }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -80,8 +81,7 @@ case class CosineSim(left: Expression, right: Expression)
   * in codegen'd built-ins.
   */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(numHashes > 0, "numHashes must be positive")
 
@@ -91,22 +91,18 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   override def prettyName: String = "minhash_sig"
 
   override def nullSafeEval(in: Any): Any = {
-    val xs = in.asInstanceOf[ArrayData].toLongArray()
-    if (xs.isEmpty) return null
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var j = 0
-    while (j < xs.length) {
-      val x = xs(j)
-      var i = 0
-      while (i < numHashes) {
-        val v = Mix64.mix(x ^ (seed + Mix64.Gamma * (i + 1)))
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(sig)
+    val xs = in.asInstanceOf[ArrayData]
+    if (xs.numElements() == 0) null
+    else Kernels.minhashSig(xs, numHashes, seed)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |if ($in.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.Kernels.minhashSig($in, $numHashes, ${seed}L); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -119,8 +115,7 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   * Inputs shorter than k yield one hash over all elements; empty -> null.
   */
 case class WindowHashes(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(k > 0, "k must be positive")
 
@@ -129,24 +124,18 @@ case class WindowHashes(child: Expression, k: Int, seed: Long)
   override def prettyName: String = "window_hashes"
 
   override def nullSafeEval(in: Any): Any = {
-    val xs = in.asInstanceOf[ArrayData].toLongArray()
-    if (xs.isEmpty) return null
-    val kk = math.min(k, xs.length)
-    val n = xs.length - kk + 1
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      var h = seed
-      var j = 0
-      while (j < kk) {
-        h = Mix64.mix(h ^ xs(i + j))
-        j += 1
-      }
-      out(i) = h
-      i += 1
-    }
-    new GenericArrayData(out)
+    val xs = in.asInstanceOf[ArrayData]
+    if (xs.numElements() == 0) null
+    else Kernels.windowHashes(xs, k, seed)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |if ($in.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.Kernels.windowHashes($in, $k, ${seed}L); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -160,8 +149,7 @@ case class WindowHashes(child: Expression, k: Int, seed: Long)
   * the built-in `bit_count(a ^ b)`.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   // null for empty input even when the input is non-nullable
@@ -169,27 +157,18 @@ case class SimHash64(child: Expression, seed: Long)
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(in: Any): Any = {
-    val xs = in.asInstanceOf[ArrayData].toLongArray()
-    if (xs.isEmpty) return null
-    val tally = new Array[Int](64)
-    var j = 0
-    while (j < xs.length) {
-      val h = Mix64.mix(xs(j) ^ seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
-        b += 1
-      }
-      j += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (tally(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
+    val xs = in.asInstanceOf[ArrayData]
+    if (xs.numElements() == 0) null
+    else Kernels.simhash64(xs, seed)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      s"""
+         |if ($in.numElements() == 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.Kernels.simhash64($in, ${seed}L); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -205,32 +184,19 @@ case class SimHash64(child: Expression, seed: Long)
   * the bucket key (shuffle on a long, no cross join) at any scale.
   */
 case class SignBits(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
 
   require(bits > 0 && bits <= 63, "bits must be in 1..63")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_bits"
 
-  override def nullSafeEval(in: Any): Any = {
-    val v = in.asInstanceOf[ArrayData].toDoubleArray()
-    var out = 0L
-    var b = 0
-    while (b < bits) {
-      var s = 0.0
-      var j = 0
-      while (j < v.length) {
-        // lowest bit of the mixed stream selects +1 / -1 for this coordinate
-        val sign = if ((Mix64.mix(seed + b.toLong * 1048573L + j) & 1L) == 1L) 1.0 else -1.0
-        s += sign * v(j)
-        j += 1
-      }
-      if (s > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  override def nullSafeEval(in: Any): Any =
+    Kernels.signBits(in.asInstanceOf[ArrayData], bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.Kernels.signBits($in, $bits, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
