@@ -632,6 +632,29 @@ object SparkEntry {
            ON e.user_id = e2.user_id AND e.ts > e2.ts
          ORDER BY e.event_id"""),
 
+    // forward as-of join with a match tolerance (pandas merge_asof
+    // semantics: nearest later event within 30 minutes, else null) —
+    // same union + keyed-window formulation, timeline walked descending
+    "a02_asof_forward" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.read(s, dir)
+        graft.ops.AsOf.join(ev, ev, keyCol = "user_id",
+            leftTimeCol = "ts", rightTimeCol = "ts",
+            valueCols = Seq("event_id", "value"), rightIdCol = "event_id",
+            strict = true, direction = "forward",
+            tolerance = Some(expr("INTERVAL '30' MINUTE")))
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"), col("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT e.event_id, e.user_id,
+                CASE WHEN e2.ts - e.ts <= INTERVAL 30 MINUTE THEN e2.event_id END AS asof_event_id,
+                CASE WHEN e2.ts - e.ts <= INTERVAL 30 MINUTE THEN e2.value END AS asof_value
+         FROM events e ASOF LEFT JOIN events e2
+           ON e.user_id = e2.user_id AND e.ts < e2.ts
+         ORDER BY e.event_id"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.
@@ -886,6 +909,36 @@ object SparkEntry {
          FROM s JOIN embeddings e ON s.doc_id = e.vec_id
          WHERE s.n_tokens >= 30
          GROUP BY s.lang ORDER BY s.lang"""),
+
+    // PII-style redaction (emails, URLs, IPs, phone spans) — the scrub
+    // pass before text enters a corpus. PII is planted deterministically
+    // from doc_id so the rules demonstrably bind; patterns are plain
+    // RE2-compatible regexes applied in the same order by both engines.
+    "t05_redact" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.redact(concat(
+              substring(col("text"), 1, 40),
+              lit(" mail user"), col("doc_id").cast("string"),
+              lit("@ex.com visit http://t.co/x"), col("doc_id").cast("string"),
+              lit(" call +1(415)555-01"), col("doc_id").cast("string"),
+              lit(" ip 10.0.0.1 done"))).as("red"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  concat(substring(text, 1, 40),
+                         ' mail user', CAST(doc_id AS VARCHAR),
+                         '@ex.com visit http://t.co/x', CAST(doc_id AS VARCHAR),
+                         ' call +1(415)555-01', CAST(doc_id AS VARCHAR),
+                         ' ip 10.0.0.1 done'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                  '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS red
+         FROM documents ORDER BY doc_id"""),
 
     // deterministic train/val/test split: pure function of md5(doc_id),
     // reproducible across engines/runs/cluster sizes — the oracle

@@ -1,25 +1,28 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (point-in-time) join: for every left row, the single right row
-  * with the greatest `rightTime` ≤ / < `leftTime` within the same key —
-  * the standard operator for "state as of event time" feature joins.
+/** As-of (point-in-time) join: for every left row, the single closest
+  * right row within the same key — backward (greatest rightTime ≤ / <
+  * leftTime, the "state as of event time" feature join) or forward
+  * (smallest rightTime ≥ / > leftTime), optionally bounded by a match
+  * tolerance (pandas merge_asof semantics: matches farther than the
+  * tolerance become nulls).
   *
   * Spark-first formulation: no range join, no per-key collect. Both sides
   * are tagged and unioned, then ONE hash shuffle on the key sorts each
-  * key's timeline, and `last(value, ignoreNulls)` over the ordered window
-  * carries the latest right-side payload forward onto left rows. Cost:
-  * one shuffle of (key, time, payload), O(n log n) per partition — the
-  * same shape Flink/kdb temporal joins use, and exactly as scalable as a
-  * windowed aggregation (AQE handles skewed keys).
+  * key's timeline (descending for forward joins), and
+  * `last(value, ignoreNulls)` over the ordered window carries the
+  * nearest right-side payload onto left rows. Cost: one shuffle of
+  * (key, time, payload), O(n log n) per partition — the same shape
+  * Flink/kdb temporal joins use, and exactly as scalable as a windowed
+  * aggregation (AQE handles skewed keys).
   *
-  * Strictness: `strict = true` matches right rows with time strictly less
-  * than the left row's (same-instant right rows are not visible).
-  * Ties among right rows at the same time break by `rightIdCol` (larger
-  * id wins — "latest write") for deterministic output.
+  * Strictness: `strict = true` hides same-instant right rows. Ties among
+  * right rows at the same time break by `rightIdCol` (larger id wins —
+  * "latest write") for deterministic output in both directions.
   */
 object AsOf {
 
@@ -31,12 +34,20 @@ object AsOf {
       rightTimeCol: String,
       valueCols: Seq[String],
       rightIdCol: String,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true,
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
+
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val forward = direction == "forward"
 
     val leftCols = left.columns.toSeq
     val vPrefixed = valueCols.map(v => s"asof_$v")
+    val rightTimeType = right.schema(rightTimeCol).dataType
 
     // align both sides on one schema: left payload + nullable right payload
+    // (+ the matched right TIME itself, carried for the tolerance check)
     val lTagged = left
       .withColumn("__t", col(leftTimeCol))
       .withColumn("__side", lit(1))
@@ -44,7 +55,8 @@ object AsOf {
       .select(
         (Seq(col(keyCol).as("__k"), col("__t"), col("__side"), col("__rid")) ++
           leftCols.map(c => col(c)) ++
-          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v"))): _*)
+          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")) :+
+          lit(null).cast(rightTimeType).as("__v___mt")): _*)
     val rTagged = right
       .withColumn("__t", col(rightTimeCol))
       .withColumn("__side", lit(0))
@@ -52,24 +64,41 @@ object AsOf {
       .select(
         (Seq(col(keyCol).as("__k"), col("__t"), col("__side"), col("__rid")) ++
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          valueCols.map(v => col(v).as(s"__v_$v"))): _*)
+          valueCols.map(v => col(v).as(s"__v_$v")) :+
+          col(rightTimeCol).as("__v___mt")): _*)
 
     // strict: left sorts BEFORE same-time right rows (side desc), so the
     // running last() cannot see a same-instant right row; non-strict: the
-    // right row sorts first and is visible.
+    // right row sorts first and is visible. Forward joins walk the
+    // timeline in reverse — same trick, descending time.
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val sideOrder = if (strict) col("__side").desc else col("__side").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, sideOrder, col("__rid").asc_nulls_last)
+      .orderBy(timeOrder, sideOrder, col("__rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val carryCols = valueCols :+ "__mt"
     val carried = lTagged.unionByName(rTagged)
       .select(
         (Seq(col("__side")) ++
           leftCols.map(col) ++
-          valueCols.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w)
+          carryCols.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w)
             .as(s"asof_$v"))): _*)
 
-    carried.filter(col("__side") === 1)
-      .select((leftCols ++ vPrefixed).map(col): _*)
+    val onlyLeft = carried.filter(col("__side") === 1)
+    val result = tolerance match {
+      case None => onlyLeft
+      case Some(tol) =>
+        // distance from the left time to the matched right time; matches
+        // beyond the tolerance are nulled, not dropped (merge_asof)
+        val dist =
+          if (forward) col("asof___mt") - col(leftTimeCol)
+          else col(leftTimeCol) - col("asof___mt")
+        val within = col("asof___mt").isNotNull && dist <= tol
+        valueCols.foldLeft(onlyLeft) { (df, v) =>
+          df.withColumn(s"asof_$v", when(within, col(s"asof_$v")))
+        }
+    }
+    result.select((leftCols ++ vPrefixed).map(col): _*)
   }
 }

@@ -38,6 +38,26 @@ object TextAnalysis {
   /** Whitespace/word-boundary token count. */
   def tokenCount(c: Column): Column = regexp_count(c, lit("\\w+"))
 
+  /** PII-style redaction patterns, applied in order (emails before
+    * phone-number spans so an address is not half-eaten by the digit
+    * rule). Plain RE2-compatible regexes — no lookaround/backrefs — so
+    * external SQL engines apply the identical semantics.
+    */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+"                                -> "<URL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"                  -> "<IP>",
+    "\\+?\\d[\\d().-]{7,}\\d"                         -> "<PHONE>")
+
+  /** Redact emails, URLs, IPv4 addresses and phone-number spans — the
+    * standard scrub pass before text enters a training corpus. Map-only
+    * expression chain.
+    */
+  def redact(c: Column): Column =
+    RedactionRules.foldLeft(c) { case (acc, (re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+
   /** Cheap BPE-ish token estimate: alphanumeric runs contribute
     * ceil(len/4) subword units, every other non-space character one.
     */

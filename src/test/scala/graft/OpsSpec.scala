@@ -253,6 +253,43 @@ class OpsSpec extends GraftSuite {
     assert(out(3L).format == "unsupported" && out(3L).n_bytes == rows(2)._2.length)
   }
 
+  test("as-of join: forward direction and tolerance (merge_asof semantics)") {
+    val l = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 99L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 200L, 1.0), (1L, 10L, 201L, 2.0),
+      (1L, 20L, 202L, 3.0), (1L, 30L, 203L, 4.0))
+      .toDF("k", "t", "rid", "v")
+    def run(strict: Boolean, dir: String, tol: Option[Long]) =
+      AsOf.join(l, r, "k", "t", "t", Seq("v"), "rid",
+          strict = strict, direction = dir,
+          tolerance = tol.map(x => lit(x)))
+        .orderBy("lid").collect()
+        .map(row => if (row.isNullAt(3)) None else Some(row.getDouble(3)))
+        .toSeq
+    // forward strict: t=10 -> r@20 (3.0); t=25 -> r@30 (4.0); t=99 -> none
+    assert(run(strict = true, "forward", None) == Seq(Some(3.0), Some(4.0), None))
+    // forward non-strict: t=10 sees the same-instant r@10 (2.0)
+    assert(run(strict = false, "forward", None) == Seq(Some(2.0), Some(4.0), None))
+    // backward with tolerance 3: t=10 matches r@10? strict -> r@5 at dist 5 > 3 -> null;
+    // t=25 -> r@20 at dist 5 > 3 -> null; t=99 -> r@30 dist 69 -> null
+    assert(run(strict = true, "backward", Some(3L)) == Seq(None, None, None))
+    // backward tolerance 5 admits both
+    assert(run(strict = true, "backward", Some(5L)) == Seq(Some(1.0), Some(3.0), None))
+    // forward tolerance 5: t=25 -> r@30 dist 5 ok; t=10 -> r@20 dist 10 -> null
+    assert(run(strict = true, "forward", Some(5L)) == Seq(None, Some(4.0), None))
+  }
+
+  test("redact scrubs emails, urls, ips and phone spans in rule order") {
+    val df = Seq(
+      "write bob.smith+x@corp.example.org or see https://a.b/c?d=1 now",
+      "ping 192.168.0.255 then call +1(415)555-0199 bye",
+      "no pii here at all").toDF("t")
+    val got = df.select(TextAnalysis.redact(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == "write <EMAIL> or see <URL> now")
+    assert(got(1) == "ping <IP> then call <PHONE> bye")
+    assert(got(2) == "no pii here at all")
+  }
+
   test("deterministicSplit: stable, exhaustive, and id-stable under corpus growth") {
     val ids = (0L until 2000L).toDF("id")
     val split = Sampling.deterministicSplit(ids, "id",
