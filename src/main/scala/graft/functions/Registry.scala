@@ -35,12 +35,18 @@ object Registry {
     *
     * Whole-column semantics at scale (SURVEY §7 decision): the reference
     * hands the ENTIRE column to the function as one numpy array — a
-    * single-node luxury. The distributed equivalent of a whole-column
-    * statistic is an aggregate over an unbounded window
-    * ([[wholeColumn]]: `Window.partitionBy()` — one global frame), which
-    * Spark evaluates with a single-partition exchange only for that
-    * aggregate, not by materializing the column on one node. Example, the
-    * reference README z-score (README.rst:189-207):
+    * single-node luxury. [[wholeColumn]] expresses a whole-column
+    * statistic as an aggregate over an unbounded window
+    * (`Window.partitionBy()`), which Spark plans as an Exchange
+    * SinglePartition — the full frame flows through ONE task. That is
+    * the faithful translation and fine up to a few tens of millions of
+    * rows; for 100 TB inputs compute the statistic with a tree-reduced
+    * aggregate and attach it back with a broadcast cross-join
+    * (`df.crossJoin(broadcast(df.agg(...)))`) instead — same result, no
+    * single-task bottleneck. The function-registry surface cannot make
+    * that rewrite (a Column builder has no handle on the source
+    * relation), so the scale path is a two-line pattern, not a named
+    * function. Example, the reference README z-score (README.rst:189-207):
     * {{{
     * Registry.registerColumnFn(spark, "score", { case Seq(x) =>
     *   (x - Registry.wholeColumn(avg(x))) / Registry.wholeColumn(stddev_pop(x)) })
