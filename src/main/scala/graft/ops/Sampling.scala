@@ -63,6 +63,31 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < lit(hexThreshold(fraction)))
   }
 
+  /** Mix corpora at deterministic per-part weights — the standard
+    * up/down-weighting step when composing a training mixture. A weight
+    * w ≤ 1 keeps a hash-sampled fraction w of the part; w > 1 repeats
+    * the part floor(w) times (distinguished by a `mix_epoch` column,
+    * since training pipelines treat repeats as distinct examples) plus a
+    * hash-sampled fractional remainder (the lowest-hash slice of the
+    * part, consistent with [[hashSample]] nesting). Fully deterministic
+    * in ids, map-only throughout.
+    */
+  def weightedMix(parts: Seq[(DataFrame, Double)], idCol: String,
+                  epochCol: String = "mix_epoch"): DataFrame = {
+    require(parts.nonEmpty, "need at least one part")
+    parts.foreach { case (_, w) => require(w > 0.0, s"weight must be positive, got $w") }
+    val frames = parts.flatMap { case (df, w) =>
+      val whole = math.floor(w).toInt
+      val frac = w - whole
+      val fullEpochs = (0 until whole).map(e => df.withColumn(epochCol, lit(e)))
+      val remainder =
+        if (frac < 1e-12) Nil
+        else Seq(hashSample(df, idCol, frac).withColumn(epochCol, lit(whole)))
+      fullEpochs ++ remainder
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Cap each group at `quota` rows, keeping the first `quota` in
     * (orderCol, idCol) order — e.g. limit any single source/domain's
     * contribution to the corpus. One shuffle on the group key.

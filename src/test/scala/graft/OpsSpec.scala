@@ -319,6 +319,21 @@ class OpsSpec extends GraftSuite {
     assert(c.subsetOf(a))
   }
 
+  test("weightedMix repeats whole epochs and hash-samples the remainder") {
+    val a = (0L until 1000L).toDF("id")
+    val b = (1000L until 1400L).toDF("id")
+    val mixed = Sampling.weightedMix(Seq(a -> 2.5, b -> 0.5), "id")
+    val byEpoch = mixed.filter(col("id") < 1000)
+      .groupBy("mix_epoch").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byEpoch(0) == 1000 && byEpoch(1) == 1000) // two full repeats
+    assert(math.abs(byEpoch(2) - 500.0) < 80)        // ~half as epoch 2
+    val bKept = mixed.filter(col("id") >= 1000).count()
+    assert(math.abs(bKept - 200.0) < 60)             // b down-weighted to ~half
+    // deterministic across evaluations
+    assert(mixed.count() == Sampling.weightedMix(Seq(a -> 2.5, b -> 0.5), "id").count())
+  }
+
   test("perGroupQuota caps each group and keeps the deterministic prefix") {
     val rows = for (g <- Seq("a", "b"); i <- 0 until 10) yield (g, i.toLong, 100 - i)
     val df = rows.toDF("src", "id", "len")
