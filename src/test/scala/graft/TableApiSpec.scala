@@ -86,6 +86,18 @@ class TableApiSpec extends GraftSuite {
     assert(t4.columnNames == Seq("tip", "score", "total", "score_1"))
     // star select keeps native names untouched
     assert(trips.sql("select * from trip").columnNames.head == "id")
+    // window function without alias -> function name
+    val t5 = trips.sql("select id, row_number() over (order by total) from trip")
+    assert(t5.columnNames == Seq("id", "row_number"))
+    // CTE: the policy applies to the outer select list
+    val t6 = trips.sql(
+      """with big as (select * from trip where total > 5)
+         select count(*), max(total) from big""")
+    assert(t6.columnNames == Seq("count", "max"))
+    // subquery in FROM: outer list names win
+    val t7 = trips.sql(
+      "select s.total + 1 from (select total from trip) s order by s.total")
+    assert(t7.columnNames == Seq("col_0"))
   }
 
   test("filter drops null-predicate rows (standard SQL, not vinum's emit_null)") {
