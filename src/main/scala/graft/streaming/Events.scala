@@ -116,6 +116,23 @@ object Events {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
   }
 
+  /** Streaming exact deduplication: drop any row whose content digest was
+    * already seen — across micro-batch boundaries — keeping the first
+    * arrival. The standard ingest-side scrub for a continuously arriving
+    * document stream. State is one 16-byte digest per distinct content;
+    * for unbounded streams set a watermark upstream and pass
+    * `withinWatermark = true` so expired digests are evicted
+    * (dropDuplicatesWithinWatermark) and state stays bounded.
+    */
+  def streamingDedupExact(stream: DataFrame, contentCol: String,
+                          withinWatermark: Boolean = false): DataFrame = {
+    val hashed = stream.withColumn("__content_hash", md5(col(contentCol)))
+    val dedup =
+      if (withinWatermark) hashed.dropDuplicatesWithinWatermark("__content_hash")
+      else hashed.dropDuplicates("__content_hash")
+    dedup.drop("__content_hash")
+  }
+
   /** Structured Streaming variant of [[hourlyTypeCounts]]: watermarked
     * tumbling windows, append-mode compatible. Feed it
     * `spark.readStream.schema(...).parquet(dir)`.

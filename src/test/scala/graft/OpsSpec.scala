@@ -343,6 +343,24 @@ class OpsSpec extends GraftSuite {
     assert(out == Set(("a", 9L), ("a", 8L), ("a", 7L), ("b", 9L), ("b", 8L), ("b", 7L)))
   }
 
+  test("streamingDedupExact drops re-arrivals across micro-batch boundaries") {
+    val dir = "target/tmp/sdedup_in"
+    // batch 1: three docs, one internal dup
+    Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("id LONG, text STRING").option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.Events.streamingDedupExact(stream, "text")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup").start()
+    q.processAllAvailable()
+    // batch 2: one re-arrival of 'aaa' (cross-batch) + one new doc
+    Seq((4L, "aaa"), (5L, "ccc")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("sdedup").select("text").collect().map(_.getString(0)).toSeq
+    assert(kept.sorted == Seq("aaa", "bbb", "ccc")) // each content once, ever
+  }
+
   test("streamingSessionize (flatMapGroupsWithState) agrees with batch sessionize") {
     val ev = graft.streaming.Events.read(spark, "/root/testdata/sf0.001")
     val stage = "target/tmp/sess_stream_in"
