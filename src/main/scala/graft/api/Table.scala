@@ -24,6 +24,13 @@ final class Table private (val df: DataFrame) {
     * to this table's data; dialect rewrites (np.*, `#` xor) are applied and
     * output columns are renamed to the reference's naming policy (function
     * name / col_N / _1-dedup — [[graft.sql.OutputNames]]).
+    *
+    * The receiver is bound via a session temp view named after the FROM
+    * identifier (reference semantics: the FROM name is notional,
+    * vinum/api/table.py:219-220). Concurrent `sql` calls in ONE session
+    * that use the same FROM name race on that view — use distinct FROM
+    * names (or sessions) for concurrent queries; the returned Table's
+    * plan is resolved eagerly, so earlier results are never affected.
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)

@@ -51,7 +51,8 @@ for i, a in enumerate(sys.argv):
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}']
+    only_arg = f" {','.join(sorted(ONLY))}" if ONLY else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}{only_arg}']
     print(f"[local_verify] {' '.join(cmd)}")
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     sys.stdout.write("\n".join(
