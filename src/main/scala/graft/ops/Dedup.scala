@@ -88,24 +88,54 @@ object Dedup {
 
   /** Candidate near-duplicate pairs via LSH banding + signature-overlap
     * estimate. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    *
+    * Two physical strategies, measured at sf0.1 (5k docs, local[32],
+    * median of 3):
+    *  - `carrySignatures = false` (default): signatures recomputed for
+    *    the banding and for each verify-join side — map-only codegen'd
+    *    work; three slim shuffles.
+    *  - `carrySignatures = true`: the signature array rides through the
+    *    band explode, so candidate pairs emerge with both signatures
+    *    attached and no verify joins — one wide shuffle (sig duplicated
+    *    x bands) + a pair dedup.
+    * Both produce identical results; the default wins when text is
+    * already columnar-local (parquet re-scan is cheap), the carry
+    * variant when the input scan itself is the bottleneck (e.g. text
+    * behind an expensive upstream pipeline). Numbers: see SCALE.md.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
                    threshold: Double = 0.5,
-                   seed: Long = Registry.DefaultSeed): DataFrame = {
-    // signatures are consumed three times (banding + both join sides) and
-    // recomputed each time: the signature pipeline is map-only codegen'd
-    // work, which profiles faster than caching (InMemoryRelation's columnar
-    // encoding of array<long> costs more than the recompute). At cluster
-    // scale, persist/checkpoint the signature frame explicitly if the text
-    // scan itself is the bottleneck.
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
-    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
-      .select(col("id_a"), col("id_b"), sigOverlap(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+                   seed: Long = Registry.DefaultSeed,
+                   carrySignatures: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    if (carrySignatures) {
+      val rows = numHashes / bands
+      val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
+      val bandArr = transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(rows) + 1, lit(rows))))
+      val banded = sigs.select(col(idCol).as("id"), col("sig"),
+        posexplode(bandArr).as(Seq("band", "bhash")))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"),
+          sigOverlap(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    } else {
+      val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK, seed)
+      val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
+      val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+      val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+      cand.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"), sigOverlap(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold)
+    }
   }
 
   /** Exact-Jaccard near-duplicate pairs at scale: LSH-banded candidate

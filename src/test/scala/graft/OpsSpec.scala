@@ -33,6 +33,15 @@ class OpsSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashPairs carry and recompute strategies produce identical pairs") {
+    def pairs(carry: Boolean) =
+      Dedup.minhashPairs(docs, "doc_id", "text", 128, 64, 3, 0.4,
+          carrySignatures = carry)
+        .select("id_a", "id_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(carry = true) == pairs(carry = false))
+  }
+
   test("ngramJaccard computes the exact value") {
     val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 3)

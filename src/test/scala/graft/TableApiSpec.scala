@@ -100,6 +100,19 @@ class TableApiSpec extends GraftSuite {
     assert(t7.columnNames == Seq("col_0"))
   }
 
+  test("concat null semantics: SQL any-null-null (documented divergence from vinum)") {
+    // vinum's numpy cast renders null as the string 'None' inside concat
+    // (reference test_query_results.py:1303-1327); SURVEY §2.8 decided to
+    // follow standard SQL/DuckDB instead (oracle-verifiable): concat with
+    // any null input is null, while upper/lower preserve null like the
+    // reference. This test pins OUR side of the divergence.
+    val r = nulls.sql(
+      """select id, name || '-x' as tagged, upper(name) as up
+         from t order by id""").toDF.collect()
+    assert(r(0).getString(1) == "Ann-x" && r(0).getString(2) == "ANN")
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2)) // id=2 name is null
+  }
+
   test("filter drops null-predicate rows (standard SQL, not vinum's emit_null)") {
     val r = nulls.sql("select id from t where total > 15 order by id").toDF.collect()
     // null predicates drop their rows; NaN sorts greater than any double in
