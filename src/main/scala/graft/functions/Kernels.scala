@@ -7,12 +7,18 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   * (`doGenCode` emits a static call here), so whole-stage codegen spans
   * stay unbroken while the per-element loops run as ordinary compiled
   * JVM code. Scala object methods get static forwarders, so generated
-  * Java can call `graft.functions.Kernels.cosineOrNaN(...)` directly.
+  * Java can call `graft.functions.Kernels.cosineOrNull(...)` directly.
   */
 object Kernels {
 
-  /** Cosine similarity; NaN encodes the null result (zero-norm input). */
-  def cosineOrNaN(l: ArrayData, r: ArrayData): Double = {
+  /** Cosine similarity; null (boxed) encodes the zero-norm case only.
+    * NaN values in the INPUT propagate to a NaN RESULT (na/nb become NaN,
+    * which is != 0.0) — deliberately distinct from the null sentinel, so
+    * "vector has no direction" and "vector contains NaN data" stay
+    * distinguishable downstream. The box is allocated once per non-null
+    * row and is escape-analysis-friendly.
+    */
+  def cosineOrNull(l: ArrayData, r: ArrayData): java.lang.Double = {
     val a = l.toDoubleArray()
     val b = r.toDoubleArray()
     val n = math.min(a.length, b.length)
@@ -26,8 +32,8 @@ object Kernels {
       nb += b(i) * b(i)
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) Double.NaN
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   /** MinHash signature; caller must handle the empty-input null case. */

@@ -45,22 +45,20 @@ case class CosineSim(left: Expression, right: Expression)
 
   // callers must pass array<double>; Registry builders insert the casts
   override def dataType: DataType = DoubleType
-  // null for zero-norm vectors even when inputs are non-nullable
+  // null for zero-norm vectors even when inputs are non-nullable;
+  // NaN-valued DATA yields a NaN VALUE, not null (see Kernels.cosineOrNull)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val v = Kernels.cosineOrNaN(
-      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
-    if (java.lang.Double.isNaN(v)) null else v
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Kernels.cosineOrNull(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |double ${ev.value}_raw = graft.functions.Kernels.cosineOrNaN($a, $b);
-         |if (Double.isNaN(${ev.value}_raw)) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ${ev.value}_raw; }
+         |java.lang.Double ${ev.value}_raw = graft.functions.Kernels.cosineOrNull($a, $b);
+         |if (${ev.value}_raw == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_raw.doubleValue(); }
        """.stripMargin
     })
 

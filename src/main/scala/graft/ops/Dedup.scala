@@ -153,22 +153,33 @@ object Dedup {
                      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
                      threshold: Double = 0.6,
                      seed: Long = Registry.DefaultSeed): DataFrame = {
-    // The candidate list is consumed three times (two id projections for
-    // the semi-filter, then the verify join); it is a tiny (long, long)
+    // The candidate list is consumed twice (id projection for the
+    // semi-filter, then the verify join); it is a slim (long, long)
     // frame, so persisting it avoids re-running the whole signature
     // pipeline per consumer. (The array-heavy frames are NOT persisted —
-    // columnar-encoding arrays costs more than recomputing them.)
+    // columnar-encoding arrays costs more than recomputing them.) The
+    // verified result is materialized EAGERLY (localCheckpoint) so the
+    // candidate cache can be released before returning instead of
+    // leaking for the session's lifetime; the returned frame's blocks
+    // are RDD-level and ContextCleaner-managed. Trade-off: the result's
+    // lineage is truncated, so on a cluster an executor loss after this
+    // call re-fails instead of recomputing — callers needing lineage
+    // should compose minhashCandidates + ngramJaccard themselves.
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
       .persist()
-    // compute shingle sets ONLY for documents that appear in some pair:
-    // a broadcast semi-join keeps the verify cost proportional to the
-    // candidate volume, not the corpus size
-    val ids = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-    val needed = df.join(broadcast(ids), col(idCol) === col("id"), "left_semi")
-    val sets = needed.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
-    jaccardOn(sets, cand).filter(col("jaccard") >= threshold)
+    try {
+      // compute shingle sets ONLY for documents that appear in some pair:
+      // a semi-join keeps the verify cost proportional to the candidate
+      // volume, not the corpus size. No broadcast hint: the candidate id
+      // set scales with corpus duplication, so AQE must stay free to pick
+      // a shuffle join when it outgrows the broadcast limit.
+      val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val needed = df.join(ids, col(idCol) === col("id"), "left_semi")
+      val sets = needed.select(col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+      jaccardOn(sets, cand).filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally cand.unpersist()
   }
 
   /** Fraction of equal signature positions — the MinHash Jaccard estimate. */

@@ -29,8 +29,17 @@ object Sampling {
   def hashBucket(idCol: Column): Column =
     substring(md5(idCol.cast("string")), 1, 4)
 
-  private def hexThreshold(cum: Double): String =
-    f"${math.min(Buckets, math.floor(cum * Buckets).toLong)}%04x"
+  /** Numeric bucket threshold in [0, Buckets]; Buckets means "keep all". */
+  private def bucketThreshold(cum: Double): Long =
+    math.min(Buckets.toLong, math.max(0L, math.floor(cum * Buckets).toLong))
+
+  /** `hash < threshold` as a Column. A threshold at/above Buckets would
+    * render as the 5-char hex "10000", which sorts BELOW buckets starting
+    * with a-f and silently kept ~6.3% of rows — so the full range is
+    * short-circuited to a constant true predicate instead.
+    */
+  private def belowThreshold(h: Column, thr: Long): Column =
+    if (thr >= Buckets) lit(true) else h < lit(f"$thr%04x")
 
   /** Split tag ("train" / "val" / "test" / ...) from cumulative hash
     * thresholds. `fractions` are (name, fraction) in declaration order;
@@ -44,10 +53,10 @@ object Sampling {
     var cum = 0.0
     val cases = fractions.init.map { case (name, f) =>
       cum += f
-      (hexThreshold(cum), name)
+      (bucketThreshold(cum), name)
     }
     cases.foldRight(lit(fractions.last._1): Column) {
-      case ((thr, name), el) => when(h < lit(thr), name).otherwise(el)
+      case ((thr, name), el) => when(belowThreshold(h, thr), name).otherwise(el)
     }
   }
 
@@ -59,8 +68,8 @@ object Sampling {
 
   /** Keep a deterministic `fraction` of rows (hash-filtered on id). */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
-    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
-    df.filter(hashBucket(col(idCol)) < lit(hexThreshold(fraction)))
+    require(fraction >= 0.0 && fraction <= 1.0 + 1e-9, s"bad fraction $fraction")
+    df.filter(belowThreshold(hashBucket(col(idCol)), bucketThreshold(fraction)))
   }
 
   /** Mix corpora at deterministic per-part weights — the standard
