@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of `sbt runMain
+// graft.Bench` as JSON. Two sbt default behaviors break that: forked-run
+// stdout is re-logged with an "[info] " prefix, and sbt appends a
+// "[success] Total time: ..." trailer after the run. Route forked output
+// straight through (no prefix) and suppress the success banner so the
+// bench's bare JSON line is genuinely the last thing on stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -89,19 +89,25 @@ object Bench {
     val clock0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - clock0) / 1e9
 
-    // pass 1 completes unconditionally; later passes run while under budget
+    // pass 1 completes unconditionally; later passes run while under
+    // budget. Each pass starts at a rotated offset so a budget abort
+    // doesn't always truncate the same tail of the sorted name list, and
+    // `passes` counts only passes that ran to completion (an aborted pass
+    // would otherwise overstate how many samples queries received).
     val times = collection.mutable.Map.empty[String, List[Double]]
     var passes = 0
     var p = 0
     while (p < reps && (p == 0 || elapsed < budgetSec)) {
       var aborted = false
-      names.foreach { n =>
+      val off = if (names.isEmpty) 0 else (p * names.size / reps) % names.size
+      val order = names.drop(off) ++ names.take(off)
+      order.foreach { n =>
         if (p == 0 || (!aborted && elapsed < budgetSec)) {
           val t = execute(n)
           if (t >= 0) times(n) = t :: times.getOrElse(n, Nil)
         } else aborted = true
       }
-      passes += 1
+      if (!aborted) passes += 1
       p += 1
     }
 
@@ -114,7 +120,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val maxSpread = if (results.isEmpty) 1.0 else results.map(_._3).max
 
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f"" interpolator would emit a comma
+    // decimal separator under e.g. de_DE and break the driver's JSON parse.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qmap(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 

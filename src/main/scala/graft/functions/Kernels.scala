@@ -12,11 +12,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 object Kernels {
 
   /** Cosine similarity; null (boxed) encodes the zero-norm case only.
-    * NaN values in the INPUT propagate to a NaN RESULT (na/nb become NaN,
-    * which is != 0.0) — deliberately distinct from the null sentinel, so
-    * "vector has no direction" and "vector contains NaN data" stay
-    * distinguishable downstream. The box is allocated once per non-null
-    * row and is escape-analysis-friendly.
+    * NaN values in the INPUT propagate to a NaN RESULT, and the NaN check
+    * runs FIRST: a NaN in either vector wins over the other side's
+    * zero-norm null sentinel, so "vector has no direction" and "vector
+    * contains NaN data" stay distinguishable downstream even when both
+    * conditions occur in one pair. The box is allocated once per
+    * non-null row and is escape-analysis-friendly.
     */
   def cosineOrNull(l: ArrayData, r: ArrayData): java.lang.Double = {
     val a = l.toDoubleArray()
@@ -32,7 +33,8 @@ object Kernels {
       nb += b(i) * b(i)
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) null
+    if (na != na || nb != nb) java.lang.Double.valueOf(Double.NaN)
+    else if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 

@@ -152,7 +152,8 @@ object Dedup {
   def nearDupJaccard(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
                      threshold: Double = 0.6,
-                     seed: Long = Registry.DefaultSeed): DataFrame = {
+                     seed: Long = Registry.DefaultSeed,
+                     eager: Boolean = true): DataFrame = {
     // The candidate list is consumed twice (id projection for the
     // semi-filter, then the verify join); it is a slim (long, long)
     // frame, so persisting it avoids re-running the whole signature
@@ -163,10 +164,20 @@ object Dedup {
     // leaking for the session's lifetime; the returned frame's blocks
     // are RDD-level and ContextCleaner-managed. Trade-off: the result's
     // lineage is truncated, so on a cluster an executor loss after this
-    // call re-fails instead of recomputing — callers needing lineage
-    // should compose minhashCandidates + ngramJaccard themselves.
+    // call re-fails instead of recomputing. Callers who want a lazy,
+    // lineage-preserving frame (plan-only inspection, composition into a
+    // bigger pipeline) pass eager=false and accept that the candidate
+    // cache then lives until the session's ContextCleaner reclaims it.
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
       .persist()
+    if (!eager) {
+      return jaccardOn(
+        df.join(cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct(),
+            col(idCol) === col("id"), "left_semi")
+          .select(col(idCol).as("id"),
+            array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh")),
+        cand).filter(col("jaccard") >= threshold)
+    }
     try {
       // compute shingle sets ONLY for documents that appear in some pair:
       // a semi-join keeps the verify cost proportional to the candidate

@@ -20,6 +20,16 @@ class ExpressionsSpec extends GraftSuite {
     assert(r.isNullAt(3))
   }
 
+  test("cosine_sim: NaN input beats the zero-norm null sentinel") {
+    val r = spark.sql(
+      """select cosine_sim(array(cast('NaN' as double), 1.0d), array(0.0d, 0.0d)) a,
+                cosine_sim(array(0.0d, 0.0d), array(cast('NaN' as double), 1.0d)) b,
+                cosine_sim(array(cast('NaN' as double), 1.0d), array(1.0d, 1.0d)) c""").collect()(0)
+    assert(!r.isNullAt(0) && r.getDouble(0).isNaN) // NaN vs zero-norm -> NaN
+    assert(!r.isNullAt(1) && r.getDouble(1).isNaN) // either side
+    assert(!r.isNullAt(2) && r.getDouble(2).isNaN) // NaN vs normal -> NaN
+  }
+
   test("minhash_sig: deterministic, order-invariant, null on empty") {
     val r = spark.sql(
       """select minhash_sig(array(1L, 2L, 3L), 16) a,

@@ -99,6 +99,19 @@ class OpsSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
   }
 
+  test("nearDupJaccard eager=false returns the same pairs lazily") {
+    val lazyDf = Dedup.nearDupJaccard(docs, "doc_id", "text",
+      numHashes = 128, bands = 64, shingleK = 3, threshold = 0.6, eager = false)
+    // plan-only inspection must not have materialized anything eagerly
+    assert(lazyDf.queryExecution.logical != null)
+    val pairs = lazyDf.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eagerPairs = Dedup.nearDupJaccard(docs, "doc_id", "text",
+        numHashes = 128, bands = 64, shingleK = 3, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == eagerPairs)
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
