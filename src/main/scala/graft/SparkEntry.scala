@@ -734,6 +734,50 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // global first-occurrence segment dedup (C4-style line dedup,
+    // delimiter-generalized). The synthetic corpus is single-line, so the
+    // driver query segments on ' ' — same machinery, non-degenerate input.
+    // Full oracle including the every-segment-deduped -> '' documents.
+    "d06_dedup_segments" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.dedupSegments(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            delim = " ")
+          .orderBy(col("doc_id"))
+      },
+      """WITH seg AS (
+           SELECT doc_id,
+                  unnest(string_split(text, ' ')) AS seg,
+                  generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents),
+         keep AS (
+           SELECT doc_id, seg, pos,
+                  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+           FROM seg)
+         SELECT doc_id,
+                coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                         '') AS text
+         FROM keep GROUP BY doc_id ORDER BY doc_id"""),
+
+    // exhaustive embedding near-dup pairs — the oracled exactness anchor
+    // for d05's LSH-bucketed scale path (cosine verified bit-identical,
+    // same as s01)
+    "d07_embed_pairs_exact" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.embeddingPairsExact(
+            s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+            threshold = 0.35)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_cosine_similarity(a.emb, b.emb) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+         ORDER BY id_a, id_b"""),
+
     // exact ANN baseline: brute-force cosine top-k with the bounded-heap
     // topk_by aggregate — full oracle (cosine verified bit-identical)
     "s01_ann_brute" -> api(

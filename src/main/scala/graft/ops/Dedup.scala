@@ -300,6 +300,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Global first-occurrence segment deduplication (C4/CCNet-style line
+    * dedup, generalized over the delimiter): split every document into
+    * segments, keep each distinct segment only at its first occurrence
+    * across the whole corpus — "first" = lexicographic minimum of
+    * (id, position) — and reassemble the surviving segments per document
+    * in their original order. Documents whose every segment was seen
+    * earlier come back as the empty string (they remain in the output).
+    * Production use is delim="\n" (drop boilerplate lines repeated across
+    * pages); any literal delimiter works. Null text is treated as having
+    * no segments (returns "").
+    *
+    * Scale shape (100 TB): deliberately NOT the row_number()-window
+    * formulation — a window partitioned by segment must sort entire
+    * per-segment partitions, and ubiquitous segments ("the", footer
+    * boilerplate) make those partitions pathological. Instead:
+    *   1. groupBy(segment).agg(min(struct(id, pos))) — partial (map-side)
+    *      aggregation collapses hot segments to one row per task before
+    *      the shuffle, so segment skew never reaches the network;
+    *   2. left-semi join of the exploded rows against the winners on the
+    *      UNIQUE (segment, id, pos) triple — shuffle distribution is by
+    *      the composite key hash, perfectly spread regardless of how hot
+    *      any one segment is;
+    *   3. groupBy(id) to reassemble — keys are document ids, naturally
+    *      balanced.
+    * Three shuffles, none skewed; AQE free to broadcast the winners side
+    * when the corpus is small.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+                    delim: String = "\n"): DataFrame = {
+    // literal-delimiter split (regex-quoted) so the semantics line up
+    // with external engines' literal string_split
+    val segs = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__seg")))
+    val firsts = segs.groupBy(col("__seg"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+      .select(col("__seg").as("__fseg"),
+        col("__first.__id").as("__fid"), col("__first.__pos").as("__fpos"))
+    val kept = segs.join(firsts,
+      col("__seg") === col("__fseg") && col("__id") === col("__fid") &&
+        col("__pos") === col("__fpos"), "left_semi")
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(concat_ws(delim,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+          x => x.getField("__seg"))).as("__text"))
+    df.select(col(idCol).as("__id")).join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Embedding near-duplicate pairs: random-hyperplane bucket join +
     * exact cosine verify. Output: (id_a, id_b, cosine).
     */
@@ -311,6 +360,24 @@ object Dedup {
       call_function("sign_bits", col(vecCol), lit(bits), lit(seed)).as("bucket"))
     b.as("a").join(b.as("bb"),
         col("a.bucket") === col("bb.bucket") && col("a.id") < col("bb.id"))
+      .select(col("a.id").as("id_a"), col("bb.id").as("id_b"),
+        call_function("cosine_sim", col("a.v"), col("bb.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exhaustive embedding near-duplicate pairs: every (id_a < id_b) pair
+    * with cosine >= threshold, no bucketing. O(n²) BY DESIGN — this is
+    * the exactness anchor for [[embeddingPairs]] (which trades recall for
+    * an equi-join), usable directly on corpora small enough to pair
+    * exhaustively (≲10⁵ vectors) and as the verification baseline in
+    * recall tests. Spark plans it as a broadcast nested-loop join: the
+    * smaller side broadcasts, the pair predicate `id_a < id_b` halves the
+    * work, and the cosine expression is codegen'd.
+    */
+  def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    b.as("a").join(b.as("bb"), col("a.id") < col("bb.id"))
       .select(col("a.id").as("id_a"), col("bb.id").as("id_b"),
         call_function("cosine_sim", col("a.v"), col("bb.v")).as("cosine"))
       .filter(col("cosine") >= threshold)

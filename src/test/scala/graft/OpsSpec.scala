@@ -112,6 +112,47 @@ class OpsSpec extends GraftSuite {
     assert(pairs == eagerPairs)
   }
 
+  test("dedupSegments keeps first occurrence globally and preserves order") {
+    val docs2 = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),          // beta already seen in doc 1
+      (3L, "alpha\nbeta"),          // fully deduplicated -> ""
+      (4L, "delta\nalpha\nepsilon") // delta, alpha seen -> "epsilon"
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "delta"),
+      (3L, ""),
+      (4L, "epsilon")))
+  }
+
+  test("dedupSegments first-occurrence tie-break is (id, position)") {
+    // "x" appears at doc 1 pos 1 and doc 1 pos 0? -> within one doc the
+    // earliest position wins; duplicate within a single doc also dedups
+    val docs2 = Seq((1L, "x\ny\nx"), (2L, "y\nz")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((1L, "x\ny"), (2L, "z")))
+  }
+
+  test("embeddingPairsExact is a superset of bucketed embeddingPairs") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.99, 0.1, 0.0, 0.0)),
+      (3L, Array(-1.0, 0.5, 0.2, 0.0)),
+      (4L, Array(0.98, 0.15, 0.05, 0.0))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairsExact(vecs, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingPairs(vecs, "vec_id", "embedding",
+        bits = 8, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(bucketed.subsetOf(exact))
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
