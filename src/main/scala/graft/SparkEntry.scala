@@ -984,6 +984,43 @@ object SparkEntry {
                   '\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS red
          FROM documents ORDER BY doc_id"""),
 
+    // Gopher-style repetition signals (dup-word / top-word / dup-2gram
+    // fractions, symbol ratio) — map-only lambda expressions, full oracle
+    "t06_repetition" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.repetitionSignals(
+            s.read.parquet(s"$dir/documents.parquet"), "text")
+          .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+            col("top_word_frac"), col("dup_2gram_frac"),
+            col("symbol_word_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+           SELECT doc_id, text, regexp_extract_all(text, '\w+') AS toks
+           FROM documents),
+         f AS (
+           SELECT doc_id, text, toks, len(toks) AS n,
+                  len(list_distinct(toks)) AS nd,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(generate_series(1, len(toks)-1),
+                                           i -> toks[i] || ' ' || toks[i+1])
+                       ELSE []::VARCHAR[] END AS grams
+           FROM t)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                CASE WHEN n > 0 THEN 1.0 - CAST(nd AS DOUBLE) / n
+                     ELSE 0.0 END AS dup_word_frac,
+                CASE WHEN n > 0 THEN
+                  CAST(list_max(list_transform(list_distinct(toks),
+                    w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE) / n
+                  ELSE 0.0 END AS top_word_frac,
+                CASE WHEN len(grams) > 0 THEN
+                  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END AS dup_2gram_frac,
+                CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+                  / greatest(n, 1) AS symbol_word_ratio
+         FROM f ORDER BY doc_id"""),
+
     // deterministic train/val/test split: pure function of md5(doc_id),
     // reproducible across engines/runs/cluster sizes — the oracle
     // recomputes the same md5-prefix thresholds (0.8/0.1/0.1 -> hex

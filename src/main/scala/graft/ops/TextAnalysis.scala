@@ -88,6 +88,54 @@ object TextAnalysis {
             + lit(0.2) * least(lit(10.0) * nStop.cast("double") / greatest(nTokens, lit(1)), lit(1.0)))))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446 Table A1): high duplicate-word / duplicate-n-gram /
+    * top-word fractions mark low-quality repetitive documents that should
+    * leave a training corpus. All signals are pure lambda-expression
+    * trees over one tokenization — map-only, codegen'd, no shuffle —
+    * and every formula mirrors 1:1 into list-lambda SQL so an external
+    * oracle can check it exactly.
+    *
+    *  - n_words            token count ("\w+" runs)
+    *  - dup_word_frac      1 − distinct/total words (0 for empty docs)
+    *  - top_word_frac      share of the most frequent word
+    *  - dup_2gram_frac     1 − distinct/total word 2-grams (0 when <2 words)
+    *  - symbol_word_ratio  '#'/'...' symbols per word
+    *
+    * top_word_frac counts per-distinct-word occurrences with a nested
+    * array lambda — O(distinct·total) per document, which stays cheap at
+    * document scale (≤ a few k tokens) and keeps the operator shuffle-free;
+    * corpora with megabyte documents should explode+aggregate instead.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val withT = df.withColumn("__toks",
+      regexp_extract_all(col(textCol), lit("\\w+"), lit(0)))
+    val toks = col("__toks")
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val ng = size(grams)
+    val ngd = size(array_distinct(grams))
+    val topCnt = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w))))
+    withT
+      .withColumn("n_words", n.cast("long"))
+      .withColumn("dup_word_frac",
+        when(n > 0, lit(1.0) - nd.cast("double") / n).otherwise(lit(0.0)))
+      .withColumn("top_word_frac",
+        when(n > 0, topCnt.cast("double") / n).otherwise(lit(0.0)))
+      .withColumn("dup_2gram_frac",
+        when(ng > 0, lit(1.0) - ngd.cast("double") / ng).otherwise(lit(0.0)))
+      .withColumn("symbol_word_ratio",
+        regexp_count(col(textCol), lit("#|\\.\\.\\.")).cast("double")
+          / greatest(n, lit(1)))
+      .drop("__toks")
+  }
+
   /** OpenRefine-style collision fingerprint: md5 of the sorted distinct
     * token set — robust to word order and duplication.
     */

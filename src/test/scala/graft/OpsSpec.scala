@@ -231,6 +231,27 @@ class OpsSpec extends GraftSuite {
     q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("repetitionSignals computes Gopher fractions on hand-checked docs") {
+    val docs2 = Seq(
+      (1L, "a b a b a"),       // 5 words, 2 distinct; top 'a' 3x; 4 2-grams {ab,ba,ab,ba}
+      (2L, "x y z"),           // no repetition
+      (3L, "w"),               // single word: no 2-grams
+      (4L, "... # ...")        // symbols only: zero \w+ words
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs2, "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_word_frac",
+        "dup_2gram_frac", "symbol_word_ratio")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 5)
+    assert(r(0).getDouble(2) == 1.0 - 2.0 / 5)   // dup_word_frac
+    assert(r(0).getDouble(3) == 3.0 / 5)          // 'a' three of five
+    assert(r(0).getDouble(4) == 1.0 - 2.0 / 4)   // 2 distinct of 4 2-grams
+    assert(r(1).getDouble(2) == 0.0 && r(1).getDouble(4) == 0.0)
+    assert(r(2).getLong(1) == 1 && r(2).getDouble(4) == 0.0)
+    assert(r(3).getLong(1) == 0 && r(3).getDouble(2) == 0.0
+      && r(3).getDouble(3) == 0.0 && r(3).getDouble(5) == 3.0)
+  }
+
   test("BMP codec round-trips, including 4-byte row padding and bottom-up rows") {
     import Multimodal.Codec
     // width 4 -> 12-byte rows, no padding
