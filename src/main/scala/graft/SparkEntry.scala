@@ -548,16 +548,15 @@ object SparkEntry {
     // event-time tumbling-window aggregation (batch form; the streaming
     // variant lives in graft.streaming.Events). events.parquet stores
     // TIMESTAMP(NANOS), which Spark's reader rejects — read nanos as long
-    // (legacy conf) and truncate to the hour in epoch-micros space. The
+    // (explicit LongType user schema) and truncate to the hour in
+    // epoch-micros space. The
     // bucket is compared as BIGINT epoch micros: the nanos-sourced Spark
     // timestamp round-trips as timestamp[ns] in parquet while DuckDB
     // emits timestamp[us], a representation gap the hash would reject.
     "e01_events_window" -> ((
       (s: SparkSession, dir: String) => {
         Registry.registerAll(s)
-        graft.streaming.Events.withNanosAsLong(s) {
-          s.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
-        }
+        graft.streaming.Events.readRaw(s, dir).createOrReplaceTempView("events")
         s.sql(
           """SELECT h, event_type, count(*) AS n,
                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv

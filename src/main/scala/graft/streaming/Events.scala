@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One event's session assignment from [[Events.streamingSessionize]]. */
@@ -20,37 +21,30 @@ case class SessState(lastTsMicros: Long, seq: Long)
   */
 object Events {
 
-  /** Read the events corpus. The driver's parquet stores TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects — read nanos as long and
-    * rebuild a micro-precision NTZ timestamp (lossless here: the corpus
-    * has no sub-microsecond components).
-    *
-    * The legacy conf has no per-read option (ParquetOptions has no
-    * nanosAsLong key), so it is scoped: set for the `read.parquet` call —
-    * which is when the parquet schema is converted — and restored before
-    * returning (verified: later actions on the returned frame execute
-    * correctly with the conf back at its prior value).
+  /** The events parquet with `ts` as raw epoch-NANOS long. The driver's
+    * parquet stores TIMESTAMP(NANOS), which Spark's default schema
+    * conversion rejects (PARQUET_TYPE_ILLEGAL) — but an EXPLICIT user
+    * schema typing the column LongType reads the INT64 physical values
+    * directly (probed: vectorized reader accepts it; TimestampNTZType in
+    * the user schema does not). No session conf involved, so nothing can
+    * leak into unrelated reads — this replaced a scoped set/restore of
+    * spark.sql.legacy.parquet.nanosAsLong.
+    */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
+
+  private val EventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Read the events corpus with `ts` rebuilt as a micro-precision NTZ
+    * timestamp (lossless here: the corpus has no sub-microsecond
+    * components).
     */
   def read(spark: SparkSession, dir: String): DataFrame =
-    withNanosAsLong(spark) {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    }
-
-  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong=true, restoring
-    * the previous setting afterward so the session-global conf does not
-    * leak into unrelated reads.
-    */
-  def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+    readRaw(spark, dir)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
 
   /** Tumbling event-time aggregation (batch). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
