@@ -11,6 +11,12 @@ case class SessionOut(user_id: Long, event_id: Long, session_seq: Long)
 /** Keyed session state: last event time + running session counter. */
 case class SessState(lastTsMicros: Long, seq: Long)
 
+/** One (doc, band) bucket-claim flag from
+  * [[Events.streamingNearDupFlags]]; `dup_of == doc_id` means this doc
+  * claimed the bucket (no earlier owner).
+  */
+case class BandFlag(doc_id: Long, band: Int, dup_of: Long)
+
 /** Event-stream processing over the `events` table.
   *
   * The reference has no streaming semantics at all (SURVEY §2.10: its
@@ -141,4 +147,78 @@ object Events {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
+
+  /** Streaming MinHash/LSH near-duplicate detection: for every incoming
+    * document, report per LSH band whether its band bucket was already
+    * claimed by an earlier document — across micro-batch boundaries.
+    * `dup_of == doc_id` marks the claim (this doc now owns the bucket);
+    * otherwise `dup_of` is the owning document. Same banding as the batch
+    * [[graft.ops.Dedup.minhashCandidates]] (xxhash64 over the band's
+    * signature slice), so a finite stream replayed in one batch produces
+    * exactly the batch candidate relation.
+    *
+    * Keyed state is ONE long (owner id) per distinct occupied bucket —
+    * bands × corpus-distinct buckets, independent of stream length for a
+    * dup-heavy stream. Within a batch the lowest doc id claims first, so
+    * results don't depend on partition arrival order. Re-arrivals of the
+    * SAME doc id look fresh to their own buckets (dup_of == doc_id) —
+    * run [[streamingDedupExact]] upstream to scrub exact re-deliveries.
+    *
+    * Ids must be numeric (cast to long).
+    */
+  def streamingNearDupFlags(stream: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleK: Int = 5,
+                            seed: Long = graft.functions.Registry.DefaultSeed)
+      : org.apache.spark.sql.Dataset[BandFlag] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = numHashes / bands
+    val sigs = graft.ops.Dedup.minhashSignatures(
+      stream, idCol, textCol, numHashes, shingleK, seed)
+    val bandArr = transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(col("sig"), b * lit(rows) + lit(1), lit(rows))))
+    val banded = sigs
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(bandArr).as(Seq("band", "bhash")))
+      .as[(Long, Int, Long)]
+
+    def claim(bucket: Long, it: Iterator[(Long, Int, Long)],
+              state: GroupState[Long]): Iterator[BandFlag] = {
+      val sorted = it.toArray.sortBy(_._1)
+      var owner = state.getOption.getOrElse(Long.MinValue)
+      val out = sorted.map { case (id, band, _) =>
+        if (owner == Long.MinValue) owner = id
+        BandFlag(id, band, owner)
+      }
+      state.update(owner)
+      out.iterator
+    }
+
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(claim)
+  }
+
+  /** Per-document near-dup verdict over [[streamingNearDupFlags]]: a doc
+    * is flagged when ANY of its band buckets was already owned (the
+    * aggressive drop-on-first-collision setting; collided_bands lets
+    * callers re-threshold). Downstream streaming aggregation after the
+    * Append-mode flatMapGroupsWithState — run the sink in Update mode.
+    */
+  def streamingNearDup(stream: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+                       seed: Long = graft.functions.Registry.DefaultSeed)
+      : DataFrame =
+    streamingNearDupFlags(stream, idCol, textCol, numHashes, bands, shingleK, seed)
+      .toDF()
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("dup_of") =!= col("doc_id"), 1).otherwise(0))
+          .as("collided_bands"),
+        min(when(col("dup_of") =!= col("doc_id"), col("dup_of"))).as("dup_of"))
+      .select(col("doc_id"), (col("collided_bands") > 0).as("is_dup"),
+        col("collided_bands"), col("dup_of"))
 }

@@ -445,6 +445,57 @@ class OpsSpec extends GraftSuite {
     assert(kept.sorted == Seq("aaa", "bbb", "ccc")) // each content once, ever
   }
 
+  test("streamingNearDup flags cross-batch near-duplicates via shared LSH buckets") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base + " ok"        // high-jaccard edit of base
+    val distinct1 = "completely different words about spark catalyst optimizer internals"
+    val distinct2 = "yet another unrelated document mentioning parquet and arrow formats"
+    val dir = "target/tmp/sneardup_in"
+    Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.Events.streamingNearDup(
+        stream, "doc_id", "text", numHashes = 64, bands = 32, shingleK = 3)
+      .writeStream.outputMode("update").format("memory").queryName("sneardup").start()
+    q.processAllAvailable()
+    // batch 2: near-copy of doc 1 (cross-batch collision) + a fresh doc
+    Seq((3L, nearDup), (4L, distinct2)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val verdicts = spark.table("sneardup")
+      .select("doc_id", "is_dup", "dup_of").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(verdicts(1L) == ((false, -1L)))
+    assert(verdicts(2L) == ((false, -1L)))
+    assert(verdicts(3L) == ((true, 1L)))  // collides with doc 1's buckets
+    assert(verdicts(4L) == ((false, -1L)))
+  }
+
+  test("streamingNearDupFlags replayed as one batch equals batch banding candidates") {
+    val docsIn = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "unrelated text with altogether different content entirely"))
+    val dir = "target/tmp/sneardup_replay"
+    docsIn.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.Events.streamingNearDupFlags(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(dir),
+        "doc_id", "text", numHashes = 64, bands = 32, shingleK = 3)
+      .writeStream.outputMode("append").format("memory").queryName("sflags").start()
+    q.processAllAvailable(); q.stop()
+    val streamedPairs = spark.table("sflags")
+      .filter(col("dup_of") =!= col("doc_id"))
+      .select(col("dup_of").as("id_a"), col("doc_id").as("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = Dedup.minhashCandidates(
+        docsIn.toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 64, bands = 32, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs == batchPairs)
+  }
+
   test("streamingSessionize (flatMapGroupsWithState) agrees with batch sessionize") {
     val ev = graft.streaming.Events.read(spark, "/root/testdata/sf0.001")
     val stage = "target/tmp/sess_stream_in"
