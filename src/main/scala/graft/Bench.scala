@@ -47,8 +47,9 @@ object Bench {
     "j04_join_shuffle", "w01_window_running", "cd01_count_distinct",
     "sub02_correlated", "r01_rollup", "io01_csv_roundtrip", "a01_asof_join",
     "d01_dedup_exact", "d02_minhash_pairs", "d04_ngram_jaccard",
-    "s01_ann_brute", "s02_ann_lsh", "t03_tokens", "m02_codec_decode",
-    "e02_sessionize", "p01_pipeline_e2e")
+    "d06_dedup_segments", "s01_ann_brute", "s02_ann_lsh", "t03_tokens",
+    "t06_repetition", "m02_codec_decode", "e02_sessionize",
+    "p01_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

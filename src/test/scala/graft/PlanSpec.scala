@@ -42,6 +42,23 @@ class PlanSpec extends GraftSuite {
     assert(exchanges <= 2, s"decode pipeline should not shuffle payloads (got $exchanges exchanges):\n$p")
   }
 
+  test("d06 segment dedup: equi-joins only, partial aggregation on the segment key") {
+    val p = planOf("d06_dedup_segments")
+    assert(!p.contains("CartesianProduct"), "cartesian product in d06 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in d06 plan")
+    // the winners-per-segment agg must map-side combine (partial_min)
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no partial aggregation for the segment winners:\n$p")
+  }
+
+  test("t06 repetition signals are map-only up to the final order-by") {
+    val p = planOf("t06_repetition")
+    // one exchange pair at most: the global ORDER BY (range partitioning)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"repetition signals should not shuffle (got $exchanges):\n$p")
+    assert(!p.contains("Join"), "no join belongs in t06")
+  }
+
   test("a01 as-of join: single shuffle on the key, no join operator at all") {
     val p = planOf("a01_asof_join")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
