@@ -753,11 +753,15 @@ object SparkEntry {
          keep AS (
            SELECT doc_id, seg, pos,
                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
-           FROM seg)
-         SELECT doc_id,
-                coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
-                         '') AS text
-         FROM keep GROUP BY doc_id ORDER BY doc_id"""),
+           FROM seg),
+         agg AS (
+           SELECT doc_id,
+                  string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text
+           FROM keep GROUP BY doc_id)
+         -- join back to documents so null-text docs (zero segments after
+         -- unnest) surface as '' exactly like the Spark side's left join
+         SELECT d.doc_id, coalesce(a.text, '') AS text
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""),
 
     // exhaustive embedding near-dup pairs — the oracled exactness anchor
     // for d05's LSH-bucketed scale path (cosine verified bit-identical,

@@ -161,16 +161,20 @@ object Dedup {
     // columnar-encoding arrays costs more than recomputing them.) The
     // verified result is materialized EAGERLY (localCheckpoint) so the
     // candidate cache can be released before returning instead of
-    // leaking for the session's lifetime; the returned frame's blocks
-    // are RDD-level and ContextCleaner-managed. Trade-off: the result's
-    // lineage is truncated, so on a cluster an executor loss after this
-    // call re-fails instead of recomputing. Callers who want a lazy,
+    // leaking for the session's lifetime (Dataset.persist registers the
+    // plan in CacheManager, which holds it until an explicit unpersist);
+    // the returned frame's blocks are RDD-level and
+    // ContextCleaner-managed. Trade-off: the result's lineage is
+    // truncated, so on a cluster an executor loss after this call
+    // re-fails instead of recomputing. Callers who want a lazy,
     // lineage-preserving frame (plan-only inspection, composition into a
-    // bigger pipeline) pass eager=false and accept that the candidate
-    // cache then lives until the session's ContextCleaner reclaims it.
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
-      .persist()
+    // bigger pipeline) pass eager=false: no cache at all — the candidate
+    // subplan simply appears twice in the returned plan and is
+    // recomputed per consumer, the measured-cheaper trade for the
+    // array-light signature pipeline (see minhashPairs'
+    // carrySignatures note), and nothing leaks.
     if (!eager) {
+      val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
       return jaccardOn(
         df.join(cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct(),
             col(idCol) === col("id"), "left_semi")
@@ -178,6 +182,8 @@ object Dedup {
             array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh")),
         cand).filter(col("jaccard") >= threshold)
     }
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
+      .persist()
     try {
       // compute shingle sets ONLY for documents that appear in some pair:
       // a semi-join keeps the verify cost proportional to the candidate

@@ -186,7 +186,10 @@ object Events {
         posexplode(bandArr).as(Seq("band", "bhash")))
       .as[(Long, Int, Long)]
 
-    def claim(bucket: Long, it: Iterator[(Long, Int, Long)],
+    // keyed on the (band, bhash) PAIR — identical to the batch banding
+    // key, so a cross-band 64-bit hash collision cannot manufacture a
+    // candidate the batch path would not produce
+    def claim(bucket: (Int, Long), it: Iterator[(Long, Int, Long)],
               state: GroupState[Long]): Iterator[BandFlag] = {
       val sorted = it.toArray.sortBy(_._1)
       var owner = state.getOption.getOrElse(Long.MinValue)
@@ -198,7 +201,7 @@ object Events {
       out.iterator
     }
 
-    banded.groupByKey(_._3)
+    banded.groupByKey(t => (t._2, t._3))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(claim)
   }
 
@@ -207,6 +210,15 @@ object Events {
     * aggressive drop-on-first-collision setting; collided_bands lets
     * callers re-threshold). Downstream streaming aggregation after the
     * Append-mode flatMapGroupsWithState — run the sink in Update mode.
+    *
+    * State budget: the bucket-owner state upstream is bounded by distinct
+    * occupied buckets, but THIS per-doc_id aggregation has no watermark
+    * (band flags carry no event time), so its state grows linearly with
+    * every document ever seen for the lifetime of the query. For
+    * long-running deployments either bound the run (restart per corpus
+    * epoch) or consume [[streamingNearDupFlags]] directly and aggregate
+    * per micro-batch in foreachBatch, where the per-doc rollup is a plain
+    * batch groupBy with no retained state.
     */
   def streamingNearDup(stream: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,

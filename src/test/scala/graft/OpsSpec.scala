@@ -128,6 +128,14 @@ class OpsSpec extends GraftSuite {
       (4L, "epsilon")))
   }
 
+  test("dedupSegments returns '' for null-text docs (zero segments)") {
+    val docs2 = Seq((1L, Some("alpha\nbeta")), (2L, None), (3L, Some("beta")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((1L, "alpha\nbeta"), (2L, ""), (3L, "")))
+  }
+
   test("dedupSegments first-occurrence tie-break is (id, position)") {
     // "x" appears at doc 1 pos 1 and doc 1 pos 0? -> within one doc the
     // earliest position wins; duplicate within a single doc also dedups
