@@ -781,6 +781,36 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
          ORDER BY id_a, id_b"""),
 
+    // duplicate-cluster resolution: connected components over the d07
+    // exact pair list (min-label propagation + path doubling on the
+    // Spark side; recursive-CTE min-reachable-id on the oracle side) —
+    // the pairs -> clusters -> canonical-representative step a dedup
+    // pipeline needs to keep exactly one doc per duplicate cluster
+    "d08_dup_clusters" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val pairs = graft.ops.Dedup.embeddingPairsExact(
+          emb, "vec_id", "embedding", threshold = 0.35)
+        graft.ops.Clustering.connectedComponents(emb, "vec_id", pairs)
+          .orderBy(col("vec_id"))
+      },
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS u, b.vec_id AS v
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35),
+         edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         reach(id, lab) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT g.v, r.lab FROM reach r JOIN edges g ON g.u = r.id),
+         comp AS (SELECT id AS vec_id, min(lab) AS cluster
+                  FROM reach GROUP BY id)
+         SELECT vec_id, cluster, (vec_id = cluster) AS is_canonical
+         FROM comp ORDER BY vec_id"""),
+
     // exact ANN baseline: brute-force cosine top-k with the bounded-heap
     // topk_by aggregate — full oracle (cosine verified bit-identical)
     "s01_ann_brute" -> api(

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-duplicate PAIRS (the output of
+  * [[Dedup.nearDupJaccard]], [[Dedup.embeddingPairs]], …) into connected
+  * components so a pipeline can keep exactly one canonical document per
+  * duplicate cluster. Pair detection alone is not a dedup policy — if
+  * A~B and B~C, dropping "the second of each pair" can drop B twice or
+  * keep A and C which were never compared; components make the keep
+  * decision well-defined (cluster id = min member id, canonical = the
+  * member equal to it).
+  */
+object Clustering {
+
+  /** Connected components over an undirected pair list.
+    *
+    * Algorithm: min-label propagation with path doubling. Each round
+    * every node takes the minimum label among itself and its neighbors
+    * (one shuffle: edges ⋈ labels, groupBy node), then shortcuts
+    * label := label(label) (one self-join), which squares the distance
+    * labels travel per round — convergence in O(log diameter) rounds
+    * rather than O(diameter) for plain propagation. Each round ends in
+    * a localCheckpoint: lineage stays constant-depth instead of growing
+    * per iteration (the classic iterative-Spark plan explosion), at the
+    * documented cost of re-running the job on executor loss.
+    *
+    * Scale shape (100 TB): the iteration runs ONLY over nodes that
+    * appear in some pair — duplicate-graph size, not corpus size; the
+    * full corpus is touched exactly once by the final left join that
+    * fills in singleton clusters. Every per-round shuffle keys on node
+    * id (naturally spread); hot nodes (a label shared by a huge cluster)
+    * cost one groupBy with map-side partial min, never a window sort.
+    * Convergence needs one count() action per round — inherent to
+    * fixpoint graph algorithms; rounds are logarithmic and each is a
+    * bounded number of shuffles.
+    *
+    * @param vertices every corpus row (singletons come back as their own
+    *                 cluster); only `idCol` is read
+    * @param pairs    undirected duplicate pairs with columns id_a, id_b
+    * @return (idCol, cluster, is_canonical) — cluster = min id of the
+    *         component, is_canonical marks the representative member
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .union(pairs.select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = labels.isEmpty
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("lab")).as("nlab"))
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(labels("id").as("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      // path doubling: adopt the label's own current label
+      val next = prop.as("a")
+        .join(prop.as("b"), col("a.lab") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.lab"), col("a.lab")).as("lab"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("lab", "old"), Seq("id"))
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    vertices.select(col(idCol))
+      .join(labels.withColumnRenamed("id", "__cid"),
+        col(idCol).cast("long") === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("lab"), col(idCol).cast("long")).as("cluster"),
+        (coalesce(col("lab"), col(idCol).cast("long")) === col(idCol).cast("long"))
+          .as("is_canonical"))
+  }
+
+  /** The keep-side of cluster dedup: one canonical row per duplicate
+    * cluster (the min-id member), singletons included. Equivalent to
+    * `connectedComponents(...).filter(is_canonical)` joined back to the
+    * full rows — a left-semi join so no payload columns shuffle.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val canon = connectedComponents(df, idCol, pairs)
+      .filter(col("is_canonical")).select(col(idCol))
+    df.join(canon, Seq(idCol), "left_semi")
+  }
+}
