@@ -943,6 +943,36 @@ object SparkEntry {
                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))), ' ')) AS fp
          FROM documents ORDER BY doc_id"""),
 
+    // token-budget sequence packing (concat-and-chunk, per source shard):
+    // window cumsum -> sequence id / offset / span count, fully oracled
+    "p02_pack_sequences" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Packing.packSequences(
+            docs, "doc_id", "source",
+            graft.ops.TextAnalysis.tokenCount(col("text")), budget = 2048)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      """WITH t AS (
+           SELECT source, doc_id,
+                  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT source, doc_id, n_tokens,
+                  coalesce(CAST(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                    0) AS off
+           FROM t)
+         SELECT source, doc_id, n_tokens,
+                off // 2048 AS seq_id,
+                off % 2048 AS seq_offset,
+                CAST(CASE WHEN n_tokens = 0 THEN 0
+                          ELSE (off + n_tokens - 1) // 2048 - off // 2048 + 1
+                     END AS BIGINT) AS spans
+         FROM o ORDER BY source, doc_id"""),
+
     // end-to-end composed pipeline: exact dedup → quality features →
     // quality gate → join embeddings → per-language aggregate. The shape
     // of a real training-data curation job, fully oracle-checked.

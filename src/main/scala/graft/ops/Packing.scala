@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing for training pipelines: assign every
+  * document a position in the concatenated token stream of its shard and
+  * derive which fixed-size training sequence(s) it lands in.
+  *
+  * This is the concat-and-chunk packing used by GPT-style pretraining
+  * (concatenate documents in a deterministic order, cut the stream every
+  * `budget` tokens; documents may straddle a cut — `spans` says across
+  * how many sequences). It is fully declarative — one window cumsum —
+  * unlike greedy no-straddle bin packing, whose close-bin-on-overflow
+  * recursion is inherently sequential and neither window-expressible nor
+  * shuffle-friendly; pipelines that need no-straddle semantics pad with
+  * `budget - seq_offset` at consume time instead.
+  *
+  * Scale shape (100 TB): the window partitions by shard, so per-partition
+  * sort state is a shard, not the corpus. Sharding IS the scale knob —
+  * producers size shards (source buckets, hash buckets of doc id, date
+  * partitions…) to bounded token volume, and packing parallelizes across
+  * them; per-shard sequence ids are disambiguated downstream as
+  * (shard, seq_id). An unsharded global pack would serialize into one
+  * partition — deliberately not offered.
+  */
+object Packing {
+
+  /** @param tokens per-document token count expression (e.g.
+    *               [[TextAnalysis.tokenCount]] on the text column)
+    * @return (shardCol, idCol, n_tokens, seq_id, seq_offset, spans):
+    *         seq_id = index of the budget-sized sequence where the doc
+    *         starts within its shard, seq_offset = token offset inside
+    *         it, spans = how many sequences the doc touches (0 for
+    *         empty docs)
+    */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+                    tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val before = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol), col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        floor(col("__off") / budget).as("seq_id"),
+        (col("__off") % budget).as("seq_offset"),
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor((col("__off") + col("n_tokens") - 1) / budget)
+            - floor(col("__off") / budget) + 1).as("spans"))
+  }
+}
