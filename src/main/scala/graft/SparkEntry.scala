@@ -943,6 +943,30 @@ object SparkEntry {
                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))), ' ')) AS fp
          FROM documents ORDER BY doc_id"""),
 
+    // incremental-ingest dedup: drop new docs whose exact text already
+    // exists in a reference corpus — bloom prefilter (no false negatives)
+    // + exact anti-join verify, so the result equals the plain anti join
+    // (which is exactly what the oracle computes). The ref slice overlaps
+    // docs 400-449 of the new batch so both the definitely-new path and
+    // the verify path carry rows.
+    "d09_dedup_against_ref" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val ref = docs.filter(col("doc_id") < 250 || col("doc_id").between(400, 449))
+        val fresh = docs.filter(col("doc_id") >= 250)
+        graft.ops.Dedup.dedupAgainstReference(fresh, ref, "text",
+            expectedItems = 300, fpp = 0.01)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT n.doc_id, n.source FROM documents n
+         WHERE n.doc_id >= 250
+           AND NOT EXISTS (SELECT 1 FROM documents r
+                           WHERE (r.doc_id < 250 OR r.doc_id BETWEEN 400 AND 449)
+                             AND r.text = n.text)
+         ORDER BY n.doc_id"""),
+
     // token-budget sequence packing (concat-and-chunk, per source shard):
     // window cumsum -> sequence id / offset / span count, fully oracled
     "p02_pack_sequences" -> api(

@@ -66,6 +66,30 @@ object Registry {
     */
   def wholeColumn(agg: Column): Column = agg.over(Window.partitionBy())
 
+  /** Spark's internal bloom-filter sketch aggregate surfaced as a Column:
+    * builds the filter distributively (partial sketches merged, only the
+    * final bitset reaches the driver). Input is hashed — pass the
+    * xxhash64 of the dedup key. Sized from (expectedItems, fpp) via the
+    * sketch library's optimal-bits formula.
+    */
+  def bloomAgg(c: Column, expectedItems: Long, fpp: Double = 0.01): Column = {
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    GraftColumnBridge.toColumn(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        Cast(GraftColumnBridge.toExpression(c), LongType),
+        Literal(expectedItems), Literal(bits)).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloomAgg]] sketch (no false negatives;
+    * false-positive rate per the build's fpp). The sketch side must be a
+    * constant (a collected literal) — Catalyst enforces it.
+    */
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    GraftColumnBridge.toColumn(BloomFilterMightContain(
+      GraftColumnBridge.toExpression(bloom),
+      Cast(GraftColumnBridge.toExpression(value), LongType)))
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
@@ -291,6 +315,22 @@ object Registry {
       case Seq(a, kk, s) => WindowHashes(larr(a), intLit(kk, "k"), longLit(s, "seed"))
       case other         => throw new IllegalArgumentException(
         s"window_hashes() takes 2-3 arguments, got ${other.length}")
+    }
+    f("bloom_agg") {
+      case Seq(e, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          Cast(e, LongType), longLit(n, "expectedItems")).toAggregateExpression()
+      case Seq(e, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          Cast(e, LongType), Literal(longLit(n, "expectedItems")),
+          Literal(longLit(b, "numBits"))).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"bloom_agg() takes 2-3 arguments, got ${other.length}")
+    }
+    f("bloom_might_contain") {
+      case Seq(b, v) => BloomFilterMightContain(b, Cast(v, LongType))
+      case other     => throw new IllegalArgumentException(
+        s"bloom_might_contain() takes 2 arguments, got ${other.length}")
     }
     f("topk_by") {
       case Seq(score, id, kk) =>

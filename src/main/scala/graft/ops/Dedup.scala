@@ -44,6 +44,38 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup of a new batch AGAINST a reference corpus (the
+    * incremental-ingest shape: "drop anything we already have") with a
+    * bloom-filter prefilter so the expensive exact verification only
+    * touches probable duplicates.
+    *
+    * Result is IDENTICAL to the plain anti join — a bloom filter has no
+    * false negatives, so rows it rejects are definitely new and skip the
+    * join entirely; rows it accepts (true dups + ~fpp of the rest) are
+    * verified with an exact anti join on the full text. The scale win:
+    * only the accepted fraction shuffles into the join, so for a mostly
+    * -novel batch the anti join shrinks by ~(1 - dupRate - fpp).
+    *
+    * Scale shape (100 TB): the sketch is built distributively (partial
+    * bitsets merged; one driver-sized bitset, ~1.2 GB per billion keys
+    * at 1% fpp — size expectedItems/fpp accordingly) and rides to
+    * executors as a plan literal; the probe is a codegen'd expression,
+    * not a UDF. The verify join keys on the text digest's hash shuffle
+    * and AQE picks broadcast when the candidate set is small.
+    */
+  def dedupAgainstReference(newDf: DataFrame, refDf: DataFrame,
+                            textCol: String, expectedItems: Long,
+                            fpp: Double = 0.01): DataFrame = {
+    val dig = xxhash64(col(textCol))
+    val bloom = refDf.select(Registry.bloomAgg(dig, expectedItems, fpp).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val might = Registry.bloomMightContain(lit(bloom), dig)
+    val definitelyNew = newDf.filter(!might)
+    val verified = newDf.filter(might)
+      .join(refDf.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    definitelyNew.unionByName(verified.select(newDf.columns.map(col).toSeq: _*))
+  }
+
   /** MinHash signature per document: (id, sig array<long>). Map-only.
     * Shingles are hashed numerically (token hashes → rolling window
     * hashes) — same set semantics as string k-shingles without

@@ -112,6 +112,34 @@ class OpsSpec extends GraftSuite {
     assert(pairs == eagerPairs)
   }
 
+  test("dedupAgainstReference equals the plain anti join even with a tiny bloom") {
+    val ref = (0L until 200L).map(i => (i, s"ref doc $i")).toDF("doc_id", "text")
+    val fresh = (150L until 400L).map(i => (i, s"ref doc $i")).toDF("doc_id", "text")
+      .union(Seq((999L, "entirely new content")).toDF("doc_id", "text"))
+    // expectedItems=8 over 200 refs -> saturated filter, massive fp rate:
+    // every fresh row funnels through the exact verify join, result must
+    // still equal the exact anti join (no false negatives by construction)
+    val got = Dedup.dedupAgainstReference(fresh, ref, "text", expectedItems = 8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = fresh.join(ref.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    assert(got == ((200L until 400L) :+ 999L).sorted.toSeq)
+  }
+
+  test("bloom_agg / bloom_might_contain SQL surface: no false negatives") {
+    graft.functions.Registry.registerAll(spark)
+    val bf = spark.sql(
+      """select bloom_agg(xxhash64(cast(id as string)), 100) bf
+         from range(0, 50)""").collect()(0).getAs[Array[Byte]](0)
+    spark.range(0, 60).createOrReplaceTempView("bm_probe")
+    val hits = spark.sql(
+      s"""select id, bloom_might_contain(X'${bf.map("%02x".format(_)).mkString}',
+                                         xxhash64(cast(id as string))) m
+          from bm_probe""").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((0L until 50L).forall(hits(_)), "members must always hit")
+  }
+
   test("dedupSegments keeps first occurrence globally and preserves order") {
     val docs2 = Seq(
       (1L, "alpha\nbeta\ngamma"),
