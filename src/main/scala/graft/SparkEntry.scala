@@ -1108,6 +1108,31 @@ object SparkEntry {
                   / greatest(n, 1) AS symbol_word_ratio
          FROM f ORDER BY doc_id"""),
 
+    // unicode normalization (custom codegen expression over
+    // java.text.Normalizer): decomposed combining sequences are prefixed
+    // onto real corpus text so NFC actually rewrites something; oracled
+    // char-for-char against DuckDB's nfc_normalize
+    "t07_normalize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val raw = concat(lit("cafe\u0301 nai\u0308ve "), substring(col("text"), 1, 30))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            call_function("unicode_normalize", raw).as("nfc"),
+            length(raw).cast("long").as("raw_len"),
+            length(call_function("unicode_normalize", raw)).cast("long").as("nfc_len"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (
+           SELECT doc_id,
+                  'cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+                    substr(text, 1, 30) AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS nfc,
+                CAST(length(raw) AS BIGINT) AS raw_len,
+                CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
+         FROM t ORDER BY doc_id"""),
+
     // deterministic train/val/test split: pure function of md5(doc_id),
     // reproducible across engines/runs/cluster sizes — the oracle
     // recomputes the same md5-prefix thresholds (0.8/0.1/0.1 -> hex

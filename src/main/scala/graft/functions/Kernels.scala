@@ -118,4 +118,21 @@ object Kernels {
     }
     out
   }
+
+  /** Unicode normalization with an ASCII fast path: every normal form is
+    * the identity on pure-ASCII bytes, so mostly-ASCII corpora skip the
+    * UTF8String -> String -> normalize -> UTF8String round-trip entirely
+    * (a byte scan per row instead of two allocations).
+    */
+  def unicodeNormalize(s: org.apache.spark.unsafe.types.UTF8String,
+                       form: java.text.Normalizer.Form)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { ascii = s.getByte(i) >= 0; i += 1 }
+    if (ascii) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, form))
+  }
 }

@@ -316,6 +316,16 @@ object Registry {
       case other         => throw new IllegalArgumentException(
         s"window_hashes() takes 2-3 arguments, got ${other.length}")
     }
+    def strLit(e: Expression, what: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+    }
+    f("unicode_normalize") {
+      case Seq(e)    => UnicodeNormalize(Cast(e, StringType), "NFC")
+      case Seq(e, m) => UnicodeNormalize(Cast(e, StringType), strLit(m, "form"))
+      case other     => throw new IllegalArgumentException(
+        s"unicode_normalize() takes 1-2 arguments, got ${other.length}")
+    }
     f("bloom_agg") {
       case Seq(e, n) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

@@ -199,3 +199,33 @@ case class SignBits(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column.
+  *
+  * Spark ships no normalization builtin; text pipelines need one before
+  * any hash-based dedup — the same visible text in composed vs decomposed
+  * form hashes differently, so un-normalized corpora leak duplicates past
+  * exact and MinHash dedup alike. Backed by java.text.Normalizer (the
+  * JDK's Unicode-standard implementation) with a pure-ASCII fast path in
+  * [[Kernels.unicodeNormalize]].
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  private val jform = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(in: Any): Any =
+    Kernels.unicodeNormalize(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], jform)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.Kernels.unicodeNormalize($in, " +
+        s"java.text.Normalizer.Form.${jform.name})")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -91,6 +91,27 @@ class ExpressionsSpec extends GraftSuite {
     assert(got == Seq((9.0, 2L), (9.0, 3L), (7.0, 5L)))
   }
 
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms") {
+    val r = spark.sql(
+      """select unicode_normalize('cafe\u0301') nfc,
+                unicode_normalize('\uFB01le \u2460', 'NFKC') nfkc,
+                unicode_normalize('plain ascii') same,
+                unicode_normalize(cast(null as string)) nn""").collect()(0)
+    assert(r.getString(0) == "caf\u00e9")       // e + U+0301 -> precomposed
+    assert(r.getString(1) == "file 1")           // fi ligature + circled 1
+    assert(r.getString(2) == "plain ascii")
+    assert(r.isNullAt(3))
+  }
+
+  test("unicode_normalize makes decomposed/composed dups hash-identical") {
+    val df = Seq((1L, "caf\u00e9 bonbon"), (2L, "cafe\u0301 bonbon"))
+      .toDF("id", "text")
+    val distinctRaw = df.select(md5(col("text"))).distinct().count()
+    val distinctNorm = df.select(
+      md5(call_function("unicode_normalize", col("text")))).distinct().count()
+    assert(distinctRaw == 2 && distinctNorm == 1)
+  }
+
   test("topk_by agrees with window ranking on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.filter(col("vec_id") === 7)
