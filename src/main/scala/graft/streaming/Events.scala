@@ -17,6 +17,40 @@ case class SessState(lastTsMicros: Long, seq: Long)
   */
 case class BandFlag(doc_id: Long, band: Int, dup_of: Long)
 
+/** Per-arrival dedup verdict from [[Events.streamingDedupOwners]]:
+  * `owner_id` is the first document that carried this content
+  * (owner_id == doc_id for the first arrival, is_dup == false).
+  */
+case class DupVerdict(doc_id: Long, owner_id: Long, is_dup: Boolean)
+
+/** transformWithState processor backing [[Events.streamingDedupOwners]]:
+  * one ValueState[Long] (owner id) per distinct content digest.
+  * TTLConfig controls state eviction — pass a duration to bound state on
+  * unbounded streams (re-arrivals after expiry look fresh, the standard
+  * TTL dedup trade-off), TTLConfig.NONE for exact forever-dedup.
+  */
+class FirstOwnerProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), DupVerdict] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ValueState}
+
+  @transient private var owner: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    owner = getHandle.getValueState[Long]("owner",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                               timers: TimerValues): Iterator[DupVerdict] = {
+    // lowest doc id claims within a batch, so results are independent of
+    // partition arrival order (same contract as streamingNearDupFlags)
+    val ids = rows.map(_._2).toArray.sorted
+    val own = if (owner.exists()) owner.get() else ids.head
+    owner.update(own)
+    ids.iterator.map(id => DupVerdict(id, own, id != own))
+  }
+}
+
 /** Event-stream processing over the `events` table.
   *
   * The reference has no streaming semantics at all (SURVEY §2.10: its
@@ -131,6 +165,33 @@ object Events {
       if (withinWatermark) hashed.dropDuplicatesWithinWatermark("__content_hash")
       else hashed.dropDuplicates("__content_hash")
     dedup.drop("__content_hash")
+  }
+
+  /** Streaming exact dedup on the arbitrary-state v2 API
+    * (transformWithState): every arrival gets a verdict row (doc_id,
+    * owner_id, is_dup) instead of being silently dropped, so downstream
+    * can count/audit duplicates or route them. State is one long per
+    * distinct content digest, held in the RocksDB state store (the v2
+    * API requires it — set
+    * spark.sql.streaming.stateStore.providerClass to
+    * RocksDBStateStoreProvider), which spills to disk instead of
+    * growing the JVM heap — the right store for corpus-scale digest
+    * sets. Pass `ttl` to bound state for unbounded streams.
+    */
+  def streamingDedupOwners(stream: DataFrame, idCol: String,
+                           contentCol: String,
+                           ttl: org.apache.spark.sql.streaming.TTLConfig =
+                             org.apache.spark.sql.streaming.TTLConfig.NONE)
+      : org.apache.spark.sql.Dataset[DupVerdict] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(md5(col(contentCol)).as("h"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FirstOwnerProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Structured Streaming variant of [[hourlyTypeCounts]]: watermarked

@@ -481,6 +481,39 @@ class OpsSpec extends GraftSuite {
     assert(kept.sorted == Seq("aaa", "bbb", "ccc")) // each content once, ever
   }
 
+  test("streamingDedupOwners (transformWithState) assigns first owner across batches") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "target/tmp/sdedup_tws_in"
+      Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val q = graft.streaming.Events.streamingDedupOwners(
+          spark.readStream.schema("id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(dir), "id", "text")
+        .writeStream.outputMode("append").format("memory").queryName("stws").start()
+      q.processAllAvailable()
+      // batch 2: cross-batch re-arrival of 'aaa' + new content
+      Seq((4L, "aaa"), (5L, "ccc")).toDF("id", "text")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable(); q.stop()
+      val verdicts = spark.table("stws").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      // within batch 1, the LOWEST id (1) owns 'aaa' even though 3 sorted first in input order
+      assert(verdicts(1L) == ((1L, false)))
+      assert(verdicts(3L) == ((1L, true)))
+      assert(verdicts(2L) == ((2L, false)))
+      assert(verdicts(4L) == ((1L, true)))   // cross-batch: owner survived in state
+      assert(verdicts(5L) == ((5L, false)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingNearDup flags cross-batch near-duplicates via shared LSH buckets") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val nearDup = base + " ok"        // high-jaccard edit of base
