@@ -65,4 +65,27 @@ class PlanSpec extends GraftSuite {
       && !p.contains("BroadcastHashJoin"),
       "as-of should be union + keyed window, not a join")
   }
+
+  test("d09 reference dedup: codegen'd bloom probe gates the verify join") {
+    val p = planOf("d09_dedup_against_ref")
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$p")
+    // the probe is an expression filter, not a UDF invocation
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "bloom probe must not be a UDF")
+  }
+
+  test("p02 packing: one shard-keyed window, no global single-partition sort") {
+    val p = planOf("p02_pack_sequences")
+    assert(!p.contains("SinglePartition"),
+      s"packing must partition by shard, never collapse to one partition:\n$p")
+    assert(p.contains("Window"), "expected a window operator in p02")
+  }
+
+  test("d08 clustering output: equi-joins only in the final assembly") {
+    // executedPlan of the RETURNED frame (post-iteration); the singleton
+    // fill must be an equi join on the id, never a nested loop
+    val p = planOf("d08_dup_clusters")
+    assert(!p.contains("CartesianProduct"), "cartesian in d08 assembly")
+  }
 }
