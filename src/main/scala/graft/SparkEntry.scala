@@ -811,6 +811,40 @@ object SparkEntry {
          SELECT vec_id, cluster, (vec_id = cluster) AS is_canonical
          FROM comp ORDER BY vec_id"""),
 
+    // per-label embedding centroids via the vec_sum_long aggregate over
+    // fixed-point-scaled vectors: integer sums are exact and therefore
+    // order-independent — fully oracled against a DuckDB unnest+regroup
+    // computation. The k-means update step as ONE map-side-combined agg
+    // (one dims-length array per group per partition shuffles, vs
+    // dims x rows for the explode-and-regroup formulation).
+    "s04_centroids" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("label").cast("long").as("label"),
+            transform(col("embedding").cast("array<double>"),
+              x => round(x * lit(1.0e9)).cast("long")).as("q"))
+          .groupBy(col("label"))
+          .agg(call_function("vec_sum_long", col("q")).as("sq"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("n"),
+            transform(col("sq"),
+              x => x.cast("double") / (col("n") * lit(1.0e9))).as("centroid"))
+          .orderBy(col("label"))
+      },
+      """WITH e AS (SELECT label, embedding::DOUBLE[] emb FROM embeddings),
+         x AS (SELECT label,
+                      CAST(round(unnest(emb) * 1e9) AS BIGINT) AS q,
+                      generate_subscripts(emb, 1) AS i
+               FROM e),
+         s AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sq
+               FROM x GROUP BY label, i),
+         n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+         SELECT CAST(s.label AS BIGINT) AS label, n.n AS n,
+                list(CAST(s.sq AS DOUBLE) / (n.n * 1e9) ORDER BY s.i) AS centroid
+         FROM s JOIN n USING (label)
+         GROUP BY s.label, n.n ORDER BY label"""),
+
     // exact ANN baseline: brute-force cosine top-k with the bounded-heap
     // topk_by aggregate — full oracle (cosine verified bit-identical)
     "s01_ann_brute" -> api(

@@ -342,6 +342,16 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"bloom_might_contain() takes 2 arguments, got ${other.length}")
     }
+    f("vec_sum") {
+      case Seq(e)  => VecSumAgg(darr(e), isLong = false).toAggregateExpression()
+      case other   => throw new IllegalArgumentException(
+        s"vec_sum() takes 1 argument, got ${other.length}")
+    }
+    f("vec_sum_long") {
+      case Seq(e)  => VecSumAgg(larr(e), isLong = true).toAggregateExpression()
+      case other   => throw new IllegalArgumentException(
+        s"vec_sum_long() takes 1 argument, got ${other.length}")
+    }
     f("topk_by") {
       case Seq(score, id, kk) =>
         TopKByScore(Cast(score, DoubleType), Cast(id, LongType), intLit(kk, "k"))

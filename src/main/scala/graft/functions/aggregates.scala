@@ -138,3 +138,138 @@ case class TopKByScore(
     copy(score = newChildren(0), id = newChildren(1))
   override def prettyName: String = "topk_by"
 }
+
+
+/** Element-wise vector sum buffer: dimension fixed by the first vector
+  * seen; nulls skipped; dimension mismatches rejected (a corpus with
+  * ragged embeddings is a data bug worth failing loudly on). Long and
+  * double accumulators are separate so the long tier stays EXACT
+  * integer arithmetic (order-independent) instead of losing bits to a
+  * double accumulator.
+  */
+final class VecSumBuf(var dsums: Array[Double], var lsums: Array[Long]) {
+  def addD(xs: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val n = xs.numElements()
+    if (dsums == null) dsums = new Array[Double](n)
+    require(dsums.length == n,
+      s"vec_sum: dimension mismatch (${dsums.length} vs $n)")
+    var i = 0
+    while (i < n) { dsums(i) += xs.getDouble(i); i += 1 }
+  }
+  def addL(xs: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val n = xs.numElements()
+    if (lsums == null) lsums = new Array[Long](n)
+    require(lsums.length == n,
+      s"vec_sum_long: dimension mismatch (${lsums.length} vs $n)")
+    var i = 0
+    while (i < n) { lsums(i) = Math.addExact(lsums(i), xs.getLong(i)); i += 1 }
+  }
+  def mergeFrom(o: VecSumBuf): Unit = {
+    if (o.dsums != null) {
+      if (dsums == null) dsums = o.dsums.clone()
+      else {
+        require(dsums.length == o.dsums.length, "vec_sum: dimension mismatch on merge")
+        var i = 0
+        while (i < dsums.length) { dsums(i) += o.dsums(i); i += 1 }
+      }
+    }
+    if (o.lsums != null) {
+      if (lsums == null) lsums = o.lsums.clone()
+      else {
+        require(lsums.length == o.lsums.length, "vec_sum_long: dimension mismatch on merge")
+        var i = 0
+        while (i < lsums.length) { lsums(i) = Math.addExact(lsums(i), o.lsums(i)); i += 1 }
+      }
+    }
+  }
+}
+
+/** Element-wise vector sum as a typed imperative aggregate — the k-means
+  * update step (and any centroid/mean-embedding computation) as ONE
+  * aggregation: `vec_sum(embedding)` per group shuffles a single
+  * dims-length array per (group, partition) thanks to partial
+  * aggregation, where the posexplode-and-regroup formulation shuffles
+  * dims x rows exploded rows — the difference between a map-side-combined
+  * agg and a corpus-sized shuffle at the 100 TB design point.
+  *
+  * `isLong = true`: array<long> in, array<long> out (fixed-point-scaled
+  * vectors) — integer addition is exact and overflow-checked, so the
+  * result is independent of partitioning / merge order: the determinism
+  * tier for oracle-checked centroids. `isLong = false`: array<double> in
+  * and out (the production path for float embeddings; float-sum order
+  * sensitivity is inherent). Empty/all-null input -> null.
+  */
+case class VecSumAgg(
+    child: Expression,
+    isLong: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumBuf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(if (isLong) LongType else DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): VecSumBuf = new VecSumBuf(null, null)
+
+  override def update(buf: VecSumBuf, input: InternalRow): VecSumBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (isLong) buf.addL(arr) else buf.addD(arr)
+    }
+    buf
+  }
+
+  override def merge(buf: VecSumBuf, other: VecSumBuf): VecSumBuf = {
+    buf.mergeFrom(other); buf
+  }
+
+  override def eval(buf: VecSumBuf): Any =
+    if (isLong) { if (buf.lsums == null) null else new GenericArrayData(buf.lsums) }
+    else { if (buf.dsums == null) null else new GenericArrayData(buf.dsums) }
+
+  override def serialize(buf: VecSumBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    if (isLong) {
+      val n = if (buf.lsums == null) -1 else buf.lsums.length
+      out.writeInt(n)
+      var i = 0
+      while (i < (if (n < 0) 0 else n)) { out.writeLong(buf.lsums(i)); i += 1 }
+    } else {
+      val n = if (buf.dsums == null) -1 else buf.dsums.length
+      out.writeInt(n)
+      var i = 0
+      while (i < (if (n < 0) 0 else n)) { out.writeDouble(buf.dsums(i)); i += 1 }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    if (n < 0) new VecSumBuf(null, null)
+    else if (isLong) {
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = in.readLong(); i += 1 }
+      new VecSumBuf(null, a)
+    } else {
+      val a = new Array[Double](n)
+      var i = 0
+      while (i < n) { a(i) = in.readDouble(); i += 1 }
+      new VecSumBuf(a, null)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = if (isLong) "vec_sum_long" else "vec_sum"
+}

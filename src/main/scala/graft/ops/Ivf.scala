@@ -80,6 +80,33 @@ object Ivf {
   }
 
   /** Literal array<struct<cid,cv>> of the centroid matrix. */
+  /** One DISTRIBUTED Lloyd iteration over the FULL corpus: assign every
+    * vector to its nearest current centroid (map-only expression), then
+    * recompute each cell's mean with the `vec_sum` aggregate — one
+    * map-side-combined shuffle of nlist × dims doubles per partition,
+    * never an exploded corpus. Use after [[trainCentroids]] when the
+    * driver-sample quantizer should be refined against all data: the
+    * sample bounds the driver memory, the refinement touches every
+    * vector but only ever aggregates.
+    *
+    * Empty cells keep their previous centroid (same stability rule as
+    * the in-driver loop).
+    */
+  def lloydStep(emb: DataFrame, vecCol: String,
+                centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    graft.functions.Registry.registerAll(emb.sparkSession)
+    val refined = emb
+      .select(cellOf(col(vecCol), centroids).as("cid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .groupBy(col("cid"))
+      .agg(call_function("vec_sum", col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"),
+        transform(col("s"), x => x / col("n")).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    Array.tabulate(centroids.length)(c => refined.getOrElse(c, centroids(c)))
+  }
+
   private def centroidLiteral(centroids: Array[Array[Double]]): Column =
     array(centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), array(c.map(lit(_)): _*).as("cv"))

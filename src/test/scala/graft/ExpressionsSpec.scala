@@ -112,6 +112,36 @@ class ExpressionsSpec extends GraftSuite {
     assert(distinctRaw == 2 && distinctNorm == 1)
   }
 
+  test("vec_sum / vec_sum_long: element-wise sums, nulls skipped, empty -> null") {
+    graft.functions.Registry.registerAll(spark)
+    val df = Seq(
+      (1, Some(Array(1.0, 2.0, 3.0))),
+      (1, Some(Array(0.5, 0.5, 0.5))),
+      (1, None),
+      (2, Some(Array(10.0, 20.0, 30.0)))
+    ).toDF("g", "v")
+    val r = df.groupBy("g")
+      .agg(call_function("vec_sum", col("v")).as("s"))
+      .orderBy("g").collect()
+    assert(r(0).getSeq[Double](1) == Seq(1.5, 2.5, 3.5))
+    assert(r(1).getSeq[Double](1) == Seq(10.0, 20.0, 30.0))
+    val rl = Seq((1, Array(1L, 2L)), (1, Array(3L, 4L))).toDF("g", "v")
+      .agg(call_function("vec_sum_long", col("v")).as("s")).collect()(0)
+    assert(rl.getSeq[Long](0) == Seq(4L, 6L))
+    val empty = Seq((1, Option.empty[Array[Double]])).toDF("g", "v")
+      .agg(call_function("vec_sum", col("v")).as("s")).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
+  test("vec_sum_long is partition-order independent (exact integer sums)") {
+    graft.functions.Registry.registerAll(spark)
+    val data = (1L to 4000L).map(i => Array(i, -i * 7, i * i))
+    def total(parts: Int) =
+      spark.sparkContext.parallelize(data, parts).toDF("v")
+        .agg(call_function("vec_sum_long", col("v"))).collect()(0).getSeq[Long](0)
+    assert(total(1) == total(13) && total(13) == total(32))
+  }
+
   test("topk_by agrees with window ranking on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.filter(col("vec_id") === 7)

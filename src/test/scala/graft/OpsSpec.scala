@@ -234,6 +234,31 @@ class OpsSpec extends GraftSuite {
     assert(ivf == ivf2)
   }
 
+  test("IVF lloydStep: distributed refinement equals per-cell means") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 4)
+    val refined = Ivf.lloydStep(emb, "embedding", cents)
+    assert(refined.length == 4 && refined.head.length == 64)
+    // hand-compute the expected mean of one occupied cell
+    val assigned = emb
+      .select(Ivf.cellOf(col("embedding"), cents).as("cid"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val byCell = assigned.groupBy(_._1)
+    byCell.foreach { case (cid, vs) =>
+      val mean = vs.map(_._2).transpose.map(xs => xs.sum / xs.length)
+      val got = refined(cid)
+      mean.toSeq.zip(got.toSeq).foreach { case (m, g) =>
+        assert(math.abs(m - g) < 1e-9, s"cell $cid mismatch")
+      }
+    }
+    // every cell id produced by assignment is within range; empty cells
+    // (if any) kept their previous centroid
+    (0 until 4).filterNot(byCell.contains).foreach { cid =>
+      assert(refined(cid).toSeq == cents(cid).toSeq)
+    }
+  }
+
   test("langId picks the dominant stopword language") {
     val r = TextAnalysis
     val out = docs.select(col("doc_id"), r.langId(col("text")).as("l"))
