@@ -1167,6 +1167,59 @@ object SparkEntry {
                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
          FROM t ORDER BY doc_id"""),
 
+    // TF-IDF characteristic terms per doc: three skew-proof equi-keyed
+    // shuffles + broadcast scalar N; deterministic tie-break by term
+    "t08_tfidf" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.tfidfTopTerms(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 5)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                     x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rank
+           FROM scored)
+         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+                round(score, 6) AS score
+         FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
+
+    // sliding-window token chunking (RAG shape): map-only expression
+    // trees, one row per (doc, chunk start); overlap = size - stride
+    "p03_chunk_overlap" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.chunkTokens(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            size = 20, stride = 15)
+          .orderBy(col("doc_id"), col("start"))
+      },
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks), 1), 15)) AS start
+               FROM t)
+         SELECT doc_id, CAST(start AS BIGINT) AS start,
+                array_to_string(toks[start:least(start + 19, len(toks))], ' ') AS chunk
+         FROM s ORDER BY doc_id, start"""),
+
     // deterministic train/val/test split: pure function of md5(doc_id),
     // reproducible across engines/runs/cluster sizes — the oracle
     // recomputes the same md5-prefix thresholds (0.8/0.1/0.1 -> hex

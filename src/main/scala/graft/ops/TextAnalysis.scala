@@ -152,4 +152,58 @@ object TextAnalysis {
         sequence(lit(0), size(hs) - w),
         i => xxhash64(slice(hs, i + lit(1), lit(w))))))
   }
+
+  /** Top-k characteristic terms per document by TF-IDF
+    * (tf × ln(N / df)). Three equi-keyed shuffles, all skew-proof:
+    * (doc, term) counts map-side combine, the term document-frequency
+    * agg collapses hot terms ("the") to one row per task before the
+    * network, and the per-doc ranking window partitions on doc id
+    * (bounded by a document's distinct terms, never the corpus). The
+    * corpus size joins in as a broadcast scalar. Deterministic: ties
+    * rank by ascending term.
+    *
+    * Output: (idCol, rank 1..k, term, score), score rounded to 6
+    * decimals for cross-engine comparability.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "\\W+"), x => x =!= "")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("N"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        (col("tf") * log(col("N").cast("double") / col("df"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Sliding-window token chunking (RAG/pretraining shape): tokenize,
+    * then emit one chunk per `stride` starting offset, `size` tokens
+    * long (the final chunks truncate at the document end; overlap =
+    * size - stride). Map-only — tokenization, offset generation and
+    * slicing are all expression trees over the row, no shuffle and no
+    * state, so chunking parallelizes perfectly at any corpus size.
+    * Empty documents produce one empty chunk ('' at start 1), keeping
+    * every input doc represented.
+    *
+    * Output: (idCol, start — 1-based token offset, chunk string).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  size: Int = 20, stride: Int = 15): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    df.select(col(idCol),
+        filter(split(lower(col(textCol)), "\\W+"), x => x =!= "").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1),
+          greatest(org.apache.spark.sql.functions.size(col("__toks")), lit(1)),
+          lit(stride))).as("__start"))
+      .select(col(idCol), col("__start").cast("long").as("start"),
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(size))).as("chunk"))
+  }
 }

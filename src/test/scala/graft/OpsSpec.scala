@@ -112,6 +112,33 @@ class OpsSpec extends GraftSuite {
     assert(pairs == eagerPairs)
   }
 
+  test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
+    val docs2 = Seq(
+      (1L, "zebra common common common"),
+      (2L, "common common apple"),
+      (3L, "common banana banana")
+    ).toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfTopTerms(docs2, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'common' appears in all 3 docs -> idf = ln(1) = 0; unique terms win
+    assert(top1 == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
+  }
+
+  test("chunkTokens: stride windows, tail truncation, empty docs kept") {
+    val docs2 = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 -> starts 1,3,5,7
+      (2L, ""),              // empty -> one '' chunk at start 1
+      (3L, "x y")            // shorter than size -> one truncated chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs2, "doc_id", "text", size = 3, stride = 2)
+      .orderBy("doc_id", "start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out === Array(
+      (1L, 1L, "a b c"), (1L, 3L, "c d e"), (1L, 5L, "e f g"), (1L, 7L, "g"),
+      (2L, 1L, ""),
+      (3L, 1L, "x y")))
+  }
+
   test("dedupAgainstReference equals the plain anti join even with a tiny bloom") {
     val ref = (0L until 200L).map(i => (i, s"ref doc $i")).toDF("doc_id", "text")
     val fresh = (150L until 400L).map(i => (i, s"ref doc $i")).toDF("doc_id", "text")
