@@ -63,6 +63,21 @@ object SmokeMain {
     val sig2 = spark.sql("select minhash_sig(array(3L,1L,2L), 8) s").collect()(0).getSeq[Long](0)
     println(s"order-invariant: ${sig1 == sig2}; sig=${sig1.mkString(",")}")
 
+    println("=== [4] round-5 functions: unicode_normalize / bloom / vec_sum ===")
+    val u = spark.sql(
+      """select unicode_normalize('café', 'NFC') nfc,
+                vec_sum_long(array(1L, 2L)) vs""").collect()(0)
+    println(s"nfc='${u.getString(0)}' vec_sum=${u.getSeq[Long](1).mkString(",")}")
+    val bfB = spark.sql(
+      "select bloom_agg(xxhash64(cast(id as string)), 100) b from range(50)")
+      .collect()(0).getAs[Array[Byte]](0)
+    val hits = spark.sql(
+      s"""select sum(cast(bloom_might_contain(
+            X'${bfB.map("%02x".format(_)).mkString}',
+            xxhash64(cast(id as string))) as int)) h from range(50)""")
+      .collect()(0).getLong(0)
+    println(s"bloom members hit: $hits/50")
+
     spark.stop()
     println("SMOKE OK")
   }
