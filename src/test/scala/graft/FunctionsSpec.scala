@@ -129,6 +129,23 @@ class FunctionsSpec extends GraftSuite {
     assert(one("cubeit(cast(3.0 as double))").getDouble(0) == 9.0)
   }
 
+  test("round-5 function error paths surface as analysis-time failures") {
+    graft.functions.Registry.registerAll(spark)
+    val bogusForm = intercept[Exception] {
+      spark.sql("select unicode_normalize('x', 'BOGUS')").collect()
+    }
+    assert(bogusForm.getMessage.contains("BOGUS") ||
+      bogusForm.getMessage.toLowerCase.contains("enum"))
+    val badArity = intercept[Exception] {
+      spark.sql("select vec_sum(array(1.0d), 2)").collect()
+    }
+    assert(badArity.getMessage.contains("vec_sum"))
+    val bloomArity = intercept[Exception] {
+      spark.sql("select bloom_agg(xxhash64('x'))").collect()
+    }
+    assert(bloomArity.getMessage.contains("bloom_agg"))
+  }
+
   test("minRollingFingerprint stable under distant edits, changed by near ones") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val b = a + " omega"                 // append far from the minimum window (may or may not change)

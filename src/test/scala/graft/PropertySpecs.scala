@@ -54,3 +54,28 @@ object Mix64Props extends Properties("Mix64") {
   property("injective on samples (no easy collisions)") =
     forAll { (x: Long, y: Long) => (x == y) == (Mix64.mix(x) == Mix64.mix(y)) }
 }
+
+object VecSumProps extends Properties("VecSumBuf") {
+  import graft.functions.VecSumBuf
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val vecs = Gen.listOf(Gen.listOfN(4, Gen.chooseNum(-1000000L, 1000000L)))
+
+  property("long sums are grouping- and merge-order independent (exact)") =
+    forAll(vecs, Gen.chooseNum(1, 7)) { (xs, splits) =>
+      def sumOf(groups: Seq[Seq[Seq[Long]]]): Seq[Long] = {
+        val bufs = groups.map { g =>
+          val b = new VecSumBuf(null, null)
+          g.foreach(v => b.addL(new GenericArrayData(v.toArray)))
+          b
+        }
+        val acc = new VecSumBuf(null, null)
+        bufs.foreach(acc.mergeFrom)
+        if (acc.lsums == null) Seq.empty else acc.lsums.toSeq
+      }
+      val flat = sumOf(Seq(xs))
+      val grouped = sumOf(xs.grouped(math.max(1, xs.length / splits)).toSeq)
+      val reversed = sumOf(xs.reverse.grouped(math.max(1, splits)).toSeq)
+      flat == grouped && flat == reversed
+    }
+}
