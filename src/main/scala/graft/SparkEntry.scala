@@ -1167,6 +1167,49 @@ object SparkEntry {
                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
          FROM t ORDER BY doc_id"""),
 
+    // composed cluster-curation pipeline: embedding near-dup pairs ->
+    // connected components -> keep one canonical doc per cluster ->
+    // normalize + token-count the survivors -> per-source rollup.
+    // The round-5 operators chained end-to-end under ONE oracle.
+    "p04_curate_clusters" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val pairs = graft.ops.Dedup.embeddingPairsExact(
+          emb, "vec_id", "embedding", threshold = 0.5)
+        val kept = graft.ops.Clustering.keepCanonical(docs, "doc_id", pairs)
+        kept.select(col("source"),
+            graft.ops.TextAnalysis.tokenCount(
+              call_function("unicode_normalize", col("text"))).as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).cast("bigint").as("sum_tokens"))
+          .orderBy(col("source"))
+      },
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         pr AS (
+           SELECT a.vec_id AS u, b.vec_id AS v
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.5),
+         ed AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+         reach(id, lab) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT g.v, r.lab FROM reach r JOIN ed g ON g.u = r.id),
+         comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         -- drop ONLY non-canonical cluster members; docs without an
+         -- embedding cannot be near-dup-checked and are kept (same
+         -- semantics as keepCanonical's singleton fill)
+         dropids AS (SELECT id FROM comp WHERE id <> cluster)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(regexp_extract_all(nfc_normalize(d.text), '\w+')))
+                     AS BIGINT) AS sum_tokens
+         FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM dropids x WHERE x.id = d.doc_id)
+         GROUP BY d.source ORDER BY d.source"""),
+
     // TF-IDF characteristic terms per doc: three skew-proof equi-keyed
     // shuffles + broadcast scalar N; deterministic tie-break by term
     "t08_tfidf" -> api(
