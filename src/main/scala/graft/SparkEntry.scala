@@ -1287,6 +1287,32 @@ object SparkEntry {
                FROM documents) t
          GROUP BY split ORDER BY split"""),
 
+    // weighted corpus mixing: up-weight English (1.4 -> one full epoch +
+    // a deterministic hash-sampled 0.4 remainder) and down-sample the
+    // rest to 0.5 — the oracle reproduces the md5-prefix thresholds
+    // exactly (floor(0.4*65536)=0x6666, floor(0.5*65536)=0x8000)
+    "sp03_weighted_mix" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Sampling.weightedMix(
+            Seq(docs.filter(col("lang") === "en") -> 1.4,
+              docs.filter(col("lang") =!= "en") -> 0.5), "doc_id")
+          .select(col("doc_id"), col("mix_epoch").cast("long").as("mix_epoch"))
+          .orderBy(col("doc_id"), col("mix_epoch"))
+      },
+      """SELECT doc_id, CAST(e AS BIGINT) AS mix_epoch FROM (
+           SELECT doc_id, 0 AS e FROM documents WHERE lang = 'en'
+           UNION ALL
+           SELECT doc_id, 1 FROM documents
+           WHERE lang = 'en'
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666'
+           UNION ALL
+           SELECT doc_id, 0 FROM documents
+           WHERE lang <> 'en'
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000') t
+         ORDER BY doc_id, mix_epoch"""),
+
     // per-group quota: cap any one source's contribution at 15 documents
     // (first 15 by n_chars asc, id asc; corpus has 25/source, so the cap
     // genuinely binds) — one shuffle on the group key
