@@ -1253,7 +1253,7 @@ object SparkEntry {
       },
       """WITH t AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '\W+'),
+                  list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
                               x -> x <> '') AS toks
            FROM documents),
          s AS (SELECT doc_id, toks,

@@ -69,6 +69,11 @@ object Dedup {
     val dig = xxhash64(col(textCol))
     val bloom = refDf.select(Registry.bloomAgg(dig, expectedItems, fpp).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    // an empty reference aggregates to a null sketch; nothing can be a
+    // duplicate of an empty corpus, so every new row passes through
+    // (a null literal would otherwise null out BOTH filter branches and
+    // silently drop the whole batch)
+    if (bloom == null) return newDf
     val might = Registry.bloomMightContain(lit(bloom), dig)
     val definitelyNew = newDf.filter(!might)
     val verified = newDf.filter(might)

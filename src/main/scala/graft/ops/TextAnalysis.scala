@@ -189,8 +189,10 @@ object TextAnalysis {
     * size - stride). Map-only — tokenization, offset generation and
     * slicing are all expression trees over the row, no shuffle and no
     * state, so chunking parallelizes perfectly at any corpus size.
-    * Empty documents produce one empty chunk ('' at start 1), keeping
-    * every input doc represented.
+    * Empty and null documents produce one empty chunk ('' at start 1),
+    * keeping every input doc represented (null text is treated as
+    * having no tokens — pinned here rather than left to the engines,
+    * whose null propagation through split/size/concat differs).
     *
     * Output: (idCol, start — 1-based token offset, chunk string).
     */
@@ -198,7 +200,8 @@ object TextAnalysis {
                   size: Int = 20, stride: Int = 15): DataFrame = {
     require(size > 0 && stride > 0, "size and stride must be positive")
     df.select(col(idCol),
-        filter(split(lower(col(textCol)), "\\W+"), x => x =!= "").as("__toks"))
+        filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+          x => x =!= "").as("__toks"))
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(1),
           greatest(org.apache.spark.sql.functions.size(col("__toks")), lit(1)),

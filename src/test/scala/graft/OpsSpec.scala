@@ -126,9 +126,10 @@ class OpsSpec extends GraftSuite {
 
   test("chunkTokens: stride windows, tail truncation, empty docs kept") {
     val docs2 = Seq(
-      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 -> starts 1,3,5,7
-      (2L, ""),              // empty -> one '' chunk at start 1
-      (3L, "x y")            // shorter than size -> one truncated chunk
+      (1L, Some("a b c d e f g")), // 7 tokens, size 3 stride 2 -> starts 1,3,5,7
+      (2L, Some("")),              // empty -> one '' chunk at start 1
+      (3L, Some("x y")),           // shorter than size -> one truncated chunk
+      (4L, None)                   // null text -> same as empty
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunkTokens(docs2, "doc_id", "text", size = 3, stride = 2)
       .orderBy("doc_id", "start")
@@ -136,7 +137,8 @@ class OpsSpec extends GraftSuite {
     assert(out === Array(
       (1L, 1L, "a b c"), (1L, 3L, "c d e"), (1L, 5L, "e f g"), (1L, 7L, "g"),
       (2L, 1L, ""),
-      (3L, 1L, "x y")))
+      (3L, 1L, "x y"),
+      (4L, 1L, "")))
   }
 
   test("dedupAgainstReference equals the plain anti join even with a tiny bloom") {
@@ -152,6 +154,14 @@ class OpsSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == want)
     assert(got == ((200L until 400L) :+ 999L).sorted.toSeq)
+  }
+
+  test("dedupAgainstReference with an empty reference keeps every new doc") {
+    val ref = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val fresh = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstReference(fresh, ref, "text", expectedItems = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
   }
 
   test("bloom_agg / bloom_might_contain SQL surface: no false negatives") {
