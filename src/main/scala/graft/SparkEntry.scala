@@ -874,7 +874,10 @@ object SparkEntry {
     "s03_ann_ivf" -> noOracle((s, dir) => {
       Registry.registerAll(s)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      val cents = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+      // driver-sample k-means, then one DISTRIBUTED Lloyd pass over the
+      // full corpus (vec_sum aggregate) — the 100 TB refinement shape
+      val coarse = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+      val cents = graft.ops.Ivf.lloydStep(emb, "embedding", coarse)
       graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, cents, nprobe = 4)
         .orderBy(col("probe_id"), col("rank"))
