@@ -883,6 +883,42 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // bucketed range join: lineitems shipped within 7 days of their
+    // window-order's date — an equi-join on quantized day buckets +
+    // residual BETWEEN, where naive Spark would nested-loop. Oracled
+    // against DuckDB's native range join.
+    "j06_range_join" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val epoch = lit("1970-01-01")
+        val points = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(datediff(col("l_shipdate"), epoch).cast("long").as("t"),
+            col("l_quantity"))
+        val intervals = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+          .withColumn("hi", col("lo") + 7)
+        graft.ops.RangeJoin.bucketedRangeJoin(points, "t", intervals, "lo", "hi",
+            width = 8)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_shipped"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sq"),
+            min(col("t")).as("first_day"))
+          .orderBy(col("o_orderkey"))
+      },
+      """WITH l AS (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS t,
+                         l_quantity
+                  FROM lineitem),
+         o AS (SELECT o_orderkey,
+                      CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo
+               FROM orders WHERE o_totalprice > 400000)
+         SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                CAST(min(l.t) AS BIGINT) AS first_day
+         FROM l JOIN o ON l.t BETWEEN o.lo AND o.lo + 7
+         GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""),
+
     // approximate ANN: multi-probe sign-bit LSH (recall-bounded, no oracle)
     "s02_ann_lsh" -> noOracle((s, dir) => {
       Registry.registerAll(s)

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-safe range join. Spark plans a plain
+  * `point BETWEEN lo AND hi` join as a broadcast-nested-loop (or worse,
+  * a cartesian) — O(|points| × |intervals|) compute that no cluster
+  * size survives. The standard fix, packaged as an operator: quantize
+  * the range dimension into width-`W` buckets, explode each interval to
+  * the buckets it covers, equi-join points (which live in exactly one
+  * bucket) to interval-buckets, and re-check the exact range predicate
+  * on the matches.
+  *
+  * Correctness: an interval covers a point iff the point's bucket is
+  * among the interval's covered buckets, so the equi-join loses nothing;
+  * the residual predicate removes same-bucket near-misses; and because a
+  * point has exactly ONE bucket, no pair can match twice — no distinct
+  * needed.
+  *
+  * Scale shape (100 TB): one hash shuffle on the bucket key each side.
+  * Interval explosion is ceil(len/W)+1 rows per interval — pick W near
+  * the typical interval length so explosion is ~2x and buckets stay
+  * selective; hot buckets (many co-located points/intervals) are split
+  * by AQE skew handling like any equi-join. The residual runs codegen'd
+  * inside the join.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` to `intervals` where
+    * `points(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`.
+    * All three columns must be numeric (cast dates to day numbers with
+    * `datediff`); rows with null bounds/points drop (SQL BETWEEN
+    * semantics). Output: all columns of both inputs.
+    */
+  def bucketedRangeJoin(points: DataFrame, pointCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val pb = points.withColumn("__rb", floor(col(pointCol) / width))
+    val ib = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__rb",
+        explode(sequence(floor(col(loCol) / width), floor(col(hiCol) / width))))
+    pb.join(ib, Seq("__rb"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__rb")
+  }
+}

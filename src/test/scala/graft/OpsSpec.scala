@@ -112,6 +112,31 @@ class OpsSpec extends GraftSuite {
     assert(pairs == eagerPairs)
   }
 
+  test("bucketedRangeJoin equals the naive range join on random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(300)(rnd.nextInt(1000).toLong).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+    val ivs = Seq.fill(40)((rnd.nextInt(1000).toLong, rnd.nextInt(60).toLong))
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("iid", "lo", "hi")
+    for (width <- Seq(1L, 8L, 64L, 5000L)) {
+      val got = RangeJoin.bucketedRangeJoin(pts, "t", ivs, "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = pts.join(ivs, col("t") >= col("lo") && col("t") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"width $width")
+    }
+  }
+
+  test("bucketedRangeJoin drops inverted intervals and null bounds") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((1L, Some(10L), Some(0L)), (2L, None, Some(9L)), (3L, Some(0L), Some(9L)))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.bucketedRangeJoin(pts, "t", ivs, "lo", "hi", 4)
+      .select("iid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L))
+  }
+
   test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
     val docs2 = Seq(
       (1L, "zebra common common common"),

@@ -82,6 +82,12 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("Window"), "expected a window operator in p02")
   }
 
+  test("j06 range join: equi-join on buckets, never a nested loop") {
+    val p = planOf("j06_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must not plan a nested loop:\n$p")
+  }
+
   test("d08 clustering output: equi-joins only in the final assembly") {
     // executedPlan of the RETURNED frame (post-iteration); the singleton
     // fill must be an equi join on the id, never a nested loop
