@@ -1249,6 +1249,31 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM dropids x WHERE x.id = d.doc_id)
          GROUP BY d.source ORDER BY d.source"""),
 
+    // per-group quantile quality gate: keep docs at/above their
+    // language's median length — exact interpolated percentile
+    // (Spark `percentile` ≡ DuckDB `quantile_cont`, verified
+    // bit-identical including interpolated halves), thresholds join
+    // back as a broadcast (one row per language)
+    "p05_quantile_gate" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val med = docs.groupBy(col("lang"))
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        docs.join(broadcast(med), "lang")
+          .filter(col("n_chars") >= col("med"))
+          .groupBy(col("lang"), col("med"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("mn"))
+          .orderBy(col("lang"))
+      },
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+                    FROM documents GROUP BY lang)
+         SELECT d.lang, m.med, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(min(d.doc_id) AS BIGINT) AS mn
+         FROM documents d JOIN m USING (lang)
+         WHERE d.n_chars >= m.med
+         GROUP BY d.lang, m.med ORDER BY d.lang"""),
+
     // TF-IDF characteristic terms per doc: three skew-proof equi-keyed
     // shuffles + broadcast scalar N; deterministic tie-break by term
     "t08_tfidf" -> api(
