@@ -895,7 +895,7 @@ object SparkEntry {
           .select(datediff(col("l_shipdate"), epoch).cast("long").as("t"),
             col("l_quantity"))
         val intervals = s.read.parquet(s"$dir/orders.parquet")
-          .filter(col("o_totalprice") > 400000)
+          .filter(col("o_totalprice") > 497000)
           .select(col("o_orderkey"),
             datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
           .withColumn("hi", col("lo") + 7)
@@ -912,7 +912,7 @@ object SparkEntry {
                   FROM lineitem),
          o AS (SELECT o_orderkey,
                       CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo
-               FROM orders WHERE o_totalprice > 400000)
+               FROM orders WHERE o_totalprice > 497000)
          SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped,
                 CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
                 CAST(min(l.t) AS BIGINT) AS first_day
