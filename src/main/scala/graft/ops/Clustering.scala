@@ -16,7 +16,12 @@ object Clustering {
 
   /** Connected components over an undirected pair list.
     *
-    * Algorithm: min-label propagation with path doubling. Each round
+    * Algorithm: min-label propagation with path doubling (pointer
+    * jumping) — the simpler cousin of the alternating small-star /
+    * large-star family (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014; public algorithm), chosen
+    * because each round maps to two plain equi-joins + one aggregate
+    * that Catalyst plans with map-side partial min. Each round
     * every node takes the minimum label among itself and its neighbors
     * (one shuffle: edges ⋈ labels, groupBy node), then shortcuts
     * label := label(label) (one self-join), which squares the distance
