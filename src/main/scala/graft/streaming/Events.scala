@@ -23,6 +23,50 @@ case class BandFlag(doc_id: Long, band: Int, dup_of: Long)
   */
 case class DupVerdict(doc_id: Long, owner_id: Long, is_dup: Boolean)
 
+/** transformWithState processor backing [[Events.streamingSessionizeTws]]:
+  * per-user (lastTs, seq) ValueState plus ONE event-time timer at
+  * lastTs + gap. When the watermark passes the timer, no in-order event
+  * can extend the session — state is CLEARED, so per-user state lives
+  * only while the user is active plus one gap (the boundedness the
+  * NoTimeout flatMapGroupsWithState variant cannot offer). Trade-off,
+  * documented: a user who returns after state reclamation restarts
+  * session numbering at 1.
+  */
+class SessionizeTwsProcessor(gapMicros: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Long, Long), SessionOut] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessState]("sess",
+      org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+      timers: TimerValues): Iterator[SessionOut] = {
+    val sorted = rows.toArray.sortBy(t => (t._3, t._4))
+    var s = if (st.exists()) st.get() else SessState(Long.MinValue, 0L)
+    val out = sorted.map { case (_, _, tsu, eid) =>
+      val fresh = s.lastTsMicros == Long.MinValue || tsu - s.lastTsMicros > gapMicros
+      s = SessState(tsu, if (fresh) s.seq + 1 else s.seq)
+      SessionOut(userId, eid, s.seq)
+    }
+    st.update(s)
+    // single live timer per user: re-arm at the new session horizon
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(s.lastTsMicros / 1000 + gapMicros / 1000)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(userId: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessionOut] = {
+    st.clear()
+    Iterator.empty
+  }
+}
+
 /** transformWithState processor backing [[Events.streamingDedupOwners]]:
   * one ValueState[Long] (owner id) per distinct content digest.
   * TTLConfig controls state eviction — pass a duration to bound state on
@@ -165,6 +209,32 @@ object Events {
       if (withinWatermark) hashed.dropDuplicatesWithinWatermark("__content_hash")
       else hashed.dropDuplicates("__content_hash")
     dedup.drop("__content_hash")
+  }
+
+  /** Sessionization on the arbitrary-state v2 API with BOUNDED state:
+    * same per-user gap semantics as [[streamingSessionize]], but an
+    * event-time timer clears each user's state once the watermark
+    * passes lastTs + gap (see [[SessionizeTwsProcessor]]). Requires the
+    * RocksDB state store provider and an event-time watermark (set
+    * here). Gap comparisons run on exact micros; the timer fires at ms
+    * granularity (Spark's timer unit).
+    */
+  def streamingSessionizeTws(events: DataFrame, gapMinutes: Int,
+                             watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("tsu"), col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionizeTwsProcessor(gapMicros),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exact dedup on the arbitrary-state v2 API

@@ -670,6 +670,48 @@ class OpsSpec extends GraftSuite {
     assert(streamed == batch)
   }
 
+  test("streamingSessionizeTws agrees with batch and clears state after the gap") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "target/tmp/sess_tws_in"
+      def ev(rows: Seq[(Long, Long, String)]) = rows
+        .toDF("event_id", "user_id", "s")
+        .withColumn("ts", col("s").cast("timestamp")).drop("s")
+      // batch 1: two sessions for user 10 (65-min gap)
+      ev(Seq((1L, 10L, "2024-01-01 00:00:00"), (2L, 10L, "2024-01-01 00:10:00"),
+          (3L, 10L, "2024-01-01 01:15:00")))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val q = graft.streaming.Events.streamingSessionizeTws(
+          spark.readStream.schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(dir),
+          gapMinutes = 30, watermark = "0 seconds")
+        .writeStream.outputMode("append").format("memory").queryName("sesstws").start()
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark way past user
+      // 10's horizon; its own session for user 11
+      ev(Seq((4L, 11L, "2024-01-02 00:00:00")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // batch 3: user 10 returns AFTER state reclamation -> seq restarts at 1
+      ev(Seq((5L, 10L, "2024-01-02 00:05:00")))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sesstws")
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(got(1L) == 1L && got(2L) == 1L) // same session
+      assert(got(3L) == 2L)                  // gap -> second session
+      assert(got(4L) == 1L)                  // other user independent
+      assert(got(5L) == 1L, "state must have been reclaimed -> numbering restarts")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize: seq starts at 1 and increments only on gaps") {
     val ev = Seq(
       (1L, 10L, "2024-01-01 00:00:00"),
