@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.api.Table
 import graft.functions.Registry
@@ -54,6 +54,38 @@ object SparkEntry {
       }
       s.sql(sql)
     }, Some(sql))
+
+  /** Deterministic planar rotation by angle acos(c): rotates each
+    * (odd, even) coordinate pair, so cos(v, rot(v)) == c exactly (a
+    * rotation preserves the norm and the paired inner products sum to
+    * c·|v|²). Used by d08/p04 to plant near-duplicate chains in-query —
+    * the same construction runs on the DuckDB oracle side — because the
+    * synthetic embedding corpus has no natural high-cosine pairs (max
+    * pairwise cosine ≈ 0.66 at sf0.1). With c = 0.94, adjacent chain
+    * links sit at cosine 0.94 (> the 0.9 dedup threshold) while
+    * link-skipping pairs sit at 2c²−1 ≈ 0.767 (< threshold), so
+    * clustering must rely on transitive closure, not direct edges.
+    */
+  private def rotVec(v: Column, c: Double): Column = {
+    val s = math.sqrt(1.0 - c * c)
+    transform(v, (x, j) =>
+      when(j % 2 === 0 && j < size(v) - 1,
+        lit(c) * x - lit(s) * element_at(v, j + lit(2)))
+        .when(j % 2 === 1, lit(s) * element_at(v, j) + lit(c) * x)
+        .otherwise(x))
+  }
+
+  /** The DuckDB spelling of [[rotVec]] over a DOUBLE[] column named `col`
+    * (1-based list indexing; identical IEEE operation order, so planted
+    * cosines agree across engines to the last ulp).
+    */
+  private def rotSql(colName: String): String =
+    s"""list_transform(generate_series(1, len($colName)), i ->
+          CASE WHEN i % 2 = 1 AND i < len($colName)
+                 THEN 0.94*$colName[i] - sqrt(1 - 0.94*0.94)*$colName[i+1]
+               WHEN i % 2 = 0
+                 THEN sqrt(1 - 0.94*0.94)*$colName[i-1] + 0.94*$colName[i]
+               ELSE $colName[i] END)"""
 
   // ----------------------------------------------------------------------
   // Reference-parity surface (SURVEY §2) — q…
@@ -781,31 +813,54 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
          ORDER BY id_a, id_b"""),
 
-    // duplicate-cluster resolution: connected components over the d07
-    // exact pair list (min-label propagation + path doubling on the
-    // Spark side; recursive-CTE min-reachable-id on the oracle side) —
-    // the pairs -> clusters -> canonical-representative step a dedup
-    // pipeline needs to keep exactly one doc per duplicate cluster
+    // duplicate-cluster resolution at the 100 TB shape: banded sign-bit
+    // LSH candidates (equi-join, never a cross join) + exact cosine
+    // verify -> connected components (min-label propagation + path
+    // doubling on the Spark side; recursive-CTE min-reachable-id on the
+    // oracle side). The corpus has no natural near-dups (max pairwise
+    // cosine ~0.66), so both engines plant 3-node rotation CHAINS for
+    // every vec_id % 10 == 0: v -- rot(v) -- rot(rot(v)) with adjacent
+    // cosine 0.94 and endpoint cosine 2*0.94^2-1 ~ 0.767 < 0.9, so the
+    // cluster only closes through transitive propagation. The banding
+    // (12 bits x 48 bands) gives a 0.94-cosine edge miss probability
+    // 1.5e-6; the oracle enumerates pairs exhaustively, so a green hash
+    // IS the recall=1 proof. d07 stays the exhaustive-anchor query.
     "d08_dup_clusters" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        val pairs = graft.ops.Dedup.embeddingPairsExact(
-          emb, "vec_id", "embedding", threshold = 0.35)
-        graft.ops.Clustering.connectedComponents(emb, "vec_id", pairs)
+        val base = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val r1 = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            rotVec(col("v"), 0.94).as("v"))
+        val r2 = r1.select((col("vec_id") + 1000000L).as("vec_id"),
+          rotVec(col("v"), 0.94).as("v"))
+        val u = base.unionByName(r1).unionByName(r2)
+        val pairs = graft.ops.Dedup.embeddingPairsBanded(
+          u, "vec_id", "v", rowBits = 12, bands = 48, threshold = 0.9)
+        graft.ops.Clustering.connectedComponents(u, "vec_id", pairs)
           .orderBy(col("vec_id"))
       },
-      """WITH RECURSIVE e AS (
-           SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+      s"""WITH RECURSIVE base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         r1 AS (
+           SELECT vec_id + 1000000 AS vec_id, ${rotSql("v")} AS v
+           FROM base WHERE vec_id % 10 = 0),
+         r2 AS (
+           SELECT vec_id + 1000000 AS vec_id, ${rotSql("v")} AS v
+           FROM r1),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM r1
+               UNION ALL SELECT * FROM r2),
          pairs AS (
-           SELECT a.vec_id AS u, b.vec_id AS v
-           FROM e a JOIN e b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35),
-         edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           SELECT a.vec_id AS pu, b.vec_id AS pv
+           FROM u a JOIN u b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+         edges AS (SELECT pu AS eu, pv AS ev FROM pairs
+                   UNION ALL SELECT pv, pu FROM pairs),
          reach(id, lab) AS (
-           SELECT vec_id, vec_id FROM embeddings
+           SELECT vec_id, vec_id FROM u
            UNION
-           SELECT g.v, r.lab FROM reach r JOIN edges g ON g.u = r.id),
+           SELECT g.ev, r.lab FROM reach r JOIN edges g ON g.eu = r.id),
          comp AS (SELECT id AS vec_id, min(lab) AS cluster
                   FROM reach GROUP BY id)
          SELECT vec_id, cluster, (vec_id = cluster) AS is_canonical
@@ -816,7 +871,9 @@ object SparkEntry {
     // order-independent — fully oracled against a DuckDB unnest+regroup
     // computation. The k-means update step as ONE map-side-combined agg
     // (one dims-length array per group per partition shuffles, vs
-    // dims x rows for the explode-and-regroup formulation).
+    // dims x rows for the explode-and-regroup formulation). Gated output
+    // is posexploded to scalar (label, n, dim, value) rows: the driver
+    // comparator sorts/hashes scalar columns only (no array types).
     "s04_centroids" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -827,10 +884,11 @@ object SparkEntry {
           .groupBy(col("label"))
           .agg(call_function("vec_sum_long", col("q")).as("sq"),
             count(lit(1)).as("n"))
+          .select(col("label"), col("n"), posexplode(col("sq")))
           .select(col("label"), col("n"),
-            transform(col("sq"),
-              x => x.cast("double") / (col("n") * lit(1.0e9))).as("centroid"))
-          .orderBy(col("label"))
+            (col("pos") + lit(1)).cast("long").as("dim"),
+            (col("col").cast("double") / (col("n") * lit(1.0e9))).as("value"))
+          .orderBy(col("label"), col("dim"))
       },
       """WITH e AS (SELECT label, embedding::DOUBLE[] emb FROM embeddings),
          x AS (SELECT label,
@@ -841,9 +899,10 @@ object SparkEntry {
                FROM x GROUP BY label, i),
          n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
          SELECT CAST(s.label AS BIGINT) AS label, n.n AS n,
-                list(CAST(s.sq AS DOUBLE) / (n.n * 1e9) ORDER BY s.i) AS centroid
+                CAST(s.i AS BIGINT) AS dim,
+                CAST(s.sq AS DOUBLE) / (n.n * 1e9) AS value
          FROM s JOIN n USING (label)
-         GROUP BY s.label, n.n ORDER BY label"""),
+         ORDER BY label, dim"""),
 
     // exact ANN baseline: brute-force cosine top-k with the bounded-heap
     // topk_by aggregate — full oracle (cosine verified bit-identical)
@@ -1206,17 +1265,29 @@ object SparkEntry {
                 CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len
          FROM t ORDER BY doc_id"""),
 
-    // composed cluster-curation pipeline: embedding near-dup pairs ->
+    // composed cluster-curation pipeline: banded LSH near-dup pairs ->
     // connected components -> keep one canonical doc per cluster ->
     // normalize + token-count the survivors -> per-source rollup.
-    // The round-5 operators chained end-to-end under ONE oracle.
+    // Round-5/6 operators chained end-to-end under ONE oracle. Unlike
+    // d08 (which unions synthetic ids), the plant here REPLACES the
+    // embedding of every vec_id % 10 == 1 with a rotation of its
+    // predecessor's vector, so the near-dup pairs land on REAL doc ids
+    // and keepCanonical genuinely drops documents from the rollup.
     "p04_curate_clusters" -> api(
       (s, dir) => {
         Registry.registerAll(s)
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        val pairs = graft.ops.Dedup.embeddingPairsExact(
-          emb, "vec_id", "embedding", threshold = 0.5)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val prev = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1L).as("vec_id"),
+            rotVec(col("v"), 0.94).as("pv"))
+        val planted = emb.join(prev, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("vec_id") % 10 === 1 && col("pv").isNotNull, col("pv"))
+              .otherwise(col("v")).as("v"))
+        val pairs = graft.ops.Dedup.embeddingPairsBanded(
+          planted, "vec_id", "v", rowBits = 12, bands = 48, threshold = 0.9)
         val kept = graft.ops.Clustering.keepCanonical(docs, "doc_id", pairs)
         kept.select(col("source"),
             graft.ops.TextAnalysis.tokenCount(
@@ -1226,24 +1297,32 @@ object SparkEntry {
             sum(col("nt")).cast("bigint").as("sum_tokens"))
           .orderBy(col("source"))
       },
-      """WITH RECURSIVE e AS (
-           SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+      s"""WITH RECURSIVE base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         prev AS (
+           SELECT vec_id + 1 AS vec_id, ${rotSql("v")} AS pv
+           FROM base WHERE vec_id % 10 = 0),
+         planted AS (
+           SELECT b.vec_id,
+                  CASE WHEN b.vec_id % 10 = 1 AND prev.pv IS NOT NULL
+                       THEN prev.pv ELSE b.v END AS v
+           FROM base b LEFT JOIN prev USING (vec_id)),
          pr AS (
-           SELECT a.vec_id AS u, b.vec_id AS v
-           FROM e a JOIN e b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.emb, b.emb) >= 0.5),
-         ed AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr),
+           SELECT a.vec_id AS cu, b.vec_id AS cv
+           FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+         ed AS (SELECT cu, cv FROM pr UNION ALL SELECT cv, cu FROM pr),
          reach(id, lab) AS (
            SELECT vec_id, vec_id FROM embeddings
            UNION
-           SELECT g.v, r.lab FROM reach r JOIN ed g ON g.u = r.id),
+           SELECT g.cv, r.lab FROM reach r JOIN ed g ON g.cu = r.id),
          comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
          -- drop ONLY non-canonical cluster members; docs without an
          -- embedding cannot be near-dup-checked and are kept (same
          -- semantics as keepCanonical's singleton fill)
          dropids AS (SELECT id FROM comp WHERE id <> cluster)
          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(len(regexp_extract_all(nfc_normalize(d.text), '\w+')))
+                CAST(sum(len(regexp_extract_all(nfc_normalize(d.text), '\\w+')))
                      AS BIGINT) AS sum_tokens
          FROM documents d
          WHERE NOT EXISTS (SELECT 1 FROM dropids x WHERE x.id = d.doc_id)

@@ -408,6 +408,50 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Banded random-hyperplane LSH near-duplicate pairs: `bands`
+    * independent sign-bit keys of `rowBits` hyperplanes each (seeded
+    * `seed + band`), one equi-join on (band, key), candidate dedup, then
+    * exact cosine verification — the embedding analog of
+    * [[minhashPairs]], replacing the single-bucket [[embeddingPairs]]
+    * when recall at the target threshold must be ~1.
+    *
+    * A pair at cosine c matches one band with probability
+    * p(c)^rowBits where p(c) = 1 - acos(c)/pi, so candidate recall is
+    * 1 - (1 - p(c)^rowBits)^bands. The defaults (12, 48) give a c=0.94
+    * pair 1 - 1.5e-6 recall while a random (c~0) pair collides on only
+    * 48/2^12 = 1.2% of bands — candidates stay proportional to true
+    * near-dups plus that floor. At larger n, grow rowBits ~ log2(n) to
+    * hold per-bucket occupancy constant and add bands to restore recall:
+    * the join stays a shuffle-partitioned equi-join, never a cross join.
+    * Output: (id_a, id_b, cosine), id_a < id_b, cosine >= threshold.
+    */
+  def embeddingPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                           rowBits: Int = 12, bands: Int = 48,
+                           threshold: Double = 0.9,
+                           seed: Long = Registry.DefaultSeed): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // one sign_bits expression per band (seeds must be literals so the
+    // hyperplanes are fixed at plan time); posexplode turns the static
+    // array into (band, bhash) rows
+    val bandArr = array((0 until bands).map(b =>
+      call_function("sign_bits", col("v"), lit(rowBits), lit(seed + b))): _*)
+    val banded = v.select(col("id"),
+      posexplode(bandArr).as(Seq("band", "bhash")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("cosine_sim", col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exhaustive embedding near-duplicate pairs: every (id_a < id_b) pair
     * with cosine >= threshold, no bucketing. O(n²) BY DESIGN — this is
     * the exactness anchor for [[embeddingPairs]] (which trades recall for

@@ -251,6 +251,35 @@ class OpsSpec extends GraftSuite {
     assert(bucketed.subsetOf(exact))
   }
 
+  test("embeddingPairsBanded equals embeddingPairsExact on planted rotations") {
+    // real corpus + planted rotation chains (the d08 construction): banded
+    // LSH candidates + exact verify must reproduce the exhaustive pair set
+    // exactly — recall 1 at the 0.9 threshold with the default banding
+    val c = 0.94
+    val s = math.sqrt(1.0 - c * c)
+    def rot(v: Array[Double]): Array[Double] =
+      v.indices.toArray.map { j =>
+        if (j % 2 == 0 && j < v.length - 1) c * v(j) - s * v(j + 1)
+        else if (j % 2 == 1) s * v(j - 1) + c * v(j)
+        else v(j)
+      }
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val planted = base ++
+      base.filter(_._1 % 10 == 0).map { case (id, v) => (id + 1000000L, rot(v)) } ++
+      base.filter(_._1 % 10 == 0).map { case (id, v) => (id + 2000000L, rot(rot(v))) }
+    val df = planted.toSeq.toDF("vec_id", "v")
+    def pairSet(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingPairsExact(df, "vec_id", "v", threshold = 0.9))
+    val banded = pairSet(Dedup.embeddingPairsBanded(df, "vec_id", "v",
+      rowBits = 12, bands = 48, threshold = 0.9))
+    assert(exact.nonEmpty, "planting produced no near-dup pairs")
+    assert(banded == exact,
+      s"banded != exact; missed=${exact -- banded} extra=${banded -- exact}")
+  }
+
   test("embeddingPairs finds planted near-identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),

@@ -93,5 +93,18 @@ class PlanSpec extends GraftSuite {
     // fill must be an equi join on the id, never a nested loop
     val p = planOf("d08_dup_clusters")
     assert(!p.contains("CartesianProduct"), "cartesian in d08 assembly")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop in d08 assembly")
+  }
+
+  test("banded embedding pairs: equi-joins only, never a nested loop") {
+    // the pair generator feeding d08/p04's connected components (its plan
+    // hides behind the CC localCheckpoint, so pin the generator directly)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Dedup.embeddingPairsBanded(
+        emb, "vec_id", "embedding", rowBits = 12, bands = 48, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in banded pair plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in banded pair plan:\n$p")
   }
 }

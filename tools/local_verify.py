@@ -79,6 +79,19 @@ def cell_equal(a, b):
 
 def check(name, got_tbl, want_tbl):
     """Returns (ok, why)."""
+    # The driver's comparator sorts/hashes with pandas and cannot handle
+    # nested (list/struct/map) output columns — it crashes, which counts
+    # as a red row (round-5 lesson: s04_centroids). Fail them here so the
+    # local gate predicts the driver. Gated outputs must be scalar:
+    # BIGINT / DOUBLE / STRING / BOOLEAN / DATE (+ q15-proven timestamps).
+    import pyarrow.types as pt
+    for tbl, side in ((got_tbl, "spark"), (want_tbl, "duck")):
+        nested = [f.name for f in tbl.schema
+                  if pt.is_nested(f.type)]
+        if nested:
+            return False, f"nested output columns ({side}): {nested} — " \
+                "driver comparator cannot sort/hash list/struct; " \
+                "explode to scalar rows"
     gcols, wcols = sorted(got_tbl.column_names), sorted(want_tbl.column_names)
     if gcols != wcols:
         return False, f"schema: spark={gcols} duck={wcols}"
