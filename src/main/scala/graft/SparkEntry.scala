@@ -424,6 +424,19 @@ object SparkEntry {
                   'x' || '-' || 'y' AS cc"""))
       : (QFn, Option[String])),
 
+    // select-list alias referenced in WHERE — the reference binder
+    // substitutes select aliases into WHERE (vinum/planner/binder.py:
+    // 100-132); Spark resolves aliases in GROUP BY/HAVING/ORDER BY but
+    // not WHERE, so Dialect.aliasesIntoWhere inlines the expression.
+    // DuckDB supports lateral aliases in WHERE natively: same text runs
+    // on both engines.
+    "q25_alias_where" -> same("lineitem",
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) AS revenue
+         FROM lineitem
+         WHERE revenue > 90000.0 AND l_orderkey % 2 = 1
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax"""),
+
     // ------------------------------------------------------------------
     // Capability extensions beyond the reference (SURVEY §2.3/2.5/2.7:
     // joins, windows, set ops, subqueries are absent in vinum; Spark-first

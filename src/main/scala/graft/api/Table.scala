@@ -21,23 +21,29 @@ final class Table private (val df: DataFrame) {
   def spark: SparkSession = df.sparkSession
 
   /** Run a SQL query against this table. The first FROM identifier is bound
-    * to this table's data; dialect rewrites (np.*, `#` xor) are applied and
-    * output columns are renamed to the reference's naming policy (function
-    * name / col_N / _1-dedup — [[graft.sql.OutputNames]]).
+    * to this table's data; dialect rewrites (np.*, `#` xor, select-alias
+    * substitution into WHERE) are applied and output columns are renamed
+    * to the reference's naming policy (function name / col_N / _1-dedup —
+    * [[graft.sql.OutputNames]]).
     *
     * The receiver is bound via a session temp view named after the FROM
     * identifier (reference semantics: the FROM name is notional,
-    * vinum/api/table.py:219-220). Concurrent `sql` calls in ONE session
-    * that use the same FROM name race on that view — use distinct FROM
-    * names (or sessions) for concurrent queries; the returned Table's
-    * plan is resolved eagerly, so earlier results are never affected.
+    * vinum/api/table.py:219-220). Concurrent `sql` calls are safe: the
+    * view bind + analysis run under a lock and the plan is resolved
+    * eagerly inside it, so a concurrent call re-binding the same FROM
+    * name can never leak its data into this query.
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    val q = Dialect.orderByNullsLast(Dialect.rewrite(query))
+    val q = Dialect.orderByNullsLast(
+      Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
     val view = Dialect.firstFromTable(q).getOrElse("t")
-    df.createOrReplaceTempView(view)
-    val out = spark.sql(q)
+    val out = Table.bindLock.synchronized {
+      df.createOrReplaceTempView(view)
+      val o = spark.sql(q)
+      o.queryExecution.assertAnalyzed() // snapshot the view NOW, inside the lock
+      o
+    }
     graft.sql.OutputNames.vinumNames(spark.sessionState.sqlParser.parsePlan(q)) match {
       case Some(names) if names.length == out.columns.length =>
         new Table(out.toDF(names: _*))
@@ -66,6 +72,13 @@ final class Table private (val df: DataFrame) {
 }
 
 object Table {
+
+  /** Serializes temp-view bind + analysis in [[Table.sql]]. Analysis
+    * resolves the FROM name to a snapshot of the receiver's plan, so once
+    * a query is analyzed the view may be re-bound freely; the lock only
+    * covers that short resolution window.
+    */
+  private[api] val bindLock = new Object
 
   def apply(df: DataFrame): Table = new Table(df)
 

@@ -15,7 +15,10 @@ package graft.sql
   */
 object Dialect {
 
-  /** Apply all dialect rewrites. Quote-aware single pass. */
+  /** Apply all dialect rewrites. Quote- and comment-aware single pass:
+    * text inside '...' / "..." / `...` and inside `--` line or `/* */`
+    * block comments passes through untouched.
+    */
   def rewrite(sql: String): String = {
     val out = new StringBuilder(sql.length + 8)
     var i = 0
@@ -23,6 +26,8 @@ object Dialect {
     var inSingle = false // '...' string literal ('' escapes)
     var inDouble = false // "..." quoted identifier
     var inBack = false   // `...` quoted identifier (Spark)
+    var inLine = false   // -- line comment
+    var inBlock = false  // /* */ block comment
     while (i < n) {
       val c = sql.charAt(i)
       if (inSingle) {
@@ -31,10 +36,20 @@ object Dialect {
         out.append(c); if (c == '"') inDouble = false; i += 1
       } else if (inBack) {
         out.append(c); if (c == '`') inBack = false; i += 1
+      } else if (inLine) {
+        out.append(c); if (c == '\n') inLine = false; i += 1
+      } else if (inBlock) {
+        if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+          out.append("*/"); inBlock = false; i += 2
+        } else { out.append(c); i += 1 }
       } else c match {
         case '\'' => inSingle = true; out.append(c); i += 1
         case '"'  => inDouble = true; out.append(c); i += 1
         case '`'  => inBack = true; out.append(c); i += 1
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          inLine = true; out.append("--"); i += 2
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          inBlock = true; out.append("/*"); i += 2
         case '#'  => out.append('^'); i += 1
         case 'n' | 'N'
             if i + 2 < n &&
@@ -45,6 +60,84 @@ object Dialect {
           out.append(c).append(sql.charAt(i + 1)).append('_'); i += 3
         case _ => out.append(c); i += 1
       }
+    }
+    out.toString
+  }
+
+  /** The reference binder substitutes select-list aliases into WHERE,
+    * GROUP BY, HAVING and ORDER BY (vinum/planner/binder.py:93-132).
+    * Spark ≥3.4 resolves select aliases in GROUP BY / HAVING / ORDER BY
+    * natively but NOT in WHERE, so `SELECT a*2 AS d FROM t WHERE d > 3`
+    * works in the reference and fails in Spark. This pre-pass inlines
+    * them: every bare, unqualified occurrence of a select-list alias
+    * inside the top-level WHERE clause becomes the aliased expression in
+    * parentheses. Quote-aware; a qualified name (`t.d`), a function call
+    * (`d(...)`), or a qualifier (`d.x`) is never substituted; an alias
+    * SHADOWS a same-named input column, exactly like the reference's
+    * alias map.
+    */
+  def aliasesIntoWhere(sql: String): String = {
+    val sel = findTopLevelKeyword(sql, 0, "select")
+    if (sel < 0) return sql
+    val from = findTopLevelKeyword(sql, sel + 6, "from")
+    if (from < 0) return sql
+    val where = findTopLevelKeyword(sql, from, "where")
+    if (where < 0) return sql
+    val aliases = splitTopLevel(sql.substring(sel + 6, from)).flatMap { item =>
+      AliasRe.findFirstMatchIn(item).map { m =>
+        val expr = m.group(1).replaceAll("(?is)^\\s*(distinct|all)\\s+", "").trim
+        (m.group(2).toLowerCase, expr)
+      }
+    }.toMap
+    if (aliases.isEmpty) return sql
+    var end = sql.length
+    for (kw <- Seq("group", "having", "order", "limit", "offset")) {
+      val idx = findTopLevelKeyword(sql, where + 5, kw)
+      if (idx >= 0 && idx < end) end = idx
+    }
+    sql.substring(0, where + 5) +
+      substituteIdents(sql.substring(where + 5, end), aliases) +
+      sql.substring(end)
+  }
+
+  private val AliasRe =
+    """(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
+  /** Replace bare identifier occurrences (outside quotes, not qualified,
+    * not a call, not a qualifier) per the lowercase-keyed map, wrapping
+    * replacements in parentheses.
+    */
+  private def substituteIdents(s: String, m: Map[String, String]): String = {
+    val out = new StringBuilder(s.length + 16)
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    var inBack = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) { out.append(c); if (c == '\'') inSingle = false; i += 1 }
+      else if (inDouble) { out.append(c); if (c == '"') inDouble = false; i += 1 }
+      else if (inBack) { out.append(c); if (c == '`') inBack = false; i += 1 }
+      else if (c == '\'') { inSingle = true; out.append(c); i += 1 }
+      else if (c == '"') { inDouble = true; out.append(c); i += 1 }
+      else if (c == '`') { inBack = true; out.append(c); i += 1 }
+      else if (isIdentStart(c)) {
+        var j = i + 1
+        while (j < s.length &&
+          (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '_')) j += 1
+        val word = s.substring(i, j)
+        val qualified = i > 0 && s.charAt(i - 1) == '.'
+        val isQualifier = j < s.length && s.charAt(j) == '.'
+        var k = j
+        while (k < s.length && s.charAt(k).isWhitespace) k += 1
+        val isCall = k < s.length && s.charAt(k) == '('
+        m.get(word.toLowerCase) match {
+          case Some(expr) if !qualified && !isQualifier && !isCall =>
+            out.append('(').append(expr).append(')')
+          case _ => out.append(word)
+        }
+        i = j
+      } else { out.append(c); i += 1 }
     }
     out.toString
   }

@@ -50,4 +50,41 @@ class DialectSpec extends AnyFunSuite {
       .contains("lineitem"))
     assert(Dialect.firstFromTable("select 1").isEmpty)
   }
+
+  test("rewrite leaves # and np. inside comments untouched") {
+    val line = "select a -- np.sin(x) # comment\nfrom t"
+    assert(Dialect.rewrite(line) == line)
+    val block = "select a /* np.sin(x) # note */ , b # c from t"
+    assert(Dialect.rewrite(block) ==
+      "select a /* np.sin(x) # note */ , b ^ c from t")
+  }
+
+  test("aliasesIntoWhere inlines a select alias into WHERE") {
+    assert(Dialect.aliasesIntoWhere(
+      "select a*2 as d from t where d > 3 order by d") ==
+      "select a*2 as d from t where (a*2) > 3 order by d")
+  }
+
+  test("aliasesIntoWhere: alias shadows a same-named input column") {
+    // reference semantics (binder alias map wins over the input column)
+    assert(Dialect.aliasesIntoWhere(
+      "select l_quantity * 2 as l_tax from t where l_tax > 90") ==
+      "select l_quantity * 2 as l_tax from t where (l_quantity * 2) > 90")
+  }
+
+  test("aliasesIntoWhere leaves quoted strings and qualified names alone") {
+    val q = "select a as d from t where x = 'd' and t.d > 1 and \"d\" > 2"
+    assert(Dialect.aliasesIntoWhere(q) == q)
+  }
+
+  test("aliasesIntoWhere never rewrites calls or GROUP BY/ORDER BY") {
+    val q = "select sum(x) as d from t where d(1) > 0 group by d"
+    assert(Dialect.aliasesIntoWhere(q) == q)
+  }
+
+  test("aliasesIntoWhere stops at the clause end and handles DISTINCT") {
+    assert(Dialect.aliasesIntoWhere(
+      "select distinct a+1 as d from t where d=1 order by d limit 3") ==
+      "select distinct a+1 as d from t where (a+1)=1 order by d limit 3")
+  }
 }

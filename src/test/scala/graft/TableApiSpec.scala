@@ -190,4 +190,30 @@ class TableApiSpec extends GraftSuite {
     val r = trips.sql("select double_it(tip) as d from trip order by id").toDF.collect()
     assert(r(0).getDouble(0) == 2.0)
   }
+
+  test("select alias usable in WHERE (reference binder substitution)") {
+    val r = trips.sql(
+      "select id, tip * 2 as big from trip where big > 10 order by id")
+      .toDF.collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("concurrent sql calls binding the same FROM name never cross-read") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val tables = (0 until 4).map { k =>
+      (k, Table.fromRows(spark, schema, Seq(Row(k.toLong))))
+    }
+    val runs = Future.sequence((0 until 24).map { i =>
+      val (k, t) = tables(i % tables.length)
+      Future {
+        val got = t.sql("select v from shared").toDF.collect().map(_.getLong(0))
+        assert(got.toSeq == Seq(k.toLong),
+          s"table $k read ${got.mkString(",")} — view race leaked data")
+      }
+    })
+    Await.result(runs, 120.seconds)
+  }
 }
