@@ -1371,8 +1371,13 @@ object SparkEntry {
     "t08_tfidf" -> api(
       (s, dir) => {
         Registry.registerAll(s)
+        // gated score is FIXED-POINT (round(score*1e6) as long): a
+        // rounded-double output would be half-ulp boundary-brittle
+        // across engines (repo determinism rules)
         graft.ops.TextAnalysis.tfidfTopTerms(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 5)
+          .select(col("doc_id"), col("rank"), col("term"),
+            round(col("score") * lit(1.0e6)).cast("long").as("score_fp"))
           .orderBy(col("doc_id"), col("rank"))
       },
       """WITH toks AS (
@@ -1394,7 +1399,7 @@ object SparkEntry {
                                      ORDER BY score DESC, term) AS rank
            FROM scored)
          SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
-                round(score, 6) AS score
+                CAST(round(score * 1e6) AS BIGINT) AS score_fp
          FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"""),
 
     // sliding-window token chunking (RAG shape): map-only expression

@@ -40,13 +40,15 @@ object Packing {
     require(budget > 0, "budget must be positive")
     val before = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // integral DIV, not `/`: Spark's `/` on longs is double division,
+    // which loses exactness once a shard's cumulative offset passes 2^53
     df.select(col(shardCol), col(idCol), tokens.cast("long").as("n_tokens"))
       .withColumn("__off", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
       .select(col(shardCol), col(idCol), col("n_tokens"),
-        floor(col("__off") / budget).as("seq_id"),
+        expr(s"__off DIV $budget").as("seq_id"),
         (col("__off") % budget).as("seq_offset"),
         when(col("n_tokens") === 0, lit(0L))
-          .otherwise(floor((col("__off") + col("n_tokens") - 1) / budget)
-            - floor(col("__off") / budget) + 1).as("spans"))
+          .otherwise(expr(s"(__off + n_tokens - 1) DIV $budget")
+            - expr(s"__off DIV $budget") + 1).as("spans"))
   }
 }

@@ -162,8 +162,11 @@ object TextAnalysis {
     * corpus size joins in as a broadcast scalar. Deterministic: ties
     * rank by ascending term.
     *
-    * Output: (idCol, rank 1..k, term, score), score rounded to 6
-    * decimals for cross-engine comparability.
+    * Output: (idCol, rank 1..k, term, score) with the raw double score
+    * (tf·ln(N/df)); consumers that hash-compare across engines should
+    * project a fixed-point integer (e.g. round(score·1e6) as long, as
+    * the t08 driver query does) rather than a rounded double, whose
+    * half-ulp boundaries are brittle.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
@@ -179,8 +182,7 @@ object TextAnalysis {
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col(idCol), col("rank"), col("term"),
-        round(col("score"), 6).as("score"))
+      .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
   /** Sliding-window token chunking (RAG/pretraining shape): tokenize,

@@ -54,9 +54,11 @@ class SessionizeTwsProcessor(gapMicros: Long)
       SessionOut(userId, eid, s.seq)
     }
     st.update(s)
-    // single live timer per user: re-arm at the new session horizon
+    // single live timer per user: re-arm at the new session horizon,
+    // rounding the micros->millis conversion UP so state never clears
+    // before the exact-micros gap predicate would still extend it
     getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-    getHandle.registerTimer(s.lastTsMicros / 1000 + gapMicros / 1000)
+    getHandle.registerTimer((s.lastTsMicros + gapMicros + 999L) / 1000L)
     out.iterator
   }
 
