@@ -87,6 +87,56 @@ object SparkEntry {
                  THEN sqrt(1 - 0.94*0.94)*$colName[i-1] + 0.94*$colName[i]
                ELSE $colName[i] END)"""
 
+  /** Shared DuckDB CTE: per-document distinct word-5-gram shingle sets,
+    * mirroring the Spark side's tokenization (lowercase, `\W+` split,
+    * empties dropped; documents shorter than 5 tokens yield one whole-doc
+    * shingle — TextOps.shingles / window_hashes semantics).
+    */
+  private val fiveGramSets: String =
+    """WITH s AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct(list_transform(generate_series(1, len(toks)-4),
+                                          i -> array_to_string(toks[i:i+4], ' '))) END AS shset
+           FROM s)"""
+
+  /** Exact cosine top-10 for probes vec_id < 5 — the oracle for both the
+    * brute-force baseline (s01) and full-probe IVF (s05), which must
+    * agree bit-for-bit.
+    */
+  private val exactTopKOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(p.emb, c.emb) AS sim
+           FROM e p, e c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+         SELECT probe_id, rank, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** 30-minute-gap session numbering per user — the oracle for both the
+    * batch sessionize (e02) and its streaming replay (st01), which must
+    * agree exactly.
+    */
+  private val sessionizeOracle: String =
+    """WITH x AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM x ORDER BY user_id, event_id"""
+
   // ----------------------------------------------------------------------
   // Reference-parity surface (SURVEY §2) — q…
   // ----------------------------------------------------------------------
@@ -644,16 +694,33 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("session_seq"))
           .orderBy(col("user_id"), col("event_id"))
       },
-      """WITH x AS (
-           SELECT user_id, event_id, ts,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                       THEN 1 ELSE 0 END AS ns
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         SELECT user_id, event_id,
-                CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-         FROM x ORDER BY user_id, event_id"""),
+      sessionizeOracle),
+
+    // REAL Structured Streaming in the driver surface: the events corpus
+    // replayed through readStream (parquet file source) -> the stateful
+    // flatMapGroupsWithState sessionizer -> AvailableNow trigger ->
+    // memory sink. A finite input replayed this way agrees exactly with
+    // the batch sessionize (within-batch (ts, event_id) sort + carried
+    // keyed state), so the query shares e02's strict oracle — the
+    // streaming family's end-to-end correctness row. Cross-micro-batch
+    // state continuity needs controllable batch boundaries and stays
+    // spec-tested (StreamingSpec batch-replay equivalence).
+    "st01_stream_sessionize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingSessionize(
+          graft.streaming.Events.readStream(s, dir), 30)
+        val sink = "st01_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(col("user_id"), col("event_id"), col("session_seq"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      sessionizeOracle),
 
     // as-of join (reference has no joins at all; this is the classic
     // "operator Spark lacks" composed scale-correctly as union + one
@@ -716,26 +783,63 @@ object SparkEntry {
                 count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
 
-    // MinHash+LSH near-dup candidate pairs (no SQL oracle: xxhash64/LSH
-    // are engine-specific; exactness covered by d04 + the ScalaTest suite)
-    "d02_minhash_pairs" -> noOracle((s, dir) => {
-      Registry.registerAll(s)
-      graft.ops.Dedup.minhashPairs(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          numHashes = 64, bands = 16, shingleK = 5, threshold = 0.2)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // MinHash+LSH near-dup pairs, strictly oracled on the PAIR SET. The
+    // corpus similarity distribution is bimodal — planted near-dups at
+    // 5-gram jaccard >= 0.875, every other pair <= 0.016 — so the
+    // signature-estimate threshold 0.5 sits mid-gap: the banding
+    // (128 hashes / 32 bands of 4) gives a j=0.875 pair candidate
+    // probability 1 - 6e-13, the 128-hash estimate concentrates within
+    // ±0.1 of true jaccard (binomial sd 0.03), and no sub-0.02 pair can
+    // estimate anywhere near 0.5. The emitted pair set therefore equals
+    // the oracle's exhaustive exact-jaccard enumeration — the green hash
+    // IS the recall proof (d04 playbook). Estimate VALUES stay un-gated
+    // (engine-specific); d04 gates exact jaccard values.
+    "d02_minhash_pairs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.minhashPairs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      s"""$fiveGramSets
+         SELECT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                    / len(list_distinct(a.shset || b.shset)) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
 
-    // SimHash near-dup pairs with Hamming verify. chunks=8 widens the
-    // pigeonhole recall guarantee to hamming<=7 (8-bit chunk keys are
-    // fine at this corpus size; the 100 TB setting is chunks=4, h<=3).
-    "d03_simhash_pairs" -> noOracle((s, dir) => {
-      Registry.registerAll(s)
-      graft.ops.Dedup.simhashPairs(
-          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-          maxHamming = 7, chunks = 8)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // SimHash candidates (chunks=16 pigeonhole, hamming<=12) verified
+    // with EXACT 5-gram jaccard — strictly oracled against the
+    // exhaustive enumeration, so a green hash proves every true j>=0.5
+    // pair had a simhash chunk collision (recall 1 on this corpus; the
+    // planted pairs' fingerprints sit at hamming 0-8, so the chunks=8
+    // h<=7 guarantee was one bit short — measured, not assumed). Hamming
+    // VALUES stay un-gated (fingerprints are engine-specific); the
+    // pigeonhole contract itself is require()-enforced and spec-tested.
+    // The 100 TB setting is chunks=4 (16-bit keys, h<=3): 4-bit chunk
+    // keys bucket ~n/16 docs each, so chunks=16 only suits corpora
+    // already reduced by exact dedup or batched small.
+    "d03_simhash_pairs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val cand = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
+            maxHamming = 12, chunks = 16)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 5)
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      s"""$fiveGramSets
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                    / len(list_distinct(a.shset || b.shset)) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
 
     // exact n-gram Jaccard near-dup pairs at scale: LSH-banded candidates
     // -> exact verify (no within-block cartesian anywhere in the plan).
@@ -929,17 +1033,25 @@ object SparkEntry {
             col("vec_id"), col("sim"))
           .orderBy(col("probe_id"), col("rank"))
       },
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
-         scored AS (
-           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-                  list_cosine_similarity(p.emb, c.emb) AS sim
-           FROM e p, e c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
-         SELECT probe_id, rank, vec_id, sim FROM (
-           SELECT probe_id, vec_id, sim,
-                  CAST(row_number() OVER (PARTITION BY probe_id
-                                          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
-           FROM scored) t
-         WHERE rank <= 10 ORDER BY probe_id, rank"""),
+      exactTopKOracle),
+
+    // IVF at nprobe = nlist scans every cell, so the quantizer + cell
+    // equi-join + bounded-heap rank pipeline must reproduce the exact
+    // brute-force top-k bit-for-bit — the strict end-to-end correctness
+    // anchor for the IVF machinery (s03 stays the nprobe<nlist recall
+    // demo, whose output is approximation-specific by design).
+    "s05_ann_ivf_full" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val coarse = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+        val cents = graft.ops.Ivf.lloydStep(emb, "embedding", coarse)
+        graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, cents, nprobe = 16)
+          .select(col("probe_id"), col("rank"), col("vec_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      exactTopKOracle),
 
     // approximate ANN: IVF (k-means coarse quantizer, deterministic
     // training on a driver sample; recall governed by nprobe/nlist)

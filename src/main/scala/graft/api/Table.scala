@@ -63,6 +63,18 @@ final class Table private (val df: DataFrame) {
     if (extended) qe.toString else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
   }
 
+  /** Parsed-query-tree dump — the analog of the reference's
+    * `explain(print_query_tree=True)` (vinum/api/table.py:358-410), which
+    * prints the parser's AST rather than the execution plan: the
+    * UNRESOLVED logical plan for the dialect-rewritten query, before any
+    * binding or optimization. Pair with [[explainSql]] for the
+    * optimizer's view.
+    */
+  def explainTree(query: String): String =
+    spark.sessionState.sqlParser.parsePlan(
+      Dialect.orderByNullsLast(
+        Dialect.aliasesIntoWhere(Dialect.rewrite(query)))).treeString
+
   def schema: StructType = df.schema
   def columnNames: Seq[String] = df.schema.fieldNames.toSeq
   def head(n: Int = 5): Array[Row] = df.head(n)

@@ -681,6 +681,28 @@ class OpsSpec extends GraftSuite {
     assert(streamedPairs == batchPairs)
   }
 
+  test("Events.readStream replays the single-file corpus through a symlink dir") {
+    // the corpus is one read-only parquet FILE; the file stream source
+    // needs a directory — readStream must bridge that and the
+    // AvailableNow replay must agree with the batch sessionize exactly
+    // (the st01 driver-query contract)
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.streaming.Events.streamingSessionize(
+        graft.streaming.Events.readStream(spark, dir), 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_link")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(); q.stop()
+    val streamed = spark.table("sess_link")
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.streaming.Events.sessionize(
+        graft.streaming.Events.read(spark, dir), 30)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streamingSessionize (flatMapGroupsWithState) agrees with batch sessionize") {
     val ev = graft.streaming.Events.read(spark, "/root/testdata/sf0.001")
     val stage = "target/tmp/sess_stream_in"

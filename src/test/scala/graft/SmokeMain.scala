@@ -78,6 +78,33 @@ object SmokeMain {
       .collect()(0).getLong(0)
     println(s"bloom members hit: $hits/50")
 
+    println("=== [5] round-6 surface: explainTree / streaming replay / oracled pair sets ===")
+    val tree = t.explainTree(
+      "select l_quantity * 2 as q2 from lineitem where q2 > 50 order by q2")
+    println(tree.linesIterator.take(4).mkString("\n"))
+    println("tree has Sort/Filter: " +
+      (tree.contains("'Sort") && tree.contains("'Filter")))
+    val sess = {
+      import org.apache.spark.sql.streaming.Trigger
+      val q = graft.streaming.Events.streamingSessionize(
+          graft.streaming.Events.readStream(spark, "/root/testdata/sf0.001"), 30)
+        .writeStream.outputMode("append").format("memory").queryName("smoke_sess")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+      spark.table("smoke_sess")
+    }
+    val batchSess = graft.streaming.Events.sessionize(
+      graft.streaming.Events.read(spark, "/root/testdata/sf0.001"), 30)
+    println(s"stream rows=${sess.count()} batch rows=${batchSess.count()} " +
+      s"equal=${sess.select("event_id", "session_seq").exceptAll(
+        batchSess.select("event_id", "session_seq")).isEmpty}")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mh = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5).count()
+    val sh = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 12, chunks = 16).count()
+    println(s"minhash pairs=$mh simhash candidates(h<=12)=$sh")
+
     spark.stop()
     println("SMOKE OK")
   }

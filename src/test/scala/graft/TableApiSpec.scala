@@ -176,6 +176,18 @@ class TableApiSpec extends GraftSuite {
     assert(trips.explainSql("select count(*) from trip").contains("AdaptiveSparkPlan"))
   }
 
+  test("explainTree dumps the parsed query tree (print_query_tree parity)") {
+    val t = trips.explainTree("select tip + tax as s from trip where tip > 1 order by id")
+    // unresolved parser output, not an executed plan: the AST keeps the
+    // clause structure and raw identifiers
+    assert(t.contains("'Sort"))
+    assert(t.contains("'Filter"))
+    assert(t.contains("'UnresolvedRelation [trip]"))
+    // dialect pre-passes run before parsing, same as Table.sql
+    val x = trips.explainTree("select id # 1 as z from trip where z > 0")
+    assert(x.contains("^") || x.contains("xor"))
+  }
+
   test("csv and json round-trip through the readers") {
     val dir = "target/tmp/tablespec"
     trips.toDF.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
