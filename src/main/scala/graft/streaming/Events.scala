@@ -136,26 +136,13 @@ object Events {
     * same explicit schema and `ts` reconstruction as the batch [[read]],
     * for replaying the corpus through the streaming operators.
     *
-    * The file stream source requires a DIRECTORY (it infers basePath and
-    * watches for new files) but the corpus is a single parquet FILE in a
-    * read-only dir, so it is exposed through a per-corpus symlink
-    * directory under java.io.tmpdir (idempotent; concurrent creators
-    * tolerate the already-exists race).
+    * The corpus is a single parquet FILE in a read-only dir but the file
+    * stream source requires a directory — bridged by [[Replay.linkDir]].
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val d = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(src.toString).toLong & 0xffffffffL))
-    Files.createDirectories(d)
-    val link = d.resolve("events.parquet")
-    if (!Files.exists(link))
-      try Files.createSymbolicLink(link, src)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    spark.readStream.schema(EventsSchema).parquet(d.toString)
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventsSchema)
+      .parquet(Replay.linkDir(s"$dir/events.parquet"))
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-  }
 
   /** Tumbling event-time aggregation (batch). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =

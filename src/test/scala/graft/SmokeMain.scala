@@ -100,10 +100,10 @@ object SmokeMain {
         batchSess.select("event_id", "session_seq")).isEmpty}")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val mh = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
-      numHashes = 128, bands = 32, shingleK = 5, threshold = 0.5).count()
+      numHashes = 64, bands = 16, shingleK = 5, threshold = 0.5).count()
     val sh = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
-      maxHamming = 12, chunks = 16).count()
-    println(s"minhash pairs=$mh simhash candidates(h<=12)=$sh")
+      maxHamming = 7, chunks = 8).count()
+    println(s"minhash pairs=$mh simhash candidates(h<=7)=$sh")
 
     spark.stop()
     println("SMOKE OK")
