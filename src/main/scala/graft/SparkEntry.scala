@@ -87,22 +87,24 @@ object SparkEntry {
                  THEN sqrt(1 - 0.94*0.94)*$colName[i-1] + 0.94*$colName[i]
                ELSE $colName[i] END)"""
 
-  /** Shared DuckDB CTE: per-document distinct word-5-gram shingle sets,
+  /** Shared DuckDB CTE: per-document distinct word-k-gram shingle sets,
     * mirroring the Spark side's tokenization (lowercase, `\W+` split,
-    * empties dropped; documents shorter than 5 tokens yield one whole-doc
+    * empties dropped; documents shorter than k tokens yield one whole-doc
     * shingle — TextOps.shingles / window_hashes semantics).
     */
-  private val fiveGramSets: String =
-    """WITH s AS (
+  private def gramSets(k: Int): String =
+    s"""WITH s AS (
            SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+                  list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
            FROM documents),
          sh AS (
            SELECT doc_id,
-                  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-                       ELSE list_distinct(list_transform(generate_series(1, len(toks)-4),
-                                          i -> array_to_string(toks[i:i+4], ' '))) END AS shset
+                  CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct(list_transform(generate_series(1, len(toks)-${k - 1}),
+                                          i -> array_to_string(toks[i:i+${k - 1}], ' '))) END AS shset
            FROM s)"""
+
+  private val fiveGramSets: String = gramSets(5)
 
   /** Exact cosine top-10 for probes vec_id < 5 — the oracle for both the
     * brute-force baseline (s01) and full-probe IVF (s05), which must
@@ -1274,6 +1276,34 @@ object SparkEntry {
                            WHERE (r.doc_id < 250 OR r.doc_id BETWEEN 400 AND 449)
                              AND r.text = n.text)
          ORDER BY n.doc_id"""),
+
+    // benchmark decontamination: flag training docs sharing any word
+    // 8-gram with an evaluation corpus (docs 450-459 stand in as the
+    // benchmark set; their planted near-dup partners are the true
+    // contamination). Broadcast eval-gram join, corpus side map-only —
+    // fully oracled against DuckDB's exhaustive gram intersection.
+    "d10_decontaminate" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Dedup.contaminationFlags(
+            docs, "doc_id", "text",
+            docs.filter(col("doc_id").between(450, 459)), "text", n = 8)
+          .orderBy(col("doc_id"))
+      },
+      s"""${gramSets(8)},
+         evg AS (
+           SELECT DISTINCT unnest(shset) AS g FROM sh
+           WHERE doc_id BETWEEN 450 AND 459),
+         dg AS (SELECT doc_id, unnest(shset) AS g FROM sh),
+         hits AS (
+           SELECT dg.doc_id, count(*) AS n
+           FROM dg JOIN evg USING (g) GROUP BY dg.doc_id)
+         SELECT d.doc_id,
+                coalesce(h.n, 0) AS n_contaminated,
+                h.n IS NOT NULL AS flagged
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id"""),
 
     // token-budget sequence packing (concat-and-chunk, per source shard):
     // window cumsum -> sequence id / offset / span count, fully oracled

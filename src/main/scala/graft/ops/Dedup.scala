@@ -452,6 +452,40 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Benchmark-decontamination flags: mark every document that shares at
+    * least one word n-gram with an evaluation corpus (the standard
+    * train-set contamination check before releasing a training corpus —
+    * the eval side is the small, fixed benchmark set).
+    *
+    * Output: (idCol, n_contaminated BIGINT, flagged BOOLEAN) — the count
+    * of DISTINCT document n-grams that appear anywhere in the eval set,
+    * one row per input document (clean docs carry 0/false).
+    *
+    * Scale shape (100 TB): the eval gram set is small by definition —
+    * built with one distinct-aggregation and BROADCAST to the join, so
+    * the corpus side stays map-only (explode + broadcast-hash-join +
+    * per-doc count, no corpus shuffle on grams; the only shuffle keys on
+    * doc ids). This variant joins on gram STRINGS for external-engine
+    * verifiability; at 100 TB hash the grams to longs on both sides
+    * ([[TextOps.shingleHashes]]) to slim the broadcast and the probe.
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         evalDf: DataFrame, evalTextCol: String,
+                         n: Int = 13): DataFrame = {
+    val evalGrams = evalDf
+      .select(explode(array_distinct(TextOps.shingles(col(evalTextCol), n))).as("g"))
+      .distinct()
+    val docGrams = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("g"))
+    val hits = docGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    docs.select(col(idCol))
+      .join(hits, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_contaminated"),
+        col("__n").isNotNull.as("flagged"))
+  }
+
   /** Exhaustive embedding near-duplicate pairs: every (id_a < id_b) pair
     * with cosine >= threshold, no bucketing. O(n²) BY DESIGN — this is
     * the exactness anchor for [[embeddingPairs]] (which trades recall for

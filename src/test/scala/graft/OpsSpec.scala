@@ -49,6 +49,20 @@ class OpsSpec extends GraftSuite {
     assert(j == 1.0) // identical texts
   }
 
+  test("contaminationFlags marks gram overlap with the eval set, counts distinct grams") {
+    // eval = doc 1; doc 2 (exact dup) shares all grams, doc 3 (near dup)
+    // shares the prefix/suffix grams, docs 4/5 share none at n=5
+    val eval = docs.filter(col("doc_id") === 1).select("text")
+    val r = Dedup.contaminationFlags(docs, "doc_id", "text", eval, "text", n = 5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    val nGrams1 = 14 - 5 + 1 // 14 tokens, distinct 5-grams
+    assert(r(1L) == ((nGrams1.toLong, true)))
+    assert(r(2L) == ((nGrams1.toLong, true)))
+    assert(r(3L)._2 && r(3L)._1 > 0 && r(3L)._1 < nGrams1)
+    assert(r(4L) == ((0L, false)))
+    assert(r(5L) == ((0L, false)))
+  }
+
   test("simhashPairs links identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
