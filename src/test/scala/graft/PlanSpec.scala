@@ -107,4 +107,13 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested loop in banded pair plan:\n$p")
   }
+
+  test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
+    val p = planOf("d10_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
+    // the only sort-merge/shuffled-hash joins allowed are the final
+    // doc_id left join — the gram join must not shuffle the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in d10 plan:\n$p")
+  }
 }
