@@ -123,6 +123,15 @@ object SparkEntry {
            FROM scored) t
          WHERE rank <= 10 ORDER BY probe_id, rank"""
 
+  /** Hourly (event_type) event rollup — the oracle for both the batch
+    * form (e01) and its streaming Complete-mode replay (st03).
+    */
+  private val hourlyOracle: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h, event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+       FROM events GROUP BY date_trunc('hour', ts), event_type
+       ORDER BY h, event_type"""
+
   /** 30-minute-gap session numbering per user — the oracle for both the
     * batch sessionize (e02) and its streaming replay (st01), which must
     * agree exactly.
@@ -662,12 +671,32 @@ object SparkEntry {
                    FROM events) e
              GROUP BY h, event_type ORDER BY h, event_type""")
       },
-      Some(
-        """SELECT epoch_us(date_trunc('hour', ts)) AS h, event_type, count(*) AS n,
-                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
-           FROM events GROUP BY date_trunc('hour', ts), event_type
-           ORDER BY h, event_type"""))
-      : (QFn, Option[String])),
+      Some(hourlyOracle)): (QFn, Option[String])),
+
+    // watermarked tumbling-window aggregation under the driver oracle:
+    // the events corpus replayed through readStream -> window(1 hour)
+    // groupBy -> COMPLETE output mode -> memory sink. Complete mode
+    // re-emits the full aggregate state each batch, so the final table
+    // equals the batch hourly rollup without the append-mode tail
+    // problem (the last open windows never cross the watermark on a
+    // finite replay and append would drop them). Shares e01's oracle.
+    "st03_stream_hourly" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingHourlyTypeCounts(
+          graft.streaming.Events.readStream(s, dir))
+        val sink = "st03_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(unix_micros(col("h")).as("h"), col("event_type"),
+            col("n"), col("sv").cast("double").as("sv"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      hourlyOracle),
 
     // semi-structured JSON processing over the events props column
     "e03_events_json" -> api(

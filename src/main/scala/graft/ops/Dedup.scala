@@ -280,8 +280,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup: bit_count is codegen'd per collision row
+      // (cheap), while distinct shuffles its whole input — filtering
+      // first shrinks the dedup to the accepted pairs only (~12x at
+      // sf0.1, where multi-chunk collisions dominate the raw join)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Near-duplicate pairs with Hamming distance ≤ maxHamming on 64-bit
