@@ -1135,6 +1135,40 @@ object SparkEntry {
       },
       exactTopKOracle),
 
+    // int8 embedding quantization, gated WITHOUT rounding any double:
+    // mx = max|v_i| is a stored parquet double passed through abs/max
+    // (exact, bitwise-comparable) and the quantized vector is gated via
+    // its exact integer sum and sum-of-squares — if a single q_i
+    // differed between engines the integer aggregates would diverge.
+    "s06_quantize_int8" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val q = graft.ops.Quantize.quantizeInt8(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")), "embedding")
+        // mx recomputed directly (abs/max of stored doubles is exact);
+        // q_scale*127 would NOT round-trip bitwise through the division
+        q.select(col("vec_id"),
+            array_max(transform(col("embedding").cast("array<double>"),
+              x => abs(x))).as("mx"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+            aggregate(transform(col("q"), x => x * x), lit(0L),
+              (a, x) => a + x).as("qnorm"))
+          .orderBy(col("vec_id"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS mx
+               FROM e),
+         q AS (SELECT vec_id, mx,
+                      list_transform(v, x ->
+                        CAST(round(x / (mx/127.0)) AS BIGINT)) AS qv
+               FROM m)
+         SELECT vec_id, mx,
+                CAST(list_sum(qv) AS BIGINT) AS qsum,
+                CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qnorm
+         FROM q ORDER BY vec_id"""),
+
     // approximate ANN: IVF (k-means coarse quantizer, deterministic
     // training on a driver sample; recall governed by nprobe/nlist)
     "s03_ann_ivf" -> noOracle((s, dir) => {

@@ -63,6 +63,27 @@ class OpsSpec extends GraftSuite {
     assert(r(5L) == ((0L, false)))
   }
 
+  test("quantizeInt8 bounds reconstruction error by scale/2 and survives zero vectors") {
+    val emb = Seq(
+      (1L, Array(0.3, -0.7, 0.05, 0.7)),
+      (2L, Array(0.0, 0.0, 0.0, 0.0)) // zero vector: scale 0, q all-zero
+    ).toDF("vec_id", "v")
+    val r = Quantize.quantizeInt8(emb, "v")
+      .select(col("vec_id"), col("q_scale"), col("q"),
+        Quantize.dequantize(col("q"), col("q_scale")).as("dq"), col("v"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val row1 = r(1L)
+    val scale1 = row1.getDouble(1)
+    assert(scale1 == 0.7 / 127.0)
+    val qv = row1.getSeq[Long](2)
+    assert(qv.max <= 127 && qv.min >= -127)
+    assert(qv(1) == -127L && qv(3) == 127L) // extremes hit the rails exactly
+    val err = row1.getSeq[Double](3).zip(row1.getSeq[Double](4))
+      .map { case (d, o) => math.abs(d - o) }.max
+    assert(err <= scale1 / 2 + 1e-15, s"max err $err > scale/2 ${scale1 / 2}")
+    assert(r(2L).getDouble(1) == 0.0 && r(2L).getSeq[Long](2).forall(_ == 0L))
+  }
+
   test("simhashPairs links identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
