@@ -1169,6 +1169,41 @@ object SparkEntry {
                 CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qnorm
          FROM q ORDER BY vec_id"""),
 
+    // brute-force ANN over the int8-QUANTIZED corpus: dot products and
+    // norms are exact integer arithmetic (scales cancel out of cosine),
+    // so the full ranking is strictly oracled — DuckDB re-derives the
+    // same quantized vectors and ranks by the same integer-exact cosine.
+    // The compressed-search shape: 8x less data scanned than s01.
+    "s07_ann_quantized" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        graft.ops.Quantize.bruteForceTopKQuantized(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS mx
+               FROM e),
+         q AS (SELECT vec_id,
+                      list_transform(v, x ->
+                        CAST(round(x / (mx/127.0)) AS BIGINT)) AS qv
+               FROM m),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  CAST(list_inner_product(p.qv, c.qv) AS DOUBLE)
+                    / (sqrt(CAST(list_inner_product(p.qv, p.qv) AS DOUBLE))
+                       * sqrt(CAST(list_inner_product(c.qv, c.qv) AS DOUBLE))) AS sim
+           FROM q p, q c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+         SELECT probe_id, rank, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY probe_id, rank"""),
+
     // approximate ANN: IVF (k-means coarse quantizer, deterministic
     // training on a driver sample; recall governed by nprobe/nlist)
     "s03_ann_ivf" -> noOracle((s, dir) => {

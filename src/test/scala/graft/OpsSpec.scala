@@ -84,6 +84,20 @@ class OpsSpec extends GraftSuite {
     assert(r(2L).getDouble(1) == 0.0 && r(2L).getSeq[Long](2).forall(_ == 0L))
   }
 
+  test("quantized brute-force top-k closely tracks the exact ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < 3)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(emb, probes, "vec_id", "embedding", 10)
+      .select(col("probe_id"), col("rank").cast("long"), col("vec_id")))
+    val quant = topSet(Quantize.bruteForceTopKQuantized(emb, probes, "vec_id", "embedding", 10)
+      .select(col("probe_id"), col("rank"), col("vec_id")))
+    val overlap = (exact intersect quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"quantized recall@10 $overlap < 0.8")
+  }
+
   test("simhashPairs links identical docs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
