@@ -1,0 +1,109 @@
+package graft.api
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Arrow IPC materializer — the analog of the reference's
+  * `Table.to_arrow` / `to_pandas` (vinum/api/table.py:439-457), which
+  * hand back the fully materialized query result as an Arrow table.
+  *
+  * Built on arrow-java's PUBLIC API (VectorSchemaRoot +
+  * ArrowStreamWriter), not Spark internals: the result is collected to
+  * the driver — the reference's to_arrow has exactly these
+  * materialization semantics — and encoded as an Arrow IPC stream any
+  * Arrow consumer (pyarrow, pandas, polars, DuckDB) reads directly.
+  * Scalar result types only (the engine's gated-output surface: integral,
+  * floating, string, boolean, date, timestamp); nested outputs should be
+  * exploded first, same as the oracle policy.
+  */
+object ArrowExport {
+
+  /** The DataFrame's rows as one Arrow IPC stream (schema + one batch). */
+  def toArrowIpc(df: DataFrame): Array[Byte] = {
+    val rows = df.collect()
+    val sparkSchema = df.schema
+    val fields = sparkSchema.fields.map(f => arrowField(f)).toSeq
+    val allocator = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(new ArrowSchema(fields.asJava), allocator)
+      try {
+        root.allocateNew()
+        rows.zipWithIndex.foreach { case (row, i) =>
+          sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
+            writeCell(root.getVector(c), i, row, c, f.dataType)
+          }
+        }
+        root.setRowCount(rows.length)
+        val out = new ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, out)
+        try { writer.start(); writer.writeBatch(); writer.end() }
+        finally writer.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+
+  private def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType    => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case ShortType   => new ArrowType.Int(16, true)
+      case ByteType    => new ArrowType.Int(8, true)
+      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType  => ArrowType.Utf8.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case DateType    => new ArrowType.Date(DateUnit.DAY)
+      case TimestampType | TimestampNTZType =>
+        new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+      case other =>
+        throw new IllegalArgumentException(
+          s"toArrowIpc supports scalar result columns only, got $other " +
+            s"for '${f.name}' — explode nested outputs first")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  private def writeCell(v: FieldVector, i: Int, row: Row, c: Int,
+                        dt: DataType): Unit = {
+    if (row.isNullAt(c)) {
+      v match {
+        case x: BaseFixedWidthVector    => x.setNull(i)
+        case x: BaseVariableWidthVector => x.setNull(i)
+        case x => throw new IllegalStateException(s"unhandled null vector ${x.getClass}")
+      }
+      return
+    }
+    (v, dt) match {
+      case (x: BigIntVector, _)   => x.setSafe(i, row.getLong(c))
+      case (x: IntVector, _)      => x.setSafe(i, row.getInt(c))
+      case (x: SmallIntVector, _) => x.setSafe(i, row.getShort(c))
+      case (x: TinyIntVector, _)  => x.setSafe(i, row.getByte(c))
+      case (x: Float8Vector, _)   => x.setSafe(i, row.getDouble(c))
+      case (x: Float4Vector, _)   => x.setSafe(i, row.getFloat(c))
+      case (x: VarCharVector, _) =>
+        x.setSafe(i, row.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (x: BitVector, _) => x.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+      case (x: DateDayVector, _) =>
+        x.setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
+      case (x: TimeStampMicroVector, TimestampNTZType) =>
+        val ldt = row.getAs[java.time.LocalDateTime](c)
+        x.setSafe(i, ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+          + ldt.getNano / 1000L)
+      case (x: TimeStampMicroVector, _) =>
+        val ts = row.getAs[java.sql.Timestamp](c)
+        x.setSafe(i, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+      case (x, t) =>
+        throw new IllegalStateException(s"unhandled vector ${x.getClass}/$t")
+    }
+  }
+}

@@ -75,6 +75,13 @@ final class Table private (val df: DataFrame) {
       Dialect.orderByNullsLast(
         Dialect.aliasesIntoWhere(Dialect.rewrite(query)))).treeString
 
+  /** The fully materialized result as an Arrow IPC stream — the analog
+    * of the reference's `to_arrow`/`to_pandas`
+    * (vinum/api/table.py:439-457). Readable by any Arrow consumer
+    * (pyarrow/pandas/polars/DuckDB). Scalar columns only.
+    */
+  def toArrowIpc: Array[Byte] = ArrowExport.toArrowIpc(df)
+
   def schema: StructType = df.schema
   def columnNames: Seq[String] = df.schema.fieldNames.toSeq
   def head(n: Int = 5): Array[Row] = df.head(n)

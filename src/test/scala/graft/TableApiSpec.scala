@@ -188,6 +188,29 @@ class TableApiSpec extends GraftSuite {
     assert(x.contains("^") || x.contains("xor"))
   }
 
+  test("toArrowIpc round-trips values and nulls through an Arrow reader (to_arrow parity)") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val bytes = trips.sql(
+      """select id, tip + tax as s, to_str(id) as name,
+                case when id = 2 then null else tip end as maybe
+         from trip order by id""").toArrowIpc
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val root = reader.getVectorSchemaRoot
+      assert(root.getSchema.getFields.size() == 4)
+      assert(root.getRowCount == trips.count())
+      val ids = root.getVector("id").asInstanceOf[org.apache.arrow.vector.BigIntVector]
+      assert((0 until root.getRowCount).map(ids.get).toSeq ==
+        (0 until root.getRowCount).map(_ + 1L).toSeq)
+      val maybe = root.getVector("maybe")
+      assert(maybe.isNull(1), "null cell must survive the export")
+      assert(!maybe.isNull(0))
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("csv and json round-trip through the readers") {
     val dir = "target/tmp/tablespec"
     trips.toDF.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
