@@ -421,6 +421,74 @@ object SparkEntry {
                 CAST(max(o_orderkey) AS BIGINT) AS mx
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 
+    // hive-partitioned parquet write + pruned read-back: the 100 TB
+    // storage layout (partition on a low-cardinality routing column; a
+    // filter on it prunes whole directories — PlanSpec pins the
+    // PartitionFilters in the scan)
+    "io03_parquet_partitioned" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = s"target/tmp/io03_part_${new java.io.File(dir).getName}"
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("lang").isin("en", "de"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars").cast("bigint")).as("sc"),
+            min(col("doc_id")).as("mn"))
+          .orderBy(col("lang"))
+      },
+      """SELECT lang, count(*) AS n,
+                CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sc,
+                CAST(min(doc_id) AS BIGINT) AS mn
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY lang"""),
+
+    // compressed CSV round-trip (S1 codec support: gzip written and
+    // auto-detected on read by extension)
+    "io04_csv_gzip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = s"target/tmp/io04_gz_${new java.io.File(dir).getName}"
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(tmp)
+        Table.fromCsv(s, tmp).sql(
+          """SELECT lang, count(*) AS n,
+                    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sc,
+                    CAST(min(doc_id) AS BIGINT) AS mn
+             FROM t GROUP BY lang ORDER BY lang""").toDF
+      },
+      """SELECT lang, count(*) AS n,
+                CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sc,
+                CAST(min(doc_id) AS BIGINT) AS mn
+         FROM documents GROUP BY lang ORDER BY lang"""),
+
+    // salted skew join: deterministic content salt on the big side,
+    // small side replicated saltx — result must equal the PLAIN inner
+    // join (the oracle computes exactly that), proving the salt spreads
+    // hot keys without changing semantics
+    "j07_salted_join" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val big = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val small = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        graft.ops.Skew.saltedJoin(big, small, "custkey", salt = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sp"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
     // datetime(value, unit) truncation semantics: string/temporal input
     // parses then truncates to the unit; numeric input is epoch-in-unit;
     // unit 'D' yields DATE (reference: vinum/core/functions.py:34-120)

@@ -108,6 +108,12 @@ class PlanSpec extends GraftSuite {
       s"nested loop in banded pair plan:\n$p")
   }
 
+  test("io03 partitioned read-back: the lang filter reaches PartitionFilters") {
+    val p = planOf("io03_parquet_partitioned")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"lang filter not in PartitionFilters:\n$p")
+  }
+
   test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
     val p = planOf("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
