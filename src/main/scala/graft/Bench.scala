@@ -49,7 +49,8 @@ object Bench {
     "d01_dedup_exact", "d02_minhash_pairs", "d04_ngram_jaccard",
     "d06_dedup_segments", "s01_ann_brute", "s02_ann_lsh", "t03_tokens",
     "t06_repetition", "m02_codec_decode", "e02_sessionize",
-    "p01_pipeline_e2e")
+    "p01_pipeline_e2e", "st01_stream_sessionize", "s06_quantize_int8",
+    "d10_decontaminate", "j06_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

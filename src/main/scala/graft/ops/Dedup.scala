@@ -469,18 +469,24 @@ object Dedup {
     * built with one distinct-aggregation and BROADCAST to the join, so
     * the corpus side stays map-only (explode + broadcast-hash-join +
     * per-doc count, no corpus shuffle on grams; the only shuffle keys on
-    * doc ids). This variant joins on gram STRINGS for external-engine
-    * verifiability; at 100 TB hash the grams to longs on both sides
-    * ([[TextOps.shingleHashes]]) to slim the broadcast and the probe.
+    * doc ids). `hashGrams = false` joins on gram STRINGS for
+    * external-engine verifiability; `hashGrams = true` is the 100 TB
+    * setting ([[TextOps.shingleHashes]]).
     */
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          evalDf: DataFrame, evalTextCol: String,
-                         n: Int = 13): DataFrame = {
+                         n: Int = 13, hashGrams: Boolean = false): DataFrame = {
+    // hashGrams is the 100 TB setting: grams join as longs instead of
+    // strings, slimming the broadcast and the probe (identical flags
+    // modulo 64-bit collisions; string/hash equivalence spec-tested)
+    def grams(c: Column): Column =
+      if (hashGrams) array_distinct(TextOps.shingleHashes(c, n))
+      else array_distinct(TextOps.shingles(c, n))
     val evalGrams = evalDf
-      .select(explode(array_distinct(TextOps.shingles(col(evalTextCol), n))).as("g"))
+      .select(explode(grams(col(evalTextCol))).as("g"))
       .distinct()
     val docGrams = docs.select(col(idCol).as("__id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), n))).as("g"))
+      explode(grams(col(textCol))).as("g"))
     val hits = docGrams.join(broadcast(evalGrams), Seq("g"))
       .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     docs.select(col(idCol))

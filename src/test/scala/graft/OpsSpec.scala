@@ -84,6 +84,16 @@ class OpsSpec extends GraftSuite {
     assert(r(2L).getDouble(1) == 0.0 && r(2L).getSeq[Long](2).forall(_ == 0L))
   }
 
+  test("contaminationFlags: hashed grams (100 TB setting) match string grams exactly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = corpus.filter(col("doc_id") < 10).select("text")
+    def run(hashed: Boolean) =
+      Dedup.contaminationFlags(corpus, "doc_id", "text", eval, "text",
+          n = 8, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(hashed = true) == run(hashed = false))
+  }
+
   test("quantized brute-force top-k closely tracks the exact ranking") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

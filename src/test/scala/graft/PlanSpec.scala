@@ -108,6 +108,22 @@ class PlanSpec extends GraftSuite {
       s"nested loop in banded pair plan:\n$p")
   }
 
+  test("hot map-only queries run inside whole-stage codegen") {
+    // the expression-tree operator families must not fall out of codegen
+    // (a non-codegen expression in the hot path would fragment the
+    // spans). AQE materializes the final plan only at execution, so run
+    // the query first and inspect the finalized adaptive plan.
+    Seq("q03_arithmetic", "t06_repetition", "t03_tokens", "s06_quantize_int8")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.collect() // finalizes THIS QueryExecution's adaptive plan
+        val p = df.queryExecution.executedPlan.toString
+        // codegen'd operators print with the "*(stageId)" prefix
+        assert(p.linesIterator.exists(_.trim.matches("""(\+-|:-)?\s*\*\(\d+\).*""")),
+          s"no whole-stage-codegen'd operator in $q's final plan:\n${p.take(800)}")
+      }
+  }
+
   test("io03 partitioned read-back: the lang filter reaches PartitionFilters") {
     val p = planOf("io03_parquet_partitioned")
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
