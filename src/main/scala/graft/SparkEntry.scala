@@ -976,8 +976,12 @@ object SparkEntry {
       (s, dir) => {
         Registry.registerAll(s)
         val docs = s.read.parquet(s"$dir/documents.parquet")
-        val cand = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
-            maxHamming = 7, chunks = 8)
+        // fingerprints materialize once (16 bytes/doc): both sides of the
+        // chunk self-join read the checkpoint instead of re-running
+        // tokenize+simhash over the corpus
+        val fp = graft.ops.Dedup.simhashFingerprints(docs, "doc_id", "text")
+          .localCheckpoint(true)
+        val cand = graft.ops.Dedup.fingerprintPairs(fp, maxHamming = 7, chunks = 8)
           .select(col("id_a"), col("id_b"))
         graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 5)
           .filter(col("jaccard") >= 0.9)

@@ -52,6 +52,70 @@ object ArrowExport {
     } finally allocator.close()
   }
 
+  /** Ingest an Arrow IPC stream as a Table-ready DataFrame — the analog
+    * of the reference's `from_arrow` (vinum/api/table.py:95-180). Inverse
+    * of [[toArrowIpc]] over the same scalar type surface.
+    */
+  def fromArrowIpc(spark: org.apache.spark.sql.SparkSession,
+                   bytes: Array[Byte]): DataFrame = {
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val sparkSchema = StructType(root.getSchema.getFields.asScala.toSeq.map(sparkField))
+      val rows = Iterator.continually(reader.loadNextBatch()).takeWhile(identity).flatMap { _ =>
+        (0 until root.getRowCount).map { i =>
+          Row.fromSeq(sparkSchema.fields.indices.map { c =>
+            readCell(root.getVector(c), i, sparkSchema.fields(c).dataType)
+          })
+        }
+      }.toList
+      spark.createDataFrame(rows.asJava, sparkSchema)
+    } finally { reader.close(); allocator.close() }
+  }
+
+  private def sparkField(f: Field): StructField = {
+    val dt: DataType = f.getType match {
+      case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+      case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
+      case t: ArrowType.Int if t.getBitWidth == 16 => ShortType
+      case t: ArrowType.Int                        => ByteType
+      case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.FloatingPoint => FloatType
+      case _: ArrowType.Utf8          => StringType
+      case _: ArrowType.Bool          => BooleanType
+      case _: ArrowType.Date          => DateType
+      case _: ArrowType.Timestamp     => TimestampNTZType
+      case other => throw new IllegalArgumentException(s"unsupported arrow type $other")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  private def readCell(v: FieldVector, i: Int, dt: DataType): Any = {
+    if (v.isNull(i)) return null
+    v match {
+      case x: BigIntVector   => x.get(i)
+      case x: IntVector      => x.get(i)
+      case x: SmallIntVector => x.get(i)
+      case x: TinyIntVector  => x.get(i)
+      case x: Float8Vector   => x.get(i)
+      case x: Float4Vector   => x.get(i)
+      case x: VarCharVector =>
+        new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: BitVector => x.get(i) == 1
+      case x: DateDayVector =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: TimeStampMicroVector =>
+        val micros = x.get(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case x => throw new IllegalStateException(s"unhandled vector ${x.getClass}/$dt")
+    }
+  }
+
   private def arrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {
       case LongType    => new ArrowType.Int(64, true)

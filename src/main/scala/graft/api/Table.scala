@@ -131,6 +131,12 @@ object Table {
     apply(spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList), schema))
 
+  /** Ingest an Arrow IPC stream (reference `from_arrow`,
+    * vinum/api/table.py:95-180) — inverse of [[Table.toArrowIpc]].
+    */
+  def fromArrowIpc(spark: SparkSession, bytes: Array[Byte]): Table =
+    apply(ArrowExport.fromArrowIpc(spark, bytes))
+
   /** The reference's StreamReader is out-of-core batch input with a fully
     * materialized result (vinum/api/stream_reader.py:12-31) — on Spark the
     * ordinary reader already partitions and streams input, so this is an

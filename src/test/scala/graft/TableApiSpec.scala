@@ -211,6 +211,18 @@ class TableApiSpec extends GraftSuite {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("Arrow IPC full round-trip: toArrowIpc -> fromArrowIpc preserves rows (from_arrow parity)") {
+    val orig = trips.sql(
+      """select id, name, tip, total > 10.0 as big,
+                case when id = 3 then null else city_from end as maybe_city
+         from trip order by id""")
+    val back = Table.fromArrowIpc(spark, orig.toArrowIpc)
+    assert(back.schema.fieldNames.toSeq == orig.schema.fieldNames.toSeq)
+    val a = orig.toDF.collect().map(_.toSeq).toSeq
+    val b = back.toDF.collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("csv and json round-trip through the readers") {
     val dir = "target/tmp/tablespec"
     trips.toDF.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
