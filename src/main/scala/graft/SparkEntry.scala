@@ -1475,6 +1475,35 @@ object SparkEntry {
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          ORDER BY d.doc_id"""),
 
+    // column-level data profiling (corpus QA): null + exact-distinct
+    // counts for every column in ONE aggregation pass, unpivoted to one
+    // row per column. Full oracle via per-column UNION ALL.
+    "pr01_profile" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Profile.summarize(
+            graft.streaming.Events.readRaw(s, dir),
+            Seq("event_type", "user_id", "value", "props"))
+          .orderBy(col("column"))
+      },
+      """SELECT 'event_type' AS "column", count(*) AS n,
+                CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+         FROM events
+         UNION ALL
+         SELECT 'user_id', count(*),
+                CAST(count(*) - count(user_id) AS BIGINT),
+                CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         UNION ALL
+         SELECT 'value', count(*),
+                CAST(count(*) - count(value) AS BIGINT),
+                CAST(count(DISTINCT value) AS BIGINT) FROM events
+         UNION ALL
+         SELECT 'props', count(*),
+                CAST(count(*) - count(props) AS BIGINT),
+                CAST(count(DISTINCT props) AS BIGINT) FROM events
+         ORDER BY "column""""),
+
     // token-budget sequence packing (concat-and-chunk, per source shard):
     // window cumsum -> sequence id / offset / span count, fully oracled
     "p02_pack_sequences" -> api(

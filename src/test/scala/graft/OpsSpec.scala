@@ -84,6 +84,16 @@ class OpsSpec extends GraftSuite {
     assert(r(2L).getDouble(1) == 0.0 && r(2L).getSeq[Long](2).forall(_ == 0L))
   }
 
+  test("Profile.summarize counts rows, nulls, and exact distincts per column") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b"))
+    ).toDF("id", "tag")
+    val r = Profile.summarize(df, Seq("id", "tag"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("id") == ((4L, 0L, 4L)))
+    assert(r("tag") == ((4L, 1L, 2L))) // null not counted as a distinct value
+  }
+
   test("contaminationFlags: hashed grams (100 TB setting) match string grams exactly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eval = corpus.filter(col("doc_id") < 10).select("text")
