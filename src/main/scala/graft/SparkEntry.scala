@@ -1950,6 +1950,32 @@ object SparkEntry {
       """SELECT doc_id, 'bmp' AS format,
                 CAST(54 + 24 * 6 AS INTEGER) AS n_bytes,
                 8 AS width, 6 AS height
+         FROM documents ORDER BY doc_id"""),
+
+    // multimodal audio: WAV payloads built from corpus bytes (one PCM
+    // sample per utf-8 byte) -> keep every 4th frame -> re-decode. The
+    // oracle recomputes the container arithmetic from the byte length:
+    // kept = ceil(n/4) frames, 44-byte header + 2 bytes/sample, rate
+    // 8000/4, duration = kept/2000 (one IEEE division on both engines).
+    "m04_frame_sample" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.decodeMedia(
+            m.frameSampleAudio(
+              m.withWavPayload(s.read.parquet(s"$dir/documents.parquet"),
+                "doc_id", "text", sampleRate = 8000),
+              "doc_id", "payload", everyN = 4),
+            "doc_id", "payload")
+          .select(col("doc_id"), col("format"), col("n_bytes"),
+            col("channels"), col("sample_rate"), col("duration_s"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, 'wav' AS format,
+                CAST(44 + 2 * ((octet_length(encode(text)) + 3) // 4) AS INTEGER) AS n_bytes,
+                CAST(1 AS INTEGER) AS channels,
+                CAST(2000 AS INTEGER) AS sample_rate,
+                CAST((octet_length(encode(text)) + 3) // 4 AS DOUBLE) / 2000 AS duration_s
          FROM documents ORDER BY doc_id""")
   )
 

@@ -369,6 +369,25 @@ object Multimodal {
       .toDF(idCol, binCol, "sampled")
   }
 
+  /** Build mono 16-bit PCM WAV payloads from a source column (one sample
+    * per utf-8 byte, values 0-255) — partition-wise, the audio analog of
+    * [[withBmpPayload]]: exercises the WAV codec path on corpus data
+    * without shipping audio fixtures.
+    */
+  def withWavPayload(df: DataFrame, idCol: String, srcCol: String,
+                     sampleRate: Int = 8000, binCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(srcCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val samples = (if (bytes == null) Array.emptyByteArray else bytes)
+          .map(b => (b & 0xff).toShort)
+        (id, Codec.encodeWav(samples, sampleRate, channels = 1))
+      })
+      .toDF(idCol, binCol)
+  }
+
   /** Build BMP payloads from a binary column (pixels = the column's
     * bytes, BGR row-major at the given width) — partition-wise, used to
     * exercise the decode path on corpus data without shipping image
