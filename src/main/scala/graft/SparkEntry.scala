@@ -428,7 +428,7 @@ object SparkEntry {
     "io03_parquet_partitioned" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val tmp = s"target/tmp/io03_part_${new java.io.File(dir).getName}"
+        val tmp = scratchDir(s"io03_part_${new java.io.File(dir).getName}")
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .write.mode("overwrite").partitionBy("lang").parquet(tmp)
@@ -451,7 +451,7 @@ object SparkEntry {
     "io04_csv_gzip" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val tmp = s"target/tmp/io04_gz_${new java.io.File(dir).getName}"
+        val tmp = scratchDir(s"io04_gz_${new java.io.File(dir).getName}")
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .write.mode("overwrite").option("header", "true")
@@ -1961,9 +1961,15 @@ object SparkEntry {
       (s, dir) => {
         Registry.registerAll(s)
         val m = graft.ops.Multimodal
+        // coalesce(text,'') on BOTH engines: the WAV builder would map a
+        // null source to an empty-sample container while the oracle's
+        // octet_length(encode(text)) yields NULL — pin the contract so a
+        // future null-text corpus cannot diverge
         m.decodeMedia(
             m.frameSampleAudio(
-              m.withWavPayload(s.read.parquet(s"$dir/documents.parquet"),
+              m.withWavPayload(
+                s.read.parquet(s"$dir/documents.parquet")
+                  .withColumn("text", coalesce(col("text"), lit(""))),
                 "doc_id", "text", sampleRate = 8000),
               "doc_id", "payload", everyN = 4),
             "doc_id", "payload")
@@ -1972,12 +1978,29 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       },
       """SELECT doc_id, 'wav' AS format,
-                CAST(44 + 2 * ((octet_length(encode(text)) + 3) // 4) AS INTEGER) AS n_bytes,
+                CAST(44 + 2 * ((octet_length(encode(coalesce(text, ''))) + 3) // 4) AS INTEGER) AS n_bytes,
                 CAST(1 AS INTEGER) AS channels,
                 CAST(2000 AS INTEGER) AS sample_rate,
-                CAST((octet_length(encode(text)) + 3) // 4 AS DOUBLE) / 2000 AS duration_s
+                CAST((octet_length(encode(coalesce(text, ''))) + 3) // 4 AS DOUBLE) / 2000 AS duration_s
          FROM documents ORDER BY doc_id""")
   )
+
+  /** Per-run scratch directory under target/tmp — UUID-suffixed so two
+    * concurrent runs against the same scale factor never share a path or
+    * read each other's partial writes (same discipline as the st01/st02
+    * sink names); best-effort recursive delete on JVM exit.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Paths.get("target", "tmp",
+      s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

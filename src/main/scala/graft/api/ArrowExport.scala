@@ -77,17 +77,22 @@ object ArrowExport {
 
   private def sparkField(f: Field): StructField = {
     val dt: DataType = f.getType match {
-      case t: ArrowType.Int if t.getBitWidth == 64 => LongType
-      case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
-      case t: ArrowType.Int if t.getBitWidth == 16 => ShortType
-      case t: ArrowType.Int                        => ByteType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 64 => LongType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 32 => IntegerType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 16 => ShortType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 8  => ByteType
       case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-      case _: ArrowType.FloatingPoint => FloatType
+      case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
       case _: ArrowType.Utf8          => StringType
       case _: ArrowType.Bool          => BooleanType
       case _: ArrowType.Date          => DateType
-      case _: ArrowType.Timestamp     => TimestampNTZType
-      case other => throw new IllegalArgumentException(s"unsupported arrow type $other")
+      case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
+        // tz-tagged timestamps are instants; untagged ones are wall time
+        if (t.getTimezone != null) TimestampType else TimestampNTZType
+      case other => throw new IllegalArgumentException(
+        s"unsupported arrow type $other for '${f.getName}' — signed " +
+          "8/16/32/64-bit ints, single/double floats, utf8, bool, " +
+          "date32, and microsecond timestamps only")
     }
     StructField(f.getName, dt, f.isNullable)
   }
@@ -106,6 +111,11 @@ object ArrowExport {
       case x: BitVector => x.get(i) == 1
       case x: DateDayVector =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: TimeStampMicroTZVector =>
+        val micros = x.get(i)
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
       case x: TimeStampMicroVector =>
         val micros = x.get(i)
         java.time.LocalDateTime.ofEpochSecond(
@@ -127,8 +137,8 @@ object ArrowExport {
       case StringType  => ArrowType.Utf8.INSTANCE
       case BooleanType => ArrowType.Bool.INSTANCE
       case DateType    => new ArrowType.Date(DateUnit.DAY)
-      case TimestampType | TimestampNTZType =>
-        new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+      case TimestampType    => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
       case other =>
         throw new IllegalArgumentException(
           s"toArrowIpc supports scalar result columns only, got $other " +
@@ -163,9 +173,9 @@ object ArrowExport {
         val ldt = row.getAs[java.time.LocalDateTime](c)
         x.setSafe(i, ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
           + ldt.getNano / 1000L)
-      case (x: TimeStampMicroVector, _) =>
+      case (x: TimeStampMicroTZVector, _) =>
         val ts = row.getAs[java.sql.Timestamp](c)
-        x.setSafe(i, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+        x.setSafe(i, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
       case (x, t) =>
         throw new IllegalStateException(s"unhandled vector ${x.getClass}/$t")
     }

@@ -12,14 +12,24 @@ object Replay {
     * suitable as a file-stream source path.
     */
   def linkDir(file: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(file).toAbsolutePath
-    val d = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(src.toString).toLong & 0xffffffffL))
+    // Collision-resistant key: 16 hex chars of SHA-256 over the absolute
+    // path, so two distinct sources never share a stream directory.
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val key = digest.take(8).map(b => f"$b%02x").mkString
+    val d = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_" + key)
     Files.createDirectories(d)
     val link = d.resolve(src.getFileName)
-    if (!Files.exists(link))
+    // A pre-existing link must still point at src (it may be stale from a
+    // prior run whose source was moved or deleted); recreate otherwise.
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
+      val stale = !Files.isSymbolicLink(link) ||
+        Files.readSymbolicLink(link) != src || !Files.exists(src)
+      if (stale) Files.delete(link)
+    }
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       try Files.createSymbolicLink(link, src)
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
     d.toString

@@ -223,6 +223,64 @@ class TableApiSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("Arrow IPC: instant (TimestampType) columns stay instants via tz-tagged fields") {
+    import org.apache.spark.sql.types._
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")
+    val schema = StructType(Seq(StructField("id", LongType, false),
+      StructField("at", TimestampType, true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, ts), org.apache.spark.sql.Row(2L, null))
+    val df = spark.createDataFrame(rows, schema)
+    val back = Table.fromArrowIpc(spark, graft.api.ArrowExport.toArrowIpc(df)).toDF
+    assert(back.schema("at").dataType == TimestampType,
+      "tz-tagged arrow timestamp must map back to TimestampType, not NTZ")
+    val got = back.orderBy("id").collect()
+    assert(got(0).getTimestamp(1) == ts)
+    assert(got(1).isNullAt(1))
+  }
+
+  test("Arrow IPC: unsigned-int fields are rejected at schema mapping, not read time") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.VectorSchemaRoot
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+    val uint8 = new Field("u",
+      new FieldType(true, new ArrowType.Int(8, false), null), null)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val root = VectorSchemaRoot.create(
+      new ArrowSchema(java.util.Arrays.asList(uint8)), alloc)
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      root.allocateNew(); root.setRowCount(0)
+      val w = new ArrowStreamWriter(root, null, out)
+      try { w.start(); w.writeBatch(); w.end() } finally w.close()
+    } finally { root.close(); alloc.close() }
+    val e = intercept[IllegalArgumentException] {
+      Table.fromArrowIpc(spark, out.toByteArray)
+    }
+    assert(e.getMessage.contains("unsupported arrow type"))
+  }
+
+  test("Replay.linkDir: distinct sources get distinct dirs; stale links are recreated") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("replayspec")
+    val a = Files.writeString(base.resolve("data.parquet"), "a")
+    val sub = Files.createDirectory(base.resolve("sub"))
+    val b = Files.writeString(sub.resolve("data.parquet"), "b")
+    val da = graft.streaming.Replay.linkDir(a.toString)
+    val db = graft.streaming.Replay.linkDir(b.toString)
+    assert(da != db, "same basename, different paths must not share a dir")
+    assert(Files.readSymbolicLink(Paths.get(da, "data.parquet")) == a.toAbsolutePath)
+    // poison the link to simulate a stale prior run, then re-link
+    val link = Paths.get(da, "data.parquet")
+    Files.delete(link)
+    Files.createSymbolicLink(link, b.toAbsolutePath)
+    val da2 = graft.streaming.Replay.linkDir(a.toString)
+    assert(da2 == da)
+    assert(Files.readSymbolicLink(link) == a.toAbsolutePath,
+      "a link pointing at the wrong source must be recreated")
+  }
+
   test("csv and json round-trip through the readers") {
     val dir = "target/tmp/tablespec"
     trips.toDF.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
