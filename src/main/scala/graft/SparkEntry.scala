@@ -1982,7 +1982,161 @@ object SparkEntry {
                 CAST(1 AS INTEGER) AS channels,
                 CAST(2000 AS INTEGER) AS sample_rate,
                 CAST((octet_length(encode(coalesce(text, ''))) + 3) // 4 AS DOUBLE) / 2000 AS duration_s
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id"""),
+
+    // CDC latest-wins upsert: base snapshot + a keyed revision delta
+    // (every 10th order re-priced at 2x, version 1) folded by
+    // row_number-over-key — the incremental-snapshot primitive a corpus
+    // refresh needs. Gate aggregates the merged snapshot per status with
+    // cents-exact revenue and the count of keys the delta won.
+    "u01_upsert" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val base = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("ver", lit(0L))
+        val delta = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .withColumn("ver", lit(1L))
+        graft.ops.Cdc.upsert(base, delta, Seq("o_orderkey"), "ver")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            sum((col("ver") === 1).cast("long")).as("n_updated"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """WITH delta AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                  1 AS ver
+           FROM orders WHERE o_orderkey % 10 = 0),
+         merged AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS ver FROM orders
+           UNION ALL SELECT * FROM delta),
+         latest AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY ver DESC) AS rn
+           FROM merged)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(sum(CASE WHEN ver = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+         FROM latest WHERE rn = 1
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
+    // corpus-trained bigram LM quality scoring (CCNet/KenLM-style
+    // perplexity gate): add-one-smoothed p(b|a), per-doc sum of
+    // FIXED-POINT log-probs (integer sum -> partition-order-proof)
+    "t09_lm_score" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.bigramLmScore(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+                FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         uni AS (SELECT unnest(toks) AS t FROM s),
+         c1 AS (SELECT t, count(*) AS c1 FROM uni GROUP BY t),
+         c2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         v AS (SELECT count(DISTINCT t) AS v FROM uni),
+         sc AS (SELECT bg.doc_id,
+                       CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                                     CAST(c1.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS fp
+                FROM bg JOIN c2 USING (a, b) JOIN c1 ON bg.a = c1.t CROSS JOIN v),
+         pd AS (SELECT doc_id, count(*) AS n_bigrams, sum(fp) AS score_fp
+                FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(coalesce(pd.score_fp, 0) AS BIGINT) AS score_fp
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""),
+
+    // temperature-based source re-balancing (mC4/mT5 mixing rule,
+    // alpha=0.5): keep rates (n_min/n_s)^0.5 derived from per-source
+    // counts, applied as a deterministic md5-bucket gate — the oracle
+    // re-derives the exact thresholds (sqrt and / are correctly rounded,
+    // so both engines compute identical doubles)
+    "sp04_temperature_mix" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Sampling.temperatureSample(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sc"),
+            min(col("doc_id")).as("mn"))
+          .orderBy(col("source"))
+      },
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT source,
+                      CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 65536) AS BIGINT) AS thr
+               FROM c CROSS JOIN m)
+         SELECT d.source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc,
+                min(doc_id) AS mn
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE r.thr >= 65536
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr)
+         GROUP BY d.source ORDER BY d.source"""),
+
+    // range-partitioned + sorted parquet layout: the 100 TB zone-map
+    // story — repartitionByRange co-locates key ranges per file and
+    // sortWithinPartitions orders row groups, so a key-range predicate
+    // prunes files AND row groups on read-back (PlanSpec pins the pushed
+    // filter on the scan)
+    "io05_sorted_layout" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = scratchDir(s"io05_sorted_${new java.io.File(dir).getName}")
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_orderkey").between(1000, 5000))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      },
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                min(o_orderkey) AS mn, max(o_orderkey) AS mx
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000"""),
+
+    // append-mode watermarked streaming aggregation: each hourly window
+    // emits exactly once when the watermark passes its end — state is
+    // dropped at emission (bounded by open windows, not stream length),
+    // where Complete mode (st03) re-emits full history every trigger.
+    // Oracle = batch windows with end <= max(ts) - delay (boundary
+    // inclusive, verified by probe).
+    "st04_stream_append" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingHourlyClosed(
+          graft.streaming.Events.readStream(s, dir))
+        val sink = "st04_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(unix_micros(col("h_end")).as("h_end"), col("event_type"),
+            col("n"), col("sv").cast("double").as("sv"))
+          .orderBy(col("h_end"), col("event_type"))
+      },
+      """WITH mx AS (SELECT max(ts) AS mt FROM events)
+         SELECT epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS h_end,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+         FROM events CROSS JOIN mx
+         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 30 MINUTE
+         GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

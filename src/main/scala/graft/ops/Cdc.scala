@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture style operators for incremental pipelines: a
+  * training corpus is rarely rebuilt from scratch — it is a base snapshot
+  * plus a stream of upserted/deleted records, folded into a new snapshot.
+  *
+  * The reference engine is batch-only (vinum/README.rst:246 lists
+  * incremental execution as future work); this is the Spark-first
+  * extension of its MaterializeTable surface to evolving tables.
+  *
+  * Scale shape: one shuffle on the upsert key (window over key, ordered
+  * by version) — the same cost as any keyed aggregation, no driver-side
+  * state, no broadcast of the delta (deltas can be arbitrarily large).
+  */
+object Cdc {
+
+  /** Latest-wins upsert: fold `updates` into `base`, keeping for every
+    * key exactly one row — the one with the highest `versionCol` (ties
+    * broken toward `updates`, which is tagged with the higher change
+    * priority). Columns are aligned by name; both frames must carry the
+    * key, version, and payload columns.
+    *
+    * Equivalent to MERGE ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    * INSERT with deterministic last-writer-wins semantics.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+             versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val tagged = base.withColumn("__chg", lit(0))
+      .unionByName(updates.withColumn("__chg", lit(1)))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__chg").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__chg")
+  }
+
+  /** Upsert with tombstones: rows of `updates` whose `deletedCol` is true
+    * delete the key from the result after version resolution (a newer
+    * insert resurrects it, an older one does not).
+    */
+  def upsertWithDeletes(base: DataFrame, updates: DataFrame,
+                        keyCols: Seq[String], versionCol: String,
+                        deletedCol: String): DataFrame =
+    upsert(base.withColumn(deletedCol, lit(false)), updates, keyCols,
+      versionCol)
+      .filter(!col(deletedCol))
+      .drop(deletedCol)
+}

@@ -97,6 +97,38 @@ object Sampling {
     frames.reduce(_ unionByName _)
   }
 
+  /** Temperature-based source re-balancing (the mC4/mT5 mixing rule):
+    * down-sample each source so expected kept counts are proportional to
+    * n_s^alpha — alpha < 1 flattens the source distribution toward
+    * uniform without up-sampling (the smallest source is kept whole, so
+    * keep rates are rate_s = (n_min/n_s)^(1-alpha), all ≤ 1).
+    *
+    * alpha is restricted to 0.5 so the rate is a single correctly-rounded
+    * sqrt over a correctly-rounded division — bit-identical in any IEEE
+    * engine, which keeps the derived md5-bucket thresholds externally
+    * verifiable (a general pow() is not correctly rounded and could
+    * disagree across libm implementations at a floor() boundary).
+    *
+    * Scale shape: one tiny aggregation to learn per-source counts (rows =
+    * distinct sources, collected to the driver as literals), then a
+    * map-only hash-gate filter — no join, no second shuffle, same
+    * determinism contract as [[hashSample]].
+    */
+  def temperatureSample(df: DataFrame, idCol: String,
+                        sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
+    require(counts.nonEmpty, "empty input")
+    val nMin = counts.map(_._2).min
+    val h = hashBucket(col(idCol))
+    val keep = counts.foldLeft(lit(false): Column) {
+      case (el, (src, n)) =>
+        val thr = bucketThreshold(math.sqrt(nMin.toDouble / n.toDouble))
+        when(col(sourceCol) === lit(src), belowThreshold(h, thr)).otherwise(el)
+    }
+    df.filter(keep)
+  }
+
   /** Cap each group at `quota` rows, keeping the first `quota` in
     * (orderCol, idCol) order — e.g. limit any single source/domain's
     * contribution to the corpus. One shuffle on the group key.

@@ -185,6 +185,50 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("score"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet/KenLM-style
+    * perplexity quality gate, self-trained on the corpus being scored
+    * (documents whose bigrams are improbable under the corpus LM are
+    * boilerplate/garbled candidates). Add-one smoothing:
+    * p(b|a) = (c2(a,b)+1) / (c1(a)+V); a document's score is the sum of
+    * its bigram log-probs. Scores are FIXED-POINT longs
+    * (round(ln(p)·1e6)) summed as integers, so the result is independent
+    * of Spark's partition-summation order and hash-comparable across
+    * engines (same discipline as the t08 tfidf gate).
+    *
+    * Scale shape: bigram extraction is map-only (array transform);
+    * counting and probability lookup are shuffles keyed on the bigram /
+    * unigram (never the corpus); V joins in as one broadcast scalar.
+    * Documents with fewer than two tokens score 0 over 0 bigrams but stay
+    * represented (left join back to the id spine).
+    *
+    * Output: (idCol, n_bigrams, score_fp), one row per input document.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+        x => x =!= "").as("__toks"))
+    val bg = toks.select(col(idCol),
+        explode(expr(
+          """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+             (t, i) -> struct(t AS a, __toks[i + 1] AS b))""")).as("__bg"))
+      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
+    val uni = toks.select(explode(col("__toks")).as("t"))
+    val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(countDistinct(col("t")).as("v"))
+    val scored = bg.join(c2, Seq("a", "b")).join(c1, col("a") === col("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1e6).cast("long").as("fp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("score_fp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+  }
+
   /** Sliding-window token chunking (RAG/pretraining shape): tokenize,
     * then emit one chunk per `stride` starting offset, `size` tokens
     * long (the final chunks truncate at the document end; overlap =

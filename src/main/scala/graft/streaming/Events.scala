@@ -293,6 +293,32 @@ object Events {
         sum(col("value").cast("decimal(18,6)")).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sv"))
 
+  /** Streaming windowed aggregation for APPEND mode: identical agg to
+    * [[streamingHourlyTypeCounts]] but projecting the window END, the
+    * handle append-mode consumers key on — a window is emitted exactly
+    * once, when the watermark (max event time − delay) passes its end,
+    * and never revised after. This is the production shape for unbounded
+    * streams: state for a window is dropped at emission, so executor
+    * state is bounded by (open windows × event types) regardless of
+    * stream length, where Complete mode would retain and re-emit the
+    * full history every trigger.
+    *
+    * Emission at the end of an AvailableNow replay relies on Spark's
+    * final no-data micro-batch flushing windows closed by the last
+    * watermark update (verified: emitted set == batch windows with
+    * end <= max(ts) − delay, boundary inclusive).
+    */
+  def streamingHourlyClosed(events: DataFrame,
+                            watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+      .select(col("window.end").as("h_end"), col("event_type"), col("n"),
+        col("sv"))
+
   /** Streaming MinHash/LSH near-duplicate detection: for every incoming
     * document, report per LSH band whether its band bucket was already
     * claimed by an earlier document — across micro-batch boundaries.

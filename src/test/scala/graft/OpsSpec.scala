@@ -639,6 +639,103 @@ class OpsSpec extends GraftSuite {
     assert(mixed.count() == Sampling.weightedMix(Seq(a -> 2.5, b -> 0.5), "id").count())
   }
 
+  test("Cdc.upsert: latest version wins, inserts land, older updates lose") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 5L), (3L, "c", 5L))
+      .toDF("k", "v", "ver")
+    val delta = Seq((2L, "b2", 6L),  // newer: wins
+                    (3L, "c0", 4L),  // older than base: loses
+                    (9L, "new", 1L)) // unseen key: insert
+      .toDF("k", "v", "ver")
+    val got = Cdc.upsert(base, delta, Seq("k"), "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("Cdc.upsertWithDeletes: tombstones remove keys unless out-versioned") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 5L))
+      .toDF("k", "v", "ver")
+    val delta = Seq((2L, "x", 3L, true),  // tombstone: 2 goes away
+                    (3L, "x", 4L, true))  // older tombstone: 3 survives
+      .toDF("k", "v", "ver", "del")
+    val got = Cdc.upsertWithDeletes(base, delta, Seq("k"), "ver", "del")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 3L -> "c"))
+    assert(!got.contains(2L))
+  }
+
+  test("bigramLmScore matches hand-computed add-one-smoothed fixed-point sums") {
+    val fixture = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // corpus: c2(a,b)=3, c2(b,a)=1, c2(b,c)=1; c1: a=3,b=3,c=1,x=1; V=4
+    def fp(c2: Long, c1: Long): Long =
+      math.round(math.log((c2 + 1).toDouble / (c1 + 4).toDouble) * 1e6)
+    val expect1 = 2 * fp(3, 3) + fp(1, 3)  // (a,b),(b,a),(a,b)
+    val expect2 = fp(3, 3) + fp(1, 3)      // (a,b),(b,c): c1(b)=3
+    val got = TextAnalysis.bigramLmScore(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, expect1)))
+    assert(got(2L) == ((2L, expect2)))
+    assert(got(3L) == ((0L, 0L)), "single-token doc: no bigrams, score 0")
+    assert(got(4L) == ((0L, 0L)), "null doc stays represented at 0")
+  }
+
+  test("temperatureSample keeps the smallest source whole, others at (nmin/n)^0.5") {
+    val small = (0L until 100L).map(i => (i, "s")).toDF("id", "src")
+    val large = (100L until 500L).map(i => (i, "l")).toDF("id", "src")
+    val df = small.unionByName(large)
+    val kept = Sampling.temperatureSample(df, "id", "src")
+    val bySrc = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s") == 100L, "smallest source must be kept whole")
+    assert(math.abs(bySrc("l") - 200.0) < 60, "large source kept at ~sqrt(100/400)=0.5")
+    // the large-source gate IS the 0.5 hash sample (same threshold rule)
+    val viaHash = Sampling.hashSample(large, "id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val gotLarge = kept.filter(col("src") === "l")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotLarge == viaHash)
+  }
+
+  test("streamingHourlyClosed (append) emits exactly the watermark-closed windows") {
+    val dir = "target/tmp/st04spec_in"
+    val h = 3600L * 1000000L // one hour of microseconds
+    // NOTE: fixture ts is NANOS (Events corpus convention: readStream does ts div 1000)
+    val rows = Seq(
+      (1L, 0L * h, "click", 1.0), (2L, 0L * h + h / 2, "click", 2.0),
+      (3L, 1L * h, "view", 3.0), (4L, 2L * h, "click", 4.0),
+      (5L, 3L * h, "view", 5.0)) // max ts = 3h -> watermark 2h30
+      .map { case (id, us, t, v) => (id, us * 1000L, id, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // Events.readStream expects $dir/events.parquet to be a single FILE
+    // (the corpus layout) — promote the lone part file to that name
+    val raw = s"$dir/raw"
+    rows.coalesce(1).write.mode("overwrite").parquet(raw)
+    val part = new java.io.File(raw).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(dir, "events.parquet")
+    java.nio.file.Files.createDirectories(dst.getParent)
+    if (java.nio.file.Files.isDirectory(dst)) { // stale layout from old runs
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(dst.toFile)
+    }
+    java.nio.file.Files.copy(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val out = graft.streaming.Events.streamingHourlyClosed(
+      graft.streaming.Events.readStream(spark, dir))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("st04spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("st04spec")
+      .select(unix_micros(col("h_end")), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0) / h, r.getString(1), r.getLong(2))).toSet
+    // watermark = 3h - 30min = 2h30: windows ending at 1h and 2h are
+    // closed; the [2h,3h) and [3h,4h) windows are still open
+    assert(got == Set((1L, "click", 2L), (2L, "view", 1L)))
+  }
+
   test("perGroupQuota caps each group and keeps the deterministic prefix") {
     val rows = for (g <- Seq("a", "b"); i <- 0 until 10) yield (g, i.toLong, 100 - i)
     val df = rows.toDF("src", "id", "len")

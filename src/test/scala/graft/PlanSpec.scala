@@ -130,6 +130,34 @@ class PlanSpec extends GraftSuite {
     assert(pf.contains("lang"), s"lang filter not in PartitionFilters:\n$p")
   }
 
+  test("io05 sorted layout: the key-range filter is pushed to the parquet scan") {
+    val p = planOf("io05_sorted_layout")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderkey") &&
+      pushed.contains("LessThanOrEqual(o_orderkey"),
+      s"o_orderkey range not in PushedFilters:\n$p")
+  }
+
+  test("t09 LM scoring: bigram probability lookups are equi-joins, vocab is broadcast") {
+    val p = planOf("t09_lm_score")
+    assert(!p.contains("CartesianProduct"), s"cartesian in t09 plan:\n${p.take(800)}")
+    // the only nested-loop join allowed is the 1-row vocab scalar broadcast
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins in t09 plan (expected <=1 scalar):\n${p.take(800)}")
+  }
+
+  test("u01 upsert: one keyed window resolves versions, no nested loop") {
+    val p = planOf("u01_upsert")
+    assert(p.contains("Window"), s"no window in u01 plan:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in u01 plan:\n${p.take(800)}")
+  }
+
+  test("sp04 temperature mix: the gate is a map-only filter — no join at all") {
+    val p = planOf("sp04_temperature_mix")
+    assert(!p.contains("Join"), s"join in sp04 plan (gate must be map-only):\n${p.take(800)}")
+  }
+
   test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
     val p = planOf("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
