@@ -50,7 +50,8 @@ object Bench {
     "d06_dedup_segments", "s01_ann_brute", "s02_ann_lsh", "t03_tokens",
     "t06_repetition", "m02_codec_decode", "e02_sessionize",
     "p01_pipeline_e2e", "st01_stream_sessionize", "s06_quantize_int8",
-    "d10_decontaminate", "j06_range_join")
+    "d10_decontaminate", "j06_range_join", "t09_lm_score", "u01_upsert",
+    "e04_funnel", "st04_stream_append", "w04_rolling_range")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2136,7 +2136,182 @@ object SparkEntry {
                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
          FROM events CROSS JOIN mx
          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 30 MINUTE
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // time-range window frame (RANGE BETWEEN on days): 7-day rolling
+    // revenue per customer — cents-exact so the rolling sums are
+    // order-independent; one shuffle on the customer key
+    "w04_rolling_range" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("d"))
+          .rangeBetween(-6, 0)
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_date(col("o_orderdate").cast("date")).cast("long").as("d"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("cents_7d", sum(col("cents")).over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("d"), col("cents_7d"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_custkey,
+                CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
+         FROM orders ORDER BY o_orderkey"""),
+
+    // ordered-stage conversion funnel over 30-min gap sessions:
+    // view -> click (at/after first view) -> purchase (at/after first
+    // qualifying click); stacked running-min windows share one
+    // session-keyed sort
+    "e04_funnel" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.streaming.Events.sessionFunnel(
+            graft.streaming.Events.read(s, dir),
+            Seq("view", "click", "purchase"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("reached_1")).as("n_view"),
+            sum(col("reached_2")).as("n_view_click"),
+            sum(col("reached_3")).as("n_full"))
+      },
+      """WITH x AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         se AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+                FROM x),
+         r1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER ws AS s1
+                FROM se WINDOW ws AS (PARTITION BY user_id, sess
+                                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+         r2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND s1 IS NOT NULL THEN ts END)
+                          OVER ws AS s2
+                FROM r1 WINDOW ws AS (PARTITION BY user_id, sess
+                                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+         r3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND s2 IS NOT NULL THEN ts END)
+                          OVER ws AS s3
+                FROM r2 WINDOW ws AS (PARTITION BY user_id, sess
+                                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+         per AS (SELECT user_id, sess,
+                        max(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+                        max(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+                        max(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS f3
+                 FROM r3 GROUP BY user_id, sess)
+         SELECT count(*) AS n_sessions, CAST(sum(f1) AS BIGINT) AS n_view,
+                CAST(sum(f2) AS BIGINT) AS n_view_click,
+                CAST(sum(f3) AS BIGINT) AS n_full
+         FROM per"""),
+
+    // stream-static join: the unbounded stream broadcast-joins a static
+    // dimension (event_type -> category) — the production enrichment
+    // shape (dim re-read per micro-batch, never shuffled into the stream)
+    "st05_stream_static" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        import s.implicits._
+        val dim = Seq(("view", "engagement"), ("click", "engagement"),
+          ("purchase", "transactional"), ("signup", "transactional"),
+          ("error", "ops")).toDF("event_type", "category")
+        val out = graft.streaming.Events.readStream(s, dir)
+          .join(broadcast(dim), "event_type")
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("sv"))
+        val sink = "st05_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(col("category"), col("n"), col("sv").cast("double").as("sv"))
+          .orderBy(col("category"))
+      },
+      """SELECT CASE event_type WHEN 'view' THEN 'engagement'
+                                WHEN 'click' THEN 'engagement'
+                                WHEN 'purchase' THEN 'transactional'
+                                WHEN 'signup' THEN 'transactional'
+                                ELSE 'ops' END AS category,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+         FROM events GROUP BY 1 ORDER BY 1"""),
+
+    // snapshot drift profiling: column profiles of the base snapshot vs
+    // the CDC-upserted snapshot side by side — the monitoring step after
+    // every incremental corpus refresh (pairs with u01)
+    "pr02_snapshot_diff" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+        val base = s.read.parquet(s"$dir/orders.parquet")
+          .select(cols.map(col): _*)
+        val delta = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        val merged = graft.ops.Cdc.upsert(
+          base.withColumn("ver", lit(0L)), delta.withColumn("ver", lit(1L)),
+          Seq("o_orderkey"), "ver").drop("ver")
+        val pb = graft.ops.Profile.summarize(base, cols)
+          .select(col("column"), col("n").as("n_base"),
+            col("n_distinct").as("dist_base"))
+        val pn = graft.ops.Profile.summarize(merged, cols)
+          .select(col("column"), col("n").as("n_new"),
+            col("n_distinct").as("dist_new"))
+        pb.join(pn, "column")
+          .select(col("column"), col("n_base"), col("n_new"),
+            col("dist_base"), col("dist_new"))
+          .orderBy(col("column"))
+      },
+      """WITH delta AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                  1 AS ver
+           FROM orders WHERE o_orderkey % 10 = 0),
+         merged AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+             SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS ver FROM orders
+             UNION ALL SELECT * FROM delta) t
+           QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                      ORDER BY ver DESC) = 1),
+         pb AS (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_base,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dist_base FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+                  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+         pn AS (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_new,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dist_new FROM merged
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+                  CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM merged
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+                  CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM merged)
+         SELECT pb."column", pb.n_base, pn.n_new, pb.dist_base, pn.dist_new
+         FROM pb JOIN pn USING ("column") ORDER BY pb."column""""),
+
+    // GROUPING SETS (generalizes r01 rollup / r02 cube) with grouping()
+    // markers — identical SQL text in both engines
+    "g02_grouping_sets" -> same("lineitem",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

@@ -169,6 +169,54 @@ object Events {
   }
 
 
+  /** Ordered-stage funnel over gap sessions: for each session, whether it
+    * reached stage 1, stages 1→2 in order, 1→2→3 in order, … A stage
+    * counts only if it occurs at-or-after the session's first qualifying
+    * occurrence of the previous stage (classic conversion-funnel
+    * semantics, evaluated in (ts, event_id) session order).
+    *
+    * Implementation: one running-min window per stage, all over the same
+    * (user, session) partitioning and sort. Catalyst satisfies the
+    * per-session windows' clustering with the user-keyed exchange already
+    * in place for session numbering (user partitioning colocates every
+    * session of a user), so the whole funnel — numbering, k stage
+    * windows, and the per-session rollup — costs exactly ONE shuffle,
+    * independent of stage count (pinned by PlanSpec).
+    *
+    * Output: one row per session — (user_id, session_seq,
+    * reached_1..reached_k as 0/1 longs).
+    */
+  def sessionFunnel(events: DataFrame, stages: Seq[String],
+                    gapMinutes: Int = 30): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
+    val newSession = when(prevTs.isNull || (col("ts") - prevTs) > gap, 1)
+      .otherwise(0)
+    val sessed = events
+      .withColumn("session_seq",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = stages.zipWithIndex.foldLeft(sessed) {
+      case (df, (stage, i)) =>
+        val qualifies =
+          if (i == 0) col("event_type") === stage
+          else col("event_type") === stage && col(s"__s$i").isNotNull
+        df.withColumn(s"__s${i + 1}",
+          min(when(qualifies, col("ts"))).over(ws))
+    }
+    staged.groupBy(col("user_id"), col("session_seq"))
+      .agg(stages.indices.map(i =>
+        max(when(col(s"__s${i + 1}").isNotNull, 1L).otherwise(0L))
+          .as(s"reached_${i + 1}")).head,
+        stages.indices.tail.map(i =>
+          max(when(col(s"__s${i + 1}").isNotNull, 1L).otherwise(0L))
+            .as(s"reached_${i + 1}")): _*)
+  }
+
   /** Stateful Structured Streaming sessionization: per-user gap sessions
     * with explicit keyed state (`flatMapGroupsWithState`). State per user
     * is 16 bytes (last event time + session counter) — bounded regardless

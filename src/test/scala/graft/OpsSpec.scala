@@ -736,6 +736,29 @@ class OpsSpec extends GraftSuite {
     assert(got == Set((1L, "click", 2L), (2L, "view", 1L)))
   }
 
+  test("sessionFunnel: stages count only in order, sessions split on the gap") {
+    def ev(id: Long, user: Long, minute: Long, typ: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:${0}%02d:00").toInstant
+        .plusSeconds(minute * 60).toEpochMilli * 1000L, user, typ)
+    val rows = Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 1, "click"), ev(3, 1, 2, "purchase"),
+      // user 2: stages present but in REVERSE order — only view counts
+      ev(4, 2, 0, "purchase"), ev(5, 2, 1, "click"), ev(6, 2, 2, "view"),
+      // user 3: view, then a 40-min gap breaks the session before click
+      ev(7, 3, 0, "view"), ev(8, 3, 40, "click"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .withColumn("ts", expr("cast(timestamp_micros(us) as timestamp_ntz)"))
+    val per = graft.streaming.Events.sessionFunnel(
+        rows, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(per((1L, 1L)) == ((1L, 1L, 1L)), "in-order session completes the funnel")
+    assert(per((2L, 1L)) == ((1L, 0L, 0L)), "reverse order: later stages don't count")
+    assert(per((3L, 1L)) == ((1L, 0L, 0L)), "view-only before the gap")
+    assert(per((3L, 2L)) == ((0L, 0L, 0L)), "click alone in the new session")
+  }
+
   test("perGroupQuota caps each group and keeps the deterministic prefix") {
     val rows = for (g <- Seq("a", "b"); i <- 0 until 10) yield (g, i.toLong, 100 - i)
     val df = rows.toDF("src", "id", "len")

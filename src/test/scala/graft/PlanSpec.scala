@@ -158,6 +158,25 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join"), s"join in sp04 plan (gate must be map-only):\n${p.take(800)}")
   }
 
+  test("w04 rolling range frame: one customer-keyed shuffle feeds the window") {
+    val p = planOf("w04_rolling_range")
+    assert(p.contains("Window"), s"no window in w04 plan:\n${p.take(600)}")
+    val keyed = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"$keyed keyed exchanges in w04 plan (want 1):\n${p.take(900)}")
+  }
+
+  test("e04 funnel: stacked stage windows reuse the session sort, no nested loop") {
+    val p = planOf("e04_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in e04 plan:\n${p.take(800)}")
+    // ONE user-keyed exchange serves everything: hashpartitioning(user_id)
+    // already clusters (user_id, session_seq), so the session numbering
+    // window, all three stage windows, and the per-session agg share it
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"$keyed keyed exchanges in e04 plan (want 1):\n${p.take(900)}")
+  }
+
   test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
     val p = planOf("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
