@@ -2311,7 +2311,75 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                  (l_returnflag, l_linestatus), ())
-         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+
+    // exact duplicated-span detection (Lee et al. substring-dedup
+    // signal): per doc, how many of its 8-token rolling spans occur
+    // verbatim in another document — md5 span keys so the oracle
+    // re-derives them exactly
+    "d11_dup_spans" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.duplicatedSpans(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sp AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 7),
+                         i -> md5(array_to_string(toks[i:i+7], ' ')))) AS digest
+           FROM s WHERE len(toks) >= 8),
+         dup AS (SELECT digest FROM sp GROUP BY digest
+                 HAVING count(DISTINCT doc_id) >= 2),
+         pd AS (SELECT sp.doc_id, count(*) AS n_dup_spans
+                FROM sp JOIN dup USING (digest) GROUP BY sp.doc_id)
+         SELECT s.doc_id,
+                CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT) AS n_spans,
+                CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+         FROM s LEFT JOIN pd USING (doc_id) ORDER BY s.doc_id"""),
+
+    // stream-stream time-bounded join: purchases correlate with the same
+    // user's views from the preceding hour — both sides watermarked so
+    // join state is evicted as event time advances (the unbounded-stream
+    // contract); a finite replay emits exactly the batch join
+    "st06_stream_stream_join" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val E = graft.streaming.Events
+        def side(t: String, p: String) = E.readStream(s, dir)
+          .filter(col("event_type") === t)
+          .select(col("user_id").as(s"${p}_user"),
+            col("ts").cast("timestamp").as(s"${p}_ts"),
+            col("event_id").as(s"${p}_id"))
+          .withWatermark(s"${p}_ts", "2 hours")
+        val joined = side("purchase", "p").join(side("view", "v"),
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"))
+        val sink = "st06_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = joined.select(col("p_id"), col("v_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("p_id")).as("n_purchases"),
+            min(col("p_id")).as("mn_p"), min(col("v_id")).as("mn_v"))
+      },
+      """SELECT count(*) AS n_pairs,
+                CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+                min(p.event_id) AS mn_p, min(v.event_id) AS mn_v
+         FROM events p JOIN events v
+           ON v.user_id = p.user_id
+          AND p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

@@ -496,6 +496,47 @@ object Dedup {
         col("__n").isNotNull.as("flagged"))
   }
 
+  /** Exact duplicated-span detection (the substring-dedup signal of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"):
+    * for every document, how many of its k-token spans (every position, a
+    * rolling window — NOT distinct shingles) also occur verbatim in at
+    * least one OTHER document. High dup_frac marks boilerplate and
+    * cross-document template reuse that whole-doc dedup misses.
+    *
+    * Spans are keyed by md5 of the space-joined token window, so an
+    * external SQL engine re-derives identical keys (the verifiability
+    * setting; at 100 TB swap in xxhash64 like [[TextOps.shingleHashes]]
+    * to shuffle 8-byte keys instead of 32-hex strings — the shape is
+    * unchanged). Two shuffles on the span digest (count distinct docs,
+    * probe join back) + one on the doc id; never on raw text. Documents
+    * shorter than k tokens have zero spans and report 0/0.
+    *
+    * Output: (idCol, n_spans, n_dup_spans), one row per input document.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16): DataFrame = {
+    require(k >= 2, "span length must be >= 2 tokens")
+    val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    // sequence(1, n) descends when n < 1 — guard short docs to no spans
+    val spans = toks.select(col(idCol),
+        explode(when(size(col("__toks")) >= k,
+            transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+              i => md5(array_join(slice(col("__toks"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<string>"))).as("digest"))
+    val dupDigests = spans.groupBy(col("digest"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("digest"))
+    val perDoc = spans.join(dupDigests, Seq("digest"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    toks.select(col(idCol),
+        when(size(col("__toks")) >= k, size(col("__toks")) - (k - 1))
+          .otherwise(0).cast("long").as("n_spans"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
   /** Exhaustive embedding near-duplicate pairs: every (id_a < id_b) pair
     * with cosine >= threshold, no bucketing. O(n²) BY DESIGN — this is
     * the exactness anchor for [[embeddingPairs]] (which trades recall for

@@ -736,6 +736,21 @@ class OpsSpec extends GraftSuite {
     assert(got == Set((1L, "click", 2L), (2L, "view", 1L)))
   }
 
+  test("duplicatedSpans counts cross-doc verbatim spans, not within-doc repeats") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j"),             // 3 spans of 8; shares [a..h] with doc 2
+      (2L, "a b c d e f g h x y"),             // 3 spans; shares [a..h] with doc 1
+      (3L, "short doc"),                       // < 8 tokens: 0/0
+      (4L, "p q r s t u v w p q r s t u v w")) // self-repeating, unique corpus-wide
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(fixture, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 1L)))
+    assert(got(2L) == ((3L, 1L)))
+    assert(got(3L) == ((0L, 0L)), "short docs report zero spans")
+    assert(got(4L) == ((9L, 0L)), "within-doc repetition is not cross-doc duplication")
+  }
+
   test("sessionFunnel: stages count only in order, sessions split on the gap") {
     def ev(id: Long, user: Long, minute: Long, typ: String) =
       (id, java.sql.Timestamp.valueOf(f"2024-01-01 10:${0}%02d:00").toInstant
