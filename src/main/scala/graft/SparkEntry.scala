@@ -2379,7 +2379,98 @@ object SparkEntry {
          FROM events p JOIN events v
            ON v.user_id = p.user_id
           AND p.event_type = 'purchase' AND v.event_type = 'view'
-          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""")
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts"""),
+
+    // streaming ingestion dedup against a static reference snapshot
+    // (docs with id % 7 == 0 play the "previous corpus"): stream-static
+    // LEFT ANTI join on md5 digests — STATELESS (no watermark, no state
+    // store; the reference broadcasts per micro-batch), the shape for
+    // continuous corpus ingestion against yesterday's snapshot
+    "st07_stream_ref_dedup" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ref = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 7 === 0)
+          .select(md5(col("text")).as("digest")).distinct()
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .parquet(graft.streaming.Replay.linkDir(s"$dir/documents.parquet"))
+          .withColumn("digest", md5(col("text")))
+        val fresh = stream.join(broadcast(ref), Seq("digest"), "left_anti")
+        val sink = "st07_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = fresh.select(col("doc_id"), col("n_chars"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .agg(count(lit(1)).as("n_fresh"),
+            sum(col("n_chars")).cast("long").as("sc"),
+            min(col("doc_id")).as("mn"))
+      },
+      """SELECT count(*) AS n_fresh, CAST(sum(n_chars) AS BIGINT) AS sc,
+                min(doc_id) AS mn
+         FROM documents d
+         WHERE NOT EXISTS (
+           SELECT 1 FROM documents r
+           WHERE r.doc_id % 7 = 0 AND md5(r.text) = md5(d.text))"""),
+
+    // composed curation pipeline v2 over the round-7 operators: bigram-LM
+    // quality gate (fixed-point per-bigram threshold) -> exact dedup
+    // (lowest id per digest) -> temperature re-balancing by source ->
+    // per-source rollup. Every stage is deterministic and the oracle
+    // replays the whole chain in SQL.
+    "p06_pipeline_v2" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val scored = graft.ops.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+        val gated = docs.join(scored, "doc_id")
+          .filter(col("n_bigrams") > 0 &&
+            col("score_fp") > col("n_bigrams") * lit(-3420000L))
+        val deduped = graft.ops.Dedup.exactDedup(gated, "text", "doc_id")
+        val mixed = graft.ops.Sampling.temperatureSample(deduped, "doc_id", "source")
+        mixed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).cast("long").as("sc"),
+            min(col("doc_id")).as("mn"))
+          .orderBy(col("source"))
+      },
+      """WITH s AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+                FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         uni AS (SELECT unnest(toks) AS t FROM s),
+         c1 AS (SELECT t, count(*) AS c1 FROM uni GROUP BY t),
+         c2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         v AS (SELECT count(DISTINCT t) AS v FROM uni),
+         sc AS (SELECT bg.doc_id,
+                       CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+                                     CAST(c1.c1 + v.v AS DOUBLE)) * 1e6) AS BIGINT) AS fp
+                FROM bg JOIN c2 USING (a, b) JOIN c1 ON bg.a = c1.t CROSS JOIN v),
+         pd AS (SELECT doc_id, count(*) AS nb, sum(fp) AS sf FROM sc GROUP BY doc_id),
+         gated AS (
+           SELECT d.* FROM documents d JOIN pd USING (doc_id)
+           WHERE pd.nb > 0 AND pd.sf > pd.nb * -3420000),
+         deduped AS (
+           SELECT * FROM gated
+           QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) = 1),
+         c AS (SELECT source, count(*) AS n FROM deduped GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT source,
+                      CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 65536) AS BIGINT) AS thr
+               FROM c CROSS JOIN m)
+         SELECT d.source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc,
+                min(doc_id) AS mn
+         FROM deduped d JOIN r ON d.source = r.source
+         WHERE r.thr >= 65536
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr)
+         GROUP BY d.source ORDER BY d.source""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two
