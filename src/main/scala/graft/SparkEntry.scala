@@ -2470,7 +2470,64 @@ object SparkEntry {
          FROM deduped d JOIN r ON d.source = r.source
          WHERE r.thr >= 65536
             OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.thr)
-         GROUP BY d.source ORDER BY d.source""")
+         GROUP BY d.source ORDER BY d.source"""),
+
+    // parquet schema evolution: two writer generations with different
+    // column sets land in one table dir; mergeSchema read unions by name
+    // (missing columns null-filled) — the long-lived-table reality at
+    // 100 TB, where writers evolve while history stays readable
+    "io06_schema_merge" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = scratchDir(s"io06_merge_${new java.io.File(dir).getName}")
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(tmp)
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("append").parquet(tmp)
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .agg(count(lit(1)).as("n"), count(col("lang")).as("nl"),
+            count(col("source")).as("ns"),
+            sum(col("n_chars")).cast("long").as("sc"),
+            min(col("doc_id")).as("mn"))
+      },
+      """WITH u AS (
+           SELECT doc_id, lang, NULL AS source, CAST(NULL AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, NULL, source, n_chars
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT count(*) AS n, count(lang) AS nl, count(source) AS ns,
+                CAST(sum(n_chars) AS BIGINT) AS sc, min(doc_id) AS mn
+         FROM u"""),
+
+    // cohort retention: users bucketed by first-seen day, activity
+    // counted per day offset — two keyed aggregations (user spine, then
+    // cohort cell), the standard growth-analytics rollup
+    "e05_cohort_retention" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.read(s, dir)
+          .select(col("user_id"), col("ts").cast("date").as("d"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        ev.join(first, "user_id")
+          .select(col("user_id"), col("d0"),
+            datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+          .filter(col("day_offset") <= 7)
+          .groupBy(col("d0"), col("day_offset"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("d0"), col("day_offset"))
+      },
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id)
+         SELECT f.d0, CAST(datediff('day', f.d0, e.d) AS BIGINT) AS day_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN f USING (user_id)
+         WHERE datediff('day', f.d0, e.d) <= 7
+         GROUP BY f.d0, datediff('day', f.d0, e.d)
+         ORDER BY d0, day_offset""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

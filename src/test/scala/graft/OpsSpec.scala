@@ -663,6 +663,16 @@ class OpsSpec extends GraftSuite {
     assert(!got.contains(2L))
   }
 
+  test("Cdc.upsert is idempotent: re-applying the same delta changes nothing") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "ver")
+    val delta = Seq((2L, "b2", 1L), (9L, "new", 1L)).toDF("k", "v", "ver")
+    val once = Cdc.upsert(base, delta, Seq("k"), "ver")
+    val twice = Cdc.upsert(once, delta, Seq("k"), "ver")
+    val a = once.collect().map(_.toSeq).toSet
+    val b = twice.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("bigramLmScore matches hand-computed add-one-smoothed fixed-point sums") {
     val fixture = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
