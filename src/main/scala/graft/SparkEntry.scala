@@ -2527,7 +2527,52 @@ object SparkEntry {
          FROM e JOIN f USING (user_id)
          WHERE datediff('day', f.d0, e.d) <= 7
          GROUP BY f.d0, datediff('day', f.d0, e.d)
-         ORDER BY d0, day_offset""")
+         ORDER BY d0, day_offset"""),
+
+    // product quantization ANN (the compression tier for billion-scale
+    // vectors): seeded per-subspace codebook -> PQ codes -> ADC top-10.
+    // Every distance enters integer domain as round(d2*1e6) at the
+    // (subvector, centroid) grain, so the ENTIRE pipeline — code
+    // assignment argmins and ADC integer sums — is re-derived exactly by
+    // the oracle (s06/s07 discipline applied to PQ).
+    "s08_ann_pq" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val P = graft.ops.Pq
+        val cb = P.seededCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+        val codes = P.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+        P.adcTopK(codes, cb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", dim = 64, m = 4, k = 10)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
+                 FROM e, unnest([0, 1, 2, 3]) AS u(s)),
+         cb AS (SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < 16),
+         enc0 AS (SELECT v.vec_id, v.s, cb.cid,
+                         CAST(round(list_sum(list_transform(generate_series(1, 16),
+                              i -> (v.sv[i] - cb.cvec[i]) * (v.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS d
+                  FROM sub v JOIN cb USING (s)),
+         codes AS (SELECT vec_id, s, cid AS code FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cid) AS rn
+                     FROM enc0) t
+                   WHERE rn = 1),
+         dt AS (SELECT p.vec_id AS probe_id, p.s, cb.cid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 16),
+                            i -> (p.sv[i] - cb.cvec[i]) * (p.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS pd
+                FROM sub p JOIN cb USING (s) WHERE p.vec_id < 5),
+         sc AS (SELECT dt.probe_id, c.vec_id, sum(dt.pd) AS adist_fp
+                FROM codes c JOIN dt ON c.s = dt.s AND c.code = dt.cid
+                WHERE c.vec_id <> dt.probe_id
+                GROUP BY dt.probe_id, c.vec_id),
+         r AS (SELECT probe_id, vec_id, adist_fp,
+                      CAST(row_number() OVER (PARTITION BY probe_id
+                                              ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
+               FROM sc)
+         SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
+         FROM r WHERE rank <= 10 ORDER BY probe_id, rank""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

@@ -663,6 +663,26 @@ class OpsSpec extends GraftSuite {
     assert(!got.contains(2L))
   }
 
+  test("Pq: seeds encode to themselves, codes stay in range, ADC ranks k rows per probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Pq.seededCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    assert(cb.count() == 4 * 16)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+    // a seed subvector is at distance 0 from its own centroid
+    val selfCodes = codes.filter(col("vec_id") < 16)
+      .filter(col("code") =!= col("vec_id")).count()
+    assert(selfCodes == 0, "seed vectors must encode to their own centroids")
+    val rng = codes.filter(col("code") < 0 || col("code") >= 16).count()
+    assert(rng == 0)
+    val top = Pq.adcTopK(codes, cb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", dim = 64, m = 4, k = 10)
+    val perProbe = top.groupBy("probe_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perProbe == Set(10L))
+    // self never appears among a probe's neighbors
+    assert(top.filter(col("probe_id") === col("vec_id")).count() == 0)
+  }
+
   test("Cdc.upsert is idempotent: re-applying the same delta changes nothing") {
     val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "ver")
     val delta = Seq((2L, "b2", 1L), (9L, "new", 1L)).toDF("k", "v", "ver")

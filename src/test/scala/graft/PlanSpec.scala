@@ -153,6 +153,13 @@ class PlanSpec extends GraftSuite {
       s"non-equi join in u01 plan:\n${p.take(800)}")
   }
 
+  test("s08 PQ: codebook and distance table join broadcast, corpus never nested-loops") {
+    val p = planOf("s08_ann_pq")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in s08 plan:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in s08 plan:\n${p.take(800)}")
+  }
+
   test("sp04 temperature mix: the gate is a map-only filter — no join at all") {
     val p = planOf("sp04_temperature_mix")
     assert(!p.contains("Join"), s"join in sp04 plan (gate must be map-only):\n${p.take(800)}")
