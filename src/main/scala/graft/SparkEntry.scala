@@ -2572,6 +2572,73 @@ object SparkEntry {
                                               ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
                FROM sc)
          SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
+         FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+
+    // IVF x PQ — the production billion-scale ANN stack: seeded coarse
+    // quantizer (nlist=8) restricts each probe to its nprobe=2 nearest
+    // cells, PQ/ADC ranks only candidates living there. Both levels stay
+    // fixed-point, so the full two-level search (cell argmins, probe cell
+    // choice, candidate set, ADC sums, ranking) is re-derived exactly by
+    // the oracle — a strict-oracled APPROXIMATE index.
+    "s09_ann_ivfpq" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val P = graft.ops.Pq
+        val cb = P.seededCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+        val codes = P.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+        val coarse = P.seededCoarseCentroids(emb, "vec_id", "embedding", nlist = 8)
+        val cells = P.nearestCells(emb, coarse, "vec_id", "embedding", take = 1)
+        P.ivfpqTopK(codes, cb, cells, coarse,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            dim = 64, m = 4, nprobe = 2, k = 10)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
+                 FROM e, unnest([0, 1, 2, 3]) AS u(s)),
+         cb AS (SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < 16),
+         enc0 AS (SELECT v.vec_id, v.s, cb.cid,
+                         CAST(round(list_sum(list_transform(generate_series(1, 16),
+                              i -> (v.sv[i] - cb.cvec[i]) * (v.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS d
+                  FROM sub v JOIN cb USING (s)),
+         codes AS (SELECT vec_id, s, cid AS code FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cid) AS rn
+                     FROM enc0) t
+                   WHERE rn = 1),
+         co AS (SELECT vec_id AS ccid, emb AS cvec FROM e WHERE vec_id < 8),
+         ca AS (SELECT v.vec_id, co.ccid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 64),
+                            i -> (v.emb[i] - co.cvec[i]) * (v.emb[i] - co.cvec[i]))) * 1e6) AS BIGINT) AS d
+                FROM e v CROSS JOIN co),
+         cells AS (SELECT vec_id, ccid AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY d, ccid) AS rn FROM ca) t
+                   WHERE rn = 1),
+         pc AS (SELECT vec_id AS probe_id, ccid AS cell FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, ccid) AS rn
+                  FROM ca WHERE vec_id < 5) t
+                WHERE rn <= 2),
+         cand AS (SELECT pc.probe_id, cells.vec_id
+                  FROM cells JOIN pc USING (cell)
+                  WHERE cells.vec_id <> pc.probe_id),
+         dt AS (SELECT p.vec_id AS probe_id, p.s, cb.cid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 16),
+                            i -> (p.sv[i] - cb.cvec[i]) * (p.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS pd
+                FROM sub p JOIN cb USING (s) WHERE p.vec_id < 5),
+         sc AS (SELECT cand.probe_id, cand.vec_id, sum(dt.pd) AS adist_fp
+                FROM cand
+                JOIN codes c ON c.vec_id = cand.vec_id
+                JOIN dt ON dt.probe_id = cand.probe_id
+                       AND dt.s = c.s AND dt.cid = c.code
+                GROUP BY cand.probe_id, cand.vec_id),
+         r AS (SELECT probe_id, vec_id, adist_fp,
+                      CAST(row_number() OVER (PARTITION BY probe_id
+                                              ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
+               FROM sc)
+         SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
          FROM r WHERE rank <= 10 ORDER BY probe_id, rank""")
   )
 

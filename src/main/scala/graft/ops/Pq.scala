@@ -76,6 +76,72 @@ object Pq {
       .select(col(idCol), col("s"), col("__best.cid").as("code"))
   }
 
+  /** Deterministic seeded coarse quantizer for IVF×PQ: the full vectors
+    * with id < nlist as cell centroids. (cell_cid, cell_cvec) —
+    * broadcastable. Production swaps in [[Ivf.lloydStep]]-refined
+    * centroids; shapes and determinism are unchanged.
+    */
+  def seededCoarseCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            nlist: Int): DataFrame =
+    df.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("cell_cid"),
+        col(vecCol).cast("array<double>").as("cell_cvec"))
+
+  /** Rank every (row, cell) pair by fixed-point distance and keep the
+    * `take` nearest cells per row — `take`=1 assigns vectors to cells,
+    * `take`=nprobe selects a probe's search cells. The centroid frame
+    * broadcasts (nlist rows); ties break to the lowest cell id.
+    */
+  def nearestCells(df: DataFrame, coarse: DataFrame, idCol: String,
+                   vecCol: String, take: Int): DataFrame = {
+    val scored = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(coarse))
+      .select(col(idCol), col("cell_cid"),
+        d2fp(col("__v"), col("cell_cvec")).as("__d"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d"), col("cell_cid"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= take)
+      .select(col(idCol), col("cell_cid").as("cell"))
+  }
+
+  /** IVF×PQ search — the production billion-scale ANN stack: a coarse
+    * quantizer restricts each probe to its `nprobe` nearest cells, then
+    * ADC ranks only the candidates living there. Candidate volume is
+    * corpus × nprobe/nlist instead of the full corpus; every stage stays
+    * in the fixed-point integer domain, so the entire two-level pipeline
+    * is re-derivable by an external engine (s09's oracle does).
+    * Output: (probe_id, rank, idCol, adist_fp).
+    */
+  def ivfpqTopK(codes: DataFrame, codebook: DataFrame, cells: DataFrame,
+                coarse: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, dim: Int, m: Int, nprobe: Int,
+                k: Int): DataFrame = {
+    val probeCells = nearestCells(probes, coarse, idCol, vecCol, nprobe)
+      .withColumnRenamed(idCol, "probe_id")
+    val cand = cells.join(probeCells, "cell")
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol))
+    val dtable = subvectors(probes, idCol, vecCol, dim, m)
+      .withColumnRenamed(idCol, "probe_id")
+      .join(broadcast(codebook), "s")
+      .select(col("probe_id"), col("s"), col("cid"),
+        d2fp(col("sv"), col("cvec")).as("pd"))
+    val withCodes = cand.join(codes, idCol)
+    val scored = withCodes.join(broadcast(dtable),
+        withCodes("probe_id") === dtable("probe_id") &&
+          withCodes("s") === dtable("s") &&
+          withCodes("code") === dtable("cid"))
+      .groupBy(withCodes("probe_id"), withCodes(idCol))
+      .agg(sum(col("pd")).as("adist_fp"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist_fp"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol), col("adist_fp"))
+  }
+
   /** ADC top-k: for each probe, the `k` vectors with the smallest sum of
     * per-subspace fixed-point distances probe→centroid(code). Integer
     * sums — order-independent; ties rank by ascending vector id.

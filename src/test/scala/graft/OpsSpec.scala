@@ -683,6 +683,34 @@ class OpsSpec extends GraftSuite {
     assert(top.filter(col("probe_id") === col("vec_id")).count() == 0)
   }
 
+  test("Pq IVF x PQ at nprobe = nlist reproduces full ADC exactly; results honor probe cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Pq.seededCodebook(emb, "vec_id", "embedding", dim = 64, m = 4, k = 16)
+    val codes = Pq.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+    val coarse = Pq.seededCoarseCentroids(emb, "vec_id", "embedding", nlist = 8)
+    val cells = Pq.nearestCells(emb, coarse, "vec_id", "embedding", take = 1)
+    val probes = emb.filter(col("vec_id") < 3)
+    // full probe == exhaustive ADC, bit for bit
+    val full = Pq.ivfpqTopK(codes, cb, cells, coarse, probes,
+        "vec_id", "embedding", dim = 64, m = 4, nprobe = 8, k = 10)
+      .collect().map(_.toSeq).toSet
+    val adc = Pq.adcTopK(codes, cb, probes, "vec_id", "embedding",
+        dim = 64, m = 4, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(full == adc, "nprobe=nlist IVFxPQ must equal exhaustive ADC")
+    // restricted probe: every neighbor's cell is one of the probe's cells
+    val restricted = Pq.ivfpqTopK(codes, cb, cells, coarse, probes,
+      "vec_id", "embedding", dim = 64, m = 4, nprobe = 2, k = 10)
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeCells = Pq.nearestCells(probes, coarse, "vec_id", "embedding", take = 2)
+      .collect().groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    restricted.collect().foreach { r =>
+      val (p, v) = (r.getLong(0), r.getLong(2))
+      assert(probeCells(p).contains(cellOf(v)),
+        s"neighbor $v of probe $p lives outside the probed cells")
+    }
+  }
+
   test("Cdc.upsert is idempotent: re-applying the same delta changes nothing") {
     val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "ver")
     val delta = Seq((2L, "b2", 1L), (9L, "new", 1L)).toDF("k", "v", "ver")
