@@ -1984,6 +1984,47 @@ object SparkEntry {
                 CAST((octet_length(encode(coalesce(text, ''))) + 3) // 4 AS DOUBLE) / 2000 AS duration_s
          FROM documents ORDER BY doc_id"""),
 
+    // image feature extraction end-to-end: BMP payloads from corpus
+    // bytes -> width/height/channels + per-channel means. The oracle
+    // re-derives every pixel from the utf-8 bytes (hex-pair extraction):
+    // height = len div 48 full rows (encode truncates, zero-pads a short
+    // single row), channel c = byte positions i % 3 == c, mean = integer
+    // channel sum / (16*height) — one IEEE division on both engines.
+    "m05_image_features" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.imageFeatures(
+            m.withBmpPayload(
+              s.read.parquet(s"$dir/documents.parquet")
+                .withColumn("text", coalesce(col("text"), lit(""))),
+              "doc_id", "text", width = 16),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (
+           SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS len
+           FROM documents),
+         dims AS (SELECT doc_id, hx, len, greatest(len // 48, 1) AS height FROM d),
+         px AS (SELECT doc_id, u.i AS i,
+                       CASE WHEN u.i < len
+                            THEN CAST('0x' || substr(hx, 2 * u.i + 1, 2) AS INTEGER)
+                            ELSE 0 END AS v
+                FROM dims, unnest(generate_series(0, height * 48 - 1)) AS u(i)),
+         agg AS (SELECT doc_id,
+                        sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sb,
+                        sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sg,
+                        sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sr
+                 FROM px GROUP BY doc_id)
+         SELECT dims.doc_id, CAST(16 AS INTEGER) AS width,
+                CAST(dims.height AS INTEGER) AS height,
+                CAST(3 AS INTEGER) AS channels,
+                CAST(agg.sb AS DOUBLE) / (16 * dims.height) AS mean_b,
+                CAST(agg.sg AS DOUBLE) / (16 * dims.height) AS mean_g,
+                CAST(agg.sr AS DOUBLE) / (16 * dims.height) AS mean_r
+         FROM dims JOIN agg USING (doc_id) ORDER BY dims.doc_id"""),
+
     // CDC latest-wins upsert: base snapshot + a keyed revision delta
     // (every 10th order re-priced at 2x, version 1) folded by
     // row_number-over-key — the incremental-snapshot primitive a corpus
