@@ -2680,7 +2680,248 @@ object SparkEntry {
                                               ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
                FROM sc)
          SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
-         FROM r WHERE rank <= 10 ORDER BY probe_id, rank""")
+         FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+
+    // EXISTS / NOT EXISTS correlated subqueries — planned as left-semi /
+    // left-anti hash joins on the correlation key (no per-row probing).
+    "sub04_exists" -> multi(Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderstatus = 'P')
+         ORDER BY c_custkey"""),
+
+    // LATERAL correlated derived table with ORDER BY + LIMIT: per-group
+    // top-n via a lateral subquery (decorrelated by Catalyst into a
+    // ranked window join, not a per-row re-execution).
+    "sub05_lateral" -> multi(Seq("orders"),
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_totalprice
+         FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_orderpriority = p.o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY 1, 2"""),
+
+    // Statistical aggregates beyond the reference's count/min/max/sum/avg:
+    // sample stddev/variance, correlation and covariance per group — the
+    // profiling statistics a corpus-quality dashboard needs. One hash
+    // shuffle on the group key, partial aggregation map-side; round(,6)
+    // per the established transcendental-output discipline.
+    "g05_stats" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(stddev_samp(col("l_extendedprice")), 6).as("sd_price"),
+            round(var_samp(col("l_quantity")), 6).as("var_qty"),
+            round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+            round(covar_samp(col("l_extendedprice"), col("l_discount")), 6).as("cov_pd"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, count(*) AS n,
+                round(stddev_samp(l_extendedprice), 6) AS sd_price,
+                round(var_samp(l_quantity), 6) AS var_qty,
+                round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+                round(covar_samp(l_extendedprice, l_discount), 6) AS cov_pd
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Distribution windows: ntile buckets + percent_rank + cume_dist with
+    // a unique-key tiebreak so peer groups are single rows and the rank
+    // fractions are exact small-integer divisions (bit-identical across
+    // engines). One shuffle on the partition key.
+    "w05_ntile" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                CAST(ntile(4) OVER w AS BIGINT) AS tile,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey"""),
+
+    // PIVOT: long-to-wide reshaping with explicit pivot values (the only
+    // scale-sane form — value discovery would need an extra pass). Cents-
+    // exact long sums; absent combinations stay NULL on both engines
+    // (oracle CASE arms carry no ELSE, so empty sums yield NULL exactly
+    // like Spark's pivot).
+    "g03_pivot" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val qc = round(col("l_quantity") * 100).cast("long")
+        val cc = round(col("l_extendedprice") * 100).cast("long")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum(qc).as("qty"), sum(cc).as("cents"))
+          .select(col("l_returnflag"),
+            col("F_qty").as("f_qty"), col("F_cents").as("f_cents"),
+            col("O_qty").as("o_qty"), col("O_cents").as("o_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN l_linestatus = 'F'
+                              THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS f_qty,
+                CAST(sum(CASE WHEN l_linestatus = 'F'
+                              THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
+                CAST(sum(CASE WHEN l_linestatus = 'O'
+                              THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS o_qty,
+                CAST(sum(CASE WHEN l_linestatus = 'O'
+                              THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // UNPIVOT (melt): wide-to-long reshaping, the inverse of g03 — used to
+    // normalize per-source metric columns into (metric, value) rows before
+    // a generic agg. Map-only after the agg; ELSE 0 keeps sums non-null so
+    // Spark/SQL null-dropping differences never engage.
+    "g04_unpivot" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val qc = round(col("l_quantity") * 100).cast("long")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("l_linestatus") === "F", qc).otherwise(0L)).as("qty_f"),
+            sum(when(col("l_linestatus") === "O", qc).otherwise(0L)).as("qty_o"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("qty_f"), col("qty_o")), "status", "qty")
+          .orderBy(col("l_returnflag"), col("status"))
+      },
+      """WITH w AS (SELECT l_returnflag,
+                  sum(CASE WHEN l_linestatus = 'F'
+                           THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS qty_f,
+                  sum(CASE WHEN l_linestatus = 'O'
+                           THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS qty_o
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'qty_f' AS status, CAST(qty_f AS BIGINT) AS qty FROM w
+         UNION ALL
+         SELECT l_returnflag, 'qty_o' AS status, CAST(qty_o AS BIGINT) AS qty FROM w
+         ORDER BY l_returnflag, status"""),
+
+    // ORC round-trip: third columnar format next to parquet (io03/io05)
+    // and arrow — write a pruned projection as ORC, read it back, and
+    // aggregate. The oracle computes the same result straight from the
+    // parquet source, so a green hash proves ORC write+read fidelity for
+    // longs, strings, doubles and dates.
+    "io07_orc_roundtrip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = scratchDir(s"io07_orc_${new java.io.File(dir).getName}")
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate").cast("date").as("o_date"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            min(col("o_date")).as("d_min"), max(col("o_date")).as("d_max"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                min(CAST(o_orderdate AS DATE)) AS d_min,
+                max(CAST(o_orderdate AS DATE)) AS d_max
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
+    // Fixed-width histogram over a metric column — the value-distribution
+    // profile every ingestion dashboard draws. Bucketing is a map-only
+    // expression; one shuffle on the (small) bucket key; cents-exact sums.
+    "e06_histogram" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.streaming.Events.readRaw(s, dir)
+          .select(floor(col("value") / lit(25.0)).cast("long").as("bucket"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+            min(col("cents")).as("cents_min"), max(col("cents")).as("cents_max"))
+          .orderBy(col("bucket"))
+      },
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+                min(CAST(round(value * 100) AS BIGINT)) AS cents_min,
+                max(CAST(round(value * 100) AS BIGINT)) AS cents_max
+         FROM events GROUP BY 1 ORDER BY bucket"""),
+
+    // Conditional expressions: multi-arm CASE, NULLIF/COALESCE chains and
+    // GREATEST/LEAST — row-local codegen'd expressions (whole-stage), no
+    // shuffle beyond the determinism sort.
+    "q26_conditional" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_quantity") >= 25, lit("bulk"))
+              .when(col("l_quantity") >= 10, lit("mid"))
+              .otherwise(lit("small")).as("size_class"),
+            coalesce(nullif(col("l_returnflag"), lit("N")), lit("-")).as("flag_or_dash"),
+            greatest(col("l_discount"), col("l_tax")).as("rate_max"),
+            least(col("l_discount"), col("l_tax")).as("rate_min"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_quantity >= 25 THEN 'bulk'
+                     WHEN l_quantity >= 10 THEN 'mid'
+                     ELSE 'small' END AS size_class,
+                coalesce(nullif(l_returnflag, 'N'), '-') AS flag_or_dash,
+                greatest(l_discount, l_tax) AS rate_max,
+                least(l_discount, l_tax) AS rate_min
+         FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+
+    // Audio feature extraction over WAV payloads: sample count, mean
+    // amplitude, RMS energy, peak ratio — the audio analog of m05's image
+    // features. Decode is partition-wise (payloads never move); Long
+    // accumulators make the double divisions bit-reproducible, so the
+    // oracle re-derives every feature from the source bytes.
+    "m06_audio_features" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.audioFeatures(
+            m.withWavPayload(
+              s.read.parquet(s"$dir/documents.parquet")
+                .withColumn("text", coalesce(col("text"), lit(""))),
+              "doc_id", "text"),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                           octet_length(encode(coalesce(text, ''))) AS len
+                    FROM documents),
+         sm AS (SELECT doc_id,
+                       CAST('0x' || substr(hx, 2 * u.i + 1, 2) AS INTEGER) AS v
+                FROM d, unnest(generate_series(0, len - 1)) AS u(i)
+                WHERE len > 0),
+         agg AS (SELECT doc_id, count(*) AS n, sum(v) AS sv,
+                        sum(v * v) AS svv,
+                        sum(CASE WHEN v >= 128 THEN 1 ELSE 0 END) AS pk
+                 FROM sm GROUP BY doc_id)
+         SELECT d.doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(coalesce(agg.n, 0) AS BIGINT) AS n_samples,
+                CASE WHEN agg.n IS NULL THEN 0.0
+                     ELSE CAST(agg.sv AS DOUBLE) / agg.n END AS mean_amp,
+                CASE WHEN agg.n IS NULL THEN 0.0
+                     ELSE sqrt(CAST(agg.svv AS DOUBLE) / agg.n) END AS rms,
+                CASE WHEN agg.n IS NULL THEN 0.0
+                     ELSE CAST(agg.pk AS DOUBLE) / agg.n END AS peak_ratio
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

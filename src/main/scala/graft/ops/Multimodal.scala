@@ -353,6 +353,39 @@ object Multimodal {
       .toDF(idCol, "width", "height", "channels", "mean_b", "mean_g", "mean_r")
   }
 
+  /** Audio feature extraction over a WAV binary column: sample count,
+    * mean amplitude, RMS energy and peak ratio (fraction of samples at or
+    * above half scale) — the audio analog of [[imageFeatures]]. Map-only:
+    * payloads decode inside their partition; nothing reaches the driver.
+    * Sums accumulate in Long (exact for 8-bit-range samples), so the
+    * final double divisions are bit-reproducible by a SQL oracle.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        Codec.wavSamples(bytes) match {
+          case Some((rate, _, samples)) if samples.nonEmpty =>
+            var s = 0L; var sq = 0L; var peaks = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toLong
+              s += v; sq += v * v
+              if (v >= 128L) peaks += 1L
+              i += 1
+            }
+            val n = samples.length.toLong
+            (id, rate, n, s.toDouble / n, math.sqrt(sq.toDouble / n),
+              peaks.toDouble / n)
+          case Some((rate, _, _)) => (id, rate, 0L, 0.0, 0.0, 0.0)
+          case None               => (id, 0, 0L, 0.0, 0.0, 0.0)
+        }
+      })
+      .toDF(idCol, "sample_rate", "n_samples", "mean_amp", "rms", "peak_ratio")
+  }
+
   /** Partition-wise audio frame sampling (keep every Nth frame). */
   def frameSampleAudio(df: DataFrame, idCol: String, binCol: String,
                        everyN: Int): DataFrame = {

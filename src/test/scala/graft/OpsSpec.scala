@@ -542,6 +542,24 @@ class OpsSpec extends GraftSuite {
     assert(r.getDouble(4) == 200.0 && r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
   }
 
+  test("audioFeatures computes count/mean/rms/peak over decoded samples") {
+    import Multimodal.Codec
+    // four known samples: 0, 100, 128, 200
+    val wav = Codec.encodeWav(Array[Short](0, 100, 128, 200), 8000, channels = 1)
+    val df = Seq((7L, wav), (8L, Codec.encodeWav(Array.empty[Short], 8000)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.audioFeatures(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r7 = out(7L)
+    assert(r7.getInt(1) == 8000 && r7.getLong(2) == 4L)
+    assert(r7.getDouble(3) == (0 + 100 + 128 + 200) / 4.0)
+    assert(r7.getDouble(4) ==
+      math.sqrt((100.0 * 100 + 128.0 * 128 + 200.0 * 200) / 4.0))
+    assert(r7.getDouble(5) == 0.5) // 128 and 200 are at/above half scale
+    val r8 = out(8L)
+    assert(r8.getLong(2) == 0L && r8.getDouble(4) == 0.0)
+  }
+
   test("decodeMedia dispatches by magic bytes and reports unsupported honestly") {
     import Multimodal.Codec
     val rows = Seq(

@@ -105,6 +105,21 @@ object SmokeMain {
       maxHamming = 7, chunks = 8).count()
     println(s"minhash pairs=$mh simhash candidates(h<=7)=$sh")
 
+    println("=== [6] round-7 surface: audio features / pivot / lateral ===")
+    val af = graft.ops.Multimodal.audioFeatures(
+      graft.ops.Multimodal.withWavPayload(
+        docs.withColumn("text", org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.lit(""))), "doc_id", "text"),
+      "doc_id", "payload")
+    val afRow = af.orderBy("doc_id").collect()(0)
+    println(s"audioFeatures rows=${af.count()} first: rate=${afRow.getInt(1)} " +
+      s"n=${afRow.getLong(2)} rms=${afRow.getDouble(4)}")
+    val pivoted = SparkEntry.queries("g03_pivot")(spark, "/root/testdata/sf0.001")
+    pivoted.show(3, truncate = false)
+    val lateral = SparkEntry.queries("sub05_lateral")(spark, "/root/testdata/sf0.001")
+    println(s"lateral top-2 per priority rows=${lateral.count()}")
+
     spark.stop()
     println("SMOKE OK")
   }
