@@ -749,7 +749,9 @@ object SparkEntry {
     // problem (the last open windows never cross the watermark on a
     // finite replay and append would drop them). Shares e01's oracle.
     "st03_stream_hourly" -> api(
-      (s, dir) => {
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
         Registry.registerAll(s)
         val out = graft.streaming.Events.streamingHourlyTypeCounts(
           graft.streaming.Events.readStream(s, dir))
@@ -805,7 +807,9 @@ object SparkEntry {
     // state continuity needs controllable batch boundaries and stays
     // spec-tested (StreamingSpec batch-replay equivalence).
     "st01_stream_sessionize" -> api(
-      (s, dir) => {
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
         Registry.registerAll(s)
         val out = graft.streaming.Events.streamingSessionize(
           graft.streaming.Events.readStream(s, dir), 30)
@@ -830,33 +834,31 @@ object SparkEntry {
     // the content group — a strict oracle for the v2 arbitrary-state
     // path. State store conf is set/restored around the run.
     "st02_stream_dedup_owners" -> api(
-      (s, dir) => {
-        Registry.registerAll(s)
-        val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      (outer, dir) => {
+        // child session: RocksDB provider + right-sized state partitions
+        // stay scoped to this query, nothing to save/restore
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
         s.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
-          val schema = s.read.parquet(s"$dir/documents.parquet").schema
-          val docs = s.readStream.schema(schema)
-            .parquet(graft.streaming.Replay.linkDir(s"$dir/documents.parquet"))
-            .select(col("doc_id"), col("text"))
-          val planted = docs.unionByName(
-            docs.filter(col("doc_id") < 50)
-              .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-          val out = graft.streaming.Events.streamingDedupOwners(planted, "doc_id", "text")
-          val sink = "st02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-          val q = out.writeStream.format("memory").queryName(sink)
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          try q.awaitTermination() finally q.stop()
-          s.table(sink)
-            .select(col("doc_id"), col("owner_id"), col("is_dup"))
-            .orderBy(col("doc_id"))
-        } finally prev match {
-          case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
+        Registry.registerAll(s)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val docs = s.readStream.schema(schema)
+          .parquet(graft.streaming.Replay.linkDir(s"$dir/documents.parquet"))
+          .select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val out = graft.streaming.Events.streamingDedupOwners(planted, "doc_id", "text")
+        val sink = "st02_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(col("doc_id"), col("owner_id"), col("is_dup"))
+          .orderBy(col("doc_id"))
       },
       """WITH u AS (
            SELECT doc_id, text FROM documents
@@ -2156,7 +2158,9 @@ object SparkEntry {
     // Oracle = batch windows with end <= max(ts) - delay (boundary
     // inclusive, verified by probe).
     "st04_stream_append" -> api(
-      (s, dir) => {
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
         Registry.registerAll(s)
         val out = graft.streaming.Events.streamingHourlyClosed(
           graft.streaming.Events.readStream(s, dir))
@@ -2389,7 +2393,15 @@ object SparkEntry {
     // join state is evicted as event time advances (the unbounded-stream
     // contract); a finite replay emits exactly the batch join
     "st06_stream_stream_join" -> api(
-      (s, dir) => {
+      (outer, dir) => {
+        // Stream-stream join state costs scale with shuffle partitions
+        // (4 state stores per partition per batch, each checkpointed):
+        // size them to the join-key cardinality (~1.5k users), not the
+        // batch default. An isolated child session keeps the conf from
+        // leaking into other queries; on a cluster this is the same knob
+        // sized to executor count instead.
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
         Registry.registerAll(s)
         val E = graft.streaming.Events
         def side(t: String, p: String) = E.readStream(s, dir)
