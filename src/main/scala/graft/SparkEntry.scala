@@ -2933,7 +2933,99 @@ object SparkEntry {
                      ELSE sqrt(CAST(agg.svv AS DOUBLE) / agg.n) END AS rms,
                 CASE WHEN agg.n IS NULL THEN 0.0
                      ELSE CAST(agg.pk AS DOUBLE) / agg.n END AS peak_ratio
-         FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""")
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""),
+
+    // Ordered string aggregation ("group into list"): per-group sorted
+    // concat — collect_list is UNORDERED in a distributed engine, so the
+    // deterministic form is sort_array before joining. Group sizes here
+    // are bounded (nations per region); the operator is only scale-sane
+    // when they are.
+    "g06_string_agg" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val n = s.read.parquet(s"$dir/nation.parquet")
+        val r = s.read.parquet(s"$dir/region.parquet")
+        n.join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_regionkey"), col("r_name"))
+          .agg(count(lit(1)).as("n_nations"),
+            concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+          .orderBy(col("r_regionkey"))
+      },
+      """SELECT r_regionkey, r_name, count(*) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_regionkey, r_name ORDER BY r_regionkey"""),
+
+    // Time-series resample + gap-fill + forward-fill (graft.ops.Resample):
+    // 15-minute activity bins per user over a dense grid, empty bins
+    // carried forward — the feature-store primitive. Integer nano `div`
+    // binning (doubles can't hold epoch nanos), sequence/explode grid
+    // bounded by each key's observed span.
+    "e07_resample_ffill" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .filter(col("user_id") < 20)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        graft.ops.Resample.binFill(ev, "user_id", "ts", "cents",
+            binNanos = 900L * 1000000000L)
+          .orderBy(col("user_id"), col("bin"))
+      },
+      """WITH b AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 900) AS BIGINT) AS bin,
+                  count(*) AS n,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi
+                    FROM b GROUP BY 1),
+         grid AS (SELECT user_id, u.g AS bin
+                  FROM bounds, unnest(generate_series(lo, hi)) AS u(g)),
+         j AS (SELECT g.user_id, g.bin, b.n, b.cents
+               FROM grid g LEFT JOIN b USING (user_id, bin))
+         SELECT user_id, bin, coalesce(n, 0) AS n,
+                CAST(last_value(cents IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bin) AS BIGINT) AS cents_ff
+         FROM j ORDER BY user_id, bin"""),
+
+    // HTML boilerplate removal (web-corpus cleanup): wrap each document
+    // in markup in-query (escaped, so the round trip is exact), then
+    // strip tags, decode entities, collapse whitespace. Clean text is
+    // gated by length + md5 — a single divergent character anywhere in
+    // 500 documents flips the hash. Map-only expression tree.
+    "t10_html_strip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val T = graft.ops.TextAnalysis
+        val html = concat(lit("<html><body><h1>"), col("source"),
+          lit("</h1>\n<p class=\"c\">"),
+          T.htmlEscape(coalesce(col("text"), lit(""))),
+          lit("</p>\n<a href=\"http://example.com\">link</a></body></html>"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), T.stripHtml(html).as("clean"))
+          .select(col("doc_id"),
+            length(col("clean")).cast("long").as("n_clean"),
+            md5(col("clean")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH h AS (SELECT doc_id,
+             '<html><body><h1>' || source || '</h1>' || chr(10) ||
+             '<p class="c">' ||
+             replace(replace(replace(coalesce(text, ''),
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+             '</p>' || chr(10) ||
+             '<a href="http://example.com">link</a></body></html>' AS html
+           FROM documents),
+         st AS (SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]+>', '', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&amp;', '&'),
+               '[ \t\n\r]+', ' ', 'g')) AS clean
+           FROM h)
+         SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_clean,
+                md5(clean) AS clean_md5
+         FROM st ORDER BY doc_id""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

@@ -255,4 +255,27 @@ object TextAnalysis {
       .select(col(idCol), col("__start").cast("long").as("start"),
         concat_ws(" ", slice(col("__toks"), col("__start"), lit(size))).as("chunk"))
   }
+
+  /** Escape the three HTML-special characters (`&` first, so entity
+    * prefixes never double-encode). Expression tree, map-only.
+    */
+  def htmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  /** HTML boilerplate removal: drop tags, decode the five core entities
+    * (`&amp;` LAST so decoded ampersands never re-trigger), collapse
+    * ASCII whitespace runs and trim — the markup-cleanup step of a web
+    * corpus pipeline. Pure expression tree: map-only, codegen'd, and
+    * every regex is ASCII-explicit so the Java and RE2 engines agree.
+    */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, lit("<[^>]+>"), lit(""))
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+        lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, lit("[ \\t\\n\\r]+"), lit(" ")))
+  }
 }

@@ -218,6 +218,44 @@ class OpsSpec extends GraftSuite {
     assert(top1 == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
   }
 
+  test("stripHtml: tags dropped, entities decoded once, whitespace collapsed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = Seq(
+      (1L, "<p>a &amp; b</p>"),
+      (2L, "<div class=\"x\">keep &lt;tag&gt;\n\n  here</div>"),
+      (3L, "already &amp;#39; literal"), // decodes to the literal entity
+      (4L, "<br/><br/>  ")).toDF("id", "t")
+    val out = TextAnalysis.stripHtml(col("t"))
+    val got = rows.select(col("id"), out.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a & b")
+    assert(got(2L) == "keep <tag> here")
+    assert(got(3L) == "already &#39; literal") // &amp; decoded LAST: no re-trigger
+    assert(got(4L) == "")
+    // escape -> strip round-trips text containing markup characters
+    val tricky = "5 < 6 && \"x\" > 'y'"
+    val rt = Seq(Tuple1(tricky)).toDF("t")
+      .select(TextAnalysis.stripHtml(
+        org.apache.spark.sql.functions.concat(
+          lit("<p>"), TextAnalysis.htmlEscape(col("t")), lit("</p>"))).as("c"))
+      .collect()(0).getString(0)
+    assert(rt == tricky)
+  }
+
+  test("Resample.binFill: dense grid, zero-count gaps, forward-filled cents") {
+    // key 1: bins 10 and 13 observed -> grid 10..13, gaps 11/12 carry 50
+    val df = Seq(
+      (1L, 10L * 900000000000L, 50L),
+      (1L, 13L * 900000000000L + 1L, 70L), // +1ns stays in bin 13
+      (2L, 5L * 900000000000L, 30L)).toDF("k", "ts", "cents")
+    val out = Resample.binFill(df, "k", "ts", "cents", 900L * 1000000000L)
+      .orderBy("k", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 1L, 50L), (1L, 11L, 0L, 50L), (1L, 12L, 0L, 50L),
+      (1L, 13L, 1L, 70L), (2L, 5L, 1L, 30L)))
+  }
+
   test("chunkTokens: stride windows, tail truncation, empty docs kept") {
     val docs2 = Seq(
       (1L, Some("a b c d e f g")), // 7 tokens, size 3 stride 2 -> starts 1,3,5,7
