@@ -3026,6 +3026,40 @@ object SparkEntry {
          SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_clean,
                 md5(clean) AS clean_md5
          FROM st ORDER BY doc_id""")
+,
+    // Spark's NATIVE session_window operator (dynamic-width event-time
+    // sessions as a first-class aggregation), complementing e02's
+    // composed gaps-and-islands formulation. Session identity comes from
+    // session_window; the gated start comes from min(raw nanos), so no
+    // timestamp ever needs casting. Boundary semantics: a gap of EXACTLY
+    // the window size starts a NEW session (window end exclusive) — the
+    // oracle's islands use >= accordingly. One shuffle on user_id.
+    "e08_session_window" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.streaming.Events.readRaw(s, dir)
+          .select(col("user_id"), col("ts"),
+            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)").as("tse"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("user_id"), session_window(col("tse"), "30 minutes"))
+          .agg(expr("min(ts div 1000)").as("start_us"),
+            count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+          .select(col("user_id"), col("start_us"), col("n_events"), col("cents"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      """WITH x AS (SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts, value,
+                sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+         SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two
