@@ -184,6 +184,55 @@ class PlanSpec extends GraftSuite {
     assert(keyed == 1, s"$keyed keyed exchanges in e04 plan (want 1):\n${p.take(900)}")
   }
 
+  test("g03 pivot: two-stage aggregation (pre-agg then pivotfirst), no Expand, no join") {
+    val p = planOf("g03_pivot")
+    // Spark plans pivot as: agg on (group, pivot) — shrinking the data to
+    // one row per combination — then pivotfirst on the group key. Both
+    // stages map-side combine; value DISCOVERY never happens because the
+    // pivot values are explicit.
+    assert(p.contains("pivotfirst"), s"no pivotfirst stage in g03 plan:\n${p.take(800)}")
+    assert(!p.contains("Join"), "pivot must not join")
+    assert(!p.contains("Expand"), "no Expand belongs in an explicit-values pivot")
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 2, s"$keyed keyed exchanges in g03 plan (want the 2-stage pivot shape)")
+  }
+
+  test("sub04 EXISTS/NOT EXISTS decorrelate to semi and anti hash joins") {
+    val p = planOf("sub04_exists")
+    assert(p.contains("LeftSemi"), s"no left-semi join in sub04 plan:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"), s"no left-anti join in sub04 plan:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "EXISTS must not plan as a nested loop")
+  }
+
+  test("sub05 lateral top-n decorrelates to a ranked window, not per-row re-execution") {
+    val p = planOf("sub05_lateral")
+    assert(p.contains("Window"), s"no window in sub05 plan:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral planned as nested loop:\n${p.take(800)}")
+  }
+
+  test("t10 html strip is map-only up to the final order-by") {
+    val p = planOf("t10_html_strip")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"html strip should not shuffle (got $exchanges)")
+    assert(!p.contains("Join"), "no join belongs in t10")
+  }
+
+  test("e07 resample: grid join is keyed, no cartesian calendar expansion") {
+    val p = planOf("e07_resample_ffill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"resample grid must join on (key, bin), not expand a calendar:\n${p.take(900)}")
+    assert(p.contains("Generate"), "sequence/explode grid missing") // explode
+  }
+
+  test("e08 native session_window: one user-keyed exchange feeds the session agg") {
+    val p = planOf("e08_session_window")
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      s"no session window operator in e08 plan:\n${p.take(600)}")
+    assert(!p.contains("Join"), "no join belongs in e08")
+  }
+
   test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
     val p = planOf("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
