@@ -3059,7 +3059,58 @@ object SparkEntry {
          SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
                 count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-         FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""")
+         FROM y GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+
+    // Edit-distance fuzzy dedup (graft.ops.Dedup.editDistancePairs):
+    // dual-key blocking + exact levenshtein verify over 64-char prefixes.
+    // The oracle enumerates ALL blocked pairs exhaustively with the same
+    // predicate, so a green hash proves the two-equi-join formulation
+    // loses nothing vs brute force — and it recovers exactly the
+    // corpus's 25 planted near-duplicates.
+    "d12_editdist_pairs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.editDistancePairs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            prefixLen = 64, blockLen = 24, maxDist = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH p AS (SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS pre
+                    FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE (substr(a.pre, 1, 24) = substr(b.pre, 1, 24)
+             OR substr(a.pre, greatest(length(a.pre) - 23, 1)) =
+                substr(b.pre, greatest(length(b.pre) - 23, 1)))
+           AND levenshtein(a.pre, b.pre) <= 8
+         ORDER BY id_a, id_b"""),
+
+    // Deterministic argmax/argmin per group via lexicographic struct
+    // extrema — "pick the representative row per cluster by score" with
+    // a unique-key tiebreak, in ONE aggregation pass (no rank window, no
+    // self-join). Struct comparison is field-order lexicographic in both
+    // engines.
+    "g07_argmax" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .groupBy(col("o_orderpriority"))
+          .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("mx"),
+            min(struct(col("o_totalprice"), col("o_orderkey"))).as("mn"))
+          .select(col("o_orderpriority"),
+            col("mx.o_orderkey").as("best_key"),
+            col("mx.o_totalprice").as("best_price"),
+            col("mn.o_orderkey").as("worst_key"),
+            col("mn.o_totalprice").as("worst_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority,
+                (max({'p': o_totalprice, 'k': o_orderkey})).k AS best_key,
+                (max({'p': o_totalprice, 'k': o_orderkey})).p AS best_price,
+                (min({'p': o_totalprice, 'k': o_orderkey})).k AS worst_key,
+                (min({'p': o_totalprice, 'k': o_orderkey})).p AS worst_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two

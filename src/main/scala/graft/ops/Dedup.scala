@@ -554,4 +554,37 @@ object Dedup {
         call_function("cosine_sim", col("a.v"), col("bb.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Edit-distance fuzzy duplicate pairs over a bounded text prefix —
+    * the entity-resolution shape: BLOCK on cheap keys (head and tail of
+    * the prefix, so an edit burst at either end still leaves one key
+    * intact), equi-join within blocks, VERIFY survivors with exact
+    * levenshtein. Output: (id_a, id_b, dist), id_a < id_b.
+    *
+    * Scale: two equi-joins on block keys + a distinct — candidate volume
+    * is sum of block-bucket sizes squared, never corpus². The verify DP
+    * is O(prefixLen²) per candidate, bounded by construction. Hot blocks
+    * (boilerplate openings) are the skew risk: extend the key with a
+    * length bucket or salt them.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 64, blockLen: Int = 24,
+                        maxDist: Int = 8): DataFrame = {
+    require(blockLen <= prefixLen, "blockLen must not exceed prefixLen")
+    val p = df.select(col(idCol).cast("long").as("id"),
+      substring(coalesce(col(textCol), lit("")), 1, prefixLen).as("pre"))
+    val keyed = p
+      .withColumn("headk", substring(col("pre"), 1, blockLen))
+      .withColumn("tailk",
+        expr(s"substr(pre, greatest(length(pre) - ${blockLen - 1}, 1))"))
+    def block(key: String) = keyed.as("a").join(keyed.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pre").as("pre_a"), col("b.pre").as("pre_b"))
+    block("headk").unionByName(block("tailk"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

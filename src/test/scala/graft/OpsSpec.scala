@@ -218,6 +218,23 @@ class OpsSpec extends GraftSuite {
     assert(top1 == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
   }
 
+  test("editDistancePairs: dual blocking catches head and tail edits, verify is exact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaXXXXtail-part-is-equal-here"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaYYYYtail-part-is-equal-here"), // head block equal, d=4
+      (3L, "ZZZZbbbbbbbbbbbbbbbbbbbbbbbbbbbbcccccccccccccccccc"),
+      (4L, "WWWWbbbbbbbbbbbbbbbbbbbbbbbbbbbbcccccccccccccccccc"), // tail block equal, d=4
+      (5L, "completely different text with no shared block at"),
+      (6L, "aaaaaaaaaaaaaaaaaaaaaaaa0123456789012345678901234567")) // head equal but d>8
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 64, blockLen = 24, maxDist = 8)
+      .orderBy(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 4L), (3L, 4L, 4L)))
+  }
+
   test("stripHtml: tags dropped, entities decoded once, whitespace collapsed") {
     import org.apache.spark.sql.functions.{col, lit}
     val rows = Seq(

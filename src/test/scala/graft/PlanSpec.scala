@@ -233,6 +233,20 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join"), "no join belongs in e08")
   }
 
+  test("d12 edit-distance pairs: block equi-joins only, never a nested loop") {
+    val p = planOf("d12_editdist_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must block+verify, not nested-loop:\n${p.take(900)}")
+  }
+
+  test("g07 argmax: single aggregation pass, no rank window, no self-join") {
+    val p = planOf("g07_argmax")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"argmax must be one struct-extrema agg:\n${p.take(700)}")
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed <= 1, s"$keyed keyed exchanges in g07 plan (want <=1)")
+  }
+
   test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
     val p = planOf("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
