@@ -3110,7 +3110,65 @@ object SparkEntry {
                 (max({'p': o_totalprice, 'k': o_orderkey})).p AS best_price,
                 (min({'p': o_totalprice, 'k': o_orderkey})).k AS worst_key,
                 (min({'p': o_totalprice, 'k': o_orderkey})).p AS worst_price
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // Composed pipeline v3 over the round-7 operators: web-corpus HTML
+    // cleanup (t10's chain) -> length quality gate -> edit-distance
+    // fuzzy dedup on the CLEANED text (d12's blocked join, min-id
+    // representative kept via anti-join) -> per-source rollup. One
+    // oracle SQL chains the identical stages, so the hash proves the
+    // operators compose, not just pass individually. All stages map-only
+    // or equi-keyed; nothing touches the driver.
+    "p07_pipeline_v3" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val T = graft.ops.TextAnalysis
+        val html = concat(lit("<html><body><h1>"), col("source"),
+          lit("</h1>\n<p class=\"c\">"),
+          T.htmlEscape(coalesce(col("text"), lit(""))),
+          lit("</p>\n<a href=\"http://example.com\">link</a></body></html>"))
+        val cleaned = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"), T.stripHtml(html).as("clean"))
+          .withColumn("n_clean", length(col("clean")).cast("long"))
+          .filter(col("n_clean") >= 200)
+        val pairs = graft.ops.Dedup.editDistancePairs(cleaned, "doc_id", "clean",
+          prefixLen = 64, blockLen = 24, maxDist = 8)
+        cleaned.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_clean")).as("total_chars"))
+          .orderBy(col("source"))
+      },
+      """WITH h AS (SELECT doc_id, source,
+             '<html><body><h1>' || source || '</h1>' || chr(10) ||
+             '<p class="c">' ||
+             replace(replace(replace(coalesce(text, ''),
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+             '</p>' || chr(10) ||
+             '<a href="http://example.com">link</a></body></html>' AS html
+           FROM documents),
+         st AS (SELECT doc_id, source,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]+>', '', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&amp;', '&'),
+               '[ \t\n\r]+', ' ', 'g')) AS clean
+           FROM h),
+         k AS (SELECT doc_id, source, clean, length(clean) AS n_clean
+               FROM st WHERE length(clean) >= 200),
+         p AS (SELECT doc_id, substr(clean, 1, 64) AS pre FROM k),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM p a JOIN p b ON a.doc_id < b.doc_id
+                   WHERE (substr(a.pre, 1, 24) = substr(b.pre, 1, 24)
+                       OR substr(a.pre, greatest(length(a.pre) - 23, 1)) =
+                          substr(b.pre, greatest(length(b.pre) - 23, 1)))
+                     AND levenshtein(a.pre, b.pre) <= 8)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_clean) AS BIGINT) AS total_chars
+         FROM k WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+         GROUP BY source ORDER BY source""")
   )
 
   /** Per-run scratch directory under target/tmp — UUID-suffixed so two
