@@ -3112,6 +3112,31 @@ object SparkEntry {
                 (min({'p': o_totalprice, 'k': o_orderkey})).p AS worst_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
 
+    // Value-picking window functions (first/last/nth within an ordered
+    // frame, unique tiebreak) — same-text in both engines, including the
+    // named WINDOW clause and explicit unbounded frame for last_value.
+    "w06_value_windows" -> multi(Seq("orders"),
+      """SELECT o_orderkey,
+                first_value(o_orderkey) OVER w AS fv,
+                last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+                nth_value(o_orderkey, 3) OVER w AS nv
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey"""),
+
+    // Boolean / conditional aggregates: count_if, bool_and, bool_or —
+    // the data-quality assertion primitives ("every row positive", "any
+    // row discounted"), one map-side-combined aggregation.
+    "g08_bool_agg" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag,
+                CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+                bool_and(l_quantity > 0) AS all_pos,
+                bool_or(l_discount > 0.09) AS any_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // Composed pipeline v3 over the round-7 operators: web-corpus HTML
     // cleanup (t10's chain) -> length quality gate -> edit-distance
     // fuzzy dedup on the CLEANED text (d12's blocked join, min-id
