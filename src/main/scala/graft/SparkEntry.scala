@@ -3112,6 +3112,65 @@ object SparkEntry {
                 (min({'p': o_totalprice, 'k': o_orderkey})).p AS worst_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
 
+    // Filtered vector search — top-k under a metadata predicate (the
+    // "filtered ANN" problem): the label filter is pushed INTO the
+    // corpus parquet scan (PlanSpec-pinned), so the search never scores
+    // a vector the predicate excludes. Same bounded-heap exact ranking
+    // as s01; oracle re-derives the filtered ranking bit-for-bit.
+    "s10_ann_filtered" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.ops.Similarity.bruteForceTopK(
+            emb.filter(col("label") < 4), emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10)
+          .select(col("probe_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(p.emb, c.emb) AS sim
+           FROM e p, e c
+           WHERE p.vec_id < 5 AND c.label < 4 AND c.vec_id <> p.vec_id)
+         SELECT probe_id, rank, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+           FROM scored) t
+         WHERE rank <= 10 ORDER BY probe_id, rank"""),
+
+    // Durable streaming sink: stream the events corpus through a PARQUET
+    // file sink (exactly-once via the checkpointed file-sink log) into a
+    // scratch dir, then read the files back and aggregate — the
+    // production sink path (memory sinks are test-only), sharing e01's
+    // hourly oracle. Integer time arithmetic end to end (readStreamRaw).
+    "st08_stream_file_sink" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.readStreamRaw(s, dir)
+          .select(
+            expr("(ts div 1000) - (ts div 1000) % 3600000000").as("h"),
+            col("event_type"), col("value"))
+        val base = scratchDir(s"st08_sink_${new java.io.File(dir).getName}")
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$base/data")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.read.parquet(s"$base/data")
+          .groupBy(col("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("sv"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      hourlyOracle),
+
     // Value-picking window functions (first/last/nth within an ordered
     // frame, unique tiebreak) — same-text in both engines, including the
     // named WINDOW clause and explicit unbounded frame for last_value.

@@ -140,9 +140,16 @@ object Events {
     * stream source requires a directory — bridged by [[Replay.linkDir]].
     */
   def readStream(spark: SparkSession, dir: String): DataFrame =
+    readStreamRaw(spark, dir)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+  /** Streaming read with `ts` left as raw epoch-NANOS long (the batch
+    * [[readRaw]] analog) — for pipelines that stay in integer time
+    * arithmetic end to end.
+    */
+  def readStreamRaw(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventsSchema)
       .parquet(Replay.linkDir(s"$dir/events.parquet"))
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
 
   /** Tumbling event-time aggregation (batch). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =

@@ -247,6 +247,13 @@ class PlanSpec extends GraftSuite {
     assert(keyed <= 1, s"$keyed keyed exchanges in g07 plan (want <=1)")
   }
 
+  test("s10 filtered ANN: the label predicate reaches the corpus parquet scan") {
+    val p = planOf("s10_ann_filtered")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("LessThan(label"),
+      s"label filter not pushed to the scan:\n$pushed")
+  }
+
   test("d10 decontamination: eval grams broadcast, corpus side never shuffles on grams") {
     val p = planOf("d10_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"no broadcast gram join in d10 plan:\n$p")
