@@ -3112,6 +3112,64 @@ object SparkEntry {
                 (min({'p': o_totalprice, 'k': o_orderkey})).p AS worst_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
 
+    // SCD-type-2 history (graft.ops.Cdc.scd2): keep every version of
+    // every key with its validity range — the warehouse complement of
+    // u01's collapse-to-latest. Versions synthesized deterministically
+    // (v1: every 10th key repriced 2x; v2: every 20th 3x), cents exact.
+    "u02_scd2" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        def snap(mod: Int, mult: Int, ver: Long) =
+          s.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_orderkey") % mod === 0)
+            .select(col("o_orderkey"),
+              (round(col("o_totalprice") * 100).cast("long") * mult).as("cents"))
+            .withColumn("ver", lit(ver))
+        val hist = snap(1, 1, 0L).unionByName(snap(10, 2, 1L))
+          .unionByName(snap(20, 3, 2L))
+        graft.ops.Cdc.scd2(hist, Seq("o_orderkey"), "ver", openEnd = 9999L)
+          .select(col("o_orderkey"), col("ver"), col("cents"), col("eff_to"))
+          .orderBy(col("o_orderkey"), col("ver"))
+      },
+      """WITH hist AS (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  0 AS ver FROM orders
+           UNION ALL
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 2, 1
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 3, 2
+           FROM orders WHERE o_orderkey % 20 = 0)
+         SELECT o_orderkey, CAST(ver AS BIGINT) AS ver,
+                CAST(cents AS BIGINT) AS cents,
+                CAST(coalesce(lead(ver) OVER (PARTITION BY o_orderkey
+                                              ORDER BY ver), 9999) AS BIGINT) AS eff_to
+         FROM hist ORDER BY o_orderkey, ver"""),
+
+    // Stratified split (graft.ops.Sampling.stratifiedSplit): per-stratum
+    // pct% held out in md5-of-id order, all-integer threshold arithmetic
+    // so no float fraction ever decides a row count. Gate aggregates per
+    // (stratum, split).
+    "sp05_stratified" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Sampling.stratifiedSplit(
+            s.read.parquet(s"$dir/documents.parquet"), "lang", "doc_id", pct = 20)
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"), col("split"))
+      },
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+         SELECT lang, CASE WHEN rn * 100 <= n * 20 THEN 'test'
+                           ELSE 'train' END AS split,
+                count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r GROUP BY 1, 2 ORDER BY lang, split"""),
+
     // Filtered vector search — top-k under a metadata predicate (the
     // "filtered ANN" problem): the label filter is pushed INTO the
     // corpus parquet scan (PlanSpec-pinned), so the search never scores

@@ -50,4 +50,17 @@ object Cdc {
       versionCol)
       .filter(!col(deletedCol))
       .drop(deletedCol)
+
+  /** SCD-type-2 history: keep EVERY version of every key and attach the
+    * validity upper bound — `effToCol` = the next version's `versionCol`
+    * value, or `openEnd` for the current row. One keyed window (lead),
+    * one shuffle; the inverse of [[upsert]]'s collapse-to-latest.
+    */
+  def scd2(history: DataFrame, keyCols: Seq[String], versionCol: String,
+           effToCol: String = "eff_to", openEnd: Long = Long.MaxValue): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    history.withColumn(effToCol,
+      coalesce(lead(col(versionCol), 1).over(w), lit(openEnd)))
+  }
 }

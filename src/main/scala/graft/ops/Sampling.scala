@@ -141,4 +141,28 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Stratified split: within every stratum, tag the first `pct`% of
+    * rows (floor semantics, ALL-INTEGER arithmetic — no float fraction
+    * ever touches a row count) in md5-of-id order as `heldOutTag`, the
+    * rest as `restTag`. Hash order makes the held-out set id-stable as
+    * the corpus grows within a stratum boundary; per-stratum
+    * proportionality is exact by construction. One shuffle on the
+    * stratum key; the two windows share it.
+    */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
+                      pct: Int, heldOutTag: String = "test",
+                      restTag: String = "train",
+                      splitCol: String = "split"): DataFrame = {
+    require(pct > 0 && pct < 100, "pct must be in (0, 100)")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val n = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn(splitCol,
+        when(col("__rn") * 100 <= col("__n") * pct, lit(heldOutTag))
+          .otherwise(lit(restTag)))
+      .drop("__rn", "__n")
+  }
 }

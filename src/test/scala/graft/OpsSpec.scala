@@ -218,6 +218,36 @@ class OpsSpec extends GraftSuite {
     assert(top1 == Map(1L -> "zebra", 2L -> "apple", 3L -> "banana"))
   }
 
+  test("scd2: validity ranges chain version-to-version, current row open-ended") {
+    import org.apache.spark.sql.functions.col
+    val hist = Seq((1L, 0L, 10L), (1L, 3L, 20L), (1L, 7L, 30L), (2L, 0L, 5L))
+      .toDF("k", "ver", "v")
+    val got = Cdc.scd2(hist, Seq("k"), "ver", openEnd = 99L)
+      .orderBy("k", "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 3L), (1L, 3L, 7L), (1L, 7L, 99L), (2L, 0L, 99L)))
+  }
+
+  test("stratifiedSplit: exact floor proportions per stratum, id-stable membership") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 100L).map(i => (if (i < 37) "a" else "b", i))
+      .toDF("lang", "doc_id")
+    val out = Sampling.stratifiedSplit(df, "lang", "doc_id", pct = 20)
+    val counts = out.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("a", "test")) == 7L && counts(("a", "train")) == 30L) // floor(37*0.2)
+    assert(counts(("b", "test")) == 12L && counts(("b", "train")) == 51L) // floor(63*0.2)
+    // id-stability: adding rows to stratum b never flips membership in a
+    val bigger = (0L until 120L).map(i => (if (i < 37) "a" else "b", i))
+      .toDF("lang", "doc_id")
+    val testA = out.filter(col("lang") === "a" && col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val testA2 = Sampling.stratifiedSplit(bigger, "lang", "doc_id", pct = 20)
+      .filter(col("lang") === "a" && col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(testA == testA2)
+  }
+
   test("editDistancePairs: dual blocking catches head and tail edits, verify is exact") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
