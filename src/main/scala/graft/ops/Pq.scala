@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
+
+import graft.functions.Registry
 
 /** Product quantization (PQ) for billion-scale vector search — the
   * compression tier above int8 scalar quantization ([[Quantize]]) and the
@@ -51,16 +52,34 @@ object Pq {
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x) * 1e6).cast("long")
 
+  /** Require ids 0..n-1 all present below n — the seeded-quantizer
+    * contract. A non-contiguous (or non-numeric) corpus would silently
+    * yield a skewed, undersized codebook; fail loudly instead. One
+    * pushed-down count-distinct over id < n — cheap (predicate reaches
+    * the scan) and run once at build time, not per search.
+    */
+  private def requireSeedIds(df: DataFrame, idCol: String, n: Int,
+                             what: String): Unit = {
+    val found = df.filter(col(idCol) < n)
+      .select(count_distinct(col(idCol))).first().getLong(0)
+    require(found == n,
+      s"$what expects contiguous numeric ids 0..${n - 1}; " +
+        s"found $found distinct ids < $n")
+  }
+
   /** Deterministic seeded codebook: the subvectors of the vectors with
-    * id < k (ids must be numeric; the corpus convention is contiguous
-    * ids from 0). (s, cid, cvec) — m×k rows, map-only to build,
-    * broadcastable everywhere it is consumed.
+    * id < k (ids must be numeric and contiguous from 0 — enforced).
+    * (s, cid, cvec) — m×k rows, map-only to build, broadcastable
+    * everywhere it is consumed. Production refines this seed with
+    * [[refineCodebook]]; the seed stays the strict-oracle tier.
     */
   def seededCodebook(df: DataFrame, idCol: String, vecCol: String,
-                     dim: Int, m: Int, k: Int): DataFrame =
+                     dim: Int, m: Int, k: Int): DataFrame = {
+    requireSeedIds(df, idCol, k, "seededCodebook")
     subvectors(df.filter(col(idCol) < k), idCol, vecCol, dim, m)
       .select(col("s"), col(idCol).cast("long").as("cid"),
         col("sv").as("cvec"))
+  }
 
   /** PQ-encode every vector: (idCol, s, code) — the id of the nearest
     * codebook centroid per subspace, ties to the lowest centroid id.
@@ -76,34 +95,98 @@ object Pq {
       .select(col(idCol), col("s"), col("__best.cid").as("code"))
   }
 
+  /** Lloyd-refined PQ codebook — the production recall path above the
+    * seeded strict-oracle tier. Each iteration assigns every corpus
+    * subvector to its nearest current centroid (broadcast join + the
+    * map-side-combined `min(struct(d, cid))` argmin, carrying the
+    * subvector through with `first` — all rows in a (vector, subspace)
+    * group share it), then recomputes each (subspace, centroid) mean with
+    * the `vec_sum` aggregate: one dims-length array per (cell, partition)
+    * shuffles, never an exploded corpus (the [[Ivf.lloydStep]] shape).
+    * The m×k codebook collects to the driver each iteration (a few KB) so
+    * lineage stays flat over iterations; empty cells keep their previous
+    * centroid. Deterministic for fixed data; refinement changes recall,
+    * not plan shapes.
+    */
+  def refineCodebook(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, m: Int, k: Int, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    Registry.registerAll(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cvec", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
+    def toDf(cb: Seq[((Int, Long), Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(cb.map { case ((s, cid), v) =>
+          org.apache.spark.sql.Row(s, cid, v) }: _*), schema)
+    var cb: Seq[((Int, Long), Seq[Double])] =
+      seededCodebook(df, idCol, vecCol, dim, m, k).collect().toSeq
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2)))
+    var it = 0
+    while (it < iters) {
+      val assigned = subvectors(df, idCol, vecCol, dim, m)
+        .join(broadcast(toDf(cb)), "s")
+        .select(col(idCol), col("s"), col("sv"),
+          struct(d2fp(col("sv"), col("cvec")).as("d"), col("cid")).as("__dc"))
+        .groupBy(col(idCol), col("s"))
+        .agg(min(col("__dc")).as("__best"), first(col("sv")).as("sv"))
+      val refined = assigned
+        .groupBy(col("s"), col("__best.cid").as("cid"))
+        .agg(call_function("vec_sum", col("sv")).as("vs"), count(lit(1)).as("n"))
+        .select(col("s"), col("cid"),
+          transform(col("vs"), x => x / col("n")).as("cvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+      cb = cb.map { case (key, old) => (key, refined.getOrElse(key, old)) }
+      it += 1
+    }
+    toDf(cb)
+  }
+
   /** Deterministic seeded coarse quantizer for IVF×PQ: the full vectors
-    * with id < nlist as cell centroids. (cell_cid, cell_cvec) —
-    * broadcastable. Production swaps in [[Ivf.lloydStep]]-refined
-    * centroids; shapes and determinism are unchanged.
+    * with id < nlist as cell centroids (ids contiguous from 0 —
+    * enforced). (cell_cid, cell_cvec) — broadcastable. Production swaps
+    * in [[Ivf.lloydStep]]-refined centroids; shapes and determinism are
+    * unchanged.
     */
   def seededCoarseCentroids(df: DataFrame, idCol: String, vecCol: String,
-                            nlist: Int): DataFrame =
+                            nlist: Int): DataFrame = {
+    requireSeedIds(df, idCol, nlist, "seededCoarseCentroids")
     df.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("cell_cid"),
         col(vecCol).cast("array<double>").as("cell_cvec"))
+  }
 
-  /** Rank every (row, cell) pair by fixed-point distance and keep the
-    * `take` nearest cells per row — `take`=1 assigns vectors to cells,
-    * `take`=nprobe selects a probe's search cells. The centroid frame
-    * broadcasts (nlist rows); ties break to the lowest cell id.
+  /** The `take` nearest cells per row by fixed-point distance — `take`=1
+    * assigns the corpus to cells via a map-side-combined argmin aggregate
+    * (the same `min(struct(d, cid))` idiom as [[encode]]); `take`=nprobe
+    * selects a probe's search cells via the bounded-heap `topk_by`
+    * aggregate. Never a rank window: a row_number() formulation would
+    * shuffle every scored (row, cell) pair into a single partition per
+    * row — the feasible-vs-not difference at 1e11 rows (SCALE.md). The
+    * centroid frame broadcasts (nlist rows); ties break to the lowest
+    * cell id.
     */
   def nearestCells(df: DataFrame, coarse: DataFrame, idCol: String,
                    vecCol: String, take: Int): DataFrame = {
+    Registry.registerAll(df.sparkSession)
     val scored = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .crossJoin(broadcast(coarse))
       .select(col(idCol), col("cell_cid"),
         d2fp(col("__v"), col("cell_cvec")).as("__d"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__d"), col("cell_cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= take)
-      .select(col(idCol), col("cell_cid").as("cell"))
+    if (take == 1)
+      scored.groupBy(col(idCol))
+        .agg(min(struct(col("__d"), col("cell_cid"))).as("__best"))
+        .select(col(idCol), col("__best.cell_cid").as("cell"))
+    else
+      scored.groupBy(col(idCol))
+        .agg(call_function("topk_by", -col("__d").cast("double"),
+          col("cell_cid"), lit(take)).as("top"))
+        .select(col(idCol), explode(col("top")).as("hit"))
+        .select(col(idCol), col("hit.id").as("cell"))
   }
 
   /** IVF×PQ search — the production billion-scale ANN stack: a coarse
@@ -135,11 +218,7 @@ object Pq {
           withCodes("code") === dtable("cid"))
       .groupBy(withCodes("probe_id"), withCodes(idCol))
       .agg(sum(col("pd")).as("adist_fp"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adist_fp"), col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col(idCol), col("adist_fp"))
+    adcRank(scored, idCol, k)
   }
 
   /** ADC top-k: for each probe, the `k` vectors with the smallest sum of
@@ -160,10 +239,27 @@ object Pq {
       .filter(col(idCol) =!= col("probe_id"))
       .groupBy(col("probe_id"), col(idCol))
       .agg(sum(col("pd")).as("adist_fp"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("adist_fp"), col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col(idCol), col("adist_fp"))
+    adcRank(scored, idCol, k)
+  }
+
+  /** Bounded-heap top-k over ADC-scored (probe_id, id, adist_fp) rows:
+    * `topk_by` keeps k pairs per partial buffer, so the per-probe shuffle
+    * is O(k × partitions), never the full candidate set — the rank-window
+    * formulation SCALE.md condemns would shuffle every scored row into
+    * one partition per probe. Fixed-point distances enter the heap
+    * negated as doubles — exact below 2^53, which round(d²·1e6) is by
+    * construction for any realistic embedding magnitude. Ties at equal
+    * distance rank by ascending id (the heap's tie rule on the negated
+    * score), matching the previous window ORDER BY (adist_fp, id).
+    */
+  private def adcRank(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    Registry.registerAll(scored.sparkSession)
+    scored
+      .groupBy(col("probe_id"))
+      .agg(call_function("topk_by", -col("adist_fp").cast("double"),
+        col(idCol).cast("long"), lit(k)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(col("probe_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("hit.id").as(idCol), (-col("hit.sim")).cast("long").as("adist_fp"))
   }
 }

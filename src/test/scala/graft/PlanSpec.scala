@@ -158,6 +158,22 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join in s08 plan:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in s08 plan:\n${p.take(800)}")
+    // ranking is the bounded-heap aggregate, never a rank window: a
+    // row_number() over (probe) would shuffle every scored candidate into
+    // one partition per probe (SCALE.md's feasible-vs-not line at 1e11)
+    assert(!p.contains("Window"), s"rank window in s08 plan:\n${p.take(900)}")
+    assert(p.contains("topk_by"), s"no topk_by heap in s08 plan:\n${p.take(900)}")
+  }
+
+  test("s09 IVF×PQ: no rank window anywhere — argmin agg assigns cells, topk_by ranks") {
+    val p = planOf("s09_ann_ivfpq")
+    assert(!p.contains("Window"), s"rank window in s09 plan:\n${p.take(900)}")
+    assert(p.contains("topk_by"), s"no topk_by heap in s09 plan:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s09 plan:\n${p.take(900)}")
+    // the only nested-loop joins allowed are the broadcast of the tiny
+    // nlist-row centroid frame into the corpus/probe cell scoring
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj nested-loop joins in s09 plan (want <=2 centroid broadcasts)")
   }
 
   test("sp04 temperature mix: the gate is a map-only filter — no join at all") {

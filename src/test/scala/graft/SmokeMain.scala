@@ -120,6 +120,20 @@ object SmokeMain {
     val lateral = SparkEntry.queries("sub05_lateral")(spark, "/root/testdata/sf0.001")
     println(s"lateral top-2 per priority rows=${lateral.count()}")
 
+    println("=== [7] round-8 surface: PQ heap ranking / Lloyd-refined codebook ===")
+    locally {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val P = graft.ops.Pq
+      val cb = P.refineCodebook(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 1)
+      val codes = P.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+      val top = P.adcTopK(codes, cb, emb.filter(col("vec_id") < 2),
+        "vec_id", "embedding", dim = 64, m = 4, k = 5)
+      val noWindow = !top.queryExecution.executedPlan.toString.contains("Window")
+      println(s"refined-PQ top-5 rows=${top.count()} rankWindowFree=$noWindow")
+    }
+
     spark.stop()
     println("SMOKE OK")
   }
