@@ -2694,6 +2694,74 @@ object SparkEntry {
          SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
          FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
 
+    // IVF×PQ over a PERSISTED index: codes/cells/codebook/coarse written
+    // once as bucketed catalog tables (the io05/writeBucketed layout),
+    // then the search reads them back — the corpus is never re-encoded at
+    // query time (PlanSpec-pinned), which is the artifact contract a real
+    // ANN index must honor at 100 TB (encoding is the expensive full-scan
+    // pass; searches must not repay it). Same fixed-point two-level
+    // semantics as s09, so it shares s09's exact re-derivation oracle.
+    "s11_ann_ivfpq_persisted" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val P = graft.ops.Pq
+        val prefix = s"graft_s11_${new java.io.File(dir).getName}"
+        P.writeIndex(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, nlist = 8, prefix)
+        val idx = P.loadIndex(s, prefix)
+        P.ivfpqTopK(idx.codes, idx.codebook, idx.cells, idx.coarse,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            dim = 64, m = 4, nprobe = 2, k = 10)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
+                 FROM e, unnest([0, 1, 2, 3]) AS u(s)),
+         cb AS (SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < 16),
+         enc0 AS (SELECT v.vec_id, v.s, cb.cid,
+                         CAST(round(list_sum(list_transform(generate_series(1, 16),
+                              i -> (v.sv[i] - cb.cvec[i]) * (v.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS d
+                  FROM sub v JOIN cb USING (s)),
+         codes AS (SELECT vec_id, s, cid AS code FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cid) AS rn
+                     FROM enc0) t
+                   WHERE rn = 1),
+         co AS (SELECT vec_id AS ccid, emb AS cvec FROM e WHERE vec_id < 8),
+         ca AS (SELECT v.vec_id, co.ccid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 64),
+                            i -> (v.emb[i] - co.cvec[i]) * (v.emb[i] - co.cvec[i]))) * 1e6) AS BIGINT) AS d
+                FROM e v CROSS JOIN co),
+         cells AS (SELECT vec_id, ccid AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY d, ccid) AS rn FROM ca) t
+                   WHERE rn = 1),
+         pc AS (SELECT vec_id AS probe_id, ccid AS cell FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, ccid) AS rn
+                  FROM ca WHERE vec_id < 5) t
+                WHERE rn <= 2),
+         cand AS (SELECT pc.probe_id, cells.vec_id
+                  FROM cells JOIN pc USING (cell)
+                  WHERE cells.vec_id <> pc.probe_id),
+         dt AS (SELECT p.vec_id AS probe_id, p.s, cb.cid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 16),
+                            i -> (p.sv[i] - cb.cvec[i]) * (p.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS pd
+                FROM sub p JOIN cb USING (s) WHERE p.vec_id < 5),
+         sc AS (SELECT cand.probe_id, cand.vec_id, sum(dt.pd) AS adist_fp
+                FROM cand
+                JOIN codes c ON c.vec_id = cand.vec_id
+                JOIN dt ON dt.probe_id = cand.probe_id
+                       AND dt.s = c.s AND dt.cid = c.code
+                GROUP BY cand.probe_id, cand.vec_id),
+         r AS (SELECT probe_id, vec_id, adist_fp,
+                      CAST(row_number() OVER (PARTITION BY probe_id
+                                              ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
+               FROM sc)
+         SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
+         FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+
     // EXISTS / NOT EXISTS correlated subqueries — planned as left-semi /
     // left-anti hash joins on the correlation key (no per-row probing).
     "sub04_exists" -> multi(Seq("customer", "orders"),
@@ -3313,22 +3381,32 @@ object SparkEntry {
          GROUP BY source ORDER BY source""")
   )
 
-  /** Per-run scratch directory under target/tmp — UUID-suffixed so two
-    * concurrent runs against the same scale factor never share a path or
-    * read each other's partial writes (same discipline as the st01/st02
-    * sink names); best-effort recursive delete on JVM exit.
+  /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE
+    * shutdown hook — per-invocation hooks would accumulate unboundedly in
+    * a long-lived session running scratch-backed queries repeatedly.
+    * The root itself is UUID-suffixed so two concurrent JVMs never share
+    * a path or read each other's partial writes.
     */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Paths.get("target", "tmp",
-      s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}")
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get("target", "tmp",
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
       }
-      del(p.toFile)
+      del(root.toFile)
     }))
-    p.toString
+    root
   }
+
+  /** Per-query scratch directory under [[scratchRoot]] — UUID-suffixed so
+    * repeated invocations of the same query never collide (same
+    * discipline as the st01/st02 sink names); the shared root's one
+    * shutdown hook sweeps everything on JVM exit.
+    */
+  private def scratchDir(prefix: String): String =
+    scratchRoot.resolve(
+      s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}").toString
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -189,6 +189,66 @@ object Pq {
         .select(col(idCol), col("hit.id").as("cell"))
   }
 
+  /** A persisted IVF×PQ index, loaded by [[loadIndex]]: the four frames
+    * [[ivfpqTopK]] consumes. codes and cells come back from bucketed
+    * tables (bucketed+sorted on the vector id), codebook and coarse from
+    * plain tables (m×k / nlist rows — broadcast wherever consumed).
+    */
+  final case class PqIndex(codes: DataFrame, cells: DataFrame,
+                           codebook: DataFrame, coarse: DataFrame)
+
+  private def indexTables(prefix: String): (String, String, String, String) = {
+    val p = prefix.replaceAll("[^A-Za-z0-9_]", "_")
+    (s"${p}_codes", s"${p}_cells", s"${p}_codebook", s"${p}_coarse")
+  }
+
+  /** Build the full IVF×PQ index (seeded codebook + coarse quantizer, PQ
+    * codes, cell assignment) and persist it as catalog tables so the
+    * index is a real ARTIFACT: searches read codes/cells back from
+    * storage instead of re-encoding the corpus per query — at the 100 TB
+    * design point encoding is the expensive pass (a full corpus scan +
+    * argmin per subvector) and must be paid once, not per probe batch.
+    * codes and cells are bucketed+sorted on the id ([[Skew.writeBucketed]]
+    * layout), so the search-side candidate⋈codes equi-join can co-locate
+    * without shuffling the stored side.
+    */
+  def writeIndex(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, k: Int, nlist: Int, prefix: String,
+                 buckets: Int = 8): Unit = {
+    val (tCodes, tCells, tCodebook, tCoarse) = indexTables(prefix)
+    val spark = df.sparkSession
+    val cb = seededCodebook(df, idCol, vecCol, dim, m, k)
+    val coarse = seededCoarseCentroids(df, idCol, vecCol, nlist)
+    cb.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(dropFirst(spark, tCodebook))
+    coarse.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(dropFirst(spark, tCoarse))
+    // re-read the tiny frames so encoding/assignment below runs against
+    // the persisted artifacts, not the in-memory lineage
+    Skew.writeBucketed(encode(df, spark.table(tCodebook), idCol, vecCol, dim, m),
+      tCodes, idCol, buckets)
+    Skew.writeBucketed(nearestCells(df, spark.table(tCoarse), idCol, vecCol, take = 1),
+      tCells, idCol, buckets)
+  }
+
+  private def dropFirst(spark: org.apache.spark.sql.SparkSession,
+                        table: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    table
+  }
+
+  /** Load a persisted index written by [[writeIndex]]. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                prefix: String): PqIndex = {
+    val (tCodes, tCells, tCodebook, tCoarse) = indexTables(prefix)
+    PqIndex(spark.table(tCodes), spark.table(tCells),
+      spark.table(tCodebook), spark.table(tCoarse))
+  }
+
   /** IVF×PQ search — the production billion-scale ANN stack: a coarse
     * quantizer restricts each probe to its `nprobe` nearest cells, then
     * ADC ranks only the candidates living there. Candidate volume is

@@ -176,6 +176,22 @@ class PlanSpec extends GraftSuite {
     assert(bnlj <= 2, s"$bnlj nested-loop joins in s09 plan (want <=2 centroid broadcasts)")
   }
 
+  test("s11 persisted IVF×PQ: search reads the index tables, never re-encodes the corpus") {
+    val p = planOf("s11_ann_ivfpq_persisted")
+    // codes/cells come back from the bucketed catalog tables
+    assert(p.contains("_codes") && p.contains("Bucketed: true"),
+      s"search does not scan the persisted bucketed code table:\n${p.take(900)}")
+    // the raw embedding corpus appears ONLY as the probe side: every
+    // scan of it must carry the pushed probe-id filter. An unfiltered
+    // embeddings scan would mean the corpus is being re-encoded per query.
+    val rawScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embeddings.parquet")).toSeq
+    assert(rawScans.nonEmpty && rawScans.forall(_.contains("LessThan(vec_id,5)")),
+      s"corpus re-encoded at query time (unfiltered embeddings scan):\n${rawScans.mkString("\n")}")
+    assert(!p.contains("Window"), s"rank window in s11 plan:\n${p.take(900)}")
+    assert(p.contains("topk_by"), s"no topk_by heap in s11 plan:\n${p.take(900)}")
+  }
+
   test("sp04 temperature mix: the gate is a map-only filter — no join at all") {
     val p = planOf("sp04_temperature_mix")
     assert(!p.contains("Join"), s"join in sp04 plan (gate must be map-only):\n${p.take(800)}")
