@@ -1536,6 +1536,104 @@ object SparkEntry {
                      END AS BIGINT) AS spans
          FROM o ORDER BY source, doc_id"""),
 
+    // BPE tokenization under a fixed merges table: per-doc subword token
+    // counts (vs the regex word count) — the budget unit a training
+    // pipeline actually pays in. Map-only codegen'd expression; the
+    // oracle re-derives standard BPE in DuckDB with a recursive CTE over
+    // the corpus's DISTINCT words (token boundaries as separators; one
+    // lowest-rank merge application per step converges to the all-at-once
+    // tokenization because merge constituents always come from lower
+    // ranks — the real-vocabulary invariant).
+    "t11_bpe_tokens" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("re_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE
+         mg(rank, l, r) AS (SELECT * FROM (VALUES
+           (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
+           (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'o','u'),(9,'e','n'),
+           (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g'),(14,'a','r'),
+           (15,'a','l')) v(rank, l, r)),
+         w0 AS (SELECT DISTINCT unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents),
+         bpe(w, st) AS (
+           SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') FROM w0
+           UNION ALL
+           SELECT b.w, replace(b.st, '|' || mm.l || '|' || mm.r || '|',
+                               '|' || mm.l || mm.r || '|')
+           FROM bpe b JOIN mg mm ON mm.rank = (
+             SELECT min(m2.rank) FROM mg m2
+             WHERE contains(b.st, '|' || m2.l || '|' || m2.r || '|'))),
+         cnt AS (SELECT w, min(length(st) - length(replace(st, '|', ''))) - 1 AS n
+                 FROM bpe GROUP BY w),
+         dw AS (SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents),
+         pc AS (SELECT dw.doc_id, sum(c.n) AS n
+                FROM dw JOIN cnt c USING (w) GROUP BY dw.doc_id)
+         SELECT d.doc_id, CAST(coalesce(pc.n, 0) AS BIGINT) AS bpe_tokens,
+                CAST(len(regexp_extract_all(d.text, '\w+')) AS BIGINT) AS re_tokens
+         FROM documents d LEFT JOIN pc USING (doc_id)
+         ORDER BY doc_id"""),
+
+    // sequence packing under the BPE budget — p02's concat-and-chunk
+    // with the budget counted in subword tokens instead of regex words,
+    // so cut points line up with what the model consumes.
+    "p08_pack_bpe" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Packing.packSequences(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+            graft.ops.TextAnalysis.bpeTokenCount(col("text")), budget = 1024)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      """WITH RECURSIVE
+         mg(rank, l, r) AS (SELECT * FROM (VALUES
+           (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
+           (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'o','u'),(9,'e','n'),
+           (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g'),(14,'a','r'),
+           (15,'a','l')) v(rank, l, r)),
+         w0 AS (SELECT DISTINCT unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents),
+         bpe(w, st) AS (
+           SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') FROM w0
+           UNION ALL
+           SELECT b.w, replace(b.st, '|' || mm.l || '|' || mm.r || '|',
+                               '|' || mm.l || mm.r || '|')
+           FROM bpe b JOIN mg mm ON mm.rank = (
+             SELECT min(m2.rank) FROM mg m2
+             WHERE contains(b.st, '|' || m2.l || '|' || m2.r || '|'))),
+         cnt AS (SELECT w, min(length(st) - length(replace(st, '|', ''))) - 1 AS n
+                 FROM bpe GROUP BY w),
+         dw AS (SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents),
+         t AS (SELECT d.source, d.doc_id, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_tokens
+               FROM documents d LEFT JOIN (
+                 SELECT dw.doc_id, sum(c.n) AS n
+                 FROM dw JOIN cnt c USING (w) GROUP BY dw.doc_id) pc USING (doc_id)),
+         o AS (
+           SELECT source, doc_id, n_tokens,
+                  coalesce(CAST(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                    0) AS off
+           FROM t)
+         SELECT source, doc_id, n_tokens,
+                off // 1024 AS seq_id,
+                off % 1024 AS seq_offset,
+                CAST(CASE WHEN n_tokens = 0 THEN 0
+                          ELSE (off + n_tokens - 1) // 1024 - off // 1024 + 1
+                     END AS BIGINT) AS spans
+         FROM o ORDER BY source, doc_id"""),
+
     // end-to-end composed pipeline: exact dedup → quality features →
     // quality gate → join embeddings → per-language aggregate. The shape
     // of a real training-data curation job, fully oracle-checked.

@@ -326,6 +326,32 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"unicode_normalize() takes 1-2 arguments, got ${other.length}")
     }
+    // merges table arrives as a foldable array<string> literal of
+    // "left right" entries — extracted once at plan time, so the vocab is
+    // a per-task reference object, never per-row work
+    def mergesLit(e: Expression, what: String): Seq[(String, String)] = e match {
+      case Literal(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                   ArrayType(StringType, _)) if v != null =>
+        (0 until v.numElements()).map { i =>
+          val s = v.getUTF8String(i).toString
+          val sp = s.indexOf(' ')
+          require(sp > 0 && sp < s.length - 1,
+            s"$what entries must be 'left right', got '$s'")
+          (s.substring(0, sp), s.substring(sp + 1))
+        }
+      case _ => throw new IllegalArgumentException(
+        s"$what must be an array<string> literal of 'left right' pairs")
+    }
+    f("bpe_token_count") {
+      case Seq(t, m) => BpeTokenCount(Cast(t, StringType), mergesLit(m, "merges"))
+      case other     => throw new IllegalArgumentException(
+        s"bpe_token_count() takes 2 arguments, got ${other.length}")
+    }
+    f("bpe_tokens") {
+      case Seq(t, m) => BpeTokens(Cast(t, StringType), mergesLit(m, "merges"))
+      case other     => throw new IllegalArgumentException(
+        s"bpe_tokens() takes 2 arguments, got ${other.length}")
+    }
     f("bloom_agg") {
       case Seq(e, n) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

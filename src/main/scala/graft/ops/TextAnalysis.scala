@@ -38,6 +38,24 @@ object TextAnalysis {
   /** Whitespace/word-boundary token count. */
   def tokenCount(c: Column): Column = regexp_count(c, lit("\\w+"))
 
+  /** BPE token count under a fixed merges table ([[graft.functions.Bpe]])
+    * — the budget unit a training pipeline actually pays in, where
+    * [[tokenCount]] counts regex words. Map-only, codegen'd; merges ride
+    * as a plan-time literal.
+    */
+  def bpeTokenCount(c: Column,
+                    merges: Seq[(String, String)] =
+                      graft.functions.Bpe.EnglishMerges): Column =
+    call_function("bpe_token_count", c,
+      lit(merges.map { case (l, r) => s"$l $r" }.toArray))
+
+  /** The BPE token sequence itself (array of strings). */
+  def bpeTokens(c: Column,
+                merges: Seq[(String, String)] =
+                  graft.functions.Bpe.EnglishMerges): Column =
+    call_function("bpe_tokens", c,
+      lit(merges.map { case (l, r) => s"$l $r" }.toArray))
+
   /** PII-style redaction patterns, applied in order (emails before
     * phone-number spans so an address is not half-eaten by the digit
     * rule). Plain RE2-compatible regexes — no lookaround/backrefs — so

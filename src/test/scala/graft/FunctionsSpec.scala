@@ -146,6 +146,42 @@ class FunctionsSpec extends GraftSuite {
     assert(bloomArity.getMessage.contains("bloom_agg"))
   }
 
+  test("BPE tokenizer: standard lowest-rank merge semantics, hand-checked") {
+    import graft.functions.{Bpe, BpeVocab}
+    val v = new BpeVocab(Bpe.EnglishMerges.toArray)
+    // hand-derived under GPT-2-style BPE (all occurrences of the current
+    // lowest-rank pair merge per round):
+    //   the:  t,h,e -> th,e (r0) -> the (r1)
+    //   and:  a,n,d -> an,d (r3) -> and (r4)
+    //   standing: s,t,a,n,d,i,n,g -> in (r2) -> an (r3) -> and (r4)
+    //             -> ing (r13) => s,t,and,ing
+    //   order: o,r,d,e,r -> er (r5) -> or (r12) => or,d,er
+    assert(v.tokenizeWord("the").toSeq == Seq("the"))
+    assert(v.tokenizeWord("and").toSeq == Seq("and"))
+    assert(v.tokenizeWord("standing").toSeq == Seq("s", "t", "and", "ing"))
+    assert(v.tokenizeWord("order").toSeq == Seq("or", "d", "er"))
+    assert(v.tokenizeWord("data").toSeq == Seq("d", "at", "a"))
+    // all-occurrence merge in one round: "thth" merges BOTH (t,h) pairs
+    assert(v.tokenizeWord("thth").toSeq == Seq("th", "th"))
+    // self-overlapping pair merges left-to-right non-overlapping
+    val vv = new BpeVocab(Array(("a", "a")))
+    assert(vv.tokenizeWord("aaa").toSeq == Seq("aa", "a"))
+    assert(vv.tokenizeWord("aaaa").toSeq == Seq("aa", "aa"))
+
+    // column surface: count == tokens length, non-alnum separates,
+    // uppercase folds, null -> null
+    graft.functions.Registry.registerAll(spark)
+    val df = Seq((1L, "The QUICK order, standing by."), (2L, null))
+      .toDF("id", "t")
+      .select(col("id"),
+        graft.ops.TextAnalysis.bpeTokenCount(col("t")).as("n"),
+        graft.ops.TextAnalysis.bpeTokens(col("t")).as("toks"))
+      .orderBy(col("id")).collect()
+    assert(df(0).getLong(1) == df(0).getSeq[String](2).length)
+    assert(df(0).getSeq[String](2).startsWith(Seq("the", "q", "u", "i", "c", "k")))
+    assert(df(1).isNullAt(1) && df(1).isNullAt(2))
+  }
+
   test("minRollingFingerprint stable under distant edits, changed by near ones") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val b = a + " omega"                 // append far from the minimum window (may or may not change)

@@ -132,6 +132,11 @@ object SmokeMain {
         "vec_id", "embedding", dim = 64, m = 4, k = 5)
       val noWindow = !top.queryExecution.executedPlan.toString.contains("Window")
       println(s"refined-PQ top-5 rows=${top.count()} rankWindowFree=$noWindow")
+      val bpe = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(graft.ops.TextAnalysis.bpeTokenCount(
+          org.apache.spark.sql.functions.col("text")).as("n"))
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      println(s"bpe corpus tokens=$bpe")
     }
 
     spark.stop()
