@@ -698,6 +698,36 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // approximation CONTRACTS for the ap01 sketches, strict-oracled: the
+    // same HLL++ and quantile sketches re-run next to their exact
+    // counterparts, emitting per-group error-bound gates (the s02/s03
+    // recall-gate mechanics): each bound column equals its contract
+    // constant iff the sketch's relative error stays inside it (measured
+    // at sf0.01: HLL 0.0265 vs 0.05 bound; p50 0.0016 vs 0.01 bound —
+    // sketches are deterministic for fixed input, so the gate is exact).
+    // Lives NEXT TO ap01 rather than replacing it: ap01 pins the
+    // sketch-only plan (no Expand), this query deliberately pays the
+    // exact-distinct Expand to measure the error.
+    "ap02_approx_bounds" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val relerrCd = abs(col("__acd") - col("n_parts")).cast("double") / col("n_parts")
+        val relerrP50 = abs(col("__p50a") - col("__p50e")) / col("__p50e")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("__acd"),
+            count_distinct(col("l_partkey")).as("n_parts"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50a"),
+            expr("percentile(l_extendedprice, 0.5)").as("__p50e"))
+          .select(col("l_returnflag"), col("n_parts"),
+            when(relerrCd <= 0.05, lit(0.05)).otherwise(relerrCd).as("cd_err_bound"),
+            when(relerrP50 <= 0.01, lit(0.01)).otherwise(relerrP50).as("p50_err_bound"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(0.05 AS DOUBLE) AS cd_err_bound, CAST(0.01 AS DOUBLE) AS p50_err_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // grouping sets via ROLLUP
     "r01_rollup" -> multi(Seq("lineitem"),
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -1279,18 +1309,46 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY probe_id, rank"""),
 
     // approximate ANN: IVF (k-means coarse quantizer, deterministic
-    // training on a driver sample; recall governed by nprobe/nlist)
-    "s03_ann_ivf" -> noOracle((s, dir) => {
-      Registry.registerAll(s)
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      // driver-sample k-means, then one DISTRIBUTED Lloyd pass over the
-      // full corpus (vec_sum aggregate) — the 100 TB refinement shape
-      val coarse = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
-      val cents = graft.ops.Ivf.lloydStep(emb, "embedding", coarse)
-      graft.ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, cents, nprobe = 4)
-        .orderBy(col("probe_id"), col("rank"))
-    }),
+    // training on a driver sample + one DISTRIBUTED Lloyd pass — the
+    // 100 TB refinement shape), STRICT-ORACLED via its recall contract
+    // (same gate mechanics as s02): recall_floor equals the 0.5 contract
+    // constant iff the nprobe=4/nlist=16 search recovers at least half of
+    // the exact top-k; measured 0.68 at sf0.01, with the margin covering
+    // the float-sum noise a distributed Lloyd pass can carry into cell
+    // boundaries. The exact denominator re-derives from data.
+    "s03_ann_ivf" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val probes = emb.filter(col("vec_id") < 5)
+        val coarse = graft.ops.Ivf.trainCentroids(emb, "vec_id", "embedding", nlist = 16)
+        val cents = graft.ops.Ivf.lloydStep(emb, "embedding", coarse)
+        val ivf = graft.ops.Ivf.topK(emb, probes, "vec_id", "embedding",
+            k = 10, cents, nprobe = 4)
+          .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+        val exact = graft.ops.Similarity.bruteForceTopK(emb, probes,
+            "vec_id", "embedding", k = 10)
+          .select(col("probe_id"), col("vec_id"))
+        exact.join(ivf, Seq("probe_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            (sum(coalesce(col("__hit"), lit(0L))).cast("double")
+              / count(lit(1))).as("__r"))
+          .select(col("n_exact"),
+            when(col("__r") >= 0.5, lit(0.5)).otherwise(col("__r"))
+              .as("recall_floor"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(p.emb, c.emb) AS sim
+           FROM e p, e c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         topk AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+                    row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+             FROM scored) t WHERE rank <= 10)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.5 AS DOUBLE) AS recall_floor
+         FROM topk"""),
 
     // bucketed range join: lineitems shipped within 7 days of their
     // window-order's date — an equi-join on quantized day buckets +
@@ -1328,17 +1386,48 @@ object SparkEntry {
          FROM l JOIN o ON l.t BETWEEN o.lo AND o.lo + 7
          GROUP BY o.o_orderkey ORDER BY o.o_orderkey"""),
 
-    // approximate ANN: multi-probe sign-bit LSH (recall-bounded, no oracle)
-    "s02_ann_lsh" -> noOracle((s, dir) => {
-      Registry.registerAll(s)
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.ops.Similarity.lshTopK(
-          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, bits = 8, multiProbe = true)
-        .select(col("probe_id"), col("rank").cast("long").as("rank"),
-          col("vec_id"), col("sim"))
-        .orderBy(col("probe_id"), col("rank"))
-    }),
+    // approximate ANN: multi-probe sign-bit LSH, STRICT-ORACLED via its
+    // recall contract. The query runs the full LSH search, joins it
+    // against the exact brute-force top-k (computed in the same plan),
+    // and emits (n_exact, recall_floor): recall_floor equals the 0.1
+    // contract constant iff measured recall >= 0.1, else the raw recall —
+    // which hash-mismatches the oracle's constant and turns the row red.
+    // The oracle re-derives the exact top-k denominator from data. The
+    // floor is sized to the corpus: these synthetic embeddings have NO
+    // neighbor structure (max pairwise cosine 0.51), so sign-bit buckets
+    // at bits=8 measure 0.12 recall at sf0.01 — deterministic (seeded
+    // hashing), so the gate is exact, not flaky.
+    "s02_ann_lsh" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val probes = emb.filter(col("vec_id") < 5)
+        val lsh = graft.ops.Similarity.lshTopK(emb, probes, "vec_id", "embedding",
+            k = 10, bits = 8, multiProbe = true)
+          .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+        val exact = graft.ops.Similarity.bruteForceTopK(emb, probes,
+            "vec_id", "embedding", k = 10)
+          .select(col("probe_id"), col("vec_id"))
+        exact.join(lsh, Seq("probe_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            (sum(coalesce(col("__hit"), lit(0L))).cast("double")
+              / count(lit(1))).as("__r"))
+          .select(col("n_exact"),
+            when(col("__r") >= 0.1, lit(0.1)).otherwise(col("__r"))
+              .as("recall_floor"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(p.emb, c.emb) AS sim
+           FROM e p, e c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         topk AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+                    row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+             FROM scored) t WHERE rank <= 10)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact, CAST(0.1 AS DOUBLE) AS recall_floor
+         FROM topk"""),
 
     // language ID by stopword argmax — full oracle
     "t01_langid" -> api(
