@@ -51,7 +51,19 @@ object Bench {
     "t06_repetition", "m02_codec_decode", "e02_sessionize",
     "p01_pipeline_e2e", "st01_stream_sessionize", "s06_quantize_int8",
     "d10_decontaminate", "j06_range_join", "t09_lm_score", "u01_upsert",
-    "e04_funnel", "st04_stream_append", "w04_rolling_range")
+    "e04_funnel", "st04_stream_append", "w04_rolling_range", "s08_ann_pq",
+    "s11_ann_ivfpq_persisted", "t11_bpe_tokens")
+
+  /** Host 1-minute load average (ratio of runnable tasks to nothing — NOT
+    * normalized by core count) via the JMX OS bean; -1 where unsupported.
+    * Sampled at bench start and end so the driver can mechanically
+    * discount a contended run instead of archaeologically comparing
+    * per-query explosions across rounds: on this 32-core box a quiet run
+    * sees load well under the core count, a contended one far above.
+    */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +99,7 @@ object Bench {
     execute("q07_agg_group")
     execute("t04_fingerprint")
 
+    val loadStart = loadAvg
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val clock0 = System.nanoTime()
@@ -130,16 +143,21 @@ object Bench {
     def qmap(rs: Seq[(String, Double, Double)]): String =
       rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
+    val loadJson =
+      s""""load":{"avg_start":${fmt(loadStart)},"avg_end":${fmt(loadAvg)},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},""" +
-        s""""n_queries":${results.size},"passes":$passes,"max_pass_spread":${fmt(maxSpread)},"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"passes":$passes,"max_pass_spread":${fmt(maxSpread)},""" +
+        s"""$loadJson,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_full.json"), fullJson.getBytes(StandardCharsets.UTF_8))
 
     val head = results.filter(r => Headline.contains(r._1))
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(head)},""" +
         s""""n_queries":${results.size},"passes":$passes,"max_pass_spread":${fmt(maxSpread)},""" +
-        s""""full":"bench_full.json","sf":"$sfDir"}"""
+        s"""$loadJson,"full":"bench_full.json","sf":"$sfDir"}"""
 
     spark.stop()
     println(line)

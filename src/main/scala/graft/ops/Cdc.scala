@@ -32,8 +32,14 @@ object Cdc {
     require(keyCols.nonEmpty, "need at least one key column")
     val tagged = base.withColumn("__chg", lit(0))
       .unionByName(updates.withColumn("__chg", lit(1)))
+    // final payload-hash tiebreak: if one side carries two rows with the
+    // same (key, version), the winner must not depend on partition order —
+    // without it the sort below is tied and "last writer" is whichever
+    // row the shuffle happened to deliver first
+    val payloadTiebreak =
+      xxhash64(tagged.columns.filter(_ != "__chg").map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__chg").desc)
+      .orderBy(col(versionCol).desc, col("__chg").desc, payloadTiebreak)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__chg")
@@ -59,7 +65,10 @@ object Cdc {
   def scd2(history: DataFrame, keyCols: Seq[String], versionCol: String,
            effToCol: String = "eff_to", openEnd: Long = Long.MaxValue): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    // payload-hash tiebreak: lead() over a tied sort is partition-order
+    // nondeterministic when history holds duplicate (key, version) rows
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol), xxhash64(history.columns.map(col): _*))
     history.withColumn(effToCol,
       coalesce(lead(col(versionCol), 1).over(w), lit(openEnd)))
   }

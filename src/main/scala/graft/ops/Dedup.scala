@@ -571,6 +571,13 @@ object Dedup {
                         prefixLen: Int = 64, blockLen: Int = 24,
                         maxDist: Int = 8): DataFrame = {
     require(blockLen <= prefixLen, "blockLen must not exceed prefixLen")
+    // a non-numeric id would silently cast to NULL below, the a.id < b.id
+    // predicate would never match, and the operator would return an empty
+    // result with no error — fail loudly instead
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"editDistancePairs needs a numeric id column; '$idCol' is " +
+        df.schema(idCol).dataType.simpleString)
     val p = df.select(col(idCol).cast("long").as("id"),
       substring(coalesce(col(textCol), lit("")), 1, prefixLen).as("pre"))
     val keyed = p

@@ -27,7 +27,9 @@ object Replay {
     if (Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
       val stale = !Files.isSymbolicLink(link) ||
         Files.readSymbolicLink(link) != src || !Files.exists(src)
-      if (stale) Files.delete(link)
+      // deleteIfExists: a concurrent JVM may have already removed the
+      // stale link (the same race the createSymbolicLink catch tolerates)
+      if (stale) Files.deleteIfExists(link)
     }
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       try Files.createSymbolicLink(link, src)
