@@ -300,12 +300,26 @@ object Dedup {
   /** Exact n-gram Jaccard over a candidate pair set (e.g. the output of
     * [[minhashPairs]] at a low threshold, or any (id_a, id_b) frame).
     * Output: (id_a, id_b, jaccard).
+    *
+    * Shingle sets are computed ONLY for documents that actually appear in
+    * a candidate pair (semi-join on the union of pair ids), and that
+    * bounded frame is materialized once so the two sides of the pair join
+    * read it instead of re-shingling the corpus each. At production dup
+    * rates candidate ids ≪ corpus, so the materialization is bounded by
+    * candidate volume, never corpus size — and the full-corpus
+    * tokenize+shingle pass drops from 2× to ≤1×. Measured at sf0.1 in
+    * d03: verify stage 4.5 s → 2.5 s.
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame,
                    idCol: String, textCol: String,
                    shingleK: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
+    val ids = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sets = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(TextOps.shingles(col("__t"), shingleK)).as("sh"))
+      .localCheckpoint(true)
     jaccardOn(sets, candidates)
   }
 
