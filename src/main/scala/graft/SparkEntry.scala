@@ -110,6 +110,39 @@ object SparkEntry {
     * brute-force baseline (s01) and full-probe IVF (s05), which must
     * agree bit-for-bit.
     */
+  /** Shared oracle CTE chain re-deriving per-doc BPE token counts with a
+    * recursive CTE over the corpus's DISTINCT words (tokens as a
+    * '|'-separated string; one lowest-rank merge per step — converges to
+    * the all-at-once tokenization because every merge's constituents come
+    * from lower ranks). Ends with pc(doc_id, n). Used by t11/p08/sp06/p09;
+    * the VALUES list mirrors graft.functions.Bpe.EnglishMerges.
+    * Compose as s\"\"\"WITH RECURSIVE $bpeCountCtes ...\"\"\".
+    */
+  private val bpeCountCtes: String =
+    """mg(rank, l, r) AS (SELECT * FROM (VALUES
+           (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
+           (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'o','u'),(9,'e','n'),
+           (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g'),(14,'a','r'),
+           (15,'a','l')) v(rank, l, r)),
+         w0 AS (SELECT DISTINCT unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents),
+         bpe(w, st) AS (
+           SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') FROM w0
+           UNION ALL
+           SELECT b.w, replace(b.st, '|' || mm.l || '|' || mm.r || '|',
+                               '|' || mm.l || mm.r || '|')
+           FROM bpe b JOIN mg mm ON mm.rank = (
+             SELECT min(m2.rank) FROM mg m2
+             WHERE contains(b.st, '|' || m2.l || '|' || m2.r || '|'))),
+         cnt AS (SELECT w, min(length(st) - length(replace(st, '|', ''))) - 1 AS n
+                 FROM bpe GROUP BY w),
+         dw AS (SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents),
+         pc AS (SELECT dw.doc_id, sum(c.n) AS n
+                FROM dw JOIN cnt c USING (w) GROUP BY dw.doc_id)"""
+
   private val exactTopKOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
          scored AS (
@@ -1642,32 +1675,9 @@ object SparkEntry {
             graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("re_tokens"))
           .orderBy(col("doc_id"))
       },
-      """WITH RECURSIVE
-         mg(rank, l, r) AS (SELECT * FROM (VALUES
-           (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
-           (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'o','u'),(9,'e','n'),
-           (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g'),(14,'a','r'),
-           (15,'a','l')) v(rank, l, r)),
-         w0 AS (SELECT DISTINCT unnest(list_filter(
-                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-                FROM documents),
-         bpe(w, st) AS (
-           SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') FROM w0
-           UNION ALL
-           SELECT b.w, replace(b.st, '|' || mm.l || '|' || mm.r || '|',
-                               '|' || mm.l || mm.r || '|')
-           FROM bpe b JOIN mg mm ON mm.rank = (
-             SELECT min(m2.rank) FROM mg m2
-             WHERE contains(b.st, '|' || m2.l || '|' || m2.r || '|'))),
-         cnt AS (SELECT w, min(length(st) - length(replace(st, '|', ''))) - 1 AS n
-                 FROM bpe GROUP BY w),
-         dw AS (SELECT doc_id, unnest(list_filter(
-                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-                FROM documents),
-         pc AS (SELECT dw.doc_id, sum(c.n) AS n
-                FROM dw JOIN cnt c USING (w) GROUP BY dw.doc_id)
+      s"""WITH RECURSIVE $bpeCountCtes
          SELECT d.doc_id, CAST(coalesce(pc.n, 0) AS BIGINT) AS bpe_tokens,
-                CAST(len(regexp_extract_all(d.text, '\w+')) AS BIGINT) AS re_tokens
+                CAST(len(regexp_extract_all(d.text, '\\w+')) AS BIGINT) AS re_tokens
          FROM documents d LEFT JOIN pc USING (doc_id)
          ORDER BY doc_id"""),
 
@@ -1682,32 +1692,9 @@ object SparkEntry {
             graft.ops.TextAnalysis.bpeTokenCount(col("text")), budget = 1024)
           .orderBy(col("source"), col("doc_id"))
       },
-      """WITH RECURSIVE
-         mg(rank, l, r) AS (SELECT * FROM (VALUES
-           (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
-           (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'o','u'),(9,'e','n'),
-           (10,'a','t'),(11,'e','s'),(12,'o','r'),(13,'in','g'),(14,'a','r'),
-           (15,'a','l')) v(rank, l, r)),
-         w0 AS (SELECT DISTINCT unnest(list_filter(
-                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-                FROM documents),
-         bpe(w, st) AS (
-           SELECT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') FROM w0
-           UNION ALL
-           SELECT b.w, replace(b.st, '|' || mm.l || '|' || mm.r || '|',
-                               '|' || mm.l || mm.r || '|')
-           FROM bpe b JOIN mg mm ON mm.rank = (
-             SELECT min(m2.rank) FROM mg m2
-             WHERE contains(b.st, '|' || m2.l || '|' || m2.r || '|'))),
-         cnt AS (SELECT w, min(length(st) - length(replace(st, '|', ''))) - 1 AS n
-                 FROM bpe GROUP BY w),
-         dw AS (SELECT doc_id, unnest(list_filter(
-                  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-                FROM documents),
+      s"""WITH RECURSIVE $bpeCountCtes,
          t AS (SELECT d.source, d.doc_id, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_tokens
-               FROM documents d LEFT JOIN (
-                 SELECT dw.doc_id, sum(c.n) AS n
-                 FROM dw JOIN cnt c USING (w) GROUP BY dw.doc_id) pc USING (doc_id)),
+               FROM documents d LEFT JOIN pc USING (doc_id)),
          o AS (
            SELECT source, doc_id, n_tokens,
                   coalesce(CAST(sum(n_tokens) OVER (
@@ -1722,6 +1709,73 @@ object SparkEntry {
                           ELSE (off + n_tokens - 1) // 1024 - off // 1024 + 1
                      END AS BIGINT) AS spans
          FROM o ORDER BY source, doc_id"""),
+
+    // token-budget data mixing: cap each source's contribution at a BPE
+    // token budget (the unit corpus recipes are specified in), docs kept
+    // in deterministic id order while the cumulative count BEFORE the doc
+    // is under budget (floors — the crossing doc is kept, matching
+    // packing's straddle semantics). One shuffle on the source key.
+    "sp06_token_budget_mix" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Sampling.tokenBudget(
+            s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id",
+            graft.ops.TextAnalysis.bpeTokenCount(col("text")), budget = 5000)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens_kept"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"))
+      },
+      s"""WITH RECURSIVE $bpeCountCtes,
+         t AS (SELECT d.source, d.doc_id, CAST(coalesce(pc.n, 0) AS BIGINT) AS n_tokens
+               FROM documents d LEFT JOIN pc USING (doc_id)),
+         o AS (SELECT source, doc_id, n_tokens,
+                      coalesce(CAST(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                        0) AS off
+               FROM t)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+                CAST(max(doc_id) AS BIGINT) AS last_doc
+         FROM o WHERE off < 5000 GROUP BY source ORDER BY source"""),
+
+    // packed-sequence MATERIALIZATION: the training artifact itself —
+    // documents grouped by their starting (shard, sequence), concatenated
+    // in deterministic doc order. Gated by the md5 of each concatenation
+    // (scalar per the gate policy) so a single out-of-order or missing
+    // doc flips the hash.
+    "p09_pack_materialize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", coalesce(col("text"), lit("")))
+        val packed = graft.ops.Packing.packSequences(docs, "doc_id", "source",
+          graft.ops.TextAnalysis.bpeTokenCount(col("text")), budget = 1024)
+        packed.join(docs.select(col("doc_id"), col("text")), "doc_id")
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")), "\n")).as("seq_md5"))
+          .orderBy(col("source"), col("seq_id"))
+      },
+      s"""WITH RECURSIVE $bpeCountCtes,
+         t AS (SELECT d.source, d.doc_id, coalesce(d.text, '') AS text,
+                      CAST(coalesce(pc.n, 0) AS BIGINT) AS n_tokens
+               FROM documents d LEFT JOIN pc USING (doc_id)),
+         o AS (SELECT source, doc_id, text, n_tokens,
+                      coalesce(CAST(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                        0) AS off
+               FROM t)
+         SELECT source, off // 1024 AS seq_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
+         FROM o GROUP BY source, off // 1024 ORDER BY source, seq_id"""),
 
     // end-to-end composed pipeline: exact dedup → quality features →
     // quality gate → join embeddings → per-language aggregate. The shape
@@ -2213,6 +2267,59 @@ object SparkEntry {
                 CAST(agg.sg AS DOUBLE) / (16 * dims.height) AS mean_g,
                 CAST(agg.sr AS DOUBLE) / (16 * dims.height) AS mean_r
          FROM dims JOIN agg USING (doc_id) ORDER BY dims.doc_id"""),
+
+    // image near-duplicate detection via 64-bit perceptual hash (aHash):
+    // decode → 8×8 grid sample → integer grayscale → mean threshold,
+    // then the SAME pigeonhole pair machinery as simhash text dedup
+    // (chunks=4 / h<=3 — the documented 100 TB setting; recall guarantee
+    // maxHamming <= chunks-1 holds). All-integer, so the oracle
+    // re-derives every hash bit from the payload bytes and enumerates
+    // pairs exhaustively — the measured corpus has 42 identical-image
+    // pairs at hamming 0 and NOTHING at 1-3, so the h<=3 gate is
+    // boundary-proof, not threshold-lucky.
+    "m07_image_phash_pairs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", coalesce(col("text"), lit("")))
+        val fp = m.imagePHash(
+          m.withBmpPayload(docs, "doc_id", "text", width = 16),
+          "doc_id", "payload")
+        graft.ops.Dedup.fingerprintPairs(fp, maxHamming = 3, chunks = 4)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").cast("long").as("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS len
+           FROM documents),
+         dims AS (SELECT doc_id, hx, len, greatest(len // 48, 1) AS height FROM d),
+         px AS (
+           SELECT dims.doc_id, u.y, v.x,
+                  3*(((u.y*dims.height)//8)*16 + v.x*2) AS base, dims.hx, dims.len
+           FROM dims, unnest(generate_series(0,7)) u(y),
+                      unnest(generate_series(0,7)) v(x)),
+         gr AS (
+           SELECT doc_id, y, x,
+                  ((CASE WHEN base < len
+                         THEN CAST('0x'||substr(hx,2*base+1,2) AS INTEGER) ELSE 0 END)
+                 + (CASE WHEN base+1 < len
+                         THEN CAST('0x'||substr(hx,2*(base+1)+1,2) AS INTEGER) ELSE 0 END)
+                 + (CASE WHEN base+2 < len
+                         THEN CAST('0x'||substr(hx,2*(base+2)+1,2) AS INTEGER) ELSE 0 END)) // 3 AS gray
+           FROM px),
+         mh AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY doc_id),
+         bits AS (SELECT gr.doc_id,
+                         string_agg(CASE WHEN gr.gray > mh.mean THEN '1' ELSE '0' END,
+                                    '' ORDER BY gr.y*8 + gr.x) AS pb
+                  FROM gr JOIN mh USING (doc_id) GROUP BY gr.doc_id),
+         hm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_filter(generate_series(1,64),
+                                            i -> a.pb[i] <> b.pb[i])) AS BIGINT) AS hamming
+                FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM hm
+         WHERE hamming <= 3 ORDER BY id_a, id_b"""),
 
     // CDC latest-wins upsert: base snapshot + a keyed revision delta
     // (every 10th order re-priced at 2x, version 1) folded by

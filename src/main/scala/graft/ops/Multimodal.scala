@@ -426,6 +426,52 @@ object Multimodal {
     * exercise the decode path on corpus data without shipping image
     * fixtures.
     */
+  /** 64-bit average perceptual hash (aHash) over a BMP binary column:
+    * nearest-neighbor sample an 8×8 grid, integer grayscale (b+g+r)/3,
+    * threshold at the integer mean of the 64 samples — bit y*8+x set iff
+    * gray > mean. All-integer arithmetic, so every bit re-derives in an
+    * external engine; map-only (payloads never leave their partition).
+    * Output: (id, sh) — named to feed [[Dedup.fingerprintPairs]]
+    * directly, which turns this into image near-duplicate detection with
+    * the same pigeonhole recall guarantee as simhash text dedup.
+    * Undecodable payloads hash to 0 (they pair only with each other).
+    */
+  def imagePHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        val hash = Codec.bmpPixels(bytes) match {
+          case Some((w, h, px)) =>
+            val gray = new Array[Int](64)
+            var sum = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = y.toLong * h / 8
+              var x = 0
+              while (x < 8) {
+                val sx = x.toLong * w / 8
+                val base = ((sy * w + sx) * 3).toInt
+                val g = ((px(base) & 0xff) + (px(base + 1) & 0xff) +
+                  (px(base + 2) & 0xff)) / 3
+                gray(y * 8 + x) = g; sum += g
+                x += 1
+              }
+              y += 1
+            }
+            val mean = (sum / 64).toInt
+            var bits = 0L
+            var i = 0
+            while (i < 64) { if (gray(i) > mean) bits |= (1L << i); i += 1 }
+            bits
+          case None => 0L
+        }
+        (id, hash)
+      })
+      .toDF("id", "sh")
+  }
+
   def withBmpPayload(df: DataFrame, idCol: String, srcCol: String,
                      width: Int = 16, binCol: String = "payload"): DataFrame = {
     val spark = df.sparkSession

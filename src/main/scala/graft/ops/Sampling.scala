@@ -142,6 +142,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Cap each group at a TOKEN budget instead of a row quota — the
+    * data-mixing primitive an LLM corpus recipe actually specifies
+    * ("20 B tokens of web, 5 B of code"): keep a group's docs in
+    * deterministic id order while the cumulative token count BEFORE the
+    * doc is under `budget` (so the doc that crosses the line is kept —
+    * budgets are floors, matching [[Packing.packSequences]]'s
+    * doc-may-straddle semantics). One shuffle on the group key; the
+    * token expression stays map-side.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                  tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val before = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("__off", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .filter(col("__off") < budget)
+      .drop("__off")
+  }
+
   /** Stratified split: within every stratum, tag the first `pct`% of
     * rows (floor semantics, ALL-INTEGER arithmetic — no float fraction
     * ever touches a row count) in md5-of-id order as `heldOutTag`, the

@@ -881,6 +881,30 @@ class OpsSpec extends GraftSuite {
     assert(e2.getMessage.contains("contiguous"))
   }
 
+  test("imagePHash: identical payloads hash equal, garbage hashes to 0") {
+    val m = Multimodal
+    val txt = "the quick brown fox jumps over the lazy dog and more text to fill rows"
+    val df = Seq((1L, txt), (2L, txt),
+        (3L, "completely different content with other letters entirely here now"))
+      .toDF("id", "t")
+    val fp = m.imagePHash(m.withBmpPayload(df, "id", "t"), "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "same image must hash identically")
+    val garbage = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(m.imagePHash(garbage, "id", "payload").collect()(0).getLong(1) == 0L)
+  }
+
+  test("tokenBudget keeps the id-ordered prefix per group, crossing doc included") {
+    val df = Seq((1L, "a", 4L), (2L, "a", 4L), (3L, "a", 4L), (4L, "b", 10L))
+      .toDF("id", "src", "tok")
+    val kept = Sampling.tokenBudget(df, "src", "id", col("tok"), budget = 6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // src a: offsets 0,4,8 -> ids 1 and 2 start under the budget (2
+    // straddles the line and is kept), 3 starts past it; src b keeps its
+    // first doc even though it alone exceeds the budget
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("Cdc.upsert is idempotent: re-applying the same delta changes nothing") {
     val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "ver")
     val delta = Seq((2L, "b2", 1L), (9L, "new", 1L)).toDF("k", "v", "ver")
