@@ -143,6 +143,60 @@ object SparkEntry {
          pc AS (SELECT dw.doc_id, sum(c.n) AS n
                 FROM dw JOIN cnt c USING (w) GROUP BY dw.doc_id)"""
 
+  /** Exact two-level IVF×PQ re-derivation over the full corpus — the
+    * shared oracle of s09 (in-memory build), s11 (persisted index) and
+    * s12 (incrementally appended index): all three must produce the
+    * bit-identical search result, which for s12 doubles as the proof that
+    * append-against-fixed-quantizers equals a from-scratch build.
+    */
+  private val ivfpqOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
+                 FROM e, unnest([0, 1, 2, 3]) AS u(s)),
+         cb AS (SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < 16),
+         enc0 AS (SELECT v.vec_id, v.s, cb.cid,
+                         CAST(round(list_sum(list_transform(generate_series(1, 16),
+                              i -> (v.sv[i] - cb.cvec[i]) * (v.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS d
+                  FROM sub v JOIN cb USING (s)),
+         codes AS (SELECT vec_id, s, cid AS code FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                  ORDER BY d, cid) AS rn
+                     FROM enc0) t
+                   WHERE rn = 1),
+         co AS (SELECT vec_id AS ccid, emb AS cvec FROM e WHERE vec_id < 8),
+         ca AS (SELECT v.vec_id, co.ccid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 64),
+                            i -> (v.emb[i] - co.cvec[i]) * (v.emb[i] - co.cvec[i]))) * 1e6) AS BIGINT) AS d
+                FROM e v CROSS JOIN co),
+         cells AS (SELECT vec_id, ccid AS cell FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY d, ccid) AS rn FROM ca) t
+                   WHERE rn = 1),
+         pc AS (SELECT vec_id AS probe_id, ccid AS cell FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, ccid) AS rn
+                  FROM ca WHERE vec_id < 5) t
+                WHERE rn <= 2),
+         cand AS (SELECT pc.probe_id, cells.vec_id
+                  FROM cells JOIN pc USING (cell)
+                  WHERE cells.vec_id <> pc.probe_id),
+         dt AS (SELECT p.vec_id AS probe_id, p.s, cb.cid,
+                       CAST(round(list_sum(list_transform(generate_series(1, 16),
+                            i -> (p.sv[i] - cb.cvec[i]) * (p.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS pd
+                FROM sub p JOIN cb USING (s) WHERE p.vec_id < 5),
+         sc AS (SELECT cand.probe_id, cand.vec_id, sum(dt.pd) AS adist_fp
+                FROM cand
+                JOIN codes c ON c.vec_id = cand.vec_id
+                JOIN dt ON dt.probe_id = cand.probe_id
+                       AND dt.s = c.s AND dt.cid = c.code
+                GROUP BY cand.probe_id, cand.vec_id),
+         r AS (SELECT probe_id, vec_id, adist_fp,
+                      CAST(row_number() OVER (PARTITION BY probe_id
+                                              ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
+               FROM sc)
+         SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
+         FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""
+
   private val exactTopKOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
          scored AS (
@@ -2941,52 +2995,7 @@ object SparkEntry {
             dim = 64, m = 4, nprobe = 2, k = 10)
           .orderBy(col("probe_id"), col("rank"))
       },
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
-                 FROM e, unnest([0, 1, 2, 3]) AS u(s)),
-         cb AS (SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < 16),
-         enc0 AS (SELECT v.vec_id, v.s, cb.cid,
-                         CAST(round(list_sum(list_transform(generate_series(1, 16),
-                              i -> (v.sv[i] - cb.cvec[i]) * (v.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS d
-                  FROM sub v JOIN cb USING (s)),
-         codes AS (SELECT vec_id, s, cid AS code FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
-                                                  ORDER BY d, cid) AS rn
-                     FROM enc0) t
-                   WHERE rn = 1),
-         co AS (SELECT vec_id AS ccid, emb AS cvec FROM e WHERE vec_id < 8),
-         ca AS (SELECT v.vec_id, co.ccid,
-                       CAST(round(list_sum(list_transform(generate_series(1, 64),
-                            i -> (v.emb[i] - co.cvec[i]) * (v.emb[i] - co.cvec[i]))) * 1e6) AS BIGINT) AS d
-                FROM e v CROSS JOIN co),
-         cells AS (SELECT vec_id, ccid AS cell FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                  ORDER BY d, ccid) AS rn FROM ca) t
-                   WHERE rn = 1),
-         pc AS (SELECT vec_id AS probe_id, ccid AS cell FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id
-                                               ORDER BY d, ccid) AS rn
-                  FROM ca WHERE vec_id < 5) t
-                WHERE rn <= 2),
-         cand AS (SELECT pc.probe_id, cells.vec_id
-                  FROM cells JOIN pc USING (cell)
-                  WHERE cells.vec_id <> pc.probe_id),
-         dt AS (SELECT p.vec_id AS probe_id, p.s, cb.cid,
-                       CAST(round(list_sum(list_transform(generate_series(1, 16),
-                            i -> (p.sv[i] - cb.cvec[i]) * (p.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS pd
-                FROM sub p JOIN cb USING (s) WHERE p.vec_id < 5),
-         sc AS (SELECT cand.probe_id, cand.vec_id, sum(dt.pd) AS adist_fp
-                FROM cand
-                JOIN codes c ON c.vec_id = cand.vec_id
-                JOIN dt ON dt.probe_id = cand.probe_id
-                       AND dt.s = c.s AND dt.cid = c.code
-                GROUP BY cand.probe_id, cand.vec_id),
-         r AS (SELECT probe_id, vec_id, adist_fp,
-                      CAST(row_number() OVER (PARTITION BY probe_id
-                                              ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
-               FROM sc)
-         SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
-         FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+      ivfpqOracle),
 
     // IVF×PQ over a PERSISTED index: codes/cells/codebook/coarse written
     // once as bucketed catalog tables (the io05/writeBucketed layout),
@@ -3009,52 +3018,36 @@ object SparkEntry {
             dim = 64, m = 4, nprobe = 2, k = 10)
           .orderBy(col("probe_id"), col("rank"))
       },
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
-                 FROM e, unnest([0, 1, 2, 3]) AS u(s)),
-         cb AS (SELECT s, vec_id AS cid, sv AS cvec FROM sub WHERE vec_id < 16),
-         enc0 AS (SELECT v.vec_id, v.s, cb.cid,
-                         CAST(round(list_sum(list_transform(generate_series(1, 16),
-                              i -> (v.sv[i] - cb.cvec[i]) * (v.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS d
-                  FROM sub v JOIN cb USING (s)),
-         codes AS (SELECT vec_id, s, cid AS code FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
-                                                  ORDER BY d, cid) AS rn
-                     FROM enc0) t
-                   WHERE rn = 1),
-         co AS (SELECT vec_id AS ccid, emb AS cvec FROM e WHERE vec_id < 8),
-         ca AS (SELECT v.vec_id, co.ccid,
-                       CAST(round(list_sum(list_transform(generate_series(1, 64),
-                            i -> (v.emb[i] - co.cvec[i]) * (v.emb[i] - co.cvec[i]))) * 1e6) AS BIGINT) AS d
-                FROM e v CROSS JOIN co),
-         cells AS (SELECT vec_id, ccid AS cell FROM (
-                     SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                  ORDER BY d, ccid) AS rn FROM ca) t
-                   WHERE rn = 1),
-         pc AS (SELECT vec_id AS probe_id, ccid AS cell FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id
-                                               ORDER BY d, ccid) AS rn
-                  FROM ca WHERE vec_id < 5) t
-                WHERE rn <= 2),
-         cand AS (SELECT pc.probe_id, cells.vec_id
-                  FROM cells JOIN pc USING (cell)
-                  WHERE cells.vec_id <> pc.probe_id),
-         dt AS (SELECT p.vec_id AS probe_id, p.s, cb.cid,
-                       CAST(round(list_sum(list_transform(generate_series(1, 16),
-                            i -> (p.sv[i] - cb.cvec[i]) * (p.sv[i] - cb.cvec[i]))) * 1e6) AS BIGINT) AS pd
-                FROM sub p JOIN cb USING (s) WHERE p.vec_id < 5),
-         sc AS (SELECT cand.probe_id, cand.vec_id, sum(dt.pd) AS adist_fp
-                FROM cand
-                JOIN codes c ON c.vec_id = cand.vec_id
-                JOIN dt ON dt.probe_id = cand.probe_id
-                       AND dt.s = c.s AND dt.cid = c.code
-                GROUP BY cand.probe_id, cand.vec_id),
-         r AS (SELECT probe_id, vec_id, adist_fp,
-                      CAST(row_number() OVER (PARTITION BY probe_id
-                                              ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
-               FROM sc)
-         SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
-         FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""),
+      ivfpqOracle),
+
+    // INCREMENTAL index maintenance: build the persisted index on the
+    // first 4/5 of the corpus, then appendIndex the remaining delta —
+    // encoding and cell-assigning ONLY the new vectors against the STORED
+    // (fixed) quantizers, appended into the bucketed tables. Per-vector
+    // encoding is independent and the quantizers are frozen, so the
+    // appended index must be bit-identical to a from-scratch build over
+    // the full corpus — which is literally what the shared oracle checks
+    // (it re-derives the search over ALL vectors). Append cost ∝ delta,
+    // never the base — the property that makes a 100 TB index
+    // maintainable.
+    "s12_ann_index_append" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val P = graft.ops.Pq
+        val cut = 4L * emb.count() / 5L
+        val prefix = s"graft_s12_${new java.io.File(dir).getName}"
+        P.writeIndex(emb.filter(col("vec_id") < cut), "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, nlist = 8, prefix)
+        P.appendIndex(emb.filter(col("vec_id") >= cut), "vec_id", "embedding",
+          dim = 64, m = 4, prefix)
+        val idx = P.loadIndex(s, prefix)
+        P.ivfpqTopK(idx.codes, idx.codebook, idx.cells, idx.coarse,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            dim = 64, m = 4, nprobe = 2, k = 10)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      ivfpqOracle),
 
     // EXISTS / NOT EXISTS correlated subqueries — planned as left-semi /
     // left-anti hash joins on the correlation key (no per-row probing).
@@ -3590,6 +3583,54 @@ object SparkEntry {
           .orderBy(col("h"), col("event_type"))
       },
       hourlyOracle),
+
+    // The LLM text-curation pipeline AS a stream: documents replayed
+    // through the file source, stateless map-only transforms (quality
+    // gate on n_chars, language ID, BPE token count) to a memory sink —
+    // no state store, so the stream IS the batch plan run incrementally.
+    // One-batch replay == batch semantics, so the batch oracle
+    // (including the recursive-CTE BPE re-derivation) applies unchanged:
+    // the proof that curation logic runs identically in batch backfill
+    // and streaming ingest.
+    "st09_stream_doc_pipeline" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val out = s.readStream.schema(schema)
+          .parquet(graft.streaming.Replay.linkDir(s"$dir/documents.parquet"))
+          .filter(col("n_chars") >= 200)
+          .withColumn("text", coalesce(col("text"), lit("")))
+          .select(col("doc_id"), col("lang"),
+            graft.ops.TextAnalysis.langId(col("text")).as("pred_lang"),
+            graft.ops.TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        val sink = "st09_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $bpeCountCtes,
+         f AS (SELECT doc_id, lang, coalesce(text, '') AS text
+               FROM documents WHERE n_chars >= 200),
+         c AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')) AS c_en,
+                  len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\\b')) AS c_de,
+                  len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|dans|que|pour|une|pas)\\b')) AS c_fr,
+                  len(regexp_extract_all(lower(text), '\\b(el|los|las|de|que|y|en|un|por|con)\\b')) AS c_es
+               FROM f)
+         SELECT c.doc_id, c.lang,
+                CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+                     ELSE 'und' END AS pred_lang,
+                CAST(coalesce(pc.n, 0) AS BIGINT) AS bpe_tokens
+         FROM c LEFT JOIN pc USING (doc_id)
+         ORDER BY doc_id"""),
 
     // Value-picking window functions (first/last/nth within an ordered
     // frame, unique tiebreak) — same-text in both engines, including the

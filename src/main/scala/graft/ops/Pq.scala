@@ -249,6 +249,30 @@ object Pq {
       spark.table(tCodebook), spark.table(tCoarse))
   }
 
+  /** Incrementally add vectors to a persisted index: encode and
+    * cell-assign ONLY the delta against the STORED codebook/coarse
+    * quantizer (held fixed — the standard IVF/PQ maintenance contract),
+    * append to the bucketed codes/cells tables. Because per-vector
+    * encoding is independent and the quantizers are fixed, the appended
+    * index is bit-identical to a from-scratch build over base ∪ delta —
+    * which is exactly what s12's oracle proves. Cost is proportional to
+    * the DELTA (one scan + broadcast argmin), never the base corpus: the
+    * property that makes a 100 TB index maintainable at all.
+    */
+  def appendIndex(delta: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, prefix: String, buckets: Int = 8): Unit = {
+    val (tCodes, tCells, tCodebook, tCoarse) = indexTables(prefix)
+    val spark = delta.sparkSession
+    encode(delta, spark.table(tCodebook), idCol, vecCol, dim, m)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(tCodes)
+    nearestCells(delta, spark.table(tCoarse), idCol, vecCol, take = 1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(tCells)
+  }
+
   /** IVF×PQ search — the production billion-scale ANN stack: a coarse
     * quantizer restricts each probe to its `nprobe` nearest cells, then
     * ADC ranks only the candidates living there. Candidate volume is

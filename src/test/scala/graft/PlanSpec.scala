@@ -192,6 +192,36 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("topk_by"), s"no topk_by heap in s11 plan:\n${p.take(900)}")
   }
 
+  test("s12 appended index: search scans persisted tables, probe-only corpus reads") {
+    val p = planOf("s12_ann_index_append")
+    assert(p.contains("_codes") && p.contains("Bucketed: true"),
+      s"search does not scan the persisted bucketed code table:\n${p.take(900)}")
+    val rawScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("embeddings.parquet")).toSeq
+    assert(rawScans.nonEmpty && rawScans.forall(_.contains("LessThan(vec_id,5)")),
+      s"corpus re-encoded at query time:\n${rawScans.mkString("\n")}")
+    assert(!p.contains("Window"), s"rank window in s12 plan:\n${p.take(900)}")
+  }
+
+  test("m07 phash pairs: pigeonhole equi-joins only, never a nested loop") {
+    val p = planOf("m07_image_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"image pair generation must stay an equi-join:\n${p.take(900)}")
+  }
+
+  test("sp06 token budget: one source-keyed exchange serves cumsum and rollup, no join") {
+    val p = planOf("sp06_token_budget_mix")
+    assert(!p.contains("Join"), s"join in sp06 plan:\n${p.take(800)}")
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"$keyed keyed exchanges in sp06 plan (want 1):\n${p.take(900)}")
+  }
+
+  test("p09 pack materialize: keyed equi-join + grouped concat, no cartesian") {
+    val p = planOf("p09_pack_materialize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in p09 plan:\n${p.take(900)}")
+  }
+
   test("sp04 temperature mix: the gate is a map-only filter — no join at all") {
     val p = planOf("sp04_temperature_mix")
     assert(!p.contains("Join"), s"join in sp04 plan (gate must be map-only):\n${p.take(800)}")

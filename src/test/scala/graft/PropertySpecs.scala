@@ -79,3 +79,33 @@ object VecSumProps extends Properties("VecSumBuf") {
       flat == grouped && flat == reversed
     }
 }
+
+object BpeProps extends Properties("Bpe") {
+
+  import graft.functions.{Bpe, BpeVocab}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val word = Gen.chooseNum(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ ('0' to '9'))).map(_.mkString))
+
+  private val vocab = new BpeVocab(Bpe.EnglishMerges.toArray)
+
+  property("token count is between 1 and the word length; concat reproduces the word") =
+    forAll(word) { w =>
+      val toks = vocab.tokenizeWord(w)
+      toks.nonEmpty && toks.length <= w.length && toks.mkString == w
+    }
+
+  property("text count equals the sum over its words; separators never count") =
+    forAll(Gen.listOf(word)) { ws =>
+      val text = ws.mkString("  ,;. ")
+      val total = Bpe.countTokens(UTF8String.fromString(text), vocab)
+      total == ws.map(vocab.tokenizeWord(_).length.toLong).sum
+    }
+
+  property("tokenization is idempotent under case and surrounding junk") =
+    forAll(word) { w =>
+      Bpe.countTokens(UTF8String.fromString(s"  ${w.toUpperCase} !"), vocab) ==
+        vocab.tokenizeWord(w).length.toLong
+    }
+}
