@@ -905,6 +905,26 @@ class OpsSpec extends GraftSuite {
     assert(kept == Set(1L, 2L, 4L))
   }
 
+  test("Cdc.upsert resolves duplicate (key, version) rows independently of partitioning") {
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "ver")
+    val dup = Seq((1L, "x", 5L), (1L, "y", 5L)).toDF("k", "v", "ver")
+    val winners = Seq(
+      dup.coalesce(1),
+      dup.repartition(7),
+      dup.repartition(3).sortWithinPartitions(org.apache.spark.sql.functions.desc("v")))
+      .map(d => Cdc.upsert(base, d, Seq("k"), "ver").collect()(0).getString(1))
+    assert(winners.distinct.size == 1,
+      s"tied-version winner depends on partitioning: $winners")
+  }
+
+  test("editDistancePairs rejects non-numeric id columns loudly") {
+    val df = Seq(("a", "some text one"), ("b", "some text two")).toDF("sid", "t")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "sid", "t")
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("Cdc.upsert is idempotent: re-applying the same delta changes nothing") {
     val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L)).toDF("k", "v", "ver")
     val delta = Seq((2L, "b2", 1L), (9L, "new", 1L)).toDF("k", "v", "ver")
