@@ -1653,6 +1653,35 @@ object SparkEntry {
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          ORDER BY d.doc_id"""),
 
+    // per-source DATA CARD — the datasheet a training corpus ships with:
+    // volume (docs/chars/regex tokens), language spread (distinct langs,
+    // English share), length distribution (exact interpolated median)
+    // and exact-dup rate (distinct md5 of text vs rows), all in ONE
+    // aggregation pass per source. Everything cross-engine exact:
+    // percentile ≡ quantile_cont (p05 precedent), md5 ≡ md5.
+    "pr03_data_card" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/documents.parquet")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            sum(graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"),
+            count_distinct(col("lang")).as("n_langs"),
+            sum((col("lang") === "en").cast("long")).as("n_en"),
+            expr("percentile(n_chars, 0.5)").as("p50_chars"),
+            count_distinct(md5(col("text"))).as("n_uniq"))
+          .orderBy(col("source"))
+      },
+      """SELECT source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS tokens,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                quantile_cont(n_chars, 0.5) AS p50_chars,
+                CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+         FROM documents GROUP BY source ORDER BY source"""),
+
     // column-level data profiling (corpus QA): null + exact-distinct
     // counts for every column in ONE aggregation pass, unpivoted to one
     // row per column. Full oracle via per-column UNION ALL.
