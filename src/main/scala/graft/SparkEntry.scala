@@ -3742,7 +3742,69 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs,
                 CAST(sum(n_clean) AS BIGINT) AS total_chars
          FROM k WHERE doc_id NOT IN (SELECT id_b FROM pairs)
-         GROUP BY source ORDER BY source""")
+         GROUP BY source ORDER BY source"""),
+
+    // Exact ordered-set aggregates: median, percentile_cont/_disc with
+    // WITHIN GROUP — same text in Spark 4 and DuckDB. Exact percentiles
+    // complement ap01/ap02's sketches: one sort-based aggregation per
+    // group, round(,6) absorbing interpolation float noise (q14
+    // discipline).
+    "g09_percentiles" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag,
+                round(median(l_extendedprice), 6) AS med_price,
+                round(percentile_cont(0.25) WITHIN GROUP
+                      (ORDER BY l_extendedprice), 6) AS p25_price,
+                round(percentile_cont(0.75) WITHIN GROUP
+                      (ORDER BY l_extendedprice), 6) AS p75_price,
+                percentile_disc(0.5) WITHIN GROUP
+                      (ORDER BY l_quantity) AS med_qty_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Distribution-rank windows: percent_rank / cume_dist / nth_value
+    // over a named WINDOW — same text in both engines; unique order key
+    // keeps ranks deterministic. One exchange on the partition key.
+    "w07_dist_windows" -> multi(Seq("orders"),
+      """SELECT o_orderkey,
+                round(percent_rank() OVER w, 6) AS pr,
+                round(cume_dist() OVER w, 6) AS cd,
+                nth_value(o_orderkey, 2) OVER w AS nth2
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+         ORDER BY o_orderkey"""),
+
+    // Higher-order array functions — transform / filter / exists /
+    // aggregate / zip_with over the tokenized text, all inside
+    // whole-stage codegen (no UDFs). DuckDB spells these list_transform
+    // / list_filter / list_sum, so the oracle is a re-derivation, not
+    // the same text. n_mirror pairs each token with its mirror
+    // (zip_with + reverse) — an order-sensitive lambda the simpler
+    // list ops can't fake.
+    "q27_higher_order" -> api(
+      (s, dir) => {
+        val toks = split(coalesce(col("text"), lit("")), " ")
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            aggregate(transform(toks, t => length(t)), lit(0L),
+              (a, x) => a + x).as("sum_len"),
+            size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"),
+            exists(toks, t => t === "the").as("has_the"),
+            aggregate(
+              zip_with(toks, reverse(toks),
+                (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (a, x) => a + x).as("n_mirror"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+                    FROM documents)
+         SELECT doc_id,
+                CAST(list_sum(list_transform(toks, t -> length(t)))
+                     AS BIGINT) AS sum_len,
+                len(list_filter(toks, t -> length(t) >= 6)) AS n_long,
+                len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
+                CAST(list_sum(list_transform(generate_series(1, len(toks)),
+                     i -> CASE WHEN toks[i] = toks[len(toks) + 1 - i]
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS n_mirror
+         FROM t ORDER BY doc_id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

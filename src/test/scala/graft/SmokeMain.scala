@@ -139,6 +139,17 @@ object SmokeMain {
       println(s"bpe corpus tokens=$bpe")
     }
 
+    println("=== [8] wave-3 surface: exact percentiles / dist windows / higher-order ===")
+    locally {
+      val sf = "/root/testdata/sf0.001"
+      val pct = SparkEntry.queries("g09_percentiles")(spark, sf)
+      pct.show(3, truncate = false)
+      val dw = SparkEntry.queries("w07_dist_windows")(spark, sf)
+      println(s"dist-window rows=${dw.count()}")
+      val ho = SparkEntry.queries("q27_higher_order")(spark, sf)
+      ho.show(3, truncate = false)
+    }
+
     spark.stop()
     println("SMOKE OK")
   }
