@@ -3805,6 +3805,140 @@ object SparkEntry {
                      i -> CASE WHEN toks[i] = toks[len(toks) + 1 - i]
                           THEN 1 ELSE 0 END)) AS BIGINT) AS n_mirror
          FROM t ORDER BY doc_id""")
+
+    ,
+
+    // URL canonicalization — the web-corpus dedup key. The corpus has no
+    // URL column, so the query plants four crawl-shaped variants
+    // (case-mangled host, default ports, utm/fbclid tracking params,
+    // fragments, trailing slashes) deterministically from (source,
+    // doc_id), then normalizes with TextOps.normalizeUrl / urlHost /
+    // registrableDomain. Every step is a RE2-safe regex, so the oracle
+    // replays the identical patterns in DuckDB (with its explicit 'g'
+    // flag). Map-only, codegen'd, no shuffle.
+    "t12_url_normalize" -> api(
+      (s, dir) => {
+        val T = graft.ops.TextOps
+        val id = col("doc_id")
+        val url = when(id % 4 === 0,
+            concat(lit("HTTP://WWW."), upper(col("source")),
+              lit(".Example.COM:80/Docs/"), id,
+              lit("/?utm_source=feed&utm_campaign=x")))
+          .when(id % 4 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              id, lit("?id="), id, lit("&fbclid=abc#sec2")))
+          .when(id % 4 === 2,
+            concat(lit("https://cdn.Example.co.UK:443/assets/"), id, lit("/")))
+          .otherwise(
+            concat(lit("http://"), col("source"),
+              lit(".example.net/p?a=1&utm_medium=m&b="), id))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(id, url.as("__u"))
+          .select(id, T.normalizeUrl(col("__u")).as("url"),
+            T.urlHost(col("__u")).as("host"),
+            T.registrableDomain(col("__u")).as("domain"))
+          .orderBy(id)
+      },
+      """WITH r AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || upper(source) ||
+                    '.Example.COM:80/Docs/' || doc_id ||
+                    '/?utm_source=feed&utm_campaign=x'
+                  WHEN doc_id % 4 = 1 THEN 'https://' || source ||
+                    '.example.com/docs/' || doc_id || '?id=' || doc_id ||
+                    '&fbclid=abc#sec2'
+                  WHEN doc_id % 4 = 2 THEN 'https://cdn.Example.co.UK:443/assets/'
+                    || doc_id || '/'
+                  ELSE 'http://' || source ||
+                    '.example.net/p?a=1&utm_medium=m&b=' || doc_id
+             END AS u
+           FROM documents),
+         n AS (SELECT doc_id,
+             regexp_replace(lower(regexp_extract(u,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+               ':(80|443)$', '')
+             ||
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(
+                 regexp_extract(regexp_replace(u, '#.*$', ''),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+                 '&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+               '\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&?', '?', 'g'),
+               '[?&]+$', '', 'g'), '/+\?', '?', 'g'), '/+$', '', 'g') AS url,
+             lower(regexp_extract(u, '://([^/:?#]+)', 1)) AS host
+           FROM r)
+         SELECT doc_id, url, host,
+                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                     WHEN string_split(host, '.')[-2] IN
+                          ('co', 'com', 'net', 'org', 'ac', 'gov', 'edu')
+                       THEN string_split(host, '.')[-3] || '.' ||
+                            string_split(host, '.')[-2] || '.' ||
+                            string_split(host, '.')[-1]
+                     ELSE string_split(host, '.')[-2] || '.' ||
+                          string_split(host, '.')[-1]
+                END AS domain
+         FROM n ORDER BY doc_id"""),
+
+    // Distribution drift (PSI) between the even/odd event_id cohorts per
+    // event type — the train/serve-skew monitor. The two cohorts draw
+    // from the same generator so PSI lands near zero, which is exactly
+    // what the strict oracle should prove: both engines derive identical
+    // histograms, proportions and Σ(p_ref−p_cur)·ln(p_ref/p_cur).
+    "pr04_drift_psi" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .withColumn("__ref", col("event_id") % 2 === 0)
+        graft.ops.Profile.psi(ev, "event_type", "value", "__ref",
+            bins = 10, lo = 0.0, hi = 500.0)
+          .orderBy(col("event_type"))
+      },
+      """WITH h AS (
+           SELECT event_type,
+                  least(greatest(CAST(floor((value - 0.0) / 50.0) AS BIGINT),
+                    0), 9) AS b,
+                  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS nb
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, na, nb,
+                  sum(na) OVER (PARTITION BY event_type) AS ta,
+                  sum(nb) OVER (PARTITION BY event_type) AS tb
+               FROM h),
+         p AS (SELECT event_type, na, nb,
+                  greatest(na / ta, 1e-6) AS pa,
+                  greatest(nb / tb, 1e-6) AS pb
+               FROM t)
+         SELECT event_type,
+                CAST(sum(na) AS BIGINT) AS n_ref,
+                CAST(sum(nb) AS BIGINT) AS n_cur,
+                round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+         FROM p GROUP BY event_type ORDER BY event_type"""),
+
+    // Length-bucketed inference batching: pad every doc to the next
+    // 64-token multiple, cut each (source, bucket) into batches of ≤2048
+    // padded tokens. One window per (shard, bucket) — the packSequences
+    // scale discipline — then pure arithmetic; the oracle replays the
+    // same row_number cut in DuckDB.
+    "p10_length_batches" -> api(
+      (s, dir) => {
+        graft.ops.Packing.lengthBatches(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+            graft.ops.TextAnalysis.tokenCount(coalesce(col("text"), lit(""))),
+            widthTokens = 64, maxBatchTokens = 2048)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      """WITH d AS (SELECT source, doc_id,
+                  CAST(len(regexp_extract_all(coalesce(text, ''), '\w+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT source, doc_id, n_tokens,
+                  greatest((n_tokens + 63) // 64, 1) * 64 AS bucket_len
+               FROM d),
+         r AS (SELECT source, doc_id, n_tokens, bucket_len,
+                  row_number() OVER (PARTITION BY source, bucket_len
+                                     ORDER BY doc_id) AS rn
+               FROM b)
+         SELECT source, doc_id, n_tokens, bucket_len,
+                CAST((rn - 1) * bucket_len // 2048 AS BIGINT) AS batch_id
+         FROM r ORDER BY source, doc_id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

@@ -51,4 +51,44 @@ object Packing {
           .otherwise(expr(s"(__off + n_tokens - 1) DIV $budget")
             - expr(s"__off DIV $budget") + 1).as("spans"))
   }
+
+  /** Length-bucketed dynamic batching for inference serving: bucket every
+    * document by its padded length (next multiple of `widthTokens`, empty
+    * docs promoted to one width), then cut each (shard, bucket) into
+    * deterministic batches whose PADDED cost — rows × bucket length, what
+    * a padded forward pass actually pays — stays ≤ `maxBatchTokens`.
+    *
+    * Length bucketing is the standard padding-waste fix: batching a
+    * 4000-token doc with a 30-token doc pads the short one 130×; grouping
+    * near-equal lengths first bounds waste to `widthTokens` per row.
+    *
+    * Scale shape: same discipline as [[packSequences]] — the only window
+    * partitions by (shard, bucket), so sort state is one shard's bucket,
+    * never the corpus; batch ids are per-(shard, bucket) and disambiguate
+    * downstream as the triple. Everything else is per-row arithmetic.
+    *
+    * @return (shardCol, idCol, n_tokens, bucket_len, batch_id) — one row
+    *         per document; bucket_len is the padded per-row cost,
+    *         batch_id counts batches within (shard, bucket_len)
+    */
+  def lengthBatches(df: DataFrame, idCol: String, shardCol: String,
+                    tokens: Column, widthTokens: Int,
+                    maxBatchTokens: Int): DataFrame = {
+    require(widthTokens > 0, "widthTokens must be positive")
+    require(maxBatchTokens >= widthTokens,
+      "maxBatchTokens must fit at least one widthTokens row")
+    val bucketLen = greatest(
+      expr(s"(n_tokens + ${widthTokens - 1}) DIV $widthTokens"), lit(1L)) *
+      widthTokens
+    val w = Window.partitionBy(col(shardCol), col("bucket_len"))
+      .orderBy(col(idCol))
+    df.select(col(shardCol), col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket_len", bucketLen)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      // integral DIV (packSequences discipline): exact past 2^53
+      .withColumn("batch_id",
+        expr(s"(__rn - 1) * bucket_len DIV $maxBatchTokens"))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        col("bucket_len"), col("batch_id"))
+  }
 }

@@ -30,4 +30,54 @@ object Profile {
     one.select(explode(array(stacked: _*)).as("p"))
       .select(col("p.column"), col("p.n"), col("p.n_null"), col("p.n_distinct"))
   }
+
+  /** Population Stability Index — the standard drift monitor between a
+    * reference and a current segment of the same stream (week-over-week
+    * feature drift, train/serve skew). Values are histogrammed into
+    * `bins` fixed-width buckets over [lo, hi) (outliers clamped to the
+    * edge buckets), and per group
+    * PSI = Σ_buckets (p_ref − p_cur) · ln(p_ref / p_cur), with empty-side
+    * proportions floored at 1e-6 so observed-on-one-side-only buckets
+    * contribute a finite penalty instead of ±∞.
+    *
+    * Rule of thumb downstream: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * investigate.
+    *
+    * Scale shape: one keyed aggregation on (group, bucket) with map-side
+    * combine — the histogram — collapses the corpus to (groups × bins)
+    * rows; the group-total window and final per-group aggregation run
+    * over that tiny set, so nothing after the first shuffle touches the
+    * data volume. No collect anywhere.
+    *
+    * @param refCol boolean column: true = reference segment, false =
+    *               current segment
+    * @return (groupCol, n_ref BIGINT, n_cur BIGINT, psi DOUBLE
+    *         rounded to 6 places)
+    */
+  def psi(df: DataFrame, groupCol: String, valueCol: String, refCol: String,
+          bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / bins
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val hist = df
+      .select(col(groupCol), col(refCol).as("__ref"), bucket.as("__b"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("__nb"))
+    val eps = 1e-6
+    hist
+      .withColumn("__ta", sum(col("__na")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("__tb", sum(col("__nb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("__pa", greatest(col("__na") / col("__ta"), lit(eps)))
+      .withColumn("__pb", greatest(col("__nb") / col("__tb"), lit(eps)))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__na")).as("n_ref"), sum(col("__nb")).as("n_cur"),
+        round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))),
+          6).as("psi"))
+  }
 }

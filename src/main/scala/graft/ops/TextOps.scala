@@ -36,4 +36,65 @@ object TextOps {
 
   def shingleHashes(c: Column, k: Int): Column =
     transform(shingles(c, k), s => xxhash64(s))
+
+  // --- URL canonicalization -------------------------------------------
+  //
+  // Web-corpus dedup keys on the canonical URL, not the raw crawl string:
+  // the same page arrives as HTTP://Host:80/a/?utm_source=x and
+  // http://host/a. Every step below is a RE2-compatible regex (no
+  // lookaround, no backreferences), so the DuckDB oracle re-derives the
+  // exact same strings with the exact same patterns. Pure codegen'd
+  // expressions — per-row work, no shuffle, no UDF.
+
+  /** scheme://authority prefix, lowercased, default :80/:443 stripped. */
+  private def urlHead(c: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(c, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+      ":(80|443)$", "")
+
+  /** Everything after the authority (path + query), fragment dropped,
+    * tracking params (utm_*, fbclid, gclid, ref) removed, separator
+    * debris ("?&", trailing "?"/"&", trailing "/") cleaned up.
+    */
+  private def urlTail(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val tail = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noAmp = regexp_replace(tail,
+      "&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*", "")
+    val noFirst = regexp_replace(noAmp,
+      "\\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&?", "?")
+    val noTrailSep = regexp_replace(noFirst, "[?&]+$", "")
+    val slashQ = regexp_replace(noTrailSep, "/+\\?", "?")
+    regexp_replace(slashQ, "/+$", "")
+  }
+
+  /** Canonical form of an absolute http(s) URL: lowercased scheme+host,
+    * default port stripped, fragment dropped, tracking params removed,
+    * trailing slashes collapsed. Path/query case is preserved (paths are
+    * case-sensitive).
+    */
+  def normalizeUrl(c: Column): Column = concat(urlHead(c), urlTail(c))
+
+  /** Lowercased host (no port). */
+  def urlHost(c: Column): Column =
+    lower(regexp_extract(c, "://([^/:?#]+)", 1))
+
+  /** Registrable-domain heuristic: last two host labels, or last three
+    * when the second-level label is a common country-code prefix
+    * (example.co.uk -> example.co.uk, www.example.com -> example.com).
+    * A production run swaps in the full public-suffix list as a
+    * broadcast lookup; the heuristic keeps this expression-only.
+    */
+  def registrableDomain(c: Column): Column = {
+    val parts = split(urlHost(c), "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    when(n <= lit(2), concat_ws(".", parts))
+      .when(element_at(parts, -2).isin("co", "com", "net", "org", "ac",
+        "gov", "edu") && n >= lit(3), last3)
+      .otherwise(last2)
+  }
 }

@@ -94,6 +94,52 @@ class OpsSpec extends GraftSuite {
     assert(r("tag") == ((4L, 1L, 2L))) // null not counted as a distinct value
   }
 
+  test("Profile.psi matches the hand-computed index and floors empty buckets") {
+    // ref: buckets (2,1)/3 -> (2/3, 1/3); cur: (1,2)/3 -> (1/3, 2/3)
+    // PSI = (1/3)ln2 + (1/3)ln2 = (2/3)ln2
+    val df = Seq(
+      ("g", 0.5, true), ("g", 0.7, true), ("g", 1.5, true),
+      ("g", 0.5, false), ("g", 1.5, false), ("g", 1.7, false)
+    ).toDF("grp", "v", "ref")
+    val r = Profile.psi(df, "grp", "v", "ref", bins = 2, lo = 0.0, hi = 2.0)
+      .collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) ==
+      BigDecimal(2.0 / 3.0 * math.log(2.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a bucket observed on one side only gets the 1e-6 floor, not ±inf
+    val skew = Seq(("g", 0.5, true), ("g", 1.5, false)).toDF("grp", "v", "ref")
+    val p = Profile.psi(skew, "grp", "v", "ref", bins = 2, lo = 0.0, hi = 2.0)
+      .collect()(0).getDouble(3)
+    val exp = 2.0 * (1.0 - 1e-6) * math.log(1.0 / 1e-6)
+    assert(math.abs(p - exp) < 1e-5 && !p.isInfinite)
+    // outliers clamp to the edge buckets instead of vanishing
+    val out = Seq(("g", -9.0, true), ("g", 99.0, false)).toDF("grp", "v", "ref")
+    assert(Profile.psi(out, "grp", "v", "ref", 2, 0.0, 2.0)
+      .collect()(0).getLong(1) == 1L)
+  }
+
+  test("TextOps URL normalization: case, ports, tracking params, slashes") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Ex.COM:80/Docs/7/?utm_source=a&id=9&utm_campaign=b#f"),
+      (2L, "https://cdn.Example.co.UK:443/assets/3/"),
+      (3L, "http://ex.net/p?utm_medium=m"),
+      (4L, "https://sub.host.org:8080/a/b?x=1&ref=r&y=2")
+    ).toDF("id", "u")
+    val r = urls.select(col("id"), TextOps.normalizeUrl(col("u")).as("n"),
+        TextOps.urlHost(col("u")).as("h"),
+        TextOps.registrableDomain(col("u")).as("d"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getString(2),
+        x.getString(3)))).toMap
+    assert(r(1L) == (("http://www.ex.com/Docs/7?id=9", "www.ex.com", "ex.com")))
+    assert(r(2L) == (("https://cdn.example.co.uk/assets/3",
+      "cdn.example.co.uk", "example.co.uk")))
+    assert(r(3L) == (("http://ex.net/p", "ex.net", "ex.net")))
+    // non-default port survives; mid-query tracking param drops cleanly
+    assert(r(4L) == (("https://sub.host.org:8080/a/b?x=1&y=2",
+      "sub.host.org", "host.org")))
+  }
+
   test("contaminationFlags: hashed grams (100 TB setting) match string grams exactly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eval = corpus.filter(col("doc_id") < 10).select("text")

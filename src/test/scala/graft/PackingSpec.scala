@@ -35,4 +35,27 @@ class PackingSpec extends GraftSuite {
     // doc 1 fills seq 0 completely (spans 1, not 2); doc 2 opens seq 1
     assert(out === Array((0L, 0L, 1L), (1L, 0L, 1L)))
   }
+
+  test("lengthBatches: padded buckets, batch cuts on padded cost, empty docs") {
+    val docs = Seq(
+      ("a", 1L, 3L),  // pad -> 4
+      ("a", 2L, 4L),  // pad -> 4
+      ("a", 3L, 5L),  // pad -> 8 (own bucket)
+      ("a", 4L, 0L),  // empty doc promoted to one width -> 4
+      ("b", 5L, 3L)   // other shard: independent numbering
+    ).toDF("src", "id", "nt")
+    val out = Packing.lengthBatches(docs, "id", "src", col("nt"),
+        widthTokens = 4, maxBatchTokens = 8)
+      .orderBy("src", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out === Array(
+      // bucket 4 in shard a holds ids 1,2,4: two rows fill 8 padded
+      // tokens, the third opens batch 1
+      ("a", 1L, 3L, 4L, 0L),
+      ("a", 2L, 4L, 4L, 0L),
+      ("a", 3L, 5L, 8L, 0L),
+      ("a", 4L, 0L, 4L, 1L),
+      ("b", 5L, 3L, 4L, 0L)))
+  }
 }

@@ -148,6 +148,13 @@ object SmokeMain {
       println(s"dist-window rows=${dw.count()}")
       val ho = SparkEntry.queries("q27_higher_order")(spark, sf)
       ho.show(3, truncate = false)
+      val url = SparkEntry.queries("t12_url_normalize")(spark, sf)
+      url.show(4, truncate = false)
+      val psi = SparkEntry.queries("pr04_drift_psi")(spark, sf)
+      psi.show(5, truncate = false)
+      val lb = SparkEntry.queries("p10_length_batches")(spark, sf)
+      println(s"length-batch rows=${lb.count()} " +
+        s"batches=${lb.select("source", "bucket_len", "batch_id").distinct().count()}")
     }
 
     spark.stop()
