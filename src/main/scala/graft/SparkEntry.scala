@@ -3939,6 +3939,57 @@ object SparkEntry {
          SELECT source, doc_id, n_tokens, bucket_len,
                 CAST((rn - 1) * bucket_len // 2048 AS BIGINT) AS batch_id
          FROM r ORDER BY source, doc_id""")
+
+    ,
+
+    // SemDeDup semantic dedup: nearest-centroid clustering confines the
+    // quadratic cosine check to single cells; within a cell the min-id
+    // representative of every >= 0.9 group survives. Centroids are the
+    // first 8 base embeddings (deterministic, oracle-rederivable);
+    // near-dups are the d08 rotation planting (cosine 0.94 to the base
+    // vector) since the corpus has no natural pairs above 0.66. The
+    // oracle re-derives centroids, argmin assignment (dist tie -> lower
+    // cell), intra-cell pruning — a green hash proves clustering AND
+    // pruning agree row-for-row. Cross-cell near-dups are deliberately
+    // NOT pruned (the SemDeDup contract: recall is traded for the
+    // never-corpus² candidate volume).
+    "d13_semantic_dedup" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val base = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val r1 = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            rotVec(col("v"), 0.94).as("v"))
+        val u = base.unionByName(r1)
+        val cents = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cell"), col("v").as("cv"))
+        graft.ops.Dedup.semanticDedup(u, "vec_id", "v", cents, "cell", "cv",
+            threshold = 0.9)
+          .orderBy(col("id"))
+      },
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         r1 AS (SELECT vec_id + 1000000 AS vec_id, ${rotSql("v")} AS v
+                FROM e WHERE vec_id % 10 = 0),
+         u AS (SELECT * FROM e UNION ALL SELECT * FROM r1),
+         c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+         d AS (SELECT u.vec_id, c.cell,
+                 list_sum(list_transform(generate_series(1, len(u.v)),
+                   i -> (u.v[i] - c.cv[i]) * (u.v[i] - c.cv[i]))) AS d2
+               FROM u CROSS JOIN c),
+         a AS (SELECT vec_id, cell FROM
+                (SELECT vec_id, cell,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cell) AS rn
+                 FROM d) WHERE rn = 1),
+         j AS (SELECT u.vec_id, a.cell, u.v FROM u JOIN a USING (vec_id)),
+         pruned AS (SELECT DISTINCT bb.vec_id
+                    FROM j aa JOIN j bb
+                      ON aa.cell = bb.cell AND aa.vec_id < bb.vec_id
+                    WHERE list_cosine_similarity(aa.v, bb.v) >= 0.9)
+         SELECT j.vec_id AS id, j.cell FROM j
+         WHERE j.vec_id NOT IN (SELECT vec_id FROM pruned)
+         ORDER BY id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

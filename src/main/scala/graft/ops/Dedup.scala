@@ -560,6 +560,46 @@ object Dedup {
     * smaller side broadcasts, the pair predicate `id_a < id_b` halves the
     * work, and the cosine expression is codegen'd.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its nearest centroid, then prune within
+    * each cluster any vector whose cosine to a LOWER-id cluster-mate
+    * meets `threshold` — keep the min-id representative of every
+    * near-duplicate group, never compare across clusters. Output: kept
+    * (id, cell).
+    *
+    * Scale shape (the reason SemDeDup exists): centroids are broadcast
+    * (k is bounded — callers derive them via [[graft.ops.Ivf]] or a
+    * seeded sample), assignment is a map-side-combined argmin
+    * (min(struct(dist, cell)) — the Pq.encode idiom, one row per id
+    * reaches the shuffle), and the quadratic cosine check is confined to
+    * single cells. k is the scale knob: sized so cells stay bounded
+    * (~N/k rows), the intra-cell self-join never approaches corpus².
+    * Deterministic: exact-distance centroid ties break toward the lower
+    * cell id, so reruns and the DuckDB oracle agree row-for-row.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cellCol: String, cvecCol: String,
+                    threshold: Double): DataFrame = {
+    val b = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val c = centroids.select(col(cellCol).cast("long").as("cell"),
+      col(cvecCol).cast("array<double>").as("cv"))
+    val d2 = aggregate(
+      zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+    val assigned = b.crossJoin(broadcast(c))
+      .groupBy(col("id"))
+      .agg(min(struct(d2.as("d"), col("cell"))).as("dc"),
+        first(col("v")).as("v"))
+      .select(col("id"), col("dc.cell").as("cell"), col("v"))
+    val pruned = assigned.as("a").join(assigned.as("bb"),
+        col("a.cell") === col("bb.cell") && col("a.id") < col("bb.id"))
+      .filter(call_function("cosine_sim", col("a.v"), col("bb.v")) >= threshold)
+      .select(col("bb.id").as("id")).distinct()
+    assigned.join(pruned, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
+  }
+
   def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))

@@ -119,6 +119,22 @@ class OpsSpec extends GraftSuite {
       .collect()(0).getLong(1) == 1L)
   }
 
+  test("semanticDedup prunes within cells only and keeps min-id reps") {
+    graft.functions.Registry.registerAll(spark)
+    // c0=(1,0), c1=(0,1); ids 1,2 collapse in cell 0; ids 4,5 are
+    // near-dups (cos ~0.9995) that land in DIFFERENT cells -> both kept
+    // (the SemDeDup recall trade documented on the operator)
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0)), (2L, Seq(10.1, 0.0)), (3L, Seq(0.0, 5.0)),
+      (4L, Seq(3.0, 3.1)), (5L, Seq(3.1, 3.0))
+    ).toDF("vid", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv")
+    val kept = Dedup.semanticDedup(vecs, "vid", "v", cents, "cell", "cv",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("TextOps URL normalization: case, ports, tracking params, slashes") {
     val urls = Seq(
       (1L, "HTTP://WWW.Ex.COM:80/Docs/7/?utm_source=a&id=9&utm_campaign=b#f"),

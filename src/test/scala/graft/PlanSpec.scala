@@ -324,4 +324,34 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in d10 plan:\n$p")
   }
+
+  test("d13 semantic dedup: centroids broadcast, argmin map-side combined, prune join equi-keyed") {
+    val p = planOf("d13_semantic_dedup")
+    // the ONLY nested-loop allowed is the bounded broadcast of the k
+    // centroids; the corpus must never be the build side of one
+    assert(!p.contains("CartesianProduct"), s"cartesian in d13 plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids not broadcast in d13 plan:\n$p")
+    // the argmin reduces k rows per id BEFORE the shuffle
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"no map-side combine for the centroid argmin:\n$p")
+    // intra-cell pruning is an equi-join on cell, not an all-pairs scan
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"prune stage not an equi-join:\n$p")
+  }
+
+  test("p10 length batching: the only exchanges are the (shard, bucket) window and output sort") {
+    val p = planOf("p10_length_batches")
+    assert(!p.contains("Join"), s"no join belongs in p10:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"p10 should shuffle once for the window + once for the sort (got $exchanges):\n$p")
+  }
+
+  test("pr04 PSI: histogram aggregation map-side combines on (group, bucket)") {
+    val p = planOf("pr04_drift_psi")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"histogram not map-side combined:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in pr04:\n$p")
+  }
 }

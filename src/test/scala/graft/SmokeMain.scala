@@ -155,6 +155,9 @@ object SmokeMain {
       val lb = SparkEntry.queries("p10_length_batches")(spark, sf)
       println(s"length-batch rows=${lb.count()} " +
         s"batches=${lb.select("source", "bucket_len", "batch_id").distinct().count()}")
+      val sd = SparkEntry.queries("d13_semantic_dedup")(spark, sf)
+      val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+      println(s"semantic-dedup kept=${sd.count()} of base=$total + planted")
     }
 
     spark.stop()
