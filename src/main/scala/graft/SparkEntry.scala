@@ -3990,6 +3990,133 @@ object SparkEntry {
          SELECT j.vec_id AS id, j.cell FROM j
          WHERE j.vec_id NOT IN (SELECT vec_id FROM pruned)
          ORDER BY id""")
+
+    ,
+
+    // String-function breadth through the Table.sql dialect. Texts differ
+    // only where the engines name the same function differently
+    // (instr ↔ strpos); everything else is same-text, values byte-equal.
+    "q28_string_fns" -> diff("part",
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '*') AS pb,
+                rpad(left(p_type, 10), 12, '.') AS pt,
+                right(p_name, 6) AS r6,
+                reverse(p_brand) AS rev,
+                translate(p_name, 'ae', 'AE') AS tr,
+                split_part(p_type, ' ', 2) AS sp2,
+                repeat('-', p_size % 5) AS rp,
+                CAST(ascii(p_name) AS BIGINT) AS ac,
+                chr(65 + p_size % 26) AS ch,
+                CAST(instr(p_name, 'al') AS BIGINT) AS pos
+         FROM part ORDER BY p_partkey""",
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '*') AS pb,
+                rpad(left(p_type, 10), 12, '.') AS pt,
+                right(p_name, 6) AS r6,
+                reverse(p_brand) AS rev,
+                translate(p_name, 'ae', 'AE') AS tr,
+                split_part(p_type, ' ', 2) AS sp2,
+                repeat('-', p_size % 5) AS rp,
+                CAST(ascii(p_name) AS BIGINT) AS ac,
+                chr(65 + p_size % 26) AS ch,
+                CAST(strpos(p_name, 'al') AS BIGINT) AS pos
+         FROM part ORDER BY p_partkey"""),
+
+    // Calendar-function breadth. Divergences the oracle compensates for:
+    // Spark date_trunc returns TIMESTAMP (cast to DATE both sides),
+    // datediff is (end, start) vs DuckDB's ('day', start, end), DuckDB
+    // dayofweek is 0-based Sunday vs Spark's 1-based, and date_add
+    // spells as date + int in DuckDB.
+    "q29_date_fns" -> diff("orders",
+      """SELECT o_orderkey,
+                CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mon,
+                last_day(CAST(o_orderdate AS DATE)) AS eom,
+                CAST(date_part('quarter', CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+                CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS dd,
+                date_add(CAST(o_orderdate AS DATE), 30) AS plus30,
+                CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+                CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS woy
+         FROM orders ORDER BY o_orderkey""",
+      """SELECT o_orderkey,
+                CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mon,
+                last_day(CAST(o_orderdate AS DATE)) AS eom,
+                CAST(date_part('quarter', CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dd,
+                CAST(o_orderdate AS DATE) + 30 AS plus30,
+                CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+                CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS woy
+         FROM orders ORDER BY o_orderkey""")
+
+    ,
+
+    // Sliding-window streaming rollup (2 h / 30 min): every event expands
+    // into exactly 4 epoch-aligned overlapping windows before the state
+    // shuffle. Complete-mode replay for the same finite-stream reason as
+    // st03; the oracle re-derives the expansion arithmetically in BIGINT
+    // microseconds (base slide-floor minus 0..3 slides).
+    "st10_stream_sliding" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingSlidingTypeCounts(
+          graft.streaming.Events.readStream(s, dir))
+        val sink = "st10_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(unix_micros(col("ws")).as("ws"), col("event_type"), col("n"))
+          .orderBy(col("ws"), col("event_type"))
+      },
+      """WITH b AS (SELECT event_type,
+                  epoch_us(ts) // 1800000000 * 1800000000 AS base
+           FROM events),
+         w AS (SELECT event_type, base - CAST(i AS BIGINT) * 1800000000 AS ws
+               FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) g)
+         SELECT ws, event_type, count(*) AS n
+         FROM w GROUP BY ws, event_type ORDER BY ws, event_type""")
+
+    ,
+
+    // Z-ordered parquet layout: Morton-interleave (l_partkey, l_suppkey)
+    // bucket ids, range-partition + sort by the z-value, write, read
+    // back through a RECTANGLE predicate on both dimensions — the
+    // multi-dim zone-map story io05's single-key sort can't serve. The
+    // z-value orders the layout only, so the oracle is the plain
+    // aggregate over the original table; PlanSpec pins both predicates
+    // pushed to the read-back scan. Fixed bucket ranges cover sf1
+    // (partkey < 2^18, suppkey < 2^14), keeping the layout
+    // deterministic across SFs.
+    "io09_zorder_layout" -> api(
+      (s, dir) => {
+        val K = graft.ops.Skew
+        val tmp = scratchDir(s"io09_zorder_${new java.io.File(dir).getName}")
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"))
+          .withColumn("__z", K.zorder2(
+            K.rangeBucket(col("l_partkey"), 0L, 1L << 18, 16),
+            K.rangeBucket(col("l_suppkey"), 0L, 1L << 14, 16)))
+          .repartitionByRange(8, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_partkey").between(500, 1500) &&
+            col("l_suppkey").between(50, 150))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+            min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+      },
+      """SELECT count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                min(l_orderkey) AS mn, max(l_orderkey) AS mx
+         FROM lineitem
+         WHERE l_partkey BETWEEN 500 AND 1500
+           AND l_suppkey BETWEEN 50 AND 150""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

@@ -374,6 +374,24 @@ object Events {
       .select(col("window.end").as("h_end"), col("event_type"), col("n"),
         col("sv"))
 
+  /** Sliding-window (2 h window / 30 min slide) event counts — the
+    * rolling-rate monitor shape. Every event lands in exactly
+    * window/slide = 4 overlapping epoch-aligned windows; Spark expands
+    * the event into its windows BEFORE the aggregation shuffle, so state
+    * is (open windows × event types) — 4× the tumbling footprint, still
+    * independent of stream length once the watermark drops closed
+    * windows (append mode); the finite-replay harness runs Complete for
+    * the same no-tail-loss reason as [[streamingHourlyTypeCounts]].
+    */
+  def streamingSlidingTypeCounts(events: DataFrame,
+                                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
   /** Streaming MinHash/LSH near-duplicate detection: for every incoming
     * document, report per LSH band whether its band bucket was already
     * claimed by an earlier document — across micro-batch boundaries.

@@ -119,6 +119,25 @@ class OpsSpec extends GraftSuite {
       .collect()(0).getLong(1) == 1L)
   }
 
+  test("zorder2 interleaves bits exactly and rangeBucket clamps") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val pairs = Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L), (1L, 2L))
+    val got = pairs.toDF("a", "b")
+      .select(Skew.zorder2(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (a, b) => ref(a, b) })
+    // rangeBucket: below-range clamps to 0, above-range to 2^bits-1,
+    // in-range quantizes by floor
+    val rb = Seq(-5L, 0L, 511L, 512L, 1023L, 5000L).toDF("x")
+      .select(Skew.rangeBucket(col("x"), 0L, 1024L, 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(rb.toSeq == Seq(0L, 0L, 7L, 8L, 15L, 15L))
+  }
+
   test("semanticDedup prunes within cells only and keeps min-id reps") {
     graft.functions.Registry.registerAll(spark)
     // c0=(1,0), c1=(0,1); ids 1,2 collapse in cell 0; ids 4,5 are

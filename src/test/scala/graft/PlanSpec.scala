@@ -341,6 +341,21 @@ class PlanSpec extends GraftSuite {
       s"prune stage not an equi-join:\n$p")
   }
 
+  test("io09 z-order layout: both rectangle predicates pushed to the read-back scan") {
+    // the plan's toString truncates the PushedFilters list — read the
+    // scan node's metadata, which carries the full string
+    val plan = SparkEntry.queries("io09_zorder_layout")(spark, dir)
+      .queryExecution.sparkPlan
+    val pushed = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_partkey") &&
+      pushed.contains("GreaterThanOrEqual(l_suppkey") &&
+      pushed.contains("LessThanOrEqual(l_suppkey"),
+      s"rectangle predicates not pushed to the z-ordered scan:\n$pushed")
+  }
+
   test("p10 length batching: the only exchanges are the (shard, bucket) window and output sort") {
     val p = planOf("p10_length_batches")
     assert(!p.contains("Join"), s"no join belongs in p10:\n$p")

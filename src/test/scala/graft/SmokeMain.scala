@@ -158,6 +158,11 @@ object SmokeMain {
       val sd = SparkEntry.queries("d13_semantic_dedup")(spark, sf)
       val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
       println(s"semantic-dedup kept=${sd.count()} of base=$total + planted")
+      SparkEntry.queries("q28_string_fns")(spark, sf).show(2, truncate = false)
+      SparkEntry.queries("q29_date_fns")(spark, sf).show(2, truncate = false)
+      val sl = SparkEntry.queries("st10_stream_sliding")(spark, sf)
+      println(s"sliding windows rows=${sl.count()}")
+      SparkEntry.queries("io09_zorder_layout")(spark, sf).show(1, truncate = false)
     }
 
     spark.stop()
