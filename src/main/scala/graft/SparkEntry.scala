@@ -3937,7 +3937,8 @@ object SparkEntry {
                                      ORDER BY doc_id) AS rn
                FROM b)
          SELECT source, doc_id, n_tokens, bucket_len,
-                CAST((rn - 1) * bucket_len // 2048 AS BIGINT) AS batch_id
+                CAST((rn - 1) // greatest(2048 // bucket_len, 1) AS BIGINT)
+                  AS batch_id
          FROM r ORDER BY source, doc_id""")
 
     ,

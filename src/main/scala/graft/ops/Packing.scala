@@ -55,8 +55,10 @@ object Packing {
   /** Length-bucketed dynamic batching for inference serving: bucket every
     * document by its padded length (next multiple of `widthTokens`, empty
     * docs promoted to one width), then cut each (shard, bucket) into
-    * deterministic batches whose PADDED cost — rows × bucket length, what
-    * a padded forward pass actually pays — stays ≤ `maxBatchTokens`.
+    * deterministic batches of exactly floor(maxBatchTokens / bucket_len)
+    * rows (min 1), so the PADDED cost — rows × bucket length, what a
+    * padded forward pass actually pays — never exceeds `maxBatchTokens`
+    * for any multi-row batch.
     *
     * Length bucketing is the standard padding-waste fix: batching a
     * 4000-token doc with a 30-token doc pads the short one 130×; grouping
@@ -85,9 +87,15 @@ object Packing {
     df.select(col(shardCol), col(idCol), tokens.cast("long").as("n_tokens"))
       .withColumn("bucket_len", bucketLen)
       .withColumn("__rn", row_number().over(w).cast("long"))
-      // integral DIV (packSequences discipline): exact past 2^53
+      // capacity-based cut: exactly floor(budget / bucket_len) rows per
+      // batch (min 1 — an over-budget doc gets its own batch), so
+      // rows × bucket_len ≤ budget ALWAYS holds for multi-row batches.
+      // A start-offset cut ((rn-1)·len DIV budget) would overpack
+      // whenever bucket_len does not divide the budget (6 rows of 96
+      // into a 512 budget = 576 padded tokens). Integral DIV throughout
+      // (packSequences discipline): exact past 2^53.
       .withColumn("batch_id",
-        expr(s"(__rn - 1) * bucket_len DIV $maxBatchTokens"))
+        expr(s"(__rn - 1) DIV greatest($maxBatchTokens DIV bucket_len, 1)"))
       .select(col(shardCol), col(idCol), col("n_tokens"),
         col("bucket_len"), col("batch_id"))
   }

@@ -119,6 +119,57 @@ class OpsSpec extends GraftSuite {
       .collect()(0).getLong(1) == 1L)
   }
 
+  test("normalizeUrl is idempotent over the crawl-variant grid") {
+    // 2*3*2*3*2 = 72 combinations of scheme case x host case/port x
+    // path tail x query debris x fragment — a fixed grid standing in
+    // for a generator, checked in ONE Spark job
+    val schemes = Seq("http://", "HTTP://")
+    val hosts = Seq("Ex.COM", "www.ex.com:80", "CDN.ex.co.uk:443")
+    val paths = Seq("/A/b", "/A/b/")
+    val queries = Seq("", "?utm_source=x", "?id=1&ref=r&z=2")
+    val frags = Seq("", "#Sec")
+    val urls = for {
+      s <- schemes; h <- hosts; p <- paths; q <- queries; f <- frags
+    } yield s + h + p + q + f
+    val df = urls.toDF("u")
+      .select(TextOps.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), TextOps.normalizeUrl(col("n1")).as("n2"))
+    assert(df.filter(col("n1") =!= col("n2")).count() == 0L)
+    // and the grid actually collapses: every variant of the same page
+    // normalizes to one of exactly |hosts' registrable paths| forms
+    val distinct = df.select(col("n1")).distinct().count()
+    assert(distinct <= 18L, s"grid collapsed to $distinct forms (want <= 18)")
+  }
+
+  test("Profile.psi is invariant under swapping the segments") {
+    // events parquet is TIMESTAMP(NANOS) — must go through Events.readRaw
+    val df = graft.streaming.Events.readRaw(spark, "/root/testdata/sf0.001")
+      .withColumn("ref", col("event_id") % 3 === 0)
+    val a = Profile.psi(df, "event_type", "value", "ref", 8, 0.0, 500.0)
+      .select(col("event_type"), col("psi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val swapped = df.withColumn("ref", !col("ref"))
+    val b = Profile.psi(swapped, "event_type", "value", "ref", 8, 0.0, 500.0)
+      .select(col("event_type"), col("psi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)   // (p-q)·ln(p/q) is term-wise swap-symmetric
+  }
+
+  test("lengthBatches: every multi-row batch fits the padded budget") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.lengthBatches(docs, "doc_id", "source",
+      TextAnalysis.tokenCount(coalesce(col("text"), lit(""))),
+      widthTokens = 32, maxBatchTokens = 512)
+    val over = out.groupBy(col("source"), col("bucket_len"), col("batch_id"))
+      .agg(count(lit(1)).as("rows"))
+      // a single row longer than the budget is allowed (own batch);
+      // everything else must fit rows x bucket_len <= budget
+      .filter(col("rows") * col("bucket_len") > 512 && col("rows") > 1)
+    assert(over.count() == 0L)
+    // ids never split across buckets: row count is preserved
+    assert(out.count() == docs.count())
+  }
+
   test("zorder2 interleaves bits exactly and rangeBucket clamps") {
     def ref(a: Long, b: Long): Long =
       (0 until 16).foldLeft(0L) { (z, i) =>
