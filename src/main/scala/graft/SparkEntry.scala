@@ -4118,6 +4118,63 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey BETWEEN 500 AND 1500
            AND l_suppkey BETWEEN 50 AND 150""")
+
+    ,
+
+    // Per-dimension embedding QA card: mean/std/min/max for each of the
+    // 64 dims in one posexplode + keyed aggregation. Output is dims
+    // rows regardless of corpus size; round(,6) absorbs merge-order
+    // float noise (g05 discipline).
+    "pr05_embedding_stats" -> api(
+      (s, dir) => graft.ops.Profile.embeddingStats(
+        s.read.parquet(s"$dir/embeddings.parquet"), "embedding"),
+      """SELECT CAST(i AS BIGINT) AS dim,
+                round(avg(x), 6) AS mean,
+                round(stddev_samp(x), 6) AS std,
+                round(min(x), 6) AS mn,
+                round(max(x), 6) AS mx
+         FROM (SELECT unnest(embedding::DOUBLE[]) AS x,
+                      generate_subscripts(embedding, 1) AS i
+               FROM embeddings)
+         GROUP BY i ORDER BY dim""")
+
+    ,
+
+    // Count-min-sketch frequency estimates under a strict error-contract
+    // gate — the third sketch family after HLL distinct (ap01/ap02) and
+    // approximate quantiles (ap02). One merge-order-invariant
+    // count_min_sketch aggregate (counter addition commutes exactly, so
+    // the sketch is deterministic under any partitioning) is probed
+    // in-plan per key via cms_estimate against the exact counts:
+    // lower_ok (est >= true — the structural CMS guarantee) and
+    // upper_ok (est <= true + eps*N, the formal bound at eps=0.05, width
+    // 40 < 100 keys so real collisions are exercised). The oracle
+    // re-derives the exact counts and asserts both gates TRUE.
+    "ap03_freq_sketch" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k").isNotNull)
+        val sk = ev.agg(expr(
+          "count_min_sketch(k, CAST(0.05 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)")
+          .as("sk"))
+        val truth = ev.groupBy(col("k")).agg(count(lit(1)).as("n_true"))
+        truth.crossJoin(broadcast(sk))
+          .withColumn("__tot", sum(col("n_true")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("k"), col("n_true"),
+            (call_function("cms_estimate", col("sk"), col("k"))
+              >= col("n_true")).as("lower_ok"),
+            (call_function("cms_estimate", col("sk"), col("k"))
+              <= col("n_true") + ceil(col("__tot") * 0.05)).as("upper_ok"))
+          .orderBy(col("k"))
+      },
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                count(*) AS n_true, TRUE AS lower_ok, TRUE AS upper_ok
+         FROM events
+         WHERE json_extract_string(props, '$.k') IS NOT NULL
+         GROUP BY 1 ORDER BY k""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

@@ -135,4 +135,16 @@ object Kernels {
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, form))
   }
+
+  /** Point query against a serialized Spark `CountMinSketch` (the binary
+    * produced by the built-in `count_min_sketch` aggregate). The sketch
+    * deserializes per call — callers probe a handful of keys against one
+    * broadcast sketch row, so the parse cost is per-probe, not per-corpus
+    * (the corpus-side work happened inside the aggregate). Long-keyed:
+    * the aggregate hashes integral types by their long value.
+    */
+  def cmsEstimate(sketch: Array[Byte], item: Long): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+      .estimateCount(java.lang.Long.valueOf(item))
 }

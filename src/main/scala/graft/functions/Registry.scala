@@ -298,6 +298,11 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"cosine_sim() takes 2 arguments, got ${other.length}")
     }
+    f("cms_estimate") {
+      case Seq(sk, it) => CmsEstimate(Cast(sk, BinaryType), Cast(it, LongType))
+      case other       => throw new IllegalArgumentException(
+        s"cms_estimate() takes 2 arguments, got ${other.length}")
+    }
     f("minhash_sig") {
       case Seq(a, n)    => MinHashSig(larr(a), intLit(n, "numHashes"), DefaultSeed)
       case Seq(a, n, s) => MinHashSig(larr(a), intLit(n, "numHashes"), longLit(s, "seed"))

@@ -229,3 +229,33 @@ case class UnicodeNormalize(child: Expression, form: String)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Point query against a serialized `count_min_sketch` aggregate result:
+  * `cms_estimate(sketch BINARY, item BIGINT) -> BIGINT`.
+  *
+  * Completes the sketch family (HLL++ distinct counts, approximate
+  * quantiles, now frequency estimation): build one CMS over the corpus
+  * with the built-in merge-order-invariant aggregate — counter addition
+  * commutes exactly, so results are deterministic under any partitioning
+  * — then probe it in-plan via this expression. CMS guarantees
+  * est >= true always and est <= true + eps·N with the aggregate's eps,
+  * which ap03 turns into a strict-oracled gate.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def nullSafeEval(sk: Any, item: Any): Any =
+    Kernels.cmsEstimate(sk.asInstanceOf[Array[Byte]],
+      item.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sk, item) =>
+      s"graft.functions.Kernels.cmsEstimate($sk, $item)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

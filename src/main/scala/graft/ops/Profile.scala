@@ -54,6 +54,22 @@ object Profile {
     * @return (groupCol, n_ref BIGINT, n_cur BIGINT, psi DOUBLE
     *         rounded to 6 places)
     */
+  /** Per-dimension embedding statistics — the QA card run before ANN
+    * index builds (a dead dimension, a scale blow-up, or NaN poisoning
+    * shows up here first). One posexplode + one keyed aggregation with
+    * map-side combine; output is dims rows, independent of corpus size.
+    * round(,6) absorbs merge-order float noise (the g05 discipline).
+    */
+  def embeddingStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__p", "__x")))
+      .groupBy((col("__p") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("__x")), 6).as("mean"),
+        round(stddev_samp(col("__x")), 6).as("std"),
+        round(min(col("__x")), 6).as("mn"),
+        round(max(col("__x")), 6).as("mx"))
+      .orderBy(col("dim"))
+
   def psi(df: DataFrame, groupCol: String, valueCol: String, refCol: String,
           bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins > 0, "bins must be positive")

@@ -194,4 +194,21 @@ class FunctionsSpec extends GraftSuite {
       .select(graft.ops.TextAnalysis.minRollingFingerprint(col("t"), 8)).collect()(0)
     assert(!short.isNullAt(0)) // shorter-than-window documents hash wholesale
   }
+
+  test("cms_estimate: never underestimates, overestimate within eps*N") {
+    graft.functions.Registry.registerAll(spark)
+    // 50 keys, counts 1..5 -> total 150; eps=0.2 gives width 10 << 50
+    // keys, so collisions are real and the min-across-depth must save us
+    (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong)).toDF("k")
+      .createOrReplaceTempView("cms_in")
+    val r = spark.sql(
+      """WITH sk AS (SELECT count_min_sketch(k, CAST(0.2 AS DOUBLE),
+                            CAST(0.9 AS DOUBLE), 7) AS s FROM cms_in),
+              t AS (SELECT k, count(*) AS n FROM cms_in GROUP BY k)
+         SELECT min(CAST(cms_estimate(s, k) >= n AS INT)) AS lo,
+                max(cms_estimate(s, k) - n) AS maxover
+         FROM t CROSS JOIN sk""").collect()(0)
+    assert(r.getInt(0) == 1, "CMS underestimated a key")
+    assert(r.getLong(1) <= 30L, s"overestimate ${r.getLong(1)} > eps*N = 30")
+  }
 }

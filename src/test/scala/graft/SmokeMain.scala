@@ -163,6 +163,10 @@ object SmokeMain {
       val sl = SparkEntry.queries("st10_stream_sliding")(spark, sf)
       println(s"sliding windows rows=${sl.count()}")
       SparkEntry.queries("io09_zorder_layout")(spark, sf).show(1, truncate = false)
+      SparkEntry.queries("pr05_embedding_stats")(spark, sf).show(2, truncate = false)
+      val fq = SparkEntry.queries("ap03_freq_sketch")(spark, sf)
+      val bad = fq.filter("NOT lower_ok OR NOT upper_ok").count()
+      println(s"cms keys=${fq.count()} gate-violations=$bad")
     }
 
     spark.stop()
