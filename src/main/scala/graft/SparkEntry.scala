@@ -4175,6 +4175,45 @@ object SparkEntry {
          FROM events
          WHERE json_extract_string(props, '$.k') IS NOT NULL
          GROUP BY 1 ORDER BY k""")
+
+    ,
+
+    // grouping() marker functions over explicit GROUPING SETS — how
+    // consumers of r01/g02-style multi-level rollups tell an aggregated
+    // NULL from a data NULL. Same text in both engines.
+    "g10_grouping_fn" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus), ())
+         ORDER BY g_rf, g_ls,
+                  l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""),
+
+    // try_cast error-tolerant conversions — the ANSI-mode-safe ingestion
+    // path for dirty columns (Spark 4 runs ANSI by default, so a plain
+    // CAST on one malformed row kills the whole job). Only the string
+    // type name differs between engines (STRING vs VARCHAR).
+    "q30_try_cast" -> diff("documents",
+      """SELECT doc_id,
+                try_cast(CASE WHEN doc_id % 3 = 0
+                              THEN 'x' || CAST(doc_id AS STRING)
+                              ELSE CAST(doc_id AS STRING) END AS BIGINT) AS ti,
+                try_cast(CASE WHEN doc_id % 2 = 0
+                              THEN CAST(doc_id AS STRING) || '.5'
+                              ELSE 'nope' END AS DOUBLE) AS td
+         FROM documents ORDER BY doc_id""",
+      """SELECT doc_id,
+                try_cast(CASE WHEN doc_id % 3 = 0
+                              THEN 'x' || CAST(doc_id AS VARCHAR)
+                              ELSE CAST(doc_id AS VARCHAR) END AS BIGINT) AS ti,
+                try_cast(CASE WHEN doc_id % 2 = 0
+                              THEN CAST(doc_id AS VARCHAR) || '.5'
+                              ELSE 'nope' END AS DOUBLE) AS td
+         FROM documents ORDER BY doc_id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

@@ -167,6 +167,8 @@ object SmokeMain {
       val fq = SparkEntry.queries("ap03_freq_sketch")(spark, sf)
       val bad = fq.filter("NOT lower_ok OR NOT upper_ok").count()
       println(s"cms keys=${fq.count()} gate-violations=$bad")
+      println(s"grouping-sets rows=${SparkEntry.queries("g10_grouping_fn")(spark, sf).count()}")
+      SparkEntry.queries("q30_try_cast")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
