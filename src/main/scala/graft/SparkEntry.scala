@@ -4214,6 +4214,60 @@ object SparkEntry {
                               THEN CAST(doc_id AS VARCHAR) || '.5'
                               ELSE 'nope' END AS DOUBLE) AS td
          FROM documents ORDER BY doc_id""")
+
+    ,
+
+    // VAD-shaped audio activity segmentation: WAV payloads (m06's
+    // construction) framed at 64 samples, integer Σv² energy per frame,
+    // active iff ≥ 628000 (the measured median frame energy, so the
+    // threshold genuinely splits frames), consecutive active frames
+    // merged into segments. All-integer decisions — the oracle
+    // re-derives every byte, frame energy, and island boundary exactly.
+    "m08_audio_segments" -> api(
+      (s, dir) => {
+        val m = graft.ops.Multimodal
+        m.audioSegments(
+            m.withWavPayload(
+              s.read.parquet(s"$dir/documents.parquet")
+                .withColumn("text", coalesce(col("text"), lit(""))),
+              "doc_id", "text"),
+            "doc_id", "payload", frame = 64, energyThreshold = 628000L)
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                           octet_length(encode(coalesce(text, ''))) AS len
+                    FROM documents),
+         sm AS (SELECT doc_id, u.i,
+                       CAST('0x' || substr(hx, 2 * u.i + 1, 2) AS INTEGER) AS v
+                FROM d, unnest(generate_series(0, len - 1)) AS u(i)
+                WHERE len > 0),
+         fr AS (SELECT doc_id, i // 64 AS f, sum(v * v) AS e
+                FROM sm GROUP BY 1, 2 HAVING count(*) = 64),
+         ac AS (SELECT doc_id, f,
+                       CASE WHEN e >= 628000 THEN 1 ELSE 0 END AS a
+                FROM fr),
+         st AS (SELECT doc_id, f, a,
+                       CASE WHEN a = 1 AND coalesce(lag(a) OVER
+                              (PARTITION BY doc_id ORDER BY f), 0) = 0
+                            THEN 1 ELSE 0 END AS s
+                FROM ac),
+         gid AS (SELECT doc_id, f, a,
+                        sum(s) OVER (PARTITION BY doc_id ORDER BY f
+                                     ROWS UNBOUNDED PRECEDING) AS g
+                 FROM st),
+         runs AS (SELECT doc_id, g, count(*) AS rl
+                  FROM gid WHERE a = 1 GROUP BY doc_id, g),
+         agg AS (SELECT doc_id, count(*) AS n_frames, sum(a) AS n_active
+                 FROM ac GROUP BY 1),
+         seg AS (SELECT doc_id, count(*) AS n_segments, max(rl) AS longest
+                 FROM runs GROUP BY 1)
+         SELECT d.doc_id,
+                CAST(coalesce(agg.n_frames, 0) AS BIGINT) AS n_frames,
+                CAST(coalesce(agg.n_active, 0) AS BIGINT) AS n_active,
+                CAST(coalesce(seg.n_segments, 0) AS BIGINT) AS n_segments,
+                CAST(coalesce(seg.longest, 0) AS BIGINT) AS longest_run
+         FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN seg USING (doc_id)
+         ORDER BY d.doc_id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

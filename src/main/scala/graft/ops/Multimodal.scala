@@ -386,6 +386,47 @@ object Multimodal {
       .toDF(idCol, "sample_rate", "n_samples", "mean_amp", "rms", "peak_ratio")
   }
 
+  /** Energy-based activity segmentation over a WAV binary column — the
+    * VAD-shaped pass that turns raw audio into utterance spans before
+    * transcription. Full frames of `frame` samples score integer energy
+    * Σv² (exact — no float in the decision), a frame is active iff
+    * energy ≥ `energyThreshold`, and consecutive active frames merge
+    * into segments. Output per id: n_frames, n_active, n_segments,
+    * longest_run (frames). Map-only like every codec pass: payloads
+    * never leave their partition, segmentation state is a few longs.
+    */
+  def audioSegments(df: DataFrame, idCol: String, binCol: String,
+                    frame: Int, energyThreshold: Long): DataFrame = {
+    require(frame > 0, "frame must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        Codec.wavSamples(bytes) match {
+          case Some((_, _, samples)) =>
+            val nf = samples.length / frame
+            var f = 0
+            var nActive = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+            while (f < nf) {
+              var e = 0L
+              var i = f * frame
+              val end = i + frame
+              while (i < end) { val v = samples(i).toLong; e += v * v; i += 1 }
+              if (e >= energyThreshold) {
+                nActive += 1L; run += 1L
+                if (run == 1L) nSeg += 1L
+                if (run > longest) longest = run
+              } else run = 0L
+              f += 1
+            }
+            (id, nf.toLong, nActive, nSeg, longest)
+          case None => (id, 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF(idCol, "n_frames", "n_active", "n_segments", "longest_run")
+  }
+
   /** Partition-wise audio frame sampling (keep every Nth frame). */
   def frameSampleAudio(df: DataFrame, idCol: String, binCol: String,
                        everyN: Int): DataFrame = {

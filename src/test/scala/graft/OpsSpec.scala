@@ -170,6 +170,18 @@ class OpsSpec extends GraftSuite {
     assert(out.count() == docs.count())
   }
 
+  test("audioSegments finds energy islands with exact integer boundaries") {
+    // frame=4 over 'z'(122)*4 | ' '(32)*4 | 'z'*8: energies 59536, 4096,
+    // 59536, 59536 -> active 1,0,1,1 at threshold 10000 -> 2 segments,
+    // longest run 2; trailing partial frames are dropped
+    val df = Seq((7L, "zzzz    zzzzzzzz" + "zz")).toDF("id", "t")
+    val wav = Multimodal.withWavPayload(df, "id", "t")
+    val r = Multimodal.audioSegments(wav, "id", "payload",
+      frame = 4, energyThreshold = 10000L).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 3L, 2L, 2L)))
+  }
+
   test("zorder2 interleaves bits exactly and rangeBucket clamps") {
     def ref(a: Long, b: Long): Long =
       (0 until 16).foldLeft(0L) { (z, i) =>

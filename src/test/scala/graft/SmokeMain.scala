@@ -169,6 +169,7 @@ object SmokeMain {
       println(s"cms keys=${fq.count()} gate-violations=$bad")
       println(s"grouping-sets rows=${SparkEntry.queries("g10_grouping_fn")(spark, sf).count()}")
       SparkEntry.queries("q30_try_cast")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("m08_audio_segments")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
