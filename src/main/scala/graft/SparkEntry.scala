@@ -4268,6 +4268,104 @@ object SparkEntry {
                 CAST(coalesce(seg.longest, 0) AS BIGINT) AS longest_run
          FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN seg USING (doc_id)
          ORDER BY d.doc_id""")
+
+    ,
+
+    // Dirty-CSV round-trip fidelity: every row gets embedded delimiters,
+    // quotes, AND newlines injected, then travels Spark write -> read
+    // (quoted, escape-aware, multiLine). The aggregate fingerprint
+    // (row count + char volume + md5-derived checksum) must equal the
+    // oracle's, computed from the ORIGINAL table — any mis-split row,
+    // dropped quote, or swallowed newline changes it. The row count
+    // alone catches the classic failure (newline-in-field splitting
+    // records).
+    "io10_csv_dirty" -> api(
+      (s, dir) => {
+        val tmp = scratchDir(s"io10_dirty_${new java.io.File(dir).getName}")
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            concat(lit("a,b \""),
+              substring(coalesce(col("text"), lit("")), 1, 40),
+              lit("\"\nl2;"), col("source")).as("dirty"))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true").option("multiLine", "true")
+          .schema("doc_id LONG, dirty STRING")
+          .csv(tmp)
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("dirty"))).cast("long").as("total_chars"),
+            sum(conv(substring(md5(col("dirty")), 1, 8), 16, 10)
+              .cast("long")).as("checksum"))
+      },
+      """WITH d AS (SELECT 'a,b "' || substr(coalesce(text, ''), 1, 40) ||
+                           '"' || chr(10) || 'l2;' || source AS dirty
+                    FROM documents)
+         SELECT count(*) AS n,
+                CAST(sum(length(dirty)) AS BIGINT) AS total_chars,
+                CAST(sum(CAST('0x' || substr(md5(dirty), 1, 8) AS BIGINT))
+                     AS BIGINT) AS checksum
+         FROM d""")
+
+    ,
+
+    // MAP-type surface: build "k:v,k:v" strings from the row, parse with
+    // str_to_map, explode to (key, value) rows. DuckDB's MAP is a
+    // different animal, so the oracle derives the same rows relationally
+    // (one UNION ALL branch per key) — which is exactly what proves the
+    // map parse+explode did not reorder, drop, or mangle entries.
+    "q31_map_fns" -> api(
+      (s, dir) => {
+        val kv = concat(lit("lang:"), col("lang"),
+          lit(",src:"), col("source"),
+          lit(",len:"), col("n_chars").cast("string"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), kv.as("__kv"))
+          .select(col("doc_id"),
+            explode(expr("str_to_map(__kv, ',', ':')")).as(Seq("key", "value")))
+          .orderBy(col("doc_id"), col("key"))
+      },
+      """SELECT doc_id, key, value FROM (
+           SELECT doc_id, 'lang' AS key, lang AS value FROM documents
+           UNION ALL
+           SELECT doc_id, 'src', source FROM documents
+           UNION ALL
+           SELECT doc_id, 'len', CAST(n_chars AS VARCHAR) FROM documents)
+         ORDER BY doc_id, key""")
+
+    ,
+
+    // Winsorization: clip a metric at its exact per-group 1st/99th
+    // percentiles — the standard outlier guard before training-weight
+    // computation. Exact percentiles ride one sort-based aggregation;
+    // the clip itself is a broadcast of 5 tiny rows back onto the
+    // stream. round(,6) absorbs merge-order float noise.
+    "pr06_winsorize" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .select(col("event_type"), col("value"))
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.01)").as("lo"),
+            expr("percentile(value, 0.99)").as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("cv"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("cv")), 6).as("clipped_sum"),
+            round(min(col("cv")), 6).as("clip_lo"),
+            round(max(col("cv")), 6).as("clip_hi"))
+          .orderBy(col("event_type"))
+      },
+      """WITH b AS (SELECT event_type,
+                  percentile_cont(0.01) WITHIN GROUP (ORDER BY value) AS lo,
+                  percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS hi
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n,
+                round(sum(least(greatest(e.value, b.lo), b.hi)), 6)
+                  AS clipped_sum,
+                round(min(least(greatest(e.value, b.lo), b.hi)), 6) AS clip_lo,
+                round(max(least(greatest(e.value, b.lo), b.hi)), 6) AS clip_hi
+         FROM events e JOIN b USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

@@ -170,6 +170,9 @@ object SmokeMain {
       println(s"grouping-sets rows=${SparkEntry.queries("g10_grouping_fn")(spark, sf).count()}")
       SparkEntry.queries("q30_try_cast")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("m08_audio_segments")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("io10_csv_dirty")(spark, sf).show(1, truncate = false)
+      println(s"map rows=${SparkEntry.queries("q31_map_fns")(spark, sf).count()}")
+      SparkEntry.queries("pr06_winsorize")(spark, sf).show(5, truncate = false)
     }
 
     spark.stop()
