@@ -4366,6 +4366,76 @@ object SparkEntry {
                 round(max(least(greatest(e.value, b.lo), b.hi)), 6) AS clip_hi
          FROM events e JOIN b USING (event_type)
          GROUP BY e.event_type ORDER BY e.event_type""")
+
+    ,
+
+    // IGNORE NULLS value windows — gap-fill's window-function cousin
+    // (carry the last known value across nulls). The engines place the
+    // modifier differently (Spark: after the call; DuckDB: inside the
+    // argument list), hence the diff oracle.
+    "w08_ignore_nulls" -> diff("orders",
+      """SELECT o_orderkey,
+                first_value(CASE WHEN o_orderstatus = 'O' THEN NULL
+                                 ELSE o_orderpriority END) IGNORE NULLS
+                  OVER w AS fv,
+                last_value(CASE WHEN o_orderstatus = 'O' THEN NULL
+                                ELSE o_orderpriority END) IGNORE NULLS
+                  OVER w AS lv
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+      """SELECT o_orderkey,
+                first_value(CASE WHEN o_orderstatus = 'O' THEN NULL
+                                 ELSE o_orderpriority END IGNORE NULLS)
+                  OVER w AS fv,
+                last_value(CASE WHEN o_orderstatus = 'O' THEN NULL
+                                ELSE o_orderpriority END IGNORE NULLS)
+                  OVER w AS lv
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey"""),
+
+    // Bitwise aggregates — flag-mask accumulation (feature presence
+    // masks, permission bits). Same text in both engines.
+    "g11_bit_agg" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag,
+                CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+                CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+                CAST(bit_xor(l_linenumber) AS BIGINT) AS bx
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Array set algebra over token arrays — distinct-normalized inputs,
+    // sorted + joined outputs (the driver comparator is scalar-only).
+    // DuckDB spells union/except via list_distinct/list_filter, so the
+    // oracle is a re-derivation.
+    "q32_array_setops" -> api(
+      (s, dir) => {
+        val toks = split(coalesce(col("text"), lit("")), " ")
+        val a = array_distinct(slice(toks, 1, 6))
+        val b = array_distinct(slice(toks, 4, 6))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            array_join(sort_array(array_intersect(a, b)), ",").as("i"),
+            array_join(sort_array(array_union(a, b)), ",").as("u"),
+            array_join(sort_array(array_except(a, b)), ",").as("x"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id,
+                  list_distinct(string_split(coalesce(text, ''), ' ')[1:6]) AS a,
+                  list_distinct(string_split(coalesce(text, ''), ' ')[4:9]) AS b
+           FROM documents)
+         -- DuckDB's array_to_string(list_sort([])) is NULL where Spark's
+         -- array_join('') is '' — coalesce the empty-set case
+         SELECT doc_id,
+                coalesce(array_to_string(list_sort(list_intersect(a, b)), ','),
+                         '') AS i,
+                coalesce(array_to_string(list_sort(list_distinct(a || b)), ','),
+                         '') AS u,
+                coalesce(array_to_string(list_sort(
+                  list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS x
+         FROM t ORDER BY doc_id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

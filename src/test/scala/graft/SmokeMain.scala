@@ -173,6 +173,9 @@ object SmokeMain {
       SparkEntry.queries("io10_csv_dirty")(spark, sf).show(1, truncate = false)
       println(s"map rows=${SparkEntry.queries("q31_map_fns")(spark, sf).count()}")
       SparkEntry.queries("pr06_winsorize")(spark, sf).show(5, truncate = false)
+      println(s"ignore-nulls rows=${SparkEntry.queries("w08_ignore_nulls")(spark, sf).count()}")
+      SparkEntry.queries("g11_bit_agg")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("q32_array_setops")(spark, sf).show(2, truncate = false)
     }
 
     spark.stop()
