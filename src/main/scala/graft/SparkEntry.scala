@@ -4436,6 +4436,95 @@ object SparkEntry {
                 coalesce(array_to_string(list_sort(
                   list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS x
          FROM t ORDER BY doc_id""")
+
+    ,
+
+    // Composed pipeline v4 over the wave-3 operators: crawl-shaped URL →
+    // canonical registrable domain (t12's regex chain) → length quality
+    // gate → per-domain quota (sp02's window) → length-bucketed
+    // inference batches (p10's capacity cut) → per-batch rollup. One
+    // oracle chains the identical stages, so the green hash proves the
+    // wave-3 operators COMPOSE — domains fan in from four URL shapes to
+    // three registrable domains, exercising the quota against real
+    // contention.
+    "p11_pipeline_v4" -> api(
+      (s, dir) => {
+        val T = graft.ops.TextOps
+        val id = col("doc_id")
+        val url = when(id % 4 === 0,
+            concat(lit("HTTP://WWW."), upper(col("source")),
+              lit(".Example.COM:80/Docs/"), id,
+              lit("/?utm_source=feed&utm_campaign=x")))
+          .when(id % 4 === 1,
+            concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+              id, lit("?id="), id, lit("&fbclid=abc#sec2")))
+          .when(id % 4 === 2,
+            concat(lit("https://cdn.Example.co.UK:443/assets/"), id, lit("/")))
+          .otherwise(
+            concat(lit("http://"), col("source"),
+              lit(".example.net/p?a=1&utm_medium=m&b="), id))
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("domain", T.registrableDomain(url))
+          .filter(col("n_chars") >= 200)
+        val quota = graft.ops.Sampling.perGroupQuota(docs, "domain",
+          "n_chars", "doc_id", quota = 60)
+        graft.ops.Packing.lengthBatches(quota, "doc_id", "domain",
+            graft.ops.TextAnalysis.tokenCount(coalesce(col("text"), lit(""))),
+            widthTokens = 64, maxBatchTokens = 2048)
+          .groupBy(col("domain"), col("bucket_len"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tok_sum"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("domain"), col("bucket_len"), col("batch_id"))
+      },
+      """WITH r AS (SELECT doc_id, source, n_chars, text,
+             CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.' || upper(source) ||
+                    '.Example.COM:80/Docs/' || doc_id ||
+                    '/?utm_source=feed&utm_campaign=x'
+                  WHEN doc_id % 4 = 1 THEN 'https://' || source ||
+                    '.example.com/docs/' || doc_id || '?id=' || doc_id ||
+                    '&fbclid=abc#sec2'
+                  WHEN doc_id % 4 = 2 THEN 'https://cdn.Example.co.UK:443/assets/'
+                    || doc_id || '/'
+                  ELSE 'http://' || source ||
+                    '.example.net/p?a=1&utm_medium=m&b=' || doc_id
+             END AS u
+           FROM documents),
+         h AS (SELECT *, lower(regexp_extract(u, '://([^/:?#]+)', 1)) AS host
+               FROM r),
+         dm AS (SELECT doc_id, n_chars, text,
+                CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                     WHEN string_split(host, '.')[-2] IN
+                          ('co', 'com', 'net', 'org', 'ac', 'gov', 'edu')
+                       THEN string_split(host, '.')[-3] || '.' ||
+                            string_split(host, '.')[-2] || '.' ||
+                            string_split(host, '.')[-1]
+                     ELSE string_split(host, '.')[-2] || '.' ||
+                          string_split(host, '.')[-1]
+                END AS domain
+               FROM h WHERE n_chars >= 200),
+         q AS (SELECT domain, doc_id, text FROM (
+                 SELECT *, row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars, doc_id) AS rn
+                 FROM dm) t WHERE rn <= 60),
+         tok AS (SELECT domain, doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\w+'))
+                        AS BIGINT) AS n_tokens
+                 FROM q),
+         b AS (SELECT domain, doc_id, n_tokens,
+                 greatest((n_tokens + 63) // 64, 1) * 64 AS bucket_len
+               FROM tok),
+         rr AS (SELECT *, row_number() OVER (PARTITION BY domain, bucket_len
+                           ORDER BY doc_id) AS rn2
+                FROM b),
+         lb AS (SELECT domain, doc_id, n_tokens, bucket_len,
+                  CAST((rn2 - 1) // greatest(2048 // bucket_len, 1) AS BIGINT)
+                    AS batch_id
+                FROM rr)
+         SELECT domain, bucket_len, batch_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+                min(doc_id) AS first_doc
+         FROM lb GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

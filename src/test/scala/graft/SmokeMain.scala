@@ -176,6 +176,7 @@ object SmokeMain {
       println(s"ignore-nulls rows=${SparkEntry.queries("w08_ignore_nulls")(spark, sf).count()}")
       SparkEntry.queries("g11_bit_agg")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("q32_array_setops")(spark, sf).show(2, truncate = false)
+      SparkEntry.queries("p11_pipeline_v4")(spark, sf).show(4, truncate = false)
     }
 
     spark.stop()
