@@ -136,6 +136,33 @@ object Kernels {
       java.text.Normalizer.normalize(s.toString, form))
   }
 
+  /** Exact Jaccard over two SORTED, DISTINCT, null-free string arrays:
+    * one linear merge scan counting the intersection, union derived as
+    * na + nb − inter. Replaces the array_intersect + array_union
+    * formulation in the dedup verify stages — those build a hash set of
+    * UTF8Strings per PAIR, and the verify constant multiplies candidate
+    * volume; the merge scan is allocation-free binary comparisons.
+    * Preconditions are the callers' contract (array_distinct +
+    * sort_array, which orders by the same UTF8String binary comparison
+    * used here). Both-empty input returns NaN, matching 0/0 double
+    * division in the old formulation.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) Double.NaN else inter.toDouble / union
+  }
+
   /** Point query against a serialized Spark `CountMinSketch` (the binary
     * produced by the built-in `count_min_sketch` aggregate). The sketch
     * deserializes per call — callers probe a handful of keys against one

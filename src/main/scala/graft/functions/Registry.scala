@@ -303,6 +303,11 @@ object Registry {
       case other       => throw new IllegalArgumentException(
         s"cms_estimate() takes 2 arguments, got ${other.length}")
     }
+    f("jaccard_sorted") {
+      case Seq(a, b) => JaccardSorted(a, b)
+      case other     => throw new IllegalArgumentException(
+        s"jaccard_sorted() takes 2 arguments, got ${other.length}")
+    }
     f("minhash_sig") {
       case Seq(a, n)    => MinHashSig(larr(a), intLit(n, "numHashes"), DefaultSeed)
       case Seq(a, n, s) => MinHashSig(larr(a), intLit(n, "numHashes"), longLit(s, "seed"))

@@ -259,3 +259,27 @@ case class CmsEstimate(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Exact Jaccard over sorted distinct string arrays —
+  * `jaccard_sorted(a, b) -> DOUBLE` backed by the allocation-free merge
+  * scan in [[Kernels.jaccardSorted]]. The dedup verify stages call this
+  * per candidate pair; see the kernel's scaladoc for the preconditions
+  * (sorted ascending by binary UTF8 order, distinct, no null elements).
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -109,3 +109,28 @@ object BpeProps extends Properties("Bpe") {
         vocab.tokenizeWord(w).length.toLong
     }
 }
+
+object JaccardSortedProps extends Properties("JaccardSorted") {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.Kernels
+
+  private val token = Gen.oneOf("a", "b", "ab", "abc", "x", "yz", "q",
+    "token longer", "z", "", "0", "ß")
+
+  private def arr(xs: Seq[String]) = {
+    val u = xs.distinct.map(UTF8String.fromString)
+      .sortWith(_.compareTo(_) < 0).toArray[Any]
+    new GenericArrayData(u)
+  }
+
+  property("matches naive set jaccard on sorted distinct arrays") =
+    forAll(Gen.listOf(token), Gen.listOf(token)) { (xs, ys) =>
+      val got = Kernels.jaccardSorted(arr(xs), arr(ys))
+      val (sa, sb) = (xs.toSet, ys.toSet)
+      val union = (sa ++ sb).size
+      if (union == 0) got.isNaN
+      else got == (sa & sb).size.toDouble / union
+    }
+}
