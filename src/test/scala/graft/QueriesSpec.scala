@@ -29,4 +29,11 @@ class QueriesSpec extends GraftSuite {
       else assert(n >= 0)
     }
   }
+
+  test("ap03 CMS error-contract gates hold at sf0.001 too") {
+    // the driver verifies gates at sf0.01; this guards the other SF the
+    // tests can reach (sf0.1 checked in the bench protocol)
+    val df = SparkEntry.queries("ap03_freq_sketch")(spark, dir)
+    assert(df.filter("NOT lower_ok OR NOT upper_ok").count() == 0L)
+  }
 }
