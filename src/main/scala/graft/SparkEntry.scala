@@ -1653,6 +1653,36 @@ object SparkEntry {
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          ORDER BY d.doc_id"""),
 
+    // d10's PRODUCTION tier under the same strict oracle: grams join as
+    // xxhash64 longs (8-byte broadcast + probe instead of gram strings).
+    // Flags are equivalent to the string tier modulo 64-bit collisions —
+    // zero on this corpus — so the STRING-gram SQL is a legitimate
+    // strict oracle for the hashed path, which turns the spec-level
+    // "hash ≡ string" equivalence claim into a driver-checked one.
+    "d14_decontaminate_hashed" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Dedup.contaminationFlags(
+            docs, "doc_id", "text",
+            docs.filter(col("doc_id").between(450, 459)), "text", n = 8,
+            hashGrams = true)
+          .orderBy(col("doc_id"))
+      },
+      s"""${gramSets(8)},
+         evg AS (
+           SELECT DISTINCT unnest(shset) AS g FROM sh
+           WHERE doc_id BETWEEN 450 AND 459),
+         dg AS (SELECT doc_id, unnest(shset) AS g FROM sh),
+         hits AS (
+           SELECT dg.doc_id, count(*) AS n
+           FROM dg JOIN evg USING (g) GROUP BY dg.doc_id)
+         SELECT d.doc_id,
+                coalesce(h.n, 0) AS n_contaminated,
+                h.n IS NOT NULL AS flagged
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         ORDER BY d.doc_id"""),
+
     // per-source DATA CARD — the datasheet a training corpus ships with:
     // volume (docs/chars/regex tokens), language spread (distinct langs,
     // English share), length distribution (exact interpolated median)

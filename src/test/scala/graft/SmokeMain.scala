@@ -177,6 +177,9 @@ object SmokeMain {
       SparkEntry.queries("g11_bit_agg")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("q32_array_setops")(spark, sf).show(2, truncate = false)
       SparkEntry.queries("p11_pipeline_v4")(spark, sf).show(4, truncate = false)
+      val dh = SparkEntry.queries("d14_decontaminate_hashed")(spark, sf)
+      println(s"hashed decontamination rows=${dh.count()} " +
+        s"flagged=${dh.filter("flagged").count()}")
     }
 
     spark.stop()
