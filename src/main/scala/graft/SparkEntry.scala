@@ -149,7 +149,10 @@ object SparkEntry {
     * bit-identical search result, which for s12 doubles as the proof that
     * append-against-fixed-quantizers equals a from-scratch build.
     */
-  private val ivfpqOracle: String =
+  /** The shared CTE prefix of [[ivfpqOracle]] and the rerank oracle —
+    * everything up to the ADC ranking `r`.
+    */
+  private val ivfpqCtes: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          sub AS (SELECT vec_id, u.s AS s, emb[u.s*16+1 : u.s*16+16] AS sv
                  FROM e, unnest([0, 1, 2, 3]) AS u(s)),
@@ -193,9 +196,33 @@ object SparkEntry {
          r AS (SELECT probe_id, vec_id, adist_fp,
                       CAST(row_number() OVER (PARTITION BY probe_id
                                               ORDER BY adist_fp, vec_id) AS BIGINT) AS rank
-               FROM sc)
+               FROM sc)"""
+
+  private val ivfpqOracle: String =
+    s"""$ivfpqCtes
          SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
          FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""
+
+  /** Retrieve-then-rerank oracle: the IVF×PQ ADC shortlist (rank ≤ 10)
+    * re-scored by TRUE cosine on the original vectors, top-5 kept —
+    * shares every CTE with [[ivfpqOracle]], so a green hash proves the
+    * shortlist AND the exact refine agree across engines.
+    */
+  private val rerankOracle: String =
+    s"""$ivfpqCtes,
+         rr AS (SELECT probe_id, vec_id FROM r WHERE rank <= 10),
+         ex AS (SELECT rr.probe_id, rr.vec_id,
+                       list_cosine_similarity(p.emb, c.emb) AS sim
+                FROM rr
+                JOIN e p ON p.vec_id = rr.probe_id
+                JOIN e c ON c.vec_id = rr.vec_id)
+         SELECT probe_id, rank, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+                  CAST(row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY sim DESC, vec_id) AS BIGINT)
+                    AS rank
+           FROM ex) t
+         WHERE rank <= 5 ORDER BY probe_id, rank"""
 
   private val exactTopKOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
@@ -4297,7 +4324,35 @@ object SparkEntry {
                 CAST(coalesce(seg.n_segments, 0) AS BIGINT) AS n_segments,
                 CAST(coalesce(seg.longest, 0) AS BIGINT) AS longest_run
          FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN seg USING (doc_id)
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id"""),
+
+    // Retrieve-then-rerank — the production two-stage search: the IVF×PQ
+    // ADC shortlist (cheap, quantized) refined by TRUE cosine on the
+    // original vectors, bounded-heap ranked (never a rank window). The
+    // oracle shares every CTE with s09/s11/s12 and re-scores the same
+    // shortlist exactly, so the green hash proves shortlist AND refine.
+    "s13_ann_rerank" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val P = graft.ops.Pq
+        val cb = P.seededCodebook(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16)
+        val codes = P.encode(emb, cb, "vec_id", "embedding", dim = 64, m = 4)
+        val coarse = P.seededCoarseCentroids(emb, "vec_id", "embedding",
+          nlist = 8)
+        val cells = P.nearestCells(emb, coarse, "vec_id", "embedding",
+          take = 1)
+        val probes = emb.filter(col("vec_id") < 5)
+        val shortlist = P.ivfpqTopK(codes, cb, cells, coarse, probes,
+          "vec_id", "embedding", dim = 64, m = 4, nprobe = 2, k = 10)
+        graft.ops.Similarity.rerankExact(shortlist, emb, probes,
+            "vec_id", "embedding", k = 5)
+          .select(col("probe_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("sim"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      rerankOracle)
 
     ,
 

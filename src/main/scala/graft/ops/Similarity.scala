@@ -69,6 +69,32 @@ object Similarity {
         .agg(call_function("topk_by", col("sim"), col("cand_id"), lit(k)).as("top")))
   }
 
+  /** Exact rerank of an ANN candidate list — the refine stage of the
+    * production retrieve-then-rerank pattern (IVF×PQ ADC shortlists k′
+    * candidates cheaply; the final top-k is decided by TRUE cosine on
+    * the original vectors, fixing ADC's quantization error). Cost: one
+    * equi-join of the shortlist (|probes| × k′ rows) against the corpus
+    * — at 1e11 rows the shortlist is the tiny side and broadcasts; the
+    * probes side is bounded by construction. Ranking reuses the
+    * bounded-heap `topk_by` (never a rank window).
+    *
+    * @param candidates (probe_id, vec_id) shortlist, e.g.
+    *                   [[graft.ops.Pq.ivfpqTopK]] output
+    */
+  def rerankExact(candidates: DataFrame, emb: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val scored = candidates.select(col("probe_id"), col("vec_id").as("cand_id"))
+      .join(e, "cand_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("cand_id"),
+        cosine(col("probe_vec"), col("cand_vec")).as("sim"))
+    explodeTopK(
+      scored.groupBy("probe_id")
+        .agg(call_function("topk_by", col("sim"), col("cand_id"), lit(k)).as("top")))
+  }
+
   private def explodeTopK(grouped: DataFrame): DataFrame =
     grouped
       .select(col("probe_id"), posexplode(col("top")).as(Seq("rank0", "hit")))

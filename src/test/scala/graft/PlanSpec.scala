@@ -356,6 +356,12 @@ class PlanSpec extends GraftSuite {
       s"rectangle predicates not pushed to the z-ordered scan:\n$pushed")
   }
 
+  test("s13 rerank: shortlist ranked by the bounded heap, never a rank window") {
+    val p = planOf("s13_ann_rerank")
+    assert(!p.contains("Window"), s"rank window in s13 plan:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s13 plan:\n${p.take(900)}")
+  }
+
   test("p10 length batching: the only exchanges are the (shard, bucket) window and output sort") {
     val p = planOf("p10_length_batches")
     assert(!p.contains("Join"), s"no join belongs in p10:\n$p")

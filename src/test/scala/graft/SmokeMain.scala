@@ -180,6 +180,8 @@ object SmokeMain {
       val dh = SparkEntry.queries("d14_decontaminate_hashed")(spark, sf)
       println(s"hashed decontamination rows=${dh.count()} " +
         s"flagged=${dh.filter("flagged").count()}")
+      val rr = SparkEntry.queries("s13_ann_rerank")(spark, sf)
+      println(s"rerank rows=${rr.count()} (5 probes x top-5 refined)")
     }
 
     spark.stop()
