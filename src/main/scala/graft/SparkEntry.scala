@@ -4356,6 +4356,51 @@ object SparkEntry {
 
     ,
 
+    // Pairwise correlation matrix — the feature-redundancy screen; all
+    // six pairs ride one aggregation pass, unpivoted driver-free.
+    "pr07_corr_matrix" -> api(
+      (s, dir) => graft.ops.Profile.corrMatrix(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b")),
+      """SELECT col_a, col_b, c AS corr FROM (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                  round(corr(l_quantity, l_extendedprice), 6) AS c FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+                  round(corr(l_quantity, l_discount), 6) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_tax',
+                  round(corr(l_quantity, l_tax), 6) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                  round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                  round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_tax',
+                  round(corr(l_discount, l_tax), 6) FROM lineitem) t
+         ORDER BY col_a, col_b"""),
+
+    // Robust outliers per group: median + MAD, flag |v−med| beyond the
+    // 3·1.4826·MAD robust z-score. Both stats round to 6 places BEFORE
+    // the threshold compare so DuckDB's mad()-free re-derivation lands
+    // on identical flags.
+    "pr08_mad_outliers" -> api(
+      (s, dir) => graft.ops.Profile.madOutliers(
+          graft.streaming.Events.readRaw(s, dir), "event_type", "value",
+          k = 3.0)
+        .orderBy(col("event_type")),
+      """WITH m AS (SELECT event_type, round(median(value), 6) AS med
+                    FROM events GROUP BY 1),
+         md AS (SELECT e.event_type,
+                       round(median(abs(e.value - m.med)), 6) AS mad
+                FROM events e JOIN m USING (event_type) GROUP BY 1)
+         SELECT e.event_type, count(*) AS n, m.med AS median, md.mad AS mad,
+                CAST(sum(CASE WHEN abs(e.value - m.med) >
+                       3 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_outliers
+         FROM events e JOIN m USING (event_type) JOIN md USING (event_type)
+         GROUP BY e.event_type, m.med, md.mad ORDER BY e.event_type""")
+
+    ,
+
     // Dirty-CSV round-trip fidelity: every row gets embedded delimiters,
     // quotes, AND newlines injected, then travels Spark write -> read
     // (quoted, escape-aware, multiLine). The aggregate fingerprint

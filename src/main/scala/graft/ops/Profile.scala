@@ -31,6 +31,72 @@ object Profile {
       .select(col("p.column"), col("p.n"), col("p.n_null"), col("p.n_distinct"))
   }
 
+  /** Per-dimension embedding statistics — the QA card run before ANN
+    * index builds (a dead dimension, a scale blow-up, or NaN poisoning
+    * shows up here first). One posexplode + one keyed aggregation with
+    * map-side combine; output is dims rows, independent of corpus size.
+    * round(,6) absorbs merge-order float noise (the g05 discipline).
+    */
+  def embeddingStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__p", "__x")))
+      .groupBy((col("__p") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("__x")), 6).as("mean"),
+        round(stddev_samp(col("__x")), 6).as("std"),
+        round(min(col("__x")), 6).as("mn"),
+        round(max(col("__x")), 6).as("mx"))
+      .orderBy(col("dim"))
+
+  /** Pairwise Pearson correlation matrix (upper triangle) over numeric
+    * columns — the feature-redundancy screen. All n·(n−1)/2 pairs ride
+    * ONE aggregation pass (corr is a streaming aggregate), then the
+    * single result row unpivots driver-free, same as [[summarize]].
+    * round(,6) absorbs merge-order float noise.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"__c_${a}_$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__c_${a}_$b").as("corr"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+  }
+
+  /** Robust outlier counts per group: median + MAD (median absolute
+    * deviation), flag |v − med| > k·1.4826·MAD (1.4826 scales MAD to σ
+    * under normality — the standard robust z-score). Exact medians ride
+    * sort-based aggregations; the per-group (med, mad) pair broadcasts
+    * back onto the stream, so the data-volume cost is two passes and
+    * zero wide shuffles. Both stats are rounded to 6 places BEFORE the
+    * threshold compare so an external re-derivation lands on identical
+    * flags.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(round(expr(s"percentile(abs($valueCol - med), 0.5)"), 6).as("mad"),
+        first(col("med")).as("med2"))
+      .select(col(groupCol), col("med2").as("med"), col("mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col(valueCol) - col("med")) >
+          lit(k) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Population Stability Index — the standard drift monitor between a
     * reference and a current segment of the same stream (week-over-week
     * feature drift, train/serve skew). Values are histogrammed into
@@ -54,22 +120,6 @@ object Profile {
     * @return (groupCol, n_ref BIGINT, n_cur BIGINT, psi DOUBLE
     *         rounded to 6 places)
     */
-  /** Per-dimension embedding statistics — the QA card run before ANN
-    * index builds (a dead dimension, a scale blow-up, or NaN poisoning
-    * shows up here first). One posexplode + one keyed aggregation with
-    * map-side combine; output is dims rows, independent of corpus size.
-    * round(,6) absorbs merge-order float noise (the g05 discipline).
-    */
-  def embeddingStats(df: DataFrame, vecCol: String): DataFrame =
-    df.select(posexplode(col(vecCol).cast("array<double>"))
-        .as(Seq("__p", "__x")))
-      .groupBy((col("__p") + 1).cast("long").as("dim"))
-      .agg(round(avg(col("__x")), 6).as("mean"),
-        round(stddev_samp(col("__x")), 6).as("std"),
-        round(min(col("__x")), 6).as("mn"),
-        round(max(col("__x")), 6).as("mx"))
-      .orderBy(col("dim"))
-
   def psi(df: DataFrame, groupCol: String, valueCol: String, refCol: String,
           bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins > 0, "bins must be positive")

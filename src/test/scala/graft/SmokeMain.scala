@@ -182,6 +182,8 @@ object SmokeMain {
         s"flagged=${dh.filter("flagged").count()}")
       val rr = SparkEntry.queries("s13_ann_rerank")(spark, sf)
       println(s"rerank rows=${rr.count()} (5 probes x top-5 refined)")
+      SparkEntry.queries("pr07_corr_matrix")(spark, sf).show(6, truncate = false)
+      SparkEntry.queries("pr08_mad_outliers")(spark, sf).show(5, truncate = false)
     }
 
     spark.stop()
