@@ -325,6 +325,21 @@ class PlanSpec extends GraftSuite {
       s"non-equi join in d10 plan:\n$p")
   }
 
+  test("suite-wide: no query plans a CartesianProduct except the exhaustive anchors") {
+    // deliberate all-pairs stages, each documented at its definition:
+    // d07 is the oracled exactness anchor for d05's LSH path; d03/d04's
+    // oracles are exhaustive but their ENGINE plans must stay banded
+    val allowed = Set("d07_embed_pairs_exact")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if allowed(name) => None
+      case (name, fn) =>
+        val p = fn(spark, dir).queryExecution.sparkPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian products in: ${offenders.mkString(", ")}")
+  }
+
   test("d13 semantic dedup: centroids broadcast, argmin map-side combined, prune join equi-keyed") {
     val p = planOf("d13_semantic_dedup")
     // the ONLY nested-loop allowed is the bounded broadcast of the k
