@@ -4401,6 +4401,81 @@ object SparkEntry {
 
     ,
 
+    // CDC with tombstones — the delete verb u01's upsert lacks: deletes
+    // at v1 remove keys, a NEWER insert (v2) resurrects a subset, and a
+    // STALE delete (v-1, older than the base row) must lose version
+    // resolution and leave the base row standing. One windowed fold.
+    "u03_cdc_deletes" -> api(
+      (s, dir) => {
+        val base = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("ver", lit(0L))
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+        val dels = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("ver", lit(1L)).withColumn("deleted", lit(true))
+        val resurrect = orders.filter(col("o_orderkey") % 20 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 3).as("o_totalprice"))
+          .withColumn("ver", lit(2L)).withColumn("deleted", lit(false))
+        val stale = orders.filter(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("ver", lit(-1L)).withColumn("deleted", lit(true))
+        graft.ops.Cdc.upsertWithDeletes(base,
+            dels.unionByName(resurrect).unionByName(stale),
+            Seq("o_orderkey"), "ver", "deleted")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            sum((col("ver") === 2).cast("long")).as("n_resurrected"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """WITH changes AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS ver,
+                  FALSE AS deleted FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 1, TRUE
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice * 3, 2, FALSE
+           FROM orders WHERE o_orderkey % 20 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, -1, TRUE
+           FROM orders WHERE o_orderkey % 7 = 3),
+         latest AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY ver DESC) AS rn
+           FROM changes)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                CAST(sum(CASE WHEN ver = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_resurrected
+         FROM latest WHERE rn = 1 AND NOT deleted
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
+    // Growth accounting: per-day events, exact actives, first-seen
+    // ("new") users and the cumulative user count. The cumulative window
+    // runs over the #days rollup, never the event volume.
+    "e09_new_users" -> api(
+      (s, dir) => graft.streaming.Events.dailyNewUsers(
+        graft.streaming.Events.readRaw(s, dir)),
+      """WITH ev AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day, user_id FROM events),
+         fs AS (SELECT user_id, min(day) AS fday FROM ev GROUP BY 1),
+         d AS (SELECT day, count(*) AS n_events,
+                      count(DISTINCT user_id) AS n_active
+               FROM ev GROUP BY 1),
+         nu AS (SELECT fday AS day, count(*) AS n_new FROM fs GROUP BY 1)
+         SELECT d.day, d.n_events, d.n_active,
+                coalesce(nu.n_new, 0) AS n_new,
+                CAST(sum(coalesce(nu.n_new, 0)) OVER
+                     (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_users
+         FROM d LEFT JOIN nu USING (day) ORDER BY d.day""")
+
+    ,
+
     // Dirty-CSV round-trip fidelity: every row gets embedded delimiters,
     // quotes, AND newlines injected, then travels Spark write -> read
     // (quoted, escape-aware, multiLine). The aggregate fingerprint

@@ -159,6 +159,30 @@ object Events {
         sum(col("value").cast("decimal(18,6)")).as("sv"))
       .orderBy(col("h"), col("event_type"))
 
+  /** Daily new-vs-returning rollup over RAW (nanos-long ts) events: per
+    * epoch-day, events, exact active users, first-seen ("new") users and
+    * the cumulative user count — the growth-accounting card. Two keyed
+    * aggregations (user first-seen, daily totals); the cumulative sum
+    * windows over the #days-sized rollup only, never the event volume.
+    * Day arithmetic stays integral (nanos DIV, the Events discipline).
+    */
+  def dailyNewUsers(events: DataFrame): DataFrame = {
+    val ev = events.select(expr("ts div 86400000000000").as("day"),
+      col("user_id"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+    val daily = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_active"))
+    val newU = firstSeen.groupBy(col("fday").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    daily.join(newU, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
   /** Gap-based sessionization (batch): a session breaks after
     * `gapMinutes` of user inactivity. One shuffle on user_id; the two
     * window functions share the same partitioning.

@@ -184,6 +184,8 @@ object SmokeMain {
       println(s"rerank rows=${rr.count()} (5 probes x top-5 refined)")
       SparkEntry.queries("pr07_corr_matrix")(spark, sf).show(6, truncate = false)
       SparkEntry.queries("pr08_mad_outliers")(spark, sf).show(5, truncate = false)
+      SparkEntry.queries("u03_cdc_deletes")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("e09_new_users")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
