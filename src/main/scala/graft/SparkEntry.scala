@@ -4472,7 +4472,23 @@ object SparkEntry {
                 CAST(sum(coalesce(nu.n_new, 0)) OVER
                      (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_users
-         FROM d LEFT JOIN nu USING (day) ORDER BY d.day""")
+         FROM d LEFT JOIN nu USING (day) ORDER BY d.day"""),
+
+    // INTERVAL arithmetic — month-end clamping (Jan 31 + 1 month =
+    // Feb 29), day offsets, and week/quarter truncation; same text in
+    // both engines once results are cast to DATE (Spark keeps DATE,
+    // DuckDB widens to TIMESTAMP).
+    "q33_interval_arith" -> multi(Seq("orders"),
+      """SELECT o_orderkey,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+                  AS plus_month,
+                CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS DATE)
+                  AS minus_90d,
+                CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+                  AS week_start,
+                CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+                  AS quarter_start
+         FROM orders ORDER BY o_orderkey""")
 
     ,
 

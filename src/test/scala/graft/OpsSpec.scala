@@ -119,6 +119,20 @@ class OpsSpec extends GraftSuite {
       .collect()(0).getLong(1) == 1L)
   }
 
+  test("upsertWithDeletes: tombstones delete, newer inserts resurrect, stale deletes lose") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L), (4L, "d", 0L))
+      .toDF("k", "v", "ver")
+    val changes = Seq(
+      (1L, "a", 1L, true),   // plain delete -> gone
+      (2L, "b", 1L, true),   // delete ...
+      (2L, "B", 2L, false),  // ... then newer insert resurrects with new payload
+      (3L, "c", -1L, true)   // stale delete (older than base) -> base survives
+    ).toDF("k", "v", "ver", "deleted")
+    val out = Cdc.upsertWithDeletes(base, changes, Seq("k"), "ver", "deleted")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(2L -> (("B", 2L)), 3L -> (("c", 0L)), 4L -> (("d", 0L))))
+  }
+
   test("normalizeUrl is idempotent over the crawl-variant grid") {
     // 2*3*2*3*2 = 72 combinations of scheme case x host case/port x
     // path tail x query debris x fragment — a fixed grid standing in
