@@ -4488,7 +4488,52 @@ object SparkEntry {
                   AS week_start,
                 CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
                   AS quarter_start
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey"""),
+
+    // Streaming CDC materialization over a genuinely MULTI-batch replay:
+    // the corpus is split into three range-partitioned files and admitted
+    // one per micro-batch (maxFilesPerTrigger=1), foreachBatch folds each
+    // batch into the running snapshot with Cdc.upsert (version = ts,
+    // unique per user at every SF — probed), and the final snapshot is
+    // aggregated. Last-writer-wins is ORDER-INDEPENDENT, so the batch
+    // admission order cannot change the result — which is exactly what
+    // lets a batch oracle (argmax per user over the whole corpus) gate a
+    // multi-batch incremental pipeline.
+    "st11_stream_cdc_upsert" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val feed = scratchDir("st11_feed")
+        graft.streaming.Events.readRaw(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .repartitionByRange(3, col("ts"))
+          .write.mode("overwrite").parquet(feed)
+        val schema = "user_id LONG, ts LONG, event_type STRING, value DOUBLE"
+        var target = s.read.schema(schema).parquet(feed).where(lit(false))
+          .localCheckpoint(true)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            target = graft.ops.Cdc.upsert(target, batch,
+              Seq("user_id"), "ts").localCheckpoint(true)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        target.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("value")), 6).as("sv"))
+          .orderBy(col("event_type"))
+      },
+      """WITH latest AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC) AS rn
+           FROM events)
+         SELECT event_type, count(*) AS n_users, round(sum(value), 6) AS sv
+         FROM latest WHERE rn = 1
+         GROUP BY event_type ORDER BY event_type""")
 
     ,
 

@@ -187,6 +187,7 @@ object SmokeMain {
       SparkEntry.queries("u03_cdc_deletes")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("e09_new_users")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("q33_interval_arith")(spark, sf).show(2, truncate = false)
+      SparkEntry.queries("st11_stream_cdc_upsert")(spark, sf).show(5, truncate = false)
     }
 
     spark.stop()
