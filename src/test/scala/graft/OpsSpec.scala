@@ -119,6 +119,30 @@ class OpsSpec extends GraftSuite {
       .collect()(0).getLong(1) == 1L)
   }
 
+  test("file-split replay admits one file per micro-batch (st11's mechanism)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", 4)
+    val feed = java.nio.file.Files.createTempDirectory("st11spec").toString
+    graft.streaming.Events.readRaw(s2, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("value"))
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(feed)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s2.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(batches.get() == 3, s"expected 3 micro-batches, got ${batches.get()}")
+    assert(rows.get() == graft.streaming.Events
+      .readRaw(spark, "/root/testdata/sf0.001").count())
+  }
+
   test("upsertWithDeletes: tombstones delete, newer inserts resurrect, stale deletes lose") {
     val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L), (4L, "d", 0L))
       .toDF("k", "v", "ver")
