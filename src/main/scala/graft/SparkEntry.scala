@@ -4537,6 +4537,72 @@ object SparkEntry {
 
     ,
 
+    // NOT IN + NULL three-valued logic — the classic correctness trap:
+    // one NULL in the subquery makes NOT IN return zero rows (every
+    // comparison is UNKNOWN), while NOT EXISTS and the null-stripped
+    // variant behave "intuitively". Same text in both engines; the row
+    // proves both implement ANSI 3VL identically.
+    "sub06_not_in_null" -> multi(Seq("orders", "customer"),
+      """WITH probe AS (
+           SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                       ELSE c_custkey END AS k
+           FROM customer)
+         SELECT
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IN (SELECT k FROM probe)) AS n_in,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in_with_null,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT k FROM probe
+                                    WHERE k IS NOT NULL)) AS n_not_in_clean,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.k = o.o_custkey)) AS n_not_exists"""),
+
+    // Duplicate survivorship by QUALITY, not min-id: crawl copies of the
+    // same page truncated at different lengths share a PREFIX key
+    // (md5 of the first 60 chars); within each group keep the LONGEST
+    // copy (ties toward the lower id). The corpus has no natural
+    // truncation pairs, so every fifth document is planted as an
+    // 80-char truncated copy (id + 1000000) — the original must win
+    // every planted group (group_size 2), singletons pass through. One
+    // prefix-keyed argmax aggregation; the exact-dup min-id policy
+    // stays d01's.
+    "d15_dedup_best_of" -> api(
+      (s, dir) => {
+        val base = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val trunc = base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            substring(col("text"), 1, 80).as("text"))
+        val u = base.unionByName(trunc)
+          .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+            md5(substring(col("text"), 1, 60)).as("__g"))
+        u.groupBy(col("__g"))
+          .agg(max(struct(col("len"), (-col("doc_id")).as("__nid"))).as("w"),
+            count(lit(1)).as("group_size"))
+          .select((-col("w.__nid")).as("doc_id"), col("w.len").as("len"),
+            col("group_size").cast("long").as("group_size"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH u AS (
+           SELECT doc_id, coalesce(text, '') AS text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(coalesce(text, ''), 1, 80)
+           FROM documents WHERE doc_id % 5 = 0),
+         k AS (SELECT doc_id, length(text) AS len,
+                      md5(substr(text, 1, 60)) AS g
+               FROM u)
+         SELECT doc_id, len, group_size FROM (
+           SELECT doc_id, len,
+                  count(*) OVER (PARTITION BY g) AS group_size,
+                  row_number() OVER (PARTITION BY g
+                                     ORDER BY len DESC, doc_id) AS rn
+           FROM k) t
+         WHERE rn = 1 ORDER BY doc_id""")
+
+    ,
+
     // Dirty-CSV round-trip fidelity: every row gets embedded delimiters,
     // quotes, AND newlines injected, then travels Spark write -> read
     // (quoted, escape-aware, multiLine). The aggregate fingerprint

@@ -188,6 +188,10 @@ object SmokeMain {
       SparkEntry.queries("e09_new_users")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("q33_interval_arith")(spark, sf).show(2, truncate = false)
       SparkEntry.queries("st11_stream_cdc_upsert")(spark, sf).show(5, truncate = false)
+      SparkEntry.queries("sub06_not_in_null")(spark, sf).show(1, truncate = false)
+      val bo = SparkEntry.queries("d15_dedup_best_of")(spark, sf)
+      println(s"best-of survivors=${bo.count()} " +
+        s"multi-groups=${bo.filter("group_size > 1").count()}")
     }
 
     spark.stop()
