@@ -4599,7 +4599,36 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY g
                                      ORDER BY len DESC, doc_id) AS rn
            FROM k) t
-         WHERE rn = 1 ORDER BY doc_id""")
+         WHERE rn = 1 ORDER BY doc_id"""),
+
+    // Temporal split with an embargo band — train strictly before day
+    // 19743, a 2-day quarantine (tagged for dropping, never for either
+    // split), eval after. The corpus spans days 19723–19752, so all
+    // three bands are non-empty at every SF. Integral day arithmetic
+    // (nanos DIV), map-only.
+    "sp07_temporal_split" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .withColumn("day", expr("ts div 86400000000000"))
+        graft.ops.Sampling.temporalSplit(ev, col("day"),
+            trainEndDay = 19743L, embargoDays = 2)
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+          .orderBy(col("split"))
+      },
+      """WITH ev AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                       AS day, user_id FROM events),
+         t AS (SELECT day, user_id,
+                      CASE WHEN day < 19743 THEN 'train'
+                           WHEN day < 19745 THEN 'embargo'
+                           ELSE 'eval' END AS split
+               FROM ev)
+         SELECT split, count(*) AS n,
+                count(DISTINCT user_id) AS n_users,
+                min(day) AS min_day, max(day) AS max_day
+         FROM t GROUP BY split ORDER BY split""")
 
     ,
 

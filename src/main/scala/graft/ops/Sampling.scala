@@ -185,4 +185,21 @@ object Sampling {
           .otherwise(lit(restTag)))
       .drop("__rn", "__n")
   }
+
+  /** Temporal split with an EMBARGO gap — the leakage guard for
+    * time-correlated data: train strictly before `trainEndDay`, an
+    * `embargoDays`-wide quarantine band (rows near the boundary leak
+    * target information in both directions — they are tagged for
+    * DROPPING, not for either split), eval strictly after the band.
+    * Pure per-row comparison on an integral day column: map-only,
+    * reproducible, id- and order-independent.
+    */
+  def temporalSplit(df: DataFrame, dayCol: Column, trainEndDay: Long,
+                    embargoDays: Int, splitCol: String = "split"): DataFrame = {
+    require(embargoDays >= 0, "embargoDays must be >= 0")
+    df.withColumn(splitCol,
+      when(dayCol < trainEndDay, "train")
+        .when(dayCol < trainEndDay + embargoDays, "embargo")
+        .otherwise("eval"))
+  }
 }

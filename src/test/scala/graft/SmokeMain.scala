@@ -192,6 +192,7 @@ object SmokeMain {
       val bo = SparkEntry.queries("d15_dedup_best_of")(spark, sf)
       println(s"best-of survivors=${bo.count()} " +
         s"multi-groups=${bo.filter("group_size > 1").count()}")
+      SparkEntry.queries("sp07_temporal_split")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
