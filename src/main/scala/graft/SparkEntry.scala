@@ -4628,7 +4628,35 @@ object SparkEntry {
          SELECT split, count(*) AS n,
                 count(DISTINCT user_id) AS n_users,
                 min(day) AS min_day, max(day) AS max_day
-         FROM t GROUP BY split ORDER BY split""")
+         FROM t GROUP BY split ORDER BY split"""),
+
+    // Nested-JSON ingestion: a struct-of-struct + array document parsed
+    // with an explicit from_json schema, nested fields projected and the
+    // array exploded — the shape multimodal metadata and API payloads
+    // arrive in. The oracle re-derives the rows relationally from the
+    // base columns, proving parse + traversal dropped nothing.
+    "q34_nested_json" -> api(
+      (s, dir) => {
+        val js = concat(lit("{\"meta\":{\"src\":\""), col("source"),
+          lit("\",\"n\":"), col("n_chars"),
+          lit("},\"tags\":[\""), col("lang"), lit("\",\"t"),
+          col("doc_id") % 3, lit("\"]}"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), from_json(js,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "meta STRUCT<src: STRING, n: BIGINT>, tags ARRAY<STRING>"))
+            .as("j"))
+          .select(col("doc_id"), col("j.meta.src").as("src"),
+            col("j.meta.n").as("n"), explode(col("j.tags")).as("tag"))
+          .orderBy(col("doc_id"), col("tag"))
+      },
+      """SELECT doc_id, src, n, tag FROM (
+           SELECT doc_id, source AS src, n_chars AS n, lang AS tag
+           FROM documents
+           UNION ALL
+           SELECT doc_id, source, n_chars, 't' || (doc_id % 3)
+           FROM documents) t
+         ORDER BY doc_id, tag""")
 
     ,
 

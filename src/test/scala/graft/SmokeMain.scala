@@ -193,6 +193,7 @@ object SmokeMain {
       println(s"best-of survivors=${bo.count()} " +
         s"multi-groups=${bo.filter("group_size > 1").count()}")
       SparkEntry.queries("sp07_temporal_split")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("q34_nested_json")(spark, sf).show(4, truncate = false)
     }
 
     spark.stop()
