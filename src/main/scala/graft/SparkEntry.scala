@@ -4656,7 +4656,44 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id, source, n_chars, 't' || (doc_id % 3)
            FROM documents) t
-         ORDER BY doc_id, tag""")
+         ORDER BY doc_id, tag"""),
+
+    // to_json serialization — the inverse of q34: a named struct row
+    // rendered as a JSON string, byte-compared against the oracle's
+    // hand-built string (field order, quoting, and integer rendering
+    // must all agree).
+    "q35_to_json" -> api(
+      (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          to_json(struct(col("source").as("src"),
+            col("n_chars").as("n"))).as("js"))
+        .orderBy(col("doc_id")),
+      """SELECT doc_id,
+                '{"src":"' || source || '","n":' || n_chars || '}' AS js
+         FROM documents ORDER BY doc_id"""),
+
+    // Aggregate FILTER clause — per-aggregate predicates without CASE
+    // gymnastics; same text in both engines (the g08/count_if family's
+    // ANSI spelling).
+    "g12_agg_filter" -> multi(Seq("lineitem"),
+      """SELECT l_returnflag,
+                count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_qty,
+                round(avg(l_extendedprice)
+                      FILTER (WHERE l_tax < 0.04), 6) AS cheap_tax_avg
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // lead/lag with explicit offsets and defaults — the gap-tolerant
+    // form (offset 3, constant fallback); same text in both engines.
+    "w09_lag_offsets" -> multi(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey, 3, -1) OVER w AS prev3,
+                lead(o_orderkey, 2, -1) OVER w AS next2
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""")
 
     ,
 

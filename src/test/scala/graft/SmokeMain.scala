@@ -194,6 +194,9 @@ object SmokeMain {
         s"multi-groups=${bo.filter("group_size > 1").count()}")
       SparkEntry.queries("sp07_temporal_split")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("q34_nested_json")(spark, sf).show(4, truncate = false)
+      SparkEntry.queries("q35_to_json")(spark, sf).show(2, truncate = false)
+      SparkEntry.queries("g12_agg_filter")(spark, sf).show(3, truncate = false)
+      println(s"lag-offsets rows=${SparkEntry.queries("w09_lag_offsets")(spark, sf).count()}")
     }
 
     spark.stop()
