@@ -4951,6 +4951,108 @@ object SparkEntry {
                 CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
                 min(doc_id) AS first_doc
          FROM lb GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+
+    ,
+
+    // Exact per-group heavy hitters (top-3 most frequent order
+    // priorities per order status) WITHOUT a rank window: first a
+    // map-side-combined count aggregation collapses the stream to one
+    // row per distinct (flag, mode) — bounded by the value domain, not
+    // the row count — then a per-flag collect_list over that tiny
+    // domain is sorted and sliced. At 1e11 rows the second stage still
+    // sees ≤ |priorities| rows per flag. Ties break by ascending mode
+    // (the -cnt/mode struct sort key), mirrored in the oracle's window
+    // ORDER BY.
+    "g13_heavy_hitters" -> api(
+      (s, dir) => {
+        val counts = s.read.parquet(s"$dir/orders.parquet")
+          .groupBy(col("o_orderstatus").as("flag"), col("o_orderpriority").as("mode"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.groupBy(col("flag"))
+          .agg(slice(sort_array(collect_list(
+            struct((-col("cnt")).as("nc"), col("mode"), col("cnt")))), 1, 3)
+            .as("top"))
+          .select(col("flag"), posexplode(col("top")))
+          .select(col("flag"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.mode").as("mode"), col("col.cnt").as("cnt"))
+          .orderBy(col("flag"), col("rank"))
+      },
+      """WITH c AS (SELECT o_orderstatus AS flag, o_orderpriority AS mode,
+                           count(*) AS cnt
+                    FROM orders GROUP BY 1, 2),
+         r AS (SELECT flag, mode, cnt,
+                      row_number() OVER (PARTITION BY flag
+                                         ORDER BY cnt DESC, mode) AS rank
+               FROM c)
+         SELECT flag, CAST(rank AS BIGINT) AS rank, mode, cnt
+         FROM r WHERE rank <= 3 ORDER BY flag, rank""")
+
+    ,
+
+    // Schema-evolution union: two relations with different column sets
+    // and orders merged BY NAME (missing columns null-filled) — how
+    // heterogeneous corpus shards with drifting schemas stack into one
+    // table. The synthetic line number keeps the ORDER BY key set unique
+    // across both branches without nullable sort keys.
+    "set03_union_by_name" -> api(
+      (s, dir) => {
+        val a = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey").as("key"), lit(0L).as("ln"),
+            col("o_orderpriority").as("grp"), col("o_totalprice").as("val"))
+        val b = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_linestatus").as("grp"),
+            col("l_orderkey").as("key"),
+            col("l_linenumber").cast("long").as("ln"),
+            col("l_quantity").as("extra"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("key"), col("ln"))
+      },
+      """SELECT key, ln, grp, val, extra FROM (
+           SELECT o_orderkey AS key, CAST(0 AS BIGINT) AS ln,
+                  o_orderpriority AS grp, o_totalprice AS val,
+                  CAST(NULL AS DOUBLE) AS extra
+           FROM orders
+           UNION ALL
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT), l_linestatus,
+                  CAST(NULL AS DOUBLE), l_quantity
+           FROM lineitem) t
+         ORDER BY key, ln""")
+
+    ,
+
+    // Partition integrity manifest: per-bucket row count, char volume,
+    // and an ORDER-INDEPENDENT content checksum (sum of md5-prefix
+    // integers over id+payload) — the artifact a 100 TB export job
+    // publishes so a downstream consumer can verify each shard without
+    // re-reading its neighbors. One map-side-combined aggregation; the
+    // md5 bucket assignment is the sp01 deterministic-hash discipline,
+    // so the manifest is reproducible across engines and runs.
+    "pr09_manifest" -> api(
+      (s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"),
+            col("n_chars"))
+        d.select(
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") % 8).as("bucket"),
+            col("n_chars"),
+            conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("t"))), 1, 12), 16, 10).cast("long").as("h"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(col("h")).cast("long").as("checksum"))
+          .orderBy(col("bucket"))
+      },
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t, n_chars
+                    FROM documents)
+         SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       ::BIGINT % 8 AS BIGINT) AS bucket,
+                count(*) AS n_rows,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || t),
+                         1, 12))::BIGINT) AS BIGINT) AS checksum
+         FROM d GROUP BY 1 ORDER BY bucket""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE
