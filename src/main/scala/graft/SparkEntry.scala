@@ -5053,6 +5053,129 @@ object SparkEntry {
                 CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || t),
                          1, 12))::BIGINT) AS BIGINT) AS checksum
          FROM d GROUP BY 1 ORDER BY bucket""")
+
+    ,
+
+    // Interval-overlap join (validity windows × validity windows) — the
+    // two-sided generalization of j06's point-in-interval join. Both
+    // sides quantize to day buckets and equi-join; a pair sharing
+    // several buckets survives only in the bucket holding its overlap
+    // start, so no distinct is ever shuffled. The oracle runs DuckDB's
+    // native inequality join over the same intervals.
+    "j08_interval_overlap" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val epoch = lit("1970-01-01")
+        val a = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_totalprice") > 450000)
+          .select(col("o_orderkey").as("a_key"),
+            datediff(col("o_orderdate"), epoch).cast("long").as("a_lo"))
+          .withColumn("a_hi", col("a_lo") + 14)
+        val b = s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_totalprice") < 25000)
+          .select(col("o_orderkey").as("b_key"),
+            datediff(col("o_orderdate"), epoch).cast("long").as("b_lo"))
+          .withColumn("b_hi", col("b_lo") + 7)
+        graft.ops.RangeJoin.bucketedOverlapJoin(a, "a_lo", "a_hi",
+            b, "b_lo", "b_hi", width = 8)
+          .groupBy(col("a_key"))
+          .agg(count(lit(1)).as("n_overlap"),
+            min(col("b_key")).as("first_b"),
+            max(col("b_key")).as("last_b"))
+          .orderBy(col("a_key"))
+      },
+      """WITH a AS (SELECT o_orderkey AS a_key,
+                           CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS a_lo
+                    FROM orders WHERE o_totalprice > 450000),
+         b AS (SELECT o_orderkey AS b_key,
+                      CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS b_lo
+               FROM orders WHERE o_totalprice < 25000)
+         SELECT a_key, count(*) AS n_overlap,
+                min(b_key) AS first_b, max(b_key) AS last_b
+         FROM a JOIN b ON a_lo <= b_lo + 7 AND b_lo <= a_lo + 14
+         GROUP BY a_key ORDER BY a_key""")
+
+    ,
+
+    // Corpus vocabulary statistics per source: token volume, vocabulary
+    // size, type-token ratio, frequency-weighted mean token length, and
+    // hapax legomena (frequency-1 types — the vocabulary's long tail).
+    // Formulated as the explicit two-level aggregation (term frequency
+    // first, then per-source rollup) so the heavy stage map-side
+    // combines on (source, token) — the same shape count(DISTINCT)
+    // expands to, but with the per-token frequencies kept for the
+    // hapax/mean-length stats.
+    "t13_vocab" -> api(
+      (s, dir) => {
+        val toks = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"),
+            explode(split(lower(coalesce(col("text"), lit(""))), "\\W+"))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        tf.groupBy(col("source"))
+          .agg(sum(col("c")).cast("long").as("n_tokens"),
+            count(lit(1)).as("vocab"),
+            round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr"),
+            round(sum(col("c") * length(col("tok"))).cast("double")
+              / sum(col("c")), 6).as("mean_tok_len"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+              .as("hapax"))
+          .orderBy(col("source"))
+      },
+      """WITH t AS (SELECT source,
+                           unnest(list_filter(string_split_regex(
+                             lower(coalesce(text, '')), '\W+'),
+                             x -> x <> '')) AS tok
+                    FROM documents),
+         tf AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS vocab,
+                round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+                round(CAST(sum(c * length(tok)) AS DOUBLE) / sum(c), 6)
+                  AS mean_tok_len,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS hapax
+         FROM tf GROUP BY source ORDER BY source""")
+
+    ,
+
+    // Sentence segmentation statistics — the document-structure signal
+    // quality filters read (too-few or degenerate sentences flag
+    // boilerplate). Split on terminator+whitespace runs (RE2-safe — no
+    // lookbehind, so the same pattern runs in both engines), empties
+    // dropped; per-doc counts and exact char stats, all inside codegen'd
+    // higher-order array functions — no shuffle at all before the
+    // output sort.
+    "t14_sentences" -> api(
+      (s, dir) => {
+        val parts = filter(
+          split(coalesce(col("text"), lit("")), "[.!?]+\\s+"),
+          p => length(p) > 0)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            size(parts).cast("long").as("n_sent"),
+            round(
+              aggregate(transform(parts, p => length(p).cast("long")),
+                lit(0L), (a, x) => a + x).cast("double")
+                / greatest(size(parts), lit(1)), 6).as("mean_chars"),
+            aggregate(transform(parts, p => length(p).cast("long")),
+              lit(0L), (a, x) => greatest(a, x)).as("max_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH p AS (SELECT doc_id,
+                           list_filter(string_split_regex(
+                             coalesce(text, ''), '[.!?]+\s+'),
+                             x -> length(x) > 0) AS parts
+                    FROM documents)
+         SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_sent,
+                round(CAST(coalesce(list_sum(list_transform(parts,
+                        x -> length(x))), 0) AS DOUBLE)
+                      / greatest(len(parts), 1), 6) AS mean_chars,
+                CAST(coalesce(list_max(list_transform(parts,
+                       x -> length(x))), 0) AS BIGINT) AS max_chars
+         FROM p ORDER BY doc_id""")
   )
 
   /** One shared per-JVM scratch root under target/tmp, swept by a SINGLE

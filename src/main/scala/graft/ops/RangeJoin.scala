@@ -46,4 +46,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__rb")
   }
+
+  /** Inner-join two INTERVAL relations on overlap:
+    * `left.[lLo,lHi] ∩ right.[rLo,rHi] ≠ ∅` (closed bounds, numeric
+    * columns, invalid lo>hi rows drop). Same bucket-quantize shape as
+    * [[bucketedRangeJoin]], but both sides explode — so a pair sharing
+    * several buckets would match repeatedly. Instead of a distinct
+    * (a second shuffle over the full match volume), each pair is kept
+    * only in the bucket containing its overlap START
+    * (`floor(max(lLo,rLo)/W)`): that bucket is covered by both
+    * intervals by definition, so exactly one copy survives — dedup for
+    * free inside the codegen'd residual filter.
+    *
+    * Column names must be disjoint across the two inputs (same contract
+    * as a plain join).
+    */
+  def bucketedOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                          right: DataFrame, rLo: String, rHi: String,
+                          width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val lb = left
+      .filter(col(lLo) <= col(lHi))
+      .withColumn("__rb",
+        explode(sequence(floor(col(lLo) / width), floor(col(lHi) / width))))
+    val rb = right
+      .filter(col(rLo) <= col(rHi))
+      .withColumn("__rb",
+        explode(sequence(floor(col(rLo) / width), floor(col(rHi) / width))))
+    lb.join(rb, Seq("__rb"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__rb") === floor(greatest(col(lLo), col(rLo)) / width))
+      .drop("__rb")
+  }
 }

@@ -379,6 +379,31 @@ class OpsSpec extends GraftSuite {
     }
   }
 
+  test("bucketedOverlapJoin equals the naive overlap join, one row per pair") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(60)((rnd.nextInt(500).toLong, rnd.nextInt(80).toLong))
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq.fill(80)((rnd.nextInt(500).toLong, rnd.nextInt(40).toLong))
+      .zipWithIndex.map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+      .toDF("b_id", "b_lo", "b_hi")
+    val want = a.join(b,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.distinct.size == want.size) // sanity: naive join has no dups
+    // widths well below interval lengths force many shared buckets per
+    // pair — the first-shared-bucket rule must still emit exactly one row
+    for (width <- Seq(1L, 4L, 16L, 1000L)) {
+      val rows = RangeJoin.bucketedOverlapJoin(a, "a_lo", "a_hi",
+          b, "b_lo", "b_hi", width)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.distinct.size == rows.size, s"dup pairs at width $width")
+      assert(rows.toSet == want.toSet, s"width $width")
+    }
+  }
+
   test("bucketedRangeJoin drops inverted intervals and null bounds") {
     val pts = Seq((1L, 5L)).toDF("pid", "t")
     val ivs = Seq((1L, Some(10L), Some(0L)), (2L, None, Some(9L)), (3L, Some(0L), Some(9L)))

@@ -200,6 +200,10 @@ object SmokeMain {
       SparkEntry.queries("g13_heavy_hitters")(spark, sf).show(9, truncate = false)
       println(s"union-by-name rows=${SparkEntry.queries("set03_union_by_name")(spark, sf).count()}")
       SparkEntry.queries("pr09_manifest")(spark, sf).show(8, truncate = false)
+      val ov = SparkEntry.queries("j08_interval_overlap")(spark, sf)
+      println(s"interval-overlap left rows=${ov.count()}")
+      SparkEntry.queries("t13_vocab")(spark, sf).show(5, truncate = false)
+      SparkEntry.queries("t14_sentences")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
