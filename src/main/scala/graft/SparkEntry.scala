@@ -798,19 +798,44 @@ object SparkEntry {
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST"""),
 
-    // approximate aggregates (HLL++/quantile-sketch; deterministic for a
-    // fixed input but implementation-specific -> no cross-engine oracle).
-    // Sketches only: adding an exact count(DISTINCT) here would force an
-    // Expand + second shuffle and defeat the point of the approx plan —
-    // exact distinct counting is cd01's job.
-    "ap01_approx" -> noOracle((s, dir) => {
-      Registry.registerAll(s)
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
-        .orderBy(col("l_returnflag"))
-    }),
+    // approximate aggregates, strict-oracled via the error-gate contract
+    // (promoted out of no_oracle per r8 VERDICT #5): raw sketch values
+    // are implementation-specific, so the gated outputs are per-group
+    // error BOUNDS that equal their contract constants iff the measured
+    // relative error stays inside them (sketches are deterministic for
+    // fixed input, so the gate is exact, not flaky). Distinct surface
+    // from ap02: custom-rsd HLL (0.02 vs default) and the multi-quantile
+    // ARRAY percentile_approx form (p25/p75/p90, accuracy 2000) with
+    // elements extracted to scalars for the driver comparator.
+    "ap01_approx" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        def relerr(a: Column, e: Column): Column = abs(a - e).cast("double") / e
+        def gate(err: Column, bound: Double): Column =
+          when(err <= bound, lit(bound)).otherwise(err)
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__acd"),
+            count_distinct(col("l_partkey")).as("n_parts"),
+            percentile_approx(col("l_extendedprice"),
+              array(lit(0.25), lit(0.75), lit(0.9)), lit(2000)).as("__pa"),
+            expr("percentile(l_extendedprice, array(0.25D, 0.75D, 0.9D))")
+              .as("__pe"))
+          .select(col("l_returnflag"), col("n_parts"),
+            gate(relerr(col("__acd"), col("n_parts")), 0.05).as("cd_err_bound"),
+            gate(relerr(col("__pa")(0), col("__pe")(0)), 0.01).as("p25_err_bound"),
+            gate(relerr(col("__pa")(1), col("__pe")(1)), 0.01).as("p75_err_bound"),
+            gate(relerr(col("__pa")(2), col("__pe")(2)), 0.01).as("p90_err_bound"))
+          .orderBy(col("l_returnflag"))
+      },
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(0.05 AS DOUBLE) AS cd_err_bound,
+                CAST(0.01 AS DOUBLE) AS p25_err_bound,
+                CAST(0.01 AS DOUBLE) AS p75_err_bound,
+                CAST(0.01 AS DOUBLE) AS p90_err_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // approximation CONTRACTS for the ap01 sketches, strict-oracled: the
     // same HLL++ and quantile sketches re-run next to their exact
@@ -864,13 +889,12 @@ object SparkEntry {
          ORDER BY y, m"""),
 
     // event-time tumbling-window aggregation (batch form; the streaming
-    // variant lives in graft.streaming.Events). events.parquet stores
-    // TIMESTAMP(NANOS), which Spark's reader rejects — read nanos as long
-    // (explicit LongType user schema) and truncate to the hour in
-    // epoch-micros space. The
-    // bucket is compared as BIGINT epoch micros: the nanos-sourced Spark
-    // timestamp round-trips as timestamp[ns] in parquet while DuckDB
-    // emits timestamp[us], a representation gap the hash would reject.
+    // variant lives in graft.streaming.Events). Events.readRaw yields
+    // unit-normalized epoch-MICROS longs whatever the fixture's parquet
+    // logical type; truncate to the hour in epoch-micros space. The
+    // bucket is compared as BIGINT epoch micros (a timestamp column
+    // would round-trip as a different parquet unit than DuckDB emits, a
+    // representation gap the hash would reject).
     "e01_events_window" -> ((
       (s: SparkSession, dir: String) => {
         Registry.registerAll(s)
@@ -878,7 +902,7 @@ object SparkEntry {
         s.sql(
           """SELECT h, event_type, count(*) AS n,
                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
-             FROM (SELECT (ts div 1000) - (ts div 1000) % 3600000000 AS h,
+             FROM (SELECT ts - ts % 3600000000 AS h,
                           event_type, value
                    FROM events) e
              GROUP BY h, event_type ORDER BY h, event_type""")
@@ -1173,14 +1197,39 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          WHERE jaccard >= 0.6 ORDER BY id_a, id_b"""),
 
-    // embedding near-dup pairs via sign-bit LSH buckets + cosine verify
-    "d05_embed_neardup" -> noOracle((s, dir) => {
-      Registry.registerAll(s)
-      graft.ops.Dedup.embeddingPairs(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-          bits = 6, threshold = 0.3)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // embedding near-dup pairs via sign-bit LSH buckets + cosine verify,
+    // strict-oracled through its RECALL contract vs the exhaustive d07
+    // machinery run in the same plan (the s02 gate mechanics; promoted
+    // out of no_oracle per r8 VERDICT #5): recall_floor equals the
+    // contract constant iff |LSH pairs ∩ exact pairs| / |exact pairs|
+    // >= floor, else the raw recall leaks out and hash-fails red. The
+    // single 6-bit bucket is the cheap low-recall tier by design
+    // (p(0.3)^6 ~ 0.05 per-pair); the floor pins that measured tier so a
+    // silent recall regression (bucketing bug, seed drift) turns the row
+    // red. embeddingPairsBanded/d08 is the recall~1 scale path.
+    "d05_embed_neardup" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val lsh = graft.ops.Dedup.embeddingPairs(emb, "vec_id", "embedding",
+            bits = 6, threshold = 0.3)
+          .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+        val exact = graft.ops.Dedup.embeddingPairsExact(emb, "vec_id", "embedding",
+            threshold = 0.3)
+          .select(col("id_a"), col("id_b"))
+        exact.join(lsh, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            (sum(coalesce(col("__hit"), lit(0L))).cast("double")
+              / count(lit(1))).as("__r"))
+          .select(col("n_exact"),
+            when(col("__r") >= 0.02, lit(0.02)).otherwise(col("__r"))
+              .as("recall_floor"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(0.02 AS DOUBLE) AS recall_floor
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3"""),
 
     // global first-occurrence segment dedup (C4-style line dedup,
     // delimiter-generalized). The synthetic corpus is single-line, so the
@@ -3399,8 +3448,8 @@ object SparkEntry {
 
     // Time-series resample + gap-fill + forward-fill (graft.ops.Resample):
     // 15-minute activity bins per user over a dense grid, empty bins
-    // carried forward — the feature-store primitive. Integer nano `div`
-    // binning (doubles can't hold epoch nanos), sequence/explode grid
+    // carried forward — the feature-store primitive. Integer micros
+    // `div` binning (exact long arithmetic), sequence/explode grid
     // bounded by each key's observed span.
     "e07_resample_ffill" -> api(
       (s, dir) => {
@@ -3409,7 +3458,7 @@ object SparkEntry {
           .filter(col("user_id") < 20)
           .withColumn("cents", round(col("value") * 100).cast("long"))
         graft.ops.Resample.binFill(ev, "user_id", "ts", "cents",
-            binNanos = 900L * 1000000000L)
+            binWidth = 900L * graft.streaming.Events.MicrosPerSecond)
           .orderBy(col("user_id"), col("bin"))
       },
       """WITH b AS (SELECT user_id,
@@ -3471,7 +3520,7 @@ object SparkEntry {
     // Spark's NATIVE session_window operator (dynamic-width event-time
     // sessions as a first-class aggregation), complementing e02's
     // composed gaps-and-islands formulation. Session identity comes from
-    // session_window; the gated start comes from min(raw nanos), so no
+    // session_window; the gated start comes from min(raw micros), so no
     // timestamp ever needs casting. Boundary semantics: a gap of EXACTLY
     // the window size starts a NEW session (window end exclusive) — the
     // oracle's islands use >= accordingly. One shuffle on user_id.
@@ -3480,10 +3529,10 @@ object SparkEntry {
         Registry.registerAll(s)
         graft.streaming.Events.readRaw(s, dir)
           .select(col("user_id"), col("ts"),
-            expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)").as("tse"),
+            expr("cast(timestamp_micros(ts) as timestamp_ntz)").as("tse"),
             round(col("value") * 100).cast("long").as("cents"))
           .groupBy(col("user_id"), session_window(col("tse"), "30 minutes"))
-          .agg(expr("min(ts div 1000)").as("start_us"),
+          .agg(expr("min(ts)").as("start_us"),
             count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
           .select(col("user_id"), col("start_us"), col("n_events"), col("cents"))
           .orderBy(col("user_id"), col("start_us"))
@@ -3652,7 +3701,7 @@ object SparkEntry {
         Registry.registerAll(s)
         val out = graft.streaming.Events.readStreamRaw(s, dir)
           .select(
-            expr("(ts div 1000) - (ts div 1000) % 3600000000").as("h"),
+            expr("ts - ts % 3600000000").as("h"),
             col("event_type"), col("value"))
         val base = scratchDir(s"st08_sink_${new java.io.File(dir).getName}")
         val q = out.writeStream.format("parquet")
@@ -4605,11 +4654,12 @@ object SparkEntry {
     // 19743, a 2-day quarantine (tagged for dropping, never for either
     // split), eval after. The corpus spans days 19723–19752, so all
     // three bands are non-empty at every SF. Integral day arithmetic
-    // (nanos DIV), map-only.
+    // (micros DIV), map-only.
     "sp07_temporal_split" -> api(
       (s, dir) => {
         val ev = graft.streaming.Events.readRaw(s, dir)
-          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("day",
+            expr(s"ts div ${graft.streaming.Events.MicrosPerDay}"))
         graft.ops.Sampling.temporalSplit(ev, col("day"),
             trainEndDay = 19743L, embargoDays = 2)
           .groupBy(col("split"))

@@ -19,19 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
-  /** Dense per-key bin grid over `tsNanosCol` (epoch nanos as LONG, the
-    * events corpus encoding) with `binNanos`-wide bins: per bin the
-    * event count, the summed cents, and the forward-filled cents (last
-    * non-empty bin's sum carried across gaps).
+  /** Dense per-key bin grid over `tsCol` (an epoch LONG — any fixed
+    * unit; the events corpus uses canonical micros from
+    * [[graft.streaming.Events.readRaw]]) with `binWidth`-wide bins (same
+    * unit as `tsCol`): per bin the event count, the summed cents, and
+    * the forward-filled cents (last non-empty bin's sum carried across
+    * gaps).
     */
-  def binFill(df: DataFrame, keyCol: String, tsNanosCol: String,
-              centsCol: String, binNanos: Long): DataFrame = {
-    require(binNanos > 0, "binNanos must be positive")
+  def binFill(df: DataFrame, keyCol: String, tsCol: String,
+              centsCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
     // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and epoch
-    // nanos (~1.7e18) exceed a double's 2^53 exact-integer range.
+    // longs can exceed a double's 2^53 exact-integer range (nanos do).
     val binned = df
       .select(col(keyCol),
-        expr(s"cast(`$tsNanosCol` as bigint) div ${binNanos}L").as("bin"),
+        expr(s"cast(`$tsCol` as bigint) div ${binWidth}L").as("bin"),
         col(centsCol).cast("long").as("__c"))
       .groupBy(col(keyCol), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__c")).as("__cents"))

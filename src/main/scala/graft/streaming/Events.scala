@@ -107,49 +107,94 @@ class FirstOwnerProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
   */
 object Events {
 
-  /** The events parquet with `ts` as raw epoch-NANOS long. The driver's
-    * parquet stores TIMESTAMP(NANOS), which Spark's default schema
-    * conversion rejects (PARQUET_TYPE_ILLEGAL) — but an EXPLICIT user
-    * schema typing the column LongType reads the INT64 physical values
-    * directly (probed: vectorized reader accepts it; TimestampNTZType in
-    * the user schema does not). No session conf involved, so nothing can
-    * leak into unrelated reads — this replaced a scoped set/restore of
-    * spark.sql.legacy.parquet.nanosAsLong.
+  /** Epoch-time constants for integer bucket arithmetic over the
+    * canonical MICROS `ts` long produced by [[readRaw]]. Every raw time
+    * bucket in the repo goes through these (grep gate in EventsSpec), so
+    * a future fixture unit change is a one-place fix.
     */
-  def readRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(EventsSchema).parquet(s"$dir/events.parquet")
+  val MicrosPerSecond: Long = 1000000L
+  val MicrosPerMinute: Long = 60L * MicrosPerSecond
+  val MicrosPerHour: Long   = 60L * MicrosPerMinute
+  val MicrosPerDay: Long    = 24L * MicrosPerHour
 
-  private val EventsSchema: StructType = StructType(Seq(
+  /** The nanos-era fallback schema: the original fixture stored
+    * TIMESTAMP(NANOS), which Spark's schema conversion rejects
+    * (PARQUET_TYPE_ILLEGAL), but an EXPLICIT LongType user schema reads
+    * the INT64 physical values directly.
+    */
+  private val EventsNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Read the events corpus with `ts` rebuilt as a micro-precision NTZ
-    * timestamp (lossless here: the corpus has no sub-microsecond
-    * components).
+  /** True when the events parquet stores `ts` with the TIMESTAMP(NANOS)
+    * logical type — detected by whether Spark's native schema inference
+    * accepts the footer. The driver regenerated the fixture as
+    * timestamp[us] between rounds (TESTDATA.md notwithstanding), so the
+    * readers probe the actual file instead of assuming either unit; the
+    * probe is per-call footer metadata only, no data scan.
+    */
+  private def nanosEncoded(spark: SparkSession, path: String): Boolean =
+    scala.util.Try(spark.read.parquet(path).schema("ts").dataType) match {
+      case scala.util.Success(org.apache.spark.sql.types.TimestampNTZType) => false
+      case scala.util.Success(_: org.apache.spark.sql.types.TimestampType) => false
+      case _ => true // inference rejected the footer => NANOS logical type
+    }
+
+  /** The events corpus with `ts` as canonical epoch-MICROS long —
+    * unit-robust: probes the parquet logical type and normalizes either
+    * encoding (native timestamp[us], or the legacy TIMESTAMP(NANOS) read
+    * through an explicit LongType schema) to the same micros longs.
+    * Integer micros (not doubles, not nanos) are the repo-wide raw time
+    * unit: they fit exact-integer double range concerns (see Resample)
+    * and convert losslessly to timestamp via timestamp_micros.
+    */
+  def readRaw(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    if (nanosEncoded(spark, path))
+      spark.read.schema(EventsNanosSchema).parquet(path)
+        .withColumn("ts", expr("ts div 1000"))
+    else
+      spark.read.parquet(path)
+        // NTZ -> LTZ cast is lossless under the UTC session timezone
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+  }
+
+  /** Read the events corpus with `ts` as a micro-precision NTZ
+    * timestamp (the canonical typed form; lossless for either fixture
+    * encoding — the corpus has no sub-microsecond components).
     */
   def read(spark: SparkSession, dir: String): DataFrame =
     readRaw(spark, dir)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .withColumn("ts", expr("cast(timestamp_micros(ts) as timestamp_ntz)"))
 
   /** Streaming read of the events corpus (parquet file source) — the
-    * same explicit schema and `ts` reconstruction as the batch [[read]],
-    * for replaying the corpus through the streaming operators.
+    * same `ts` normalization as the batch [[read]], for replaying the
+    * corpus through the streaming operators.
     *
     * The corpus is a single parquet FILE in a read-only dir but the file
     * stream source requires a directory — bridged by [[Replay.linkDir]].
     */
   def readStream(spark: SparkSession, dir: String): DataFrame =
     readStreamRaw(spark, dir)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .withColumn("ts", expr("cast(timestamp_micros(ts) as timestamp_ntz)"))
 
-  /** Streaming read with `ts` left as raw epoch-NANOS long (the batch
+  /** Streaming read with `ts` as canonical epoch-MICROS long (the batch
     * [[readRaw]] analog) — for pipelines that stay in integer time
-    * arithmetic end to end.
+    * arithmetic end to end. The unit probe runs on the batch footer
+    * (streaming sources need the schema up front).
     */
-  def readStreamRaw(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(EventsSchema)
-      .parquet(Replay.linkDir(s"$dir/events.parquet"))
+  def readStreamRaw(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    if (nanosEncoded(spark, path))
+      spark.readStream.schema(EventsNanosSchema)
+        .parquet(Replay.linkDir(path))
+        .withColumn("ts", expr("ts div 1000"))
+    else
+      spark.readStream.schema(spark.read.parquet(path).schema)
+        .parquet(Replay.linkDir(path))
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+  }
 
   /** Tumbling event-time aggregation (batch). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
@@ -159,15 +204,15 @@ object Events {
         sum(col("value").cast("decimal(18,6)")).as("sv"))
       .orderBy(col("h"), col("event_type"))
 
-  /** Daily new-vs-returning rollup over RAW (nanos-long ts) events: per
+  /** Daily new-vs-returning rollup over RAW (micros-long ts) events: per
     * epoch-day, events, exact active users, first-seen ("new") users and
     * the cumulative user count — the growth-accounting card. Two keyed
     * aggregations (user first-seen, daily totals); the cumulative sum
     * windows over the #days-sized rollup only, never the event volume.
-    * Day arithmetic stays integral (nanos DIV, the Events discipline).
+    * Day arithmetic stays integral (micros DIV, the Events discipline).
     */
   def dailyNewUsers(events: DataFrame): DataFrame = {
-    val ev = events.select(expr("ts div 86400000000000").as("day"),
+    val ev = events.select(expr(s"ts div $MicrosPerDay").as("day"),
       col("user_id"))
     val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
     val daily = ev.groupBy(col("day"))

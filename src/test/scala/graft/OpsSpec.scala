@@ -180,7 +180,7 @@ class OpsSpec extends GraftSuite {
   }
 
   test("Profile.psi is invariant under swapping the segments") {
-    // events parquet is TIMESTAMP(NANOS) — must go through Events.readRaw
+    // Events.readRaw normalizes the fixture's ts encoding to epoch micros
     val df = graft.streaming.Events.readRaw(spark, "/root/testdata/sf0.001")
       .withColumn("ref", col("event_id") % 3 === 0)
     val a = Profile.psi(df, "event_type", "value", "ref", 8, 0.0, 500.0)
@@ -1178,7 +1178,8 @@ class OpsSpec extends GraftSuite {
   test("streamingHourlyClosed (append) emits exactly the watermark-closed windows") {
     val dir = "target/tmp/st04spec_in"
     val h = 3600L * 1000000L // one hour of microseconds
-    // NOTE: fixture ts is NANOS (Events corpus convention: readStream does ts div 1000)
+    // NOTE: a plain-LONG ts column takes Events' nanos fallback path
+    // (readStream does ts div 1000), so this synthetic fixture is nanos
     val rows = Seq(
       (1L, 0L * h, "click", 1.0), (2L, 0L * h + h / 2, "click", 2.0),
       (3L, 1L * h, "view", 3.0), (4L, 2L * h, "click", 4.0),

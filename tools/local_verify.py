@@ -123,7 +123,33 @@ def check(name, got_tbl, want_tbl):
     return True, None
 
 
+def fixture_fingerprint():
+    """Print the testdata fixture identity this verification ran against.
+
+    Round-8 lesson (VERDICT #2): the driver regenerated events.parquet
+    with a different ts logical type (nanos -> micros) between sessions,
+    silently staling a cached "all green" claim. Any recorded strict
+    count is only valid for the fingerprint it was produced against.
+    """
+    import pyarrow.parquet as pq
+    parts = []
+    for t in TABLES:
+        p = Path(f"{SFDIR}/{t}.parquet")
+        if not p.exists():
+            continue
+        f = pq.ParquetFile(p)
+        sig = ",".join(f"{fl.name}:{fl.type}" for fl in f.schema_arrow)
+        parts.append(f"{t}(rows={f.metadata.num_rows};{sig})")
+    fp = " ".join(parts)
+    import hashlib
+    print(f"[local_verify] fixture sha={hashlib.sha256(fp.encode()).hexdigest()[:16]} "
+          f"events.ts={pq.ParquetFile(f'{SFDIR}/events.parquet').schema_arrow.field('ts').type}")
+    for part in parts:
+        print(f"[local_verify] fixture {part}")
+
+
 def main():
+    fixture_fingerprint()
     if "--skip-run" not in sys.argv:
         run_verify()
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
