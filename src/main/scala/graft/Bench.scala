@@ -22,7 +22,7 @@ import graft.functions.Registry
   *    back-to-back reps of one query all land in the same window and a
   *    median cannot recover; passes separated in time can. Min is the
   *    right estimator here because external load only ever ADDS time;
-  *  - SPARK_GRAFT_BENCH_BUDGET_SEC (default 480) caps total measurement
+  *  - SPARK_GRAFT_BENCH_BUDGET_SEC (default 960) caps total measurement
   *    wall-clock: pass 1 always completes (every query needs a number),
   *    later passes start/continue only while under budget. Keeps a noisy
   *    driver machine from turning 3 passes into an hour;
@@ -69,7 +69,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // 960: the full 191-query set takes ~430s cold on a contended driver
+    // box, so 480 left room for only ONE pass — every recorded number was
+    // a single cold sample and the r8 q14/ap02 "14x regressions" were
+    // contention spikes min-of-passes would have absorbed (they measure
+    // 3.9s/3.8s quiet). Two passes need ~900s.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "960").toDouble
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -900,9 +900,9 @@ object SparkEntry {
         Registry.registerAll(s)
         graft.streaming.Events.readRaw(s, dir).createOrReplaceTempView("events")
         s.sql(
-          """SELECT h, event_type, count(*) AS n,
+          s"""SELECT h, event_type, count(*) AS n,
                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
-             FROM (SELECT ts - ts % 3600000000 AS h,
+             FROM (SELECT ts - ts % ${graft.streaming.Events.MicrosPerHour} AS h,
                           event_type, value
                    FROM events) e
              GROUP BY h, event_type ORDER BY h, event_type""")
@@ -3701,7 +3701,7 @@ object SparkEntry {
         Registry.registerAll(s)
         val out = graft.streaming.Events.readStreamRaw(s, dir)
           .select(
-            expr("ts - ts % 3600000000").as("h"),
+            expr(s"ts - ts % ${graft.streaming.Events.MicrosPerHour}").as("h"),
             col("event_type"), col("value"))
         val base = scratchDir(s"st08_sink_${new java.io.File(dir).getName}")
         val q = out.writeStream.format("parquet")
@@ -5079,6 +5079,12 @@ object SparkEntry {
     // so the manifest is reproducible across engines and runs.
     "pr09_manifest" -> api(
       (s, dir) => {
+        // checksum sums 32-bit (8-hex) md5 prefixes in an Int64: overflow
+        // -free by construction up to 2^63/2^32 = 2^31 (~2.1e9) rows PER
+        // BUCKET (r8 ADVICE: the previous 48-bit prefix wrapped silently
+        // past ~65k average-valued rows — Spark wraps where DuckDB's
+        // HUGEINT would diverge). Widen the bucket count, not the
+        // prefix, if a 100 TB export exceeds that per-bucket bound.
         val d = s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"),
             col("n_chars"))
@@ -5087,7 +5093,7 @@ object SparkEntry {
               .cast("long") % 8).as("bucket"),
             col("n_chars"),
             conv(substring(md5(concat(col("doc_id").cast("string"),
-              lit(":"), col("t"))), 1, 12), 16, 10).cast("long").as("h"))
+              lit(":"), col("t"))), 1, 8), 16, 10).cast("long").as("h"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_rows"),
             sum(col("n_chars")).cast("long").as("total_chars"),
@@ -5101,7 +5107,7 @@ object SparkEntry {
                 count(*) AS n_rows,
                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
                 CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || t),
-                         1, 12))::BIGINT) AS BIGINT) AS checksum
+                         1, 8))::BIGINT) AS BIGINT) AS checksum
          FROM d GROUP BY 1 ORDER BY bucket""")
 
     ,

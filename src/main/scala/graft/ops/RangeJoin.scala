@@ -27,21 +27,41 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor-division of a numeric column by a positive width, in
+    * LONG arithmetic throughout. `floor(col / width)` would promote to
+    * DOUBLE, and for |values| >= 2^53 the explode-side and point-side
+    * bucket computations could round differently and silently drop pairs
+    * (r8 ADVICE); `l - pmod(l, w)` is an exact multiple of `w`, so the
+    * integral divide is exact and truncation equals floor even for
+    * negative values.
+    */
+  private def floorDiv(c: Column, width: Long): Column = {
+    val l = c.cast("long")
+    call_function("div", l - pmod(l, lit(width)), lit(width))
+  }
+
+  private def reserve(df: DataFrame, side: String): Unit =
+    require(!df.columns.contains("__rb"),
+      s"column name '__rb' is reserved by RangeJoin ($side input has it)")
+
   /** Inner-join `points` to `intervals` where
     * `points(pointCol) BETWEEN intervals(loCol) AND intervals(hiCol)`.
-    * All three columns must be numeric (cast dates to day numbers with
-    * `datediff`); rows with null bounds/points drop (SQL BETWEEN
-    * semantics). Output: all columns of both inputs.
+    * All three columns must be integral-valued numerics (cast dates to
+    * day numbers with `datediff`); rows with null bounds/points drop
+    * (SQL BETWEEN semantics). Output: all columns of both inputs. The
+    * name `__rb` is reserved (rejected if either input carries it).
     */
   def bucketedRangeJoin(points: DataFrame, pointCol: String,
                         intervals: DataFrame, loCol: String, hiCol: String,
                         width: Long): DataFrame = {
     require(width > 0, "bucket width must be positive")
-    val pb = points.withColumn("__rb", floor(col(pointCol) / width))
+    reserve(points, "points"); reserve(intervals, "intervals")
+    val pb = points.withColumn("__rb", floorDiv(col(pointCol), width))
     val ib = intervals
       .filter(col(loCol) <= col(hiCol))
       .withColumn("__rb",
-        explode(sequence(floor(col(loCol) / width), floor(col(hiCol) / width))))
+        explode(sequence(floorDiv(col(loCol), width),
+          floorDiv(col(hiCol), width))))
     pb.join(ib, Seq("__rb"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__rb")
@@ -59,23 +79,26 @@ object RangeJoin {
     * free inside the codegen'd residual filter.
     *
     * Column names must be disjoint across the two inputs (same contract
-    * as a plain join).
+    * as a plain join), and `__rb` is reserved (rejected on either side).
     */
   def bucketedOverlapJoin(left: DataFrame, lLo: String, lHi: String,
                           right: DataFrame, rLo: String, rHi: String,
                           width: Long): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    reserve(left, "left"); reserve(right, "right")
     val lb = left
       .filter(col(lLo) <= col(lHi))
       .withColumn("__rb",
-        explode(sequence(floor(col(lLo) / width), floor(col(lHi) / width))))
+        explode(sequence(floorDiv(col(lLo), width),
+          floorDiv(col(lHi), width))))
     val rb = right
       .filter(col(rLo) <= col(rHi))
       .withColumn("__rb",
-        explode(sequence(floor(col(rLo) / width), floor(col(rHi) / width))))
+        explode(sequence(floorDiv(col(rLo), width),
+          floorDiv(col(rHi), width))))
     lb.join(rb, Seq("__rb"))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
-      .filter(col("__rb") === floor(greatest(col(lLo), col(rLo)) / width))
+      .filter(col("__rb") === floorDiv(greatest(col(lLo), col(rLo)), width))
       .drop("__rb")
   }
 }

@@ -413,6 +413,32 @@ class OpsSpec extends GraftSuite {
     assert(got == Seq(3L))
   }
 
+  test("RangeJoin buckets exactly beyond 2^53 and rejects a taken __rb") {
+    // magnitudes past a double's exact-integer range: floor(x/w) in
+    // doubles rounds 2^53+1 and 2^53+width-1 into the SAME double, so
+    // the old formulation could mis-bucket; the integral floorDiv must
+    // keep the match (r8 ADVICE)
+    val base = 1L << 53
+    val pts = Seq((1L, base + 3L), (2L, -base - 3L)).toDF("pid", "t")
+    val ivs = Seq((10L, base + 1L, base + 5L), (20L, -base - 5L, -base - 1L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.bucketedRangeJoin(pts, "t", ivs, "lo", "hi", 4)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+    val ov = RangeJoin.bucketedOverlapJoin(
+        Seq((1L, base + 1L, base + 5L)).toDF("a_id", "a_lo", "a_hi"),
+        "a_lo", "a_hi",
+        Seq((2L, base + 4L, base + 9L)).toDF("b_id", "b_lo", "b_hi"),
+        "b_lo", "b_hi", 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ov.toSeq == Seq((1L, 2L)))
+    val taken = Seq((1L, 5L, 0L)).toDF("pid", "t", "__rb")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.bucketedRangeJoin(taken, "t", ivs, "lo", "hi", 4)
+    }
+    assert(ex.getMessage.contains("__rb"))
+  }
+
   test("tfidfTopTerms ranks corpus-rare terms above ubiquitous ones") {
     val docs2 = Seq(
       (1L, "zebra common common common"),
