@@ -4227,6 +4227,91 @@ object SparkEntry {
 
     ,
 
+    // Small-file compaction — the maintenance job every 100 TB table
+    // runs: rewrite a table into ~target-sized files (range-partitioned
+    // by key so the layout stays pruning-friendly), then PROVE the
+    // rewrite moved every row unchanged. Gates: row count +
+    // order-insensitive content checksum vs the source (32-bit md5
+    // prefixes summed, pr09's overflow-free discipline) and the ACTUAL
+    // file count vs the planned one (an empty range partition would
+    // leak the real count and turn the row red). The 1-row sum().first()
+    // is control-plane staging for the plan parameter — the same
+    // legitimate tier as centroid/codebook collects, not a data-path
+    // collect.
+    "io11_compaction" -> api(
+      (s, dir) => {
+        val src = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+        val targetChars = 400000L
+        val totalChars = src.agg(sum(length(col("t")))).first().getLong(0)
+        val planned = math.max(1L,
+          math.ceil(totalChars.toDouble / targetChars).toLong)
+        val out = scratchDir(s"io11_${new java.io.File(dir).getName}")
+        src.repartitionByRange(planned.toInt, col("doc_id"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          // project the file name first: non-deterministic expressions
+          // may not appear inside aggregate arguments
+          .withColumn("__f", input_file_name())
+          .agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), col("t"))), 1, 8), 16, 10).cast("long"))
+              .as("checksum"),
+            count_distinct(col("__f")).as("__nf"))
+          .select(col("n_rows"), col("checksum"),
+            when(col("__nf") === planned, lit(planned)).otherwise(col("__nf"))
+              .as("n_files"))
+      },
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+         SELECT count(*) AS n_rows,
+                CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                         || ':' || t), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+                greatest(1, CAST(ceil(CAST(sum(length(t)) AS DOUBLE)
+                         / 400000) AS BIGINT)) AS n_files
+         FROM d""")
+
+    ,
+
+    // DYNAMIC partition overwrite — the incremental-backfill write mode
+    // a day-partitioned 100 TB table lives by: rewrite ONLY the
+    // partitions present in the patch, leave every other day's files
+    // untouched. The query seeds a day-partitioned copy of events,
+    // patches one day with doubled values via
+    // partitionOverwriteMode=dynamic, reads the table back and
+    // aggregates per event_type — green iff the patched day changed,
+    // no other day did, and no rows were lost or appended (static
+    // overwrite mode would have wiped the other 29 days; the oracle's
+    // CASE re-derivation would turn every untouched day red).
+    "io12_dynamic_overwrite" -> api(
+      (s, dir) => {
+        val MpD = graft.streaming.Events.MicrosPerDay
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .withColumn("day", expr(s"ts div $MpD"))
+          .select(col("event_id"), col("day"), col("event_type"), col("value"))
+        val out = scratchDir(s"io12_${new java.io.File(dir).getName}")
+        ev.write.partitionBy("day").mode("overwrite").parquet(out)
+        val d0 = 19723L // first corpus day (span 19723-19752 at every SF)
+        ev.filter(col("day") === d0)
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("day").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy(col("event_type"))
+      },
+      s"""WITH ev AS (SELECT event_type, value,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(CASE WHEN day = 19723
+                         THEN value * 2 ELSE value END * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM ev GROUP BY event_type ORDER BY event_type""")
+
+    ,
+
     // Per-dimension embedding QA card: mean/std/min/max for each of the
     // 64 dims in one posexplode + keyed aggregation. Output is dims
     // rows regardless of corpus size; round(,6) absorbs merge-order
@@ -4503,6 +4588,49 @@ object SparkEntry {
          FROM latest WHERE rn = 1 AND NOT deleted
          GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 
+    // MERGE with automatic SCHEMA EVOLUTION (Cdc.upsertEvolved): the
+    // update batch carries a column the base lacks (priority) and omits
+    // one it has (o_totalprice) — alignment is by name, the missing side
+    // null-fills, and untouched base rows surface the new column as
+    // null. The oracle replays the same widen-then-latest-wins MERGE
+    // relationally. One shuffle on the key, same as plain u01.
+    "u04_upsert_evolved" -> api(
+      (s, dir) => {
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+        val base = orders
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("ver", lit(0L))
+        val upd = orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            lit("U").as("o_orderstatus"),
+            (col("o_orderkey") % 3).cast("long").as("priority"))
+          .withColumn("ver", lit(1L))
+        graft.ops.Cdc.upsertEvolved(base, upd, Seq("o_orderkey"), "ver")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            count(col("priority")).as("n_priority"),
+            sum(col("priority")).cast("long").as("sum_priority"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """WITH changes AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS ver,
+                  CAST(NULL AS BIGINT) AS priority FROM orders
+           UNION ALL
+           SELECT o_orderkey, 'U', CAST(NULL AS DOUBLE), 1, o_orderkey % 3
+           FROM orders WHERE o_orderkey % 5 = 0),
+         latest AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY ver DESC) AS rn
+           FROM changes)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                count(priority) AS n_priority,
+                CAST(sum(priority) AS BIGINT) AS sum_priority
+         FROM latest WHERE rn = 1
+         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
     // Growth accounting: per-day events, exact actives, first-seen
     // ("new") users and the cumulative user count. The cumulative window
     // runs over the #days rollup, never the event volume.
@@ -4522,6 +4650,50 @@ object SparkEntry {
                      (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
                   AS cum_users
          FROM d LEFT JOIN nu USING (day) ORDER BY d.day"""),
+
+    // Rolling 7-day active users (DAU/WAU/stickiness): exact distinct
+    // users per day AND per trailing 7-day window, joined into the
+    // engagement card. Rolling DISTINCT does not decompose into a window
+    // frame, so the scale trick is: dedup to (day, user) FIRST (the only
+    // pass over event volume), then explode each such row to the ≤7
+    // trailing days it supports and count distinct per day — the
+    // expansion runs on the deduped relation (days×users), never raw
+    // events, and 7 is the window constant, not data-driven. Days beyond
+    // the observed span are clipped so both engines cover exactly
+    // [min_day, max_day]. Stickiness rounds to 6.
+    "e10_rolling_active" -> api(
+      (s, dir) => {
+        val MpD = graft.streaming.Events.MicrosPerDay
+        val du = graft.streaming.Events.readRaw(s, dir)
+          .select(expr(s"ts div $MpD").as("day"), col("user_id"))
+          .distinct()
+        val span = du.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+        val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"),
+            col("day") + 6)).as("day"), col("user_id"))
+          .groupBy(col("day"))
+          .agg(count_distinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day"))
+          .join(broadcast(span),
+            col("day") >= col("__lo") && col("day") <= col("__hi"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+          .orderBy(col("day"))
+      },
+      """WITH du AS (SELECT DISTINCT
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  user_id FROM events),
+         span AS (SELECT min(day) AS lo, max(day) AS hi FROM du),
+         dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+         ex AS (SELECT d.day + u.g AS day, d.user_id
+                 FROM du d CROSS JOIN
+                      (SELECT unnest(generate_series(0, 6)) AS g) u),
+         w AS (SELECT day, count(DISTINCT user_id) AS wau FROM ex GROUP BY 1)
+         SELECT dau.day, dau.dau, w.wau,
+                round(CAST(dau.dau AS DOUBLE) / w.wau, 6) AS stickiness
+         FROM dau JOIN w USING (day) JOIN span ON day BETWEEN lo AND hi
+         ORDER BY day"""),
 
     // INTERVAL arithmetic — month-end clamping (Jan 31 + 1 month =
     // Feb 29), day offsets, and week/quarter truncation; same text in
@@ -5109,6 +5281,33 @@ object SparkEntry {
                 CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || t),
                          1, 8))::BIGINT) AS BIGINT) AS checksum
          FROM d GROUP BY 1 ORDER BY bucket""")
+
+    ,
+
+    // Shuffle-key skew profile (graft.ops.Profile.keySkew): exact key
+    // cardinality, heaviest-key / top-5 share and the Gini coefficient
+    // of the per-key count distribution — the pre-shot diagnostic before
+    // committing a join or aggregation key at 100 TB. The Gini rank-sum
+    // runs over a count-of-counts rollup (one row per DISTINCT per-key
+    // count), never a per-key global sort; the oracle re-derives it with
+    // an explicit per-key ranking, so a green hash proves the tie-run
+    // closed form equals the naive formula.
+    "pr10_key_skew" -> api(
+      (s, dir) => graft.ops.Profile.keySkew(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_suppkey", topK = 5),
+      """WITH c AS (SELECT l_suppkey, count(*) AS c
+                    FROM lineitem GROUP BY 1),
+         r AS (SELECT c, row_number() OVER (ORDER BY c) AS i FROM c),
+         t AS (SELECT count(*) AS n, sum(c) AS tot, max(c) AS mx,
+                      sum(i * c) AS ric FROM r),
+         tp AS (SELECT sum(c) AS top5 FROM
+                  (SELECT c FROM c ORDER BY c DESC LIMIT 5))
+         SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS n_rows,
+                round(CAST(mx AS DOUBLE) / tot, 6) AS max_share,
+                round(CAST(top5 AS DOUBLE) / tot, 6) AS top_share,
+                round(2.0 * ric / (CAST(n AS DOUBLE) * tot)
+                      - (n + 1.0) / n, 6) AS gini
+         FROM t, tp""")
 
     ,
 

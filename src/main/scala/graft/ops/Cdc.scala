@@ -28,10 +28,27 @@ object Cdc {
     * INSERT with deterministic last-writer-wins semantics.
     */
   def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
-             versionCol: String): DataFrame = {
+             versionCol: String): DataFrame =
+    fold(base, updates, keyCols, versionCol, evolve = false)
+
+  /** [[upsert]] with schema evolution: `updates` may carry columns
+    * `base` lacks (and vice versa) — alignment is by NAME with the
+    * missing side null-filled, the MERGE-with-automatic-schema-evolution
+    * behavior of lakehouse table formats. Existing rows surface the new
+    * columns as null until an update touches them. Same single-shuffle
+    * cost; the payload tiebreak hashes the UNION schema, so it stays
+    * deterministic whichever side a column came from.
+    */
+  def upsertEvolved(base: DataFrame, updates: DataFrame,
+                    keyCols: Seq[String], versionCol: String): DataFrame =
+    fold(base, updates, keyCols, versionCol, evolve = true)
+
+  private def fold(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                   versionCol: String, evolve: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     val tagged = base.withColumn("__chg", lit(0))
-      .unionByName(updates.withColumn("__chg", lit(1)))
+      .unionByName(updates.withColumn("__chg", lit(1)),
+        allowMissingColumns = evolve)
     // final payload-hash tiebreak: if one side carries two rows with the
     // same (key, version), the winner must not depend on partition order —
     // without it the sort below is tied and "last writer" is whichever

@@ -146,4 +146,65 @@ object Profile {
         round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))),
           6).as("psi"))
   }
+
+  /** Shuffle-key skew profile: would partitioning on `keyCol` distribute
+    * evenly? One row of summary statistics over the PER-KEY row counts —
+    * key cardinality, the heaviest key's share of all rows, the combined
+    * share of the `topK` heaviest keys, and the Gini coefficient of the
+    * count distribution (0 = perfectly even, →1 = one key owns
+    * everything). The pre-shot diagnostic before committing a join or
+    * aggregation to a key at 100 TB — a max_share near 1/partitions
+    * means one straggler task; the fix is salting ([[Skew]]) or a
+    * different key.
+    *
+    * Scale shape: ONE keyed count with map-side combine (the same
+    * shuffle the diagnosed job would pay) collapses the corpus to
+    * #keys rows, then a SECOND rollup to count-of-counts — one row per
+    * DISTINCT per-key count, a relation small enough to window globally
+    * even when keys number in the billions (counts repeat heavily). The
+    * Gini rank-sum Σ i·c_i is exact anyway: keys tied at count c occupy
+    * a contiguous rank run [lo, hi] and contribute c·Σ_{lo..hi} i
+    * regardless of their order within the run, so no per-key ranking is
+    * ever materialized. Null keys count as a key (they hash to one
+    * partition like any value).
+    *
+    * Gini = (2·Σ_i i·c_i) / (n·Σ c_i) − (n+1)/n over counts c_1 ≤ … ≤
+    * c_n, exact, not sampled. Shares and gini round to 6 places.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1L)).as("__c"))
+    val cc = counts.groupBy(col("__c")).agg(count(lit(1L)).as("__f"))
+    // ascending cumulative key-frequency = the rank run's upper end;
+    // descending cumulative = how many keys are at-or-above this count
+    // (for the topK share, greedily filled from the heaviest run down)
+    val asc = Window.orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cc
+      .withColumn("__hi", sum(col("__f")).over(asc))
+      .withColumn("__dcum", sum(col("__f")).over(desc))
+      .select(col("__c"), col("__f"), col("__hi"), col("__dcum"))
+      .agg(
+        sum(col("__f")).as("n_keys"),
+        sum(col("__c") * col("__f")).as("n_rows"),
+        max(col("__c")).as("__maxc"),
+        // rank run for count __c is [__hi-__f+1, __hi]; Σ_{run} i in the
+        // cancellation-free closed form f·(2·hi − f + 1)/2, in doubles
+        // (exact to 2^53 — far past any real key cardinality)
+        sum(col("__c").cast("double") * col("__f").cast("double")
+          * (lit(2.0) * col("__hi") - col("__f") + lit(1.0)) / lit(2.0))
+          .as("__ric"),
+        sum(col("__c") * greatest(lit(0L),
+          least(col("__f"), lit(topK.toLong) - (col("__dcum") - col("__f")))))
+          .as("__topn"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("__maxc").cast("double") / col("n_rows"), 6).as("max_share"),
+        round(col("__topn").cast("double") / col("n_rows"), 6).as("top_share"),
+        round(lit(2.0) * col("__ric")
+            / (col("n_keys").cast("double") * col("n_rows"))
+          - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
 }

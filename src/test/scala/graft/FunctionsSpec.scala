@@ -21,6 +21,22 @@ class FunctionsSpec extends GraftSuite {
     assert(one("e()").getDouble(0) == math.E)
   }
 
+  test("np.* on-demand extensions: clip/where/round/rint/trunc/exp2/hypot") {
+    assert(one("np.clip(7, 0, 5)").getInt(0) == 5)
+    assert(one("np.clip(-3, 0, 5)").getInt(0) == 0)
+    assert(one("np.where(x > 0, 'pos', 'neg')").getString(0) == "pos")
+    // double casts: bare 2.345 parses as DECIMAL and Round/BRound would
+    // answer in decimal (numpy semantics are float)
+    assert(one("np.round(cast(2.345 as double), 2)").getDouble(0) == 2.35)
+    // rint is half-to-even like numpy: 0.5 -> 0, 1.5 -> 2
+    assert(one("np.rint(cast(0.5 as double))").getDouble(0) == 0.0)
+    assert(one("np.rint(cast(1.5 as double))").getDouble(0) == 2.0)
+    assert(one("np.trunc(2.9)").getDouble(0) == 2.0)
+    assert(one("np.trunc(-2.9)").getDouble(0) == -2.0)
+    assert(one("np.exp2(10)").getDouble(0) == 1024.0)
+    assert(one("np.hypot(3, 4)").getDouble(0) == 5.0)
+  }
+
   test("now() is within tolerance of the JVM clock (reference :1568-1582)") {
     val got = one("cast(now() as long)").getLong(0)
     assert(math.abs(got - System.currentTimeMillis() / 1000) < 60)

@@ -157,6 +157,43 @@ class OpsSpec extends GraftSuite {
     assert(out == Map(2L -> (("B", 2L)), 3L -> (("c", 0L)), 4L -> (("d", 0L))))
   }
 
+  test("upsertEvolved: updates may add columns; base rows null-fill them") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "ver")
+    val upd = Seq((2L, "B", 1L, 9L), (3L, "C", 1L, 7L))
+      .toDF("k", "v", "ver", "extra")
+    val out = Cdc.upsertEvolved(base, upd, Seq("k"), "ver")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+      .toMap
+    assert(out == Map(1L -> (("a", None)), 2L -> (("B", Some(9L))),
+      3L -> (("C", Some(7L)))))
+    // plain upsert still rejects schema drift (no silent widening)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Cdc.upsert(base, upd, Seq("k"), "ver")
+    }
+    ()
+  }
+
+  test("keySkew matches the naive per-key ranking formula") {
+    // skewed counts with heavy ties: 1 key x 60, 3 x 10, 6 x 1
+    val rows = (0 until 60).map(_ => "hot") ++
+      (0 until 3).flatMap(k => (0 until 10).map(_ => s"warm$k")) ++
+      (0 until 6).map(i => s"cold$i")
+    val df = rows.toDF("k")
+    val got = Profile.keySkew(df, "k", topK = 5).collect()(0)
+    val counts = rows.groupBy(identity).map(_._2.size.toLong).toSeq.sorted
+    val n = counts.size.toLong
+    val tot = counts.sum
+    val ric = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gini = 2.0 * ric / (n * tot) - (n + 1.0) / n
+    assert(got.getLong(0) == n && got.getLong(1) == tot)
+    assert(got.getDouble(2) == math.rint(60.0 / tot * 1e6) / 1e6)
+    // top5 = hot(60) + 3 warm(10) + one cold(1)
+    assert(got.getDouble(3) == math.rint(91.0 / tot * 1e6) / 1e6)
+    assert(math.abs(got.getDouble(4) - gini) < 1e-6)
+  }
+
   test("normalizeUrl is idempotent over the crawl-variant grid") {
     // 2*3*2*3*2 = 72 combinations of scheme case x host case/port x
     // path tail x query debris x fragment — a fixed grid standing in
