@@ -4631,6 +4631,61 @@ object SparkEntry {
          FROM latest WHERE rn = 1
          GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 
+    // Incremental aggregate maintenance (Cdc.maintainCountSum): a
+    // (count, cents) rollup kept in sync with a LWW delta by ALGEBRA —
+    // (+1,+v) for winning delta rows, (−1,−v) for the base rows they
+    // replace — never rescanning the base table. The delta exercises all
+    // three cases: replace (group flips to 'X', price rescaled), stale
+    // update (older version, must not adjust), fresh insert (new keys,
+    // new group 'N'). The oracle recomputes the rollup from the FULL
+    // fold, so a green hash proves incremental == recompute exactly
+    // (long cents make the sums drift-free by construction).
+    "u05_agg_maintenance" -> api(
+      (s, dir) => {
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+        val base = orders.select(col("o_orderkey").as("k"),
+            col("o_orderstatus").as("g"),
+            round(col("o_totalprice") * 100).cast("long").as("v"))
+          .withColumn("ver", lit(0L))
+        val delta = orders.filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey").as("k"), lit("X").as("g"),
+            round(col("o_totalprice") * 110).cast("long").as("v"),
+            lit(1L).as("ver"))
+          .unionByName(orders.filter(col("o_orderkey") % 4 === 2)
+            .select(col("o_orderkey").as("k"), col("o_orderstatus").as("g"),
+              round(col("o_totalprice") * 100).cast("long").as("v"),
+              lit(-1L).as("ver")))
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 0)
+            .select((col("o_orderkey") + 10000000L).as("k"), lit("N").as("g"),
+              round(col("o_totalprice") * 100).cast("long").as("v"),
+              lit(1L).as("ver")))
+        val oldAgg = base.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        graft.ops.Cdc.maintainCountSum(base, delta, Seq("k"), "ver",
+            "g", "v", oldAgg)
+          .orderBy(col("g"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                  0 AS ver, 0 AS chg FROM orders),
+         delta AS (
+           SELECT o_orderkey, 'X',
+                  CAST(round(o_totalprice * 110) AS BIGINT), 1, 1
+           FROM orders WHERE o_orderkey % 4 = 1
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT), -1, 1
+           FROM orders WHERE o_orderkey % 4 = 2
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'N',
+                  CAST(round(o_totalprice * 100) AS BIGINT), 1, 1
+           FROM orders WHERE o_orderkey % 10 = 0),
+         allr AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+         latest AS (SELECT *, row_number() OVER (PARTITION BY k
+                      ORDER BY ver DESC, chg DESC) AS rn FROM allr)
+         SELECT g, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+         FROM latest WHERE rn = 1 GROUP BY g ORDER BY g"""),
+
     // Growth accounting: per-day events, exact actives, first-seen
     // ("new") users and the cumulative user count. The cumulative window
     // runs over the #days rollup, never the event volume.
@@ -4905,6 +4960,46 @@ object SparkEntry {
                 round(avg(l_extendedprice)
                       FILTER (WHERE l_tax < 0.04), 6) AS cheap_tax_avg
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Reaggregatable DataSketches HLL — THE pre-aggregated-rollup
+    // pattern at 100 TB: per-day user sketches (computed once, stored
+    // next to the rollup) UNION to any coarser grain without rescanning
+    // events. Strict-oracled through error-gate contracts (ap01
+    // mechanics): per-day estimates and the union-of-sketches global
+    // estimate are gated against exact distinct counts computed in-plan;
+    // bounds hold deterministically (DataSketches HLL is deterministic
+    // for fixed input; lgConfigK=12 ⇒ σ≈1.6%).
+    "g13_sketch_union" -> api(
+      (s, dir) => {
+        val MpD = graft.streaming.Events.MicrosPerDay
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .select(expr(s"ts div $MpD").as("day"), col("user_id"))
+        val daily = ev.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+            count_distinct(col("user_id")).as("nd"))
+        val dailyGate = daily
+          .select((abs(hll_sketch_estimate(col("sk")) - col("nd"))
+            .cast("double") / col("nd")).as("__e"))
+          .agg(count(lit(1)).as("n_days"), max(col("__e")).as("__me"))
+        val union = daily
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("__gest"))
+        val exact = ev.agg(count_distinct(col("user_id")).as("n_users"))
+        dailyGate.crossJoin(broadcast(union)).crossJoin(broadcast(exact))
+          .select(col("n_days"), col("n_users"),
+            when(col("__me") <= 0.05, lit(0.05)).otherwise(col("__me"))
+              .as("daily_err_bound"),
+            when(abs(col("__gest") - col("n_users")).cast("double")
+                / col("n_users") <= 0.05, lit(0.05))
+              .otherwise(abs(col("__gest") - col("n_users")).cast("double")
+                / col("n_users")).as("union_err_bound"))
+      },
+      """SELECT CAST(count(DISTINCT CAST(epoch_us(ts) // 86400000000
+                     AS BIGINT)) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(0.05 AS DOUBLE) AS daily_err_bound,
+                CAST(0.05 AS DOUBLE) AS union_err_bound
+         FROM events"""),
 
     // lead/lag with explicit offsets and defaults — the gap-tolerant
     // form (offset 3, constant fallback); same text in both engines.

@@ -89,4 +89,56 @@ object Cdc {
     history.withColumn(effToCol,
       coalesce(lead(col(versionCol), 1).over(w), lit(openEnd)))
   }
+
+  /** Incremental aggregate maintenance — keep a (count, sum) rollup in
+    * sync with a last-writer-wins delta WITHOUT rescanning the base
+    * table: the materialized-view fold every warehouse does nightly,
+    * done as algebra. For each delta key the winning row (vs the base
+    * row, version tiebreak toward the delta like [[upsert]]) contributes
+    * (+1, +value) to its group and, when it REPLACES a base row, that
+    * row contributes (−1, −value) to its OLD group; the adjustments
+    * collapse to one tiny per-group frame folded into `oldAgg`.
+    *
+    * Contracts: `oldAgg` has columns (`groupCol`, n, sv) — exactly what
+    * this function returns, so folds chain; `valueCol` should be an
+    * exact type (long cents, not double) or the incremental sum will
+    * drift from a recompute by float merge order; base must hold at most
+    * one row per key (it is a snapshot). Groups whose count reaches 0
+    * drop.
+    *
+    * Scale shape: one delta-sized window, one key-equi-join of the delta
+    * against base (bucket base by key — Skew.writeBucketed — and the
+    * probe never reshuffles the snapshot), one aggregation of
+    * delta-sized adjustments, one join with the #groups-sized rollup.
+    * Work tracks |delta|, never |base| — the entire point.
+    */
+  def maintainCountSum(base: DataFrame, delta: DataFrame,
+                       keyCols: Seq[String], versionCol: String,
+                       groupCol: String, valueCol: String,
+                       oldAgg: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        xxhash64(delta.columns.map(col): _*))
+    val dLatest = delta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val b = base.select(
+      keyCols.map(col) ++ Seq(col(versionCol).as("__bver"),
+        col(groupCol).as("__bg"), col(valueCol).as("__bv")): _*)
+    // delta wins on version ties (the upsert __chg convention)
+    val j = dLatest.join(b, keyCols, "left")
+      .filter(col("__bver").isNull || col(versionCol) >= col("__bver"))
+    val adj = j.select(col(groupCol).as("__g"), lit(1L).as("__dn"),
+        col(valueCol).cast("long").as("__dv"))
+      .unionByName(j.filter(col("__bver").isNotNull)
+        .select(col("__bg").as("__g"), lit(-1L).as("__dn"),
+          (-col("__bv")).cast("long").as("__dv")))
+      .groupBy(col("__g"))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__dv")).as("__dv"))
+    oldAgg.join(adj, oldAgg(groupCol) === adj("__g"), "full")
+      .select(coalesce(col(groupCol), col("__g")).as(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("sv"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sv"))
+      .filter(col("n") > 0)
+  }
 }

@@ -16,6 +16,39 @@ class OpsSpec extends GraftSuite {
     (5L, "der schnelle braune fuchs springt und ist nicht mit auf zu haus")
   ).toDF("doc_id", "text")
 
+  test("Events.readRaw normalizes micros-timestamp and nanos-long fixtures identically") {
+    // the r8 fixture regeneration flipped events.ts from TIMESTAMP(NANOS)
+    // to timestamp[us] and silently broke every raw-time query; this pin
+    // builds BOTH encodings of the same instants and asserts the reader
+    // lands on identical canonical epoch-micros longs
+    import java.nio.file.Files
+    val us = Seq(0L, 1L, 1700000000000000L, 1700000003141593L)
+    def writeFixture(rows: org.apache.spark.sql.DataFrame): String = {
+      val dir = Files.createTempDirectory("evunit").toString
+      val raw = s"$dir/raw"
+      rows.coalesce(1).write.mode("overwrite").parquet(raw)
+      val part = new java.io.File(raw).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(dir, "events.parquet"))
+      dir
+    }
+    val base = us.zipWithIndex.map { case (u, i) =>
+      (i.toLong, u, i.toLong, "t", 1.0, "{}") }
+    val nanosDir = writeFixture(base.map { case (id, u, uid, t, v, p) =>
+      (id, u * 1000L, uid, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val microsDir = writeFixture(base
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("cast(timestamp_micros(ts) as timestamp_ntz)")))
+    def got(dir: String): Seq[(Long, Long)] =
+      graft.streaming.Events.readRaw(spark, dir)
+        .select(col("event_id"), col("ts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = base.map { case (id, u, _, _, _, _) => (id, u) }
+    assert(got(nanosDir) == want)
+    assert(got(microsDir) == want)
+  }
+
   test("exactDedup keeps the lowest id per duplicate group") {
     val kept = Dedup.exactDedup(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -192,6 +225,29 @@ class OpsSpec extends GraftSuite {
     // top5 = hot(60) + 3 warm(10) + one cold(1)
     assert(got.getDouble(3) == math.rint(91.0 / tot * 1e6) / 1e6)
     assert(math.abs(got.getDouble(4) - gini) < 1e-6)
+  }
+
+  test("maintainCountSum: chained incremental folds equal a full recompute") {
+    val base = Seq((1L, "a", 10L, 0L), (2L, "a", 20L, 0L), (3L, "b", 30L, 0L))
+      .toDF("k", "g", "v", "ver")
+    val agg0 = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // delta1: replace key 1 into group b, stale update on 2, insert 4
+    val d1 = Seq((1L, "b", 11L, 1L), (2L, "a", 99L, -1L), (4L, "c", 40L, 1L))
+      .toDF("k", "g", "v", "ver")
+    val agg1 = Cdc.maintainCountSum(base, d1, Seq("k"), "ver", "g", "v", agg0)
+    // delta2 folds on TOP of delta1's state: move key 3 to c, drain b
+    val snap1 = Cdc.upsert(base, d1.filter(col("ver") >= 0), Seq("k"), "ver")
+    val d2 = Seq((3L, "c", 31L, 2L), (1L, "c", 12L, 2L))
+      .toDF("k", "g", "v", "ver")
+    val agg2 = Cdc.maintainCountSum(snap1, d2, Seq("k"), "ver", "g", "v", agg1)
+    val want = Cdc.upsert(snap1, d2, Seq("k"), "ver")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(agg2) == m(want))
+    // group 'b' drained to zero must have dropped, not linger at n=0
+    assert(!m(agg2).contains("b"))
   }
 
   test("normalizeUrl is idempotent over the crawl-variant grid") {
