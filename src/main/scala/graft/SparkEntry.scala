@@ -3984,6 +3984,58 @@ object SparkEntry {
                 END AS domain
          FROM n ORDER BY doc_id"""),
 
+    // Crawl-URL deduplication: canonicalize-then-group — the t12
+    // normalizer composed into the d01 exact-dedup shape, which is how a
+    // crawl frontier dedups fetched pages. Every doc gets a crawl-noise
+    // variant (scheme/host case, default port, utm debris, fragment) of
+    // its page URL (page = doc_id % 50), and the group-by on the
+    // CANONICAL form must collapse exactly the variant grid: 50 pages,
+    // min doc_id kept, all variants counted. One map-only normalize +
+    // one hash shuffle on the canonical key.
+    "d16_url_dedup" -> api(
+      (s, dir) => {
+        val T = graft.ops.TextOps
+        val id = col("doc_id")
+        val scheme = when(id % 2 === 0, lit("HTTP://")).otherwise(lit("http://"))
+        val host = when(id % 3 === 0, lit("WWW.Example.COM:80"))
+          .when(id % 3 === 1, lit("www.example.com"))
+          .otherwise(lit("www.EXAMPLE.com:80"))
+        val tail = when(id % 2 === 1,
+          lit("?utm_source=crawl&utm_campaign=x")).otherwise(lit(""))
+        val frag = when(id % 5 === 2, lit("#frag")).otherwise(lit(""))
+        val u = concat(scheme, host, lit("/page/"), id % 50, tail, frag)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(id, T.normalizeUrl(u).as("url"))
+          .groupBy(col("url"))
+          .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+          .orderBy(col("url"))
+      },
+      """WITH r AS (SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM:80'
+                      WHEN doc_id % 3 = 1 THEN 'www.example.com'
+                      ELSE 'www.EXAMPLE.com:80' END)
+             || '/page/' || (doc_id % 50)
+             || (CASE WHEN doc_id % 2 = 1
+                      THEN '?utm_source=crawl&utm_campaign=x' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 2 THEN '#frag' ELSE '' END) AS u
+           FROM documents),
+         n AS (SELECT doc_id,
+             regexp_replace(lower(regexp_extract(u,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+               ':(80|443)$', '')
+             ||
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(
+                 regexp_extract(regexp_replace(u, '#.*$', ''),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$', 1),
+                 '&(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+               '\?(utm_[a-zA-Z]+|fbclid|gclid|ref)=[^&#]*&?', '?', 'g'),
+               '[?&]+$', '', 'g'), '/+\?', '?', 'g'), '/+$', '', 'g') AS url
+           FROM r)
+         SELECT url, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM n GROUP BY url ORDER BY url"""),
+
     // Distribution drift (PSI) between the even/odd event_id cohorts per
     // event type — the train/serve-skew monitor. The two cohorts draw
     // from the same generator so PSI lands near zero, which is exactly
@@ -4749,6 +4801,54 @@ object SparkEntry {
                 round(CAST(dau.dau AS DOUBLE) / w.wau, 6) AS stickiness
          FROM dau JOIN w USING (day) JOIN span ON day BETWEEN lo AND hi
          ORDER BY day"""),
+
+    // Event-rate anomaly detection: flag hours whose count deviates
+    // >= 3 robust-z from the trailing-24-hour mean, per event type — the
+    // ingestion-spike monitor. The z-test is evaluated in INTEGER
+    // algebra — (24n−s)²·23 >= 9·24·(24q−s²) over window sums of counts
+    // — so the strict hash cannot be burned by stddev float accumulation
+    // order. Event volume collapses to the hourly rollup in one shuffle;
+    // the windows ride the #hours relation.
+    "e11_rate_anomaly" -> api(
+      (s, dir) => {
+        val MpH = graft.streaming.Events.MicrosPerHour
+        val hourly = graft.streaming.Events.readRaw(s, dir)
+          .select((col("ts") - col("ts") % MpH).as("h"), col("event_type"))
+          .groupBy(col("h"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val fr = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(-24, -1)
+        val scored = hourly
+          .withColumn("w", count(col("n")).over(fr))
+          .withColumn("s", sum(col("n")).over(fr))
+          .withColumn("q", sum(col("n") * col("n")).over(fr))
+        val eligible = col("w") === 24
+        val flagged = eligible &&
+          (lit(24) * col("n") - col("s")) * (lit(24) * col("n") - col("s")) * 23 >=
+          lit(9) * 24 * (lit(24) * col("q") - col("s") * col("s"))
+        scored.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(eligible.cast("long")).as("n_eligible"),
+            sum(flagged.cast("long")).as("n_flagged"))
+          .orderBy(col("event_type"))
+      },
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         sc AS (SELECT event_type, n,
+                  count(n) OVER fr AS w, sum(n) OVER fr AS s,
+                  sum(n * n) OVER fr AS q
+                FROM hourly
+                WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, count(*) AS n_hours,
+                CAST(sum(CASE WHEN w = 24 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_eligible,
+                CAST(sum(CASE WHEN w = 24 AND
+                       (24*n - s) * (24*n - s) * 23 >= 9 * 24 * (24*q - s*s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         FROM sc GROUP BY event_type ORDER BY event_type"""),
 
     // INTERVAL arithmetic — month-end clamping (Jan 31 + 1 month =
     // Feb 29), day offsets, and week/quarter truncation; same text in

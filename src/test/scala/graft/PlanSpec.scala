@@ -17,9 +17,36 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in d04 plan")
   }
 
-  test("ap01 approx aggregates: sketch-only, no Expand from exact distinct") {
+  test("ap01 approx aggregates: single-distinct planning, no Expand") {
+    // ap01's r9 oracle promotion added ONE exact count_distinct next to
+    // the sketches it gates; Spark's single-distinct rewrite plans that
+    // as two-phase aggregation WITHOUT an Expand (row multiplication
+    // only appears with multiple distinct groups). Pin it so a future
+    // edit that adds a second distinct column — and silently 2x-es the
+    // aggregation input — fails here instead of in the bench.
     val p = planOf("ap01_approx")
-    assert(!p.contains("Expand"), "Expand (exact-distinct rewrite) in ap01 plan")
+    assert(!p.contains("Expand"), "Expand (multi-distinct rewrite) in ap01 plan")
+  }
+
+  test("e10 rolling actives: dedup-then-explode, no cartesian, bounded exchanges") {
+    val p = planOf("e10_rolling_active")
+    assert(!p.contains("CartesianProduct"), "cartesian in e10 plan")
+    assert(p.contains("Generate"), "the x7 explode should appear as Generate")
+    // the 1-row span bound may ride a broadcast nested loop; anything
+    // bigger joining that way would be a scale bug
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex <= 14, s"e10 plan grew to $ex exchanges (incl. AQE reuse)")
+  }
+
+  test("g13 sketch union: single-distinct per grain, no Expand, broadcast gates") {
+    val p = planOf("g13_sketch_union")
+    assert(!p.contains("Expand"), "multi-distinct Expand in g13 plan")
+    assert(!p.contains("CartesianProduct"), "cartesian in g13 plan")
+  }
+
+  test("u05 maintenance: adjustment join is delta-driven, no cartesian") {
+    val p = planOf("u05_agg_maintenance")
+    assert(!p.contains("CartesianProduct"), "cartesian in u05 plan")
   }
 
   test("j01 star join: both dims broadcast, fact side never re-shuffles for them") {
