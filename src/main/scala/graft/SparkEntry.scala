@@ -4913,6 +4913,61 @@ object SparkEntry {
 
     ,
 
+    // Streaming MATERIALIZED-VIEW maintenance: st11's multi-batch replay
+    // but the per-type rollup is maintained INCREMENTALLY with
+    // Cdc.maintainCountSum — each micro-batch adjusts the rollup by its
+    // own delta algebra (work ∝ |batch|), it is never recomputed from
+    // the snapshot. The snapshot still folds along (the subtraction side
+    // needs pre-batch state), exactly how a warehouse keeps view + base
+    // in lockstep. ts is unique per user (st11's probed invariant), so
+    // LWW is admission-order independent and a batch oracle (argmax per
+    // user over the whole corpus, then rollup) gates the incremental
+    // path end to end — including that incremental == recompute.
+    "st12_stream_view_maintenance" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val feed = scratchDir("st12_feed")
+        graft.streaming.Events.readRaw(s, dir)
+          .select(col("user_id").as("k"), col("ts").as("ver"),
+            col("event_type").as("g"),
+            round(col("value") * 100).cast("long").as("v"))
+          .repartitionByRange(3, col("ver"))
+          .write.mode("overwrite").parquet(feed)
+        val schema = "k LONG, ver LONG, g STRING, v LONG"
+        var snap = s.read.schema(schema).parquet(feed).where(lit(false))
+          .localCheckpoint(true)
+        var view = snap.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+          .localCheckpoint(true)
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // view first (adjustments subtract against PRE-batch state),
+            // then the snapshot folds the same batch
+            view = graft.ops.Cdc.maintainCountSum(snap, batch,
+              Seq("k"), "ver", "g", "v", view).localCheckpoint(true)
+            snap = graft.ops.Cdc.upsert(snap, batch, Seq("k"), "ver")
+              .localCheckpoint(true)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        view.orderBy(col("g"))
+      },
+      """WITH latest AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC) AS rn
+           FROM events)
+         SELECT event_type AS g, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+         FROM latest WHERE rn = 1
+         GROUP BY event_type ORDER BY g""")
+
+    ,
+
     // NOT IN + NULL three-valued logic — the classic correctness trap:
     // one NULL in the subquery makes NOT IN return zero rows (every
     // comparison is UNKNOWN), while NOT EXISTS and the null-stripped
