@@ -3184,6 +3184,35 @@ object SparkEntry {
       },
       ivfpqOracle),
 
+    // Index DELETE maintenance (Pq.deleteFromIndex): remove every
+    // vec_id % 7 == 0 from the persisted bucketed index (quantizers
+    // frozen, data tables rewritten minus the delete set), then search.
+    // The oracle is the full IVF×PQ re-derivation with ONLY the
+    // candidate set filtered — quantizer CTEs untouched — so a green
+    // hash proves deletion removed exactly the deleted ids from results
+    // while disturbing nothing else (codebook seeds that were deleted
+    // still quantize, as frozen quantizers must).
+    "s14_ann_index_delete" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val P = graft.ops.Pq
+        val prefix = s"graft_s14_${new java.io.File(dir).getName}"
+        P.writeIndex(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, nlist = 8, prefix)
+        P.deleteFromIndex(emb.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id")), "vec_id", prefix)
+        val idx = P.loadIndex(s, prefix)
+        P.ivfpqTopK(idx.codes, idx.codebook, idx.cells, idx.coarse,
+            emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            dim = 64, m = 4, nprobe = 2, k = 10)
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      // candidate-set surgery on the shared CTE text: the only
+      // difference vs ivfpqOracle is deleted ids never become candidates
+      ivfpqOracle.replace("WHERE cells.vec_id <> pc.probe_id",
+        "WHERE cells.vec_id <> pc.probe_id AND cells.vec_id % 7 <> 0")),
+
     // EXISTS / NOT EXISTS correlated subqueries — planned as left-semi /
     // left-anti hash joins on the correlation key (no per-row probing).
     "sub04_exists" -> multi(Seq("customer", "orders"),
@@ -5533,6 +5562,43 @@ object SparkEntry {
          FROM d GROUP BY 1 ORDER BY bucket""")
 
     ,
+
+    // DYNAMIC PARTITION PRUNING over a day-partitioned fact table — the
+    // mechanism that makes dimension-filtered scans of a 100 TB
+    // partitioned table read only the qualifying partitions, discovered
+    // at RUNTIME from the dim side (no literal day filter anywhere in
+    // the query). The fact table is seeded day-partitioned in scratch;
+    // the dim is the selective day subset; PlanSpec pins that the scan
+    // carries a dynamicpruning partition filter. Oracle re-derives from
+    // raw events with the same day predicate.
+    "j09_dynamic_pruning" -> api(
+      (s, dir) => {
+        val MpD = graft.streaming.Events.MicrosPerDay
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .withColumn("day", expr(s"ts div $MpD"))
+          .select(col("event_id"), col("day"), col("event_type"), col("value"))
+        val out = scratchDir(s"j09_${new java.io.File(dir).getName}")
+        ev.write.partitionBy("day").mode("overwrite").parquet(out)
+        val fact = s.read.parquet(out)
+        val dim = ev.select(col("day")).distinct()
+          .filter(col("day") % 7 === 0)
+          .withColumn("tag", lit("keep"))
+        fact.join(broadcast(dim), Seq("day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"),
+            count_distinct(col("day")).as("n_days"))
+          .orderBy(col("event_type"))
+      },
+      """WITH ev AS (SELECT event_type, value,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         FROM ev WHERE day % 7 = 0
+         GROUP BY event_type ORDER BY event_type"""),
 
     // Shuffle-key skew profile (graft.ops.Profile.keySkew): exact key
     // cardinality, heaviest-key / top-5 share and the Gini coefficient

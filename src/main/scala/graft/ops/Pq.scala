@@ -273,6 +273,32 @@ object Pq {
       .format("parquet").saveAsTable(tCells)
   }
 
+  /** Index DELETE — the other half of maintenance next to
+    * [[appendIndex]]: physically remove a set of ids from the persisted
+    * index by rewriting the two bucketed DATA tables minus the delete
+    * set (broadcast anti-join; the quantizer tables stay frozen, same
+    * contract as append). Rewriting — rather than tombstoning —
+    * preserves the bucketed layout the search path relies on and keeps
+    * reads paying zero filter cost. Cost ∝ index size: at 100 TB run
+    * this as the periodic compaction and serve interim deletes from a
+    * tombstone side table anti-joined at search time. localCheckpoint
+    * materializes the kept rows first so the table can be overwritten
+    * while being its own source.
+    */
+  def deleteFromIndex(ids: DataFrame, idCol: String, prefix: String,
+                      buckets: Int = 8): Unit = {
+    val spark = ids.sparkSession
+    val (tCodes, tCells, _, _) = indexTables(prefix)
+    val del = org.apache.spark.sql.functions.broadcast(ids.select(col(idCol)))
+    Seq(tCodes, tCells).foreach { t =>
+      val kept = spark.table(t).join(del, Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(buckets, idCol).sortBy(idCol)
+        .format("parquet").saveAsTable(t)
+    }
+  }
+
   /** IVF×PQ search — the production billion-scale ANN stack: a coarse
     * quantizer restricts each probe to its `nprobe` nearest cells, then
     * ADC ranks only the candidates living there. Candidate volume is

@@ -49,6 +49,12 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in u05 plan")
   }
 
+  test("j09: fact scan carries a runtime dynamic-partition-pruning filter") {
+    val p = planOf("j09_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "day-partitioned fact scan should be DPP-filtered by the dim side")
+  }
+
   test("j01 star join: both dims broadcast, fact side never re-shuffles for them") {
     val p = planOf("j01_join_bcast")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
