@@ -4831,6 +4831,72 @@ object SparkEntry {
          FROM dau JOIN w USING (day) JOIN span ON day BETWEEN lo AND hi
          ORDER BY day"""),
 
+    // Funnel TIME-TO-CONVERT: per 30-min-gap session, micros from the
+    // first 'view' to the first qualifying 'click' AT-OR-AFTER it (the
+    // sessionFunnel running-min staging), rolled into the latency card —
+    // conversions, exact median / p90 / max seconds. All session math
+    // rides ONE user-keyed shuffle (e04's discipline); deltas stay
+    // integer micros until the final exact-percentile interpolation,
+    // rounded to 6.
+    "e12_time_to_convert" -> api(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = graft.streaming.Events.readRaw(s, dir)
+        val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val newSession = when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) >
+            lit(30L * graft.streaming.Events.MicrosPerMinute), 1).otherwise(0)
+        val sessed = ev.withColumn("sid",
+          sum(newSession).over(w.rowsBetween(W.unboundedPreceding, 0)))
+        val ws = W.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(W.unboundedPreceding, 0)
+        val staged = sessed
+          .withColumn("__s1", min(when(col("event_type") === "view",
+            col("ts"))).over(ws))
+        val per = staged.groupBy(col("user_id"), col("sid"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"),
+            min(when(col("event_type") === "click" && col("__s1").isNotNull,
+              col("ts"))).as("t2"))
+          .filter(col("t1").isNotNull && col("t2").isNotNull)
+          .select(((col("t2") - col("t1"))
+            / lit(1000000.0)).as("delta_s"))
+        per.agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(delta_s, 0.5D)"), 6).as("median_s"),
+          round(expr("percentile(delta_s, 0.9D)"), 6).as("p90_s"),
+          round(max(col("delta_s")), 6).as("max_s"))
+      },
+      """WITH x AS (
+           SELECT user_id, event_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+         y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x),
+         z AS (SELECT *, min(CASE WHEN event_type = 'view'
+                   THEN epoch_us(ts) END) OVER
+                 (PARTITION BY user_id, sid ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS s1
+               FROM y),
+         per AS (SELECT user_id, sid,
+                  min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS t1,
+                  min(CASE WHEN event_type = 'click' AND s1 IS NOT NULL
+                      THEN epoch_us(ts) END) AS t2
+                 FROM z GROUP BY user_id, sid),
+         d AS (SELECT (t2 - t1) / 1000000.0 AS delta_s FROM per
+               WHERE t1 IS NOT NULL AND t2 IS NOT NULL)
+         SELECT count(*) AS n_converted,
+                round(quantile_cont(delta_s, 0.5), 6) AS median_s,
+                round(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+                round(max(delta_s), 6) AS max_s
+         FROM d""")
+
+    ,
+
     // Event-rate anomaly detection: flag hours whose count deviates
     // >= 3 robust-z from the trailing-24-hour mean, per event type — the
     // ingestion-spike monitor. The z-test is evaluated in INTEGER
