@@ -4013,6 +4013,60 @@ object SparkEntry {
                 END AS domain
          FROM n ORDER BY doc_id"""),
 
+    // Exact n-gram CONTAINMENT pairs (Dedup.containmentPairs) — the
+    // asymmetric signal Jaccard misses: every doc_id % 25 == 0 gets an
+    // 8-token EXCERPT planted as a new document, whose containment in
+    // its source is exactly 1.0 while its Jaccard is tiny. Candidates
+    // ride the inverted gram index (equi-join on the gram, never
+    // all-pairs); the oracle enumerates ALL gram-sharing pairs
+    // exhaustively, so the green hash proves the inverted-index
+    // formulation loses nothing at this corpus AND recovers every
+    // planted excerpt.
+    "d17_containment_pairs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val T = graft.ops.TextOps
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val excerpts = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(T.tokens(col("text")), 1, 8), " ").as("text"))
+        graft.ops.Dedup.containmentPairs(docs.unionByName(excerpts),
+            "doc_id", "text", shingleK = 5, threshold = 0.5,
+            maxDocFreq = 1000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+                  array_to_string(list_filter(string_split_regex(lower(text),
+                    '\W+'), x -> x <> '')[1:8], ' ')
+           FROM documents WHERE doc_id % 25 = 0),
+         s AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                   x -> x <> '') AS toks FROM u),
+         sh AS (SELECT doc_id,
+                 CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(
+                        generate_series(1, len(toks)-4),
+                        i -> array_to_string(toks[i:i+4], ' '))) END AS gs
+                FROM s),
+         g AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+         n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS shared
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(shared AS DOUBLE) / na.n, 6) AS c_ab,
+                round(CAST(shared AS DOUBLE) / nb.n, 6) AS c_ba
+         FROM p JOIN n na ON na.doc_id = p.id_a
+                JOIN n nb ON nb.doc_id = p.id_b
+         WHERE greatest(round(CAST(shared AS DOUBLE) / na.n, 6),
+                        round(CAST(shared AS DOUBLE) / nb.n, 6)) >= 0.5
+         ORDER BY id_a, id_b"""),
+
     // Crawl-URL deduplication: canonicalize-then-group — the t12
     // normalizer composed into the d01 exact-dedup shape, which is how a
     // crawl frontier dedups fetched pages. Every doc gets a crawl-noise

@@ -658,4 +658,49 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric dedup signal
+    * Jaccard misses: a short document quoted verbatim inside a long one
+    * has low Jaccard but containment ≈ 1 on the short side (the
+    * excerpt/quotation case whole-doc near-dup passes over).
+    * C(A→B) = |G_A ∩ G_B| / |G_A| over DISTINCT word `shingleK`-grams;
+    * a pair is emitted when EITHER direction reaches `threshold`.
+    * Output: (id_a, id_b, c_ab, c_ba), id_a < id_b, rounded to 6.
+    *
+    * Scale shape: candidates come from the inverted gram index — one
+    * shuffle of (gram, id), an equi-join on the gram key, never
+    * all-pairs. Join fan-out is Σ df(g)² over gram doc-frequencies, the
+    * classic stop-gram hazard: `maxDocFreq` drops grams present in more
+    * than that many documents before the join. Results then MISS pairs
+    * whose overlap is exclusively ultra-common grams — exactness holds
+    * whenever no gram exceeds the cap, which d17's exhaustive oracle
+    * proves for the driver corpus. `hashGrams = true` is the 100 TB
+    * setting (8-byte longs through the shuffle instead of gram strings).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 5, threshold: Double = 0.5,
+                       maxDocFreq: Long = 1000L,
+                       hashGrams: Boolean = false): DataFrame = {
+    val gramsCol =
+      if (hashGrams) array_distinct(TextOps.shingleHashes(col(textCol), shingleK))
+      else array_distinct(TextOps.shingles(col(textCol), shingleK))
+    val g = df.select(col(idCol).cast("long").as("id"),
+      explode(gramsCol).as("g"))
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val capped = g
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    val shared = capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n").as("__na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("shared").cast("double") / col("__na"), 6).as("c_ab"),
+        round(col("shared").cast("double") / col("__nb"), 6).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+  }
 }

@@ -227,6 +227,23 @@ class OpsSpec extends GraftSuite {
     assert(math.abs(got.getDouble(4) - gini) < 1e-6)
   }
 
+  test("containmentPairs: excerpt scores 1.0 on its side; stop-gram cap drops") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"),        // 5-token excerpt of 1
+      (3L, "totally unrelated words with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleK = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    // doc 2's single 5-gram is one of doc 1's six -> c(2->1)=1, c(1->2)=1/6
+    assert(got.toSeq == Seq((1L, 2L, 0.166667, 1.0)))
+    // a doc-frequency cap below 2 removes every shared gram -> no pairs
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleK = 5, threshold = 0.5, maxDocFreq = 1L).count() == 0L)
+  }
+
   test("maintainCountSum: chained incremental folds equal a full recompute") {
     val base = Seq((1L, "a", 10L, 0L), (2L, "a", 20L, 0L), (3L, "b", 30L, 0L))
       .toDF("k", "g", "v", "ver")
