@@ -5683,6 +5683,60 @@ object SparkEntry {
 
     ,
 
+    // Functional-dependency / candidate-key audit — schema-contract
+    // checks a 100 TB ingest runs before trusting joins: does lhs → rhs
+    // actually hold, and is the claimed key unique? One keyed
+    // aggregation per check (count_distinct rhs per lhs collapses to
+    // #lhs rows, then a tiny rollup); violations are counted, not
+    // sampled. part proves a HOLDING dependency (p_partkey → p_name),
+    // lineitem proves a VIOLATED one (l_partkey → l_suppkey: parts ship
+    // from several suppliers), and (l_orderkey, l_linenumber) is the
+    // uniqueness check.
+    "pr11_fd_audit" -> api(
+      (s, dir) => {
+        val part = s.read.parquet(s"$dir/part.parquet")
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+          df.groupBy(col(lhs))
+            .agg(count_distinct(col(rhs)).as("__nr"))
+            .agg(lit(name).as("check"),
+              count(lit(1)).as("n_lhs"),
+              sum(when(col("__nr") > 1, 1L).otherwise(0L)).as("n_violating"),
+              max(col("__nr")).as("max_rhs"))
+        val uniq = li
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(count(lit(1)).as("__c"))
+          .agg(lit("uniq:l_orderkey,l_linenumber").as("check"),
+            count(lit(1)).as("n_lhs"),
+            sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("__c")).as("max_rhs"))
+        fd(part, "fd:p_partkey->p_name", "p_partkey", "p_name")
+          .unionByName(fd(li, "fd:l_partkey->l_suppkey",
+            "l_partkey", "l_suppkey"))
+          .unionByName(uniq)
+          .orderBy(col("check"))
+      },
+      """SELECT 'fd:l_partkey->l_suppkey' AS "check",
+                count(*) AS n_lhs,
+                CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating,
+                CAST(max(nr) AS BIGINT) AS max_rhs
+         FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nr
+               FROM lineitem GROUP BY 1)
+         UNION ALL
+         SELECT 'fd:p_partkey->p_name', count(*),
+                CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(max(nr) AS BIGINT)
+         FROM (SELECT p_partkey, count(DISTINCT p_name) AS nr
+               FROM part GROUP BY 1)
+         UNION ALL
+         SELECT 'uniq:l_orderkey,l_linenumber', count(*),
+                CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(max(c) AS BIGINT)
+         FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
+               FROM lineitem GROUP BY 1, 2)
+         ORDER BY "check""""),
+
     // DYNAMIC PARTITION PRUNING over a day-partitioned fact table — the
     // mechanism that makes dimension-filtered scans of a 100 TB
     // partitioned table read only the qualifying partitions, discovered
@@ -5796,6 +5850,56 @@ object SparkEntry {
     // combines on (source, token) — the same shape count(DISTINCT)
     // expands to, but with the per-token frequencies kept for the
     // hapax/mean-length stats.
+    // OOV-rate quality gate: corpus vocabulary = tokens holding more
+    // than 1/50 of total token volume (freq*50 > total as an INTEGER
+    // compare — no float threshold); per-document fraction of
+    // tokens OUTSIDE that vocab, rolled up per source — the
+    // tokenizer-coverage check run before committing a vocab/tokenizer
+    // to a corpus. Two passes over token volume (corpus term frequency,
+    // then per-doc membership via broadcast of the small vocab), both
+    // map-side combined.
+    "t16_oov_rate" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val toks = docs.select(col("doc_id"), col("source"),
+            explode(split(lower(coalesce(col("text"), lit(""))), "\\W+"))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = tf.agg(sum(col("c")).as("t"))
+        val vocab = tf.crossJoin(broadcast(total))
+          .filter(col("c") * 50 > col("t"))
+          .select(col("tok"), lit(1L).as("__in"))
+        val perDoc = toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        perDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            sum(col("n_oov")).cast("long").as("n_oov"),
+            round(sum(col("n_oov")).cast("double") / sum(col("n_tok")), 6)
+              .as("oov_rate"))
+          .orderBy(col("source"))
+      },
+      """WITH t AS (SELECT doc_id, source,
+                      unnest(list_filter(string_split_regex(
+                        lower(coalesce(text, '')), '\W+'),
+                        x -> x <> '')) AS tok
+                    FROM documents),
+         tf AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+         tot AS (SELECT sum(c) AS t FROM tf),
+         v AS (SELECT tok FROM tf, tot WHERE c * 50 > t),
+         pd AS (SELECT t.doc_id, t.source, count(*) AS n_tok,
+                  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM t LEFT JOIN v ON t.tok = v.tok
+                GROUP BY 1, 2)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_oov) AS BIGINT) AS n_oov,
+                round(CAST(sum(n_oov) AS DOUBLE) / sum(n_tok), 6) AS oov_rate
+         FROM pd GROUP BY source ORDER BY source"""),
+
     "t13_vocab" -> api(
       (s, dir) => {
         val toks = s.read.parquet(s"$dir/documents.parquet")
