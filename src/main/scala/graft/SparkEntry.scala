@@ -203,6 +203,40 @@ object SparkEntry {
          SELECT probe_id, rank, vec_id, CAST(adist_fp AS BIGINT) AS adist_fp
          FROM r WHERE rank <= 10 ORDER BY probe_id, rank"""
 
+  /** Shared CTE body (no WITH keyword — m09 needs WITH RECURSIVE) that
+    * re-derives every aHash bit from the BMP payload bytes and
+    * enumerates pairwise hammings: the oracle backbone of m07 (pairs)
+    * and m09 (clusters).
+    */
+  private val phashCtes: String =
+    """d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS len
+           FROM documents),
+         dims AS (SELECT doc_id, hx, len, greatest(len // 48, 1) AS height FROM d),
+         px AS (
+           SELECT dims.doc_id, u.y, v.x,
+                  3*(((u.y*dims.height)//8)*16 + v.x*2) AS base, dims.hx, dims.len
+           FROM dims, unnest(generate_series(0,7)) u(y),
+                      unnest(generate_series(0,7)) v(x)),
+         gr AS (
+           SELECT doc_id, y, x,
+                  ((CASE WHEN base < len
+                         THEN CAST('0x'||substr(hx,2*base+1,2) AS INTEGER) ELSE 0 END)
+                 + (CASE WHEN base+1 < len
+                         THEN CAST('0x'||substr(hx,2*(base+1)+1,2) AS INTEGER) ELSE 0 END)
+                 + (CASE WHEN base+2 < len
+                         THEN CAST('0x'||substr(hx,2*(base+2)+1,2) AS INTEGER) ELSE 0 END)) // 3 AS gray
+           FROM px),
+         mh AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY doc_id),
+         bits AS (SELECT gr.doc_id,
+                         string_agg(CASE WHEN gr.gray > mh.mean THEN '1' ELSE '0' END,
+                                    '' ORDER BY gr.y*8 + gr.x) AS pb
+                  FROM gr JOIN mh USING (doc_id) GROUP BY gr.doc_id),
+         hm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_filter(generate_series(1,64),
+                                            i -> a.pb[i] <> b.pb[i])) AS BIGINT) AS hamming
+                FROM bits a JOIN bits b ON a.doc_id < b.doc_id)"""
+
   /** Retrieve-then-rerank oracle: the IVF×PQ ADC shortlist (rank ≤ 10)
     * re-scored by TRUE cosine on the original vectors, top-5 kept —
     * shares every CTE with [[ivfpqOracle]], so a green hash proves the
@@ -2480,35 +2514,43 @@ object SparkEntry {
             col("hamming").cast("long").as("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      """WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
-                  octet_length(encode(coalesce(text, ''))) AS len
-           FROM documents),
-         dims AS (SELECT doc_id, hx, len, greatest(len // 48, 1) AS height FROM d),
-         px AS (
-           SELECT dims.doc_id, u.y, v.x,
-                  3*(((u.y*dims.height)//8)*16 + v.x*2) AS base, dims.hx, dims.len
-           FROM dims, unnest(generate_series(0,7)) u(y),
-                      unnest(generate_series(0,7)) v(x)),
-         gr AS (
-           SELECT doc_id, y, x,
-                  ((CASE WHEN base < len
-                         THEN CAST('0x'||substr(hx,2*base+1,2) AS INTEGER) ELSE 0 END)
-                 + (CASE WHEN base+1 < len
-                         THEN CAST('0x'||substr(hx,2*(base+1)+1,2) AS INTEGER) ELSE 0 END)
-                 + (CASE WHEN base+2 < len
-                         THEN CAST('0x'||substr(hx,2*(base+2)+1,2) AS INTEGER) ELSE 0 END)) // 3 AS gray
-           FROM px),
-         mh AS (SELECT doc_id, sum(gray) // 64 AS mean FROM gr GROUP BY doc_id),
-         bits AS (SELECT gr.doc_id,
-                         string_agg(CASE WHEN gr.gray > mh.mean THEN '1' ELSE '0' END,
-                                    '' ORDER BY gr.y*8 + gr.x) AS pb
-                  FROM gr JOIN mh USING (doc_id) GROUP BY gr.doc_id),
-         hm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(len(list_filter(generate_series(1,64),
-                                            i -> a.pb[i] <> b.pb[i])) AS BIGINT) AS hamming
-                FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+      s"""WITH $phashCtes
          SELECT id_a, id_b, hamming FROM hm
          WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+
+    // Image duplicate CLUSTERS: m07's perceptual-hash pairs resolved to
+    // connected components (the d08 machinery on the multimodal side) —
+    // the asset-level dedup a crawl's image store runs. The oracle
+    // re-derives every hash bit AND the transitive closure (recursive
+    // CTE), so the green hash proves pair recall and cluster resolution
+    // together.
+    "m09_image_dup_clusters" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("text", coalesce(col("text"), lit("")))
+        val fp = m.imagePHash(
+          m.withBmpPayload(docs, "doc_id", "text", width = 16),
+          "doc_id", "payload")
+        val pairs = graft.ops.Dedup.fingerprintPairs(fp, maxHamming = 3,
+          chunks = 4)
+        graft.ops.Clustering.connectedComponents(
+            docs.select(col("doc_id")), "doc_id", pairs)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE $phashCtes,
+         p2 AS (SELECT id_a, id_b FROM hm WHERE hamming <= 3),
+         edges AS (SELECT id_a AS eu, id_b AS ev FROM p2
+                   UNION ALL SELECT id_b, id_a FROM p2),
+         reach(id, lab) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT g.ev, r.lab FROM reach r JOIN edges g ON g.eu = r.id),
+         comp AS (SELECT id AS doc_id, min(lab) AS cluster
+                  FROM reach GROUP BY id)
+         SELECT doc_id, cluster, (doc_id = cluster) AS is_canonical
+         FROM comp ORDER BY doc_id"""),
 
     // CDC latest-wins upsert: base snapshot + a keyed revision delta
     // (every 10th order re-priced at 2x, version 1) folded by
