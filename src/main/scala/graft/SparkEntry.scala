@@ -5295,6 +5295,44 @@ object SparkEntry {
                 '{"src":"' || source || '","n":' || n_chars || '}' AS js
          FROM documents ORDER BY doc_id"""),
 
+    // Higher-order array functions — transform / filter / aggregate /
+    // zip_with over per-order item arrays, the lambda surface for
+    // array-typed feature columns. Values stay integer (cents /
+    // basis points), so the sequential lambda folds are exact; the
+    // oracle re-derives every result RELATIONALLY (plain aggregates),
+    // proving the HOF pipeline against first principles rather than a
+    // same-text echo.
+    "q36_array_hof" -> api(
+      (s, dir) => {
+        val items = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"),
+            struct(col("l_linenumber"),
+              round(col("l_quantity") * 100).cast("long").as("qc"),
+              round(col("l_tax") * 10000).cast("long").as("tc")).as("it"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("it"))).as("items"))
+        items.select(col("l_orderkey"),
+            size(col("items")).cast("long").as("n_items"),
+            aggregate(transform(col("items"), x => x.getField("qc")),
+              lit(0L), (a, x) => a + x).as("sum_qc"),
+            size(filter(col("items"), x => x.getField("qc") > 2500))
+              .cast("long").as("n_big"),
+            aggregate(zip_with(
+              transform(col("items"), x => x.getField("qc")),
+              transform(col("items"), x => x.getField("tc")),
+              (a, b) => a * b), lit(0L), (a, x) => a + x).as("dot_qt"))
+          .orderBy(col("l_orderkey"))
+      },
+      """SELECT l_orderkey, count(*) AS n_items,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_qc,
+                CAST(sum(CASE WHEN round(l_quantity * 100) > 2500
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                       * CAST(round(l_tax * 10000) AS BIGINT)) AS BIGINT)
+                  AS dot_qt
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""),
+
     // Aggregate FILTER clause — per-aggregate predicates without CASE
     // gymnastics; same text in both engines (the g08/count_if family's
     // ANSI spelling).
