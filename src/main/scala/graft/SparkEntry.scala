@@ -2306,6 +2306,45 @@ object SparkEntry {
                FROM documents) t
          GROUP BY split ORDER BY split"""),
 
+    // GROUP-AWARE split — the user-leakage guard row-hash splits lack:
+    // the split key is the USER, so every event of a user lands in one
+    // split and eval can never see a training user's behavior. The
+    // no_leak gate proves disjointness in-plan (Σ per-split distinct
+    // users == global distinct users — an equality that breaks the
+    // moment any user straddles splits). Same md5-bucket determinism as
+    // sp01 (floor(0.8*65536) = 0xcccc).
+    "sp08_group_split" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.readRaw(s, dir)
+        val tagged = ev.withColumn("split",
+          graft.ops.Sampling.splitTag(col("user_id"),
+            Seq("train" -> 0.8, "eval" -> 0.2)))
+        val per = tagged.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("n_users"))
+        val total = ev.agg(count_distinct(col("user_id")).as("__tu"))
+        per.crossJoin(broadcast(total))
+          .withColumn("no_leak",
+            sum(col("n_users")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy())
+              === col("__tu"))
+          .select(col("split"), col("n_events"), col("n_users"),
+            col("no_leak"))
+          .orderBy(col("split"))
+      },
+      """WITH t AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),
+                                  1, 4) < 'cccc'
+                               THEN 'train' ELSE 'eval' END AS split,
+                         user_id
+                  FROM events),
+         per AS (SELECT split, count(*) AS n_events,
+                        count(DISTINCT user_id) AS n_users
+                 FROM t GROUP BY split),
+         tot AS (SELECT count(DISTINCT user_id) AS tu FROM events)
+         SELECT split, n_events, CAST(n_users AS BIGINT) AS n_users,
+                (SELECT sum(n_users) FROM per) = tu AS no_leak
+         FROM per, tot ORDER BY split"""),
+
     // weighted corpus mixing: up-weight English (1.4 -> one full epoch +
     // a deterministic hash-sampled 0.4 remainder) and down-sample the
     // rest to 0.5 — the oracle reproduces the md5-prefix thresholds
@@ -4108,6 +4147,43 @@ object SparkEntry {
          WHERE greatest(round(CAST(shared AS DOUBLE) / na.n, 6),
                         round(CAST(shared AS DOUBLE) / nb.n, 6)) >= 0.5
          ORDER BY id_a, id_b"""),
+
+    // Dedup IMPACT report — the before/after accounting a curation run
+    // publishes: per source, how many documents and characters exact
+    // dedup removes and the fractional savings. Survivors come from the
+    // d01 machinery (min doc_id per content digest); one digest shuffle
+    // + one source rollup.
+    "d18_dedup_impact" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val keep = graft.ops.Dedup.exactGroups(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"), lit(1L).as("__keep"))
+        docs.join(keep, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("__keep"), lit(0L))).as("n_kept"),
+            sum(col("n_chars")).cast("long").as("chars_before"),
+            sum(when(col("__keep").isNotNull, col("n_chars"))
+              .otherwise(0L)).cast("long").as("chars_after"))
+          .withColumn("savings",
+            round(lit(1.0) - col("chars_after").cast("double")
+              / col("chars_before"), 6))
+          .orderBy(col("source"))
+      },
+      """WITH k AS (SELECT min(doc_id) AS keep_id
+                    FROM documents GROUP BY md5(text))
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN doc_id IN (SELECT keep_id FROM k)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS chars_before,
+                CAST(sum(CASE WHEN doc_id IN (SELECT keep_id FROM k)
+                     THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after,
+                round(1 - CAST(sum(CASE WHEN doc_id IN
+                        (SELECT keep_id FROM k)
+                      THEN n_chars ELSE 0 END) AS DOUBLE) / sum(n_chars), 6)
+                  AS savings
+         FROM documents GROUP BY source ORDER BY source"""),
 
     // Crawl-URL deduplication: canonicalize-then-group — the t12
     // normalizer composed into the d01 exact-dedup shape, which is how a
