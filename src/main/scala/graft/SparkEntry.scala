@@ -5409,6 +5409,38 @@ object SparkEntry {
                   AS dot_qt
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""),
 
+    // Native UNPIVOT (melt): wide metric columns to (key, metric, cents)
+    // long form — the inverse of g03's pivot and the shape feature
+    // stores ingest. Values go through exact cents; the oracle is the
+    // classic UNION ALL re-derivation.
+    "q37_unpivot" -> api(
+      (s, dir) => {
+        val w = s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") <= 1000)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+            round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+            round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+        w.unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("price_c"), col("disc_bp"), col("tax_bp")),
+            "metric", "v")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+      },
+      """SELECT l_orderkey, l_linenumber, metric, v FROM (
+           SELECT l_orderkey, l_linenumber, 'price_c' AS metric,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE l_orderkey <= 1000
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'disc_bp',
+                  CAST(round(l_discount * 10000) AS BIGINT)
+           FROM lineitem WHERE l_orderkey <= 1000
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'tax_bp',
+                  CAST(round(l_tax * 10000) AS BIGINT)
+           FROM lineitem WHERE l_orderkey <= 1000) t
+         ORDER BY l_orderkey, l_linenumber, metric"""),
+
     // Aggregate FILTER clause — per-aggregate predicates without CASE
     // gymnastics; same text in both engines (the g08/count_if family's
     // ANSI spelling).
