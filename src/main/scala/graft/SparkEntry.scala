@@ -4148,6 +4148,65 @@ object SparkEntry {
                         round(CAST(shared AS DOUBLE) / nb.n, 6)) >= 0.5
          ORDER BY id_a, id_b"""),
 
+    // FIXED-POINT PageRank over a synthetic doc link graph — iterative
+    // graph analytics in the d08 loop discipline (per-iteration keyed
+    // join + aggregation, nothing driver-side but the tiny N). Ranks
+    // live in integer 1e12-scale fixed point with the damping step as
+    // integer division ((85·inc) div 100), so THREE unrolled iterations
+    // are bit-reproducible by the oracle's CTE chain — the float-free
+    // way to strict-gate an iterative algorithm. Every node has
+    // out-degree 2 ((7k+1)%N, (13k+3)%N); mass sent to a non-existent
+    // id (sparse doc_id spaces) drops identically in both engines.
+    "gr01_pagerank" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+        val n = docs.count() // control-plane scalar: sizes the literals
+        val S = 1000000000000L
+        val base = (15L * S) / (100L * n)
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(array((col("doc_id") * 7 + 1) % n,
+              (col("doc_id") * 13 + 3) % n)).as("dst"))
+          .localCheckpoint(true)
+        var r = docs.withColumn("r", lit(S / n))
+        for (_ <- 1 to 3) {
+          val contrib = edges.join(r, col("src") === col("doc_id"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("r div 2")).as("inc"))
+          r = docs.join(contrib, col("doc_id") === col("dst"), "left")
+            .select(col("doc_id"),
+              (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("r"))
+            .localCheckpoint(true)
+        }
+        r.orderBy(col("doc_id"))
+      },
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+         v AS (SELECT doc_id FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7+1) % n.n AS dst FROM v, n
+               UNION ALL
+               SELECT doc_id, (doc_id*13+3) % n.n FROM v, n),
+         r0 AS (SELECT doc_id, 1000000000000 // n.n AS r FROM v, n),
+         c1 AS (SELECT e.dst, sum(r0.r // 2) AS inc
+                FROM e JOIN r0 ON r0.doc_id = e.src GROUP BY e.dst),
+         r1 AS (SELECT v.doc_id,
+                  (15000000000000 // (100 * n.n))
+                    + (85 * coalesce(c1.inc, 0)) // 100 AS r
+                FROM v CROSS JOIN n LEFT JOIN c1 ON c1.dst = v.doc_id),
+         c2 AS (SELECT e.dst, sum(r1.r // 2) AS inc
+                FROM e JOIN r1 ON r1.doc_id = e.src GROUP BY e.dst),
+         r2 AS (SELECT v.doc_id,
+                  (15000000000000 // (100 * n.n))
+                    + (85 * coalesce(c2.inc, 0)) // 100 AS r
+                FROM v CROSS JOIN n LEFT JOIN c2 ON c2.dst = v.doc_id),
+         c3 AS (SELECT e.dst, sum(r2.r // 2) AS inc
+                FROM e JOIN r2 ON r2.doc_id = e.src GROUP BY e.dst),
+         r3 AS (SELECT v.doc_id,
+                  (15000000000000 // (100 * n.n))
+                    + (85 * coalesce(c3.inc, 0)) // 100 AS r
+                FROM v CROSS JOIN n LEFT JOIN c3 ON c3.dst = v.doc_id)
+         SELECT doc_id, CAST(r AS BIGINT) AS r FROM r3 ORDER BY doc_id"""),
+
     // Dedup IMPACT report — the before/after accounting a curation run
     // publishes: per source, how many documents and characters exact
     // dedup removes and the fractional savings. Survivors come from the
@@ -5870,6 +5929,57 @@ object SparkEntry {
          FROM d GROUP BY 1 ORDER BY bucket""")
 
     ,
+
+    // Exact two-sample Kolmogorov–Smirnov drift per event type — the
+    // unbinned complement to pr04's PSI: D = max |ECDF_A − ECDF_B| over
+    // the even/odd event_id cohorts, computed ENTIRELY in integers
+    // (max |ca·nB − cb·nA| over the value-sorted merge, divided once at
+    // the end) so no float accumulation can split the engines. Work
+    // collapses to one (type, value) rollup; the running counts window
+    // over that distinct-value relation.
+    "pr13_ks_drift" -> api(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .select(col("event_type"), col("value"),
+            (col("event_id") % 2 === 0).as("__a"))
+        val pv = ev.groupBy(col("event_type"), col("value"))
+          .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("na"),
+            sum(when(col("__a"), 0L).otherwise(1L)).as("nb"))
+        val wt = W.partitionBy(col("event_type"))
+        val wr = wt.orderBy(col("value"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        pv
+          .withColumn("ca", sum(col("na")).over(wr))
+          .withColumn("cb", sum(col("nb")).over(wr))
+          .withColumn("ta", sum(col("na")).over(wt))
+          .withColumn("tb", sum(col("nb")).over(wt))
+          .groupBy(col("event_type"))
+          .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+            max(abs(col("ca") * col("tb") - col("cb") * col("ta")))
+              .as("__d"))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("__d").cast("double") / (col("n_a") * col("n_b")), 6)
+              .as("ks"))
+          .orderBy(col("event_type"))
+      },
+      """WITH pv AS (SELECT event_type, value,
+                  sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                  sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS nb
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type,
+                  sum(na) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS ca,
+                  sum(nb) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS UNBOUNDED PRECEDING) AS cb,
+                  sum(na) OVER (PARTITION BY event_type) AS ta,
+                  sum(nb) OVER (PARTITION BY event_type) AS tb
+               FROM pv)
+         SELECT event_type, CAST(max(ta) AS BIGINT) AS n_a,
+                CAST(max(tb) AS BIGINT) AS n_b,
+                round(CAST(max(abs(ca * tb - cb * ta)) AS DOUBLE)
+                      / (max(ta) * max(tb)), 6) AS ks
+         FROM c GROUP BY event_type ORDER BY event_type"""),
 
     // Functional-dependency / candidate-key audit — schema-contract
     // checks a 100 TB ingest runs before trusting joins: does lhs → rhs
