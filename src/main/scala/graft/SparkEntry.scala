@@ -4207,6 +4207,46 @@ object SparkEntry {
                 FROM v CROSS JOIN n LEFT JOIN c3 ON c3.dst = v.doc_id)
          SELECT doc_id, CAST(r AS BIGINT) AS r FROM r3 ORDER BY doc_id"""),
 
+    // Bounded BFS hop distances from a seed set (every doc_id % 100 ==
+    // 0) over the same synthetic link graph as gr01 — min-hop
+    // propagation, 4 Bellman-Ford-style rounds (after round k every
+    // node within k hops has its exact distance). All-integer, so the
+    // recursive-CTE oracle reproduces it bit-for-bit; nodes beyond 4
+    // hops are absent from both sides by construction.
+    "gr02_bfs_hops" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(array((col("doc_id") * 7 + 1) % n,
+              (col("doc_id") * 13 + 3) % n)).as("dst"))
+          .localCheckpoint(true)
+        var dist = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), lit(0L).as("dist"))
+        for (_ <- 1 to 4) {
+          val prop = edges.join(dist, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), (col("dist") + 1).as("dist"))
+          dist = dist.unionByName(prop)
+            .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true)
+        }
+        dist.filter(col("dist") <= 4).orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+         v AS (SELECT doc_id FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7+1) % n.n AS dst FROM v, n
+               UNION ALL
+               SELECT doc_id, (doc_id*13+3) % n.n FROM v, n),
+         reach(id, d) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+           UNION
+           SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+           WHERE r.d < 4)
+         SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         FROM reach GROUP BY id ORDER BY doc_id"""),
+
     // Dedup IMPACT report — the before/after accounting a curation run
     // publishes: per source, how many documents and characters exact
     // dedup removes and the fractional savings. Survivors come from the
