@@ -5970,6 +5970,52 @@ object SparkEntry {
 
     ,
 
+    // Point-in-time join against an SCD2 dimension — the feature-store
+    // correctness join: each click is matched to the signup VERSION that
+    // was valid at its event time (user equi-key + validity-window
+    // residual over Cdc.scd2's eff_from/eff_to), never a future one —
+    // the leakage a plain latest-version join commits. Rolled up per
+    // signup-cohort day (clicks before any signup land in cohort −1).
+    // One user-keyed shuffle; validity windows per user are few, so the
+    // residual runs inside the hash join.
+    "a03_scd2_pit" -> api(
+      (s, dir) => {
+        val MpD = graft.streaming.Events.MicrosPerDay
+        val ev = graft.streaming.Events.readRaw(s, dir)
+        val dim = graft.ops.Cdc.scd2(
+          ev.filter(col("event_type") === "signup")
+            .select(col("user_id").as("d_user"), col("ts").as("eff_from")),
+          Seq("d_user"), "eff_from")
+        val facts = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        facts.join(dim, col("user_id") === col("d_user") &&
+            col("ts") >= col("eff_from") && col("ts") < col("eff_to"),
+            "left")
+          .select(col("event_id"), col("user_id"),
+            when(col("eff_from").isNull, lit(-1L))
+              .otherwise(expr(s"eff_from div $MpD")).as("cohort_day"))
+          .groupBy(col("cohort_day"))
+          .agg(count(lit(1)).as("n_clicks"),
+            count_distinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_day"))
+      },
+      """WITH sg AS (SELECT user_id, epoch_us(ts) AS eff_from
+                     FROM events WHERE event_type = 'signup'),
+         d AS (SELECT user_id, eff_from,
+                 coalesce(lead(eff_from) OVER (PARTITION BY user_id
+                   ORDER BY eff_from), 9223372036854775807) AS eff_to
+               FROM sg),
+         f AS (SELECT user_id, event_id, epoch_us(ts) AS ts
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT f.event_id, f.user_id, d.eff_from
+               FROM f LEFT JOIN d ON d.user_id = f.user_id
+                 AND f.ts >= d.eff_from AND f.ts < d.eff_to)
+         SELECT CASE WHEN eff_from IS NULL THEN -1
+                     ELSE eff_from // 86400000000 END AS cohort_day,
+                count(*) AS n_clicks,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM j GROUP BY 1 ORDER BY cohort_day"""),
+
     // Exact two-sample Kolmogorov–Smirnov drift per event type — the
     // unbinned complement to pr04's PSI: D = max |ECDF_A − ECDF_B| over
     // the even/odd event_id cohorts, computed ENTIRELY in integers
