@@ -6234,6 +6234,69 @@ object SparkEntry {
     // combines on (source, token) — the same shape count(DISTINCT)
     // expands to, but with the per-token frequencies kept for the
     // hapax/mean-length stats.
+    // Fuzzy entity linkage (record linkage): dirty part names (one char
+    // deterministically dropped at position 6+key%(len-6)) are linked
+    // back to a canonical entity catalog — DISTINCT clean names keyed
+    // by their min partkey — via prefix-4 blocking and a top-1
+    // Jaro-Winkler score (codegen'd graft expression, DuckDB-bit-exact;
+    // see Kernels.jaroWinkler). The catalog-vs-corpus shape is the
+    // 100 TB design: the entity catalog is tiny and BROADCAST, the
+    // dirty corpus streams map-side through block + score + per-record
+    // top-1 without ever shuffling on the blocking key; ranking ties
+    // break on the ROUNDED score then canon_key, so both engines rank
+    // identically. `ok` self-audits the linkage (matched name equals
+    // the pre-perturbation name).
+    "t17_fuzzy_linkage" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val part = s.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"), col("p_name"))
+        val catalog = part.groupBy(col("p_name").as("canon_name"))
+          .agg(min(col("p_partkey")).as("canon_key"))
+          .withColumn("blk", expr("substring(canon_name, 1, 4)"))
+        val dirty = part.filter(col("p_partkey") % 10 === 0)
+          .withColumn("pos",
+            lit(6) + col("p_partkey") % (length(col("p_name")) - 6))
+          .select(col("p_partkey").as("dirty_key"), col("p_name").as("orig"),
+            concat(expr("substring(p_name, 1, pos - 1)"),
+              expr("substring(p_name, pos + 1)")).as("dirty_name"))
+          .withColumn("blk", expr("substring(dirty_name, 1, 4)"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dirty_key"))
+          .orderBy(col("jw").desc, col("canon_key"))
+        dirty.join(broadcast(catalog), Seq("blk"))
+          .withColumn("jw",
+            round(expr("jaro_winkler(dirty_name, canon_name)"), 6))
+          .filter(col("jw") >= 0.85)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dirty_key"), col("canon_key"), col("jw"),
+            (col("canon_name") === col("orig")).as("ok"))
+          .orderBy(col("dirty_key"))
+      },
+      """WITH catalog AS (
+           SELECT p_name AS canon_name, min(p_partkey) AS canon_key
+           FROM part GROUP BY p_name),
+         dirty AS (
+           SELECT p_partkey AS dirty_key, p_name AS orig,
+                  substr(p_name, 1, pos - 1) || substr(p_name, pos + 1)
+                    AS dirty_name
+           FROM (SELECT p_partkey, p_name,
+                        6 + p_partkey % (length(p_name) - 6) AS pos
+                 FROM part WHERE p_partkey % 10 = 0)),
+         cand AS (
+           SELECT d.dirty_key, d.orig, c.canon_key, c.canon_name,
+                  round(jaro_winkler_similarity(d.dirty_name, c.canon_name),
+                        6) AS jw
+           FROM dirty d JOIN catalog c
+             ON substr(d.dirty_name, 1, 4) = substr(c.canon_name, 1, 4)),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY dirty_key
+                       ORDER BY jw DESC, canon_key) AS rn
+           FROM cand WHERE jw >= 0.85)
+         SELECT dirty_key, canon_key, jw, canon_name = orig AS ok
+         FROM r WHERE rn = 1 ORDER BY dirty_key"""),
+
     // OOV-rate quality gate: corpus vocabulary = tokens holding more
     // than 1/50 of total token volume (freq*50 > total as an INTEGER
     // compare — no float threshold); per-document fraction of

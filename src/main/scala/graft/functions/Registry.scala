@@ -328,6 +328,11 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"jaccard_sorted() takes 2 arguments, got ${other.length}")
     }
+    f("jaro_winkler") {
+      case Seq(a, b) => JaroWinkler(Cast(a, StringType), Cast(b, StringType))
+      case other     => throw new IllegalArgumentException(
+        s"jaro_winkler() takes 2 arguments, got ${other.length}")
+    }
     f("minhash_sig") {
       case Seq(a, n)    => MinHashSig(larr(a), intLit(n, "numHashes"), DefaultSeed)
       case Seq(a, n, s) => MinHashSig(larr(a), intLit(n, "numHashes"), longLit(s, "seed"))

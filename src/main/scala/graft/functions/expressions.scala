@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 }
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic 64-bit mixer (SplitMix64, public-domain algorithm from
   * Steele et al., "Fast Splittable Pseudorandom Number Generators").
@@ -254,6 +255,30 @@ case class CmsEstimate(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (sk, item) =>
       s"graft.functions.Kernels.cmsEstimate($sk, $item)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaro–Winkler string similarity — `jaro_winkler(a, b) -> DOUBLE`,
+  * DuckDB-`jaro_winkler_similarity`-exact (see [[Kernels.jaroWinkler]]
+  * for the locked algorithm constants). Codegen'd so blocked
+  * entity-resolution candidate scoring stays inside the whole-stage
+  * span — the kernel is a static call over the operand UTF8Strings.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Kernels.jaroWinkler($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -30,6 +30,26 @@ class ExpressionsSpec extends GraftSuite {
     assert(!r.isNullAt(2) && r.getDouble(2).isNaN) // NaN vs normal -> NaN
   }
 
+  test("jaro_winkler: textbook values, boost threshold, empty convention") {
+    val r = spark.sql(
+      """select jaro_winkler('MARTHA', 'MARHTA') a,
+                jaro_winkler('DWAYNE', 'DUANE') b,
+                jaro_winkler('abc', 'abc') c,
+                jaro_winkler('', 'abc') e1,
+                jaro_winkler('', '') e2,
+                jaro_winkler('ab', 'ba') z,
+                jaro_winkler('abcdefgh', 'abzzzzzz') t""").collect()(0)
+    // MARTHA/MARHTA: jaro 17/18, prefix 3 -> 0.9611...
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(r.getDouble(1) - 0.8400000000000001) < 1e-15)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 0.0) // empty side -> 0
+    assert(r.getDouble(4) == 0.0) // DuckDB convention: both empty -> 0
+    assert(r.getDouble(5) == 0.0) // window 0 -> no matches
+    // jaro exactly 0.5 <= 0.7 threshold: prefix boost must NOT apply
+    assert(r.getDouble(6) == 0.5)
+  }
+
   test("minhash_sig: deterministic, order-invariant, null on empty") {
     val r = spark.sql(
       """select minhash_sig(array(1L, 2L, 3L), 16) a,

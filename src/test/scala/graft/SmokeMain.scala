@@ -42,6 +42,12 @@ object SmokeMain {
       from parquet.`/root/testdata/sf0.001/documents.parquet` limit 3""")
       .show(truncate = false)
 
+    println("=== [3b] jaro_winkler fuzzy scoring over part names ===")
+    spark.sql("""select p_name, jaro_winkler(p_name, 'smal ring') jw
+      from parquet.`/root/testdata/sf0.001/part.parquet`
+      where jaro_winkler(p_name, 'smal ring') >= 0.9
+      order by jw desc, p_name limit 4""").show(truncate = false)
+
     println("=== [probe] unknown np.* function ===")
     try { t.sql("select np.notafunc(l_quantity) from lineitem").show() }
     catch { case ex: Exception => println("EXPECTED ERROR: " + ex.getMessage.linesIterator.next()) }
