@@ -4252,6 +4252,54 @@ object SparkEntry {
     // dedup removes and the fractional savings. Survivors come from the
     // d01 machinery (min doc_id per content digest); one digest shuffle
     // + one source rollup.
+    // Distributed triangle counting (vertex-ordered enumeration) over a
+    // densified synthetic graph: doc links land in a 97-hub space, so
+    // hub-hub closures exist. Canonical undirected edges (a < b,
+    // DISTINCT) make each triangle enumerable exactly once as a < b < c:
+    // the wedge join (e1.b = e2.a) builds open paths, a semi-join
+    // against the edge set keeps the closed ones. This is the standard
+    // scale recipe — work is bounded by sum(deg^2) wedges, shuffles key
+    // on vertex ids, and the hot joins never materialize anything wider
+    // than (a,b,c). Per-node participation counts come from exploding
+    // the three corners of each closed triangle.
+    "gr03_triangles" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+        val de = docs.select(col("doc_id").as("s"),
+          explode(array((col("doc_id") * 7 + 1) % 97,
+            (col("doc_id") * 13 + 3) % 97,
+            (col("doc_id") * 29 + 7) % 97)).as("d"))
+          .filter(col("s") =!= col("d"))
+        val e = de.select(least(col("s"), col("d")).as("a"),
+            greatest(col("s"), col("d")).as("b"))
+          .distinct().localCheckpoint(true)
+        val wedge = e.as("e1")
+          .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .select(col("a"), col("b"), col("c"))
+        val tri = wedge.join(
+          e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH v AS (SELECT doc_id FROM documents),
+         de AS (SELECT doc_id AS s, (doc_id*7+1) % 97 AS d FROM v
+                UNION ALL SELECT doc_id, (doc_id*13+3) % 97 FROM v
+                UNION ALL SELECT doc_id, (doc_id*29+7) % 97 FROM v),
+         e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+               FROM de WHERE s <> d),
+         wedge AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                   FROM e e1 JOIN e e2 ON e2.a = e1.b),
+         tri AS (SELECT w.a, w.b, w.c FROM wedge w
+                 WHERE EXISTS (SELECT 1 FROM e
+                               WHERE e.a = w.a AND e.b = w.c)),
+         corners AS (SELECT a AS doc_id FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+         SELECT doc_id, count(*) AS n_tri FROM corners
+         GROUP BY doc_id ORDER BY doc_id"""),
+
     "d18_dedup_impact" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -5109,6 +5157,39 @@ object SparkEntry {
     // rides ONE user-keyed shuffle (e04's discipline); deltas stay
     // integer micros until the final exact-percentile interpolation,
     // rounded to 6.
+    // Event-type Markov transition matrix: per (prev -> cur) pair the
+    // observed count and the row-normalized transition probability —
+    // the session-behavior fingerprint drift monitors and bot detectors
+    // key on. One user-keyed shuffle for the lag; the normalizing
+    // window runs over the k^2-sized transition rollup, not the event
+    // volume. Lag order (ts, event_id) is a total order, so both
+    // engines pick identical predecessors.
+    "e13_markov_transitions" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.read(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("prev"))), 6))
+          .orderBy(col("prev"), col("cur"))
+      },
+      """WITH tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev,
+                     event_type AS cur FROM events),
+         c AS (SELECT prev, cur, count(*) AS n FROM tr
+               WHERE prev IS NOT NULL GROUP BY prev, cur)
+         SELECT prev, cur, n,
+                round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev),
+                      6) AS p
+         FROM c ORDER BY prev, cur"""),
+
     "e12_time_to_convert" -> api(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
@@ -6023,6 +6104,66 @@ object SparkEntry {
     // the end) so no float accumulation can split the engines. Work
     // collapses to one (type, value) rollup; the running counts window
     // over that distinct-value relation.
+    // Declarative data-quality expectation suite (the Great-
+    // Expectations/dbt-test shape): six checks — positivity, domain
+    // membership, regex format, date range, not-null, key uniqueness —
+    // evaluated in ONE pass over orders as conditional sums inside a
+    // single aggregate, then unpivoted via stack() into the
+    // (check, n_pass, n_fail, pass_rate) report. At 100 TB this is the
+    // cheapest possible audit: one scan, map-side combined partials,
+    // a 1-row shuffle; uniqueness rides the same pass as
+    // count(DISTINCT key) instead of a separate self-join.
+    "pr14_expectations" -> api(
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        o.agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("c1"),
+            sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+              .otherwise(0L)).as("c2"),
+            sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L)
+              .otherwise(0L)).as("c3"),
+            sum(when(expr("o_orderdate >= timestamp'1992-01-01' and " +
+              "o_orderdate < timestamp'2000-01-01'"), 1L)
+              .otherwise(0L)).as("c4"),
+            sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("c5"),
+            count_distinct(col("o_orderkey")).as("c6"))
+          .selectExpr("""stack(6,
+              'custkey_not_null', c5,
+              'orderdate_in_range', c4,
+              'orderkey_unique', c6,
+              'priority_format', c3,
+              'status_in_domain', c2,
+              'totalprice_positive', c1) as (check_name, n_pass)""", "n")
+          .select(col("check_name"), col("n_pass"),
+            (col("n") - col("n_pass")).as("n_fail"),
+            round(col("n_pass") / col("n"), 6).as("pass_rate"))
+          .orderBy(col("check_name"))
+      },
+      """WITH a AS (SELECT count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+                    ELSE 0 END) AS BIGINT) AS c2,
+           CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                         AND o_orderdate < TIMESTAMP '2000-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS c5,
+           count(DISTINCT o_orderkey) AS c6
+         FROM orders),
+         u AS (
+           SELECT 'custkey_not_null' AS check_name, c5 AS n_pass, n FROM a
+           UNION ALL SELECT 'orderdate_in_range', c4, n FROM a
+           UNION ALL SELECT 'orderkey_unique', c6, n FROM a
+           UNION ALL SELECT 'priority_format', c3, n FROM a
+           UNION ALL SELECT 'status_in_domain', c2, n FROM a
+           UNION ALL SELECT 'totalprice_positive', c1, n FROM a)
+         SELECT check_name, n_pass, n - n_pass AS n_fail,
+                round(CAST(n_pass AS DOUBLE) / n, 6) AS pass_rate
+         FROM u ORDER BY check_name"""),
+
     "pr13_ks_drift" -> api(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
