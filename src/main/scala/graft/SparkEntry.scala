@@ -2313,6 +2313,38 @@ object SparkEntry {
     // users == global distinct users — an equality that breaks the
     // moment any user straddles splits). Same md5-bucket determinism as
     // sp01 (floor(0.8*65536) = 0xcccc).
+    // Deterministic k-fold assignment (k=5) via an integer Knuth
+    // multiplicative hash of the row key — fully map-side, no shuffle
+    // until the per-fold report rollup, and reproducible across engines
+    // because the fold is pure int64 arithmetic (no float, no engine
+    // RNG). The report self-audits the folds: n_test + n_train == N by
+    // construction (the window sum runs over the k-row rollup only) and
+    // langs_covered shows every fold sees the full label surface.
+    "sp09_kfold" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"))
+        val folded = docs.withColumn("fold",
+          (col("doc_id") * 2654435761L) % 4294967296L % 5)
+        folded.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_test"),
+            count_distinct(col("lang")).as("langs_covered"),
+            min(col("doc_id")).as("first_doc"))
+          .withColumn("n_train",
+            sum(col("n_test")).over(org.apache.spark.sql.expressions
+              .Window.partitionBy()) - col("n_test"))
+          .orderBy(col("fold"))
+      },
+      """WITH f AS (SELECT ((doc_id * 2654435761) % 4294967296) % 5
+                      AS fold, lang, doc_id FROM documents),
+         r AS (SELECT fold, count(*) AS n_test,
+                      count(DISTINCT lang) AS langs_covered,
+                      min(doc_id) AS first_doc
+               FROM f GROUP BY fold)
+         SELECT fold, n_test, langs_covered, first_doc,
+                CAST(sum(n_test) OVER () - n_test AS BIGINT) AS n_train
+         FROM r ORDER BY fold"""),
+
     "sp08_group_split" -> api(
       (s, dir) => {
         val ev = graft.streaming.Events.readRaw(s, dir)
@@ -6270,6 +6302,48 @@ object SparkEntry {
     // the dim is the selective day subset; PlanSpec pins that the scan
     // carries a dynamicpruning partition filter. Oracle re-derives from
     // raw events with the same day predicate.
+    // Bloom-filter join pre-filtering — the hand-rolled runtime filter:
+    // build a bloom over the small dim's keys (one aggregate row,
+    // broadcast onto the fact scan), discard ~all non-matching fact
+    // rows BEFORE any join machinery, then an exact broadcast semi-join
+    // kills the bloom's false positives. Correctness never depends on
+    // the bloom (the semi-join is exact); the bloom only thins the
+    // stream. At 100 TB the payoff is shuffle avoidance when the dim is
+    // too big to broadcast-join outright but its key set fits a
+    // few-MB bloom: the fact side drops to ~matching rows at scan time
+    // instead of carrying the full table into a shuffle. Revenue sums
+    // in exact decimal, surfaced as double (the r01 discipline).
+    "j10_bloom_prejoin" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+          .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+        li.createOrReplaceTempView("j10_fact")
+        sup.createOrReplaceTempView("j10_dim")
+        // might_contain requires the bloom as a scalar subquery — Spark
+        // plans it as an uncorrelated subquery broadcast to every scan
+        // task, exactly the runtime-filter shape
+        s.sql(
+          """SELECT l_suppkey, count(*) AS n,
+                    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS rev
+             FROM j10_fact
+             WHERE bloom_might_contain(
+                     (SELECT bloom_agg(s_suppkey, 10000) FROM j10_dim),
+                     l_suppkey)
+               AND l_suppkey IN (SELECT s_suppkey FROM j10_dim)
+             GROUP BY l_suppkey ORDER BY l_suppkey""")
+      },
+      """SELECT l_suppkey, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS rev
+         FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                             WHERE s_nationkey = 3)
+         GROUP BY l_suppkey ORDER BY l_suppkey"""),
+
     "j09_dynamic_pruning" -> api(
       (s, dir) => {
         val MpD = graft.streaming.Events.MicrosPerDay
