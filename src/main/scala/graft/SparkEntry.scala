@@ -5625,6 +5625,31 @@ object SparkEntry {
     // long form — the inverse of g03's pivot and the shape feature
     // stores ingest. Values go through exact cents; the oracle is the
     // classic UNION ALL re-derivation.
+    // Regular-expression function surface — extract (capture group),
+    // replace-all, and match-test — row-level over part names, where
+    // the Java and RE2 regex engines agree (anchors, classes,
+    // alternation; no backrefs/lookaround, which RE2 lacks). Spark's
+    // regexp_replace is replace-ALL by default; DuckDB needs the
+    // explicit 'g' flag — pinned here so the divergence stays
+    // documented. Pure map-side: codegen'd string ops, no shuffle
+    // except the presentation sort.
+    "q38_regex" -> api(
+      (s, dir) => {
+        s.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"),
+            regexp_extract(col("p_name"), "^([a-z]+)", 1).as("adj"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+            col("p_name").rlike("^(red|blue) ").as("is_primary"),
+            regexp_extract(col("p_name"), "(\\w+)$", 1).as("noun"))
+          .orderBy(col("p_partkey"))
+      },
+      """SELECT p_partkey,
+                regexp_extract(p_name, '^([a-z]+)', 1) AS adj,
+                regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+                regexp_matches(p_name, '^(red|blue) ') AS is_primary,
+                regexp_extract(p_name, '(\w+)$', 1) AS noun
+         FROM part ORDER BY p_partkey"""),
+
     "q37_unpivot" -> api(
       (s, dir) => {
         val w = s.read.parquet(s"$dir/lineitem.parquet")
@@ -5984,6 +6009,51 @@ object SparkEntry {
     // sees ≤ |priorities| rows per flag. Ties break by ascending mode
     // (the -cnt/mode struct sort key), mirrored in the oracle's window
     // ORDER BY.
+    // EXACT order statistics per group — median / p25 / p90 via Spark's
+    // exact `percentile` aggregate (bit-identical to DuckDB's
+    // quantile_cont on this data, verified on the interpolated p90
+    // bits) — plus a deterministic MODE: most frequent quantity with
+    // ties broken to the smallest value, built relationally
+    // (frequency rollup -> per-group max-count window -> conditional
+    // min) so both engines resolve ties identically where a native
+    // mode() aggregate is free to pick either. Exact per-group
+    // percentiles need the group's values together — that's one keyed
+    // shuffle; the mode branch rides a rollup whose cardinality is
+    // (groups x distinct quantities), tiny next to the fact table.
+    "g15_quantiles_mode" -> api(
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val quant = li.groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med_q"),
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_q"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        val freq = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("mc", max(col("c")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_returnflag"))))
+        val mode = freq.groupBy(col("l_returnflag"))
+          .agg(min(when(col("c") === col("mc"), col("l_quantity")))
+            .as("mode_q"))
+        quant.join(mode, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+      },
+      """WITH q AS (
+           SELECT l_returnflag,
+                  round(quantile_cont(l_quantity, 0.5), 6) AS med_q,
+                  round(quantile_cont(l_quantity, 0.25), 6) AS p25_q,
+                  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+           FROM lineitem GROUP BY l_returnflag),
+         f AS (SELECT l_returnflag, l_quantity, count(*) AS c
+               FROM lineitem GROUP BY l_returnflag, l_quantity),
+         fm AS (SELECT *, max(c) OVER (PARTITION BY l_returnflag) AS mc
+                FROM f),
+         m AS (SELECT l_returnflag,
+                      min(CASE WHEN c = mc THEN l_quantity END) AS mode_q
+               FROM fm GROUP BY l_returnflag)
+         SELECT q.l_returnflag, med_q, p25_q, p90_price, mode_q
+         FROM q JOIN m ON m.l_returnflag = q.l_returnflag
+         ORDER BY q.l_returnflag"""),
+
     "g13_heavy_hitters" -> api(
       (s, dir) => {
         val counts = s.read.parquet(s"$dir/orders.parquet")
