@@ -6266,6 +6266,41 @@ object SparkEntry {
                 round(CAST(n_pass AS DOUBLE) / n, 6) AS pass_rate
          FROM u ORDER BY check_name"""),
 
+    // Benford first-digit fraud screen: observed leading-digit
+    // distribution of order amounts vs the Benford expectation
+    // log10(1+1/d). The digit comes from the INTEGER cents rendered as
+    // a string — integer-to-string is exact and engine-identical, where
+    // float formatting or pow/log10 index arithmetic would not be.
+    // Deviation in ROUNDED space; all nine log10 constants verified
+    // >= 0.004 ulp-millionths from their 6dp rounding boundary, so the
+    // cross-engine round is stable. One scan, 9-row rollup.
+    "pr15_benford" -> api(
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+        o.select(substring(round(col("o_totalprice") * 100)
+            .cast("long").cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("share", round(col("n") /
+            sum(col("n")).over(org.apache.spark.sql.expressions
+              .Window.partitionBy()), 6))
+          .withColumn("benford",
+            round(log10(lit(1) + lit(1.0) / col("digit").cast("double")), 6))
+          .withColumn("dev", round(col("share") - col("benford"), 6))
+          .orderBy(col("digit"))
+      },
+      """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
+                      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+                    FROM orders),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+         sh AS (SELECT digit, n,
+                       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+                FROM c)
+         SELECT digit, n, share,
+                round(log10(1 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+                round(share - round(log10(1 + 1.0 / CAST(digit AS DOUBLE)),
+                      6), 6) AS dev
+         FROM sh ORDER BY digit"""),
+
     "pr13_ks_drift" -> api(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
@@ -6519,6 +6554,44 @@ object SparkEntry {
     // combines on (source, token) — the same shape count(DISTINCT)
     // expands to, but with the per-token frequencies kept for the
     // hapax/mean-length stats.
+    // Inverted-index build (the search/retrieval side of a corpus
+    // pipeline): token -> document frequency, total term frequency,
+    // doc-id range, and the first five postings. The posting-list
+    // sample is deterministic on both engines: set-collect then SORT
+    // then slice (collect_set order is partition-dependent, the sort
+    // erases that). Shuffle carries (token, doc_id) pairs — the
+    // standard index-build shape that scales by token-hash
+    // partitioning; posting lists stay bounded in the output via the
+    // head slice, full lists would go to a bucketed sink at 100 TB.
+    "t18_postings" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.select(col("doc_id"),
+            explode(split(lower(coalesce(col("text"), lit(""))), "\\W+"))
+              .as("tok"))
+          .filter(length(col("tok")) >= 3)
+          .groupBy(col("tok"))
+          .agg(count_distinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 5),
+              ",").as("postings_head"))
+          .filter(col("df") >= 2)
+          .orderBy(col("tok"))
+      },
+      """WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(coalesce(text, '')),
+                        '\W+')) AS tok
+                    FROM documents)
+         SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                array_to_string(list_sort(list(DISTINCT doc_id))[1:5],
+                  ',') AS postings_head
+         FROM t WHERE length(tok) >= 3
+         GROUP BY tok HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY tok"""),
+
     // Fuzzy entity linkage (record linkage): dirty part names (one char
     // deterministically dropped at position 6+key%(len-6)) are linked
     // back to a canonical entity catalog — DISTINCT clean names keyed
