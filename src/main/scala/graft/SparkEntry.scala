@@ -5354,6 +5354,76 @@ object SparkEntry {
     // admission order cannot change the result — which is exactly what
     // lets a batch oracle (argmax per user over the whole corpus) gate a
     // multi-batch incremental pipeline.
+    // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    // the feed carries ~1/7 redelivered events (same event_id, ts
+    // shifted +5 min — the at-least-once delivery shape), range-split
+    // into three files and admitted one per micro-batch, so
+    // redeliveries cross batch boundaries and must be dropped from
+    // keyed STATE, not in-batch. Unlike plain dropDuplicates, state
+    // here is evicted once the watermark passes an id's ts + delay —
+    // the production answer to unbounded-stream dedup memory. Output
+    // (per type: unique count, exact-decimal value sum, feed volume,
+    // dup drops) is keep-first/keep-any independent because a
+    // redelivery differs only in ts, so the batch oracle gates it
+    // exactly.
+    "st13_stream_dedup_watermark" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()   // state partitions sized to key count
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val feed = scratchDir("st13_feed")
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val redelivered = ev.filter(col("event_id") % 7 === 0)
+          .withColumn("ts", col("ts") +
+            lit(5L * graft.streaming.Events.MicrosPerMinute))
+        ev.unionByName(redelivered)
+          .repartitionByRange(3, col("ts"))
+          .write.mode("overwrite").parquet(feed)
+        val schema = "event_id LONG, ts LONG, event_type STRING, value DOUBLE"
+        val sink = "st13_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed)
+          .withColumn("tst", expr("timestamp_micros(ts)"))
+          // delay must cover the feed's max DISORDER: file admission
+          // order is not ts-ascending (mtime ties break arbitrarily),
+          // so a whole later-range file can arrive first and a short
+          // delay would late-drop the earlier ranges wholesale. The
+          // replay's disorder bound is the corpus span (31 days); a
+          // live in-order stream would use minutes here.
+          .withWatermark("tst", "31 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"),
+            expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+              .as("sv"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val feedCounts = s.read.schema(schema).parquet(feed)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_feed"))
+        s.table(sink).join(feedCounts, Seq("event_type"))
+          .select(col("event_type"), col("n_unique"), col("sv"),
+            col("n_feed"), (col("n_feed") - col("n_unique")).as("dup_dropped"))
+          .orderBy(col("event_type"))
+      },
+      """WITH f AS (SELECT event_type, count(*) AS n_feed FROM
+             (SELECT event_type FROM events
+              UNION ALL
+              SELECT event_type FROM events WHERE event_id % 7 = 0) u
+           GROUP BY event_type),
+         o AS (SELECT event_type, count(*) AS n_unique,
+                      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        AS sv
+               FROM events GROUP BY event_type)
+         SELECT o.event_type, n_unique, sv, n_feed,
+                n_feed - n_unique AS dup_dropped
+         FROM o JOIN f ON f.event_type = o.event_type
+         ORDER BY o.event_type"""),
+
     "st11_stream_cdc_upsert" -> api(
       (outer, dir) => {
         val s = outer.newSession()   // state partitions sized to key count
