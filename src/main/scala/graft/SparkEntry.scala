@@ -1093,6 +1093,50 @@ object SparkEntry {
            ON e.user_id = e2.user_id AND e.ts > e2.ts
          ORDER BY e.event_id"""),
 
+    // nearest-direction as-of join (merge_asof direction='nearest'):
+    // closest other event of the same user in EITHER direction within
+    // 45 minutes, ties to the earlier match. Two keyed window passes
+    // (AsOf.nearestJoin — backward payload rides through the forward
+    // union), vs the oracle's two ASOF joins + CASE choose. Right-side
+    // times are unique per user (st11's probed invariant), so both
+    // engines pick identical candidates.
+    "a04_asof_nearest" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.read(s, dir)
+        graft.ops.AsOf.nearestJoin(ev, ev, keyCol = "user_id",
+            leftTimeCol = "ts", rightTimeCol = "ts",
+            valueCols = Seq("event_id", "value"), rightIdCol = "event_id",
+            strict = true, tolerance = Some(expr("INTERVAL '45' MINUTE")))
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"), col("asof_value"))
+          .orderBy(col("event_id"))
+      },
+      """WITH b AS (SELECT e.event_id, e2.ts AS bt, e2.event_id AS bid,
+                           e2.value AS bv
+                    FROM events e ASOF LEFT JOIN events e2
+                      ON e.user_id = e2.user_id AND e.ts > e2.ts),
+         f AS (SELECT e.event_id, e2.ts AS ft, e2.event_id AS fid,
+                      e2.value AS fv
+               FROM events e ASOF LEFT JOIN events e2
+                 ON e.user_id = e2.user_id AND e.ts < e2.ts),
+         j AS (SELECT e.event_id, e.user_id,
+                      bt, bid, bv, ft, fid, fv,
+                      (bt IS NOT NULL
+                       AND e.ts - bt <= INTERVAL 45 MINUTE) AS b_ok,
+                      (ft IS NOT NULL
+                       AND ft - e.ts <= INTERVAL 45 MINUTE) AS f_ok,
+                      e.ts AS lts
+               FROM events e
+               JOIN b ON b.event_id = e.event_id
+               JOIN f ON f.event_id = e.event_id)
+         SELECT event_id, user_id,
+                CASE WHEN b_ok AND (NOT f_ok OR lts - bt <= ft - lts)
+                     THEN bid WHEN f_ok THEN fid END AS asof_event_id,
+                CASE WHEN b_ok AND (NOT f_ok OR lts - bt <= ft - lts)
+                     THEN bv WHEN f_ok THEN fv END AS asof_value
+         FROM j ORDER BY event_id"""),
+
     // forward as-of join with a match tolerance (pandas merge_asof
     // semantics: nearest later event within 30 minutes, else null) —
     // same union + keyed-window formulation, timeline walked descending

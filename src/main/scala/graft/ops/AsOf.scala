@@ -36,7 +36,8 @@ object AsOf {
       rightIdCol: String,
       strict: Boolean = true,
       direction: String = "backward",
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      keepMatchedTime: Boolean = false): DataFrame = {
 
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
@@ -99,6 +100,59 @@ object AsOf {
           df.withColumn(s"asof_$v", when(within, col(s"asof_$v")))
         }
     }
-    result.select((leftCols ++ vPrefixed).map(col): _*)
+    // asof_t (keepMatchedTime) is the RAW nearest candidate's time,
+    // deliberately untouched by the tolerance nulling — nearestJoin
+    // applies its own tolerance at choose time and needs the raw value
+    val withT =
+      if (keepMatchedTime) result.withColumnRenamed("asof___mt", "asof_t")
+      else result
+    val outCols = leftCols ++ vPrefixed ++
+      (if (keepMatchedTime) Seq("asof_t") else Nil)
+    withT.select(outCols.map(col): _*)
+  }
+
+  /** Nearest-direction as-of join (pandas merge_asof
+    * direction='nearest'): for every left row the closest right row in
+    * EITHER direction, ties to the backward (earlier) match, optionally
+    * bounded by a tolerance on |Δt|. Composed as the backward pass
+    * feeding the forward pass — the backward payload rides through the
+    * second union as ordinary left columns — so the total cost is two
+    * keyed window shuffles, still no range join and no per-key collect.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCols: Seq[String],
+      rightIdCol: String,
+      strict: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carried = valueCols :+ "t"
+    val b0 = join(left, right, keyCol, leftTimeCol, rightTimeCol,
+      valueCols, rightIdCol, strict, "backward", None, keepMatchedTime = true)
+    val b = carried.foldLeft(b0)((df, v) =>
+      df.withColumnRenamed(s"asof_$v", s"__b_$v"))
+    val f0 = join(b, right, keyCol, leftTimeCol, rightTimeCol,
+      valueCols, rightIdCol, strict, "forward", None, keepMatchedTime = true)
+    val f = carried.foldLeft(f0)((df, v) =>
+      df.withColumnRenamed(s"asof_$v", s"__f_$v"))
+    val db = col(leftTimeCol) - col("__b_t")
+    val dfw = col("__f_t") - col(leftTimeCol)
+    val bOk = tolerance match {
+      case Some(tol) => col("__b_t").isNotNull && db <= tol
+      case None      => col("__b_t").isNotNull
+    }
+    val fOk = tolerance match {
+      case Some(tol) => col("__f_t").isNotNull && dfw <= tol
+      case None      => col("__f_t").isNotNull
+    }
+    val pickB = bOk && (!fOk || db <= dfw)
+    val out = valueCols.foldLeft(f)((df, v) =>
+      df.withColumn(s"asof_$v",
+        when(pickB, col(s"__b_$v")).when(fOk, col(s"__f_$v"))))
+    out.select((leftCols ++ valueCols.map(v => s"asof_$v")).map(col): _*)
   }
 }

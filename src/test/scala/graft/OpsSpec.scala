@@ -1030,6 +1030,30 @@ class OpsSpec extends GraftSuite {
     assert(run(strict = true, "forward", Some(5L)) == Seq(None, Some(4.0), None))
   }
 
+  test("as-of nearestJoin: direction choice, backward tie-break, tolerance") {
+    val l = Seq((1L, 10L, 100L), (1L, 25L, 101L), (1L, 99L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 5L, 200L, 1.0), (1L, 10L, 201L, 2.0),
+      (1L, 20L, 202L, 3.0), (1L, 30L, 203L, 4.0))
+      .toDF("k", "t", "rid", "v")
+    def run(strict: Boolean, tol: Option[Long]) =
+      AsOf.nearestJoin(l, r, "k", "t", "t", Seq("v"), "rid",
+          strict = strict, tolerance = tol.map(x => lit(x)))
+        .orderBy("lid").collect()
+        .map(row => if (row.isNullAt(3)) None else Some(row.getDouble(3)))
+        .toSeq
+    // t=10 strict: back r@5 (d5) vs fwd r@20 (d10) -> backward 1.0
+    // t=25: back r@20 (d5) vs fwd r@30 (d5) -> TIE -> backward 3.0
+    // t=99: back r@30 (d69), no fwd -> 4.0
+    assert(run(strict = true, None) == Seq(Some(1.0), Some(3.0), Some(4.0)))
+    // non-strict: t=10 sees same-instant r@10 at distance 0 -> 2.0
+    assert(run(strict = false, None) == Seq(Some(2.0), Some(3.0), Some(4.0)))
+    // tolerance 5 keeps the d<=5 matches, nulls t=99's d=69 match
+    assert(run(strict = true, Some(5L)) == Seq(Some(1.0), Some(3.0), None))
+    // tolerance 3 nulls everything (all distances exceed 3)
+    assert(run(strict = true, Some(3L)) == Seq(None, None, None))
+  }
+
   test("redact scrubs emails, urls, ips and phone spans in rule order") {
     val df = Seq(
       "write bob.smith+x@corp.example.org or see https://a.b/c?d=1 now",
