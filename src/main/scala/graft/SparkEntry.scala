@@ -5233,6 +5233,50 @@ object SparkEntry {
     // rides ONE user-keyed shuffle (e04's discipline); deltas stay
     // integer micros until the final exact-percentile interpolation,
     // rounded to 6.
+    // Fixed-point EWMA per user (alpha = 1/2 in integer cents:
+    // s_i = (v_i + s_{i-1}) div 2) — a GENUINELY sequential recurrence:
+    // the integer floor at every step makes it inexpressible as any
+    // window aggregate (no closed form survives the per-step
+    // truncation), so this is the documented last-resort tier (SURVEY
+    // §7 preference (d)): typed groupByKey + flatMapGroups, O(1) state
+    // per key, one shuffle on user_id, per-group sort bounded by the
+    // max events-per-user (99 at sf0.1). Values are non-negative so
+    // Scala's truncating / and the oracle's flooring // agree. The
+    // recursive-CTE oracle replays the identical integer recurrence.
+    "e14_ewma" -> api(
+      (s, dir) => {
+        import s.implicits._
+        graft.streaming.Events.readRaw(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("v"))
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+            val rows = it.toArray.sortBy(t => (t._2, t._3))
+            var acc = 0L
+            var first = true
+            rows.iterator.map { case (_, _, eid, v) =>
+              acc = if (first) { first = false; v } else (v + acc) / 2
+              (u, eid, acc)
+            }
+          }
+          .toDF("user_id", "event_id", "ewma_cents")
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+         w(user_id, event_id, rn, ewma) AS (
+           SELECT user_id, event_id, rn, v FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rn, (e.v + w.ewma) // 2
+           FROM w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         SELECT user_id, event_id, ewma AS ewma_cents
+         FROM w ORDER BY user_id, event_id"""),
+
     // Event-type Markov transition matrix: per (prev -> cur) pair the
     // observed count and the row-normalized transition probability —
     // the session-behavior fingerprint drift monitors and bot detectors
