@@ -5237,8 +5237,8 @@ object SparkEntry {
     // s_i = (v_i + s_{i-1}) div 2) — a GENUINELY sequential recurrence:
     // the integer floor at every step makes it inexpressible as any
     // window aggregate (no closed form survives the per-step
-    // truncation), so this is the documented last-resort tier (SURVEY
-    // §7 preference (d)): typed groupByKey + flatMapGroups, O(1) state
+    // truncation), so this is the one place the last-resort tier is
+    // justified: typed groupByKey + flatMapGroups, O(1) state
     // per key, one shuffle on user_id, per-group sort bounded by the
     // max events-per-user (99 at sf0.1). Values are non-negative so
     // Scala's truncating / and the oracle's flooring // agree. The
