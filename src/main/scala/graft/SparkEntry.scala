@@ -5791,6 +5791,23 @@ object SparkEntry {
     // explicit 'g' flag — pinned here so the divergence stays
     // documented. Pure map-side: codegen'd string ops, no shuffle
     // except the presentation sort.
+    // QUALIFY clause (Snowflake/DuckDB dialect): filter on a window
+    // function AFTER the select list evaluates — top-2 orders per
+    // customer here. Spark has no QUALIFY; graft.sql.Dialect.splitQualify
+    // rewrites the clause into subquery + filter (predicate evaluated as
+    // a lateral-alias column, then dropped), so the SAME text runs on
+    // both engines. The plan is the one you'd hand-write: one shuffle on
+    // o_custkey, rank + filter before the final order — no extra
+    // exchange from the rewrite.
+    "q39_qualify" -> same("orders",
+      """SELECT o_custkey, o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+         FROM orders
+         QUALIFY rn <= 2
+         ORDER BY o_custkey, rn"""),
+
     "q38_regex" -> api(
       (s, dir) => {
         s.read.parquet(s"$dir/part.parquet")

@@ -37,17 +37,53 @@ final class Table private (val df: DataFrame) {
     Registry.registerAll(spark)
     val q = Dialect.orderByNullsLast(
       Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
-    val view = Dialect.firstFromTable(q).getOrElse("t")
+    Dialect.splitQualify(q) match {
+      case Some((inner, tail)) => qualifiedSql(inner, tail)
+      case None =>
+        val view = Dialect.firstFromTable(q).getOrElse("t")
+        val out = Table.bindLock.synchronized {
+          df.createOrReplaceTempView(view)
+          val o = spark.sql(q)
+          o.queryExecution.assertAnalyzed() // snapshot the view NOW, inside the lock
+          o
+        }
+        graft.sql.OutputNames.vinumNames(spark.sessionState.sqlParser.parsePlan(q)) match {
+          case Some(names) if names.length == out.columns.length =>
+            new Table(out.toDF(names: _*))
+          case _ => new Table(out)
+        }
+    }
+  }
+
+  /** QUALIFY execution: run the [[Dialect.splitQualify]] inner query
+    * (select list + `(pred) AS __qualify__`), filter on the predicate
+    * column, drop it, then apply the trailing ORDER BY / LIMIT over the
+    * filtered rows — the clause order QUALIFY defines. The predicate
+    * filter runs BEFORE the tail's LIMIT, so `QUALIFY rn <= k LIMIT n`
+    * limits the qualified rows, not the raw ones.
+    */
+  private def qualifiedSql(inner: String, tail: String): Table = {
+    val view = Dialect.firstFromTable(inner).getOrElse("t")
     val out = Table.bindLock.synchronized {
       df.createOrReplaceTempView(view)
-      val o = spark.sql(q)
-      o.queryExecution.assertAnalyzed() // snapshot the view NOW, inside the lock
+      val o = spark.sql(inner)
+      o.queryExecution.assertAnalyzed()
       o
     }
-    graft.sql.OutputNames.vinumNames(spark.sessionState.sqlParser.parsePlan(q)) match {
-      case Some(names) if names.length == out.columns.length =>
-        new Table(out.toDF(names: _*))
-      case _ => new Table(out)
+    val filtered = out.filter(out.col("__qualify__")).drop("__qualify__")
+    val fin =
+      if (tail.isEmpty) filtered
+      else Table.bindLock.synchronized {
+        filtered.createOrReplaceTempView("__qualified__")
+        val o = spark.sql(s"SELECT * FROM __qualified__ $tail")
+        o.queryExecution.assertAnalyzed()
+        o
+      }
+    graft.sql.OutputNames.vinumNames(
+      spark.sessionState.sqlParser.parsePlan(inner)) match {
+      case Some(names) if names.length == fin.columns.length + 1 =>
+        new Table(fin.toDF(names.dropRight(1): _*))
+      case _ => new Table(fin)
     }
   }
 

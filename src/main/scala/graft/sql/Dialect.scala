@@ -193,6 +193,47 @@ object Dialect {
     s.substring(0, obStart) + rewritten.mkString(",") + s.substring(end)
   }
 
+  /** Snowflake/DuckDB-style QUALIFY — filter on window-function results
+    * after the SELECT list is evaluated. Spark SQL has no QUALIFY clause;
+    * this splits a top-level one into the pieces [[graft.api.Table.sql]]
+    * recombines as subquery + filter:
+    *
+    *   Some((inner, tail)) where `inner` is the query up to QUALIFY with
+    *   `, (pred) AS __qualify__` appended to the select list and `tail`
+    *   is the trailing ORDER BY / LIMIT / OFFSET text (possibly empty).
+    *
+    * The predicate may reference select-list aliases (substituted
+    * inline, same mechanism as [[aliasesIntoWhere]] — lateral column
+    * aliases can't reference window expressions in Spark) or contain
+    * window functions directly. QUALIFY inside a subquery (paren
+    * depth > 0) is untouched; `qualify` is treated as reserved at the
+    * top level, as in DuckDB. Top-level DISTINCT is rejected —
+    * appending the predicate column would change its semantics.
+    */
+  def splitQualify(sql: String): Option[(String, String)] = {
+    val q = findTopLevelKeyword(sql, 0, "qualify")
+    if (q < 0) return None
+    var end = sql.length
+    for (kw <- Seq("order", "limit", "offset")) {
+      val idx = findTopLevelKeyword(sql, q + 7, kw)
+      if (idx >= 0 && idx < end) end = idx
+    }
+    val tail = sql.substring(end).trim
+    val before = sql.substring(0, q)
+    val sel = findTopLevelKeyword(before, 0, "select")
+    val from = findTopLevelKeyword(before, 0, "from")
+    require(sel >= 0 && from > sel, "QUALIFY requires SELECT ... FROM")
+    require(!before.substring(sel + 6).trim.toLowerCase.startsWith("distinct"),
+      "QUALIFY with top-level DISTINCT is not supported")
+    val aliases = splitTopLevel(before.substring(sel + 6, from)).flatMap { item =>
+      AliasRe.findFirstMatchIn(item).map(m => (m.group(2).toLowerCase, m.group(1).trim))
+    }.toMap
+    val pred = substituteIdents(sql.substring(q + 7, end).trim, aliases)
+    val inner = before.substring(0, from) +
+      s", ($pred) AS __qualify__ " + before.substring(from)
+    Some((inner, tail))
+  }
+
   private def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
     var i = from
     var depth = 0

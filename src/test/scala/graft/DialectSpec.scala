@@ -87,4 +87,31 @@ class DialectSpec extends AnyFunSuite {
       "select distinct a+1 as d from t where d=1 order by d limit 3") ==
       "select distinct a+1 as d from t where (a+1)=1 order by d limit 3")
   }
+
+  test("splitQualify: predicate column appended, tail preserved") {
+    val Some((inner, tail)) = Dialect.splitQualify(
+      "select k, row_number() over (order by v) as rn from t " +
+        "qualify rn <= 2 order by k limit 5"): @unchecked
+    assert(inner == "select k, row_number() over (order by v) as rn " +
+      ", ((row_number() over (order by v)) <= 2) AS __qualify__ from t ")
+    assert(tail == "order by k limit 5")
+  }
+
+  test("splitQualify: no QUALIFY, subquery QUALIFY, quoted word → None") {
+    assert(Dialect.splitQualify("select a from t order by a").isEmpty)
+    assert(Dialect.splitQualify(
+      "select * from (select a from t qualify rn = 1) s").isEmpty)
+    assert(Dialect.splitQualify("select 'qualify rn' as a from t").isEmpty)
+  }
+
+  test("splitQualify: direct window predicate, empty tail, DISTINCT rejected") {
+    val Some((inner, tail)) = Dialect.splitQualify(
+      "select k from t qualify rank() over (order by k) = 1"): @unchecked
+    assert(inner ==
+      "select k , (rank() over (order by k) = 1) AS __qualify__ from t ")
+    assert(tail.isEmpty)
+    intercept[IllegalArgumentException] {
+      Dialect.splitQualify("select distinct k from t qualify rn = 1")
+    }
+  }
 }

@@ -423,4 +423,14 @@ class PlanSpec extends GraftSuite {
       s"histogram not map-side combined:\n$p")
     assert(!p.contains("Join"), s"no join belongs in pr04:\n$p")
   }
+
+  test("q39 QUALIFY: rank filter collapses into WindowGroupLimit, one key shuffle") {
+    val p = planOf("q39_qualify")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rn <= 2 predicate should push a per-group limit under the window:\n$p")
+    assert(!p.contains("Join"), s"the QUALIFY rewrite must not add joins:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"q39 should shuffle once on o_custkey + once for the final sort (got $exchanges):\n$p")
+  }
 }

@@ -212,6 +212,36 @@ object SmokeMain {
       SparkEntry.queries("t14_sentences")(spark, sf).show(3, truncate = false)
     }
 
+    println("=== [9] round-9 surface: QUALIFY dialect clause ===")
+    locally {
+      val orders = Table.fromParquet(spark, "/root/testdata/sf0.001/orders.parquet")
+      val top2 = orders.sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders QUALIFY rn <= 2 ORDER BY o_custkey, rn LIMIT 6""")
+      top2.show(6, truncate = false)
+      // semantics check vs the hand-written subquery formulation
+      val manual = orders.sql(
+        """SELECT * FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 2""").toDF
+      val full = orders.sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders QUALIFY rn <= 2""").toDF
+      println(s"qualify rows=${full.count()} manual rows=${manual.count()} " +
+        s"equal=${full.exceptAll(manual).isEmpty && manual.exceptAll(full).isEmpty}")
+      // direct window predicate, no alias
+      val direct = orders.sql(
+        """SELECT o_orderkey FROM orders
+           QUALIFY rank() OVER (ORDER BY o_totalprice DESC) = 1""").toDF
+      println(s"direct-window qualify rows=${direct.count()}")
+    }
+
     spark.stop()
     println("SMOKE OK")
   }
