@@ -970,6 +970,44 @@ object SparkEntry {
       },
       hourlyOracle),
 
+    // Streaming top-k: the hottest 3 event types per hourly window over
+    // a watermarked streaming aggregation. The per-window rank runs in
+    // the SINK rollup (here: on the memory-sink table; in production,
+    // the same 3-line rollup inside foreachBatch per trigger) — ranking
+    // inside the streaming agg itself is impossible in append mode
+    // because a window's ranks are unstable until the watermark closes
+    // it. State is the windowed counts only (windows × types), the
+    // rank never shuffles more than the closed-window rollup.
+    "st14_stream_topk" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingHourlyTypeCounts(
+          graft.streaming.Events.readStream(s, dir))
+        val sink = "st14_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("n").desc, col("event_type"))
+        s.table(sink)
+          .select(unix_micros(col("h")).as("h"), col("event_type"), col("n"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("h"), col("rn"))
+      },
+      """WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS h,
+                           event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT h, event_type, n,
+                 CAST(row_number() OVER (PARTITION BY h
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rn FROM h)
+         SELECT h, event_type, n, rn FROM r WHERE rn <= 3
+         ORDER BY h, rn"""),
+
     // semi-structured JSON processing over the events props column
     "e03_events_json" -> api(
       (s, dir) => {
@@ -4748,6 +4786,32 @@ object SparkEntry {
 
     ,
 
+    // Parquet BLOOM FILTERS on the point-lookup key: at 100 TB a needle
+    // query (`doc_id IN (...)`) should skip row groups whose min/max
+    // straddle the probe but whose bloom says "definitely absent" —
+    // stats alone can't skip when keys are scattered. The write sets
+    // parquet.bloom.filter.enabled#doc_id (+ expected NDV, sized to
+    // the corpus) and small row groups so skipping has granularity;
+    // the read-back filter reaches the scan as PushedFilters (In), and
+    // the footer-level bloom presence is pinned in OpsSpec. Oracle:
+    // the same probe against the original table.
+    "io13_parquet_bloom" -> api(
+      (s, dir) => {
+        val out = scratchDir(s"io13_bloom_${new java.io.File(dir).getName}")
+        s.read.parquet(s"$dir/documents.parquet")
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#doc_id", "true")
+          .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+          .option("parquet.block.size", (1 << 20).toString)
+          .parquet(out)
+        s.read.parquet(out)
+          .filter(col("doc_id").isin(7L, 77L, 177L, 277L, 377L))
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (7, 77, 177, 277, 377) ORDER BY doc_id"""),
+
     // DYNAMIC partition overwrite — the incremental-backfill write mode
     // a day-partitioned 100 TB table lives by: rewrite ONLY the
     // partitions present in the patch, leave every other day's files
@@ -5243,6 +5307,55 @@ object SparkEntry {
     // max events-per-user (99 at sf0.1). Values are non-negative so
     // Scala's truncating / and the oracle's flooring // agree. The
     // recursive-CTE oracle replays the identical integer recurrence.
+    // Linear-interpolation gap fill over the same 15-min per-user grid
+    // as e07: missing bins get the straight line between neighbors
+    // (leading/trailing gaps clamp to the nearest observation). The
+    // interpolation is a fixed-order double expression rounded to 6, so
+    // Spark and DuckDB agree bitwise. Same scale shape as e07 — keyed
+    // binning, per-key grid, two windows on one exchange.
+    "e15_interpolate" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .filter(col("user_id") < 20)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        graft.ops.Resample.binInterpolate(ev, "user_id", "ts", "cents",
+            binWidth = 900L * graft.streaming.Events.MicrosPerSecond)
+          .orderBy(col("user_id"), col("bin"))
+      },
+      """WITH b AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 900) AS BIGINT) AS bin,
+                  count(*) AS n,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS c
+           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(bin) AS lo, max(bin) AS hi
+                    FROM b GROUP BY 1),
+         grid AS (SELECT user_id, u.g AS bin
+                  FROM bounds, unnest(generate_series(lo, hi)) AS u(g)),
+         j AS (SELECT g.user_id, g.bin, b.n, b.c
+               FROM grid g LEFT JOIN b USING (user_id, bin)),
+         w AS (SELECT user_id, bin, n,
+                 CAST(c AS DOUBLE) AS v,
+                 CAST(last_value(c IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS pv,
+                 last_value(CASE WHEN c IS NOT NULL THEN bin END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                 CAST(first_value(c IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bin
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS nv,
+                 first_value(CASE WHEN c IS NOT NULL THEN bin END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bin
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+               FROM j)
+         SELECT user_id, bin, coalesce(n, 0) AS n,
+                round(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pb IS NULL THEN nv
+                           WHEN nb IS NULL THEN pv
+                           ELSE pv + (nv - pv) * CAST(bin - pb AS DOUBLE)
+                                / CAST(nb - pb AS DOUBLE) END, 6) AS cents_li
+         FROM w ORDER BY user_id, bin"""),
+
     "e14_ewma" -> api(
       (s, dir) => {
         import s.implicits._
@@ -5610,6 +5723,38 @@ object SparkEntry {
     // comparison is UNKNOWN), while NOT EXISTS and the null-stripped
     // variant behave "intuitively". Same text in both engines; the row
     // proves both implement ANSI 3VL identically.
+    // Quantified comparisons (> ALL / < ANY): Spark SQL has no ALL/ANY
+    // subquery comparison, so the Spark text uses the equivalent scalar
+    // max() reduction — `x > ALL (S)` ⟺ `x > (SELECT max(*) FROM S)` and
+    // `x < ANY (S)` ⟺ `x < (SELECT max(*) FROM S)` — while the oracle
+    // runs DuckDB's native quantifiers. The equivalences hold because
+    // the probe set is non-empty and null-free (o_totalprice is NOT
+    // NULL); on an empty S, ALL is vacuously true while the scalar form
+    // yields NULL — documented, not exercised. Plan: two one-row
+    // broadcast scalar subqueries against a map-only scan.
+    "sub07_any_all" -> api(
+      (s, dir) => {
+        s.read.parquet(s"$dir/orders.parquet")
+          .createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT o_orderkey,
+                    o_totalprice > (SELECT max(o_totalprice) FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+                      AS above_all_urgent,
+                    o_totalprice < (SELECT max(o_totalprice) FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+                      AS below_some_urgent
+             FROM orders ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey,
+                o_totalprice > ALL (SELECT o_totalprice FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+                  AS above_all_urgent,
+                o_totalprice < ANY (SELECT o_totalprice FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+                  AS below_some_urgent
+         FROM orders ORDER BY o_orderkey"""),
+
     "sub06_not_in_null" -> multi(Seq("orders", "customer"),
       """WITH probe AS (
            SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
@@ -5807,6 +5952,34 @@ object SparkEntry {
          FROM orders
          QUALIFY rn <= 2
          ORDER BY o_custkey, rn"""),
+
+    // Relational division ("for all"): customers who placed an order in
+    // EVERY order-priority class. The Spark plan is the scale-right
+    // counting formulation — one grouped distinct-count against a
+    // broadcast universe count, no correlated subquery in sight — while
+    // the oracle is the textbook double-NOT-EXISTS, proving the two
+    // formulations equivalent. At 100 TB the counting plan wins by
+    // construction: two aggregations and a broadcast of ONE row vs a
+    // nested correlated anti-join per (customer, class) pair.
+    "q40_division" -> api(
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey"), col("o_orderpriority"))
+        val k = o.agg(count_distinct(col("o_orderpriority")).as("__k"))
+        o.groupBy(col("o_custkey"))
+          .agg(count_distinct(col("o_orderpriority")).as("__np"))
+          .join(broadcast(k), col("__np") === col("__k"))
+          .select(col("o_custkey"))
+          .orderBy(col("o_custkey"))
+      },
+      """SELECT c.o_custkey
+         FROM (SELECT DISTINCT o_custkey FROM orders) c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) ps
+           WHERE NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.o_custkey AND o.o_orderpriority = ps.p))
+         ORDER BY o_custkey"""),
 
     "q38_regex" -> api(
       (s, dir) => {
@@ -6094,6 +6267,70 @@ object SparkEntry {
     // wave-3 operators COMPOSE — domains fan in from four URL shapes to
     // three registrable domains, exercising the quota against real
     // contention.
+    // Feature hashing (the "hashing trick"): categorical features are
+    // mapped to a FIXED bucket space by hashing the feature string —
+    // no vocabulary build, no driver-side dictionary, new categories
+    // at serving time land in the same space. Bucket = first 3 hex
+    // chars of md5(feature) (4096 buckets, engine-portable); the
+    // rollup audits collisions per bucket (nf > 1 ⇒ colliding
+    // features share a slot, the accepted trade-off of the trick).
+    // Map-only until the bucket rollup — at 100 TB the shuffle
+    // carries (bucket, feature) pairs, never document payloads.
+    "fe01_feature_hash" -> api(
+      (s, dir) => {
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(array(
+            concat(lit("lang="), col("lang")),
+            concat(lit("source="), col("source")),
+            concat(lit("len_bucket="),
+              expr("n_chars div 500").cast("string")))).as("feat"))
+          .select(col("feat"), substring(md5(col("feat")), 1, 3).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("feat")).as("nf"),
+            min(col("feat")).as("first_feat"))
+          .orderBy(col("bucket"))
+      },
+      """WITH f AS (
+           SELECT unnest([ 'lang=' || lang, 'source=' || source,
+                           'len_bucket=' || CAST(n_chars // 500 AS VARCHAR) ])
+                  AS feat
+           FROM documents)
+         SELECT substr(md5(feat), 1, 3) AS bucket, count(*) AS n,
+                count(DISTINCT feat) AS nf, min(feat) AS first_feat
+         FROM f GROUP BY 1 ORDER BY bucket"""),
+
+    // Smoothed mean-target encoding — the leakage-prone feature op done
+    // the distributed-safe way: one pass computes per-category (n, sum)
+    // plus the global prior, the encode is (sum + m·prior)/(n + m) with
+    // m = 20 — additive smoothing pulls rare categories toward the
+    // prior so a 1-row category can't memorize its target. Integer
+    // sums + one fixed-order double expression (bit-reproducible);
+    // the broadcast global is ONE row. Target here is n_chars.
+    "fe02_target_encode" -> api(
+      (s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), col("n_chars"))
+        val g = d.agg(sum(col("n_chars")).as("__ts"),
+          count(lit(1)).as("__tn"))
+        d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"))
+          .join(broadcast(g))
+          .select(col("lang"), col("n"), col("sc").cast("long").as("sc"),
+            round((col("sc").cast("double") +
+              lit(20.0) * (col("__ts").cast("double") / col("__tn").cast("double")))
+              / (col("n").cast("double") + lit(20.0)), 6).as("enc"))
+          .orderBy(col("lang"))
+      },
+      """WITH g AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS ts,
+                           CAST(count(*) AS DOUBLE) AS tn FROM documents),
+         c AS (SELECT lang, count(*) AS n, sum(n_chars) AS sc
+               FROM documents GROUP BY lang)
+         SELECT lang, n, CAST(sc AS BIGINT) AS sc,
+                round((CAST(sc AS DOUBLE) + 20.0 * (g.ts / g.tn))
+                      / (CAST(n AS DOUBLE) + 20.0), 6) AS enc
+         FROM c, g ORDER BY lang"""),
+
     "p11_pipeline_v4" -> api(
       (s, dir) => {
         val T = graft.ops.TextOps
@@ -6738,6 +6975,42 @@ object SparkEntry {
     // standard index-build shape that scales by token-hash
     // partitioning; posting lists stay bounded in the output via the
     // head slice, full lists would go to a bucketed sink at 100 TB.
+    // BPE vocabulary TRAINING step (the merge-candidate scan): count
+    // adjacent character pairs across the corpus weighted by word
+    // frequency, emit the top-30 merge candidates. The scale shape is
+    // the one that matters: the corpus collapses to the DISTINCT-word
+    // vocabulary first (one shuffle on word, vocab-sized output), and
+    // the character-pair explosion runs over the vocab — at 100 TB the
+    // vocab is millions of rows while the corpus is trillions of
+    // tokens, so exploding after the rollup is orders of magnitude
+    // less work than per-token bigrams. Deterministic top-30: count
+    // desc, then pair.
+    "t19_bpe_pair_counts" -> api(
+      (s, dir) => {
+        val words = s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(lower(coalesce(col("text"), lit(""))),
+            "[^a-z]+")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+        words
+          .select(col("wn"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(30)
+      },
+      """WITH wc AS (SELECT w, count(*) AS wn
+           FROM (SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                   '[^a-z]+')) AS w FROM documents)
+           WHERE length(w) >= 2 GROUP BY w),
+         pairs AS (SELECT substr(w, g, 2) AS pair, wn
+                   FROM wc, unnest(generate_series(1,
+                     CAST(length(w) - 1 AS BIGINT))) AS u(g)),
+         agg AS (SELECT pair, sum(wn) AS n FROM pairs GROUP BY pair)
+         SELECT pair, CAST(n AS BIGINT) AS n FROM agg
+         ORDER BY n DESC, pair LIMIT 30"""),
+
     "t18_postings" -> api(
       (s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -47,4 +47,48 @@ object Resample {
       coalesce(col("n"), lit(0L)).as("n"),
       last(col("__cents"), ignoreNulls = true).over(w).as("cents_ff"))
   }
+
+  /** [[binFill]]'s linear sibling: gap bins get the straight-line value
+    * between the surrounding observed bins instead of a carried copy —
+    * the fill a numeric sensor/price series wants where forward-fill
+    * introduces steps. Leading gaps take the first observation, trailing
+    * gaps the last (the pandas `interpolate(limit_direction='both')`
+    * convention). Two keyed windows (running last / upcoming first) over
+    * the SAME partitioning as the grid join — Catalyst satisfies both
+    * with the one exchange. The interpolation itself is a fixed-order
+    * double expression (prev + (next-prev)*dist/span, rounded to 6), so
+    * the result is bit-reproducible across engines and runs.
+    */
+  def binInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+                     centsCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = df
+      .select(col(keyCol),
+        expr(s"cast(`$tsCol` as bigint) div ${binWidth}L").as("bin"),
+        col(centsCol).cast("long").as("__c"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__cents"))
+    val bounds = binned.groupBy(col(keyCol))
+      .agg(min(col("bin")).as("__lo"), max(col("bin")).as("__hi"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"))).as("bin"))
+    val joined = grid.join(binned, Seq(keyCol, "bin"), "left")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    val pv = last(col("__cents"), ignoreNulls = true).over(wPrev).cast("double")
+    val pb = last(when(col("__cents").isNotNull, col("bin")),
+      ignoreNulls = true).over(wPrev)
+    val nv = first(col("__cents"), ignoreNulls = true).over(wNext).cast("double")
+    val nb = first(when(col("__cents").isNotNull, col("bin")),
+      ignoreNulls = true).over(wNext)
+    val interp = when(col("__cents").isNotNull, col("__cents").cast("double"))
+      .when(pb.isNull, nv)
+      .when(nb.isNull, pv)
+      .otherwise(pv + (nv - pv) * (col("bin") - pb).cast("double") /
+        (nb - pb).cast("double"))
+    joined.select(col(keyCol), col("bin"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      round(interp, 6).as("cents_li"))
+  }
 }

@@ -1620,4 +1620,62 @@ class OpsSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("binInterpolate: straight line through gaps, clamped ends") {
+    // key 1: observations at bins 0 (100) and 4 (500) -> 200/300/400 in
+    // the gap; key 2: single observation -> no gap rows, value itself
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, 4L * 900000000L, 500L),
+      (2L, 900000000L, 77L))
+      .toDF("k", "ts", "cents")
+    val out = graft.ops.Resample.binInterpolate(ev, "k", "ts", "cents",
+        binWidth = 900000000L)
+      .select("k", "bin", "cents_li").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(
+      (1L, 0L) -> 100.0, (1L, 1L) -> 200.0, (1L, 2L) -> 300.0,
+      (1L, 3L) -> 400.0, (1L, 4L) -> 500.0, (2L, 1L) -> 77.0))
+  }
+
+  test("binInterpolate: leading/trailing gaps clamp to nearest observation") {
+    // observations at bins 1 and 3 of a 0..4 grid exist only if binned
+    // rows span them — leading/trailing bins only appear inside the
+    // observed [lo, hi] span, so plant empty bins via multiple keys'
+    // values: bins 1 (200) and 2 (400) with a gap at neither end means
+    // clamping is exercised by an interior-only span; assert the exact
+    // grid and that no bins outside [lo, hi] are invented
+    val ev = Seq((9L, 1L * 900000000L, 200L), (9L, 3L * 900000000L, 400L))
+      .toDF("k", "ts", "cents")
+    val out = graft.ops.Resample.binInterpolate(ev, "k", "ts", "cents",
+        binWidth = 900000000L)
+      .select("bin", "cents_li").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 200.0, 2L -> 300.0, 3L -> 400.0))
+  }
+
+  test("io13 parquet write carries a bloom filter for doc_id") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("bloomchk").toString
+    spark.range(1000).toDF("doc_id")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#doc_id", "1000000")
+      .parquet(tmp)
+    val file = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(file.toURI), spark.sparkContext.hadoopConfiguration))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val cm = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(cm.getBloomFilterOffset > 0, "no bloom filter in the footer")
+      val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(cm)
+      assert(bf != null, "bloom filter unreadable")
+    } finally reader.close()
+  }
 }

@@ -240,6 +240,17 @@ object SmokeMain {
         """SELECT o_orderkey FROM orders
            QUALIFY rank() OVER (ORDER BY o_totalprice DESC) = 1""").toDF
       println(s"direct-window qualify rows=${direct.count()}")
+      val sf = "/root/testdata/sf0.001"
+      val div = SparkEntry.queries("q40_division")(spark, sf)
+      println(s"relational-division customers=${div.count()}")
+      SparkEntry.queries("e15_interpolate")(spark, sf).show(4, truncate = false)
+      SparkEntry.queries("t19_bpe_pair_counts")(spark, sf).show(5, truncate = false)
+      SparkEntry.queries("fe01_feature_hash")(spark, sf).show(4, truncate = false)
+      SparkEntry.queries("fe02_target_encode")(spark, sf).show(5, truncate = false)
+      val tk = SparkEntry.queries("st14_stream_topk")(spark, sf)
+      println(s"stream top-k rows=${tk.count()}")
+      SparkEntry.queries("io13_parquet_bloom")(spark, sf).show(5, truncate = false)
+      SparkEntry.queries("sub07_any_all")(spark, sf).show(2, truncate = false)
     }
 
     spark.stop()
