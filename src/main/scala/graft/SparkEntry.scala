@@ -1008,6 +1008,38 @@ object SparkEntry {
          SELECT h, event_type, n, rn FROM r WHERE rn <= 3
          ORDER BY h, rn"""),
 
+    // Streaming EXACT distinct users per hour: Spark forbids chained
+    // streaming aggregations, so the distinct goes through the
+    // stateful dropDuplicates operator (state = one (hour, user) key
+    // per active pair) feeding ONE windowless keyed count — the
+    // dedup→agg chain Structured Streaming does support. For unbounded
+    // production streams swap in dropDuplicatesWithinWatermark so the
+    // pair state ages out with the watermark (st13 demonstrates that
+    // operator); the replay harness runs the exact forever-state form.
+    "st15_stream_hourly_users" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val agg = graft.streaming.Events.readStream(s, dir)
+          .withColumn("h", date_trunc("hour", col("ts").cast("timestamp")))
+          .select(col("h"), col("user_id"))
+          .dropDuplicates("h", "user_id")
+          .groupBy(col("h")).agg(count(lit(1)).as("nu"))
+        val sink = "st15_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(unix_micros(col("h")).as("h"), col("nu"))
+          .orderBy(col("h"))
+      },
+      """SELECT epoch_us(date_trunc('hour', ts)) AS h,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+         FROM events GROUP BY 1 ORDER BY h"""),
+
     // semi-structured JSON processing over the events props column
     "e03_events_json" -> api(
       (s, dir) => {
@@ -2402,6 +2434,41 @@ object SparkEntry {
     // RNG). The report self-audits the folds: n_test + n_train == N by
     // construction (the window sum runs over the k-row rollup only) and
     // langs_covered shows every fold sees the full label surface.
+    // Class balancing by deterministic downsample: every language is cut
+    // to the SMALLEST class's count, members chosen by md5-rank within
+    // class (reproducible across runs/engines, no RNG). One window per
+    // class partition + a broadcast of the single min-count row; the
+    // output rollup audits the balance (all n equal) and pins WHICH
+    // rows survived via id_sum/mn. The md5 rank also makes the cut
+    // unbiased w.r.t. any natural ordering of the corpus.
+    "sp10_class_balance" -> api(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"))
+        val k = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("__k"))
+        d.withColumn("rn", row_number().over(
+            W.partitionBy(col("lang"))
+              .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+          .join(broadcast(k))
+          .filter(col("rn") <= col("__k"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            min(col("doc_id")).as("mn"))
+          .orderBy(col("lang"))
+      },
+      """WITH k AS (SELECT min(n) AS k FROM
+             (SELECT lang, count(*) AS n FROM documents GROUP BY 1)),
+         r AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                min(doc_id) AS mn
+         FROM r, k WHERE rn <= k.k GROUP BY lang ORDER BY lang"""),
+
     "sp09_kfold" -> api(
       (s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -5307,6 +5374,47 @@ object SparkEntry {
     // max events-per-user (99 at sf0.1). Values are non-negative so
     // Scala's truncating / and the oracle's flooring // agree. The
     // recursive-CTE oracle replays the identical integer recurrence.
+    // RFM segmentation (recency / frequency / monetary quartiles) — the
+    // classic behavioral-cohort card. One keyed rollup to per-user
+    // (r, f, m), then three ntile(4) ranks with explicit user_id
+    // tiebreaks so both engines bucket identically. The ntile windows
+    // are GLOBAL but run over the users-sized rollup, never the event
+    // volume — at 100 TB you'd swap them for approx-quantile cutpoints
+    // computed in one pass; the segment arithmetic is unchanged.
+    "e16_rfm" -> api(
+      (s, dir) => {
+        val MpD = graft.streaming.Events.MicrosPerDay
+        val W = org.apache.spark.sql.expressions.Window
+        val u = graft.streaming.Events.readRaw(s, dir)
+          .select(col("user_id"), expr(s"ts div $MpD").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+            sum(col("cents")).as("m"))
+        val g = u.agg(max(col("last_day")).as("__today"))
+        u.join(broadcast(g))
+          .select(col("user_id"), (col("__today") - col("last_day")).as("r"),
+            col("f"), col("m"))
+          .withColumn("rq", ntile(4).over(W.orderBy(col("r"), col("user_id"))))
+          .withColumn("fq", ntile(4).over(W.orderBy(col("f").desc, col("user_id"))))
+          .withColumn("mq", ntile(4).over(W.orderBy(col("m").desc, col("user_id"))))
+          .select(col("user_id"), col("r"), col("f"), col("m"),
+            (col("rq") * 100 + col("fq") * 10 + col("mq")).cast("long").as("rfm"))
+          .orderBy(col("user_id"))
+      },
+      """WITH u AS (SELECT user_id,
+                  max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS last_day,
+                  count(*) AS f,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events GROUP BY 1),
+         g AS (SELECT max(last_day) AS today FROM u),
+         q AS (SELECT user_id, (g.today - last_day) AS r, f, m FROM u, g)
+         SELECT user_id, r, f, m,
+                CAST(ntile(4) OVER (ORDER BY r, user_id) * 100
+                   + ntile(4) OVER (ORDER BY f DESC, user_id) * 10
+                   + ntile(4) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS rfm
+         FROM q ORDER BY user_id"""),
+
     // Linear-interpolation gap fill over the same 15-min per-user grid
     // as e07: missing bins get the straight line between neighbors
     // (leading/trailing gaps clamp to the nearest observation). The
@@ -5953,6 +6061,31 @@ object SparkEntry {
          QUALIFY rn <= 2
          ORDER BY o_custkey, rn"""),
 
+    // GROUP BY ALL (the modern shorthand both Spark ≥3.4 and DuckDB
+    // support natively): every non-aggregate select item becomes a
+    // grouping key — one text, zero dialect work. Also exercises the
+    // analyzer's aggregate/grouping classification on a mixed list.
+    "q41_group_by_all" -> same("lineitem",
+      """SELECT l_returnflag, l_linestatus,
+                count(*) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS sq,
+                CAST(max(round(l_extendedprice * 100)) AS BIGINT) AS mx_c
+         FROM lineitem
+         GROUP BY ALL
+         ORDER BY l_returnflag, l_linestatus"""),
+
+    // DuckDB-style star modifier `* EXCLUDE (cols)`: project everything
+    // except the named columns — the ergonomic form for wide tables
+    // where "all 400 features minus the 2 raw blobs" beats typing 398
+    // names. Spark has no EXCLUDE; graft.sql.Dialect.expandStarExclude
+    // expands the star against the RECEIVER's schema at bind time, so
+    // the same text runs on both engines and the projection still
+    // prunes the parquet scan (ReadSchema drops the excluded columns —
+    // at 100 TB, excluding the payload column is the whole I/O story).
+    "q42_star_exclude" -> same("documents",
+      """SELECT * EXCLUDE (text, source) FROM documents
+         WHERE n_chars >= 100 ORDER BY doc_id"""),
+
     // Relational division ("for all"): customers who placed an order in
     // EVERY order-priority class. The Spark plan is the scale-right
     // counting formulation — one grouped distinct-count against a
@@ -6080,6 +6213,23 @@ object SparkEntry {
 
     // lead/lag with explicit offsets and defaults — the gap-tolerant
     // form (offset 3, constant fallback); same text in both engines.
+    // INTERVAL range frame over event-time ordering: trailing-2-hour
+    // per-user rolling count/sum where the frame boundary is a TIME
+    // span, not a row count — w04's day-integer trick done natively on
+    // the timestamp column. Same text on both engines (Spark ≥2.3 and
+    // DuckDB both take INTERVAL bounds in RANGE frames); equal
+    // timestamps are frame peers in both. One shuffle on user_id.
+    "w10_range_interval" -> multi(Seq("events"),
+      """SELECT event_id,
+                CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_2h,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL '2' HOUR PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cents_2h
+         FROM events ORDER BY event_id"""),
+
     "w09_lag_offsets" -> multi(Seq("orders"),
       """SELECT o_custkey, o_orderkey,
                 lag(o_orderkey, 3, -1) OVER w AS prev3,
@@ -6975,6 +7125,62 @@ object SparkEntry {
     // standard index-build shape that scales by token-hash
     // partitioning; posting lists stay bounded in the output via the
     // head slice, full lists would go to a bucketed sink at 100 TB.
+    // Collocation mining: top-20 adjacent word pairs by pointwise mutual
+    // information, PMI = ln(c_ab·N / (c_a·c_b)) — the signal that
+    // separates real phrases ("neural network") from frequent-but-
+    // independent pairs. Bigrams come from the token array per document
+    // (map-only transform, no positional shuffle); the two unigram
+    // lookups join the bigram rollup against the vocabulary — all
+    // shuffles carry (word, count) pairs, never documents. Fixed-order
+    // double math + rounded ordering keys, engine-bit-exact.
+    "t20_collocations" -> api(
+      (s, dir) => {
+        val warr = filter(
+          split(lower(coalesce(col("text"), lit(""))), "[^a-z]+"),
+          x => length(x) >= 2)
+        val base = s.read.parquet(s"$dir/documents.parquet")
+          .select(warr.as("w"))
+        val words = base.select(explode(col("w")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = words.agg(sum(col("c")).cast("long").as("__N"))
+        val bi = base
+          .select(explode(when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + lit(1)).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("p"))
+          .select(col("p.w1"), col("p.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        bi.join(words.select(col("tok").as("w1"), col("c").as("ca")), Seq("w1"))
+          .join(words.select(col("tok").as("w2"), col("c").as("cb")), Seq("w2"))
+          .join(broadcast(tot))
+          .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+            col("cab"),
+            round(log(col("cab").cast("double") * col("__N").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double"))), 6)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram")).limit(20)
+      },
+      """WITH d AS (SELECT list_filter(
+                  string_split_regex(lower(coalesce(text, '')), '[^a-z]+'),
+                  x -> length(x) >= 2) AS w FROM documents),
+         wc AS (SELECT tok, count(*) AS c
+                FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wc),
+         bi AS (SELECT w[g] AS w1, w[g + 1] AS w2
+                FROM d, unnest(generate_series(1,
+                  CAST(len(w) - 1 AS BIGINT))) AS u(g)),
+         bc AS (SELECT w1, w2, count(*) AS cab FROM bi GROUP BY 1, 2
+                HAVING count(*) >= 5)
+         SELECT bc.w1 || ' ' || bc.w2 AS bigram, cab,
+                round(ln(CAST(cab AS DOUBLE) * CAST(n.n AS DOUBLE)
+                      / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+         FROM bc JOIN wc a ON a.tok = bc.w1
+                 JOIN wc b ON b.tok = bc.w2, n
+         ORDER BY pmi DESC, bigram LIMIT 20"""),
+
     // BPE vocabulary TRAINING step (the merge-candidate scan): count
     // adjacent character pairs across the corpus weighted by word
     // frequency, emit the top-30 merge candidates. The scale shape is

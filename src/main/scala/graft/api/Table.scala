@@ -35,8 +35,10 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    val q = Dialect.orderByNullsLast(
-      Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
+    val q = Dialect.expandStarExclude(
+      Dialect.orderByNullsLast(
+        Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
+      df.columns.toSeq)
     Dialect.splitQualify(q) match {
       case Some((inner, tail)) => qualifiedSql(inner, tail)
       case None =>

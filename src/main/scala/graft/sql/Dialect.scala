@@ -234,6 +234,36 @@ object Dialect {
     Some((inner, tail))
   }
 
+  /** DuckDB-style `* EXCLUDE (a, b)` star modifier: expand the star to
+    * the receiver's columns minus the excluded list. Spark has no
+    * EXCLUDE; the expansion needs the bound table's schema, so
+    * [[graft.api.Table.sql]] passes its own column list in. Only the
+    * bare top-level form `* EXCLUDE (...)` (or a single unparenthesized
+    * name) is rewritten, and only outside quotes; qualified stars
+    * (`t.* EXCLUDE`) are left for Spark to reject. Case-insensitive on
+    * both the keyword and the excluded names (Spark resolution is
+    * case-insensitive by default). Unknown excluded names are an error —
+    * silently ignoring them would hide typos.
+    */
+  def expandStarExclude(sql: String, columns: Seq[String]): String = {
+    val m = StarExcludeRe.findFirstMatchIn(stripLiterals(sql))
+    if (m.isEmpty) return sql
+    val mm = m.get
+    val excluded = Option(mm.group(1)).getOrElse(mm.group(2))
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).map(_.toLowerCase).toSet
+    val unknown = excluded -- columns.map(_.toLowerCase).toSet
+    require(unknown.isEmpty,
+      s"EXCLUDE names not in the table: ${unknown.mkString(", ")}")
+    val kept = columns.filterNot(c => excluded.contains(c.toLowerCase))
+    require(kept.nonEmpty, "EXCLUDE removed every column")
+    sql.substring(0, mm.start) + kept.map(c => s"`$c`").mkString(", ") +
+      sql.substring(mm.end)
+  }
+
+  private val StarExcludeRe =
+    """(?is)\*\s+exclude\s*(?:\(([^)]*)\)|([A-Za-z_][A-Za-z0-9_]*))""".r
+
   private def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
     var i = from
     var depth = 0

@@ -104,6 +104,31 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.splitQualify("select 'qualify rn' as a from t").isEmpty)
   }
 
+  test("expandStarExclude: expands against the schema, errors on typos") {
+    val cols = Seq("doc_id", "text", "lang")
+    assert(Dialect.expandStarExclude(
+      "select * exclude (text) from documents order by doc_id", cols) ==
+      "select `doc_id`, `lang` from documents order by doc_id")
+    assert(Dialect.expandStarExclude(
+      "select * EXCLUDE lang from t", cols) ==
+      "select `doc_id`, `text` from t")
+    intercept[IllegalArgumentException] {
+      Dialect.expandStarExclude("select * exclude (nope) from t", cols)
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.expandStarExclude(
+        "select * exclude (doc_id, text, lang) from t", cols)
+    }
+  }
+
+  test("expandStarExclude: untouched without the modifier or inside literals") {
+    val cols = Seq("a", "b")
+    assert(Dialect.expandStarExclude("select count(*) from t", cols) ==
+      "select count(*) from t")
+    assert(Dialect.expandStarExclude("select '* exclude (a)' s from t", cols) ==
+      "select '* exclude (a)' s from t")
+  }
+
   test("splitQualify: direct window predicate, empty tail, DISTINCT rejected") {
     val Some((inner, tail)) = Dialect.splitQualify(
       "select k from t qualify rank() over (order by k) = 1"): @unchecked

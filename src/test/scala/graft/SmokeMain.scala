@@ -251,6 +251,18 @@ object SmokeMain {
       println(s"stream top-k rows=${tk.count()}")
       SparkEntry.queries("io13_parquet_bloom")(spark, sf).show(5, truncate = false)
       SparkEntry.queries("sub07_any_all")(spark, sf).show(2, truncate = false)
+      // star EXCLUDE at the Table.sql surface (schema-aware dialect rewrite)
+      val excl = Table.fromParquet(spark, s"$sf/documents.parquet")
+        .sql("SELECT * EXCLUDE (text, source) FROM documents ORDER BY doc_id")
+      println(s"exclude cols=${excl.columnNames.mkString(",")} rows=${excl.count()}")
+      SparkEntry.queries("q41_group_by_all")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("e16_rfm")(spark, sf).show(4, truncate = false)
+      SparkEntry.queries("t20_collocations")(spark, sf).show(5, truncate = false)
+      SparkEntry.queries("sp10_class_balance")(spark, sf).show(5, truncate = false)
+      val su = SparkEntry.queries("st15_stream_hourly_users")(spark, sf)
+      println(s"stream hourly distinct users rows=${su.count()}")
+      val wr = SparkEntry.queries("w10_range_interval")(spark, sf)
+      println(s"interval range frame rows=${wr.count()}")
     }
 
     spark.stop()
