@@ -805,6 +805,40 @@ object SparkEntry {
            SELECT o_orderkey FROM orders) b
          ORDER BY tag, k"""),
 
+    // Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    // multiplicity-aware versions of set02 — a key appearing 3x on the
+    // left and 1x on the right survives EXCEPT ALL twice, which the
+    // DISTINCT forms cannot express. Same text on both engines; Spark
+    // plans these as aggregate+generate (count-min replication), no
+    // nested loop.
+    "set04_bag_setops" -> multi(Seq("lineitem", "orders"),
+      """SELECT k, 'inter_all' AS tag, count(*) AS n FROM (
+           SELECT l_orderkey AS k FROM lineitem
+           INTERSECT ALL
+           SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') a
+         GROUP BY k
+         UNION ALL
+         SELECT k, 'except_all' AS tag, count(*) AS n FROM (
+           SELECT l_orderkey AS k FROM lineitem
+           EXCEPT ALL
+           SELECT o_orderkey FROM orders) b
+         GROUP BY k
+         ORDER BY tag, k"""),
+
+    // Inline VALUES table constructor joined against a fact — the
+    // pattern for tiny literal dimensions (static bucket maps, code
+    // tables) that should broadcast rather than live in storage. Same
+    // text on both engines.
+    "q43_values" -> multi(Seq("orders"),
+      """SELECT v.region_name, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents
+         FROM orders o
+         JOIN (VALUES (0, 'AMERICA'), (1, 'ASIA'), (2, 'EUROPE'),
+                      (3, 'AFRICA'), (4, 'MIDEAST')) AS v(k, region_name)
+           ON o.o_custkey % 5 = v.k
+         GROUP BY v.region_name ORDER BY region_name"""),
+
     // scalar subquery (threshold computed exactly → engine-stable compare)
     "sub01_scalar_subquery" -> multi(Seq("orders"),
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -4481,6 +4515,74 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tri FROM corners
          GROUP BY doc_id ORDER BY doc_id"""),
 
+    // Community detection by SYNCHRONOUS label propagation (3 rounds,
+    // deterministic): every node adopts the most frequent label among
+    // its neighbors, ties to the smallest label — the randomized-LPA
+    // variant made reproducible by fixed round count + total tiebreak
+    // order, so the oracle can replay the exact same 3 rounds as three
+    // mechanical CTE blocks. Per round: one edges⋈labels shuffle and a
+    // (node, label)-keyed vote count with an argmax via max(struct) —
+    // no window over the event volume, hot hub nodes cost a partial-
+    // aggregated groupBy. Isolated nodes keep their own label.
+    "gr04_label_propagation" -> api(
+      (s, dir) => {
+        val v = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("id"))
+        val de = v.select(col("id").as("s"),
+            explode(array((col("id") * 7 + 1) % 97,
+              (col("id") * 13 + 3) % 97,
+              (col("id") * 29 + 7) % 97)).as("d"))
+          .filter(col("s") =!= col("d"))
+        val e = de.select(col("s"), col("d"))
+          .union(de.select(col("d").as("s"), col("s").as("d")))
+          .distinct().localCheckpoint(true)
+        var lab = v.select(col("id"), col("id").as("lab"))
+        for (_ <- 1 to 3) {
+          val votes = e.join(lab.withColumnRenamed("id", "__n"),
+              col("d") === col("__n"))
+            .groupBy(col("s"), col("lab")).agg(count(lit(1)).as("c"))
+          val best = votes
+            .groupBy(col("s"))
+            .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+            .select(col("s").as("id"), (-col("m.nl")).as("blab"))
+          lab = lab.join(best, Seq("id"), "left")
+            .select(col("id"), coalesce(col("blab"), col("lab")).as("lab"))
+            .localCheckpoint(true)
+        }
+        lab.orderBy(col("id"))
+          .select(col("id").as("doc_id"), col("lab").as("community"))
+      },
+      """WITH v AS (SELECT doc_id AS id FROM documents),
+         de AS (SELECT id AS s, (id*7+1) % 97 AS d FROM v
+                UNION ALL SELECT id, (id*13+3) % 97 FROM v
+                UNION ALL SELECT id, (id*29+7) % 97 FROM v),
+         e AS (SELECT DISTINCT s, d FROM (
+                 SELECT s, d FROM de WHERE s <> d
+                 UNION ALL SELECT d, s FROM de WHERE s <> d)),
+         l0 AS (SELECT id, id AS lab FROM v),
+         v1 AS (SELECT e.s AS id, l.lab, count(*) AS c
+                FROM e JOIN l0 l ON l.id = e.d GROUP BY 1, 2),
+         b1 AS (SELECT id, lab FROM (SELECT id, lab,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY c DESC, lab) AS rn FROM v1) WHERE rn = 1),
+         l1 AS (SELECT l.id, coalesce(b.lab, l.lab) AS lab
+                FROM l0 l LEFT JOIN b1 b ON b.id = l.id),
+         v2 AS (SELECT e.s AS id, l.lab, count(*) AS c
+                FROM e JOIN l1 l ON l.id = e.d GROUP BY 1, 2),
+         b2 AS (SELECT id, lab FROM (SELECT id, lab,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY c DESC, lab) AS rn FROM v2) WHERE rn = 1),
+         l2 AS (SELECT l.id, coalesce(b.lab, l.lab) AS lab
+                FROM l1 l LEFT JOIN b2 b ON b.id = l.id),
+         v3 AS (SELECT e.s AS id, l.lab, count(*) AS c
+                FROM e JOIN l2 l ON l.id = e.d GROUP BY 1, 2),
+         b3 AS (SELECT id, lab FROM (SELECT id, lab,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY c DESC, lab) AS rn FROM v3) WHERE rn = 1),
+         l3 AS (SELECT l.id, coalesce(b.lab, l.lab) AS lab
+                FROM l2 l LEFT JOIN b3 b ON b.id = l.id)
+         SELECT id AS doc_id, lab AS community FROM l3 ORDER BY doc_id"""),
+
     "d18_dedup_impact" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -7125,6 +7227,88 @@ object SparkEntry {
     // standard index-build shape that scales by token-hash
     // partitioning; posting lists stay bounded in the output via the
     // head slice, full lists would go to a bucketed sink at 100 TB.
+    // Zipf-law fit over the corpus vocabulary: least-squares slope of
+    // ln(freq) vs ln(rank) for the top-1000 words ≈ −zipf exponent —
+    // the one-number sanity check that a text corpus is natural-ish
+    // (≈ −1) rather than template spam. Determinism discipline: the
+    // per-row ln values are rounded to 6 then cast to DECIMAL so every
+    // regression SUM is exact integer arithmetic (order-independent
+    // across partitions — a raw double sum would hash-diverge run to
+    // run); only the final closed-form slope divides in double, in one
+    // fixed operand order. The regression runs over a 1000-row rollup,
+    // never the corpus.
+    "t21_zipf_slope" -> api(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wc = s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(lower(coalesce(col("text"), lit(""))),
+            "[^a-z]+")).as("tok"))
+          .filter(length(col("tok")) >= 2)
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(1000)
+        val r = wc
+          .withColumn("rn",
+            row_number().over(W.orderBy(col("c").desc, col("tok"))))
+          .select(
+            round(log(col("rn").cast("double")), 6)
+              .cast("decimal(18,6)").as("x"),
+            round(log(col("c").cast("double")), 6)
+              .cast("decimal(18,6)").as("y"))
+        r.agg(count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x") * col("y")).cast("double").as("sxy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"))
+          .select(col("n").cast("long").as("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+      },
+      """WITH wc AS (SELECT tok, count(*) AS c
+             FROM (SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                     '[^a-z]+')) AS tok FROM documents)
+             WHERE length(tok) >= 2
+             GROUP BY tok ORDER BY c DESC, tok LIMIT 1000),
+         r AS (SELECT
+                 CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                   AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+               FROM wc),
+         a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(x) AS DOUBLE) AS sx,
+                      CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x * y) AS DOUBLE) AS sxy,
+                      CAST(sum(x * x) AS DOUBLE) AS sxx
+               FROM r)
+         SELECT CAST(n AS BIGINT) AS n,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+         FROM a"""),
+
+    // LSH tuning table: the S-curve P[candidate] = 1 − (1 − s^r)^b for
+    // the banding configs the dedup family actually uses — how an
+    // engineer picks (bands, rows) for a target similarity threshold
+    // before burning a cluster pass. Pure fixed-order double math on a
+    // generated grid; threshold50 readers find where each config
+    // crosses 0.5.
+    "d19_lsh_curve" -> api(
+      (s, dir) => {
+        import s.implicits._
+        val confs = Seq((16, 4), (8, 8), (32, 2)).toDF("b", "r")
+        confs.crossJoin(
+            s.range(1, 20).select((col("id").cast("double") * 0.05).as("s")))
+          .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+            round(col("s"), 2).as("s"),
+            round(lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r").cast("double")),
+              col("b").cast("double")), 6).as("p"))
+          .orderBy(col("b"), col("r"), col("s"))
+      },
+      """SELECT CAST(c.b AS BIGINT) AS b, CAST(c.r AS BIGINT) AS r,
+                round(CAST(i AS DOUBLE) * 0.05, 2) AS s,
+                round(1.0 - power(1.0 - power(CAST(i AS DOUBLE) * 0.05,
+                  CAST(c.r AS DOUBLE)), CAST(c.b AS DOUBLE)), 6) AS p
+         FROM (VALUES (16, 4), (8, 8), (32, 2)) AS c(b, r),
+              (SELECT unnest(generate_series(1, 19)) AS i)
+         ORDER BY b, r, s"""),
+
     // Collocation mining: top-20 adjacent word pairs by pointwise mutual
     // information, PMI = ln(c_ab·N / (c_a·c_b)) — the signal that
     // separates real phrases ("neural network") from frequent-but-

@@ -263,6 +263,13 @@ object SmokeMain {
       println(s"stream hourly distinct users rows=${su.count()}")
       val wr = SparkEntry.queries("w10_range_interval")(spark, sf)
       println(s"interval range frame rows=${wr.count()}")
+      SparkEntry.queries("t21_zipf_slope")(spark, sf).show(1, truncate = false)
+      SparkEntry.queries("d19_lsh_curve")(spark, sf).show(4, truncate = false)
+      val lp = SparkEntry.queries("gr04_label_propagation")(spark, sf)
+      println(s"label-prop nodes=${lp.count()} " +
+        s"communities=${lp.select("community").distinct().count()}")
+      println(s"values-join rows=${SparkEntry.queries("q43_values")(spark, sf).count()} " +
+        s"bag-setops rows=${SparkEntry.queries("set04_bag_setops")(spark, sf).count()}")
     }
 
     spark.stop()
