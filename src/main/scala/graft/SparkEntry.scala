@@ -1074,6 +1074,49 @@ object SparkEntry {
                 CAST(count(DISTINCT user_id) AS BIGINT) AS nu
          FROM events GROUP BY 1 ORDER BY h"""),
 
+    // Streaming conversion funnel (view → click → purchase) with
+    // strictly-increasing stage times in per-user keyed state — the
+    // live-marketing view of e04's batch session funnel. Three longs of
+    // state per user; the oracle derives the same stage times as a
+    // chained min(ts > prev) per user.
+    "st16_stream_funnel" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingFunnel(
+          graft.streaming.Events.readStream(s, dir),
+          Seq("view", "click", "purchase"))
+        val sink = "st16_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("user_id"))
+      },
+      """WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                FROM events e JOIN t1 ON t1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+                GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                FROM events e JOIN t2 ON t2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+                GROUP BY 1)
+         SELECT u.user_id,
+                CAST(CASE WHEN t1.t1 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS reached_1,
+                CAST(CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS reached_2,
+                CAST(CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS reached_3
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+         LEFT JOIN t3 USING (user_id)
+         ORDER BY user_id"""),
+
     // semi-structured JSON processing over the events props column
     "e03_events_json" -> api(
       (s, dir) => {
@@ -5425,6 +5468,29 @@ object SparkEntry {
     // events, and 7 is the window constant, not data-driven. Days beyond
     // the observed span are clipped so both engines cover exactly
     // [min_day, max_day]. Stickiness rounds to 6.
+    // Day-of-week × hour activity heatmap — the seasonality card every
+    // events dashboard opens with. Pure integer epoch arithmetic on the
+    // canonical micros (dow 0 = Monday via the +3 epoch offset;
+    // 1970-01-01 was a Thursday), one map-side-combined rollup over a
+    // 7×24-key space — hot keys are impossible by construction.
+    "e17_dow_hour" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        E.readRaw(s, dir)
+          .select(
+            expr(s"((ts div ${E.MicrosPerDay}) + 3) % 7").as("dow"),
+            expr(s"(ts div ${E.MicrosPerHour}) % 24").as("hour"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("dow"), col("hour"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+          .orderBy(col("dow"), col("hour"))
+      },
+      """SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+                (epoch_us(ts) // 3600000000) % 24 AS hour,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+         FROM events GROUP BY 1, 2 ORDER BY dow, hour"""),
+
     "e10_rolling_active" -> api(
       (s, dir) => {
         val MpD = graft.streaming.Events.MicrosPerDay
@@ -6938,6 +7004,57 @@ object SparkEntry {
     // Deviation in ROUNDED space; all nine log10 constants verified
     // >= 0.004 ulp-millionths from their 6dp rounding boundary, so the
     // cross-engine round is stable. One scan, 9-row rollup.
+    // Per-column Shannon entropy — the concentration profile that flags
+    // near-constant columns (entropy ≈ 0) and id-like columns (entropy
+    // ≈ ln N) before anyone joins or models on them. Determinism: each
+    // value's −p·ln p term is rounded to 9 and cast to DECIMAL, so the
+    // per-column SUM is exact integer arithmetic (partition-order
+    // independent — the t21 discipline); one keyed rollup per column,
+    // entropy reduces over the distinct-value relation.
+    "pr16_entropy" -> api(
+      (s, dir) => {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        def colEntropy(c: String) = {
+          val vc = ev.filter(col(c).isNotNull)
+            .groupBy(col(c).cast("string").as("v"))
+            .agg(count(lit(1)).as("cnt"))
+          val n = vc.agg(sum(col("cnt")).as("__n"))
+          vc.join(broadcast(n))
+            .select(round(-(col("cnt").cast("double") / col("__n").cast("double")) *
+              log(col("cnt").cast("double") / col("__n").cast("double")), 9)
+              .cast("decimal(18,9)").as("term"),
+              col("__n"))
+            .agg(max(col("__n")).as("n"),
+              count(lit(1)).as("n_distinct"),
+              round(sum(col("term")).cast("double"), 6).as("entropy"))
+            .select(lit(c).as("column"), col("n"), col("n_distinct"),
+              col("entropy"))
+        }
+        colEntropy("event_type")
+          .unionByName(colEntropy("user_id"))
+          .unionByName(colEntropy("props"))
+          .orderBy(col("column"))
+      },
+      """WITH e AS (
+           SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS v
+           FROM events WHERE event_type IS NOT NULL
+           UNION ALL
+           SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+           WHERE user_id IS NOT NULL
+           UNION ALL
+           SELECT 'props', CAST(props AS VARCHAR) FROM events
+           WHERE props IS NOT NULL),
+         vc AS (SELECT col, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+         n AS (SELECT col, CAST(sum(cnt) AS BIGINT) AS n FROM vc GROUP BY 1)
+         SELECT vc.col AS "column", max(n.n) AS n,
+                count(*) AS n_distinct,
+                round(CAST(sum(CAST(round(
+                  -(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                  ln(CAST(cnt AS DOUBLE) / CAST(n.n AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy
+         FROM vc JOIN n ON n.col = vc.col
+         GROUP BY vc.col ORDER BY "column""""),
+
     "pr15_benford" -> api(
       (s, dir) => {
         val o = s.read.parquet(s"$dir/orders.parquet")

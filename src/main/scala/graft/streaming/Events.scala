@@ -97,6 +97,12 @@ class FirstOwnerProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
   }
 }
 
+/** Per-user funnel verdict from [[Events.streamingFunnel]]: 0/1 flags
+  * for reaching each stage in strictly-increasing event-time order.
+  */
+case class FunnelOut(user_id: Long, reached_1: Long, reached_2: Long,
+                     reached_3: Long)
+
 /** Event-stream processing over the `events` table.
   *
   * The reference has no streaming semantics at all (SURVEY §2.10: its
@@ -460,6 +466,55 @@ object Events {
       .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Streaming conversion funnel with keyed state: per user, the
+    * earliest time each of THREE stages was reached, where stage i
+    * counts only STRICTLY AFTER stage i-1's time (ties don't advance —
+    * the unambiguous cross-engine semantics; a batch `min(ts) WHERE
+    * type = stage AND ts > prev_stage_ts` chain derives the same
+    * values). State per user is three longs; each micro-batch emits the
+    * user's current verdict, so run Append over a finite replay (one
+    * row per user) or consume the latest row per user downstream.
+    *
+    * Within a micro-batch events process in (ts, event_id) order;
+    * cross-batch OUT-OF-ORDER arrivals older than an already-set stage
+    * time are ignored (state only moves forward) — the same trade
+    * streamingSessionize documents. `stages` must be three distinct
+    * event types.
+    */
+  def streamingFunnel(events: DataFrame, stages: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.size == 3 && stages.distinct.size == 3,
+      "streamingFunnel is shaped for 3 distinct stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unset = Long.MinValue
+
+    def advance(user: Long, it: Iterator[(Long, Long, Long, String)],
+                state: GroupState[Seq[Long]]): Iterator[FunnelOut] = {
+      val sorted = it.toArray.sortBy { case (_, ts, eid, _) => (ts, eid) }
+      var st = state.getOption.getOrElse(Seq.fill(3)(unset))
+      sorted.foreach { case (_, ts, _, typ) =>
+        val i = stages.indexOf(typ)
+        if (i >= 0 && st(i) == unset &&
+          (i == 0 || (st(i - 1) != unset && ts > st(i - 1))))
+          st = st.updated(i, ts)
+      }
+      state.update(st)
+      Iterator.single(FunnelOut(user,
+        if (st(0) != unset) 1L else 0L,
+        if (st(1) != unset) 1L else 0L,
+        if (st(2) != unset) 1L else 0L))
+    }
+
+    events
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
+  }
 
   /** Streaming MinHash/LSH near-duplicate detection: for every incoming
     * document, report per LSH band whether its band bucket was already

@@ -1653,6 +1653,44 @@ class OpsSpec extends GraftSuite {
     assert(out == Map(1L -> 200.0, 2L -> 300.0, 3L -> 400.0))
   }
 
+  test("streamingFunnel advances stages strictly-after across micro-batches") {
+    val dir = "target/tmp/sfunnel_in"
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // batch 1: user 1 views at t0 and clicks at the SAME instant (tie
+    // must NOT advance) then clicks at t1; user 2 clicks before any view
+    Seq((1L, 10L, ts(0), "view"), (2L, 10L, ts(0), "click"),
+      (3L, 10L, ts(1), "click"), (4L, 20L, ts(0), "click"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp_ntz")).drop("t")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP_NTZ")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = graft.streaming.Events.streamingFunnel(
+        stream, Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append").format("memory").queryName("sfunnel")
+      .start()
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (stage 3, cross-batch state); user 2
+    // finally views — but their old click cannot retroactively count
+    Seq((5L, 10L, ts(2), "purchase"), (6L, 20L, ts(3), "view"))
+      .toDF("event_id", "user_id", "t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp_ntz")).drop("t")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    // last verdict per user wins (Append emits one row per user per batch)
+    val last = spark.table("sfunnel")
+      .groupBy("user_id")
+      .agg(max(struct(col("reached_1") + col("reached_2") + col("reached_3"),
+        col("reached_1"), col("reached_2"), col("reached_3"))).as("m"))
+      .select(col("user_id"), col("m.reached_1"), col("m.reached_2"),
+        col("m.reached_3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(last(10L) == ((1L, 1L, 1L)), "view -> later click -> later purchase")
+    assert(last(20L) == ((1L, 0L, 0L)), "click before first view never counts")
+  }
+
   test("io13 parquet write carries a bloom filter for doc_id") {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader

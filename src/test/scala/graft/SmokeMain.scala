@@ -270,6 +270,11 @@ object SmokeMain {
         s"communities=${lp.select("community").distinct().count()}")
       println(s"values-join rows=${SparkEntry.queries("q43_values")(spark, sf).count()} " +
         s"bag-setops rows=${SparkEntry.queries("set04_bag_setops")(spark, sf).count()}")
+      val sfu = SparkEntry.queries("st16_stream_funnel")(spark, sf)
+      println(s"stream funnel users=${sfu.count()} " +
+        s"converted=${sfu.filter("reached_3 = 1").count()}")
+      SparkEntry.queries("pr16_entropy")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("e17_dow_hour")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
