@@ -6212,6 +6212,47 @@ object SparkEntry {
     // explicit 'g' flag — pinned here so the divergence stays
     // documented. Pure map-side: codegen'd string ops, no shuffle
     // except the presentation sort.
+    // Grid-bucketed radius join (the spatial analog of LSH banding):
+    // points land in 25-unit grid cells, each probe expands to its 3×3
+    // cell neighborhood, candidates equi-join on the cell key and an
+    // exact integer distance check verifies — a radius-25 neighbor
+    // CANNOT sit outside the 3×3 ring of a 25-wide grid, so recall is 1
+    // by construction and the oracle brute-forces probes × corpus.
+    // At 100 TB the corpus side shuffles once on cell (each point lives
+    // in exactly ONE cell; only probes replicate 9×) and no distance is
+    // computed outside a candidate cell. Coordinates are synthesized
+    // from the key (·37, ·91 mod 1000) so both engines share them.
+    "j11_spatial_grid" -> api(
+      (s, dir) => {
+        val pts = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("id"),
+            (col("c_custkey") * 37 % 1000).as("x"),
+            (col("c_custkey") * 91 % 1000).as("y"))
+        val corpus = pts.withColumn("cell",
+          expr("(x div 25) * 1000 + (y div 25)"))
+        val probeCells = for (dx <- -1 to 1; dy <- -1 to 1)
+          yield expr(s"((x div 25) + $dx) * 1000 + ((y div 25) + $dy)")
+        val probes = pts.filter(col("id") % 750 === 0)
+          .select(col("id").as("probe_id"), col("x").as("px"),
+            col("y").as("py"), explode(array(probeCells: _*)).as("cell"))
+        probes.join(corpus, Seq("cell"))
+          .withColumn("dist2",
+            (col("px") - col("x")) * (col("px") - col("x")) +
+              (col("py") - col("y")) * (col("py") - col("y")))
+          .filter(col("dist2") <= 625)
+          .select(col("probe_id"), col("id").as("nbr_id"), col("dist2"))
+          .orderBy(col("probe_id"), col("nbr_id"))
+      },
+      """WITH p AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x,
+                           (c_custkey * 91) % 1000 AS y FROM customer),
+         pr AS (SELECT * FROM p WHERE id % 750 = 0)
+         SELECT pr.id AS probe_id, p.id AS nbr_id,
+                (pr.x - p.x) * (pr.x - p.x) + (pr.y - p.y) * (pr.y - p.y)
+                  AS dist2
+         FROM pr JOIN p
+           ON (pr.x - p.x) * (pr.x - p.x) + (pr.y - p.y) * (pr.y - p.y) <= 625
+         ORDER BY probe_id, nbr_id"""),
+
     // QUALIFY clause (Snowflake/DuckDB dialect): filter on a window
     // function AFTER the select list evaluates — top-2 orders per
     // customer here. Spark has no QUALIFY; graft.sql.Dialect.splitQualify
@@ -6228,6 +6269,58 @@ object SparkEntry {
          FROM orders
          QUALIFY rn <= 2
          ORDER BY o_custkey, rn"""),
+
+    // Round-9 np.* namespace extensions, scalar tier: numpy spells
+    // operators as functions (add/true_divide/floor_divide/bitwise_*),
+    // and the semantics diverge from SQL exactly where it matters —
+    // true_divide is float division even on ints, floor_divide FLOORS
+    // where SQL div truncates (−7//2 = −4, not −3), copysign transfers
+    // sign through abs. The oracle re-derives each from DuckDB
+    // primitives. All map-only codegen'd Catalyst expressions.
+    "q44_np_extended" -> api(
+      (s, dir) => {
+        val t = tbl(s, dir, "lineitem")
+        t.sql(
+          """SELECT l_orderkey, l_linenumber,
+                    np.floor_divide(l_orderkey - 500, 7) AS fd,
+                    np.bitwise_xor(l_orderkey, l_linenumber) AS bx,
+                    np.true_divide(l_quantity, 3) AS td,
+                    np.copysign(l_quantity, l_discount - 0.03) AS cs,
+                    np.left_shift(l_linenumber, 4) AS ls
+             FROM lineitem WHERE l_orderkey <= 1000
+             ORDER BY l_orderkey, l_linenumber""").toDF
+      },
+      """SELECT l_orderkey, l_linenumber,
+                CAST(floor(CAST(l_orderkey - 500 AS DOUBLE)
+                     / CAST(7 AS DOUBLE)) AS BIGINT) AS fd,
+                xor(l_orderkey, l_linenumber) AS bx,
+                CAST(l_quantity AS DOUBLE) / CAST(3 AS DOUBLE) AS td,
+                CASE WHEN CAST(l_discount - 0.03 AS DOUBLE) >= 0
+                     THEN abs(CAST(l_quantity AS DOUBLE))
+                     ELSE -abs(CAST(l_quantity AS DOUBLE)) END AS cs,
+                l_linenumber << 4 AS ls
+         FROM lineitem WHERE l_orderkey <= 1000
+         ORDER BY l_orderkey, l_linenumber"""),
+
+    // Round-9 np.* namespace extensions, aggregate tier: np.std/np.var
+    // are POPULATION moments (numpy ddof=0) — deliberately not SQL's
+    // sample stddev/variance — and np.median is the exact percentile.
+    // Rounded to 6 like g05's sample moments.
+    "q45_np_stats" -> api(
+      (s, dir) => {
+        val t = tbl(s, dir, "lineitem")
+        t.sql(
+          """SELECT l_returnflag,
+                    round(np.std(l_quantity), 6) AS sd,
+                    round(np.var(l_quantity), 6) AS vr,
+                    np.median(l_quantity) AS md
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").toDF
+      },
+      """SELECT l_returnflag,
+                round(stddev_pop(l_quantity), 6) AS sd,
+                round(var_pop(l_quantity), 6) AS vr,
+                median(l_quantity) AS md
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // GROUP BY ALL (the modern shorthand both Spark ≥3.4 and DuckDB
     // support natively): every non-aggregate select item becomes a
@@ -6617,6 +6710,48 @@ object SparkEntry {
          SELECT substr(md5(feat), 1, 3) AS bucket, count(*) AS n,
                 count(DISTINCT feat) AS nf, min(feat) AS first_feat
          FROM f GROUP BY 1 ORDER BY bucket"""),
+
+    // Group-mean imputation — the standard repair for a feature column
+    // with holes: nulls take their group's mean, groups that are ALL
+    // null fall back to the global mean. Nulls are planted in-query
+    // (doc_id % 7 = 0) so the oracle re-derives the exact same holes.
+    // Means are exact integer-sum ÷ count in one fixed-order double
+    // division; one rollup per grain plus a broadcast of the one-row
+    // global — the imputed scan itself stays map-only.
+    "fe03_impute" -> api(
+      (s, dir) => {
+        val d = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+              .otherwise(col("n_chars")).as("v"))
+        val byLang = d.filter(col("v").isNotNull)
+          .groupBy(col("lang"))
+          .agg(sum(col("v")).as("__s"), count(lit(1)).as("__c"))
+          .select(col("lang"),
+            (col("__s").cast("double") / col("__c").cast("double")).as("__gm"))
+        val global = d.filter(col("v").isNotNull)
+          .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+            .as("__gg"))
+        d.join(byLang, Seq("lang"), "left").join(broadcast(global))
+          .select(col("doc_id"), col("lang"),
+            round(coalesce(col("v").cast("double"), col("__gm"), col("__gg")), 6)
+              .as("v_imputed"),
+            col("v").isNull.as("was_imputed"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS v
+           FROM documents),
+         bl AS (SELECT lang,
+                  CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS gm
+                FROM d WHERE v IS NOT NULL GROUP BY 1),
+         g AS (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) AS gg
+               FROM d WHERE v IS NOT NULL)
+         SELECT doc_id, lang,
+                round(coalesce(CAST(v AS DOUBLE), bl.gm, g.gg), 6) AS v_imputed,
+                v IS NULL AS was_imputed
+         FROM d LEFT JOIN bl USING (lang), g
+         ORDER BY doc_id"""),
 
     // Smoothed mean-target encoding — the leakage-prone feature op done
     // the distributed-safe way: one pass computes per-category (n, sum)

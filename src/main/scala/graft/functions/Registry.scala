@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Median, Min, StddevPop, Sum, VariancePop}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
@@ -289,12 +289,48 @@ object Registry {
       case other => throw new IllegalArgumentException(
         s"np_where() takes 3 arguments, got ${other.length}")
     }
+    // round-9 on-demand extensions: elementwise arithmetic names (numpy
+    // spells operators as functions), bitwise ops, inf/finite
+    // predicates, copysign/logaddexp. floor_divide floors (numpy) where
+    // SQL `div` truncates — implemented as floor over double division,
+    // exact for |operands| < 2^53, long out like numpy's int//int.
+    binary("np_add")(Add(_, _))
+    binary("np_subtract")(Subtract(_, _))
+    binary("np_multiply")(Multiply(_, _))
+    binary("np_divide")((a, b) =>
+      Divide(Cast(a, DoubleType), Cast(b, DoubleType)))
+    binary("np_true_divide")((a, b) =>
+      Divide(Cast(a, DoubleType), Cast(b, DoubleType)))
+    binary("np_floor_divide")((a, b) =>
+      Cast(Floor(Divide(Cast(a, DoubleType), Cast(b, DoubleType))), LongType))
+    binary("np_copysign")((a, b) =>
+      If(GreaterThanOrEqual(Cast(b, DoubleType), Literal(0.0)),
+        Abs(Cast(a, DoubleType)), UnaryMinus(Abs(Cast(a, DoubleType)))))
+    binary("np_logaddexp")((a, b) =>
+      Log(Add(Exp(Cast(a, DoubleType)), Exp(Cast(b, DoubleType)))))
+    binary("np_bitwise_and")(BitwiseAnd(_, _))
+    binary("np_bitwise_or")(BitwiseOr(_, _))
+    binary("np_bitwise_xor")(BitwiseXor(_, _))
+    unary("np_invert")(BitwiseNot(_))
+    binary("np_left_shift")(ShiftLeft(_, _))
+    binary("np_right_shift")(ShiftRight(_, _))
+    unary("np_positive")(e => e)
+    unary("np_isinf")(e =>
+      EqualTo(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity)))
+    unary("np_isfinite")(e => And(Not(IsNaN(Cast(e, DoubleType))),
+      Not(EqualTo(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity)))))
+
     // np aggregates, usable anywhere an aggregate is legal
     // (reference: vinum/core/functions.py:402-406 aliases np.min/max/sum)
+    // np.std/np.var are POPULATION moments (numpy ddof=0), deliberately
+    // not SQL's sample stddev/variance; np.median is exact.
     unary("np_min")(Min(_))
     unary("np_max")(Max(_))
     unary("np_sum")(Sum(_))
     unary("np_mean")(Average(_))
+    unary("np_std")(e => StddevPop(Cast(e, DoubleType)))
+    unary("np_var")(e => VariancePop(Cast(e, DoubleType)))
+    unary("np_median")(e => Median(e))
 
     // ---- hashing / vector operators (engine extensions) ----
     def isIntegral(dt: DataType): Boolean = dt match {

@@ -37,6 +37,44 @@ class FunctionsSpec extends GraftSuite {
     assert(one("np.hypot(3, 4)").getDouble(0) == 5.0)
   }
 
+  test("np.* round-9 extensions: arithmetic / bitwise / predicates, numpy semantics") {
+    assert(one("np.add(2, 3)").getInt(0) == 5)
+    assert(one("np.subtract(2, 3)").getInt(0) == -1)
+    assert(one("np.multiply(4, 3)").getInt(0) == 12)
+    // true_divide is ALWAYS float division, even on ints (numpy)
+    assert(one("np.true_divide(7, 2)").getDouble(0) == 3.5)
+    assert(one("np.divide(7, 2)").getDouble(0) == 3.5)
+    // floor_divide FLOORS (numpy), where SQL div truncates toward zero
+    assert(one("np.floor_divide(7, 2)").getLong(0) == 3L)
+    assert(one("np.floor_divide(-7, 2)").getLong(0) == -4L)
+    assert(one("np.copysign(3, -1)").getDouble(0) == -3.0)
+    assert(one("np.copysign(-3, 1)").getDouble(0) == 3.0)
+    assert(math.abs(one("np.logaddexp(cast(0 as double), cast(0 as double))")
+      .getDouble(0) - math.log(2.0)) < 1e-12)
+    assert(one("np.bitwise_and(12, 10)").getInt(0) == 8)
+    assert(one("np.bitwise_or(12, 10)").getInt(0) == 14)
+    assert(one("np.bitwise_xor(12, 10)").getInt(0) == 6)
+    assert(one("np.invert(0)").getInt(0) == -1)
+    assert(one("np.left_shift(1, 10)").getInt(0) == 1024)
+    assert(one("np.right_shift(1024, 3)").getInt(0) == 128)
+    assert(one("np.positive(-5)").getInt(0) == -5)
+    assert(one("np.isinf(cast('Infinity' as double))").getBoolean(0))
+    assert(!one("np.isinf(cast(1 as double))").getBoolean(0))
+    assert(one("np.isfinite(cast(1 as double))").getBoolean(0))
+    assert(!one("np.isfinite(cast('NaN' as double))").getBoolean(0))
+    assert(!one("np.isfinite(cast('-Infinity' as double))").getBoolean(0))
+  }
+
+  test("np.std/np.var are POPULATION moments (ddof=0) and np.median is exact") {
+    val r = spark.sql(
+      """SELECT np_std(x) s, np_var(x) v, np_median(x) m
+         FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(x)""").head
+    assert(math.abs(r.getDouble(1) - 1.25) < 1e-12,     // sample var would be 5/3
+      s"population variance expected 1.25, got ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(0) - math.sqrt(1.25)) < 1e-12)
+    assert(r.getDouble(2) == 2.5)
+  }
+
   test("now() is within tolerance of the JVM clock (reference :1568-1582)") {
     val got = one("cast(now() as long)").getLong(0)
     assert(math.abs(got - System.currentTimeMillis() / 1000) < 60)

@@ -275,6 +275,16 @@ object SmokeMain {
         s"converted=${sfu.filter("reached_3 = 1").count()}")
       SparkEntry.queries("pr16_entropy")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("e17_dow_hour")(spark, sf).show(3, truncate = false)
+      // round-9 np.* extensions at the Table.sql surface
+      Table(spark.range(1).toDF("z")).sql(
+        """select np.floor_divide(-7, 2) fd, np.true_divide(7, 2) td,
+                  np.bitwise_xor(12, 10) bx, np.copysign(3, -1) cs,
+                  np.isfinite(cast(1 as double)) fin from t""")
+        .show(1, truncate = false)
+      SparkEntry.queries("q45_np_stats")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("fe03_impute")(spark, sf).show(4, truncate = false)
+      val sg = SparkEntry.queries("j11_spatial_grid")(spark, sf)
+      println(s"grid radius join pairs=${sg.count()}")
     }
 
     spark.stop()
