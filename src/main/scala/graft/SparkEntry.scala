@@ -5491,6 +5491,31 @@ object SparkEntry {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
          FROM events GROUP BY 1, 2 ORDER BY dow, hour"""),
 
+    // Inactivity churn flags: days since each user's last event vs the
+    // corpus horizon, churned = quiet ≥ 7 days — the simplest retention
+    // gate a growth dashboard runs daily. One keyed max + a one-row
+    // broadcast horizon; integer day arithmetic end to end.
+    "e18_churn" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val u = E.readRaw(s, dir)
+          .select(col("user_id"), expr(s"ts div ${E.MicrosPerDay}").as("day"))
+          .groupBy(col("user_id")).agg(max(col("day")).as("last_day"))
+        val h = u.agg(max(col("last_day")).as("__today"))
+        u.join(broadcast(h))
+          .select(col("user_id"), col("last_day"),
+            (col("__today") - col("last_day")).as("days_inactive"),
+            (col("__today") - col("last_day") >= 7).as("churned"))
+          .orderBy(col("user_id"))
+      },
+      """WITH u AS (SELECT user_id,
+                  max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS last_day
+           FROM events GROUP BY 1),
+         h AS (SELECT max(last_day) AS today FROM u)
+         SELECT user_id, last_day, (h.today - last_day) AS days_inactive,
+                (h.today - last_day) >= 7 AS churned
+         FROM u, h ORDER BY user_id"""),
+
     "e10_rolling_active" -> api(
       (s, dir) => {
         val MpD = graft.streaming.Events.MicrosPerDay
@@ -6269,6 +6294,35 @@ object SparkEntry {
          FROM orders
          QUALIFY rn <= 2
          ORDER BY o_custkey, rn"""),
+
+    // try_* arithmetic (ANSI-safe ingestion tier): Spark 4 runs ANSI
+    // mode, so raw +/÷ THROW on int64 overflow and division by zero —
+    // try_add/try_divide/try_multiply return NULL instead, the right
+    // semantics for a pipeline that must survive dirty numerics without
+    // a crash loop. The oracle emulates each NULL condition explicitly
+    // (HUGEINT headroom for the overflow probe, CASE for ÷0). Map-only.
+    "q46_try_arith" -> api(
+      (s, dir) => {
+        val t = tbl(s, dir, "lineitem")
+        t.sql(
+          """SELECT l_orderkey, l_linenumber,
+                    try_add(9223372036854775807, l_linenumber - 3) AS ta,
+                    try_divide(l_quantity, l_linenumber - 1) AS td,
+                    try_multiply(4611686018427387904, l_linenumber) AS tm
+             FROM lineitem WHERE l_orderkey <= 300
+             ORDER BY l_orderkey, l_linenumber""").toDF
+      },
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_linenumber - 3 <= 0
+                     THEN 9223372036854775807 + (l_linenumber - 3) END AS ta,
+                CASE WHEN l_linenumber <> 1
+                     THEN CAST(l_quantity AS DOUBLE)
+                          / CAST(l_linenumber - 1 AS DOUBLE) END AS td,
+                CASE WHEN CAST(4611686018427387904 AS HUGEINT) * l_linenumber
+                          <= 9223372036854775807
+                     THEN 4611686018427387904 * l_linenumber END AS tm
+         FROM lineitem WHERE l_orderkey <= 300
+         ORDER BY l_orderkey, l_linenumber"""),
 
     // Round-9 np.* namespace extensions, scalar tier: numpy spells
     // operators as functions (add/true_divide/floor_divide/bitwise_*),

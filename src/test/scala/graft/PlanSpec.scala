@@ -424,6 +424,22 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Join"), s"no join belongs in pr04:\n$p")
   }
 
+  test("q40 division: counting plan — no correlated anti-join cascade") {
+    val p = planOf("q40_division")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"the universe count should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"division-by-counting must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("j11 grid radius join: equi-join on the cell key, never a nested loop") {
+    val p = planOf("j11_spatial_grid")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join must be an equi-join on cell:\n$p")
+  }
+
   test("q39 QUALIFY: rank filter collapses into WindowGroupLimit, one key shuffle") {
     val p = planOf("q39_qualify")
     assert(p.contains("WindowGroupLimit"),
