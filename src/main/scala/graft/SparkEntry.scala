@@ -298,6 +298,12 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
   // Reference-parity surface (SURVEY §2) — q…
+  //
+  // Id numbering note: t15, io08 and pr12 were never assigned (numbering
+  // gaps from development, not deleted queries); every id that ever
+  // shipped in a CORRECTNESS_r*.json still exists here. g13 is the
+  // sketch-union query; the former duplicate g13_heavy_hitters was
+  // renamed g14_heavy_hitters in round 10.
   // ----------------------------------------------------------------------
   private lazy val defs: Seq[(String, (QFn, Option[String]))] = Seq(
 
@@ -6973,7 +6979,7 @@ object SparkEntry {
          FROM q JOIN m ON m.l_returnflag = q.l_returnflag
          ORDER BY q.l_returnflag"""),
 
-    "g13_heavy_hitters" -> api(
+    "g14_heavy_hitters" -> api(
       (s, dir) => {
         val counts = s.read.parquet(s"$dir/orders.parquet")
           .groupBy(col("o_orderstatus").as("flag"), col("o_orderpriority").as("mode"))

@@ -237,4 +237,18 @@ object Kernels {
     org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(sketch))
       .estimateCount(java.lang.Long.valueOf(item))
+
+  /** numpy floor division, integer out (`int // int` in numpy). Division
+    * by zero yields null — SQL semantics, matching Spark's non-ANSI
+    * `Divide` (numpy raises/warns here; null is the engine's documented
+    * divergence for all division operators).
+    */
+  def floorDivLong(a: Double, b: Double): java.lang.Long =
+    if (b == 0.0) null
+    else java.lang.Long.valueOf(math.floor(a / b).toLong)
+
+  /** numpy floor division, float out (any float operand in numpy). */
+  def floorDivDouble(a: Double, b: Double): java.lang.Double =
+    if (b == 0.0) null
+    else java.lang.Double.valueOf(math.floor(a / b))
 }

@@ -301,13 +301,27 @@ object Registry {
       Divide(Cast(a, DoubleType), Cast(b, DoubleType)))
     binary("np_true_divide")((a, b) =>
       Divide(Cast(a, DoubleType), Cast(b, DoubleType)))
-    binary("np_floor_divide")((a, b) =>
-      Cast(Floor(Divide(Cast(a, DoubleType), Cast(b, DoubleType))), LongType))
+    // floor_divide follows numpy's output-type rule (long for int//int,
+    // double once a float is involved) — the branch needs resolved child
+    // types, so it lives in the expression's dataType, not here.
+    binary("np_floor_divide")(NpFloorDivide(_, _))
+    // copysign must read b's IEEE sign BIT (copysign(3, -0.0) = -3.0);
+    // a `b >= 0` predicate can't see it, Math.copySign can.
     binary("np_copysign")((a, b) =>
-      If(GreaterThanOrEqual(Cast(b, DoubleType), Literal(0.0)),
-        Abs(Cast(a, DoubleType)), UnaryMinus(Abs(Cast(a, DoubleType)))))
-    binary("np_logaddexp")((a, b) =>
-      Log(Add(Exp(Cast(a, DoubleType)), Exp(Cast(b, DoubleType)))))
+      NpCopySign(Cast(a, DoubleType), Cast(b, DoubleType)))
+    // numerically stable log(exp(a)+exp(b)) — the naive form overflows
+    // to +inf above ~709 and rounds to max(a,b) for widely separated
+    // operands, which is exactly what numpy.logaddexp exists to avoid:
+    //   max(a,b) + log1p(exp(-|a-b|)), with a==b short-circuited to
+    // a + ln 2 so equal infinities don't produce inf-inf = NaN.
+    binary("np_logaddexp") { (a0, b0) =>
+      val a = Cast(a0, DoubleType)
+      val b = Cast(b0, DoubleType)
+      If(EqualTo(a, b),
+        Add(a, Literal(math.log(2.0))),
+        Add(Greatest(Seq(a, b)),
+          Log1p(Exp(UnaryMinus(Abs(Subtract(a, b)))))))
+    }
     binary("np_bitwise_and")(BitwiseAnd(_, _))
     binary("np_bitwise_or")(BitwiseOr(_, _))
     binary("np_bitwise_xor")(BitwiseXor(_, _))

@@ -308,3 +308,101 @@ case class JaccardSorted(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** IEEE-754 `copysign`: |a| with the SIGN BIT of b — numpy semantics,
+  * where a negative-zero or sign-bit-set-NaN second operand makes the
+  * result negative. A predicate like `b >= 0` cannot see the sign bit
+  * (`-0.0 >= 0` is true), so this delegates to `java.lang.Math.copySign`,
+  * which reads the raw bit. Registry wraps both children in
+  * `Cast(_, DoubleType)`; output is always double (numpy promotes
+  * copysign to float64).
+  */
+case class NpCopySign(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "np_copysign"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Math.copySign(a.asInstanceOf[Double], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.copySign($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** numpy `floor_divide`: floors the quotient (−7//2 = −4 where SQL `div`
+  * truncates to −3) and follows numpy's output-type rule — long when BOTH
+  * operands are integral, double when either is floating/decimal. The
+  * type rule needs the RESOLVED child types, which a Registry builder
+  * never sees (it runs on unresolved attributes), so the branch lives in
+  * `dataType` here. Division by zero is null (SQL semantics, documented
+  * divergence from numpy's warn-and-inf). Non-numeric operands are
+  * rejected at analysis time.
+  */
+case class NpFloorDivide(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType.isInstanceOf[NumericType] &&
+      right.dataType.isInstanceOf[NumericType]) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"np_floor_divide takes numeric operands, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def dataType: DataType =
+    if (integral(left.dataType) && integral(right.dataType)) LongType
+    else DoubleType
+
+  // null on division by zero even for non-nullable inputs
+  override def nullable: Boolean = true
+  override def prettyName: String = "np_floor_divide"
+
+  private def toD(v: Any): Double = v match {
+    case b: Byte => b.toDouble
+    case s: Short => s.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case f: Float => f.toDouble
+    case d: Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (dataType == LongType) Kernels.floorDivLong(toD(a), toD(b))
+    else Kernels.floorDivDouble(toD(a), toD(b))
+
+  private def toDoubleJava(dt: DataType, v: String): String = dt match {
+    case _: DecimalType => s"$v.toDouble()"
+    case _ => s"(double)($v)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val da = toDoubleJava(left.dataType, a)
+      val db = toDoubleJava(right.dataType, b)
+      val (box, kernel, unbox) =
+        if (dataType == LongType) ("java.lang.Long", "floorDivLong", "longValue")
+        else ("java.lang.Double", "floorDivDouble", "doubleValue")
+      s"""
+         |$box ${ev.value}_raw = graft.functions.Kernels.$kernel($da, $db);
+         |if (${ev.value}_raw == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_raw.$unbox(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -246,66 +246,76 @@ object Dialect {
     * silently ignoring them would hide typos.
     */
   def expandStarExclude(sql: String, columns: Seq[String]): String = {
-    val m = StarExcludeRe.findFirstMatchIn(stripLiterals(sql))
-    if (m.isEmpty) return sql
-    val mm = m.get
-    val excluded = Option(mm.group(1)).getOrElse(mm.group(2))
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).map(_.toLowerCase).toSet
-    val unknown = excluded -- columns.map(_.toLowerCase).toSet
-    require(unknown.isEmpty,
-      s"EXCLUDE names not in the table: ${unknown.mkString(", ")}")
-    val kept = columns.filterNot(c => excluded.contains(c.toLowerCase))
-    require(kept.nonEmpty, "EXCLUDE removed every column")
-    sql.substring(0, mm.start) + kept.map(c => s"`$c`").mkString(", ") +
-      sql.substring(mm.end)
+    var cur = sql
+    var guard = 0
+    while (guard < 64) { // rewrite every occurrence (subqueries/UNION arms)
+      val m = StarExcludeRe.findFirstMatchIn(stripLiterals(cur))
+      if (m.isEmpty) return cur
+      val mm = m.get
+      // group offsets come from the masked view; slice the ORIGINAL text
+      // at the same indices so quoted names survive the masking
+      val grp = if (mm.group(1) != null) 1 else 2
+      val excluded = cur.substring(mm.start(grp), mm.end(grp))
+        .split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).map(_.toLowerCase).toSet
+      val unknown = excluded -- columns.map(_.toLowerCase).toSet
+      require(unknown.isEmpty,
+        s"EXCLUDE names not in the table: ${unknown.mkString(", ")}")
+      val kept = columns.filterNot(c => excluded.contains(c.toLowerCase))
+      require(kept.nonEmpty, "EXCLUDE removed every column")
+      cur = cur.substring(0, mm.start) + kept.map(c => s"`$c`").mkString(", ") +
+        cur.substring(mm.end)
+      guard += 1
+    }
+    cur
   }
 
   private val StarExcludeRe =
     """(?is)\*\s+exclude\s*(?:\(([^)]*)\)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
+  /** Keyword scan over [[stripLiterals]]'s masked view: string literals,
+    * quoted identifiers ("..." and `...`) and comments are blanked
+    * before matching, so a `-- qualify` comment or a backticked
+    * identifier containing `order` can never trigger a bogus split
+    * (mirrors [[rewrite]]'s state machine; offsets are shared because
+    * masking preserves length).
+    */
   private def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
+    val m = stripLiterals(s)
     var i = from
     var depth = 0
-    var inSingle = false
-    var inDouble = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inSingle) { if (c == '\'') inSingle = false }
-      else if (inDouble) { if (c == '"') inDouble = false }
-      else c match {
-        case '\'' => inSingle = true
-        case '"'  => inDouble = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
-            (i + kw.length == s.length || !s.charAt(i + kw.length).isLetterOrDigit))
-            return i
-      }
+    while (i < m.length) {
+      val c = m.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && m.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !m.charAt(i - 1).isLetterOrDigit) &&
+        (i + kw.length == m.length || !m.charAt(i + kw.length).isLetterOrDigit))
+        return i
       i += 1
     }
     -1
   }
 
+  /** Comma split at paren depth 0, depth/comma decisions taken on the
+    * masked view (commas inside literals, quoted identifiers or comments
+    * never split) while the emitted pieces keep the original text.
+    */
   private def splitTopLevel(s: String): Seq[String] = {
+    val m = stripLiterals(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
-    var inSingle = false
-    var inDouble = false
-    s.foreach { c =>
-      if (inSingle) { cur.append(c); if (c == '\'') inSingle = false }
-      else if (inDouble) { cur.append(c); if (c == '"') inDouble = false }
-      else c match {
-        case '\'' => inSingle = true; cur.append(c)
-        case '"'  => inDouble = true; cur.append(c)
-        case '(' => depth += 1; cur.append(c)
-        case ')' => depth -= 1; cur.append(c)
-        case ',' if depth == 0 => out += cur.toString; cur.clear()
-        case _ => cur.append(c)
-      }
+    var i = 0
+    while (i < s.length) {
+      val mc = m.charAt(i)
+      if (mc == '(') depth += 1
+      else if (mc == ')') depth -= 1
+      if (mc == ',' && depth == 0) { out += cur.toString; cur.clear() }
+      else cur.append(s.charAt(i))
+      i += 1
     }
     out += cur.toString
     out.toSeq
@@ -323,16 +333,41 @@ object Dialect {
   private val FromRe =
     """(?i)\bfrom\s+([A-Za-z_][A-Za-z0-9_]*)""".r
 
+  /** Length-preserving mask: the CONTENT of '...' literals, "..." / `...`
+    * quoted identifiers, and `--` / `/* */` comments becomes spaces
+    * (newlines kept so line structure survives), everything else passes
+    * through at the same offset. Scanners match on the masked view and
+    * slice the original by the same indices.
+    */
   private def stripLiterals(sql: String): String = {
     val out = new StringBuilder(sql.length)
-    var inSingle = false
     var i = 0
-    while (i < sql.length) {
+    val n = sql.length
+    var state = 0 // 0 code, 1 '…', 2 "…", 3 `…`, 4 -- line, 5 /* block
+    while (i < n) {
       val c = sql.charAt(i)
-      if (inSingle) { if (c == '\'') inSingle = false; out.append(' ') }
-      else if (c == '\'') { inSingle = true; out.append(' ') }
-      else out.append(c)
-      i += 1
+      state match {
+        case 1 => if (c == '\'') state = 0; out.append(' '); i += 1
+        case 2 => if (c == '"') state = 0; out.append(' '); i += 1
+        case 3 => if (c == '`') state = 0; out.append(' '); i += 1
+        case 4 =>
+          if (c == '\n') { state = 0; out.append('\n') } else out.append(' ')
+          i += 1
+        case 5 =>
+          if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
+            state = 0; out.append("  "); i += 2
+          } else { out.append(if (c == '\n') '\n' else ' '); i += 1 }
+        case _ => c match {
+          case '\'' => state = 1; out.append(' '); i += 1
+          case '"'  => state = 2; out.append(' '); i += 1
+          case '`'  => state = 3; out.append(' '); i += 1
+          case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+            state = 4; out.append("  "); i += 2
+          case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+            state = 5; out.append("  "); i += 2
+          case _ => out.append(c); i += 1
+        }
+      }
     }
     out.toString
   }

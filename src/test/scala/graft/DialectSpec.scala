@@ -139,4 +139,39 @@ class DialectSpec extends AnyFunSuite {
       Dialect.splitQualify("select distinct k from t qualify rn = 1")
     }
   }
+
+  test("splitQualify / keyword scan: comments and backticks never split") {
+    // a -- comment containing 'qualify' must not trigger a split
+    assert(Dialect.splitQualify(
+      "select k from t -- no qualify here\nwhere k > 1").isEmpty)
+    assert(Dialect.splitQualify(
+      "select k from t /* qualify rn = 1 */ where k > 1").isEmpty)
+    // a backticked identifier named `qualify` is data, not a keyword
+    assert(Dialect.splitQualify("select `qualify` from t").isEmpty)
+    // a real QUALIFY with a comment containing 'order' after it: the
+    // tail split must key on the real ORDER BY, not the comment text
+    val Some((inner, tail)) = Dialect.splitQualify(
+      "select k from t qualify rank() over (order by k) = 1 " +
+        "/* order nothing */ order by k"): @unchecked
+    assert(tail.trim == "order by k")
+    assert(inner.contains("__qualify__"))
+  }
+
+  test("expandStarExclude: all occurrences, backticked and quoted names") {
+    val cols = Seq("doc_id", "text", "lang")
+    // every occurrence is rewritten, not just the first (UNION arms)
+    val u = Dialect.expandStarExclude(
+      "select * EXCLUDE (lang) from a union all select * EXCLUDE (text) from b",
+      cols)
+    assert(u ==
+      "select `doc_id`, `text` from a union all select `doc_id`, `lang` from b")
+    // backtick- and double-quote-quoted excluded names resolve
+    assert(Dialect.expandStarExclude(
+      "select * exclude (`lang`, \"text\") from t", cols) ==
+      "select `doc_id` from t")
+    // a double-quoted identifier CONTAINING the pattern is not rewritten
+    assert(Dialect.expandStarExclude(
+      "select \"* exclude (a)\" from t", cols) ==
+      "select \"* exclude (a)\" from t")
+  }
 }

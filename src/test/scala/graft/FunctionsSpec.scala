@@ -49,8 +49,27 @@ class FunctionsSpec extends GraftSuite {
     assert(one("np.floor_divide(-7, 2)").getLong(0) == -4L)
     assert(one("np.copysign(3, -1)").getDouble(0) == -3.0)
     assert(one("np.copysign(-3, 1)").getDouble(0) == 3.0)
+    // the sign BIT transfers: negative zero is negative (numpy/IEEE-754)
+    assert(one("np.copysign(3, -0.0d)").getDouble(0) == -3.0)
+    assert(one("np.copysign(3, 0.0d)").getDouble(0) == 3.0)
+    // floor_divide output type follows numpy: int//int long, float in → double
+    assert(one("np.floor_divide(-7.0d, 2)").getDouble(0) == -4.0)
+    assert(one("np.floor_divide(7, 2.0d)").getDouble(0) == 3.0)
+    assert(one("np.floor_divide(1, 0)").isNullAt(0)) // SQL-null div-by-zero
     assert(math.abs(one("np.logaddexp(cast(0 as double), cast(0 as double))")
       .getDouble(0) - math.log(2.0)) < 1e-12)
+    // stable form: the naive log(exp(a)+exp(b)) overflows past ~709 and
+    // underflows to max(a,b) exactly for separated operands
+    assert(math.abs(one("np.logaddexp(1000.0d, 1000.0d)").getDouble(0)
+      - (1000.0 + math.log(2.0))) < 1e-9)
+    assert(math.abs(one("np.logaddexp(-1000.0d, -1001.0d)").getDouble(0)
+      - (-1000.0 + math.log1p(math.exp(-1.0)))) < 1e-9)
+    assert(math.abs(one("np.logaddexp(0.0d, 710.0d)").getDouble(0) - 710.0)
+      < 1e-9)
+    assert(one("np.logaddexp(cast('-Infinity' as double), cast('-Infinity' as double))")
+      .getDouble(0).isNegInfinity)
+    assert(one("np.logaddexp(cast('Infinity' as double), 3.0d)")
+      .getDouble(0).isPosInfinity)
     assert(one("np.bitwise_and(12, 10)").getInt(0) == 8)
     assert(one("np.bitwise_or(12, 10)").getInt(0) == 14)
     assert(one("np.bitwise_xor(12, 10)").getInt(0) == 6)

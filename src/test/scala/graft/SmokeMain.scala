@@ -203,7 +203,7 @@ object SmokeMain {
       SparkEntry.queries("q35_to_json")(spark, sf).show(2, truncate = false)
       SparkEntry.queries("g12_agg_filter")(spark, sf).show(3, truncate = false)
       println(s"lag-offsets rows=${SparkEntry.queries("w09_lag_offsets")(spark, sf).count()}")
-      SparkEntry.queries("g13_heavy_hitters")(spark, sf).show(9, truncate = false)
+      SparkEntry.queries("g14_heavy_hitters")(spark, sf).show(9, truncate = false)
       println(s"union-by-name rows=${SparkEntry.queries("set03_union_by_name")(spark, sf).count()}")
       SparkEntry.queries("pr09_manifest")(spark, sf).show(8, truncate = false)
       val ov = SparkEntry.queries("j08_interval_overlap")(spark, sf)
