@@ -150,6 +150,14 @@ def fixture_fingerprint():
 
 def main():
     fixture_fingerprint()
+    # hard gate: committed fingerprint (tools/fixtures.fingerprint.json)
+    # must match the on-disk testdata — a silent driver-side regeneration
+    # fails HERE, loudly, instead of surfacing as phantom query bugs
+    import fixture_fingerprint as fpgate
+    if fpgate.verify() != 0 and "--skip-fingerprint" not in sys.argv:
+        print("[local_verify] fixture fingerprint drift — aborting "
+              "(--skip-fingerprint to override)")
+        sys.exit(1)
     if "--skip-run" not in sys.argv:
         run_verify()
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
