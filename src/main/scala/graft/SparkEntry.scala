@@ -4433,15 +4433,14 @@ object SparkEntry {
             explode(array((col("doc_id") * 7 + 1) % n,
               (col("doc_id") * 13 + 3) % n)).as("dst"))
           .localCheckpoint(true)
-        var r = docs.withColumn("r", lit(S / n))
-        for (_ <- 1 to 3) {
+        val r0 = docs.withColumn("r", lit(S / n))
+        val r = graft.ops.Iterate.loop(r0, 3) { (r, _) =>
           val contrib = edges.join(r, col("src") === col("doc_id"))
             .groupBy(col("dst"))
             .agg(sum(expr("r div 2")).as("inc"))
-          r = docs.join(contrib, col("doc_id") === col("dst"), "left")
+          docs.join(contrib, col("doc_id") === col("dst"), "left")
             .select(col("doc_id"),
               (lit(base) + expr("(85 * coalesce(inc, 0L)) div 100")).as("r"))
-            .localCheckpoint(true)
         }
         r.orderBy(col("doc_id"))
       },
@@ -4487,14 +4486,13 @@ object SparkEntry {
             explode(array((col("doc_id") * 7 + 1) % n,
               (col("doc_id") * 13 + 3) % n)).as("dst"))
           .localCheckpoint(true)
-        var dist = docs.filter(col("doc_id") % 100 === 0)
+        val dist0 = docs.filter(col("doc_id") % 100 === 0)
           .select(col("doc_id"), lit(0L).as("dist"))
-        for (_ <- 1 to 4) {
+        val dist = graft.ops.Iterate.loop(dist0, 4) { (dist, _) =>
           val prop = edges.join(dist, col("src") === col("doc_id"))
             .select(col("dst").as("doc_id"), (col("dist") + 1).as("dist"))
-          dist = dist.unionByName(prop)
+          dist.unionByName(prop)
             .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint(true)
         }
         dist.filter(col("dist") <= 4).orderBy(col("doc_id"))
       },
@@ -4585,8 +4583,8 @@ object SparkEntry {
         val e = de.select(col("s"), col("d"))
           .union(de.select(col("d").as("s"), col("s").as("d")))
           .distinct().localCheckpoint(true)
-        var lab = v.select(col("id"), col("id").as("lab"))
-        for (_ <- 1 to 3) {
+        val lab0 = v.select(col("id"), col("id").as("lab"))
+        val lab = graft.ops.Iterate.loop(lab0, 3) { (lab, _) =>
           val votes = e.join(lab.withColumnRenamed("id", "__n"),
               col("d") === col("__n"))
             .groupBy(col("s"), col("lab")).agg(count(lit(1)).as("c"))
@@ -4594,9 +4592,8 @@ object SparkEntry {
             .groupBy(col("s"))
             .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
             .select(col("s").as("id"), (-col("m.nl")).as("blab"))
-          lab = lab.join(best, Seq("id"), "left")
+          lab.join(best, Seq("id"), "left")
             .select(col("id"), coalesce(col("blab"), col("lab")).as("lab"))
-            .localCheckpoint(true)
         }
         lab.orderBy(col("id"))
           .select(col("id").as("doc_id"), col("lab").as("community"))

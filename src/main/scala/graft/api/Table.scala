@@ -120,6 +120,18 @@ final class Table private (val df: DataFrame) {
     */
   def toArrowIpc: Array[Byte] = ArrowExport.toArrowIpc(df)
 
+  /** Bounded-lineage iteration — the recursive-CTE substitute for
+    * fixed-point algorithms (PageRank, BFS, label propagation). Runs
+    * `step` for rounds 1..n, truncating lineage every `checkpointEvery`
+    * rounds so plan depth and fault-recovery cost stay O(one round)
+    * regardless of n. See [[graft.ops.Iterate]] for the scale rationale
+    * and the convergence-predicate variant.
+    */
+  def iterate(n: Int, checkpointEvery: Int = 1)
+             (step: (Table, Int) => Table): Table =
+    Table(graft.ops.Iterate.loop(df, n, checkpointEvery)(
+      (d, i) => step(Table(d), i).df))
+
   def schema: StructType = df.schema
   def columnNames: Seq[String] = df.schema.fieldNames.toSeq
   def head(n: Int = 5): Array[Row] = df.head(n)

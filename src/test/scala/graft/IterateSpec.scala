@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.Iterate]] — the bounded-lineage loop under gr01/gr02/gr04.
+  * The lineage pin is the point: plan size after the loop must be
+  * INDEPENDENT of the iteration count (every round ends in a
+  * checkpoint-cut scan at the configured cadence), otherwise a 20-round
+  * fixed point at cluster scale pays O(rounds) analysis time and
+  * O(rounds) recomputation per lost executor.
+  */
+class IterateSpec extends GraftSuite {
+
+  import graft.ops.Iterate
+
+  private def base = {
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("x")
+  }
+
+  test("loop applies step n times with 1-based round index") {
+    val out = Iterate.loop(base, 5) { (df, i) =>
+      df.withColumn("x", col("x") * 2).withColumn("last_round", lit(i))
+    }
+    val rows = out.orderBy("x").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(32L, 64L, 96L))
+    assert(rows.forall(_.getInt(1) == 5))
+    assert(Iterate.loop(base, 0)((df, _) => df.limit(0)).count() == 3)
+  }
+
+  test("lineage depth is independent of the iteration count") {
+    def planNodes(n: Int): Int = {
+      val out = Iterate.loop(base, n, checkpointEvery = 2) { (df, _) =>
+        // a join + aggregate per round — the gr-family round shape
+        df.groupBy((col("x") % 2).as("k")).agg(sum(col("x")).as("x"))
+          .select(col("x"))
+      }
+      out.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val n3 = planNodes(3)
+    val n9 = planNodes(9)
+    assert(n3 == n9,
+      s"plan grew with iteration count: n=3 -> $n3 nodes, n=9 -> $n9")
+    assert(n9 <= 3, s"expected a checkpoint-cut scan, got $n9 nodes")
+  }
+
+  test("loopUntil stops at the fixed point, not maxIter") {
+    var rounds = 0
+    // clamping step: x -> min(x+1, 5); fixed point after a few rounds
+    val out = Iterate.loopUntil(base, maxIter = 50) { (df, _) =>
+      rounds += 1
+      df.select(least(col("x") + 1, lit(5L)).as("x"))
+    } { (prev, next) =>
+      next.except(prev).isEmpty && prev.except(next).isEmpty
+    }
+    assert(out.orderBy("x").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 5L, 5L))
+    assert(rounds < 10, s"did not converge early: $rounds rounds")
+  }
+
+  test("Table.iterate facade delegates to the combinator") {
+    val t = graft.api.Table(base)
+      .iterate(3) { (t, _) => graft.api.Table(t.df.withColumn("x", col("x") + 10)) }
+    assert(t.df.orderBy("x").collect().map(_.getLong(0)).toSeq ==
+      Seq(31L, 32L, 33L))
+  }
+}
