@@ -684,13 +684,25 @@ object Dedup {
     val gramsCol =
       if (hashGrams) array_distinct(TextOps.shingleHashes(col(textCol), shingleK))
       else array_distinct(TextOps.shingles(col(textCol), shingleK))
+    // materialize the posting list ONCE: tokenize+shingle+explode is the
+    // CPU-heavy pass over the corpus, and three consumers reference it
+    // (per-doc sizes, gram doc-frequencies, the capped self-join) — as a
+    // lazy plan each would re-tokenize. The materialized volume is the
+    // same order as the self-join's shuffle write, which is unavoidable;
+    // with `hashGrams = true` (the 100 TB setting) rows are 16-byte
+    // (id, hash) pairs.
     val g = df.select(col(idCol).cast("long").as("id"),
       explode(gramsCol).as("g"))
+      .localCheckpoint(true)
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val capped = g
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
-      .filter(col("__df") <= maxDocFreq).drop("__df")
+    // document frequency as an aggregate + join-back, NOT a window over
+    // the gram column: the partial (map-side) count shrinks the df
+    // shuffle to one row per distinct gram and skips the per-partition
+    // sort a window needs; the capped frame keeps `g`'s partitioning,
+    // so the posting self-join below adds no further exchange
+    val rare = g.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select(col("g"))
+    val capped = g.join(rare, Seq("g"))
     val shared = capped.as("a").join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
