@@ -1085,6 +1085,14 @@ object SparkEntry {
     // live-marketing view of e04's batch session funnel. Three longs of
     // state per user; the oracle derives the same stage times as a
     // chained min(ts > prev) per user.
+    // NOTE: batch-oracle equivalence relies on the replay harness
+    // delivering files in event-time order. The processor's state is
+    // forward-only: a stage-1 event arriving in a LATER micro-batch
+    // than a timestamp-later stage-2 event would miss the conversion
+    // the batch oracle counts. The single-file AvailableNow replay
+    // used here is event-time monotonic per user by construction; a
+    // production deployment with out-of-order arrivals would buffer
+    // one watermark interval of unmatched earlier-stage events.
     "st16_stream_funnel" -> api(
       (outer, dir) => {
         val s = outer.newSession()

@@ -27,9 +27,31 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object ArrowExport {
 
-  /** The DataFrame's rows as one Arrow IPC stream (schema + one batch). */
-  def toArrowIpc(df: DataFrame): Array[Byte] = {
-    val rows = df.collect()
+  /** Hard cap on exported rows. `to_arrow` is a DRIVER-SIDE materializer
+    * for final, human/notebook-scale results — the reference's tests max
+    * out at tens of thousands of rows. At cluster scale an unguarded
+    * collect() of an intermediate frame is a driver OOM; the limit turns
+    * that mistake into an immediate, explicit error instead.
+    */
+  val MaxExportRows: Long = 10_000_000L
+
+  /** The DataFrame's rows as one Arrow IPC stream (schema + one batch).
+    *
+    * Collects to the driver by design (the reference's `to_arrow`
+    * semantics) and refuses more than [[MaxExportRows]] rows — for a
+    * large result, write distributed instead: `df.write.parquet(path)`
+    * (pyarrow/DuckDB read parquet datasets natively).
+    */
+  def toArrowIpc(df: DataFrame): Array[Byte] =
+    toArrowIpcCapped(df, MaxExportRows)
+
+  private[graft] def toArrowIpcCapped(df: DataFrame, cap: Long): Array[Byte] = {
+    // single job: collect at most cap+1 rows, so the overflow check and
+    // the materialization share one execution
+    val rows = df.limit((cap + 1).toInt).collect()
+    require(rows.length <= cap,
+      s"toArrowIpc materializes to the DRIVER and the result exceeds " +
+        s"$cap rows; use df.write.parquet(...) for large results")
     val sparkSchema = df.schema
     val fields = sparkSchema.fields.map(f => arrowField(f)).toSeq
     val allocator = new RootAllocator(Long.MaxValue)

@@ -285,6 +285,19 @@ object SmokeMain {
       SparkEntry.queries("fe03_impute")(spark, sf).show(4, truncate = false)
       val sg = SparkEntry.queries("j11_spatial_grid")(spark, sf)
       println(s"grid radius join pairs=${sg.count()}")
+      // round-10: toArrowIpc driver-materialization cap + iterate facade
+      val small = Table(spark.range(4).toDF("x"))
+      println(s"arrow export bytes=${small.toArrowIpc.length}")
+      try {
+        graft.api.ArrowExport.toArrowIpcCapped(spark.range(10).toDF("x"), 5L)
+        println("CAP GUARD FAILED TO FIRE")
+      } catch {
+        case e: IllegalArgumentException =>
+          println("arrow cap guard: " + firstLine(e).take(60))
+      }
+      val itN = small.iterate(3)((t, _) =>
+        Table(t.df.selectExpr("x + 1 as x"))).count()
+      println(s"iterate facade rows=$itN")
     }
 
     spark.stop()

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Failure-path coverage for the stateful streaming family: kill a
+  * stateful query between micro-batch runs and restart it from its
+  * checkpoint. st01–st16 all replay the happy path in one process run;
+  * this spec proves the two guarantees a restart must keep:
+  *
+  *  1. STATE RESTORATION — a duplicate arriving AFTER the restart must
+  *     be attributed to its owner seen BEFORE the restart, which is only
+  *     possible if the RocksDB state snapshot (content-digest → first
+  *     owner) was recovered from the checkpoint, not rebuilt empty.
+  *  2. EXACTLY-ONCE OUTPUT — the restarted query must neither re-emit
+  *     pre-restart rows (file-source progress is checkpointed) nor drop
+  *     post-restart ones; the file sink's commit log dedups output even
+  *     if a batch is replayed.
+  */
+class StreamingRestartSpec extends GraftSuite {
+
+  test("streaming dedup owners survives kill + restart from checkpoint") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    val work = Files.createTempDirectory("graft_restart_").toString
+    val srcDir = s"$work/src"
+    val sinkDir = s"$work/sink"
+    val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(srcDir))
+
+    val docs = s.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // phase-1 file: docs 0..249 — establishes state (first owners)
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$srcDir/$name.parquet"))
+    }
+    addFile(docs.filter(col("doc_id") < 250), "phase1")
+
+    def runOnce(): Unit = {
+      val schema = docs.schema
+      val in = s.readStream.schema(schema).parquet(srcDir)
+      val out = graft.streaming.Events
+        .streamingDedupOwners(in, "doc_id", "text").toDF()
+      val q = out.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop() // stop() == the "kill"
+    }
+
+    runOnce() // processes phase1, then the query is stopped
+
+    val afterPhase1 = s.read.parquet(sinkDir).count()
+    assert(afterPhase1 == 250L, s"phase 1 emitted $afterPhase1 rows")
+
+    // phase-2 file arrives while the query is DOWN: docs 250..499 plus
+    // exact duplicates of phase-1 content under new ids — their owners
+    // live only in the checkpointed state
+    addFile(docs.filter(col("doc_id") >= 250).unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))),
+      "phase2")
+
+    runOnce() // restart from the same checkpoint
+
+    val sink = s.read.parquet(sinkDir)
+    // exactly-once: 250 + 250 + 50 verdicts, one per arrival, no replays
+    assert(sink.count() == 550L, s"expected 550 rows, got ${sink.count()}")
+    assert(sink.groupBy(col("doc_id")).count().filter(col("count") > 1).isEmpty,
+      "a restart re-emitted rows for some doc_id")
+
+    // state restoration: every planted post-restart duplicate must point
+    // at its PRE-restart owner (content first seen in phase 1)
+    val planted = sink.filter(col("doc_id") >= 100000L)
+    assert(planted.count() == 50L)
+    assert(planted.filter(!col("is_dup") ||
+      col("owner_id") =!= col("doc_id") - 100000L).isEmpty,
+      "post-restart duplicates were not matched to pre-restart owners")
+
+    // full-relation check against the batch oracle: owner = min(doc_id)
+    // per content group over ALL arrivals
+    val all = docs.unionByName(docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val oracle = all.withColumn("owner_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .select(col("doc_id"), col("owner_id"),
+        (col("doc_id") =!= col("owner_id")).as("is_dup"))
+    assert(sink.select("doc_id", "owner_id", "is_dup")
+      .except(oracle).isEmpty && oracle.except(
+        sink.select("doc_id", "owner_id", "is_dup")).isEmpty,
+      "restarted stream diverged from the batch oracle")
+  }
+}

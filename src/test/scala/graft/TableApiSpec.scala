@@ -223,6 +223,19 @@ class TableApiSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("toArrowIpc refuses results over the driver-materialization cap") {
+    import spark.implicits._
+    val six = (1L to 6L).toDF("x")
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.ArrowExport.toArrowIpcCapped(six, cap = 5L)
+    }
+    assert(ex.getMessage.contains("write.parquet"))
+    // at exactly the cap it exports fine, order preserved through limit
+    val ok = Table.fromArrowIpc(spark,
+      graft.api.ArrowExport.toArrowIpcCapped(six.orderBy("x"), cap = 6L))
+    assert(ok.toDF.collect().map(_.getLong(0)).toSeq == (1L to 6L))
+  }
+
   test("Arrow IPC: instant (TimestampType) columns stay instants via tz-tagged fields") {
     import org.apache.spark.sql.types._
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")
