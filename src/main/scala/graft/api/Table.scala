@@ -57,6 +57,16 @@ final class Table private (val df: DataFrame) {
     }
   }
 
+  /** `sql_pd` analog (vinum/api/table.py:276-330: run `sql`, hand back
+    * the materialized frame for display). The JVM has no pandas; the
+    * equivalent "ready to look at" form is the rendered table string
+    * `show()` would print — returned, not printed, so callers can log or
+    * embed it. Driver-side by nature; `numRows` bounds the render.
+    */
+  def sqlPd(query: String, numRows: Int = 20, truncate: Int = 20): String =
+    org.apache.spark.sql.GraftColumnBridge.renderedTable(
+      sql(query).df, numRows, truncate)
+
   /** QUALIFY execution: run the [[Dialect.splitQualify]] inner query
     * (select list + `(pred) AS __qualify__`), filter on the predicate
     * column, drop it, then apply the trailing ORDER BY / LIMIT over the
@@ -141,6 +151,25 @@ final class Table private (val df: DataFrame) {
 }
 
 object Table {
+
+  /** `set_batch_size` parity shim (vinum/__init__.py:52-62). The
+    * reference's global batch size throttles its pull-based Arrow
+    * executor; Spark's analog is partition/batch sizing owned by the
+    * engine (`spark.sql.files.maxPartitionBytes` for scan splits,
+    * `spark.sql.execution.arrow.maxRecordsPerBatch` for Arrow batch
+    * width, `spark.sql.shuffle.partitions` for shuffle width), so this
+    * intentionally does NOT plumb a row count into execution — it sets
+    * the Arrow batch conf, the closest semantic match, and returns the
+    * previous value. Present so reference callers have a one-line
+    * migration target rather than a missing symbol.
+    */
+  def setBatchSize(spark: SparkSession, rows: Int): Int = {
+    require(rows > 0, s"batch size must be positive, got $rows")
+    val key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    val prev = spark.conf.get(key, "10000").toInt
+    spark.conf.set(key, rows)
+    prev
+  }
 
   /** Serializes temp-view bind + analysis in [[Table.sql]]. Analysis
     * resolves the FROM name to a snapshot of the receiver's plan, so once

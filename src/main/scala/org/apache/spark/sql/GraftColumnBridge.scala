@@ -24,4 +24,11 @@ object GraftColumnBridge {
     */
   def toExpression(c: Column): Expression =
     ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** The string rendering `df.show()` prints, returned instead of
+    * printed (`Dataset.showString` is `private[sql]`). Backs the
+    * `sql_pd`-style convenience on the Table facade.
+    */
+  def renderedTable(df: Dataset[_], numRows: Int, truncate: Int): String =
+    df.asInstanceOf[classic.Dataset[_]].showString(numRows, truncate, vertical = false)
 }

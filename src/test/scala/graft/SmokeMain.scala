@@ -298,6 +298,12 @@ object SmokeMain {
       val itN = small.iterate(3)((t, _) =>
         Table(t.df.selectExpr("x + 1 as x"))).count()
       println(s"iterate facade rows=$itN")
+      // sql_pd parity: rendered result table as a string
+      val rendered = small.sqlPd("select x, x * 2 as dbl from t order by x")
+      println(rendered.linesIterator.take(4).mkString("\n"))
+      val prevBatch = Table.setBatchSize(spark, 4096)
+      println(s"setBatchSize prev=$prevBatch")
+      Table.setBatchSize(spark, prevBatch)
     }
 
     spark.stop()

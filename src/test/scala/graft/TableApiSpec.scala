@@ -223,6 +223,20 @@ class TableApiSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("sqlPd renders the result table as a string (sql_pd parity)") {
+    val s = trips.sqlPd("select id, name from trip order by id limit 2")
+    assert(s.contains("id") && s.contains("name"))
+    assert(s.linesIterator.count(_.startsWith("+")) == 3) // boxed table
+    assert(s.contains("Joe"))
+  }
+
+  test("setBatchSize maps to the Arrow batch conf and returns the prior value") {
+    val prev = Table.setBatchSize(spark, 4096)
+    assert(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "4096")
+    assert(Table.setBatchSize(spark, prev) == 4096)
+    intercept[IllegalArgumentException](Table.setBatchSize(spark, 0))
+  }
+
   test("toArrowIpc refuses results over the driver-materialization cap") {
     import spark.implicits._
     val six = (1L to 6L).toDF("x")
