@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor stress evidence for SCALE.md: run the most expensive
+  * driver queries at sf0.1 and at a derived sf1 (10x rows) and measure
+  * per-query wall time and SHUFFLE BYTES via the Spark UI REST API
+  * (/api/v1/applications/{app}/stages), attributing stages to a query by
+  * submission time. The claim under test: shuffle volume scales with the
+  * CANDIDATE/ROW volume (~linear in corpus size for the banded/bucketed
+  * dedup family), not quadratically — i.e. the plan shapes SCALE.md
+  * argues survive a 10x scale-up with ~10x cost.
+  *
+  * The sf1 corpus is sf0.1 replicated 10x with id-space offsets and a
+  * per-copy text perturbation. The perturbation matters: verbatim copies
+  * would plant 10-member duplicate CLUSTERS in every dedup query and
+  * inflate pair counts quadratically — a different workload, not a
+  * scale-up. Appending one copy-tag token keeps every document distinct
+  * while its shingle/signature volume stays the same.
+  *
+  * Usage: sbt "Test/runMain graft.ScaleStress [outFile]"
+  */
+object ScaleStress {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val Sf1 = "target/sf1_derived"
+
+  private val Queries = Seq(
+    "ap01_approx", "d02_minhash_pairs", "d03_simhash_pairs",
+    "d10_decontaminate", "d17_containment_pairs", "q14_math",
+    "j04_join_shuffle", "e02_sessionize", "s08_ann_pq", "t06_repetition")
+
+  def main(args: Array[String]): Unit = {
+    // UI ON (overriding the engine default) — the REST stage endpoint is
+    // the measurement instrument here; must be the first session in the
+    // JVM for the static conf to take effect
+    val spark = GraftSession.builder("local[32]")
+      .config("spark.ui.enabled", "true").getOrCreate()
+    graft.functions.Registry.registerAll(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    require(spark.sparkContext.uiWebUrl.isDefined, "UI did not come up")
+    buildSf1(spark)
+
+    val out = new StringBuilder
+    for (q <- Queries; (sfName, dir) <- Seq("sf0.1" -> Sf01, "sf1" -> Sf1)) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val rows = df.count() // BEFORE t0: excluded from time + shuffle attribution
+      Thread.sleep(1000)
+      val t0 = System.currentTimeMillis()
+      // noop sink, same as Bench: the FULL plan executes (count() would
+      // let the optimizer prune windows/sorts and undercount shuffles)
+      df.write.mode("overwrite").format("noop").save()
+      val sec = (System.currentTimeMillis() - t0) / 1000.0
+      Thread.sleep(1000) // let the status store absorb the final stages
+      val (sw, sr) = shuffleBytesSince(spark, t0)
+      val line = f"""{"q":"$q","sf":"$sfName","rows":$rows,""" +
+        f""""sec":$sec%.2f,"shuffle_write_mb":${sw / 1e6}%.2f,""" +
+        f""""shuffle_read_mb":${sr / 1e6}%.2f}"""
+      println("STRESS " + line)
+      out.append(line).append('\n')
+    }
+    val target = if (args.nonEmpty) args(0) else "target/scale_stress.jsonl"
+    java.nio.file.Files.write(java.nio.file.Paths.get(target),
+      out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"STRESS DONE -> $target")
+    spark.stop()
+  }
+
+  /** Sum shuffle write/read bytes over stages submitted since `sinceMs`,
+    * from the UI REST endpoint (the same numbers the Spark UI shows).
+    */
+  private def shuffleBytesSince(spark: SparkSession, sinceMs: Long): (Long, Long) = {
+    val ui = spark.sparkContext.uiWebUrl.getOrElse(
+      sys.error("Spark UI disabled; shuffle attribution needs spark.ui.enabled"))
+    val app = spark.sparkContext.applicationId
+    val url = new java.net.URI(s"$ui/api/v1/applications/$app/stages?status=complete").toURL
+    val body = {
+      val in = url.openStream()
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val stages = JsonMethods.parse(body).asInstanceOf[JArray].arr
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS'GMT'")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("GMT"))
+    var sw = 0L
+    var sr = 0L
+    for (st <- stages) {
+      val sub = st \ "submissionTime" match {
+        case JString(s) => try fmt.parse(s).getTime catch { case _: Exception => 0L }
+        case _ => 0L
+      }
+      if (sub >= sinceMs) {
+        st \ "shuffleWriteBytes" match { case JInt(b) => sw += b.toLong; case _ => }
+        st \ "shuffleReadBytes" match { case JInt(b) => sr += b.toLong; case _ => }
+      }
+    }
+    (sw, sr)
+  }
+
+  /** Derive the sf1 corpus (idempotent: skipped when already on disk). */
+  private def buildSf1(spark: SparkSession): Unit = {
+    if (new java.io.File(s"$Sf1/_DONE").exists()) return
+    println("STRESS building derived sf1 corpus (10x sf0.1)...")
+    val C = 10
+    def write(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$Sf01/$t.parquet")
+      (0 until C).map(i => f(src, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+    }
+    write("lineitem")((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+    write("orders")((d, i) => // same key offset as lineitem: join fan-out stays linear
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+    // per-copy character substitution, not an appended tag: near-dup
+    // detection exists to see through small edits, so a one-token tag
+    // leaves copies ~0.95-Jaccard similar and plants 10-member near-dup
+    // CLUSTERS (pair volume grows ~45x, a different workload). Rotating
+    // a 10-letter alphabet per copy changes most words, so every shingle
+    // differs across copies while doc lengths and within-copy duplicate
+    // structure are preserved — candidates scale linearly, as a real
+    // 10x-bigger corpus would.
+    val alpha = "aeiounstrl"
+    write("documents")((d, i) =>
+      d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text",
+          if (i == 0) col("text")
+          else translate(col("text"), alpha,
+            alpha.drop(i % alpha.length) + alpha.take(i % alpha.length))))
+    write("events")((d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+    write("embeddings")((d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$Sf01/$t.parquet")
+        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$Sf1/_DONE"))
+    println("STRESS sf1 corpus ready")
+  }
+}
