@@ -1623,6 +1623,171 @@ object SparkEntry {
       },
       exactTopKOracle),
 
+    // Okapi BM25 lexical scoring (graft.ops.Search.bm25) — search-side
+    // retrieval over the corpus with a broadcast bag-of-terms query.
+    // k1 = 1.25 / b = 0.75 are binary-exact constants; per-(doc,term)
+    // scores land in 1e6 fixed point before the order-free integer sum
+    // (t09's cross-engine float discipline), so the oracle re-derives
+    // the full Lucene-form formula bit-for-bit.
+    "s15_bm25" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Search.bm25(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            Seq("data", "query", "vector"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                          x -> x <> '') AS toks
+            FROM documents),
+         wl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM s),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                FROM wl),
+         h AS (SELECT doc_id, dl, unnest(toks) AS term FROM wl),
+         hh AS (SELECT * FROM h WHERE term IN ('data', 'query', 'vector')),
+         tf AS (SELECT doc_id, term, any_value(dl) AS dl,
+                       CAST(count(*) AS DOUBLE) AS tf
+                FROM hh GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id,
+                  CAST(round(((ln((((st.n_docs - dfq.df) + 0.5)
+                                   / (dfq.df + 0.5)) + 1.0)
+                    * (tf.tf * (1.25 + 1.0)))
+                    / (tf.tf + (1.25 * ((1.0 - 0.75)
+                                        + (0.75 * (tf.dl / st.avgdl))))))
+                    * 1e6) AS BIGINT) AS fp
+                FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         pd AS (SELECT doc_id, count(*) AS n_terms, sum(fp) AS score_fp
+                FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(pd.n_terms, 0) AS BIGINT) AS n_terms,
+                CAST(coalesce(pd.score_fp, 0) AS BIGINT) AS score_fp
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY d.doc_id"""),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking with the exact cosine ranking against probe vector 0
+    // (graft.ops.Search.rrfFuse, k = 60). Rankings use explicit id
+    // tiebreaks, so both engines fuse identical rank columns; the rrf
+    // double is two correctly-rounded divisions summed in fixed order.
+    "s16_hybrid_rrf" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val lex = graft.ops.Search.bm25(docs, "doc_id", "text",
+            Seq("data", "query", "vector"))
+          .select(col("doc_id"), row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score_fp").desc, col("doc_id"))).as("rank"))
+        val vec = graft.ops.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+            k = 100)
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        graft.ops.Search.rrfFuse(lex, vec, "doc_id")
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      },
+      """WITH s AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                          x -> x <> '') AS toks
+            FROM documents),
+         wl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM s),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                FROM wl),
+         h AS (SELECT doc_id, dl, unnest(toks) AS term FROM wl),
+         hh AS (SELECT * FROM h WHERE term IN ('data', 'query', 'vector')),
+         tf AS (SELECT doc_id, term, any_value(dl) AS dl,
+                       CAST(count(*) AS DOUBLE) AS tf
+                FROM hh GROUP BY doc_id, term),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                 FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id,
+                  CAST(round(((ln((((st.n_docs - dfq.df) + 0.5)
+                                   / (dfq.df + 0.5)) + 1.0)
+                    * (tf.tf * (1.25 + 1.0)))
+                    / (tf.tf + (1.25 * ((1.0 - 0.75)
+                                        + (0.75 * (tf.dl / st.avgdl))))))
+                    * 1e6) AS BIGINT) AS fp
+                FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         bm AS (SELECT d.doc_id, coalesce(pd.score_fp, 0) AS score_fp
+                FROM documents d LEFT JOIN
+                  (SELECT doc_id, sum(fp) AS score_fp FROM sc GROUP BY doc_id) pd
+                  USING (doc_id)),
+         lex AS (SELECT doc_id, CAST(row_number() OVER
+                   (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r_lex
+                 FROM bm),
+         e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         vec AS (SELECT vec_id AS doc_id, rank AS r_vec FROM (
+                   SELECT c.vec_id,
+                          CAST(row_number() OVER (ORDER BY
+                            list_cosine_similarity(p.emb, c.emb) DESC,
+                            c.vec_id) AS BIGINT) AS rank
+                   FROM e p, e c
+                   WHERE p.vec_id = 0 AND c.vec_id <> 0) WHERE rank <= 100)
+         SELECT doc_id, r_lex, r_vec,
+                (coalesce(1.0 / (CAST(60 AS DOUBLE) + r_lex), 0.0)
+                 + coalesce(1.0 / (CAST(60 AS DOUBLE) + r_vec), 0.0)) AS rrf
+         FROM lex FULL OUTER JOIN vec USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 20"""),
+
+    // k-core decomposition (k = 4) over the gr04 synthetic link graph —
+    // iterative peeling on Iterate.loopUntil with data-dependent
+    // termination (remove active vertices of within-subgraph degree < k
+    // until stable; converges in 3 rounds on this graph at every SF).
+    // The oracle unrolls 5 peel rounds — rounds past the fixpoint are
+    // no-ops, so the unroll is safe as long as it is >= the convergence
+    // depth, which OpsSpec pins.
+    "gr05_kcore" -> api(
+      (s, dir) => {
+        val v = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("id"))
+        val de = v.select(col("id").as("s"),
+            explode(array((col("id") * 7 + 1) % 97,
+              (col("id") * 13 + 3) % 97,
+              (col("id") * 29 + 7) % 97)).as("d"))
+          .filter(col("s") =!= col("d"))
+        val e = de.select(col("s"), col("d"))
+          .union(de.select(col("d").as("s"), col("s").as("d")))
+          .distinct().localCheckpoint(true)
+        val core = graft.ops.Iterate.loopUntil(v, maxIter = 40) { (act, _) =>
+          e.join(act.select(col("id").as("s")), Seq("s"))
+            .join(act.select(col("id").as("d")), Seq("d"))
+            .groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 4).select(col("id"))
+        } { (prev, next) => next.count() == prev.count() }
+        e.join(core.select(col("id").as("s")), Seq("s"))
+          .join(core.select(col("id").as("d")), Seq("d"))
+          .groupBy(col("s").as("id")).agg(count(lit(1)).as("core_deg"))
+          .orderBy(col("id"))
+      },
+      """WITH v AS (SELECT doc_id AS id FROM documents),
+         de AS (SELECT id AS s, (id*7+1) % 97 AS d FROM v
+                UNION ALL SELECT id, (id*13+3) % 97 FROM v
+                UNION ALL SELECT id, (id*29+7) % 97 FROM v),
+         e AS (SELECT DISTINCT s, d FROM (
+                 SELECT s, d FROM de WHERE s <> d
+                 UNION ALL SELECT d, s FROM de WHERE s <> d)),
+         a0 AS (SELECT DISTINCT id FROM v),
+         a1 AS (SELECT e.s AS id FROM e
+                JOIN a0 x ON x.id = e.s JOIN a0 y ON y.id = e.d
+                GROUP BY e.s HAVING count(*) >= 4),
+         a2 AS (SELECT e.s AS id FROM e
+                JOIN a1 x ON x.id = e.s JOIN a1 y ON y.id = e.d
+                GROUP BY e.s HAVING count(*) >= 4),
+         a3 AS (SELECT e.s AS id FROM e
+                JOIN a2 x ON x.id = e.s JOIN a2 y ON y.id = e.d
+                GROUP BY e.s HAVING count(*) >= 4),
+         a4 AS (SELECT e.s AS id FROM e
+                JOIN a3 x ON x.id = e.s JOIN a3 y ON y.id = e.d
+                GROUP BY e.s HAVING count(*) >= 4),
+         a5 AS (SELECT e.s AS id FROM e
+                JOIN a4 x ON x.id = e.s JOIN a4 y ON y.id = e.d
+                GROUP BY e.s HAVING count(*) >= 4)
+         SELECT e.s AS id, count(*) AS core_deg FROM e
+         JOIN a5 x ON x.id = e.s JOIN a5 y ON y.id = e.d
+         GROUP BY e.s ORDER BY id"""),
+
     // IVF at nprobe = nlist scans every cell, so the quantizer + cell
     // equi-join + bounded-heap rank pipeline must reproduce the exact
     // brute-force top-k bit-for-bit — the strict end-to-end correctness

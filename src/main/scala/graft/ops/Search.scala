@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over a document corpus — the search-side
+  * capability a training-data pipeline needs for eval-set mining, data
+  * curation queries, and RAG corpus preparation (engine extension; the
+  * reference has no retrieval surface).
+  *
+  * Scale shape: the query is a handful of terms, so everything
+  * query-sized (term doc-frequencies, corpus stats) is broadcast; the
+  * corpus side is one tokenize pass with a term-membership filter pushed
+  * before the explode's shuffle, then a per-(doc, term) count. No join
+  * ever keys on raw text, and nothing is driver-side.
+  */
+object Search {
+
+  /** Okapi BM25 scores against a bag-of-terms query.
+    *
+    * Per matched (doc, term):
+    *   idf = ln((N - df + 0.5) / (df + 0.5) + 1)        (Lucene form)
+    *   s   = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    * summed per doc in 1e6 fixed point (the t09 discipline: per-term
+    * doubles are rounded to integers BEFORE the order-free integer sum,
+    * so the result is bit-reproducible across engines and partitionings).
+    * Defaults k1 = 1.25, b = 0.75 are chosen binary-exact so every
+    * constant folds to the same double in any engine.
+    *
+    * Output: one row per input doc — (idCol, n_terms, score_fp); docs
+    * matching no term keep (0, 0).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String],
+           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    val toks = df.select(col(idCol),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+        x => x =!= "").as("__toks"))
+    val withLen = toks.select(col(idCol),
+      col("__toks"), size(col("__toks")).cast("double").as("dl"))
+    // integer-valued doubles: the sum is exact below 2^53, so avg is one
+    // correctly-rounded division — deterministic across engines
+    val stats = withLen.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val hits = withLen
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // association mirrors the oracle SQL exactly; commutations (constant
+    // moved right of the column) are IEEE-safe, reassociations are not
+    val idf = log(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      + 1.0)
+    val lenNorm = ((col("dl") / col("avgdl")) * b + (1.0 - b)) * k1
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(((idf * (col("tf") * (k1 + 1.0))) / (col("tf") + lenNorm))
+          * 1e6).cast("long").as("fp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("fp")).as("score_fp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (Cormack et al., SIGIR'09):
+    * rrf(d) = Σ 1/(k + rank_i(d)), the standard score-free way to merge
+    * a lexical and a vector ranking. Inputs are (id, rank) frames with
+    * rank 1-based; an id absent from one ranking contributes nothing for
+    * it (full-outer semantics). k = 60 is the published default.
+    *
+    * Determinism: each term is one correctly-rounded division and the
+    * two-term sum has a fixed order, so the double is reproducible.
+    * Ties in rrf are possible (symmetric rank swaps) — downstream
+    * ordering must include the id as tiebreak.
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, idCol: String,
+              k: Int = 60): DataFrame = {
+    val a = lex.select(col(idCol), col("rank").cast("long").as("r_lex"))
+    val b = vec.select(col(idCol), col("rank").cast("long").as("r_vec"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("r_lex"), col("r_vec"),
+        (coalesce(lit(1.0) / (lit(k).cast("double") + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k).cast("double") + col("r_vec")), lit(0.0)))
+          .as("rrf"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.ops.Search]] (BM25 + RRF) and the gr05 k-core oracle-unroll
+  * assumption.
+  */
+class SearchSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  test("bm25 matches the hand-computed Okapi formula on a tiny corpus") {
+    val docs = Seq(
+      (1L, "data model data"), // tf(data)=2, dl=3
+      (2L, "model train"),     // no query term... 'train' not queried
+      (3L, "data"),            // tf(data)=1, dl=1
+      (4L, "other words here") // no hit, dl=3
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Search.bm25(docs, "doc_id", "text", Seq("data"))
+      .orderBy("doc_id").collect()
+    // N=4, df(data)=2, avgdl=(3+2+1+3)/4=2.25
+    val idf = math.log(((4.0 - 2.0 + 0.5) / (2.0 + 0.5)) + 1.0)
+    def score(tf: Double, dl: Double): Long =
+      math.round(((idf * (tf * (1.25 + 1.0))) /
+        (tf + ((dl / 2.25) * 0.75 + (1.0 - 0.75)) * 1.25)) * 1e6)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, score(2.0, 3.0)), (2L, 0L, 0L),
+        (3L, 1L, score(1.0, 1.0)), (4L, 0L, 0L)))
+  }
+
+  test("rrfFuse: full-outer semantics, absent rank contributes zero") {
+    val lex = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val vec = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val out = graft.ops.Search.rrfFuse(lex, vec, "id")
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    assert(byId(10L) == ((Some(1L), None, 1.0 / 61.0)))
+    assert(byId(20L)._3 == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(byId(30L) == ((None, Some(2L), 1.0 / 62.0)))
+  }
+
+  test("gr05 oracle-unroll pin: k=4 peel reaches fixpoint within 5 rounds") {
+    // the driver oracle unrolls 5 peel rounds; this pin fails loudly if a
+    // testdata change ever pushes convergence past the unroll depth
+    val ids = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id")).as[Long].collect()
+    val de = ids.flatMap(i => Seq((i, (i * 7 + 1) % 97),
+      (i, (i * 13 + 3) % 97), (i, (i * 29 + 7) % 97))).filter(p => p._1 != p._2)
+    val adj = (de ++ de.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var active = adj.keySet
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 5) {
+      val next = active.filter(u => (adj(u) & active).size >= 4)
+      rounds += 1
+      stable = next == active
+      active = next
+    }
+    assert(stable, "k-core did not stabilize within the oracle's 5-round unroll")
+    assert(active.size == 96, s"unexpected 4-core size ${active.size}")
+  }
+}
