@@ -2697,6 +2697,44 @@ object SparkEntry {
     // output rollup audits the balance (all n equal) and pins WHICH
     // rows survived via id_sum/mn. The md5 rank also makes the cut
     // unbiased w.r.t. any natural ordering of the corpus.
+    // DSIR importance weights (Sampling.dsirLogWeights): hashed-bigram
+    // log-likelihood ratio of the English-target distribution vs the raw
+    // corpus, md5-prefix buckets (B = 256) so both engines derive the
+    // SAME bucket histogram, per-bucket log-ratios in 1e6 fixed point.
+    "sp11_dsir_weights" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Sampling.dsirLogWeights(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            col("lang") === "en")
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (SELECT doc_id, lang = 'en' AS t,
+              list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                          x -> x <> '') AS toks
+            FROM documents),
+         f AS (SELECT doc_id, t,
+                      substring(md5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
+               FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         rawc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM f GROUP BY b),
+         tgtc AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct
+                  FROM f WHERE t GROUP BY b),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+                        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+                 FROM f),
+         ratio AS (SELECT rawc.b,
+                     CAST(round((ln((coalesce(tgtc.ct, 0.0) + 1.0)
+                                    / (tot.nt + 256.0))
+                       - ln((rawc.cr + 1.0) / (tot.nr + 256.0))) * 1e6)
+                       AS BIGINT) AS fp
+                   FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot),
+         pd AS (SELECT f.doc_id, count(*) AS n_grams, sum(ratio.fp) AS weight_fp
+                FROM f JOIN ratio USING (b) GROUP BY f.doc_id)
+         SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(coalesce(pd.weight_fp, 0) AS BIGINT) AS weight_fp
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY d.doc_id"""),
+
     "sp10_class_balance" -> api(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window

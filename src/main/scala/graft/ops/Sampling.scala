@@ -202,4 +202,57 @@ object Sampling {
         .when(dayCol < trainEndDay + embargoDays, "embargo")
         .otherwise("eval"))
   }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, public
+    * method): score every document by how much more likely its hashed
+    * n-gram features are under a TARGET distribution than under the raw
+    * corpus distribution,
+    *
+    *   w(d) = sum over bigram instances g of
+    *            ln p_target(bucket(g)) - ln p_raw(bucket(g)),
+    *
+    * with add-one smoothing over B = 256 buckets. Buckets are the first
+    * two hex chars of md5(bigram) — a cross-engine-reproducible hash
+    * (both Spark and DuckDB md5 the same UTF-8 bytes to the same lowercase
+    * hex), which is what makes the driver oracle able to re-derive the
+    * exact bucket distribution. Per-bucket log-ratios land in 1e6 fixed
+    * point before the order-free integer sum (t09 discipline).
+    *
+    * Scale shape: the bucket tables are B rows — broadcast; the corpus
+    * side is one tokenize+explode pass and one per-doc sum. `isTarget`
+    * is any row-level predicate (a language flag, a quality gate, a
+    * domain label); weights feed Gumbel-top-k or threshold resampling.
+    *
+    * Output: (idCol, n_grams, weight_fp); docs with no bigrams keep (0, 0).
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column): DataFrame = {
+    val B = 256.0
+    val toks = df.select(col(idCol), isTarget.as("__t"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+        x => x =!= "").as("__toks"))
+    val feats = toks.select(col(idCol), col("__t"),
+        explode(expr(
+          """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+             (t, i) -> substring(md5(concat(t, ' ', __toks[i + 1])), 1, 2))"""))
+          .as("b"))
+    val rawC = feats.groupBy(col("b")).agg(count(lit(1)).cast("double").as("cr"))
+    val tgtC = feats.filter(col("__t")).groupBy(col("b"))
+      .agg(count(lit(1)).cast("double").as("ct"))
+    val totals = feats.agg(count(lit(1)).cast("double").as("nr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).cast("double").as("nt"))
+    val ratio = rawC.join(tgtC, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((coalesce(col("ct"), lit(0.0)) + 1.0) / (col("nt") + B))
+          - log((col("cr") + 1.0) / (col("nr") + B))) * 1e6)
+          .cast("long").as("fp"))
+    val perDoc = feats.join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("fp")).as("weight_fp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_fp"), lit(0L)).as("weight_fp"))
+  }
 }
