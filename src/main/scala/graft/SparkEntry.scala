@@ -258,6 +258,33 @@ object SparkEntry {
            FROM ex) t
          WHERE rank <= 5 ORDER BY probe_id, rank"""
 
+  /** DSIR hashed-bigram weight derivation (sp11's full chain), shared by
+    * the sp11 weights oracle and the sp12 Gumbel-resampling oracle.
+    * `pd` ends with (doc_id, n_grams, weight_fp).
+    */
+  private val dsirWeightCtes: String =
+    """s AS (SELECT doc_id, lang = 'en' AS t,
+              list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                          x -> x <> '') AS toks
+            FROM documents),
+         f AS (SELECT doc_id, t,
+                      substring(md5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
+               FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         rawc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM f GROUP BY b),
+         tgtc AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct
+                  FROM f WHERE t GROUP BY b),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+                        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+                 FROM f),
+         ratio AS (SELECT rawc.b,
+                     CAST(round((ln((coalesce(tgtc.ct, 0.0) + 1.0)
+                                    / (tot.nt + 256.0))
+                       - ln((rawc.cr + 1.0) / (tot.nr + 256.0))) * 1e6)
+                       AS BIGINT) AS fp
+                   FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot),
+         pd AS (SELECT f.doc_id, count(*) AS n_grams, sum(ratio.fp) AS weight_fp
+                FROM f JOIN ratio USING (b) GROUP BY f.doc_id)"""
+
   private val exactTopKOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
          scored AS (
@@ -2709,31 +2736,46 @@ object SparkEntry {
             col("lang") === "en")
           .orderBy(col("doc_id"))
       },
-      """WITH s AS (SELECT doc_id, lang = 'en' AS t,
-              list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
-                          x -> x <> '') AS toks
-            FROM documents),
-         f AS (SELECT doc_id, t,
-                      substring(md5(toks[i] || ' ' || toks[i+1]), 1, 2) AS b
-               FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
-         rawc AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM f GROUP BY b),
-         tgtc AS (SELECT b, CAST(count(*) AS DOUBLE) AS ct
-                  FROM f WHERE t GROUP BY b),
-         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
-                        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) AS nt
-                 FROM f),
-         ratio AS (SELECT rawc.b,
-                     CAST(round((ln((coalesce(tgtc.ct, 0.0) + 1.0)
-                                    / (tot.nt + 256.0))
-                       - ln((rawc.cr + 1.0) / (tot.nr + 256.0))) * 1e6)
-                       AS BIGINT) AS fp
-                   FROM rawc LEFT JOIN tgtc USING (b) CROSS JOIN tot),
-         pd AS (SELECT f.doc_id, count(*) AS n_grams, sum(ratio.fp) AS weight_fp
-                FROM f JOIN ratio USING (b) GROUP BY f.doc_id)
+      s"""WITH $dsirWeightCtes
          SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
                 CAST(coalesce(pd.weight_fp, 0) AS BIGINT) AS weight_fp
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id"""),
+
+    // Gumbel-top-k importance RESAMPLING over the sp11 weights
+    // (Sampling.gumbelTopK): perturb each log-weight with a Gumbel draw
+    // from a deterministic md5-derived uniform and keep the 50 largest
+    // keys — weighted sampling without replacement, reproducible across
+    // engines (u is exact: integer-valued double + 0.5 over a power of
+    // two; the ln/ln pair lands in 1e6 fixed point for the output).
+    "sp12_gumbel_topk" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val w = graft.ops.Sampling.dsirLogWeights(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            col("lang") === "en")
+          .select(col("doc_id"),
+            (col("weight_fp").cast("double") / 1e6).as("w"))
+        graft.ops.Sampling.gumbelTopK(w, "doc_id", "w", k = 50)
+          .select(col("doc_id"), col("rank"),
+            round(col("key") * 1e6).cast("long").as("key_fp"))
+          .orderBy(col("rank"))
+      },
+      s"""WITH $dsirWeightCtes,
+         w2 AS (SELECT d.doc_id,
+                       CAST(coalesce(pd.weight_fp, 0) AS DOUBLE) / 1e6 AS w
+                FROM documents d LEFT JOIN pd USING (doc_id)),
+         g AS (SELECT doc_id,
+                 ((w / 1.0) + (-ln(-ln(
+                   (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0)))) AS key
+               FROM w2),
+         r AS (SELECT doc_id, key,
+                      CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                           AS BIGINT) AS rank
+               FROM g)
+         SELECT doc_id, rank, CAST(round(key * 1e6) AS BIGINT) AS key_fp
+         FROM r WHERE rank <= 50 ORDER BY rank"""),
 
     "sp10_class_balance" -> api(
       (s, dir) => {

@@ -255,4 +255,32 @@ object Sampling {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("weight_fp"), lit(0L)).as("weight_fp"))
   }
+
+  /** Gumbel-top-k importance RESAMPLING — the selection step that turns
+    * [[dsirLogWeights]] (or any log-weight column) into a sampled-
+    * without-replacement subset: perturb each log-weight with a Gumbel
+    * draw and keep the k largest keys, which is distributionally
+    * equivalent to weighted sampling without replacement (Vieira 2014,
+    * public result). The "randomness" is a deterministic md5-derived
+    * uniform per id — reproducible across engines, runs, and partitions,
+    * the same discipline as every sampler in this file:
+    *
+    *   u      = (first-8-hex-chars of md5(id as string) + 0.5) / 2^32
+    *   key    = w / temperature + (-ln(-ln(u)))
+    *
+    * One global top-k (rank window over the key), no shuffle beyond it.
+    * Output: (idCol, key, rank) for the k kept rows, rank 1-based.
+    */
+  def gumbelTopK(weights: DataFrame, idCol: String, weightCol: String,
+                 k: Int, temperature: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as double)")
+      + 0.5) / 4294967296.0
+    val key = (col(weightCol).cast("double") / temperature) + (-log(-log(u)))
+    val ranked = weights.select(col(idCol), key.as("key"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key").desc, col(idCol))).cast("long"))
+    ranked.filter(col("rank") <= k)
+  }
 }
