@@ -6733,6 +6733,51 @@ object SparkEntry {
     // Aggregate FILTER clause — per-aggregate predicates without CASE
     // gymnastics; same text in both engines (the g08/count_if family's
     // ANSI spelling).
+    // Pearson correlation matrix over lineitem's numeric columns from
+    // EXACT decimal sums: the 2-decimal inputs and their products are
+    // exactly representable, the decimal Σx/Σx²/Σxy are order-free, and
+    // the closed-form corr from those sums is a fixed chain of
+    // correctly-rounded double ops (+,-,*,/,sqrt are all IEEE
+    // correctly-rounded) — so the doubles match bitwise across engines
+    // with no fixed-point crutch. One aggregation pass for all sums.
+    // The built-in corr() is NOT used on purpose: its streaming-update
+    // double accumulation is partitioning-dependent.
+    "g16_corr_matrix" -> multi(Seq("lineitem"),
+      """WITH s AS (SELECT
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+         FROM lineitem)
+         SELECT pair, corr FROM (
+           SELECT 'quantity_price' AS pair,
+                  ((n * sqp) - (sq * sp))
+                    / (sqrt((n * sqq) - (sq * sq))
+                       * sqrt((n * spp) - (sp * sp))) AS corr FROM s
+           UNION ALL
+           SELECT 'quantity_discount',
+                  ((n * sqd) - (sq * sd))
+                    / (sqrt((n * sqq) - (sq * sq))
+                       * sqrt((n * sdd) - (sd * sd))) FROM s
+           UNION ALL
+           SELECT 'price_discount',
+                  ((n * spd) - (sp * sd))
+                    / (sqrt((n * spp) - (sp * sp))
+                       * sqrt((n * sdd) - (sd * sd))) FROM s) t
+         ORDER BY pair"""),
+
     "g12_agg_filter" -> multi(Seq("lineitem"),
       """SELECT l_returnflag,
                 count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
