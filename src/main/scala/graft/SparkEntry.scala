@@ -4263,6 +4263,46 @@ object SparkEntry {
                                               ORDER BY ver), 9999) AS BIGINT) AS eff_to
          FROM hist ORDER BY o_orderkey, ver"""),
 
+    // Point-in-time (AS OF) reconstruction over the u02 SCD2 intervals
+    // (Cdc.asOf): the table state at version 1 — keys with a v1 snapshot
+    // show the 2x payload, everything else the v0 one. A pure interval
+    // filter: no join, no shuffle, prunable at scan time.
+    "u03_point_in_time" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        def snap(mod: Int, mult: Int, ver: Long) =
+          s.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_orderkey") % mod === 0)
+            .select(col("o_orderkey"),
+              (round(col("o_totalprice") * 100).cast("long") * mult).as("cents"))
+            .withColumn("ver", lit(ver))
+        val hist = snap(1, 1, 0L).unionByName(snap(10, 2, 1L))
+          .unionByName(snap(20, 3, 2L))
+        val scd = graft.ops.Cdc.scd2(hist, Seq("o_orderkey"), "ver",
+          openEnd = 9999L)
+        graft.ops.Cdc.asOf(scd, "ver", at = 1L)
+          .select(col("o_orderkey"), col("ver"), col("cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      """WITH hist AS (
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  0 AS ver FROM orders
+           UNION ALL
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 2, 1
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 3, 2
+           FROM orders WHERE o_orderkey % 20 = 0),
+         scd AS (
+           SELECT o_orderkey, ver, cents,
+                  coalesce(lead(ver) OVER (PARTITION BY o_orderkey
+                                           ORDER BY ver), 9999) AS eff_to
+           FROM hist)
+         SELECT o_orderkey, CAST(ver AS BIGINT) AS ver,
+                CAST(cents AS BIGINT) AS cents
+         FROM scd WHERE ver <= 1 AND eff_to > 1
+         ORDER BY o_orderkey"""),
+
     // Stratified split (graft.ops.Sampling.stratifiedSplit): per-stratum
     // pct% held out in md5-of-id order, all-integer threshold arithmetic
     // so no float fraction ever decides a row count. Gate aggregates per

@@ -90,6 +90,15 @@ object Cdc {
       coalesce(lead(col(versionCol), 1).over(w), lit(openEnd)))
   }
 
+  /** Point-in-time view over an [[scd2]] history: the rows effective AT
+    * version/time `at` — `version <= at < eff_to`. This is the "AS OF"
+    * time-travel read a warehouse runs against an interval-encoded
+    * dimension; a partition-pruned filter, no join and no shuffle.
+    */
+  def asOf(history: DataFrame, versionCol: String, at: Long,
+           effToCol: String = "eff_to"): DataFrame =
+    history.filter(col(versionCol) <= at && col(effToCol) > at)
+
   /** Incremental aggregate maintenance — keep a (count, sum) rollup in
     * sync with a last-writer-wins delta WITHOUT rescanning the base
     * table: the materialized-view fold every warehouse does nightly,
