@@ -268,7 +268,11 @@ object Sampling {
     *   u      = (first-8-hex-chars of md5(id as string) + 0.5) / 2^32
     *   key    = w / temperature + (-ln(-ln(u)))
     *
-    * One global top-k (rank window over the key), no shuffle beyond it.
+    * The selection is the bounded-heap `topk_by` aggregate (the s01 ANN
+    * machinery), NOT a global rank window: per-partition heaps of size k
+    * merge map-side, so selecting 50 of 10^11 documents never sorts or
+    * single-partitions the corpus. Ties break (key desc, id asc), same
+    * as a `row_number` over (key DESC, id).
     * Output: (idCol, key, rank) for the k kept rows, rank 1-based.
     */
   def gumbelTopK(weights: DataFrame, idCol: String, weightCol: String,
@@ -278,9 +282,10 @@ object Sampling {
     val u = (expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) as double)")
       + 0.5) / 4294967296.0
     val key = (col(weightCol).cast("double") / temperature) + (-log(-log(u)))
-    val ranked = weights.select(col(idCol), key.as("key"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("key").desc, col(idCol))).cast("long"))
-    ranked.filter(col("rank") <= k)
+    weights.select(col(idCol).cast("long").as("__id"), key.as("key"))
+      .agg(call_function("topk_by", col("key"), col("__id"), lit(k)).as("top"))
+      .select(posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(col("hit.id").as(idCol), col("hit.sim").as("key"),
+        (col("rank0") + 1).cast("long").as("rank"))
   }
 }

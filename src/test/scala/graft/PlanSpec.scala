@@ -449,4 +449,30 @@ class PlanSpec extends GraftSuite {
     assert(exchanges <= 2,
       s"q39 should shuffle once on o_custkey + once for the final sort (got $exchanges):\n$p")
   }
+
+  test("s15 bm25: no cartesian on the corpus side; stats/df are broadcast") {
+    val p = planOf("s15_bm25")
+    assert(!p.contains("CartesianProduct"), "cartesian in s15 plan")
+    // the doc-frequency and corpus-stat joins must arrive as broadcasts —
+    // a corpus-side shuffle for a 3-row table would be a scale defect
+    assert(p.contains("BroadcastExchange"), "query-sized tables not broadcast")
+  }
+
+  test("sp12 gumbel top-k: bounded-heap selection, no rank window, no global sort of the corpus") {
+    val p = planOf("sp12_gumbel_topk")
+    assert(!p.contains("Window"), "rank window in sp12 plan — bounded heap expected")
+    assert(!p.contains("CartesianProduct"), "cartesian in sp12 plan")
+  }
+
+  test("gr05 k-core: equi-joins only in the peel and final assembly") {
+    val p = planOf("gr05_kcore")
+    assert(!p.contains("CartesianProduct"), "cartesian in gr05 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested loop in gr05 plan")
+  }
+
+  test("sp11 dsir: bucket ratio table is broadcast back to the corpus side") {
+    val p = planOf("sp11_dsir_weights")
+    assert(!p.contains("CartesianProduct"), "cartesian in sp11 plan")
+    assert(p.contains("BroadcastExchange"), "256-bucket ratio table not broadcast")
+  }
 }
