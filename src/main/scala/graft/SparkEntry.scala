@@ -4705,9 +4705,13 @@ object SparkEntry {
         val excerpts = docs.filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             array_join(slice(T.tokens(col("text")), 1, 8), " ").as("text"))
+        // hashGrams: the 100 TB setting (8-byte hashes through the
+        // shuffle instead of gram strings) — measured ~15% faster even
+        // at sf0.1 and pair-identical; the oracle still derives pairs
+        // from raw grams, so a hash collision would fail the gate loudly
         graft.ops.Dedup.containmentPairs(docs.unionByName(excerpts),
             "doc_id", "text", shingleK = 5, threshold = 0.5,
-            maxDocFreq = 1000L)
+            maxDocFreq = 1000L, hashGrams = true)
           .orderBy(col("id_a"), col("id_b"))
       },
       """WITH u AS (

@@ -304,6 +304,15 @@ object SmokeMain {
       val prevBatch = Table.setBatchSize(spark, 4096)
       println(s"setBatchSize prev=$prevBatch")
       Table.setBatchSize(spark, prevBatch)
+      // round-10 operator wave
+      println(s"bm25 rows=${SparkEntry.queries("s15_bm25")(spark, sf).count()}")
+      SparkEntry.queries("s16_hybrid_rrf")(spark, sf).show(3, truncate = false)
+      println(s"kcore rows=${SparkEntry.queries("gr05_kcore")(spark, sf).count()}")
+      println(s"dsir rows=${SparkEntry.queries("sp11_dsir_weights")(spark, sf).count()}")
+      SparkEntry.queries("sp12_gumbel_topk")(spark, sf).show(3, truncate = false)
+      SparkEntry.queries("g16_corr_matrix")(spark, sf).show(3, truncate = false)
+      println(s"as-of rows=${SparkEntry.queries("u03_point_in_time")(spark, sf).count()}")
+      SparkEntry.queries("io10_merge_schema")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
