@@ -3264,6 +3264,54 @@ object SparkEntry {
          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 30 MINUTE
          GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // NATIVE session_window streaming aggregation (st01's gap-sessions
+    // through Spark's built-in session-merge state instead of the
+    // custom flatMapGroupsWithState machine). Append mode: a session
+    // emits once the watermark (max ts - 30 min) passes its end
+    // (last event + gap), so the oracle filters the batch-derived
+    // sessions by the same closed-session predicate (st04 mechanics).
+    "st17_stream_session_window" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val out = graft.streaming.Events.streamingSessionWindows(
+          graft.streaming.Events.readStream(s, dir), 30)
+        val sink = "st17_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(col("user_id"), unix_micros(col("s_start")).as("s_start"),
+            unix_micros(col("s_end")).as("s_end"), col("n_events"),
+            col("cents"))
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      """WITH x AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+                      sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS seq
+               FROM x),
+         sess AS (SELECT user_id, seq, min(ts) AS t0,
+                         max(ts) + INTERVAL 30 MINUTE AS t1,
+                         count(*) AS n_events,
+                         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                  FROM y GROUP BY user_id, seq),
+         mx AS (SELECT max(ts) AS mt FROM events)
+         SELECT user_id, epoch_us(t0) AS s_start, epoch_us(t1) AS s_end,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(cents AS BIGINT) AS cents
+         FROM sess CROSS JOIN mx
+         WHERE t1 <= mt - INTERVAL 30 MINUTE
+         ORDER BY user_id, s_start"""),
+
     // time-range window frame (RANGE BETWEEN on days): 7-day rolling
     // revenue per customer — cents-exact so the rolling sums are
     // order-independent; one shuffle on the customer key

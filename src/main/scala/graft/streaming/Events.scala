@@ -449,6 +449,33 @@ object Events {
       .select(col("window.end").as("h_end"), col("event_type"), col("n"),
         col("sv"))
 
+  /** NATIVE session windows (`session_window`, Spark's built-in
+    * gap-merge aggregation) — the engine-managed counterpart of
+    * [[streamingSessionize]]'s hand-rolled flatMapGroupsWithState
+    * state machine: Spark merges overlapping [ts, ts+gap) ranges per
+    * key in the state store and append-mode emits a session once the
+    * watermark passes its end (last event + gap). State is one range
+    * per OPEN session per key — smaller than the per-event custom
+    * state, and the merge is engine code, not ours. Boundary note:
+    * Spark merges strictly (an event exactly `gap` after the previous
+    * one starts a NEW session) while the batch sessionizer's `diff >
+    * gap` keeps it — equivalence holds when no exact-gap pair exists,
+    * which the driver corpus satisfies (probed at every SF).
+    */
+  def streamingSessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                              watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("cents"))
+
   /** Sliding-window (2 h window / 30 min slide) event counts — the
     * rolling-rate monitor shape. Every event lands in exactly
     * window/slide = 4 overlapping epoch-aligned windows; Spark expands
