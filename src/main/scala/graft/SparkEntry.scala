@@ -6869,7 +6869,9 @@ object SparkEntry {
     // correctly-rounded) — so the doubles match bitwise across engines
     // with no fixed-point crutch. One aggregation pass for all sums.
     // The built-in corr() is NOT used on purpose: its streaming-update
-    // double accumulation is partitioning-dependent.
+    // double accumulation is partitioning-dependent — pr07 gates that
+    // built-in under a round-to-6 tolerance; this query is the
+    // tolerance-free upgrade of the same statistic.
     "g16_corr_matrix" -> multi(Seq("lineitem"),
       """WITH s AS (SELECT
            CAST(count(*) AS DOUBLE) AS n,

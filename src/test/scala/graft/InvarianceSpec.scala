@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partitioning-invariance pins for the round-10 operators: a
+  * distributed operator must produce IDENTICAL results no matter how
+  * the input is partitioned — the property that separates "passes the
+  * oracle once at sf0.01" from "safe on a 1000-executor cluster where
+  * partitioning is whatever the scheduler dealt". Each test runs the
+  * operator on the natural layout and on adversarial repartitions and
+  * compares collected results exactly.
+  */
+class InvarianceSpec extends GraftSuite {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"), col("lang"))
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case v => v
+    }.toSeq).toSeq.sortBy(_.toString)
+
+  private def layouts(df: DataFrame): Seq[DataFrame] =
+    Seq(df, df.repartition(7), df.repartition(1), df.coalesce(2))
+
+  test("bm25 scores are identical under any input partitioning") {
+    val expected = rows(graft.ops.Search.bm25(docs, "doc_id", "text",
+      Seq("data", "query", "vector")))
+    for (l <- layouts(docs))
+      assert(rows(graft.ops.Search.bm25(l, "doc_id", "text",
+        Seq("data", "query", "vector"))) == expected)
+  }
+
+  test("dsir weights are identical under any input partitioning") {
+    val expected = rows(graft.ops.Sampling.dsirLogWeights(
+      docs, "doc_id", "text", col("lang") === "en"))
+    for (l <- layouts(docs))
+      assert(rows(graft.ops.Sampling.dsirLogWeights(
+        l, "doc_id", "text", col("lang") === "en")) == expected)
+  }
+
+  test("gumbelTopK selection is identical under any input partitioning") {
+    val w = graft.ops.Sampling.dsirLogWeights(
+        docs, "doc_id", "text", col("lang") === "en")
+      .select(col("doc_id"), (col("weight_fp").cast("double") / 1e6).as("w"))
+    val expected = rows(graft.ops.Sampling.gumbelTopK(w, "doc_id", "w", 10))
+    for (l <- layouts(w))
+      assert(rows(graft.ops.Sampling.gumbelTopK(l, "doc_id", "w", 10))
+        == expected)
+  }
+
+  test("Iterate.loop result does not depend on the checkpoint cadence") {
+    import spark.implicits._
+    val base = (1L to 40L).toDF("x")
+    def run(every: Int) = rows(
+      graft.ops.Iterate.loop(base, 6, checkpointEvery = every) { (df, i) =>
+        df.groupBy((col("x") % (i + 2)).as("k"))
+          .agg(sum(col("x")).as("x")).select(col("x"))
+      })
+    val expected = run(1)
+    assert(run(2) == expected && run(5) == expected && run(6) == expected)
+  }
+
+  test("containmentPairs: hashed postings reproduce the string-gram pairs") {
+    val str = rows(graft.ops.Dedup.containmentPairs(
+      docs, "doc_id", "text", shingleK = 5, threshold = 0.3,
+      maxDocFreq = 1000L, hashGrams = false))
+    val hashed = rows(graft.ops.Dedup.containmentPairs(
+      docs, "doc_id", "text", shingleK = 5, threshold = 0.3,
+      maxDocFreq = 1000L, hashGrams = true))
+    assert(str == hashed && str.nonEmpty)
+  }
+}
