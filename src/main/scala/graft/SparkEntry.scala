@@ -3264,6 +3264,68 @@ object SparkEntry {
          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 30 MINUTE
          GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // MMR diversified retrieval (Search.mmr): greedy maximal-marginal-
+    // relevance re-rank of probe 0's top-16 cosine pool, k = 5, λ = 0.5
+    // (binary-exact). The pairwise sim matrix is bounded pool², computed
+    // through the same codegen'd cosine kernel as retrieval; the 5-step
+    // greedy is driver-side control flow over ~16 scores (the centroid-
+    // collect pattern). Oracle: the greedy unrolled to 5 chained
+    // argmax-CTEs, ties on ascending id at every step.
+    "s17_mmr_rerank" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        graft.ops.Search.mmr(emb, emb.filter(col("vec_id") === 0),
+            "vec_id", "embedding", poolSize = 16, k = 5)
+          .orderBy(col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         p AS (SELECT emb FROM e WHERE vec_id = 0),
+         pool AS (SELECT c.vec_id AS cid,
+                         list_cosine_similarity(p.emb, c.emb) AS sim, c.emb
+                  FROM e c, p WHERE c.vec_id <> 0
+                  ORDER BY sim DESC, c.vec_id LIMIT 16),
+         pr AS (SELECT a.cid AS ia, b.cid AS ib,
+                       list_cosine_similarity(a.emb, b.emb) AS s
+                FROM pool a, pool b WHERE a.cid <> b.cid),
+         s1 AS (SELECT cid, (0.5 * sim) AS m FROM pool
+                ORDER BY (0.5 * sim) DESC, cid LIMIT 1),
+         sel1 AS (SELECT cid FROM s1),
+         s2 AS (SELECT c.cid,
+                  ((0.5 * c.sim) - (0.5 * (SELECT max(pr.s) FROM pr
+                    WHERE pr.ia = c.cid
+                      AND pr.ib IN (SELECT cid FROM sel1)))) AS m
+                FROM pool c WHERE c.cid NOT IN (SELECT cid FROM sel1)
+                ORDER BY m DESC, c.cid LIMIT 1),
+         sel2 AS (SELECT cid FROM sel1 UNION ALL SELECT cid FROM s2),
+         s3 AS (SELECT c.cid,
+                  ((0.5 * c.sim) - (0.5 * (SELECT max(pr.s) FROM pr
+                    WHERE pr.ia = c.cid
+                      AND pr.ib IN (SELECT cid FROM sel2)))) AS m
+                FROM pool c WHERE c.cid NOT IN (SELECT cid FROM sel2)
+                ORDER BY m DESC, c.cid LIMIT 1),
+         sel3 AS (SELECT cid FROM sel2 UNION ALL SELECT cid FROM s3),
+         s4 AS (SELECT c.cid,
+                  ((0.5 * c.sim) - (0.5 * (SELECT max(pr.s) FROM pr
+                    WHERE pr.ia = c.cid
+                      AND pr.ib IN (SELECT cid FROM sel3)))) AS m
+                FROM pool c WHERE c.cid NOT IN (SELECT cid FROM sel3)
+                ORDER BY m DESC, c.cid LIMIT 1),
+         sel4 AS (SELECT cid FROM sel3 UNION ALL SELECT cid FROM s4),
+         s5 AS (SELECT c.cid,
+                  ((0.5 * c.sim) - (0.5 * (SELECT max(pr.s) FROM pr
+                    WHERE pr.ia = c.cid
+                      AND pr.ib IN (SELECT cid FROM sel4)))) AS m
+                FROM pool c WHERE c.cid NOT IN (SELECT cid FROM sel4)
+                ORDER BY m DESC, c.cid LIMIT 1)
+         SELECT rank, cid AS vec_id, m AS mmr FROM (
+           SELECT CAST(1 AS BIGINT) AS rank, cid, m FROM s1
+           UNION ALL SELECT 2, cid, m FROM s2
+           UNION ALL SELECT 3, cid, m FROM s3
+           UNION ALL SELECT 4, cid, m FROM s4
+           UNION ALL SELECT 5, cid, m FROM s5) t
+         ORDER BY rank"""),
+
     // NATIVE session_window streaming aggregation (st01's gap-sessions
     // through Spark's built-in session-merge state instead of the
     // custom flatMapGroupsWithState machine). Append mode: a session

@@ -88,4 +88,71 @@ object Search {
           coalesce(lit(1.0) / (lit(k).cast("double") + col("r_vec")), lit(0.0)))
           .as("rrf"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * public method) — diversify a retrieval pool: greedily pick
+    *
+    *   step 1:  argmax sim(q, c)
+    *   step i:  argmax lambda*sim(q, c) - (1-lambda)*max_{s in S} sim(c, s)
+    *
+    * ties broken by ascending id at every step. The candidate POOL is
+    * retrieval-sized (an ANN top-N), so the pairwise sim matrix is
+    * computed in-plan (bounded N^2 rows through the same codegen'd
+    * cosine kernel as the retrieval itself) and the k-step greedy —
+    * pure argmax control flow over ~N scores — runs on the driver, the
+    * same bounded-collect pattern as the IVF centroid pull. Determinism:
+    * `lambda*s - (1-lambda)*m` is two correctly-rounded multiplies and a
+    * subtract in fixed association, so an unrolled SQL oracle reproduces
+    * the selection exactly.
+    *
+    * Output: (rank, idCol, mmr) for the k selections, rank 1-based;
+    * step 1's mmr is lambda*sim (no diversity term yet).
+    */
+  def mmr(emb: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
+          poolSize: Int, k: Int, lambda: Double = 0.5): DataFrame = {
+    require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1, got $poolSize/$k")
+    require(probe.count() == 1, "mmr re-ranks one probe's pool at a time")
+    val spark = emb.sparkSession
+    val pool = Similarity.bruteForceTopK(emb, probe, idCol, vecCol, poolSize)
+      .select(col(idCol).cast("long").as("cid"), col("sim"))
+    val vecs = emb.select(col(idCol).cast("long").as("cid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pv = pool.join(vecs, Seq("cid"))
+    val cands = pv.select(col("cid"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val registry = graft.functions.Registry
+    registry.registerAll(spark)
+    val pairRows = pv.as("a").crossJoin(pv.as("b"))
+      .filter(col("a.cid") < col("b.cid"))
+      .select(col("a.cid"), col("b.cid"),
+        call_function("cosine_sim", col("a.v"), col("b.v")).as("s"))
+      .collect()
+    val pairSim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    pairRows.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      pairSim((x, y)) = r.getDouble(2); pairSim((y, x)) = r.getDouble(2)
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.sortBy(_._1): _*)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (rank <- 1 to k) {
+      // argmax of the mmr score, ties -> smallest id (iteration is
+      // id-ascending and strict > keeps the first maximum)
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      for ((cid, sim) <- remaining) {
+        val score =
+          if (selected.isEmpty) lambda * sim
+          else (lambda * sim) -
+            ((1.0 - lambda) * selected.map(s => pairSim((cid, s))).max)
+        if (score > bestScore) { bestScore = score; bestId = cid }
+      }
+      out += ((rank.toLong, bestId, bestScore))
+      selected += bestId
+      remaining.remove(bestId)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("rank", idCol, "mmr")
+  }
 }
