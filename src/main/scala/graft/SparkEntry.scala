@@ -4058,6 +4058,36 @@ object SparkEntry {
     // aggregate. The oracle computes the same result straight from the
     // parquet source, so a green hash proves ORC write+read fidelity for
     // longs, strings, doubles and dates.
+    // Distributed Arrow IPC export round-trip: every partition writes
+    // its own .arrow stream file from the executor (nothing on the
+    // driver — the scale path toArrowIpc's cap points at), read back
+    // per-file through the Arrow ingest and aggregated; small batchRows
+    // forces multiple record batches per file.
+    "io11_arrow_export" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val tmp = scratchDir(s"io11_arrow_${new java.io.File(dir).getName}")
+        val df = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .repartition(4)
+        graft.api.ArrowExport.writeArrowIpcFiles(df, tmp, batchRows = 1024)
+        val files = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".arrow")).sortBy(_.getName)
+        val back = files.map(f => graft.api.ArrowExport.fromArrowIpc(s,
+          java.nio.file.Files.readAllBytes(f.toPath))).reduce(_ unionByName _)
+        back.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+            min(col("o_orderkey")).as("k_min"),
+            max(col("o_orderkey")).as("k_max"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents,
+                min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
     // Schema-evolution merge read: two parquet generations of the same
     // table — v2 adds a column and reorders — read back as ONE dataset
     // with mergeSchema, missing values null-filled. The io-side analog

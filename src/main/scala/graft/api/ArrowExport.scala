@@ -78,6 +78,65 @@ object ArrowExport {
     * of the reference's `from_arrow` (vinum/api/table.py:95-180). Inverse
     * of [[toArrowIpc]] over the same scalar type surface.
     */
+  /** DISTRIBUTED Arrow export — the scale path [[toArrowIpc]]'s cap
+    * error points away from when parquet is not an option: every
+    * partition writes its own Arrow IPC stream file
+    * (`part-<id>.arrow`) straight from the executor, batched
+    * `batchRows` rows at a time, so nothing ever materializes on the
+    * driver and output size is bounded only by storage. `dir` must be
+    * a path every executor can write (shared filesystem / fuse mount —
+    * same contract as any Spark file sink). Returns the row count.
+    *
+    * Empty partitions write no file; each file is independently
+    * readable by any Arrow consumer (pyarrow `ipc.open_stream`,
+    * [[fromArrowIpc]] per file).
+    */
+  def writeArrowIpcFiles(df: DataFrame, dir: String,
+                         batchRows: Int = 4096): Long = {
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
+    val sparkSchema = df.schema
+    // validate the type surface eagerly, driver-side — a failure inside
+    // an executor task would surface as a generic task error
+    sparkSchema.fields.foreach(arrowField)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val counter = df.sparkSession.sparkContext.longAccumulator("arrow_rows")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fields = sparkSchema.fields.map(arrowField).toSeq
+        val allocator = new RootAllocator(Long.MaxValue)
+        try {
+          val root = VectorSchemaRoot.create(
+            new ArrowSchema(fields.asJava), allocator)
+          try {
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(s"$dir/part-$pid.arrow"))
+            val writer = new ArrowStreamWriter(root, null, out)
+            try {
+              writer.start()
+              while (it.hasNext) {
+                root.allocateNew()
+                var n = 0
+                while (n < batchRows && it.hasNext) {
+                  val row = it.next()
+                  sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
+                    writeCell(root.getVector(c), n, row, c, f.dataType)
+                  }
+                  n += 1
+                }
+                root.setRowCount(n)
+                writer.writeBatch()
+                counter.add(n.toLong)
+              }
+              writer.end()
+            } finally { writer.close(); out.close() }
+          } finally root.close()
+        } finally allocator.close()
+      }
+    }
+    counter.value
+  }
+
   def fromArrowIpc(spark: org.apache.spark.sql.SparkSession,
                    bytes: Array[Byte]): DataFrame = {
     import org.apache.arrow.vector.ipc.ArrowStreamReader

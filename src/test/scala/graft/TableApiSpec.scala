@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{avg, stddev_pop}
+import org.apache.spark.sql.functions.{avg, col, concat, lit, stddev_pop, sum}
 import org.apache.spark.sql.types._
 
 import graft.api.Table
@@ -235,6 +235,25 @@ class TableApiSpec extends GraftSuite {
     assert(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "4096")
     assert(Table.setBatchSize(spark, prev) == 4096)
     intercept[IllegalArgumentException](Table.setBatchSize(spark, 0))
+  }
+
+  test("writeArrowIpcFiles: one stream per partition, multi-batch, lossless") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_").toString
+    val df = (1L to 1000L).toDF("x")
+      .select(col("x"), concat(lit("row"), col("x")).as("s"))
+      .repartition(3)
+    val n = graft.api.ArrowExport.writeArrowIpcFiles(df, dir, batchRows = 100)
+    assert(n == 1000L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 3, s"expected 3 partition files, got ${files.length}")
+    // a 100-row batch size over ~333 rows/partition forces >1 batch/file
+    val back = files.map(f => graft.api.ArrowExport.fromArrowIpc(spark,
+      java.nio.file.Files.readAllBytes(f.toPath))).reduce(_ unionByName _)
+    assert(back.count() == 1000L)
+    assert(back.agg(sum(col("x"))).head.getLong(0) == 500500L)
+    assert(back.filter(col("s") === "row77").count() == 1L)
   }
 
   test("toArrowIpc refuses results over the driver-materialization cap") {
