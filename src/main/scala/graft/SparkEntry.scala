@@ -6852,6 +6852,26 @@ object SparkEntry {
                 median(l_quantity) AS md
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
+    // np.percentile (q in 0..100) / np.quantile (q in 0..1) — numpy's
+    // default 'linear' interpolation IS Spark's exact Percentile and
+    // DuckDB's quantile_cont (the p05 precedent); q/100 is one
+    // correctly-rounded division so both engines see the same double.
+    "q47_np_percentile" -> api(
+      (s, dir) => {
+        val t = tbl(s, dir, "lineitem")
+        t.sql(
+          """SELECT l_returnflag,
+                    np.percentile(l_extendedprice, 25) AS p25,
+                    np.quantile(l_extendedprice, 0.5) AS q50,
+                    np.percentile(l_extendedprice, 90) AS p90
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""").toDF
+      },
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.25) AS p25,
+                quantile_cont(l_extendedprice, 0.5) AS q50,
+                quantile_cont(l_extendedprice, 0.9) AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // GROUP BY ALL (the modern shorthand both Spark ≥3.4 and DuckDB
     // support natively): every non-aggregate select item becomes a
     // grouping key — one text, zero dialect work. Also exercises the

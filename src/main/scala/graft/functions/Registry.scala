@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Median, Min, StddevPop, Sum, VariancePop}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Max, Median, Min, Percentile, StddevPop, Sum, VariancePop}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
@@ -345,6 +345,13 @@ object Registry {
     unary("np_std")(e => StddevPop(Cast(e, DoubleType)))
     unary("np_var")(e => VariancePop(Cast(e, DoubleType)))
     unary("np_median")(e => Median(e))
+    // np.percentile (q in 0-100) / np.quantile (q in 0-1): numpy's default
+    // 'linear' interpolation is exactly Spark's Percentile and DuckDB's
+    // quantile_cont (the p05 precedent). q/100 is one correctly-rounded
+    // division, so 90 -> the same double 0.9 literal the oracle writes.
+    binary("np_percentile")((x, q) =>
+      new Percentile(x, Divide(Cast(q, DoubleType), Literal(100.0))))
+    binary("np_quantile")((x, q) => new Percentile(x, Cast(q, DoubleType)))
 
     // ---- hashing / vector operators (engine extensions) ----
     def isIntegral(dt: DataType): Boolean = dt match {

@@ -84,6 +84,17 @@ class FunctionsSpec extends GraftSuite {
     assert(!one("np.isfinite(cast('-Infinity' as double))").getBoolean(0))
   }
 
+  test("np.percentile (0-100) and np.quantile (0-1) interpolate like numpy 'linear'") {
+    val r = spark.sql(
+      """SELECT np_percentile(x, 25) p25, np_quantile(x, 0.5) q50,
+                np_percentile(x, 90) p90
+         FROM VALUES (1.0), (2.0), (3.0), (4.0) AS t(x)""").head
+    // numpy.percentile([1,2,3,4], 25) = 1.75 (linear), 50 -> 2.5, 90 -> 3.7
+    assert(r.getDouble(0) == 1.75)
+    assert(r.getDouble(1) == 2.5)
+    assert(math.abs(r.getDouble(2) - 3.7) < 1e-12)
+  }
+
   test("np.std/np.var are POPULATION moments (ddof=0) and np.median is exact") {
     val r = spark.sql(
       """SELECT np_std(x) s, np_var(x) v, np_median(x) m
