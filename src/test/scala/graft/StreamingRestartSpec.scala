@@ -21,6 +21,79 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingRestartSpec extends GraftSuite {
 
+  test("watermarked window state survives kill + restart (hourly closed aggregation)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    val work = Files.createTempDirectory("graft_restart_w_").toString
+    val srcDir = s"$work/src"
+    Files.createDirectories(Paths.get(srcDir))
+
+    val ev = s.read.parquet("/root/testdata/sf0.01/events.parquet")
+    // ts may be NTZ in the fixture; all arithmetic below runs on epoch
+    // micros of the UTC-interpreted instant (session TZ is UTC)
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val split = ev.select(percentile_approx(tsUs, lit(0.5), lit(100000))
+      .cast("long")).head.getLong(0)
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$srcDir/$name.parquet"))
+    }
+    // split by EVENT TIME so phase 2 carries no late data for windows
+    // already emitted in phase 1
+    addFile(ev.filter(tsUs < split), "phase1")
+
+    def runOnce(): Unit = {
+      val in = s.readStream.schema(ev.schema).parquet(srcDir)
+      val out = graft.streaming.Events.streamingHourlyClosed(in)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    runOnce() // phase 1, then killed
+    val afterP1 = s.read.parquet(s"$work/sink").count()
+    addFile(ev.filter(tsUs >= split), "phase2")
+    runOnce() // restart from checkpoint
+
+    val sink = s.read.parquet(s"$work/sink")
+      .select(col("h_end"), col("event_type"), col("n"),
+        col("sv").cast("double").as("sv"))
+    assert(sink.count() > afterP1, "restart emitted no new windows")
+    assert(sink.groupBy("h_end", "event_type").count()
+      .filter(col("count") > 1).isEmpty, "restart re-emitted windows")
+
+    // batch oracle over ALL events: closed w.r.t. the final watermark
+    val maxUs = ev.agg(max(tsUs)).head.getLong(0)
+    val oracle = ev
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+      .select(col("window.end").as("h_end"), col("event_type"), col("n"),
+        col("sv").cast("double").as("sv"))
+      .filter(unix_micros(col("h_end")) <= maxUs - 30L * 60 * 1000000)
+    assert(sink.except(oracle).isEmpty && oracle.except(sink).isEmpty,
+      "restarted stream diverged from the batch closed-window oracle")
+
+    // the boundary hour (containing the split instant) must combine
+    // phase-1 and phase-2 events — only possible if the partial window
+    // state was restored from the checkpoint
+    val hourUs = 3600L * 1000000
+    val hourStart = (split / hourUs) * hourUs
+    val boundaryTotal = ev.filter(
+      tsUs >= hourStart && tsUs < hourStart + hourUs).count()
+    val boundaryEmitted = sink.filter(
+      unix_micros(col("h_end")) === hourStart + hourUs)
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    assert(boundaryTotal > 0 && boundaryEmitted == boundaryTotal,
+      s"boundary window lost pre-restart state: $boundaryEmitted != $boundaryTotal")
+  }
+
   test("streaming dedup owners survives kill + restart from checkpoint") {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", 4)
