@@ -25,6 +25,7 @@ object ScaleStress {
 
   private val Sf01 = "/root/testdata/sf0.1"
   private val Sf1 = "target/sf1_derived"
+  private val Sf3 = "target/sf3_derived"
 
   private val Queries = Seq(
     "ap01_approx", "d02_minhash_pairs", "d03_simhash_pairs",
@@ -41,9 +42,18 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
     require(spark.sparkContext.uiWebUrl.isDefined, "UI did not come up")
     buildSf1(spark)
+    // optional third scaling point (30x) for the scale-sensitive dedup
+    // families — three points pin the scaling exponent, two only bound it
+    val sf3 = args.contains("--sf3")
+    if (sf3) buildScaled(spark, 30, Sf3)
 
     val out = new StringBuilder
-    for (q <- Queries; (sfName, dir) <- Seq("sf0.1" -> Sf01, "sf1" -> Sf1)) {
+    val scaleSensitive = Set("d02_minhash_pairs", "d03_simhash_pairs",
+      "d17_containment_pairs", "e02_sessionize", "q14_math")
+    val runs = Seq("sf0.1" -> Sf01, "sf1" -> Sf1) ++
+      (if (sf3) Seq("sf3" -> Sf3) else Nil)
+    for (q <- Queries; (sfName, dir) <- runs
+         if sfName != "sf3" || scaleSensitive(q)) {
       val df = SparkEntry.queries(q)(spark, dir)
       val rows = df.count() // BEFORE t0: excluded from time + shuffle attribution
       Thread.sleep(1000)
@@ -60,7 +70,9 @@ object ScaleStress {
       println("STRESS " + line)
       out.append(line).append('\n')
     }
-    val target = if (args.nonEmpty) args(0) else "target/scale_stress.jsonl"
+    val positional = args.filterNot(_.startsWith("--"))
+    val target =
+      if (positional.nonEmpty) positional(0) else "target/scale_stress.jsonl"
     java.nio.file.Files.write(java.nio.file.Paths.get(target),
       out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"STRESS DONE -> $target")
@@ -100,15 +112,18 @@ object ScaleStress {
     (sw, sr)
   }
 
-  /** Derive the sf1 corpus (idempotent: skipped when already on disk). */
-  private def buildSf1(spark: SparkSession): Unit = {
-    if (new java.io.File(s"$Sf1/_DONE").exists()) return
-    println("STRESS building derived sf1 corpus (10x sf0.1)...")
-    val C = 10
+  private def buildSf1(spark: SparkSession): Unit =
+    buildScaled(spark, 10, Sf1)
+
+  /** Derive a copies-x corpus (idempotent: skipped when already on disk). */
+  private def buildScaled(spark: SparkSession, copies: Int,
+                          outDir: String): Unit = {
+    if (new java.io.File(s"$outDir/_DONE").exists()) return
+    println(s"STRESS building derived corpus (${copies}x sf0.1) -> $outDir ...")
     def write(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val src = spark.read.parquet(s"$Sf01/$t.parquet")
-      (0 until C).map(i => f(src, i)).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
+      (0 until copies).map(i => f(src, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     write("lineitem")((d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
@@ -116,19 +131,22 @@ object ScaleStress {
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
     // per-copy character substitution, not an appended tag: near-dup
     // detection exists to see through small edits, so a one-token tag
-    // leaves copies ~0.95-Jaccard similar and plants 10-member near-dup
-    // CLUSTERS (pair volume grows ~45x, a different workload). Rotating
-    // a 10-letter alphabet per copy changes most words, so every shingle
-    // differs across copies while doc lengths and within-copy duplicate
-    // structure are preserved — candidates scale linearly, as a real
-    // 10x-bigger corpus would.
+    // leaves copies ~0.95-Jaccard similar and plants copy-count-member
+    // near-dup CLUSTERS (pair volume grows quadratically — a different
+    // workload). TWO rotated alphabets (vowel-ish by i mod 10,
+    // consonant-ish by i div 10) give every copy < 100 a distinct
+    // substitution, so every shingle differs across copies while doc
+    // lengths and within-copy duplicate structure are preserved —
+    // candidates scale linearly, as a real bigger corpus would.
     val alpha = "aeiounstrl"
+    val beta = "bcdfghjkmp"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
     write("documents")((d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
         .withColumn("text",
           if (i == 0) col("text")
-          else translate(col("text"), alpha,
-            alpha.drop(i % alpha.length) + alpha.take(i % alpha.length))))
+          else translate(translate(col("text"), alpha, rot(alpha, i % 10)),
+            beta, rot(beta, i / 10))))
     write("events")((d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * 100000000L))
         .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
@@ -136,8 +154,8 @@ object ScaleStress {
       d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$Sf01/$t.parquet")
-        .write.mode("overwrite").parquet(s"$Sf1/$t.parquet")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$Sf1/_DONE"))
-    println("STRESS sf1 corpus ready")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$outDir/_DONE"))
+    println(s"STRESS corpus ready: $outDir")
   }
 }
