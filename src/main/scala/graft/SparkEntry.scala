@@ -1703,11 +1703,18 @@ object SparkEntry {
         Registry.registerAll(s)
         val docs = s.read.parquet(s"$dir/documents.parquet")
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        // lexical TOP-100 through the bounded-heap aggregate, not a
+        // global rank window — RRF fuses retrieval LISTS, and a
+        // single-partition sort of the full corpus would be the one
+        // shape the engine's scale discipline forbids (sp12 PlanSpec
+        // mechanics; heap ties = (score desc, id asc) ≡ row_number)
         val lex = graft.ops.Search.bm25(docs, "doc_id", "text",
             Seq("data", "query", "vector"))
-          .select(col("doc_id"), row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("score_fp").desc, col("doc_id"))).as("rank"))
+          .agg(call_function("topk_by", col("score_fp").cast("double"),
+            col("doc_id").cast("long"), lit(100)).as("top"))
+          .select(posexplode(col("top")).as(Seq("r0", "hit")))
+          .select(col("hit.id").as("doc_id"),
+            (col("r0") + 1).cast("long").as("rank"))
         val vec = graft.ops.Similarity.bruteForceTopK(
             emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
             k = 100)
@@ -1741,9 +1748,10 @@ object SparkEntry {
                 FROM documents d LEFT JOIN
                   (SELECT doc_id, sum(fp) AS score_fp FROM sc GROUP BY doc_id) pd
                   USING (doc_id)),
-         lex AS (SELECT doc_id, CAST(row_number() OVER
-                   (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r_lex
-                 FROM bm),
+         lex AS (SELECT doc_id, r_lex FROM (
+                   SELECT doc_id, CAST(row_number() OVER
+                     (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS r_lex
+                   FROM bm) t WHERE r_lex <= 100),
          e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
          vec AS (SELECT vec_id AS doc_id, rank AS r_vec FROM (
                    SELECT c.vec_id,

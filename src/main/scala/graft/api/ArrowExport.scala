@@ -102,36 +102,56 @@ object ArrowExport {
     val counter = df.sparkSession.sparkContext.longAccumulator("arrow_rows")
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val fields = sparkSchema.fields.map(arrowField).toSeq
-        val allocator = new RootAllocator(Long.MaxValue)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        // task-commit protocol: write to an attempt-private temp name and
+        // atomically rename on success — a retried or speculative attempt
+        // never interleaves bytes into the final file, and a task that
+        // dies mid-write leaves only an invisible temp (readers filter on
+        // the .arrow suffix). Both attempts of a deterministic partition
+        // produce identical bytes, so last-rename-wins is safe; Spark
+        // applies the accumulator once per successful task.
+        val tmp = java.nio.file.Paths.get(
+          s"$dir/.part-$pid.attempt-${tc.taskAttemptId()}.tmp")
+        val dst = java.nio.file.Paths.get(s"$dir/part-$pid.arrow")
+        var committed = false
         try {
-          val root = VectorSchemaRoot.create(
-            new ArrowSchema(fields.asJava), allocator)
+          val fields = sparkSchema.fields.map(arrowField).toSeq
+          val allocator = new RootAllocator(Long.MaxValue)
           try {
-            val out = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(s"$dir/part-$pid.arrow"))
-            val writer = new ArrowStreamWriter(root, null, out)
+            val root = VectorSchemaRoot.create(
+              new ArrowSchema(fields.asJava), allocator)
             try {
-              writer.start()
-              while (it.hasNext) {
-                root.allocateNew()
-                var n = 0
-                while (n < batchRows && it.hasNext) {
-                  val row = it.next()
-                  sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
-                    writeCell(root.getVector(c), n, row, c, f.dataType)
+              val out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(tmp.toFile))
+              val writer = new ArrowStreamWriter(root, null, out)
+              try {
+                writer.start()
+                while (it.hasNext) {
+                  root.allocateNew()
+                  var n = 0
+                  while (n < batchRows && it.hasNext) {
+                    val row = it.next()
+                    sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
+                      writeCell(root.getVector(c), n, row, c, f.dataType)
+                    }
+                    n += 1
                   }
-                  n += 1
+                  root.setRowCount(n)
+                  writer.writeBatch()
+                  counter.add(n.toLong)
                 }
-                root.setRowCount(n)
-                writer.writeBatch()
-                counter.add(n.toLong)
-              }
-              writer.end()
-            } finally { writer.close(); out.close() }
-          } finally root.close()
-        } finally allocator.close()
+                writer.end()
+              } finally { writer.close(); out.close() }
+            } finally root.close()
+          } finally allocator.close()
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          committed = true
+        } finally {
+          if (!committed) java.nio.file.Files.deleteIfExists(tmp)
+        }
       }
     }
     counter.value

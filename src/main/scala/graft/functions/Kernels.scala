@@ -238,14 +238,17 @@ object Kernels {
       .readFrom(new java.io.ByteArrayInputStream(sketch))
       .estimateCount(java.lang.Long.valueOf(item))
 
-  /** numpy floor division, integer out (`int // int` in numpy). Division
-    * by zero yields null — SQL semantics, matching Spark's non-ANSI
-    * `Divide` (numpy raises/warns here; null is the engine's documented
-    * divergence for all division operators).
+  /** numpy floor division, integer out (`int // int` in numpy) — EXACT
+    * long arithmetic (`Math.floorDiv`), never through double: a double
+    * round-trip is off by one for |operands| >= 2^53, and 64-bit
+    * hash/id columns live up there. Division by zero yields null — SQL
+    * semantics, matching Spark's non-ANSI `Divide` (numpy raises/warns
+    * here; null is the engine's documented divergence for all division
+    * operators).
     */
-  def floorDivLong(a: Double, b: Double): java.lang.Long =
-    if (b == 0.0) null
-    else java.lang.Long.valueOf(math.floor(a / b).toLong)
+  def floorDivLong(a: Long, b: Long): java.lang.Long =
+    if (b == 0L) null
+    else java.lang.Long.valueOf(Math.floorDiv(a, b))
 
   /** numpy floor division, float out (any float operand in numpy). */
   def floorDivDouble(a: Double, b: Double): java.lang.Double =

@@ -379,8 +379,17 @@ case class NpFloorDivide(left: Expression, right: Expression)
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
   }
 
+  // integral path only (dataType == LongType guarantees both children
+  // integral), so this is always a widening, never a rounding
+  private def toL(v: Any): Long = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    if (dataType == LongType) Kernels.floorDivLong(toD(a), toD(b))
+    if (dataType == LongType) Kernels.floorDivLong(toL(a), toL(b))
     else Kernels.floorDivDouble(toD(a), toD(b))
 
   private def toDoubleJava(dt: DataType, v: String): String = dt match {
@@ -390,13 +399,20 @@ case class NpFloorDivide(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val da = toDoubleJava(left.dataType, a)
-      val db = toDoubleJava(right.dataType, b)
-      val (box, kernel, unbox) =
-        if (dataType == LongType) ("java.lang.Long", "floorDivLong", "longValue")
-        else ("java.lang.Double", "floorDivDouble", "doubleValue")
+      val (box, call, unbox) =
+        if (dataType == LongType)
+          ("java.lang.Long",
+            // exact long path — (long) on an integral operand widens
+            s"graft.functions.Kernels.floorDivLong((long)($a), (long)($b))",
+            "longValue")
+        else
+          ("java.lang.Double",
+            s"graft.functions.Kernels.floorDivDouble(" +
+              s"${toDoubleJava(left.dataType, a)}, " +
+              s"${toDoubleJava(right.dataType, b)})",
+            "doubleValue")
       s"""
-         |$box ${ev.value}_raw = graft.functions.Kernels.$kernel($da, $db);
+         |$box ${ev.value}_raw = $call;
          |if (${ev.value}_raw == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}_raw.$unbox(); }
        """.stripMargin

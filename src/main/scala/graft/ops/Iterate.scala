@@ -55,11 +55,17 @@ object Iterate {
                (step: (DataFrame, Int) => DataFrame)
                (done: (DataFrame, DataFrame) => Boolean): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     var cur = cut(init, reliable) // `done` may scan prev: materialize once
     var i = 1
     var stop = false
     while (i <= maxIter && !stop) {
-      val next = cut(step(cur, i), reliable)
+      // honor the cadence: between cuts the frame stays lazy, so `done`'s
+      // scans re-run at most checkpointEvery-1 rounds of lineage
+      val stepped = step(cur, i)
+      val next =
+        if (i % checkpointEvery == 0) cut(stepped, reliable) else stepped
       stop = done(cur, next)
       cur = next
       i += 1

@@ -232,11 +232,16 @@ object Sampling {
     val toks = df.select(col(idCol), isTarget.as("__t"),
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
         x => x =!= "").as("__toks"))
+    // materialized ONCE (the containmentPairs discipline): four
+    // consumers (raw counts, target counts, totals, the per-doc sum)
+    // reference this frame, and as a lazy plan each would re-run the
+    // tokenize+md5 pass; rows are (id, bool, 2-char bucket) — slim
     val feats = toks.select(col(idCol), col("__t"),
         explode(expr(
           """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
              (t, i) -> substring(md5(concat(t, ' ', __toks[i + 1])), 1, 2))"""))
           .as("b"))
+      .localCheckpoint(true)
     val rawC = feats.groupBy(col("b")).agg(count(lit(1)).cast("double").as("cr"))
     val tgtC = feats.filter(col("__t")).groupBy(col("b"))
       .agg(count(lit(1)).cast("double").as("ct"))

@@ -37,8 +37,12 @@ object Search {
     val toks = df.select(col(idCol),
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
         x => x =!= "").as("__toks"))
+    // materialize the tokenize pass ONCE (the containmentPairs
+    // discipline): the corpus-stats aggregate and the term-hit explode
+    // both consume it, and as a lazy plan each would re-tokenize
     val withLen = toks.select(col(idCol),
       col("__toks"), size(col("__toks")).cast("double").as("dl"))
+      .localCheckpoint(true)
     // integer-valued doubles: the sum is exact below 2^53, so avg is one
     // correctly-rounded division — deterministic across engines
     val stats = withLen.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -113,8 +117,10 @@ object Search {
     require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1, got $poolSize/$k")
     require(probe.count() == 1, "mmr re-ranks one probe's pool at a time")
     val spark = emb.sparkSession
+    // bruteForceTopK names its candidate id column "vec_id" regardless
+    // of idCol — select by that contract, not by the caller's name
     val pool = Similarity.bruteForceTopK(emb, probe, idCol, vecCol, poolSize)
-      .select(col(idCol).cast("long").as("cid"), col("sim"))
+      .select(col("vec_id").cast("long").as("cid"), col("sim"))
     val vecs = emb.select(col(idCol).cast("long").as("cid"),
       col(vecCol).cast("array<double>").as("v"))
     val pv = pool.join(vecs, Seq("cid"))
@@ -148,6 +154,11 @@ object Search {
             ((1.0 - lambda) * selected.map(s => pairSim((cid, s))).max)
         if (score > bestScore) { bestScore = score; bestId = cid }
       }
+      // all-NaN scores (e.g. a zero probe vector NaNs every cosine) would
+      // otherwise select -1 and blow up in the next round's pairSim lookup
+      require(bestId >= 0L,
+        s"mmr step $rank found no finite candidate score " +
+          "(all-NaN similarities — check the probe vector)")
       out += ((rank.toLong, bestId, bestScore))
       selected += bestId
       remaining.remove(bestId)

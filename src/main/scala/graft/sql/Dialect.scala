@@ -269,6 +269,10 @@ object Dialect {
         cur.substring(mm.end)
       guard += 1
     }
+    // never pass an unrewritten occurrence through to Spark's parser —
+    // the resulting error there would point nowhere near the cause
+    require(StarExcludeRe.findFirstMatchIn(stripLiterals(cur)).isEmpty,
+      s"more than $guard `* EXCLUDE` occurrences in one statement")
     cur
   }
 

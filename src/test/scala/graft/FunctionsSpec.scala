@@ -56,6 +56,12 @@ class FunctionsSpec extends GraftSuite {
     assert(one("np.floor_divide(-7.0d, 2)").getDouble(0) == -4.0)
     assert(one("np.floor_divide(7, 2.0d)").getDouble(0) == 3.0)
     assert(one("np.floor_divide(1, 0)").isNullAt(0)) // SQL-null div-by-zero
+    // int//int is EXACT long arithmetic — a double round-trip would be
+    // off by one above 2^53 (9007199254740995 rounds to ...996 as double)
+    assert(one("np.floor_divide(9007199254740995L, 2)").getLong(0)
+      == 4503599627370497L)
+    assert(one("np.floor_divide(-9007199254740995L, 2)").getLong(0)
+      == -4503599627370498L) // floors, not truncates, at full precision
     assert(math.abs(one("np.logaddexp(cast(0 as double), cast(0 as double))")
       .getDouble(0) - math.log(2.0)) < 1e-12)
     // stable form: the naive log(exp(a)+exp(b)) overflows past ~709 and

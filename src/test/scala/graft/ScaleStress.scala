@@ -54,16 +54,18 @@ object ScaleStress {
       (if (sf3) Seq("sf3" -> Sf3) else Nil)
     for (q <- Queries; (sfName, dir) <- runs
          if sfName != "sf3" || scaleSensitive(q)) {
-      val df = SparkEntry.queries(q)(spark, dir)
-      val rows = df.count() // BEFORE t0: excluded from time + shuffle attribution
-      Thread.sleep(1000)
       val t0 = System.currentTimeMillis()
-      // noop sink, same as Bench: the FULL plan executes (count() would
-      // let the optimizer prune windows/sorts and undercount shuffles)
+      // construction INSIDE the timing (matches graft.Bench): builders
+      // with eager checkpoints (d17's posting materialization) must be
+      // charged to the query, not silently excluded. noop sink so the
+      // FULL plan executes (count() would let the optimizer prune
+      // windows/sorts and undercount shuffles).
+      val df = SparkEntry.queries(q)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       val sec = (System.currentTimeMillis() - t0) / 1000.0
       Thread.sleep(1000) // let the status store absorb the final stages
       val (sw, sr) = shuffleBytesSince(spark, t0)
+      val rows = df.count() // AFTER attribution: excluded from both
       val line = f"""{"q":"$q","sf":"$sfName","rows":$rows,""" +
         f""""sec":$sec%.2f,"shuffle_write_mb":${sw / 1e6}%.2f,""" +
         f""""shuffle_read_mb":${sr / 1e6}%.2f}"""
