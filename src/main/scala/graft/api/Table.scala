@@ -142,6 +142,15 @@ final class Table private (val df: DataFrame) {
     Table(graft.ops.Iterate.loop(df, n, checkpointEvery)(
       (d, i) => step(Table(d), i).df))
 
+  /** One-pass column profile (null/distinct counts per column) — the
+    * `describe()` ergonomic every notebook expects, backed by the same
+    * single-aggregation [[graft.ops.Profile.summarize]] the pr-family
+    * gates; defaults to every column.
+    */
+  def describe(cols: String*): Table =
+    Table(graft.ops.Profile.summarize(df,
+      if (cols.nonEmpty) cols else df.columns.toSeq))
+
   def schema: StructType = df.schema
   def columnNames: Seq[String] = df.schema.fieldNames.toSeq
   def head(n: Int = 5): Array[Row] = df.head(n)

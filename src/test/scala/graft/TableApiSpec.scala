@@ -223,6 +223,13 @@ class TableApiSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("describe profiles every column (or the named subset) in one pass") {
+    val all = trips.describe().toDF.collect()
+    assert(all.length == trips.columnNames.length)
+    val one = trips.describe("name").toDF.collect()
+    assert(one.length == 1 && one.head.getString(0) == "name")
+  }
+
   test("sqlPd renders the result table as a string (sql_pd parity)") {
     val s = trips.sqlPd("select id, name from trip order by id limit 2")
     assert(s.contains("id") && s.contains("name"))
