@@ -4071,10 +4071,10 @@ object SparkEntry {
     // driver — the scale path toArrowIpc's cap points at), read back
     // per-file through the Arrow ingest and aggregated; small batchRows
     // forces multiple record batches per file.
-    "io11_arrow_export" -> api(
+    "io15_arrow_export" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val tmp = scratchDir(s"io11_arrow_${new java.io.File(dir).getName}")
+        val tmp = scratchDir(s"io15_arrow_${new java.io.File(dir).getName}")
         val df = s.read.parquet(s"$dir/orders.parquet")
           .select(col("o_orderkey"), col("o_orderstatus"),
             round(col("o_totalprice") * 100).cast("long").as("cents"))
@@ -4102,10 +4102,10 @@ object SparkEntry {
     // of set03's union-by-name: how a corpus whose shards drifted
     // schemas over months is still one table. Oracle re-derives the
     // same union (v1 rows carry NULL priority).
-    "io10_merge_schema" -> api(
+    "io14_merge_schema" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val tmp = scratchDir(s"io10_evo_${new java.io.File(dir).getName}")
+        val tmp = scratchDir(s"io14_evo_${new java.io.File(dir).getName}")
         val o = s.read.parquet(s"$dir/orders.parquet")
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"))
