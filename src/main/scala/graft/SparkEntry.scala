@@ -4451,7 +4451,7 @@ object SparkEntry {
     // (Cdc.asOf): the table state at version 1 — keys with a v1 snapshot
     // show the 2x payload, everything else the v0 one. A pure interval
     // filter: no join, no shuffle, prunable at scan time.
-    "u03_point_in_time" -> api(
+    "u06_point_in_time" -> api(
       (s, dir) => {
         Registry.registerAll(s)
         def snap(mod: Int, mult: Int, ver: Long) =
