@@ -311,7 +311,7 @@ object SmokeMain {
       println(s"dsir rows=${SparkEntry.queries("sp11_dsir_weights")(spark, sf).count()}")
       SparkEntry.queries("sp12_gumbel_topk")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("g16_corr_matrix")(spark, sf).show(3, truncate = false)
-      println(s"as-of rows=${SparkEntry.queries("u03_point_in_time")(spark, sf).count()}")
+      println(s"as-of rows=${SparkEntry.queries("u06_point_in_time")(spark, sf).count()}")
       SparkEntry.queries("io14_merge_schema")(spark, sf).show(3, truncate = false)
     }
 
