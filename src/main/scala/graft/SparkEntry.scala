@@ -4096,42 +4096,6 @@ object SparkEntry {
                 min(o_orderkey) AS k_min, max(o_orderkey) AS k_max
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 
-    // Schema-evolution merge read: two parquet generations of the same
-    // table — v2 adds a column and reorders — read back as ONE dataset
-    // with mergeSchema, missing values null-filled. The io-side analog
-    // of set03's union-by-name: how a corpus whose shards drifted
-    // schemas over months is still one table. Oracle re-derives the
-    // same union (v1 rows carry NULL priority).
-    "io14_merge_schema" -> api(
-      (s, dir) => {
-        Registry.registerAll(s)
-        val tmp = scratchDir(s"io14_evo_${new java.io.File(dir).getName}")
-        val o = s.read.parquet(s"$dir/orders.parquet")
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey"), col("o_orderstatus"))
-          .write.mode("overwrite").parquet(s"$tmp/gen=1")
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select(col("o_orderpriority"), col("o_orderkey"),
-            col("o_orderstatus"))
-          .write.mode("overwrite").parquet(s"$tmp/gen=2")
-        s.read.option("mergeSchema", "true").parquet(tmp)
-          .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"),
-            count(col("o_orderpriority")).as("n_with_priority"),
-            min(col("o_orderpriority")).as("min_priority"))
-          .orderBy(col("o_orderstatus"))
-      },
-      """WITH u AS (
-           SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
-           FROM orders WHERE o_orderkey % 2 = 0
-           UNION ALL
-           SELECT o_orderkey, o_orderstatus, o_orderpriority
-           FROM orders WHERE o_orderkey % 2 = 1)
-         SELECT o_orderstatus, count(*) AS n,
-                count(o_orderpriority) AS n_with_priority,
-                min(o_orderpriority) AS min_priority
-         FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
-
     "io07_orc_roundtrip" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -312,7 +312,6 @@ object SmokeMain {
       SparkEntry.queries("sp12_gumbel_topk")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("g16_corr_matrix")(spark, sf).show(3, truncate = false)
       println(s"as-of rows=${SparkEntry.queries("u06_point_in_time")(spark, sf).count()}")
-      SparkEntry.queries("io14_merge_schema")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
