@@ -3407,6 +3407,36 @@ object SparkEntry {
                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
          FROM orders ORDER BY o_orderkey"""),
 
+    // Rolling EXACT MEDIAN over a trailing time-range frame — the robust
+    // counterpart of w04's rolling sum (a spike-resistant baseline for
+    // monitoring). Exact interpolated percentile as a WINDOW aggregate:
+    // cents-integer input, median of n values is either a value or a
+    // .5 midpoint — exact in double on both engines (quantile_cont ≡
+    // Spark Percentile, the p05 precedent). Same per-customer shuffle
+    // as any keyed window.
+    "w11_rolling_median" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("d"))
+          .rangeBetween(-13, 0)
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_date(col("o_orderdate").cast("date")).cast("long").as("d"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("med_14d", expr("percentile(cents, 0.5)").over(w))
+          .select(col("o_orderkey"), col("o_custkey"), col("d"),
+            col("med_14d"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, o_custkey,
+                CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+                quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                        RANGE BETWEEN 13 PRECEDING AND CURRENT ROW) AS med_14d
+         FROM orders ORDER BY o_orderkey"""),
+
     // ordered-stage conversion funnel over 30-min gap sessions:
     // view -> click (at/after first view) -> purchase (at/after first
     // qualifying click); stacked running-min windows share one
