@@ -8140,6 +8140,50 @@ object SparkEntry {
     // before burning a cluster pass. Pure fixed-order double math on a
     // generated grid; threshold50 readers find where each config
     // crosses 0.5.
+    // TF-IDF-weighted sparse-cosine near-dup (Dedup.tfidfCosinePairs):
+    // the lexical-WEIGHTING complement of the set-based families —
+    // bigram tf·idf vectors in 1e3 fixed point (order-free long dots
+    // and norms), candidates from the df-capped inverted term index,
+    // cosine = one fixed chain of correctly-rounded double ops. The
+    // oracle re-derives the identical integers, so the unrounded
+    // cosines gate bitwise.
+    "d20_tfidf_cosine" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.tfidfCosinePairs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            threshold = 0.8, maxDocFreq = 1000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH s AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                          x -> x <> '') AS toks
+            FROM documents),
+         t AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
+               FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM t GROUP BY doc_id, term),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         dfq AS (SELECT term, count(*) AS c FROM tf GROUP BY term
+                 HAVING count(*) <= 1000),
+         p AS (SELECT tf.doc_id AS id, tf.term,
+                 CAST(round((tf.tf * ln(n.n / CAST(dfq.c AS DOUBLE))) * 1e3)
+                      AS BIGINT) AS fp
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         norms AS (SELECT id, sum(fp * fp) AS n2 FROM p GROUP BY id),
+         dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.fp * b.fp) AS dot
+                  FROM p a JOIN p b ON a.term = b.term AND a.id < b.id
+                  GROUP BY a.id, b.id)
+         SELECT id_a, id_b,
+                CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                  AS cos
+         FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
+         WHERE CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               >= 0.8
+         ORDER BY id_a, id_b"""),
+
     "d19_lsh_curve" -> api(
       (s, dir) => {
         import s.implicits._
