@@ -6202,6 +6202,80 @@ object SparkEntry {
                       6) AS p
          FROM c ORDER BY prev, cur"""),
 
+    // Kaplan-Meier survival of view→purchase conversion WITH CENSORING —
+    // what e12's converters-only latency stats cannot say: users who
+    // never purchase are censored at their last activity instead of
+    // silently dropped, so the curve is unbiased. Discrete day grid
+    // t = 1..14; at-risk counts and event counts are exact integers and
+    // the survival curve is carried as the cumulative 1e6 fixed-point
+    // sum of ln(1 - d/r) increments (the t09 float discipline; the
+    // d = r edge is floored at 1e-9 on both engines). One pass to the
+    // per-user study frame; the grid aggregation is users x 14 rows.
+    "e19_survival_km" -> api(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val E = graft.streaming.Events
+        val ev = E.readRaw(s, dir).select(col("user_id"), col("event_type"),
+          expr(s"ts div ${E.MicrosPerDay}").as("day"))
+        val per = ev.groupBy(col("user_id")).agg(
+            min(when(col("event_type") === "view", col("day"))).as("v"),
+            max(col("day")).as("last"))
+          .filter(col("v").isNotNull)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(per, "user_id").filter(col("day") >= col("v"))
+          .groupBy(col("user_id")).agg(min(col("day")).as("p"))
+        val study = per.join(conv, Seq("user_id"), "left")
+          .select(
+            when(col("p").isNotNull, col("p") - col("v") + 1).as("dur"),
+            greatest(col("last") - col("v") + 1, lit(1L)).as("cens"))
+        val grid = s.range(1, 15).select(col("id").as("t"))
+        grid.crossJoin(study).groupBy(col("t")).agg(
+            sum(when(col("dur") === col("t"), 1L).otherwise(0L)).as("d"),
+            sum(when((col("dur").isNotNull && col("dur") >= col("t")) ||
+              (col("dur").isNull && col("cens") >= col("t")), 1L)
+              .otherwise(0L)).as("r"))
+          .withColumn("fp", when(col("r") > 0,
+            round(log(greatest(lit(1.0)
+              - (col("d").cast("double") / col("r").cast("double")),
+              lit(1e-9))) * 1e6).cast("long")).otherwise(lit(0L)))
+          .withColumn("surv_fp", sum(col("fp")).over(
+            W.orderBy(col("t")).rowsBetween(W.unboundedPreceding, 0)))
+          .select(col("t"), col("d"), col("r"), col("surv_fp"))
+          .orderBy(col("t"))
+      },
+      """WITH ev AS (SELECT user_id, event_type,
+                            epoch_us(ts) // 86400000000 AS day FROM events),
+         per AS (SELECT user_id,
+                        min(CASE WHEN event_type = 'view' THEN day END) AS v,
+                        max(day) AS lastd
+                 FROM ev GROUP BY user_id),
+         perv AS (SELECT * FROM per WHERE v IS NOT NULL),
+         conv AS (SELECT e.user_id, min(e.day) AS p
+                  FROM ev e JOIN perv USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.day >= perv.v
+                  GROUP BY e.user_id),
+         study AS (SELECT CASE WHEN c.p IS NOT NULL
+                               THEN c.p - perv.v + 1 END AS T,
+                          greatest(perv.lastd - perv.v + 1, 1) AS C
+                   FROM perv LEFT JOIN conv c USING (user_id)),
+         g AS (SELECT t FROM unnest(generate_series(1, 14)) AS u(t)),
+         km AS (SELECT g.t,
+                  sum(CASE WHEN study.T = g.t THEN 1 ELSE 0 END) AS d,
+                  sum(CASE WHEN (study.T IS NOT NULL AND study.T >= g.t)
+                             OR (study.T IS NULL AND study.C >= g.t)
+                           THEN 1 ELSE 0 END) AS r
+                FROM g CROSS JOIN study GROUP BY g.t),
+         fp AS (SELECT t, d, r,
+                  CASE WHEN r > 0 THEN CAST(round(ln(greatest(1.0
+                    - (CAST(d AS DOUBLE) / CAST(r AS DOUBLE)), 1e-9)) * 1e6)
+                    AS BIGINT) ELSE 0 END AS fp
+                FROM km)
+         SELECT CAST(t AS BIGINT) AS t, CAST(d AS BIGINT) AS d,
+                CAST(r AS BIGINT) AS r,
+                CAST(sum(fp) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS surv_fp
+         FROM fp ORDER BY t"""),
+
     "e12_time_to_convert" -> api(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
