@@ -64,6 +64,14 @@ class InvarianceSpec extends GraftSuite {
     assert(run(2) == expected && run(5) == expected && run(6) == expected)
   }
 
+  test("tfidfCosinePairs is identical under any input partitioning") {
+    def run(d: DataFrame) = rows(graft.ops.Dedup.tfidfCosinePairs(
+      d, "doc_id", "text", threshold = 0.5, maxDocFreq = 1000L))
+    val expected = run(docs)
+    assert(expected.nonEmpty)
+    for (l <- layouts(docs)) assert(run(l) == expected)
+  }
+
   test("containmentPairs: hashed postings reproduce the string-gram pairs") {
     val str = rows(graft.ops.Dedup.containmentPairs(
       docs, "doc_id", "text", shingleK = 5, threshold = 0.3,
