@@ -6973,6 +6973,18 @@ object SparkEntry {
       """SELECT * EXCLUDE (text, source) FROM documents
          WHERE n_chars >= 100 ORDER BY doc_id"""),
 
+    // DuckDB-style `* REPLACE (expr AS name)` star modifier — q42's
+    // sibling: swap named columns inside the star expansion while
+    // preserving position and name. Spark has no REPLACE; the dialect
+    // pre-pass expands it against the bound schema (nested parens and
+    // commas in the replacement expression included), while DuckDB runs
+    // the same text natively.
+    "q48_star_replace" -> same("documents",
+      """SELECT * REPLACE (upper(lang) AS lang,
+                           md5(coalesce(text, '')) AS text,
+                           CAST(round(n_chars / 100.0, 2) AS DOUBLE) AS n_chars)
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+
     // Relational division ("for all"): customers who placed an order in
     // EVERY order-priority class. The Spark plan is the scale-right
     // counting formulation — one grouped distinct-count against a

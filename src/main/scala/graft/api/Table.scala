@@ -35,9 +35,11 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    val q = Dialect.expandStarExclude(
-      Dialect.orderByNullsLast(
-        Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
+    val q = Dialect.expandStarReplace(
+      Dialect.expandStarExclude(
+        Dialect.orderByNullsLast(
+          Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
+        df.columns.toSeq),
       df.columns.toSeq)
     Dialect.splitQualify(q) match {
       case Some((inner, tail)) => qualifiedSql(inner, tail)

@@ -279,6 +279,60 @@ object Dialect {
   private val StarExcludeRe =
     """(?is)\*\s+exclude\s*(?:\(([^)]*)\)|([A-Za-z_][A-Za-z0-9_]*))""".r
 
+  /** DuckDB-style `* REPLACE (expr AS name, ...)` star modifier: expand
+    * the star to the receiver's columns with each named column swapped
+    * for its replacement expression (aliased back to the same name, so
+    * position and name are preserved). Replacement expressions may
+    * contain nested parens/commas — the argument list is delimited by
+    * BALANCED-paren scanning on the masked view, then comma-split at
+    * depth 0. Unknown names error loudly; every occurrence is rewritten
+    * (same contract as [[expandStarExclude]]).
+    */
+  def expandStarReplace(sql: String, columns: Seq[String]): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      val masked = stripLiterals(cur)
+      val m = StarReplaceRe.findFirstMatchIn(masked)
+      if (m.isEmpty) return cur
+      val open = m.get.end - 1 // position of the '('
+      var i = open
+      var depth = 0
+      var close = -1
+      while (i < masked.length && close < 0) {
+        val c = masked.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+        i += 1
+      }
+      require(close > open, "unbalanced parens in * REPLACE (...)")
+      val repl = splitTopLevel(cur.substring(open + 1, close)).map { item =>
+        AliasRe.findFirstMatchIn(item) match {
+          case Some(am) => (am.group(2).toLowerCase, am.group(1).trim)
+          case None => throw new IllegalArgumentException(
+            s"* REPLACE items must be `expr AS name`, got: ${item.trim}")
+        }
+      }.toMap
+      val unknown = repl.keySet -- columns.map(_.toLowerCase).toSet
+      require(unknown.isEmpty,
+        s"REPLACE names not in the table: ${unknown.mkString(", ")}")
+      val expanded = columns.map { c =>
+        repl.get(c.toLowerCase) match {
+          case Some(e) => s"($e) AS `$c`"
+          case None    => s"`$c`"
+        }
+      }.mkString(", ")
+      cur = cur.substring(0, m.get.start) + expanded + cur.substring(close + 1)
+      guard += 1
+    }
+    require(StarReplaceRe.findFirstMatchIn(stripLiterals(cur)).isEmpty,
+      s"more than $guard `* REPLACE` occurrences in one statement")
+    cur
+  }
+
+  private val StarReplaceRe =
+    """(?is)\*\s+replace\s*\(""".r
+
   /** Keyword scan over [[stripLiterals]]'s masked view: string literals,
     * quoted identifiers ("..." and `...`) and comments are blanked
     * before matching, so a `-- qualify` comment or a backticked

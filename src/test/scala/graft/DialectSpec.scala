@@ -174,4 +174,32 @@ class DialectSpec extends AnyFunSuite {
       "select \"* exclude (a)\" from t", cols) ==
       "select \"* exclude (a)\" from t")
   }
+
+  test("expandStarReplace: swaps named columns, nested parens, all occurrences") {
+    val cols = Seq("doc_id", "text", "lang")
+    assert(Dialect.expandStarReplace(
+      "select * replace (upper(lang) as lang) from t", cols) ==
+      "select `doc_id`, `text`, (upper(lang)) AS `lang` from t")
+    // nested parens + commas inside the replacement expression
+    assert(Dialect.expandStarReplace(
+      "select * REPLACE (round(substr(text, 1, 3), 2) AS text) from t", cols) ==
+      "select `doc_id`, (round(substr(text, 1, 3), 2)) AS `text`, `lang` from t")
+    // every occurrence (UNION arms)
+    val u = Dialect.expandStarReplace(
+      "select * replace (1 as doc_id) from a union all " +
+        "select * replace (2 as lang) from b", cols)
+    assert(u.contains("(1) AS `doc_id`") && u.contains("(2) AS `lang`"))
+    // unknown name and malformed item are loud errors
+    intercept[IllegalArgumentException] {
+      Dialect.expandStarReplace("select * replace (1 as nope) from t", cols)
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.expandStarReplace("select * replace (doc_id + 1) from t", cols)
+    }
+    // untouched without the modifier or inside literals
+    assert(Dialect.expandStarReplace("select count(*) from t", cols) ==
+      "select count(*) from t")
+    assert(Dialect.expandStarReplace("select '* replace (x as y)' s from t", cols) ==
+      "select '* replace (x as y)' s from t")
+  }
 }
