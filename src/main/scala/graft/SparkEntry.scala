@@ -8227,12 +8227,13 @@ object SparkEntry {
     // generated grid; threshold50 readers find where each config
     // crosses 0.5.
     // TF-IDF-weighted sparse-cosine near-dup (Dedup.tfidfCosinePairs):
-    // the lexical-WEIGHTING complement of the set-based families —
-    // bigram tf·idf vectors in 1e3 fixed point (order-free long dots
+    // the lexical-WEIGHTING complement of the set-based families — word
+    // TRIGRAM tf·idf vectors in 1e3 fixed point (order-free long dots
     // and norms), candidates from the df-capped inverted term index,
     // cosine = one fixed chain of correctly-rounded double ops. The
     // oracle re-derives the identical integers, so the unrounded
-    // cosines gate bitwise.
+    // cosines gate bitwise. Trigrams (not bigrams): same near-dup pairs
+    // on this corpus but sparser dfs, measured ~6x cheaper Σdf² fan-out.
     "d20_tfidf_cosine" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -8245,8 +8246,9 @@ object SparkEntry {
               list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
                           x -> x <> '') AS toks
             FROM documents),
-         t AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS term
-               FROM s, unnest(generate_series(1, len(toks)-1)) AS u(i)),
+         t AS (SELECT doc_id,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+               FROM s, unnest(generate_series(1, len(toks)-2)) AS u(i)),
          tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
                 FROM t GROUP BY doc_id, term),
          n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
