@@ -6210,7 +6210,9 @@ object SparkEntry {
     // the survival curve is carried as the cumulative 1e6 fixed-point
     // sum of ln(1 - d/r) increments (the t09 float discipline; the
     // d = r edge is floored at 1e-9 on both engines). One pass to the
-    // per-user study frame; the grid aggregation is users x 14 rows.
+    // per-user study frame, rolled up to (dur, cens) counts BEFORE the
+    // 14-row grid fan-out, so the nested-loop input is the rollup (a few
+    // hundred rows), never the user population.
     "e19_survival_km" -> api(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
@@ -6228,11 +6230,18 @@ object SparkEntry {
           .select(
             when(col("p").isNotNull, col("p") - col("v") + 1).as("dur"),
             greatest(col("last") - col("v") + 1, lit(1L)).as("cens"))
+        // rollup-before-grid: aggregate the users-sized study frame to
+        // (dur, cens) counts FIRST, so the 14-row grid fans out over at
+        // most |distinct durations × censoring days| rows (a few hundred)
+        // instead of every user. d and r are integer sums of cnt-weighted
+        // indicators — order-free, bitwise identical to the per-user form.
+        val rollup = study.groupBy(col("dur"), col("cens"))
+          .agg(count(lit(1)).as("cnt"))
         val grid = s.range(1, 15).select(col("id").as("t"))
-        grid.crossJoin(study).groupBy(col("t")).agg(
-            sum(when(col("dur") === col("t"), 1L).otherwise(0L)).as("d"),
+        grid.crossJoin(rollup).groupBy(col("t")).agg(
+            sum(when(col("dur") === col("t"), col("cnt")).otherwise(0L)).as("d"),
             sum(when((col("dur").isNotNull && col("dur") >= col("t")) ||
-              (col("dur").isNull && col("cens") >= col("t")), 1L)
+              (col("dur").isNull && col("cens") >= col("t")), col("cnt"))
               .otherwise(0L)).as("r"))
           .withColumn("fp", when(col("r") > 0,
             round(log(greatest(lit(1.0)

@@ -46,6 +46,12 @@ object ArrowExport {
     toArrowIpcCapped(df, MaxExportRows)
 
   private[graft] def toArrowIpcCapped(df: DataFrame, cap: Long): Array[Byte] = {
+    // cap + 1 must stay an Int for limit(); a cap at/over Int.MaxValue
+    // would overflow toInt to a negative limit and fail far from here
+    // with an unrelated analysis error — reject it with the real reason
+    require(cap > 0 && cap < Int.MaxValue,
+      s"driver-side export cap must be in (0, ${Int.MaxValue}), got $cap; " +
+        "use writeArrowIpcFiles for exports that large")
     // single job: collect at most cap+1 rows, so the overflow check and
     // the materialization share one execution
     val rows = df.limit((cap + 1).toInt).collect()

@@ -344,17 +344,12 @@ case class NpCopySign(left: Expression, right: Expression)
   * rejected at analysis time.
   */
 case class NpFloorDivide(left: Expression, right: Expression)
-    extends BinaryExpression {
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (left.dataType.isInstanceOf[NumericType] &&
-      right.dataType.isInstanceOf[NumericType]) TypeCheckSuccess
-    else TypeCheckFailure(
-      s"np_floor_divide takes numeric operands, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
+    extends BinaryExpression
+    with org.apache.spark.sql.GraftNumericBinaryCoercion {
+  // the mixin supplies the numeric type check AND the coercions Spark
+  // arithmetic gets for free: NULL-typed literals (np.floor_divide(NULL,
+  // 2)) become typed nulls and numeric strings cast to double, instead
+  // of failing analysis (ADVICE r10)
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true

@@ -110,23 +110,31 @@ object Sampling {
     * disagree across libm implementations at a floor() boundary).
     *
     * Scale shape: one tiny aggregation to learn per-source counts (rows =
-    * distinct sources, collected to the driver as literals), then a
-    * map-only hash-gate filter — no join, no second shuffle, same
-    * determinism contract as [[hashSample]].
+    * distinct sources), thresholds derived IN the plan and broadcast-
+    * joined back onto the corpus — no driver collect, no per-source
+    * expression tree (a 10k-source corpus is one broadcast frame, not a
+    * 10k-deep `when` chain), and the big side stays map-only. Threshold
+    * math (`floor(sqrt(n_min / n) * 65536)`) is the same correctly-
+    * rounded IEEE sequence [[bucketThreshold]] computes, so the kept set
+    * is identical to the previous driver-side formulation.
     */
   def temperatureSample(df: DataFrame, idCol: String,
                         sourceCol: String): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0) -> r.getLong(1)).toSeq
-    require(counts.nonEmpty, "empty input")
-    val nMin = counts.map(_._2).min
+    val counts = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col("__src"),
+        floor(sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+          * lit(Buckets)).cast("long").as("__thr"))
     val h = hashBucket(col(idCol))
-    val keep = counts.foldLeft(lit(false): Column) {
-      case (el, (src, n)) =>
-        val thr = bucketThreshold(math.sqrt(nMin.toDouble / n.toDouble))
-        when(col(sourceCol) === lit(src), belowThreshold(h, thr)).otherwise(el)
-    }
-    df.filter(keep)
+    // __thr == Buckets (the kept-whole smallest source) would render as
+    // the 5-char hex "10000" which sorts below "a..." buckets — the same
+    // edge belowThreshold short-circuits — so it gets an explicit OR arm
+    df.join(broadcast(thr), col(sourceCol) === col("__src"))
+      .filter(col("__thr") >= lit(Buckets.toLong) ||
+        h < format_string("%04x", col("__thr")))
+      .drop("__src", "__thr")
   }
 
   /** Cap each group at `quota` rows, keeping the first `quota` in

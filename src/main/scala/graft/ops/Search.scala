@@ -115,7 +115,9 @@ object Search {
   def mmr(emb: DataFrame, probe: DataFrame, idCol: String, vecCol: String,
           poolSize: Int, k: Int, lambda: Double = 0.5): DataFrame = {
     require(poolSize >= k && k >= 1, s"need poolSize >= k >= 1, got $poolSize/$k")
-    require(probe.count() == 1, "mmr re-ranks one probe's pool at a time")
+    // limit(2) bounds the validation scan: the count can stop after two
+    // rows instead of running a full job over the probe frame
+    require(probe.limit(2).count() == 1, "mmr re-ranks one probe's pool at a time")
     val spark = emb.sparkSession
     // bruteForceTopK names its candidate id column "vec_id" regardless
     // of idCol — select by that contract, not by the caller's name

@@ -32,3 +32,16 @@ object GraftColumnBridge {
   def renderedTable(df: Dataset[_], numRows: Int, truncate: Int): String =
     df.asInstanceOf[classic.Dataset[_]].showString(numRows, truncate, vertical = false)
 }
+
+/** Binary expression wanting the SAME numeric input coercions Spark's own
+  * arithmetic gets (NULL-typed literals become typed nulls, numeric strings
+  * cast to double). `AbstractDataType` and the `NumericType` companion are
+  * `private[sql]`, so the inputTypes declaration lives here in the bridge
+  * package; graft expressions just mix this in.
+  */
+trait GraftNumericBinaryCoercion
+    extends catalyst.expressions.ImplicitCastInputTypes {
+  self: catalyst.expressions.Expression =>
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.NumericType, types.NumericType)
+}

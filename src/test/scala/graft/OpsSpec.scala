@@ -1335,6 +1335,43 @@ class OpsSpec extends GraftSuite {
     assert(gotLarge == viaHash)
   }
 
+  test("temperatureSample scales to thousands of sources (broadcast join, no when-chain)") {
+    // 5000 sources x 3 rows + one 1-row source (n_min = 1). The old
+    // formulation folded a per-source when-chain — a 5001-deep expression
+    // tree; the broadcast-join form must both PLAN (one broadcast hash
+    // join) and pick per-source thresholds identical to the driver-side
+    // math: floor(sqrt(1/3) * 65536) = 37837.
+    val many = (0 until 5000).flatMap { s =>
+      (0 until 3).map(i => (s.toLong * 10 + i, s"src_$s"))
+    } :+ (99999L, "tiny")
+    val df = many.toDF("id", "src")
+    val kept = Sampling.temperatureSample(df, "id", "src")
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "thresholds must arrive via a broadcast join")
+    val bySrc = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.getOrElse("tiny", 0L) == 1L, "smallest source kept whole")
+    // every kept row's hash bucket is below the shared 3-row threshold
+    val thr = f"${math.floor(math.sqrt(1.0 / 3.0) * 65536).toLong}%04x"
+    val offenders = kept.filter(col("src") =!= "tiny")
+      .filter(substring(md5(col("id").cast("string")), 1, 4) >= thr)
+    assert(offenders.count() == 0L)
+    // and no row ABOVE-threshold row was dropped incorrectly: recompute
+    // the expected kept set driver-side for a sample of sources
+    val expected = many.filter { case (id, src) =>
+      src == "tiny" || md5Hex4(id.toString) < thr
+    }.map(_._1).toSet
+    val got = kept.collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  private def md5Hex4(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(2).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   test("streamingHourlyClosed (append) emits exactly the watermark-closed windows") {
     val dir = "target/tmp/st04spec_in"
     val h = 3600L * 1000000L // one hour of microseconds

@@ -312,6 +312,28 @@ object SmokeMain {
       SparkEntry.queries("sp12_gumbel_topk")(spark, sf).show(3, truncate = false)
       SparkEntry.queries("g16_corr_matrix")(spark, sf).show(3, truncate = false)
       println(s"as-of rows=${SparkEntry.queries("u06_point_in_time")(spark, sf).count()}")
+      // round-11: np.floor_divide coercions (NULL literal / numeric string)
+      Table(spark.range(1).toDF("z")).sql(
+        """select np.floor_divide(NULL, 2) fdnull,
+                  np.floor_divide('7', 2) fdstr,
+                  np.floor_divide(-7, 2) fdint from t""")
+        .show(1, truncate = false)
+      // round-11: distributed temperatureSample (broadcast thresholds)
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val corpus = spark.range(500).toDF("id")
+        .withColumn("src", when(col("id") < 50, lit("s")).otherwise(lit("l")))
+      val temp = graft.ops.Sampling.temperatureSample(corpus, "id", "src")
+      println(s"temperature sample kept=${temp.count()} " +
+        s"small=${temp.filter("src = 's'").count()} (expect small=50)")
+      // round-11: negative-cap guard on the driver-side Arrow export
+      try {
+        graft.api.ArrowExport.toArrowIpcCapped(
+          spark.range(1).toDF("x"), Int.MaxValue.toLong + 5L)
+        println("BIG-CAP GUARD FAILED TO FIRE")
+      } catch {
+        case e: IllegalArgumentException =>
+          println("arrow big-cap guard: " + firstLine(e).take(60))
+      }
     }
 
     spark.stop()
