@@ -43,6 +43,18 @@ object SparkEntry {
   /** Library operator with no SQL-expressible oracle (rows-only check). */
   private def noOracle(fn: QFn): (QFn, Option[String]) = (fn, None)
 
+  /** Multi-table SQL through [[Table.sessionSql]] (the dialect-aware
+    * session entry point — ASOF JOIN translation, np.*, nulls-last),
+    * same text for Spark and DuckDB.
+    */
+  private def multiSession(tables: Seq[String], sql: String): (QFn, Option[String]) =
+    ((s: SparkSession, dir: String) => {
+      tables.foreach { t =>
+        s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
+      Table.sessionSql(s, sql).toDF
+    }, Some(sql))
+
   /** Multi-table SQL query, same text for Spark and DuckDB (join hints ride
     * in comments, which DuckDB ignores).
     */
@@ -1346,6 +1358,40 @@ object SparkEntry {
                 CASE WHEN e2.ts - e.ts <= INTERVAL 30 MINUTE THEN e2.value END AS asof_value
          FROM events e ASOF LEFT JOIN events e2
            ON e.user_id = e2.user_id AND e.ts < e2.ts
+         ORDER BY e.event_id"""),
+
+    // ASOF JOIN at the SQL surface (graft.sql.AsOfSql): the statement
+    // text below IS the oracle — DuckDB parses ASOF natively, our
+    // dialect translates it onto the AsOf union + keyed-window plan
+    // (rank-free, pinned in PlanSpec/AsOfSqlSpec). Backward strict,
+    // LEFT: each event's previous event of the same user.
+    "a05_asof_sql" -> same("events",
+      """SELECT e.event_id, e.user_id,
+                e2.event_id AS prev_event_id, e2.value AS prev_value
+         FROM events e ASOF LEFT JOIN events e2
+           ON e.user_id = e2.user_id AND e.ts > e2.ts
+         ORDER BY e.event_id"""),
+
+    // distinct-table SQL as-of (events ⋈ orders on user/custkey),
+    // default INNER join type, non-strict >=. Orders tie on (custkey,
+    // orderdate) in this corpus, so the select list carries only the
+    // tie-invariant matched TIME — both engines agree regardless of
+    // which tied row they pick (probed invariant, AsOfSqlSpec).
+    "a06_asof_sql_tables" -> multiSession(Seq("events", "orders"),
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+         FROM events e ASOF JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id"""),
+
+    // composite-key SQL as-of (user_id AND event_type), forward strict:
+    // the next event of the same user AND type. The translator packs the
+    // two equality conjuncts into one struct shuffle key.
+    "a07_asof_sql_multikey" -> same("events",
+      """SELECT e.event_id, e.user_id, e.event_type,
+                e2.event_id AS next_same_type
+         FROM events e ASOF LEFT JOIN events e2
+           ON e.user_id = e2.user_id AND e.event_type = e2.event_type
+              AND e.ts < e2.ts
          ORDER BY e.event_id"""),
 
     // ------------------------------------------------------------------

@@ -41,6 +41,12 @@ final class Table private (val df: DataFrame) {
           Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
         df.columns.toSeq),
       df.columns.toSeq)
+    // ASOF JOIN has no Spark grammar; route the statement to the AsOf
+    // translator. Both table references bind to the receiver (the same
+    // FROM-name-is-notional rule as below), which covers the natural
+    // self-as-of; distinct-table ASOF goes through [[Table.sessionSql]].
+    if (graft.sql.AsOfSql.detect(q))
+      return new Table(graft.sql.AsOfSql.run(spark, q, _ => df))
     Dialect.splitQualify(q) match {
       case Some((inner, tail)) => qualifiedSql(inner, tail)
       case None =>
@@ -187,7 +193,7 @@ object Table {
     * a query is analyzed the view may be re-bound freely; the lock only
     * covers that short resolution window.
     */
-  private[api] val bindLock = new Object
+  private[graft] val bindLock = new Object
 
   def apply(df: DataFrame): Table = new Table(df)
 
@@ -233,4 +239,21 @@ object Table {
     * alias kept for API parity.
     */
   def streamCsv(spark: SparkSession, path: String): Table = fromCsv(spark, path)
+
+  /** Session-level SQL over already-registered temp views — the
+    * multi-table counterpart of the single-receiver [[Table.sql]].
+    * Applies the dialect rewrites that need no receiver schema (np.* /
+    * `#`, alias-into-WHERE, nulls-last ordering) and routes top-level
+    * ASOF JOIN statements to [[graft.sql.AsOfSql]], resolving each table
+    * reference with `spark.table`. Everything else runs on Spark SQL
+    * unchanged.
+    */
+  def sessionSql(spark: SparkSession, query: String): Table = {
+    Registry.registerAll(spark)
+    val q = Dialect.orderByNullsLast(
+      Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
+    if (graft.sql.AsOfSql.detect(q))
+      apply(graft.sql.AsOfSql.run(spark, q, spark.table))
+    else apply(spark.sql(q))
+  }
 }

@@ -340,7 +340,7 @@ object Dialect {
     * (mirrors [[rewrite]]'s state machine; offsets are shared because
     * masking preserves length).
     */
-  private def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
+  private[sql] def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
     val m = stripLiterals(s)
     var i = from
     var depth = 0
@@ -361,7 +361,7 @@ object Dialect {
     * masked view (commas inside literals, quoted identifiers or comments
     * never split) while the emitted pieces keep the original text.
     */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
     val m = stripLiterals(s)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -397,7 +397,7 @@ object Dialect {
     * through at the same offset. Scanners match on the masked view and
     * slice the original by the same indices.
     */
-  private def stripLiterals(sql: String): String = {
+  private[sql] def stripLiterals(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var i = 0
     val n = sql.length

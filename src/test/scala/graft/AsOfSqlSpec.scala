@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Table
+
+/** SQL-dialect ASOF JOIN (graft.sql.AsOfSql): parser, semantics vs the
+  * AsOf API plan, alias rewriting, join types, and error paths.
+  */
+class AsOfSqlSpec extends GraftSuite {
+  import spark.implicits._
+
+  // trades (left) / quotes (right): the classic as-of pairing
+  private lazy val trades = Seq(
+    (1L, "a", 100L, 10.0),
+    (2L, "a", 205L, 11.0),
+    (3L, "b", 150L, 12.0),
+    (4L, "c", 400L, 13.0) // no quotes for c at all
+  ).toDF("trade_id", "sym", "t", "px")
+
+  private lazy val quotes = Seq(
+    (10L, "a", 100L, 9.5),
+    (11L, "a", 200L, 9.9),
+    (12L, "b", 150L, 11.5),
+    (13L, "b", 300L, 11.9)
+  ).toDF("quote_id", "sym", "qt", "bid")
+
+  private def runSession(sql: String) = {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    Table.sessionSql(spark, sql).toDF
+  }
+
+  test("backward non-strict (>=) inner ASOF JOIN picks latest quote at/before") {
+    val got = runSession(
+      """SELECT tr.trade_id, tr.px, q.quote_id, q.bid
+         FROM trades tr ASOF JOIN quotes q
+           ON tr.sym = q.sym AND tr.t >= q.qt
+         ORDER BY tr.trade_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // trade 1 @100 -> quote 10 @100 (same instant matches, non-strict)
+    // trade 2 @205 -> quote 11 @200; trade 3 @150 -> quote 12 @150
+    // trade 4 (sym c) dropped: inner
+    assert(got.toSeq == Seq((1L, 10L, 9.5), (2L, 11L, 9.9), (3L, 12L, 11.5)))
+  }
+
+  test("backward strict (>) hides same-instant quotes; LEFT keeps unmatched") {
+    val got = runSession(
+      """SELECT tr.trade_id, q.quote_id
+         FROM trades tr ASOF LEFT JOIN quotes q
+           ON tr.sym = q.sym AND tr.t > q.qt
+         ORDER BY tr.trade_id""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // trade 1 @100: quote 10 is AT 100 -> hidden by strict -> null
+    // trade 3 @150: quote 12 at 150 hidden -> null; trade 4: no quotes
+    assert(got.toSeq == Seq((1L, -1L), (2L, 11L), (3L, -1L), (4L, -1L)))
+  }
+
+  test("forward (<=, <) directions") {
+    val le = runSession(
+      """SELECT tr.trade_id, q.quote_id FROM trades tr ASOF LEFT JOIN quotes q
+         ON tr.sym = q.sym AND tr.t <= q.qt ORDER BY tr.trade_id""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(le.toSeq == Seq((1L, 10L), (2L, -1L), (3L, 12L), (4L, -1L)))
+    val lt = runSession(
+      """SELECT tr.trade_id, q.quote_id FROM trades tr ASOF LEFT JOIN quotes q
+         ON tr.sym = q.sym AND tr.t < q.qt ORDER BY tr.trade_id""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(lt.toSeq == Seq((1L, 11L), (2L, -1L), (3L, 13L), (4L, -1L)))
+  }
+
+  test("reversed conjunct order and right-side-first inequality normalize") {
+    val got = runSession(
+      """SELECT tr.trade_id, q.quote_id
+         FROM trades tr ASOF JOIN quotes q
+           ON q.qt <= tr.t AND q.sym = tr.sym
+         ORDER BY tr.trade_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("bare right-only identifiers resolve to the matched right columns") {
+    val got = runSession(
+      """SELECT trade_id, quote_id, bid
+         FROM trades tr ASOF JOIN quotes q
+           ON tr.sym = q.sym AND tr.t >= q.qt
+         WHERE bid > 9.6 ORDER BY trade_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((2L, 11L), (3L, 12L)))
+  }
+
+  test("multi-key equality joins on the composite key") {
+    val l = Seq((1L, "a", "x", 10L), (2L, "a", "y", 10L)).toDF("id", "k1", "k2", "t")
+    val r = Seq((7L, "a", "x", 5L), (8L, "a", "y", 6L)).toDF("rid", "k1", "k2", "rt")
+    l.createOrReplaceTempView("lmk")
+    r.createOrReplaceTempView("rmk")
+    val got = Table.sessionSql(spark,
+      """SELECT a.id, b.rid FROM lmk a ASOF JOIN rmk b
+         ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.t >= b.rt
+         ORDER BY a.id""").toDF
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    assert(got.toSeq == Seq((1L, 7L), (2L, 8L)))
+  }
+
+  test("Table.sql self-as-of matches the AsOf API result") {
+    val ev = graft.streaming.Events.read(spark, "/root/testdata/sf0.001")
+    val viaSql = Table(ev).sql(
+      """SELECT e.event_id, e.user_id, e2.event_id AS prev_id, e2.value AS prev_value
+         FROM events e ASOF LEFT JOIN events e2
+           ON e.user_id = e2.user_id AND e.ts > e2.ts
+         ORDER BY e.event_id""").toDF
+    val viaApi = graft.ops.AsOf.join(ev, ev, keyCol = "user_id",
+        leftTimeCol = "ts", rightTimeCol = "ts",
+        valueCols = Seq("event_id", "value"), rightIdCol = "event_id",
+        strict = true)
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id").as("prev_id"), col("asof_value").as("prev_value"))
+      .orderBy(col("event_id"))
+    assert(viaSql.columns.toSeq ==
+      Seq("event_id", "user_id", "prev_id", "prev_value"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+  }
+
+  test("plan is the keyed-window carry: no rank, no nested-loop, no cartesian") {
+    val df = runSession(
+      """SELECT tr.trade_id, q.quote_id FROM trades tr ASOF JOIN quotes q
+         ON tr.sym = q.sym AND tr.t >= q.qt""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "as-of must run as a window carry")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+    assert(!plan.contains("rank("), s"rank in plan:\n$plan")
+  }
+
+  test("error paths: keyless, double inequality, unsupported shapes") {
+    val kl = intercept[IllegalArgumentException] {
+      runSession("SELECT tr.trade_id FROM trades tr ASOF JOIN quotes q ON tr.t >= q.qt")
+    }
+    assert(kl.getMessage.contains("keyless"))
+    val di = intercept[IllegalArgumentException] {
+      runSession("""SELECT tr.trade_id FROM trades tr ASOF JOIN quotes q
+        ON tr.sym = q.sym AND tr.t >= q.qt AND tr.t < q.qt""")
+    }
+    assert(di.getMessage.contains("exactly one inequality"))
+    val uq = intercept[IllegalArgumentException] {
+      runSession("""SELECT tr.trade_id FROM trades tr ASOF RIGHT JOIN quotes q
+        ON tr.sym = q.sym AND tr.t >= q.qt""")
+    }
+    assert(uq.getMessage.contains("unsupported ASOF join type"))
+    val expr = intercept[IllegalArgumentException] {
+      runSession("""SELECT tr.trade_id FROM trades tr ASOF JOIN quotes q
+        ON tr.sym = q.sym AND tr.t + 1 >= q.qt""")
+    }
+    assert(expr.getMessage.contains("qualified column comparisons"))
+  }
+
+  test("ASOF inside a string literal or comment does not trigger the translator") {
+    val t = Table(spark.range(3).toDF("x"))
+    val got = t.sql(
+      "SELECT x, 'asof join' AS s FROM t /* asof join */ ORDER BY x")
+      .toDF.collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L, 2L))
+  }
+}

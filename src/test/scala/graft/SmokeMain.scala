@@ -325,6 +325,17 @@ object SmokeMain {
       val temp = graft.ops.Sampling.temperatureSample(corpus, "id", "src")
       println(s"temperature sample kept=${temp.count()} " +
         s"small=${temp.filter("src = 's'").count()} (expect small=50)")
+      // round-11: ASOF JOIN at the SQL surface (self + distinct tables)
+      val asof = SparkEntry.queries("a05_asof_sql")(spark, sf)
+      println(s"asof sql rows=${asof.count()} " +
+        s"matched=${asof.filter("prev_event_id is not null").count()}")
+      spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events")
+      spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("orders")
+      Table.sessionSql(spark,
+        """SELECT e.event_id, o.o_orderdate AS last_order_date
+           FROM events e ASOF JOIN orders o
+             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+           ORDER BY e.event_id LIMIT 3""").show(3, truncate = false)
       // round-11: negative-cap guard on the driver-side Arrow export
       try {
         graft.api.ArrowExport.toArrowIpcCapped(
