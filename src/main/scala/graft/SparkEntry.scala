@@ -4137,6 +4137,34 @@ object SparkEntry {
          SELECT l_returnflag, 'qty_o' AS status, CAST(qty_o AS BIGINT) AS qty FROM w
          ORDER BY l_returnflag, status"""),
 
+    // PIVOT as SQL TEXT (g03 is the DataFrame API form): the SQL-standard
+    // `FROM (...) PIVOT (agg FOR col IN (...))` clause parses natively in
+    // BOTH Spark and DuckDB with identical implicit group-by-the-rest
+    // semantics and value-named output columns, so the statement is its
+    // own oracle. Fixed-point cents inside, outer CAST because DuckDB
+    // widens sum(BIGINT) to HUGEINT. Plan: one hash aggregate — pivot
+    // lowers to grouped conditional aggregation, no extra shuffle.
+    "g17_pivot_sql" -> same("lineitem",
+      """SELECT l_returnflag, CAST(F AS BIGINT) AS f_qty, CAST(O AS BIGINT) AS o_qty
+         FROM (SELECT l_returnflag, l_linestatus,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qc
+               FROM lineitem)
+         PIVOT (sum(qc) FOR l_linestatus IN ('F', 'O'))
+         ORDER BY l_returnflag"""),
+
+    // UNPIVOT as SQL TEXT (g04 is the API form): SQL-standard
+    // `UNPIVOT (val FOR name IN (cols))`, same grammar and same
+    // drop-null-values default in Spark and DuckDB. Wide per-priority
+    // rollup first (5 rows), then the melt is driver-free and map-only.
+    "g18_unpivot_sql" -> same("orders",
+      """SELECT o_orderpriority, metric, CAST(v AS BIGINT) AS v
+         FROM (SELECT o_orderpriority,
+                      count(*) AS n_orders,
+                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+               FROM orders GROUP BY o_orderpriority)
+         UNPIVOT (v FOR metric IN (n_orders, cents))
+         ORDER BY o_orderpriority, metric"""),
+
     // ORC round-trip: third columnar format next to parquet (io03/io05)
     // and arrow — write a pruned projection as ORC, read it back, and
     // aggregate. The oracle computes the same result straight from the
@@ -7039,6 +7067,26 @@ object SparkEntry {
                            md5(coalesce(text, '')) AS text,
                            CAST(round(n_chars / 100.0, 2) AS DOUBLE) AS n_chars)
          FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+
+    // ORDER BY ALL next to GROUP BY ALL (q41): both parse natively in
+    // Spark ≥3.4 and DuckDB with identical left-to-right semantics, and
+    // our nulls-last pre-pass ("ALL NULLS LAST") also parses in both —
+    // the statement is its own oracle.
+    "q49_order_by_all" -> same("lineitem",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+         FROM lineitem GROUP BY ALL ORDER BY ALL"""),
+
+    // DuckDB ≥1.3 `* RENAME (old AS new)` star modifier
+    // (Dialect.expandStarRename). The oracle DuckDB here is 1.0, which
+    // predates RENAME, so the oracle runs the EXPANDED equivalent text —
+    // still a strict hash gate on the rename semantics.
+    "q50_star_rename" -> diff("part",
+      """SELECT * RENAME (p_retailprice AS price, p_name AS part_name)
+         FROM part WHERE p_size > 47 ORDER BY p_partkey""",
+      """SELECT p_partkey, p_name AS part_name, p_brand, p_type, p_size,
+                p_retailprice AS price
+         FROM part WHERE p_size > 47 ORDER BY p_partkey"""),
 
     // Relational division ("for all"): customers who placed an order in
     // EVERY order-priority class. The Spark plan is the scale-right

@@ -35,10 +35,12 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    val q = Dialect.expandStarReplace(
-      Dialect.expandStarExclude(
-        Dialect.orderByNullsLast(
-          Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
+    val q = Dialect.expandStarRename(
+      Dialect.expandStarReplace(
+        Dialect.expandStarExclude(
+          Dialect.orderByNullsLast(
+            Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
+          df.columns.toSeq),
         df.columns.toSeq),
       df.columns.toSeq)
     // ASOF JOIN has no Spark grammar; route the statement to the AsOf

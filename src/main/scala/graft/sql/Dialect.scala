@@ -333,6 +333,61 @@ object Dialect {
   private val StarReplaceRe =
     """(?is)\*\s+replace\s*\(""".r
 
+  /** DuckDB-style `* RENAME (old AS new, ...)` star modifier (DuckDB ≥
+    * 1.3): expand the star to the receiver's columns with the named ones
+    * renamed in place — position preserved, expression untouched (the
+    * pure-rename sibling of [[expandStarReplace]]). Unknown names error
+    * loudly; every occurrence is rewritten.
+    */
+  def expandStarRename(sql: String, columns: Seq[String]): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      val masked = stripLiterals(cur)
+      val m = StarRenameRe.findFirstMatchIn(masked)
+      if (m.isEmpty) return cur
+      val open = m.get.end - 1
+      var i = open
+      var depth = 0
+      var close = -1
+      while (i < masked.length && close < 0) {
+        val c = masked.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+        i += 1
+      }
+      require(close > open, "unbalanced parens in * RENAME (...)")
+      val ren = splitTopLevel(cur.substring(open + 1, close)).map { item =>
+        RenameRe.findFirstMatchIn(item) match {
+          case Some(am) => (am.group(1).toLowerCase, am.group(2))
+          case None => throw new IllegalArgumentException(
+            s"* RENAME items must be `old AS new`, got: ${item.trim}")
+        }
+      }.toMap
+      val unknown = ren.keySet -- columns.map(_.toLowerCase).toSet
+      require(unknown.isEmpty,
+        s"RENAME names not in the table: ${unknown.mkString(", ")}")
+      val expanded = columns.map { c =>
+        ren.get(c.toLowerCase) match {
+          case Some(n) => s"`$c` AS `$n`"
+          case None    => s"`$c`"
+        }
+      }.mkString(", ")
+      cur = cur.substring(0, m.get.start) + expanded + cur.substring(close + 1)
+      guard += 1
+    }
+    require(StarRenameRe.findFirstMatchIn(stripLiterals(cur)).isEmpty,
+      s"more than $guard `* RENAME` occurrences in one statement")
+    cur
+  }
+
+  private val StarRenameRe =
+    """(?is)\*\s+rename\s*\(""".r
+
+  // plain identifier-to-identifier rename (no expressions on the left)
+  private val RenameRe =
+    """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
   /** Keyword scan over [[stripLiterals]]'s masked view: string literals,
     * quoted identifiers ("..." and `...`) and comments are blanked
     * before matching, so a `-- qualify` comment or a backticked

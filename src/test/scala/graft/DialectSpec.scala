@@ -202,4 +202,31 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.expandStarReplace("select '* replace (x as y)' s from t", cols) ==
       "select '* replace (x as y)' s from t")
   }
+
+  test("expandStarRename: renames in place, all occurrences, loud errors") {
+    val cols = Seq("doc_id", "text", "lang")
+    assert(Dialect.expandStarRename(
+      "select * rename (lang as language) from t", cols) ==
+      "select `doc_id`, `text`, `lang` AS `language` from t")
+    assert(Dialect.expandStarRename(
+      "select * RENAME (doc_id AS id, text AS body) from t", cols) ==
+      "select `doc_id` AS `id`, `text` AS `body`, `lang` from t")
+    // every occurrence (UNION arms)
+    val u = Dialect.expandStarRename(
+      "select * rename (text as a) from x union all " +
+        "select * rename (lang as b) from y", cols)
+    assert(u.contains("`text` AS `a`") && u.contains("`lang` AS `b`"))
+    // unknown name, expression on the left, malformed item: loud errors
+    intercept[IllegalArgumentException] {
+      Dialect.expandStarRename("select * rename (nope as x) from t", cols)
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.expandStarRename("select * rename (upper(lang) as x) from t", cols)
+    }
+    // untouched without the modifier or inside literals
+    assert(Dialect.expandStarRename("select count(*) from t", cols) ==
+      "select count(*) from t")
+    assert(Dialect.expandStarRename("select '* rename (x as y)' s from t", cols) ==
+      "select '* rename (x as y)' s from t")
+  }
 }
