@@ -67,6 +67,25 @@ object SparkEntry {
       s.sql(sql)
     }, Some(sql))
 
+  /** Per-user (recency, frequency, monetary) rollup shared by e16 (ntile
+    * buckets) and e20 (quantile-cutpoint buckets): one keyed aggregation
+    * of the event stream to users, recency anchored at the corpus-max
+    * day via a broadcast 1-row frame.
+    */
+  private[graft] def rfmRollup(s: SparkSession, dir: String): DataFrame = {
+    val MpD = graft.streaming.Events.MicrosPerDay
+    val u = graft.streaming.Events.readRaw(s, dir)
+      .select(col("user_id"), expr(s"ts div $MpD").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m"))
+    val g = u.agg(max(col("last_day")).as("__today"))
+    u.join(broadcast(g))
+      .select(col("user_id"), (col("__today") - col("last_day")).as("r"),
+        col("f"), col("m"))
+  }
+
   /** Deterministic planar rotation by angle acos(c): rotates each
     * (odd, even) coordinate pair, so cos(v, rot(v)) == c exactly (a
     * rotation preserves the norm and the paired inner products sum to
@@ -6128,18 +6147,8 @@ object SparkEntry {
     // computed in one pass; the segment arithmetic is unchanged.
     "e16_rfm" -> api(
       (s, dir) => {
-        val MpD = graft.streaming.Events.MicrosPerDay
         val W = org.apache.spark.sql.expressions.Window
-        val u = graft.streaming.Events.readRaw(s, dir)
-          .select(col("user_id"), expr(s"ts div $MpD").as("day"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .groupBy(col("user_id"))
-          .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
-            sum(col("cents")).as("m"))
-        val g = u.agg(max(col("last_day")).as("__today"))
-        u.join(broadcast(g))
-          .select(col("user_id"), (col("__today") - col("last_day")).as("r"),
-            col("f"), col("m"))
+        rfmRollup(s, dir)
           .withColumn("rq", ntile(4).over(W.orderBy(col("r"), col("user_id"))))
           .withColumn("fq", ntile(4).over(W.orderBy(col("f").desc, col("user_id"))))
           .withColumn("mq", ntile(4).over(W.orderBy(col("m").desc, col("user_id"))))
@@ -6159,6 +6168,59 @@ object SparkEntry {
                    + ntile(4) OVER (ORDER BY f DESC, user_id) * 10
                    + ntile(4) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS rfm
          FROM q ORDER BY user_id"""),
+
+    // RFM by QUANTILE CUTPOINTS — e16's scale path: instead of three
+    // global ntile windows (a one-partition sort of all users), ONE
+    // aggregation computes the three quartile cutpoints per dimension,
+    // broadcast-joins them back, and bucketing is a map-only comparison.
+    // Exact `percentile` here so DuckDB's quantile_cont strict-matches
+    // (linear interpolation on both engines, integer-valued inputs); at
+    // 100 TB swap in approx_percentile — SAME plan shape, and the
+    // RfmCutpointSpec agreement gate certifies the approx variant
+    // against this exact one at sf0.1. No window anywhere (PlanSpec pin).
+    "e20_rfm_cutpoints" -> api(
+      (s, dir) => {
+        val q = rfmRollup(s, dir)
+        val cut = q.agg(
+          expr("percentile(r, array(0.25, 0.5, 0.75))").as("rc"),
+          expr("percentile(f, array(0.25, 0.5, 0.75))").as("fc"),
+          expr("percentile(m, array(0.25, 0.5, 0.75))").as("mc"))
+        def ascB(v: String, c: String): Column =
+          lit(1) + when(col(v) > col(c)(0), 1).otherwise(0) +
+            when(col(v) > col(c)(1), 1).otherwise(0) +
+            when(col(v) > col(c)(2), 1).otherwise(0)
+        def descB(v: String, c: String): Column =
+          lit(1) + when(col(v) < col(c)(2), 1).otherwise(0) +
+            when(col(v) < col(c)(1), 1).otherwise(0) +
+            when(col(v) < col(c)(0), 1).otherwise(0)
+        q.join(broadcast(cut))
+          .select(col("user_id"), col("r"), col("f"), col("m"),
+            (ascB("r", "rc") * 100 + descB("f", "fc") * 10 + descB("m", "mc"))
+              .cast("long").as("rfm"))
+          .orderBy(col("user_id"))
+      },
+      """WITH u AS (SELECT user_id,
+                  max(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS last_day,
+                  count(*) AS f,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events GROUP BY 1),
+         g AS (SELECT max(last_day) AS today FROM u),
+         q AS (SELECT user_id, (g.today - last_day) AS r, f, m FROM u, g),
+         c AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rc,
+                      quantile_cont(f, [0.25, 0.5, 0.75]) AS fc,
+                      quantile_cont(m, [0.25, 0.5, 0.75]) AS mc FROM q)
+         SELECT user_id, r, f, m,
+                CAST((1 + CASE WHEN r > rc[1] THEN 1 ELSE 0 END
+                        + CASE WHEN r > rc[2] THEN 1 ELSE 0 END
+                        + CASE WHEN r > rc[3] THEN 1 ELSE 0 END) * 100
+                   + (1 + CASE WHEN f < fc[3] THEN 1 ELSE 0 END
+                        + CASE WHEN f < fc[2] THEN 1 ELSE 0 END
+                        + CASE WHEN f < fc[1] THEN 1 ELSE 0 END) * 10
+                   + (1 + CASE WHEN m < mc[3] THEN 1 ELSE 0 END
+                        + CASE WHEN m < mc[2] THEN 1 ELSE 0 END
+                        + CASE WHEN m < mc[1] THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rfm
+         FROM q, c ORDER BY user_id"""),
 
     // Linear-interpolation gap fill over the same 15-min per-user grid
     // as e07: missing bins get the straight line between neighbors
