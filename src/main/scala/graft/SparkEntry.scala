@@ -6175,9 +6175,10 @@ object SparkEntry {
     // broadcast-joins them back, and bucketing is a map-only comparison.
     // Exact `percentile` here so DuckDB's quantile_cont strict-matches
     // (linear interpolation on both engines, integer-valued inputs); at
-    // 100 TB swap in approx_percentile — SAME plan shape, and the
-    // RfmCutpointSpec agreement gate certifies the approx variant
-    // against this exact one at sf0.1. No window anywhere (PlanSpec pin).
+    // 100 TB swap in approx_percentile — SAME plan shape. RfmCutpointSpec
+    // certifies the approx variant against this exact one at sf0.1
+    // (>=99% bucket agreement + identical no-window/broadcast plan), and
+    // PlanSpec pins this path as window-free with one broadcast join.
     "e20_rfm_cutpoints" -> api(
       (s, dir) => {
         val q = rfmRollup(s, dir)

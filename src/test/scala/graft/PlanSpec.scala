@@ -255,9 +255,29 @@ class PlanSpec extends GraftSuite {
       s"non-equi join in p09 plan:\n${p.take(900)}")
   }
 
-  test("sp04 temperature mix: the gate is a map-only filter — no join at all") {
+  test("sp04 temperature mix: thresholds arrive via ONE broadcast hash join, no shuffle join") {
+    // round 11 moved the per-source thresholds from a when-chain (O(#sources)
+    // expression depth) into a broadcast join against the tiny threshold
+    // table; the contract is now: exactly one BroadcastHashJoin, no
+    // SortMergeJoin/ShuffledHashJoin, and no CaseWhen gate over sources.
     val p = planOf("sp04_temperature_mix")
-    assert(!p.contains("Join"), s"join in sp04 plan (gate must be map-only):\n${p.take(800)}")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 1, s"$bhj broadcast hash joins in sp04 plan (want 1):\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffle join in sp04 plan (thresholds must broadcast):\n${p.take(900)}")
+  }
+
+  test("e20 RFM cutpoints: no window, one broadcast join carries the cutpoints") {
+    // e20 exists to kill e16's three global ntile windows (each a
+    // one-partition sort of every user). The scale contract: the ONLY
+    // join is the broadcast of the 1-row cutpoint frame, and no Window
+    // operator anywhere.
+    val p = planOf("e20_rfm_cutpoints")
+    assert(!p.contains("Window"), s"window in e20 plan:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"shuffle join in e20 plan (cutpoints must broadcast):\n${p.take(900)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"no broadcast join in e20 plan:\n${p.take(900)}")
   }
 
   test("w04 rolling range frame: one customer-keyed shuffle feeds the window") {
