@@ -109,58 +109,75 @@ object ArrowExport {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
-        val pid = tc.partitionId()
-        // task-commit protocol: write to an attempt-private temp name and
-        // atomically rename on success — a retried or speculative attempt
-        // never interleaves bytes into the final file, and a task that
-        // dies mid-write leaves only an invisible temp (readers filter on
-        // the .arrow suffix). Both attempts of a deterministic partition
-        // produce identical bytes, so last-rename-wins is safe; Spark
-        // applies the accumulator once per successful task.
-        val tmp = java.nio.file.Paths.get(
-          s"$dir/.part-$pid.attempt-${tc.taskAttemptId()}.tmp")
-        val dst = java.nio.file.Paths.get(s"$dir/part-$pid.arrow")
-        var committed = false
-        try {
-          val fields = sparkSchema.fields.map(arrowField).toSeq
-          val allocator = new RootAllocator(Long.MaxValue)
-          try {
-            val root = VectorSchemaRoot.create(
-              new ArrowSchema(fields.asJava), allocator)
-            try {
-              val out = new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(tmp.toFile))
-              val writer = new ArrowStreamWriter(root, null, out)
-              try {
-                writer.start()
-                while (it.hasNext) {
-                  root.allocateNew()
-                  var n = 0
-                  while (n < batchRows && it.hasNext) {
-                    val row = it.next()
-                    sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
-                      writeCell(root.getVector(c), n, row, c, f.dataType)
-                    }
-                    n += 1
-                  }
-                  root.setRowCount(n)
-                  writer.writeBatch()
-                  counter.add(n.toLong)
-                }
-                writer.end()
-              } finally { writer.close(); out.close() }
-            } finally root.close()
-          } finally allocator.close()
-          java.nio.file.Files.move(tmp, dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          committed = true
-        } finally {
-          if (!committed) java.nio.file.Files.deleteIfExists(tmp)
-        }
+        writePartitionFile(sparkSchema, it, dir, tc.partitionId(),
+          tc.taskAttemptId(), batchRows, counter.add)
       }
     }
     counter.value
+  }
+
+  /** One task attempt's write of `part-<pid>.arrow` — factored out of
+    * [[writeArrowIpcFiles]] so the task-commit protocol is directly
+    * testable under duplicate and mid-write-failure attempts
+    * (TableApiSpec exercises both).
+    *
+    * Protocol: write to an attempt-private temp name and atomically
+    * rename on success — a retried or speculative attempt never
+    * interleaves bytes into the final file, and a task that dies
+    * mid-write leaves only an invisible temp (readers filter on the
+    * .arrow suffix), which this attempt deletes on its own failure.
+    * Both attempts of a deterministic partition produce identical
+    * bytes, so last-rename-wins is safe. `addRows` fires as batches
+    * are written; under Spark it is a LongAccumulator.add, which the
+    * action applies once per SUCCESSFUL task only — a failed attempt's
+    * partial adds are never folded into the job's counter.
+    */
+  private[graft] def writePartitionFile(sparkSchema: StructType,
+                                        it: Iterator[Row], dir: String,
+                                        pid: Int, attemptId: Long,
+                                        batchRows: Int,
+                                        addRows: Long => Unit): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      s"$dir/.part-$pid.attempt-$attemptId.tmp")
+    val dst = java.nio.file.Paths.get(s"$dir/part-$pid.arrow")
+    var committed = false
+    try {
+      val fields = sparkSchema.fields.map(arrowField).toSeq
+      val allocator = new RootAllocator(Long.MaxValue)
+      try {
+        val root = VectorSchemaRoot.create(
+          new ArrowSchema(fields.asJava), allocator)
+        try {
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(tmp.toFile))
+          val writer = new ArrowStreamWriter(root, null, out)
+          try {
+            writer.start()
+            while (it.hasNext) {
+              root.allocateNew()
+              var n = 0
+              while (n < batchRows && it.hasNext) {
+                val row = it.next()
+                sparkSchema.fields.zipWithIndex.foreach { case (f, c) =>
+                  writeCell(root.getVector(c), n, row, c, f.dataType)
+                }
+                n += 1
+              }
+              root.setRowCount(n)
+              writer.writeBatch()
+              addRows(n.toLong)
+            }
+            writer.end()
+          } finally { writer.close(); out.close() }
+        } finally root.close()
+      } finally allocator.close()
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      committed = true
+    } finally {
+      if (!committed) java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 
   def fromArrowIpc(spark: org.apache.spark.sql.SparkSession,

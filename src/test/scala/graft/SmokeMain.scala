@@ -345,6 +345,17 @@ object SmokeMain {
         case e: IllegalArgumentException =>
           println("arrow big-cap guard: " + firstLine(e).take(60))
       }
+      // round-12: distributed Arrow export through the refactored
+      // per-partition writer (task-commit protocol path)
+      val expDir = java.nio.file.Files.createTempDirectory("smoke_arrow_").toString
+      val expDf = spark.read.parquet(s"$sf/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+        .repartition(3)
+      val written = graft.api.ArrowExport.writeArrowIpcFiles(expDf, expDir, batchRows = 7)
+      val parts = new java.io.File(expDir).listFiles().filter(_.getName.endsWith(".arrow"))
+      val back = parts.map(f => graft.api.ArrowExport.fromArrowIpc(spark,
+        java.nio.file.Files.readAllBytes(f.toPath))).reduce(_ unionByName _)
+      println(s"arrow export files=${parts.length} rows=$written readBack=${back.count()}")
     }
 
     spark.stop()

@@ -263,6 +263,61 @@ class TableApiSpec extends GraftSuite {
     assert(back.filter(col("s") === "row77").count() == 1L)
   }
 
+  test("writeArrowIpcFiles task-commit: duplicate and mid-write-failed attempts leave one clean committed file") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrow_retry_").toString
+    val schema = StructType(Seq(
+      StructField("x", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    def rows: Iterator[org.apache.spark.sql.Row] =
+      (1L to 250L).iterator.map(i => org.apache.spark.sql.Row(i, s"row$i"))
+    def listing: (Seq[String], Seq[String]) = {
+      val all = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      (all.filter(_.endsWith(".arrow")), all.filterNot(_.endsWith(".arrow")))
+    }
+
+    // attempt 0 dies mid-write (iterator throws after the first batch):
+    // nothing commits, and the attempt-private temp is cleaned up
+    var failedAttemptAdds = 0L
+    val dying = rows.map { r =>
+      if (r.getLong(0) == 150L) sys.error("simulated executor death")
+      r
+    }
+    intercept[RuntimeException] {
+      graft.api.ArrowExport.writePartitionFile(schema, dying, dir,
+        pid = 0, attemptId = 0L, batchRows = 100, failedAttemptAdds += _)
+    }
+    val (afterFail, tempsAfterFail) = listing
+    assert(afterFail.isEmpty, s"failed attempt committed a file: $afterFail")
+    assert(tempsAfterFail.isEmpty, s"failed attempt leaked temps: $tempsAfterFail")
+    // the failed attempt DID add its completed batch locally — Spark's
+    // accumulator protocol discards a failed task's adds, which is what
+    // keeps the job counter exact
+    assert(failedAttemptAdds == 100L)
+
+    // attempt 1 succeeds: one committed file, readable, counted once
+    var adds1 = 0L
+    graft.api.ArrowExport.writePartitionFile(schema, rows, dir,
+      pid = 0, attemptId = 1L, batchRows = 100, adds1 += _)
+    // a speculative duplicate (attempt 2) also succeeds: last-rename-wins
+    var adds2 = 0L
+    graft.api.ArrowExport.writePartitionFile(schema, rows, dir,
+      pid = 0, attemptId = 2L, batchRows = 100, adds2 += _)
+    val (committed, temps) = listing
+    assert(committed == Seq("part-0.arrow"),
+      s"expected exactly one committed file, got $committed")
+    assert(temps.isEmpty, s"temp residue after duplicate attempts: $temps")
+    assert(adds1 == 250L && adds2 == 250L,
+      "each successful attempt reports the full partition row count; " +
+        "Spark applies exactly one successful attempt's adds")
+    // the committed stream is complete and internally consistent
+    val back = graft.api.ArrowExport.fromArrowIpc(spark,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/part-0.arrow")))
+    assert(back.count() == 250L)
+    assert(back.agg(sum(col("x"))).head.getLong(0) == 250L * 251L / 2L)
+  }
+
   test("toArrowIpc refuses results over the driver-materialization cap") {
     import spark.implicits._
     val six = (1L to 6L).toDF("x")
