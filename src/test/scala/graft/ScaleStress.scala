@@ -118,7 +118,7 @@ object ScaleStress {
     buildScaled(spark, 10, Sf1)
 
   /** Derive a copies-x corpus (idempotent: skipped when already on disk). */
-  private def buildScaled(spark: SparkSession, copies: Int,
+  private[graft] def buildScaled(spark: SparkSession, copies: Int,
                           outDir: String): Unit = {
     if (new java.io.File(s"$outDir/_DONE").exists()) return
     println(s"STRESS building derived corpus (${copies}x sf0.1) -> $outDir ...")
