@@ -256,6 +256,23 @@ object Table {
       Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
     if (graft.sql.AsOfSql.detect(q))
       apply(graft.sql.AsOfSql.run(spark, q, spark.table))
-    else apply(spark.sql(q))
+    else Dialect.splitQualify(q) match {
+      // same QUALIFY lowering as Table.sql — the rewrite needs no
+      // receiver schema, and the FROM names are session views already,
+      // so no bind step is needed for the inner query
+      case Some((inner, tail)) =>
+        val out = spark.sql(inner)
+        val filtered = out.filter(out.col("__qualify__")).drop("__qualify__")
+        val fin =
+          if (tail.isEmpty) filtered
+          else bindLock.synchronized {
+            filtered.createOrReplaceTempView("__qualified__")
+            val o = spark.sql(s"SELECT * FROM __qualified__ $tail")
+            o.queryExecution.assertAnalyzed()
+            o
+          }
+        apply(fin)
+      case None => apply(spark.sql(q))
+    }
   }
 }

@@ -45,28 +45,40 @@ object AsOf {
 
     val leftCols = left.columns.toSeq
     val vPrefixed = valueCols.map(v => s"asof_$v")
-    val rightTimeType = right.schema(rightTimeCol).dataType
+
+    // the right payload travels as ONE struct (all value columns + the
+    // matched time), so a single last(ignoreNulls) carries the nearest
+    // right ROW wholesale — per-column last() would let a null in one
+    // right column fall through to an OLDER right row and emit a match
+    // mixing columns from different rows. The struct is null exactly on
+    // left-tagged rows (and never on right rows, whatever their fields),
+    // so ignoreNulls skips left rows only.
+    val rPayload = struct(
+      (valueCols.map(v => col(v).as(s"v_$v")) :+
+        col(rightTimeCol).as("__mt")): _*)
+    val payloadType = right.select(rPayload.as("p")).schema("p").dataType
 
     // align both sides on one schema: left payload + nullable right payload
-    // (+ the matched right TIME itself, carried for the tolerance check)
     val lTagged = left
       .withColumn("__t", col(leftTimeCol))
       .withColumn("__side", lit(1))
       .withColumn("__rid", lit(null).cast("long"))
       .select(
         (Seq(col(keyCol).as("__k"), col("__t"), col("__side"), col("__rid")) ++
-          leftCols.map(c => col(c)) ++
-          valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(s"__v_$v")) :+
-          lit(null).cast(rightTimeType).as("__v___mt")): _*)
+          leftCols.map(c => col(c)) :+
+          lit(null).cast(payloadType).as("__p")): _*)
     val rTagged = right
+      // a null right TIME can satisfy no inequality (SQL comparison with
+      // NULL is never true) and would otherwise sort to the timeline's
+      // edge and shadow real matches — drop such rows up front
+      .filter(col(rightTimeCol).isNotNull)
       .withColumn("__t", col(rightTimeCol))
       .withColumn("__side", lit(0))
       .withColumn("__rid", col(rightIdCol).cast("long"))
       .select(
         (Seq(col(keyCol).as("__k"), col("__t"), col("__side"), col("__rid")) ++
-          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          valueCols.map(v => col(v).as(s"__v_$v")) :+
-          col(rightTimeCol).as("__v___mt")): _*)
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          rPayload.as("__p")): _*)
 
     // strict: left sorts BEFORE same-time right rows (side desc), so the
     // running last() cannot see a same-instant right row; non-strict: the
@@ -81,12 +93,18 @@ object AsOf {
     val carryCols = valueCols :+ "__mt"
     val carried = lTagged.unionByName(rTagged)
       .select(
-        (Seq(col("__side")) ++
-          leftCols.map(col) ++
-          carryCols.map(v => last(col(s"__v_$v"), ignoreNulls = true).over(w)
-            .as(s"asof_$v"))): _*)
+        (Seq(col("__side"), col("__t").as("__lt")) ++
+          leftCols.map(col) :+
+          last(col("__p"), ignoreNulls = true).over(w).as("__p")): _*)
 
     val onlyLeft = carried.filter(col("__side") === 1)
+      // a null LEFT time likewise compares false against every right
+      // time — such rows are unmatched by definition (DuckDB agrees)
+      .withColumn("__p", when(col("__lt").isNotNull, col("__p")))
+      .select(
+        (leftCols.map(col) ++
+          valueCols.map(v => col("__p").getField(s"v_$v").as(s"asof_$v")) :+
+          col("__p").getField("__mt").as("asof___mt")): _*)
     val result = tolerance match {
       case None => onlyLeft
       case Some(tol) =>

@@ -58,11 +58,42 @@ object AsOfSql {
       strict: Boolean, direction: String,
       selectList: String, tail: String)
 
-  /** True when the statement has a top-level ASOF keyword (outside
-    * literals, quoted identifiers, comments, and parentheses).
+  /** True when the statement has a top-level `ASOF [LEFT|INNER] JOIN`
+    * (outside literals, quoted identifiers, comments, and parentheses).
+    * A bare `asof` identifier — a column or alias named asof — does NOT
+    * fire: only the keyword followed by an optional join type and JOIN
+    * routes to this translator, so `SELECT asof FROM t` runs on Spark
+    * SQL unchanged.
     */
-  def detect(sql: String): Boolean =
-    Dialect.findTopLevelKeyword(sql, 0, "asof") >= 0
+  def detect(sql: String): Boolean = {
+    val masked = Dialect.stripLiterals(sql)
+    var i = Dialect.findTopLevelKeyword(sql, 0, "asof")
+    while (i >= 0) {
+      var j = i + 4
+      while (j < masked.length && Character.isWhitespace(masked.charAt(j))) j += 1
+      // skip any join-type keywords between ASOF and JOIN — LEFT/INNER
+      // are the supported kinds, the rest still route here so parse()
+      // can reject them with the ASOF-specific error
+      var skipped = true
+      while (skipped) {
+        skipped = false
+        for (kind <- Seq("left", "inner", "right", "full", "outer",
+          "cross", "semi", "anti"))
+          if (!skipped && masked.regionMatches(true, j, kind, 0, kind.length) &&
+            (j + kind.length >= masked.length ||
+              !isIdentChar(masked.charAt(j + kind.length)))) {
+            j += kind.length
+            while (j < masked.length && Character.isWhitespace(masked.charAt(j))) j += 1
+            skipped = true
+          }
+      }
+      if (masked.regionMatches(true, j, "join", 0, 4) &&
+        (j + 4 >= masked.length || !isIdentChar(masked.charAt(j + 4))))
+        return true
+      i = Dialect.findTopLevelKeyword(sql, i + 4, "asof")
+    }
+    false
+  }
 
   /** Parse and execute; `resolve` maps a table name from the statement to
     * its DataFrame (a single-table facade passes `_ => df`, a session
@@ -99,7 +130,15 @@ object AsOfSql {
     // (events.user_id = orders.o_custkey)
     val lNorm = lDf.withColumn("__asof_k",
       struct(spec.keys.zipWithIndex.map { case ((lk, _), i) => col(lk).as(s"k$i") }: _*))
-    val rNorm = rDf
+    // SQL equality never matches NULL (`l.k = r.k` is NULL, not true),
+    // but the struct shuffle key compares null fields EQUAL — so drop
+    // right rows with any null key column (they can match nothing).
+    // Null-key LEFT rows then group with no right rows at all and come
+    // out unmatched, exactly DuckDB's answer, with no extra pass.
+    val rNonNullKeys = spec.keys
+      .map { case (_, rk) => col(rk).isNotNull }
+      .reduce(_ && _)
+    val rNorm = rDf.filter(rNonNullKeys)
       .withColumn("__asof_k",
         struct(spec.keys.zipWithIndex.map { case ((_, rk), i) => col(rk).as(s"k$i") }: _*))
       // ties are unspecified (doc above): a constant id keeps AsOf.join's

@@ -451,24 +451,44 @@ object Dialect {
     * (newlines kept so line structure survives), everything else passes
     * through at the same offset. Scanners match on the masked view and
     * slice the original by the same indices.
+    *
+    * Quote/comment grammar tracked (matching Spark's parser, which also
+    * covers the DuckDB oracle texts we share): backslash escapes a
+    * following character inside '…' and "…" (Spark's default
+    * escapedStringLiterals=false), `''` doubling stays inside the
+    * literal (open/close collapse keeps the mask correct), and `/* */`
+    * block comments NEST (both Spark ≥3.0 and DuckDB nest them). A
+    * lone trailing backslash masks itself and ends with the string
+    * still open — same recovery as any unterminated literal.
     */
-  private[sql] def stripLiterals(sql: String): String = {
+  private[graft] def stripLiterals(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var i = 0
     val n = sql.length
     var state = 0 // 0 code, 1 '…', 2 "…", 3 `…`, 4 -- line, 5 /* block
+    var commentDepth = 0
     while (i < n) {
       val c = sql.charAt(i)
       state match {
-        case 1 => if (c == '\'') state = 0; out.append(' '); i += 1
-        case 2 => if (c == '"') state = 0; out.append(' '); i += 1
+        case 1 | 2 =>
+          val close = if (state == 1) '\'' else '"'
+          if (c == '\\' && i + 1 < n) {
+            out.append("  "); i += 2 // escaped char stays inside the literal
+          } else {
+            if (c == close) state = 0
+            out.append(' '); i += 1
+          }
         case 3 => if (c == '`') state = 0; out.append(' '); i += 1
         case 4 =>
           if (c == '\n') { state = 0; out.append('\n') } else out.append(' ')
           i += 1
         case 5 =>
           if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
-            state = 0; out.append("  "); i += 2
+            commentDepth -= 1
+            if (commentDepth == 0) state = 0
+            out.append("  "); i += 2
+          } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+            commentDepth += 1; out.append("  "); i += 2
           } else { out.append(if (c == '\n') '\n' else ' '); i += 1 }
         case _ => c match {
           case '\'' => state = 1; out.append(' '); i += 1
@@ -477,7 +497,7 @@ object Dialect {
           case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
             state = 4; out.append("  "); i += 2
           case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
-            state = 5; out.append("  "); i += 2
+            state = 5; commentDepth = 1; out.append("  "); i += 2
           case _ => out.append(c); i += 1
         }
       }

@@ -161,4 +161,72 @@ class AsOfSqlSpec extends GraftSuite {
       .toDF.collect().map(_.getLong(0))
     assert(got.toSeq == Seq(0L, 1L, 2L))
   }
+
+  test("NULL join keys never match (SQL equality semantics, DuckDB parity)") {
+    // right rows with a null key are unmatchable; left rows with a null
+    // key are unmatched (kept with nulls under LEFT, dropped under inner)
+    val tn = Seq(
+      (1L, Option("a"), 100L),
+      (2L, Option.empty[String], 100L) // null key
+    ).toDF("trade_id", "sym", "t")
+    val qn = Seq(
+      (10L, Option("a"), 50L, 9.5),
+      (11L, Option.empty[String], 50L, 1.0) // null key: must match NOTHING
+    ).toDF("quote_id", "sym", "qt", "bid")
+    tn.createOrReplaceTempView("tn")
+    qn.createOrReplaceTempView("qn")
+    val left = Table.sessionSql(spark,
+      """SELECT l.trade_id, r.quote_id AS qid FROM tn l ASOF LEFT JOIN qn r
+         ON l.sym = r.sym AND l.t >= r.qt ORDER BY l.trade_id""").toDF
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(left.toSeq == Seq((1L, 10L), (2L, -1L)),
+      "null-key left row must be unmatched; null-key right row must match nothing")
+    val inner = Table.sessionSql(spark,
+      """SELECT l.trade_id FROM tn l ASOF JOIN qn r
+         ON l.sym = r.sym AND l.t >= r.qt""").toDF
+      .collect().map(_.getLong(0))
+    assert(inner.toSeq == Seq(1L), "inner ASOF drops the null-key left row")
+  }
+
+  test("null right-side fields: the carry is one consistent row, null time matches nothing") {
+    // quote 21 has a null bid; the old per-column carry would pair
+    // quote 21's id with quote 20's bid — the struct carry must emit
+    // quote 21's own (id, null bid). Quote 22 has a null TIME and must
+    // be invisible to matching entirely.
+    val tv = Seq((1L, "a", 300L)).toDF("trade_id", "sym", "t")
+    val qv = Seq(
+      (20L, Option("a"), Option(100L), Option(9.5)),
+      (21L, Option("a"), Option(200L), Option.empty[Double]), // null value col
+      (22L, Option("a"), Option.empty[Long], Option(99.9))    // null time
+    ).toDF("quote_id", "sym", "qt", "bid")
+    tv.createOrReplaceTempView("tv")
+    qv.createOrReplaceTempView("qv")
+    val row = Table.sessionSql(spark,
+      """SELECT l.trade_id, r.quote_id AS qid, r.bid AS b
+         FROM tv l ASOF JOIN qv r
+         ON l.sym = r.sym AND l.t >= r.qt""").toDF.collect()
+    assert(row.length == 1)
+    assert(row(0).getLong(1) == 21L, "nearest right row is quote 21")
+    assert(row(0).isNullAt(2),
+      "quote 21's null bid must stay null, not borrow quote 20's bid")
+  }
+
+  test("a column named asof does not route to the translator") {
+    Seq((1L, "x")).toDF("asof", "s").createOrReplaceTempView("asof_t")
+    val viaSession = Table.sessionSql(spark,
+      "SELECT asof FROM asof_t WHERE asof = 1").toDF.collect()
+    assert(viaSession.map(_.getLong(0)).toSeq == Seq(1L))
+    val viaTable = Table(Seq((2L, "y")).toDF("asof", "s"))
+      .sql("SELECT asof, s FROM t WHERE asof = 2").toDF.collect()
+    assert(viaTable.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("sessionSql supports QUALIFY (dialect parity with Table.sql)") {
+    trades.createOrReplaceTempView("trades")
+    val got = Table.sessionSql(spark,
+      """SELECT trade_id, sym, px FROM trades
+         QUALIFY row_number() OVER (PARTITION BY sym ORDER BY t DESC) = 1
+         ORDER BY sym""").toDF.collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L, 4L), "latest trade per symbol")
+  }
 }

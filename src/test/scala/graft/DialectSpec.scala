@@ -157,6 +157,33 @@ class DialectSpec extends AnyFunSuite {
     assert(inner.contains("__qualify__"))
   }
 
+  test("stripLiterals: backslash escapes and nested block comments (documented contract)") {
+    def mask(s: String): String = Dialect.stripLiterals(s)
+    // `'it\'s'` is ONE literal (Spark's default escaped-string parsing);
+    // the escaped quote must not end the mask early and expose ` from`
+    val src = "select 'it\\'s from x' as s from t"
+    val esc = mask(src)
+    assert(esc.length == src.length, "mask must be length-preserving")
+    assert(esc.contains(" as s from t"))
+    assert(!esc.contains("from x"))
+    // the keyword scanner consequently sees only the REAL from
+    assert(Dialect.firstFromTable("select 'it\\'s from x' as s from t")
+      .contains("t"))
+    // '' doubling stays inside the literal content-wise
+    assert(Dialect.firstFromTable("select 'a''b from x' from t2").contains("t2"))
+    // backslash escape inside double quotes too
+    assert(Dialect.firstFromTable("select \"a\\\" from x\" from t3").contains("t3"))
+    // nested block comments: /* /* */ */ is ONE comment on both engines;
+    // the inner close must not drop the scanner back into code state
+    val nested = "select k from t4 /* outer /* inner */ still comment from x */ where k > 0"
+    assert(Dialect.firstFromTable(nested).contains("t4"))
+    assert(mask(nested).contains("where k > 0"))
+    assert(!mask(nested).contains("still"))
+    // and the QUALIFY scanner ignores keyword-laden nested comments
+    assert(Dialect.splitQualify(
+      "select k from t /* a /* qualify rn=1 */ b */ where k > 1").isEmpty)
+  }
+
   test("expandStarExclude: all occurrences, backticked and quoted names") {
     val cols = Seq("doc_id", "text", "lang")
     // every occurrence is rewritten, not just the first (UNION arms)
