@@ -1413,6 +1413,19 @@ object SparkEntry {
               AND e.ts < e2.ts
          ORDER BY e.event_id"""),
 
+    // derived-table SQL as-of: the right operand is a parenthesized
+    // SELECT (high-value orders only), resolved through the translator's
+    // subquery path and lowered onto the SAME union + keyed-window plan.
+    // Ties on (custkey, orderdate) are tie-invariant in the select list
+    // (matched time only), as in a06.
+    "a08_asof_sql_derived" -> multiSession(Seq("events", "orders"),
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS last_big_order
+         FROM events e ASOF LEFT JOIN
+           (SELECT o_custkey, o_orderdate FROM orders
+            WHERE o_totalprice > 150000) o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.

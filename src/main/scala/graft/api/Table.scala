@@ -48,7 +48,19 @@ final class Table private (val df: DataFrame) {
     // FROM-name-is-notional rule as below), which covers the natural
     // self-as-of; distinct-table ASOF goes through [[Table.sessionSql]].
     if (graft.sql.AsOfSql.detect(q))
-      return new Table(graft.sql.AsOfSql.run(spark, q, _ => df))
+      // table refs bind to the receiver; a derived-table operand's
+      // subquery binds the receiver to ITS FROM name first (same
+      // notional-name rule), then runs on Spark SQL
+      return new Table(graft.sql.AsOfSql.run(spark, q, _ => df,
+        Some { sub =>
+          val v = Dialect.firstFromTable(sub).getOrElse("t")
+          Table.bindLock.synchronized {
+            df.createOrReplaceTempView(v)
+            val o = spark.sql(sub)
+            o.queryExecution.assertAnalyzed()
+            o
+          }
+        }))
     Dialect.splitQualify(q) match {
       case Some((inner, tail)) => qualifiedSql(inner, tail)
       case None =>

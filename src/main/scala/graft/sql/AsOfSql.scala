@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *   ON <conjuncts> [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
   * }}}
   *
+  * Either operand may also be a parenthesized derived table
+  * `(SELECT ...) [AS] alias` — the subquery is resolved through
+  * `resolveSub` (session entry points evaluate it with Spark SQL,
+  * recursing into this translator if it is itself an ASOF statement;
+  * the single-table facade binds its receiver first).
+  *
   * The ON conjuncts are equality keys (`la.a = ra.b`, zero or more) plus
   * EXACTLY ONE inequality on the ordering columns, whose operator picks
   * the as-of direction, matching DuckDB's semantics:
@@ -49,7 +55,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOfSql {
 
-  private case class Ref(table: String, alias: String)
+  private case class Ref(table: String, alias: String,
+                         subquery: Option[String] = None)
 
   private case class Spec(
       left: Ref, right: Ref, leftJoin: Boolean,
@@ -100,10 +107,20 @@ object AsOfSql {
     * entry point passes `spark.table`).
     */
   def run(spark: SparkSession, sql: String,
-          resolve: String => DataFrame): DataFrame = {
+          resolve: String => DataFrame,
+          resolveSub: Option[String => DataFrame] = None): DataFrame = {
     val spec = parse(sql)
-    val lDf = resolve(spec.left.table)
-    val rDf = resolve(spec.right.table)
+    // derived-table operands: evaluate the subquery (recursively via
+    // this translator when it is itself an ASOF statement)
+    lazy val subEval: String => DataFrame = resolveSub.getOrElse(
+      (q: String) => if (detect(q)) run(spark, q, resolve, resolveSub)
+      else spark.sql(q))
+    def side(ref: Ref): DataFrame = ref.subquery match {
+      case Some(q) => subEval(q)
+      case None    => resolve(ref.table)
+    }
+    val lDf = side(spec.left)
+    val rDf = side(spec.right)
     val lCols = lDf.columns.toSeq
     val rCols = rDf.columns.toSeq
     spec.keys.foreach { case (lk, rk) =>
@@ -237,8 +254,10 @@ object AsOfSql {
     val (op, lt, rt) = ineq.getOrElse(throw new IllegalArgumentException(
       "ASOF JOIN needs one inequality conjunct (>=, >, <=, <) on the ordering columns"))
     require(keys.nonEmpty,
-      "keyless ASOF JOIN (no equality conjunct) is a single global sort; " +
-        "add an equality key")
+      "keyless ASOF JOIN (no equality conjunct) is a single global sort " +
+        "at scale; add an equality key to the ON clause (l.k = r.k), or " +
+        "use the graft.ops.AsOf API with an explicit constant key if a " +
+        "global timeline is genuinely intended")
     val (direction, strict) = op match {
       case ">=" => ("backward", false)
       case ">"  => ("backward", true)
@@ -252,14 +271,46 @@ object AsOfSql {
   }
 
   private def parseRef(text: String): Ref = {
-    val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-    toks match {
-      case Seq(t)                                   => Ref(t, t)
-      case Seq(t, a)                                => Ref(t, a)
-      case Seq(t, as, a) if as.equalsIgnoreCase("as") => Ref(t, a)
-      case _ => throw new IllegalArgumentException(
-        s"cannot parse ASOF table reference: '${text.trim}' " +
-          "(subqueries are not supported — name a table/view)")
+    val t = text.trim
+    if (t.startsWith("(")) {
+      // derived table: (SELECT ...) [AS] alias — find the matching close
+      // paren on the masked view so parens in literals cannot confuse it
+      val off = text.indexOf('(')
+      val masked = Dialect.stripLiterals(text)
+      var depth = 0
+      var close = -1
+      var i = off
+      while (i < masked.length && close < 0) {
+        masked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close > off,
+        s"unbalanced parentheses in ASOF table reference: '$t'")
+      val inner = text.substring(off + 1, close).trim
+      require(Dialect.findTopLevelKeyword(inner, 0, "select") >= 0,
+        s"parenthesized ASOF operand must be a SELECT subquery: '$t'")
+      val aliasToks =
+        text.substring(close + 1).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val alias = aliasToks match {
+        case Seq(a)                                   => a
+        case Seq(as, a) if as.equalsIgnoreCase("as")  => a
+        case _ => throw new IllegalArgumentException(
+          "a derived-table ASOF operand needs an alias: (SELECT ...) AS x")
+      }
+      Ref(alias, alias, Some(inner))
+    } else {
+      val toks = t.split("\\s+").toSeq.filter(_.nonEmpty)
+      toks match {
+        case Seq(tb)                                    => Ref(tb, tb)
+        case Seq(tb, a)                                 => Ref(tb, a)
+        case Seq(tb, as, a) if as.equalsIgnoreCase("as") => Ref(tb, a)
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse ASOF table reference: '$t'")
+      }
     }
   }
 

@@ -20,45 +20,27 @@ object Dialect {
     * block comments passes through untouched.
     */
   def rewrite(sql: String): String = {
+    // scan the masked view (ONE masking implementation for every
+    // dialect pass — [[stripLiterals]] owns escape and nested-comment
+    // handling), emit from the original: masked code chars sit at the
+    // same offsets, so matching on the mask and copying the original is
+    // exact
+    val m = stripLiterals(sql)
     val out = new StringBuilder(sql.length + 8)
     var i = 0
     val n = sql.length
-    var inSingle = false // '...' string literal ('' escapes)
-    var inDouble = false // "..." quoted identifier
-    var inBack = false   // `...` quoted identifier (Spark)
-    var inLine = false   // -- line comment
-    var inBlock = false  // /* */ block comment
     while (i < n) {
-      val c = sql.charAt(i)
-      if (inSingle) {
-        out.append(c); if (c == '\'') inSingle = false; i += 1
-      } else if (inDouble) {
-        out.append(c); if (c == '"') inDouble = false; i += 1
-      } else if (inBack) {
-        out.append(c); if (c == '`') inBack = false; i += 1
-      } else if (inLine) {
-        out.append(c); if (c == '\n') inLine = false; i += 1
-      } else if (inBlock) {
-        if (c == '*' && i + 1 < n && sql.charAt(i + 1) == '/') {
-          out.append("*/"); inBlock = false; i += 2
-        } else { out.append(c); i += 1 }
-      } else c match {
-        case '\'' => inSingle = true; out.append(c); i += 1
-        case '"'  => inDouble = true; out.append(c); i += 1
-        case '`'  => inBack = true; out.append(c); i += 1
-        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
-          inLine = true; out.append("--"); i += 2
-        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
-          inBlock = true; out.append("/*"); i += 2
-        case '#'  => out.append('^'); i += 1
+      m.charAt(i) match {
+        case '#' => out.append('^'); i += 1
         case 'n' | 'N'
             if i + 2 < n &&
-              (sql.charAt(i + 1) == 'p' || sql.charAt(i + 1) == 'P') &&
-              sql.charAt(i + 2) == '.' &&
-              (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
-              i + 3 < n && isIdentStart(sql.charAt(i + 3)) =>
-          out.append(c).append(sql.charAt(i + 1)).append('_'); i += 3
-        case _ => out.append(c); i += 1
+              (m.charAt(i + 1) == 'p' || m.charAt(i + 1) == 'P') &&
+              m.charAt(i + 2) == '.' &&
+              (i == 0 || !isIdentChar(m.charAt(i - 1))) &&
+              i + 3 < n && isIdentStart(m.charAt(i + 3)) =>
+          out.append(sql.charAt(i)).append(sql.charAt(i + 1)).append('_')
+          i += 3
+        case _ => out.append(sql.charAt(i)); i += 1
       }
     }
     out.toString
@@ -108,36 +90,31 @@ object Dialect {
     * replacements in parentheses.
     */
   private def substituteIdents(s: String, m: Map[String, String]): String = {
+    // masked-view scan (comment- as well as quote-aware, unlike the old
+    // inline quote tracker); identifiers are read from the original at
+    // the masked offsets
+    val mv = stripLiterals(s)
     val out = new StringBuilder(s.length + 16)
     var i = 0
-    var inSingle = false
-    var inDouble = false
-    var inBack = false
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (inSingle) { out.append(c); if (c == '\'') inSingle = false; i += 1 }
-      else if (inDouble) { out.append(c); if (c == '"') inDouble = false; i += 1 }
-      else if (inBack) { out.append(c); if (c == '`') inBack = false; i += 1 }
-      else if (c == '\'') { inSingle = true; out.append(c); i += 1 }
-      else if (c == '"') { inDouble = true; out.append(c); i += 1 }
-      else if (c == '`') { inBack = true; out.append(c); i += 1 }
-      else if (isIdentStart(c)) {
+      val c = mv.charAt(i)
+      if (isIdentStart(c)) {
         var j = i + 1
-        while (j < s.length &&
-          (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '_')) j += 1
+        while (j < mv.length &&
+          (Character.isLetterOrDigit(mv.charAt(j)) || mv.charAt(j) == '_')) j += 1
         val word = s.substring(i, j)
-        val qualified = i > 0 && s.charAt(i - 1) == '.'
-        val isQualifier = j < s.length && s.charAt(j) == '.'
+        val qualified = i > 0 && mv.charAt(i - 1) == '.'
+        val isQualifier = j < mv.length && mv.charAt(j) == '.'
         var k = j
-        while (k < s.length && s.charAt(k).isWhitespace) k += 1
-        val isCall = k < s.length && s.charAt(k) == '('
+        while (k < mv.length && mv.charAt(k).isWhitespace) k += 1
+        val isCall = k < mv.length && mv.charAt(k) == '('
         m.get(word.toLowerCase) match {
           case Some(expr) if !qualified && !isQualifier && !isCall =>
             out.append('(').append(expr).append(')')
           case _ => out.append(word)
         }
         i = j
-      } else { out.append(c); i += 1 }
+      } else { out.append(s.charAt(i)); i += 1 }
     }
     out.toString
   }
@@ -151,24 +128,20 @@ object Dialect {
     */
   def orderByNullsLast(sql: String): String = {
     val s = sql
+    // scan the masked view: an ORDER BY inside a literal, a quoted
+    // identifier, or a comment is content, not a sort clause
+    val masked = stripLiterals(s)
     var i = 0
     var depth = 0
-    var inSingle = false
-    var inDouble = false
     var obStart = -1 // index just after the last top-level ORDER BY
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inSingle) { if (c == '\'') inSingle = false; i += 1 }
-      else if (inDouble) { if (c == '"') inDouble = false; i += 1 }
-      else c match {
-        case '\'' => inSingle = true; i += 1
-        case '"'  => inDouble = true; i += 1
+    while (i < masked.length) {
+      masked.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case 'o' | 'O' if depth == 0 &&
-            s.regionMatches(true, i, "order", 0, 5) &&
-            (i == 0 || !s.charAt(i - 1).isLetterOrDigit) =>
-          val rest = s.substring(i + 5)
+            masked.regionMatches(true, i, "order", 0, 5) &&
+            (i == 0 || !masked.charAt(i - 1).isLetterOrDigit) =>
+          val rest = masked.substring(i + 5)
           val m = "^\\s+by\\s".r.findFirstIn(rest.toLowerCase)
           if (m.isDefined) { obStart = i + 5 + m.get.length; i = obStart }
           else i += 5
@@ -184,10 +157,17 @@ object Dialect {
     }
     val items = splitTopLevel(s.substring(obStart, end))
     val rewritten = items.map { it =>
-      if ("(?i)\\bnulls\\b".r.findFirstIn(it).isDefined) it
+      // the NULLS check likewise looks at code, not literal/comment text
+      // (items never start mid-literal: splits happen on the masked view)
+      val mIt = stripLiterals(it)
+      if ("(?i)\\bnulls\\b".r.findFirstIn(mIt).isDefined) it
       else {
-        val trail = it.reverse.takeWhile(_.isWhitespace).reverse
-        it.substring(0, it.length - trail.length) + " NULLS LAST" + trail
+        // insert after the last CODE character, so a trailing line
+        // comment (`k -- note`) cannot swallow the appended clause
+        val lastCode = mIt.lastIndexWhere(!_.isWhitespace)
+        if (lastCode < 0) it
+        else it.substring(0, lastCode + 1) + " NULLS LAST" +
+          it.substring(lastCode + 1)
       }
     }
     s.substring(0, obStart) + rewritten.mkString(",") + s.substring(end)
@@ -395,7 +375,7 @@ object Dialect {
     * (mirrors [[rewrite]]'s state machine; offsets are shared because
     * masking preserves length).
     */
-  private[sql] def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
+  private[graft] def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
     val m = stripLiterals(s)
     var i = from
     var depth = 0

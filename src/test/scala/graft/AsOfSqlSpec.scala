@@ -136,7 +136,10 @@ class AsOfSqlSpec extends GraftSuite {
     val kl = intercept[IllegalArgumentException] {
       runSession("SELECT tr.trade_id FROM trades tr ASOF JOIN quotes q ON tr.t >= q.qt")
     }
+    // UX golden: the rejection tells the user both escape hatches
     assert(kl.getMessage.contains("keyless"))
+    assert(kl.getMessage.contains("add an equality key to the ON clause"))
+    assert(kl.getMessage.contains("graft.ops.AsOf API"))
     val di = intercept[IllegalArgumentException] {
       runSession("""SELECT tr.trade_id FROM trades tr ASOF JOIN quotes q
         ON tr.sym = q.sym AND tr.t >= q.qt AND tr.t < q.qt""")
@@ -228,5 +231,46 @@ class AsOfSqlSpec extends GraftSuite {
          QUALIFY row_number() OVER (PARTITION BY sym ORDER BY t DESC) = 1
          ORDER BY sym""").toDF.collect().map(_.getLong(0))
     assert(got.toSeq == Seq(2L, 3L, 4L), "latest trade per symbol")
+  }
+
+  test("derived-table operands: a parenthesized SELECT on either side") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    // right side derived: only quotes with bid >= 9.9 are candidates
+    val r = Table.sessionSql(spark,
+      """SELECT tr.trade_id, q.quote_id AS qid
+         FROM trades tr ASOF LEFT JOIN
+           (SELECT quote_id, sym, qt FROM quotes WHERE bid >= 9.9) q
+           ON tr.sym = q.sym AND tr.t >= q.qt
+         ORDER BY tr.trade_id""").toDF.collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+    // trade 1 (a,100): quote 10 (bid 9.5) is filtered out, quote 11
+    // (a,200) is too late -> unmatched; trade 2 (a,205): quote 11;
+    // trade 3 (b,150): quote 12 (b,150, bid 11.5) matches at >=
+    assert(r.toSeq == Seq((1L, -1L), (2L, 11L), (3L, 12L), (4L, -1L)))
+    // both sides derived
+    val both = Table.sessionSql(spark,
+      """SELECT l.trade_id, r.quote_id AS qid
+         FROM (SELECT trade_id, sym, t FROM trades WHERE sym = 'a') AS l
+           ASOF JOIN (SELECT quote_id, sym, qt FROM quotes) AS r
+           ON l.sym = r.sym AND l.t >= r.qt
+         ORDER BY l.trade_id""").toDF.collect().map(_.getLong(1))
+    assert(both.toSeq == Seq(10L, 11L))
+    // single-table facade: the subquery binds the receiver by FROM name
+    val facade = Table(quotes)
+      .sql("""SELECT a.quote_id, b.quote_id AS prev_qid
+              FROM quotes a ASOF LEFT JOIN
+                (SELECT quote_id, sym, qt FROM quotes) b
+                ON a.sym = b.sym AND a.qt > b.qt
+              ORDER BY a.quote_id""").toDF.collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+    assert(facade.toSeq ==
+      Seq((10L, -1L), (11L, 10L), (12L, -1L), (13L, 12L)))
+    // a derived table without an alias is a loud error
+    val noAlias = intercept[IllegalArgumentException] {
+      runSession("""SELECT 1 FROM trades tr ASOF JOIN
+        (SELECT sym, qt FROM quotes) ON tr.sym = q.sym AND tr.t >= q.qt""")
+    }
+    assert(noAlias.getMessage.contains("needs an alias"))
   }
 }

@@ -134,3 +134,93 @@ object JaccardSortedProps extends Properties("JaccardSorted") {
       else got == (sa & sb).size.toDouble / union
     }
 }
+
+/** Corpus fuzz for the SQL-dialect scanners (round-12 directed item):
+  * every oracle statement in the 282-query driver corpus, with its
+  * literal/comment CONTENT replaced by keyword-laden junk or with
+  * comments injected at arbitrary whitespace, must scan and rewrite
+  * IDENTICALLY outside the masked regions. This is the contract that
+  * makes `AsOfSql.detect`, QUALIFY splitting, `* EXCLUDE/RENAME`, and
+  * nulls-last rewriting safe against adversarial literal content.
+  */
+object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
+
+  import graft.sql.{AsOfSql, Dialect}
+
+  // the full driver corpus: every oracle SQL text the dialect layer may
+  // be pointed at (DuckDB-flavored, includes the same-text ASOF queries)
+  private val corpus: Seq[String] =
+    SparkEntry.oracleSql.values.toSeq.sorted
+  require(corpus.size > 200, s"corpus unexpectedly small: ${corpus.size}")
+
+  // junk spells the scanner keywords when read in runs; it contains NO
+  // quote / backslash / slash / star characters, so literal and comment
+  // boundaries cannot move
+  private val junkAlphabet = "qualifyorderbyasofjoinexclude(),_"
+
+  /** The query with every masked letter/digit (literal or comment
+    * content) replaced by junk — length- and structure-preserving.
+    */
+  private def junked(q: String, salt: Int): String = {
+    val m = Dialect.stripLiterals(q)
+    val sb = new StringBuilder(q)
+    var i = 0
+    while (i < q.length) {
+      if (m.charAt(i) == ' ' && q.charAt(i).isLetterOrDigit)
+        sb.setCharAt(i, junkAlphabet((i + salt) % junkAlphabet.length))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val qAndSalt = Gen.zip(Gen.oneOf(corpus), Gen.chooseNum(0, 1000))
+
+  property("masked-content junk never changes the masked view or any scan") =
+    forAll(qAndSalt) { case (q, salt) =>
+      val j = junked(q, salt)
+      Dialect.stripLiterals(j) == Dialect.stripLiterals(q) &&
+        Dialect.firstFromTable(j) == Dialect.firstFromTable(q) &&
+        AsOfSql.detect(j) == AsOfSql.detect(q) &&
+        Seq("qualify", "order", "asof", "from", "limit", "where").forall(kw =>
+          Dialect.findTopLevelKeyword(j, 0, kw) ==
+            Dialect.findTopLevelKeyword(q, 0, kw))
+    }
+
+  property("rewrites are identical outside the masked regions") =
+    forAll(qAndSalt) { case (q, salt) =>
+      val j = junked(q, salt)
+      def maskedEq(a: String, b: String): Boolean =
+        Dialect.stripLiterals(a) == Dialect.stripLiterals(b)
+      val sq = Dialect.splitQualify(q)
+      val sj = Dialect.splitQualify(j)
+      maskedEq(Dialect.rewrite(j), Dialect.rewrite(q)) &&
+        maskedEq(Dialect.aliasesIntoWhere(j), Dialect.aliasesIntoWhere(q)) &&
+        maskedEq(Dialect.orderByNullsLast(j), Dialect.orderByNullsLast(q)) &&
+        (sq.isDefined == sj.isDefined) &&
+        sq.zip(sj).forall { case ((iq, tq), (ij, tj)) =>
+          maskedEq(iq, ij) && maskedEq(tq, tj)
+        }
+    }
+
+  // a block comment is structure-safe at ANY offset: in code it is a new
+  // comment, inside a literal it is content, inside a comment it nests
+  private val blockToken = "/* qualify asof join order by `x` */"
+
+  property("an injected comment at any whitespace never changes a scan") =
+    forAll(qAndSalt) { case (q, salt) =>
+      val spaces = q.indices.filter(q.charAt(_) == ' ')
+      val pos = if (spaces.isEmpty) q.length else spaces(salt % spaces.size)
+      val j = q.substring(0, pos) + blockToken + q.substring(pos)
+      Dialect.firstFromTable(j) == Dialect.firstFromTable(q) &&
+        AsOfSql.detect(j) == AsOfSql.detect(q) &&
+        Dialect.splitQualify(j).isDefined == Dialect.splitQualify(q).isDefined
+    }
+
+  property("a trailing line comment (with an unbalanced quote) never changes a scan") =
+    forAll(Gen.oneOf(corpus)) { q =>
+      val j = q + "\n-- it's a trap: qualify asof join order by limit"
+      Dialect.firstFromTable(j) == Dialect.firstFromTable(q) &&
+        AsOfSql.detect(j) == AsOfSql.detect(q) &&
+        Dialect.splitQualify(j).isDefined == Dialect.splitQualify(q).isDefined
+    }
+}
