@@ -69,12 +69,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // 960: the full 191-query set takes ~430s cold on a contended driver
-    // box, so 480 left room for only ONE pass — every recorded number was
-    // a single cold sample and the r8 q14/ap02 "14x regressions" were
-    // contention spikes min-of-passes would have absorbed (they measure
-    // 3.9s/3.8s quiet). Two passes need ~900s.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "960").toDouble
+    // 1500: at 283 queries a cold pass runs ~400-450s and warm passes
+    // ~270s, so 960 was down to TWO passes by round 11 — and min-of-2
+    // has visibly less contention immunity than min-of-3 (the r11 run's
+    // unchanged-code queries drifted +15%). The floor below guarantees
+    // minPasses complete regardless; the budget only gates passes beyond
+    // it, so a contended box still can't stretch the bench unboundedly.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val minPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_PASSES", "3").toInt
+      .max(1).min(reps)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -118,12 +121,12 @@ object Bench {
     val times = collection.mutable.Map.empty[String, List[Double]]
     var passes = 0
     var p = 0
-    while (p < reps && (p == 0 || elapsed < budgetSec)) {
+    while (p < reps && (p < minPasses || elapsed < budgetSec)) {
       var aborted = false
       val off = if (names.isEmpty) 0 else (p * names.size / reps) % names.size
       val order = names.drop(off) ++ names.take(off)
       order.foreach { n =>
-        if (p == 0 || (!aborted && elapsed < budgetSec)) {
+        if (p < minPasses || (!aborted && elapsed < budgetSec)) {
           val t = execute(n)
           if (t >= 0) times(n) = t :: times.getOrElse(n, Nil)
         } else aborted = true
