@@ -1426,6 +1426,88 @@ object SparkEntry {
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY e.event_id"""),
 
+    // snapshot diff (Cdc.diff): the insert/update/delete changelog
+    // between two keyed snapshots — ONE full-outer key join + map-side
+    // null-safe struct compare; output tracks change volume, not table
+    // size. after = before minus %17 keys, +10 cents on %5 keys, plus
+    // re-keyed inserts from %50 keys.
+    "u07_snapshot_diff" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val base = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderstatus"))
+        val after = base.filter(col("o_orderkey") % 17 =!= 0)
+          .withColumn("cents", when(col("o_orderkey") % 5 === 0,
+            col("cents") + 10L).otherwise(col("cents")))
+          .unionByName(base.filter(col("o_orderkey") % 50 === 0)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("cents"), col("o_orderstatus")))
+        graft.ops.Cdc.diff(base, after, Seq("o_orderkey"),
+            Seq("cents", "o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      """WITH b AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  o_orderstatus FROM orders),
+         a AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 5 = 0 THEN cents + 10
+                           ELSE cents END AS cents,
+                      o_orderstatus
+               FROM b WHERE o_orderkey % 17 <> 0
+               UNION ALL
+               SELECT o_orderkey + 10000000, cents, o_orderstatus
+               FROM b WHERE o_orderkey % 50 = 0)
+         SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+                CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                     WHEN a.o_orderkey IS NULL THEN 'delete'
+                     ELSE 'update' END AS op,
+                a.cents, a.o_orderstatus
+         FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+         WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+            OR b.cents <> a.cents OR b.o_orderstatus <> a.o_orderstatus
+         ORDER BY o_orderkey"""),
+
+    // STREAM-STREAM interval join (attribution: purchases within 30 min
+    // of a view, per user). Both sides watermarked; the range condition
+    // lets Spark evict buffered state once the other side's watermark
+    // passes — the only join shape that runs unboundedly. Inner rows
+    // emit as both sides arrive; the batch join is the exact oracle.
+    "st18_stream_interval_join" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        val out = graft.streaming.Events.streamingIntervalJoin(
+          views, buys, "user_id", "p_user_id", "view_ts", "p_ts",
+          windowSeconds = 1800L)
+        val sink = "st18_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.select(col("view_id"), col("purchase_id"), col("user_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("view_id"), col("purchase_id"))
+      },
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(v.ts)
+          AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+         ORDER BY view_id, purchase_id"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.

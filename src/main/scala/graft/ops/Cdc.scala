@@ -150,4 +150,38 @@ object Cdc {
         (coalesce(col("sv"), lit(0L)) + coalesce(col("__dv"), lit(0L))).as("sv"))
       .filter(col("n") > 0)
   }
+
+  /** Snapshot diff — the changelog BETWEEN two keyed snapshots: for
+    * every key, `insert` (only in `after`), `delete` (only in
+    * `before`), or `update` (in both with any `compareCols` value
+    * differing, null-safe). Keys whose compared payload is unchanged
+    * are absent from the output — the output size tracks the CHANGE
+    * volume, which is what makes diff-then-apply cheaper than rebuild.
+    *
+    * Inverse-ish of [[upsertWithDeletes]]: applying the returned ops to
+    * `before` reproduces `after` (over the compared columns).
+    *
+    * Scale shape: one full-outer equi-join on the key (both sides
+    * shuffle once on the key; AQE picks broadcast when a side is small)
+    * and a map-side struct comparison — no window, no collect. Both
+    * snapshots must be keyed (at most one row per key), the usual
+    * snapshot contract.
+    */
+  def diff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+           compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val b = before.select(
+      (keyCols.map(col) :+ struct(compareCols.map(col): _*).as("__b")): _*)
+    val a = after.select(
+      (keyCols.map(col) :+ struct(compareCols.map(col): _*).as("__a")): _*)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__b").isNull, lit("insert"))
+          .when(col("__a").isNull, lit("delete"))
+          .when(!(col("__b") <=> col("__a")), lit("update")))
+      .filter(col("op").isNotNull)
+      .select((keyCols.map(col) :+ col("op")) ++
+        compareCols.map(c => col("__a").getField(c).as(c)): _*)
+  }
 }

@@ -600,6 +600,48 @@ object Events {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(claim)
   }
 
+  /** STREAM-STREAM interval join: every left event joined to the right
+    * events of the same key whose time falls in
+    * `[leftTime, leftTime + windowSeconds]` — the attribution join
+    * (view -> purchases within the window) as two live streams, the one
+    * join shape Structured Streaming can run unboundedly.
+    *
+    * Both sides carry a watermark, and the join condition bounds the
+    * time range — together they let Spark EVICT buffered rows once the
+    * other side's watermark passes their window, so state is
+    * O(events inside the watermark delay) per side, not
+    * events-ever-seen. Inner-join rows emit as soon as both sides have
+    * arrived; nothing waits for window close.
+    *
+    * Contracts: both time columns must be TIMESTAMP-typed event time,
+    * with DISTINCT names (rename before calling — the joined row carries
+    * both), and the key columns distinct likewise. At 100 TB the state
+    * bound is the product of watermark delay and per-key arrival rate —
+    * the knob is the delay, same as every stateful family here. The
+    * delay must also cover the FEED's disorder on replay (files admit
+    * in arbitrary order — st13's rule), and an event AT exactly epoch 0
+    * equals the initial watermark and is input-filtered as late (probed;
+    * real corpora never sit at epoch zero).
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            leftKeyCol: String, rightKeyCol: String,
+                            leftTimeCol: String, rightTimeCol: String,
+                            windowSeconds: Long,
+                            watermark: String = "31 days"): DataFrame = {
+    require(leftTimeCol != rightTimeCol,
+      "rename one time column: the joined row carries both")
+    require(leftKeyCol != rightKeyCol,
+      "rename one key column: the joined row carries both")
+    val l = left.withWatermark(leftTimeCol, watermark)
+    val r = right.withWatermark(rightTimeCol, watermark)
+    l.join(r,
+      col(leftKeyCol) === col(rightKeyCol) &&
+        col(rightTimeCol) >= col(leftTimeCol) &&
+        col(rightTimeCol) <=
+          col(leftTimeCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "inner")
+  }
+
   /** Per-document near-dup verdict over [[streamingNearDupFlags]]: a doc
     * is flagged when ANY of its band buckets was already owned (the
     * aggressive drop-on-first-collision setting; collided_bands lets

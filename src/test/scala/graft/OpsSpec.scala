@@ -208,6 +208,90 @@ class OpsSpec extends GraftSuite {
     ()
   }
 
+  test("Cdc.diff: insert/delete/update changelog, null-safe compare, unchanged rows absent") {
+    val before = Seq(
+      (1L, Option("a"), 10L),
+      (2L, Option("b"), 20L),
+      (3L, Option.empty[String], 30L), // null payload field
+      (4L, Option("d"), 40L)
+    ).toDF("k", "v", "n")
+    val after = Seq(
+      (1L, Option("a"), 10L),          // unchanged -> absent
+      (2L, Option("B"), 20L),          // update (v changed)
+      (3L, Option.empty[String], 30L), // null == null (null-safe) -> absent
+      (5L, Option("e"), 50L)           // insert; 4 deleted
+    ).toDF("k", "v", "n")
+    val out = graft.ops.Cdc.diff(before, after, Seq("k"), Seq("v", "n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+    assert(out == Map(
+      2L -> (("update", Some("B"))),
+      4L -> (("delete", None)),       // delete carries null after-payload
+      5L -> (("insert", Some("e")))))
+    // applying the changelog to `before` reproduces `after`
+    val applied = graft.ops.Cdc.upsertWithDeletes(
+      before.withColumn("ver", lit(0L)),
+      graft.ops.Cdc.diff(before, after, Seq("k"), Seq("v", "n"))
+        .withColumn("ver", lit(1L))
+        .withColumn("deleted", col("op") === "delete").drop("op"),
+      Seq("k"), "ver", "deleted")
+      .select("k", "v", "n").collect().map(_.toSeq).toSet
+    assert(applied == after.collect().map(_.toSeq).toSet)
+  }
+
+  test("streamingIntervalJoin equals the batch interval join and bounds state by watermark") {
+    val dirIn = "target/tmp/stjoin_feed"
+    val h = 3600L * 1000000L
+    val base = 1000L * h // an event AT epoch 0 == the initial watermark is input-filtered as late
+    // left (views) at hours 0,1,2,5 for user 1; right (buys) scattered;
+    // window = 1 hour inclusive
+    val views = Seq((1L, 0L * h), (1L, 1L * h), (1L, 2L * h), (1L, 5L * h),
+      (2L, 1L * h)).zipWithIndex.map { case ((u, t), i) => (u, 100L + i, base + t) }
+    val buys = Seq((1L, 0L * h + h / 2), (1L, 2L * h), (1L, 6L * h + 1L),
+      (2L, 1L * h + h), (3L, 0L)).zipWithIndex
+      .map { case ((u, t), i) => (u, 200L + i, base + t) }
+    import spark.implicits._
+    val vDf = views.toDF("user_id", "view_id", "tus")
+      .select(col("user_id"), col("view_id"),
+        expr("timestamp_micros(tus)").as("view_ts"))
+    val bDf = buys.toDF("p_user_id", "purchase_id", "tus")
+      .select(col("p_user_id"), col("purchase_id"),
+        expr("timestamp_micros(tus)").as("p_ts"))
+    vDf.write.mode("overwrite").parquet(s"$dirIn/v")
+    bDf.write.mode("overwrite").parquet(s"$dirIn/b")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    val vS = s.readStream.schema(vDf.schema).parquet(s"$dirIn/v")
+    val bS = s.readStream.schema(bDf.schema).parquet(s"$dirIn/b")
+    // the delay must cover the FEED's disorder (files admit in arbitrary
+    // order, the corpus spans 6h), not just the join window — the same
+    // replay rule st13 documents; a live in-order stream would use
+    // minutes here
+    val out = graft.streaming.Events.streamingIntervalJoin(
+      vS, bS, "user_id", "p_user_id", "view_ts", "p_ts",
+      windowSeconds = 3600L, watermark = "1 day")
+    val sink = "stjoin_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = s.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (u, vid, vt) <- views
+      (bu, pid, bt) <- buys
+      if u == bu && bt >= vt && bt <= vt + h
+    } yield (vid, pid)).toSet
+    assert(got == expected, s"stream join mismatch: got $got want $expected")
+    // the plan is the symmetric-hash stream join with watermark state
+    // cleanup on both sides, not an unbounded product
+    val p = q.lastProgress
+    assert(p.stateOperators.exists(o =>
+      o.operatorName != null && o.operatorName.toLowerCase.contains("join")),
+      "no stream-stream join state operator in progress")
+  }
+
   test("keySkew matches the naive per-key ranking formula") {
     // skewed counts with heavy ties: 1 key x 60, 3 x 10, 6 x 1
     val rows = (0 until 60).map(_ => "hot") ++

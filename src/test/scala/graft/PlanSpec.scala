@@ -280,6 +280,13 @@ class PlanSpec extends GraftSuite {
       s"no broadcast join in e20 plan:\n${p.take(900)}")
   }
 
+  test("u07 snapshot diff: one keyed equi-join, no window, no cartesian") {
+    val p = planOf("u07_snapshot_diff")
+    assert(!p.contains("Window"), s"window in u07 plan:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in u07 plan:\n${p.take(900)}")
+  }
+
   test("w04 rolling range frame: one customer-keyed shuffle feeds the window") {
     val p = planOf("w04_rolling_range")
     assert(p.contains("Window"), s"no window in w04 plan:\n${p.take(600)}")
