@@ -47,12 +47,16 @@ final class Table private (val df: DataFrame) {
     // translator. Both table references bind to the receiver (the same
     // FROM-name-is-notional rule as below), which covers the natural
     // self-as-of; distinct-table ASOF goes through [[Table.sessionSql]].
-    if (graft.sql.AsOfSql.detect(q))
+    if (graft.sql.AsOfSql.detect(q)) {
       // table refs bind to the receiver; a derived-table operand's
       // subquery binds the receiver to ITS FROM name first (same
-      // notional-name rule), then runs on Spark SQL
-      return new Table(graft.sql.AsOfSql.run(spark, q, _ => df,
-        Some { sub =>
+      // notional-name rule), then runs on Spark SQL — recursing back
+      // into the translator when the subquery is itself ASOF, matching
+      // the session entry point's default
+      lazy val subResolver: String => DataFrame = sub =>
+        if (graft.sql.AsOfSql.detect(sub))
+          graft.sql.AsOfSql.run(spark, sub, _ => df, Some(subResolver))
+        else {
           val v = Dialect.firstFromTable(sub).getOrElse("t")
           Table.bindLock.synchronized {
             df.createOrReplaceTempView(v)
@@ -60,7 +64,10 @@ final class Table private (val df: DataFrame) {
             o.queryExecution.assertAnalyzed()
             o
           }
-        }))
+        }
+      return new Table(graft.sql.AsOfSql.run(spark, q, _ => df,
+        Some(subResolver)))
+    }
     Dialect.splitQualify(q) match {
       case Some((inner, tail)) => qualifiedSql(inner, tail)
       case None =>
@@ -209,6 +216,30 @@ object Table {
     */
   private[graft] val bindLock = new Object
 
+  /** QUALIFY lowering shared by [[sessionSql]] and the ASOF
+    * translator's remainder statement: split a top-level QUALIFY,
+    * run the inner query through `runInner`, filter on the appended
+    * predicate column, then apply the trailing ORDER BY / LIMIT over
+    * the filtered rows. Statements without QUALIFY pass through to
+    * `runInner` unchanged. One owner for the lowering contract so the
+    * two dialect surfaces cannot drift.
+    */
+  private[graft] def qualifyAware(spark: SparkSession, stmt: String)
+                                 (runInner: String => DataFrame): DataFrame =
+    Dialect.splitQualify(stmt) match {
+      case Some((inner, tail)) =>
+        val out = runInner(inner)
+        val filtered = out.filter(out.col("__qualify__")).drop("__qualify__")
+        if (tail.isEmpty) filtered
+        else bindLock.synchronized {
+          filtered.createOrReplaceTempView("__qualified__")
+          val o = spark.sql(s"SELECT * FROM __qualified__ $tail")
+          o.queryExecution.assertAnalyzed()
+          o
+        }
+      case None => runInner(stmt)
+    }
+
   def apply(df: DataFrame): Table = new Table(df)
 
   /** Parquet reader (reference: vinum/io/arrow.py:151-248 `read_parquet`).
@@ -268,23 +299,8 @@ object Table {
       Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
     if (graft.sql.AsOfSql.detect(q))
       apply(graft.sql.AsOfSql.run(spark, q, spark.table))
-    else Dialect.splitQualify(q) match {
-      // same QUALIFY lowering as Table.sql — the rewrite needs no
-      // receiver schema, and the FROM names are session views already,
-      // so no bind step is needed for the inner query
-      case Some((inner, tail)) =>
-        val out = spark.sql(inner)
-        val filtered = out.filter(out.col("__qualify__")).drop("__qualify__")
-        val fin =
-          if (tail.isEmpty) filtered
-          else bindLock.synchronized {
-            filtered.createOrReplaceTempView("__qualified__")
-            val o = spark.sql(s"SELECT * FROM __qualified__ $tail")
-            o.queryExecution.assertAnalyzed()
-            o
-          }
-        apply(fin)
-      case None => apply(spark.sql(q))
-    }
+    // same QUALIFY lowering as Table.sql — the rewrite needs no receiver
+    // schema, and the FROM names are session views already
+    else apply(qualifyAware(spark, q)(spark.sql))
   }
 }

@@ -90,7 +90,6 @@ object AsOf {
       .orderBy(timeOrder, sideOrder, col("__rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carryCols = valueCols :+ "__mt"
     val carried = lTagged.unionByName(rTagged)
       .select(
         (Seq(col("__side"), col("__t").as("__lt")) ++

@@ -74,7 +74,7 @@ object AsOfSql {
     */
   def detect(sql: String): Boolean = {
     val masked = Dialect.stripLiterals(sql)
-    var i = Dialect.findTopLevelKeyword(sql, 0, "asof")
+    var i = Dialect.findTopLevelKeywordIn(masked, 0, "asof")
     while (i >= 0) {
       var j = i + 4
       while (j < masked.length && Character.isWhitespace(masked.charAt(j))) j += 1
@@ -97,7 +97,7 @@ object AsOfSql {
       if (masked.regionMatches(true, j, "join", 0, 4) &&
         (j + 4 >= masked.length || !isIdentChar(masked.charAt(j + 4))))
         return true
-      i = Dialect.findTopLevelKeyword(sql, i + 4, "asof")
+      i = Dialect.findTopLevelKeywordIn(masked, i + 4, "asof")
     }
     false
   }
@@ -184,28 +184,33 @@ object AsOfSql {
     out
   }
 
-  // runs the remainder statement over the joined frame; isolated so the
-  // temp-view bind is a single synchronized step (same discipline as
-  // Table.sql's bindLock)
+  // runs the remainder statement over the joined frame, lowering a
+  // trailing QUALIFY through the shared Table.qualifyAware contract;
+  // the temp-view bind is a single synchronized step (same discipline
+  // as Table.sql's bindLock)
   private def Table_bindAndRun(spark: SparkSession, df: DataFrame,
                                view: String, stmt: String): DataFrame =
-    graft.api.Table.bindLock.synchronized {
-      df.createOrReplaceTempView(view)
-      val o = spark.sql(stmt)
-      o.queryExecution.assertAnalyzed()
-      o
+    graft.api.Table.qualifyAware(spark, stmt) { inner =>
+      graft.api.Table.bindLock.synchronized {
+        df.createOrReplaceTempView(view)
+        val o = spark.sql(inner)
+        o.queryExecution.assertAnalyzed()
+        o
+      }
     }
 
   // ---------------------------------------------------------------- parse
 
   private def parse(sql: String): Spec = {
-    val sel = Dialect.findTopLevelKeyword(sql, 0, "select")
+    // one mask for every keyword scan (offsets are mask-stable)
+    val masked = Dialect.stripLiterals(sql)
+    val sel = Dialect.findTopLevelKeywordIn(masked, 0, "select")
     require(sel >= 0, "ASOF JOIN statement must start with SELECT")
-    val from = Dialect.findTopLevelKeyword(sql, sel + 6, "from")
+    val from = Dialect.findTopLevelKeywordIn(masked, sel + 6, "from")
     require(from >= 0, "ASOF JOIN statement needs a FROM clause")
-    val asof = Dialect.findTopLevelKeyword(sql, from + 4, "asof")
+    val asof = Dialect.findTopLevelKeywordIn(masked, from + 4, "asof")
     require(asof >= 0, "no top-level ASOF keyword")
-    val join = Dialect.findTopLevelKeyword(sql, asof + 4, "join")
+    val join = Dialect.findTopLevelKeywordIn(masked, asof + 4, "join")
     require(join >= 0, "ASOF must be followed by JOIN")
     val joinKind = sql.substring(asof + 4, join).trim.toLowerCase
     val leftJoin = joinKind match {
@@ -215,11 +220,11 @@ object AsOfSql {
       case other => throw new IllegalArgumentException(
         s"unsupported ASOF join type '$other' (LEFT / INNER / default only)")
     }
-    val on = Dialect.findTopLevelKeyword(sql, join + 4, "on")
+    val on = Dialect.findTopLevelKeywordIn(masked, join + 4, "on")
     require(on >= 0, "ASOF JOIN requires an ON clause")
     var condEnd = sql.length
     for (kw <- Seq("where", "group", "having", "qualify", "order", "limit", "offset")) {
-      val i = Dialect.findTopLevelKeyword(sql, on + 2, kw)
+      val i = Dialect.findTopLevelKeywordIn(masked, on + 2, kw)
       if (i >= 0 && i < condEnd) condEnd = i
     }
     val leftRef = parseRef(sql.substring(from + 4, asof))

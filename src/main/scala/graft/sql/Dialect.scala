@@ -375,8 +375,19 @@ object Dialect {
     * (mirrors [[rewrite]]'s state machine; offsets are shared because
     * masking preserves length).
     */
-  private[graft] def findTopLevelKeyword(s: String, from: Int, kw: String): Int = {
-    val m = stripLiterals(s)
+  private[graft] def findTopLevelKeyword(s: String, from: Int, kw: String): Int =
+    findTopLevelKeywordIn(stripLiterals(s), from, kw)
+
+  /** [[findTopLevelKeyword]] over a PRECOMPUTED mask — masking preserves
+    * offsets, so callers scanning many keywords over one statement mask
+    * once and reuse it.
+    *
+    * Word boundaries are IDENTIFIER boundaries (underscore included):
+    * `qualify_flag`, `asof_trades`, `limit_price`, `group_id` must never
+    * match the keyword inside them.
+    */
+  private[graft] def findTopLevelKeywordIn(m: String, from: Int,
+                                           kw: String): Int = {
     var i = from
     var depth = 0
     while (i < m.length) {
@@ -384,13 +395,16 @@ object Dialect {
       if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (depth == 0 && m.regionMatches(true, i, kw, 0, kw.length) &&
-        (i == 0 || !m.charAt(i - 1).isLetterOrDigit) &&
-        (i + kw.length == m.length || !m.charAt(i + kw.length).isLetterOrDigit))
+        (i == 0 || !isIdentBoundaryChar(m.charAt(i - 1))) &&
+        (i + kw.length == m.length || !isIdentBoundaryChar(m.charAt(i + kw.length))))
         return i
       i += 1
     }
     -1
   }
+
+  private def isIdentBoundaryChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
 
   /** Comma split at paren depth 0, depth/comma decisions taken on the
     * masked view (commas inside literals, quoted identifiers or comments

@@ -273,4 +273,58 @@ class AsOfSqlSpec extends GraftSuite {
     }
     assert(noAlias.getMessage.contains("needs an alias"))
   }
+
+  test("snake_case identifiers containing keywords never confuse the scanners") {
+    // qualify_flag / asof_trades / limit_price / group_id all contain a
+    // keyword at an identifier boundary that is an underscore — the
+    // masked-view scanners must use IDENT boundaries, not letter/digit
+    import spark.implicits._
+    Seq((1L, 2L, 10L, 5L)).toDF("qualify_flag", "asof_col", "limit_price", "group_id")
+      .createOrReplaceTempView("asof_trades")
+    val r = Table.sessionSql(spark,
+      """SELECT qualify_flag, asof_col, group_id FROM asof_trades
+         WHERE group_id = 5 ORDER BY limit_price""").toDF.collect()
+    assert(r.length == 1 && r(0).getLong(0) == 1L && r(0).getLong(1) == 2L)
+    // a table NAMED asof_trades in an actual ASOF JOIN statement
+    trades.createOrReplaceTempView("trades2")
+    Seq((1L, "a", 50L, 9.0)).toDF("quote_id", "sym", "qt", "bid")
+      .createOrReplaceTempView("asof_quotes")
+    val j = Table.sessionSql(spark,
+      """SELECT tr.trade_id, q.quote_id AS qid
+         FROM trades2 tr ASOF JOIN asof_quotes q
+         ON tr.sym = q.sym AND tr.t >= q.qt ORDER BY tr.trade_id""").toDF
+      .collect().map(_.getLong(0))
+    assert(j.toSeq == Seq(1L, 2L), "table names containing 'asof' must parse")
+  }
+
+  test("ASOF JOIN composes with QUALIFY in one statement") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    // latest trade per symbol, each with its as-of quote
+    val got = Table.sessionSql(spark,
+      """SELECT tr.trade_id, tr.sym, q.quote_id AS qid
+         FROM trades tr ASOF LEFT JOIN quotes q
+         ON tr.sym = q.sym AND tr.t >= q.qt
+         QUALIFY row_number() OVER (PARTITION BY tr.sym ORDER BY tr.t DESC) = 1
+         ORDER BY tr.sym""").toDF.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 11L), (3L, 12L), (4L, -1L)))
+  }
+
+  test("nested ASOF subquery through the single-table facade recurses") {
+    // inner ASOF (prev quote per quote) feeds the outer ASOF — the
+    // facade's sub-resolver must route the inner statement back through
+    // the translator rather than raw spark.sql
+    val out = Table(quotes).sql(
+      """SELECT a.quote_id, b.prev_qid
+         FROM quotes a ASOF LEFT JOIN
+           (SELECT x.quote_id, x.sym, x.qt, y.quote_id AS prev_qid
+            FROM quotes x ASOF LEFT JOIN quotes y
+            ON x.sym = y.sym AND x.qt > y.qt) b
+         ON a.sym = b.sym AND a.qt >= b.qt AND a.quote_id = b.quote_id
+         ORDER BY a.quote_id""").toDF.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq ==
+      Seq((10L, -1L), (11L, 10L), (12L, -1L), (13L, 12L)))
+  }
 }
