@@ -2446,6 +2446,42 @@ object SparkEntry {
                      END AS BIGINT) AS spans
          FROM o ORDER BY source, doc_id"""),
 
+    // packed-sequence SEGMENT table (Packing.packSegments): one row per
+    // (sequence, document) contact with the in-sequence token span —
+    // the cross-document attention/loss-mask metadata for packed
+    // training sequences. Same single shard-keyed window as p02 plus a
+    // map-side explode over each doc's spanned range; all-integer.
+    "p12_pack_segments" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        graft.ops.Packing.packSegments(
+            docs, "doc_id", "source",
+            graft.ops.TextAnalysis.tokenCount(col("text")), budget = 2048)
+          .orderBy(col("source"), col("seq_id"), col("seg_start"))
+      },
+      """WITH t AS (
+           SELECT source, doc_id,
+                  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n
+           FROM documents),
+         o AS (
+           SELECT source, doc_id, n,
+                  coalesce(CAST(sum(n) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                    0) AS off
+           FROM t WHERE n > 0),
+         e AS (
+           SELECT source, doc_id, n, off, u.s AS seq
+           FROM o, unnest(generate_series(off // 2048,
+                                          (off + n - 1) // 2048)) AS u(s))
+         SELECT source, CAST(seq AS BIGINT) AS seq_id, doc_id,
+                CAST(greatest(off, seq * 2048) - seq * 2048 AS BIGINT)
+                  AS seg_start,
+                CAST(least(off + n, (seq + 1) * 2048) - seq * 2048 AS BIGINT)
+                  AS seg_end
+         FROM e ORDER BY source, seq_id, seg_start"""),
+
     // BPE tokenization under a fixed merges table: per-doc subword token
     // counts (vs the regex word count) — the budget unit a training
     // pipeline actually pays in. Map-only codegen'd expression; the

@@ -99,4 +99,34 @@ object Packing {
       .select(col(shardCol), col(idCol), col("n_tokens"),
         col("bucket_len"), col("batch_id"))
   }
+
+  /** The per-sequence SEGMENT table over [[packSequences]]'s layout: one
+    * row per (sequence, document) contact, with the token span
+    * `[seg_start, seg_end)` the document occupies INSIDE that sequence —
+    * exactly the metadata a trainer needs to build cross-document
+    * attention / loss masks for packed sequences (each segment attends
+    * only to itself). A document straddling sequences contributes one
+    * row per touched sequence; empty documents contribute none; every
+    * fully-covered sequence's segments tile `[0, budget)` exactly.
+    *
+    * Scale shape: [[packSequences]]'s one shard-keyed window plus a
+    * map-side `explode` over each doc's spanned-sequence range — the
+    * fan-out is ceil(n_tokens / budget) rows per doc, i.e. output ∝
+    * corpus tokens / budget. No second shuffle.
+    */
+  def packSegments(df: DataFrame, idCol: String, shardCol: String,
+                   tokens: Column, budget: Int): DataFrame = {
+    val packed = packSequences(df, idCol, shardCol, tokens, budget)
+      .filter(col("n_tokens") > 0)
+      // global token offset reconstructs exactly (both terms integral)
+      .withColumn("__off", col("seq_id") * budget + col("seq_offset"))
+    packed
+      .withColumn("seq",
+        explode(sequence(col("seq_id"), col("seq_id") + col("spans") - 1)))
+      .select(col(shardCol), col("seq").as("seq_id"), col(idCol),
+        (greatest(col("__off"), col("seq") * budget) - col("seq") * budget)
+          .as("seg_start"),
+        (least(col("__off") + col("n_tokens"), (col("seq") + 1) * budget)
+          - col("seq") * budget).as("seg_end"))
+  }
 }

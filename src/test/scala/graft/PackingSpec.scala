@@ -58,4 +58,38 @@ class PackingSpec extends GraftSuite {
       ("a", 4L, 0L, 4L, 1L),
       ("b", 5L, 3L, 4L, 0L)))
   }
+
+  test("packSegments: segments tile every full sequence exactly and reconstruct the docs") {
+    import spark.implicits._
+    // shard A: docs of 5, 3, 9, 0, 7 tokens under budget 8 —
+    // doc 4 is empty (no segments), doc 3 straddles two sequences
+    val docs = Seq((1L, "A", 5L), (2L, "A", 3L), (3L, "A", 9L),
+      (4L, "A", 0L), (5L, "A", 7L), (10L, "B", 4L))
+      .toDF("doc_id", "shard", "n")
+    val segs = graft.ops.Packing.packSegments(
+        docs, "doc_id", "shard", col("n"), budget = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // per-doc segment lengths sum to the doc's tokens
+    val byDoc = segs.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4).sum).toMap
+    assert(byDoc(1L) == 5L && byDoc(2L) == 3L && byDoc(3L) == 9L &&
+      byDoc(5L) == 7L && byDoc(10L) == 4L)
+    assert(!byDoc.contains(4L), "empty docs contribute no segments")
+    // shard A holds 24 tokens = 3 full sequences of 8; every FULL
+    // sequence's segments tile [0, 8): sorted, adjacent, start 0, end 8
+    for (seq <- 0L to 2L) {
+      val tile = segs.filter(s => s._1 == "A" && s._2 == seq).sortBy(_._4)
+      assert(tile.head._4 == 0L, s"seq $seq does not start at 0")
+      assert(tile.toSeq.sliding(2).forall {
+        case Seq(a, b) => a._5 == b._4
+        case _ => true
+      }, s"seq $seq has gaps/overlaps")
+      assert(tile.last._5 == 8L, s"seq $seq does not end at the budget")
+    }
+    // offsets — doc1 [0,5), doc2 [5,8), doc3 [8,17), doc5 [17,24):
+    // straddler doc3 -> seq1 [0,8) + seq2 [0,1); doc5 -> seq2 [1,8)
+    val d3 = segs.filter(_._3 == 3L).sortBy(_._2).map(s => (s._2, s._4, s._5))
+    assert(d3.toSeq == Seq((1L, 0L, 8L), (2L, 0L, 1L)))
+  }
 }

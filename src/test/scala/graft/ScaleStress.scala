@@ -30,7 +30,10 @@ object ScaleStress {
   private val Queries = Seq(
     "ap01_approx", "d02_minhash_pairs", "d03_simhash_pairs",
     "d10_decontaminate", "d17_containment_pairs", "q14_math",
-    "j04_join_shuffle", "e02_sessionize", "s08_ann_pq", "t06_repetition")
+    "j04_join_shuffle", "e02_sessionize", "s08_ann_pq", "t06_repetition",
+    // round 12: the struct-carry as-of rewrite and the snapshot-diff
+    // full-outer join — both must scale ~linearly in rows
+    "a01_asof_join", "u07_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
