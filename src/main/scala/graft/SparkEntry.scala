@@ -2446,6 +2446,44 @@ object SparkEntry {
                      END AS BIGINT) AS spans
          FROM o ORDER BY source, doc_id"""),
 
+    // corpus novelty (TextAnalysis.corpusNovelty): per doc, the fraction
+    // of its distinct 3-grams first seen AT this doc (first = min id) —
+    // the "does this add new content" curation signal. One gram-keyed
+    // min() aggregation + join-back + one id-keyed rollup; no window.
+    "t22_corpus_novelty" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.corpusNovelty(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            shingleK = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_distinct(list_transform(
+                              generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' '))) END
+                    AS shset
+           FROM s),
+         g AS (SELECT doc_id, u.g FROM sh, unnest(shset) AS u(g)),
+         f AS (SELECT g, min(doc_id) AS first_id FROM g GROUP BY g)
+         SELECT g.doc_id,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                round(CAST(sum(CASE WHEN f.first_id = g.doc_id THEN 1
+                                    ELSE 0 END) AS DOUBLE) / count(*), 6)
+                  AS novelty
+         FROM g JOIN f USING (g)
+         GROUP BY g.doc_id ORDER BY g.doc_id"""),
+
     // packed-sequence SEGMENT table (Packing.packSegments): one row per
     // (sequence, document) contact with the in-sequence token span —
     // the cross-document attention/loss-mask metadata for packed

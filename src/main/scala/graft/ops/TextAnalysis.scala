@@ -296,4 +296,33 @@ object TextAnalysis {
         lit("&amp;"), lit("&"))
     trim(regexp_replace(decoded, lit("[ \\t\\n\\r]+"), lit(" ")))
   }
+
+  /** Corpus NOVELTY score — per document, the fraction of its distinct
+    * word `shingleK`-grams seen for the FIRST time at this document
+    * (first = smallest id, the deterministic corpus order). The
+    * data-curation signal behind "process in order, keep what adds new
+    * content": near-copies of earlier documents score ~0, genuinely new
+    * text ~1, boilerplate-heavy pages in between — a cheaper, rank-free
+    * complement to pairwise near-dup detection.
+    *
+    * Scale shape: one shuffle of (gram, id) builds the first-seen map
+    * as a plain map-side-combined min() aggregation (one row per
+    * distinct gram — no window, no sort); the join back keys on the
+    * gram, reusing that partitioning, and the per-doc rollup is one
+    * id-keyed aggregation. Documents with no tokens still produce one
+    * empty-string shingle ([[TextOps.shingles]] semantics), so every
+    * document appears in the output.
+    */
+  def corpusNovelty(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3): DataFrame = {
+    val g = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("g"))
+    val firstSeen = g.groupBy(col("g")).agg(min(col("id")).as("__first"))
+    g.join(firstSeen, "g")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
 }

@@ -292,6 +292,24 @@ class OpsSpec extends GraftSuite {
       "no stream-stream join state operator in progress")
   }
 
+  test("corpusNovelty: copies score 0, fresh text 1, partial overlap in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // all grams first-seen -> 1.0
+      (2L, "alpha beta gamma delta"),          // exact copy -> 0.0
+      (3L, "alpha beta gamma NEW words here"), // shares 'alpha beta gamma'
+      (4L, "")                                 // empty doc: one '' shingle
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.corpusNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 2 distinct 3-grams, both novel
+    assert(out(1L) == ((2L, 2L)))
+    assert(out(2L) == ((2L, 0L)), "an exact copy has zero novel grams")
+    // doc3 grams: 'alpha beta gamma' (seen), + 3 new ones
+    assert(out(3L) == ((4L, 3L)))
+    assert(out(4L) == ((1L, 1L)), "empty doc's '' shingle is its own first")
+  }
+
   test("keySkew matches the naive per-key ranking formula") {
     // skewed counts with heavy ties: 1 key x 60, 3 x 10, 6 x 1
     val rows = (0 until 60).map(_ => "hot") ++

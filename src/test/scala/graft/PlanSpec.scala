@@ -280,6 +280,13 @@ class PlanSpec extends GraftSuite {
       s"no broadcast join in e20 plan:\n${p.take(900)}")
   }
 
+  test("t22 corpus novelty: min-agg first-seen map, no window, no cartesian") {
+    val p = planOf("t22_corpus_novelty")
+    assert(!p.contains("Window"), s"window in t22 plan (first-seen must be an agg):\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in t22 plan:\n${p.take(900)}")
+  }
+
   test("u07 snapshot diff: one keyed equi-join, no window, no cartesian") {
     val p = planOf("u07_snapshot_diff")
     assert(!p.contains("Window"), s"window in u07 plan:\n${p.take(800)}")
