@@ -180,6 +180,14 @@ final class Table private (val df: DataFrame) {
     Table(graft.ops.Profile.summarize(df,
       if (cols.nonEmpty) cols else df.columns.toSeq))
 
+  /** Changelog against a newer snapshot — [[graft.ops.Cdc.diff]] at the
+    * Table surface: `base.diff(after, keys, compared)` returns the
+    * insert/update/delete rows that turn this table into `after`.
+    */
+  def diff(after: Table, keyCols: Seq[String],
+           compareCols: Seq[String]): Table =
+    Table(graft.ops.Cdc.diff(df, after.df, keyCols, compareCols))
+
   def schema: StructType = df.schema
   def columnNames: Seq[String] = df.schema.fieldNames.toSeq
   def head(n: Int = 5): Array[Row] = df.head(n)

@@ -318,6 +318,15 @@ class TableApiSpec extends GraftSuite {
     assert(back.agg(sum(col("x"))).head.getLong(0) == 250L * 251L / 2L)
   }
 
+  test("Table.diff surfaces the Cdc changelog") {
+    import spark.implicits._
+    val before = Table(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val after = Table(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"))
+    val ops = before.diff(after, Seq("k"), Seq("v")).toDF
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops == Map(2L -> "update", 3L -> "insert"))
+  }
+
   test("toArrowIpc refuses results over the driver-materialization cap") {
     import spark.implicits._
     val six = (1L to 6L).toDF("x")
