@@ -305,24 +305,30 @@ object TextAnalysis {
     * text ~1, boilerplate-heavy pages in between — a cheaper, rank-free
     * complement to pairwise near-dup detection.
     *
-    * Scale shape: one shuffle of (gram, id) builds the first-seen map
-    * as a plain map-side-combined min() aggregation (one row per
-    * distinct gram — no window, no sort); the join back keys on the
-    * gram, reusing that partitioning, and the per-doc rollup is one
-    * id-keyed aggregation. Documents with no tokens still produce one
-    * empty-string shingle ([[TextOps.shingles]] semantics), so every
-    * document appears in the output.
+    * Scale shape: the posting pass (tokenize + shingle + explode) is
+    * materialized ONCE (the d17 discipline — two consumers would each
+    * re-tokenize a lazy plan); gram strings cross the network exactly
+    * once, into the map-side-combined `min(id)` first-seen aggregation
+    * (one row per distinct gram — no window, no sort, and crucially NO
+    * join back on the gram key: the novel counts come from rolling the
+    * distinct-gram frame up by its winner id, longs only). The final
+    * assembly is an id-keyed join of two doc-sized count frames. At
+    * 100 TB swap the shingle strings for [[TextOps.shingleHashes]]
+    * longs to slim that one gram shuffle (d17's hashGrams contract:
+    * exact absent 64-bit collisions).
     */
   def corpusNovelty(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int = 3): DataFrame = {
     val g = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("g"))
-    val firstSeen = g.groupBy(col("g")).agg(min(col("id")).as("__first"))
-    g.join(firstSeen, "g")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col("id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      .localCheckpoint(true)
+    val counts = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("g")).agg(min(col("id")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    counts.join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_grams"), 6).as("novelty"))
   }
 }
