@@ -280,11 +280,31 @@ class PlanSpec extends GraftSuite {
       s"no broadcast join in e20 plan:\n${p.take(900)}")
   }
 
-  test("t22 corpus novelty: min-agg first-seen map, no window, no cartesian") {
+  test("t22 corpus novelty: min-agg first-seen map, no window, no gram-keyed join") {
     val p = planOf("t22_corpus_novelty")
     assert(!p.contains("Window"), s"window in t22 plan (first-seen must be an agg):\n${p.take(800)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in t22 plan:\n${p.take(900)}")
+    // gram strings cross the network ONCE (into the min(id) agg); the
+    // only join is the id-keyed assembly of two doc-sized count frames.
+    // A reintroduced posting join-back would key a join on the gram
+    // column `g` and double the string shuffle — ban it by key name.
+    val gramJoins = p.linesIterator.filter(_.contains("Join"))
+      .filter(l => "\\bg#\\d".r.findFirstIn(l).isDefined).toSeq
+    assert(gramJoins.isEmpty,
+      s"join keyed on the gram column in t22 plan:\n${gramJoins.mkString("\n")}")
+  }
+
+  test("p12 pack segments: one shard-keyed window + map-side explode, no join") {
+    val p = planOf("p12_pack_segments")
+    assert(!p.contains("Join"), s"join in p12 plan:\n${p.take(800)}")
+    val windows = p.linesIterator.count(_.trim.matches(""".*\bWindow\b.*"""))
+    assert(windows >= 1, s"no window in p12 plan:\n${p.take(600)}")
+    assert(p.contains("Generate"), "the span explode should appear as Generate")
+    // exactly ONE keyed exchange (the shard window); the other exchange
+    // is the final global ORDER BY's range partitioning
+    val keyed = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyed == 1, s"$keyed keyed exchanges in p12 plan (want 1):\n${p.take(900)}")
   }
 
   test("u07 snapshot diff: one keyed equi-join, no window, no cartesian") {

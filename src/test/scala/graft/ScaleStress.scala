@@ -31,9 +31,11 @@ object ScaleStress {
     "ap01_approx", "d02_minhash_pairs", "d03_simhash_pairs",
     "d10_decontaminate", "d17_containment_pairs", "q14_math",
     "j04_join_shuffle", "e02_sessionize", "s08_ann_pq", "t06_repetition",
-    // round 12: the struct-carry as-of rewrite and the snapshot-diff
-    // full-outer join — both must scale ~linearly in rows
-    "a01_asof_join", "u07_snapshot_diff")
+    // round 12: the struct-carry as-of rewrite, the snapshot-diff
+    // full-outer join, the segment explode, and the gram-shuffle
+    // novelty score — all must scale ~linearly in rows
+    "a01_asof_join", "u07_snapshot_diff", "p12_pack_segments",
+    "t22_corpus_novelty")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
