@@ -81,4 +81,37 @@ class InvarianceSpec extends GraftSuite {
       maxDocFreq = 1000L, hashGrams = true))
     assert(str == hashed && str.nonEmpty)
   }
+
+  test("corpusNovelty is identical under any input partitioning") {
+    def run(d: DataFrame) = rows(
+      graft.ops.TextAnalysis.corpusNovelty(d, "doc_id", "text"))
+    val expected = run(docs)
+    assert(expected.nonEmpty)
+    for (l <- layouts(docs)) assert(run(l) == expected)
+  }
+
+  test("Cdc.diff is identical under any partitioning of either snapshot") {
+    val before = docs.select(col("doc_id"), col("lang"))
+    val after = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.when(col("doc_id") % 3 === 0,
+          org.apache.spark.sql.functions.lit("xx")).otherwise(col("lang"))
+          .as("lang"))
+    def run(b: DataFrame, a: DataFrame) = rows(
+      graft.ops.Cdc.diff(b, a, Seq("doc_id"), Seq("lang")))
+    val expected = run(before, after)
+    assert(expected.nonEmpty)
+    for (lb <- layouts(before); la <- Seq(after, after.repartition(5)))
+      assert(run(lb, la) == expected)
+  }
+
+  test("packSegments is identical under any input partitioning") {
+    def run(d: DataFrame) = rows(graft.ops.Packing.packSegments(
+      d, "doc_id", "lang", org.apache.spark.sql.functions.length(col("text")),
+      budget = 4096))
+    val expected = run(docs)
+    assert(expected.nonEmpty)
+    for (l <- layouts(docs)) assert(run(l) == expected)
+  }
 }
