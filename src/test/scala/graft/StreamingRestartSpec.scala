@@ -173,4 +173,72 @@ class StreamingRestartSpec extends GraftSuite {
         sink.select("doc_id", "owner_id", "is_dup")).isEmpty,
       "restarted stream diverged from the batch oracle")
   }
+
+  test("stream-stream interval join buffers survive kill + restart (st18 family)") {
+    // a purchase arriving AFTER the restart must still attribute to a
+    // view ingested BEFORE it — only possible if the join's buffered
+    // left-side state was recovered from the checkpoint, not rebuilt
+    // empty. And the restarted query must not re-emit phase-1 pairs.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    val work = Files.createTempDirectory("graft_restart_j_").toString
+    val vDir = s"$work/views"
+    val bDir = s"$work/buys"
+    Files.createDirectories(Paths.get(vDir))
+    Files.createDirectories(Paths.get(bDir))
+    import s.implicits._
+    val h = 3600L * 1000000L
+    val base = 1000L * h // never sit at epoch 0 (== the initial watermark)
+    def tsCol = expr("timestamp_micros(tus)")
+    val views = Seq((1L, 100L, base + 0L), (2L, 101L, base + h))
+      .toDF("user_id", "view_id", "tus")
+      .select(col("user_id"), col("view_id"), tsCol.as("view_ts"))
+    val buys1 = Seq((1L, 200L, base + 600L * 1000000L)) // +10 min: phase 1
+      .toDF("p_user_id", "purchase_id", "tus")
+      .select(col("p_user_id"), col("purchase_id"), tsCol.as("p_ts"))
+    val buys2 = Seq(
+      (1L, 201L, base + 1800L * 1000000L), // +30 min: needs phase-1 VIEW state
+      (2L, 202L, base + h + 900L * 1000000L) // matches phase-1 view 101
+    ).toDF("p_user_id", "purchase_id", "tus")
+      .select(col("p_user_id"), col("purchase_id"), tsCol.as("p_ts"))
+
+    def addFile(df: org.apache.spark.sql.DataFrame, dir: String, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$dir/$name.parquet"))
+    }
+    addFile(views, vDir, "v1")
+    addFile(buys1, bDir, "b1")
+
+    def runOnce(): Unit = {
+      val vS = s.readStream.schema(views.schema).parquet(vDir)
+      val bS = s.readStream.schema(buys1.schema).parquet(bDir)
+      val out = graft.streaming.Events.streamingIntervalJoin(
+        vS, bS, "user_id", "p_user_id", "view_ts", "p_ts",
+        windowSeconds = 3600L, watermark = "1 day")
+      val q = out.select(col("view_id"), col("purchase_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    runOnce() // phase 1, then killed
+    val p1 = s.read.parquet(s"$work/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((100L, 200L)), s"phase 1 emitted $p1")
+
+    addFile(buys2, bDir, "b2")
+    runOnce() // restart from checkpoint
+    val all = s.read.parquet(s"$work/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.toSet.size, "restart re-emitted pairs")
+    assert(all.toSet == Set((100L, 200L), (100L, 201L), (101L, 202L)),
+      s"post-restart pairs wrong: ${all.toSet} — buffered view state " +
+        "was not recovered from the checkpoint")
+  }
 }
