@@ -224,3 +224,77 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         Dialect.splitQualify(j).isDefined == Dialect.splitQualify(q).isDefined
     }
 }
+
+/** Model-based property for the as-of join family (rewritten to the
+  * struct-payload carry in round 12): on random keyed timelines —
+  * including null right-side values, null times, and duplicate
+  * timestamps — AsOf.join must match a driver-side reference
+  * implementation of the documented semantics for every
+  * (direction, strictness) combination.
+  */
+object AsOfModelProps extends Properties("AsOfModel") {
+
+  import org.apache.spark.sql.functions._
+
+  private lazy val spark = SparkTestBase.spark
+
+  private case class L(id: Long, k: Int, t: Long)
+  private case class R(id: Long, k: Int, t: java.lang.Long, v: java.lang.Double)
+
+  private val genLeft = Gen.listOfN(12, Gen.zip(
+    Gen.chooseNum(0, 3), Gen.chooseNum(0L, 20L)))
+  private val genRight = Gen.listOfN(12, Gen.zip(
+    Gen.chooseNum(0, 3), Gen.option(Gen.chooseNum(0L, 20L)),
+    Gen.option(Gen.chooseNum(-5.0, 5.0))))
+
+  /** Reference semantics: nearest right row of the same key, backward
+    * (t_r <= / < t_l) or forward; null right time never matches; ties at
+    * the same time break toward the larger right id.
+    */
+  private def model(ls: Seq[L], rs: Seq[R], forward: Boolean,
+                    strict: Boolean): Map[Long, Option[Long]] =
+    ls.map { l =>
+      val cand = rs.filter(r => r.k == l.k && r.t != null).filter { r =>
+        val rt = r.t.longValue()
+        (forward, strict) match {
+          case (false, false) => rt <= l.t
+          case (false, true)  => rt < l.t
+          case (true, false)  => rt >= l.t
+          case (true, true)   => rt > l.t
+        }
+      }
+      val best = if (cand.isEmpty) None
+      else {
+        val bestT =
+          if (forward) cand.map(_.t.longValue()).min
+          else cand.map(_.t.longValue()).max
+        Some(cand.filter(_.t.longValue() == bestT).maxBy(_.id).id)
+      }
+      l.id -> best
+    }.toMap
+
+  property("matches the reference model for all directions/strictness under nulls") =
+    forAll(genLeft, genRight) { (lRaw, rRaw) =>
+      import spark.implicits._
+      val ls = lRaw.zipWithIndex.map { case ((k, t), i) => L(i.toLong, k, t) }
+      val rs = rRaw.zipWithIndex.map { case ((k, t, v), i) =>
+        R(100L + i, k, t.map(Long.box).orNull,
+          v.map(Double.box).orNull)
+      }
+      val lDf = ls.toDF("id", "k", "t")
+      val rDf = rs.toDF("rid", "k", "rt", "v")
+      Seq((false, false), (false, true), (true, false), (true, true))
+        .forall { case (fwd, strict) =>
+          val out = graft.ops.AsOf.join(lDf, rDf,
+              keyCol = "k", leftTimeCol = "t", rightTimeCol = "rt",
+              valueCols = Seq("rid", "v"), rightIdCol = "rid",
+              strict = strict,
+              direction = if (fwd) "forward" else "backward")
+            .select(col("id"), col("asof_rid"))
+            .collect()
+            .map(r => r.getLong(0) ->
+              (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+          out == model(ls, rs, fwd, strict)
+        }
+    }
+}
