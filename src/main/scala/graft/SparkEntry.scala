@@ -1508,6 +1508,59 @@ object SparkEntry {
           AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
          ORDER BY view_id, purchase_id"""),
 
+    // LEFT-OUTER stream-stream interval join: views with no purchase in
+    // the window surface with nulls — but only once the watermark PROVES
+    // no match can still arrive (view_ts + window below the global
+    // watermark = min(max view ts, max purchase ts) − delay); newer
+    // unmatched views never emit on a finite replay. The oracle encodes
+    // that emission boundary exactly (the st04 discipline). Single-file
+    // feed → one batch → the 2h delay needs no disorder headroom.
+    "st19_stream_left_outer_join" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        val out = graft.streaming.Events.streamingIntervalJoin(
+          views, buys, "user_id", "p_user_id", "view_ts", "p_ts",
+          windowSeconds = 1800L, watermark = "2 hours",
+          joinType = "left_outer")
+        val sink = "st19_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.select(col("view_id"), col("user_id"), col("purchase_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .orderBy(col("view_id"), col("purchase_id").asc_nulls_last)
+      },
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT v.view_id, v.user_id, p.purchase_id
+               FROM v JOIN p ON v.user_id = p.user_id
+                AND p.pts >= v.vts AND p.pts <= v.vts + 1800000000),
+         wm AS (SELECT least((SELECT max(vts) FROM v),
+                             (SELECT max(pts) FROM p))
+                       - 7200000000 AS w)
+         SELECT view_id, user_id, purchase_id FROM m
+         UNION ALL
+         SELECT v.view_id, v.user_id, NULL AS purchase_id
+         FROM v, wm
+         WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
+           AND v.vts + 1800000000 < wm.w
+         ORDER BY view_id, purchase_id NULLS LAST"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.

@@ -622,16 +622,27 @@ object Events {
     * in arbitrary order — st13's rule), and an event AT exactly epoch 0
     * equals the initial watermark and is input-filtered as late (probed;
     * real corpora never sit at epoch zero).
+    *
+    * `joinType = "left_outer"` keeps unmatched left rows with nulls;
+    * an outer row only EMITS once the watermark proves no match can
+    * still arrive (leftTime + window below the global watermark =
+    * min(both sides' max event time) − delay), so on a finite replay
+    * the left rows newer than that boundary never emit at all — the
+    * st04 emission-boundary discipline, and exactly what the st19
+    * oracle mirrors.
     */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame,
                             leftKeyCol: String, rightKeyCol: String,
                             leftTimeCol: String, rightTimeCol: String,
                             windowSeconds: Long,
-                            watermark: String = "31 days"): DataFrame = {
+                            watermark: String = "31 days",
+                            joinType: String = "inner"): DataFrame = {
     require(leftTimeCol != rightTimeCol,
       "rename one time column: the joined row carries both")
     require(leftKeyCol != rightKeyCol,
       "rename one key column: the joined row carries both")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"stream-stream interval join supports inner | left_outer, got $joinType")
     val l = left.withWatermark(leftTimeCol, watermark)
     val r = right.withWatermark(rightTimeCol, watermark)
     l.join(r,
@@ -639,7 +650,7 @@ object Events {
         col(rightTimeCol) >= col(leftTimeCol) &&
         col(rightTimeCol) <=
           col(leftTimeCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
-      "inner")
+      joinType)
   }
 
   /** Per-document near-dup verdict over [[streamingNearDupFlags]]: a doc
