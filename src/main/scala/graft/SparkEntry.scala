@@ -1508,6 +1508,19 @@ object SparkEntry {
           AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
          ORDER BY view_id, purchase_id"""),
 
+    // ASOF JOIN with DuckDB's USING shorthand — (user_id, ts) desugars
+    // to user_id equality + ts >= ordering — against a derived purchase
+    // table: the most recent purchase at-or-before each event. A
+    // purchase event matches itself (>= includes the same instant), as
+    // in DuckDB.
+    "a09_asof_sql_using" -> multiSession(Seq("events"),
+      """SELECT e.event_id, e.user_id, p.event_id AS last_purchase_id
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase') p
+           USING (user_id, ts)
+         ORDER BY e.event_id"""),
+
     // LEFT-OUTER stream-stream interval join: views with no purchase in
     // the window surface with nulls — but only once the watermark PROVES
     // no match can still arrive (view_ts + window below the global

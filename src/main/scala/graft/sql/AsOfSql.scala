@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *   ON <conjuncts> [WHERE ...] [GROUP BY ...] [ORDER BY ...] [LIMIT ...]
   * }}}
   *
+  * DuckDB's `USING (k, ..., t)` shorthand is accepted too: every column
+  * but the last is an equality key, the last is the ordering condition
+  * with `>=` — desugared into the ON form above before parsing.
+  *
   * Either operand may also be a parenthesized derived table
   * `(SELECT ...) [AS] alias` — the subquery is resolved through
   * `resolveSub` (session entry points evaluate it with Spark SQL,
@@ -221,7 +225,42 @@ object AsOfSql {
         s"unsupported ASOF join type '$other' (LEFT / INNER / default only)")
     }
     val on = Dialect.findTopLevelKeywordIn(masked, join + 4, "on")
-    require(on >= 0, "ASOF JOIN requires an ON clause")
+    val usingKw = Dialect.findTopLevelKeywordIn(masked, join + 4, "using")
+    // DuckDB's USING shorthand: all but the LAST column are equality
+    // keys, the last is the ordering condition with >= (backward,
+    // same-instant matches) — translated here into the ON form
+    if (on < 0 && usingKw >= 0) {
+      val open = masked.indexOf('(', usingKw + 5)
+      require(open >= 0, "ASOF JOIN USING needs a parenthesized column list")
+      var depth = 0
+      var close = -1
+      var i = open
+      while (i < masked.length && close < 0) {
+        masked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close > open, "unbalanced ASOF JOIN USING column list")
+      val cols = sql.substring(open + 1, close).split(",").map(_.trim).toSeq
+      require(cols.size >= 2,
+        "ASOF JOIN USING needs at least (key, ordering) — a single " +
+          "column would be a keyless as-of (one global sort)")
+      require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        s"ASOF JOIN USING takes bare column names, got: ${cols.mkString(", ")}")
+      val leftRefU = parseRef(sql.substring(from + 4, asof))
+      val rightRefU = parseRef(sql.substring(join + 4, usingKw))
+      val la = leftRefU.alias
+      val ra = rightRefU.alias
+      val onText = (cols.dropRight(1).map(c => s"$la.$c = $ra.$c") :+
+        s"$la.${cols.last} >= $ra.${cols.last}").mkString(" AND ")
+      val rewritten = sql.substring(0, usingKw) + s"ON $onText" +
+        sql.substring(close + 1)
+      return parse(rewritten)
+    }
+    require(on >= 0, "ASOF JOIN requires an ON (or USING) clause")
     var condEnd = sql.length
     for (kw <- Seq("where", "group", "having", "qualify", "order", "limit", "offset")) {
       val i = Dialect.findTopLevelKeywordIn(masked, on + 2, kw)

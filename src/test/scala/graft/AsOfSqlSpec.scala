@@ -327,4 +327,39 @@ class AsOfSqlSpec extends GraftSuite {
     assert(out.toSeq ==
       Seq((10L, -1L), (11L, 10L), (12L, -1L), (13L, 12L)))
   }
+
+  test("USING shorthand: keys + >= ordering, DuckDB semantics") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    // USING needs shared names: expose quote time as t
+    val viaUsing = Table.sessionSql(spark,
+      """SELECT tr.trade_id, q.quote_id AS qid
+         FROM trades tr ASOF LEFT JOIN
+           (SELECT sym, qt AS t, quote_id FROM quotes) q
+           USING (sym, t)
+         ORDER BY tr.trade_id""").toDF.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // equivalent ON form: tr.sym = q.sym AND tr.t >= q.t
+    val viaOn = Table.sessionSql(spark,
+      """SELECT tr.trade_id, q.quote_id AS qid
+         FROM trades tr ASOF LEFT JOIN
+           (SELECT sym, qt AS t, quote_id FROM quotes) q
+           ON tr.sym = q.sym AND tr.t >= q.t
+         ORDER BY tr.trade_id""").toDF.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(viaUsing.toSeq == viaOn.toSeq)
+    assert(viaUsing.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, -1L)))
+    // a single USING column is the keyless global sort — rejected loudly
+    val single = intercept[IllegalArgumentException] {
+      runSession("""SELECT tr.trade_id FROM trades tr ASOF JOIN
+        (SELECT qt AS t, quote_id FROM quotes) q USING (t)""")
+    }
+    assert(single.getMessage.contains("keyless"))
+    // expressions in the USING list are rejected loudly
+    val exprErr = intercept[IllegalArgumentException] {
+      runSession("""SELECT tr.trade_id FROM trades tr ASOF JOIN
+        (SELECT sym, qt AS t, quote_id FROM quotes) q USING (sym, t + 1)""")
+    }
+    assert(exprErr.getMessage.contains("bare column names"))
+  }
 }
