@@ -40,7 +40,9 @@ object StreamingStateScale {
       measureOwners(spark, "st02_owner_map", "sf0.1", Sf01),
       measureOwners(spark, "st02_owner_map", "sf1", Sf1),
       measureWatermarkDedup(spark, "st13_wm_dedup", "sf0.1", Sf01),
-      measureWatermarkDedup(spark, "st13_wm_dedup", "sf1", Sf1))
+      measureWatermarkDedup(spark, "st13_wm_dedup", "sf1", Sf1),
+      measureIntervalJoin(spark, "st18_interval_join", "sf0.1", Sf01),
+      measureIntervalJoin(spark, "st18_interval_join", "sf1", Sf1))
 
     out ++= "| query | sf | input rows | batches | max rows/batch | distinct keys | state rows | RocksDB SST | RocksDB mem |\n"
     out ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -54,13 +56,16 @@ object StreamingStateScale {
         s""""distinct_keys":${m.distinctKeys},"state_rows":${m.stateRows},""" +
         s""""rocksdb_sst_bytes":${m.rocksdbSstBytes},"rocksdb_mem_bytes":${m.rocksdbMemBytes}}""")
     }
-    // the claim itself, asserted: state rows == distinct keys at BOTH
-    // scales despite the 3x duplicate amplification
+    // the claims, asserted: dedup-family state rows == distinct keys at
+    // BOTH scales despite the 3x duplicate amplification; the symmetric
+    // join's state == TOTAL buffered rows (both sides, delay covers the
+    // replay — its worst case, and why the delay is the sizing knob)
     rows.foreach { m =>
       require(m.stateRows == m.distinctKeys,
-        s"${m.query}@${m.sf}: state rows ${m.stateRows} != distinct keys ${m.distinctKeys}")
-      require(m.inputRows >= 3 * m.distinctKeys,
-        s"${m.query}@${m.sf}: amplification missing (${m.inputRows} input rows)")
+        s"${m.query}@${m.sf}: state rows ${m.stateRows} != expected ${m.distinctKeys}")
+      if (!m.query.startsWith("st18"))
+        require(m.inputRows >= 3 * m.distinctKeys,
+          s"${m.query}@${m.sf}: amplification missing (${m.inputRows} input rows)")
     }
     println("STATE-SCALE OK")
     spark.stop()
@@ -137,6 +142,52 @@ object StreamingStateScale {
     val distinctKeys = ev.select(col("event_id")).distinct().count()
     harvest(q, sf, query.recentProgress.toSeq, distinctKeys,
       opNameContains = Some("dedupe"))
+  }
+
+  /** st18 shape: symmetric-hash stream-stream interval join (views x
+    * purchases, 30-min window) with a delay covering the whole replay —
+    * the WORST case for join state: every row of both sides stays
+    * buffered until the end, so state rows must equal views + purchases
+    * exactly. The production sizing knob is the delay; this measures
+    * the ceiling it bounds.
+    */
+  private def measureIntervalJoin(outer: SparkSession, q: String,
+                                  sf: String, dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = graft.streaming.Events.readRaw(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("timestamp_micros(ts)").as("view_ts"))
+      .repartitionByRange(4, col("view_ts"))
+      .write.mode("overwrite").parquet(s"$feed/v")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        expr("timestamp_micros(ts)").as("p_ts"))
+      .repartitionByRange(4, col("p_ts"))
+      .write.mode("overwrite").parquet(s"$feed/b")
+    val vS = s.readStream.schema(s.read.parquet(s"$feed/v").schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$feed/v")
+    val bS = s.readStream.schema(s.read.parquet(s"$feed/b").schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$feed/b")
+    val out = graft.streaming.Events.streamingIntervalJoin(
+      vS, bS, "user_id", "p_user_id", "view_ts", "p_ts",
+      windowSeconds = 1800L, watermark = "62 days")
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    val buffered = s.read.parquet(s"$feed/v").count() +
+      s.read.parquet(s"$feed/b").count()
+    harvest(q, sf, query.recentProgress.toSeq, buffered,
+      opNameContains = Some("join"))
   }
 
   /** Fold a progress sequence into totals. `opNameContains` picks the
