@@ -345,6 +345,26 @@ object SmokeMain {
         case e: IllegalArgumentException =>
           println("arrow big-cap guard: " + firstLine(e).take(60))
       }
+      // round-12: ASOF USING + QUALIFY composition at the SQL surface
+      spark.read.parquet(s"$sf/events.parquet").createOrReplaceTempView("events")
+      val usingQ = Table.sessionSql(spark,
+        """SELECT e.event_id, p.event_id AS last_purchase
+           FROM events e ASOF LEFT JOIN
+             (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') p
+             USING (user_id, ts)
+           QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts DESC) = 1
+           ORDER BY e.event_id LIMIT 5""").toDF
+      println(s"asof-using+qualify rows=${usingQ.count()}")
+      // round-12: snapshot diff + novelty at the ops surface
+      val snapA = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val snapB = snapA.filter(col("o_orderkey") % 11 =!= 0)
+      val nDel = graft.ops.Cdc.diff(snapA, snapB,
+        Seq("o_orderkey"), Seq("o_orderstatus"))
+        .filter(col("op") === "delete").count()
+      println(s"snapshot diff deletes=$nDel (expect ~1/11 of orders)")
       // round-12: distributed Arrow export through the refactored
       // per-partition writer (task-commit protocol path)
       val expDir = java.nio.file.Files.createTempDirectory("smoke_arrow_").toString
