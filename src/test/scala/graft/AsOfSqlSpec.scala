@@ -362,4 +362,21 @@ class AsOfSqlSpec extends GraftSuite {
     }
     assert(exprErr.getMessage.contains("bare column names"))
   }
+
+  test("SELECT * through an ASOF statement expands over the joined view") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    val out = Table.sessionSql(spark,
+      """SELECT * FROM trades tr ASOF LEFT JOIN quotes q
+         ON tr.sym = q.sym AND tr.t >= q.qt
+         ORDER BY tr.trade_id""").toDF
+    // left columns verbatim plus the asof_-prefixed right payload
+    assert(out.columns.toSeq ==
+      Seq("trade_id", "sym", "t", "px",
+        "asof_quote_id", "asof_sym", "asof_qt", "asof_bid"))
+    val r = out.collect()
+    assert(r.length == 4)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(4) == 10L)
+    assert(r(3).isNullAt(4), "unmatched trade keeps nulls under LEFT")
+  }
 }

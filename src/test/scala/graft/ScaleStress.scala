@@ -54,7 +54,8 @@ object ScaleStress {
 
     val out = new StringBuilder
     val scaleSensitive = Set("d02_minhash_pairs", "d03_simhash_pairs",
-      "d17_containment_pairs", "e02_sessionize", "q14_math")
+      "d17_containment_pairs", "e02_sessionize", "q14_math",
+      "t22_corpus_novelty")
     val runs = Seq("sf0.1" -> Sf01, "sf1" -> Sf1) ++
       (if (sf3) Seq("sf3" -> Sf3) else Nil)
     for (q <- Queries; (sfName, dir) <- runs
