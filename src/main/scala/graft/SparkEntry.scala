@@ -7773,6 +7773,34 @@ object SparkEntry {
     // features share a slot, the accepted trade-off of the trick).
     // Map-only until the bucket rollup — at 100 TB the shuffle
     // carries (bucket, feature) pairs, never document payloads.
+    // Equal-width binning — the discretization for feature prep and
+    // histogram features: ONE (min, max) aggregation broadcasts back and
+    // bin assignment is map-only all-integer arithmetic (the e20
+    // cutpoint discipline applied to fixed-width bins; no window, no
+    // sort). The top edge clamps into the last bin on both engines.
+    "fe04_equal_width_bins" -> api(
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val mm = o.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        o.join(broadcast(mm))
+          .select(col("cents"),
+            least(expr("(cents - mn) * 16 DIV (mx - mn + 1)"), lit(15L))
+              .as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+            max(col("cents")).as("hi"))
+          .orderBy(col("bin"))
+      },
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+         m AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o)
+         SELECT CAST(least((cents - mn) * 16 // (mx - mn + 1), 15) AS BIGINT)
+                  AS bin,
+                count(*) AS n, min(cents) AS lo, max(cents) AS hi
+         FROM o, m GROUP BY 1 ORDER BY bin"""),
+
     "fe01_feature_hash" -> api(
       (s, dir) => {
         s.read.parquet(s"$dir/documents.parquet")
