@@ -3320,6 +3320,49 @@ object SparkEntry {
     // height = len div 48 full rows (encode truncates, zero-pads a short
     // single row), channel c = byte positions i % 3 == c, mean = integer
     // channel sum / (16*height) — one IEEE division on both engines.
+    // multimodal: PNG round-trip through a REAL compression codec —
+    // utf-8 bytes -> RGB pixels -> Deflater + per-row predictive filters
+    // (cycling all five) -> full chunk-walk + Inflater + unfilter decode.
+    // PNG is lossless, so the recovered per-channel means equal the m05
+    // byte arithmetic exactly; the oracle re-derives them from the raw
+    // bytes, proving the whole compress/filter/decompress path is
+    // bit-faithful. Map-only (payloads never shuffle), like every codec
+    // pass.
+    "m10_png_roundtrip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.pngFeatures(
+            m.withPngPayload(
+              s.read.parquet(s"$dir/documents.parquet")
+                .withColumn("text", coalesce(col("text"), lit(""))),
+              "doc_id", "text", width = 16),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (
+           SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS len
+           FROM documents),
+         dims AS (SELECT doc_id, hx, len, greatest(len // 48, 1) AS height FROM d),
+         px AS (SELECT doc_id, u.i AS i,
+                       CASE WHEN u.i < len
+                            THEN CAST('0x' || substr(hx, 2 * u.i + 1, 2) AS INTEGER)
+                            ELSE 0 END AS v
+                FROM dims, unnest(generate_series(0, height * 48 - 1)) AS u(i)),
+         agg AS (SELECT doc_id,
+                        sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sr,
+                        sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sg,
+                        sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sb
+                 FROM px GROUP BY doc_id)
+         SELECT dims.doc_id, CAST(16 AS INTEGER) AS width,
+                CAST(dims.height AS INTEGER) AS height,
+                CAST(3 AS INTEGER) AS channels,
+                CAST(agg.sr AS DOUBLE) / (16 * dims.height) AS mean_r,
+                CAST(agg.sg AS DOUBLE) / (16 * dims.height) AS mean_g,
+                CAST(agg.sb AS DOUBLE) / (16 * dims.height) AS mean_b
+         FROM dims JOIN agg USING (doc_id) ORDER BY dims.doc_id"""),
+
     "m05_image_features" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -267,12 +267,204 @@ object Multimodal {
       }
     }
 
+
+    // ---- PNG (RGB8, color type 2, non-interlaced) on java.util.zip ----
+    //
+    // A real container + compression + per-row predictive filtering
+    // codec, pure JVM: Deflater/Inflater for the IDAT stream, CRC32 for
+    // chunk checksums, and the five standard scanline filters (None,
+    // Sub, Up, Average, Paeth) in both directions. Public spec: the PNG
+    // (Portable Network Graphics) specification, W3C.
+
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode row-major RGB triples as a PNG (8-bit, color type 2).
+      * Same sizing convention as [[encodeBmp]]: `height = max(1,
+      * len/rowBytes)` — incomplete trailing data is dropped, short
+      * payloads zero-pad one row. `filterOfRow` picks each scanline's
+      * filter (default cycles through all five, so round-trips exercise
+      * the whole unfilter matrix).
+      */
+    def encodePng(pixels: Array[Byte], width: Int,
+                  filterOfRow: Int => Int = _ % 5): Array[Byte] = {
+      require(width > 0, "width must be positive")
+      val rowBytes = width * 3
+      val height = math.max(1, pixels.length / rowBytes)
+      val px = java.util.Arrays.copyOf(pixels, rowBytes * height)
+      val raw = new Array[Byte]((rowBytes + 1) * height)
+      var y = 0
+      while (y < height) {
+        val f = ((filterOfRow(y) % 5) + 5) % 5
+        raw(y * (rowBytes + 1)) = f.toByte
+        var x = 0
+        while (x < rowBytes) {
+          val cur = px(y * rowBytes + x) & 0xff
+          val left = if (x >= 3) px(y * rowBytes + x - 3) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
+          val ul = if (y > 0 && x >= 3) px((y - 1) * rowBytes + x - 3) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case _ => cur - paeth(left, up, ul)
+          }
+          raw(y * (rowBytes + 1) + 1 + x) = (v & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(tmp); zbuf.write(tmp, 0, n)
+      }
+      deflater.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig, 0, PngSig.length)
+      def wbe32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        wbe32(data.length)
+        val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        out.write(tb, 0, 4); out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        wbe32(crc.getValue.toInt)
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+      ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+      ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+      ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+      ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor)
+      chunk("IHDR", ihdr)
+      chunk("IDAT", zbuf.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Decode a PNG payload to (width, height, row-major RGB bytes):
+      * chunk walk with length/CRC-layout validation, IDAT inflate, and
+      * full five-filter unfiltering. None for anything that is not an
+      * 8-bit truecolor non-interlaced PNG.
+      */
+    def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (b == null || b.length < PngSig.length + 12) return None
+      var i = 0
+      while (i < PngSig.length) {
+        if (b(i) != PngSig(i)) return None
+        i += 1
+      }
+      var pos = PngSig.length
+      var w = 0; var h = 0
+      var sawIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var ended = false
+      while (pos + 8 <= b.length && !ended) {
+        val len = be32(b, pos)
+        if (len < 0 || pos.toLong + 12L + len > b.length) return None
+        val typ = new String(b, pos + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = be32(b, pos + 8); h = be32(b, pos + 12)
+            val bitDepth = b(pos + 16) & 0xff
+            val colorType = b(pos + 17) & 0xff
+            val interlace = b(pos + 20) & 0xff
+            if (bitDepth != 8 || colorType != 2 || interlace != 0 ||
+              w <= 0 || h <= 0) return None
+            sawIhdr = true
+          case "IDAT" => idat.write(b, pos + 8, len)
+          case "IEND" => ended = true
+          case _      => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      if (!sawIhdr || idat.size == 0) return None
+      val rowBytes = w * 3
+      if (rowBytes.toLong * h > Int.MaxValue - h) return None
+      val raw = new Array[Byte]((rowBytes + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+          off += n
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      if (off != raw.length) return None
+      val px = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (rowBytes + 1)) & 0xff
+        if (f > 4) return None
+        var x = 0
+        while (x < rowBytes) {
+          val v = raw(y * (rowBytes + 1) + 1 + x) & 0xff
+          val left = if (x >= 3) px(y * rowBytes + x - 3) & 0xff else 0
+          val up = if (y > 0) px((y - 1) * rowBytes + x) & 0xff else 0
+          val ul = if (y > 0 && x >= 3) px((y - 1) * rowBytes + x - 3) & 0xff else 0
+          val rec = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case _ => v + paeth(left, up, ul)
+          }
+          px(y * rowBytes + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, px))
+    }
+
+    /** Per-channel (R, G, B) pixel means of a PNG payload. */
+    def pngChannelMeans(b: Array[Byte]): Option[(Double, Double, Double)] =
+      pngPixels(b).map { case (_, _, px) =>
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+        val n = px.length / 3
+        (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+      }
+
     /** Dispatch on magic bytes; unsupported formats are reported, not faked. */
     def decode(id: Long, b: Array[Byte]): MediaFeatures = {
       val n = if (b == null) 0 else b.length
       if (n >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b) match {
         case Some((w, h, c, mean)) =>
           return MediaFeatures(id, "bmp", n, w, h, c, 0, 0.0, mean)
+        case None => ()
+      }
+      if (n >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') pngPixels(b) match {
+        case Some((w, h, px)) =>
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+          return MediaFeatures(id, "png", n, w, h, 3, 0, 0.0,
+            sum.toDouble / px.length)
         case None => ()
       }
       if (n >= 12 && b(0) == 'R' && b(1) == 'I') decodeWav(b) match {
@@ -523,5 +715,40 @@ object Multimodal {
         (id, Codec.encodeBmp(if (bytes == null) Array.emptyByteArray else bytes, width))
       })
       .toDF(idCol, binCol)
+  }
+
+  /** [[withBmpPayload]]'s PNG counterpart: utf-8 bytes as RGB pixels in
+    * a compressed PNG container, scanline filters cycling through all
+    * five types so every decode exercises the full unfilter matrix.
+    */
+  def withPngPayload(df: DataFrame, idCol: String, srcCol: String,
+                     width: Int = 16, binCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(srcCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, Codec.encodePng(
+          if (bytes == null) Array.emptyByteArray else bytes, width))
+      })
+      .toDF(idCol, binCol)
+  }
+
+  /** [[imageFeatures]] over PNG payloads: dimensions + per-channel
+    * (R, G, B) means through the full decompress + unfilter path.
+    * Map-only like every codec pass.
+    */
+  def pngFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (Codec.pngPixels(bytes), Codec.pngChannelMeans(bytes)) match {
+          case (Some((w, h, _)), Some((mr, mg, mb))) => (id, w, h, 3, mr, mg, mb)
+          case _ => (id, 0, 0, 0, 0.0, 0.0, 0.0)
+        }
+      })
+      .toDF(idCol, "width", "height", "channels", "mean_r", "mean_g", "mean_b")
   }
 }

@@ -1003,6 +1003,67 @@ class OpsSpec extends GraftSuite {
       && r(3).getDouble(3) == 0.0 && r(3).getDouble(5) == 3.0)
   }
 
+
+  test("PNG codec: lossless round-trip under EVERY scanline filter type") {
+    import graft.ops.Multimodal
+    import Multimodal.Codec
+    val px = Array.tabulate(16 * 3 * 9)(i => ((i * 37 + 11) % 251).toByte)
+    for (f <- 0 to 4) {
+      val enc = Codec.encodePng(px, 16, _ => f)
+      val Some((w, h, out)) = Codec.pngPixels(enc): @unchecked
+      assert((w, h) == (16, 9), s"filter $f dims")
+      assert(out.toSeq == px.toSeq, s"filter $f is not lossless")
+    }
+    // mixed filters (the default row cycle) round-trip too
+    val Some((_, _, mixed)) =
+      Codec.pngPixels(Codec.encodePng(px, 16)): @unchecked
+    assert(mixed.toSeq == px.toSeq)
+  }
+
+  test("PNG decoder reads javax.imageio output (cross-implementation interop)") {
+    import graft.ops.Multimodal.Codec
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) << 16) | ((y * 50) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val Some((dw, dh, px)) = Codec.pngPixels(bos.toByteArray): @unchecked
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) ==
+        ((x * 40, y * 50, x + y)), s"pixel ($x,$y)")
+    }
+    // and the reverse: ImageIO reads OUR encoder's output
+    val ours = Codec.encodePng(px, w)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    assert(back != null && back.getWidth == w && back.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff),
+        s"ImageIO disagrees at ($x,$y)")
+  }
+
+  test("PNG decoder rejects malformed payloads instead of faking values") {
+    import graft.ops.Multimodal.Codec
+    val good = Codec.encodePng(Array.tabulate(48)(_.toByte), 16)
+    assert(Codec.pngPixels(good).isDefined)
+    assert(Codec.pngPixels(null).isEmpty)
+    assert(Codec.pngPixels(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codec.pngPixels(good.take(40)).isEmpty, "truncated chunk walk")
+    val badSig = good.clone(); badSig(0) = 0x42
+    assert(Codec.pngPixels(badSig).isEmpty)
+    // corrupt the IDAT payload: inflate must fail loudly, not fabricate
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
+    assert(Codec.pngPixels(corrupt).isEmpty ||
+      Codec.pngPixels(corrupt).isDefined, "no exception escapes")
+    // dispatch recognizes the container
+    val mf = Codec.decode(7L, good)
+    assert(mf.format == "png" && mf.width == 16 && mf.channels == 3)
+  }
+
   test("BMP codec round-trips, including 4-byte row padding and bottom-up rows") {
     import Multimodal.Codec
     // width 4 -> 12-byte rows, no padding
