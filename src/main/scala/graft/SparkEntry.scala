@@ -3363,6 +3363,29 @@ object SparkEntry {
                 CAST(agg.sb AS DOUBLE) / (16 * dims.height) AS mean_b
          FROM dims JOIN agg USING (doc_id) ORDER BY dims.doc_id"""),
 
+    // multimodal: resize THROUGH the compressed container — PNG decode,
+    // nearest-neighbor resample, PNG re-encode, then a second full
+    // decode recovers the new dims. n_bytes is deflate-dependent and
+    // deliberately not asserted; resample pixel correctness is OpsSpec
+    // golden-tested (shared resampler with the BMP path).
+    "m11_png_resize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.decodeMedia(
+            m.resizeImages(
+              m.withPngPayload(s.read.parquet(s"$dir/documents.parquet"),
+                "doc_id", "text", width = 16),
+              "doc_id", "payload", newW = 8, newH = 6),
+            "doc_id", "payload")
+          .select(col("doc_id"), col("format"),
+            col("width"), col("height"), col("channels"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, 'png' AS format, 8 AS width, 6 AS height,
+                3 AS channels
+         FROM documents ORDER BY doc_id"""),
+
     "m05_image_features" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -191,25 +191,41 @@ object Multimodal {
       Some((width, height, px))
     }
 
+    /** Nearest-neighbor resample of row-major 3-channel pixels — shared
+      * by the BMP and PNG resize paths.
+      */
+    private def resamplePixels(px: Array[Byte], w: Int, h: Int,
+                               newW: Int, newH: Int): Array[Byte] = {
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = y.toLong * h / newH
+        var x = 0
+        while (x < newW) {
+          val sx = x.toLong * w / newW
+          val src = (sy * w + sx).toInt * 3
+          val dst = (y * newW + x) * 3
+          out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Nearest-neighbor resize of a 24-bit BMP; returns a re-encoded BMP. */
     def resizeBmp(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
       require(newW > 0 && newH > 0, "resize dims must be positive")
       bmpPixels(b).map { case (w, h, px) =>
-        val out = new Array[Byte](newW * newH * 3)
-        var y = 0
-        while (y < newH) {
-          val sy = y.toLong * h / newH
-          var x = 0
-          while (x < newW) {
-            val sx = x.toLong * w / newW
-            val src = (sy * w + sx).toInt * 3
-            val dst = (y * newW + x) * 3
-            out(dst) = px(src); out(dst + 1) = px(src + 1); out(dst + 2) = px(src + 2)
-            x += 1
-          }
-          y += 1
-        }
-        encodeBmp(out, newW)
+        encodeBmp(resamplePixels(px, w, h, newW, newH), newW)
+      }
+    }
+
+    /** Nearest-neighbor resize of a PNG; returns a re-encoded PNG. */
+    def resizePng(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+      require(newW > 0 && newH > 0, "resize dims must be positive")
+      pngPixels(b).map { case (w, h, px) =>
+        encodePng(resamplePixels(px, w, h, newW, newH), newW)
       }
     }
 
@@ -520,7 +536,12 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, bytes) =>
-        Codec.resizeBmp(bytes, newW, newH) match {
+        // dispatch on container magic: BMP or PNG, re-encoded in kind
+        val resized =
+          if (bytes != null && bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+            Codec.resizeBmp(bytes, newW, newH)
+          else Codec.resizePng(bytes, newW, newH)
+        resized match {
           case Some(r) => (id, r, true)
           case None    => (id, bytes, false)
         }

@@ -1064,6 +1064,23 @@ class OpsSpec extends GraftSuite {
     assert(mf.format == "png" && mf.width == 16 && mf.channels == 3)
   }
 
+
+  test("PNG resize matches the BMP resample pixel-for-pixel (shared kernel)") {
+    import graft.ops.Multimodal.Codec
+    val px = Array.tabulate(4 * 3 * 4)(i => ((i * 31) % 256).toByte)
+    val viaPng = Codec.pngPixels(
+      Codec.resizePng(Codec.encodePng(px, 4), 2, 2).get).get._3
+    // BMP stores BGR bottom-up; encode the same bytes and resize — the
+    // byte-level resample must agree because both paths share the kernel
+    val viaBmp = Codec.bmpPixels(
+      Codec.resizeBmp(Codec.encodeBmp(px, 4), 2, 2).get).get._3
+    assert(viaPng.toSeq == viaBmp.toSeq)
+    // upscale round-trip stays lossless through the compressed container
+    val up = Codec.pngPixels(
+      Codec.resizePng(Codec.encodePng(px, 4), 8, 8).get).get
+    assert(up._1 == 8 && up._2 == 8)
+  }
+
   test("BMP codec round-trips, including 4-byte row padding and bottom-up rows") {
     import Multimodal.Codec
     // width 4 -> 12-byte rows, no padding
