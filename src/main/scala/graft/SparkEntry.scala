@@ -3314,12 +3314,6 @@ object SparkEntry {
                 CAST((octet_length(encode(coalesce(text, ''))) + 3) // 4 AS DOUBLE) / 2000 AS duration_s
          FROM documents ORDER BY doc_id"""),
 
-    // image feature extraction end-to-end: BMP payloads from corpus
-    // bytes -> width/height/channels + per-channel means. The oracle
-    // re-derives every pixel from the utf-8 bytes (hex-pair extraction):
-    // height = len div 48 full rows (encode truncates, zero-pads a short
-    // single row), channel c = byte positions i % 3 == c, mean = integer
-    // channel sum / (16*height) — one IEEE division on both engines.
     // multimodal: PNG round-trip through a REAL compression codec —
     // utf-8 bytes -> RGB pixels -> Deflater + per-row predictive filters
     // (cycling all five) -> full chunk-walk + Inflater + unfilter decode.
@@ -3386,6 +3380,12 @@ object SparkEntry {
                 3 AS channels
          FROM documents ORDER BY doc_id"""),
 
+    // image feature extraction end-to-end: BMP payloads from corpus
+    // bytes -> width/height/channels + per-channel means. The oracle
+    // re-derives every pixel from the utf-8 bytes (hex-pair extraction):
+    // height = len div 48 full rows (encode truncates, zero-pads a short
+    // single row), channel c = byte positions i % 3 == c, mean = integer
+    // channel sum / (16*height) — one IEEE division on both engines.
     "m05_image_features" -> api(
       (s, dir) => {
         Registry.registerAll(s)

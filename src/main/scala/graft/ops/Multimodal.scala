@@ -376,9 +376,13 @@ object Multimodal {
     }
 
     /** Decode a PNG payload to (width, height, row-major RGB bytes):
-      * chunk walk with length/CRC-layout validation, IDAT inflate, and
-      * full five-filter unfiltering. None for anything that is not an
-      * 8-bit truecolor non-interlaced PNG.
+      * chunk walk with length bounds and per-chunk CRC32 VALIDATION,
+      * IDAT inflate, and full five-filter unfiltering. None for
+      * anything that is not an 8-bit truecolor non-interlaced PNG —
+      * including payloads whose declared dimensions would not fit an
+      * Int-addressed pixel array (all size arithmetic runs in Long
+      * before any allocation, so a crafted IHDR cannot overflow into a
+      * negative or half-gigabyte allocation).
       */
     def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (b == null || b.length < PngSig.length + 12) return None
@@ -397,6 +401,12 @@ object Multimodal {
         if (len < 0 || pos.toLong + 12L + len > b.length) return None
         val typ = new String(b, pos + 4, 4,
           java.nio.charset.StandardCharsets.US_ASCII)
+        // CRC32 over type + data must match the stored checksum — a
+        // corrupted-at-rest payload is rejected, never decoded to
+        // silently wrong pixels
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, pos + 4, 4 + len)
+        if (crc.getValue.toInt != be32(b, pos + 8 + len)) return None
         typ match {
           case "IHDR" =>
             if (len != 13) return None
@@ -414,8 +424,12 @@ object Multimodal {
         pos += 12 + len
       }
       if (!sawIhdr || idat.size == 0) return None
-      val rowBytes = w * 3
-      if (rowBytes.toLong * h > Int.MaxValue - h) return None
+      // Long arithmetic BEFORE any allocation: a crafted IHDR width of
+      // ~2^29 would overflow w * 3 to a negative Int and either crash
+      // the allocation or allocate ~0.5 GB from a 45-byte payload
+      val rowBytesL = w.toLong * 3L
+      if ((rowBytesL + 1L) * h > 256L * 1024 * 1024) return None
+      val rowBytes = rowBytesL.toInt
       val raw = new Array[Byte]((rowBytes + 1) * h)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
@@ -525,9 +539,10 @@ object Multimodal {
       }
   }
 
-  /** Partition-wise nearest-neighbor image resize over a BMP binary
-    * column: decode -> resample -> re-encode, payloads never leave their
-    * partition. Non-BMP payloads pass through unchanged (tagged false).
+  /** Partition-wise nearest-neighbor image resize over a BMP or PNG
+    * binary column (dispatch on container magic, re-encoded in kind):
+    * decode -> resample -> re-encode, payloads never leave their
+    * partition. Other formats pass through unchanged (tagged false).
     */
   def resizeImages(df: DataFrame, idCol: String, binCol: String,
                    newW: Int, newH: Int): DataFrame = {
@@ -765,9 +780,17 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, bytes) =>
-        (Codec.pngPixels(bytes), Codec.pngChannelMeans(bytes)) match {
-          case (Some((w, h, _)), Some((mr, mg, mb))) => (id, w, h, 3, mr, mg, mb)
-          case _ => (id, 0, 0, 0, 0.0, 0.0, 0.0)
+        // ONE decode per payload — PNG decode is real decompression
+        // work, not the BMP memcpy; means come from the same px array
+        Codec.pngPixels(bytes) match {
+          case Some((w, h, px)) =>
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+            val n = px.length / 3
+            (id, w, h, 3, sums(0).toDouble / n, sums(1).toDouble / n,
+              sums(2).toDouble / n)
+          case None => (id, 0, 0, 0, 0.0, 0.0, 0.0)
         }
       })
       .toDF(idCol, "width", "height", "channels", "mean_r", "mean_g", "mean_b")

@@ -1054,11 +1054,23 @@ class OpsSpec extends GraftSuite {
     assert(Codec.pngPixels(good.take(40)).isEmpty, "truncated chunk walk")
     val badSig = good.clone(); badSig(0) = 0x42
     assert(Codec.pngPixels(badSig).isEmpty)
-    // corrupt the IDAT payload: inflate must fail loudly, not fabricate
+    // corrupt one IDAT byte: the chunk CRC no longer matches -> rejected
+    // (never decoded to silently wrong pixels, never an exception)
     val corrupt = good.clone()
     corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x5a).toByte
-    assert(Codec.pngPixels(corrupt).isEmpty ||
-      Codec.pngPixels(corrupt).isDefined, "no exception escapes")
+    assert(Codec.pngPixels(corrupt).isEmpty)
+    // crafted IHDR with width ~2^29+: the old Int arithmetic overflowed
+    // w*3 negative and crashed the allocation; must return None
+    val bomb = good.clone()
+    bomb(16) = 0x2a.toByte; bomb(17) = 0xaa.toByte
+    bomb(18) = 0xaa.toByte; bomb(19) = 0xab.toByte
+    // fix the IHDR CRC so the walk reaches the size guard
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    bomb(29) = (cv >>> 24).toByte; bomb(30) = (cv >>> 16).toByte
+    bomb(31) = (cv >>> 8).toByte; bomb(32) = cv.toByte
+    assert(Codec.pngPixels(bomb).isEmpty, "oversized IHDR must be rejected")
     // dispatch recognizes the container
     val mf = Codec.decode(7L, good)
     assert(mf.format == "png" && mf.width == 16 && mf.channels == 3)
