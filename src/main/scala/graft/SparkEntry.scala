@@ -4495,6 +4495,67 @@ object SparkEntry {
     // driver — the scale path toArrowIpc's cap points at), read back
     // per-file through the Arrow ingest and aggregated; small batchRows
     // forces multiple record batches per file.
+    // media ingestion through Spark's REAL at-rest path: PNG payloads
+    // written as individual FILES, read back with the built-in
+    // `binaryFile` source (path/length/content schema, pathGlobFilter
+    // pushdown), ids recovered from file names, pixels recovered through
+    // the full PNG decode. This is the 100 TB shape for opaque media —
+    // one file per object, executors read only matching paths, payload
+    // bytes never shuffle (the decode is map-side; the only exchange is
+    // the final ORDER BY). Oracle: the m05/m10 byte arithmetic on the
+    // written subset.
+    "io14_binary_source" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        val out = scratchDir(s"io14_png_${new java.io.File(dir).getName}")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+        import s.implicits._
+        m.withPngPayload(
+            s.read.parquet(s"$dir/documents.parquet")
+              .filter(col("doc_id") < 50)
+              .withColumn("text", coalesce(col("text"), lit(""))),
+            "doc_id", "text", width = 16)
+          .select(col("doc_id").cast("long"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+            it.foreach { case (id, bytes) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$out/doc_$id.png"), bytes)
+            }
+          }
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(out)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("content").as("payload"))
+        m.pngFeatures(files, "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (
+           SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS len
+           FROM documents WHERE doc_id < 50),
+         dims AS (SELECT doc_id, hx, len, greatest(len // 48, 1) AS height FROM d),
+         px AS (SELECT doc_id, u.i AS i,
+                       CASE WHEN u.i < len
+                            THEN CAST('0x' || substr(hx, 2 * u.i + 1, 2) AS INTEGER)
+                            ELSE 0 END AS v
+                FROM dims, unnest(generate_series(0, height * 48 - 1)) AS u(i)),
+         agg AS (SELECT doc_id,
+                        sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sr,
+                        sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sg,
+                        sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sb
+                 FROM px GROUP BY doc_id)
+         SELECT dims.doc_id, CAST(16 AS INTEGER) AS width,
+                CAST(dims.height AS INTEGER) AS height,
+                CAST(3 AS INTEGER) AS channels,
+                CAST(agg.sr AS DOUBLE) / (16 * dims.height) AS mean_r,
+                CAST(agg.sg AS DOUBLE) / (16 * dims.height) AS mean_g,
+                CAST(agg.sb AS DOUBLE) / (16 * dims.height) AS mean_b
+         FROM dims JOIN agg USING (doc_id) ORDER BY dims.doc_id"""),
+
     "io15_arrow_export" -> api(
       (s, dir) => {
         Registry.registerAll(s)
