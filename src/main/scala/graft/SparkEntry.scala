@@ -7513,6 +7513,28 @@ object SparkEntry {
                 p_retailprice AS price
          FROM part WHERE p_size > 47 ORDER BY p_partkey"""),
 
+    // null-safe comparison operators at the SQL surface: IS [NOT]
+    // DISTINCT FROM is the three-valued-logic-free equality both engines
+    // parse natively (same text). Nulls are planted in-query so the
+    // null<->null and null<->value cells all genuinely occur.
+    "q51_is_distinct_from" -> same("orders",
+      """WITH t AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                       ELSE o_orderstatus END AS a,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                       ELSE o_orderstatus END AS b
+           FROM orders)
+         SELECT count(*) AS n_total,
+                CAST(sum(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_distinct,
+                CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_same,
+                CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b
+                              AND a IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_both_null
+         FROM t"""),
+
     // Relational division ("for all"): customers who placed an order in
     // EVERY order-priority class. The Spark plan is the scale-right
     // counting formulation — one grouped distinct-count against a

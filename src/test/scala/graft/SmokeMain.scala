@@ -376,6 +376,15 @@ object SmokeMain {
       val back = parts.map(f => graft.api.ArrowExport.fromArrowIpc(spark,
         java.nio.file.Files.readAllBytes(f.toPath))).reduce(_ unionByName _)
       println(s"arrow export files=${parts.length} rows=$written readBack=${back.count()}")
+      // round-12: IS [NOT] DISTINCT FROM at the SQL surface (q51)
+      val idf = SparkEntry.queries("q51_is_distinct_from")(spark, sf)
+      idf.show(1, truncate = false)
+      val idfRow = idf.collect()(0)
+      require(idfRow.getLong(idf.columns.indexOf("n_distinct")) +
+        idfRow.getLong(idf.columns.indexOf("n_same")) ==
+        idfRow.getLong(idf.columns.indexOf("n_total")),
+        "IS DISTINCT FROM must partition all rows")
+      println(s"is-distinct-from partition check OK (${idfRow.mkString(",")})")
     }
 
     spark.stop()
