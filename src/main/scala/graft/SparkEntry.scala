@@ -7950,6 +7950,110 @@ object SparkEntry {
                 count(*) AS n, min(cents) AS lo, max(cents) AS hi
          FROM o, m GROUP BY 1 ORDER BY bin"""),
 
+    // ---- geospatial family (Geo.scala): grid-bucketed spatial ops.
+    // Coordinates are derived in-query from integer keys onto a
+    // 1/16-degree dyadic grid ((k % 320) * 0.0625 spans [0, 20)), so
+    // every coordinate, difference, square, and sum below is EXACT in
+    // IEEE double — the argmin and the cell floor are bitwise
+    // deterministic across engines. DuckDB literals go through
+    // CAST(… AS DOUBLE) because its bare 0.0625 is DECIMAL.
+
+    // nearest site per probe: sites announce to their 3x3 neighbor
+    // cells (map-side x9 on the SMALL side), probes equi-join their one
+    // cell, exact box residual, one min(struct) argmin — no cross join,
+    // no per-probe subquery. The oracle replays the same semantics as a
+    // window over the box join.
+    "geo01_nearest_site" -> api(
+      (s, dir) => {
+        val sixt = lit(0.0625)
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"),
+            ((col("c_custkey") % 320).cast("double") * sixt).as("plat"),
+            (((col("c_custkey") * 7) % 320).cast("double") * sixt).as("plon"))
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"),
+            (((col("s_suppkey") * 11) % 320).cast("double") * sixt).as("slat"),
+            (((col("s_suppkey") * 13) % 320).cast("double") * sixt).as("slon"))
+        graft.ops.Geo.nearestJoin(
+            c, "c_custkey", "plat", "plon",
+            sup, "s_suppkey", "slat", "slon",
+            boxDeg = 2.0, distCol = "dist2",
+            metric = graft.ops.Geo.planarSq)
+          .select(col("c_custkey"), col("s_suppkey").as("nearest_site"),
+            col("dist2"))
+          .orderBy(col("c_custkey"))
+      },
+      """WITH c AS (SELECT c_custkey,
+                  (c_custkey % 320) * CAST(0.0625 AS DOUBLE) AS plat,
+                  ((c_custkey * 7) % 320) * CAST(0.0625 AS DOUBLE) AS plon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+                  ((s_suppkey * 11) % 320) * CAST(0.0625 AS DOUBLE) AS slat,
+                  ((s_suppkey * 13) % 320) * CAST(0.0625 AS DOUBLE) AS slon
+           FROM supplier),
+         j AS (SELECT c.c_custkey, s.s_suppkey,
+                  (c.plat - s.slat) * (c.plat - s.slat)
+                    + (c.plon - s.slon) * (c.plon - s.slon) AS dist2
+           FROM c JOIN s
+             ON abs(c.plat - s.slat) < 2.0 AND abs(c.plon - s.slon) < 2.0),
+         r AS (SELECT c_custkey, s_suppkey, dist2,
+                  row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist2, s_suppkey) AS rn
+           FROM j)
+         SELECT c_custkey, s_suppkey AS nearest_site, dist2
+         FROM r WHERE rn = 1 ORDER BY c_custkey"""),
+
+    // spatial density grid: one quantization + one grouped count,
+    // output ∝ occupied cells (the heat-map primitive)
+    "geo02_cell_density" -> api(
+      (s, dir) => {
+        val sixt = lit(0.0625)
+        val e = s.read.parquet(s"$dir/events.parquet")
+          .select(((col("event_id") % 320).cast("double") * sixt).as("lat"),
+            (((col("event_id") * 7) % 320).cast("double") * sixt).as("lon"))
+        graft.ops.Geo.cellDensity(e, "lat", "lon", cellDeg = 1.0)
+          .orderBy(col("cell_lat"), col("cell_lon"))
+      },
+      """WITH e AS (SELECT (event_id % 320) * CAST(0.0625 AS DOUBLE) AS lat,
+                  ((event_id * 7) % 320) * CAST(0.0625 AS DOUBLE) AS lon
+           FROM events)
+         SELECT CAST(floor(lat / 1.0) AS BIGINT) AS cell_lat,
+                CAST(floor(lon / 1.0) AS BIGINT) AS cell_lon,
+                count(*) AS n
+         FROM e GROUP BY 1, 2 ORDER BY cell_lat, cell_lon"""),
+
+    // haversine itself (transcendental → round-6 per the q14 float
+    // discipline; association mirrored term-for-term): distance from
+    // each supplier site to a fixed anchor, map-only
+    "geo03_haversine" -> api(
+      (s, dir) => {
+        val sixt = lit(0.0625)
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"),
+            ((col("s_suppkey") * 11 % 320).cast("double") * sixt + 40.0)
+              .as("slat"),
+            ((col("s_suppkey") * 13 % 320).cast("double") * sixt - 10.0)
+              .as("slon"))
+        sup.select(col("s_suppkey"),
+            round(graft.ops.Geo.haversineKm(
+              col("slat"), col("slon"), lit(48.8566), lit(2.3522)), 6)
+              .as("km"))
+          .orderBy(col("s_suppkey"))
+      },
+      """WITH s AS (SELECT s_suppkey,
+                  (s_suppkey * 11 % 320) * CAST(0.0625 AS DOUBLE)
+                    + CAST(40.0 AS DOUBLE) AS slat,
+                  (s_suppkey * 13 % 320) * CAST(0.0625 AS DOUBLE)
+                    - CAST(10.0 AS DOUBLE) AS slon
+           FROM supplier)
+         SELECT s_suppkey,
+                round(CAST(6371.0088 AS DOUBLE) * 2 * asin(sqrt(
+                  power(sin(radians(CAST(48.8566 AS DOUBLE) - slat) / 2), 2)
+                  + cos(radians(slat)) * cos(radians(CAST(48.8566 AS DOUBLE)))
+                    * power(sin(radians(CAST(2.3522 AS DOUBLE) - slon) / 2), 2)
+                )), 6) AS km
+         FROM s ORDER BY s_suppkey"""),
+
     "fe01_feature_hash" -> api(
       (s, dir) => {
         s.read.parquet(s"$dir/documents.parquet")

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Geo
+
+/** Behavioral tests for the geospatial family. */
+class GeoSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("haversineKm matches known city distances and is symmetric") {
+    // Paris <-> London ~343.6 km; JFK-area NYC <-> LA ~3935.7 km
+    // (public great-circle values on the mean-radius sphere)
+    val df = Seq(
+      (48.8566, 2.3522, 51.5074, -0.1278, 343.6),
+      (40.7128, -74.0060, 34.0522, -118.2437, 3935.7)
+    ).toDF("la1", "lo1", "la2", "lo2", "expect")
+    val got = df.select(
+      Geo.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2")).as("d"),
+      Geo.haversineKm(col("la2"), col("lo2"), col("la1"), col("lo1")).as("dr"),
+      col("expect")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 5.0,
+        s"haversine off: ${r.getDouble(0)} vs ${r.getDouble(2)}")
+      assert(r.getDouble(0) === r.getDouble(1), "haversine must be symmetric")
+    }
+    val zero = Seq((10.25, 20.5)).toDF("la", "lo")
+      .select(Geo.haversineKm(col("la"), col("lo"), col("la"), col("lo")))
+      .first().getDouble(0)
+    assert(zero == 0.0)
+  }
+
+  test("nearestJoin equals the brute-force nearest within the box (seeded random)") {
+    val rnd = new scala.util.Random(42)
+    // coordinates snapped to the 1/16-degree dyadic grid so distance
+    // comparisons are exact (same discipline as the geo driver queries)
+    def snap(x: Double): Double = math.floor(x * 16.0) / 16.0
+    val probes = (1 to 300).map(i =>
+      (i.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+    val sites = (1 to 40).map(j =>
+      (j.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+    val pDf = probes.toDF("pid", "plat", "plon")
+    val sDf = sites.toDF("sid", "slat", "slon")
+    val box = 2.0
+    val got = Geo.nearestJoin(pDf, "pid", "plat", "plon",
+        sDf, "sid", "slat", "slon", boxDeg = box, distCol = "d2",
+        metric = Geo.planarSq)
+      .select("pid", "sid", "d2").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = probes.flatMap { case (pid, la, lo) =>
+      val cands = sites.filter { case (_, sa, so) =>
+        math.abs(la - sa) < box && math.abs(lo - so) < box }
+      if (cands.isEmpty) None
+      else {
+        val best = cands.map { case (sid, sa, so) =>
+          ((la - sa) * (la - sa) + (lo - so) * (lo - so), sid) }.min
+        Some(pid -> (best._2, best._1))
+      }
+    }.toMap
+    assert(got.keySet === want.keySet, "matched probe sets differ")
+    want.foreach { case (pid, (sid, d2)) =>
+      assert(got(pid) === ((sid, d2)), s"probe $pid: got ${got(pid)}")
+    }
+    assert(want.nonEmpty && want.size < probes.size,
+      "fixture must exercise both matched and unmatched probes")
+  }
+
+  test("nearestJoin box bound is strict and ties break to the smaller site key") {
+    val pDf = Seq((1L, 0.0, 0.0)).toDF("pid", "plat", "plon")
+    val sDf = Seq(
+      (10L, 0.0, 2.0),   // exactly boxDeg away on one axis -> excluded
+      (7L, 0.0, 1.0),    // tie with site 9 at d2 = 1
+      (9L, 1.0, 0.0)
+    ).toDF("sid", "slat", "slon")
+    val out = Geo.nearestJoin(pDf, "pid", "plat", "plon",
+        sDf, "sid", "slat", "slon", boxDeg = 2.0, distCol = "d2",
+        metric = Geo.planarSq)
+      .select("pid", "sid", "d2").as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 7L, 1.0)))
+    // with only the excluded site present, the probe drops entirely
+    val none = Geo.nearestJoin(pDf, "pid", "plat", "plon",
+      Seq((10L, 0.0, 2.0)).toDF("sid", "slat", "slon"),
+      "sid", "slat", "slon", boxDeg = 2.0, metric = Geo.planarSq)
+    assert(none.count() === 0)
+  }
+
+  test("nearestJoin nulls match nothing; reserved __g names rejected") {
+    val pDf = Seq((1L, Option(0.5), Option(0.5)), (2L, None, Option(0.5)))
+      .toDF("pid", "plat", "plon")
+    val sDf = Seq((1L, Option(0.5), None), (2L, Option(0.5), Option(0.5)))
+      .toDF("sid", "slat", "slon")
+    val out = Geo.nearestJoin(pDf, "pid", "plat", "plon",
+      sDf, "sid", "slat", "slon", boxDeg = 1.0, metric = Geo.planarSq)
+    assert(out.select("pid", "sid").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 2L)))
+    val bad = Seq((1L, 0.0, 0.0, 0)).toDF("pid", "plat", "plon", "__gx")
+    val e = intercept[IllegalArgumentException] {
+      Geo.nearestJoin(bad, "pid", "plat", "plon",
+        sDf, "sid", "slat", "slon", boxDeg = 1.0)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("cellDensity counts per occupied cell only") {
+    val df = Seq((0.5, 0.5), (0.9, 0.1), (3.5, 3.5), (-0.5, 0.5))
+      .toDF("lat", "lon")
+    val out = Geo.cellDensity(df, "lat", "lon", 1.0)
+      .orderBy("cell_lat", "cell_lon")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((-1L, 0L, 1L), (0L, 0L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("nearestJoin plans as an equi-join on the cell key — no nested loop") {
+    val pDf = spark.range(100).select(col("id").as("pid"),
+      (col("id") % 20).cast("double").as("plat"),
+      (col("id") % 17).cast("double").as("plon"))
+    val sDf = spark.range(10).select(col("id").as("sid"),
+      (col("id") % 20).cast("double").as("slat"),
+      (col("id") % 13).cast("double").as("slon"))
+    val plan = Geo.nearestJoin(pDf, "pid", "plat", "plon",
+        sDf, "sid", "slat", "slon", boxDeg = 2.0, metric = Geo.planarSq)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__gclat"), "join must key on the cell index")
+  }
+}

@@ -385,6 +385,16 @@ object SmokeMain {
         idfRow.getLong(idf.columns.indexOf("n_total")),
         "IS DISTINCT FROM must partition all rows")
       println(s"is-distinct-from partition check OK (${idfRow.mkString(",")})")
+      // round-12: geospatial family — bucketed nearest-site join at the
+      // library surface plus the haversine metric
+      val geo = SparkEntry.queries("geo01_nearest_site")(spark, sf)
+      println(s"geo nearest-site rows=${geo.count()}")
+      geo.show(3, truncate = false)
+      val pl = spark.range(1)
+        .select(graft.ops.Geo.haversineKm(
+          lit(48.8566), lit(2.3522), lit(51.5074), lit(-0.1278)).as("km"))
+        .first().getDouble(0)
+      println(f"paris-london haversine km=$pl%.1f (expect ~343.6)")
     }
 
     spark.stop()
