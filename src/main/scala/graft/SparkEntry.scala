@@ -5343,6 +5343,53 @@ object SparkEntry {
          ORDER BY id_a, id_b"""),
 
     // FIXED-POINT PageRank over a synthetic doc link graph — iterative
+    // weighted single-source shortest path: Bellman-Ford relaxation on
+    // the Iterate combinator — after k rounds every reached node holds
+    // the min cost over paths of <= k edges, which is exactly what the
+    // oracle's hop-bounded recursive CTE enumerates. Integer weights
+    // ((5·src + 3·dst) % 10 + 1) keep path sums exact in both engines.
+    // Scale shape: each round is ONE keyed equi-join (edges ⋈ frontier)
+    // + ONE min aggregation — state is a (node, dist) table, never a
+    // path enumeration; the exponential path set exists only in the
+    // tiny-N oracle.
+    "gr06_shortest_path" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(array((col("doc_id") * 7 + 1) % n,
+              (col("doc_id") * 13 + 3) % n)).as("dst"))
+          .withColumn("w", (col("src") * 5 + col("dst") * 3) % 10 + 1)
+          .localCheckpoint(true)
+        val dist0 = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), lit(0L).as("dist"))
+        val dist = graft.ops.Iterate.loop(dist0, 6) { (d, _) =>
+          val relax = edges.join(d, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"),
+              (col("dist") + col("w")).as("dist"))
+          d.unionByName(relax)
+            .groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+        }
+        dist.orderBy(col("doc_id"))
+      },
+      """WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+         v AS (SELECT doc_id FROM documents),
+         e AS (SELECT doc_id AS src, (doc_id*7+1) % n.n AS dst FROM v, n
+               UNION ALL
+               SELECT doc_id, (doc_id*13+3) % n.n FROM v, n),
+         ew AS (SELECT src, dst, (src*5 + dst*3) % 10 + 1 AS w FROM e),
+         walk(id, d, hops) AS (
+           SELECT doc_id, CAST(0 AS BIGINT), 0
+           FROM documents WHERE doc_id % 100 = 0
+           UNION
+           SELECT ew.dst, wk.d + ew.w, wk.hops + 1
+           FROM walk wk JOIN ew ON ew.src = wk.id
+           WHERE wk.hops < 6)
+         SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         FROM walk GROUP BY id ORDER BY doc_id"""),
+
     // graph analytics in the d08 loop discipline (per-iteration keyed
     // join + aggregation, nothing driver-side but the tiny N). Ranks
     // live in integer 1e12-scale fixed point with the damping step as

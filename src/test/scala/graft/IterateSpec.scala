@@ -58,6 +58,25 @@ class IterateSpec extends GraftSuite {
     assert(rounds < 10, s"did not converge early: $rounds rounds")
   }
 
+  test("Bellman-Ford relaxation (the gr06 shape) prefers a cheap multi-hop path") {
+    import spark.implicits._
+    // 0 -> 3 directly costs 10; 0 -> 1 -> 2 -> 3 costs 3. BFS would pick
+    // the 1-hop path; weighted relaxation must find cost 3 once enough
+    // rounds run, and the intermediate 2-round state must hold the
+    // <=2-edge optimum (10) — the hop-bounded semantics the gr06 oracle
+    // encodes.
+    val edges = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val dist0 = Seq((0L, 0L)).toDF("id", "dist")
+    def run(rounds: Int) = Iterate.loop(dist0, rounds) { (d, _) =>
+      val relax = edges.join(d, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      d.unionByName(relax).groupBy("id").agg(min("dist").as("dist"))
+    }.as[(Long, Long)].collect().toMap
+    assert(run(2)(3L) === 10L, "2 rounds = best path with <=2 edges")
+    assert(run(3)(3L) === 3L, "3 rounds finds the cheap 3-edge path")
+  }
+
   test("Table.iterate facade delegates to the combinator") {
     val t = graft.api.Table(base)
       .iterate(3) { (t, _) => graft.api.Table(t.df.withColumn("x", col("x") + 10)) }

@@ -395,6 +395,10 @@ object SmokeMain {
           lit(48.8566), lit(2.3522), lit(51.5074), lit(-0.1278)).as("km"))
         .first().getDouble(0)
       println(f"paris-london haversine km=$pl%.1f (expect ~343.6)")
+      // round-12: weighted shortest path (Bellman-Ford on Iterate)
+      val sp = SparkEntry.queries("gr06_shortest_path")(spark, sf)
+      println(s"gr06 shortest-path reached=${sp.count()} " +
+        s"zero-dist sources=${sp.filter(col("dist") === 0).count()}")
     }
 
     spark.stop()
