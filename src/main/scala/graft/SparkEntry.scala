@@ -4353,6 +4353,35 @@ object SparkEntry {
     // profiling statistics a corpus-quality dashboard needs. One hash
     // shuffle on the group key, partial aggregation map-side; round(,6)
     // per the established transcendental-output discipline.
+    // higher-moment stats (population skewness / excess kurtosis) from
+    // EXACT integer power sums: l_quantity is integral 1..50, so
+    // sum(q^k) up to k=4 stays far under 2^53 and the BIGINT->DOUBLE
+    // casts are exact; the moment algebra then uses only +,-,*,/ and
+    // sqrt — every one correctly rounded in IEEE — so both engines
+    // compute bitwise-identical doubles (no libm, no power(x,1.5)).
+    // Built-in skewness/kurtosis are NOT used on purpose: Spark's are
+    // population moments, DuckDB's are bias-corrected sample moments —
+    // the explicit sums are the engine-neutral form.
+    "g19_moments" -> same("lineitem",
+      """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+                    FROM lineitem),
+         m AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(q) AS DOUBLE) AS s1,
+                      CAST(sum(q*q) AS DOUBLE) AS s2,
+                      CAST(sum(q*q*q) AS DOUBLE) AS s3,
+                      CAST(sum(q*q*q*q) AS DOUBLE) AS s4
+               FROM t GROUP BY l_returnflag),
+         d AS (SELECT l_returnflag, n, s1/n AS mu, s2/n AS m2r,
+                      s3/n AS m3r, s4/n AS m4r FROM m),
+         c AS (SELECT l_returnflag, n, m2r - mu*mu AS v,
+                      m3r - 3*mu*m2r + 2*mu*mu*mu AS m3,
+                      m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*mu*mu*mu*mu AS m4
+               FROM d)
+         SELECT l_returnflag, n,
+                round(m3 / (v * sqrt(v)), 6) AS skew_pop,
+                round(m4 / (v * v) - 3, 6) AS kurt_excess
+         FROM c ORDER BY l_returnflag"""),
+
     "g05_stats" -> api(
       (s, dir) => {
         Registry.registerAll(s)

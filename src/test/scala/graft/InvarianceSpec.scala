@@ -114,4 +114,37 @@ class InvarianceSpec extends GraftSuite {
     assert(expected.nonEmpty)
     for (l <- layouts(docs)) assert(run(l) == expected)
   }
+
+  test("Geo.nearestJoin is identical under any partitioning of either side") {
+    val probes = docs.select(col("doc_id").as("pid"),
+      ((col("doc_id") % 320).cast("double") * 0.0625).as("plat"),
+      (((col("doc_id") * 7) % 320).cast("double") * 0.0625).as("plon"))
+    val sites = docs.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id").as("sid"),
+        (((col("doc_id") * 11) % 320).cast("double") * 0.0625).as("slat"),
+        (((col("doc_id") * 13) % 320).cast("double") * 0.0625).as("slon"))
+    def run(p: DataFrame, s: DataFrame) = rows(graft.ops.Geo.nearestJoin(
+      p, "pid", "plat", "plon", s, "sid", "slat", "slon",
+      boxDeg = 2.0, metric = graft.ops.Geo.planarSq))
+    val expected = run(probes, sites)
+    assert(expected.nonEmpty)
+    for (p <- layouts(probes)) assert(run(p, sites) == expected)
+    for (s <- layouts(sites)) assert(run(probes, s) == expected)
+  }
+
+  test("Bellman-Ford relaxation is identical under any edge partitioning") {
+    val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 1) % 500).as("dst"))
+      .withColumn("w", (col("src") * 5 + col("dst") * 3) % 10 + 1)
+    val dist0 = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), lit(0L).as("dist"))
+    def run(e: DataFrame) = rows(graft.ops.Iterate.loop(dist0, 4) { (d, _) =>
+      val relax = e.join(d, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), (col("dist") + col("w")).as("dist"))
+      d.unionByName(relax).groupBy(col("doc_id")).agg(min(col("dist")).as("dist"))
+    })
+    val expected = run(edges)
+    assert(expected.nonEmpty)
+    for (e <- layouts(edges)) assert(run(e) == expected)
+  }
 }

@@ -35,7 +35,10 @@ object ScaleStress {
     // full-outer join, the segment explode, and the gram-shuffle
     // novelty score — all must scale ~linearly in rows
     "a01_asof_join", "u07_snapshot_diff", "p12_pack_segments",
-    "t22_corpus_novelty")
+    "t22_corpus_novelty",
+    // round 12b: the cell-bucketed spatial argmin and the iterative
+    // relaxation loop — both must scale ~linearly in rows
+    "geo01_nearest_site", "gr06_shortest_path")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
@@ -160,7 +163,15 @@ object ScaleStress {
         .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
     write("embeddings")((d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
-    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+    // customer scales (geo01 probes grow with the corpus); supplier
+    // stays fixed — a site catalog is a bounded dimension, and keeping
+    // it constant is what makes spatial candidate volume scale with the
+    // probe count instead of probe x site density. The +1 in the offset
+    // keeps per-copy derived coordinates off the 320-cycle so copies
+    // don't stack onto identical grid points.
+    write("customer")((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * 1000001L)))
+    for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$Sf01/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$outDir/_DONE"))

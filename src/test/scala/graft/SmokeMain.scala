@@ -399,6 +399,8 @@ object SmokeMain {
       val sp = SparkEntry.queries("gr06_shortest_path")(spark, sf)
       println(s"gr06 shortest-path reached=${sp.count()} " +
         s"zero-dist sources=${sp.filter(col("dist") === 0).count()}")
+      // round-12: exact-moment skewness/kurtosis at the SQL surface
+      SparkEntry.queries("g19_moments")(spark, sf).show(3, truncate = false)
     }
 
     spark.stop()
