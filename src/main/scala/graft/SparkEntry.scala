@@ -7611,6 +7611,29 @@ object SparkEntry {
                      AS BIGINT) AS n_both_null
          FROM t"""),
 
+    // named WINDOW clause: one definition shared by several window
+    // functions — both engines parse the same text natively, and Spark
+    // still collapses the shared spec into ONE Window exec
+    "q52_named_window" -> multi(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+                CAST(row_number() OVER w AS BIGINT) AS rn,
+                CAST(rank() OVER w AS BIGINT) AS rk,
+                CAST(count(*) OVER w AS BIGINT) AS n_so_far
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey"""),
+
+    // DuckDB/Postgres DISTINCT ON — latest order per customer. Spark
+    // has no DISTINCT ON; Dialect.distinctOn lowers it onto a
+    // row_number window (same text runs natively in DuckDB). The sort
+    // is made total (date DESC, key) so the kept row is deterministic.
+    "q53_distinct_on" -> same("orders",
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+                o_totalprice
+         FROM orders
+         ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""),
+
     // Relational division ("for all"): customers who placed an order in
     // EVERY order-priority class. The Spark plan is the scale-right
     // counting formulation — one grouped distinct-count against a
@@ -8097,6 +8120,41 @@ object SparkEntry {
                 CAST(floor(lon / 1.0) AS BIGINT) AS cell_lon,
                 count(*) AS n
          FROM e GROUP BY 1, 2 ORDER BY cell_lat, cell_lon"""),
+
+    // radius analytics on the boxJoin primitive: per probe, how many
+    // sites fall in the box and how close the best one is — one cell
+    // equi-join + one keyed rollup, pair volume ∝ local site density
+    "geo04_radius_count" -> api(
+      (s, dir) => {
+        val sixt = lit(0.0625)
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"),
+            ((col("c_custkey") % 320).cast("double") * sixt).as("plat"),
+            (((col("c_custkey") * 7) % 320).cast("double") * sixt).as("plon"))
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"),
+            (((col("s_suppkey") * 11) % 320).cast("double") * sixt).as("slat"),
+            (((col("s_suppkey") * 13) % 320).cast("double") * sixt).as("slon"))
+        graft.ops.Geo.boxJoin(c, "plat", "plon", sup, "slat", "slon",
+            boxDeg = 2.0, distCol = "d2", metric = graft.ops.Geo.planarSq)
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_sites"), min(col("d2")).as("d2min"))
+          .orderBy(col("c_custkey"))
+      },
+      """WITH c AS (SELECT c_custkey,
+                  (c_custkey % 320) * CAST(0.0625 AS DOUBLE) AS plat,
+                  ((c_custkey * 7) % 320) * CAST(0.0625 AS DOUBLE) AS plon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+                  ((s_suppkey * 11) % 320) * CAST(0.0625 AS DOUBLE) AS slat,
+                  ((s_suppkey * 13) % 320) * CAST(0.0625 AS DOUBLE) AS slon
+           FROM supplier)
+         SELECT c.c_custkey, count(*) AS n_sites,
+                min((c.plat - s.slat) * (c.plat - s.slat)
+                    + (c.plon - s.slon) * (c.plon - s.slon)) AS d2min
+         FROM c JOIN s
+           ON abs(c.plat - s.slat) < 2.0 AND abs(c.plon - s.slon) < 2.0
+         GROUP BY c.c_custkey ORDER BY c.c_custkey"""),
 
     // haversine itself (transcendental → round-6 per the q14 float
     // discipline; association mirrored term-for-term): distance from

@@ -35,11 +35,14 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
+    val q0 = Dialect.orderByNullsLast(
+      Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
+    // DISTINCT ON lowers AFTER the nulls-last pass (the sort items move
+    // into a window spec, where the later top-level scan can't see them)
     val q = Dialect.expandStarRename(
       Dialect.expandStarReplace(
         Dialect.expandStarExclude(
-          Dialect.orderByNullsLast(
-            Dialect.aliasesIntoWhere(Dialect.rewrite(query))),
+          Dialect.distinctOn(q0).getOrElse(q0),
           df.columns.toSeq),
         df.columns.toSeq),
       df.columns.toSeq)
@@ -303,8 +306,9 @@ object Table {
     */
   def sessionSql(spark: SparkSession, query: String): Table = {
     Registry.registerAll(spark)
-    val q = Dialect.orderByNullsLast(
+    val q1 = Dialect.orderByNullsLast(
       Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
+    val q = Dialect.distinctOn(q1).getOrElse(q1)
     if (graft.sql.AsOfSql.detect(q))
       apply(graft.sql.AsOfSql.run(spark, q, spark.table))
     // same QUALIFY lowering as Table.sql — the rewrite needs no receiver

@@ -58,28 +58,29 @@ object Geo {
       s"column names ${bad.mkString(",")} are reserved by Geo ($side input)")
   }
 
-  /** For each probe row, the nearest site (by `metric`, ties broken by
-    * ascending `sKey`) among sites STRICTLY inside the axis-aligned box
-    * `|Δlat| < boxDeg AND |Δlon| < boxDeg`; probes with no site in the
-    * box drop (inner semantics). Output: all probe columns, then `sKey`
-    * and the metric value as `distCol`.
+  /** All (probe, site) pairs with the site STRICTLY inside the
+    * axis-aligned box `|Δlat| < boxDeg AND |Δlon| < boxDeg` around the
+    * probe — the spatial-join primitive under [[nearestJoin]] and
+    * radius analytics. Sites announce themselves to their 3×3 neighbor
+    * cells (map-side ×9 explode of the SMALL side), probes equi-join
+    * their single cell, and the exact box predicate runs as a codegen'd
+    * residual. The box bound is what makes the announcement lossless: a
+    * site within `boxDeg` on each axis is at most one cell index away
+    * on each axis, so it is always announced into the probe's cell;
+    * sites between `boxDeg` and `2·boxDeg` may also be announced and
+    * are removed by the residual. A probe lives in exactly ONE cell, so
+    * no pair can match twice — no distinct needed.
     *
-    * The box bound is what makes the 3×3 announcement lossless: a site
-    * within `boxDeg` on each axis is at most one cell index away from
-    * the probe on each axis, so it is always announced into the probe's
-    * cell; sites between `boxDeg` and `2·boxDeg` may also be announced
-    * and are removed by the exact residual predicate.
-    *
-    * `pKey` must be unique per probe row (it is the argmin group key).
-    * Null coordinates on either side match nothing. `metric` must be
-    * non-null on non-null inputs. Column names prefixed `__g` are
-    * reserved; probe and site column names must be disjoint.
+    * Output: all probe columns, all site columns, and `metric` as
+    * `distCol`. Null coordinates on either side match nothing. Column
+    * names prefixed `__g` are reserved; probe and site column names
+    * must be disjoint.
     */
-  def nearestJoin(probes: DataFrame, pKey: String, pLat: String, pLon: String,
-                  sites: DataFrame, sKey: String, sLat: String, sLon: String,
-                  boxDeg: Double, distCol: String = "dist",
-                  metric: (Column, Column, Column, Column) => Column =
-                    haversineKm): DataFrame = {
+  def boxJoin(probes: DataFrame, pLat: String, pLon: String,
+              sites: DataFrame, sLat: String, sLon: String,
+              boxDeg: Double, distCol: String = "dist",
+              metric: (Column, Column, Column, Column) => Column =
+                haversineKm): DataFrame = {
     require(boxDeg > 0, "boxDeg must be positive")
     reserve(probes, "probes"); reserve(sites, "sites")
     val off = array(lit(-1L), lit(0L), lit(1L))
@@ -94,15 +95,34 @@ object Geo {
       .filter(col(pLat).isNotNull && col(pLon).isNotNull)
       .withColumn("__gclat", cellIdx(col(pLat), boxDeg))
       .withColumn("__gclon", cellIdx(col(pLon), boxDeg))
-    val probeCols = probes.columns.toSeq
-    val d = metric(col(pLat), col(pLon), col(sLat), col(sLon))
-    val joined = pb.join(sb, Seq("__gclat", "__gclon"))
+    pb.join(sb, Seq("__gclat", "__gclon"))
       .filter(abs(col(pLat) - col(sLat)) < boxDeg &&
         abs(col(pLon) - col(sLon)) < boxDeg)
+      .withColumn(distCol,
+        metric(col(pLat), col(pLon), col(sLat), col(sLon)))
+      .drop("__gclat", "__gclon")
+  }
+
+  /** For each probe row, the nearest site (by `metric`, ties broken by
+    * ascending `sKey`) among sites inside the [[boxJoin]] box; probes
+    * with no site in the box drop (inner semantics). Output: all probe
+    * columns, then `sKey` and the metric value as `distCol`.
+    *
+    * `pKey` must be unique per probe row (it is the argmin group key);
+    * the argmin is ONE `min(struct)` aggregation on it — no rank
+    * window, no self-join.
+    */
+  def nearestJoin(probes: DataFrame, pKey: String, pLat: String, pLon: String,
+                  sites: DataFrame, sKey: String, sLat: String, sLon: String,
+                  boxDeg: Double, distCol: String = "dist",
+                  metric: (Column, Column, Column, Column) => Column =
+                    haversineKm): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    boxJoin(probes, pLat, pLon, sites, sLat, sLon, boxDeg, "__gd", metric)
       .select(col(pKey).as("__gk"),
-        struct(d.as("__gd") +: col(sKey).as("__gs") +:
+        struct(col("__gd") +: col(sKey).as("__gs") +:
           probeCols.map(col): _*).as("__gbest"))
-    joined.groupBy(col("__gk"))
+      .groupBy(col("__gk"))
       .agg(min(col("__gbest")).as("__gbest"))
       .select((probeCols.map(c => col(s"__gbest.$c").as(c)) :+
         col("__gbest.__gs").as(sKey) :+

@@ -173,6 +173,82 @@ object Dialect {
     s.substring(0, obStart) + rewritten.mkString(",") + s.substring(end)
   }
 
+  /** DuckDB/Postgres-style `SELECT DISTINCT ON (keys) items FROM …
+    * ORDER BY sorts`: keep the FIRST row per key combination in the
+    * statement's sort order. Spark has no DISTINCT ON; lower it onto a
+    * `row_number()` window partitioned by the keys and ordered by the
+    * statement's ORDER BY, filtered to 1, with the original projection
+    * and ORDER BY re-applied outside:
+    *
+    *   [WITH …] SELECT items FROM (
+    *     SELECT *, row_number() OVER (PARTITION BY keys
+    *                                  ORDER BY sorts) AS __don__
+    *     FROM … [WHERE …])
+    *   WHERE __don__ = 1 ORDER BY sorts [LIMIT/OFFSET tail]
+    *
+    * Runs AFTER [[orderByNullsLast]], so the sort items already carry
+    * the receiver dialect's NULLS LAST default when they move inside
+    * the window spec — the kept-row choice matches DuckDB under NULL
+    * sort values. Loud requirements (silent nondeterminism is worse
+    * than an error): a top-level ORDER BY must be present (it defines
+    * "first"), no top-level GROUP BY / HAVING (the inner `SELECT *`
+    * expansion has no grouped form), and keys/sorts must reference base
+    * columns (the window runs below the projection, where select
+    * aliases don't exist). `None` when the statement has no top-level
+    * `SELECT DISTINCT ON` head. A `distinct on` inside a literal,
+    * comment, or subquery never triggers (masked scan).
+    */
+  def distinctOn(sql: String): Option[String] = {
+    val m = stripLiterals(sql)
+    val sel = findTopLevelKeywordIn(m, 0, "select")
+    if (sel < 0) return None
+    val dis = findTopLevelKeywordIn(m, sel + 6, "distinct")
+    if (dis < 0 || m.substring(sel + 6, dis).trim.nonEmpty) return None
+    val on = findTopLevelKeywordIn(m, dis + 8, "on")
+    if (on < 0 || m.substring(dis + 8, on).trim.nonEmpty) return None
+    var i = on + 2
+    while (i < m.length && m.charAt(i).isWhitespace) i += 1
+    require(i < m.length && m.charAt(i) == '(',
+      "DISTINCT ON requires a parenthesized key list")
+    var depth = 0; var j = i; var close = -1
+    while (j < m.length && close < 0) {
+      val c = m.charAt(j)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) close = j }
+      j += 1
+    }
+    require(close > 0, "unbalanced parens in the DISTINCT ON key list")
+    val keys = sql.substring(i + 1, close).trim
+    require(keys.nonEmpty, "DISTINCT ON key list is empty")
+    val from = findTopLevelKeywordIn(m, close + 1, "from")
+    require(from > 0, "DISTINCT ON requires a FROM clause")
+    val items = sql.substring(close + 1, from).trim
+    require(items.nonEmpty, "DISTINCT ON requires a select list")
+    require(findTopLevelKeywordIn(m, from, "group") < 0 &&
+      findTopLevelKeywordIn(m, from, "having") < 0 &&
+      findTopLevelKeywordIn(m, from, "qualify") < 0,
+      "DISTINCT ON over GROUP BY / HAVING / QUALIFY is not supported")
+    val order = findTopLevelKeywordIn(m, from, "order")
+    require(order > 0, "DISTINCT ON requires an ORDER BY — without one " +
+      "the row kept per key is nondeterministic; add a sort or use " +
+      "plain DISTINCT")
+    val by = findTopLevelKeywordIn(m, order + 5, "by")
+    require(by > 0, "malformed ORDER BY")
+    var obEnd = sql.length
+    for (kw <- Seq("limit", "offset")) {
+      val idx = findTopLevelKeywordIn(m, order, kw)
+      if (idx >= 0 && idx < obEnd) obEnd = idx
+    }
+    val sorts = sql.substring(by + 2, obEnd).trim
+    require(sorts.nonEmpty, "empty ORDER BY item list")
+    val tail = sql.substring(obEnd)
+    val src = sql.substring(from, order)
+    val head = sql.substring(0, sel)
+    Some(s"${head}SELECT $items FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY $keys ORDER BY $sorts) AS __don__ $src) " +
+      s"WHERE __don__ = 1 ORDER BY $sorts $tail")
+  }
+
   /** Snowflake/DuckDB-style QUALIFY — filter on window-function results
     * after the SELECT list is evaluated. Spark SQL has no QUALIFY clause;
     * this splits a top-level one into the pieces [[graft.api.Table.sql]]

@@ -256,4 +256,43 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.expandStarRename("select '* rename (x as y)' s from t", cols) ==
       "select '* rename (x as y)' s from t")
   }
+
+  test("distinctOn: golden lowering, WITH prefix, LIMIT tail") {
+    val got = Dialect.distinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t WHERE v > 0 ORDER BY k, ts DESC")
+    assert(got === Some("SELECT k, v FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY k ORDER BY k, ts DESC) AS __don__ FROM t WHERE v > 0 ) " +
+      "WHERE __don__ = 1 ORDER BY k, ts DESC "))
+    // CTE prefix stays in front of the outer query; LIMIT tail survives
+    val cte = Dialect.distinctOn("WITH x AS (SELECT 1 AS k) " +
+      "SELECT DISTINCT ON (k) k FROM x ORDER BY k LIMIT 3").get
+    assert(cte.startsWith("WITH x AS (SELECT 1 AS k) SELECT k FROM ("))
+    assert(cte.endsWith("ORDER BY k LIMIT 3"))
+    // composite keys pass through verbatim
+    val comp = Dialect.distinctOn(
+      "SELECT DISTINCT ON (a, b % 2) a, b FROM t ORDER BY a, b").get
+    assert(comp.contains("PARTITION BY a, b % 2"))
+  }
+
+  test("distinctOn: non-triggering forms and loud requirements") {
+    // plain DISTINCT, literals, and subquery heads never trigger
+    assert(Dialect.distinctOn("SELECT DISTINCT k FROM t ORDER BY k").isEmpty)
+    assert(Dialect.distinctOn("SELECT 'distinct on (k)' AS s FROM t").isEmpty)
+    assert(Dialect.distinctOn(
+      "SELECT n FROM (SELECT DISTINCT ON (k) k AS n FROM t ORDER BY k) q")
+      .isEmpty)
+    // missing ORDER BY is an error, not a silent arbitrary pick
+    val e = intercept[IllegalArgumentException] {
+      Dialect.distinctOn("SELECT DISTINCT ON (k) k, v FROM t")
+    }
+    assert(e.getMessage.contains("ORDER BY"))
+    intercept[IllegalArgumentException] {
+      Dialect.distinctOn(
+        "SELECT DISTINCT ON (k) k FROM t GROUP BY k ORDER BY k")
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.distinctOn("SELECT DISTINCT ON (k) k FROM t " +
+        "QUALIFY row_number() OVER (ORDER BY k) = 1 ORDER BY k")
+    }
+  }
 }

@@ -65,6 +65,27 @@ class GeoSpec extends GraftSuite {
       "fixture must exercise both matched and unmatched probes")
   }
 
+  test("boxJoin emits exactly the brute-force in-box pairs, each once") {
+    val rnd = new scala.util.Random(7)
+    def snap(x: Double): Double = math.floor(x * 16.0) / 16.0
+    val probes = (1 to 120).map(i =>
+      (i.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+    val sites = (1 to 30).map(j =>
+      (j.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+    val box = 2.0
+    val got = Geo.boxJoin(probes.toDF("pid", "plat", "plon"),
+        "plat", "plon", sites.toDF("sid", "slat", "slon"),
+        "slat", "slon", boxDeg = box, metric = Geo.planarSq)
+      .select("pid", "sid").as[(Long, Long)].collect().toSeq
+    val want = for {
+      (pid, la, lo) <- probes
+      (sid, sa, so) <- sites
+      if math.abs(la - sa) < box && math.abs(lo - so) < box
+    } yield (pid, sid)
+    assert(got.size === got.distinct.size, "a pair matched twice")
+    assert(got.sorted === want.sorted)
+  }
+
   test("nearestJoin box bound is strict and ties break to the smaller site key") {
     val pDf = Seq((1L, 0.0, 0.0)).toDF("pid", "plat", "plon")
     val sDf = Seq(

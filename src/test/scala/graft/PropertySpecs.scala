@@ -193,13 +193,17 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         Dialect.stripLiterals(a) == Dialect.stripLiterals(b)
       val sq = Dialect.splitQualify(q)
       val sj = Dialect.splitQualify(j)
+      val dq = scala.util.Try(Dialect.distinctOn(q)).toOption.flatten
+      val dj = scala.util.Try(Dialect.distinctOn(j)).toOption.flatten
       maskedEq(Dialect.rewrite(j), Dialect.rewrite(q)) &&
         maskedEq(Dialect.aliasesIntoWhere(j), Dialect.aliasesIntoWhere(q)) &&
         maskedEq(Dialect.orderByNullsLast(j), Dialect.orderByNullsLast(q)) &&
         (sq.isDefined == sj.isDefined) &&
         sq.zip(sj).forall { case ((iq, tq), (ij, tj)) =>
           maskedEq(iq, ij) && maskedEq(tq, tj)
-        }
+        } &&
+        (dq.isDefined == dj.isDefined) &&
+        dq.zip(dj).forall { case (a, b) => maskedEq(a, b) }
     }
 
   // a block comment is structure-safe at ANY offset: in code it is a new

@@ -152,8 +152,14 @@ object ScaleStress {
     val alpha = "aeiounstrl"
     val beta = "bcdfghjkmp"
     def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    // CONTIGUOUS doc_id offsets (i * count), not sparse i*1e7 blocks:
+    // gr06 derives graph edges as (doc_id*7+1) % count, and a sparse id
+    // space would point most edges at non-existent vertices — the
+    // frontier would die after one hop and the "scaled" graph would be
+    // a different (and much smaller) workload, not a 10x one.
+    val nDocs = spark.read.parquet(s"$Sf01/documents.parquet").count()
     write("documents")((d, i) =>
-      d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      d.withColumn("doc_id", col("doc_id") + lit(i * nDocs))
         .withColumn("text",
           if (i == 0) col("text")
           else translate(translate(col("text"), alpha, rot(alpha, i % 10)),

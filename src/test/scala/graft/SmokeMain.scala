@@ -401,6 +401,22 @@ object SmokeMain {
         s"zero-dist sources=${sp.filter(col("dist") === 0).count()}")
       // round-12: exact-moment skewness/kurtosis at the SQL surface
       SparkEntry.queries("g19_moments")(spark, sf).show(3, truncate = false)
+      // round-12: DISTINCT ON through the dialect (latest order per
+      // customer), radius analytics on boxJoin, named WINDOW clause
+      val don = SparkEntry.queries("q53_distinct_on")(spark, sf)
+      println(s"distinct-on rows=${don.count()} (one per customer)")
+      try {
+        Table(spark.range(3).toDF("k"))
+          .sql("SELECT DISTINCT ON (k) k FROM t")
+        println("DISTINCT-ON GUARD FAILED TO FIRE")
+      } catch {
+        case e: IllegalArgumentException =>
+          println("distinct-on no-order guard: " + firstLine(e).take(60))
+      }
+      val rc = SparkEntry.queries("geo04_radius_count")(spark, sf)
+      println(s"geo04 radius-count rows=${rc.count()}")
+      println(s"q52 named-window rows=" +
+        SparkEntry.queries("q52_named_window")(spark, sf).count())
     }
 
     spark.stop()
