@@ -67,6 +67,27 @@ object SparkEntry {
       s.sql(sql)
     }, Some(sql))
 
+  /** Dyadic-grid coordinate derivations shared by geo01/geo04: integer
+    * keys mapped onto a 1/16-degree grid spanning [0, 20) degrees, so
+    * every coordinate (and every downstream difference/square/sum) is
+    * IEEE-exact. The oracle CTEs mirror these expressions verbatim.
+    */
+  private def geoGridCustomers(s: SparkSession, dir: String): DataFrame = {
+    val sixt = lit(0.0625)
+    s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 320).cast("double") * sixt).as("plat"),
+        (((col("c_custkey") * 7) % 320).cast("double") * sixt).as("plon"))
+  }
+
+  private def geoGridSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val sixt = lit(0.0625)
+    s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"),
+        (((col("s_suppkey") * 11) % 320).cast("double") * sixt).as("slat"),
+        (((col("s_suppkey") * 13) % 320).cast("double") * sixt).as("slon"))
+  }
+
   /** Per-user (recency, frequency, monetary) rollup shared by e16 (ntile
     * buckets) and e20 (quantile-cutpoint buckets): one keyed aggregation
     * of the event stream to users, recency anchored at the corpus-max
@@ -3287,6 +3308,47 @@ object SparkEntry {
     // oracle recomputes the container arithmetic from the byte length:
     // kept = ceil(n/4) frames, 44-byte header + 2 bytes/sample, rate
     // 8000/4, duration = kept/2000 (one IEEE division on both engines).
+    // audio resampling: 8 kHz corpus WAVs upsampled 2x by linear
+    // interpolation, then re-encoded and re-decoded — the checksum
+    // (exact integer sum of ALL output samples) proves the
+    // interpolate→encode→decode path bit-faithful against the oracle's
+    // per-byte reconstruction: out[2i]=s[i], out[2i+1]=s[i]+(s[i+1]-s[i])/2
+    // with truncating integer division (same rounding as DuckDB's //).
+    "m12_audio_resample" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val m = graft.ops.Multimodal
+        m.audioChecksum(
+            m.resampleAudio(
+              m.withWavPayload(
+                s.read.parquet(s"$dir/documents.parquet")
+                  .withColumn("text", coalesce(col("text"), lit(""))),
+                "doc_id", "text", sampleRate = 8000),
+              "doc_id", "payload", factor = 2),
+            "doc_id", "payload")
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+                  octet_length(encode(coalesce(text, ''))) AS len
+           FROM documents),
+         px AS (SELECT doc_id, u.i AS i,
+                  CAST('0x' || substr(hx, 2 * u.i + 1, 2) AS INTEGER) AS v
+           FROM d, unnest(generate_series(0, len - 1)) AS u(i)
+           WHERE len > 0),
+         pr AS (SELECT doc_id, v,
+                  lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+           FROM px),
+         sm AS (SELECT doc_id, count(*) AS n, sum(v) AS sv,
+                  sum(CASE WHEN nv IS NOT NULL
+                           THEN v + (nv - v) // 2 ELSE 0 END) AS si
+           FROM pr GROUP BY doc_id)
+         SELECT d.doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+                CAST(CASE WHEN sm.n IS NULL THEN 0
+                          ELSE 2 * sm.n - 1 END AS BIGINT) AS n_samples,
+                CAST(coalesce(sm.sv, 0) + coalesce(sm.si, 0) AS BIGINT)
+                  AS sum_samples
+         FROM d LEFT JOIN sm USING (doc_id) ORDER BY d.doc_id"""),
+
     "m04_frame_sample" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -8064,18 +8126,9 @@ object SparkEntry {
     // window over the box join.
     "geo01_nearest_site" -> api(
       (s, dir) => {
-        val sixt = lit(0.0625)
-        val c = s.read.parquet(s"$dir/customer.parquet")
-          .select(col("c_custkey"),
-            ((col("c_custkey") % 320).cast("double") * sixt).as("plat"),
-            (((col("c_custkey") * 7) % 320).cast("double") * sixt).as("plon"))
-        val sup = s.read.parquet(s"$dir/supplier.parquet")
-          .select(col("s_suppkey"),
-            (((col("s_suppkey") * 11) % 320).cast("double") * sixt).as("slat"),
-            (((col("s_suppkey") * 13) % 320).cast("double") * sixt).as("slon"))
         graft.ops.Geo.nearestJoin(
-            c, "c_custkey", "plat", "plon",
-            sup, "s_suppkey", "slat", "slon",
+            geoGridCustomers(s, dir), "c_custkey", "plat", "plon",
+            geoGridSuppliers(s, dir), "s_suppkey", "slat", "slon",
             boxDeg = 2.0, distCol = "dist2",
             metric = graft.ops.Geo.planarSq)
           .select(col("c_custkey"), col("s_suppkey").as("nearest_site"),
@@ -8126,16 +8179,8 @@ object SparkEntry {
     // equi-join + one keyed rollup, pair volume ∝ local site density
     "geo04_radius_count" -> api(
       (s, dir) => {
-        val sixt = lit(0.0625)
-        val c = s.read.parquet(s"$dir/customer.parquet")
-          .select(col("c_custkey"),
-            ((col("c_custkey") % 320).cast("double") * sixt).as("plat"),
-            (((col("c_custkey") * 7) % 320).cast("double") * sixt).as("plon"))
-        val sup = s.read.parquet(s"$dir/supplier.parquet")
-          .select(col("s_suppkey"),
-            (((col("s_suppkey") * 11) % 320).cast("double") * sixt).as("slat"),
-            (((col("s_suppkey") * 13) % 320).cast("double") * sixt).as("slon"))
-        graft.ops.Geo.boxJoin(c, "plat", "plon", sup, "slat", "slon",
+        graft.ops.Geo.boxJoin(geoGridCustomers(s, dir), "plat", "plon",
+            geoGridSuppliers(s, dir), "slat", "slon",
             boxDeg = 2.0, distCol = "d2", metric = graft.ops.Geo.planarSq)
           .groupBy(col("c_custkey"))
           .agg(count(lit(1)).as("n_sites"), min(col("d2")).as("d2min"))
@@ -8187,6 +8232,40 @@ object SparkEntry {
                     * power(sin(radians(CAST(2.3522 AS DOUBLE) - slon) / 2), 2)
                 )), 6) AS km
          FROM s ORDER BY s_suppkey"""),
+
+    // smoothed target encoding (the leakage-safe categorical feature):
+    // enc(cat) = (cat_sum + m·prior) / (cat_n + m) with prior = global
+    // mean, m = 100. ONE grouped agg + ONE broadcast global row; the
+    // arithmetic is exact-long sums cast to double through a
+    // correctly-rounded chain mirrored association-for-association, so
+    // both engines produce identical doubles before the final round
+    "fe05_target_encoding" -> api(
+      (s, dir) => {
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val g = c.agg(sum(col("cents")).as("gs"),
+          count(lit(1)).as("gn"))
+        c.groupBy(col("c_mktsegment"))
+          .agg(sum(col("cents")).as("cs"), count(lit(1)).as("cn"))
+          .join(broadcast(g))
+          .select(col("c_mktsegment"), col("cn").as("n"),
+            round((col("cs").cast("double") +
+                lit(100.0) * (col("gs").cast("double") / col("gn"))) /
+              (col("cn") + lit(100L)).cast("double"), 6).as("enc"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """WITH c AS (SELECT c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         g AS (SELECT CAST(sum(cents) AS DOUBLE) AS gs,
+                      count(*) AS gn FROM c),
+         k AS (SELECT c_mktsegment, CAST(sum(cents) AS DOUBLE) AS cs,
+                      count(*) AS cn FROM c GROUP BY c_mktsegment)
+         SELECT k.c_mktsegment, k.cn AS n,
+                round((k.cs + 100.0 * (g.gs / g.gn))
+                      / CAST(k.cn + 100 AS DOUBLE), 6) AS enc
+         FROM k, g ORDER BY k.c_mktsegment"""),
 
     "fe01_feature_hash" -> api(
       (s, dir) => {

@@ -34,7 +34,9 @@ object Geo {
     val dLon = radians(lon2 - lon1) / 2
     val a = pow(sin(dLat), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
-    r * lit(2) * asin(sqrt(a))
+    // near-antipodal inputs can round a to just above 1, where
+    // asin(sqrt(a)) is NaN — clamp to the formula's mathematical range
+    r * lit(2) * asin(sqrt(least(a, lit(1.0))))
   }
 
   /** Squared planar degree distance — the metric for small-extent
@@ -83,6 +85,10 @@ object Geo {
                 haversineKm): DataFrame = {
     require(boxDeg > 0, "boxDeg must be positive")
     reserve(probes, "probes"); reserve(sites, "sites")
+    require(!probes.columns.contains(distCol) &&
+      !sites.columns.contains(distCol),
+      s"distance column name '$distCol' already exists on an input — " +
+        "pass a different distCol")
     val off = array(lit(-1L), lit(0L), lit(1L))
     val sb = sites
       .filter(col(sLat).isNotNull && col(sLon).isNotNull)

@@ -671,6 +671,80 @@ object Multimodal {
       .toDF(idCol, binCol, "sampled")
   }
 
+  /** Linear-interpolation upsampling of a mono WAV binary column to an
+    * integer multiple of its source rate — the sample-rate normalization
+    * pass an audio training pipeline runs before feature extraction
+    * (e.g. everything to 16 kHz). Between neighbors,
+    * `out[F·i+j] = s[i] + (s[i+1] − s[i])·j / F` with INTEGER division
+    * truncating toward zero — the same rounding SQL integer division
+    * uses in both engines, so the resampled PCM is engine-neutral and
+    * the whole interpolate→re-encode→re-decode path can be proven
+    * bit-faithful by an external oracle. `n_out = F·(n−1)+1` for n > 0
+    * (endpoints preserved), the container re-encodes at `rate·F`, so
+    * duration is preserved. Non-WAV / multi-channel payloads pass
+    * through unchanged (flagged false). Map-only: payloads never leave
+    * their partition.
+    */
+  def resampleAudio(df: DataFrame, idCol: String, binCol: String,
+                    factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        Codec.wavSamples(bytes) match {
+          case Some((rate, channels, s)) if channels == 1 =>
+            val out =
+              if (s.length <= 1 || factor == 1) s
+              else {
+                val res = new Array[Short](factor * (s.length - 1) + 1)
+                var i = 0
+                while (i < s.length - 1) {
+                  val a = s(i).toInt
+                  val d = s(i + 1) - a
+                  var j = 0
+                  while (j < factor) {
+                    res(factor * i + j) = (a + d * j / factor).toShort
+                    j += 1
+                  }
+                  i += 1
+                }
+                res(res.length - 1) = s(s.length - 1)
+                res
+              }
+            (id, Codec.encodeWav(out, rate * factor, channels = 1), true)
+          case _ => (id, bytes, false)
+        }
+      })
+      .toDF(idCol, binCol, "resampled")
+  }
+
+  /** Exact content stats for a mono WAV column: sample rate, sample
+    * count, and the plain integer sum of sample values — the
+    * engine-neutral audio checksum that proves a codec pass
+    * bit-faithful (every quantity re-derives from raw bytes in an
+    * external engine, no float anywhere). Undecodable payloads report
+    * (0, 0, 0).
+    */
+  def audioChecksum(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        Codec.wavSamples(bytes) match {
+          case Some((rate, _, samples)) =>
+            var s = 0L
+            var i = 0
+            while (i < samples.length) { s += samples(i); i += 1 }
+            (id, rate, samples.length.toLong, s)
+          case None => (id, 0, 0L, 0L)
+        }
+      })
+      .toDF(idCol, "sample_rate", "n_samples", "sum_samples")
+  }
+
   /** Build mono 16-bit PCM WAV payloads from a source column (one sample
     * per utf-8 byte, values 0-255) — partition-wise, the audio analog of
     * [[withBmpPayload]]: exercises the WAV codec path on corpus data

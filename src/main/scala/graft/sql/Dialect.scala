@@ -67,8 +67,7 @@ object Dialect {
     if (where < 0) return sql
     val aliases = splitTopLevel(sql.substring(sel + 6, from)).flatMap { item =>
       AliasRe.findFirstMatchIn(item).map { m =>
-        val expr = m.group(1).replaceAll("(?is)^\\s*(distinct|all)\\s+", "").trim
-        (m.group(2).toLowerCase, expr)
+        (m.group(2).toLowerCase, stripSelectHead(m.group(1)))
       }
     }.toMap
     if (aliases.isEmpty) return sql
@@ -84,6 +83,30 @@ object Dialect {
 
   private val AliasRe =
     """(?is)^(.*\S)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
+  /** Strip a `DISTINCT [ON (keys)]` / `ALL` head from the FIRST select
+    * item, so the alias map built by [[aliasesIntoWhere]] holds the bare
+    * expression — a DISTINCT ON key list must not leak into a WHERE
+    * substitution ("(ON (k) v) > 0" is not SQL). The key-list parens are
+    * matched on the masked view (parens in literal content don't count).
+    */
+  private def stripSelectHead(item: String): String = {
+    val m = stripLiterals(item)
+    val don = "(?is)^\\s*distinct\\s+on\\s*\\(".r.findFirstMatchIn(m)
+    don match {
+      case Some(mm) =>
+        var depth = 1
+        var i = mm.end
+        while (i < m.length && depth > 0) {
+          val c = m.charAt(i)
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          i += 1
+        }
+        item.substring(i).trim
+      case None =>
+        item.replaceAll("(?is)^\\s*(distinct|all)\\s+", "").trim
+    }
+  }
 
   /** Replace bare identifier occurrences (outside quotes, not qualified,
     * not a call, not a qualifier) per the lowercase-keyed map, wrapping
@@ -228,6 +251,10 @@ object Dialect {
       findTopLevelKeywordIn(m, from, "having") < 0 &&
       findTopLevelKeywordIn(m, from, "qualify") < 0,
       "DISTINCT ON over GROUP BY / HAVING / QUALIFY is not supported")
+    require(Seq("union", "intersect", "except")
+      .forall(findTopLevelKeywordIn(m, from, _) < 0),
+      "DISTINCT ON over a set operation is not supported — wrap the " +
+        "set operation in a subquery")
     val order = findTopLevelKeywordIn(m, from, "order")
     require(order > 0, "DISTINCT ON requires an ORDER BY — without one " +
       "the row kept per key is nondeterministic; add a sort or use " +
@@ -241,6 +268,14 @@ object Dialect {
     }
     val sorts = sql.substring(by + 2, obEnd).trim
     require(sorts.nonEmpty, "empty ORDER BY item list")
+    // ordinal sort items would silently change meaning inside the
+    // window spec (Spark resolves ORDER BY 1 positionally at the top
+    // level but as the CONSTANT 1 inside OVER) — reject them loudly
+    require(splitTopLevel(sorts).forall { it =>
+      val code = stripLiterals(it).trim
+      code.isEmpty || !code.charAt(0).isDigit
+    }, "DISTINCT ON does not support ordinal ORDER BY items — name the " +
+      "sort columns")
     val tail = sql.substring(obEnd)
     val src = sql.substring(from, order)
     val head = sql.substring(0, sel)

@@ -294,5 +294,22 @@ class DialectSpec extends AnyFunSuite {
       Dialect.distinctOn("SELECT DISTINCT ON (k) k FROM t " +
         "QUALIFY row_number() OVER (ORDER BY k) = 1 ORDER BY k")
     }
+    // ordinal sorts resolve as CONSTANTS inside a window spec — rejected
+    val ord = intercept[IllegalArgumentException] {
+      Dialect.distinctOn("SELECT DISTINCT ON (k) k, v FROM t ORDER BY 1, 2")
+    }
+    assert(ord.getMessage.contains("ordinal"))
+    // set operations would get the __don__ column on one branch only
+    intercept[IllegalArgumentException] {
+      Dialect.distinctOn("SELECT DISTINCT ON (k) k FROM a " +
+        "UNION ALL SELECT k FROM b ORDER BY k")
+    }
+  }
+
+  test("aliasesIntoWhere strips a DISTINCT ON head from the alias expression") {
+    val got = Dialect.aliasesIntoWhere(
+      "SELECT DISTINCT ON (k) v AS dv FROM t WHERE dv > 0 ORDER BY k")
+    assert(got.contains("WHERE (v) > 0"), got)
+    assert(!got.toLowerCase.contains("(on"), got)
   }
 }

@@ -1109,6 +1109,46 @@ class OpsSpec extends GraftSuite {
     assert(Codec.decodeBmp("JFIF-not-a-bmp".getBytes).isEmpty)
   }
 
+  test("resampleAudio matches an independent rational reference (negative deltas too)") {
+    import Multimodal.Codec
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val samples = Array.fill(257)((rnd.nextInt(65536) - 32768).toShort)
+    val df = Seq((1L, Codec.encodeWav(samples, 4000, 1))).toDF("id", "payload")
+    for (f <- Seq(1, 2, 3, 4)) {
+      val outRow = Multimodal.resampleAudio(df, "id", "payload", f)
+        .select("payload", "resampled").first()
+      assert(outRow.getBoolean(1))
+      val Some((rate, ch, got)) =
+        Codec.wavSamples(outRow.getAs[Array[Byte]](0))
+      assert(rate === 4000 * f && ch === 1)
+      // independent reference: exact rational interpolation truncated
+      // toward zero (BigDecimal ROUND_DOWN) — the SQL `//` semantics the
+      // m12 oracle relies on, derived without reusing the op's int code
+      val want: Array[Short] =
+        if (f == 1) samples
+        else {
+          val res = new Array[Short](f * (samples.length - 1) + 1)
+          for (i <- 0 until samples.length - 1; j <- 0 until f) {
+            val interp = BigDecimal((samples(i + 1) - samples(i)) * j)./%(BigDecimal(f))._1
+            res(f * i + j) = (samples(i) + interp.toInt).toShort
+          }
+          res(res.length - 1) = samples.last
+          res
+        }
+      assert(got.toSeq === want.toSeq)
+      // duration preserved: n_out / (rate·f) == (n_in − 1)/rate + one sample
+      assert(got.length === (if (f == 1) samples.length
+                             else f * (samples.length - 1) + 1))
+    }
+    // non-WAV payloads pass through unchanged and are flagged
+    val junk = Seq((2L, "not-a-wav".getBytes)).toDF("id", "payload")
+    val pass = Multimodal.resampleAudio(junk, "id", "payload", 2)
+      .select("payload", "resampled").first()
+    assert(!pass.getBoolean(1))
+    assert(new String(pass.getAs[Array[Byte]](0)) === "not-a-wav")
+  }
+
   test("WAV codec round-trips PCM header fields and RMS") {
     import Multimodal.Codec
     val samples = Array.tabulate[Short](8000)(i =>

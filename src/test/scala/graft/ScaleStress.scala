@@ -127,9 +127,27 @@ object ScaleStress {
     buildScaled(spark, 10, Sf1)
 
   /** Derive a copies-x corpus (idempotent: skipped when already on disk). */
+  /** Bump whenever the derivation below changes: the marker content is
+    * checked, not just its existence, so a corpus built by an older
+    * derivation is rebuilt instead of silently served stale (e.g. the
+    * v2 switch to contiguous doc_id offsets changed gr06's graph from a
+    * dead-frontier one to a real 10x scale-up).
+    */
+  private val CorpusVersion = "v2-contiguous-docids-scaled-customer"
+
+  private def deleteRec(f: java.io.File): Unit = if (f.exists()) {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+  }
+
   private[graft] def buildScaled(spark: SparkSession, copies: Int,
                           outDir: String): Unit = {
-    if (new java.io.File(s"$outDir/_DONE").exists()) return
+    val marker = java.nio.file.Paths.get(s"$outDir/_DONE")
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) == CorpusVersion) return
+    deleteRec(new java.io.File(outDir))
     println(s"STRESS building derived corpus (${copies}x sf0.1) -> $outDir ...")
     def write(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val src = spark.read.parquet(s"$Sf01/$t.parquet")
@@ -180,7 +198,8 @@ object ScaleStress {
     for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$Sf01/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$outDir/_DONE"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/_DONE"),
+      CorpusVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"STRESS corpus ready: $outDir")
   }
 }

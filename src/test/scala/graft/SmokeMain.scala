@@ -417,6 +417,10 @@ object SmokeMain {
       println(s"geo04 radius-count rows=${rc.count()}")
       println(s"q52 named-window rows=" +
         SparkEntry.queries("q52_named_window")(spark, sf).count())
+      // round-12: audio resample checksum path
+      val ar = SparkEntry.queries("m12_audio_resample")(spark, sf)
+      println(s"m12 audio-resample rows=${ar.count()} " +
+        s"rate16k=${ar.filter(col("sample_rate") === 16000).count()}")
     }
 
     spark.stop()
