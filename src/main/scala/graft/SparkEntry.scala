@@ -1549,6 +1549,60 @@ object SparkEntry {
     // unmatched views never emit on a finite replay. The oracle encodes
     // that emission boundary exactly (the st04 discipline). Single-file
     // feed → one batch → the 2h delay needs no disorder headroom.
+    // streaming geo enrichment with ZERO per-probe state: the site
+    // catalog (per-cell candidate arrays from the 3x3 announcement) is
+    // a broadcast static side; each event's nearest site resolves
+    // MAP-SIDE via a codegen'd higher-order argmin over its cell's
+    // array — no stream-stream join, no per-event state, the only
+    // stateful operator is the final site-keyed count whose key space
+    // is the (bounded) site catalog. Semantics match geo01 exactly;
+    // the oracle replays the batch assignment + rollup.
+    "st20_stream_geo_enrich" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val sixt = lit(0.0625)
+        val catalog = graft.ops.Geo.siteCatalog(
+          geoGridSuppliers(s, dir), "s_suppkey", "slat", "slon",
+          boxDeg = 2.0)
+        val ev = graft.streaming.Events.readStream(s, dir)
+          .select(col("event_id"),
+            ((col("user_id") % 320).cast("double") * sixt).as("plat"),
+            (((col("user_id") * 7) % 320).cast("double") * sixt).as("plon"))
+        val out = graft.ops.Geo.nearestByCatalog(
+            ev, "plat", "plon", catalog, boxDeg = 2.0,
+            keyOut = "site", distCol = "d2",
+            metric = graft.ops.Geo.planarSq)
+          .groupBy(col("site"))
+          .agg(count(lit(1)).as("n"))
+        val sink = "st20_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("site"))
+      },
+      """WITH e AS (SELECT event_id,
+                  (user_id % 320) * CAST(0.0625 AS DOUBLE) AS plat,
+                  ((user_id * 7) % 320) * CAST(0.0625 AS DOUBLE) AS plon
+           FROM events),
+         s AS (SELECT s_suppkey,
+                  ((s_suppkey * 11) % 320) * CAST(0.0625 AS DOUBLE) AS slat,
+                  ((s_suppkey * 13) % 320) * CAST(0.0625 AS DOUBLE) AS slon
+           FROM supplier),
+         j AS (SELECT e.event_id, s.s_suppkey,
+                  row_number() OVER (PARTITION BY e.event_id ORDER BY
+                    (e.plat - s.slat) * (e.plat - s.slat)
+                      + (e.plon - s.slon) * (e.plon - s.slon),
+                    s.s_suppkey) AS rn
+           FROM e JOIN s
+             ON abs(e.plat - s.slat) < 2.0 AND abs(e.plon - s.slon) < 2.0)
+         SELECT s_suppkey AS site, count(*) AS n
+         FROM j WHERE rn = 1 GROUP BY 1 ORDER BY site"""),
+
     "st19_stream_left_outer_join" -> api(
       (outer, dir) => {
         val s = outer.newSession()
@@ -8726,6 +8780,37 @@ object SparkEntry {
     // per-column SUM is exact integer arithmetic (partition-order
     // independent — the t21 discipline); one keyed rollup per column,
     // entropy reduces over the distinct-value relation.
+    // join-cardinality profiling FROM STATISTICS: |A ⋈ B on k| =
+    // Σ_k n_A(k)·n_B(k), computed from two per-key count rollups and a
+    // join of the (distinct-key-sized) count tables — the fan-out
+    // estimator a planner/skew-audit consults WITHOUT paying the join's
+    // output volume. The oracle EXECUTES the join and must agree
+    // exactly; at 100 TB the statistics path shuffles O(distinct keys)
+    // while the verified quantity is O(join output).
+    "pr17_join_cardinality" -> api(
+      (s, dir) => {
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_o"))
+        val e = s.read.parquet(s"$dir/events.parquet")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_e"))
+        o.join(e, col("o_custkey") === col("user_id"))
+          .agg(sum(col("n_o") * col("n_e")).as("join_rows"),
+            count(lit(1)).as("n_common_keys"),
+            max(col("n_o") * col("n_e")).as("max_key_fanout"))
+      },
+      """SELECT (SELECT count(*) FROM orders o JOIN events e
+                   ON o.o_custkey = e.user_id) AS join_rows,
+                (SELECT count(*) FROM
+                   (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_custkey IN (SELECT user_id FROM events)) t)
+                  AS n_common_keys,
+                (SELECT max(n_o * n_e) FROM
+                   (SELECT o_custkey, count(*) AS n_o FROM orders
+                    GROUP BY o_custkey) a
+                   JOIN (SELECT user_id, count(*) AS n_e FROM events
+                         GROUP BY user_id) b ON a.o_custkey = b.user_id)
+                  AS max_key_fanout"""),
+
     "pr16_entropy" -> api(
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")

@@ -135,6 +135,73 @@ object Geo {
         col("__gbest.__gd").as(distCol)): _*)
   }
 
+  /** Per-cell candidate catalog: for every grid cell, the array of
+    * sites announced into it from the 3×3 neighborhood — the
+    * broadcastable static side of a MAP-ONLY nearest-site assignment.
+    * Output: (`__gclat`, `__gclon`, `__gsites`) where `__gsites` is an
+    * array of (key, lat, lon) structs. Size ∝ sites × 9; candidates per
+    * cell ∝ local site density (the same bound as [[boxJoin]]'s join
+    * fan-out, materialized once instead of per probe).
+    */
+  def siteCatalog(sites: DataFrame, sKey: String, sLat: String,
+                  sLon: String, boxDeg: Double): DataFrame = {
+    require(boxDeg > 0, "boxDeg must be positive")
+    reserve(sites, "sites")
+    val off = array(lit(-1L), lit(0L), lit(1L))
+    sites
+      .filter(col(sLat).isNotNull && col(sLon).isNotNull)
+      .withColumn("__gdla", explode(off))
+      .withColumn("__gdlo", explode(off))
+      .groupBy((cellIdx(col(sLat), boxDeg) + col("__gdla")).as("__gclat"),
+        (cellIdx(col(sLon), boxDeg) + col("__gdlo")).as("__gclon"))
+      .agg(collect_list(struct(col(sKey).as("key"), col(sLat).as("lat"),
+        col(sLon).as("lon"))).as("__gsites"))
+  }
+
+  /** Nearest-site assignment against a (broadcast) [[siteCatalog]] —
+    * the STREAMING-SAFE form of [[nearestJoin]]: the probe side stays
+    * map-only (one broadcast hash join on the cell key + a codegen'd
+    * higher-order argmin over the cell's candidate array), so it runs
+    * inside a structured-streaming plan with ZERO per-probe state and
+    * no shuffle before whatever aggregation the caller adds downstream.
+    * Same semantics as [[nearestJoin]]: strict box, ties to the
+    * smallest key, probes with no in-box site drop. Output: all probe
+    * columns, then the site key as `keyOut` and the metric as
+    * `distCol`.
+    */
+  def nearestByCatalog(probes: DataFrame, pLat: String, pLon: String,
+                       catalog: DataFrame, boxDeg: Double,
+                       keyOut: String = "nearest_site",
+                       distCol: String = "dist",
+                       metric: (Column, Column, Column, Column) => Column =
+                         haversineKm): DataFrame = {
+    require(boxDeg > 0, "boxDeg must be positive")
+    reserve(probes, "probes")
+    val probeCols = probes.columns.toSeq
+    val pb = probes
+      .filter(col(pLat).isNotNull && col(pLon).isNotNull)
+      .withColumn("__gclat", cellIdx(col(pLat), boxDeg))
+      .withColumn("__gclon", cellIdx(col(pLon), boxDeg))
+      .join(broadcast(catalog), Seq("__gclat", "__gclon"))
+    val inBox = filter(col("__gsites"), c =>
+      abs(col(pLat) - c.getField("lat")) < boxDeg &&
+        abs(col(pLon) - c.getField("lon")) < boxDeg)
+    // sentinel accumulator: any real metric value sorts below it, and a
+    // surviving sentinel key marks "no candidate" for the final filter
+    val init = struct(lit(Double.MaxValue).as("d"), lit(Long.MinValue).as("key"))
+    val best = aggregate(inBox, init, (acc, c) => {
+      val d = metric(col(pLat), col(pLon), c.getField("lat"), c.getField("lon"))
+      when(d < acc.getField("d") ||
+        (d === acc.getField("d") && c.getField("key") < acc.getField("key")),
+        struct(d.as("d"), c.getField("key").cast("long").as("key")))
+        .otherwise(acc)
+    })
+    pb.withColumn("__gbest", best)
+      .filter(col("__gbest.key") =!= Long.MinValue)
+      .select((probeCols.map(col) :+ col("__gbest.key").as(keyOut) :+
+        col("__gbest.d").as(distCol)): _*)
+  }
+
   /** Spatial density grid: per occupied `cellDeg` cell, the row count —
     * the heat-map / hotspot primitive. One map-side quantization + one
     * grouped count; output ∝ occupied cells, never the domain.

@@ -122,6 +122,37 @@ class GeoSpec extends GraftSuite {
     assert(e.getMessage.contains("reserved"))
   }
 
+  test("nearestByCatalog equals nearestJoin on every probe (seeded random)") {
+    val rnd = new scala.util.Random(23)
+    def snap(x: Double): Double = math.floor(x * 16.0) / 16.0
+    val probes = (1 to 250).map(i =>
+      (i.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+      .toDF("pid", "plat", "plon")
+    val sites = (1 to 35).map(j =>
+      (j.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+      .toDF("sid", "slat", "slon")
+    val viaJoin = Geo.nearestJoin(probes, "pid", "plat", "plon",
+        sites, "sid", "slat", "slon", boxDeg = 2.0, distCol = "d2",
+        metric = Geo.planarSq)
+      .select("pid", "sid", "d2").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val catalog = Geo.siteCatalog(sites, "sid", "slat", "slon", boxDeg = 2.0)
+    val viaCat = Geo.nearestByCatalog(probes, "plat", "plon", catalog,
+        boxDeg = 2.0, keyOut = "sid", distCol = "d2",
+        metric = Geo.planarSq)
+      .select("pid", "sid", "d2").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(viaCat.nonEmpty && viaCat === viaJoin)
+    // and the probe side of the catalog plan is shuffle-free: the only
+    // join is a broadcast on the cell key (the streaming-safety pin)
+    val plan = Geo.nearestByCatalog(probes, "plat", "plon", catalog,
+        boxDeg = 2.0, metric = Geo.planarSq)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+  }
+
   test("cellDensity counts per occupied cell only") {
     val df = Seq((0.5, 0.5), (0.9, 0.1), (3.5, 3.5), (-0.5, 0.5))
       .toDF("lat", "lon")

@@ -319,7 +319,7 @@ object SmokeMain {
                   np.floor_divide(-7, 2) fdint from t""")
         .show(1, truncate = false)
       // round-11: distributed temperatureSample (broadcast thresholds)
-      import org.apache.spark.sql.functions.{col, lit, when}
+      import org.apache.spark.sql.functions.{col, lit, sum, when}
       val corpus = spark.range(500).toDF("id")
         .withColumn("src", when(col("id") < 50, lit("s")).otherwise(lit("l")))
       val temp = graft.ops.Sampling.temperatureSample(corpus, "id", "src")
@@ -421,6 +421,13 @@ object SmokeMain {
       val ar = SparkEntry.queries("m12_audio_resample")(spark, sf)
       println(s"m12 audio-resample rows=${ar.count()} " +
         s"rate16k=${ar.filter(col("sample_rate") === 16000).count()}")
+      // round-12: statistics-only join cardinality + zero-state
+      // streaming geo enrichment
+      val jc = SparkEntry.queries("pr17_join_cardinality")(spark, sf)
+      jc.show(1, truncate = false)
+      val sgeo = SparkEntry.queries("st20_stream_geo_enrich")(spark, sf)
+      println(s"st20 stream-geo sites=${sgeo.count()} " +
+        s"events=${sgeo.agg(sum(col("n"))).first().getLong(0)}")
     }
 
     spark.stop()
