@@ -1542,13 +1542,6 @@ object SparkEntry {
            USING (user_id, ts)
          ORDER BY e.event_id"""),
 
-    // LEFT-OUTER stream-stream interval join: views with no purchase in
-    // the window surface with nulls — but only once the watermark PROVES
-    // no match can still arrive (view_ts + window below the global
-    // watermark = min(max view ts, max purchase ts) − delay); newer
-    // unmatched views never emit on a finite replay. The oracle encodes
-    // that emission boundary exactly (the st04 discipline). Single-file
-    // feed → one batch → the 2h delay needs no disorder headroom.
     // streaming geo enrichment with ZERO per-probe state: the site
     // catalog (per-cell candidate arrays from the 3x3 announcement) is
     // a broadcast static side; each event's nearest site resolves
@@ -1603,6 +1596,13 @@ object SparkEntry {
          SELECT s_suppkey AS site, count(*) AS n
          FROM j WHERE rn = 1 GROUP BY 1 ORDER BY site"""),
 
+    // LEFT-OUTER stream-stream interval join: views with no purchase in
+    // the window surface with nulls — but only once the watermark PROVES
+    // no match can still arrive (view_ts + window below the global
+    // watermark = min(max view ts, max purchase ts) − delay); newer
+    // unmatched views never emit on a finite replay. The oracle encodes
+    // that emission boundary exactly (the st04 discipline). Single-file
+    // feed → one batch → the 2h delay needs no disorder headroom.
     "st19_stream_left_outer_join" -> api(
       (outer, dir) => {
         val s = outer.newSession()
@@ -3357,11 +3357,6 @@ object SparkEntry {
                 8 AS width, 6 AS height
          FROM documents ORDER BY doc_id"""),
 
-    // multimodal audio: WAV payloads built from corpus bytes (one PCM
-    // sample per utf-8 byte) -> keep every 4th frame -> re-decode. The
-    // oracle recomputes the container arithmetic from the byte length:
-    // kept = ceil(n/4) frames, 44-byte header + 2 bytes/sample, rate
-    // 8000/4, duration = kept/2000 (one IEEE division on both engines).
     // audio resampling: 8 kHz corpus WAVs upsampled 2x by linear
     // interpolation, then re-encoded and re-decoded — the checksum
     // (exact integer sum of ALL output samples) proves the
@@ -3403,6 +3398,11 @@ object SparkEntry {
                   AS sum_samples
          FROM d LEFT JOIN sm USING (doc_id) ORDER BY d.doc_id"""),
 
+    // multimodal audio: WAV payloads built from corpus bytes (one PCM
+    // sample per utf-8 byte) -> keep every 4th frame -> re-decode. The
+    // oracle recomputes the container arithmetic from the byte length:
+    // kept = ceil(n/4) frames, 44-byte header + 2 bytes/sample, rate
+    // 8000/4, duration = kept/2000 (one IEEE division on both engines).
     "m04_frame_sample" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -8773,13 +8773,6 @@ object SparkEntry {
     // Deviation in ROUNDED space; all nine log10 constants verified
     // >= 0.004 ulp-millionths from their 6dp rounding boundary, so the
     // cross-engine round is stable. One scan, 9-row rollup.
-    // Per-column Shannon entropy — the concentration profile that flags
-    // near-constant columns (entropy ≈ 0) and id-like columns (entropy
-    // ≈ ln N) before anyone joins or models on them. Determinism: each
-    // value's −p·ln p term is rounded to 9 and cast to DECIMAL, so the
-    // per-column SUM is exact integer arithmetic (partition-order
-    // independent — the t21 discipline); one keyed rollup per column,
-    // entropy reduces over the distinct-value relation.
     // join-cardinality profiling FROM STATISTICS: |A ⋈ B on k| =
     // Σ_k n_A(k)·n_B(k), computed from two per-key count rollups and a
     // join of the (distinct-key-sized) count tables — the fan-out
@@ -8794,7 +8787,8 @@ object SparkEntry {
         val e = s.read.parquet(s"$dir/events.parquet")
           .groupBy(col("user_id")).agg(count(lit(1)).as("n_e"))
         o.join(e, col("o_custkey") === col("user_id"))
-          .agg(sum(col("n_o") * col("n_e")).as("join_rows"),
+          .agg(coalesce(sum(col("n_o") * col("n_e")), lit(0L))
+              .as("join_rows"),
             count(lit(1)).as("n_common_keys"),
             max(col("n_o") * col("n_e")).as("max_key_fanout"))
       },
@@ -8811,6 +8805,13 @@ object SparkEntry {
                          GROUP BY user_id) b ON a.o_custkey = b.user_id)
                   AS max_key_fanout"""),
 
+    // Per-column Shannon entropy — the concentration profile that flags
+    // near-constant columns (entropy ≈ 0) and id-like columns (entropy
+    // ≈ ln N) before anyone joins or models on them. Determinism: each
+    // value's −p·ln p term is rounded to 9 and cast to DECIMAL, so the
+    // per-column SUM is exact integer arithmetic (partition-order
+    // independent — the t21 discipline); one keyed rollup per column,
+    // entropy reduces over the distinct-value relation.
     "pr16_entropy" -> api(
       (s, dir) => {
         val ev = s.read.parquet(s"$dir/events.parquet")

@@ -148,6 +148,11 @@ object Geo {
     require(boxDeg > 0, "boxDeg must be positive")
     reserve(sites, "sites")
     val off = array(lit(-1L), lit(0L), lit(1L))
+    // the build resolution rides along as field metadata so a consumer
+    // quantizing probes at a DIFFERENT resolution fails loudly instead
+    // of joining against wrong cells
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble("boxDeg", boxDeg).build()
     sites
       .filter(col(sLat).isNotNull && col(sLon).isNotNull)
       .withColumn("__gdla", explode(off))
@@ -155,7 +160,7 @@ object Geo {
       .groupBy((cellIdx(col(sLat), boxDeg) + col("__gdla")).as("__gclat"),
         (cellIdx(col(sLon), boxDeg) + col("__gdlo")).as("__gclon"))
       .agg(collect_list(struct(col(sKey).as("key"), col(sLat).as("lat"),
-        col(sLon).as("lon"))).as("__gsites"))
+        col(sLon).as("lon"))).as("__gsites", meta))
   }
 
   /** Nearest-site assignment against a (broadcast) [[siteCatalog]] —
@@ -177,6 +182,20 @@ object Geo {
                          haversineKm): DataFrame = {
     require(boxDeg > 0, "boxDeg must be positive")
     reserve(probes, "probes")
+    require(!probes.columns.contains(keyOut) &&
+      !probes.columns.contains(distCol) && keyOut != distCol,
+      s"output column names '$keyOut'/'$distCol' must not collide with " +
+        "the probe columns or each other")
+    val sitesField = catalog.schema.find(_.name == "__gsites")
+      .getOrElse(throw new IllegalArgumentException(
+        "catalog must come from Geo.siteCatalog (no __gsites column)"))
+    if (sitesField.metadata.contains("boxDeg"))
+      require(sitesField.metadata.getDouble("boxDeg") == boxDeg,
+        s"catalog was built at boxDeg=${sitesField.metadata.getDouble("boxDeg")}" +
+          s" but probes quantize at $boxDeg — the cell keys would not align")
+    val keyType = sitesField.dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("key").dataType
     val probeCols = probes.columns.toSeq
     val pb = probes
       .filter(col(pLat).isNotNull && col(pLon).isNotNull)
@@ -186,18 +205,23 @@ object Geo {
     val inBox = filter(col("__gsites"), c =>
       abs(col(pLat) - c.getField("lat")) < boxDeg &&
         abs(col(pLon) - c.getField("lon")) < boxDeg)
-    // sentinel accumulator: any real metric value sorts below it, and a
-    // surviving sentinel key marks "no candidate" for the final filter
-    val init = struct(lit(Double.MaxValue).as("d"), lit(Long.MinValue).as("key"))
+    // found-flag accumulator (type-preserving — no sentinel key value
+    // can be confused with a real one): the first candidate always
+    // wins, after that strict (d, key) lexicographic improvement. NaN
+    // metric values behave like min(struct): NaN compares greater than
+    // every double and NaN === NaN, so the equivalence with
+    // [[nearestJoin]] holds even on degenerate inputs.
+    val init = struct(lit(false).as("found"), lit(Double.MaxValue).as("d"),
+      lit(null).cast(keyType).as("key"))
     val best = aggregate(inBox, init, (acc, c) => {
       val d = metric(col(pLat), col(pLon), c.getField("lat"), c.getField("lon"))
-      when(d < acc.getField("d") ||
+      when(!acc.getField("found") || d < acc.getField("d") ||
         (d === acc.getField("d") && c.getField("key") < acc.getField("key")),
-        struct(d.as("d"), c.getField("key").cast("long").as("key")))
+        struct(lit(true).as("found"), d.as("d"), c.getField("key").as("key")))
         .otherwise(acc)
     })
     pb.withColumn("__gbest", best)
-      .filter(col("__gbest.key") =!= Long.MinValue)
+      .filter(col("__gbest.found"))
       .select((probeCols.map(col) :+ col("__gbest.key").as(keyOut) :+
         col("__gbest.d").as(distCol)): _*)
   }

@@ -268,14 +268,22 @@ object Dialect {
     }
     val sorts = sql.substring(by + 2, obEnd).trim
     require(sorts.nonEmpty, "empty ORDER BY item list")
-    // ordinal sort items would silently change meaning inside the
-    // window spec (Spark resolves ORDER BY 1 positionally at the top
-    // level but as the CONSTANT 1 inside OVER) — reject them loudly
-    require(splitTopLevel(sorts).forall { it =>
-      val code = stripLiterals(it).trim
-      code.isEmpty || !code.charAt(0).isDigit
-    }, "DISTINCT ON does not support ordinal ORDER BY items — name the " +
-      "sort columns")
+    // a BARE integer item (optionally with ASC/DESC/NULLS FIRST|LAST)
+    // is positional at the top level but the CONSTANT inside OVER /
+    // PARTITION BY — the rewrite would silently change which row is
+    // kept, so reject ordinals in both the key list and the sort list.
+    // Integer-LEADING expressions ("100 - score") are not ordinals and
+    // pass through.
+    def isOrdinal(item: String): Boolean =
+      stripLiterals(item)
+        .replaceAll("(?is)\\s+(asc|desc)\\b", "")
+        .replaceAll("(?is)\\s+nulls\\s+(first|last)\\b", "")
+        .trim.matches("\\d+")
+    require(!splitTopLevel(keys).exists(isOrdinal),
+      "DISTINCT ON does not support ordinal keys — name the columns")
+    require(!splitTopLevel(sorts).exists(isOrdinal),
+      "DISTINCT ON does not support ordinal ORDER BY items — name the " +
+        "sort columns")
     val tail = sql.substring(obEnd)
     val src = sql.substring(from, order)
     val head = sql.substring(0, sel)

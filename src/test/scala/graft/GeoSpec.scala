@@ -153,6 +153,30 @@ class GeoSpec extends GraftSuite {
       plan)
   }
 
+  test("nearestByCatalog guards: boxDeg mismatch, output-name collision, string keys") {
+    val probes = Seq((1L, 0.5, 0.5)).toDF("pid", "plat", "plon")
+    val sites = Seq(("a", 0.75, 0.75), ("b", 0.5, 0.5))
+      .toDF("sid", "slat", "slon")
+    val cat = Geo.siteCatalog(sites, "sid", "slat", "slon", boxDeg = 2.0)
+    // a catalog built at one resolution refuses probes quantized at another
+    val e = intercept[IllegalArgumentException] {
+      Geo.nearestByCatalog(probes, "plat", "plon", cat, boxDeg = 1.0,
+        metric = Geo.planarSq)
+    }
+    assert(e.getMessage.contains("boxDeg"))
+    intercept[IllegalArgumentException] {
+      Geo.nearestByCatalog(probes, "plat", "plon", cat, boxDeg = 2.0,
+        keyOut = "plat", metric = Geo.planarSq)
+    }
+    // non-numeric site keys survive the argmin (no long sentinel cast)
+    val out = Geo.nearestByCatalog(probes, "plat", "plon", cat,
+        boxDeg = 2.0, keyOut = "sid", distCol = "d2",
+        metric = Geo.planarSq)
+      .select("pid", "sid", "d2").collect()
+    assert(out.toSeq.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      === Seq((1L, "b", 0.0)))
+  }
+
   test("cellDensity counts per occupied cell only") {
     val df = Seq((0.5, 0.5), (0.9, 0.1), (3.5, 3.5), (-0.5, 0.5))
       .toDF("lat", "lon")
