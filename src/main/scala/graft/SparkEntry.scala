@@ -2587,6 +2587,39 @@ object SparkEntry {
                      END AS BIGINT) AS spans
          FROM o ORDER BY source, doc_id"""),
 
+    // Unicode NFC normalization through the custom codegen expression
+    // (nfc_normalize, Kernels.nfc / JDK UAX #15) — the canonicalization
+    // a curation pipeline runs before hashing so "é" and "e"+COMBINING
+    // ACUTE fingerprint identically. A decomposed suffix (e+U+0301,
+    // A+U+030A from hex 65CC8141CC8A) is planted on every row so the
+    // compose path genuinely fires: NFC drops 2 codepoints and 2 bytes
+    // per row, which the oracle's native nfc_normalize must reproduce
+    // exactly. Map-only.
+    "t23_unicode_nfc" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            concat(coalesce(col("text"), lit("")),
+              decode(unhex(lit("65CC8141CC8A")), "UTF-8")).as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("raw_chars"),
+            expr("nfc_normalize(raw)").as("norm"))
+          .select(col("doc_id"), col("raw_chars"),
+            length(col("norm")).cast("long").as("norm_chars"),
+            octet_length(col("norm")).cast("long").as("norm_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id,
+                  coalesce(text, '') || decode(from_hex('65CC8141CC8A'))
+                    AS raw
+           FROM documents),
+         n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM d)
+         SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_chars,
+                CAST(length(norm) AS BIGINT) AS norm_chars,
+                CAST(strlen(norm) AS BIGINT) AS norm_bytes
+         FROM n ORDER BY doc_id"""),
+
     // corpus novelty (TextAnalysis.corpusNovelty): per doc, the fraction
     // of its distinct 3-grams first seen AT this doc (first = min id) —
     // the "does this add new content" curation signal. One gram-keyed

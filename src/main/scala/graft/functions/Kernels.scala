@@ -11,6 +11,20 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object Kernels {
 
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK's
+    * implementation of UAX #15 canonical composition). Fast path: NFC
+    * quick-check first, so the common already-normalized string costs
+    * one scan and ZERO allocation (the input UTF8String is returned
+    * as-is).
+    */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+
   /** Cosine similarity; null (boxed) encodes the zero-norm case only.
     * NaN values in the INPUT propagate to a NaN RESULT, and the NaN check
     * runs FIRST: a NaN in either vector wins over the other side's
