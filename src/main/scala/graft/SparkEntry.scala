@@ -3159,6 +3159,31 @@ object SparkEntry {
          ORDER BY d.doc_id"""),
 
     // Gumbel-top-k importance RESAMPLING over the sp11 weights
+    // Neyman-optimal labeling-budget allocation
+    // (Sampling.neymanAllocation): stratum h of the 1000-row budget
+    // gets n_h ∝ N_h·σ_h, computed EXACTLY as floor(sqrt(N·Σx² −
+    // (Σx)²)) — one grouped agg + one broadcast total, O(strata)
+    // output. Truncating integer division matches DuckDB's //.
+    "sp13_neyman_allocation" -> api(
+      (s, dir) => {
+        graft.ops.Sampling.neymanAllocation(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "source", "n_chars", budget = 1000L)
+          .orderBy(col("source"))
+      },
+      """WITH g AS (SELECT source, count(*) AS n_rows,
+                  sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
+           FROM documents GROUP BY source),
+         w AS (SELECT source, n_rows,
+                  CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)))
+                       AS BIGINT) AS w_fp
+           FROM g),
+         t AS (SELECT sum(w_fp) AS wsum FROM w)
+         SELECT w.source, w.n_rows, w.w_fp,
+                CAST(CASE WHEN t.wsum > 0 THEN 1000 * w.w_fp // t.wsum
+                          ELSE 0 END AS BIGINT) AS alloc
+         FROM w, t ORDER BY w.source"""),
+
     // (Sampling.gumbelTopK): perturb each log-weight with a Gumbel draw
     // from a deterministic md5-derived uniform and keep the 50 largest
     // keys — weighted sampling without replacement, reproducible across

@@ -41,6 +41,46 @@ object Sampling {
   private def belowThreshold(h: Column, thr: Long): Column =
     if (thr >= Buckets) lit(true) else h < lit(f"$thr%04x")
 
+  /** Neyman-optimal sampling allocation (Neyman 1934; the standard
+    * survey-sampling result): under a total budget of `budget` labeled
+    * rows, stratum h gets n_h ∝ N_h·σ_h — large AND internally diverse
+    * strata earn more of the budget. The per-stratum weight is computed
+    * EXACTLY in integers via the identity
+    *
+    *   N_h·σ_h = sqrt(N_h·Σx² − (Σx)²)       (σ = population std dev)
+    *
+    * so the only non-integer step is one floor(sqrt(integer)) — safe
+    * cross-engine because a correctly-rounded double sqrt of an integer
+    * below 2^50 can only land ON an integer when the input is a perfect
+    * square. The final allocation is truncating-integer
+    * `budget·w_h / Σw` (matching SQL integer division in both engines).
+    * One grouped aggregation + one broadcast total — allocation cost is
+    * O(strata), independent of row count.
+    *
+    * Output per stratum: `n_rows`, `w_fp` (the integer Neyman weight),
+    * `alloc` (rows of the budget). Sum of allocations can fall short of
+    * the budget by up to (strata − 1) rows from truncation — callers
+    * wanting exhaustion give the remainder to the largest stratum.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val x = col(valueCol).cast("long")
+    val g = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"), sum(x).as("__s1"),
+        sum(x * x).as("__s2"))
+      .withColumn("w_fp",
+        floor(sqrt((col("n_rows") * col("__s2") - col("__s1") * col("__s1"))
+          .cast("double"))).cast("long"))
+      .drop("__s1", "__s2")
+    val tot = g.agg(sum(col("w_fp")).as("__wsum"))
+    g.join(broadcast(tot))
+      .withColumn("alloc",
+        when(col("__wsum") > 0,
+          expr(s"$budget * w_fp DIV __wsum")).otherwise(lit(0L)))
+      .drop("__wsum")
+  }
+
   /** Split tag ("train" / "val" / "test" / ...) from cumulative hash
     * thresholds. `fractions` are (name, fraction) in declaration order;
     * they must sum to <= 1.0 and any remainder falls into the LAST split.

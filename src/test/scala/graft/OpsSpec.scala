@@ -1109,6 +1109,19 @@ class OpsSpec extends GraftSuite {
     assert(Codec.decodeBmp("JFIF-not-a-bmp".getBytes).isEmpty)
   }
 
+  test("neymanAllocation: zero-variance strata get nothing, diverse strata earn more") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L),
+      ("b", 0L), ("b", 20L), ("b", 0L), ("b", 20L),
+      ("c", 9L), ("c", 11L), ("c", 9L), ("c", 11L)).toDF("s", "x")
+    val out = Sampling.neymanAllocation(df, "s", "x", budget = 100L)
+      .orderBy("s").as[(String, Long, Long, Long)].collect().toSeq
+    // hand-checked: w = sqrt(N·Σx² − (Σx)²) = 0 / 40 / 4; alloc floors
+    assert(out === Seq(("a", 4L, 0L, 0L), ("b", 4L, 40L, 90L),
+      ("c", 4L, 4L, 9L)))
+    assert(out.map(_._4).sum <= 100L, "allocation must respect the budget")
+  }
+
   test("resampleAudio matches an independent rational reference (negative deltas too)") {
     import Multimodal.Codec
     import spark.implicits._

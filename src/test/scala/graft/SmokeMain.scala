@@ -432,6 +432,10 @@ object SmokeMain {
       val nfc = SparkEntry.queries("t23_unicode_nfc")(spark, sf)
       val shrunk = nfc.filter(col("norm_chars") < col("raw_chars")).count()
       println(s"t23 nfc rows=${nfc.count()} composed=$shrunk (expect all)")
+      // round-12: Neyman labeling-budget allocation
+      val ney = SparkEntry.queries("sp13_neyman_allocation")(spark, sf)
+      println(s"sp13 neyman strata=${ney.count()} " +
+        s"allocated=${ney.agg(sum(col("alloc"))).first().getLong(0)}/1000")
     }
 
     spark.stop()
