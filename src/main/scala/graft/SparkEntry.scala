@@ -7808,6 +7808,29 @@ object SparkEntry {
          FROM orders
          ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""),
 
+    // market-basket co-occurrence: brand pairs bought together in one
+    // order, with lift = N·c_ab / (c_a·c_b). The basket self-join is
+    // keyed on the order and order sizes are bounded, so pair volume is
+    // ∝ orders (never brands²); counts stay exact longs and the lift
+    // division is one mirrored correctly-rounded chain
+    "q54_market_basket" -> multi(Seq("lineitem", "part"),
+      """WITH b AS (SELECT DISTINCT l_orderkey, p_brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+         c AS (SELECT p_brand, count(*) AS c1 FROM b GROUP BY p_brand),
+         p AS (SELECT a.l_orderkey, a.p_brand AS b1, bb.p_brand AS b2
+               FROM b a JOIN b bb ON a.l_orderkey = bb.l_orderkey
+                AND a.p_brand < bb.p_brand),
+         pc AS (SELECT b1, b2, count(*) AS c_ab FROM p GROUP BY b1, b2)
+         SELECT pc.b1, pc.b2, pc.c_ab,
+                round(CAST(pc.c_ab * n.n_orders AS DOUBLE)
+                      / CAST(ca.c1 * cb.c1 AS DOUBLE), 6) AS lift
+         FROM pc JOIN c ca ON pc.b1 = ca.p_brand
+                 JOIN c cb ON pc.b2 = cb.p_brand
+                 CROSS JOIN n
+         WHERE pc.c_ab >= 30
+         ORDER BY pc.b1, pc.b2"""),
+
     // Relational division ("for all"): customers who placed an order in
     // EVERY order-priority class. The Spark plan is the scale-right
     // counting formulation — one grouped distinct-count against a

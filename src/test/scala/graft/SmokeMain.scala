@@ -436,6 +436,8 @@ object SmokeMain {
       val ney = SparkEntry.queries("sp13_neyman_allocation")(spark, sf)
       println(s"sp13 neyman strata=${ney.count()} " +
         s"allocated=${ney.agg(sum(col("alloc"))).first().getLong(0)}/1000")
+      println(s"q54 market-basket pairs=" +
+        SparkEntry.queries("q54_market_basket")(spark, sf).count())
     }
 
     spark.stop()
