@@ -2587,39 +2587,6 @@ object SparkEntry {
                      END AS BIGINT) AS spans
          FROM o ORDER BY source, doc_id"""),
 
-    // Unicode NFC normalization through the custom codegen expression
-    // (nfc_normalize, Kernels.nfc / JDK UAX #15) — the canonicalization
-    // a curation pipeline runs before hashing so "é" and "e"+COMBINING
-    // ACUTE fingerprint identically. A decomposed suffix (e+U+0301,
-    // A+U+030A from hex 65CC8141CC8A) is planted on every row so the
-    // compose path genuinely fires: NFC drops 2 codepoints and 2 bytes
-    // per row, which the oracle's native nfc_normalize must reproduce
-    // exactly. Map-only.
-    "t23_unicode_nfc" -> api(
-      (s, dir) => {
-        Registry.registerAll(s)
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"),
-            concat(coalesce(col("text"), lit("")),
-              decode(unhex(lit("65CC8141CC8A")), "UTF-8")).as("raw"))
-          .select(col("doc_id"),
-            length(col("raw")).cast("long").as("raw_chars"),
-            expr("nfc_normalize(raw)").as("norm"))
-          .select(col("doc_id"), col("raw_chars"),
-            length(col("norm")).cast("long").as("norm_chars"),
-            octet_length(col("norm")).cast("long").as("norm_bytes"))
-          .orderBy(col("doc_id"))
-      },
-      """WITH d AS (SELECT doc_id,
-                  coalesce(text, '') || decode(from_hex('65CC8141CC8A'))
-                    AS raw
-           FROM documents),
-         n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM d)
-         SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_chars,
-                CAST(length(norm) AS BIGINT) AS norm_chars,
-                CAST(strlen(norm) AS BIGINT) AS norm_bytes
-         FROM n ORDER BY doc_id"""),
-
     // corpus novelty (TextAnalysis.corpusNovelty): per doc, the fraction
     // of its distinct 3-grams first seen AT this doc (first = min id) —
     // the "does this add new content" curation signal. One gram-keyed
@@ -3158,7 +3125,6 @@ object SparkEntry {
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id"""),
 
-    // Gumbel-top-k importance RESAMPLING over the sp11 weights
     // Neyman-optimal labeling-budget allocation
     // (Sampling.neymanAllocation): stratum h of the 1000-row budget
     // gets n_h ∝ N_h·σ_h, computed EXACTLY as floor(sqrt(N·Σx² −
@@ -3173,7 +3139,7 @@ object SparkEntry {
       },
       """WITH g AS (SELECT source, count(*) AS n_rows,
                   sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
-           FROM documents GROUP BY source),
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
          w AS (SELECT source, n_rows,
                   CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)))
                        AS BIGINT) AS w_fp
@@ -3184,6 +3150,7 @@ object SparkEntry {
                           ELSE 0 END AS BIGINT) AS alloc
          FROM w, t ORDER BY w.source"""),
 
+    // Gumbel-top-k importance RESAMPLING over the sp11 weights
     // (Sampling.gumbelTopK): perturb each log-weight with a Gumbel draw
     // from a deterministic md5-derived uniform and keep the 50 largest
     // keys — weighted sampling without replacement, reproducible across

@@ -11,20 +11,6 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   */
 object Kernels {
 
-  /** Unicode NFC normalization (java.text.Normalizer — the JDK's
-    * implementation of UAX #15 canonical composition). Fast path: NFC
-    * quick-check first, so the common already-normalized string costs
-    * one scan and ZERO allocation (the input UTF8String is returned
-    * as-is).
-    */
-  def nfc(s: org.apache.spark.unsafe.types.UTF8String):
-      org.apache.spark.unsafe.types.UTF8String = {
-    val j = s.toString
-    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
-    else org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
-  }
-
   /** Cosine similarity; null (boxed) encodes the zero-norm case only.
     * NaN values in the INPUT propagate to a NaN RESULT, and the NaN check
     * runs FIRST: a NaN in either vector wins over the other side's
@@ -146,8 +132,14 @@ object Kernels {
     var ascii = true
     while (ascii && i < n) { ascii = s.getByte(i) >= 0; i += 1 }
     if (ascii) s
-    else org.apache.spark.unsafe.types.UTF8String.fromString(
-      java.text.Normalizer.normalize(s.toString, form))
+    else {
+      // second fast path for non-ASCII but already-normalized rows: the
+      // UAX #15 quick-check skips the normalize + re-encode allocations
+      val j = s.toString
+      if (java.text.Normalizer.isNormalized(j, form)) s
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(j, form))
+    }
   }
 
   /** Exact Jaccard over two SORTED, DISTINCT, null-free string arrays:

@@ -385,11 +385,6 @@ object Registry {
       case other     => throw new IllegalArgumentException(
         s"jaccard_sorted() takes 2 arguments, got ${other.length}")
     }
-    f("nfc_normalize") {
-      case Seq(a) => NfcNormalize(Cast(a, StringType))
-      case other  => throw new IllegalArgumentException(
-        s"nfc_normalize() takes 1 argument, got ${other.length}")
-    }
     f("jaro_winkler") {
       case Seq(a, b) => JaroWinkler(Cast(a, StringType), Cast(b, StringType))
       case other     => throw new IllegalArgumentException(

@@ -267,29 +267,6 @@ case class CmsEstimate(left: Expression, right: Expression)
   * entity-resolution candidate scoring stays inside the whole-stage
   * span — the kernel is a static call over the operand UTF8Strings.
   */
-/** Unicode NFC normalization (`nfc_normalize(s) -> STRING`), the
-  * canonical-composition cleanup a text-curation pipeline runs before
-  * hashing/dedup so visually-identical strings ("é" vs "e"+U+0301)
-  * fingerprint identically. Backed by the JDK's UAX #15 implementation
-  * via [[Kernels.nfc]] (quick-check fast path: already-normalized rows
-  * return the input buffer unchanged). Matches DuckDB's
-  * `nfc_normalize`, which the oracle uses.
-  */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
-
-  override def dataType: DataType = StringType
-  override def prettyName: String = "nfc_normalize"
-
-  override def nullSafeEval(s: Any): Any =
-    Kernels.nfc(s.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.functions.Kernels.nfc($s)")
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
 

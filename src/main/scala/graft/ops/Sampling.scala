@@ -65,13 +65,20 @@ object Sampling {
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
                        budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    // rows with a null value carry no variance information and are
+    // excluded from BOTH the count and the sums — mixing count(*) with
+    // null-skipping sums would silently inflate null-heavy strata
     val x = col(valueCol).cast("long")
-    val g = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n_rows"), sum(x).as("__s1"),
-        sum(x * x).as("__s2"))
+    // the radicand N·Σx² − (Σx)² is quadratic in the data: sums go
+    // through DECIMAL(38,0) (exact, the §2 sum-overflow discipline) so
+    // a large stratum widens instead of wrapping a long negative
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = df.filter(x.isNotNull).groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x.cast(d)).as("__s1"), sum((x * x).cast(d)).as("__s2"))
       .withColumn("w_fp",
-        floor(sqrt((col("n_rows") * col("__s2") - col("__s1") * col("__s1"))
-          .cast("double"))).cast("long"))
+        floor(sqrt((col("n_rows").cast(d) * col("__s2") -
+          col("__s1") * col("__s1")).cast("double"))).cast("long"))
       .drop("__s1", "__s2")
     val tot = g.agg(sum(col("w_fp")).as("__wsum"))
     g.join(broadcast(tot))

@@ -20,20 +20,6 @@ class ExpressionsSpec extends GraftSuite {
     assert(r.isNullAt(3))
   }
 
-  test("nfc_normalize composes canonically; NFC input and null pass through") {
-    // Scala escapes, not SQL chr(): Spark's chr() is ASCII-only (mod 256)
-    val df = Seq(Some("é"), Some("café"), Some(""),
-        None, Some("Å"))
-      .toDF("s")
-    val out = df.select(expr("nfc_normalize(s)").as("n"),
-      length(expr("nfc_normalize(s)")).as("len")).collect()
-    assert(out(0).getString(0) === "é") // e + COMBINING ACUTE -> é
-    assert(out(1).getString(0) === "café") // already NFC: unchanged
-    assert(out(2).getString(0) === "")
-    assert(out(3).isNullAt(0))
-    assert(out(4).getString(0) === "Å" && out(4).getInt(1) === 1)
-  }
-
   test("cosine_sim: NaN input beats the zero-norm null sentinel") {
     val r = spark.sql(
       """select cosine_sim(array(cast('NaN' as double), 1.0d), array(0.0d, 0.0d)) a,

@@ -428,10 +428,6 @@ object SmokeMain {
       val sgeo = SparkEntry.queries("st20_stream_geo_enrich")(spark, sf)
       println(s"st20 stream-geo sites=${sgeo.count()} " +
         s"events=${sgeo.agg(sum(col("n"))).first().getLong(0)}")
-      // round-12: NFC normalization expression at the SQL surface
-      val nfc = SparkEntry.queries("t23_unicode_nfc")(spark, sf)
-      val shrunk = nfc.filter(col("norm_chars") < col("raw_chars")).count()
-      println(s"t23 nfc rows=${nfc.count()} composed=$shrunk (expect all)")
       // round-12: Neyman labeling-budget allocation
       val ney = SparkEntry.queries("sp13_neyman_allocation")(spark, sf)
       println(s"sp13 neyman strata=${ney.count()} " +
