@@ -6618,6 +6618,99 @@ object SparkEntry {
     // events, and 7 is the window constant, not data-driven. Days beyond
     // the observed span are clipped so both engines cover exactly
     // [min_day, max_day]. Stickiness rounds to 6.
+    // lag-k autocorrelation of the daily event-count series (k = 1, 7 —
+    // day-over-day persistence and weekly seasonality). The heavy step
+    // is the keyed daily rollup; the lag window + moment sums then run
+    // on the BOUNDED series (one row per day), so the single-partition
+    // window is O(days), never O(events). The correlation is the g19
+    // discipline: exact integer sums through one mirrored
+    // correctly-rounded chain (+,-,*,/,sqrt only).
+    "e21_autocorrelation" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val d = E.readRaw(s, dir)
+          .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val l = d.select(col("x"),
+          lag(col("x"), 1).over(w).as("x1"),
+          lag(col("x"), 7).over(w).as("x7"))
+        def ac(xl: String, k: Int) = l.filter(col(xl).isNotNull)
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col(xl)).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col(xl) * col(xl)).as("syy"),
+            sum(col("x") * col(xl)).as("sxy"))
+          .select(lit(k.toLong).as("lag_k"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))), 6).as("acf"))
+        ac("x1", 1).unionByName(ac("x7", 7)).orderBy(col("lag_k"))
+      },
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         l AS (SELECT x, lag(x, 1) OVER (ORDER BY day) AS x1,
+                      lag(x, 7) OVER (ORDER BY day) AS x7 FROM d),
+         m1 AS (SELECT count(*) AS n, sum(x) AS sx, sum(x1) AS sy,
+                       sum(x*x) AS sxx, sum(x1*x1) AS syy,
+                       sum(x*x1) AS sxy FROM l WHERE x1 IS NOT NULL),
+         m7 AS (SELECT count(*) AS n, sum(x) AS sx, sum(x7) AS sy,
+                       sum(x*x) AS sxx, sum(x7*x7) AS syy,
+                       sum(x*x7) AS sxy FROM l WHERE x7 IS NOT NULL)
+         SELECT CAST(1 AS BIGINT) AS lag_k,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS acf
+         FROM m1
+         UNION ALL
+         SELECT CAST(7 AS BIGINT),
+                round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+         FROM m7 ORDER BY lag_k"""),
+
+    // CUSUM changepoint locator over the same daily series: the day t
+    // maximizing |S_t| where S_t = Σ_{i<=t}(x_i − x̄) — reported in the
+    // integer scaling N·S_t = N·cumsum_t − t·total, which needs NO
+    // division and stays EXACT, so the argmax (ties to the earlier day)
+    // is bitwise deterministic. Same scale shape as e21: heavy keyed
+    // rollup first, O(days) window after.
+    "e22_cusum_changepoint" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val d = E.readRaw(s, dir)
+          .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val c = d.select(col("day"),
+          row_number().over(w).cast("long").as("t_idx"),
+          sum(col("x")).over(w).as("cum"))
+        val tot = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        c.join(broadcast(tot))
+          .select(col("day").as("changepoint_day"),
+            abs(col("n") * col("cum") - col("t_idx") * col("sx"))
+              .as("cusum_scaled"))
+          .orderBy(col("cusum_scaled").desc, col("changepoint_day"))
+          .limit(1)
+      },
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         t AS (SELECT count(*) AS n, sum(x) AS sx FROM d),
+         c AS (SELECT day,
+                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx,
+                  sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT c.day AS changepoint_day,
+                CAST(abs(t.n * c.cum - c.t_idx * t.sx) AS BIGINT)
+                  AS cusum_scaled
+         FROM c CROSS JOIN t
+         ORDER BY cusum_scaled DESC, changepoint_day LIMIT 1"""),
+
     // Day-of-week × hour activity heatmap — the seasonality card every
     // events dashboard opens with. Pure integer epoch arithmetic on the
     // canonical micros (dow 0 = Monday via the +3 epoch offset;

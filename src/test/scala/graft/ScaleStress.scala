@@ -38,7 +38,11 @@ object ScaleStress {
     "t22_corpus_novelty",
     // round 12b: the cell-bucketed spatial argmin and the iterative
     // relaxation loop — both must scale ~linearly in rows
-    "geo01_nearest_site", "gr06_shortest_path")
+    "geo01_nearest_site", "gr06_shortest_path",
+    // round 12c: the order-keyed basket self-join (pair volume must
+    // track orders, not brands²) and the statistics-only cardinality
+    // profile (shuffle ∝ distinct keys)
+    "q54_market_basket", "pr17_join_cardinality")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is

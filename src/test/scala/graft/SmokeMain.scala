@@ -434,6 +434,11 @@ object SmokeMain {
         s"allocated=${ney.agg(sum(col("alloc"))).first().getLong(0)}/1000")
       println(s"q54 market-basket pairs=" +
         SparkEntry.queries("q54_market_basket")(spark, sf).count())
+      // round-12: time-series diagnostics on the daily rollup
+      SparkEntry.queries("e21_autocorrelation")(spark, sf)
+        .show(2, truncate = false)
+      SparkEntry.queries("e22_cusum_changepoint")(spark, sf)
+        .show(1, truncate = false)
     }
 
     spark.stop()
