@@ -2403,6 +2403,33 @@ object SparkEntry {
                      + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS bpe_est
          FROM documents ORDER BY doc_id"""),
 
+    // Flesch reading-ease + Flesch-Kincaid grade
+    // (TextAnalysis.readability): the classic readability quality gate
+    // from exact regex counts (words/sentences/vowel-group syllables)
+    // through mirrored correctly-rounded chains — map-only
+    "t24_readability" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.TextAnalysis.readability(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      """WITH f AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\w+')) AS w,
+                  len(regexp_extract_all(text, '[.!?]+')) AS s,
+                  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+           FROM documents)
+         SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+                CAST(s AS BIGINT) AS n_sentences,
+                CAST(y AS BIGINT) AS n_syllables,
+                206.835 - 1.015 * (CAST(w AS DOUBLE) / greatest(s, 1))
+                        - 84.6 * (CAST(y AS DOUBLE) / greatest(w, 1))
+                  AS flesch_ease,
+                0.39 * (CAST(w AS DOUBLE) / greatest(s, 1))
+                  + 11.8 * (CAST(y AS DOUBLE) / greatest(w, 1)) - 15.59
+                  AS fk_grade
+         FROM f ORDER BY doc_id"""),
+
     // collision fingerprint (sorted distinct token set) — full oracle
     "t04_fingerprint" -> api(
       (s, dir) => {

@@ -38,6 +38,28 @@ object TextAnalysis {
   /** Whitespace/word-boundary token count. */
   def tokenCount(c: Column): Column = regexp_count(c, lit("\\w+"))
 
+  /** Flesch reading-ease + Flesch-Kincaid grade (Flesch 1948 / Kincaid
+    * et al. 1975, the standard readability gate in text curation) from
+    * regex count heuristics: words = `\w+` runs, sentences = `[.!?]+`
+    * runs, syllables ≈ vowel-groups `[aeiouy]+` in the lowercased text.
+    * Counts are exact integers and the two formulas are single
+    * correctly-rounded double chains, so an external engine reproduces
+    * every value bit-for-bit. Map-only, codegen'd regex work; zero
+    * shuffles.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = regexp_count(t, lit("\\w+")).cast("long")
+    val s = regexp_count(t, lit("[.!?]+")).cast("long")
+    val y = regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+    val wps = w.cast("double") / greatest(s, lit(1L))
+    val ypw = y.cast("double") / greatest(w, lit(1L))
+    df.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+      y.as("n_syllables"),
+      (lit(206.835) - lit(1.015) * wps - lit(84.6) * ypw).as("flesch_ease"),
+      (lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)).as("fk_grade"))
+  }
+
   /** BPE token count under a fixed merges table ([[graft.functions.Bpe]])
     * — the budget unit a training pipeline actually pays in, where
     * [[tokenCount]] counts regex words. Map-only, codegen'd; merges ride

@@ -439,6 +439,8 @@ object SmokeMain {
         .show(2, truncate = false)
       SparkEntry.queries("e22_cusum_changepoint")(spark, sf)
         .show(1, truncate = false)
+      // round-12: readability gate
+      SparkEntry.queries("t24_readability")(spark, sf).show(2, truncate = false)
     }
 
     spark.stop()
