@@ -6738,6 +6738,38 @@ object SparkEntry {
          FROM c CROSS JOIN t
          ORDER BY cusum_scaled DESC, changepoint_day LIMIT 1"""),
 
+    // Theil–Sen robust trend slope (Theil 1950 / Sen 1968): the median
+    // of all pairwise slopes of the daily series — outlier-days cannot
+    // drag it the way least squares is dragged. The O(days²) pair set
+    // exists only AFTER the keyed rollup bounds the series, and it is
+    // generated map-side from ONE sorted array via nested transform()
+    // HOFs — no self-join, no cartesian anywhere in the plan. Slope
+    // division and the even-count median midpoint are single
+    // correctly-rounded IEEE ops, identical in both engines.
+    "e23_theil_sen" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val d = E.readRaw(s, dir)
+          .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).cast("double").as("x"))
+        val arr = d.agg(sort_array(collect_list(
+          struct(col("day"), col("x")))).as("a"))
+        arr.select(explode(flatten(expr(
+            """transform(a, (ai, i) ->
+                 transform(slice(a, i + 2, size(a)), aj ->
+                   (aj.x - ai.x) / CAST(aj.day - ai.day AS DOUBLE)))""")))
+            .as("slope"))
+          .agg(expr("percentile(slope, 0.5D)").as("theil_sen_slope"),
+            count(lit(1)).as("n_pairs"))
+      },
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+         p AS (SELECT (b.x - a.x) / CAST(b.day - a.day AS DOUBLE) AS slope
+           FROM d a JOIN d b ON b.day > a.day)
+         SELECT median(slope) AS theil_sen_slope,
+                count(*) AS n_pairs FROM p"""),
+
     // Day-of-week × hour activity heatmap — the seasonality card every
     // events dashboard opens with. Pure integer epoch arithmetic on the
     // canonical micros (dow 0 = Monday via the +3 epoch offset;

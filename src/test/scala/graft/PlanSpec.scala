@@ -280,6 +280,13 @@ class PlanSpec extends GraftSuite {
       s"no broadcast join in e20 plan:\n${p.take(900)}")
   }
 
+  test("e23 Theil–Sen: pairwise slopes come from array HOFs — no join at all") {
+    val p = planOf("e23_theil_sen")
+    assert(!p.contains("Join"),
+      s"e23 must generate the O(days²) pair set map-side, not via a " +
+        s"self-join:\n${p.take(800)}")
+  }
+
   test("t22 corpus novelty: min-agg first-seen map, no window, no gram-keyed join") {
     val p = planOf("t22_corpus_novelty")
     assert(!p.contains("Window"), s"window in t22 plan (first-seen must be an agg):\n${p.take(800)}")

@@ -441,6 +441,7 @@ object SmokeMain {
         .show(1, truncate = false)
       // round-12: readability gate
       SparkEntry.queries("t24_readability")(spark, sf).show(2, truncate = false)
+      SparkEntry.queries("e23_theil_sen")(spark, sf).show(1, truncate = false)
     }
 
     spark.stop()
