@@ -88,6 +88,19 @@ object SparkEntry {
         (((col("s_suppkey") * 13) % 320).cast("double") * sixt).as("slon"))
   }
 
+  /** Daily event-count series shared by the time-series diagnostics
+    * (e21/e22/e23): ONE keyed rollup of the canonical micros timestamps
+    * to (day, x = count). This is the heavy distributed step — every
+    * consumer's window/pair work afterwards is O(days), and the
+    * day-bucketing rule lives in exactly one place.
+    */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame = {
+    val E = graft.streaming.Events
+    E.readRaw(s, dir)
+      .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+  }
+
   /** Per-user (recency, frequency, monetary) rollup shared by e16 (ntile
     * buckets) and e20 (quantile-cutpoint buckets): one keyed aggregation
     * of the event stream to users, recency anchored at the corpus-max
@@ -6654,19 +6667,23 @@ object SparkEntry {
     // correctly-rounded chain (+,-,*,/,sqrt only).
     "e21_autocorrelation" -> api(
       (s, dir) => {
-        val E = graft.streaming.Events
-        val d = E.readRaw(s, dir)
-          .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
-          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        // moment products are events²-scale, so they go through
+        // DECIMAL(38,0) (exact — the §2 sum-overflow discipline); the
+        // DuckDB oracle's HUGEINT arithmetic is exact the same way, and
+        // both cast the identical integer to double before the chain
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = dailyCounts(s, dir)
         val w = org.apache.spark.sql.expressions.Window.orderBy("day")
         val l = d.select(col("x"),
           lag(col("x"), 1).over(w).as("x1"),
           lag(col("x"), 7).over(w).as("x7"))
         def ac(xl: String, k: Int) = l.filter(col(xl).isNotNull)
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col(xl)).as("sy"), sum(col("x") * col("x")).as("sxx"),
-            sum(col(xl) * col(xl)).as("syy"),
-            sum(col("x") * col(xl)).as("sxy"))
+          .agg(count(lit(1)).cast(d38).as("n"),
+            sum(col("x").cast(d38)).as("sx"),
+            sum(col(xl).cast(d38)).as("sy"),
+            sum((col("x") * col("x")).cast(d38)).as("sxx"),
+            sum((col(xl) * col(xl)).cast(d38)).as("syy"),
+            sum((col("x") * col(xl)).cast(d38)).as("sxy"))
           .select(lit(k.toLong).as("lag_k"),
             round((col("n") * col("sxy") - col("sx") * col("sy"))
               .cast("double") /
@@ -6707,10 +6724,7 @@ object SparkEntry {
     // rollup first, O(days) window after.
     "e22_cusum_changepoint" -> api(
       (s, dir) => {
-        val E = graft.streaming.Events
-        val d = E.readRaw(s, dir)
-          .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
-          .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        val d = dailyCounts(s, dir)
         val w = org.apache.spark.sql.expressions.Window.orderBy("day")
         val c = d.select(col("day"),
           row_number().over(w).cast("long").as("t_idx"),
@@ -6748,10 +6762,8 @@ object SparkEntry {
     // correctly-rounded IEEE ops, identical in both engines.
     "e23_theil_sen" -> api(
       (s, dir) => {
-        val E = graft.streaming.Events
-        val d = E.readRaw(s, dir)
-          .select(expr(s"ts div ${E.MicrosPerDay}").as("day"))
-          .groupBy(col("day")).agg(count(lit(1)).cast("double").as("x"))
+        val d = dailyCounts(s, dir)
+          .select(col("day"), col("x").cast("double").as("x"))
         val arr = d.agg(sort_array(collect_list(
           struct(col("day"), col("x")))).as("a"))
         arr.select(explode(flatten(expr(
