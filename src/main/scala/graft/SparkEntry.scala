@@ -6782,6 +6782,55 @@ object SparkEntry {
          SELECT median(slope) AS theil_sen_slope,
                 count(*) AS n_pairs FROM p"""),
 
+    // Mann–Kendall trend test (Mann 1945 / Kendall 1975 — e23's
+    // standard companion: MK decides IF there is a monotone trend,
+    // Theil–Sen estimates its slope): S = Σ_{i<j} sign(x_j − x_i) over
+    // the daily series, a PURE-INTEGER statistic with the tie-corrected
+    // variance n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over 18. Same join-free
+    // array-HOF pair generation as e23; the only floats are two final
+    // mirrored divisions.
+    "e24_mann_kendall" -> api(
+      (s, dir) => {
+        val d = dailyCounts(s, dir)
+        val arr = d.agg(sort_array(collect_list(
+          struct(col("day"), col("x")))).as("a"))
+        val sAgg = arr.select(explode(flatten(expr(
+            """transform(a, (ai, i) ->
+                 transform(slice(a, i + 2, size(a)), aj ->
+                   CASE WHEN aj.x > ai.x THEN 1
+                        WHEN aj.x < ai.x THEN -1 ELSE 0 END))""")))
+            .as("sgn"))
+          .agg(coalesce(sum(col("sgn")), lit(0L)).as("s_stat"))
+        val nD = d.agg(count(lit(1)).as("n_days"))
+        val ties = d.groupBy(col("x")).agg(count(lit(1)).as("t"))
+          .filter(col("t") > 1)
+          .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+            lit(0L)).as("tsum"))
+        sAgg.join(broadcast(nD)).join(broadcast(ties))
+          .select(col("s_stat"), col("n_days"),
+            ((col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+              - col("tsum")).cast("double") / lit(18.0)).as("var_s"),
+            ((lit(2L) * col("s_stat")).cast("double") /
+              (col("n_days") * (col("n_days") - 1)).cast("double"))
+              .as("tau_a"))
+      },
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         p AS (SELECT CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+           FROM d a JOIN d b ON b.day > a.day),
+         s AS (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT) AS s_stat FROM p),
+         n AS (SELECT count(*) AS n_days FROM d),
+         t AS (SELECT CAST(coalesce(sum(t*(t-1)*(t*2+5)), 0) AS BIGINT) AS tsum
+           FROM (SELECT count(*) AS t FROM d GROUP BY x) q WHERE q.t > 1)
+         SELECT s.s_stat, n.n_days,
+                CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5) - t.tsum AS DOUBLE)
+                  / 18.0 AS var_s,
+                CAST(2*s.s_stat AS DOUBLE)
+                  / CAST(n.n_days*(n.n_days-1) AS DOUBLE) AS tau_a
+         FROM s CROSS JOIN n CROSS JOIN t"""),
+
     // Day-of-week × hour activity heatmap — the seasonality card every
     // events dashboard opens with. Pure integer epoch arithmetic on the
     // canonical micros (dow 0 = Monday via the +3 epoch offset;

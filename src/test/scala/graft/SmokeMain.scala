@@ -439,8 +439,9 @@ object SmokeMain {
         .show(2, truncate = false)
       SparkEntry.queries("e22_cusum_changepoint")(spark, sf)
         .show(1, truncate = false)
-      // round-12: time-series diagnostics (robust trend)
+      // round-12: time-series diagnostics (robust trend + trend test)
       SparkEntry.queries("e23_theil_sen")(spark, sf).show(1, truncate = false)
+      SparkEntry.queries("e24_mann_kendall")(spark, sf).show(1, truncate = false)
       // round-12: readability gate
       SparkEntry.queries("t24_readability")(spark, sf).show(2, truncate = false)
     }
