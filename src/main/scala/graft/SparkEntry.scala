@@ -3190,6 +3190,46 @@ object SparkEntry {
                           ELSE 0 END AS BIGINT) AS alloc
          FROM w, t ORDER BY w.source"""),
 
+    // ...and the allocation EXECUTED (Sampling.neymanSample): each
+    // stratum gated at rate alloc/n_rows on the deterministic md5
+    // bucket grid — map-only after one broadcast, kept counts tracking
+    // the allocation to bucket granularity, reproducible cross-engine
+    "sp14_neyman_sample" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val kept = graft.ops.Sampling.neymanSample(
+            docs, "source", "n_chars", "doc_id", budget = 1000L)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+        graft.ops.Sampling.neymanAllocation(
+            docs, "source", "n_chars", budget = 1000L)
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_rows"), col("alloc"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("source"))
+      },
+      """WITH g AS (SELECT source, count(*) AS n_rows,
+                  sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+         w AS (SELECT source, n_rows,
+                  CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)))
+                       AS BIGINT) AS w_fp
+           FROM g),
+         t AS (SELECT sum(w_fp) AS wsum FROM w),
+         a AS (SELECT w.source, w.n_rows,
+                  CAST(CASE WHEN t.wsum > 0 THEN 1000 * w.w_fp // t.wsum
+                            ELSE 0 END AS BIGINT) AS alloc
+           FROM w CROSS JOIN t),
+         thr AS (SELECT source, n_rows, alloc,
+                  alloc * 65536 // n_rows AS thr FROM a),
+         k AS (SELECT d.source, count(*) AS n_sampled
+           FROM documents d JOIN thr ON d.source = thr.source
+           WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                      AS INTEGER) < thr.thr
+           GROUP BY d.source)
+         SELECT thr.source, thr.n_rows, thr.alloc,
+                CAST(coalesce(k.n_sampled, 0) AS BIGINT) AS n_sampled
+         FROM thr LEFT JOIN k USING (source) ORDER BY source"""),
+
     // Gumbel-top-k importance RESAMPLING over the sp11 weights
     // (Sampling.gumbelTopK): perturb each log-weight with a Gumbel draw
     // from a deterministic md5-derived uniform and keep the 50 largest

@@ -88,6 +88,26 @@ object Sampling {
       .drop("__wsum")
   }
 
+  /** Execute a [[neymanAllocation]]: keep a deterministic md5-bucket
+    * subset of each stratum at rate `alloc / n_rows`, floored onto the
+    * 65536-bucket grid — the same gate discipline as
+    * [[deterministicSplit]], so the kept set is reproducible across
+    * engines, runs, and partitionings, and kept counts track the
+    * allocation to within bucket granularity. One broadcast of the
+    * O(strata) allocation table, then a map-only gate — rows never
+    * shuffle.
+    */
+  def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
+                   idCol: String, budget: Long): DataFrame = {
+    val thr = neymanAllocation(df, strataCol, valueCol, budget)
+      .select(col(strataCol),
+        expr(s"alloc * $Buckets DIV n_rows").as("__thr"))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long") < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Split tag ("train" / "val" / "test" / ...) from cumulative hash
     * thresholds. `fractions` are (name, fraction) in declaration order;
     * they must sum to <= 1.0 and any remainder falls into the LAST split.

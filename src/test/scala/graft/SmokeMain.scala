@@ -434,6 +434,9 @@ object SmokeMain {
         s"allocated=${ney.agg(sum(col("alloc"))).first().getLong(0)}/1000")
       println(s"q54 market-basket pairs=" +
         SparkEntry.queries("q54_market_basket")(spark, sf).count())
+      val nsamp = SparkEntry.queries("sp14_neyman_sample")(spark, sf)
+      println(s"sp14 neyman-sample kept=" +
+        s"${nsamp.agg(sum(col("n_sampled"))).first().getLong(0)} of budget 1000")
       // round-12: time-series diagnostics on the daily rollup
       SparkEntry.queries("e21_autocorrelation")(spark, sf)
         .show(2, truncate = false)
