@@ -6822,6 +6822,57 @@ object SparkEntry {
          SELECT median(slope) AS theil_sen_slope,
                 count(*) AS n_pairs FROM p"""),
 
+    // two-proportion A/B z-test on purchase conversion (the experiment
+    // readout): arms by user-id parity, per-arm distinct users and
+    // converters from ONE user-keyed rollup, then the pooled-variance
+    // z statistic as a mirrored correctly-rounded chain over the exact
+    // integer counts. O(users) shuffle, O(1) output.
+    "e25_ab_test" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val users = E.readRaw(s, dir)
+          .groupBy(col("user_id"))
+          // "purchase over 100" keeps conversion mid-range (~80%) —
+          // a bare any-purchase predicate saturates at 100% in this
+          // corpus and the pooled variance (and z) degenerates to 0/0
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 100, 1L).otherwise(0L)).as("conv"))
+          .select((col("user_id") % 2 === 0).as("isA"), col("conv"))
+        val stats = users.agg(
+          sum(when(col("isA"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("isA"), col("conv")).otherwise(0L)).as("c1"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("n2"),
+          sum(when(!col("isA"), col("conv")).otherwise(0L)).as("c2"))
+        val p1 = col("c1").cast("double") / col("n1")
+        val p2 = col("c2").cast("double") / col("n2")
+        val pp = (col("c1") + col("c2")).cast("double") /
+          (col("n1") + col("n2"))
+        stats.select(col("n1"), col("c1"), col("n2"), col("c2"),
+          (p1 - p2).as("lift"),
+          ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2")))).as("z"))
+      },
+      """WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value > 100
+                           THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY user_id),
+         s AS (SELECT
+                  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS c1,
+                  sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n2,
+                  sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE conv END) AS c2
+           FROM u)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+                CAST(n2 AS BIGINT) AS n2, CAST(c2 AS BIGINT) AS c2,
+                CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2 AS lift,
+                (CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                  / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                         * (CAST(1 AS DOUBLE)
+                            - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                         * (CAST(1 AS DOUBLE) / n1
+                            + CAST(1 AS DOUBLE) / n2)) AS z
+         FROM s"""),
+
     // Mann–Kendall trend test (Mann 1945 / Kendall 1975 — e23's
     // standard companion: MK decides IF there is a monotone trend,
     // Theil–Sen estimates its slope): S = Σ_{i<j} sign(x_j − x_i) over
@@ -9074,6 +9125,69 @@ object SparkEntry {
     // Deviation in ROUNDED space; all nine log10 constants verified
     // >= 0.004 ulp-millionths from their 6dp rounding boundary, so the
     // cross-engine round is stable. One scan, 9-row rollup.
+    // two-sample Kolmogorov–Smirnov drift statistic between the
+    // even/odd user cohorts (the pr04 PSI pairing — PSI is binned and
+    // parametric-ish, KS is the classic distribution-free check):
+    // D = max |F1 − F2|, reported in the EXACT integer scaling
+    // n1·n2·D = max |cum1·n2 − cum2·n1| so the argmax needs no
+    // division (e22 discipline); products widen through DECIMAL(38,0)
+    // mirroring the oracle's HUGEINT. The merged-CDF window runs on
+    // the DISTINCT-value relation after one keyed rollup — O(distinct
+    // cents), not O(events); at larger domains the same cumsum
+    // computes as range-partitioned partials + a broadcast prefix
+    // (the w-family pattern).
+    "pr18_ks_test" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = E.readRaw(s, dir).select(
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 2 === 0).as("isA"))
+        val counts = ev.groupBy(col("cents")).agg(
+          sum(when(col("isA"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("c2"))
+        val tot = ev.agg(
+          sum(when(col("isA"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("isA"), 1L).otherwise(0L)).as("n2"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        counts
+          .select(sum(col("c1")).over(w).as("a1"),
+            sum(col("c2")).over(w).as("a2"))
+          .join(broadcast(tot))
+          .agg(max(abs(col("a1").cast(d38) * col("n2").cast(d38) -
+              col("a2").cast(d38) * col("n1").cast(d38)))
+              .cast("long").as("ks_scaled"),
+            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+          .select(col("ks_scaled"), col("n1"), col("n2"),
+            (col("ks_scaled").cast("double") /
+              (col("n1").cast("double") * col("n2").cast("double")))
+              .as("ks"))
+      },
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  (user_id % 2 = 0) AS isA FROM events),
+         c AS (SELECT cents,
+                  sum(CASE WHEN isA THEN 1 ELSE 0 END) AS c1,
+                  sum(CASE WHEN isA THEN 0 ELSE 1 END) AS c2
+           FROM e GROUP BY cents),
+         t AS (SELECT sum(CASE WHEN isA THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN isA THEN 0 ELSE 1 END) AS n2 FROM e),
+         a AS (SELECT
+                  sum(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS a1,
+                  sum(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS a2
+           FROM c),
+         m AS (SELECT CAST(max(abs(a.a1 * t.n2 - a.a2 * t.n1)) AS BIGINT)
+                        AS ks_scaled,
+                  CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2
+           FROM a CROSS JOIN t GROUP BY t.n1, t.n2)
+         SELECT ks_scaled, n1, n2,
+                CAST(ks_scaled AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
+         FROM m"""),
+
     // join-cardinality profiling FROM STATISTICS: |A ⋈ B on k| =
     // Σ_k n_A(k)·n_B(k), computed from two per-key count rollups and a
     // join of the (distinct-key-sized) count tables — the fan-out
