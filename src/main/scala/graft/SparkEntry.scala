@@ -3197,12 +3197,17 @@ object SparkEntry {
     "sp14_neyman_sample" -> api(
       (s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")
+        // budget 100 over ~25-doc strata puts every threshold strictly
+        // inside the bucket grid, so the oracle genuinely discriminates
+        // on the md5 gate (a saturating budget would keep 100% of rows
+        // and verify nothing about the gate); the ONE allocation frame
+        // feeds both the gate and the report columns
+        val alloc = graft.ops.Sampling.neymanAllocation(
+          docs, "source", "n_chars", budget = 100L)
         val kept = graft.ops.Sampling.neymanSample(
-            docs, "source", "n_chars", "doc_id", budget = 1000L)
+            docs, "source", "n_chars", "doc_id", alloc)
           .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
-        graft.ops.Sampling.neymanAllocation(
-            docs, "source", "n_chars", budget = 1000L)
-          .join(kept, Seq("source"), "left")
+        alloc.join(kept, Seq("source"), "left")
           .select(col("source"), col("n_rows"), col("alloc"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
           .orderBy(col("source"))
@@ -3216,7 +3221,7 @@ object SparkEntry {
            FROM g),
          t AS (SELECT sum(w_fp) AS wsum FROM w),
          a AS (SELECT w.source, w.n_rows,
-                  CAST(CASE WHEN t.wsum > 0 THEN 1000 * w.w_fp // t.wsum
+                  CAST(CASE WHEN t.wsum > 0 THEN 100 * w.w_fp // t.wsum
                             ELSE 0 END AS BIGINT) AS alloc
            FROM w CROSS JOIN t),
          thr AS (SELECT source, n_rows, alloc,
@@ -6837,7 +6842,10 @@ object SparkEntry {
           // corpus and the pooled variance (and z) degenerates to 0/0
           .agg(max(when(col("event_type") === "purchase" &&
             col("value") > 100, 1L).otherwise(0L)).as("conv"))
-          .select((col("user_id") % 2 === 0).as("isA"), col("conv"))
+          // coalesce mirrors the oracle's CASE: a null user_id falls
+          // into the ELSE arm (B) there, so it must be isA = false here
+          .select(coalesce(col("user_id") % 2 === 0, lit(false)).as("isA"),
+            col("conv"))
         val stats = users.agg(
           sum(when(col("isA"), 1L).otherwise(0L)).as("n1"),
           sum(when(col("isA"), col("conv")).otherwise(0L)).as("c1"),
@@ -9140,9 +9148,14 @@ object SparkEntry {
       (s, dir) => {
         val E = graft.streaming.Events
         val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        val ev = E.readRaw(s, dir).select(
-          round(col("value") * 100).cast("long").as("cents"),
-          (col("user_id") % 2 === 0).as("isA"))
+        // null values carry no distribution information (KS is over
+        // observed values) and null cohort keys mirror the oracle's
+        // CASE ELSE arm — both pinned explicitly so a future corpus
+        // with nulls cannot split the engines on null ORDERING either
+        val ev = E.readRaw(s, dir)
+          .filter(col("value").isNotNull)
+          .select(round(col("value") * 100).cast("long").as("cents"),
+            coalesce(col("user_id") % 2 === 0, lit(false)).as("isA"))
         val counts = ev.groupBy(col("cents")).agg(
           sum(when(col("isA"), 1L).otherwise(0L)).as("c1"),
           sum(when(!col("isA"), 1L).otherwise(0L)).as("c2"))
@@ -9166,7 +9179,8 @@ object SparkEntry {
               .as("ks"))
       },
       """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-                  (user_id % 2 = 0) AS isA FROM events),
+                  coalesce(user_id % 2 = 0, false) AS isA
+           FROM events WHERE value IS NOT NULL),
          c AS (SELECT cents,
                   sum(CASE WHEN isA THEN 1 ELSE 0 END) AS c1,
                   sum(CASE WHEN isA THEN 0 ELSE 1 END) AS c2

@@ -98,13 +98,24 @@ object Sampling {
     * shuffle.
     */
   def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
-                   idCol: String, budget: Long): DataFrame = {
-    val thr = neymanAllocation(df, strataCol, valueCol, budget)
-      .select(col(strataCol),
-        expr(s"alloc * $Buckets DIV n_rows").as("__thr"))
-    df.join(broadcast(thr), Seq(strataCol))
-      .filter(conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-        .cast("long") < col("__thr"))
+                   idCol: String, budget: Long): DataFrame =
+    neymanSample(df, strataCol, valueCol, idCol,
+      neymanAllocation(df, strataCol, valueCol, budget))
+
+  /** [[neymanSample]] against a PRECOMPUTED [[neymanAllocation]] frame —
+    * callers that also report the allocation reuse one rollup (identical
+    * aggregation subtrees additionally dedupe via exchange reuse).
+    */
+  def neymanSample(df: DataFrame, strataCol: String, valueCol: String,
+                   idCol: String, allocation: DataFrame): DataFrame = {
+    // rows with a null value are excluded from the GATE as well as the
+    // allocation (they carried no weight, so keeping them would
+    // overshoot the budget on null-heavy strata)
+    val thr = allocation.select(col(strataCol),
+      expr(s"alloc * $Buckets DIV n_rows").as("__thr"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(thr), Seq(strataCol))
+      .filter(conv(hashBucket(col(idCol)), 16, 10).cast("long") < col("__thr"))
       .drop("__thr")
   }
 
