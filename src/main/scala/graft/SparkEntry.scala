@@ -9202,6 +9202,63 @@ object SparkEntry {
                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
          FROM m"""),
 
+    // Mann–Whitney U / ROC-AUC of "does event value separate purchases
+    // from the rest": AUC = P(score_pos > score_neg) + ½·P(=), held as
+    // the EXACT integer 2U = Σ_v p_v·(2·negs_below(v) + negs_at(v))
+    // from one value-keyed rollup + one cumulative window on the
+    // distinct-value relation (pr18's shape; midrank tie handling falls
+    // out of the +negs_at term with no rational midranks anywhere).
+    // Products widen through DECIMAL(38,0); the only float is the final
+    // mirrored division.
+    "pr19_auc_mwu" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = E.readRaw(s, dir)
+          .filter(col("value").isNotNull)
+          .select(round(col("value") * 100).cast("long").as("cents"),
+            coalesce(col("event_type") === "purchase", lit(false)).as("pos"))
+        val counts = ev.groupBy(col("cents")).agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("q"))
+        val tot = ev.agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nq"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        counts
+          .select(col("p"), col("q"),
+            (sum(col("q")).over(w) - col("q")).as("qb"))
+          .agg(sum(col("p").cast(d38) *
+              (lit(2).cast(d38) * col("qb").cast(d38) + col("q").cast(d38)))
+            .cast("long").as("u2"))
+          .join(broadcast(tot))
+          .select(col("u2"), col("np"), col("nq"),
+            (col("u2").cast("double") /
+              (lit(2.0) * (col("np").cast("double") * col("nq").cast("double"))))
+              .as("auc"))
+      },
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  coalesce(event_type = 'purchase', false) AS pos
+           FROM events WHERE value IS NOT NULL),
+         c AS (SELECT cents,
+                  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS q
+           FROM e GROUP BY cents),
+         t AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nq FROM e),
+         a AS (SELECT p, q,
+                  sum(q) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) - q AS qb
+           FROM c),
+         m AS (SELECT CAST(sum(p * (2*qb + q)) AS BIGINT) AS u2 FROM a)
+         SELECT m.u2, CAST(t.np AS BIGINT) AS np, CAST(t.nq AS BIGINT) AS nq,
+                CAST(m.u2 AS DOUBLE)
+                  / (2.0 * (CAST(t.np AS DOUBLE) * CAST(t.nq AS DOUBLE)))
+                  AS auc
+         FROM m CROSS JOIN t"""),
+
     // join-cardinality profiling FROM STATISTICS: |A ⋈ B on k| =
     // Σ_k n_A(k)·n_B(k), computed from two per-key count rollups and a
     // join of the (distinct-key-sized) count tables — the fan-out

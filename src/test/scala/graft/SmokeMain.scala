@@ -436,7 +436,8 @@ object SmokeMain {
         SparkEntry.queries("q54_market_basket")(spark, sf).count())
       val nsamp = SparkEntry.queries("sp14_neyman_sample")(spark, sf)
       println(s"sp14 neyman-sample kept=" +
-        s"${nsamp.agg(sum(col("n_sampled"))).first().getLong(0)} of budget 1000")
+        s"${nsamp.agg(sum(col("n_sampled"))).first().getLong(0)} of budget 100")
+      SparkEntry.queries("pr19_auc_mwu")(spark, sf).show(1, truncate = false)
       // round-12: time-series diagnostics on the daily rollup
       SparkEntry.queries("e21_autocorrelation")(spark, sf)
         .show(2, truncate = false)
