@@ -9202,6 +9202,67 @@ object SparkEntry {
                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
          FROM m"""),
 
+    // chi-square test of independence (event_type × user-parity
+    // contingency) + Cramér's V effect size. The full r×c grid comes
+    // from a broadcast cross of the two TINY margin rollups (so
+    // zero-observation cells contribute their expected mass, as the
+    // statistic requires); each cell's (o−e)²/e term is rounded to 9
+    // and summed as DECIMAL — the pr16 discipline that makes the
+    // floating sum partition-order independent and cross-engine exact.
+    "pr20_chi_square" -> api(
+      (s, dir) => {
+        val E = graft.streaming.Events
+        val ev = E.readRaw(s, dir)
+          .filter(col("event_type").isNotNull)
+          .select(col("event_type").as("r"),
+            coalesce(col("user_id") % 2 === 0, lit(false)).as("ca"))
+        val cells = ev.groupBy(col("r"), col("ca")).agg(count(lit(1)).as("o"))
+        val rmarg = ev.groupBy(col("r")).agg(count(lit(1)).as("ro"))
+        val cmarg = ev.groupBy(col("ca")).agg(count(lit(1)).as("co"))
+        val tot = ev.agg(count(lit(1)).as("n"),
+          count_distinct(col("r")).as("nr"))
+        val eExp = (col("ro").cast("double") * col("co")) / col("n")
+        rmarg.crossJoin(broadcast(cmarg))
+          .join(cells, Seq("r", "ca"), "left")
+          .join(broadcast(tot))
+          .select(col("n"), col("nr"),
+            round((coalesce(col("o"), lit(0L)) - eExp) *
+                (coalesce(col("o"), lit(0L)) - eExp) / eExp, 9)
+              .cast("decimal(18,9)").as("term"))
+          .agg(max(col("n")).as("n"), max(col("nr")).as("n_rows_dim"),
+            sum(col("term")).as("__chi"))
+          .select(col("n"), col("n_rows_dim"),
+            round(col("__chi").cast("double"), 6).as("chi2"),
+            round(sqrt(col("__chi").cast("double") /
+              (col("n") * least(col("n_rows_dim") - 1, lit(1L)))
+                .cast("double")), 6).as("cramers_v"))
+      },
+      """WITH e AS (SELECT event_type AS r,
+                  coalesce(user_id % 2 = 0, false) AS ca
+           FROM events WHERE event_type IS NOT NULL),
+         cells AS (SELECT r, ca, count(*) AS o FROM e GROUP BY r, ca),
+         rm AS (SELECT r, count(*) AS ro FROM e GROUP BY r),
+         cm AS (SELECT ca, count(*) AS co FROM e GROUP BY ca),
+         t AS (SELECT count(*) AS n, count(DISTINCT r) AS nr FROM e),
+         g AS (SELECT rm.r, cm.ca, rm.ro, cm.co FROM rm CROSS JOIN cm),
+         terms AS (SELECT t.n, t.nr,
+                  round((coalesce(cells.o, 0)
+                           - (CAST(g.ro AS DOUBLE) * g.co) / t.n)
+                        * (coalesce(cells.o, 0)
+                           - (CAST(g.ro AS DOUBLE) * g.co) / t.n)
+                        / ((CAST(g.ro AS DOUBLE) * g.co) / t.n), 9)
+                    AS term
+           FROM g LEFT JOIN cells ON g.r = cells.r AND g.ca = cells.ca
+                  CROSS JOIN t),
+         m AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                  CAST(max(nr) AS BIGINT) AS n_rows_dim,
+                  sum(CAST(term AS DECIMAL(18,9))) AS chi FROM terms)
+         SELECT n, n_rows_dim, round(CAST(chi AS DOUBLE), 6) AS chi2,
+                round(sqrt(CAST(chi AS DOUBLE)
+                           / CAST(n * least(n_rows_dim - 1, 1) AS DOUBLE)),
+                      6) AS cramers_v
+         FROM m"""),
+
     // Mann–Whitney U / ROC-AUC of "does event value separate purchases
     // from the rest": AUC = P(score_pos > score_neg) + ½·P(=), held as
     // the EXACT integer 2U = Σ_v p_v·(2·negs_below(v) + negs_at(v))

@@ -438,6 +438,7 @@ object SmokeMain {
       println(s"sp14 neyman-sample kept=" +
         s"${nsamp.agg(sum(col("n_sampled"))).first().getLong(0)} of budget 100")
       SparkEntry.queries("pr19_auc_mwu")(spark, sf).show(1, truncate = false)
+      SparkEntry.queries("pr20_chi_square")(spark, sf).show(1, truncate = false)
       // round-12: time-series diagnostics on the daily rollup
       SparkEntry.queries("e21_autocorrelation")(spark, sf)
         .show(2, truncate = false)
