@@ -4588,6 +4588,37 @@ object SparkEntry {
     // Built-in skewness/kurtosis are NOT used on purpose: Spark's are
     // population moments, DuckDB's are bias-corrected sample moments —
     // the explicit sums are the engine-neutral form.
+    // median absolute deviation — the robust scale estimate that
+    // pairs with the g15 median: ONE grouped exact median, broadcast
+    // back (3 groups), then a second grouped median over the absolute
+    // deviations. Cents are exact longs; a .5 median and the
+    // deviations are exact doubles, so both selections are bitwise
+    // deterministic cross-engine.
+    "g20_mad" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(cents, 0.5D)").as("med"))
+        li.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            abs(col("cents") - col("med")).as("dev"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), expr("percentile(dev, 0.5D)").as("mad"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH t AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         m AS (SELECT l_returnflag, median(cents) AS med
+           FROM t GROUP BY l_returnflag),
+         d AS (SELECT t.l_returnflag, abs(t.cents - m.med) AS dev
+           FROM t JOIN m USING (l_returnflag))
+         SELECT l_returnflag, count(*) AS n, median(dev) AS mad
+         FROM d GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     "g19_moments" -> same("lineitem",
       """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
                     FROM lineitem),
