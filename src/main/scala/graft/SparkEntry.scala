@@ -1571,13 +1571,13 @@ object SparkEntry {
         val sixt = lit(0.0625)
         val catalog = graft.ops.Geo.siteCatalog(
           geoGridSuppliers(s, dir), "s_suppkey", "slat", "slon",
-          boxDeg = 2.0)
+          boxDeg = 0.5)
         val ev = graft.streaming.Events.readStream(s, dir)
           .select(col("event_id"),
             ((col("user_id") % 320).cast("double") * sixt).as("plat"),
             (((col("user_id") * 7) % 320).cast("double") * sixt).as("plon"))
         val out = graft.ops.Geo.nearestByCatalog(
-            ev, "plat", "plon", catalog, boxDeg = 2.0,
+            ev, "plat", "plon", catalog, boxDeg = 0.5,
             keyOut = "site", distCol = "d2",
             metric = graft.ops.Geo.planarSq)
           .groupBy(col("site"))
@@ -1605,7 +1605,7 @@ object SparkEntry {
                       + (e.plon - s.slon) * (e.plon - s.slon),
                     s.s_suppkey) AS rn
            FROM e JOIN s
-             ON abs(e.plat - s.slat) < 2.0 AND abs(e.plon - s.slon) < 2.0)
+             ON abs(e.plat - s.slat) < 0.5 AND abs(e.plon - s.slon) < 0.5)
          SELECT s_suppkey AS site, count(*) AS n
          FROM j WHERE rn = 1 GROUP BY 1 ORDER BY site"""),
 
@@ -4588,37 +4588,6 @@ object SparkEntry {
     // Built-in skewness/kurtosis are NOT used on purpose: Spark's are
     // population moments, DuckDB's are bias-corrected sample moments —
     // the explicit sums are the engine-neutral form.
-    // median absolute deviation — the robust scale estimate that
-    // pairs with the g15 median: ONE grouped exact median, broadcast
-    // back (3 groups), then a second grouped median over the absolute
-    // deviations. Cents are exact longs; a .5 median and the
-    // deviations are exact doubles, so both selections are bitwise
-    // deterministic cross-engine.
-    "g20_mad" -> api(
-      (s, dir) => {
-        Registry.registerAll(s)
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
-          .select(col("l_returnflag"),
-            round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        val med = li.groupBy(col("l_returnflag"))
-          .agg(expr("percentile(cents, 0.5D)").as("med"))
-        li.join(broadcast(med), Seq("l_returnflag"))
-          .select(col("l_returnflag"),
-            abs(col("cents") - col("med")).as("dev"))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), expr("percentile(dev, 0.5D)").as("mad"))
-          .orderBy(col("l_returnflag"))
-      },
-      """WITH t AS (SELECT l_returnflag,
-                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-           FROM lineitem),
-         m AS (SELECT l_returnflag, median(cents) AS med
-           FROM t GROUP BY l_returnflag),
-         d AS (SELECT t.l_returnflag, abs(t.cents - m.med) AS dev
-           FROM t JOIN m USING (l_returnflag))
-         SELECT l_returnflag, count(*) AS n, median(dev) AS mad
-         FROM d GROUP BY l_returnflag ORDER BY l_returnflag"""),
-
     "g19_moments" -> same("lineitem",
       """WITH t AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
                     FROM lineitem),
@@ -9247,19 +9216,26 @@ object SparkEntry {
           .filter(col("event_type").isNotNull)
           .select(col("event_type").as("r"),
             coalesce(col("user_id") % 2 === 0, lit(false)).as("ca"))
+        // margins and totals derive from the ONE cells rollup — the
+        // events corpus is scanned exactly once, everything after is
+        // O(distinct cells)
         val cells = ev.groupBy(col("r"), col("ca")).agg(count(lit(1)).as("o"))
-        val rmarg = ev.groupBy(col("r")).agg(count(lit(1)).as("ro"))
-        val cmarg = ev.groupBy(col("ca")).agg(count(lit(1)).as("co"))
-        val tot = ev.agg(count(lit(1)).as("n"),
+          .localCheckpoint(false)
+        val rmarg = cells.groupBy(col("r")).agg(sum(col("o")).as("ro"))
+        val cmarg = cells.groupBy(col("ca")).agg(sum(col("o")).as("co"))
+        val tot = cells.agg(sum(col("o")).as("n"),
           count_distinct(col("r")).as("nr"))
         val eExp = (col("ro").cast("double") * col("co")) / col("n")
         rmarg.crossJoin(broadcast(cmarg))
           .join(cells, Seq("r", "ca"), "left")
           .join(broadcast(tot))
           .select(col("n"), col("nr"),
+            // decimal(38,9): a chi-square term is bounded by n, not by
+            // 1/e like pr16's entropy terms — 18,9 would NULL out (and
+            // silently drop) a concentrated cell at ~1e9 rows
             round((coalesce(col("o"), lit(0L)) - eExp) *
                 (coalesce(col("o"), lit(0L)) - eExp) / eExp, 9)
-              .cast("decimal(18,9)").as("term"))
+              .cast("decimal(38,9)").as("term"))
           .agg(max(col("n")).as("n"), max(col("nr")).as("n_rows_dim"),
             sum(col("term")).as("__chi"))
           .select(col("n"), col("n_rows_dim"),
@@ -9287,7 +9263,7 @@ object SparkEntry {
                   CROSS JOIN t),
          m AS (SELECT CAST(max(n) AS BIGINT) AS n,
                   CAST(max(nr) AS BIGINT) AS n_rows_dim,
-                  sum(CAST(term AS DECIMAL(18,9))) AS chi FROM terms)
+                  sum(CAST(term AS DECIMAL(38,9))) AS chi FROM terms)
          SELECT n, n_rows_dim, round(CAST(chi AS DOUBLE), 6) AS chi2,
                 round(sqrt(CAST(chi AS DOUBLE)
                            / CAST(n * least(n_rows_dim - 1, 1) AS DOUBLE)),
@@ -9313,9 +9289,8 @@ object SparkEntry {
         val counts = ev.groupBy(col("cents")).agg(
           sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("q"))
-        val tot = ev.agg(
-          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-          sum(when(!col("pos"), 1L).otherwise(0L)).as("nq"))
+        // totals fold the value-keyed rollup, not a second corpus scan
+        val tot = counts.agg(sum(col("p")).as("np"), sum(col("q")).as("nq"))
         val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)

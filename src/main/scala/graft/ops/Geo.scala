@@ -202,21 +202,25 @@ object Geo {
       .withColumn("__gclat", cellIdx(col(pLat), boxDeg))
       .withColumn("__gclon", cellIdx(col(pLon), boxDeg))
       .join(broadcast(catalog), Seq("__gclat", "__gclon"))
-    val inBox = filter(col("__gsites"), c =>
-      abs(col(pLat) - c.getField("lat")) < boxDeg &&
-        abs(col(pLon) - c.getField("lon")) < boxDeg)
     // found-flag accumulator (type-preserving — no sentinel key value
-    // can be confused with a real one): the first candidate always
-    // wins, after that strict (d, key) lexicographic improvement. NaN
-    // metric values behave like min(struct): NaN compares greater than
-    // every double and NaN === NaN, so the equivalence with
-    // [[nearestJoin]] holds even on degenerate inputs.
+    // can be confused with a real one): the first IN-BOX candidate
+    // always wins, after that strict (d, key) lexicographic
+    // improvement. The box predicate lives INSIDE the single aggregate
+    // pass (short-circuited And), not in a separate filter() — HOF
+    // lambdas evaluate interpreted per element, so one pass with a
+    // 2-comparison rejection of out-of-box candidates beats
+    // materializing a filtered array per probe. NaN metric values
+    // behave like min(struct): NaN compares greater than every double
+    // and NaN === NaN, so the equivalence with [[nearestJoin]] holds
+    // even on degenerate inputs.
     val init = struct(lit(false).as("found"), lit(Double.MaxValue).as("d"),
       lit(null).cast(keyType).as("key"))
-    val best = aggregate(inBox, init, (acc, c) => {
+    val best = aggregate(col("__gsites"), init, (acc, c) => {
+      val inBox = abs(col(pLat) - c.getField("lat")) < boxDeg &&
+        abs(col(pLon) - c.getField("lon")) < boxDeg
       val d = metric(col(pLat), col(pLon), c.getField("lat"), c.getField("lon"))
-      when(!acc.getField("found") || d < acc.getField("d") ||
-        (d === acc.getField("d") && c.getField("key") < acc.getField("key")),
+      when(inBox && (!acc.getField("found") || d < acc.getField("d") ||
+        (d === acc.getField("d") && c.getField("key") < acc.getField("key"))),
         struct(lit(true).as("found"), d.as("d"), c.getField("key").as("key")))
         .otherwise(acc)
     })

@@ -439,7 +439,6 @@ object SmokeMain {
         s"${nsamp.agg(sum(col("n_sampled"))).first().getLong(0)} of budget 100")
       SparkEntry.queries("pr19_auc_mwu")(spark, sf).show(1, truncate = false)
       SparkEntry.queries("pr20_chi_square")(spark, sf).show(1, truncate = false)
-      SparkEntry.queries("g20_mad")(spark, sf).show(3, truncate = false)
       // round-12: time-series diagnostics on the daily rollup
       SparkEntry.queries("e21_autocorrelation")(spark, sf)
         .show(2, truncate = false)
