@@ -9125,83 +9125,6 @@ object SparkEntry {
                 round(CAST(n_pass AS DOUBLE) / n, 6) AS pass_rate
          FROM u ORDER BY check_name"""),
 
-    // Benford first-digit fraud screen: observed leading-digit
-    // distribution of order amounts vs the Benford expectation
-    // log10(1+1/d). The digit comes from the INTEGER cents rendered as
-    // a string — integer-to-string is exact and engine-identical, where
-    // float formatting or pow/log10 index arithmetic would not be.
-    // Deviation in ROUNDED space; all nine log10 constants verified
-    // >= 0.004 ulp-millionths from their 6dp rounding boundary, so the
-    // cross-engine round is stable. One scan, 9-row rollup.
-    // two-sample Kolmogorov–Smirnov drift statistic between the
-    // even/odd user cohorts (the pr04 PSI pairing — PSI is binned and
-    // parametric-ish, KS is the classic distribution-free check):
-    // D = max |F1 − F2|, reported in the EXACT integer scaling
-    // n1·n2·D = max |cum1·n2 − cum2·n1| so the argmax needs no
-    // division (e22 discipline); products widen through DECIMAL(38,0)
-    // mirroring the oracle's HUGEINT. The merged-CDF window runs on
-    // the DISTINCT-value relation after one keyed rollup — O(distinct
-    // cents), not O(events); at larger domains the same cumsum
-    // computes as range-partitioned partials + a broadcast prefix
-    // (the w-family pattern).
-    "pr18_ks_test" -> api(
-      (s, dir) => {
-        val E = graft.streaming.Events
-        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-        // null values carry no distribution information (KS is over
-        // observed values) and null cohort keys mirror the oracle's
-        // CASE ELSE arm — both pinned explicitly so a future corpus
-        // with nulls cannot split the engines on null ORDERING either
-        val ev = E.readRaw(s, dir)
-          .filter(col("value").isNotNull)
-          .select(round(col("value") * 100).cast("long").as("cents"),
-            coalesce(col("user_id") % 2 === 0, lit(false)).as("isA"))
-        val counts = ev.groupBy(col("cents")).agg(
-          sum(when(col("isA"), 1L).otherwise(0L)).as("c1"),
-          sum(when(!col("isA"), 1L).otherwise(0L)).as("c2"))
-        val tot = ev.agg(
-          sum(when(col("isA"), 1L).otherwise(0L)).as("n1"),
-          sum(when(!col("isA"), 1L).otherwise(0L)).as("n2"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("cents")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        counts
-          .select(sum(col("c1")).over(w).as("a1"),
-            sum(col("c2")).over(w).as("a2"))
-          .join(broadcast(tot))
-          .agg(max(abs(col("a1").cast(d38) * col("n2").cast(d38) -
-              col("a2").cast(d38) * col("n1").cast(d38)))
-              .cast("long").as("ks_scaled"),
-            max(col("n1")).as("n1"), max(col("n2")).as("n2"))
-          .select(col("ks_scaled"), col("n1"), col("n2"),
-            (col("ks_scaled").cast("double") /
-              (col("n1").cast("double") * col("n2").cast("double")))
-              .as("ks"))
-      },
-      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
-                  coalesce(user_id % 2 = 0, false) AS isA
-           FROM events WHERE value IS NOT NULL),
-         c AS (SELECT cents,
-                  sum(CASE WHEN isA THEN 1 ELSE 0 END) AS c1,
-                  sum(CASE WHEN isA THEN 0 ELSE 1 END) AS c2
-           FROM e GROUP BY cents),
-         t AS (SELECT sum(CASE WHEN isA THEN 1 ELSE 0 END) AS n1,
-                  sum(CASE WHEN isA THEN 0 ELSE 1 END) AS n2 FROM e),
-         a AS (SELECT
-                  sum(c1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
-                                PRECEDING AND CURRENT ROW) AS a1,
-                  sum(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
-                                PRECEDING AND CURRENT ROW) AS a2
-           FROM c),
-         m AS (SELECT CAST(max(abs(a.a1 * t.n2 - a.a2 * t.n1)) AS BIGINT)
-                        AS ks_scaled,
-                  CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2
-           FROM a CROSS JOIN t GROUP BY t.n1, t.n2)
-         SELECT ks_scaled, n1, n2,
-                CAST(ks_scaled AS DOUBLE)
-                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks
-         FROM m"""),
-
     // chi-square test of independence (event_type × user-parity
     // contingency) + Cramér's V effect size. The full r×c grid comes
     // from a broadcast cross of the two TINY margin rollups (so
@@ -9409,6 +9332,14 @@ object SparkEntry {
          FROM vc JOIN n ON n.col = vc.col
          GROUP BY vc.col ORDER BY "column""""),
 
+    // Benford first-digit fraud screen: observed leading-digit
+    // distribution of order amounts vs the Benford expectation
+    // log10(1+1/d). The digit comes from the INTEGER cents rendered as
+    // a string — integer-to-string is exact and engine-identical, where
+    // float formatting or pow/log10 index arithmetic would not be.
+    // Deviation in ROUNDED space; all nine log10 constants verified
+    // >= 0.004 ulp-millionths from their 6dp rounding boundary, so the
+    // cross-engine round is stable. One scan, 9-row rollup.
     "pr15_benford" -> api(
       (s, dir) => {
         val o = s.read.parquet(s"$dir/orders.parquet")

@@ -448,7 +448,6 @@ object SmokeMain {
       SparkEntry.queries("e23_theil_sen")(spark, sf).show(1, truncate = false)
       SparkEntry.queries("e24_mann_kendall")(spark, sf).show(1, truncate = false)
       // round-12: drift (KS) + experiment readout (two-proportion z)
-      SparkEntry.queries("pr18_ks_test")(spark, sf).show(1, truncate = false)
       SparkEntry.queries("e25_ab_test")(spark, sf).show(1, truncate = false)
       // round-12: readability gate
       SparkEntry.queries("t24_readability")(spark, sf).show(2, truncate = false)
