@@ -3179,7 +3179,9 @@ object SparkEntry {
       },
       """WITH g AS (SELECT source, count(*) AS n_rows,
                   sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
-           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL
+           GROUP BY source),
          w AS (SELECT source, n_rows,
                   CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)))
                        AS BIGINT) AS w_fp
@@ -3214,7 +3216,9 @@ object SparkEntry {
       },
       """WITH g AS (SELECT source, count(*) AS n_rows,
                   sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
-           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL
+           GROUP BY source),
          w AS (SELECT source, n_rows,
                   CAST(floor(sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)))
                        AS BIGINT) AS w_fp
@@ -4774,9 +4778,22 @@ object SparkEntry {
           .select(col("doc_id").cast("long"), col("payload"))
           .as[(Long, Array[Byte])]
           .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+            // task-commit protocol (same contract as
+            // ArrowExport.writePartitionFile): write to a dot-prefixed
+            // temp and ATOMIC_MOVE into place, so a retried or
+            // speculative attempt can never leave a torn doc_N.png for
+            // the binaryFile reader to decode — the *.png pathGlobFilter
+            // below hides any orphaned .tmp from a mid-write death, and
+            // both attempts write identical bytes so replace-wins is safe
+            val tid = org.apache.spark.TaskContext.get.taskAttemptId
             it.foreach { case (id, bytes) =>
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(s"$out/doc_$id.png"), bytes)
+              val tmp = java.nio.file.Paths.get(
+                s"$out/.doc_$id.attempt-$tid.tmp")
+              java.nio.file.Files.write(tmp, bytes)
+              java.nio.file.Files.move(tmp,
+                java.nio.file.Paths.get(s"$out/doc_$id.png"),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             }
           }
         val files = s.read.format("binaryFile")
@@ -6722,13 +6739,18 @@ object SparkEntry {
         val l = d.select(col("x"),
           lag(col("x"), 1).over(w).as("x1"),
           lag(col("x"), 7).over(w).as("x7"))
-        def ac(xl: String, k: Int) = l.filter(col(xl).isNotNull)
+        // widen BEFORE multiplying: a LONG product wraps above ~3e9
+        // events/day and the decimal cast can't undo that — decimal
+        // operands make the multiply itself exact (d38×d38 stays 38,0)
+        def ac(xl: String, k: Int) = {
+          val xd = col("x").cast(d38); val yd = col(xl).cast(d38)
+          l.filter(col(xl).isNotNull)
           .agg(count(lit(1)).cast(d38).as("n"),
-            sum(col("x").cast(d38)).as("sx"),
-            sum(col(xl).cast(d38)).as("sy"),
-            sum((col("x") * col("x")).cast(d38)).as("sxx"),
-            sum((col(xl) * col(xl)).cast(d38)).as("syy"),
-            sum((col("x") * col(xl)).cast(d38)).as("sxy"))
+            sum(xd).as("sx"),
+            sum(yd).as("sy"),
+            sum(xd * xd).as("sxx"),
+            sum(yd * yd).as("syy"),
+            sum(xd * yd).as("sxy"))
           .select(lit(k.toLong).as("lag_k"),
             round((col("n") * col("sxy") - col("sx") * col("sy"))
               .cast("double") /
@@ -6736,6 +6758,7 @@ object SparkEntry {
                 .cast("double")) *
                 sqrt((col("n") * col("syy") - col("sy") * col("sy"))
                   .cast("double"))), 6).as("acf"))
+        }
         ac("x1", 1).unionByName(ac("x7", 7)).orderBy(col("lag_k"))
       },
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -67,15 +67,24 @@ object Sampling {
     require(budget >= 0, "budget must be non-negative")
     // rows with a null value carry no variance information and are
     // excluded from BOTH the count and the sums — mixing count(*) with
-    // null-skipping sums would silently inflate null-heavy strata
+    // null-skipping sums would silently inflate null-heavy strata.
+    // Rows with a NULL STRATUM are excluded too: [[neymanSample]]'s
+    // equi-join gate can never match them (NULL != NULL), so reserving
+    // budget for a null stratum here would silently strand it — the
+    // allocation and the gate must agree on the population
     val x = col(valueCol).cast("long")
     // the radicand N·Σx² − (Σx)² is quadratic in the data: sums go
     // through DECIMAL(38,0) (exact, the §2 sum-overflow discipline) so
     // a large stratum widens instead of wrapping a long negative
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
-    val g = df.filter(x.isNotNull).groupBy(col(strataCol))
+    // widen BEFORE multiplying: x*x in LONG wraps for |x| >= ~3.04e9
+    // (epoch-micros, large byte counts) and the cast can't undo it —
+    // decimal operands keep the product itself exact (d38×d38 → 38,0)
+    val xd = x.cast(d)
+    val g = df.filter(x.isNotNull && col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_rows"),
-        sum(x.cast(d)).as("__s1"), sum((x * x).cast(d)).as("__s2"))
+        sum(xd).as("__s1"), sum(xd * xd).as("__s2"))
       .withColumn("w_fp",
         floor(sqrt((col("n_rows").cast(d) * col("__s2") -
           col("__s1") * col("__s1")).cast("double"))).cast("long"))
@@ -110,7 +119,9 @@ object Sampling {
                    idCol: String, allocation: DataFrame): DataFrame = {
     // rows with a null value are excluded from the GATE as well as the
     // allocation (they carried no weight, so keeping them would
-    // overshoot the budget on null-heavy strata)
+    // overshoot the budget on null-heavy strata); rows with a null
+    // stratum drop here too — by the equi-join, matching the
+    // allocation-side exclusion, so no budget is ever stranded
     val thr = allocation.select(col(strataCol),
       expr(s"alloc * $Buckets DIV n_rows").as("__thr"))
     df.filter(col(valueCol).isNotNull)
