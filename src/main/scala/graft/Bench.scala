@@ -22,7 +22,7 @@ import graft.functions.Registry
   *    back-to-back reps of one query all land in the same window and a
   *    median cannot recover; passes separated in time can. Min is the
   *    right estimator here because external load only ever ADDS time;
-  *  - SPARK_GRAFT_BENCH_BUDGET_SEC (default 960) caps total measurement
+  *  - SPARK_GRAFT_BENCH_BUDGET_SEC (default 2100) caps total measurement
   *    wall-clock: pass 1 always completes (every query needs a number),
   *    later passes start/continue only while under budget. Keeps a noisy
   *    driver machine from turning 3 passes into an hour;
@@ -69,13 +69,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // 1500: at 283 queries a cold pass runs ~400-450s and warm passes
+    // 2100: at 283 queries a cold pass runs ~400-450s and warm passes
     // ~270s, so 960 was down to TWO passes by round 11 — and min-of-2
     // has visibly less contention immunity than min-of-3 (the r11 run's
-    // unchanged-code queries drifted +15%). The floor below guarantees
-    // minPasses complete regardless; the budget only gates passes beyond
-    // it, so a contended box still can't stretch the bench unboundedly.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    // unchanged-code queries drifted +15%). By round 12 the suite hit
+    // 317 queries (~810s of measured time for 3 passes, more with cold
+    // overhead), leaving 1500 with no headroom for further growth, so
+    // the default rises ahead of the round-13 additions. The floor below
+    // guarantees minPasses complete regardless; the budget only gates
+    // passes beyond it, so a contended box still can't stretch the bench
+    // unboundedly.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble
     val minPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_PASSES", "3").toInt
       .max(1).min(reps)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
