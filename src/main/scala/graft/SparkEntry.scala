@@ -5662,6 +5662,41 @@ object SparkEntry {
          SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
          FROM walk GROUP BY id ORDER BY doc_id"""),
 
+    // WITH RECURSIVE at the SQL SURFACE — the same statement text runs
+    // on BOTH engines: Spark 4's native recursive CTE (SPARK-24497
+    // lineage; UnionLoop under the hood, each iteration a distributed
+    // join of the previous frontier against the edge CTE) and DuckDB's
+    // recursive CTE. This closes the gr-family gap where recursion was
+    // reachable only through the Iterate API while the oracles used
+    // recursive SQL. Hop-bounded path enumeration (UNION ALL keeps
+    // duplicate paths — `paths` counts them, which UNION-distinct
+    // engines can't fake): work is seeds × out-degree^hops, bounded by
+    // the WHERE hops guard, and Spark additionally enforces
+    // spark.sql.cteRecursionLevelLimit (100) / RowLimit (1e6) as
+    // runaway backstops. Note Spark supports UNION ALL recursion only
+    // (UNION-distinct raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE);
+    // same-text queries therefore bound recursion explicitly, exactly
+    // like this one.
+    "gr07_recursive_sql" -> multiSession(Seq("documents"),
+      """WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents),
+         e AS (SELECT CAST(doc_id AS BIGINT) AS src,
+                      CAST((doc_id * 7 + 1) % n.cnt AS BIGINT) AS dst
+               FROM documents, n
+               UNION ALL
+               SELECT CAST(doc_id AS BIGINT),
+                      CAST((doc_id * 13 + 3) % n.cnt AS BIGINT)
+               FROM documents, n),
+         reach(id, hops) AS (
+           SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT)
+           FROM documents WHERE doc_id % 100 = 0
+           UNION ALL
+           SELECT e.dst, r.hops + 1
+           FROM reach AS r JOIN e ON e.src = r.id
+           WHERE r.hops < 3)
+         SELECT id, CAST(min(hops) AS BIGINT) AS dist,
+                CAST(count(*) AS BIGINT) AS paths
+         FROM reach GROUP BY id ORDER BY id"""),
+
     // graph analytics in the d08 loop discipline (per-iteration keyed
     // join + aggregation, nothing driver-side but the tiny N). Ranks
     // live in integer 1e12-scale fixed point with the damping step as
