@@ -327,22 +327,31 @@ object TextAnalysis {
     * text ~1, boilerplate-heavy pages in between — a cheaper, rank-free
     * complement to pairwise near-dup detection.
     *
-    * Scale shape: the posting pass (tokenize + shingle + explode) is
-    * materialized ONCE (the d17 discipline — two consumers would each
-    * re-tokenize a lazy plan); gram strings cross the network exactly
-    * once, into the map-side-combined `min(id)` first-seen aggregation
-    * (one row per distinct gram — no window, no sort, and crucially NO
-    * join back on the gram key: the novel counts come from rolling the
-    * distinct-gram frame up by its winner id, longs only). The final
-    * assembly is an id-keyed join of two doc-sized count frames. At
-    * 100 TB swap the shingle strings for [[TextOps.shingleHashes]]
-    * longs to slim that one gram shuffle (d17's hashGrams contract:
-    * exact absent 64-bit collisions).
+    * Scale shape (the d17 hashGrams contract): grams travel as xxhash64
+    * LONGS, so the posting is 16 B/row instead of gram strings — exact
+    * absent 64-bit collisions (zero on the shipped corpora; the
+    * driver's strict STRING-gram oracle re-checks that every round, the
+    * d14 mold). The hash is applied as a scalar expression AFTER the
+    * explode — codegen'd, unlike a `transform(_, xxhash64)` lambda,
+    * whose per-element interpreted evaluation was measured 5× slower
+    * here. The hashed posting is materialized ONCE (localCheckpoint):
+    * it has TWO consumers (per-doc totals, per-gram first-seen min) and
+    * Spark has no cross-branch CSE, so a lazy plan re-tokenizes the
+    * corpus per consumer — measured at 5× this shape's cost when tried
+    * (round 13); with long grams the pinned intermediate is now ~16
+    * bytes/gram, an order smaller than the string posting the round-12
+    * advice flagged. Gram strings themselves never leave the map stage.
+    * Both downstream aggregations partial-aggregate before their
+    * shuffle (doc-sized and distinct-gram-sized exchanges); no window,
+    * no sort, no gram join-back — novel counts roll up from the
+    * first-seen frame by winner id, longs only. The final assembly is
+    * an id-keyed join of two doc-sized count frames.
     */
   def corpusNovelty(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int = 3): DataFrame = {
     val g = df.select(col(idCol).cast("long").as("id"),
-      explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("g"))
+        explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("gs"))
+      .select(col("id"), xxhash64(col("gs")).as("g"))
       .localCheckpoint(true)
     val counts = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val novel = g.groupBy(col("g")).agg(min(col("id")).as("id"))

@@ -292,10 +292,11 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Window"), s"window in t22 plan (first-seen must be an agg):\n${p.take(800)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in t22 plan:\n${p.take(900)}")
-    // gram strings cross the network ONCE (into the min(id) agg); the
-    // only join is the id-keyed assembly of two doc-sized count frames.
-    // A reintroduced posting join-back would key a join on the gram
-    // column `g` and double the string shuffle — ban it by key name.
+    // gram strings never leave the map stage (the posting materializes
+    // as xxhash64 longs); the only join is the id-keyed assembly of two
+    // doc-sized count frames. A reintroduced posting join-back would
+    // key a join on the gram column `g` and double the gram shuffle —
+    // ban it by key name.
     val gramJoins = p.linesIterator.filter(_.contains("Join"))
       .filter(l => "\\bg#\\d".r.findFirstIn(l).isDefined).toSeq
     assert(gramJoins.isEmpty,
