@@ -1662,6 +1662,64 @@ object SparkEntry {
            AND v.vts + 1800000000 < wm.w
          ORDER BY view_id, purchase_id NULLS LAST"""),
 
+    // STREAMING ASOF enrichment (Events.streamingAsOfEnrich): last-touch
+    // attribution — each purchase picks the LATEST view of the same user
+    // within the prior 30 minutes, as two live streams. st18's interval
+    // join chained into a windowed max(struct) argmax (two stateful
+    // operators); an enriched purchase EMITS once the global watermark
+    // (min of both sides' max ts − 2h) STRICTLY passes its 1h tumbling
+    // window end (StreamingAsOfSpec pins the at-boundary hold-back)
+    // — the oracle encodes that boundary exactly (st19 discipline).
+    // Purchases with no prior view never enter the inner join (strict
+    // ASOF). Single-file feed → one batch → no disorder headroom needed.
+    "st21_stream_asof_enrich" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("view_ts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        val out = graft.streaming.Events.streamingAsOfEnrich(
+          views, buys, "user_id", "p_user_id", "view_ts", "p_ts",
+          probeIdCol = "purchase_id", quotePayload = Seq("view_id"),
+          horizonSeconds = 1800L, windowDuration = "1 hour",
+          watermark = "2 hours")
+        val sink = "st21_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.select(col("purchase_id"),
+            col("p_user_id").as("user_id"),
+            col("view_id").as("last_view_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("purchase_id"))
+      },
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts
+                    FROM events WHERE event_type = 'view'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+               FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT p.purchase_id, p.user_id, p.pts, v.view_id,
+                      row_number() OVER (PARTITION BY p.purchase_id
+                        ORDER BY v.vts DESC, v.view_id DESC) AS rn
+               FROM p JOIN v ON v.user_id = p.user_id
+                AND v.vts <= p.pts AND v.vts + 1800000000 >= p.pts),
+         wm AS (SELECT least((SELECT max(vts) FROM v),
+                             (SELECT max(pts) FROM p))
+                       - 7200000000 AS w)
+         SELECT purchase_id, user_id, view_id AS last_view_id
+         FROM m, wm
+         WHERE rn = 1
+           AND (pts // 3600000000 + 1) * 3600000000 < wm.w
+         ORDER BY purchase_id"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.

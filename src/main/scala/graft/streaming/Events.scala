@@ -653,6 +653,60 @@ object Events {
       joinType)
   }
 
+  /** STREAMING ASOF enrichment: each probe row picks the LATEST quote
+    * row of the same key whose time falls in
+    * `[probeTime − horizonSeconds, probeTime]` — AsOf backward-join
+    * semantics (latest prior, inclusive) as two live streams. The
+    * nearest-prior-ROW analog of the st20 nearest-site enrichment, and
+    * the composition the batch [[graft.ops.AsOf]] family promises at
+    * the stream surface: last-touch attribution, latest-quote trade
+    * enrichment, latest-config event tagging.
+    *
+    * Mechanics — two chained stateful operators (Spark 3.5+ machinery):
+    * the [[streamingIntervalJoin]] emits (quote, probe) candidate pairs
+    * as both sides arrive (quotes = LEFT side, so the join's
+    * `[leftTime, leftTime+window]` range is exactly the probe-centric
+    * prior window), then a windowed aggregation keyed by the probe id
+    * picks `max(struct(quoteTime, payload...))` — the latest prior
+    * quote, ties broken by the lexicographic struct order on the
+    * payload, no rank/window function and no per-pair state beyond the
+    * group row. The aggregation runs in append mode, so a probe's
+    * enriched row EMITS once the global watermark (min of both sides'
+    * max event time − delay) passes its tumbling `windowDuration`
+    * window end — STRICTLY: a window ending exactly at the watermark
+    * is held back (spec-probed). The st19 emission-boundary discipline;
+    * on a finite replay, probes newer than that boundary never emit. Probes with NO
+    * prior quote in the horizon never enter the inner join and are
+    * absent, matching strict ASOF JOIN.
+    *
+    * State scale: the join side is O(events inside the watermark delay)
+    * per side (the st18 bound); the aggregation holds one in-flight row
+    * per probe whose window the watermark has not yet closed — bounded
+    * by windowDuration + delay worth of probes, independent of history.
+    *
+    * Contracts: distinct key/time column names across the two inputs
+    * (the joined row carries both); `probeIdCol` unique per probe row;
+    * `quotePayload` columns must exist on `quotes`.
+    */
+  def streamingAsOfEnrich(quotes: DataFrame, probes: DataFrame,
+                          quoteKeyCol: String, probeKeyCol: String,
+                          quoteTimeCol: String, probeTimeCol: String,
+                          probeIdCol: String, quotePayload: Seq[String],
+                          horizonSeconds: Long,
+                          windowDuration: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val joined = streamingIntervalJoin(
+      quotes, probes, quoteKeyCol, probeKeyCol, quoteTimeCol, probeTimeCol,
+      horizonSeconds, watermark)
+    val pick = struct((quoteTimeCol +: quotePayload).map(col): _*)
+    joined
+      .groupBy(window(col(probeTimeCol), windowDuration),
+        col(probeKeyCol), col(probeIdCol))
+      .agg(max(pick).as("__w"))
+      .select(col(probeKeyCol) +: col(probeIdCol) +:
+        quotePayload.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
   /** Per-document near-dup verdict over [[streamingNearDupFlags]]: a doc
     * is flagged when ANY of its band buckets was already owned (the
     * aggressive drop-on-first-collision setting; collided_bands lets
