@@ -42,7 +42,11 @@ object StreamingStateScale {
       measureWatermarkDedup(spark, "st13_wm_dedup", "sf0.1", Sf01),
       measureWatermarkDedup(spark, "st13_wm_dedup", "sf1", Sf1),
       measureIntervalJoin(spark, "st18_interval_join", "sf0.1", Sf01),
-      measureIntervalJoin(spark, "st18_interval_join", "sf1", Sf1))
+      measureIntervalJoin(spark, "st18_interval_join", "sf1", Sf1),
+      measureIntervalJoinBounded(spark, "st18_bounded_delay", "sf0.1", Sf01),
+      measureIntervalJoinBounded(spark, "st18_bounded_delay", "sf1", Sf1),
+      measureAsOfEnrich(spark, "st21_asof_enrich", "sf0.1", Sf01),
+      measureAsOfEnrich(spark, "st21_asof_enrich", "sf1", Sf1))
 
     out ++= "| query | sf | input rows | batches | max rows/batch | distinct keys | state rows | RocksDB SST | RocksDB mem |\n"
     out ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -59,13 +63,24 @@ object StreamingStateScale {
     // the claims, asserted: dedup-family state rows == distinct keys at
     // BOTH scales despite the 3x duplicate amplification; the symmetric
     // join's state == TOTAL buffered rows (both sides, delay covers the
-    // replay — its worst case, and why the delay is the sizing knob)
+    // replay — its worst case, and why the delay is the sizing knob).
+    // For the BOUNDED-delay rows the `distinct keys` column carries the
+    // watermark-derived retention UPPER BOUND instead: state must land
+    // at or under it, and far under the worst-case total (the plateau
+    // claim the 100 TB sizing argument rests on — batch-exactness of
+    // the bounded join is asserted inside its measure function).
     rows.foreach { m =>
-      require(m.stateRows == m.distinctKeys,
-        s"${m.query}@${m.sf}: state rows ${m.stateRows} != expected ${m.distinctKeys}")
-      if (!m.query.startsWith("st18"))
-        require(m.inputRows >= 3 * m.distinctKeys,
-          s"${m.query}@${m.sf}: amplification missing (${m.inputRows} input rows)")
+      if (m.query.startsWith("st18_bounded") || m.query.startsWith("st21")) {
+        require(m.stateRows > 0 && m.stateRows <= m.distinctKeys,
+          s"${m.query}@${m.sf}: state rows ${m.stateRows} outside " +
+            s"(0, bound ${m.distinctKeys}]")
+      } else {
+        require(m.stateRows == m.distinctKeys,
+          s"${m.query}@${m.sf}: state rows ${m.stateRows} != expected ${m.distinctKeys}")
+        if (!m.query.startsWith("st18"))
+          require(m.inputRows >= 3 * m.distinctKeys,
+            s"${m.query}@${m.sf}: amplification missing (${m.inputRows} input rows)")
+      }
     }
     println("STATE-SCALE OK")
     spark.stop()
@@ -188,6 +203,161 @@ object StreamingStateScale {
       s.read.parquet(s"$feed/b").count()
     harvest(q, sf, query.recentProgress.toSeq, buffered,
       opNameContains = Some("join"))
+  }
+
+  /** The (views, buys) feed shared by the bounded-delay probes:
+    * time-range-split into `files` parquet files per side so a
+    * maxFilesPerTrigger=1 replay advances the watermark `files` times
+    * and old join buffers actually EVICT mid-run.
+    */
+  private def timeOrderedFeed(s: SparkSession, dir: String, feed: String,
+                              files: Int): Unit = {
+    val ev = graft.streaming.Events.readRaw(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        expr("timestamp_micros(ts)").as("view_ts"))
+      .repartitionByRange(files, col("view_ts"))
+      .write.mode("overwrite").parquet(s"$feed/v")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        expr("timestamp_micros(ts)").as("p_ts"))
+      .repartitionByRange(files, col("p_ts"))
+      .write.mode("overwrite").parquet(s"$feed/b")
+    // FileStreamSource admits files in MODIFICATION-TIME order, and one
+    // batch write stamps every part file with the same mtime — leaving
+    // admission order arbitrary, which under a short delay late-drops
+    // whole files (the st13 disorder rule). Re-stamp strictly increasing
+    // mtimes in range order (partition index == range rank under
+    // repartitionByRange) so the replay is genuinely time-ordered.
+    Seq("v", "b").foreach { side =>
+      val parts = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$feed/$side")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted
+      parts.zipWithIndex.foreach { case (p, k) =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      }
+    }
+  }
+
+  /** Watermark-derived retention UPPER BOUND for the bounded-delay
+    * probes. Final global watermark wmF = min(both sides' max ts) −
+    * delay, but eviction can lag it by up to one admitted file per
+    * side, so the bound is evaluated at wmS = wmF − 2 × (span / files):
+    * kept views satisfy view_ts + window >= wmS (they can still match a
+    * future purchase), kept purchases satisfy p_ts >= wmS (they can
+    * still match a future view), open agg windows end at or after wmS.
+    */
+  private def retentionBound(s: SparkSession, feed: String, files: Int,
+                             delayMicros: Long, windowMicros: Long,
+                             aggWindowMicros: Long): Long = {
+    val v = s.read.parquet(s"$feed/v")
+    val b = s.read.parquet(s"$feed/b")
+    def agg(df: org.apache.spark.sql.DataFrame, c: String, f: String => org.apache.spark.sql.Column) =
+      df.agg(f(c)).head.getTimestamp(0).toInstant.toEpochMilli * 1000L
+    val maxV = agg(v, "view_ts", c => max(col(c)))
+    val maxB = agg(b, "p_ts", c => max(col(c)))
+    val minV = agg(v, "view_ts", c => min(col(c)))
+    val span = maxV.max(maxB) - minV
+    val wmS = maxV.min(maxB) - delayMicros - 2L * (span / files)
+    val keptV = v.filter(expr(s"unix_micros(view_ts) + $windowMicros >= $wmS")).count()
+    val keptB = b.filter(expr(s"unix_micros(p_ts) >= $wmS")).count()
+    // open tumbling agg windows (st21 only): matched purchases whose
+    // window end is at or after wmS — bounded above by ALL purchases in
+    // that tail, which is what we use (aggWindowMicros = 0 disables)
+    val keptAgg =
+      if (aggWindowMicros <= 0) 0L
+      else b.filter(expr(
+        s"(unix_micros(p_ts) div $aggWindowMicros + 1) * $aggWindowMicros >= $wmS")).count()
+    keptV + keptB + keptAgg
+  }
+
+  /** st18 with a delay ≪ the replay span (1 h vs 30 days, 24 admitted
+    * files per side): join state must PLATEAU at (delay + window +
+    * admission granularity) × arrival rate — far under the buffered
+    * total the worst-case row shows — while the emitted pair set stays
+    * exactly the batch inner join (asserted here: eviction never drops
+    * a live match, because delay > window covers every in-order pair).
+    */
+  private def measureIntervalJoinBounded(outer: SparkSession, q: String,
+                                         sf: String, dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    val files = 24
+    timeOrderedFeed(s, dir, feed, files)
+    val vS = s.readStream.schema(s.read.parquet(s"$feed/v").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/v")
+    val bS = s.readStream.schema(s.read.parquet(s"$feed/b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/b")
+    val out = graft.streaming.Events.streamingIntervalJoin(
+      vS, bS, "user_id", "p_user_id", "view_ts", "p_ts",
+      windowSeconds = 1800L, watermark = "1 hour")
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    // batch-exactness under eviction: emitted pairs == the batch join
+    val batch = s.read.parquet(s"$feed/v")
+      .join(s.read.parquet(s"$feed/b"),
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("view_ts") &&
+          col("p_ts") <= col("view_ts") + expr("INTERVAL 1800 SECONDS"))
+      .select(col("view_id"), col("purchase_id"))
+    val emitted = s.table(sink)
+    require(emitted.count() == batch.count() &&
+      emitted.exceptAll(batch).isEmpty && batch.exceptAll(emitted).isEmpty,
+      s"$q@$sf: bounded-delay join output diverged from the batch join")
+    val bound = retentionBound(s, feed, files,
+      delayMicros = 3600L * 1000000L, windowMicros = 1800L * 1000000L,
+      aggWindowMicros = 0L)
+    harvest(q, sf, query.recentProgress.toSeq, bound,
+      opNameContains = Some("join"))
+  }
+
+  /** st21 shape (streamingAsOfEnrich: interval join chained into the
+    * windowed latest-prior argmax) under the driver query's own knobs
+    * (30-min horizon, 1-h tumbling windows, 2-h delay) on the 24-file
+    * time-ordered replay. State = join buffers + open agg windows,
+    * summed across the operators; the bound column is the same
+    * watermark-derived retention ceiling.
+    */
+  private def measureAsOfEnrich(outer: SparkSession, q: String,
+                                sf: String, dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    val files = 24
+    timeOrderedFeed(s, dir, feed, files)
+    val vS = s.readStream.schema(s.read.parquet(s"$feed/v").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/v")
+    val bS = s.readStream.schema(s.read.parquet(s"$feed/b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/b")
+    val out = graft.streaming.Events.streamingAsOfEnrich(
+      vS, bS, "user_id", "p_user_id", "view_ts", "p_ts",
+      probeIdCol = "purchase_id", quotePayload = Seq("view_id"),
+      horizonSeconds = 1800L, windowDuration = "1 hour",
+      watermark = "2 hours")
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.select(col("purchase_id"), col("view_id"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    require(s.table(sink).count() > 0, s"$q@$sf: no enriched rows emitted")
+    val bound = retentionBound(s, feed, files,
+      delayMicros = 2L * 3600L * 1000000L, windowMicros = 1800L * 1000000L,
+      aggWindowMicros = 3600L * 1000000L)
+    harvest(q, sf, query.recentProgress.toSeq, bound)
   }
 
   /** Fold a progress sequence into totals. `opNameContains` picks the
