@@ -8203,6 +8203,28 @@ object SparkEntry {
          FROM orders
          ORDER BY o_custkey, o_orderdate DESC, o_orderkey"""),
 
+    // DuckDB's dynamic star COLUMNS('regex') — the dialect expands the
+    // partial-match regex against the receiver schema (bare form →
+    // plain columns; f(COLUMNS(..)) → one f(col) AS col per hit, the
+    // probed DuckDB output naming). Same statement text on both engines.
+    "q55_dynamic_columns" -> same("events",
+      """SELECT COLUMNS('_id') FROM events
+         WHERE event_id <= 5 ORDER BY event_id"""),
+
+    // DuckDB's UNION ALL BY NAME — the dialect splits at the top-level
+    // BY NAME operator and folds with unionByName(allowMissingColumns):
+    // result columns are the first operand's then new names appended,
+    // missing slots NULL; the trailing ORDER BY binds to the WHOLE
+    // union. Same text both engines; scale shape is a plain union (no
+    // shuffle beyond the final sort).
+    "q56_union_by_name" -> multiSession(Seq("orders", "customer"),
+      """SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+         WHERE o_orderkey % 500 = 1
+         UNION ALL BY NAME
+         SELECT c_acctbal AS bal, c_custkey AS k FROM customer
+         WHERE c_custkey % 500 = 2
+         ORDER BY k, price, bal"""),
+
     // market-basket co-occurrence: brand pairs bought together in one
     // order, with lift = N·c_ab / (c_a·c_b). The basket self-join is
     // keyed on the order and order sizes are bounded, so pair volume is

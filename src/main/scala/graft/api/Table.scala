@@ -35,14 +35,37 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    val q0 = Dialect.orderByNullsLast(
-      Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
+    // UNION [ALL] BY NAME splits FIRST, on the token-local rewrite only:
+    // the clause-scoped passes (alias-into-WHERE, nulls-last) treat each
+    // OPERAND as its own statement — run on the whole text they would
+    // leak the first operand's alias map across the operator (a WHERE
+    // clause scan does not stop at UNION). The trailing ORDER BY binds
+    // to the whole union and gets its nulls-last pass at fold time.
+    val qr = Dialect.rewrite(query)
+    Dialect.splitUnionByName(qr) match {
+      case Some((ops, flags, tail)) =>
+        return new Table(Table.runUnionByName(spark, ops, flags, tail)(
+          o => sqlOne(prep(o)).df))
+      case None =>
+    }
+    sqlOne(prep(qr))
+  }
+
+  /** The clause-scoped single-statement rewrites ([[sql]] applies them
+    * per UNION BY NAME operand; [[Dialect.rewrite]] has already run).
+    */
+  private def prep(q: String): String =
+    Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q))
+
+  private def sqlOne(q0: String): Table = {
     // DISTINCT ON lowers AFTER the nulls-last pass (the sort items move
     // into a window spec, where the later top-level scan can't see them)
-    val q = Dialect.expandStarRename(
-      Dialect.expandStarReplace(
-        Dialect.expandStarExclude(
-          Dialect.distinctOn(q0).getOrElse(q0),
+    val q = Dialect.expandColumns(
+      Dialect.expandStarRename(
+        Dialect.expandStarReplace(
+          Dialect.expandStarExclude(
+            Dialect.distinctOn(q0).getOrElse(q0),
+            df.columns.toSeq),
           df.columns.toSeq),
         df.columns.toSeq),
       df.columns.toSeq)
@@ -306,13 +329,62 @@ object Table {
     */
   def sessionSql(spark: SparkSession, query: String): Table = {
     Registry.registerAll(spark)
-    val q1 = Dialect.orderByNullsLast(
-      Dialect.aliasesIntoWhere(Dialect.rewrite(query)))
-    val q = Dialect.distinctOn(q1).getOrElse(q1)
+    // same pass ordering as [[Table.sql]]: split UNION BY NAME on the
+    // token-local rewrite, then run the clause-scoped passes per operand
+    val qr = Dialect.rewrite(query)
+    Dialect.splitUnionByName(qr) match {
+      case Some((ops, flags, tail)) =>
+        apply(runUnionByName(spark, ops, flags, tail)(
+          o => sessionSqlOne(spark, o)))
+      case None => apply(sessionSqlOne(spark, qr))
+    }
+  }
+
+  private def sessionSqlOne(spark: SparkSession, qIn: String): DataFrame = {
+    val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(qIn))
+    // dynamic star: schema comes from the first FROM table's session
+    // view (the table COLUMNS binds to); resolution is attempted only
+    // when the statement actually carries a COLUMNS( call
+    val q2 =
+      if (!Dialect.hasDynamicColumns(q1)) q1
+      else Dialect.firstFromTable(q1)
+        .flatMap(t => scala.util.Try(spark.table(t).columns.toSeq).toOption)
+        .map(cols => Dialect.expandColumns(q1, cols))
+        .getOrElse(q1)
+    val q = Dialect.distinctOn(q2).getOrElse(q2)
     if (graft.sql.AsOfSql.detect(q))
-      apply(graft.sql.AsOfSql.run(spark, q, spark.table))
+      graft.sql.AsOfSql.run(spark, q, spark.table)
     // same QUALIFY lowering as Table.sql — the rewrite needs no receiver
     // schema, and the FROM names are session views already
-    else apply(qualifyAware(spark, q)(spark.sql))
+    else qualifyAware(spark, q)(spark.sql)
+  }
+
+  /** Fold of a [[Dialect.splitUnionByName]] split: operands run through
+    * `runOne` (the caller's full single-statement pipeline, so QUALIFY /
+    * DISTINCT ON / ASOF arms compose), the frames combine with
+    * `unionByName(allowMissingColumns = true)` — DuckDB BY NAME column
+    * semantics exactly — a bare (non-ALL) BY NAME dedups the
+    * accumulated result (left-associative set-op semantics), and the
+    * trailing ORDER BY / LIMIT / OFFSET clause runs over the combined
+    * frame through a temp view.
+    */
+  private[graft] def runUnionByName(spark: SparkSession, operands: Seq[String],
+                                    allFlags: Seq[Boolean], tail: String)
+                                   (runOne: String => DataFrame): DataFrame = {
+    var acc = runOne(operands.head)
+    operands.tail.zip(allFlags).foreach { case (o, all) =>
+      acc = acc.unionByName(runOne(o), allowMissingColumns = true)
+      if (!all) acc = acc.distinct()
+    }
+    if (tail.isEmpty) acc
+    else bindLock.synchronized {
+      acc.createOrReplaceTempView("__unioned__")
+      // the union-level ORDER BY gets the same nulls-last treatment a
+      // single statement's would (operands were rewritten individually)
+      val out = spark.sql(
+        Dialect.orderByNullsLast(s"SELECT * FROM __unioned__ $tail"))
+      out.queryExecution.assertAnalyzed()
+      out
+    }
   }
 }

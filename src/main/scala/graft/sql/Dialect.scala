@@ -547,6 +547,171 @@ object Dialect {
     out.toSeq
   }
 
+  /** Cheap pre-test for [[expandColumns]] — lets callers skip schema
+    * resolution on the overwhelming majority of statements that carry
+    * no dynamic star.
+    */
+  def hasDynamicColumns(sql: String): Boolean =
+    ColumnsRe.findFirstMatchIn(stripLiterals(sql)).isDefined
+
+  /** DuckDB's dynamic star `COLUMNS('regex')`: expand to the receiver
+    * columns whose name the regex PARTIALLY matches (DuckDB uses RE2
+    * search semantics — `COLUMNS('id')` hits both `event_id` and
+    * `user_id`), in schema order. The aggregate-wrapped form
+    * `f(COLUMNS('regex'))` — where the COLUMNS call is the SOLE
+    * argument — expands to one `f(col) AS col` per hit, which is
+    * exactly how DuckDB names those outputs (probed: plain column
+    * names, not `f(col)`). No matching column errors loudly, mirroring
+    * DuckDB's binder error. Lambda-form `COLUMNS(c -> ...)` is not
+    * supported — the regex form covers the same selections on named
+    * schemas and keeps the argument a literal the masked scan can own.
+    */
+  def expandColumns(sql: String, columns: Seq[String]): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      val masked = stripLiterals(cur)
+      val m = ColumnsRe.findFirstMatchIn(masked)
+      if (m.isEmpty) return cur
+      val open = m.get.end - 1
+      var i = open
+      var depth = 0
+      var close = -1
+      while (i < masked.length && close < 0) {
+        val c = masked.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+        i += 1
+      }
+      require(close > open, "unbalanced parens in COLUMNS(...)")
+      val arg = cur.substring(open + 1, close).trim
+      require(arg.length >= 2 && arg.head == '\'' && arg.last == '\'' &&
+        !arg.substring(1, arg.length - 1).contains('\''),
+        s"COLUMNS(...) supports a single quoted regex literal, got: $arg")
+      val re = arg.substring(1, arg.length - 1)
+      val p = java.util.regex.Pattern.compile(re)
+      val hit = columns.filter(c => p.matcher(c).find())
+      require(hit.nonEmpty, s"""no matching columns found that match regex "$re"""")
+      // wrapped form: an enclosing call whose ONLY argument is this
+      // COLUMNS(...) — identifier '(' COLUMNS(...) ')'
+      var a = m.get.start - 1
+      while (a >= 0 && masked.charAt(a).isWhitespace) a -= 1
+      var wrapped = false
+      var wStart = 0
+      var wClose = 0
+      if (a >= 0 && masked.charAt(a) == '(') {
+        var b = a - 1
+        while (b >= 0 && masked.charAt(b).isWhitespace) b -= 1
+        val idEnd = b + 1
+        while (b >= 0 && isIdentBoundaryChar(masked.charAt(b))) b -= 1
+        var f = close + 1
+        while (f < masked.length && masked.charAt(f).isWhitespace) f += 1
+        if (idEnd > b + 1 && f < masked.length && masked.charAt(f) == ')') {
+          wrapped = true; wStart = b + 1; wClose = f
+        }
+      }
+      cur =
+        if (wrapped) {
+          val fn = cur.substring(wStart, cur.indexOf('(', wStart)).trim
+          cur.substring(0, wStart) +
+            hit.map(c => s"$fn(`$c`) AS `$c`").mkString(", ") +
+            cur.substring(wClose + 1)
+        } else {
+          cur.substring(0, m.get.start) +
+            hit.map(c => s"`$c`").mkString(", ") +
+            cur.substring(close + 1)
+        }
+      guard += 1
+    }
+    require(ColumnsRe.findFirstMatchIn(stripLiterals(cur)).isEmpty,
+      s"more than $guard COLUMNS(...) occurrences in one statement")
+    cur
+  }
+
+  private val ColumnsRe = """(?is)(?<![A-Za-z0-9_.])columns\s*\(""".r
+
+  /** DuckDB's `UNION [ALL] BY NAME`: Spark's parser has no grammar for
+    * it, so the dialect splits the statement at the top-level BY NAME
+    * operators and the caller folds the operand frames with
+    * `Dataset.unionByName(allowMissingColumns = true)` — which matches
+    * DuckDB exactly (probed: result columns are the first operand's, in
+    * order, then each later operand's new names appended; missing slots
+    * fill with NULL). Returns the operand texts (outer parens
+    * stripped), the per-operator ALL flags (`flags(i)` governs the fold
+    * of `operands(i + 1)`; a bare BY NAME dedups the accumulated result,
+    * SQL's left-associative set-op semantics), and the trailing
+    * ORDER BY / LIMIT / OFFSET clause, which binds to the WHOLE union.
+    * None when the statement has no top-level BY NAME operator.
+    *
+    * Guardrails: mixing BY NAME with positional set operators at the
+    * same nesting level is rejected (operand slicing would silently
+    * reassociate them), as is a leading WITH (splitting would sever the
+    * CTE's scope from the later operands) — both error loudly rather
+    * than mis-execute. Parenthesized operands keep their own inner set
+    * operators; only depth-0 text splits.
+    */
+  def splitUnionByName(sql: String)
+      : Option[(Seq[String], Seq[Boolean], String)] = {
+    val m = stripLiterals(sql)
+    def skipWs(k0: Int): Int = {
+      var k = k0
+      while (k < m.length && m.charAt(k).isWhitespace) k += 1
+      k
+    }
+    def word(k: Int, w: String): Boolean =
+      k + w.length <= m.length && m.regionMatches(true, k, w, 0, w.length) &&
+        (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
+    case class Hit(start: Int, end: Int, all: Boolean)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+    var plain = false
+    var u = findTopLevelKeywordIn(m, 0, "union")
+    while (u >= 0) {
+      var j = skipWs(u + 5)
+      var all = false
+      if (word(j, "all")) { all = true; j = skipWs(j + 3) }
+      if (word(j, "by") && word(skipWs(j + 2), "name"))
+        hits += Hit(u, skipWs(j + 2) + 4, all)
+      else plain = true
+      u = findTopLevelKeywordIn(m, u + 5, "union")
+    }
+    if (hits.isEmpty) return None
+    require(!plain && findTopLevelKeywordIn(m, 0, "intersect") < 0 &&
+      findTopLevelKeywordIn(m, 0, "except") < 0,
+      "UNION BY NAME cannot mix with positional set operators at the " +
+        "same nesting level — parenthesize the positional arm")
+    require(!word(skipWs(0), "with"),
+      "UNION BY NAME under a WITH clause is not supported — inline the CTE")
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = 0
+    hits.foreach { h => ops += sql.substring(prev, h.start); prev = h.end }
+    val lastSeg = sql.substring(prev)
+    val lastMask = m.substring(prev)
+    val cutCands = Seq("order", "limit", "offset")
+      .map(k => findTopLevelKeywordIn(lastMask, 0, k)).filter(_ >= 0)
+    val cut = if (cutCands.isEmpty) lastSeg.length else cutCands.min
+    ops += lastSeg.substring(0, cut)
+    val tail = lastSeg.substring(cut).trim
+    Some((ops.toSeq.map(stripOuterParens), hits.map(_.all).toSeq, tail))
+  }
+
+  /** Strip balanced outermost parens (repeatedly): `(SELECT ...)` is a
+    * valid set-op operand but not a statement Spark's parser accepts.
+    */
+  private def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (t.length < 2 || t.head != '(' || t.last != ')') return t
+    val masked = stripLiterals(t)
+    var depth = 0
+    var i = 0
+    while (i < t.length - 1) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return t }
+      i += 1
+    }
+    stripOuterParens(t.substring(1, t.length - 1))
+  }
+
   /** First table identifier after FROM, outside quotes — the name the
     * receiver table is bound to (the reference binds the receiver
     * regardless of the FROM name, vinum/api/table.py:219-220).

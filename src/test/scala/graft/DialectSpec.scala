@@ -312,4 +312,63 @@ class DialectSpec extends AnyFunSuite {
     assert(got.contains("WHERE (v) > 0"), got)
     assert(!got.toLowerCase.contains("(on"), got)
   }
+
+  test("expandColumns: bare regex, wrapped aggregate, partial match, loud no-match") {
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    assert(Dialect.expandColumns("SELECT COLUMNS('_id') FROM t", cols) ==
+      "SELECT `event_id`, `user_id` FROM t")
+    assert(Dialect.expandColumns("SELECT min(COLUMNS('^user')) FROM t", cols) ==
+      "SELECT min(`user_id`) AS `user_id` FROM t")
+    // inside a string literal → untouched
+    val lit = "SELECT 'COLUMNS(''x'')' AS s FROM t"
+    assert(Dialect.expandColumns(lit, cols) == lit)
+    // a column merely NAMED like the call → untouched (ident boundary)
+    val ident = "SELECT my_columns FROM t"
+    assert(Dialect.expandColumns(ident, cols) == ident)
+    val e = intercept[IllegalArgumentException] {
+      Dialect.expandColumns("SELECT COLUMNS('zzz') FROM t", cols)
+    }
+    assert(e.getMessage.contains("zzz"))
+    assert(!Dialect.hasDynamicColumns(lit))
+    assert(Dialect.hasDynamicColumns("SELECT COLUMNS('a') FROM t"))
+  }
+
+  test("splitUnionByName: operands, ALL flags, union-level trailing clause") {
+    val (ops, flags, tail) = Dialect.splitUnionByName(
+      """SELECT a, b FROM t1
+        |UNION ALL BY NAME
+        |(SELECT c, a FROM t2)
+        |UNION BY NAME
+        |SELECT b FROM t3
+        |ORDER BY a LIMIT 5""".stripMargin).get
+    assert(ops.map(_.trim) == Seq("SELECT a, b FROM t1",
+      "SELECT c, a FROM t2", "SELECT b FROM t3"))
+    assert(flags == Seq(true, false))
+    assert(tail == "ORDER BY a LIMIT 5")
+    // no BY NAME anywhere → None, statement untouched
+    assert(Dialect.splitUnionByName(
+      "SELECT a FROM t1 UNION ALL SELECT a FROM t2").isEmpty)
+    // positional arm parenthesized → its inner union is NOT top level
+    val (ops2, _, _) = Dialect.splitUnionByName(
+      "(SELECT a FROM t1 UNION ALL SELECT a FROM t2) UNION ALL BY NAME SELECT a FROM t3").get
+    assert(ops2.head.trim.startsWith("SELECT a FROM t1 UNION ALL"))
+  }
+
+  test("splitUnionByName guardrails: mixed positional set ops and WITH reject") {
+    intercept[IllegalArgumentException] {
+      Dialect.splitUnionByName(
+        "SELECT a FROM t1 UNION ALL BY NAME SELECT a FROM t2 UNION ALL SELECT a FROM t3")
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.splitUnionByName(
+        "SELECT a FROM t1 UNION ALL BY NAME SELECT a FROM t2 EXCEPT SELECT a FROM t3")
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.splitUnionByName(
+        "WITH c AS (SELECT 1 AS a) SELECT a FROM c UNION ALL BY NAME SELECT a FROM c")
+    }
+    // BY NAME text inside a literal never triggers the split
+    assert(Dialect.splitUnionByName(
+      "SELECT 'UNION ALL BY NAME' AS s FROM t1").isEmpty)
+  }
 }
