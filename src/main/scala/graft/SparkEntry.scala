@@ -1899,6 +1899,54 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(a.text, '') AS text
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""),
 
+    // content-defined chunk dedup (Dedup.cdcChunkGroups): Rabin
+    // rolling-hash boundaries (8-char window, base 31, hash % 64 == 63)
+    // make the chunk grid shift-robust — an insertion re-syncs within 8
+    // chars, where d06's delimiter segments all shift. Chunking is one
+    // map-only codegen'd expression; only (md5, id) pairs shuffle, into
+    // a single digest-keyed agg. The oracle re-derives the SAME
+    // boundaries from the same exact integer chain per position
+    // (explicit 31^j terms — no modulus inside the chain, so both
+    // engines' longs are identical), then mirrors the rollup.
+    "d21_cdc_chunk_dedup" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.cdcChunkGroups(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            div = 64L, minLen = 32)
+          .orderBy(col("chunk_hash"))
+      },
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+         c AS (SELECT doc_id, s, length(s) AS n FROM d WHERE length(s) > 0),
+         h AS (SELECT doc_id, i.i AS i,
+                   CAST(ascii(substr(s, i.i,     1)) AS BIGINT)
+                 + ascii(substr(s, i.i - 1, 1)) * CAST(31 AS BIGINT)
+                 + ascii(substr(s, i.i - 2, 1)) * CAST(961 AS BIGINT)
+                 + ascii(substr(s, i.i - 3, 1)) * CAST(29791 AS BIGINT)
+                 + ascii(substr(s, i.i - 4, 1)) * CAST(923521 AS BIGINT)
+                 + ascii(substr(s, i.i - 5, 1)) * CAST(28629151 AS BIGINT)
+                 + ascii(substr(s, i.i - 6, 1)) * CAST(887503681 AS BIGINT)
+                 + ascii(substr(s, i.i - 7, 1)) * 27512614111 AS hh
+               FROM c, unnest(generate_series(8, n)) AS i(i)),
+         b AS (SELECT doc_id, i FROM h WHERE hh % 64 = 63),
+         ends AS (SELECT doc_id, i AS e FROM b
+                  UNION SELECT doc_id, n FROM c),
+         seg AS (SELECT doc_id,
+                   substr(s, coalesce(lag(e) OVER (PARTITION BY doc_id
+                       ORDER BY e), 0) + 1,
+                     e - coalesce(lag(e) OVER (PARTITION BY doc_id
+                       ORDER BY e), 0)) AS chunk
+                 FROM ends JOIN c USING (doc_id)),
+         ch AS (SELECT doc_id, md5(chunk) AS chunk_hash
+                FROM seg WHERE length(chunk) >= 32)
+         SELECT chunk_hash,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_occurrences,
+                min(doc_id) AS first_doc
+         FROM ch GROUP BY chunk_hash
+         HAVING count(DISTINCT doc_id) > 1
+         ORDER BY chunk_hash"""),
+
     // exhaustive embedding near-dup pairs — the oracled exactness anchor
     // for d05's LSH-bucketed scale path (cosine verified bit-identical,
     // same as s01)

@@ -260,4 +260,55 @@ object Kernels {
   def floorDivDouble(a: Double, b: Double): java.lang.Double =
     if (b == 0.0) null
     else java.lang.Double.valueOf(math.floor(a / b))
+
+  /** Content-defined chunk split (d21): Rabin-style rolling window hash —
+    * a boundary falls AFTER position i (1-based end) when
+    * `Σ_{j=0..w-1} code(s[i−j]) · base^j  ≡  rem (mod div)`, and the
+    * chunks are the substrings between consecutive boundaries plus the
+    * tail. The window sees the raw text regardless of earlier
+    * boundaries, so an insertion re-synchronizes within w characters —
+    * the shift-robustness that makes CDC the right dedup unit where
+    * line/offset segmentation (d06) breaks.
+    *
+    * Exactness contract: NO modulus inside the chain — the window sum
+    * is bounded by 0xFFFF · base^(w−1) · w (< 2^63 for the shipped
+    * w=8, base=31), and the rolling update (drop · base^(w−1), shift,
+    * add) stays inside the same bound, so the longs are exact and the
+    * SQL oracle re-derives identical boundaries from the same integer
+    * chain per position. Indexing is by UTF-16 unit here vs code point
+    * in SQL engines — identical off the astral planes (and bytewise on
+    * ASCII corpora). Text shorter than the window is one whole-text
+    * chunk; empty text is an empty array.
+    */
+  def cdcChunks(s: org.apache.spark.unsafe.types.UTF8String,
+                w: Int, base: Long, div: Long, rem: Long): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n >= w) {
+      var topPow = 1L
+      var j = 1
+      while (j < w) { topPow *= base; j += 1 }
+      var h = 0L
+      j = 0
+      while (j < w) { h = h * base + str.charAt(j).toLong; j += 1 }
+      var st = 0
+      var i = w - 1
+      while (i < n) {
+        if (h % div == rem) {
+          out += org.apache.spark.unsafe.types.UTF8String
+            .fromString(str.substring(st, i + 1))
+          st = i + 1
+        }
+        if (i + 1 < n)
+          h = (h - str.charAt(i - w + 1).toLong * topPow) * base +
+            str.charAt(i + 1).toLong
+        i += 1
+      }
+      if (st < n)
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromString(str.substring(st, n))
+    } else if (n > 0) out += s
+    new GenericArrayData(out.toArray)
+  }
 }

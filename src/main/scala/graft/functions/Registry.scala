@@ -412,6 +412,17 @@ object Registry {
       case Literal(v, StringType) if v != null => v.toString
       case _ => throw new IllegalArgumentException(s"$what must be a string literal")
     }
+    // content-defined chunking: fixed window w=8 / base 31 (the exact
+    // long-arithmetic envelope), divisor selects the expected chunk size
+    // (boundary probability 1/div per position), rem pinned to div-1
+    f("cdc_chunks") {
+      case Seq(e)    => CdcChunks(Cast(e, StringType), 8, 31L, 64L, 63L)
+      case Seq(e, d) =>
+        val dv = longLit(d, "div")
+        CdcChunks(Cast(e, StringType), 8, 31L, dv, dv - 1)
+      case other     => throw new IllegalArgumentException(
+        s"cdc_chunks() takes 1-2 arguments, got ${other.length}")
+    }
     f("unicode_normalize") {
       case Seq(e)    => UnicodeNormalize(Cast(e, StringType), "NFC")
       case Seq(e, m) => UnicodeNormalize(Cast(e, StringType), strLit(m, "form"))

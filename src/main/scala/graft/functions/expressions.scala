@@ -231,6 +231,36 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Content-defined chunking (string -> array<string>): Rabin rolling-hash
+  * chunk boundaries, the shift-robust dedup unit — see
+  * [[Kernels.cdcChunks]] for the boundary rule and the exact-integer /
+  * SQL-re-derivability contract. Map-only, codegen'd; the d21 pipeline
+  * explodes the result and groups chunk digests.
+  */
+case class CdcChunks(child: Expression, w: Int, base: Long, div: Long,
+                     rem: Long) extends UnaryExpression {
+
+  require(w > 0, "window must be positive")
+  require(div > 0 && rem >= 0 && rem < div, "need 0 <= rem < div")
+  require(BigInt(0xFFFF) * BigInt(base).pow(w - 1) * w < BigInt(Long.MaxValue),
+    s"window sum could overflow a long for (w=$w, base=$base)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(in: Any): Any =
+    Kernels.cdcChunks(
+      in.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w, base, div, rem)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in =>
+      s"graft.functions.Kernels.cdcChunks($in, $w, ${base}L, ${div}L, ${rem}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Point query against a serialized `count_min_sketch` aggregate result:
   * `cms_estimate(sketch BINARY, item BIGINT) -> BIGINT`.
   *

@@ -420,6 +420,39 @@ object Dedup {
       .select(col("__id").as(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
 
+  /** Content-defined chunk dedup (d21): split every document at Rabin
+    * rolling-hash boundaries (`cdc_chunks` — [[graft.functions.CdcChunks]],
+    * boundary wherever the 8-char window hash ≡ div−1 (mod div), expected
+    * chunk ≈ div chars) and group the chunk DIGESTS that recur across
+    * documents. Because the boundaries are content-defined, an insertion
+    * or deletion shifts at most one chunk before the window re-syncs —
+    * the shift-robust complement to [[dedupSegments]]'s delimiter
+    * segmentation for training-corpus dedup (a near-copy with one added
+    * sentence still shares every chunk outside the edit's chunk).
+    *
+    * Scale shape: chunking is a map-only codegen'd expression (one pass,
+    * no shuffle); chunks leave the map stage only as (md5 digest, id) —
+    * never chunk text — into one digest-keyed aggregation with map-side
+    * combine. `minLen` drops sub-threshold chunks (short chunks recur by
+    * chance and carry no dedup signal) BEFORE the digest is computed.
+    * Output: one row per digest shared by >1 distinct document —
+    * (chunk_hash, n_docs, n_occurrences, first_doc), volume bounded by
+    * recurring content, not corpus size.
+    */
+  def cdcChunkGroups(df: DataFrame, idCol: String, textCol: String,
+                     div: Long = 64L, minLen: Int = 32): DataFrame = {
+    Registry.registerAll(df.sparkSession)
+    val chunks = df.select(col(idCol).as("__id"),
+        explode(expr(s"cdc_chunks($textCol, ${div}L)")).as("__chunk"))
+      .filter(length(col("__chunk")) >= minLen)
+      .select(col("__id"), md5(col("__chunk")).as("chunk_hash"))
+    chunks.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("__id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Embedding near-duplicate pairs: random-hyperplane bucket join +
     * exact cosine verify. Output: (id_a, id_b, cosine).
     */

@@ -90,6 +90,40 @@ class InvarianceSpec extends GraftSuite {
     for (l <- layouts(docs)) assert(run(l) == expected)
   }
 
+  test("cdcChunkGroups is identical under any input partitioning") {
+    def run(d: DataFrame) = rows(
+      graft.ops.Dedup.cdcChunkGroups(d, "doc_id", "text"))
+    val expected = run(docs)
+    assert(expected.nonEmpty)
+    for (l <- layouts(docs)) assert(run(l) == expected)
+  }
+
+  test("cdc_chunks boundaries re-sync after an insertion (shift-robustness)") {
+    // the d21 contract that delimiter segmentation (d06) cannot offer:
+    // prefixing text shifts every offset, but chunks re-derive from the
+    // CONTENT — all original chunks except the first survive intact
+    val s = spark
+    import s.implicits._
+    graft.functions.Registry.registerAll(s)
+    // NON-periodic text (hex of a mixed counter): periodic text would
+    // yield identical repeated chunks and prove nothing about re-sync
+    val base = (0 until 300)
+      .map(i => java.lang.Long.toHexString(i * 2654435761L + 17L))
+      .mkString(" ")
+    val edited = "INSERTED PREFIX >>> " + base
+    val Seq(a, b) = Seq(base, edited).toDF("text")
+      .selectExpr("cdc_chunks(text, 64L) AS c")
+      .collect().map(_.getSeq[String](0)).toSeq
+    // after the window re-syncs, the chunk sequences must share their
+    // entire tail — everything but the edit-bearing head chunk(s)
+    val common = (1 to math.min(a.size, b.size))
+      .takeWhile(k => a(a.size - k) == b(b.size - k)).lastOption.getOrElse(0)
+    assert(common >= a.size - 2,
+      s"expected a shared chunk tail of >= ${a.size - 2}, got $common of ${a.size}")
+    assert(a.mkString == base && b.mkString == edited,
+      "chunks must concatenate back to the exact input")
+  }
+
   test("Cdc.diff is identical under any partitioning of either snapshot") {
     val before = docs.select(col("doc_id"), col("lang"))
     val after = docs

@@ -303,6 +303,16 @@ class PlanSpec extends GraftSuite {
       s"join keyed on the gram column in t22 plan:\n${gramJoins.mkString("\n")}")
   }
 
+  test("d21 CDC chunk dedup: map-only chunking into one digest rollup, no join") {
+    val p = planOf("d21_cdc_chunk_dedup")
+    assert(!p.contains("Join"),
+      s"join in d21 plan (chunk dedup is explode + one agg):\n${p.take(800)}")
+    assert(p.contains("Generate"),
+      s"chunk explode should appear as Generate:\n${p.take(600)}")
+    assert(p.contains("cdc_chunks"),
+      s"codegen'd cdc_chunks expression missing from d21 plan:\n${p.take(600)}")
+  }
+
   test("p12 pack segments: one shard-keyed window + map-side explode, no join") {
     val p = planOf("p12_pack_segments")
     assert(!p.contains("Join"), s"join in p12 plan:\n${p.take(800)}")

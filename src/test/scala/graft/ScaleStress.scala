@@ -42,7 +42,12 @@ object ScaleStress {
     // round 12c: the order-keyed basket self-join (pair volume must
     // track orders, not brands²) and the statistics-only cardinality
     // profile (shuffle ∝ distinct keys)
-    "q54_market_basket", "pr17_join_cardinality")
+    "q54_market_basket", "pr17_join_cardinality",
+    // round 13: native recursive-CTE reachability (frontier joins must
+    // track rows, not blow up with path count), the CDC chunk digest
+    // rollup (map-only chunking, digest shuffle ∝ chunks), and the
+    // hashed-gram novelty posting (long shuffle ∝ grams)
+    "gr07_recursive_sql", "d21_cdc_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
