@@ -73,6 +73,20 @@ object Geo {
     * are removed by the residual. A probe lives in exactly ONE cell, so
     * no pair can match twice — no distinct needed.
     *
+    * COORDINATE CONTRACT: the default is PLANAR — cell indices and the
+    * residual treat (lat, lon) as a flat plane, so coordinates across
+    * the ±180° antimeridian never match (a site at lon 179.9 is
+    * invisible to a probe at −179.9), which is correct for the shipped
+    * derived grids and any single-hemisphere corpus. Pass
+    * `wrapLon = true` for global data: lon cells then normalize
+    * modulo 360° (boxDeg must divide 360 exactly) and the lon residual
+    * becomes the periodic `min(|Δ|, 360 − |Δ|) < boxDeg`; pair it with
+    * a periodic metric ([[haversineKm]] already is — its sin²(Δλ/2)
+    * term is 360°-periodic; [[planarSq]] is NOT). Either way the box is
+    * in DEGREES: a fixed boxDeg under-covers a metric (km) radius as
+    * |lat| grows (lon degrees shrink by cos lat) — size boxDeg for the
+    * highest latitude the data reaches, or filter on the metric value.
+    *
     * Output: all probe columns, all site columns, and `metric` as
     * `distCol`. Null coordinates on either side match nothing. Column
     * names prefixed `__g` are reserved; probe and site column names
@@ -82,28 +96,38 @@ object Geo {
               sites: DataFrame, sLat: String, sLon: String,
               boxDeg: Double, distCol: String = "dist",
               metric: (Column, Column, Column, Column) => Column =
-                haversineKm): DataFrame = {
+                haversineKm, wrapLon: Boolean = false): DataFrame = {
     require(boxDeg > 0, "boxDeg must be positive")
     reserve(probes, "probes"); reserve(sites, "sites")
     require(!probes.columns.contains(distCol) &&
       !sites.columns.contains(distCol),
       s"distance column name '$distCol' already exists on an input — " +
         "pass a different distCol")
+    val nLonCells = math.round(360.0 / boxDeg)
+    require(!wrapLon || nLonCells * boxDeg == 360.0,
+      s"wrapLon needs boxDeg dividing 360 exactly, got $boxDeg")
+    // with wrap, every lon cell index (site announcements included)
+    // normalizes into [0, 360/boxDeg) so the seam cells coincide
+    def lonCell(c: Column): Column =
+      if (wrapLon) pmod(c, lit(nLonCells)) else c
     val off = array(lit(-1L), lit(0L), lit(1L))
     val sb = sites
       .filter(col(sLat).isNotNull && col(sLon).isNotNull)
       .withColumn("__gdla", explode(off))
       .withColumn("__gdlo", explode(off))
       .withColumn("__gclat", cellIdx(col(sLat), boxDeg) + col("__gdla"))
-      .withColumn("__gclon", cellIdx(col(sLon), boxDeg) + col("__gdlo"))
+      .withColumn("__gclon", lonCell(cellIdx(col(sLon), boxDeg) + col("__gdlo")))
       .drop("__gdla", "__gdlo")
     val pb = probes
       .filter(col(pLat).isNotNull && col(pLon).isNotNull)
       .withColumn("__gclat", cellIdx(col(pLat), boxDeg))
-      .withColumn("__gclon", cellIdx(col(pLon), boxDeg))
+      .withColumn("__gclon", lonCell(cellIdx(col(pLon), boxDeg)))
+    val dLon = abs(col(pLon) - col(sLon))
+    val lonOk =
+      if (wrapLon) least(dLon, lit(360.0) - dLon) < boxDeg
+      else dLon < boxDeg
     pb.join(sb, Seq("__gclat", "__gclon"))
-      .filter(abs(col(pLat) - col(sLat)) < boxDeg &&
-        abs(col(pLon) - col(sLon)) < boxDeg)
+      .filter(abs(col(pLat) - col(sLat)) < boxDeg && lonOk)
       .withColumn(distCol,
         metric(col(pLat), col(pLon), col(sLat), col(sLon)))
       .drop("__gclat", "__gclon")
@@ -122,9 +146,10 @@ object Geo {
                   sites: DataFrame, sKey: String, sLat: String, sLon: String,
                   boxDeg: Double, distCol: String = "dist",
                   metric: (Column, Column, Column, Column) => Column =
-                    haversineKm): DataFrame = {
+                    haversineKm, wrapLon: Boolean = false): DataFrame = {
     val probeCols = probes.columns.toSeq
-    boxJoin(probes, pLat, pLon, sites, sLat, sLon, boxDeg, "__gd", metric)
+    boxJoin(probes, pLat, pLon, sites, sLat, sLon, boxDeg, "__gd", metric,
+        wrapLon)
       .select(col(pKey).as("__gk"),
         struct(col("__gd") +: col(sKey).as("__gs") +:
           probeCols.map(col): _*).as("__gbest"))
@@ -138,6 +163,8 @@ object Geo {
   /** Per-cell candidate catalog: for every grid cell, the array of
     * sites announced into it from the 3×3 neighborhood — the
     * broadcastable static side of a MAP-ONLY nearest-site assignment.
+    * PLANAR coordinates (see [[boxJoin]]'s contract): no antimeridian
+    * wrap — pre-rotate longitudes for corpora spanning ±180°.
     * Output: (`__gclat`, `__gclon`, `__gsites`) where `__gsites` is an
     * array of (key, lat, lon) structs. Size ∝ sites × 9; candidates per
     * cell ∝ local site density (the same bound as [[boxJoin]]'s join

@@ -177,6 +177,40 @@ class GeoSpec extends GraftSuite {
       === Seq((1L, "b", 0.0)))
   }
 
+  test("antimeridian contract: planar default never crosses ±180, wrapLon matches through the seam") {
+    // probe just west of the seam; one site just east of it (0.3° away
+    // across ±180, i.e. ~22 km at this latitude), one site 5° away on
+    // the probe's own side
+    val probe = Seq((1L, 10.0, -179.9)).toDF("pid", "plat", "plon")
+    val sites = Seq((100L, 10.0, 179.8), (200L, 10.0, -174.9))
+      .toDF("sid", "slat", "slon")
+    // PLANAR (default): the cross-seam site is invisible — documented
+    val planar = Geo.boxJoin(probe, "plat", "plon",
+      sites, "slat", "slon", boxDeg = 0.5)
+    assert(planar.count() == 0,
+      "planar boxJoin must not match across the antimeridian")
+    // wrapLon: the seam neighbor matches, with the true (short) great-
+    // circle distance — haversine is 360°-periodic so no lon rotation
+    val wrapped = Geo.boxJoin(probe, "plat", "plon",
+        sites, "slat", "slon", boxDeg = 0.5, wrapLon = true)
+      .select(col("sid"), col("dist")).collect()
+    assert(wrapped.map(_.getLong(0)).toSeq == Seq(100L),
+      s"wrapLon must surface exactly the cross-seam site, got " +
+        wrapped.map(_.getLong(0)).mkString(","))
+    val km = wrapped.head.getDouble(1)
+    assert(km > 20 && km < 40, s"cross-seam distance wrong: $km km")
+    // nearestJoin passes the flag through
+    val nearest = Geo.nearestJoin(probe, "pid", "plat", "plon",
+        sites, "sid", "slat", "slon", boxDeg = 0.5, wrapLon = true)
+      .select(col("sid")).collect().map(_.getLong(0)).toSeq
+    assert(nearest == Seq(100L))
+    // the wrap grid needs boxDeg dividing 360 exactly
+    intercept[IllegalArgumentException] {
+      Geo.boxJoin(probe, "plat", "plon", sites, "slat", "slon",
+        boxDeg = 0.7, wrapLon = true)
+    }
+  }
+
   test("cellDensity counts per occupied cell only") {
     val df = Seq((0.5, 0.5), (0.9, 0.1), (3.5, 3.5), (-0.5, 0.5))
       .toDF("lat", "lon")
