@@ -3974,6 +3974,36 @@ object SparkEntry {
          WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mt - INTERVAL 30 MINUTE
          GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // exact phrase search over positional postings (Search.phraseSearch,
+    // s18): the inverted-index-with-positions eval run relationally —
+    // postings filter to the phrase's own tokens BEFORE any shuffle,
+    // then one (doc, pos + i) hash equi-join per additional token, so
+    // join fan-in is occurrence counts, never corpus size. Complements
+    // s15's bag-of-words BM25 with exact consecutive-token matching.
+    "s18_phrase_search" -> api(
+      (s, dir) => {
+        graft.ops.Search.phraseSearch(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            phrase = "slow hash batch")
+          .orderBy(col("doc_id"))
+      },
+      """WITH tk AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         p AS (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+               FROM tk, unnest(generate_series(1, len(t))) AS u(i)),
+         m AS (SELECT a.doc_id, a.pos
+               FROM p a
+               JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                       AND b.tok = 'hash'
+               JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                       AND c.tok = 'batch'
+               WHERE a.tok = 'slow')
+         SELECT doc_id, count(*) AS n_matches,
+                CAST(min(pos) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id ORDER BY doc_id"""),
+
     // MMR diversified retrieval (Search.mmr): greedy maximal-marginal-
     // relevance re-rank of probe 0's top-16 cosine pool, k = 5, λ = 0.5
     // (binary-exact). The pairwise sim matrix is bounded pool², computed
@@ -8833,6 +8863,41 @@ object SparkEntry {
                 )), 6) AS km
          FROM s ORDER BY s_suppkey"""),
 
+    // k-nearest-sites join (Geo.knnJoin, geo05): geo01's argmin
+    // generalized to k=3 through the bounded-heap topk_by aggregate —
+    // only k (score, key) pairs per probe survive the partial and final
+    // buffers, so the shuffle is O(k·probes) where a rank window would
+    // shuffle every in-box candidate. Exact-double negation + ascending-
+    // key ties keep the order bitwise-deterministic on the dyadic grid.
+    "geo05_knn_sites" -> api(
+      (s, dir) => {
+        graft.ops.Geo.knnJoin(
+            geoGridCustomers(s, dir), "c_custkey", "plat", "plon",
+            geoGridSuppliers(s, dir), "s_suppkey", "slat", "slon",
+            boxDeg = 2.0, k = 3, distCol = "d2",
+            metric = graft.ops.Geo.planarSq)
+          .orderBy(col("c_custkey"), col("rank"))
+      },
+      """WITH c AS (SELECT c_custkey,
+                  (c_custkey % 320) * CAST(0.0625 AS DOUBLE) AS plat,
+                  ((c_custkey * 7) % 320) * CAST(0.0625 AS DOUBLE) AS plon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+                  ((s_suppkey * 11) % 320) * CAST(0.0625 AS DOUBLE) AS slat,
+                  ((s_suppkey * 13) % 320) * CAST(0.0625 AS DOUBLE) AS slon
+           FROM supplier),
+         j AS (SELECT c.c_custkey, s.s_suppkey,
+                  (c.plat - s.slat) * (c.plat - s.slat)
+                    + (c.plon - s.slon) * (c.plon - s.slon) AS d2
+           FROM c JOIN s
+             ON abs(c.plat - s.slat) < 2.0 AND abs(c.plon - s.slon) < 2.0),
+         r AS (SELECT c_custkey, s_suppkey, d2,
+                  row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY d2, s_suppkey) AS rn
+           FROM j)
+         SELECT c_custkey, CAST(rn AS BIGINT) AS rank, s_suppkey, d2
+         FROM r WHERE rn <= 3 ORDER BY c_custkey, rank"""),
+
     // smoothed target encoding (the leakage-safe categorical feature):
     // enc(cat) = (cat_sum + m·prior) / (cat_n + m) with prior = global
     // mean, m = 100. ONE grouped agg + ONE broadcast global row; the
@@ -9318,6 +9383,30 @@ object SparkEntry {
     // statistic requires); each cell's (o−e)²/e term is rounded to 9
     // and summed as DECIMAL — the pr16 discipline that makes the
     // floating sum partition-order independent and cross-engine exact.
+    // k-anonymity release audit (Profile.kAnonymity, pr21): the privacy
+    // gate before data leaves the pipeline — rows whose quasi-identifier
+    // combination (nation, market segment) is shared by fewer than k=10
+    // rows are re-identifiable to a < k-person crowd. One keyed rollup
+    // (shuffle ∝ distinct combinations) folded into one summary row.
+    "pr21_k_anonymity" -> api(
+      (s, dir) => {
+        graft.ops.Profile.kAnonymity(
+          s.read.parquet(s"$dir/customer.parquet"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+      },
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                    FROM customer GROUP BY 1, 2)
+         SELECT CAST(10 AS BIGINT) AS k_threshold,
+                CAST(min(n) AS BIGINT) AS k_actual,
+                count(*) AS n_groups,
+                CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating_groups,
+                CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk,
+                round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+                      / sum(n), 6) AS risk_fraction
+         FROM g"""),
+
     "pr20_chi_square" -> api(
       (s, dir) => {
         val E = graft.streaming.Events

@@ -160,6 +160,35 @@ object Geo {
         col("__gbest.__gd").as(distCol)): _*)
   }
 
+  /** k nearest sites per probe (geo05): [[boxJoin]] candidates reduced
+    * by the bounded-heap `topk_by` aggregate — the ANN discipline
+    * (ops/Ivf) applied to space: only k (score, id) pairs per probe
+    * survive the partial AND final aggregation buffers, so the shuffle
+    * carries O(k) per probe where a rank window would shuffle every
+    * in-box candidate row. Scores are the NEGATED metric (topk_by keeps
+    * largest; negation of exact doubles is exact), ties break to the
+    * ascending site key — the same deterministic order as
+    * [[nearestJoin]], which this generalizes (k = 1 ≡ nearestJoin).
+    * Probes with no in-box site drop (inner semantics). Output:
+    * (`pKey`, `rank` 1..k best-first, `sKey`, `distCol`).
+    */
+  def knnJoin(probes: DataFrame, pKey: String, pLat: String, pLon: String,
+              sites: DataFrame, sKey: String, sLat: String, sLon: String,
+              boxDeg: Double, k: Int, distCol: String = "dist",
+              metric: (Column, Column, Column, Column) => Column =
+                haversineKm, wrapLon: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.Registry.registerAll(probes.sparkSession)
+    boxJoin(probes.select(col(pKey), col(pLat), col(pLon)), pLat, pLon,
+        sites, sLat, sLon, boxDeg, "__gd", metric, wrapLon)
+      .groupBy(col(pKey))
+      .agg(call_function("topk_by",
+        -col("__gd"), col(sKey).cast("long"), lit(k)).as("__gtop"))
+      .select(col(pKey), posexplode(col("__gtop")).as(Seq("__grk", "__ge")))
+      .select(col(pKey), (col("__grk") + 1).cast("long").as("rank"),
+        col("__ge.id").as(sKey), (-col("__ge.sim")).as(distCol))
+  }
+
   /** Per-cell candidate catalog: for every grid cell, the array of
     * sites announced into it from the 3×3 neighborhood — the
     * broadcastable static side of a MAP-ONLY nearest-site assignment.

@@ -147,6 +147,35 @@ object Profile {
           6).as("psi"))
   }
 
+  /** k-anonymity audit (pr21): how re-identifiable is a dataset on a
+    * set of quasi-identifier columns? Every row whose quasi-identifier
+    * combination is shared by fewer than k rows is "at risk" (an
+    * attacker who knows those attributes pins the row to a < k-person
+    * crowd). Output is ONE summary row: the threshold, the dataset's
+    * actual k (the smallest group), group counts, and the violating
+    * rows' count and fraction — the release-gate numbers a privacy
+    * review asks for before data leaves the pipeline.
+    *
+    * Scale shape: one keyed rollup with map-side combine (shuffle ∝
+    * DISTINCT quasi-identifier combinations, never rows) folded into an
+    * O(groups) global summary. Nulls form their own group, standard SQL
+    * GROUP BY semantics — a null attribute is still an attribute an
+    * attacker can match on.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k > 0, "k must be positive")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(lit(k).as("k_threshold"),
+        min(col("__n")).as("k_actual"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_at_risk"),
+        round(sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .cast("double") / sum(col("__n")), 6).as("risk_fraction"))
+  }
+
   /** Shuffle-key skew profile: would partitioning on `keyCol` distribute
     * evenly? One row of summary statistics over the PER-KEY row counts —
     * key cardinality, the heaviest key's share of all rows, the combined

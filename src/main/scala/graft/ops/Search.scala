@@ -30,6 +30,47 @@ object Search {
     * Output: one row per input doc — (idCol, n_terms, score_fp); docs
     * matching no term keep (0, 0).
     */
+  /** Exact PHRASE search over positional postings (s18): documents where
+    * `phrase`'s tokens occur consecutively, with match counts and the
+    * first match position. Complements [[bm25]]'s bag-of-words ranking
+    * with the exactness a corpus query ("find the documents containing
+    * this sentence") needs — the inverted-index-with-positions eval,
+    * run relationally.
+    *
+    * Scale shape: the posting explode filters to the PHRASE'S OWN
+    * tokens before anything shuffles (selectivity ≈ phrase vocabulary /
+    * corpus vocabulary, pushed into the scan stage), then one hash
+    * equi-join per additional token keyed on (doc, pos + i) — join
+    * inputs are already phrase-token-only postings, so the fan-in is
+    * occurrence counts, never corpus size. Tokenization is
+    * [[TextOps.tokens]] (lowercase, `\W+` split, empties dropped) on
+    * BOTH the corpus and the phrase, so "Slow, HASH batch!" matches the
+    * phrase "slow hash batch". Output: (idCol, n_matches, first_pos)
+    * for matching documents only (0-based token position).
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val toks = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    require(toks.nonEmpty, "phrase must contain at least one word token")
+    val post = df.select(col(idCol).as("__id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isin(toks.distinct: _*))
+    val anchor = post.filter(col("__tok") === toks.head)
+      .select(col("__id"), col("__pos"))
+    val matched = toks.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val p = post.filter(col("__tok") === t)
+          .select(col("__id").as(s"__id$i"), col("__pos").as(s"__p$i"))
+        acc.join(p, col("__id") === col(s"__id$i") &&
+            col(s"__p$i") === col("__pos") + i)
+          .drop(s"__id$i", s"__p$i")
+    }
+    matched.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__pos")).cast("long").as("first_pos"))
+      .select(col("__id").as(idCol), col("n_matches"), col("first_pos"))
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String],
            k1: Double = 1.25, b: Double = 0.75): DataFrame = {

@@ -211,6 +211,35 @@ class GeoSpec extends GraftSuite {
     }
   }
 
+  test("knnJoin equals brute-force top-k within the box (seeded random)") {
+    val rnd = new scala.util.Random(99)
+    def snap(x: Double): Double = math.floor(x * 16.0) / 16.0
+    val probes = (1 to 200).map(i =>
+      (i.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+    val sites = (1 to 50).map(j =>
+      (j.toLong, snap(rnd.nextDouble() * 20), snap(rnd.nextDouble() * 20)))
+    val box = 2.0
+    val k = 3
+    val got = Geo.knnJoin(probes.toDF("pid", "plat", "plon"), "pid",
+        "plat", "plon", sites.toDF("sid", "slat", "slon"), "sid",
+        "slat", "slon", boxDeg = box, k = k, distCol = "d2",
+        metric = Geo.planarSq)
+      .select("pid", "rank", "sid", "d2").as[(Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = probes.flatMap { case (pid, la, lo) =>
+      sites.filter { case (_, sa, so) =>
+        math.abs(la - sa) < box && math.abs(lo - so) < box }
+        .map { case (sid, sa, so) =>
+          ((la - sa) * (la - sa) + (lo - so) * (lo - so), sid) }
+        .sorted.take(k).zipWithIndex
+        .map { case ((d2, sid), r) => (pid, (r + 1).toLong, sid, d2) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // probes with fewer than k in-box sites return fewer rows, not pads
+    assert(want.groupBy(_._1).values.exists(_.size < k),
+      "fixture must exercise a short candidate list")
+  }
+
   test("cellDensity counts per occupied cell only") {
     val df = Seq((0.5, 0.5), (0.9, 0.1), (3.5, 3.5), (-0.5, 0.5))
       .toDF("lat", "lon")

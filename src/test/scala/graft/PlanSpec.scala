@@ -303,6 +303,23 @@ class PlanSpec extends GraftSuite {
       s"join keyed on the gram column in t22 plan:\n${gramJoins.mkString("\n")}")
   }
 
+  test("geo05 kNN: bounded-heap topk_by aggregate, no rank window, cell equi-join") {
+    val p = planOf("geo05_knn_sites")
+    assert(!p.contains("Window"),
+      s"rank window in geo05 plan (top-k must be the bounded-heap agg):\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in geo05 plan:\n${p.take(900)}")
+    assert(p.contains("topk_by"),
+      s"topk_by aggregate missing from geo05 plan:\n${p.take(600)}")
+  }
+
+  test("s18 phrase search: hash equi-joins on (doc, pos) only — no nested loop") {
+    val p = planOf("s18_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in s18 plan:\n${p.take(900)}")
+    assert(!p.contains("Window"), s"window in s18 plan:\n${p.take(600)}")
+  }
+
   test("d21 CDC chunk dedup: map-only chunking into one digest rollup, no join") {
     val p = planOf("d21_cdc_chunk_dedup")
     assert(!p.contains("Join"),

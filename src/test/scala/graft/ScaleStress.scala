@@ -47,7 +47,10 @@ object ScaleStress {
     // track rows, not blow up with path count), the CDC chunk digest
     // rollup (map-only chunking, digest shuffle ∝ chunks), and the
     // hashed-gram novelty posting (long shuffle ∝ grams)
-    "gr07_recursive_sql", "d21_cdc_chunk_dedup")
+    "gr07_recursive_sql", "d21_cdc_chunk_dedup",
+    // round 13b: phrase-token posting joins (fan-in ∝ occurrences) and
+    // the bounded-heap kNN (shuffle ∝ k·probes, not candidates)
+    "s18_phrase_search", "geo05_knn_sites")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is

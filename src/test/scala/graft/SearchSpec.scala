@@ -28,6 +28,46 @@ class SearchSpec extends GraftSuite {
         (3L, 1L, score(1.0, 1.0)), (4L, 0L, 0L)))
   }
 
+  test("phraseSearch: consecutive tokens only, overlap counting, case/punct-insensitive") {
+    val docs = Seq(
+      (1L, "Slow, HASH batch! then slow hash batch again"), // 2 matches
+      (2L, "slow batch hash"),                              // reordered: no
+      (3L, "slow hash and batch"),                          // gap: no
+      (4L, "prefix slow hash batch"),                       // 1 match at pos 1
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Search.phraseSearch(docs, "doc_id", "text",
+        "slow hash batch")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L), (4L, 1L, 1L)))
+    // self-overlapping phrase: "a a" in "a a a" matches at 0 AND 1
+    val ov = graft.ops.Search.phraseSearch(
+        Seq((9L, "a a a")).toDF("doc_id", "text"), "doc_id", "text", "a a")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov == Seq((9L, 2L, 0L)))
+    // single-token phrase degenerates to token occurrence counting
+    val one = graft.ops.Search.phraseSearch(docs, "doc_id", "text", "slow")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 2L, 0L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 1L, 1L)))
+  }
+
+  test("kAnonymity: nulls form their own group; summary arithmetic") {
+    val df = Seq(
+      (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
+      (Some("b"), "x"), (Some("b"), "x"),
+      (None, "x")
+    ).toDF("q1", "q2")
+    val r = graft.ops.Profile.kAnonymity(df, Seq("q1", "q2"), k = 3L)
+      .collect().head
+    assert(r.getLong(0) == 3L)           // k_threshold
+    assert(r.getLong(1) == 1L)           // k_actual: the null group of 1
+    assert(r.getLong(2) == 3L)           // n_groups (null group counted)
+    assert(r.getLong(3) == 2L)           // violating: (b,x)=2 and (null,x)=1
+    assert(r.getLong(4) == 3L)           // rows_at_risk
+    assert(r.getDouble(5) == 0.5)        // 3 of 6
+  }
+
   test("rrfFuse: full-outer semantics, absent rank contributes zero") {
     val lex = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val vec = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
