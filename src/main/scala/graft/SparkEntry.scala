@@ -1720,6 +1720,105 @@ object SparkEntry {
            AND (pts // 3600000000 + 1) * 3600000000 < wm.w
          ORDER BY purchase_id"""),
 
+    // STREAMING drift monitor (Events.streamingDriftPsi, st22): per
+    // 3-day tumbling window, the PSI of live `value` traffic against the
+    // first week's histogram (the "training slice", 8 fixed-width
+    // buckets collected batch-side — the bounded centroids discipline).
+    // ONE windowed agg with the histogram as conditional sums, so state
+    // is one row per OPEN window; PSI folds map-side against the
+    // broadcast-literal reference with Profile.psi's ε-clamped chain.
+    // Emission strictly below the final watermark (st21 boundary); the
+    // oracle replays windows, reference and chain verbatim.
+    "st22_stream_drift_psi" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val E = graft.streaming.Events
+        val batch = E.readRaw(s, dir).select(col("ts"), col("value"))
+          .filter(col("value").isNotNull)
+        val t0 = batch.agg(min(col("ts"))).head.getLong(0)
+        val bucket = least(greatest(
+          floor(col("value") / 25.0).cast("long"), lit(0L)), lit(7L))
+        val refRows = batch
+          .filter(col("ts") < t0 + 7L * 86400000000L)
+          .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val ref = (0 until 8).map(i => refRows.getOrElse(i.toLong, 0L))
+        val ev = E.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val out = E.streamingDriftPsi(ev, "value", "ts", ref,
+          lo = 0.0, width = 25.0, windowDuration = "3 days",
+          watermark = "1 day")
+        val sink = "st22_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.select(unix_micros(col("window_start")).as("ws"),
+            col("n_cur"), col("psi"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("ws"))
+      },
+      """WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events
+                    WHERE value IS NOT NULL),
+         mn AS (SELECT min(tus) AS t0, max(tus) AS t1 FROM e),
+         b AS (SELECT tus,
+                 least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 7)
+                   AS b
+               FROM e),
+         ref AS (SELECT b.b, count(*) AS c FROM b, mn
+                 WHERE tus < mn.t0 + 7 * 86400000000 GROUP BY b.b),
+         rt AS (SELECT sum(c) AS tot FROM ref),
+         rp AS (SELECT i.i AS b,
+                  greatest(CAST(coalesce(r.c, 0) AS DOUBLE)
+                           / (SELECT tot FROM rt), 1e-6) AS pa
+                FROM unnest(generate_series(0, 7)) AS i(i)
+                LEFT JOIN ref r ON r.b = i.i),
+         h AS (SELECT (tus // 259200000000) * 259200000000 AS ws,
+                 count(*) AS n_cur,
+                 sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
+                 sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
+                 sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3,
+                 sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS c4,
+                 sum(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS c5,
+                 sum(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS c6,
+                 sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS c7
+               FROM b GROUP BY 1),
+         p AS (SELECT ws, n_cur,
+                 (SELECT pa FROM rp WHERE b = 0) AS a0,
+                 (SELECT pa FROM rp WHERE b = 1) AS a1,
+                 (SELECT pa FROM rp WHERE b = 2) AS a2,
+                 (SELECT pa FROM rp WHERE b = 3) AS a3,
+                 (SELECT pa FROM rp WHERE b = 4) AS a4,
+                 (SELECT pa FROM rp WHERE b = 5) AS a5,
+                 (SELECT pa FROM rp WHERE b = 6) AS a6,
+                 (SELECT pa FROM rp WHERE b = 7) AS a7,
+                 greatest(CAST(c0 AS DOUBLE) / n_cur, 1e-6) AS b0,
+                 greatest(CAST(c1 AS DOUBLE) / n_cur, 1e-6) AS b1,
+                 greatest(CAST(c2 AS DOUBLE) / n_cur, 1e-6) AS b2,
+                 greatest(CAST(c3 AS DOUBLE) / n_cur, 1e-6) AS b3,
+                 greatest(CAST(c4 AS DOUBLE) / n_cur, 1e-6) AS b4,
+                 greatest(CAST(c5 AS DOUBLE) / n_cur, 1e-6) AS b5,
+                 greatest(CAST(c6 AS DOUBLE) / n_cur, 1e-6) AS b6,
+                 greatest(CAST(c7 AS DOUBLE) / n_cur, 1e-6) AS b7
+               FROM h)
+         SELECT ws, n_cur,
+                round((((((((
+                  (a0 - b0) * ln(a0 / b0)
+                  + (a1 - b1) * ln(a1 / b1))
+                  + (a2 - b2) * ln(a2 / b2))
+                  + (a3 - b3) * ln(a3 / b3))
+                  + (a4 - b4) * ln(a4 / b4))
+                  + (a5 - b5) * ln(a5 / b5))
+                  + (a6 - b6) * ln(a6 / b6))
+                  + (a7 - b7) * ln(a7 / b7)), 6) AS psi
+         FROM p, mn
+         WHERE ws + 259200000000 < mn.t1 - 86400000000
+         ORDER BY ws"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.
@@ -8303,6 +8402,16 @@ object SparkEntry {
          WHERE c_custkey % 500 = 2
          ORDER BY k, price, bal"""),
 
+    // DuckDB's FROM-first statement form (Dialect.fromFirst): the select
+    // list rides after the table expression ("FROM t SELECT list WHERE
+    // ..."), or is omitted entirely ("FROM t" == SELECT *). The dialect
+    // moves the list to the front; everything downstream sees a standard
+    // statement. Same text both engines.
+    "q57_from_first" -> same("orders",
+      """FROM orders
+         SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price
+         WHERE o_orderkey % 200 = 7 ORDER BY k"""),
+
     // market-basket co-occurrence: brand pairs bought together in one
     // order, with lift = N·c_ab / (c_a·c_b). The basket self-join is
     // keyed on the order and order sizes are bounded, so pair volume is
@@ -8904,6 +9013,36 @@ object SparkEntry {
     // arithmetic is exact-long sums cast to double through a
     // correctly-rounded chain mirrored association-for-association, so
     // both engines produce identical doubles before the final round
+    // per-row z-score standardization (fe06): the feature-scaling
+    // staple, exact in the g19 discipline: integer moment sums through
+    // DECIMAL(38,0) (widen-first products), then ONE mirrored
+    // correctly-rounded chain (n.x - S1) / sqrt(n.S2 - S1^2) per row.
+    // One global agg broadcast back over the scan; map-only after it.
+    "fe06_standardize" -> api(
+      (s, dir) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val xd = col("n_chars").cast("long").cast(d38)
+        val st = docs.filter(col("n_chars").isNotNull)
+          .agg(count(lit(1)).cast(d38).as("__n"),
+            sum(xd).as("__s1"), sum(xd * xd).as("__s2"))
+        docs.filter(col("n_chars").isNotNull)
+          .join(broadcast(st))
+          .select(col("doc_id"),
+            round((col("__n") * xd - col("__s1")).cast("double")
+              / sqrt((col("__n") * col("__s2") - col("__s1") * col("__s1"))
+                .cast("double")), 6).as("z"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (SELECT count(*) AS n, sum(n_chars) AS s1,
+                  sum(n_chars * CAST(n_chars AS BIGINT)) AS s2
+           FROM documents WHERE n_chars IS NOT NULL)
+         SELECT doc_id,
+                round(CAST(n * n_chars - s1 AS DOUBLE)
+                      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) AS z
+         FROM documents, s WHERE n_chars IS NOT NULL
+         ORDER BY doc_id"""),
+
     "fe05_target_encoding" -> api(
       (s, dir) => {
         val c = s.read.parquet(s"$dir/customer.parquet")

@@ -54,8 +54,10 @@ final class Table private (val df: DataFrame) {
   /** The clause-scoped single-statement rewrites ([[sql]] applies them
     * per UNION BY NAME operand; [[Dialect.rewrite]] has already run).
     */
-  private def prep(q: String): String =
-    Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q))
+  private def prep(q: String): String = {
+    val q0 = Dialect.fromFirst(q).getOrElse(q)
+    Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
+  }
 
   private def sqlOne(q0: String): Table = {
     // DISTINCT ON lowers AFTER the nulls-last pass (the sort items move
@@ -341,7 +343,8 @@ object Table {
   }
 
   private def sessionSqlOne(spark: SparkSession, qIn: String): DataFrame = {
-    val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(qIn))
+    val q0 = Dialect.fromFirst(qIn).getOrElse(qIn)
+    val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
     // dynamic star: schema comes from the first FROM table's session
     // view (the table COLUMNS binds to); resolution is attempted only
     // when the statement actually carries a COLUMNS( call

@@ -712,6 +712,38 @@ object Dialect {
     stripOuterParens(t.substring(1, t.length - 1))
   }
 
+  /** DuckDB's FROM-first statement form: `FROM t` ≡ `SELECT * FROM t`,
+    * and `FROM t SELECT list <clauses>` puts the select list right
+    * after the table expression (before WHERE — probed; DuckDB rejects
+    * `FROM t WHERE .. SELECT ..`). The rewrite moves the list (or `*`)
+    * to the front and leaves every other clause in place, so downstream
+    * passes see a standard statement. Statement-head only: a leading
+    * WITH is left alone (None — DuckDB's `WITH .. FROM ..` form is out
+    * of scope), as is anything already SELECT-first.
+    */
+  def fromFirst(sql: String): Option[String] = {
+    val m = stripLiterals(sql)
+    var i = 0
+    while (i < m.length && m.charAt(i).isWhitespace) i += 1
+    def word(k: Int, w: String): Boolean =
+      k + w.length <= m.length && m.regionMatches(true, k, w, 0, w.length) &&
+        (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
+    if (!word(i, "from")) return None
+    val selPos = findTopLevelKeywordIn(m, i, "select")
+    if (selPos < 0) return Some("SELECT * " + sql.substring(i))
+    // the select list runs until the next top-level clause keyword (the
+    // set-operator stops keep a union arm out of the list)
+    val stops = Seq("where", "group", "having", "qualify", "window",
+      "order", "limit", "offset", "union", "intersect", "except")
+    val listEnd = stops
+      .map(k => findTopLevelKeywordIn(m, selPos + 6, k)).filter(_ >= 0)
+      .minOption.getOrElse(sql.length)
+    val fromPart = sql.substring(i, selPos).trim
+    val list = sql.substring(selPos + 6, listEnd).trim
+    val tail = sql.substring(listEnd)
+    Some(s"SELECT $list $fromPart" + (if (tail.isEmpty) "" else " " + tail))
+  }
+
   /** First table identifier after FROM, outside quotes — the name the
     * receiver table is bound to (the reference binds the receiver
     * regardless of the FROM name, vinum/api/table.py:219-220).

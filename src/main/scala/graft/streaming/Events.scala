@@ -707,6 +707,55 @@ object Events {
         quotePayload.map(c => col(s"__w.$c").as(c)): _*)
   }
 
+  /** STREAMING drift monitor (st22): per tumbling event-time window, the
+    * Population Stability Index of the live value distribution against a
+    * FIXED reference histogram — "is today's traffic still shaped like
+    * the training corpus", emitted continuously. The streaming
+    * counterpart of [[graft.ops.Profile.psi]].
+    *
+    * Mechanics: ONE windowed aggregation builds the per-window histogram
+    * as `bins` conditional sums (no per-bucket grouping key, so state is
+    * one row per OPEN window — the smallest stateful footprint possible
+    * here), and the PSI folds map-side against the broadcast-literal
+    * reference counts with the same ε-clamped mirrored chain Profile.psi
+    * uses. `refCounts` is the reference histogram (length `bins`,
+    * typically a bounded batch-side collect over the training slice —
+    * the centroids discipline); values bucket as
+    * `clamp(floor((v − lo) / width), 0, bins−1)`, nulls dropped. Append
+    * mode: a window's PSI row emits once the watermark STRICTLY passes
+    * its end (the st21 boundary). Output: (window_start TIMESTAMP,
+    * n_cur, psi).
+    */
+  def streamingDriftPsi(stream: DataFrame, valueCol: String, tsCol: String,
+                        refCounts: Seq[Long], lo: Double, width: Double,
+                        windowDuration: String,
+                        watermark: String): DataFrame = {
+    require(refCounts.nonEmpty && refCounts.forall(_ >= 0L),
+      "refCounts must be non-negative")
+    val bins = refCounts.size
+    val refTotal = refCounts.sum
+    require(refTotal > 0, "reference histogram is empty")
+    val eps = 1e-6
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("long"), lit(0L)),
+      lit(bins - 1L))
+    val aggs = count(lit(1)).as("n_cur") +:
+      (0 until bins).map(i =>
+        sum(when(bucket === i.toLong, 1L).otherwise(0L)).as(s"__c$i"))
+    val hist = stream
+      .filter(col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+    val psi = (0 until bins).map { i =>
+      val pa = greatest(lit(refCounts(i).toDouble / refTotal), lit(eps))
+      val pb = greatest(col(s"__c$i") / col("n_cur"), lit(eps))
+      (pa - pb) * log(pa / pb)
+    }.reduce(_ + _)
+    hist.select(col("window.start").as("window_start"), col("n_cur"),
+      round(psi, 6).as("psi"))
+  }
+
   /** Per-document near-dup verdict over [[streamingNearDupFlags]]: a doc
     * is flagged when ANY of its band buckets was already owned (the
     * aggressive drop-on-first-collision setting; collided_bands lets

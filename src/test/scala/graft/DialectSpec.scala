@@ -313,6 +313,26 @@ class DialectSpec extends AnyFunSuite {
     assert(!got.toLowerCase.contains("(on"), got)
   }
 
+  test("fromFirst: bare FROM, FROM..SELECT..WHERE reorder, WITH and SELECT-first untouched") {
+    assert(Dialect.fromFirst("FROM t").contains("SELECT * FROM t"))
+    assert(Dialect.fromFirst("FROM t WHERE a > 1 ORDER BY a")
+      .contains("SELECT * FROM t WHERE a > 1 ORDER BY a"))
+    assert(Dialect.fromFirst("FROM t SELECT a, b WHERE a > 1 LIMIT 3")
+      .contains("SELECT a, b FROM t WHERE a > 1 LIMIT 3"))
+    assert(Dialect.fromFirst("FROM t SELECT DISTINCT a ORDER BY a")
+      .contains("SELECT DISTINCT a FROM t ORDER BY a"))
+    // joins stay inside the from-part
+    assert(Dialect.fromFirst("FROM a JOIN b ON a.k = b.k SELECT a.k WHERE b.v > 0")
+      .contains("SELECT a.k FROM a JOIN b ON a.k = b.k WHERE b.v > 0"))
+    assert(Dialect.fromFirst("SELECT a FROM t").isEmpty)
+    assert(Dialect.fromFirst("WITH c AS (SELECT 1) FROM c").isEmpty)
+    // 'from' inside a literal at statement head cannot trigger
+    assert(Dialect.fromFirst("  'FROM t' ").isEmpty)
+    // a SELECT inside a subquery is not the top-level select list
+    assert(Dialect.fromFirst("FROM (SELECT a FROM t) s WHERE a > 0")
+      .contains("SELECT * FROM (SELECT a FROM t) s WHERE a > 0"))
+  }
+
   test("expandColumns: bare regex, wrapped aggregate, partial match, loud no-match") {
     val cols = Seq("event_id", "ts", "user_id", "event_type")
     assert(Dialect.expandColumns("SELECT COLUMNS('_id') FROM t", cols) ==

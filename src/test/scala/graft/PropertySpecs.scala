@@ -195,6 +195,12 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
       val sj = Dialect.splitQualify(j)
       val dq = scala.util.Try(Dialect.distinctOn(q)).toOption.flatten
       val dj = scala.util.Try(Dialect.distinctOn(j)).toOption.flatten
+      // round-13 scanners: FROM-first reorder, UNION BY NAME split, and
+      // dynamic-star detection must all be blind to masked content too
+      val fq = Dialect.fromFirst(q)
+      val fj = Dialect.fromFirst(j)
+      val uq = scala.util.Try(Dialect.splitUnionByName(q)).toOption.flatten
+      val uj = scala.util.Try(Dialect.splitUnionByName(j)).toOption.flatten
       maskedEq(Dialect.rewrite(j), Dialect.rewrite(q)) &&
         maskedEq(Dialect.aliasesIntoWhere(j), Dialect.aliasesIntoWhere(q)) &&
         maskedEq(Dialect.orderByNullsLast(j), Dialect.orderByNullsLast(q)) &&
@@ -203,7 +209,16 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           maskedEq(iq, ij) && maskedEq(tq, tj)
         } &&
         (dq.isDefined == dj.isDefined) &&
-        dq.zip(dj).forall { case (a, b) => maskedEq(a, b) }
+        dq.zip(dj).forall { case (a, b) => maskedEq(a, b) } &&
+        (fq.isDefined == fj.isDefined) &&
+        fq.zip(fj).forall { case (a, b) => maskedEq(a, b) } &&
+        (uq.isDefined == uj.isDefined) &&
+        uq.zip(uj).forall { case ((oa, fa, ta), (ob, fb, tb)) =>
+          fa == fb && oa.size == ob.size &&
+            oa.zip(ob).forall { case (a, b) => maskedEq(a, b) } &&
+            maskedEq(ta, tb)
+        } &&
+        Dialect.hasDynamicColumns(j) == Dialect.hasDynamicColumns(q)
     }
 
   // a block comment is structure-safe at ANY offset: in code it is a new
