@@ -1667,8 +1667,11 @@ object SparkEntry {
     // within the prior 30 minutes, as two live streams. st18's interval
     // join chained into a windowed max(struct) argmax (two stateful
     // operators); an enriched purchase EMITS once the global watermark
-    // (min of both sides' max ts − 2h) STRICTLY passes its 1h tumbling
-    // window end (StreamingAsOfSpec pins the at-boundary hold-back)
+    // MINUS THE HORIZON strictly passes its 1h tumbling window end: the
+    // interval join's time-range condition delays the event-time column
+    // the downstream agg sees by horizonSeconds, so the effective
+    // boundary is wm − 1800s, not wm (review-caught; empirically pinned
+    // at exact equality by StreamingAsOfSpec)
     // — the oracle encodes that boundary exactly (st19 discipline).
     // Purchases with no prior view never enter the inner join (strict
     // ASOF). Single-file feed → one batch → no disorder headroom needed.
@@ -1717,7 +1720,8 @@ object SparkEntry {
          SELECT purchase_id, user_id, view_id AS last_view_id
          FROM m, wm
          WHERE rn = 1
-           AND (pts // 3600000000 + 1) * 3600000000 < wm.w
+           AND (pts // 3600000000 + 1) * 3600000000
+                 < wm.w - 1800000000
          ORDER BY purchase_id"""),
 
     // STREAMING drift monitor (Events.streamingDriftPsi, st22): per

@@ -106,6 +106,12 @@ object Geo {
     val nLonCells = math.round(360.0 / boxDeg)
     require(!wrapLon || nLonCells * boxDeg == 360.0,
       s"wrapLon needs boxDeg dividing 360 exactly, got $boxDeg")
+    // with <= 2 lon cells the +-1 announcements collapse onto the same
+    // wrapped cell and a site would announce into it TWICE, emitting
+    // duplicate pairs (review-caught) — and a box that wide has no
+    // meaningful lon locality anyway
+    require(!wrapLon || nLonCells >= 3,
+      s"wrapLon needs at least 3 lon cells (boxDeg <= 120), got $boxDeg")
     // with wrap, every lon cell index (site announcements included)
     // normalizes into [0, 360/boxDeg) so the seam cells coincide
     def lonCell(c: Column): Column =

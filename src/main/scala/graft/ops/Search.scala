@@ -52,9 +52,15 @@ object Search {
                    phrase: String): DataFrame = {
     val toks = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, "phrase must contain at least one word token")
+    // materialize the phrase-token posting ONCE (the d17/bm25
+    // discipline): it feeds the anchor plus one join arm per extra
+    // token, and Spark has no cross-branch CSE — a lazy plan would
+    // re-scan and re-tokenize the whole corpus per phrase token. After
+    // the isin filter it is tiny (phrase-token occurrences only).
     val post = df.select(col(idCol).as("__id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .filter(col("__tok").isin(toks.distinct: _*))
+      .localCheckpoint(true)
     val anchor = post.filter(col("__tok") === toks.head)
       .select(col("__id"), col("__pos"))
     val matched = toks.zipWithIndex.tail.foldLeft(anchor) {

@@ -525,6 +525,16 @@ object Dialect {
   private def isIdentBoundaryChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
+  /** Case-insensitive keyword test at offset `k` of a MASKED view, with
+    * identifier boundaries on both sides — the one word matcher every
+    * masked-view scanner shares (a boundary-rule fix lands here once).
+    */
+  private[sql] def wordAt(m: String, k: Int, w: String): Boolean =
+    k >= 0 && k + w.length <= m.length &&
+      m.regionMatches(true, k, w, 0, w.length) &&
+      (k == 0 || !isIdentBoundaryChar(m.charAt(k - 1))) &&
+      (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
+
   /** Comma split at paren depth 0, depth/comma decisions taken on the
     * masked view (commas inside literals, quoted identifiers or comments
     * never split) while the emitted pieces keep the original text.
@@ -606,7 +616,13 @@ object Dialect {
         while (b >= 0 && isIdentBoundaryChar(masked.charAt(b))) b -= 1
         var f = close + 1
         while (f < masked.length && masked.charAt(f).isWhitespace) f += 1
-        if (idEnd > b + 1 && f < masked.length && masked.charAt(f) == ')') {
+        // the preceding identifier must be a FUNCTION name, not a SQL
+        // keyword opening its own parenthesized expression — otherwise
+        // `SELECT (COLUMNS('re'))` or `x IN (COLUMNS('re'))` would be
+        // garbled into `SELECT(c) AS c, ...` (review-caught)
+        val ident = masked.substring(b + 1, idEnd).toLowerCase
+        if (idEnd > b + 1 && f < masked.length && masked.charAt(f) == ')' &&
+            !ColumnsWrapperKeywords(ident)) {
           wrapped = true; wStart = b + 1; wClose = f
         }
       }
@@ -629,6 +645,13 @@ object Dialect {
   }
 
   private val ColumnsRe = """(?is)(?<![A-Za-z0-9_.])columns\s*\(""".r
+
+  // identifiers before '(' that are SQL syntax, never a wrapping function
+  private val ColumnsWrapperKeywords: Set[String] = Set(
+    "select", "where", "in", "and", "or", "on", "when", "then", "else",
+    "by", "from", "join", "having", "qualify", "union", "all", "distinct",
+    "as", "between", "not", "case", "group", "order", "limit", "offset",
+    "window", "exists", "values", "using", "over", "partition")
 
   /** DuckDB's `UNION [ALL] BY NAME`: Spark's parser has no grammar for
     * it, so the dialect splits the statement at the top-level BY NAME
@@ -658,9 +681,7 @@ object Dialect {
       while (k < m.length && m.charAt(k).isWhitespace) k += 1
       k
     }
-    def word(k: Int, w: String): Boolean =
-      k + w.length <= m.length && m.regionMatches(true, k, w, 0, w.length) &&
-        (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
+    def word(k: Int, w: String): Boolean = wordAt(m, k, w)
     case class Hit(start: Int, end: Int, all: Boolean)
     val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
     var plain = false
@@ -725,10 +746,7 @@ object Dialect {
     val m = stripLiterals(sql)
     var i = 0
     while (i < m.length && m.charAt(i).isWhitespace) i += 1
-    def word(k: Int, w: String): Boolean =
-      k + w.length <= m.length && m.regionMatches(true, k, w, 0, w.length) &&
-        (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
-    if (!word(i, "from")) return None
+    if (!wordAt(m, i, "from")) return None
     val selPos = findTopLevelKeywordIn(m, i, "select")
     if (selPos < 0) return Some("SELECT * " + sql.substring(i))
     // the select list runs until the next top-level clause keyword (the

@@ -670,11 +670,15 @@ object Events {
     * picks `max(struct(quoteTime, payload...))` — the latest prior
     * quote, ties broken by the lexicographic struct order on the
     * payload, no rank/window function and no per-pair state beyond the
-    * group row. The aggregation runs in append mode, so a probe's
-    * enriched row EMITS once the global watermark (min of both sides'
-    * max event time − delay) passes its tumbling `windowDuration`
-    * window end — STRICTLY: a window ending exactly at the watermark
-    * is held back (spec-probed). The st19 emission-boundary discipline;
+    * group row. The aggregation runs in append mode; its EMISSION
+    * boundary is the global watermark (min of both sides' max event
+    * time − delay) MINUS `horizonSeconds`: watermark propagation
+    * through the interval join delays the event-time column the
+    * downstream aggregation sees by the join's time-range bound, so a
+    * window emits iff `window_end < wm − horizonSeconds`, STRICTLY — a
+    * window ending exactly at that boundary is held back (empirically
+    * pinned in StreamingAsOfSpec, which distinguishes this from the
+    * naive `end < wm` reading). The st19 emission-boundary discipline;
     * on a finite replay, probes newer than that boundary never emit. Probes with NO
     * prior quote in the horizon never enter the inner join and are
     * absent, matching strict ASOF JOIN.

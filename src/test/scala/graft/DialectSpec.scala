@@ -349,6 +349,13 @@ class DialectSpec extends AnyFunSuite {
       Dialect.expandColumns("SELECT COLUMNS('zzz') FROM t", cols)
     }
     assert(e.getMessage.contains("zzz"))
+    // a parenthesized BARE call after a keyword is NOT a wrapped
+    // aggregate: the keyword must never be captured as the function
+    assert(Dialect.expandColumns("SELECT (COLUMNS('_id')) FROM t", cols) ==
+      "SELECT (`event_id`, `user_id`) FROM t")
+    assert(Dialect.expandColumns(
+      "SELECT a FROM t WHERE a IN (COLUMNS('^user')) ", cols) ==
+      "SELECT a FROM t WHERE a IN (`user_id`) ")
     assert(!Dialect.hasDynamicColumns(lit))
     assert(Dialect.hasDynamicColumns("SELECT COLUMNS('a') FROM t"))
   }

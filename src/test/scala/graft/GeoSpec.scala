@@ -209,6 +209,12 @@ class GeoSpec extends GraftSuite {
       Geo.boxJoin(probe, "plat", "plon", sites, "slat", "slon",
         boxDeg = 0.7, wrapLon = true)
     }
+    // ... and at least 3 lon cells: at 2 cells the +-1 announcements
+    // collapse mod N and duplicate every cross-cell pair
+    intercept[IllegalArgumentException] {
+      Geo.boxJoin(probe, "plat", "plon", sites, "slat", "slon",
+        boxDeg = 180.0, wrapLon = true)
+    }
   }
 
   test("knnJoin equals brute-force top-k within the box (seeded random)") {

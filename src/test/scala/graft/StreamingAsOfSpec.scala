@@ -9,14 +9,17 @@ import org.apache.spark.sql.streaming.Trigger
   * latest-prior pick, struct tie-break, strict-ASOF absence of
   * no-match probes, and the exact emission boundary — a probe's row
   * emits iff its tumbling window END is STRICTLY below the final global
-  * watermark (min of both sides' max event time − delay); a window end
-  * exactly AT the watermark is held back (probed — Spark finalizes
-  * append-mode windows with a strict comparison), an edge the driver
-  * corpus never lands on.
+  * watermark (min of both sides' max event time − delay) MINUS THE
+  * HORIZON: watermark propagation through the interval join delays the
+  * downstream aggregation's event time by the join's range bound, so
+  * the naive `end < wm` reading over-promises by horizonSeconds
+  * (review-caught — the original fixture could not tell the two
+  * boundaries apart). Case 203 sits exactly AT wm − horizon and must be
+  * held; the driver corpus never lands in that zone.
   */
 class StreamingAsOfSpec extends GraftSuite {
 
-  test("latest prior quote wins; ties break on payload; boundary is end < watermark") {
+  test("latest prior quote wins; ties break on payload; boundary is end < watermark - horizon") {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", 4)
     val work = Files.createTempDirectory("graft_asof_st_").toString
@@ -38,19 +41,22 @@ class StreamingAsOfSpec extends GraftSuite {
       (1L, 101L, base + 10L * mn),
       (3L, 300L, base), (3L, 301L, base),
       (4L, 400L, base + 75L * mn),
-      (9L, 900L, base + 235L * mn),
+      (9L, 900L, base + 265L * mn),
       (9L, 901L, base + 10L * h) // pushes max(view_ts) far out
     ).toDF("user_id", "view_id", "tus")
       .select(col("user_id"), col("view_id"), tsCol.as("view_ts"))
 
-    // final watermark = min(max view_ts, max p_ts) − 2h
-    //                 = (base + 4h) − 2h = base + 2h
+    // final watermark wm = min(max view_ts, max p_ts) − 2h
+    //                     = (base + 4h30m) − 2h = base + 2h30m;
+    // the agg's EFFECTIVE boundary is wm − horizon = base + 2h
     val buys = Seq(
-      (1L, 200L, base + 20L * mn),  // window end base+1h <  wm → emits
+      (1L, 200L, base + 20L * mn),  // window end base+1h <  boundary → emits
       (2L, 201L, base + 30L * mn),  // no prior view → absent (strict)
       (3L, 202L, base + 5L * mn),   // tie case, emits
-      (4L, 203L, base + 90L * mn),  // window end base+2h == wm → HELD
-      (9L, 204L, base + 4L * h)     // window end base+5h >  wm → held
+      (4L, 203L, base + 90L * mn),  // window end base+2h == boundary → HELD
+                                    // (the naive end < wm reading would
+                                    // emit it: base+2h < base+2h30m)
+      (9L, 204L, base + 270L * mn)  // window end base+5h > boundary → held
     ).toDF("p_user_id", "purchase_id", "tus")
       .select(col("p_user_id"), col("purchase_id"), tsCol.as("p_ts"))
 
@@ -84,6 +90,7 @@ class StreamingAsOfSpec extends GraftSuite {
     assert(got == Set((200L, 101L), (202L, 301L)),
       s"streamingAsOfEnrich emitted $got — expected latest-prior picks " +
         "for 200/202 only (201 has no prior, 203 sits exactly ON the " +
-        "boundary and must be held, 204 is past it)")
+        "wm − horizon boundary and must be held — its presence means the " +
+        "boundary regressed to the naive end < wm — and 204 is past it)")
   }
 }
