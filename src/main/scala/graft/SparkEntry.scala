@@ -8406,6 +8406,20 @@ object SparkEntry {
          WHERE c_custkey % 500 = 2
          ORDER BY k, price, bal"""),
 
+    // DuckDB's bare SEMI / ANTI JOIN spelling (no LEFT keyword) — Spark's
+    // grammar makes LEFT optional for both, so the statement is
+    // same-text with no dialect work; the pair of counts pins both
+    // semantics (semi + anti partition the probe side).
+    "q58_semi_anti_join" -> multi(Seq("orders", "customer"),
+      """SELECT 'semi' AS side, count(*) AS n
+         FROM orders o SEMI JOIN customer c
+           ON c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
+         UNION ALL
+         SELECT 'anti' AS side, count(*) AS n
+         FROM orders o ANTI JOIN customer c
+           ON c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
+         ORDER BY side"""),
+
     // DuckDB's FROM-first statement form (Dialect.fromFirst): the select
     // list rides after the table expression ("FROM t SELECT list WHERE
     // ..."), or is omitted entirely ("FROM t" == SELECT *). The dialect
