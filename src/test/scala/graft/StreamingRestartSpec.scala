@@ -241,4 +241,98 @@ class StreamingRestartSpec extends GraftSuite {
       s"post-restart pairs wrong: ${all.toSet} — buffered view state " +
         "was not recovered from the checkpoint")
   }
+
+  test("streaming ASOF enrich survives kill + restart (st21: join AND agg state)") {
+    // two chained stateful operators must BOTH recover: a phase-2
+    // purchase attributes to a phase-1 view (join buffers), and a window
+    // left OPEN at the kill emits after the restart with its phase-1
+    // max(struct) contribution intact (agg state). Phase 1 also emits
+    // one row, which the restarted query must not re-emit.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    val work = Files.createTempDirectory("graft_restart_asof_").toString
+    val vDir = s"$work/views"; val bDir = s"$work/buys"
+    Files.createDirectories(Paths.get(vDir))
+    Files.createDirectories(Paths.get(bDir))
+    import s.implicits._
+    val mn = 60L * 1000000L
+    val h = 60L * mn
+    val base = 1000L * h
+    def tsCol = expr("timestamp_micros(tus)")
+
+    // phase 1 --------------------------------------------------------
+    // wm after phase 1 = min(base+3h55m, base+4h) - 2h = base+1h55m;
+    // agg boundary = wm - 30m = base+1h25m -> only 200's window ([0,1h))
+    // emits; 301/300's windows stay OPEN with buffered state
+    val views1 = Seq(
+      (1L, 100L, base),
+      (1L, 101L, base + 10L * mn),   // latest prior for 200
+      (2L, 102L, base + 110L * mn),  // phase-2 purchase attributes here
+      (8L, 800L, base + 235L * mn)   // prior for 300/301
+    ).toDF("user_id", "view_id", "tus")
+      .select(col("user_id"), col("view_id"), tsCol.as("view_ts"))
+    val buys1 = Seq(
+      (1L, 200L, base + 20L * mn),   // emits IN PHASE 1
+      (8L, 301L, base + 238L * mn),  // window [3h,4h) open at the kill
+      (8L, 300L, base + 240L * mn)   // window [4h,5h) open at the kill
+    ).toDF("p_user_id", "purchase_id", "tus")
+      .select(col("p_user_id"), col("purchase_id"), tsCol.as("p_ts"))
+
+    // phase 2 --------------------------------------------------------
+    // 201 arrives ABOVE the recovered watermark (base+2h05m > base+1h55m)
+    // and matches phase-1 view 102 — only possible if the join buffer
+    // was recovered; 901/400 push the final watermark to base+8h so
+    // every open window closes (boundary base+7h30m)
+    val views2 = Seq((9L, 901L, base + 10L * h))
+      .toDF("user_id", "view_id", "tus")
+      .select(col("user_id"), col("view_id"), tsCol.as("view_ts"))
+    val buys2 = Seq(
+      (2L, 201L, base + 125L * mn),
+      (9L, 400L, base + 10L * h) // no prior view: never emits (inner)
+    ).toDF("p_user_id", "purchase_id", "tus")
+      .select(col("p_user_id"), col("purchase_id"), tsCol.as("p_ts"))
+
+    def addFile(df: org.apache.spark.sql.DataFrame, dir: String, name: String): Unit = {
+      val tmp = s"$work/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$dir/$name.parquet"))
+    }
+    addFile(views1, vDir, "v1")
+    addFile(buys1, bDir, "b1")
+
+    def runOnce(): Unit = {
+      val vS = s.readStream.schema(views1.schema).parquet(vDir)
+      val bS = s.readStream.schema(buys1.schema).parquet(bDir)
+      val out = graft.streaming.Events.streamingAsOfEnrich(
+        vS, bS, "user_id", "p_user_id", "view_ts", "p_ts",
+        probeIdCol = "purchase_id", quotePayload = Seq("view_id"),
+        horizonSeconds = 1800L, windowDuration = "1 hour",
+        watermark = "2 hours")
+      val q = out.select(col("purchase_id"), col("view_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+
+    runOnce() // phase 1, then killed
+    val p1 = s.read.parquet(s"$work/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((200L, 101L)), s"phase 1 emitted $p1")
+
+    addFile(views2, vDir, "v2")
+    addFile(buys2, bDir, "b2")
+    runOnce() // restart from checkpoint
+    val all = s.read.parquet(s"$work/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.toSet.size, "restart re-emitted rows")
+    assert(all.toSet == Set((200L, 101L), (201L, 102L),
+      (301L, 800L), (300L, 800L)),
+      s"post-restart rows wrong: ${all.toSet} — join buffers or open " +
+        "window state were not recovered from the checkpoint")
+  }
 }
