@@ -161,7 +161,8 @@ final class Table private (val df: DataFrame) {
     */
   def explainSql(query: String, extended: Boolean = false): String = {
     Registry.registerAll(spark)
-    val q = Dialect.rewrite(query)
+    val q0 = Dialect.rewrite(query)
+    val q = Dialect.fromFirst(q0).getOrElse(q0)
     val view = Dialect.firstFromTable(q).getOrElse("t")
     df.createOrReplaceTempView(view)
     val qe = spark.sql(q).queryExecution
@@ -177,8 +178,7 @@ final class Table private (val df: DataFrame) {
     */
   def explainTree(query: String): String =
     spark.sessionState.sqlParser.parsePlan(
-      Dialect.orderByNullsLast(
-        Dialect.aliasesIntoWhere(Dialect.rewrite(query)))).treeString
+      prep(Dialect.rewrite(query))).treeString
 
   /** The fully materialized result as an Arrow IPC stream — the analog
     * of the reference's `to_arrow`/`to_pandas`

@@ -740,19 +740,32 @@ object Dialect {
     * to the front and leaves every other clause in place, so downstream
     * passes see a standard statement. Statement-head only: a leading
     * WITH is left alone (None — DuckDB's `WITH .. FROM ..` form is out
-    * of scope), as is anything already SELECT-first.
+    * of scope), as is anything already SELECT-first; set-operator arms
+    * after the head must themselves be standard SELECT-first statements
+    * (a head-level `FROM t UNION ALL SELECT ..` gets `SELECT *`
+    * prepended to the head only).
     */
   def fromFirst(sql: String): Option[String] = {
     val m = stripLiterals(sql)
     var i = 0
     while (i < m.length && m.charAt(i).isWhitespace) i += 1
     if (!wordAt(m, i, "from")) return None
-    val selPos = findTopLevelKeywordIn(m, i, "select")
-    if (selPos < 0) return Some("SELECT * " + sql.substring(i))
-    // the select list runs until the next top-level clause keyword (the
-    // set-operator stops keep a union arm out of the list)
     val stops = Seq("where", "group", "having", "qualify", "window",
       "order", "limit", "offset", "union", "intersect", "except")
+    // the FROM-first select list belongs to the HEAD statement only: a
+    // SELECT sitting past the first clause/set-operator keyword is a
+    // later union arm's, not ours — pulling it forward would garble
+    // "FROM t UNION ALL SELECT 1" (review-caught). Such statements take
+    // the bare-FROM path (SELECT * prepended); FROM-first arms AFTER a
+    // set operator are out of scope, documented above.
+    val selPos = findTopLevelKeywordIn(m, i, "select")
+    val headEnd = stops
+      .map(k => findTopLevelKeywordIn(m, i, k)).filter(_ >= 0)
+      .minOption.getOrElse(sql.length)
+    if (selPos < 0 || selPos > headEnd)
+      return Some("SELECT * " + sql.substring(i))
+    // the select list runs until the next top-level clause keyword (the
+    // set-operator stops keep a union arm out of the list)
     val listEnd = stops
       .map(k => findTopLevelKeywordIn(m, selPos + 6, k)).filter(_ >= 0)
       .minOption.getOrElse(sql.length)

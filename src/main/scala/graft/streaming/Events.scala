@@ -736,6 +736,9 @@ object Events {
                         watermark: String): DataFrame = {
     require(refCounts.nonEmpty && refCounts.forall(_ >= 0L),
       "refCounts must be non-negative")
+    require(width > 0, "width must be positive") // Profile.psi's guard:
+    // width 0 makes the bucket NULL (non-ANSI divide), every histogram
+    // cell 0, and the PSI silently meaningless
     val bins = refCounts.size
     val refTotal = refCounts.sum
     require(refTotal > 0, "reference histogram is empty")

@@ -331,6 +331,13 @@ class DialectSpec extends AnyFunSuite {
     // a SELECT inside a subquery is not the top-level select list
     assert(Dialect.fromFirst("FROM (SELECT a FROM t) s WHERE a > 0")
       .contains("SELECT * FROM (SELECT a FROM t) s WHERE a > 0"))
+    // a later union arm's SELECT must NOT be pulled to the head: the
+    // head gets SELECT * and the arm stays in place (review-caught)
+    assert(Dialect.fromFirst("FROM t UNION ALL SELECT 1 AS x")
+      .contains("SELECT * FROM t UNION ALL SELECT 1 AS x"))
+    assert(Dialect.fromFirst(
+      "FROM t WHERE a > 0 UNION ALL SELECT b FROM u WHERE c > 0")
+      .contains("SELECT * FROM t WHERE a > 0 UNION ALL SELECT b FROM u WHERE c > 0"))
   }
 
   test("expandColumns: bare regex, wrapped aggregate, partial match, loud no-match") {
