@@ -1003,6 +1003,60 @@ object SparkEntry {
                 CAST(0.01 AS DOUBLE) AS p90_err_bound
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
+    // sketch-tier CORPUS OVERLAP (ap04): how much distinct content two
+    // corpora share, estimated by HLL inclusion–exclusion
+    // (|A| + |B| − |A∪B|) over 3-gram hashes — the O(1)-memory way to
+    // size a decontamination problem BEFORE paying d10's exact gram
+    // join. All three sketches come from ONE aggregation pass over one
+    // map-side posting (conditional distincts; grams as xxhash64 longs,
+    // the d14 hash≡string mold); the exact counts ride in the same pass
+    // and gate the estimate in the ap01 error-bound discipline
+    // (sketches are deterministic for fixed input, so the gate is
+    // exact — measured 0.0262 vs the 0.05 contract at sf0.01).
+    "ap04_overlap_sketch" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        def relerr(a: Column, e: Column): Column =
+          abs(a - e).cast("double") / e
+        def gate(err: Column, bound: Double): Column =
+          when(err <= bound, lit(bound)).otherwise(err)
+        val g = s.read.parquet(s"$dir/documents.parquet")
+          .select((col("doc_id") % 2 === 0).as("in_a"),
+            explode(graft.ops.TextOps.shingles(col("text"), 3)).as("gs"))
+          .select(col("in_a"), xxhash64(col("gs")).as("g"))
+        val ovl = col("n_a") + col("n_b") - col("n_union")
+        g.agg(
+            count_distinct(when(col("in_a"), col("g"))).as("n_a"),
+            count_distinct(when(!col("in_a"), col("g"))).as("n_b"),
+            count_distinct(col("g")).as("n_union"),
+            approx_count_distinct(when(col("in_a"), col("g")), rsd = 0.01)
+              .as("__ea"),
+            approx_count_distinct(when(!col("in_a"), col("g")), rsd = 0.01)
+              .as("__eb"),
+            approx_count_distinct(col("g"), rsd = 0.01).as("__eu"))
+          .select(col("n_a"), col("n_b"), col("n_union"),
+            ovl.as("n_overlap"),
+            gate(relerr(col("__ea") + col("__eb") - col("__eu"), ovl),
+              0.05).as("overlap_err_bound"))
+      },
+      """WITH s AS (SELECT doc_id % 2 = 0 AS in_a,
+                  list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '') AS t
+           FROM documents),
+         g AS (SELECT in_a, array_to_string(t[i:i+2], ' ') AS g
+               FROM s, unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                 AS u(i))
+         SELECT CAST(count(DISTINCT CASE WHEN in_a THEN g END) AS BIGINT)
+                  AS n_a,
+                CAST(count(DISTINCT CASE WHEN NOT in_a THEN g END) AS BIGINT)
+                  AS n_b,
+                CAST(count(DISTINCT g) AS BIGINT) AS n_union,
+                CAST(count(DISTINCT CASE WHEN in_a THEN g END)
+                     + count(DISTINCT CASE WHEN NOT in_a THEN g END)
+                     - count(DISTINCT g) AS BIGINT) AS n_overlap,
+                CAST(0.05 AS DOUBLE) AS overlap_err_bound
+         FROM g"""),
+
     // approximation CONTRACTS for the ap01 sketches, strict-oracled: the
     // same HLL++ and quantile sketches re-run next to their exact
     // counterparts, emitting per-group error-bound gates (the s02/s03
