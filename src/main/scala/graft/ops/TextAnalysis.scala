@@ -331,10 +331,14 @@ object TextAnalysis {
     * LONGS, so the posting is 16 B/row instead of gram strings — exact
     * absent 64-bit collisions (zero on the shipped corpora; the
     * driver's strict STRING-gram oracle re-checks that every round, the
-    * d14 mold). The hash is applied as a scalar expression AFTER the
-    * explode — codegen'd, unlike a `transform(_, xxhash64)` lambda,
-    * whose per-element interpreted evaluation was measured 5× slower
-    * here. The hashed posting is materialized ONCE (localCheckpoint):
+    * d14 mold). Gram identities come from the NUMERIC shingling path
+    * (`window_hashes` over token hashes — the d02/minhash machinery):
+    * no per-shingle string is ever materialized, which was the dominant
+    * map cost of the string formulation (measured 5.5 s → ~1.5 s at
+    * sf0.1 when ap04 made the same switch; distinct window-hashes ≡
+    * distinct string k-grams absent collisions, including the
+    * whole-document gram for sub-k-token texts).
+    * The hashed posting is materialized ONCE (localCheckpoint):
     * it has TWO consumers (per-doc totals, per-gram first-seen min) and
     * Spark has no cross-branch CSE, so a lazy plan re-tokenizes the
     * corpus per consumer — measured at 5× this shape's cost when tried
@@ -349,9 +353,10 @@ object TextAnalysis {
     */
   def corpusNovelty(df: DataFrame, idCol: String, textCol: String,
                     shingleK: Int = 3): DataFrame = {
+    graft.functions.Registry.registerAll(df.sparkSession)
     val g = df.select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(TextOps.shingles(col(textCol), shingleK))).as("gs"))
-      .select(col("id"), xxhash64(col("gs")).as("g"))
+        explode(array_distinct(call_function("window_hashes",
+          TextOps.tokenHashes(col(textCol)), lit(shingleK)))).as("g"))
       .localCheckpoint(true)
     val counts = g.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val novel = g.groupBy(col("g")).agg(min(col("id")).as("id"))

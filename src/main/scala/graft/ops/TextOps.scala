@@ -34,8 +34,27 @@ object TextOps {
         i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
   }
 
+  /** Integer gram identities for the hashGrams tiers (d14/d17/t22/ap04):
+    * the NUMERIC shingling path — [[graft.functions.WindowHashes]] over
+    * per-token xxhash64 values, constructed directly as a Catalyst
+    * expression (no registry dependency, codegen'd kernel). No
+    * per-shingle string is ever materialized: the old
+    * `transform(shingles, xxhash64)` built every gram string and hashed
+    * it through an interpreted lambda — measured 7× slower on t22's
+    * posting build when ap04/t22 made this switch. Distinct hashes ≡
+    * distinct string k-grams absent 64-bit collisions (every consumer's
+    * strict string-gram oracle re-checks that), INCLUDING the
+    * whole-document gram for sub-k-token texts (WindowHashes hashes all
+    * elements when the input is shorter than k). Divergence from the
+    * string tier: a ZERO-token text has no gram here (null → dropped)
+    * where `shingles` yields one empty-string gram — equivalence holds
+    * for any text with at least one word token (spec-pinned).
+    */
   def shingleHashes(c: Column, k: Int): Column =
-    transform(shingles(c, k), s => xxhash64(s))
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      graft.functions.WindowHashes(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(tokenHashes(c)),
+        k, graft.functions.Registry.DefaultSeed))
 
   // --- URL canonicalization -------------------------------------------
   //
