@@ -298,7 +298,7 @@ class OpsSpec extends GraftSuite {
       (1L, "alpha beta gamma delta"),          // all grams first-seen -> 1.0
       (2L, "alpha beta gamma delta"),          // exact copy -> 0.0
       (3L, "alpha beta gamma NEW words here"), // shares 'alpha beta gamma'
-      (4L, "")                                 // empty doc: one '' shingle
+      (4L, "")                                 // zero tokens: no grams
     ).toDF("doc_id", "text")
     val out = graft.ops.TextAnalysis.corpusNovelty(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -307,7 +307,10 @@ class OpsSpec extends GraftSuite {
     assert(out(2L) == ((2L, 0L)), "an exact copy has zero novel grams")
     // doc3 grams: 'alpha beta gamma' (seen), + 3 new ones
     assert(out(3L) == ((4L, 3L)))
-    assert(out(4L) == ((1L, 1L)), "empty doc's '' shingle is its own first")
+    // numeric shingling contract (TextOps.shingleHashes): a zero-token
+    // text has NO gram and drops from the output entirely (the string
+    // tier's '' whole-doc shingle is gone)
+    assert(!out.contains(4L), "zero-token doc must be absent")
   }
 
   test("keySkew matches the naive per-key ranking formula") {
