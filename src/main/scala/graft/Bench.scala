@@ -52,7 +52,8 @@ object Bench {
     "p01_pipeline_e2e", "st01_stream_sessionize", "s06_quantize_int8",
     "d10_decontaminate", "j06_range_join", "t09_lm_score", "u01_upsert",
     "e04_funnel", "st04_stream_append", "w04_rolling_range", "s08_ann_pq",
-    "s11_ann_ivfpq_persisted", "t11_bpe_tokens")
+    "s11_ann_ivfpq_persisted", "t11_bpe_tokens",
+    "gr07_recursive_sql", "d21_cdc_chunk_dedup", "st21_stream_asof_enrich")
 
   /** Host 1-minute load average (ratio of runnable tasks to nothing — NOT
     * normalized by core count) via the JMX OS bean; -1 where unsupported.
