@@ -157,7 +157,7 @@ object SparkEntry {
     * empties dropped; documents shorter than k tokens yield one whole-doc
     * shingle — TextOps.shingles / window_hashes semantics).
     */
-  private def gramSets(k: Int): String =
+  private def gramSets(k: Int, dropEmptyDocs: Boolean = false): String =
     s"""WITH s AS (
            SELECT doc_id,
                   list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks
@@ -167,7 +167,7 @@ object SparkEntry {
                   CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
                        ELSE list_distinct(list_transform(generate_series(1, len(toks)-${k - 1}),
                                           i -> array_to_string(toks[i:i+${k - 1}], ' '))) END AS shset
-           FROM s)"""
+           FROM s${if (dropEmptyDocs) " WHERE len(toks) > 0" else ""})"""
 
   private val fiveGramSets: String = gramSets(5)
 
@@ -1049,7 +1049,13 @@ object SparkEntry {
             approx_count_distinct(col("g"), rsd = 0.01).as("__eu"))
           .select(col("n_a"), col("n_b"), col("n_union"),
             ovl.as("n_overlap"),
-            gate(relerr(col("__ea") + col("__eb") - col("__eu"), ovl),
+            // guard the relerr DENOMINATOR only: disjoint corpora make
+            // ovl = 0 and a bare abs/ovl would emit NULL where the
+            // oracle pins the 0.05 contract constant; greatest(ovl, 1)
+            // degrades to absolute error there (still leaks loudly if
+            // the sketch invents overlap on truly disjoint halves)
+            gate(abs(col("__ea") + col("__eb") - col("__eu") - ovl)
+              .cast("double") / greatest(ovl, lit(1L)),
               0.05).as("overlap_err_bound"))
       },
       """WITH s AS (SELECT doc_id % 2 = 0 AS in_a,
@@ -1058,7 +1064,8 @@ object SparkEntry {
            FROM documents),
          g AS (SELECT in_a, array_to_string(t[i:i+2], ' ') AS g
                FROM s, unnest(generate_series(1, greatest(len(t) - 2, 1)))
-                 AS u(i))
+                 AS u(i)
+               WHERE len(t) > 0)
          SELECT CAST(count(DISTINCT CASE WHEN in_a THEN g END) AS BIGINT)
                   AS n_a,
                 CAST(count(DISTINCT CASE WHEN NOT in_a THEN g END) AS BIGINT)
@@ -2801,7 +2808,11 @@ object SparkEntry {
             hashGrams = true)
           .orderBy(col("doc_id"))
       },
-      s"""${gramSets(8)},
+      // dropEmptyDocs: the hashed tier derives grams from window_hashes
+      // over token hashes, where a ZERO-token doc has no gram — the
+      // string-tier whole-doc '' shingle must not appear in this oracle
+      // (it would RED on a corpus containing an empty document)
+      s"""${gramSets(8, dropEmptyDocs = true)},
          evg AS (
            SELECT DISTINCT unnest(shset) AS g FROM sh
            WHERE doc_id BETWEEN 450 AND 459),
@@ -2928,7 +2939,8 @@ object SparkEntry {
                               generate_series(1, len(toks) - 2),
                               i -> array_to_string(toks[i:i+2], ' '))) END
                     AS shset
-           FROM s),
+           FROM s
+           WHERE len(toks) > 0),
          g AS (SELECT doc_id, u.g FROM sh, unnest(shset) AS u(g)),
          f AS (SELECT g, min(doc_id) AS first_id FROM g GROUP BY g)
          SELECT g.doc_id,
@@ -5904,7 +5916,7 @@ object SparkEntry {
                       ELSE list_distinct(list_transform(
                         generate_series(1, len(toks)-4),
                         i -> array_to_string(toks[i:i+4], ' '))) END AS gs
-                FROM s),
+                FROM s WHERE len(toks) > 0),
          g AS (SELECT doc_id, unnest(gs) AS g FROM sh),
          n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -104,7 +104,10 @@ object Geo {
       s"distance column name '$distCol' already exists on an input — " +
         "pass a different distCol")
     val nLonCells = math.round(360.0 / boxDeg)
-    require(!wrapLon || nLonCells * boxDeg == 360.0,
+    // epsilon compare, not float equality: decimally-exact divisors like
+    // 0.1 are not binary-exact (3600 * 0.1 != 360.0 in doubles) and the
+    // contract is about cell-count divisibility, not bit patterns
+    require(!wrapLon || math.abs(nLonCells * boxDeg - 360.0) < 1e-9,
       s"wrapLon needs boxDeg dividing 360 exactly, got $boxDeg")
     // with <= 2 lon cells the +-1 announcements collapse onto the same
     // wrapped cell and a site would announce into it TWICE, emitting
@@ -184,7 +187,20 @@ object Geo {
               metric: (Column, Column, Column, Column) => Column =
                 haversineKm, wrapLon: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
-    graft.functions.Registry.registerAll(probes.sparkSession)
+    // topk_by carries ids as longs and SKIPS nulls — a non-numeric site
+    // key would cast to null and every probe would silently come back
+    // with an empty neighbor list, so the integral-key contract is
+    // enforced loudly instead (string keys: join a dense surrogate id)
+    sites.schema(sKey).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"knnJoin site key '$sKey' must be an integral type (output is " +
+          s"BIGINT; ids ride the bounded-heap topk_by as longs), got $dt — " +
+          "map string keys to a surrogate id first")
+    }
     boxJoin(probes.select(col(pKey), col(pLat), col(pLon)), pLat, pLon,
         sites, sLat, sLon, boxDeg, "__gd", metric, wrapLon)
       .groupBy(col(pKey))

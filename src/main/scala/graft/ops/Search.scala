@@ -47,9 +47,21 @@ object Search {
     * BOTH the corpus and the phrase, so "Slow, HASH batch!" matches the
     * phrase "slow hash batch". Output: (idCol, n_matches, first_pos)
     * for matching documents only (0-based token position).
+    *
+    * MEMORY CONTRACT: the materialized posting holds one row per
+    * occurrence of each phrase token, so a phrase built from stop words
+    * ("of the") pins a posting proportional to the corpus — exact phrase
+    * search over ubiquitous tokens has no sublinear candidate set, and a
+    * token cannot be dropped from the phrase without changing semantics.
+    * Pass `maxTokenDocFreq` to make that explicit: any phrase token
+    * appearing in more documents FAILS LOUDLY (naming the token and its
+    * document frequency) instead of silently materializing a
+    * corpus-sized posting; the check is one extra aggregation over the
+    * same filtered posting pass, paid only when the cap is set.
     */
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
-                   phrase: String): DataFrame = {
+                   phrase: String,
+                   maxTokenDocFreq: Option[Long] = None): DataFrame = {
     val toks = phrase.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
     require(toks.nonEmpty, "phrase must contain at least one word token")
     // materialize the phrase-token posting ONCE (the d17/bm25
@@ -57,10 +69,28 @@ object Search {
     // token, and Spark has no cross-branch CSE — a lazy plan would
     // re-scan and re-tokenize the whole corpus per phrase token. After
     // the isin filter it is tiny (phrase-token occurrences only).
-    val post = df.select(col(idCol).as("__id"),
+    val postLazy = df.select(col(idCol).as("__id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .filter(col("__tok").isin(toks.distinct: _*))
-      .localCheckpoint(true)
+    maxTokenDocFreq.foreach { cap =>
+      require(cap > 0, "maxTokenDocFreq must be positive")
+      // document frequency per phrase token BEFORE pinning the posting:
+      // the guard collects one tiny row per distinct phrase token
+      val hot = postLazy.groupBy(col("__tok"))
+        .agg(count_distinct(col("__id")).as("__df"))
+        .filter(col("__df") > cap)
+        .collect()
+      if (hot.nonEmpty) {
+        val worst = hot.map(r => s"'${r.getString(0)}' (df=${r.getLong(1)})")
+          .mkString(", ")
+        throw new IllegalArgumentException(
+          s"phraseSearch: phrase token(s) $worst exceed maxTokenDocFreq=" +
+            s"$cap — the posting for this phrase is corpus-sized; raise " +
+            "the cap (accepting the memory cost) or search a more " +
+            "selective phrase")
+      }
+    }
+    val post = postLazy.localCheckpoint(true)
     val anchor = post.filter(col("__tok") === toks.head)
       .select(col("__id"), col("__pos"))
     val matched = toks.zipWithIndex.tail.foldLeft(anchor) {

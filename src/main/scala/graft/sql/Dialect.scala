@@ -624,6 +624,25 @@ object Dialect {
         if (idEnd > b + 1 && f < masked.length && masked.charAt(f) == ')' &&
             !ColumnsWrapperKeywords(ident)) {
           wrapped = true; wStart = b + 1; wClose = f
+          // a trailing alias on the wrapper (min(COLUMNS('re')) AS x)
+          // would otherwise rewrite to `min(a) AS a, min(b) AS b AS x` —
+          // a baffling downstream parse error; the expansion names each
+          // output by its plain column name (DuckDB's naming), so an
+          // outer alias has no well-defined meaning here. Reject loudly.
+          var t = f + 1
+          while (t < masked.length && masked.charAt(t).isWhitespace) t += 1
+          if (t < masked.length &&
+              (masked.charAt(t) == '`' || masked.charAt(t).isLetter ||
+                masked.charAt(t) == '_')) {
+            var te = t
+            while (te < masked.length && isIdentBoundaryChar(masked.charAt(te)))
+              te += 1
+            val word = masked.substring(t, te).toLowerCase
+            require(ColumnsTrailingKeywords(word),
+              "wrapped COLUMNS(...) cannot take an outer alias — the " +
+                "expansion names each output by its source column; alias " +
+                "per-column instead (e.g. project after the expansion)")
+          }
         }
       }
       cur =
@@ -645,6 +664,14 @@ object Dialect {
   }
 
   private val ColumnsRe = """(?is)(?<![A-Za-z0-9_.])columns\s*\(""".r
+
+  // clause keywords that may legitimately follow a wrapped COLUMNS
+  // expansion in a select list — anything else after the wrapper's ')'
+  // is a (rejected) outer alias
+  private val ColumnsTrailingKeywords: Set[String] = Set(
+    "from", "where", "group", "order", "having", "qualify", "union",
+    "intersect", "except", "limit", "offset", "window", "and", "or",
+    "when", "then", "else", "end")
 
   // identifiers before '(' that are SQL syntax, never a wrapping function
   private val ColumnsWrapperKeywords: Set[String] = Set(

@@ -365,6 +365,21 @@ class DialectSpec extends AnyFunSuite {
       "SELECT a FROM t WHERE a IN (`user_id`) ")
     assert(!Dialect.hasDynamicColumns(lit))
     assert(Dialect.hasDynamicColumns("SELECT COLUMNS('a') FROM t"))
+    // an outer alias on a WRAPPED call has no well-defined meaning (the
+    // expansion names outputs by source column) — rejected loudly, both
+    // the AS form and the bare-identifier form; clause keywords after
+    // the wrapper are NOT aliases
+    val ea = intercept[IllegalArgumentException] {
+      Dialect.expandColumns("SELECT min(COLUMNS('^user')) AS x FROM t", cols)
+    }
+    assert(ea.getMessage.contains("outer alias"))
+    val eb = intercept[IllegalArgumentException] {
+      Dialect.expandColumns("SELECT min(COLUMNS('^user')) x FROM t", cols)
+    }
+    assert(eb.getMessage.contains("outer alias"))
+    assert(Dialect.expandColumns(
+      "SELECT min(COLUMNS('^user')) FROM t ORDER BY 1", cols) ==
+      "SELECT min(`user_id`) AS `user_id` FROM t ORDER BY 1")
   }
 
   test("splitUnionByName: operands, ALL flags, union-level trailing clause") {

@@ -244,6 +244,25 @@ class GeoSpec extends GraftSuite {
     // probes with fewer than k in-box sites return fewer rows, not pads
     assert(want.groupBy(_._1).values.exists(_.size < k),
       "fixture must exercise a short candidate list")
+    // a non-integral site key would ride topk_by as null and silently
+    // return empty neighbor lists — rejected loudly instead
+    val strSites = sites.map { case (j, la, lo) => (s"s$j", la, lo) }
+      .toDF("sid", "slat", "slon")
+    val e = intercept[IllegalArgumentException] {
+      Geo.knnJoin(probes.toDF("pid", "plat", "plon"), "pid", "plat",
+        "plon", strSites, "sid", "slat", "slon", boxDeg = box, k = k)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("wrapLon accepts decimally-exact divisors of 360 (0.1 is not " +
+      "binary-exact: 3600 * 0.1 != 360.0 in doubles)") {
+    val probe = Seq((1L, 0.0, 179.97)).toDF("pid", "plat", "plon")
+    val sites = Seq((100L, 0.0, -179.97)).toDF("sid", "slat", "slon")
+    val got = Geo.nearestJoin(probe, "pid", "plat", "plon",
+        sites, "sid", "slat", "slon", boxDeg = 0.1, wrapLon = true)
+      .select(col("sid")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(100L))
   }
 
   test("cellDensity counts per occupied cell only") {

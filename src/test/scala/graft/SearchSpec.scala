@@ -52,6 +52,26 @@ class SearchSpec extends GraftSuite {
     assert(one == Seq((1L, 2L, 0L), (2L, 1L, 0L), (3L, 1L, 0L), (4L, 1L, 1L)))
   }
 
+  test("phraseSearch maxTokenDocFreq: high-frequency token fails loudly, " +
+      "selective phrase passes under the same cap") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the lazy dog"),
+      (3L, "the cat"), (4L, "the bird"), (5L, "quick feet")
+    ).toDF("doc_id", "text")
+    // 'the' appears in 4 docs > cap 2 — rejected, naming token and df
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Search.phraseSearch(docs, "doc_id", "text", "the quick",
+        maxTokenDocFreq = Some(2L))
+    }
+    assert(e.getMessage.contains("'the' (df=4)"))
+    assert(e.getMessage.contains("maxTokenDocFreq=2"))
+    // a selective phrase under the same cap still answers exactly
+    val ok = graft.ops.Search.phraseSearch(docs, "doc_id", "text",
+        "quick brown", maxTokenDocFreq = Some(2L))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ok == Seq((1L, 1L, 1L)))
+  }
+
   test("kAnonymity: nulls form their own group; summary arithmetic") {
     val df = Seq(
       (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
