@@ -2076,6 +2076,66 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(a.text, '') AS text
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""),
 
+    // exact-substring dedup (Dedup.sharedRuns, d22): every MAXIMAL token
+    // run of >= 15 tokens shared by two documents — the ExactSubstr
+    // dedup family (verbatim copied passages regardless of context),
+    // run relationally: length-15 window-hash anchors (numeric
+    // shingling, 8-byte longs through the shuffle) -> one anchor-hash
+    // equi-join -> gap-and-islands per (pair, diagonal) -> exact
+    // token-slice verify confined to candidates (d03 discipline; a hash
+    // collision drops its run and fails the strict oracle loudly). The
+    // corpus adds mid-document verbatim excerpts (tokens 11-50 of every
+    // 25th doc wrapped in fresh context) — the overlap shape d06's
+    // segments and d21's chunks both miss, spec-pinned. The oracle
+    // re-derives maximal runs from raw gram STRINGS with the same
+    // diagonal construction, so hash-vs-string equivalence is
+    // driver-checked (the d14 mold).
+    "d22_exact_substr" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val excerpts = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(lit("planted excerpt prefix marker "),
+              array_join(slice(graft.ops.TextOps.tokens(col("text")),
+                11, 40), " "),
+              lit(" planted excerpt suffix marker")).as("text"))
+        graft.ops.Dedup.sharedRuns(
+            docs.select(col("doc_id"), col("text")).unionByName(excerpts),
+            "doc_id", "text", minRun = 15)
+          .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+      },
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  'planted excerpt prefix marker ' ||
+                  array_to_string(list_filter(string_split_regex(lower(text),
+                    '\W+'), x -> x <> '')[11:50], ' ') ||
+                  ' planted excerpt suffix marker'
+           FROM documents WHERE doc_id % 25 = 0),
+         s AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                   x -> x <> '') AS toks FROM u),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                      array_to_string(toks[i:i+14], ' ') AS gram
+               FROM s, unnest(generate_series(1, len(toks) - 14)) u2(i)
+               WHERE len(toks) >= 15),
+         m AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                      a.pos AS pa, b.pos AS pb
+               FROM g a JOIN g b ON a.gram = b.gram
+                                AND a.doc_id < b.doc_id),
+         r AS (SELECT ia, ib, pa, pb, pa - pb AS diag,
+                      pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+                                              ORDER BY pa) AS grp
+               FROM m)
+         SELECT ia AS id_a, ib AS id_b,
+                CAST(min(pa) AS BIGINT) AS start_a,
+                CAST(min(pb) AS BIGINT) AS start_b,
+                CAST(max(pa) - min(pa) + 15 AS BIGINT) AS run_len
+         FROM r GROUP BY ia, ib, diag, grp
+         ORDER BY id_a, id_b, start_a, start_b"""),
+
     // content-defined chunk dedup (Dedup.cdcChunkGroups): Rabin
     // rolling-hash boundaries (8-char window, base 31, hash % 64 == 63)
     // make the chunk grid shift-robust — an insertion re-syncs within 8

@@ -818,4 +818,89 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Exact-substring dedup (d22): every MAXIMAL token run of length
+    * ≥ `minRun` shared by two documents — the ExactSubstr family of
+    * training-data dedup (find verbatim copied passages regardless of
+    * surrounding context), run relationally instead of over a suffix
+    * array. Catches the mid-document verbatim excerpt that BOTH
+    * [[dedupSegments]] (the shared run need not cover whole delimiter
+    * segments) and [[cdcChunkGroups]] (the run can be shorter than a
+    * content-defined chunk) miss — spec-pinned with a planted fixture.
+    *
+    * Method: every length-`minRun` token window is an ANCHOR, identified
+    * by its [[TextOps.shingleHashes]] window hash (8-byte longs through
+    * the shuffle, never gram strings — the numeric-shingling rule). A
+    * shared run of length R ≥ minRun matches anchors at R−minRun+1
+    * consecutive positions on one (id_a, id_b, posA−posB) DIAGONAL, so
+    * maximal runs are exactly the gap-and-islands of anchor matches per
+    * diagonal: grp = posA − row_number() is constant within an island,
+    * run_len = max(posA) − min(posA) + minRun. An exact token-slice
+    * comparison then re-verifies every candidate run (the d03 verify
+    * discipline), so a 64-bit window-hash collision fails LOUDLY (the
+    * affected run drops and the strict oracle mismatches) instead of
+    * silently inflating a run.
+    *
+    * Scale shape: one posting build (map-only, filtered to docs with
+    * ≥ minRun tokens), one anchor-hash equi-join (shuffle ∝ posting, AQE
+    * splits skewed anchors), one window + one aggregation keyed on
+    * candidate pairs (∝ shared content, not corpus), and two lazy joins
+    * back to token arrays confined to candidate docs. No all-pairs stage
+    * anywhere. `maxAnchorFreq` guards the quadratic blow-up of an anchor
+    * shared by many documents (boilerplate at corpus scale): any anchor
+    * window occurring more often FAILS LOUDLY — dropping it would
+    * silently break run maximality, so the cap is a refusal, not a
+    * filter (the phraseSearch contract, not the containmentPairs one).
+    *
+    * Output: (id_a, id_b, start_a, start_b, run_len) with id_a < id_b,
+    * 0-based token positions, one row per maximal run per diagonal
+    * alignment (a passage repeated k times in doc B yields k rows).
+    */
+  def sharedRuns(df: DataFrame, idCol: String, textCol: String,
+                 minRun: Int,
+                 maxAnchorFreq: Option[Long] = None): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    // token arrays stay a LAZY plan on purpose: the posting pass and the
+    // final verify joins each re-derive them from the source scan — two
+    // cheap map passes — instead of pinning a corpus-sized checkpoint
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val posting = toks.filter(size(col("__toks")) >= minRun)
+      .select(col("__id"), posexplode(TextOps.shingleHashesOfTokens(
+        col("__toks"), minRun)).as(Seq("__pos", "__wh")))
+    maxAnchorFreq.foreach { cap =>
+      require(cap >= 2, "maxAnchorFreq must be at least 2")
+      val hot = posting.groupBy(col("__wh"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .agg(count(lit(1)), max(col("__n"))).collect().head
+      if (hot.getLong(0) > 0) throw new IllegalArgumentException(
+        s"sharedRuns: ${hot.getLong(0)} anchor window(s) of $minRun tokens " +
+          s"occur more than maxAnchorFreq=$cap times (worst: " +
+          s"${hot.getLong(1)}) — boilerplate this common makes the " +
+          "candidate join quadratic; dedup the boilerplate first (e.g. " +
+          "dedupSegments/cdcChunkGroups) or raise the cap")
+    }
+    val m = posting.as("a").join(posting.as("b"),
+        col("a.__wh") === col("b.__wh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__ia"), col("b.__id").as("__ib"),
+        col("a.__pos").as("__pa"), col("b.__pos").as("__pb"),
+        (col("a.__pos") - col("b.__pos")).as("__diag"))
+    val w = Window.partitionBy(col("__ia"), col("__ib"), col("__diag"))
+      .orderBy(col("__pa"))
+    val runs = m.withColumn("__grp", col("__pa") - row_number().over(w))
+      .groupBy(col("__ia"), col("__ib"), col("__diag"), col("__grp"))
+      .agg(min(col("__pa")).as("start_a"), min(col("__pb")).as("start_b"),
+        (max(col("__pa")) - min(col("__pa")) + minRun).cast("long")
+          .as("run_len"))
+    runs
+      .join(toks.select(col("__id").as("__ia"), col("__toks").as("__ta")),
+        "__ia")
+      .join(toks.select(col("__id").as("__ib"), col("__toks").as("__tb")),
+        "__ib")
+      .filter(slice(col("__ta"), col("start_a") + 1, col("run_len")) ===
+        slice(col("__tb"), col("start_b") + 1, col("run_len")))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"), col("run_len"))
+  }
 }

@@ -51,9 +51,17 @@ object TextOps {
     * for any text with at least one word token (spec-pinned).
     */
   def shingleHashes(c: Column, k: Int): Column =
+    shingleHashesOfTokens(tokens(c), k)
+
+  /** [[shingleHashes]] over an already-derived token array column —
+    * for operators that need the hash at a POSITION indexing that same
+    * array (sharedRuns): window hash i covers tokens [i, i+k).
+    */
+  def shingleHashesOfTokens(toks: Column, k: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       graft.functions.WindowHashes(
-        org.apache.spark.sql.GraftColumnBridge.toExpression(tokenHashes(c)),
+        org.apache.spark.sql.GraftColumnBridge.toExpression(
+          transform(toks, t => xxhash64(t))),
         k, graft.functions.Registry.DefaultSeed))
 
   // --- URL canonicalization -------------------------------------------

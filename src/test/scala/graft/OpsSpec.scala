@@ -837,6 +837,78 @@ class OpsSpec extends GraftSuite {
     assert(out === Array((1L, "x\ny"), (2L, "z")))
   }
 
+  test("sharedRuns finds the mid-document verbatim excerpt that BOTH " +
+      "cdcChunkGroups and dedupSegments miss (planted fixture)") {
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = toks("s", 20)
+    val docs2 = Seq(
+      (1L, s"${toks("ua", 30)} $shared ${toks("va", 30)}"),
+      (2L, s"${toks("ub", 10)} $shared ${toks("vb", 5)}")
+    ).toDF("doc_id", "text")
+    // the copied passage is embedded mid-line with different context:
+    // delimiter segmentation sees two distinct single-segment docs...
+    val seg = Dedup.dedupSegments(docs2, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(seg(0).nonEmpty && seg(1).nonEmpty &&
+      seg(1).contains("s0"), "dedupSegments must MISS the excerpt")
+    // ...and the ~120-char run is shorter than the content-defined
+    // chunks around it, so no complete chunk is shared either
+    assert(Dedup.cdcChunkGroups(docs2, "doc_id", "text").count() == 0,
+      "cdcChunkGroups must MISS the excerpt")
+    // sharedRuns finds it exactly: one maximal 20-token run
+    val got = Dedup.sharedRuns(docs2, "doc_id", "text", minRun = 15)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 30L, 10L, 20L)))
+  }
+
+  test("sharedRuns: maximality, minRun boundary, short docs, periodic " +
+      "text diagonals, repeated passage, anchor-freq refusal") {
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    // run of exactly minRun reported once; run of minRun-1 not at all
+    val boundary = Seq(
+      (1L, s"${toks("a", 5)} ${toks("s", 15)} ${toks("b", 5)}"),
+      (2L, s"${toks("c", 3)} ${toks("s", 15)} ${toks("d", 2)}"),
+      (3L, s"${toks("e", 4)} ${toks("s", 14)} ${toks("f", 4)}")
+    ).toDF("doc_id", "text")
+    val gotB = Dedup.sharedRuns(boundary, "doc_id", "text", minRun = 15)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // 1-2 share s0..s14 (len 15); 3 shares only 14 tokens with each —
+    // below minRun, absent; no sub-runs of the 15-run are emitted
+    assert(gotB == Seq((1L, 2L, 5L, 3L, 15L)))
+    // docs shorter than minRun can't host a run and are filtered
+    val short = Seq((1L, toks("s", 14)), (2L, toks("s", 14)))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedRuns(short, "doc_id", "text", minRun = 15)
+      .count() == 0)
+    // periodic text: one maximal run per diagonal alignment
+    val periodic = Seq((1L, "x a b a b a b y"), (2L, "z a b a b w"))
+      .toDF("doc_id", "text")
+    val gotP = Dedup.sharedRuns(periodic, "doc_id", "text", minRun = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotP == Seq((1L, 2L, 1L, 1L, 4L), (1L, 2L, 3L, 1L, 4L)))
+    // a passage repeated twice in one doc yields one row per occurrence
+    val rep = Seq(
+      (1L, s"${toks("f", 3)} ${toks("s", 15)} ${toks("g", 3)}"),
+      (2L, s"${toks("c", 5)} ${toks("s", 15)} ${toks("d", 5)} " +
+        s"${toks("s", 15)} e0")
+    ).toDF("doc_id", "text")
+    val gotR = Dedup.sharedRuns(rep, "doc_id", "text", minRun = 15)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(gotR == Seq((1L, 2L, 3L, 5L, 15L), (1L, 2L, 3L, 25L, 15L)))
+    // the s0..s14 anchor occurs 3 times corpus-wide (plus shifted
+    // windows at 2): a cap of 2 REFUSES loudly instead of degrading
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sharedRuns(rep, "doc_id", "text", minRun = 15,
+        maxAnchorFreq = Some(2L))
+    }
+    assert(e.getMessage.contains("maxAnchorFreq=2"))
+    assert(Dedup.sharedRuns(rep, "doc_id", "text", minRun = 15,
+      maxAnchorFreq = Some(3L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted == gotR)
+  }
+
   test("embeddingPairsExact is a superset of bucketed embeddingPairs") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),

@@ -320,6 +320,15 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Window"), s"window in s18 plan:\n${p.take(600)}")
   }
 
+  test("d22 exact-substring: anchor-hash equi-joins only — no nested loop, " +
+      "window_hashes posting (no gram strings)") {
+    val p = planOf("d22_exact_substr")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in d22 plan:\n${p.take(900)}")
+    assert(p.contains("window_hashes"),
+      s"numeric-shingling anchor missing from d22 plan:\n${p.take(600)}")
+  }
+
   test("d21 CDC chunk dedup: map-only chunking into one digest rollup, no join") {
     val p = planOf("d21_cdc_chunk_dedup")
     assert(!p.contains("Join"),

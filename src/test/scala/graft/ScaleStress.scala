@@ -50,7 +50,10 @@ object ScaleStress {
     "gr07_recursive_sql", "d21_cdc_chunk_dedup",
     // round 13b: phrase-token posting joins (fan-in ∝ occurrences) and
     // the bounded-heap kNN (shuffle ∝ k·probes, not candidates)
-    "s18_phrase_search", "geo05_knn_sites")
+    "s18_phrase_search", "geo05_knn_sites",
+    // round 14: exact-substring runs (anchor join ∝ posting, islands ∝
+    // shared content — must track rows, not pairs²)
+    "d22_exact_substr")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
