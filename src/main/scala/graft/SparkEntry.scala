@@ -183,6 +183,53 @@ object SparkEntry {
     * the VALUES list mirrors graft.functions.Bpe.EnglishMerges.
     * Compose as s\"\"\"WITH RECURSIVE $bpeCountCtes ...\"\"\".
     */
+  /** K-unrolled DuckDB oracle for BPE merge TRAINING (t25): each round
+    * re-derives pair counts from the '|'-delimited symbol state, takes
+    * the same (count desc, lhs, rhs) argmax, and applies the merge with
+    * a RECURSIVE replace-to-fixpoint — `replace` consumes the shared
+    * delimiter between adjacent occurrences, so one pass can miss
+    * every other occurrence of a run; iterating to fixpoint converges
+    * to the Spark side's greedy leftmost fold (a merge's product can
+    * never equal its own left constituent, so the occurrence set only
+    * shrinks).
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val rep = "replace(a.st, '|' || m.l || '|' || m.r || '|', " +
+      "'|' || m.l || m.r || '|')"
+    val blocks = (0 until k).map { i =>
+      s"""
+         p$i AS (SELECT s[g] AS l, s[g+1] AS r, sum(wn) AS cnt
+                FROM (SELECT wn, list_filter(string_split(st, '|'),
+                        x -> x <> '') AS s FROM v$i),
+                     unnest(generate_series(1, len(s) - 1)) u(g)
+                GROUP BY 1, 2),
+         m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         a${i + 1}(w, wn, st, step) AS (
+           SELECT w, wn, st, 0 FROM v$i
+           UNION ALL
+           SELECT a.w, a.wn, $rep, a.step + 1
+           FROM a${i + 1} a, m$i m WHERE $rep <> a.st),
+         v${i + 1} AS (SELECT w, wn, st FROM (
+           SELECT w, wn, st,
+                  row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+           FROM a${i + 1}) WHERE rn = 1)"""
+    }.mkString(",")
+    val rows = (0 until k).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, l AS lhs, r AS rhs,
+                 CAST(cnt AS BIGINT) AS pair_count FROM m$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+         wc AS (SELECT w, count(*) AS wn
+                FROM (SELECT unnest(string_split_regex(
+                        lower(coalesce(text, '')), '[^a-z0-9]+')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w),
+         v0 AS (SELECT w, wn,
+                       '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS st
+                FROM wc),$blocks
+         $rows ORDER BY rank"""
+  }
+
   private val bpeCountCtes: String =
     """mg(rank, l, r) AS (SELECT * FROM (VALUES
            (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
@@ -10419,6 +10466,21 @@ object SparkEntry {
          agg AS (SELECT pair, sum(wn) AS n FROM pairs GROUP BY pair)
          SELECT pair, CAST(n AS BIGINT) AS n FROM agg
          ORDER BY n DESC, pair LIMIT 30"""),
+
+    // BPE merge TRAINING end-to-end (TextAnalysis.bpeTrain, t25): learn
+    // the top-4 merges from the corpus — t19's candidate scan iterated
+    // to an actual trained vocabulary, the artifact bpe_tokens consumes.
+    // Each round: ONE pair-keyed aggregation over the distinct-word
+    // vocab + a 1-row TakeOrdered argmax + a map-only greedy merge fold,
+    // on Iterate.loop (bounded lineage). The oracle re-runs all 4 rounds
+    // K-unrolled with recursive replace-to-fixpoint application — the
+    // tie-break (count desc, lhs, rhs) makes both argmaxes identical.
+    "t25_bpe_train" -> api(
+      (s, dir) => {
+        graft.ops.TextAnalysis.bpeTrain(
+          s.read.parquet(s"$dir/documents.parquet"), "text", numMerges = 4)
+      },
+      bpeTrainOracle(4)),
 
     "t18_postings" -> api(
       (s, dir) => {

@@ -78,6 +78,72 @@ object TextAnalysis {
     call_function("bpe_tokens", c,
       lit(merges.map { case (l, r) => s"$l $r" }.toArray))
 
+  /** Distributed BPE merge TRAINING (t25): learn the top-`numMerges`
+    * byte-pair merges from a corpus — the real tokenizer-training loop
+    * (Sennrich et al. 2016) whose one-round candidate scan t19 computes
+    * and whose OUTPUT [[bpeTokens]] consumes. Output: one row per
+    * learned merge, (rank, lhs, rhs, pair_count), rank 0 first.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word vocabulary
+    * once (one shuffle on word; at 100 TB the vocab is millions of rows
+    * while the corpus is trillions of tokens), then every training round
+    * is ONE keyed aggregation over vocab-adjacent symbol pairs + a
+    * 1-ROW argmax collect (TakeOrdered — no full sort) + a map-only
+    * merge application broadcast into the next round as a plan literal.
+    * Rounds run on [[Iterate.loop]] so plan depth and recovery cost stay
+    * O(one round). Nothing corpus-sized ever reaches the driver.
+    *
+    * Determinism: pre-tokenization mirrors [[graft.functions.Bpe]]
+    * (lowercase `[a-z0-9]+` runs); pair counts weight by word frequency
+    * and count overlapping occurrences (the classic get_stats); argmax
+    * tie-breaks on (count desc, lhs asc, rhs asc); merge application is
+    * the greedy leftmost non-overlapping fold — which a repeated
+    * `replace`-to-fixpoint re-derives exactly (the oracle's recursive
+    * CTE), and which matches [[graft.functions.BpeVocab]]'s scan because
+    * a merge's product can never equal its own left constituent. The
+    * fold runs as an array aggregate over the VOCAB (not the corpus), so
+    * the interpreted-lambda cost is vocab × word-length per round.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    val vocab0 = df.select(explode(split(lower(coalesce(col(textCol),
+        lit(""))), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .select(col("wn"), transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("syms"))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    Iterate.loop(vocab0, numMerges) { (vocab, _) =>
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wn"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(col("syms")(i).as("l"),
+            col("syms")(i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) vocab // vocabulary fully merged — remaining rounds no-op
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        learned += ((learned.size, l, r, top.head.getLong(2)))
+        // greedy leftmost non-overlapping application of (l, r): fold
+        // each word's symbols; a just-merged product (l+r != l) never
+        // re-merges, so the fold IS the single left-to-right scan
+        vocab.withColumn("syms", aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s)))))
+      }
+    }
+    spark.createDataFrame(learned.toSeq)
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   /** PII-style redaction patterns, applied in order (emails before
     * phone-number spans so an address is not half-eaten by the digit
     * rule). Plain RE2-compatible regexes — no lookaround/backrefs — so

@@ -1039,6 +1039,43 @@ class OpsSpec extends GraftSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("bpeTrain learns hand-computed merges; trained table round-trips " +
+      "through bpe_tokens") {
+    // corpus: 'aaab' x2, 'ab' x1.
+    //  round 0: (a,a)=4 beats (a,b)=3         -> merge (a,a)
+    //  round 1: aaab=[aa,a,b]: (aa,a)=2,(a,b)=2; ab: (a,b)=1 -> (a,b)=3
+    //  round 2: aaab=[aa,ab], ab=[ab]: (aa,ab)=2
+    val docs = Seq("aaab aaab", "ab").toDF("text")
+    val got = graft.ops.TextAnalysis.bpeTrain(docs, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((0, "a", "a", 4L), (1, "a", "b", 3L),
+      (2, "aa", "ab", 2L)))
+    // the trained merges drive the tokenizer: 'aaab' collapses to one
+    // token, 'ab' to one, 'aab' (unseen) to [aa, b] via rank-0 then none
+    graft.functions.Registry.registerAll(spark)
+    val merges = got.map(m => (m._2, m._3))
+    val toks = Seq("aaab", "ab", "aab").toDF("t")
+      .select(graft.ops.TextAnalysis.bpeTokens(col("t"), merges).as("tk"))
+      .as[Seq[String]].collect().toSeq
+    assert(toks == Seq(Seq("aaab"), Seq("ab"), Seq("aa", "b")))
+    // tie-break: equal counts resolve to (lhs, rhs) ascending
+    val tie = Seq("xy", "xz").toDF("text")
+    val gotTie = graft.ops.TextAnalysis.bpeTrain(tie, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(gotTie == Seq((0, "x", "y", 1L)))
+    // exhaustion: more rounds than mergeable pairs stops cleanly
+    val ex = graft.ops.TextAnalysis.bpeTrain(
+      Seq("ab").toDF("text"), "text", numMerges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(ex == Seq((0, "a", "b", 1L)))
+    // greedy-run semantics: 'aaaaa' (5 a's, overlap count 4) merges as
+    // [aa, aa, a]; round 1 ties (aa,aa)=1 vs (aa,a)=1 -> rhs asc wins
+    val run = graft.ops.TextAnalysis.bpeTrain(
+      Seq("aaaaa").toDF("text"), "text", numMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(run == Seq((0, "a", "a", 4L), (1, "aa", "a", 1L)))
+  }
+
   test("token counts and bpe estimate") {
     val r = Seq("Hello, world! ab12 cd")
       .toDF("t")
