@@ -183,6 +183,46 @@ object SparkEntry {
     * the VALUES list mirrors graft.functions.Bpe.EnglishMerges.
     * Compose as s\"\"\"WITH RECURSIVE $bpeCountCtes ...\"\"\".
     */
+  /** Exact DuckDB oracle for the SUMMARIZE dialect form (q59): one
+    * UNION ALL block per column in table order (ordinal-ordered, then
+    * projected away), mirroring [[graft.ops.Profile.summarizeFull]]'s
+    * exact formulas — HUGEINT sums ≡ the Spark side's Decimal(38,0)
+    * widen-before-multiply, one pinned double chain for mean/std,
+    * quantile_cont ≡ exact percentile.
+    */
+  private def summarizeOracle(cols: Seq[(String, String)],
+                              table: String): String = {
+    val blocks = cols.zipWithIndex.map { case ((c, t), i) =>
+      val stats =
+        if (t == "BIGINT") {
+          val s1 = s"CAST(sum(CAST($c AS HUGEINT)) AS DOUBLE)"
+          val s2 = s"CAST(sum(CAST($c AS HUGEINT) * CAST($c AS HUGEINT))" +
+            " AS DOUBLE)"
+          val cn = s"CAST(count($c) AS DOUBLE)"
+          s"""$s1 / $cn AS avg,
+             sqrt(($s2 - $s1 * $s1 / $cn) / ($cn - 1)) AS std,
+             quantile_cont($c, 0.25) AS q25,
+             quantile_cont($c, 0.5) AS q50,
+             quantile_cont($c, 0.75) AS q75"""
+        } else
+          """CAST(NULL AS DOUBLE) AS avg, CAST(NULL AS DOUBLE) AS std,
+             CAST(NULL AS DOUBLE) AS q25, CAST(NULL AS DOUBLE) AS q50,
+             CAST(NULL AS DOUBLE) AS q75"""
+      s"""SELECT $i AS ord, '$c' AS column_name, '$t' AS column_type,
+                 CAST(min($c) AS VARCHAR) AS "min",
+                 CAST(max($c) AS VARCHAR) AS "max",
+                 CAST(count(DISTINCT $c) AS BIGINT) AS approx_unique,
+                 $stats,
+                 CAST(count(*) AS BIGINT) AS "count",
+                 round(CAST(count(*) - count($c) AS DOUBLE) * 100
+                       / CAST(count(*) AS DOUBLE), 2) AS null_percentage
+          FROM $table"""
+    }.mkString(" UNION ALL ")
+    s"""SELECT column_name, column_type, "min", "max", approx_unique,
+               avg, std, q25, q50, q75, "count", null_percentage
+        FROM ($blocks) ORDER BY ord"""
+  }
+
   /** K-unrolled DuckDB oracle for BPE merge TRAINING (t25): each round
     * re-derives pair counts from the '|'-delimited symbol state, takes
     * the same (count desc, lhs, rhs) argmax, and applies the merge with
@@ -8611,6 +8651,21 @@ object SparkEntry {
     // ..."), or is omitted entirely ("FROM t" == SELECT *). The dialect
     // moves the list to the front; everything downstream sees a standard
     // statement. Same text both engines.
+    // DuckDB's SUMMARIZE statement (q59) as a same-text dialect form:
+    // Table.sql routes it to Profile.summarizeFull — DuckDB's exact
+    // output columns and naming (probed), one aggregation pass + a
+    // driver-free unpivot. The oracle is EXPLICIT exact SQL rather than
+    // the literal statement because DuckDB's own SUMMARIZE values are
+    // approximate (HLL approx_unique, approximate quantiles — probed:
+    // 498 vs the true 500 on sf0.01 doc_id); ours are exact, the
+    // documented divergence discipline. Integral stats re-derive from
+    // exact decimal moments with a mirrored double-arithmetic chain.
+    "q59_summarize" -> diff("documents",
+      "SUMMARIZE documents",
+      summarizeOracle(Seq(
+        "doc_id" -> "BIGINT", "text" -> "VARCHAR", "lang" -> "VARCHAR",
+        "source" -> "VARCHAR", "n_chars" -> "BIGINT"), "documents")),
+
     "q57_from_first" -> same("orders",
       """FROM orders
          SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price

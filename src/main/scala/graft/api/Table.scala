@@ -35,6 +35,12 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
+    // SUMMARIZE is a whole-statement form: route before every other
+    // pass (its query target re-enters this method and gets them all)
+    Dialect.summarizeTarget(query) match {
+      case Some(target) => return new Table(summarizeFrame(target))
+      case None =>
+    }
     // UNION [ALL] BY NAME splits FIRST, on the token-local rewrite only:
     // the clause-scoped passes (alias-into-WHERE, nulls-last) treat each
     // OPERAND as its own statement — run on the whole text they would
@@ -50,6 +56,15 @@ final class Table private (val df: DataFrame) {
     }
     sqlOne(prep(qr))
   }
+
+  /** `SUMMARIZE` execution: a bare-identifier target profiles the
+    * receiver (the FROM-name-is-notional rule — `SUMMARIZE anything`
+    * summarizes this table), a query target runs through the full
+    * dialect pipeline first.
+    */
+  private def summarizeFrame(target: String): DataFrame =
+    graft.ops.Profile.summarizeFull(
+      if (Dialect.isBareIdentifier(target)) df else sql(target).df)
 
   /** The clause-scoped single-statement rewrites ([[sql]] applies them
     * per UNION BY NAME operand; [[Dialect.rewrite]] has already run).
@@ -161,6 +176,13 @@ final class Table private (val df: DataFrame) {
     */
   def explainSql(query: String, extended: Boolean = false): String = {
     Registry.registerAll(spark)
+    // dialect parity: every sql() form must explain through the same
+    // entry point (round-13 lesson — fromFirst; now SUMMARIZE too)
+    Dialect.summarizeTarget(query).foreach { t =>
+      val qe = summarizeFrame(t).queryExecution
+      return if (extended) qe.toString
+        else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+    }
     val q0 = Dialect.rewrite(query)
     val q = Dialect.fromFirst(q0).getOrElse(q0)
     val view = Dialect.firstFromTable(q).getOrElse("t")
@@ -177,8 +199,13 @@ final class Table private (val df: DataFrame) {
     * optimizer's view.
     */
   def explainTree(query: String): String =
-    spark.sessionState.sqlParser.parsePlan(
-      prep(Dialect.rewrite(query))).treeString
+    Dialect.summarizeTarget(query) match {
+      // SUMMARIZE has no Spark grammar to parse; the closest "query
+      // tree" is the constructed frame's unoptimized logical plan
+      case Some(t) => summarizeFrame(t).queryExecution.logical.treeString
+      case None => spark.sessionState.sqlParser.parsePlan(
+        prep(Dialect.rewrite(query))).treeString
+    }
 
   /** The fully materialized result as an Arrow IPC stream — the analog
     * of the reference's `to_arrow`/`to_pandas`
@@ -331,6 +358,15 @@ object Table {
     */
   def sessionSql(spark: SparkSession, query: String): Table = {
     Registry.registerAll(spark)
+    // SUMMARIZE first (dialect parity with Table.sql); here a bare
+    // identifier resolves against the session catalog
+    Dialect.summarizeTarget(query) match {
+      case Some(t) =>
+        return apply(graft.ops.Profile.summarizeFull(
+          if (Dialect.isBareIdentifier(t)) spark.table(t)
+          else sessionSql(spark, t).df))
+      case None =>
+    }
     // same pass ordering as [[Table.sql]]: split UNION BY NAME on the
     // token-local rewrite, then run the clause-scoped passes per operand
     val qr = Dialect.rewrite(query)

@@ -31,6 +31,134 @@ object Profile {
       .select(col("p.column"), col("p.n"), col("p.n_null"), col("p.n_distinct"))
   }
 
+  /** DuckDB-`SUMMARIZE`-shaped full column profile (q59): one row per
+    * column with DuckDB's exact output columns and naming —
+    * (column_name, column_type, min, max, approx_unique, avg, std, q25,
+    * q50, q75, count, null_percentage) in table column order. Backs the
+    * dialect's `SUMMARIZE t` / `SUMMARIZE SELECT …` statement form.
+    *
+    * Deliberate, documented divergences from DuckDB's VALUES (names and
+    * shape match exactly):
+    *  - `approx_unique` is the EXACT distinct count (DuckDB uses HLL —
+    *    approximate and engine-specific; exactness is the curated-map
+    *    discipline every other gate here follows);
+    *  - `q25/q50/q75` are exact interpolated percentiles
+    *    (≡ `quantile_cont`; DuckDB SUMMARIZE uses approximate quantiles);
+    *  - `avg`/`std`/quantiles stay typed DOUBLE and min/max render via
+    *    Spark's CAST TO STRING (DuckDB stringifies every stat so mixed
+    *    column types share one table; only min/max actually need that).
+    *
+    * Determinism: integral/decimal columns take the exact-moment path —
+    * sums widen to Decimal(38,0) BEFORE multiplying (the e21/g19
+    * discipline), and mean/std derive from those exact sums with one
+    * pinned double-arithmetic chain, so an external engine re-derives
+    * identical bits. Float/double columns use streaming avg/stddev
+    * (order-dependent merge noise — document-scale QA only).
+    *
+    * Scale shape: ONE aggregation pass over the data (the multi-column
+    * exact distinct plans as one Expand — rows × columns map-side, one
+    * shuffle, same as [[summarize]]), then the single result row
+    * unpivots driver-free. Non-orderable columns (maps) profile as
+    * count-only rows.
+    */
+  def summarizeFull(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.columns.nonEmpty, "SUMMARIZE needs at least one column")
+    def duckType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BinaryType => "BLOB"
+      case ArrayType(e, _) => duckType(e) + "[]"
+      case other => other.sql
+    }
+    def orderable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case ArrayType(e, _) => orderable(e)
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
+    val n = count(lit(1))
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(f.name)
+      val ord = orderable(f.dataType)
+      val base = Seq(
+        (if (ord) min(c).cast("string") else lit(null).cast("string"))
+          .as(s"__mn_$i"),
+        (if (ord) max(c).cast("string") else lit(null).cast("string"))
+          .as(s"__mx_$i"),
+        (if (ord) count_distinct(c) else lit(null).cast("long"))
+          .as(s"__nd_$i"),
+        count(c).as(s"__cnt_$i"), n.as(s"__n_$i"))
+      val nullD = lit(null).cast("double")
+      val moments = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          // widen BEFORE multiplying: LONG x*x wraps silently near 3e9
+          val d = c.cast("decimal(38,0)")
+          Seq(sum(d).cast("double").as(s"__s1_$i"),
+            sum(d * d).cast("double").as(s"__s2_$i"),
+            percentile(c, array(lit(0.25), lit(0.5), lit(0.75)))
+              .as(s"__q_$i"))
+        case FloatType | DoubleType | _: DecimalType =>
+          Seq(avg(c).cast("double").as(s"__s1_$i"),
+            stddev_samp(c.cast("double")).as(s"__s2_$i"),
+            percentile(c, array(lit(0.25), lit(0.5), lit(0.75)))
+              .as(s"__q_$i"))
+        case _ =>
+          Seq(nullD.as(s"__s1_$i"), nullD.as(s"__s2_$i"),
+            lit(null).cast("array<double>").as(s"__q_$i"))
+      }
+      base ++ moments
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      val cnt = col(s"__cnt_$i").cast("double")
+      val isExactMoment = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val isFloat = f.dataType match {
+        case FloatType | DoubleType | _: DecimalType => true
+        case _ => false
+      }
+      val mean =
+        if (isExactMoment) col(s"__s1_$i") / cnt
+        else if (isFloat) col(s"__s1_$i")
+        else lit(null).cast("double")
+      val std =
+        if (isExactMoment) when(col(s"__cnt_$i") >= 2,
+          sqrt((col(s"__s2_$i") - col(s"__s1_$i") * col(s"__s1_$i") / cnt)
+            / (cnt - 1)))
+        else if (isFloat) col(s"__s2_$i")
+        else lit(null).cast("double")
+      val q = col(s"__q_$i")
+      struct(lit(f.name).as("column_name"),
+        lit(duckType(f.dataType)).as("column_type"),
+        col(s"__mn_$i").as("min"), col(s"__mx_$i").as("max"),
+        col(s"__nd_$i").as("approx_unique"), mean.as("avg"), std.as("std"),
+        (if (isExactMoment || isFloat) q(0) else lit(null).cast("double"))
+          .as("q25"),
+        (if (isExactMoment || isFloat) q(1) else lit(null).cast("double"))
+          .as("q50"),
+        (if (isExactMoment || isFloat) q(2) else lit(null).cast("double"))
+          .as("q75"),
+        col(s"__n_$i").as("count"),
+        when(col(s"__n_$i") > 0,
+          round((col(s"__n_$i") - col(s"__cnt_$i")).cast("double") * 100 /
+            col(s"__n_$i").cast("double"), 2)).as("null_percentage"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Per-dimension embedding statistics — the QA card run before ANN
     * index builds (a dead dimension, a scale blow-up, or NaN poisoning
     * shows up here first). One posexplode + one keyed aggregation with

@@ -802,6 +802,31 @@ object Dialect {
     Some(s"SELECT $list $fromPart" + (if (tail.isEmpty) "" else " " + tail))
   }
 
+  /** DuckDB's `SUMMARIZE` statement (q59): `SUMMARIZE t` /
+    * `SUMMARIZE SELECT … FROM …` (FROM-first targets compose — the
+    * target re-enters the full dialect pipeline). Returns the target
+    * text after the keyword; the caller decides bare-identifier vs
+    * query with [[isBareIdentifier]] and routes to
+    * [[graft.ops.Profile.summarizeFull]]. A masked-scan first-word
+    * match, so literals containing the word never trigger.
+    */
+  def summarizeTarget(sql: String): Option[String] = {
+    val m = stripLiterals(sql)
+    var i = 0
+    while (i < m.length && m.charAt(i).isWhitespace) i += 1
+    if (!wordAt(m, i, "summarize")) None
+    else {
+      val rest = sql.substring(i + "summarize".length).trim
+      require(rest.nonEmpty,
+        "SUMMARIZE needs a table name or a SELECT/FROM-first statement")
+      Some(rest)
+    }
+  }
+
+  /** Whether a [[summarizeTarget]] is a bare table identifier. */
+  def isBareIdentifier(s: String): Boolean =
+    s.matches("[A-Za-z_][A-Za-z0-9_]*")
+
   /** First table identifier after FROM, outside quotes — the name the
     * receiver table is bound to (the reference binds the receiver
     * regardless of the FROM name, vinum/api/table.py:219-220).

@@ -181,6 +181,8 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
       Dialect.stripLiterals(j) == Dialect.stripLiterals(q) &&
         Dialect.firstFromTable(j) == Dialect.firstFromTable(q) &&
         AsOfSql.detect(j) == AsOfSql.detect(q) &&
+        Dialect.summarizeTarget(j).isDefined ==
+          Dialect.summarizeTarget(q).isDefined &&
         Seq("qualify", "order", "asof", "from", "limit", "where").forall(kw =>
           Dialect.findTopLevelKeyword(j, 0, kw) ==
             Dialect.findTopLevelKeyword(q, 0, kw))

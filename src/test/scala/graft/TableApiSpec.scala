@@ -188,6 +188,36 @@ class TableApiSpec extends GraftSuite {
     assert(x.contains("^") || x.contains("xor"))
   }
 
+  test("SUMMARIZE dialect form: DuckDB column shape, exact stats, query " +
+      "targets, explain parity") {
+    val s = trips.sql("SUMMARIZE trip").toDF
+    assert(s.columns.toSeq == Seq("column_name", "column_type", "min",
+      "max", "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+      "null_percentage"))
+    // rows in table column order, types named DuckDB-style
+    val byCol = s.collect().map(r => r.getString(0) -> r).toMap
+    assert(s.collect().map(_.getString(0)).toSeq == trips.columnNames)
+    val id = byCol("id")
+    assert(id.getString(1) == "BIGINT")
+    // trip ids are 1..4: exact stats, not sketches
+    assert(id.getString(2) == "1" && id.getLong(4) == 4L &&
+      id.getDouble(5) == 2.5 && id.getDouble(7) == 1.75 &&
+      id.getLong(10) == 4L && id.getDouble(11) == 0.0)
+    // a SELECT target runs the full dialect pipeline first
+    val sub = trips.sql("SUMMARIZE SELECT tip + tax AS s FROM trip").toDF
+    assert(sub.count() == 1 && sub.head.getString(0) == "s" &&
+      sub.head.getString(1) == "DOUBLE")
+    // ... including the FROM-first form
+    val ff = trips.sql("SUMMARIZE FROM trip SELECT id").toDF
+    assert(ff.head.getString(0) == "id")
+    // a literal containing the word never triggers the form
+    val lit = trips.sql("select 'SUMMARIZE trip' as s from trip limit 1").toDF
+    assert(lit.head.getString(0) == "SUMMARIZE trip")
+    // explain entry points route the form too (dialect parity)
+    assert(trips.explainSql("SUMMARIZE trip").nonEmpty)
+    assert(trips.explainTree("SUMMARIZE trip").contains("Generate"))
+  }
+
   test("toArrowIpc round-trips values and nulls through an Arrow reader (to_arrow parity)") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.ipc.ArrowStreamReader
