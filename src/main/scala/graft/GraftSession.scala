@@ -28,6 +28,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // report per-bucket sort order from bucketed scans (io16/Pq write
+      // bucketBy+sortBy with one file per bucket): lets a co-located
+      // merge join skip BOTH its Exchange and its Sort. Off by default
+      // upstream only because the check lists files at planning time —
+      // the right trade wherever a sorted bucketed layout is the point
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 
   /** Get or create a session with all graft SQL functions registered. */

@@ -6675,6 +6675,51 @@ object SparkEntry {
     // pushed to the read-back scan. Fixed bucket ranges cover sf1
     // (partkey < 2^18, suppkey < 2^14), keeping the layout
     // deterministic across SFs.
+    // bucketed-table SHUFFLE-FREE join (io16) — the 100 TB co-location
+    // layout demonstrated end-to-end: both join sides written with
+    // bucketBy(16, custkey) + sortBy, so the bucketed scans report hash
+    // partitioning AND per-bucket order and the merge join needs NO
+    // Exchange and NO Sort anywhere in the plan (PlanSpec-pinned) —
+    // grouping on the same key reuses the bucketing too, and the output
+    // TopK is TakeOrderedAndProject (exchange-free). merge hints keep
+    // the tiny sf customer side from auto-broadcasting, which would
+    // demonstrate nothing. The oracle is the plain join over the
+    // original parquet — layout must not change results.
+    "io16_bucketed_join" -> api(
+      (s, dir) => {
+        val sfx = new java.io.File(dir).getName.replace(".", "_")
+        // repartition on the bucket key with numPartitions == numBuckets:
+        // Spark's repartition hash IS the bucket hash (murmur3 pmod n),
+        // so every task writes exactly ONE file per bucket — the
+        // condition under which the scan reports per-bucket ORDER and
+        // the merge join skips its Sort (multi-file buckets are only
+        // sorted within each file)
+        graft.ops.Skew.writeBucketed(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+            .repartition(16, col("o_custkey")),
+          s"io16_orders_$sfx", "o_custkey", buckets = 16)
+        graft.ops.Skew.writeBucketed(
+          s.read.parquet(s"$dir/customer.parquet")
+            .select(col("c_custkey"), col("c_name"))
+            .repartition(16, col("c_custkey")),
+          s"io16_cust_$sfx", "c_custkey", buckets = 16)
+        val o = s.table(s"io16_orders_$sfx").hint("merge")
+        val c = s.table(s"io16_cust_$sfx").hint("merge")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+            max(col("c_name")).as("name"))
+          .orderBy(col("o_custkey")).limit(2000)
+      },
+      """SELECT o_custkey, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents,
+                max(c_name) AS name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY o_custkey ORDER BY o_custkey LIMIT 2000"""),
+
     "io09_zorder_layout" -> api(
       (s, dir) => {
         val K = graft.ops.Skew

@@ -320,6 +320,21 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Window"), s"window in s18 plan:\n${p.take(600)}")
   }
 
+  test("io16 bucketed join: ZERO Exchange and ZERO Sort in the whole plan " +
+      "(bucketBy+sortBy co-location carries join, agg, and TopK)") {
+    val p = planOf("io16_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join must plan as merge join:\n${p.take(900)}")
+    assert(!p.contains("Exchange"),
+      s"Exchange in io16 plan — bucketing failed to co-locate:\n${p.take(1200)}")
+    // match the Sort OPERATOR only ("Sort ["), not SortMergeJoin /
+    // SortAggregate — those REUSE the bucketed order, which is the point
+    assert(!p.contains("Sort ["),
+      s"Sort in io16 plan — sortBy metadata not used:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"output TopK should be TakeOrderedAndProject:\n${p.take(600)}")
+  }
+
   test("d22 exact-substring: anchor-hash equi-joins only — no nested loop, " +
       "window_hashes posting (no gram strings)") {
     val p = planOf("d22_exact_substr")
