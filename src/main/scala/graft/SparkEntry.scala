@@ -9311,6 +9311,63 @@ object SparkEntry {
          SELECT c_custkey, CAST(rn AS BIGINT) AS rank, s_suppkey, d2
          FROM r WHERE rn <= 3 ORDER BY c_custkey, rank"""),
 
+    // point-in-polygon containment (Geo.polygonJoin, geo06): events
+    // quantized onto an integer grid, tested against a broadcast
+    // polygon catalog (a triangle, a CONCAVE arrow — ray casting's
+    // discriminating case — and a bbox-overlapping square) with exact
+    // integer ray casting (codegen'd point_in_polygon; half-open edge
+    // rule, cross-multiplied intersections — no float anywhere). Probe
+    // side is MAP-ONLY: bbox prune + crossing loop per broadcast
+    // polygon, then one keyed rollup. The oracle re-derives the SAME
+    // crossing arithmetic from an explicit edge VALUES table.
+    "geo06_point_in_polygon" -> api(
+      (s, dir) => {
+        import s.implicits._
+        val pts = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), (col("event_id") % 1000).as("px"),
+            ((col("event_id") * 7) % 1000).as("py"))
+        val polys = Seq(
+          (1L, Seq(100L, 400L, 250L), Seq(100L, 100L, 400L)),
+          (2L, Seq(500L, 900L, 900L, 700L, 500L),
+            Seq(500L, 500L, 900L, 650L, 900L)),
+          (3L, Seq(0L, 200L, 200L, 0L), Seq(0L, 0L, 200L, 200L))
+        ).toDF("poly_id", "xs", "ys")
+        graft.ops.Geo.polygonJoin(pts, "px", "py", polys,
+            "poly_id", "xs", "ys")
+          .groupBy(col("poly_id"))
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("px")).as("sx"), sum(col("py")).as("sy"),
+            min(col("event_id")).as("first_event"))
+          .orderBy(col("poly_id"))
+      },
+      """WITH pts AS (SELECT event_id, event_id % 1000 AS px,
+                             (event_id * 7) % 1000 AS py
+           FROM events),
+         e(pid, x1, y1, x2, y2) AS (VALUES
+           (1, 100, 100, 400, 100), (1, 400, 100, 250, 400),
+           (1, 250, 400, 100, 100),
+           (2, 500, 500, 900, 500), (2, 900, 500, 900, 900),
+           (2, 900, 900, 700, 650), (2, 700, 650, 500, 900),
+           (2, 500, 900, 500, 500),
+           (3, 0, 0, 200, 0), (3, 200, 0, 200, 200),
+           (3, 200, 200, 0, 200), (3, 0, 200, 0, 0)),
+         cr AS (SELECT p.event_id, p.px, p.py, e.pid
+                FROM pts p JOIN e
+                  ON ((e.y1 > p.py) <> (e.y2 > p.py))
+                 AND (CASE WHEN e.y2 - e.y1 > 0
+                           THEN (p.px - e.x1) * (e.y2 - e.y1)
+                              < (p.py - e.y1) * (e.x2 - e.x1)
+                           ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                              > (p.py - e.y1) * (e.x2 - e.x1) END)),
+         inside AS (SELECT event_id, px, py, pid
+                    FROM cr GROUP BY event_id, px, py, pid
+                    HAVING count(*) % 2 = 1)
+         SELECT CAST(pid AS BIGINT) AS poly_id,
+                count(*) AS n_points,
+                CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
+                min(event_id) AS first_event
+         FROM inside GROUP BY pid ORDER BY poly_id"""),
+
     // smoothed target encoding (the leakage-safe categorical feature):
     // enc(cat) = (cat_sum + m·prior) / (cat_n + m) with prior = global
     // mean, m = 100. ONE grouped agg + ONE broadcast global row; the

@@ -311,4 +311,39 @@ object Kernels {
     } else if (n > 0) out += s
     new GenericArrayData(out.toArray)
   }
+
+  /** Ray-casting point-in-polygon over INTEGER coordinates (geo06).
+    * Counts rightward-ray crossings with the half-open edge rule
+    * (`y1 <= py < y2` or `y2 <= py < y1`), comparing px against the
+    * exact rational intersection via cross-multiplication — all-integer
+    * arithmetic, so the verdict is bitwise-reproducible in any engine
+    * (no float crossings). Deterministic boundary behavior follows from
+    * the rule (spec-pinned): a point on a bottom/left boundary is
+    * inside, on a top/right boundary outside. Coordinates must stay
+    * below 2^31 in magnitude so the cross-products fit a long. Vertex
+    * order may be clockwise or counter-clockwise; the closing edge
+    * (last vertex back to first) is implied.
+    */
+  def pointInPolygon(px: Long, py: Long, xsArr: ArrayData,
+                     ysArr: ArrayData): Boolean = {
+    val xs = xsArr.toLongArray()
+    val ys = ysArr.toLongArray()
+    val n = math.min(xs.length, ys.length)
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val x1 = xs(j); val y1 = ys(j)
+      val x2 = xs(i); val y2 = ys(i)
+      if ((y1 > py) != (y2 > py)) {
+        val dy = y2 - y1
+        val lhs = (px - x1) * dy
+        val rhs = (py - y1) * (x2 - x1)
+        if (if (dy > 0) lhs < rhs else lhs > rhs) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
 }

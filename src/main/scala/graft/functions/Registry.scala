@@ -408,6 +408,13 @@ object Registry {
       case other         => throw new IllegalArgumentException(
         s"window_hashes() takes 2-3 arguments, got ${other.length}")
     }
+    f("point_in_polygon") {
+      case Seq(px, py, xs, ys) =>
+        PointInPolygon(Cast(px, LongType), Cast(py, LongType),
+          larr(xs), larr(ys))
+      case other => throw new IllegalArgumentException(
+        s"point_in_polygon() takes 4 arguments, got ${other.length}")
+    }
     def strLit(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
       case _ => throw new IllegalArgumentException(s"$what must be a string literal")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{
-  BinaryExpression, Expression, UnaryExpression
+  BinaryExpression, Expression, QuaternaryExpression, UnaryExpression
 }
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -446,4 +446,35 @@ case class NpFloorDivide(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `point_in_polygon(px, py, xs, ys)` — exact integer ray casting
+  * (geo06): is the point inside the polygon whose vertices are the
+  * parallel coordinate arrays? Crossing parity with the half-open edge
+  * rule and cross-multiplied integer intersections — no float anywhere,
+  * so any engine re-derives identical verdicts from the same arithmetic
+  * (see [[Kernels.pointInPolygon]] for the boundary contract). Codegen'd
+  * via a static kernel call; the polygon usually arrives as a broadcast
+  * literal/column, so evaluation is map-only.
+  */
+case class PointInPolygon(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_polygon"
+
+  override def nullSafeEval(px: Any, py: Any, xs: Any, ys: Any): Any =
+    Kernels.pointInPolygon(px.asInstanceOf[Long], py.asInstanceOf[Long],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (px, py, xs, ys) =>
+      s"graft.functions.Kernels.pointInPolygon($px, $py, $xs, $ys)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }

@@ -320,4 +320,61 @@ object Geo {
         cellIdx(col(lonCol), cellDeg).as("cell_lon"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Point-in-polygon containment join (geo06): every (point, polygon)
+    * pair where the point lies inside — exact integer ray casting via
+    * the codegen'd `point_in_polygon` expression
+    * ([[graft.functions.Kernels.pointInPolygon]]; half-open edge rule,
+    * cross-multiplied intersections, no float anywhere, so an external
+    * engine re-derives identical verdicts). Coordinates must be
+    * INTEGRAL (quantize floats to a dyadic grid first — the geo01 float
+    * discipline); enforced loudly, since the expression's long cast
+    * would otherwise truncate silently.
+    *
+    * Scale shape: the polygon catalog is broadcast with per-polygon
+    * bounding boxes computed once; a point evaluates the full crossing
+    * loop only for polygons whose bbox contains it — the probe side is
+    * MAP-ONLY (no shuffle at all). For catalogs too large to broadcast,
+    * announce polygon bboxes into grid cells and equi-join on the cell
+    * key first (the [[boxJoin]] machinery).
+    *
+    * Output: all point columns + `polyKey`; points in no polygon drop,
+    * points in k polygons appear k times.
+    */
+  def polygonJoin(points: DataFrame, xCol: String, yCol: String,
+                  polygons: DataFrame, polyKey: String,
+                  xsCol: String, ysCol: String): DataFrame = {
+    graft.functions.Registry.registerAll(points.sparkSession)
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    Seq(xCol -> points.schema(xCol), yCol -> points.schema(yCol)).foreach {
+      case (n, f) => require(integral(f.dataType),
+        s"polygonJoin point coordinate '$n' must be an integral type " +
+          s"(exact ray casting; quantize floats first), got ${f.dataType}")
+    }
+    Seq(xsCol, ysCol).foreach { n =>
+      polygons.schema(n).dataType match {
+        case org.apache.spark.sql.types.ArrayType(e, _) if integral(e) => ()
+        case dt => require(false,
+          s"polygonJoin vertex column '$n' must be an integral array, got $dt")
+      }
+    }
+    reserve(points, "points")
+    val polys = polygons.select(col(polyKey),
+      col(xsCol).as("__gxs"), col(ysCol).as("__gys"),
+      array_min(col(xsCol)).as("__gx0"), array_max(col(xsCol)).as("__gx1"),
+      array_min(col(ysCol)).as("__gy0"), array_max(col(ysCol)).as("__gy1"))
+    points.join(broadcast(polys),
+        col(xCol) >= col("__gx0") && col(xCol) <= col("__gx1") &&
+          col(yCol) >= col("__gy0") && col(yCol) <= col("__gy1") &&
+          call_function("point_in_polygon", col(xCol), col(yCol),
+            col("__gxs"), col("__gys")))
+      .drop("__gxs", "__gys", "__gx0", "__gx1", "__gy0", "__gy1")
+  }
 }

@@ -255,6 +255,38 @@ class GeoSpec extends GraftSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("polygonJoin: exact integer ray casting — half-open boundary " +
+      "contract, vertices, concave notch, float refusal") {
+    val polys = Seq(
+      (1L, Seq(0L, 200L, 200L, 0L), Seq(0L, 0L, 200L, 200L)), // square
+      (2L, Seq(500L, 900L, 900L, 700L, 500L),
+        Seq(500L, 500L, 900L, 650L, 900L)) // concave "arrow"
+    ).toDF("poly_id", "xs", "ys")
+    val pts = Seq(
+      (1L, 100L, 100L), // square interior          -> inside
+      (2L, 100L, 0L),   // bottom edge              -> inside (half-open)
+      (3L, 100L, 200L), // top edge                 -> outside
+      (4L, 0L, 0L),     // bottom-left vertex       -> inside
+      (5L, 200L, 200L), // top-right vertex         -> outside
+      (6L, 0L, 100L),   // left edge                -> inside
+      (7L, 200L, 100L), // right edge               -> outside
+      (8L, 700L, 700L), // the concave notch        -> outside
+      (9L, 600L, 700L), // left lobe of the arrow   -> inside
+      (10L, 201L, 100L) // just past the bbox       -> outside
+    ).toDF("pid", "px", "py")
+    val got = Geo.polygonJoin(pts, "px", "py", polys, "poly_id", "xs", "ys")
+      .select(col("pid"), col("poly_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L), (2L, 1L), (4L, 1L), (6L, 1L), (9L, 2L)))
+    // float coordinates would truncate silently inside the long cast —
+    // refused loudly instead (quantize to a grid first)
+    val fpts = Seq((1L, 0.5, 0.5)).toDF("pid", "px", "py")
+    val e = intercept[IllegalArgumentException] {
+      Geo.polygonJoin(fpts, "px", "py", polys, "poly_id", "xs", "ys")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("wrapLon accepts decimally-exact divisors of 360 (0.1 is not " +
       "binary-exact: 3600 * 0.1 != 360.0 in doubles)") {
     val probe = Seq((1L, 0.0, 179.97)).toDF("pid", "plat", "plon")

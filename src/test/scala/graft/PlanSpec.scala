@@ -344,6 +344,17 @@ class PlanSpec extends GraftSuite {
       s"numeric-shingling anchor missing from d22 plan:\n${p.take(600)}")
   }
 
+  test("geo06 point-in-polygon: broadcast polygon catalog, codegen'd " +
+      "crossing expression — probe side map-only") {
+    val p = planOf("geo06_point_in_polygon")
+    assert(p.contains("point_in_polygon"),
+      s"codegen'd crossing expression missing:\n${p.take(600)}")
+    assert(p.contains("Broadcast"),
+      s"polygon catalog must broadcast:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in geo06 plan:\n${p.take(900)}")
+  }
+
   test("d21 CDC chunk dedup: map-only chunking into one digest rollup, no join") {
     val p = planOf("d21_cdc_chunk_dedup")
     assert(!p.contains("Join"),
