@@ -46,7 +46,9 @@ object StreamingStateScale {
       measureIntervalJoinBounded(spark, "st18_bounded_delay", "sf0.1", Sf01),
       measureIntervalJoinBounded(spark, "st18_bounded_delay", "sf1", Sf1),
       measureAsOfEnrich(spark, "st21_asof_enrich", "sf0.1", Sf01),
-      measureAsOfEnrich(spark, "st21_asof_enrich", "sf1", Sf1))
+      measureAsOfEnrich(spark, "st21_asof_enrich", "sf1", Sf1),
+      measureDriftPsi(spark, "st22_drift_psi", "sf0.1", Sf01),
+      measureDriftPsi(spark, "st22_drift_psi", "sf1", Sf1))
 
     out ++= "| query | sf | input rows | batches | max rows/batch | distinct keys | state rows | RocksDB SST | RocksDB mem |\n"
     out ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -70,7 +72,8 @@ object StreamingStateScale {
     // claim the 100 TB sizing argument rests on — batch-exactness of
     // the bounded join is asserted inside its measure function).
     rows.foreach { m =>
-      if (m.query.startsWith("st18_bounded") || m.query.startsWith("st21")) {
+      if (m.query.startsWith("st18_bounded") || m.query.startsWith("st21") ||
+          m.query.startsWith("st22")) {
         require(m.stateRows > 0 && m.stateRows <= m.distinctKeys,
           s"${m.query}@${m.sf}: state rows ${m.stateRows} outside " +
             s"(0, bound ${m.distinctKeys}]")
@@ -357,6 +360,73 @@ object StreamingStateScale {
     val bound = retentionBound(s, feed, files,
       delayMicros = 2L * 3600L * 1000000L, windowMicros = 1800L * 1000000L,
       aggWindowMicros = 3600L * 1000000L)
+    harvest(q, sf, query.recentProgress.toSeq, bound)
+  }
+
+  /** st22 shape: windowed PSI drift monitor — state is ONE row per OPEN
+    * tumbling window (bins fold map-side into conditional sums; the
+    * broadcast reference histogram holds no state), so state rows are
+    * bounded by open windows — a TIME quantity, identical at sf0.1 and
+    * sf1 even though sf1 feeds 10× the rows. The `distinct keys` column
+    * carries the watermark-derived open-window UPPER BOUND.
+    */
+  private def measureDriftPsi(outer: SparkSession, q: String, sf: String,
+                              dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.functions.Registry.registerAll(s)
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    val files = 24
+    val ev = graft.streaming.Events.readRaw(s, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("timestamp_micros(ts)").as("ts"), col("value"))
+    ev.repartitionByRange(files, col("ts"))
+      .write.mode("overwrite").parquet(feed)
+    // the st13 mtime rule: re-stamp strictly increasing mtimes in range
+    // order so admission is genuinely time-ordered under the 1-day delay
+    val parts = java.nio.file.Files.list(
+        java.nio.file.Paths.get(feed)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    parts.zipWithIndex.foreach { case (p, k) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+    }
+    // reference histogram from the feed's first 7 days (the st22 recipe)
+    val t0 = s.read.parquet(feed).agg(min(unix_micros(col("ts"))))
+      .head.getLong(0)
+    val bucket = least(greatest(
+      floor(col("value") / 25.0).cast("long"), lit(0L)), lit(7L))
+    val refRows = s.read.parquet(feed)
+      .filter(unix_micros(col("ts")) < t0 + 7L * 86400000000L)
+      .groupBy(bucket.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = (0 until 8).map(i => refRows.getOrElse(i.toLong, 0L))
+    val src = s.readStream.schema(s.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val out = graft.streaming.Events.streamingDriftPsi(src, "value", "ts",
+      ref, lo = 0.0, width = 25.0, windowDuration = "3 days",
+      watermark = "1 day")
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    require(s.table(sink).count() > 0, s"$q@$sf: no PSI windows emitted")
+    // open-window bound at the lag-safe watermark (the retentionBound
+    // discipline): 3-day tumbling windows whose end is at or after
+    // wmS = maxTs − delay − 2·(span/files)
+    val stats = s.read.parquet(feed)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val w = 3L * 86400000000L
+    val wmS = mx - 86400000000L - 2L * ((mx - mn) / files)
+    val bound = s.read.parquet(feed)
+      .filter(expr(s"(unix_micros(ts) div $w + 1) * $w >= $wmS"))
+      .select((unix_micros(col("ts")) / w).cast("long")).distinct().count()
     harvest(q, sf, query.recentProgress.toSeq, bound)
   }
 
