@@ -223,6 +223,59 @@ object SparkEntry {
         FROM ($blocks) ORDER BY ord"""
   }
 
+  /** The d22/d23 corpus: documents plus planted mid-document verbatim
+    * excerpts (tokens 11-50 of every 25th doc wrapped in fresh context)
+    * — the overlap shape segment and chunk dedup both miss.
+    */
+  private def exactSubstrCorpus(s: SparkSession, dir: String) = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val excerpts = docs.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("planted excerpt prefix marker "),
+          array_join(slice(graft.ops.TextOps.tokens(col("text")),
+            11, 40), " "),
+          lit(" planted excerpt suffix marker")).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+  }
+
+  /** Shared DuckDB CTE chain for the exact-substring family (d22/d23):
+    * the [[exactSubstrCorpus]] union, tokenization, 15-gram postings
+    * from raw gram STRINGS, pair matches, diagonal gap-and-islands, and
+    * the maximal-run rollup `runs(ia, ib, sa, sb, rl)`.
+    */
+  private val exactSubstrCtes: String =
+    """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  -- coalesce: DuckDB's out-of-bounds list slice is NULL
+                  -- where Spark's is [] (a <11-token source doc)
+                  'planted excerpt prefix marker ' ||
+                  coalesce(array_to_string(list_filter(string_split_regex(
+                    lower(text), '\W+'), x -> x <> '')[11:50], ' '), '') ||
+                  ' planted excerpt suffix marker'
+           FROM documents WHERE doc_id % 25 = 0),
+         s AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                   x -> x <> '') AS toks FROM u),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                      array_to_string(toks[i:i+14], ' ') AS gram
+               FROM s, unnest(generate_series(1, len(toks) - 14)) u2(i)
+               WHERE len(toks) >= 15),
+         m AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                      a.pos AS pa, b.pos AS pb
+               FROM g a JOIN g b ON a.gram = b.gram
+                                AND a.doc_id < b.doc_id),
+         r AS (SELECT ia, ib, pa, pb, pa - pb AS diag,
+                      pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
+                                              ORDER BY pa) AS grp
+               FROM m),
+         runs AS (SELECT ia, ib,
+                         CAST(min(pa) AS BIGINT) AS sa,
+                         CAST(min(pb) AS BIGINT) AS sb,
+                         CAST(max(pa) - min(pa) + 15 AS BIGINT) AS rl
+                  FROM r GROUP BY ia, ib, diag, grp)"""
+
   /** K-unrolled DuckDB oracle for BPE merge TRAINING (t25): each round
     * re-derives pair counts from the '|'-delimited symbol state, takes
     * the same (count desc, lhs, rhs) argmax, and applies the merge with
@@ -2180,48 +2233,61 @@ object SparkEntry {
     "d22_exact_substr" -> api(
       (s, dir) => {
         Registry.registerAll(s)
-        val docs = s.read.parquet(s"$dir/documents.parquet")
-        val excerpts = docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(lit("planted excerpt prefix marker "),
-              array_join(slice(graft.ops.TextOps.tokens(col("text")),
-                11, 40), " "),
-              lit(" planted excerpt suffix marker")).as("text"))
         graft.ops.Dedup.sharedRuns(
-            docs.select(col("doc_id"), col("text")).unionByName(excerpts),
-            "doc_id", "text", minRun = 15)
+            exactSubstrCorpus(s, dir), "doc_id", "text", minRun = 15)
           .orderBy(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
       },
-      """WITH u AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 2000000,
-                  'planted excerpt prefix marker ' ||
-                  array_to_string(list_filter(string_split_regex(lower(text),
-                    '\W+'), x -> x <> '')[11:50], ' ') ||
-                  ' planted excerpt suffix marker'
-           FROM documents WHERE doc_id % 25 = 0),
-         s AS (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\W+'),
-                   x -> x <> '') AS toks FROM u),
-         g AS (SELECT doc_id, i - 1 AS pos,
-                      array_to_string(toks[i:i+14], ' ') AS gram
-               FROM s, unnest(generate_series(1, len(toks) - 14)) u2(i)
-               WHERE len(toks) >= 15),
-         m AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-                      a.pos AS pa, b.pos AS pb
-               FROM g a JOIN g b ON a.gram = b.gram
-                                AND a.doc_id < b.doc_id),
-         r AS (SELECT ia, ib, pa, pb, pa - pb AS diag,
-                      pa - row_number() OVER (PARTITION BY ia, ib, pa - pb
-                                              ORDER BY pa) AS grp
-               FROM m)
-         SELECT ia AS id_a, ib AS id_b,
-                CAST(min(pa) AS BIGINT) AS start_a,
-                CAST(min(pb) AS BIGINT) AS start_b,
-                CAST(max(pa) - min(pa) + 15 AS BIGINT) AS run_len
-         FROM r GROUP BY ia, ib, diag, grp
-         ORDER BY id_a, id_b, start_a, start_b"""),
+      s"""$exactSubstrCtes
+         SELECT ia AS id_a, ib AS id_b, sa AS start_a, sb AS start_b,
+                rl AS run_len
+         FROM runs ORDER BY id_a, id_b, start_a, start_b"""),
+
+    // exact-substring dedup ACTION (Dedup.removeSharedRuns, d23): cut
+    // every d22 run from all but its lowest-id occurrence — the
+    // ExactSubstr FIX step (train on each passage once). Overlapping
+    // removal intervals per doc merge first (gaps-and-islands on a
+    // running interval-end max), then one (id, pos) membership filter
+    // against the doc's own tiny merged-interval list rebuilds the
+    // token text; exact duplicates of an earlier doc empty out to ''.
+    // Everything scales with SHARED content, never corpus²; the oracle
+    // re-runs the identical interval algebra over the d22 CTE chain.
+    "d23_remove_shared_runs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        graft.ops.Dedup.removeSharedRuns(
+            exactSubstrCorpus(s, dir), "doc_id", "text", minRun = 15)
+          .orderBy(col("doc_id"))
+      },
+      s"""$exactSubstrCtes,
+         iv AS (SELECT ib AS id, sb AS st, sb + rl AS en FROM runs),
+         isl0 AS (SELECT id, st, en,
+                   coalesce(max(en) OVER (PARTITION BY id ORDER BY st, en
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1) AS pmax
+                  FROM iv),
+         isl AS (SELECT id, st, en,
+                  sum(CASE WHEN st > pmax THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY id ORDER BY st, en
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS grp2
+                 FROM isl0),
+         mg AS (SELECT id, min(st) AS st, max(en) AS en
+                FROM isl GROUP BY id, grp2),
+         tok AS (SELECT doc_id, unnest(toks) AS tok,
+                        generate_subscripts(toks, 1) AS i FROM s),
+         keep AS (SELECT t.doc_id, t.tok, t.i FROM tok t
+                  WHERE NOT EXISTS (SELECT 1 FROM mg
+                                    WHERE mg.id = t.doc_id
+                                      AND t.i - 1 >= mg.st
+                                      AND t.i - 1 < mg.en)),
+         reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+                 FROM keep GROUP BY doc_id),
+         rem AS (SELECT id, sum(en - st) AS nr FROM mg GROUP BY id)
+         SELECT s.doc_id, coalesce(reb.text, '') AS text,
+                CAST(coalesce(rem.nr, 0) AS BIGINT) AS n_removed
+         FROM s LEFT JOIN reb USING (doc_id)
+                LEFT JOIN rem ON rem.id = s.doc_id
+         ORDER BY s.doc_id"""),
 
     // content-defined chunk dedup (Dedup.cdcChunkGroups): Rabin
     // rolling-hash boundaries (8-char window, base 31, hash % 64 == 63)

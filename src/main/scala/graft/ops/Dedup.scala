@@ -856,6 +856,69 @@ object Dedup {
     * 0-based token positions, one row per maximal run per diagonal
     * alignment (a passage repeated k times in doc B yields k rows).
     */
+  /** Exact-substring dedup ACTION (d23): remove every duplicated token
+    * run found by [[sharedRuns]] from all but its first occurrence — the
+    * Lee et al. "ExactSubstr" FIX step (train on each passage once,
+    * regardless of how many documents embed it). Keep policy: for every
+    * shared run, the occurrence in the LOWEST doc id survives; all
+    * occurrences in higher ids are cut (transitive chains resolve
+    * naturally — a passage shared by docs 1, 2, 3 yields removal
+    * intervals in 2 and 3 from their pairs with 1). Overlapping removal
+    * intervals within one document merge before cutting (classic
+    * gaps-and-islands on a running interval-end maximum), so nested or
+    * staggered runs never double-cut or leave fragments.
+    *
+    * Scale shape: [[sharedRuns]]' candidate-confined pipeline plus one
+    * interval-keyed window (∝ removal intervals, i.e. shared content),
+    * one (id, pos) range-membership join of the token posting against
+    * its own doc's merged intervals (equi-keyed on id; interval lists
+    * per doc are tiny), and one per-doc ordered rebuild. Nothing scales
+    * with corpus²; docs with no shared content pass through untouched.
+    *
+    * Output: (idCol, textCol, n_removed) — the rebuilt token text
+    * (tokens re-joined with single spaces, [[TextOps.tokens]]
+    * normalization: lowercased, punctuation collapsed) and the count of
+    * removed tokens; every input doc appears exactly once.
+    */
+  def removeSharedRuns(df: DataFrame, idCol: String, textCol: String,
+                       minRun: Int,
+                       maxAnchorFreq: Option[Long] = None): DataFrame = {
+    val runs = sharedRuns(df, idCol, textCol, minRun, maxAnchorFreq)
+    // removal intervals land on the HIGHER id of each pair (id_a < id_b
+    // by construction): [start_b, start_b + run_len)
+    val iv = runs.select(col("id_b").as("__id"),
+      col("start_b").as("__s"), (col("start_b") + col("run_len")).as("__e"))
+    // merge overlapping/adjacent intervals per doc: an interval starts a
+    // new island when its start exceeds the running max end of all
+    // EARLIER intervals (start-ordered)
+    val w = Window.partitionBy(col("__id")).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val merged = iv
+      .withColumn("__isl",
+        sum(when(col("__s") > coalesce(max(col("__e")).over(w),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+          .over(Window.partitionBy(col("__id")).orderBy(col("__s"), col("__e"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__iv"))
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    toks.join(merged, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        // null-text docs tokenize to null — surface as '' (the
+        // dedupSegments contract for degenerate documents)
+        coalesce(array_join(
+          when(col("__iv").isNull, col("__toks")).otherwise(
+            filter(col("__toks"), (t, i) => !exists(col("__iv"),
+              v => i >= v.getField("__s") && i < v.getField("__e")))),
+          " "), lit("")).as(textCol),
+        coalesce(aggregate(col("__iv"), lit(0L),
+          (acc, v) => acc + (v.getField("__e") - v.getField("__s"))),
+          lit(0L)).as("n_removed"))
+  }
+
   def sharedRuns(df: DataFrame, idCol: String, textCol: String,
                  minRun: Int,
                  maxAnchorFreq: Option[Long] = None): DataFrame = {

@@ -909,6 +909,45 @@ class OpsSpec extends GraftSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted == gotR)
   }
 
+  test("removeSharedRuns cuts every duplicated run from all but the " +
+      "lowest doc id; overlapping intervals merge; exact dups empty out") {
+    def toks(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val sh = toks("s", 20)
+    val docs2 = Seq(
+      (1L, s"${toks("ua", 5)} $sh ${toks("va", 5)}"),
+      (2L, s"${toks("ub", 3)} $sh ${toks("vb", 4)}"),  // loses the run
+      (3L, toks("w", 8)),                              // untouched
+      (4L, s"${toks("ua", 5)} $sh ${toks("va", 5)}")   // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.removeSharedRuns(docs2, "doc_id", "text",
+        minRun = 15)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, s"${toks("ua", 5)} $sh ${toks("va", 5)}", 0L),
+      (2L, s"${toks("ub", 3)} ${toks("vb", 4)}", 20L),
+      (3L, toks("w", 8), 0L),
+      (4L, "", 30L))) // whole doc was doc 1's content
+    // overlapping removal intervals merge: doc 8 (the HIGHEST id)
+    // embeds doc 5's run at [0,20) and doc 7's run at [10,30) -> the
+    // two intervals merge into one cut [0,30), not a double-cut
+    val over = Seq(
+      (5L, (0 until 20).map(i => s"s$i").mkString(" ") + " " + toks("x", 3)),
+      (7L, (10 until 30).map(i => s"s$i").mkString(" ") + " " + toks("z", 3)),
+      (8L, toks("s", 30) + " " + toks("y", 3))
+    ).toDF("doc_id", "text")
+    val got2 = graft.ops.Dedup.removeSharedRuns(over, "doc_id", "text",
+        minRun = 15)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got2(2) == ((8L, toks("y", 3), 30L)),
+      s"overlapping intervals must merge into one cut: ${got2(2)}")
+    // docs 5 and 7 share only 10 tokens (< minRun) and are each the
+    // lower id of their pair with 8 — both pass through untouched
+    assert(got2(0)._3 == 0L && got2(1)._3 == 0L)
+  }
+
   test("embeddingPairsExact is a superset of bucketed embeddingPairs") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
