@@ -7466,6 +7466,70 @@ object SparkEntry {
     // converters from ONE user-keyed rollup, then the pooled-variance
     // z statistic as a mirrored correctly-rounded chain over the exact
     // integer counts. O(users) shuffle, O(1) output.
+    // Welch's unequal-variance t-test on event values between the two
+    // user-id A/B buckets (e26) — the means complement to e25's
+    // two-proportion z. Exactness discipline: values become 1e6
+    // fixed-point longs, moment sums widen to Decimal(38,0) BEFORE the
+    // square (v*v reaches 1e18 per row — a long sum would wrap), then
+    // t and the Welch–Satterthwaite dof derive through ONE mirrored
+    // double chain (fp units cancel in t). Single aggregation pass,
+    // one output row.
+    "e26_welch_ttest" -> api(
+      (s, dir) => {
+        val ev = graft.streaming.Events.readRaw(s, dir)
+          .filter(col("value").isNotNull)
+          .select(coalesce(col("user_id") % 2 === 0, lit(false)).as("g"),
+            round(col("value") * 1e6).cast("decimal(38,0)").as("v"))
+        val one = ev.agg(
+          sum(when(col("g"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("g"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("g"), col("v"))).as("s1a"),
+          sum(when(!col("g"), col("v"))).as("s1b"),
+          sum(when(col("g"), col("v") * col("v"))).as("s2a"),
+          sum(when(!col("g"), col("v") * col("v"))).as("s2b"))
+        def d(c: Column): Column = c.cast("double")
+        val (na, nb) = (d(col("n_a")), d(col("n_b")))
+        val va = (d(col("s2a")) - d(col("s1a")) * d(col("s1a")) / na) /
+          (na - 1)
+        val vb = (d(col("s2b")) - d(col("s1b")) * d(col("s1b")) / nb) /
+          (nb - 1)
+        val sea = va / na
+        val seb = vb / nb
+        val se = sea + seb
+        val t = (d(col("s1a")) / na - d(col("s1b")) / nb) / sqrt(se)
+        val dof = se * se / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+        one.select(col("n_a"), col("n_b"),
+          round(d(col("s1a")) / na / 1e6, 6).as("mean_a"),
+          round(d(col("s1b")) / nb / 1e6, 6).as("mean_b"),
+          round(t, 6).as("t_stat"), round(dof, 6).as("dof"))
+      },
+      """WITH e AS (SELECT coalesce(user_id % 2 = 0, false) AS g,
+                           CAST(round(value * 1e6) AS HUGEINT) AS v
+                    FROM events WHERE value IS NOT NULL),
+         a AS (SELECT
+                 CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+                 CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS nb,
+                 CAST(sum(CASE WHEN g THEN v END) AS DOUBLE) AS s1a,
+                 CAST(sum(CASE WHEN NOT g THEN v END) AS DOUBLE) AS s1b,
+                 CAST(sum(CASE WHEN g THEN v*v END) AS DOUBLE) AS s2a,
+                 CAST(sum(CASE WHEN NOT g THEN v*v END) AS DOUBLE) AS s2b
+               FROM e),
+         -- one mirrored chain: va=(S2-S1*S1/n)/(n-1), se_i=va_i/n_i
+         a2 AS (SELECT na, nb, s1a, s1b,
+                       (s2a - s1a * s1a / na) / (na - 1) / na AS sea,
+                       (s2b - s1b * s1b / nb) / (nb - 1) / nb AS seb
+                FROM a)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                round(s1a / na / 1e6, 6) AS mean_a,
+                round(s1b / nb / 1e6, 6) AS mean_b,
+                round((s1a / na - s1b / nb) / sqrt(sea + seb), 6)
+                  AS t_stat,
+                round((sea + seb) * (sea + seb)
+                      / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6)
+                  AS dof
+         FROM a2"""),
+
     "e25_ab_test" -> api(
       (s, dir) => {
         val E = graft.streaming.Events
@@ -9433,6 +9497,69 @@ object SparkEntry {
                 CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
                 min(event_id) AS first_event
          FROM inside GROUP BY pid ORDER BY poly_id"""),
+
+    // per-polygon geometry metrics (Geo.polygonMetrics, geo07): signed
+    // shoelace double-area (exact integer), centroid (exact integer
+    // numerators, one mirrored double division), and perimeter in 1e6
+    // fixed-point (per-edge rounding BEFORE the order-free sum — the
+    // t09 discipline). 60 deterministic rectangles/triangles generated
+    // from id arithmetic; the oracle re-derives the SAME shoelace
+    // algebra from the same generated vertex lists. Map-only.
+    "geo07_polygon_metrics" -> api(
+      (s, dir) => {
+        val p = s.range(60).select(col("id").as("poly_id"),
+          (col("id") * 37 % 500).as("a"), (col("id") * 91 % 500).as("b"),
+          (col("id") % 20 + 50).as("w"), (col("id") % 30 + 40).as("h"),
+          (col("id") % 17 + 10).as("c"))
+        val polys = p.select(col("poly_id"),
+          when(col("poly_id") % 2 === 0,
+            array(col("a"), col("a") + col("w"), col("a") + col("w"),
+              col("a")))
+            .otherwise(array(col("a"), col("a") + col("w"),
+              col("a") + col("c"))).as("xs"),
+          when(col("poly_id") % 2 === 0,
+            array(col("b"), col("b"), col("b") + col("h"),
+              col("b") + col("h")))
+            .otherwise(array(col("b"), col("b"), col("b") + col("h")))
+            .as("ys"))
+        graft.ops.Geo.polygonMetrics(polys, "poly_id", "xs", "ys")
+          .withColumn("cx", round(col("cx"), 6))
+          .withColumn("cy", round(col("cy"), 6))
+          .orderBy(col("poly_id"))
+      },
+      """WITH p AS (SELECT i AS poly_id, (i*37)%500 AS a, (i*91)%500 AS b,
+                           i%20+50 AS w, i%30+40 AS h, i%17+10 AS c
+                    FROM range(60) t(i)),
+         v AS (SELECT poly_id,
+                 CASE WHEN poly_id%2=0 THEN [a, a+w, a+w, a]
+                      ELSE [a, a+w, a+c] END AS xs,
+                 CASE WHEN poly_id%2=0 THEN [b, b, b+h, b+h]
+                      ELSE [b, b, b+h] END AS ys
+               FROM p),
+         e AS (SELECT poly_id, len(xs) AS n,
+                      xs[i+1] AS x1, ys[i+1] AS y1,
+                      xs[(i+1)%len(xs) + 1] AS x2,
+                      ys[(i+1)%len(xs) + 1] AS y2
+               FROM v, unnest(generate_series(0, len(xs)-1)) u(i)),
+         m AS (SELECT poly_id, max(n) AS nv,
+                      sum(x1*y2 - x2*y1) AS a2,
+                      sum((x1+x2)*(x1*y2 - x2*y1)) AS cxn,
+                      sum((y1+y2)*(x1*y2 - x2*y1)) AS cyn,
+                      sum(CAST(round(sqrt(CAST((x2-x1)*(x2-x1)
+                            + (y2-y1)*(y2-y1) AS DOUBLE)) * 1e6)
+                          AS BIGINT)) AS pf
+               FROM e GROUP BY poly_id)
+         SELECT poly_id, CAST(nv AS BIGINT) AS n_vertices,
+                CAST(a2 AS BIGINT) AS area2_signed,
+                CAST(abs(a2) AS DOUBLE) / 2.0 AS area,
+                round(CASE WHEN a2 <> 0
+                  THEN CAST(cxn AS DOUBLE) / CAST(a2*3 AS DOUBLE) END, 6)
+                  AS cx,
+                round(CASE WHEN a2 <> 0
+                  THEN CAST(cyn AS DOUBLE) / CAST(a2*3 AS DOUBLE) END, 6)
+                  AS cy,
+                CAST(pf AS BIGINT) AS perimeter_fp
+         FROM m ORDER BY poly_id"""),
 
     // smoothed target encoding (the leakage-safe categorical feature):
     // enc(cat) = (cat_sum + m·prior) / (cat_n + m) with prior = global

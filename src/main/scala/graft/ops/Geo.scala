@@ -321,6 +321,57 @@ object Geo {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-polygon geometry metrics (geo07) over integer vertex arrays:
+    * signed double-area (shoelace Σ x_i·y_{i+1} − x_{i+1}·y_i, closing
+    * edge implied — EXACT integer), area, centroid (exact integer
+    * numerators Σ (x_i+x_{i+1})·cross_i over 3·2A, one double division
+    * per coordinate), vertex count, and the perimeter in 1e6
+    * fixed-point (per-edge lengths rounded to integers BEFORE the
+    * order-free sum — the t09 bit-reproducibility discipline; a plain
+    * double sum would depend on edge order under reassociation).
+    * Map-only column expressions; winding may be CW or CCW (area takes
+    * |2A|, centroid divides by the SIGNED 2A so it is winding-proof).
+    * Degenerate polygons (2A = 0) yield null centroid.
+    *
+    * Output: (polyKey, n_vertices, area2_signed, area, cx, cy,
+    * perimeter_fp).
+    */
+  def polygonMetrics(polygons: DataFrame, polyKey: String,
+                     xsCol: String, ysCol: String): DataFrame = {
+    val xs = col(xsCol)
+    val ys = col(ysCol)
+    val n = size(xs)
+    def nxt(c: Column, i: Column): Column =
+      element_at(c, (pmod(i + 1, n) + 1).cast("int"))
+    def cur(c: Column, i: Column): Column =
+      element_at(c, (i + 1).cast("int"))
+    val idx = sequence(lit(0), n - 1)
+    val cross = transform(idx, i => cur(xs, i) * nxt(ys, i)
+      - nxt(xs, i) * cur(ys, i))
+    val a2 = aggregate(cross, lit(0L), (acc, c) => acc + c)
+    val cxn = aggregate(transform(idx, i =>
+      (cur(xs, i) + nxt(xs, i)) *
+        (cur(xs, i) * nxt(ys, i) - nxt(xs, i) * cur(ys, i))),
+      lit(0L), (acc, c) => acc + c)
+    val cyn = aggregate(transform(idx, i =>
+      (cur(ys, i) + nxt(ys, i)) *
+        (cur(xs, i) * nxt(ys, i) - nxt(xs, i) * cur(ys, i))),
+      lit(0L), (acc, c) => acc + c)
+    val perim = aggregate(transform(idx, i => {
+      val dx = (nxt(xs, i) - cur(xs, i)).cast("double")
+      val dy = (nxt(ys, i) - cur(ys, i)).cast("double")
+      round(sqrt(dx * dx + dy * dy) * 1e6).cast("long")
+    }), lit(0L), (acc, c) => acc + c)
+    polygons.select(col(polyKey), n.cast("long").as("n_vertices"),
+      a2.as("area2_signed"),
+      (abs(a2).cast("double") / 2.0).as("area"),
+      when(a2 =!= 0L, cxn.cast("double") / (a2 * 3L).cast("double"))
+        .as("cx"),
+      when(a2 =!= 0L, cyn.cast("double") / (a2 * 3L).cast("double"))
+        .as("cy"),
+      perim.as("perimeter_fp"))
+  }
+
   /** Point-in-polygon containment join (geo06): every (point, polygon)
     * pair where the point lies inside — exact integer ray casting via
     * the codegen'd `point_in_polygon` expression
