@@ -4375,6 +4375,39 @@ object SparkEntry {
     // then one (doc, pos + i) hash equi-join per additional token, so
     // join fan-in is occurrence counts, never corpus size. Complements
     // s15's bag-of-words BM25 with exact consecutive-token matching.
+    // proximity search (Search.proximitySearch, s19): docs containing
+    // ALL query terms with the minimum covering token window — the
+    // relevance signal between bm25's bag-of-words and s18's exact
+    // phrase. Posting filtered to query terms before any shuffle,
+    // materialized once; one doc-keyed join per extra term enumerates
+    // occurrence combos (per-doc cost = product of occurrence counts —
+    // selective-terms contract, cap-guarded in the API). The oracle
+    // enumerates the same combos exhaustively.
+    "s19_proximity_search" -> api(
+      (s, dir) => {
+        graft.ops.Search.proximitySearch(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            Seq("vector", "merge", "scan"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                   x -> x <> '') AS toks FROM documents),
+         tk AS (SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) - 1 AS pos
+                FROM s),
+         c AS (SELECT a.doc_id, a.pos AS p0, b.pos AS p1, d.pos AS p2
+               FROM tk a
+               JOIN tk b ON a.doc_id = b.doc_id
+               JOIN tk d ON a.doc_id = d.doc_id
+               WHERE a.tok = 'vector' AND b.tok = 'merge'
+                 AND d.tok = 'scan')
+         SELECT doc_id,
+                CAST(min(greatest(p0, p1, p2) - least(p0, p1, p2))
+                     AS BIGINT) AS min_span,
+                count(*) AS n_combos
+         FROM c GROUP BY doc_id ORDER BY doc_id"""),
+
     "s18_phrase_search" -> api(
       (s, dir) => {
         graft.ops.Search.phraseSearch(
@@ -10816,6 +10849,46 @@ object SparkEntry {
          agg AS (SELECT pair, sum(wn) AS n FROM pairs GROUP BY pair)
          SELECT pair, CAST(n AS BIGINT) AS n FROM agg
          ORDER BY n DESC, pair LIMIT 30"""),
+
+    // RAKE keyword extraction (TextAnalysis.rakeKeywords, t26): top-20
+    // corpus keywords by degree/frequency phrase scores — candidate
+    // phrases are maximal runs between stopwords/punctuation, per-word
+    // ratios 1e6-fixed-point before the order-free sum, tie-break on
+    // phrase text. Phrase derivation map-only and materialized once;
+    // stats are equi-keyed aggs. The oracle re-runs the same regex
+    // chain and score algebra.
+    "t26_rake_keywords" -> api(
+      (s, dir) => {
+        graft.ops.TextAnalysis.rakeKeywords(
+          s.read.parquet(s"$dir/documents.parquet"), "text", topK = 20)
+      },
+      """WITH ph AS (SELECT list_filter(list_transform(string_split(
+              regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                '[^a-z0-9]+', ' ', 'g'),
+                '\b(the|and|of|to|in|is|that|it|for|was)\b', '|', 'g'),
+              '|'), p -> trim(p)), p -> p <> '') AS ps
+            FROM documents),
+         occ AS (SELECT unnest(ps) AS phrase FROM ph),
+         w AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word,
+                      len(string_split(phrase, ' ')) AS plen FROM occ),
+         ws AS (SELECT word, count(*) AS freq, sum(plen) AS deg
+                FROM w GROUP BY word),
+         dp AS (SELECT DISTINCT phrase FROM occ),
+         wp AS (SELECT d.phrase, t.word
+                FROM dp d, unnest(string_split(d.phrase, ' ')) AS t(word)),
+         sc AS (SELECT phrase,
+                       CAST(sum(CAST(round(1e6 * ws.deg / ws.freq)
+                         AS BIGINT)) AS BIGINT) AS score_fp
+                FROM wp JOIN ws USING (word) GROUP BY phrase),
+         oc AS (SELECT phrase, count(*) AS n_occurrences
+                FROM occ GROUP BY phrase)
+         SELECT sc.phrase,
+                CAST(len(string_split(sc.phrase, ' ')) AS BIGINT)
+                  AS n_words,
+                sc.score_fp, CAST(oc.n_occurrences AS BIGINT)
+                  AS n_occurrences
+         FROM sc JOIN oc USING (phrase)
+         ORDER BY score_fp DESC, phrase LIMIT 20"""),
 
     // BPE merge TRAINING end-to-end (TextAnalysis.bpeTrain, t25): learn
     // the top-4 merges from the corpus — t19's candidate scan iterated

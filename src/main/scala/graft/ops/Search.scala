@@ -107,6 +107,58 @@ object Search {
       .select(col("__id").as(idCol), col("n_matches"), col("first_pos"))
   }
 
+  /** Proximity search (s19): documents containing ALL query terms, with
+    * the MINIMUM token window covering one occurrence of each —
+    * `min_span` = min over occurrence choices of (max pos − min pos) —
+    * plus the combination count. The "terms near each other" relevance
+    * signal between [[bm25]]'s bag-of-words and [[phraseSearch]]'s
+    * exactness.
+    *
+    * Scale shape: the positional posting filters to the query's own
+    * terms BEFORE any shuffle and materializes once (the phraseSearch
+    * discipline), then one doc-keyed equi-join per additional term
+    * enumerates occurrence combinations — per-doc cost is the PRODUCT
+    * of the terms' within-doc occurrence counts, so this is for
+    * SELECTIVE terms; `maxTokenDocFreq` refuses loudly on
+    * corpus-frequency terms (the phraseSearch cap contract).
+    * Output: (idCol, min_span, n_combos) for matching documents only.
+    */
+  def proximitySearch(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String],
+                      maxTokenDocFreq: Option[Long] = None): DataFrame = {
+    val toks = terms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(toks.size >= 2,
+      s"proximitySearch needs at least 2 distinct terms, got $toks")
+    val postLazy = df.select(col(idCol).as("__id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok").isin(toks: _*))
+    maxTokenDocFreq.foreach { cap =>
+      require(cap > 0, "maxTokenDocFreq must be positive")
+      val hot = postLazy.groupBy(col("__tok"))
+        .agg(count_distinct(col("__id")).as("__df"))
+        .filter(col("__df") > cap).collect()
+      if (hot.nonEmpty) throw new IllegalArgumentException(
+        s"proximitySearch: term(s) ${hot.map(r => s"'${r.getString(0)}' " +
+          s"(df=${r.getLong(1)})").mkString(", ")} exceed " +
+          s"maxTokenDocFreq=$cap — the occurrence-combination join is " +
+          "multiplicative; search more selective terms or raise the cap")
+    }
+    val post = postLazy.localCheckpoint(true)
+    val anchor = post.filter(col("__tok") === toks.head)
+      .select(col("__id"), col("__pos").as("__p0"))
+    val combos = toks.tail.zipWithIndex.foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(post.filter(col("__tok") === t)
+          .select(col("__id"), col("__pos").as(s"__p${i + 1}")), Seq("__id"))
+    }
+    val ps = toks.indices.map(i => col(s"__p$i"))
+    combos
+      .groupBy(col("__id"))
+      .agg(min(greatest(ps: _*) - least(ps: _*)).cast("long").as("min_span"),
+        count(lit(1)).as("n_combos"))
+      .select(col("__id").as(idCol), col("min_span"), col("n_combos"))
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String],
            k1: Double = 1.25, b: Double = 0.75): DataFrame = {

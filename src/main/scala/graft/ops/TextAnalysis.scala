@@ -144,6 +144,58 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** The stopword list RAKE splits candidate phrases on — the English
+    * closed-class set [[StopwordRe]] uses for language ID, kept tiny
+    * and fixed so both engines split identically.
+    */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
+
+  /** RAKE keyword extraction (Rose et al. 2010, t26): candidate phrases
+    * are maximal token runs between stopwords/punctuation; each word
+    * scores degree/frequency (degree = total length of phrase
+    * occurrences containing it, frequency = its occurrence count) and a
+    * phrase scores the sum over its words — the classic corpus-keyword
+    * signal, fully deterministic here: per-word ratios round to 1e6
+    * fixed-point BEFORE the order-free integer sum (t09 discipline) and
+    * ties break on the phrase text.
+    *
+    * Scale shape: phrase derivation is one map-only regex chain
+    * (normalize → stopwords become separators → split), materialized
+    * ONCE (three consumers — word stats, distinct phrases, occurrence
+    * counts — and Spark has no cross-branch CSE); word stats and phrase
+    * scores are equi-keyed aggregations/joins. Output: top-`topK`
+    * (phrase, n_words, score_fp, n_occurrences), best first.
+    */
+  def rakeKeywords(df: DataFrame, textCol: String, topK: Int = 20,
+                   stopwords: Seq[String] = RakeStopwords): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z0-9]+")),
+      "stopwords must be non-empty lowercase word tokens")
+    val sw = stopwords.mkString("\\b(", "|", ")\\b")
+    val phrases = filter(transform(split(regexp_replace(regexp_replace(
+      lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+", " "),
+      sw, "|"), "\\|"), p => trim(p)), p => p =!= "")
+    val occ = df.select(explode(phrases).as("phrase")).localCheckpoint(true)
+    val ws = occ.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("word"),
+        size(split(col("phrase"), " ")).as("plen"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val sc = occ.select(col("phrase")).distinct()
+      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .join(ws, Seq("word"))
+      .groupBy(col("phrase"))
+      .agg(sum(round(lit(1e6) * col("deg") / col("freq")).cast("long"))
+        .as("score_fp"))
+    occ.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+      .join(sc, Seq("phrase"))
+      .select(col("phrase"),
+        size(split(col("phrase"), " ")).cast("long").as("n_words"),
+        col("score_fp"), col("n_occurrences"))
+      .orderBy(col("score_fp").desc, col("phrase")).limit(topK)
+  }
+
   /** PII-style redaction patterns, applied in order (emails before
     * phone-number spans so an address is not half-eaten by the digit
     * rule). Plain RE2-compatible regexes — no lookaround/backrefs — so

@@ -72,6 +72,40 @@ class SearchSpec extends GraftSuite {
     assert(ok == Seq((1L, 1L, 1L)))
   }
 
+  test("proximitySearch: min covering window over occurrence combos; " +
+      "docs missing a term drop; frequency cap refuses") {
+    val docs = Seq(
+      (1L, "a x b y c z"),     // x@1, z@5 -> span 4
+      (2L, "z q x q z"),       // x@2, z@{0,4} -> spans 2,2 -> min 2
+      (3L, "x only here")      // no z -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Search.proximitySearch(docs, "doc_id", "text",
+        Seq("x", "z"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L), (2L, 2L, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Search.proximitySearch(docs, "doc_id", "text",
+        Seq("x", "z"), maxTokenDocFreq = Some(1L))
+    }
+    assert(e.getMessage.contains("maxTokenDocFreq=1"))
+  }
+
+  test("rakeKeywords: hand-computed degree/frequency scores, stopword " +
+      "phrase splitting, deterministic ties") {
+    val docs = Seq(
+      "Deep learning of deep models!",
+      "deep learning is fast"
+    ).toDF("text")
+    // phrases: 'deep learning' x2, 'deep models', 'fast'
+    // deg/freq: deep 6/3=2, learning 4/2=2, models 2/1=2, fast 1/1=1
+    val got = graft.ops.TextAnalysis.rakeKeywords(docs, "text", topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("deep learning", 2L, 4000000L, 2L),
+      ("deep models", 2L, 4000000L, 1L),
+      ("fast", 1L, 1000000L, 1L)))
+  }
+
   test("kAnonymity: nulls form their own group; summary arithmetic") {
     val df = Seq(
       (Some("a"), "x"), (Some("a"), "x"), (Some("a"), "x"),
