@@ -188,10 +188,16 @@ object SparkEntry {
     * projected away), mirroring [[graft.ops.Profile.summarizeFull]]'s
     * exact formulas — HUGEINT sums ≡ the Spark side's Decimal(38,0)
     * widen-before-multiply, one pinned double chain for mean/std,
-    * quantile_cont ≡ exact percentile.
+    * quantile_cont ≡ exact percentile. SUPPORTS ONLY BIGINT and
+    * VARCHAR columns (enforced): summarizeFull's FLOAT/DOUBLE/DECIMAL
+    * branch uses streaming avg/stddev, which this oracle does not
+    * re-derive — extending the gated table past BIGINT/VARCHAR needs
+    * that branch mirrored first, not NULLs that would falsely RED.
     */
   private def summarizeOracle(cols: Seq[(String, String)],
                               table: String): String = {
+    require(cols.forall { case (_, t) => t == "BIGINT" || t == "VARCHAR" },
+      s"summarizeOracle mirrors only BIGINT/VARCHAR stats, got $cols")
     val blocks = cols.zipWithIndex.map { case ((c, t), i) =>
       val stats =
         if (t == "BIGINT") {
@@ -10863,8 +10869,9 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "text", topK = 20)
       },
       """WITH ph AS (SELECT list_filter(list_transform(string_split(
-              regexp_replace(regexp_replace(lower(coalesce(text, '')),
-                '[^a-z0-9]+', ' ', 'g'),
+              regexp_replace(regexp_replace(regexp_replace(
+                lower(coalesce(text, '')),
+                '[^a-z0-9\s]+', '|', 'g'), '\s+', ' ', 'g'),
                 '\b(the|and|of|to|in|is|that|it|for|was)\b', '|', 'g'),
               '|'), p -> trim(p)), p -> p <> '') AS ps
             FROM documents),

@@ -320,7 +320,10 @@ object Kernels {
     * (no float crossings). Deterministic boundary behavior follows from
     * the rule (spec-pinned): a point on a bottom/left boundary is
     * inside, on a top/right boundary outside. Coordinates must stay
-    * below 2^31 in magnitude so the cross-products fit a long. Vertex
+    * below 2^30 in magnitude: the cross-multiplication multiplies two
+    * coordinate DIFFERENCES (each up to 2× the max coordinate), so
+    * 2^30 keeps every product under 2^62 — at 2^31 a product can reach
+    * ~2^64 and silently wrap, flipping a verdict. Vertex
     * order may be clockwise or counter-clockwise; the closing edge
     * (last vertex back to first) is implied.
     */

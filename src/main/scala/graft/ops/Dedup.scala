@@ -923,6 +923,16 @@ object Dedup {
                  minRun: Int,
                  maxAnchorFreq: Option[Long] = None): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    // ids ride the anchor join (and removeSharedRuns' output!) as
+    // longs — a non-integral id would cast to null and silently report
+    // zero runs / null-id output, so refuse loudly (the knnJoin
+    // contract; string ids: join a dense surrogate first)
+    if (!Geo.integralType(df.schema(idCol).dataType))
+      throw new IllegalArgumentException(
+        s"sharedRuns id column '$idCol' must be an integral type " +
+          s"(ids carry the anchor join as longs), got " +
+          s"${df.schema(idCol).dataType} — map string ids to a " +
+          "surrogate id first")
     // token arrays stay a LAZY plan on purpose: the posting pass and the
     // final verify joins each re-derive them from the source scan — two
     // cheap map passes — instead of pinning a corpus-sized checkpoint

@@ -54,6 +54,20 @@ object Geo {
   def cellIdx(coord: Column, cellDeg: Double): Column =
     floor(coord / cellDeg).cast("long")
 
+  /** The exact-long-key/coordinate contract shared by knnJoin,
+    * polygonJoin and [[Dedup.sharedRuns]]: silent long casts of
+    * non-integral columns produce nulls (empty results) or truncation,
+    * so the callers refuse loudly instead.
+    */
+  private[ops] def integralType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
   private def reserve(df: DataFrame, side: String): Unit = {
     val bad = df.columns.filter(_.startsWith("__g"))
     require(bad.isEmpty,
@@ -187,20 +201,17 @@ object Geo {
               metric: (Column, Column, Column, Column) => Column =
                 haversineKm, wrapLon: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
+    graft.functions.Registry.registerAll(probes.sparkSession)
     // topk_by carries ids as longs and SKIPS nulls — a non-numeric site
     // key would cast to null and every probe would silently come back
     // with an empty neighbor list, so the integral-key contract is
     // enforced loudly instead (string keys: join a dense surrogate id)
-    sites.schema(sKey).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case dt => throw new IllegalArgumentException(
+    if (!integralType(sites.schema(sKey).dataType))
+      throw new IllegalArgumentException(
         s"knnJoin site key '$sKey' must be an integral type (output is " +
-          s"BIGINT; ids ride the bounded-heap topk_by as longs), got $dt — " +
-          "map string keys to a surrogate id first")
-    }
+          s"BIGINT; ids ride the bounded-heap topk_by as longs), got " +
+          s"${sites.schema(sKey).dataType} — map string keys to a " +
+          "surrogate id first")
     boxJoin(probes.select(col(pKey), col(pLat), col(pLon)), pLat, pLon,
         sites, sLat, sLon, boxDeg, "__gd", metric, wrapLon)
       .groupBy(col(pKey))
@@ -396,22 +407,15 @@ object Geo {
                   polygons: DataFrame, polyKey: String,
                   xsCol: String, ysCol: String): DataFrame = {
     graft.functions.Registry.registerAll(points.sparkSession)
-    def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
     Seq(xCol -> points.schema(xCol), yCol -> points.schema(yCol)).foreach {
-      case (n, f) => require(integral(f.dataType),
+      case (n, f) => require(integralType(f.dataType),
         s"polygonJoin point coordinate '$n' must be an integral type " +
           s"(exact ray casting; quantize floats first), got ${f.dataType}")
     }
     Seq(xsCol, ysCol).foreach { n =>
       polygons.schema(n).dataType match {
-        case org.apache.spark.sql.types.ArrayType(e, _) if integral(e) => ()
+        case org.apache.spark.sql.types.ArrayType(e, _)
+          if integralType(e) => ()
         case dt => require(false,
           s"polygonJoin vertex column '$n' must be an integral array, got $dt")
       }

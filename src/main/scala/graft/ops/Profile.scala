@@ -89,7 +89,9 @@ object Profile {
     val n = count(lit(1))
     val fields = df.schema.fields.toSeq
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = col(f.name)
+      // backtick-quote: a bare col("a.b") would parse as struct-field
+      // access and crash SUMMARIZE on dotted column names
+      val c = col("`" + f.name.replace("`", "``") + "`")
       val ord = orderable(f.dataType)
       val base = Seq(
         (if (ord) min(c).cast("string") else lit(null).cast("string"))

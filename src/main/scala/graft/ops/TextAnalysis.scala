@@ -161,11 +161,15 @@ object TextAnalysis {
     * ties break on the phrase text.
     *
     * Scale shape: phrase derivation is one map-only regex chain
-    * (normalize → stopwords become separators → split), materialized
-    * ONCE (three consumers — word stats, distinct phrases, occurrence
-    * counts — and Spark has no cross-branch CSE); word stats and phrase
-    * scores are equi-keyed aggregations/joins. Output: top-`topK`
-    * (phrase, n_words, score_fp, n_occurrences), best first.
+    * (punctuation becomes a phrase delimiter — the classic RAKE rule —
+    * then whitespace collapses, then stopwords become delimiters), and
+    * the corpus immediately rolls up to DISTINCT phrases with counts —
+    * ONE corpus pass, after which everything (word stats, scores,
+    * occurrence counts) runs over the VOCABULARY-sized frame,
+    * materialized once (three consumers, no cross-branch CSE; the
+    * corpus itself is never pinned — the sharedRuns discipline).
+    * Output: top-`topK` (phrase, n_words, score_fp, n_occurrences),
+    * best first.
     */
   def rakeKeywords(df: DataFrame, textCol: String, topK: Int = 20,
                    stopwords: Seq[String] = RakeStopwords): DataFrame = {
@@ -173,26 +177,33 @@ object TextAnalysis {
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z0-9]+")),
       "stopwords must be non-empty lowercase word tokens")
     val sw = stopwords.mkString("\\b(", "|", ")\\b")
+    // punctuation (incl. hyphens — Rose et al.) delimits BEFORE
+    // whitespace collapses: "neural networks. deep" must yield two
+    // phrases, never one 4-word phrase (review-caught)
     val phrases = filter(transform(split(regexp_replace(regexp_replace(
-      lower(coalesce(col(textCol), lit(""))), "[^a-z0-9]+", " "),
+      regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[^a-z0-9\\s]+", "|"), "\\s+", " "),
       sw, "|"), "\\|"), p => trim(p)), p => p =!= "")
-    val occ = df.select(explode(phrases).as("phrase")).localCheckpoint(true)
-    val ws = occ.select(col("phrase"),
+    // ONE corpus pass: roll up to distinct phrases + counts, then pin
+    // only that vocabulary-sized frame for the three consumers below
+    val pc = df.select(explode(phrases).as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val ws = pc.select(col("n"),
         explode(split(col("phrase"), " ")).as("word"),
         size(split(col("phrase"), " ")).as("plen"))
       .groupBy(col("word"))
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-    val sc = occ.select(col("phrase")).distinct()
-      .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      .agg(sum(col("n")).as("freq"), sum(col("n") * col("plen")).as("deg"))
+    val sc = pc.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("word"))
       .join(ws, Seq("word"))
       .groupBy(col("phrase"))
       .agg(sum(round(lit(1e6) * col("deg") / col("freq")).cast("long"))
         .as("score_fp"))
-    occ.groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
-      .join(sc, Seq("phrase"))
+    pc.join(sc, Seq("phrase"))
       .select(col("phrase"),
         size(split(col("phrase"), " ")).cast("long").as("n_words"),
-        col("score_fp"), col("n_occurrences"))
+        col("score_fp"), col("n").as("n_occurrences"))
       .orderBy(col("score_fp").desc, col("phrase")).limit(topK)
   }
 

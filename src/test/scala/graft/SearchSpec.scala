@@ -104,6 +104,12 @@ class SearchSpec extends GraftSuite {
       ("deep learning", 2L, 4000000L, 2L),
       ("deep models", 2L, 4000000L, 1L),
       ("fast", 1L, 1000000L, 1L)))
+    // punctuation DELIMITS phrases (the classic RAKE rule): a sentence
+    // boundary must never fuse two phrases into one long one
+    val punct = Seq("neural networks. neural networks").toDF("text")
+    val gotP = graft.ops.TextAnalysis.rakeKeywords(punct, "text", topK = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(gotP == Seq(("neural networks", 2L, 4000000L, 2L)))
   }
 
   test("kAnonymity: nulls form their own group; summary arithmetic") {

@@ -216,6 +216,10 @@ class TableApiSpec extends GraftSuite {
     // explain entry points route the form too (dialect parity)
     assert(trips.explainSql("SUMMARIZE trip").nonEmpty)
     assert(trips.explainTree("SUMMARIZE trip").contains("Generate"))
+    // dotted column names profile as columns, not struct-field access
+    val dotted = trips.sql("SUMMARIZE SELECT id AS `a.b` FROM trip").toDF
+    assert(dotted.head.getString(0) == "a.b" &&
+      dotted.head.getLong(4) == 4L)
   }
 
   test("toArrowIpc round-trips values and nulls through an Arrow reader (to_arrow parity)") {
