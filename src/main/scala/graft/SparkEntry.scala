@@ -2589,6 +2589,76 @@ object SparkEntry {
     // The oracle unrolls 5 peel rounds — rounds past the fixpoint are
     // no-ops, so the unroll is safe as long as it is >= the convergence
     // depth, which OpsSpec pins.
+    // 5-TRUSS decomposition (gr08): iteratively prune edges whose
+    // triangle support < k−2 = 3 until stable — the cohesive-subgraph
+    // mining standard one step denser than gr05's k-core (edges must sit
+    // in triangles, not just have degree). Per round: ONE wedge
+    // equi-join + ONE semi-join closes triangles + ONE edge-keyed
+    // support count + a semi-join prune, on Iterate.loop (bounded
+    // lineage). Fixture: a K6 clique (support 4 per edge — survives)
+    // welded to a band tail x→{x+1,x+2,x+3} whose support cascade dies
+    // in waves; 4 fixed rounds, fixpoint reached by round 2 at every SF
+    // (rounds are part of the semantics, so the K-unrolled oracle is
+    // exact by construction even if a future corpus hasn't converged).
+    "gr08_ktruss" -> api(
+      (s, dir) => {
+        import s.implicits._
+        val v = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("x")).filter(col("x") < 97).distinct()
+        val band = v.filter(col("x") >= 5)
+          .select(col("x").as("s"), explode(array(col("x") + 1,
+            col("x") + 2, col("x") + 3)).as("d"))
+          .join(v.select(col("x").as("d")), Seq("d"), "left_semi")
+          .select(least(col("s"), col("d")).as("a"),
+            greatest(col("s"), col("d")).as("b"))
+        val clique = (for { i <- 0 to 5; j <- (i + 1) to 5 }
+          yield (i.toLong, j.toLong)).toDF("a", "b")
+        val e0 = band.unionByName(clique).distinct()
+        graft.ops.Iterate.loop(e0, 4) { (cur, _) =>
+          val wedge = cur.as("e1")
+            .join(cur.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+            .select(col("a"), col("b"), col("c"))
+          val tri = wedge.join(
+            cur.select(col("a"), col("b").as("c")), Seq("a", "c"),
+            "left_semi")
+          val keep = tri.select(explode(array(
+              struct(col("a").as("ea"), col("b").as("eb")),
+              struct(col("b").as("ea"), col("c").as("eb")),
+              struct(col("a").as("ea"), col("c").as("eb")))).as("p"))
+            .groupBy(col("p.ea").as("a"), col("p.eb").as("b"))
+            .agg(count(lit(1)).as("__sup"))
+            .filter(col("__sup") >= 3)
+            .select(col("a"), col("b"))
+          cur.join(keep, Seq("a", "b"), "left_semi")
+        }.orderBy(col("a"), col("b"))
+      },
+      s"""WITH v AS (SELECT DISTINCT doc_id AS x FROM documents
+                     WHERE doc_id < 97),
+         de AS (SELECT least(s.x, d) AS a, greatest(s.x, d) AS b
+                FROM (SELECT x, unnest([x+1, x+2, x+3]) AS d
+                      FROM v WHERE x >= 5) s
+                WHERE d IN (SELECT x FROM v)
+                UNION ALL
+                SELECT ca.i, cb.i FROM range(6) ca(i), range(6) cb(i)
+                WHERE ca.i < cb.i),
+         e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM de)${
+           (0 until 4).map { i =>
+             s""",
+         t$i AS MATERIALIZED (
+           SELECT w.a, w.b, w.c FROM (SELECT e1.a, e1.b, e2.b AS c
+             FROM e$i e1 JOIN e$i e2 ON e2.a = e1.b) w
+           WHERE EXISTS (SELECT 1 FROM e$i x
+                         WHERE x.a = w.a AND x.b = w.c)),
+         sup$i AS (SELECT ea, eb, count(*) AS sup FROM (
+                   SELECT a AS ea, b AS eb FROM t$i
+                   UNION ALL SELECT b, c FROM t$i
+                   UNION ALL SELECT a, c FROM t$i) GROUP BY ea, eb),
+         e${i + 1} AS MATERIALIZED (
+           SELECT e.a, e.b FROM e$i e
+           JOIN sup$i s ON s.ea = e.a AND s.eb = e.b WHERE s.sup >= 3)"""
+           }.mkString}
+         SELECT a, b FROM e4 ORDER BY a, b"""),
+
     "gr05_kcore" -> api(
       (s, dir) => {
         val v = s.read.parquet(s"$dir/documents.parquet")

@@ -52,8 +52,10 @@ object ScaleStress {
     // the bounded-heap kNN (shuffle ∝ k·probes, not candidates)
     "s18_phrase_search", "geo05_knn_sites",
     // round 14: exact-substring runs (anchor join ∝ posting, islands ∝
-    // shared content — must track rows, not pairs²)
-    "d22_exact_substr")
+    // shared content — must track rows, not pairs²), the removal
+    // action on top of them, and the RAKE vocabulary rollup (corpus
+    // pass collapses to distinct phrases before any reuse)
+    "d22_exact_substr", "d23_remove_shared_runs", "t26_rake_keywords")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
