@@ -53,7 +53,9 @@ object Bench {
     "d10_decontaminate", "j06_range_join", "t09_lm_score", "u01_upsert",
     "e04_funnel", "st04_stream_append", "w04_rolling_range", "s08_ann_pq",
     "s11_ann_ivfpq_persisted", "t11_bpe_tokens",
-    "gr07_recursive_sql", "d21_cdc_chunk_dedup", "st21_stream_asof_enrich")
+    "gr07_recursive_sql", "d21_cdc_chunk_dedup", "st21_stream_asof_enrich",
+    "d22_exact_substr", "t25_bpe_train", "io16_bucketed_join",
+    "gr08_ktruss")
 
   /** Host 1-minute load average (ratio of runnable tasks to nothing — NOT
     * normalized by core count) via the JMX OS bean; -1 where unsupported.
