@@ -2043,6 +2043,62 @@ object SparkEntry {
          WHERE ws + 259200000000 < mn.t1 - 86400000000
          ORDER BY ws"""),
 
+    // streaming k-anonymity monitor (Events.streamingQuasiIdSizes,
+    // st23): per CLOSED weekly window, the privacy card over
+    // quasi-identifier (event_type, user_id bucket) group sizes —
+    // k_actual, groups under the k=40 threshold, rows at risk. Append
+    // emission means release gates only ever see FINAL group sizes;
+    // state is one row per (open window, combo) — cardinality × open
+    // windows, independent of event volume (st22's plateau one
+    // dimension wider). The card itself is a batch rollup over the
+    // sink's closed windows (pr21 arithmetic); oracle re-derives the
+    // same windows under the strict end < maxTs − delay boundary.
+    "st23_stream_k_anon" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val E = graft.streaming.Events
+        val ev = E.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ub", coalesce(col("user_id") % 10, lit(-1L)))
+        val sizes = E.streamingQuasiIdSizes(ev, "ts",
+          Seq("event_type", "ub"), "7 days", "1 day")
+        val sink = "st23_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = sizes
+          .select(unix_micros(col("window_start")).as("ws"),
+            col("event_type"), col("ub"), col("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .groupBy(col("ws"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("n")).as("k_actual"),
+            sum(when(col("n") < 40, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n") < 40, col("n")).otherwise(0L))
+              .as("rows_at_risk"))
+          .orderBy(col("ws"))
+      },
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type,
+                           coalesce(user_id % 10, -1) AS ub FROM events),
+         mn AS (SELECT max(tus) AS t1 FROM e),
+         g AS (SELECT (tus // 604800000000) * 604800000000 AS ws,
+                      event_type, ub, count(*) AS n
+               FROM e GROUP BY 1, 2, 3)
+         SELECT ws, count(*) AS n_groups,
+                CAST(min(n) AS BIGINT) AS k_actual,
+                CAST(sum(CASE WHEN n < 40 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violating,
+                CAST(sum(CASE WHEN n < 40 THEN n ELSE 0 END) AS BIGINT)
+                  AS rows_at_risk
+         FROM g, mn
+         WHERE ws + 604800000000 < mn.t1 - 86400000000
+         GROUP BY ws, mn.t1 ORDER BY ws"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.
@@ -10925,6 +10981,47 @@ object SparkEntry {
          agg AS (SELECT pair, sum(wn) AS n FROM pairs GROUP BY pair)
          SELECT pair, CAST(n AS BIGINT) AS n FROM agg
          ORDER BY n DESC, pair LIMIT 30"""),
+
+    // Kneser–Ney bigram LM scores (TextAnalysis.knBigramScore, t27):
+    // the standard interpolated-KN smoothing next to t09's add-one
+    // baseline — discounted ML term + continuation-probability backoff
+    // from distinct-context counts, every input an exact integer count,
+    // per-bigram probabilities through ONE mirrored double chain into
+    // 1e6 fixed point before the order-free per-doc sum.
+    "t27_kn_lm_score" -> api(
+      (s, dir) => {
+        graft.ops.TextAnalysis.knBigramScore(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                   '\W+'), x -> x <> '') AS toks FROM documents),
+         bg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+                FROM s, unnest(generate_series(1, len(toks) - 1)) u(i)),
+         c2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         ctx AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1,
+                        count(*) AS n1f FROM c2 GROUP BY a),
+         cont AS (SELECT b, count(*) AS n1b FROM c2 GROUP BY b),
+         nbi AS (SELECT count(*) AS nbi FROM c2),
+         sc AS (SELECT doc_id,
+                  CAST(round(ln(
+                    greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0)
+                      / CAST(ctx.c1 AS DOUBLE)
+                    + 0.75 * CAST(ctx.n1f AS DOUBLE)
+                      / CAST(ctx.c1 AS DOUBLE)
+                      * (CAST(cont.n1b AS DOUBLE)
+                         / CAST(nbi.nbi AS DOUBLE))) * 1e6)
+                    AS BIGINT) AS fp
+                FROM bg JOIN c2 USING (a, b) JOIN ctx USING (a)
+                        JOIN cont USING (b), nbi),
+         pd AS (SELECT doc_id, count(*) AS nb,
+                       CAST(sum(fp) AS BIGINT) AS sf
+                FROM sc GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(pd.nb, 0) AS n_bigrams,
+                coalesce(pd.sf, 0) AS kn_score_fp
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         ORDER BY d.doc_id"""),
 
     // RAKE keyword extraction (TextAnalysis.rakeKeywords, t26): top-20
     // corpus keywords by degree/frequency phrase scores — candidate

@@ -398,6 +398,60 @@ object TextAnalysis {
         coalesce(col("score_fp"), lit(0L)).as("score_fp"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score per document (t27) — the
+    * standard n-gram smoothing a real LM-filtering pass uses where
+    * [[bigramLmScore]] is the add-one baseline: with discount D = 0.75,
+    *
+    *   P(b|a) = max(c(ab) − D, 0)/c(a)
+    *          + (D · N1+(a·)/c(a)) · (N1+(·b) / N1+(··))
+    *
+    * (N1+ = distinct-continuation counts — the "how many contexts"
+    * novelty signal that makes KN the empirical standard). Every input
+    * is an exact integer count; each scored bigram's probability runs
+    * through ONE mirrored double chain and rounds to 1e6 fixed point
+    * BEFORE the order-free per-doc sum (t09 discipline), so the oracle
+    * re-derives identical bits. Corpus-trained = corpus-scored (every
+    * bigram is seen, so the discounted term stays positive).
+    *
+    * Scale shape: one bigram derivation pass, three count aggregations
+    * (c(ab), c(a)+N1+(a·) fused in one, N1+(·b)), one broadcast scalar
+    * (N1+(··)), equi-joins back on the bigram stream. Output:
+    * (idCol, n_bigrams, kn_score_fp); docs with < 2 tokens keep (0, 0).
+    */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val toks = df.select(col(idCol),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
+        x => x =!= "").as("__toks"))
+    val bg = toks.select(col(idCol),
+        explode(expr(
+          """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+             (t, i) -> struct(t AS a, __toks[i + 1] AS b))""")).as("__bg"))
+      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .localCheckpoint(true) // four consumers; corpus-bigram-sized
+    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    // c(a) and N1+(a·) fuse into one pass over the distinct-bigram frame
+    // joined with totals: c(a) = Σ_b c(ab), N1+(a·) = count distinct b
+    val ctx = c2.groupBy(col("a"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c2.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val nbi = c2.agg(count(lit(1)).as("nbi"))
+    def d(c: Column): Column = c.cast("double")
+    val p = greatest(d(col("c2")) - discount, lit(0.0)) / d(col("c1")) +
+      lit(discount) * d(col("n1f")) / d(col("c1")) *
+        (d(col("n1b")) / d(col("nbi")))
+    val scored = bg.join(c2, Seq("a", "b")).join(ctx, Seq("a"))
+      .join(cont, Seq("b")).crossJoin(broadcast(nbi))
+      .select(col(idCol), round(log(p) * 1e6).cast("long").as("fp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("kn_score_fp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_score_fp"), lit(0L)).as("kn_score_fp"))
+  }
+
   /** Sliding-window token chunking (RAG/pretraining shape): tokenize,
     * then emit one chunk per `stride` starting offset, `size` tokens
     * long (the final chunks truncate at the document end; overlap =
