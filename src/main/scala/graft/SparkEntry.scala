@@ -5868,6 +5868,57 @@ object SparkEntry {
     // (Cdc.asOf): the table state at version 1 — keys with a v1 snapshot
     // show the 2x payload, everything else the v0 one. A pure interval
     // filter: no join, no shuffle, prunable at scan time.
+    // BITEMPORAL point-in-time (Cdc.bitemporalAsOf, u08): statements
+    // carry business validity [vf, vt) AND a transaction version; a
+    // later tx about the same (key, vf) supersedes (a correction). The
+    // query reconstructs "as believed at tx 2, what held at business
+    // time 7": base rows (tx0, valid from 0), a tx1 re-statement from
+    // vf=5 for every 10th key, and a tx2 CORRECTION of the same
+    // interval for every 20th — which must supersede tx1. Two
+    // max(struct) argmaxes, no windows; oracle mirrors with
+    // row_number DESC picks.
+    "u08_bitemporal" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        def stmt(mod: Int, mult: Int, vf: Long, tx: Long) =
+          s.read.parquet(s"$dir/orders.parquet")
+            .filter(col("o_orderkey") % mod === 0)
+            .select(col("o_orderkey"),
+              (round(col("o_totalprice") * 100).cast("long") * mult)
+                .as("cents"),
+              lit(vf).as("vf"), lit(9999L).as("vt"), lit(tx).as("tx"))
+        val hist = stmt(1, 1, 0L, 0L)
+          .unionByName(stmt(10, 2, 5L, 1L))
+          .unionByName(stmt(20, 3, 5L, 2L))
+        graft.ops.Cdc.bitemporalAsOf(hist, Seq("o_orderkey"),
+            "vf", "vt", "tx", txAt = 2L, validAt = 7L)
+          .orderBy(col("o_orderkey"))
+      },
+      """WITH hist AS (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(0 AS BIGINT) AS vf, CAST(9999 AS BIGINT) AS vt,
+                  CAST(0 AS BIGINT) AS tx
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) * 2, 5, 9999, 1
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) * 3, 5, 9999, 2
+           FROM orders WHERE o_orderkey % 20 = 0),
+         bel AS (SELECT o_orderkey, vf, vt, tx, cents FROM (
+                   SELECT h.*, row_number() OVER (
+                     PARTITION BY o_orderkey, vf ORDER BY tx DESC) AS rn
+                   FROM hist h WHERE tx <= 2) WHERE rn = 1),
+         eff AS (SELECT o_orderkey, vf, vt, tx, cents FROM (
+                   SELECT b.*, row_number() OVER (
+                     PARTITION BY o_orderkey ORDER BY vf DESC) AS rn
+                   FROM bel b WHERE vf <= 7 AND vt > 7) WHERE rn = 1)
+         SELECT o_orderkey, vf, vt, tx, cents
+         FROM eff ORDER BY o_orderkey"""),
+
     "u06_point_in_time" -> api(
       (s, dir) => {
         Registry.registerAll(s)

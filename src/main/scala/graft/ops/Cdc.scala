@@ -99,6 +99,45 @@ object Cdc {
            effToCol: String = "eff_to"): DataFrame =
     history.filter(col(versionCol) <= at && col(effToCol) > at)
 
+  /** BITEMPORAL point-in-time (u08): rows are STATEMENTS "key has this
+    * payload, business-valid [validFrom, validTo)", recorded at
+    * transaction version `txCol`; a later transaction about the same
+    * (key, validFrom) SUPERSEDES earlier ones (a correction). The query
+    * answers the two-axis question [[asOf]] cannot: as we BELIEVED at
+    * `txAt`, what was true at business time `validAt`?
+    *
+    *  1. believed statements = per (key, validFrom), the max-`txCol`
+    *     row among tx ≤ txAt;
+    *  2. effective row = per key, the max-`validFrom` believed
+    *     statement whose interval covers validAt.
+    *
+    * Both steps are ONE `max(struct)` argmax aggregation (the
+    * nearestJoin idiom) — no window over history volume, shuffle keyed
+    * on (key, validFrom) then key. Contract: at most one statement per
+    * (key, validFrom, tx) — the struct tie-break would otherwise pick
+    * by payload order. Output: keyCols, validFrom, validTo, tx,
+    * payload columns (original names).
+    */
+  def bitemporalAsOf(history: DataFrame, keyCols: Seq[String],
+                     validFromCol: String, validToCol: String,
+                     txCol: String, txAt: Long, validAt: Long): DataFrame = {
+    val payload = history.columns.filterNot(c => keyCols.contains(c) ||
+      c == validFromCol || c == validToCol || c == txCol).toSeq
+    val carry = Seq(txCol, validToCol) ++ payload
+    val believed = history.filter(col(txCol) <= txAt)
+      .groupBy((keyCols :+ validFromCol).map(col): _*)
+      .agg(max(struct(carry.map(col): _*)).as("__b"))
+      .select((keyCols :+ validFromCol).map(col) ++
+        carry.map(f => col(s"__b.$f").as(f)): _*)
+    val effCarry = Seq(validFromCol, validToCol, txCol) ++ payload
+    believed
+      .filter(col(validFromCol) <= validAt && col(validToCol) > validAt)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(effCarry.map(col): _*)).as("__e"))
+      .select(keyCols.map(col) ++
+        effCarry.map(f => col(s"__e.$f").as(f)): _*)
+  }
+
   /** Incremental aggregate maintenance — keep a (count, sum) rollup in
     * sync with a last-writer-wins delta WITHOUT rescanning the base
     * table: the materialized-view fold every warehouse does nightly,

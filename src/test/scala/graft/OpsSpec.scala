@@ -676,6 +676,37 @@ class OpsSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 0L, 3L), (1L, 3L, 7L), (1L, 7L, 99L), (2L, 0L, 99L)))
   }
 
+  test("bitemporalAsOf: corrections supersede by tx, belief cut excludes " +
+      "later tx, latest valid_from wins, retro corrections rewrite history") {
+    // statements: (k, cents, vf, vt, tx)
+    val hist = Seq(
+      (1L, 100L, 0L, 99L, 0L),  // base
+      (1L, 200L, 5L, 99L, 1L),  // re-statement from business time 5
+      (1L, 300L, 5L, 99L, 2L),  // correction of the SAME interval at tx2
+      (2L, 400L, 0L, 99L, 0L),
+      (2L, 999L, 0L, 10L, 2L),  // retro: shortens validity AND new value
+      (3L, 500L, 0L, 4L, 0L)    // expires before validAt=7 -> absent
+    ).toDF("k", "cents", "vf", "vt", "tx")
+    def q(txAt: Long, validAt: Long) =
+      Cdc.bitemporalAsOf(hist, Seq("k"), "vf", "vt", "tx", txAt, validAt)
+        .orderBy("k").select("k", "vf", "vt", "tx", "cents")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // believed at tx2, valid at 7: k1 -> tx2 correction (supersedes tx1,
+    // latest vf=5 beats the base vf=0); k2 -> retro row expired at 10?
+    // no: validAt 7 < 10, retro row [0,10) covers -> 999; k3 expired
+    assert(q(2L, 7L) == Seq((1L, 5L, 99L, 2L, 300L),
+      (2L, 0L, 10L, 2L, 999L)))
+    // believed at tx1: the tx2 correction doesn't exist yet
+    assert(q(1L, 7L) == Seq((1L, 5L, 99L, 1L, 200L),
+      (2L, 0L, 99L, 0L, 400L)))
+    // valid at 12: k2's believed-at-tx2 statement [0,10) no longer
+    // covers -> k2 absent (the retro correction REMOVED later validity)
+    assert(q(2L, 12L) == Seq((1L, 5L, 99L, 2L, 300L)))
+    // early business time: only the base statements cover validAt 3
+    assert(q(2L, 3L) == Seq((1L, 0L, 99L, 0L, 100L),
+      (2L, 0L, 10L, 2L, 999L), (3L, 0L, 4L, 0L, 500L)))
+  }
+
   test("stratifiedSplit: exact floor proportions per stratum, id-stable membership") {
     import org.apache.spark.sql.functions.col
     val df = (0L until 100L).map(i => (if (i < 37) "a" else "b", i))
