@@ -124,18 +124,20 @@ object Cdc {
     val payload = history.columns.filterNot(c => keyCols.contains(c) ||
       c == validFromCol || c == validToCol || c == txCol).toSeq
     val carry = Seq(txCol, validToCol) ++ payload
+    // getField, not col("__b.name"): a dotted payload name must resolve
+    // as ONE field, never a nested path (the SUMMARIZE lesson)
     val believed = history.filter(col(txCol) <= txAt)
       .groupBy((keyCols :+ validFromCol).map(col): _*)
       .agg(max(struct(carry.map(col): _*)).as("__b"))
       .select((keyCols :+ validFromCol).map(col) ++
-        carry.map(f => col(s"__b.$f").as(f)): _*)
+        carry.map(f => col("__b").getField(f).as(f)): _*)
     val effCarry = Seq(validFromCol, validToCol, txCol) ++ payload
     believed
       .filter(col(validFromCol) <= validAt && col(validToCol) > validAt)
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct(effCarry.map(col): _*)).as("__e"))
       .select(keyCols.map(col) ++
-        effCarry.map(f => col(s"__e.$f").as(f)): _*)
+        effCarry.map(f => col("__e").getField(f).as(f)): _*)
   }
 
   /** Incremental aggregate maintenance — keep a (count, sum) rollup in

@@ -372,30 +372,58 @@ object TextAnalysis {
     *
     * Output: (idCol, n_bigrams, score_fp), one row per input document.
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+  /** The lowercased `\W+` token-array frame the LM scorers share:
+    * (idCol, __toks).
+    */
+  private def lmTokens(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol),
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
         x => x =!= "").as("__toks"))
-    val bg = toks.select(col(idCol),
+
+  /** Per-document DISTINCT bigrams with multiplicity — (idCol, a, b, m)
+    * — the frame both LM scorers aggregate and score over: a sum of m
+    * identical fixed-point terms equals m·fp exactly, so scoring the
+    * distinct frame is bit-identical to scoring every occurrence while
+    * shrinking the materialized volume from corpus-token to
+    * doc-distinct-bigram size.
+    */
+  private def docBigrams(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col(idCol),
         explode(expr(
           """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
              (t, i) -> struct(t AS a, __toks[i + 1] AS b))""")).as("__bg"))
       .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
-    val uni = toks.select(explode(col("__toks")).as("t"))
-    val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
-    val vocab = uni.agg(countDistinct(col("t")).as("v"))
-    val scored = bg.join(c2, Seq("a", "b")).join(c1, col("a") === col("t"))
-      .crossJoin(broadcast(vocab))
-      .select(col(idCol),
-        round(log((col("c2") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")) * 1e6).cast("long").as("fp"))
+      .groupBy(col(idCol), col("a"), col("b")).agg(count(lit(1)).as("m"))
+
+  /** Shared scorer tail: per-doc occurrence count and fixed-point sum
+    * over the (idCol, m, fp) frame, with the id spine keeping <2-token
+    * docs at (0, 0).
+    */
+  private def perDocFpSum(df: DataFrame, scored: DataFrame, idCol: String,
+                          scoreName: String): DataFrame = {
     val perDoc = scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("score_fp"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("fp")).as(scoreName))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+        coalesce(col(scoreName), lit(0L)).as(scoreName))
+  }
+
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = lmTokens(df, idCol, textCol)
+    val bgm = docBigrams(toks, idCol)
+    val uni = toks.select(explode(col("__toks")).as("t"))
+    val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val c2 = bgm.groupBy(col("a"), col("b")).agg(sum(col("m")).as("c2"))
+    val vocab = uni.agg(countDistinct(col("t")).as("v"))
+    val scored = bgm.join(c2, Seq("a", "b")).join(c1, col("a") === col("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("m"),
+        round(log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")) * 1e6).cast("long").as("fp"))
+    perDocFpSum(df, scored, idCol, "score_fp")
   }
 
   /** Interpolated Kneser–Ney bigram LM score per document (t27) — the
@@ -421,16 +449,12 @@ object TextAnalysis {
   def knBigramScore(df: DataFrame, idCol: String, textCol: String,
                     discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
-    val toks = df.select(col(idCol),
-      filter(split(lower(coalesce(col(textCol), lit(""))), "\\W+"),
-        x => x =!= "").as("__toks"))
-    val bg = toks.select(col(idCol),
-        explode(expr(
-          """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
-             (t, i) -> struct(t AS a, __toks[i + 1] AS b))""")).as("__bg"))
-      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
-      .localCheckpoint(true) // four consumers; corpus-bigram-sized
-    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    // pre-aggregated to doc-distinct bigrams BEFORE the checkpoint
+    // (review-caught): the pinned frame is vocabulary-shaped, not
+    // corpus-token-shaped; two consumers (count chain + scoring join)
+    val bgm = docBigrams(lmTokens(df, idCol, textCol), idCol)
+      .localCheckpoint(true)
+    val c2 = bgm.groupBy(col("a"), col("b")).agg(sum(col("m")).as("c2"))
     // c(a) and N1+(a·) fuse into one pass over the distinct-bigram frame
     // joined with totals: c(a) = Σ_b c(ab), N1+(a·) = count distinct b
     val ctx = c2.groupBy(col("a"))
@@ -441,15 +465,11 @@ object TextAnalysis {
     val p = greatest(d(col("c2")) - discount, lit(0.0)) / d(col("c1")) +
       lit(discount) * d(col("n1f")) / d(col("c1")) *
         (d(col("n1b")) / d(col("nbi")))
-    val scored = bg.join(c2, Seq("a", "b")).join(ctx, Seq("a"))
+    val scored = bgm.join(c2, Seq("a", "b")).join(ctx, Seq("a"))
       .join(cont, Seq("b")).crossJoin(broadcast(nbi))
-      .select(col(idCol), round(log(p) * 1e6).cast("long").as("fp"))
-    val perDoc = scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("kn_score_fp"))
-    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("kn_score_fp"), lit(0L)).as("kn_score_fp"))
+      .select(col(idCol), col("m"),
+        round(log(p) * 1e6).cast("long").as("fp"))
+    perDocFpSum(df, scored, idCol, "kn_score_fp")
   }
 
   /** Sliding-window token chunking (RAG/pretraining shape): tokenize,

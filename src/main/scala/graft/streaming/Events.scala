@@ -778,31 +778,6 @@ object Events {
     * per micro-batch in foreachBatch, where the per-doc rollup is a plain
     * batch groupBy with no retained state.
     */
-  /** Streaming quasi-identifier GROUP SIZES (st23): per closed tumbling
-    * window, the size of every quasi-identifier combination — the
-    * streaming feed of a k-anonymity privacy monitor
-    * ([[graft.ops.Profile.kAnonymity]]'s batch card becomes a rollup
-    * over this stream's closed windows). Append mode: a (window, combo)
-    * row emits once the watermark strictly passes the window end, so
-    * downstream release gates see only FINAL sizes, never a partial
-    * count that later grows past the threshold.
-    *
-    * State: ONE row per (open window, observed combo) — bounded by
-    * distinct quasi-id combinations × open windows, a cardinality
-    * quantity independent of event volume (the st22 plateau shape one
-    * dimension wider). Output: (window_start, quasiCols…, n).
-    */
-  def streamingQuasiIdSizes(stream: DataFrame, tsCol: String,
-                            quasiCols: Seq[String], windowDuration: String,
-                            watermark: String): DataFrame = {
-    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
-    stream.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDuration) +: quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start") +:
-        (quasiCols.map(col) :+ col("n")): _*)
-  }
-
   def streamingNearDup(stream: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
                        seed: Long = graft.functions.Registry.DefaultSeed)
@@ -816,4 +791,30 @@ object Events {
         min(when(col("dup_of") =!= col("doc_id"), col("dup_of"))).as("dup_of"))
       .select(col("doc_id"), (col("collided_bands") > 0).as("is_dup"),
         col("collided_bands"), col("dup_of"))
+
+  /** Streaming quasi-identifier GROUP SIZES (st23): per closed tumbling
+    * window, the size of every quasi-identifier combination — the
+    * streaming feed of a k-anonymity privacy monitor
+    * ([[graft.ops.Profile.kAnonymity]]'s batch card becomes a rollup
+    * over this stream's closed windows). Append mode: a (window, combo)
+    * row emits once the watermark strictly passes the window end, so
+    * downstream release gates see only FINAL sizes, never a partial
+    * count that later grows past the threshold.
+    *
+    * State: ONE row per (open window, observed combo) — bounded by
+    * distinct quasi-id combinations × open windows, a cardinality
+    * quantity independent of event volume (the st22 plateau shape one
+    * dimension wider; measured 50 rows at sf0.1 AND sf1).
+    * Output: (window_start, quasiCols…, n).
+    */
+  def streamingQuasiIdSizes(stream: DataFrame, tsCol: String,
+                            quasiCols: Seq[String], windowDuration: String,
+                            watermark: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +:
+        (quasiCols.map(col) :+ col("n")): _*)
+  }
 }

@@ -48,7 +48,9 @@ object StreamingStateScale {
       measureAsOfEnrich(spark, "st21_asof_enrich", "sf0.1", Sf01),
       measureAsOfEnrich(spark, "st21_asof_enrich", "sf1", Sf1),
       measureDriftPsi(spark, "st22_drift_psi", "sf0.1", Sf01),
-      measureDriftPsi(spark, "st22_drift_psi", "sf1", Sf1))
+      measureDriftPsi(spark, "st22_drift_psi", "sf1", Sf1),
+      measureQuasiIdSizes(spark, "st23_k_anon", "sf0.1", Sf01),
+      measureQuasiIdSizes(spark, "st23_k_anon", "sf1", Sf1))
 
     out ++= "| query | sf | input rows | batches | max rows/batch | distinct keys | state rows | RocksDB SST | RocksDB mem |\n"
     out ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -73,7 +75,7 @@ object StreamingStateScale {
     // the bounded join is asserted inside its measure function).
     rows.foreach { m =>
       if (m.query.startsWith("st18_bounded") || m.query.startsWith("st21") ||
-          m.query.startsWith("st22")) {
+          m.query.startsWith("st22") || m.query.startsWith("st23")) {
         require(m.stateRows > 0 && m.stateRows <= m.distinctKeys,
           s"${m.query}@${m.sf}: state rows ${m.stateRows} outside " +
             s"(0, bound ${m.distinctKeys}]")
@@ -228,22 +230,56 @@ object StreamingStateScale {
         expr("timestamp_micros(ts)").as("p_ts"))
       .repartitionByRange(files, col("p_ts"))
       .write.mode("overwrite").parquet(s"$feed/b")
-    // FileStreamSource admits files in MODIFICATION-TIME order, and one
-    // batch write stamps every part file with the same mtime — leaving
-    // admission order arbitrary, which under a short delay late-drops
-    // whole files (the st13 disorder rule). Re-stamp strictly increasing
-    // mtimes in range order (partition index == range rank under
-    // repartitionByRange) so the replay is genuinely time-ordered.
-    Seq("v", "b").foreach { side =>
-      val parts = java.nio.file.Files.list(
-          java.nio.file.Paths.get(s"$feed/$side")).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted
-      parts.zipWithIndex.foreach { case (p, k) =>
-        java.nio.file.Files.setLastModifiedTime(
-          java.nio.file.Paths.get(p),
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
-      }
+    Seq("v", "b").foreach(side => restampInOrder(s"$feed/$side"))
+  }
+
+  /** FileStreamSource admits files in MODIFICATION-TIME order, and one
+    * batch write stamps every part file with the same mtime — leaving
+    * admission order arbitrary, which under a short delay late-drops
+    * whole files (the st13 disorder rule). Re-stamp strictly increasing
+    * mtimes in range order (partition index == range rank under
+    * repartitionByRange) so the replay is genuinely time-ordered. ONE
+    * copy of the rule — every probe feed goes through here.
+    */
+  private def restampInOrder(dir: String): Unit = {
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val parts =
+      try stream.toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+      finally stream.close()
+    parts.zipWithIndex.foreach { case (p, k) =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
     }
+  }
+
+  /** Single-stream probe feed: time-range-split into `files` parquet
+    * files with in-order mtimes.
+    */
+  private def writeSingleFeed(df: org.apache.spark.sql.DataFrame,
+                              feed: String, files: Int): Unit = {
+    df.repartitionByRange(files, col("ts"))
+      .write.mode("overwrite").parquet(feed)
+    restampInOrder(feed)
+  }
+
+  /** Open-tumbling-window retention UPPER BOUND at the lag-safe
+    * watermark wmS = maxTs − delay − 2·(span/files): distinct windows
+    * whose end is at or after wmS.
+    */
+  private def openWindowBound(s: SparkSession, feed: String,
+                              windowMicros: Long, delayMicros: Long,
+                              files: Int): Long = {
+    val stats = s.read.parquet(feed)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val wmS = mx - delayMicros - 2L * ((mx - mn) / files)
+    s.read.parquet(feed)
+      .filter(expr(s"(unix_micros(ts) div $windowMicros + 1) " +
+        s"* $windowMicros >= $wmS"))
+      .select((unix_micros(col("ts")) / windowMicros).cast("long"))
+      .distinct().count()
   }
 
   /** Watermark-derived retention UPPER BOUND for the bounded-delay
@@ -379,21 +415,10 @@ object StreamingStateScale {
     graft.functions.Registry.registerAll(s)
     val feed = s"target/tmp/state_scale_${q}_$sf"
     val files = 24
-    val ev = graft.streaming.Events.readRaw(s, dir)
+    writeSingleFeed(graft.streaming.Events.readRaw(s, dir)
       .filter(col("value").isNotNull)
-      .select(expr("timestamp_micros(ts)").as("ts"), col("value"))
-    ev.repartitionByRange(files, col("ts"))
-      .write.mode("overwrite").parquet(feed)
-    // the st13 mtime rule: re-stamp strictly increasing mtimes in range
-    // order so admission is genuinely time-ordered under the 1-day delay
-    val parts = java.nio.file.Files.list(
-        java.nio.file.Paths.get(feed)).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet")).sorted
-    parts.zipWithIndex.foreach { case (p, k) =>
-      java.nio.file.Files.setLastModifiedTime(
-        java.nio.file.Paths.get(p),
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
-    }
+      .select(expr("timestamp_micros(ts)").as("ts"), col("value")),
+      feed, files)
     // reference histogram from the feed's first 7 days (the st22 recipe)
     val t0 = s.read.parquet(feed).agg(min(unix_micros(col("ts"))))
       .head.getLong(0)
@@ -415,19 +440,43 @@ object StreamingStateScale {
       .trigger(Trigger.AvailableNow()).start()
     try query.awaitTermination() finally query.stop()
     require(s.table(sink).count() > 0, s"$q@$sf: no PSI windows emitted")
-    // open-window bound at the lag-safe watermark (the retentionBound
-    // discipline): 3-day tumbling windows whose end is at or after
-    // wmS = maxTs − delay − 2·(span/files)
-    val stats = s.read.parquet(feed)
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .head
-    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
-    val w = 3L * 86400000000L
-    val wmS = mx - 86400000000L - 2L * ((mx - mn) / files)
-    val bound = s.read.parquet(feed)
-      .filter(expr(s"(unix_micros(ts) div $w + 1) * $w >= $wmS"))
-      .select((unix_micros(col("ts")) / w).cast("long")).distinct().count()
-    harvest(q, sf, query.recentProgress.toSeq, bound)
+    harvest(q, sf, query.recentProgress.toSeq,
+      openWindowBound(s, feed, 3L * 86400000000L, 86400000000L, files))
+  }
+
+  /** st23 shape: per-window quasi-identifier group sizes — state is one
+    * row per (open window, observed combo): a CARDINALITY × time bound,
+    * identical at sf0.1 and sf1 (10× the events, same combos, same
+    * windows). `distinct keys` carries the bound = distinct combos ×
+    * open windows at the lag-safe watermark.
+    */
+  private def measureQuasiIdSizes(outer: SparkSession, q: String,
+                                  sf: String, dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.functions.Registry.registerAll(s)
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    val files = 24
+    writeSingleFeed(graft.streaming.Events.readRaw(s, dir)
+      .select(expr("timestamp_micros(ts)").as("ts"), col("event_type"),
+        coalesce(col("user_id") % 10, lit(-1L)).as("ub")),
+      feed, files)
+    val src = s.readStream.schema(s.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val out = graft.streaming.Events.streamingQuasiIdSizes(src, "ts",
+      Seq("event_type", "ub"), "7 days", "1 day")
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    require(s.table(sink).count() > 0, s"$q@$sf: no closed windows emitted")
+    val combos = s.read.parquet(feed)
+      .select(col("event_type"), col("ub")).distinct().count()
+    harvest(q, sf, query.recentProgress.toSeq, combos *
+      openWindowBound(s, feed, 7L * 86400000000L, 86400000000L, files))
   }
 
   /** Fold a progress sequence into totals. `opNameContains` picks the
