@@ -9057,6 +9057,14 @@ object SparkEntry {
         "doc_id" -> "BIGINT", "text" -> "VARCHAR", "lang" -> "VARCHAR",
         "source" -> "VARCHAR", "n_chars" -> "BIGINT"), "documents")),
 
+    // DuckDB's DESCRIBE statement (q60) as a SAME-TEXT form (unlike
+    // SUMMARIZE its values are fully deterministic — schema only):
+    // (column_name, column_type, null, key, default, extra), rows in
+    // schema order, types in DuckDB spelling, nullability from the
+    // schema, constraint columns NULL. Replaces Spark's own
+    // 3-column DESCRIBE shape at the Table surface by contract.
+    "q60_describe" -> same("documents", "DESCRIBE documents"),
+
     "q57_from_first" -> same("orders",
       """FROM orders
          SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price

@@ -35,10 +35,14 @@ final class Table private (val df: DataFrame) {
     */
   def sql(query: String): Table = {
     Registry.registerAll(spark)
-    // SUMMARIZE is a whole-statement form: route before every other
-    // pass (its query target re-enters this method and gets them all)
+    // SUMMARIZE/DESCRIBE are whole-statement forms: route before every
+    // other pass (a query target re-enters this method and gets them all)
     Dialect.summarizeTarget(query) match {
       case Some(target) => return new Table(summarizeFrame(target))
+      case None =>
+    }
+    Dialect.describeTarget(query) match {
+      case Some(target) => return new Table(describeFrame(target))
       case None =>
     }
     // UNION [ALL] BY NAME splits FIRST, on the token-local rewrite only:
@@ -64,6 +68,13 @@ final class Table private (val df: DataFrame) {
     */
   private def summarizeFrame(target: String): DataFrame =
     graft.ops.Profile.summarizeFull(
+      if (Dialect.isBareIdentifier(target)) df else sql(target).df)
+
+  /** `DESCRIBE` execution — same bare-identifier-is-the-receiver rule
+    * as [[summarizeFrame]], DuckDB's output shape.
+    */
+  private def describeFrame(target: String): DataFrame =
+    graft.ops.Profile.describeDuck(
       if (Dialect.isBareIdentifier(target)) df else sql(target).df)
 
   /** The clause-scoped single-statement rewrites ([[sql]] applies them
@@ -183,6 +194,11 @@ final class Table private (val df: DataFrame) {
       return if (extended) qe.toString
         else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
     }
+    Dialect.describeTarget(query).foreach { t =>
+      val qe = describeFrame(t).queryExecution
+      return if (extended) qe.toString
+        else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+    }
     val q0 = Dialect.rewrite(query)
     val q = Dialect.fromFirst(q0).getOrElse(q0)
     val view = Dialect.firstFromTable(q).getOrElse("t")
@@ -200,11 +216,14 @@ final class Table private (val df: DataFrame) {
     */
   def explainTree(query: String): String =
     Dialect.summarizeTarget(query) match {
-      // SUMMARIZE has no Spark grammar to parse; the closest "query
-      // tree" is the constructed frame's unoptimized logical plan
+      // SUMMARIZE/DESCRIBE have no Spark grammar to parse; the closest
+      // "query tree" is the constructed frame's unoptimized logical plan
       case Some(t) => summarizeFrame(t).queryExecution.logical.treeString
-      case None => spark.sessionState.sqlParser.parsePlan(
-        prep(Dialect.rewrite(query))).treeString
+      case None => Dialect.describeTarget(query) match {
+        case Some(t) => describeFrame(t).queryExecution.logical.treeString
+        case None => spark.sessionState.sqlParser.parsePlan(
+          prep(Dialect.rewrite(query))).treeString
+      }
     }
 
   /** The fully materialized result as an Arrow IPC stream — the analog
@@ -358,11 +377,18 @@ object Table {
     */
   def sessionSql(spark: SparkSession, query: String): Table = {
     Registry.registerAll(spark)
-    // SUMMARIZE first (dialect parity with Table.sql); here a bare
-    // identifier resolves against the session catalog
+    // SUMMARIZE/DESCRIBE first (dialect parity with Table.sql); here a
+    // bare identifier resolves against the session catalog
     Dialect.summarizeTarget(query) match {
       case Some(t) =>
         return apply(graft.ops.Profile.summarizeFull(
+          if (Dialect.isBareIdentifier(t)) spark.table(t)
+          else sessionSql(spark, t).df))
+      case None =>
+    }
+    Dialect.describeTarget(query) match {
+      case Some(t) =>
+        return apply(graft.ops.Profile.describeDuck(
           if (Dialect.isBareIdentifier(t)) spark.table(t)
           else sessionSql(spark, t).df))
       case None =>

@@ -61,10 +61,13 @@ object Profile {
     * unpivots driver-free. Non-orderable columns (maps) profile as
     * count-only rows.
     */
-  def summarizeFull(df: DataFrame): DataFrame = {
+  /** DuckDB's spelling of a Spark type — the `column_type` column of
+    * both the SUMMARIZE (q59) and DESCRIBE (q60) dialect forms.
+    */
+  private[graft] def duckTypeName(
+      dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
-    require(df.columns.nonEmpty, "SUMMARIZE needs at least one column")
-    def duckType(dt: DataType): String = dt match {
+    dt match {
       case LongType => "BIGINT"
       case IntegerType => "INTEGER"
       case ShortType => "SMALLINT"
@@ -77,9 +80,34 @@ object Profile {
       case _: TimestampType => "TIMESTAMP"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
       case BinaryType => "BLOB"
-      case ArrayType(e, _) => duckType(e) + "[]"
+      case ArrayType(e, _) => duckTypeName(e) + "[]"
       case other => other.sql
     }
+  }
+
+  /** DuckDB-`DESCRIBE`-shaped schema listing (q60): one row per column,
+    * (column_name, column_type, null, key, default, extra) — all
+    * VARCHAR, `null` = YES/NO from schema nullability, the last three
+    * NULL (no constraint catalog), rows in schema order. Driver-side by
+    * nature (schemas are); backs the dialect's `DESCRIBE t` /
+    * `DESCRIBE SELECT …` statement form same-text.
+    */
+  def describeDuck(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("column_name", "column_type", "null",
+      "key", "default", "extra").map(StructField(_, StringType)))
+    val rows = df.schema.fields.toSeq.map { f =>
+      org.apache.spark.sql.Row(f.name, duckTypeName(f.dataType),
+        if (f.nullable) "YES" else "NO", null, null, null)
+    }
+    df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+  }
+
+  def summarizeFull(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.columns.nonEmpty, "SUMMARIZE needs at least one column")
+    def duckType(dt: DataType): String = duckTypeName(dt)
     def orderable(dt: DataType): Boolean = dt match {
       case _: MapType => false
       case ArrayType(e, _) => orderable(e)

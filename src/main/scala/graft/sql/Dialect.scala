@@ -827,6 +827,27 @@ object Dialect {
   def isBareIdentifier(s: String): Boolean =
     s.matches("[A-Za-z_][A-Za-z0-9_]*")
 
+  /** DuckDB's `DESCRIBE` statement (q60): `DESCRIBE t` /
+    * `DESCRIBE SELECT …` — same masked-scan first-word dispatch as
+    * [[summarizeTarget]], routed to
+    * [[graft.ops.Profile.describeDuck]]. Deliberately replaces Spark's
+    * own DESCRIBE shape at the Table surface: the dialect's contract is
+    * DuckDB's output columns (column_name, column_type, null, key,
+    * default, extra).
+    */
+  def describeTarget(sql: String): Option[String] = {
+    val m = stripLiterals(sql)
+    var i = 0
+    while (i < m.length && m.charAt(i).isWhitespace) i += 1
+    if (!wordAt(m, i, "describe")) None
+    else {
+      val rest = sql.substring(i + "describe".length).trim
+      require(rest.nonEmpty,
+        "DESCRIBE needs a table name or a SELECT/FROM-first statement")
+      Some(rest)
+    }
+  }
+
   /** First table identifier after FROM, outside quotes — the name the
     * receiver table is bound to (the reference binds the receiver
     * regardless of the FROM name, vinum/api/table.py:219-220).

@@ -183,6 +183,8 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         AsOfSql.detect(j) == AsOfSql.detect(q) &&
         Dialect.summarizeTarget(j).isDefined ==
           Dialect.summarizeTarget(q).isDefined &&
+        Dialect.describeTarget(j).isDefined ==
+          Dialect.describeTarget(q).isDefined &&
         Seq("qualify", "order", "asof", "from", "limit", "where").forall(kw =>
           Dialect.findTopLevelKeyword(j, 0, kw) ==
             Dialect.findTopLevelKeyword(q, 0, kw))

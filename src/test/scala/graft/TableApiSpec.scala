@@ -222,6 +222,27 @@ class TableApiSpec extends GraftSuite {
       dotted.head.getLong(4) == 4L)
   }
 
+  test("DESCRIBE dialect form: DuckDB's six columns, schema order, " +
+      "query targets, explain parity") {
+    val d = trips.sql("DESCRIBE trip").toDF
+    assert(d.columns.toSeq == Seq("column_name", "column_type", "null",
+      "key", "default", "extra"))
+    val rows = d.collect()
+    assert(rows.map(_.getString(0)).toSeq == trips.columnNames)
+    assert(rows.head.getString(1) == "BIGINT" &&
+      rows.last.getString(1) == "DOUBLE")
+    assert(rows.forall(r => r.getString(2) == "YES" && r.isNullAt(3)))
+    // a SELECT target describes the derived schema
+    val sub = trips.sql("DESCRIBE SELECT tip + tax AS s FROM trip").toDF
+    assert(sub.count() == 1 && sub.head.getString(0) == "s" &&
+      sub.head.getString(1) == "DOUBLE")
+    // literal containing the word never triggers; explain parity holds
+    val lit = trips.sql("select 'DESCRIBE trip' as s from trip limit 1").toDF
+    assert(lit.head.getString(0) == "DESCRIBE trip")
+    assert(trips.explainSql("DESCRIBE trip").nonEmpty)
+    assert(trips.explainTree("DESCRIBE trip").contains("LocalRelation"))
+  }
+
   test("toArrowIpc round-trips values and nulls through an Arrow reader (to_arrow parity)") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.ipc.ArrowStreamReader
