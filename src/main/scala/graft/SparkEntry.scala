@@ -6957,6 +6957,45 @@ object SparkEntry {
     // pushed to the read-back scan. Fixed bucket ranges cover sf1
     // (partkey < 2^18, suppkey < 2^14), keeping the layout
     // deterministic across SFs.
+    // write–audit–publish (Wap.writeAuditPublish, io17): stage →
+    // audit the STAGED BYTES (count + exact content sum vs source) →
+    // atomic rename into place; a failing audit must leave the
+    // destination absent and keep staging for inspection — both proven
+    // in-query (the published read-back plus two gate booleans), with
+    // the oracle pinning the source-side truth.
+    "io17_write_audit_publish" -> api(
+      (s, dir) => {
+        val src = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars"))
+        val want = src.agg(count(lit(1)), sum(col("n_chars"))).head
+        val out = scratchDir(s"io17_${new java.io.File(dir).getName}")
+        graft.ops.Wap.writeAuditPublish(src, out) { staged =>
+          val got = staged.agg(count(lit(1)), sum(col("n_chars"))).head
+          require(got == want, s"audit mismatch: $got vs $want")
+        }
+        // a FAILING audit must block the publish entirely
+        val out2 = scratchDir(s"io17_fail_${new java.io.File(dir).getName}")
+        val blocked =
+          try {
+            graft.ops.Wap.writeAuditPublish(src.limit(10), out2)(st =>
+              require(st.count() == -1, "forced audit failure"))
+            false
+          } catch { case _: IllegalStateException => true }
+        val fs = new org.apache.hadoop.fs.Path(out2).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          max(lit(blocked)).as("failed_audit_blocked"),
+          max(lit(!fs.exists(new org.apache.hadoop.fs.Path(out2))))
+            .as("unpublished_absent"))
+      },
+      """SELECT count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                true AS failed_audit_blocked,
+                true AS unpublished_absent
+         FROM documents"""),
+
     // bucketed-table SHUFFLE-FREE join (io16) — the 100 TB co-location
     // layout demonstrated end-to-end: both join sides written with
     // bucketBy(16, custkey) + sortBy, so the bucketed scans report hash
@@ -7554,6 +7593,43 @@ object SparkEntry {
     // window is O(days), never O(events). The correlation is the g19
     // discipline: exact integer sums through one mirrored
     // correctly-rounded chain (+,-,*,/,sqrt only).
+    // seasonal-naive forecast quality (e27): MASE of the weekly
+    // seasonal-naive forecast x̂(d) = x(d−7) against the naive-1
+    // baseline over the daily-count series — the standard "is there
+    // weekly structure worth modeling" check (MASE < 1 ⇒ seasonal
+    // beats naive). All errors are exact integer |differences| summed
+    // exactly; the two MAEs and their ratio run one mirrored double
+    // chain. Two self-joins of the DAYS-sized rollup — nothing scales
+    // with events beyond the one dailyCounts aggregation.
+    "e27_seasonal_mase" -> api(
+      (s, dir) => {
+        val d = dailyCounts(s, dir)
+        def pairs(k: Int) = d.as("a").join(
+            d.select((col("day") + k).as("day"), col("x").as("xl")),
+            Seq("day"))
+          .agg(count(lit(1)).as("n"), sum(abs(col("x") - col("xl"))).as("sae"))
+        val p7 = pairs(7).select(col("n").as("n7"), col("sae").as("s7"))
+        val p1 = pairs(1).select(col("n").as("n1"), col("sae").as("s1"))
+        p7.crossJoin(p1).select(col("n7"), col("s7"), col("n1"), col("s1"),
+          round((col("s7").cast("double") / col("n7").cast("double")) /
+            (col("s1").cast("double") / col("n1").cast("double")), 6)
+            .as("mase"))
+      },
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                           count(*) AS x
+                    FROM events GROUP BY 1),
+         p7 AS (SELECT count(*) AS n7,
+                       CAST(sum(abs(a.x - b.x)) AS BIGINT) AS s7
+                FROM d a JOIN d b ON a.day = b.day + 7),
+         p1 AS (SELECT count(*) AS n1,
+                       CAST(sum(abs(a.x - b.x)) AS BIGINT) AS s1
+                FROM d a JOIN d b ON a.day = b.day + 1)
+         SELECT n7, s7, n1, s1,
+                round((CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE))
+                      / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6)
+                  AS mase
+         FROM p7, p1"""),
+
     "e21_autocorrelation" -> api(
       (s, dir) => {
         // moment products are events²-scale, so they go through
