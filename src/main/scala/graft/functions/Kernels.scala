@@ -323,12 +323,25 @@ object Kernels {
     * below 2^30 in magnitude: the cross-multiplication multiplies two
     * coordinate DIFFERENCES (each up to 2× the max coordinate), so
     * 2^30 keeps every product under 2^62 — at 2^31 a product can reach
-    * ~2^64 and silently wrap, flipping a verdict. Vertex
-    * order may be clockwise or counter-clockwise; the closing edge
-    * (last vertex back to first) is implied.
+    * ~2^64 and silently wrap, flipping a verdict. The bound is ENFORCED
+    * (throws, never wraps): the probe point at entry, each vertex as the
+    * crossing loop touches it — a couple of compares beside the loop's
+    * own multiplies, and only the out-of-contract path pays the throw.
+    * Vertex order may be clockwise or counter-clockwise; the closing
+    * edge (last vertex back to first) is implied.
     */
+  private final val PipCoordLimit = 1L << 30
+
+  private def pipBoundCheck(v: Long, what: String): Unit =
+    if (v >= PipCoordLimit || v <= -PipCoordLimit)
+      throw new IllegalArgumentException(
+        s"point_in_polygon $what coordinate $v exceeds the exact-integer " +
+          "bound |coord| < 2^30 (cross-multiplied products would wrap " +
+          "silently and flip verdicts) — rescale to a coarser grid first")
+
   def pointInPolygon(px: Long, py: Long, xsArr: ArrayData,
                      ysArr: ArrayData): Boolean = {
+    pipBoundCheck(px, "point"); pipBoundCheck(py, "point")
     val xs = xsArr.toLongArray()
     val ys = ysArr.toLongArray()
     val n = math.min(xs.length, ys.length)
@@ -338,6 +351,7 @@ object Kernels {
     while (i < n) {
       val x1 = xs(j); val y1 = ys(j)
       val x2 = xs(i); val y2 = ys(i)
+      pipBoundCheck(x1, "vertex"); pipBoundCheck(y1, "vertex")
       if ((y1 > py) != (y2 > py)) {
         val dy = y2 - y1
         val lhs = (px - x1) * dy

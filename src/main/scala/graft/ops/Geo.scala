@@ -352,10 +352,31 @@ object Geo {
     val xs = col(xsCol)
     val ys = col(ysCol)
     val n = size(xs)
+    // widen BEFORE every product: for ArrayType(IntegerType) inputs the
+    // shoelace cross x_i*y_{i+1} would otherwise wrap silently at int32
+    // (~coords > 46340) before the long-typed aggregate ever saw it —
+    // the summarizeFull widen-before-multiply discipline
     def nxt(c: Column, i: Column): Column =
-      element_at(c, (pmod(i + 1, n) + 1).cast("int"))
+      element_at(c, (pmod(i + 1, n) + 1).cast("int")).cast("long")
     def cur(c: Column, i: Column): Column =
-      element_at(c, (i + 1).cast("int"))
+      element_at(c, (i + 1).cast("int")).cast("long")
+    // long widening moves the wrap point, it doesn't remove it: the
+    // centroid numerator term (x_i+x_{i+1})*cross_i reaches 4B^3 for
+    // max-|coord| B, summed over n vertices. Refuse loudly (one bounded
+    // collect over the catalog-sized frame — the sharedRuns cap style)
+    // whenever nMax*4*B^3 could cross 2^62, instead of wrapping silently.
+    val lim = polygons.agg(
+      max(greatest(abs(array_max(xs)), abs(array_min(xs)),
+        abs(array_max(ys)), abs(array_min(ys))).cast("long")).as("b"),
+      max(size(xs)).cast("long").as("n")).collect().head
+    if (!lim.isNullAt(0)) {
+      val b = BigInt(lim.getLong(0)).max(1)
+      val nMax = BigInt(lim.getLong(1)).max(1)
+      require(nMax * 4 * b.pow(3) < (BigInt(1) << 62),
+        s"polygonMetrics: max |coordinate| $b over $nMax vertices could " +
+          "overflow the exact long centroid numerator (bound: " +
+          "n*4*B^3 < 2^62) — rescale coordinates to a coarser grid first")
+    }
     val idx = sequence(lit(0), n - 1)
     val cross = transform(idx, i => cur(xs, i) * nxt(ys, i)
       - nxt(xs, i) * cur(ys, i))
@@ -425,6 +446,18 @@ object Geo {
       col(xsCol).as("__gxs"), col(ysCol).as("__gys"),
       array_min(col(xsCol)).as("__gx0"), array_max(col(xsCol)).as("__gx1"),
       array_min(col(ysCol)).as("__gy0"), array_max(col(ysCol)).as("__gy1"))
+    // fail fast with the catalog named, before any join work: the kernel
+    // enforces |coord| < 2^30 per row (it throws rather than wrap), but a
+    // one-row collect over the broadcast-sized catalog gives the refusal
+    // up front. Probe-side points beyond the bound are safe either way:
+    // the bbox conjuncts confine px/py within checked polygon bounds
+    // before the kernel runs, and the kernel re-checks them regardless.
+    val lim = polys.agg(max(greatest(abs(col("__gx0")), abs(col("__gx1")),
+      abs(col("__gy0")), abs(col("__gy1"))).cast("long"))).collect().head
+    if (!lim.isNullAt(0)) require(lim.getLong(0) < (1L << 30),
+      s"polygonJoin: max |vertex coordinate| ${lim.getLong(0)} exceeds " +
+        "the exact ray-casting bound 2^30 (cross-multiplied products " +
+        "would wrap) — rescale coordinates to a coarser grid first")
     points.join(broadcast(polys),
         col(xCol) >= col("__gx0") && col(xCol) <= col("__gx1") &&
           col(yCol) >= col("__gy0") && col(yCol) <= col("__gy1") &&

@@ -413,17 +413,33 @@ object TextAnalysis {
 
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = lmTokens(df, idCol, textCol)
-    val bgm = docBigrams(toks, idCol)
+    // score per-OCCURRENCE, map-side: summing an identical fp once per
+    // occurrence is bit-equal to m·fp over the distinct frame, and the
+    // occurrence stream needs NO per-doc distinct pre-aggregation — that
+    // extra keyed agg (the r14 shared-scaffold refactor) cost t09 ~0.5 s
+    // at sf0.1, confirmed on a quiet host (r15). [[knBigramScore]] keeps
+    // [[docBigrams]] because its CHECKPOINT must pin a vocabulary-shaped
+    // frame, a constraint this uncheckpointed scorer does not have.
+    val bg = toks.select(col(idCol),
+        explode(expr(
+          """transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)),
+             (t, i) -> struct(t AS a, __toks[i + 1] AS b))""")).as("__bg"))
+      .select(col(idCol), col("__bg.a").as("a"), col("__bg.b").as("b"))
     val uni = toks.select(explode(col("__toks")).as("t"))
     val c1 = uni.groupBy(col("t")).agg(count(lit(1)).as("c1"))
-    val c2 = bgm.groupBy(col("a"), col("b")).agg(sum(col("m")).as("c2"))
+    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(countDistinct(col("t")).as("v"))
-    val scored = bgm.join(c2, Seq("a", "b")).join(c1, col("a") === col("t"))
+    val scored = bg.join(c2, Seq("a", "b")).join(c1, col("a") === col("t"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol), col("m"),
+      .select(col(idCol),
         round(log((col("c2") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")) * 1e6).cast("long").as("fp"))
-    perDocFpSum(df, scored, idCol, "score_fp")
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("score_fp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
   }
 
   /** Interpolated Kneser–Ney bigram LM score per document (t27) — the

@@ -19,10 +19,14 @@ object Wap {
     * Guarantees: a failed audit (any exception) ABORTS the publish —
     * `dest` is untouched and the staging directory is kept for
     * inspection (its path rides the raised error). Publishing a NEW
-    * `dest` is one atomic rename; REPLACING an existing `dest` has a
-    * delete-then-rename window — the standard WAP deployment versions
-    * dataset paths (…/table/v=N) and swaps a pointer instead, which
-    * this primitive supports directly by always publishing new paths.
+    * `dest` is one atomic rename; REPLACING an existing `dest` renames
+    * the old dataset ASIDE first and restores it if the publish rename
+    * fails, so no failure mode destroys the previously published data
+    * (the old delete-then-rename window is closed — a crash between the
+    * two renames leaves the old dataset intact under a recoverable
+    * `.replaced-*` sibling, never gone). The standard WAP deployment
+    * still prefers versioned paths + a pointer swap — [[Versioned]]
+    * (io18) builds exactly that on top of this primitive.
     */
   def writeAuditPublish(df: DataFrame, dest: String)
                        (audit: DataFrame => Unit): Unit = {
@@ -39,8 +43,21 @@ object Wap {
         s"WAP audit failed — publish aborted, dest untouched, staging " +
           s"kept for inspection at $staging", e)
     }
-    if (fs.exists(destPath)) fs.delete(destPath, true)
-    require(fs.rename(staging, destPath),
+    if (fs.exists(destPath)) {
+      val aside = new org.apache.hadoop.fs.Path(destPath.getParent,
+        "." + destPath.getName + ".replaced-" +
+          java.util.UUID.randomUUID.toString.take(8))
+      require(fs.rename(destPath, aside),
+        s"publish aborted before touching dest: could not move the " +
+          s"existing $dest aside to $aside (staged data kept at $staging)")
+      if (!fs.rename(staging, destPath)) {
+        fs.rename(aside, destPath) // restore the previous dataset
+        throw new IllegalStateException(
+          s"atomic publish rename failed: $staging -> $dest (previous " +
+            "dataset restored, staging kept)")
+      }
+      fs.delete(aside, true)
+    } else require(fs.rename(staging, destPath),
       s"atomic publish rename failed: $staging -> $dest")
   }
 }

@@ -667,11 +667,17 @@ object Dialect {
 
   // clause keywords that may legitimately follow a wrapped COLUMNS
   // expansion in a select list — anything else after the wrapper's ')'
-  // is a (rejected) outer alias
+  // is a (rejected) outer alias. Besides clause heads this includes
+  // expression continuations (OVER, IS, NOT, IN, BETWEEN, LIKE, AT,
+  // FILTER, COLLATE) and sort modifiers (ASC/DESC/NULLS): a wrapped
+  // expansion inside a larger expression or ORDER BY item is legal and
+  // must not be misread as an outer alias (advice r14).
   private val ColumnsTrailingKeywords: Set[String] = Set(
     "from", "where", "group", "order", "having", "qualify", "union",
     "intersect", "except", "limit", "offset", "window", "and", "or",
-    "when", "then", "else", "end")
+    "when", "then", "else", "end", "over", "is", "not", "in", "between",
+    "like", "ilike", "rlike", "at", "filter", "collate", "asc", "desc",
+    "nulls", "escape")
 
   // identifiers before '(' that are SQL syntax, never a wrapping function
   private val ColumnsWrapperKeywords: Set[String] = Set(
@@ -823,9 +829,18 @@ object Dialect {
     }
   }
 
-  /** Whether a [[summarizeTarget]] is a bare table identifier. */
-  def isBareIdentifier(s: String): Boolean =
-    s.matches("[A-Za-z_][A-Za-z0-9_]*")
+  /** Whether a [[summarizeTarget]] is a bare table identifier — plain
+    * (`t`), dot-qualified (`db.t`), backtick-quoted (`` `my col t` ``),
+    * or any dot-joined mix: all resolve via `spark.table` at the session
+    * surface (the Table receiver treats ANY bare name as the receiver —
+    * FROM-name-is-notional). Previously only the plain form matched, so
+    * `SUMMARIZE db.t` fell through to the full sql() pipeline and died
+    * with a confusing parse error (advice r14).
+    */
+  def isBareIdentifier(s: String): Boolean = {
+    val part = "([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)"
+    s.matches(s"$part(\\.$part)*")
+  }
 
   /** DuckDB's `DESCRIBE` statement (q60): `DESCRIBE t` /
     * `DESCRIBE SELECT …` — same masked-scan first-word dispatch as
