@@ -5919,6 +5919,59 @@ object SparkEntry {
          SELECT o_orderkey, vf, vt, tx, cents
          FROM eff ORDER BY o_orderkey"""),
 
+    // MERGE INTO at the SQL surface (u09): all four arm kinds in one
+    // statement — conditional MATCHED DELETE ahead of MATCHED UPDATE
+    // (textual priority), conditional NOT-MATCHED INSERT, and a
+    // NOT MATCHED BY SOURCE DELETE — lowered by MergeSql onto one full-
+    // outer join + per-column CASE chains. DuckDB 1.0 predates MERGE, so
+    // the oracle is the arm-by-arm relational equivalent (the verdict's
+    // anticipated fallback); the rollup gates the post-merge table.
+    "u09_merge_into" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u09_target")
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 110).cast("long").as("cents"))
+          .createOrReplaceTempView("u09_source")
+        graft.api.Table.sessionSql(s,
+          """MERGE INTO u09_target t USING u09_source s ON t.o_orderkey = s.o_orderkey
+             WHEN MATCHED AND s.cents > 30000000 THEN DELETE
+             WHEN MATCHED THEN UPDATE SET cents = s.cents, o_orderstatus = 'U'
+             WHEN NOT MATCHED AND s.cents % 5 = 0 THEN
+               INSERT (o_orderkey, o_orderstatus, cents)
+               VALUES (s.o_orderkey, 'N', s.cents)
+             WHEN NOT MATCHED BY SOURCE AND t.cents < 1000000 THEN DELETE""").df
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+            min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+          .orderBy(col("o_orderstatus"))
+      },
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 3 = 0),
+         s AS (SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice * 110) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 2 = 0),
+         j AS (SELECT t.k AS tk, t.st, t.cents AS tc, s.k AS sk, s.cents AS sc
+           FROM t FULL OUTER JOIN s ON t.k = s.k),
+         m AS (SELECT coalesce(tk, sk) AS k,
+                  CASE WHEN tk IS NOT NULL AND sk IS NOT NULL THEN 'U'
+                       WHEN sk IS NOT NULL THEN 'N' ELSE st END AS o_orderstatus,
+                  CASE WHEN sk IS NOT NULL THEN sc ELSE tc END AS cents
+           FROM j
+           WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND sc > 30000000)
+             AND NOT (tk IS NOT NULL AND sk IS NULL AND tc < 1000000)
+             AND NOT (tk IS NULL AND sk IS NOT NULL AND sc % 5 <> 0))
+         SELECT o_orderstatus, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM m GROUP BY 1 ORDER BY 1"""),
+
     "u06_point_in_time" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -396,6 +396,17 @@ object Table {
     // same pass ordering as [[Table.sql]]: split UNION BY NAME on the
     // token-local rewrite, then run the clause-scoped passes per operand
     val qr = Dialect.rewrite(query)
+    // MERGE INTO is a whole-statement form (u09): parse AFTER the
+    // token-local rewrite so np.*/# sugar works inside arm expressions;
+    // bare refs resolve against the session catalog, subquery refs
+    // re-enter the full pipeline
+    graft.sql.MergeSql.parse(qr) match {
+      case Some(st) =>
+        return apply(graft.sql.MergeSql.run(spark, st, ref =>
+          if (Dialect.isBareIdentifier(ref)) spark.table(ref)
+          else sessionSql(spark, ref).df))
+      case None =>
+    }
     Dialect.splitUnionByName(qr) match {
       case Some((ops, flags, tail)) =>
         apply(runUnionByName(spark, ops, flags, tail)(

@@ -1,0 +1,114 @@
+package graft
+
+import graft.api.Table
+import graft.sql.MergeSql
+
+/** MERGE INTO at the SQL surface (u09): statement-form parse +
+  * full-outer-join lowering. The engine's tables are immutable frames,
+  * so the statement returns the post-merge table; arms apply in textual
+  * order, first match wins, and the SQL-standard one-source-row-per-
+  * target-row contract is enforced loudly.
+  */
+class MergeSqlSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def bind(): Unit = {
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("mt_target")
+    Seq((2L, "B", 200L), (3L, "C", 300L), (4L, "D", 400L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("mt_source")
+  }
+
+  private def run(sql: String): Seq[(Long, String, Long)] =
+    Table.sessionSql(spark, sql).toDF
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("MATCHED UPDATE + NOT MATCHED INSERT (the upsert shape)") {
+    bind()
+    val got = run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET tag = s.tag, v = s.v + 1
+         WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (s.k, s.tag, s.v)""")
+    assert(got == Seq((1L, "a", 10L), (2L, "B", 201L), (3L, "C", 301L),
+      (4L, "D", 400L)))
+  }
+
+  test("conditional MATCHED DELETE ahead of UPDATE — textual arm order") {
+    bind()
+    val got = run(
+      """MERGE INTO mt_target AS t USING mt_source AS s ON t.k = s.k
+         WHEN MATCHED AND s.v >= 300 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+    // k=3 deleted (s.v=300), k=2 updated, k=1 kept, k=4 dropped (no arm)
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 200L)))
+  }
+
+  test("INSERT * by name and positional INSERT VALUES") {
+    bind()
+    val star = run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT *""")
+    assert(star.contains((4L, "D", 400L)) && star.size == 4)
+    val pos = run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT VALUES (s.k * 10, lower(s.tag), 7)""")
+    assert(pos.contains((40L, "d", 7L)) && pos.size == 4)
+  }
+
+  test("NOT MATCHED BY SOURCE arms see target-only rows") {
+    bind()
+    val got = run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // k=1 (target-only) deleted; 2,3 updated; 4 dropped (no insert arm)
+    assert(got == Seq((2L, "b", 200L), (3L, "c", 300L)))
+  }
+
+  test("multi-match refusal is loud") {
+    bind()
+    Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("mt_dup")
+    val e = intercept[IllegalArgumentException] {
+      run("""MERGE INTO mt_target t USING mt_dup s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("matches 2 source rows"))
+  }
+
+  test("subquery source, arm expressions cast into target types") {
+    bind()
+    val got = run(
+      """MERGE INTO mt_target t
+         USING (SELECT k, v FROM mt_source WHERE v > 250) AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = CAST(s.v AS INT)""")
+    // INT expression cast back to the target's BIGINT column
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 300L)))
+  }
+
+  test("parse guards: unknown column, alias collision, malformed arms") {
+    bind()
+    assert(intercept[IllegalArgumentException](run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET nope = 1"""))
+      .getMessage.contains("unknown target column"))
+    assert(intercept[IllegalArgumentException](run(
+      """MERGE INTO mt_target USING mt_target ON 1=1
+         WHEN MATCHED THEN DELETE"""))
+      .getMessage.contains("aliases collide"))
+    assert(intercept[IllegalArgumentException](run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN NOT MATCHED THEN UPDATE SET v = 1"""))
+      .getMessage.contains("cannot UPDATE"))
+    assert(intercept[IllegalArgumentException](run(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN MATCHED THEN INSERT *"""))
+      .getMessage.contains("only valid in WHEN NOT MATCHED"))
+  }
+
+  test("non-MERGE statements pass through untouched") {
+    assert(MergeSql.parse("SELECT 'merge into' AS s").isEmpty)
+    assert(MergeSql.parse("-- merge into\nSELECT 1").isEmpty)
+  }
+}
