@@ -6497,6 +6497,34 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS paths
          FROM reach GROUP BY id ORDER BY id"""),
 
+    // UNION-DISTINCT recursion at the SQL surface (gr09) — the form
+    // Spark's native UnionLoop rejects and this dialect lowers onto
+    // frontier-minus-seen rounds (RecursiveUnion + Table.
+    // runRecursiveUnion). Same text on both engines; the fixture graph
+    // is the gr01/gr07 functional graph ((7k+1)%N, (13k+3)%N), which is
+    // CYCLIC by construction (every functional graph on a finite set
+    // ends in cycles) and carries NO hop bound here — UNION ALL
+    // recursion would never terminate; the EXCEPT-seen guard drains at
+    // the reachability closure. That termination-on-cycles is exactly
+    // what the distinct form buys.
+    "gr09_recursive_distinct" -> multiSession(Seq("documents"),
+      """WITH RECURSIVE reach(id) AS (
+           SELECT CAST(doc_id AS BIGINT) FROM documents WHERE doc_id % 97 = 0
+           UNION
+           SELECT e.dst FROM reach r JOIN (
+             SELECT CAST(doc_id AS BIGINT) AS src,
+                    CAST((doc_id * 7 + 1) %
+                         (SELECT count(*) FROM documents) AS BIGINT) AS dst
+             FROM documents
+             UNION ALL
+             SELECT CAST(doc_id AS BIGINT),
+                    CAST((doc_id * 13 + 3) %
+                         (SELECT count(*) FROM documents) AS BIGINT)
+             FROM documents) e ON e.src = r.id)
+         SELECT count(*) AS n_reached, CAST(sum(id) AS BIGINT) AS id_sum,
+                min(id) AS mn, max(id) AS mx
+         FROM reach"""),
+
     // graph analytics in the d08 loop discipline (per-iteration keyed
     // join + aggregation, nothing driver-side but the tiny N). Ranks
     // live in integer 1e12-scale fixed point with the damping step as

@@ -416,6 +416,14 @@ object Table {
   }
 
   private def sessionSqlOne(spark: SparkSession, qIn: String): DataFrame = {
+    // UNION-distinct recursion (gr09) lowers onto frontier-minus-seen
+    // BEFORE the clause passes (its seed/step/outer each re-enter this
+    // method and get them individually); UNION ALL recursion stays on
+    // Spark's native UnionLoop path (parse returns None for it)
+    graft.sql.RecursiveUnion.parse(qIn) match {
+      case Some(st) => return runRecursiveUnion(spark, st)
+      case None =>
+    }
     val q0 = Dialect.fromFirst(qIn).getOrElse(qIn)
     val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
     // dynamic star: schema comes from the first FROM table's session
@@ -433,6 +441,66 @@ object Table {
     // same QUALIFY lowering as Table.sql — the rewrite needs no receiver
     // schema, and the FROM names are session views already
     else qualifyAware(spark, q)(spark.sql)
+  }
+
+  /** UNION-distinct recursive CTE execution
+    * ([[graft.sql.RecursiveUnion]], gr09): frontier-minus-seen rounds
+    * with per-round lineage cuts (the Iterate discipline — the plan and
+    * recovery cost stay O(one round) however deep the recursion). The
+    * step's output is aligned to the seed's schema (names positional,
+    * types cast — the anchor-defines-schema rule Spark's native
+    * recursion also applies). Each round: one distinct-EXCEPT against
+    * the accumulated set (the cycle guard) and one emptiness probe —
+    * data-dependent termination costs one small job per round. A
+    * non-draining recursion refuses loudly at `maxRounds` instead of
+    * looping forever.
+    */
+  private def runRecursiveUnion(spark: SparkSession,
+                                st: graft.sql.RecursiveUnion.Stmt,
+                                maxRounds: Int = 512): DataFrame = {
+    val seedDf = sessionSqlOne(spark, st.seed)
+    val cols = st.cols.getOrElse(seedDf.columns.toSeq)
+    require(cols.size == seedDf.columns.length,
+      s"recursive CTE ${st.name}(${cols.mkString(", ")}) declares " +
+        s"${cols.size} columns, the seed produces ${seedDf.columns.length}")
+    val seed = seedDf.toDF(cols: _*)
+    val schema = seed.schema
+    def align(df: DataFrame): DataFrame = {
+      require(df.columns.length == cols.size,
+        s"recursive step of ${st.name} produces ${df.columns.length} " +
+          s"columns, expected ${cols.size}")
+      df.toDF(cols: _*).select(schema.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)): _*)
+    }
+    var seen = seed.distinct().localCheckpoint(true)
+    var frontier = seen
+    var drained = frontier.isEmpty
+    var round = 0
+    while (!drained && round < maxRounds) {
+      // bind + analyze under the lock (the sql() concurrency contract);
+      // the analyzed plan holds the resolved frontier, so a concurrent
+      // rebind of the same name can't leak into this round's EXCEPT
+      val stepped = bindLock.synchronized {
+        frontier.createOrReplaceTempView(st.name)
+        align(sessionSqlOne(spark, st.step))
+      }
+      val next = stepped.except(seen).localCheckpoint(true)
+      if (next.isEmpty) drained = true
+      else {
+        seen = seen.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      round += 1
+    }
+    require(drained,
+      s"UNION-distinct recursion '${st.name}' did not drain within " +
+        s"$maxRounds rounds — the step keeps producing new rows; check " +
+        "the recursion or split the query")
+    bindLock.synchronized {
+      seen.createOrReplaceTempView(st.name)
+      sessionSqlOne(spark, st.outer)
+    }
   }
 
   /** Fold of a [[Dialect.splitUnionByName]] split: operands run through

@@ -54,13 +54,59 @@ class RecursiveSqlSpec extends GraftSuite {
     assert(got.toSeq == Seq(Some("a"), Some("b"), None))
   }
 
-  test("UNION-distinct recursion is rejected by Spark (documented gap)") {
-    val e = intercept[Exception] {
-      Table.sessionSql(spark,
-        """WITH RECURSIVE t(n) AS (SELECT 1 UNION
-             SELECT (n % 3) + 1 FROM t)
-           SELECT n FROM t""").toDF.collect()
-    }
-    assert(e.getMessage.contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"))
+  test("UNION-distinct recursion terminates on a pure cycle (gr09)") {
+    // n -> (n % 3) + 1 cycles 1->2->3->1 forever under UNION ALL; the
+    // distinct form drains at the closure {1, 2, 3}
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION
+           SELECT (n % 3) + 1 FROM t)
+         SELECT n FROM t ORDER BY n""").toDF
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(1, 2, 3))
+  }
+
+  test("UNION-distinct reachability on a CYCLIC graph with a join step") {
+    // 1->2->3->1 is a cycle; 3->4 escapes; 10->11 is unreachable.
+    // UNION ALL recursion would never terminate here — the EXCEPT-seen
+    // guard is what buys termination.
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst").createOrReplaceTempView("cyc_edges")
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE reach(id) AS (
+           SELECT CAST(1 AS BIGINT)
+           UNION
+           SELECT e.dst FROM reach r JOIN cyc_edges e ON e.src = r.id)
+         SELECT id FROM reach ORDER BY id""").toDF
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("UNION-distinct recursion: step schema aligns to the seed's") {
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT CAST(1 AS BIGINT) UNION
+           SELECT CAST(n + 1 AS INT) FROM t WHERE n < 3)
+         SELECT n FROM t ORDER BY n""").toDF
+    assert(got.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("UNION ALL recursion keeps Spark's native path") {
+    assert(graft.sql.RecursiveUnion.parse(
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL
+           SELECT n + 1 FROM t WHERE n < 4) SELECT n FROM t""").isEmpty)
+    // and non-recursive statements are untouched
+    assert(graft.sql.RecursiveUnion.parse("SELECT 1 UNION SELECT 2").isEmpty)
+  }
+
+  test("UNION-distinct recursion guards: multi-CTE and multi-UNION refuse") {
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
+           u AS (SELECT 2)
+         SELECT * FROM t""")).getMessage.contains("single CTE"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT 2 UNION
+           SELECT n FROM t)
+         SELECT * FROM t""")).getMessage.contains("exactly one top-level"))
   }
 }
