@@ -4706,6 +4706,43 @@ object SparkEntry {
     // .5 midpoint — exact in double on both engines (quantile_cont ≡
     // Spark Percentile, the p05 precedent). Same per-customer shuffle
     // as any keyed window.
+    // Window-frame EXCLUDE (w12) — SAME TEXT on both engines: DuckDB
+    // executes the EXCLUDE clause natively, Spark gets the dialect's
+    // full-frame-minus-slice algebra (Dialect.rewriteWindowExclude).
+    // All three kinds + NO OTHERS, RANGE and bounded-ROWS frames; cents
+    // stay integer so subtraction is exact (float EXCLUDE would drift —
+    // documented), the ROWS frame orders by the unique key (tied ROWS
+    // order is engine-nondeterministic), AVG rounds after the one
+    // division. Outer CASTs pin DuckDB's HUGEINT window sums to BIGINT.
+    "w12_window_exclude" -> multiSession(Seq("orders"),
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                  o_orderkey % 20 AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT k,
+           CAST(SUM(cents) OVER (PARTITION BY st ORDER BY g
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW) AS BIGINT) AS s_cur,
+           CAST(SUM(cents) OVER (PARTITION BY st ORDER BY g
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE GROUP) AS BIGINT) AS s_grp,
+           CAST(SUM(cents) OVER (PARTITION BY st ORDER BY g
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE TIES) AS BIGINT) AS s_ties,
+           COUNT(*) OVER (PARTITION BY st ORDER BY g
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE GROUP) AS c_grp,
+           round(AVG(cents) OVER (PARTITION BY st ORDER BY g
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW), 6) AS a_cur,
+           CAST(SUM(cents) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING
+             EXCLUDE CURRENT ROW) AS BIGINT) AS s_rows,
+           CAST(SUM(cents) OVER (PARTITION BY st ORDER BY k
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE NO OTHERS) AS BIGINT) AS s_none
+         FROM o ORDER BY k"""),
+
     "w11_rolling_median" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -82,7 +82,11 @@ final class Table private (val df: DataFrame) {
     */
   private def prep(q: String): String = {
     val q0 = Dialect.fromFirst(q).getOrElse(q)
-    Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
+    // frame-EXCLUDE algebra (w12) runs before the alias passes: it only
+    // rewrites inside OVER(...) spans, and its output introduces no new
+    // aliases for them to chase
+    val q1 = Dialect.rewriteWindowExclude(q0)
+    Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q1))
   }
 
   private def sqlOne(q0: String): Table = {
@@ -424,7 +428,7 @@ object Table {
       case Some(st) => return runRecursiveUnion(spark, st)
       case None =>
     }
-    val q0 = Dialect.fromFirst(qIn).getOrElse(qIn)
+    val q0 = Dialect.rewriteWindowExclude(Dialect.fromFirst(qIn).getOrElse(qIn))
     val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
     // dynamic star: schema comes from the first FROM table's session
     // view (the table COLUMNS binds to); resolution is attempted only

@@ -766,6 +766,237 @@ object Dialect {
     stripOuterParens(t.substring(1, t.length - 1))
   }
 
+  /** Window-frame EXCLUDE clause (w12): DuckDB executes
+    * `agg(x) OVER (… EXCLUDE CURRENT ROW | GROUP | TIES | NO OTHERS)`;
+    * Spark has no frame exclusion. Rewrite as window ALGEBRA over the
+    * same spec: full-frame aggregate minus the excluded slice, where the
+    * slice is the current row (CURRENT ROW), the current row's full peer
+    * group (GROUP — one extra `RANGE BETWEEN CURRENT ROW AND CURRENT
+    * ROW` window, whose frame is exactly the peers), or peers minus the
+    * current row (TIES). `NO OTHERS` just drops the clause. Exact for
+    * SUM/COUNT/AVG over exact types (integer/decimal — the fixture
+    * discipline; float subtraction would drift from a direct sum), with
+    * the empty-after-exclusion frame yielding NULL via a count guard,
+    * matching the standard.
+    *
+    * Loud refusals, never silent mis-execution: non-decomposable
+    * aggregates (min/max/…), COUNT(DISTINCT), a FILTER clause between
+    * the call and OVER, frames that may not CONTAIN the excluded slice
+    * (start FOLLOWING / end PRECEDING; ROWS frames under GROUP/TIES
+    * unless unbounded-both-ends — a ROWS frame can cut a peer group and
+    * subtraction would over-subtract), GROUPS mode (Spark has none),
+    * GROUP/TIES without ORDER BY, and EXCLUDE inside a named WINDOW
+    * clause (inline the OVER).
+    */
+  def rewriteWindowExclude(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      // first OVER ( … EXCLUDE … ) at any depth
+      var o = 0
+      var done = false
+      while (!done && o < m.length) {
+        if (wordAt(m, o, "over")) {
+          val k = skipWsAt(m, o + 4)
+          if (k < m.length && m.charAt(k) == '(') {
+            val close = matchParenAt(m, k)
+            val specMask = m.substring(k + 1, close)
+            val e = findTopLevelKeywordIn(specMask, 0, "exclude")
+            if (e >= 0) {
+              cur = rewriteOneExclude(cur, m, o, k, close, e)
+              more = true
+              done = true
+            }
+          }
+        }
+        o += 1
+      }
+      guard += 1
+    }
+    require(guard < 64, "more than 64 EXCLUDE clauses in one statement")
+    // EXCLUDE not reachable via an inline OVER — e.g. inside a named
+    // WINDOW clause — must refuse, not silently keep rows
+    val m = stripLiterals(cur)
+    var i = 0
+    var depth = 0
+    while (i < m.length) {
+      val c = m.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth >= 1 && wordAt(m, i, "exclude")) {
+        val k = skipWsAt(m, i + 7)
+        if (wordAt(m, k, "current") || wordAt(m, k, "group") ||
+          wordAt(m, k, "ties") || wordAt(m, k, "no"))
+          throw new IllegalArgumentException(
+            "window EXCLUDE is supported only in an inline OVER (…) " +
+              "directly after an aggregate call — inline the named " +
+              "WINDOW or move the FILTER clause")
+      }
+      i += 1
+    }
+    cur
+  }
+
+  private def skipWsAt(m: String, k0: Int): Int = {
+    var k = k0
+    while (k < m.length && m.charAt(k).isWhitespace) k += 1
+    k
+  }
+
+  private def matchParenAt(m: String, open: Int): Int = {
+    var depth = 0
+    var k = open
+    while (k < m.length) {
+      val c = m.charAt(k)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return k }
+      k += 1
+    }
+    throw new IllegalArgumentException("unbalanced parens in OVER (…)")
+  }
+
+  /** Rewrite one `fn(args) OVER (spec EXCLUDE kind)` occurrence.
+    * `o` = OVER keyword offset, `k`/`close` = the spec parens,
+    * `e` = EXCLUDE offset within the spec.
+    */
+  private def rewriteOneExclude(cur: String, m: String, o: Int, k: Int,
+                                close: Int, e: Int): String = {
+    val spec = cur.substring(k + 1, close)
+    val specMask = m.substring(k + 1, close)
+    // ---- the exclusion kind (must end the spec — standard grammar) ----
+    var p = skipWsAt(specMask, e + 7)
+    val kind: String =
+      if (wordAt(specMask, p, "current")) {
+        p = skipWsAt(specMask, p + 7)
+        require(wordAt(specMask, p, "row"), "EXCLUDE CURRENT needs ROW")
+        p += 3; "current"
+      } else if (wordAt(specMask, p, "group")) { p += 5; "group" }
+      else if (wordAt(specMask, p, "ties")) { p += 4; "ties" }
+      else if (wordAt(specMask, p, "no")) {
+        p = skipWsAt(specMask, p + 2)
+        require(wordAt(specMask, p, "others"), "EXCLUDE NO needs OTHERS")
+        p += 6; "none"
+      } else throw new IllegalArgumentException(
+        s"malformed EXCLUDE clause: ${spec.substring(e).trim.take(40)}")
+    require(skipWsAt(specMask, p) >= specMask.length,
+      "EXCLUDE must be the last clause of the window specification, " +
+        s"found trailing: ${spec.substring(p).trim.take(40)}")
+    val specP = spec.substring(0, e).trim // spec without the exclusion
+    if (kind == "none") // NO OTHERS ≡ no exclusion
+      return cur.substring(0, k) + s"($specP)" + cur.substring(close + 1)
+    // ---- the aggregate call directly before OVER ----
+    var q = o - 1
+    while (q >= 0 && m.charAt(q).isWhitespace) q -= 1
+    require(q >= 0 && m.charAt(q) == ')',
+      "EXCLUDE (rewritten as frame algebra) needs agg(args) directly " +
+        "before OVER — FILTER clauses and bare calls are not supported")
+    var depth = 0
+    var a = q
+    var argOpen = -1
+    while (a >= 0 && argOpen < 0) {
+      val c = m.charAt(a)
+      if (c == ')') depth += 1
+      else if (c == '(') { depth -= 1; if (depth == 0) argOpen = a }
+      a -= 1
+    }
+    require(argOpen > 0, "unbalanced parens before OVER")
+    var fe = argOpen - 1
+    while (fe >= 0 && m.charAt(fe).isWhitespace) fe -= 1
+    var fs = fe
+    while (fs >= 0 && (m.charAt(fs).isLetterOrDigit || m.charAt(fs) == '_')) fs -= 1
+    fs += 1
+    val fname = cur.substring(fs, fe + 1).toLowerCase
+    require(Set("sum", "count", "avg").contains(fname),
+      s"EXCLUDE rewrite supports SUM/COUNT/AVG (subtraction-decomposable" +
+        s"), got $fname — min/max cannot exclude by frame algebra")
+    val args = cur.substring(argOpen + 1, q).trim
+    val argsMask = m.substring(argOpen + 1, q)
+    require(findTopLevelKeywordIn(argsMask, 0, "distinct") < 0,
+      "EXCLUDE over COUNT(DISTINCT …) is not decomposable")
+    val isStar = args == "*"
+    require(!isStar || fname == "count", s"$fname(*) is not valid SQL")
+    require(args.nonEmpty, s"$fname() needs an argument")
+    // ---- split the spec into partition/order vs frame, validate ----
+    val specPMask = specMask.substring(0, e)
+    val framePos = Seq("rows", "range", "groups")
+      .map(kw => findTopLevelKeywordIn(specPMask, 0, kw)).filter(_ >= 0)
+      .minOption.getOrElse(-1)
+    val po = (if (framePos < 0) specP else spec.substring(0, framePos)).trim
+    val frameText =
+      if (framePos < 0) "" else spec.substring(framePos, e).trim
+    val orderPresent = findTopLevelKeywordIn(
+      stripLiterals(po), 0, "order") >= 0
+    validateExcludeFrame(frameText, kind, orderPresent)
+    require(kind == "current" || orderPresent,
+      s"EXCLUDE ${kind.toUpperCase} needs an ORDER BY in the window " +
+        "spec — without one every partition row is a peer")
+    val peers = s"$po RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+    // ---- the algebra ----
+    def cnt(overSpec: String): String =
+      if (isStar) s"COUNT(*) OVER ($overSpec)"
+      else s"COUNT($args) OVER ($overSpec)"
+    val fullCnt = cnt(specP)
+    val curCnt =
+      if (isStar) "1" else s"(CASE WHEN ($args) IS NULL THEN 0 ELSE 1 END)"
+    val minusCnt = kind match {
+      case "current" => curCnt
+      case "group"   => cnt(peers)
+      case "ties"    => s"(${cnt(peers)} - $curCnt)"
+    }
+    val exprOut =
+      if (fname == "count") s"(${fullCnt} - $minusCnt)"
+      else {
+        val fullSum = s"SUM($args) OVER ($specP)"
+        val peerSum = s"COALESCE(SUM($args) OVER ($peers), 0)"
+        val curVal = s"COALESCE(($args), 0)"
+        val minusSum = kind match {
+          case "current" => curVal
+          case "group"   => peerSum
+          case "ties"    => s"($peerSum - $curVal)"
+        }
+        if (fname == "sum")
+          s"(CASE WHEN ($fullCnt - $minusCnt) = 0 THEN NULL " +
+            s"ELSE $fullSum - $minusSum END)"
+        else // avg = excluded sum / excluded count, one double division
+          s"(CASE WHEN ($fullCnt - $minusCnt) = 0 THEN NULL " +
+            s"ELSE CAST($fullSum - $minusSum AS DOUBLE) / " +
+            s"($fullCnt - $minusCnt) END)"
+      }
+    cur.substring(0, fs) + exprOut + cur.substring(close + 1)
+  }
+
+  /** Refuse frames that may not contain the slice EXCLUDE subtracts. */
+  private def validateExcludeFrame(frameText: String, kind: String,
+                                   orderPresent: Boolean): Unit = {
+    if (frameText.isEmpty) return // default frame contains current + peers
+    val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
+    require(!t.startsWith("groups"),
+      "GROUPS frame mode is not supported (Spark has no GROUPS frames)")
+    val isRows = t.startsWith("rows")
+    val body = t.substring(if (isRows) 4 else 5).trim
+    val (start, end) =
+      if (body.startsWith("between")) {
+        val andPos = body.indexOf(" and ")
+        require(andPos > 0, s"malformed frame: $frameText")
+        (body.substring(7, andPos).trim, body.substring(andPos + 5).trim)
+      } else (body, "current row")
+    require(!start.endsWith("following"),
+      s"EXCLUDE over a frame starting after the current row " +
+        s"($frameText) would subtract rows outside the frame — refused")
+    require(!end.endsWith("preceding"),
+      s"EXCLUDE over a frame ending before the current row " +
+        s"($frameText) would subtract rows outside the frame — refused")
+    if (kind != "current")
+      require(!isRows ||
+        (start == "unbounded preceding" && end == "unbounded following"),
+        s"EXCLUDE ${kind.toUpperCase} over a bounded ROWS frame " +
+          s"($frameText) can cut the peer group mid-way — use a RANGE " +
+          "frame (peers are always whole there) or unbounded ROWS")
+  }
+
   /** DuckDB's FROM-first statement form: `FROM t` ≡ `SELECT * FROM t`,
     * and `FROM t SELECT list <clauses>` puts the select list right
     * after the table expression (before WHERE — probed; DuckDB rejects

@@ -321,3 +321,69 @@ object AsOfModelProps extends Properties("AsOfModel") {
         }
     }
 }
+
+/** Model-based property for the window-frame EXCLUDE rewrite (w12): on
+  * random partitioned, tied, null-bearing datasets, the dialect's
+  * full-frame-minus-slice algebra must match a driver-side reference
+  * implementation of the standard's exclusion semantics for all three
+  * kinds over the RANGE UNBOUNDED PRECEDING..CURRENT ROW frame (the
+  * shape the same-text w12 driver query gates against native DuckDB).
+  */
+object WindowExcludeProps extends Properties("WindowExclude") {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private case class W(id: Long, p: Int, o: Int, v: Option[Long])
+
+  private val genRows = Gen.listOfN(14, Gen.zip(
+    Gen.chooseNum(0, 2), Gen.chooseNum(0, 4),
+    Gen.option(Gen.chooseNum(-9L, 9L))))
+
+  /** frame = partition rows with o' <= o (all peers included); excluded
+    * slice per kind; SUM over no remaining non-null values is NULL.
+    */
+  private def model(rows: Seq[W], r: W, kind: String): (Option[Long], Long) = {
+    val frame = rows.filter(x => x.p == r.p && x.o <= r.o)
+    val excluded: Set[Long] = kind match {
+      case "current" => Set(r.id)
+      case "group"   => frame.filter(_.o == r.o).map(_.id).toSet
+      case "ties"    => frame.filter(x => x.o == r.o && x.id != r.id)
+        .map(_.id).toSet
+    }
+    val vs = frame.filterNot(x => excluded.contains(x.id)).flatMap(_.v)
+    (if (vs.isEmpty) None else Some(vs.sum), vs.size.toLong)
+  }
+
+  property("algebra matches the standard's exclusion semantics") =
+    forAll(genRows) { raw =>
+      import spark.implicits._
+      val rows = raw.zipWithIndex.map { case ((p, o, v), i) =>
+        W(i.toLong, p, o, v)
+      }
+      // tuples, not W: Janino cannot codegen an encoder for a case class
+      // nested in a Properties object (falls back to interpreted with an
+      // ERROR log per case)
+      rows.map(w => (w.id, w.p, w.o, w.v))
+        .toDF("id", "p", "o", "v").createOrReplaceTempView("wx_prop")
+      val fr = "PARTITION BY p ORDER BY o RANGE BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW"
+      val got = graft.api.Table.sessionSql(spark,
+        s"""SELECT id,
+              SUM(v) OVER ($fr EXCLUDE CURRENT ROW) AS s_cur,
+              COUNT(v) OVER ($fr EXCLUDE CURRENT ROW) AS c_cur,
+              SUM(v) OVER ($fr EXCLUDE GROUP) AS s_grp,
+              COUNT(v) OVER ($fr EXCLUDE GROUP) AS c_grp,
+              SUM(v) OVER ($fr EXCLUDE TIES) AS s_ties,
+              COUNT(v) OVER ($fr EXCLUDE TIES) AS c_ties
+            FROM wx_prop""").toDF.collect()
+        .map { x =>
+          def os(i: Int) = if (x.isNullAt(i)) None else Some(x.getLong(i))
+          x.getLong(0) -> ((os(1), x.getLong(2)), (os(3), x.getLong(4)),
+            (os(5), x.getLong(6)))
+        }.toMap
+      rows.forall { r =>
+        got(r.id) == ((model(rows, r, "current"), model(rows, r, "group"),
+          model(rows, r, "ties")))
+      }
+    }
+}

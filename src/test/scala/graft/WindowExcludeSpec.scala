@@ -1,0 +1,111 @@
+package graft
+
+import graft.api.Table
+import graft.sql.Dialect
+
+/** Window-frame EXCLUDE (w12): the dialect rewrites
+  * `agg(x) OVER (spec EXCLUDE kind)` into full-frame-minus-slice window
+  * algebra. Expected values below were probed against DuckDB's NATIVE
+  * EXCLUDE on the identical fixture (nulls, empty-after-exclusion
+  * frames, tied peers, bounded ROWS frames) — the same-text w12 driver
+  * query re-verifies at scale.
+  */
+class WindowExcludeSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def fixture(): Unit =
+    Seq((1, 1, Option(10L)), (1, 2, Option(20L)), (1, 2, Option(30L)),
+      (1, 3, Option.empty[Long]), (1, 4, Option(40L)), (2, 1, Option(5L)))
+      .toDF("p", "o", "v").createOrReplaceTempView("wx")
+
+  private val Frame =
+    "PARTITION BY p ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+  private def run(kind: String): Seq[(Option[Long], Long, Long)] =
+    Table.sessionSql(spark,
+      s"""SELECT p, o, v,
+            SUM(v) OVER ($Frame EXCLUDE $kind) AS s,
+            COUNT(v) OVER ($Frame EXCLUDE $kind) AS c,
+            COUNT(*) OVER ($Frame EXCLUDE $kind) AS cs
+          FROM wx ORDER BY p, o, v NULLS LAST""").toDF
+      .collect()
+      .map(r => (if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("EXCLUDE CURRENT ROW matches DuckDB (nulls, empty frames)") {
+    fixture()
+    assert(run("CURRENT ROW") == Seq(
+      (None, 0L, 0L), (Some(40L), 2L, 2L), (Some(30L), 2L, 2L),
+      (Some(60L), 3L, 3L), (Some(60L), 3L, 4L), (None, 0L, 0L)))
+  }
+
+  test("EXCLUDE GROUP subtracts the whole peer group") {
+    fixture()
+    assert(run("GROUP") == Seq(
+      (None, 0L, 0L), (Some(10L), 1L, 1L), (Some(10L), 1L, 1L),
+      (Some(60L), 3L, 3L), (Some(60L), 3L, 4L), (None, 0L, 0L)))
+  }
+
+  test("EXCLUDE TIES keeps the current row, drops its peers") {
+    fixture()
+    assert(run("TIES") == Seq(
+      (Some(10L), 1L, 1L), (Some(30L), 2L, 2L), (Some(40L), 2L, 2L),
+      (Some(60L), 3L, 4L), (Some(100L), 4L, 5L), (Some(5L), 1L, 1L)))
+  }
+
+  test("bounded ROWS frame with EXCLUDE CURRENT ROW; AVG; NO OTHERS") {
+    fixture()
+    val got = Table.sessionSql(spark,
+      """SELECT p, o, v,
+           SUM(v) OVER (PARTITION BY p ORDER BY o, v NULLS LAST
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE CURRENT ROW) AS s,
+           round(AVG(v) OVER (PARTITION BY p ORDER BY o
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW), 6) AS a,
+           SUM(v) OVER (PARTITION BY p ORDER BY o
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE NO OTHERS) AS sn
+         FROM wx ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => (Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)))).toSeq
+    // ROWS order (o, v nulls last): 10,20,30,NULL,40 — frame ±1 row
+    assert(got.map(_._1) == Seq(Some(20L), Some(40L), Some(20L),
+      Some(70L), None, None))
+    assert(got.map(_._2) == Seq(None, Some(20.0), Some(15.0),
+      Some(20.0), Some(20.0), None))
+    // NO OTHERS ≡ plain running sum
+    assert(got.map(_._3) == Seq(Some(10L), Some(60L), Some(60L),
+      Some(60L), Some(100L), Some(5L)))
+  }
+
+  test("loud refusals: min, DISTINCT, ROWS+GROUP, GROUPS, named WINDOW") {
+    fixture()
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException](
+        Table.sessionSql(spark, sql).toDF.collect()).getMessage
+    assert(bad(s"SELECT MIN(v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
+      .contains("subtraction-decomposable"))
+    assert(bad(s"SELECT COUNT(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
+      .contains("not decomposable"))
+    assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
+         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM wx""")
+      .contains("cut the peer group"))
+    assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
+         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM wx""")
+      .contains("GROUPS"))
+    assert(bad(s"""SELECT SUM(v) OVER w FROM wx
+         WINDOW w AS ($Frame EXCLUDE CURRENT ROW)""")
+      .contains("inline OVER"))
+    assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
+         ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+         FROM wx""").contains("starting after the current row"))
+  }
+
+  test("statements without EXCLUDE pass through byte-identical") {
+    val q = "SELECT SUM(v) OVER (PARTITION BY p ORDER BY o) AS s FROM wx"
+    assert(Dialect.rewriteWindowExclude(q) == q)
+    val lit = "SELECT 'exclude current row' AS s FROM wx"
+    assert(Dialect.rewriteWindowExclude(lit) == lit)
+  }
+}
