@@ -7114,6 +7114,54 @@ object SparkEntry {
                 true AS unpublished_absent
          FROM documents"""),
 
+    // Versioned publish + time travel (io18) — io17's deployment story
+    // made first-class: two audited publishes mint root/v=1 and v=2 with
+    // an ATOMIC pointer swap (FileContext OVERWRITE rename — no delete
+    // window anywhere on the publish path, closing io17's one caveat), a
+    // third publish with a FAILING audit is proven to leave the pointer
+    // and both versions untouched, and the query reads BOTH VERSION AS
+    // OF 1 and AS OF 2 plus the pointer-current version. v1 = full doc
+    // stats, v2 = en-only — so the two reads differ and the oracle pins
+    // each against the source table.
+    "io18_time_travel" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val root = scratchDir(s"io18_${new java.io.File(dir).getName}")
+        graft.ops.Wap.Versioned.publishVersion(docs, root) { staged =>
+          require(staged.count() == docs.count(), "v1 audit")
+        }
+        graft.ops.Wap.Versioned.publishVersion(
+          docs.filter(col("lang") === "en"), root)(_ => ())
+        val blocked =
+          try {
+            graft.ops.Wap.Versioned.publishVersion(docs.limit(1), root)(_ =>
+              require(false, "forced audit failure"))
+            false
+          } catch { case _: IllegalStateException => true }
+        val v1 = graft.ops.Wap.Versioned.readVersion(s, root, Some(1L))
+          .agg(count(lit(1)).as("v1_docs"), sum(col("n_chars")).as("v1_chars"))
+        val v2 = graft.ops.Wap.Versioned.readVersion(s, root, Some(2L))
+          .agg(count(lit(1)).as("v2_docs"), sum(col("n_chars")).as("v2_chars"))
+        val cur = graft.ops.Wap.Versioned.readVersion(s, root)
+          .agg(count(lit(1)).as("cur_docs"))
+        v1.crossJoin(v2).crossJoin(cur)
+          .select(col("v1_docs"), col("v1_chars"), col("v2_docs"),
+            col("v2_chars"),
+            (col("cur_docs") === col("v2_docs")).as("pointer_at_v2"),
+            lit(blocked).as("failed_audit_blocked"),
+            lit(graft.ops.Wap.Versioned.currentVersion(s, root)
+              .contains(2L)).as("pointer_untouched_by_failed_publish"))
+      },
+      """SELECT (SELECT count(*) FROM documents) AS v1_docs,
+                (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS v1_chars,
+                (SELECT count(*) FROM documents WHERE lang = 'en') AS v2_docs,
+                (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                 WHERE lang = 'en') AS v2_chars,
+                true AS pointer_at_v2,
+                true AS failed_audit_blocked,
+                true AS pointer_untouched_by_failed_publish"""),
+
     // bucketed-table SHUFFLE-FREE join (io16) — the 100 TB co-location
     // layout demonstrated end-to-end: both join sides written with
     // bucketBy(16, custkey) + sortBy, so the bucketed scans report hash

@@ -60,4 +60,117 @@ object Wap {
     } else require(fs.rename(staging, destPath),
       s"atomic publish rename failed: $staging -> $dest")
   }
+
+  /** Versioned publish + time travel (io18) — the deployment
+    * [[writeAuditPublish]]'s doc recommends, made a first-class layout:
+    *
+    *   root/v=1, root/v=2, …   immutable published versions
+    *   root/_CURRENT           pointer file holding the live version
+    *
+    * Every publish lands on a NEW `v=N` path (so the stage→audit→rename
+    * is always the no-replace single-atomic-rename case) and then swaps
+    * the pointer with `FileContext.rename(Options.Rename.OVERWRITE)` —
+    * atomic on HDFS and local filesystems, so a reader sees the old
+    * pointer or the new one, never a missing or partial pointer. This
+    * closes writeAuditPublish's one remaining caveat: nothing is ever
+    * deleted on the publish path, so no failure mode can destroy
+    * published data. A failed audit aborts before any version or
+    * pointer change. Readers: [[readVersion]] with `asOf = None` follows
+    * the pointer; `asOf = Some(n)` is the `VERSION AS OF n` time-travel
+    * read over any still-published version.
+    *
+    * Contract: single concurrent writer (the usual lakehouse-commit
+    * assumption — two simultaneous publishes could mint the same N;
+    * readers are always safe). Old versions are retained until an
+    * explicit retention sweep — time travel is only as deep as what is
+    * kept.
+    */
+  object Versioned {
+
+    private val Pointer = "_CURRENT"
+
+    private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                     p: org.apache.hadoop.fs.Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Highest v=N directory under root (published or orphaned), 0 when
+      * none — the next publish mints max+1, so an orphan from a crash
+      * between version-publish and pointer-swap is skipped, never
+      * overwritten.
+      */
+    private def maxVersion(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") =>
+          scala.util.Try(n.substring(2).toLong).getOrElse(0L) }
+        .foldLeft(0L)(math.max)
+
+    /** Live version per the pointer file; None before the first
+      * successful publish.
+      */
+    def currentVersion(spark: org.apache.spark.sql.SparkSession,
+                       root: String): Option[Long] = {
+      val ptr = new org.apache.hadoop.fs.Path(root, Pointer)
+      val fs = fsOf(spark, ptr)
+      if (!fs.exists(ptr)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+        val in = fs.open(ptr)
+        try in.readFully(buf) finally in.close()
+        Some(new String(buf,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    }
+
+    /** Stage, audit (against the staged bytes, the WAP contract), publish
+      * as `root/v=N` (N = highest existing + 1), then atomically swap the
+      * pointer. Returns N. A failed audit throws with the staging path,
+      * leaving pointer and every published version untouched.
+      */
+    def publishVersion(df: DataFrame, root: String)
+                      (audit: DataFrame => Unit): Long = {
+      val spark = df.sparkSession
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = fsOf(spark, rootPath)
+      fs.mkdirs(rootPath)
+      val n = maxVersion(fs, rootPath) + 1
+      writeAuditPublish(df, new org.apache.hadoop.fs.Path(rootPath,
+        s"v=$n").toString)(audit)
+      // pointer swap: dot-temp + atomic overwrite rename (the io14
+      // discipline, via FileContext — FileSystem.rename refuses to
+      // overwrite)
+      val tmp = new org.apache.hadoop.fs.Path(rootPath,
+        s"._CURRENT.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(n.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(
+          rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, new org.apache.hadoop.fs.Path(rootPath, Pointer),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      n
+    }
+
+    /** `VERSION AS OF asOf` read (None = the live pointer version). */
+    def readVersion(spark: org.apache.spark.sql.SparkSession, root: String,
+                    asOf: Option[Long] = None): DataFrame = {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = fsOf(spark, rootPath)
+      val n = asOf.getOrElse(currentVersion(spark, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no published version under $root — publishVersion first")))
+      val p = new org.apache.hadoop.fs.Path(rootPath, s"v=$n")
+      require(fs.exists(p), {
+        val have =
+          if (!fs.exists(rootPath)) "none"
+          else fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v=")).sorted.mkString(", ")
+        s"version $n is not published under $root (have: $have)"
+      })
+      spark.read.parquet(p.toString)
+    }
+  }
 }
