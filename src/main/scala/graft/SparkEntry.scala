@@ -11365,6 +11365,81 @@ object SparkEntry {
          FROM sc JOIN oc USING (phrase)
          ORDER BY score_fp DESC, phrase LIMIT 20"""),
 
+    // Trained quality-classifier INFERENCE gate (t28): the
+    // fastText-style linear filter (CCNet/DCLM/FineWeb) as score →
+    // threshold → survivor flag. Weights are TRAINED in-query as
+    // naive-Bayes log-odds over the full 256-bucket hashed-unigram
+    // domain (md5-prefix buckets — the fe01/DSIR cross-engine hash;
+    // add-one smoothing; target class = lang='en'), so DuckDB re-derives
+    // features AND weights exactly; inference is
+    // TextAnalysis.linearQualityScore — broadcast model, map-only
+    // probe (PlanSpec-pinned), exact fixed-point sums, one mirrored
+    // double chain. Training rollup is one pass over the token stream
+    // (localCheckpoint: three consumers).
+    "t28_quality_classifier" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val feats = docs.select(col("doc_id"),
+            (col("lang") === "en").as("__tgt"),
+            explode(filter(split(lower(coalesce(col("text"), lit(""))),
+              "\\W+"), x => x =!= "")).as("__t"))
+          .select(col("doc_id"), col("__tgt"),
+            substring(md5(col("__t")), 1, 2).as("b"))
+          .localCheckpoint(true)
+        val cr = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val ct = feats.filter(col("__tgt")).groupBy(col("b"))
+          .agg(count(lit(1)).as("ct"))
+        val tot = feats.agg(count(lit(1)).cast("double").as("nr"),
+          sum(when(col("__tgt"), 1L).otherwise(0L)).cast("double").as("nt"))
+        val domain = s.range(256)
+          .select(format_string("%02x", col("id")).as("b"))
+        val weights = domain.join(cr, Seq("b"), "left")
+          .join(ct, Seq("b"), "left").crossJoin(broadcast(tot))
+          .select(col("b"),
+            round((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+                / (col("nt") + 256.0))
+              - log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
+                / (col("nr") + 256.0))) * 1e6).cast("long").as("w_fp"))
+        graft.ops.TextAnalysis.linearQualityScore(
+            docs, "doc_id", "text", weights, nBuckets = 256)
+          .select(col("doc_id"), col("n_tokens"), col("logit6"),
+            col("quality6"), (col("quality6") >= 0.5).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH s AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         f AS (SELECT s.doc_id, s.lang = 'en' AS tgt,
+                      substr(md5(u.t), 1, 2) AS b
+               FROM s, unnest(toks) AS u(t)),
+         cr AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+         ct AS (SELECT b, count(*) AS ct FROM f WHERE tgt GROUP BY b),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS nr,
+                        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+                 FROM f),
+         dom AS (SELECT printf('%02x', i) AS b FROM range(256) AS r(i)),
+         w AS (SELECT dom.b,
+                 CAST(round((ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+                               / (tot.nt + 256.0))
+                           - ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE)
+                               / (tot.nr + 256.0))) * 1e6) AS BIGINT) AS w_fp
+               FROM dom LEFT JOIN cr ON cr.b = dom.b
+                        LEFT JOIN ct ON ct.b = dom.b CROSS JOIN tot),
+         pd AS (SELECT f.doc_id, count(*) AS n_tokens, sum(w.w_fp) AS sum_fp
+                FROM f JOIN w ON w.b = f.b GROUP BY f.doc_id),
+         sc AS (SELECT d.doc_id,
+                  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                  CAST(pd.sum_fp AS DOUBLE)
+                    / (CAST(pd.n_tokens AS DOUBLE) * 1e6)
+                    + CAST(0 AS DOUBLE) / 1e6 AS z
+                FROM documents d LEFT JOIN pd USING (doc_id))
+         SELECT doc_id, n_tokens, round(z, 6) AS logit6,
+                round(1.0 / (1.0 + exp(-z)), 6) AS quality6,
+                round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS kept
+         FROM sc ORDER BY doc_id"""),
+
     // BPE merge TRAINING end-to-end (TextAnalysis.bpeTrain, t25): learn
     // the top-4 merges from the corpus — t19's candidate scan iterated
     // to an actual trained vocabulary, the artifact bpe_tokens consumes.

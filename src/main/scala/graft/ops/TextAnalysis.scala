@@ -411,6 +411,71 @@ object TextAnalysis {
         coalesce(col(scoreName), lit(0L)).as(scoreName))
   }
 
+  /** Trained-quality-classifier INFERENCE gate (t28) — the
+    * fastText-style linear filter every public LLM pipeline runs
+    * (CCNet / DCLM / FineWeb): score each document against a broadcast
+    * linear model over hashed token features,
+    *
+    *   z(d)      = bias + (Σ over token instances t of w[bucket(t)]) / n_tokens(d)
+    *   quality(d) = σ(z) = 1 / (1 + e^(−z)),
+    *
+    * the bag-of-hashed-words mean that fastText computes before its
+    * output layer. Buckets are the first k hex chars of md5(token)
+    * (k = log16 nBuckets — the fe01/DSIR cross-engine hash, so an
+    * external engine re-derives identical features); weights ride in
+    * 1e6 fixed point and the per-doc sum is an exact integer, with ONE
+    * mirrored double chain (sum/(n·1e6) + bias/1e6) before rounding —
+    * the q14 float discipline.
+    *
+    * The weights frame (`b` hex-bucket, `w_fp` fixed-point weight) is
+    * the MODEL: it must cover the bucket domain EXACTLY — row count,
+    * distinct count, and prefix width are checked in one bounded
+    * aggregate and refused loudly on any mismatch (a silently absent
+    * bucket would zero features instead of scoring them).
+    *
+    * Scale shape: tokenize + bucket is map-only; the weight lookup is a
+    * BROADCAST join (the model is nBuckets rows); the only shuffle is
+    * the per-doc aggregation — plan-pinned in PlanSpec. Output:
+    * (idCol, n_tokens, logit6, quality6); token-less docs keep
+    * (0, null, null).
+    */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         weights: DataFrame, nBuckets: Int,
+                         biasFp: Long = 0L): DataFrame = {
+    val width = nBuckets match {
+      case 16 => 1
+      case 256 => 2
+      case 4096 => 3
+      case _ => throw new IllegalArgumentException(
+        s"nBuckets must be a hex-prefix domain (16, 256 or 4096), got " +
+          s"$nBuckets")
+    }
+    val chk = weights.agg(count(lit(1)).as("n"),
+      count_distinct(col("b")).as("nd"),
+      min(length(col("b"))).as("wmin"),
+      max(length(col("b"))).as("wmax")).collect().head
+    require(chk.getLong(0) == nBuckets && chk.getLong(1) == nBuckets &&
+      !chk.isNullAt(2) && chk.getInt(2) == width && chk.getInt(3) == width,
+      s"weights must cover the $nBuckets-bucket domain exactly: got " +
+        s"${chk.getLong(0)} rows, ${chk.getLong(1)} distinct buckets, " +
+        s"prefix widths ${chk.get(2)}..${chk.get(3)} (want $width) — a " +
+        "mis-sized model would silently zero or mis-hash features")
+    val feats = lmTokens(df, idCol, textCol)
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .select(col(idCol), substring(md5(col("__t")), 1, width).as("b"))
+    val perDoc = feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_fp")).as("__sum_fp"))
+    val z = col("__sum_fp").cast("double") /
+      (col("n_tokens").cast("double") * 1e6) +
+      lit(biasFp).cast("double") / 1e6
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(z, 6).as("logit6"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality6"))
+  }
+
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = lmTokens(df, idCol, textCol)
     // score per-OCCURRENCE, map-side: summing an identical fp once per

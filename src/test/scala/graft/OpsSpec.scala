@@ -2180,4 +2180,49 @@ class OpsSpec extends GraftSuite {
       assert(bf != null, "bloom filter unreadable")
     } finally reader.close()
   }
+
+  test("t28 linearQualityScore: known-feature scoring and loud model " +
+      "contract refusals") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa"), (2L, ""), (3L, "cc")).toDF("id", "t")
+    // full 16-bucket domain (width-1 hex), weight = 1e6 per bucket, so
+    // z = sum(1e6)/ (n*1e6) = 1.0 for every tokenful doc — σ(1) ≈ .731059
+    val w16 = spark.range(16)
+      .select(format_string("%x", col("id")).as("b"),
+        lit(1000000L).as("w_fp"))
+    val out = TextAnalysis.linearQualityScore(docs, "id", "t", w16, 16)
+      .orderBy(col("id")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 0L, 1L))
+    assert(out(0).getDouble(2) == 1.0 && out(0).getDouble(3) == 0.731059)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3)) // token-less doc
+    // missing bucket, wrong width, bad domain size — all refuse loudly
+    val short = w16.limit(15)
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.linearQualityScore(docs, "id", "t", short, 16))
+      .getMessage.contains("cover the 16-bucket domain"))
+    val wide = spark.range(16)
+      .select(format_string("%02x", col("id")).as("b"), lit(0L).as("w_fp"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.linearQualityScore(docs, "id", "t", wide, 16))
+      .getMessage.contains("cover the 16-bucket domain"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.linearQualityScore(docs, "id", "t", w16, 100))
+      .getMessage.contains("hex-prefix domain"))
+  }
+
+  test("t28 gate composes: threshold filter yields the survivor set") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x x"), (2L, "y")).toDF("id", "t")
+    // +1 for bucket of x, -1 for all others -> doc 1 scores sigma(1) > .5,
+    // doc 2 sigma(-1) < .5
+    val xb = spark.sql("SELECT substring(md5('x'), 1, 1) AS xb")
+      .collect().head.getString(0)
+    val w = spark.range(16).select(format_string("%x", col("id")).as("b"))
+      .select(col("b"), when(col("b") === xb, 1000000L)
+        .otherwise(-1000000L).as("w_fp"))
+    val kept = TextAnalysis.linearQualityScore(docs, "id", "t", w, 16)
+      .filter(col("quality6") >= 0.5).select(col("id"))
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
+  }
 }

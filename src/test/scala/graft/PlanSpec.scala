@@ -599,4 +599,16 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in sp11 plan")
     assert(p.contains("BroadcastExchange"), "256-bucket ratio table not broadcast")
   }
+
+  test("t28 quality classifier: the model joins as BROADCAST, the probe " +
+      "side is map-only up to the per-doc aggregation") {
+    val p = planOf("t28_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights model must broadcast-join:\n${p.take(900)}")
+    // the one BroadcastNestedLoopJoin is the TRAINING side's 1-row
+    // scalar-totals crossJoin(broadcast(…)) — the suite's accepted
+    // pattern; what must never appear is an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in t28 plan:\n${p.take(900)}")
+  }
 }
