@@ -329,6 +329,109 @@ object SparkEntry {
          $rows ORDER BY rank"""
   }
 
+  /** The t29 K-unrolled unigram-LM training oracle: per EM round, a
+    * recursive CTE carries the Viterbi DP array (one list of
+    * (score, backpointer) structs per word, extended one position per
+    * recursion step) and a second recursive CTE walks the backpointers
+    * to the piece list; counts, add-one fixed-point scores, and the
+    * prune-to-budget all mirror [[graft.ops.TextAnalysis.unigramLmTrain]]
+    * exactly — same first-maximum (longest-piece) tie rule via
+    * list_position of list_max, same (count desc, piece) prune order,
+    * same maxWordLen=8 / maxPieceLen=3 contract.
+    */
+  private def unigramLmOracle(budget: Int, rounds: Int, nSeg: Int): String = {
+    val L = 3
+    val Neg = "-1000000000000000"
+    def vit(r: Int, wordsCte: String, pm: String): String = {
+      val cands =
+        s"""list_transform(generate_series(greatest(i + 1 - $L, 0), i),
+            j -> struct_extract(arr[j + 1], 's') +
+                 coalesce(map_extract($pm.m, substr(w, j + 1, i + 1 - j))[1],
+                          CAST($Neg AS BIGINT)))"""
+      s"""vr$r(w, wn, i, arr) AS (
+           SELECT w, wn, 0, [{'s': CAST(0 AS BIGINT), 'bp': 0}] FROM $wordsCte
+           UNION ALL
+           SELECT w, wn, i + 1,
+             list_append(arr, {'s': list_max($cands),
+               'bp': CAST(greatest(i + 1 - $L, 0) +
+                          list_position($cands, list_max($cands)) - 1 AS INT)})
+           FROM vr$r, $pm WHERE i < len(w)),
+         vf$r AS MATERIALIZED (SELECT w, wn, arr FROM vr$r WHERE i = len(w)),
+         bt$r(w, wn, pos, ps) AS (
+           SELECT w, wn, len(w), CAST([] AS VARCHAR[]) FROM vf$r
+           UNION ALL
+           SELECT b.w, b.wn, struct_extract(v.arr[b.pos + 1], 'bp'),
+                  list_prepend(substr(b.w,
+                    struct_extract(v.arr[b.pos + 1], 'bp') + 1,
+                    b.pos - struct_extract(v.arr[b.pos + 1], 'bp')), b.ps)
+           FROM bt$r b JOIN vf$r v ON v.w = b.w WHERE b.pos > 0)"""
+    }
+    def scores(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (
+           SELECT p, CAST(round(ln((c + 1.0) / CAST(t + v AS DOUBLE)) * 1e6)
+                     AS BIGINT) AS s
+           FROM $src, (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v
+                       FROM $src)),
+         pm_$name AS MATERIALIZED (
+           SELECT map(list(p ORDER BY p), list(s ORDER BY p)) AS m FROM $name)"""
+    def prune(name: String, counts: String): String =
+      s"""$name AS MATERIALIZED (
+           SELECT DISTINCT p, c FROM (
+             SELECT p, c FROM (SELECT p, c, row_number()
+                 OVER (ORDER BY c DESC, p) AS rn FROM $counts)
+             WHERE rn <= $budget
+             UNION ALL
+             SELECT s.p, coalesce($counts.c, 0) FROM singles s
+             LEFT JOIN $counts ON $counts.p = s.p))"""
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""words AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
+             SELECT unnest(list_filter(string_split_regex(
+                      lower(coalesce(text, '')), '[^a-z0-9]+'),
+                    x -> x <> '' AND len(x) <= 8)) AS w
+             FROM documents) GROUP BY w)""",
+      """singles AS MATERIALIZED (
+           SELECT DISTINCT substr(w, i, 1) AS p
+           FROM words, unnest(generate_series(1, len(w))) AS a(i))""",
+      s"""c0 AS MATERIALIZED (
+           SELECT p, CAST(sum(wn) AS BIGINT) AS c FROM (
+             SELECT wn, substr(w, i, l) AS p
+             FROM words,
+                  unnest(generate_series(1, len(w))) AS a(i),
+                  unnest(generate_series(1, least($L, len(w) - i + 1))) AS b(l))
+           GROUP BY p)""",
+      prune("tab0", "c0"))
+    var cur = "tab0"
+    (1 to rounds).foreach { r =>
+      parts += scores(s"sc$r", cur)
+      parts += vit(r, "words", s"pm_sc$r")
+      parts += s"""cnt$r AS MATERIALIZED (
+           SELECT p, CAST(sum(wn) AS BIGINT) AS c FROM (
+             SELECT wn, unnest(ps) AS p FROM bt$r WHERE pos = 0)
+           GROUP BY p)"""
+      parts += prune(s"tab$r", s"cnt$r")
+      cur = s"tab$r"
+    }
+    val f = rounds + 1
+    parts += scores(s"sc$f", cur)
+    parts += s"""segwords AS MATERIALIZED (
+           SELECT w, wn FROM (SELECT w, wn, row_number()
+               OVER (ORDER BY wn DESC, w) AS rn FROM words)
+           WHERE rn <= $nSeg)"""
+    parts += vit(f, "segwords", s"pm_sc$f")
+    s"""WITH RECURSIVE
+       ${parts.mkString(",\n")}
+       SELECT kind, k, n, v, s FROM (
+         SELECT 'piece' AS kind, t.p AS k, t.c AS n, sc.s AS v,
+                CAST(NULL AS VARCHAR) AS s
+         FROM $cur t JOIN sc$f sc ON sc.p = t.p
+         UNION ALL
+         SELECT 'seg', w, wn, CAST(NULL AS BIGINT),
+                list_aggr(ps, 'string_agg', '.')
+         FROM bt$f WHERE pos = 0
+       ) ORDER BY kind, k"""
+  }
+
   private val bpeCountCtes: String =
     """mg(rank, l, r) AS (SELECT * FROM (VALUES
            (0,'t','h'),(1,'th','e'),(2,'i','n'),(3,'a','n'),(4,'an','d'),
@@ -11364,6 +11467,41 @@ object SparkEntry {
                   AS n_occurrences
          FROM sc JOIN oc USING (phrase)
          ORDER BY score_fp DESC, phrase LIMIT 20"""),
+
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING (t29):
+    // TextAnalysis.unigramLmTrain — seed = most frequent substrings,
+    // K = 2 hard-EM rounds (Viterbi E-step as a map-only HOF fold over
+    // the distinct-word vocab, one keyed agg M-step, prune-to-budget +
+    // all single chars), then the trained pieces ROUND-TRIP through a
+    // segmentation of the 5 most frequent words (unigramSegment). The
+    // oracle re-runs the whole thing K-unrolled in DuckDB: recursive
+    // CTEs carry the Viterbi DP array per word position and the
+    // backtrack walk (MATERIALIZED between stages — the gr08/t25
+    // discipline), scores in 1e6 fixed point with the identical
+    // first-maximum/longest-piece tie rule, so every piece count,
+    // score, and segmentation is bit-equal.
+    "t29_unigram_lm" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val pieces = graft.ops.TextAnalysis.unigramLmTrain(
+          docs, "text", budget = 24, rounds = 2)
+        val words = docs.select(explode(split(lower(coalesce(col("text"),
+            lit(""))), "[^a-z0-9]+")).as("w"))
+          .filter(col("w") =!= "" && length(col("w")) <= 8)
+          .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+          .orderBy(col("wn").desc, col("w")).limit(5)
+        val segs = graft.ops.TextAnalysis.unigramSegment(words, "w", pieces)
+          .select(lit("seg").as("kind"), col("w").as("k"),
+            col("wn").as("n"), lit(null).cast("long").as("v"),
+            concat_ws(".", col("pieces")).as("s"))
+        pieces.select(lit("piece").as("kind"), col("piece").as("k"),
+            col("c").as("n"), col("score_fp").as("v"),
+            lit(null).cast("string").as("s"))
+          .unionByName(segs)
+          .orderBy(col("kind"), col("k"))
+      },
+      unigramLmOracle(budget = 24, rounds = 2, nSeg = 5)),
 
     // Trained quality-classifier INFERENCE gate (t28): the
     // fastText-style linear filter (CCNet/DCLM/FineWeb) as score →

@@ -144,6 +144,182 @@ object TextAnalysis {
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING (t29) — the
+    * other public tokenizer-training algorithm beside [[bpeTrain]]'s
+    * BPE (Kudo 2018, "Subword Regularization"): hold a piece table with
+    * log-probabilities, alternate
+    *
+    *   E-step: per word, the VITERBI-best segmentation under current
+    *           piece scores (hard-EM — the standard deterministic
+    *           simplification of the paper's full E-step);
+    *   M-step: piece count = Σ over words of wn · uses-in-best-path,
+    *           score_fp(p) = round(ln((c+1)/(T+V)) · 1e6) — add-one
+    *           smoothing in 1e6 fixed point (the t09 discipline);
+    *   prune:  top-`budget` pieces by (count desc, piece asc) plus ALL
+    *           single characters (segmentability guarantee), the
+    *           paper's prune-to-budget per round.
+    *
+    * Seeding follows SentencePiece's make_seed_sentence_pieces: the
+    * most frequent substrings (length ≤ maxPieceLen) of the distinct-
+    * word vocabulary. Fully deterministic: fixed-point scores, total
+    * tie-orders everywhere, and Viterbi ties break toward the LONGEST
+    * last piece (the first-maximum rule both engines express as
+    * array_position of the max).
+    *
+    * Scale shape: the corpus collapses to the distinct-word vocab ONCE
+    * (one pass, like [[bpeTrain]]); every E-step is a MAP-ONLY fold
+    * over the vocab with the piece table inlined as a literal map (the
+    * model is ≤ budget+chars rows — the t28 broadcast-model analog;
+    * enforced ≤ 512) followed by one keyed count aggregation; the
+    * driver holds only the model between rounds. Words longer than
+    * `maxWordLen` are excluded from TRAINING (documented — the
+    * long-tail cut every seed-vocab implementation applies; inference
+    * via [[unigramSegment]] has no such cap... it shares maxWordLen's
+    * fold bound, so keep them consistent).
+    *
+    * Output: (piece, c, score_fp) — final counts and scores, one row
+    * per kept piece.
+    */
+  def unigramLmTrain(df: DataFrame, textCol: String, budget: Int = 40,
+                     rounds: Int = 2, maxWordLen: Int = 8,
+                     maxPieceLen: Int = 3): DataFrame = {
+    require(budget >= 1 && budget <= 476,
+      s"budget must be in [1, 476] (model + chars stays under the " +
+        s"512-entry literal-map bound), got $budget")
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8]")
+    require(maxWordLen >= 2 && maxWordLen <= 16 &&
+      maxPieceLen >= 2 && maxPieceLen <= maxWordLen,
+      s"bad maxWordLen=$maxWordLen / maxPieceLen=$maxPieceLen")
+    val spark = df.sparkSession
+    // ONE corpus pass to the distinct-word vocabulary; pinned — it is
+    // re-segmented every round (K consumers)
+    val words = df.select(explode(split(lower(coalesce(col(textCol),
+        lit(""))), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .localCheckpoint(true)
+    val singles = words.selectExpr(
+      "explode(transform(sequence(1, length(w)), i -> substring(w, i, 1))) AS p")
+      .distinct()
+    // prune: top-budget by (c desc, p) — a total order — plus every
+    // single char (count 0 when unused), dedup'd (same p ⇒ same c)
+    def prune(counts: DataFrame): Seq[(String, Long)] = {
+      val top = counts.orderBy(col("c").desc, col("p")).limit(budget)
+      val kept = top.unionByName(
+        singles.join(counts, Seq("p"), "left")
+          .select(col("p"), coalesce(col("c"), lit(0L)).as("c")))
+        .distinct().orderBy(col("p")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(kept.size <= 512,
+        s"piece table ${kept.size} exceeds the 512-entry model bound — " +
+          "lower the budget or restrict the alphabet")
+      kept
+    }
+    val seed = words.selectExpr("wn",
+      s"""explode(flatten(transform(sequence(1, length(w)),
+          i -> transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+          l -> substring(w, i, l))))) AS p""")
+      .groupBy(col("p")).agg(sum(col("wn")).as("c"))
+    var table = prune(seed)
+    (1 to rounds).foreach { _ =>
+      val counts = words
+        .withColumn("__best", expr(viterbiBest("w", scoresOf(table),
+          maxPieceLen)))
+        .withColumn("__ps", expr(viterbiBacktrack("w", "__best")))
+        .select(col("wn"), explode(col("__ps")).as("p"))
+        .groupBy(col("p")).agg(sum(col("wn")).as("c"))
+      table = prune(counts)
+    }
+    val scored = scoresOf(table)
+    spark.createDataFrame(table.zip(scored).map { case ((p, c), (_, s)) =>
+      (p, c, s)
+    }).toDF("piece", "c", "score_fp")
+  }
+
+  /** Fixed-point add-one log-prob scores of a (piece, count) table:
+    * round(ln((c+1)/(T+V)) · 1e6). java.lang.Math.log is the same
+    * double the engines' ln computes — the dsir/t09 mirror rule.
+    */
+  private def scoresOf(table: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val t = table.map(_._2).sum
+    val v = table.size
+    table.map { case (p, c) =>
+      p -> Math.round(Math.log((c + 1.0) / (t + v).toDouble) * 1e6)
+    }
+  }
+
+  private val ViterbiNeg = "-1000000000000000"
+
+  /** Literal score map: pieces are [a-z0-9]+ by construction (word
+    * split), so no escaping is needed — enforced.
+    */
+  private def scoreMapLit(scores: Seq[(String, Long)]): String = {
+    require(scores.nonEmpty && scores.forall(_._1.matches("[a-z0-9]+")),
+      "pieces must be non-empty [a-z0-9]+ strings")
+    scores.map { case (p, s) => s"'$p', ${s}L" }
+      .mkString("map(", ", ", ")")
+  }
+
+  /** Forward Viterbi DP as ONE fold over word positions: best(i) =
+    * max over j ∈ [i−L, i) of best(j) + score(word[j+1..i]), missing
+    * pieces at −10^15 (unreachable — single chars are always present).
+    * The appended struct carries (score, backpointer); the FIRST
+    * maximum (array_position) is the smallest j = the LONGEST last
+    * piece, the deterministic tie rule both engines share.
+    */
+  private def viterbiBest(wordCol: String, scores: Seq[(String, Long)],
+                          maxPieceLen: Int): String = {
+    val m = scoreMapLit(scores)
+    val cands = s"""transform(sequence(greatest(i - $maxPieceLen, 0), i - 1),
+       j -> element_at(acc, j + 1).s +
+            coalesce(element_at($m, substring($wordCol, j + 1, i - j)),
+                     CAST($ViterbiNeg AS BIGINT)))"""
+    s"""aggregate(sequence(1, length($wordCol)),
+        array(struct(CAST(0 AS BIGINT) AS s, 0 AS bp)),
+        (acc, i) -> concat(acc, array(struct(
+          array_max($cands) AS s,
+          CAST(greatest(i - $maxPieceLen, 0) +
+               array_position($cands, array_max($cands)) - 1 AS INT) AS bp))))"""
+  }
+
+  /** Backtrack fold: walk backpointers from the end, prepending each
+    * piece — at most length(word) steps, no-op once position 0 is
+    * reached. Returns the piece array in word order.
+    */
+  private def viterbiBacktrack(wordCol: String, bestCol: String): String =
+    s"""aggregate(sequence(1, length($wordCol)),
+        struct(length($wordCol) AS pos, CAST(array() AS ARRAY<STRING>) AS ps),
+        (acc, z) -> IF(acc.pos > 0,
+          struct(element_at($bestCol, acc.pos + 1).bp AS pos,
+            concat(array(substring($wordCol,
+              element_at($bestCol, acc.pos + 1).bp + 1,
+              acc.pos - element_at($bestCol, acc.pos + 1).bp)), acc.ps) AS ps),
+          acc)).ps"""
+
+  /** Segment words with a TRAINED piece table (the t29 round-trip):
+    * adds a `pieces` array column — Viterbi under the table's
+    * `score_fp`, map-only (the model inlines as a literal map, bounded
+    * 512 like training). Words longer than `maxWordLen` refuse loudly
+    * (the fold bound must match training's contract).
+    */
+  def unigramSegment(words: DataFrame, wordCol: String, pieces: DataFrame,
+                     maxWordLen: Int = 8, maxPieceLen: Int = 3): DataFrame = {
+    val model = pieces.select(col("piece"), col("score_fp"))
+      .orderBy(col("piece")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(model.nonEmpty && model.size <= 512,
+      s"piece table must hold 1..512 rows, got ${model.size}")
+    val over = words.filter(length(col(wordCol)) > maxWordLen ||
+      length(col(wordCol)) === 0).limit(1).count()
+    require(over == 0,
+      s"unigramSegment: words longer than maxWordLen=$maxWordLen (or " +
+        "empty) present — segment only what the model was trained for")
+    words
+      .withColumn("__best", expr(viterbiBest(wordCol, model, maxPieceLen)))
+      .withColumn("pieces", expr(viterbiBacktrack(wordCol, "__best")))
+      .drop("__best")
+  }
+
   /** The stopword list RAKE splits candidate phrases on — the English
     * closed-class set [[StopwordRe]] uses for language ID, kept tiny
     * and fixed so both engines split identically.

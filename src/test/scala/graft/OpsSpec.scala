@@ -2225,4 +2225,36 @@ class OpsSpec extends GraftSuite {
       .collect().map(_.getLong(0))
     assert(kept.toSeq == Seq(1L))
   }
+
+  test("t29 unigramLmTrain: hard-EM training on a known corpus, " +
+      "segmentation round-trip, loud bounds") {
+    import spark.implicits._
+    val docs = Seq("the cat sat on the mat", "the cats sat",
+      "a mat on a cat").toDF("text")
+    val pieces = TextAnalysis.unigramLmTrain(docs, "text", budget = 8,
+      rounds = 2)
+    val got = pieces.orderBy(col("piece")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // values cross-checked against the DuckDB K-unrolled oracle on the
+    // identical corpus (the t29 discipline): multi-char survivors are
+    // 'at' and 'cat'; unused single chars keep count 0
+    assert(got.map(_._1).toSeq == Seq("a", "at", "c", "cat", "e", "h",
+      "m", "n", "o", "s", "t"))
+    assert(got.find(_._1 == "at").get._2 == 4L)
+    assert(got.find(_._1 == "cat").get._2 == 3L)
+    assert(got.find(_._1 == "c").get._2 == 0L)
+    assert(got.find(_._1 == "at").get._3 == -2028148L)
+    val segs = TextAnalysis.unigramSegment(
+        Seq("cats", "mat", "tat").toDF("w"), "w", pieces)
+      .orderBy(col("w")).collect()
+      .map(r => r.getSeq[String](r.fieldIndex("pieces")).mkString("."))
+    assert(segs.toSeq == Seq("cat.s", "m.at", "t.at"))
+    // bounds refuse loudly
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.unigramLmTrain(docs, "text", budget = 1000))
+      .getMessage.contains("budget"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.unigramSegment(Seq("unsegmentablylong").toDF("w"), "w",
+        pieces)).getMessage.contains("maxWordLen"))
+  }
 }
