@@ -9410,6 +9410,35 @@ object SparkEntry {
     // 3-column DESCRIBE shape at the Table surface by contract.
     "q60_describe" -> same("documents", "DESCRIBE documents"),
 
+    // DuckDB's PIVOT statement (q61, SAME text both engines): dynamic ON
+    // values (both engines collect the distinct domain sorted), implicit
+    // GROUP BY (columns neither pivoted nor aggregated), multi-aggregate
+    // value_alias naming — lowered onto RelationalGroupedDataset.pivot
+    // (PivotSql). At 100 TB prefer the ON … IN (…) form: the dynamic
+    // domain costs a second scan and an unbounded output schema. cents
+    // ride as DOUBLE: USING accepts only bare aggregates (no outer CAST
+    // to pin DuckDB's DECIMAL sum), and integral doubles under 2^53 sum
+    // exactly in any order.
+    "q61_pivot" -> multiSession(Seq("orders"),
+      """PIVOT (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                       CAST(round(o_totalprice * 100) AS DOUBLE) AS cents
+                FROM orders)
+         ON pri USING sum(cents) AS s, count(*) AS n
+         GROUP BY st ORDER BY st"""),
+
+    // DuckDB's UNPIVOT statement (q62, same text): wide → long with
+    // NULL cells dropped (DuckDB semantics; Spark's unpivot keeps them,
+    // so the lowering filters) — Dataset.unpivot, map-only expand.
+    "q62_unpivot" -> multiSession(Seq("orders"),
+      """UNPIVOT (SELECT o_orderkey AS k,
+                  CASE WHEN o_totalprice < 100000
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS lo,
+                  CASE WHEN o_totalprice >= 100000
+                       THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS hi
+                  FROM orders WHERE o_orderkey % 5 = 0)
+         ON lo, hi INTO NAME band VALUE cents
+         ORDER BY k, band"""),
+
     "q57_from_first" -> same("orders",
       """FROM orders
          SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS price

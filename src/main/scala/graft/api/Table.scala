@@ -411,6 +411,20 @@ object Table {
           else sessionSql(spark, ref).df))
       case None =>
     }
+    // PIVOT / UNPIVOT statement forms (q61/q62) — same resolve rule
+    def resolveRef(ref: String): DataFrame =
+      if (Dialect.isBareIdentifier(ref)) spark.table(ref)
+      else sessionSql(spark, ref).df
+    graft.sql.PivotSql.parsePivot(qr) match {
+      case Some(p) => return apply(graft.sql.PivotSql.runPivot(spark, p,
+        resolveRef, runStmtTail(spark, _, _)))
+      case None =>
+    }
+    graft.sql.PivotSql.parseUnpivot(qr) match {
+      case Some(u) => return apply(graft.sql.PivotSql.runUnpivot(spark, u,
+        resolveRef, runStmtTail(spark, _, _)))
+      case None =>
+    }
     Dialect.splitUnionByName(qr) match {
       case Some((ops, flags, tail)) =>
         apply(runUnionByName(spark, ops, flags, tail)(
@@ -446,6 +460,22 @@ object Table {
     // schema, and the FROM names are session views already
     else qualifyAware(spark, q)(spark.sql)
   }
+
+  /** Trailing ORDER BY / LIMIT / OFFSET of a statement form (PIVOT /
+    * UNPIVOT), run over the lowered frame through a temp view — the
+    * runUnionByName tail pattern, nulls-last applied like any single
+    * statement's ORDER BY.
+    */
+  private def runStmtTail(spark: SparkSession, df: DataFrame,
+                          tail: String): DataFrame =
+    if (tail.isEmpty) df
+    else bindLock.synchronized {
+      df.createOrReplaceTempView("__stmt_out__")
+      val out = spark.sql(
+        Dialect.orderByNullsLast(s"SELECT * FROM __stmt_out__ $tail"))
+      out.queryExecution.assertAnalyzed()
+      out
+    }
 
   /** UNION-distinct recursive CTE execution
     * ([[graft.sql.RecursiveUnion]], gr09): frontier-minus-seen rounds

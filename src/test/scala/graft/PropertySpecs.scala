@@ -246,6 +246,60 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         AsOfSql.detect(j) == AsOfSql.detect(q) &&
         Dialect.splitQualify(j).isDefined == Dialect.splitQualify(q).isDefined
     }
+
+  // round-15 scanners: MERGE arms, UNION-distinct recursion, and the
+  // window-EXCLUDE rewrite must be equally blind to masked content
+  private val mergeCorpus: Seq[String] = Seq(
+    """MERGE INTO t USING s ON t.k = s.k AND t.tag <> 'merge into x'
+       WHEN MATCHED AND s.v > 'using on when matched then' THEN DELETE
+       WHEN MATCHED THEN UPDATE SET v = s.v, tag = 'then insert values'
+       WHEN NOT MATCHED AND s.k % 2 = 0 THEN
+         INSERT (k, tag, v) VALUES (s.k, 'when not matched by source', s.v)
+       WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+    """MERGE INTO tgt AS t USING (SELECT k, v FROM src WHERE note <> 'on') s
+       ON t.k = s.k WHEN NOT MATCHED THEN INSERT *""")
+
+  property("MERGE parse structure is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(mergeCorpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.MergeSql
+        val j = junked(q, salt)
+        val pq = MergeSql.parse(q)
+        val pj = MergeSql.parse(j)
+        pq.isDefined && pj.isDefined &&
+          pq.get.arms.map(a => (a.kind, a.cond.isDefined)) ==
+            pj.get.arms.map(a => (a.kind, a.cond.isDefined)) &&
+          pq.get.targetAlias == pj.get.targetAlias &&
+          pq.get.sourceAlias == pj.get.sourceAlias &&
+          // the whole driver corpus must never false-trigger MERGE
+          MergeSql.parse(junked(corpus(salt % corpus.size), salt)).isEmpty
+    }
+
+  property("UNION-distinct recursion detection is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(corpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.RecursiveUnion
+        val j = junked(q, salt)
+        val pq = scala.util.Try(RecursiveUnion.parse(q)).toOption.flatten
+        val pj = scala.util.Try(RecursiveUnion.parse(j)).toOption.flatten
+        pq.isDefined == pj.isDefined &&
+          pq.zip(pj).forall { case (a, b) =>
+            a.name == b.name && a.cols == b.cols &&
+              Dialect.stripLiterals(a.seed) == Dialect.stripLiterals(b.seed) &&
+              Dialect.stripLiterals(a.step) == Dialect.stripLiterals(b.step)
+          }
+    }
+
+  property("window-EXCLUDE rewrite is identical outside masked regions") =
+    forAll(qAndSalt) { case (q, salt) =>
+      val j = junked(q, salt)
+      val rq = scala.util.Try(Dialect.rewriteWindowExclude(q))
+      val rj = scala.util.Try(Dialect.rewriteWindowExclude(j))
+      rq.isSuccess == rj.isSuccess && rq.toOption.zip(rj.toOption)
+        .forall { case (a, b) =>
+          Dialect.stripLiterals(a) == Dialect.stripLiterals(b)
+        }
+    }
 }
 
 /** Model-based property for the as-of join family (rewritten to the
