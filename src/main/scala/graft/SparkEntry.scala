@@ -7217,6 +7217,50 @@ object SparkEntry {
                 true AS unpublished_absent
          FROM documents"""),
 
+    // Retention sweep over the versioned layout (io19): three publishes,
+    // expire to the newest two — v=1 is deleted and a time-travel read
+    // of it refuses loudly, v=2 stays reachable, the pointer (v=3) is
+    // untouched. Closes io18's documented "time travel is only as deep
+    // as retention" note with the GC that enforces it (and that can
+    // NEVER delete the pointer target).
+    "io19_retention" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val root = scratchDir(s"io19_${new java.io.File(dir).getName}")
+        graft.ops.Wap.Versioned.publishVersion(docs, root)(_ => ())
+        graft.ops.Wap.Versioned.publishVersion(
+          docs.filter(col("lang") === "en"), root)(_ => ())
+        graft.ops.Wap.Versioned.publishVersion(
+          docs.filter(col("lang") =!= "en"), root)(_ => ())
+        val expired = graft.ops.Wap.Versioned.expireVersions(s, root,
+          keepLast = 2)
+        val v1Refused =
+          try {
+            graft.ops.Wap.Versioned.readVersion(s, root, Some(1L)).count()
+            false
+          } catch { case _: IllegalArgumentException => true }
+        val v2 = graft.ops.Wap.Versioned.readVersion(s, root, Some(2L))
+          .agg(count(lit(1)).as("v2_docs"), sum(col("n_chars")).as("v2_chars"))
+        val cur = graft.ops.Wap.Versioned.readVersion(s, root)
+          .agg(count(lit(1)).as("cur_docs"), sum(col("n_chars")).as("cur_chars"))
+        v2.crossJoin(cur).select(
+          lit(expired == Seq(1L)).as("expired_exactly_v1"),
+          lit(v1Refused).as("expired_read_refused"),
+          col("v2_docs"), col("v2_chars"), col("cur_docs"), col("cur_chars"),
+          lit(graft.ops.Wap.Versioned.currentVersion(s, root)
+            .contains(3L)).as("pointer_untouched"))
+      },
+      """SELECT true AS expired_exactly_v1,
+                true AS expired_read_refused,
+                (SELECT count(*) FROM documents WHERE lang = 'en') AS v2_docs,
+                (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                 WHERE lang = 'en') AS v2_chars,
+                (SELECT count(*) FROM documents WHERE lang <> 'en') AS cur_docs,
+                (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+                 WHERE lang <> 'en') AS cur_chars,
+                true AS pointer_untouched"""),
+
     // Versioned publish + time travel (io18) — io17's deployment story
     // made first-class: two audited publishes mint root/v=1 and v=2 with
     // an ATOMIC pointer swap (FileContext OVERWRITE rename — no delete

@@ -154,6 +154,38 @@ object Wap {
       n
     }
 
+    /** Retention sweep (io19): delete published versions beyond the
+      * newest `keepLast`, NEVER the pointer target (a pinned live
+      * version survives any sweep — deleting the version readers are
+      * being routed to is the one unforgivable GC bug). Time travel
+      * afterwards reaches exactly the kept set; expired reads refuse
+      * loudly via [[readVersion]]'s existence check. Returns the
+      * version numbers actually deleted.
+      *
+      * Same single-writer contract as [[publishVersion]]; run the
+      * sweep from the writer, never concurrently with a publish.
+      */
+    def expireVersions(spark: org.apache.spark.sql.SparkSession,
+                       root: String, keepLast: Int): Seq[Long] = {
+      require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = fsOf(spark, rootPath)
+      if (!fs.exists(rootPath)) return Seq.empty
+      val live = currentVersion(spark, root)
+      val versions = fs.listStatus(rootPath).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") =>
+          scala.util.Try(n.substring(2).toLong).toOption }
+        .flatten.sorted
+      val cut = versions.takeRight(keepLast).toSet
+      val victims = versions.filterNot(v => cut.contains(v) ||
+        live.contains(v))
+      victims.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootPath, s"v=$v"), true)
+      }
+      victims
+    }
+
     /** `VERSION AS OF asOf` read (None = the live pointer version). */
     def readVersion(spark: org.apache.spark.sql.SparkSession, root: String,
                     asOf: Option[Long] = None): DataFrame = {

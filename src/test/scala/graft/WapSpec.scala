@@ -83,4 +83,29 @@ class WapSpec extends GraftSuite {
     // the orphan remains readable as a (never-live) historical artifact
     assert(Wap.Versioned.readVersion(spark, root, Some(2L)).count() == 1)
   }
+
+  test("retention sweep expires old versions, never the pointer (io19)") {
+    val root = tmp("expire")
+    (1 to 4).foreach(i =>
+      Wap.Versioned.publishVersion(Seq.fill(i)(i.toLong).toDF("x"),
+        root)(_ => ()))
+    val gone = Wap.Versioned.expireVersions(spark, root, keepLast = 2)
+    assert(gone == Seq(1L, 2L))
+    assert(Wap.Versioned.readVersion(spark, root, Some(3L)).count() == 3)
+    assert(Wap.Versioned.readVersion(spark, root).count() == 4)
+    val e = intercept[IllegalArgumentException](
+      Wap.Versioned.readVersion(spark, root, Some(1L)).count())
+    assert(e.getMessage.contains("not published"))
+    // a pinned live version survives even when the window passes it:
+    // simulate a pointer parked at v=3 (reader pin), sweep keepLast=1.
+    // Written through the Hadoop fs (a raw java.nio write would strand
+    // the LocalFileSystem's CRC sidecar)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val po = fs.create(new org.apache.hadoop.fs.Path(root, "_CURRENT"), true)
+    try po.write("3".getBytes) finally po.close()
+    val gone2 = Wap.Versioned.expireVersions(spark, root, keepLast = 1)
+    assert(gone2 == Seq()) // v=3 is live, v=4 is in the keep window
+    assert(Wap.Versioned.readVersion(spark, root).count() == 3)
+  }
 }
