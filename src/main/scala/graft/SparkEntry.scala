@@ -2202,6 +2202,64 @@ object SparkEntry {
          WHERE ws + 604800000000 < mn.t1 - 86400000000
          GROUP BY ws, mn.t1 ORDER BY ws"""),
 
+    // Streaming quality gate (Events.streamingQualityGate, st24): the
+    // t28 classifier filter ON THE STREAM — per-event fastText-style
+    // scoring over hashed-unigram buckets with the 256-bucket model
+    // inlined as a literal map (map-only, zero scoring state), then per
+    // CLOSED weekly window the doc/survivor counts and exact kept score
+    // sums (append mode — the st23 contract: a release gate never sees
+    // a partial window). Weights here are a fixed mixed-sign formula of
+    // the bucket hex (ascii arithmetic), so the oracle re-derives them
+    // INLINE per token; the kept test is the exact integer comparison
+    // sum_fp > thr·n — no division anywhere.
+    "st24_stream_quality_gate" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val E = graft.streaming.Events
+        val ev = E.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val weights = (0 until 256).map { i =>
+          val b = f"$i%02x"
+          b -> ((b.charAt(0).toInt * 256L + b.charAt(1).toInt - 19275L) * 997L)
+        }
+        val gated = E.streamingQualityGate(ev, "ts", "props", weights,
+          thresholdLogitFp = 0L, windowDuration = "7 days",
+          watermark = "1 day")
+        val sink = "st24_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = gated
+          .select(unix_micros(col("window_start")).as("ws"),
+            col("n_docs"), col("n_kept"), col("sum_fp_kept"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("ws"))
+      },
+      """WITH e AS (SELECT epoch_us(ts) AS tus,
+                  list_filter(string_split_regex(lower(coalesce(props, '')), '\W+'),
+                              x -> x <> '') AS toks
+           FROM events),
+         sc AS (SELECT tus, CAST(len(toks) AS BIGINT) AS n_toks,
+                  CAST(coalesce(list_sum(list_transform(toks,
+                    t -> (ascii(substr(md5(t), 1, 1)) * 256
+                          + ascii(substr(md5(t), 2, 1)) - 19275) * 997)), 0)
+                    AS BIGINT) AS sum_fp
+                FROM e),
+         k AS (SELECT (tus // 604800000000) * 604800000000 AS ws,
+                      CASE WHEN n_toks > 0 AND sum_fp > 0
+                           THEN 1 ELSE 0 END AS kept, sum_fp
+               FROM sc),
+         mn AS (SELECT max(tus) AS t1 FROM e)
+         SELECT ws, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN kept = 1 THEN sum_fp ELSE 0 END)
+                     AS BIGINT) AS sum_fp_kept
+         FROM k, mn WHERE ws + 604800000000 < mn.t1 - 86400000000
+         GROUP BY ws, mn.t1 ORDER BY ws"""),
+
     // ------------------------------------------------------------------
     // Training-data-pipeline operators (dedup / similarity / text /
     // multimodal) — graft.ops; first-class per the build brief.

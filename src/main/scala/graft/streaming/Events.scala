@@ -817,4 +817,56 @@ object Events {
       .select(col("window.start").as("window_start") +:
         (quasiCols.map(col) :+ col("n")): _*)
   }
+
+  /** Streaming quality gate (st24): the t28 trained-classifier filter
+    * run ON THE STREAM — per event, a fastText-style mean of hashed-
+    * unigram weights over `textCol` scores the text MAP-ONLY (the
+    * weights model inlines as a literal map, the t29/t28 broadcast-
+    * model analog, so scoring adds NO state); a windowed aggregation
+    * then emits, per CLOSED window only (append mode — the st23
+    * monitoring contract), document and survivor counts plus exact
+    * integer score sums. State = open windows, independent of event
+    * volume or model size.
+    *
+    * The model must cover the 256-bucket md5-prefix domain exactly
+    * (the [[graft.ops.TextAnalysis.linearQualityScore]] contract,
+    * enforced loudly here too — a missing bucket would silently zero
+    * features mid-stream, the worst place to find out).
+    *
+    * Emits: (window_start, n_docs, n_kept, sum_fp_kept) — integers
+    * only; rates divide downstream where one double is safe.
+    */
+  def streamingQualityGate(stream: DataFrame, tsCol: String,
+                           textCol: String, weights: Seq[(String, Long)],
+                           thresholdLogitFp: Long, windowDuration: String,
+                           watermark: String): DataFrame = {
+    require(weights.size == 256 &&
+      weights.map(_._1).distinct.size == 256 &&
+      weights.forall(_._1.matches("[0-9a-f]{2}")),
+      s"weights must cover the 256-bucket 2-hex md5-prefix domain " +
+        s"exactly, got ${weights.size} rows")
+    val m = weights.sortBy(_._1)
+      .map { case (b, w) => s"'$b', ${w}L" }.mkString("map(", ", ", ")")
+    val toks = s"""filter(split(lower(coalesce($textCol, '')), '\\\\W+'),
+                   x -> x != '')"""
+    val sumFp = s"""aggregate(transform($toks,
+        t -> element_at($m, substring(md5(t), 1, 2))),
+        CAST(0 AS BIGINT), (a, x) -> a + x)"""
+    val scored = stream
+      .withColumn("__n_toks", expr(s"size($toks)").cast("long"))
+      .withColumn("__sum_fp", expr(sumFp))
+      // kept ⇔ mean weight exceeds the threshold logit: exact integer
+      // comparison sum_fp > thr · n (no division, no float, no ties
+      // beyond the documented strict-> rule)
+      .withColumn("__kept", col("__n_toks") > 0L &&
+        col("__sum_fp") > lit(thresholdLogitFp) * col("__n_toks"))
+    scored.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__kept"), col("__sum_fp")).otherwise(0L))
+          .as("sum_fp_kept"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_kept"), col("sum_fp_kept"))
+  }
 }
