@@ -50,7 +50,9 @@ object StreamingStateScale {
       measureDriftPsi(spark, "st22_drift_psi", "sf0.1", Sf01),
       measureDriftPsi(spark, "st22_drift_psi", "sf1", Sf1),
       measureQuasiIdSizes(spark, "st23_k_anon", "sf0.1", Sf01),
-      measureQuasiIdSizes(spark, "st23_k_anon", "sf1", Sf1))
+      measureQuasiIdSizes(spark, "st23_k_anon", "sf1", Sf1),
+      measureQualityGate(spark, "st24_quality_gate", "sf0.1", Sf01),
+      measureQualityGate(spark, "st24_quality_gate", "sf1", Sf1))
 
     out ++= "| query | sf | input rows | batches | max rows/batch | distinct keys | state rows | RocksDB SST | RocksDB mem |\n"
     out ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -75,7 +77,8 @@ object StreamingStateScale {
     // the bounded join is asserted inside its measure function).
     rows.foreach { m =>
       if (m.query.startsWith("st18_bounded") || m.query.startsWith("st21") ||
-          m.query.startsWith("st22") || m.query.startsWith("st23")) {
+          m.query.startsWith("st22") || m.query.startsWith("st23") ||
+          m.query.startsWith("st24")) {
         require(m.stateRows > 0 && m.stateRows <= m.distinctKeys,
           s"${m.query}@${m.sf}: state rows ${m.stateRows} outside " +
             s"(0, bound ${m.distinctKeys}]")
@@ -476,6 +479,41 @@ object StreamingStateScale {
     val combos = s.read.parquet(feed)
       .select(col("event_type"), col("ub")).distinct().count()
     harvest(q, sf, query.recentProgress.toSeq, combos *
+      openWindowBound(s, feed, 7L * 86400000000L, 86400000000L, files))
+  }
+
+  /** st24 shape: streaming quality gate — scoring is MAP-ONLY (the
+    * model is a literal map, no scoring state at all), so state is one
+    * row per OPEN WINDOW: independent of event volume AND of model
+    * size. The bound is the open-window count alone.
+    */
+  private def measureQualityGate(outer: SparkSession, q: String,
+                                 sf: String, dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.functions.Registry.registerAll(s)
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    val files = 24
+    writeSingleFeed(graft.streaming.Events.readRaw(s, dir)
+      .select(expr("timestamp_micros(ts)").as("ts"), col("props")),
+      feed, files)
+    val src = s.readStream.schema(s.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val weights = (0 until 256).map { i =>
+      val b = f"$i%02x"
+      b -> ((b.charAt(0).toInt * 256L + b.charAt(1).toInt - 19275L) * 997L)
+    }
+    val out = graft.streaming.Events.streamingQualityGate(src, "ts",
+      "props", weights, 0L, "7 days", "1 day")
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    require(s.table(sink).count() > 0, s"$q@$sf: no closed windows emitted")
+    harvest(q, sf, query.recentProgress.toSeq,
       openWindowBound(s, feed, 7L * 86400000000L, 86400000000L, files))
   }
 
