@@ -55,7 +55,16 @@ object ScaleStress {
     // shared content — must track rows, not pairs²), the removal
     // action on top of them, and the RAKE vocabulary rollup (corpus
     // pass collapses to distinct phrases before any reuse)
-    "d22_exact_substr", "d23_remove_shared_runs", "t26_rake_keywords")
+    "d22_exact_substr", "d23_remove_shared_runs", "t26_rake_keywords",
+    // round 15: the MERGE full-outer lowering (one keyed join — must
+    // track rows), UNION-distinct reachability (rounds ∝ diameter,
+    // per-round work ∝ frontier, NOT path count), the classifier gate
+    // (broadcast model, map-only probe into one keyed agg), the
+    // unigram trainer (E-step map-only over the distinct-word vocab),
+    // the same-text EXCLUDE algebra (window pass ∝ rows), and PIVOT
+    // (one hash agg into a bounded-wide projection)
+    "u09_merge_into", "gr09_recursive_distinct", "t28_quality_classifier",
+    "t29_unigram_lm", "w12_window_exclude", "q61_pivot")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
