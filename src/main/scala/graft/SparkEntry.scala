@@ -340,32 +340,71 @@ object SparkEntry {
     * same maxWordLen=8 / maxPieceLen=3 contract.
     */
   private def unigramLmOracle(budget: Int, rounds: Int, nSeg: Int): String = {
+    val (ctes, cur, f) = unigramTrainingCtes(budget, rounds)
+    s"""WITH RECURSIVE
+       ${ctes.mkString(",\n")},
+       segwords AS MATERIALIZED (
+           SELECT w, wn FROM (SELECT w, wn, row_number()
+               OVER (ORDER BY wn DESC, w) AS rn FROM words)
+           WHERE rn <= $nSeg),
+       ${unigramVitCtes(f, "segwords", s"pm_sc$f")}
+       SELECT kind, k, n, v, s FROM (
+         SELECT 'piece' AS kind, t.p AS k, t.c AS n, sc.s AS v,
+                CAST(NULL AS VARCHAR) AS s
+         FROM $cur t JOIN sc$f sc ON sc.p = t.p
+         UNION ALL
+         SELECT 'seg', w, wn, CAST(NULL AS BIGINT),
+                list_aggr(ps, 'string_agg', '.')
+         FROM bt$f WHERE pos = 0
+       ) ORDER BY kind, k"""
+  }
+
+  /** The t30 tokenize-the-corpus oracle: the same K-unrolled training
+    * chain, then the FINAL model segments the whole distinct-word vocab
+    * once, pieces map to ids (rank by score desc, piece — the vocab-id
+    * rule), and per-document stats roll up through the doc→word stream
+    * (words over the trained length cap count as OOV, never segment).
+    */
+  private def unigramTokenizeOracle(budget: Int, rounds: Int): String = {
+    val (ctes, _, f) = unigramTrainingCtes(budget, rounds)
+    s"""WITH RECURSIVE
+       ${ctes.mkString(",\n")},
+       ids AS MATERIALIZED (
+         SELECT p, row_number() OVER (ORDER BY s DESC, p) AS pid
+         FROM sc$f),
+       ${unigramVitCtes(f, "words", s"pm_sc$f")},
+       wstats AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
+                CAST(sum(ids.pid) AS BIGINT) AS id_sum
+         FROM (SELECT w, unnest(ps) AS p FROM bt$f WHERE pos = 0) u
+         JOIN ids ON ids.p = u.p GROUP BY w),
+       dw AS (SELECT doc_id,
+                unnest(list_filter(string_split_regex(
+                  lower(coalesce(text, '')), '[^a-z0-9]+'),
+                  x -> x <> '')) AS w
+              FROM documents),
+       agg AS (SELECT dw.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(CASE WHEN len(dw.w) > 8 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_oov,
+                 CAST(coalesce(sum(ws.n_pieces), 0) AS BIGINT) AS n_pieces,
+                 CAST(coalesce(sum(ws.id_sum), 0) AS BIGINT) AS id_sum
+               FROM dw LEFT JOIN wstats ws ON ws.w = dw.w
+               GROUP BY dw.doc_id)
+       SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+              coalesce(a.n_oov, 0) AS n_oov,
+              coalesce(a.n_pieces, 0) AS n_pieces,
+              coalesce(a.id_sum, 0) AS id_sum
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
+  /** Shared K-unrolled unigram-LM training CTE chain (t29/t30): returns
+    * (CTE texts, final piece-table name, final-scores round index).
+    */
+  private def unigramTrainingCtes(budget: Int,
+                                  rounds: Int): (Seq[String], String, Int) = {
     val L = 3
-    val Neg = "-1000000000000000"
-    def vit(r: Int, wordsCte: String, pm: String): String = {
-      val cands =
-        s"""list_transform(generate_series(greatest(i + 1 - $L, 0), i),
-            j -> struct_extract(arr[j + 1], 's') +
-                 coalesce(map_extract($pm.m, substr(w, j + 1, i + 1 - j))[1],
-                          CAST($Neg AS BIGINT)))"""
-      s"""vr$r(w, wn, i, arr) AS (
-           SELECT w, wn, 0, [{'s': CAST(0 AS BIGINT), 'bp': 0}] FROM $wordsCte
-           UNION ALL
-           SELECT w, wn, i + 1,
-             list_append(arr, {'s': list_max($cands),
-               'bp': CAST(greatest(i + 1 - $L, 0) +
-                          list_position($cands, list_max($cands)) - 1 AS INT)})
-           FROM vr$r, $pm WHERE i < len(w)),
-         vf$r AS MATERIALIZED (SELECT w, wn, arr FROM vr$r WHERE i = len(w)),
-         bt$r(w, wn, pos, ps) AS (
-           SELECT w, wn, len(w), CAST([] AS VARCHAR[]) FROM vf$r
-           UNION ALL
-           SELECT b.w, b.wn, struct_extract(v.arr[b.pos + 1], 'bp'),
-                  list_prepend(substr(b.w,
-                    struct_extract(v.arr[b.pos + 1], 'bp') + 1,
-                    b.pos - struct_extract(v.arr[b.pos + 1], 'bp')), b.ps)
-           FROM bt$r b JOIN vf$r v ON v.w = b.w WHERE b.pos > 0)"""
-    }
     def scores(name: String, src: String): String =
       s"""$name AS MATERIALIZED (
            SELECT p, CAST(round(ln((c + 1.0) / CAST(t + v AS DOUBLE)) * 1e6)
@@ -404,7 +443,7 @@ object SparkEntry {
     var cur = "tab0"
     (1 to rounds).foreach { r =>
       parts += scores(s"sc$r", cur)
-      parts += vit(r, "words", s"pm_sc$r")
+      parts += unigramVitCtes(r, "words", s"pm_sc$r")
       parts += s"""cnt$r AS MATERIALIZED (
            SELECT p, CAST(sum(wn) AS BIGINT) AS c FROM (
              SELECT wn, unnest(ps) AS p FROM bt$r WHERE pos = 0)
@@ -414,22 +453,40 @@ object SparkEntry {
     }
     val f = rounds + 1
     parts += scores(s"sc$f", cur)
-    parts += s"""segwords AS MATERIALIZED (
-           SELECT w, wn FROM (SELECT w, wn, row_number()
-               OVER (ORDER BY wn DESC, w) AS rn FROM words)
-           WHERE rn <= $nSeg)"""
-    parts += vit(f, "segwords", s"pm_sc$f")
-    s"""WITH RECURSIVE
-       ${parts.mkString(",\n")}
-       SELECT kind, k, n, v, s FROM (
-         SELECT 'piece' AS kind, t.p AS k, t.c AS n, sc.s AS v,
-                CAST(NULL AS VARCHAR) AS s
-         FROM $cur t JOIN sc$f sc ON sc.p = t.p
-         UNION ALL
-         SELECT 'seg', w, wn, CAST(NULL AS BIGINT),
-                list_aggr(ps, 'string_agg', '.')
-         FROM bt$f WHERE pos = 0
-       ) ORDER BY kind, k"""
+    (parts.toSeq, cur, f)
+  }
+
+  /** One Viterbi-DP + backtrack recursive-CTE pair (round index `r`)
+    * over `wordsCte` with the `pm` score map.
+    */
+  private def unigramVitCtes(r: Int, wordsCte: String, pm: String): String = {
+    val L = 3
+    val Neg = "-1000000000000000"
+    def vit(r: Int, wordsCte: String, pm: String): String = {
+      val cands =
+        s"""list_transform(generate_series(greatest(i + 1 - $L, 0), i),
+            j -> struct_extract(arr[j + 1], 's') +
+                 coalesce(map_extract($pm.m, substr(w, j + 1, i + 1 - j))[1],
+                          CAST($Neg AS BIGINT)))"""
+      s"""vr$r(w, wn, i, arr) AS (
+           SELECT w, wn, 0, [{'s': CAST(0 AS BIGINT), 'bp': 0}] FROM $wordsCte
+           UNION ALL
+           SELECT w, wn, i + 1,
+             list_append(arr, {'s': list_max($cands),
+               'bp': CAST(greatest(i + 1 - $L, 0) +
+                          list_position($cands, list_max($cands)) - 1 AS INT)})
+           FROM vr$r, $pm WHERE i < len(w)),
+         vf$r AS MATERIALIZED (SELECT w, wn, arr FROM vr$r WHERE i = len(w)),
+         bt$r(w, wn, pos, ps) AS (
+           SELECT w, wn, len(w), CAST([] AS VARCHAR[]) FROM vf$r
+           UNION ALL
+           SELECT b.w, b.wn, struct_extract(v.arr[b.pos + 1], 'bp'),
+                  list_prepend(substr(b.w,
+                    struct_extract(v.arr[b.pos + 1], 'bp') + 1,
+                    b.pos - struct_extract(v.arr[b.pos + 1], 'bp')), b.ps)
+           FROM bt$r b JOIN vf$r v ON v.w = b.w WHERE b.pos > 0)"""
+    }
+    vit(r, wordsCte, pm)
   }
 
   private val bpeCountCtes: String =
@@ -8001,6 +8058,67 @@ object SparkEntry {
                   AS mase
          FROM p7, p1"""),
 
+    // Grouped OLS trend (e28): per event_type, least-squares slope /
+    // intercept / r² of daily counts against the day index — the
+    // workhorse trend fit beside e23's robust Theil–Sen. Every moment
+    // (n, Σx, Σy, Σxx, Σxy, Σyy) is EXACT (decimal-widened products,
+    // the e21/e26 discipline; DuckDB mirrors in HUGEINT), and each
+    // output runs ONE mirrored double chain over those exact integers
+    // before rounding. x is the day offset from the global first day
+    // (one broadcast scalar), so both engines share the regressor.
+    "e28_ols_trend" -> api(
+      (s, dir) => {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_type"),
+            // parquet ts reads as TIMESTAMP_NTZ; unix_micros wants TZ.
+            // Integer floor-div, not `/` (that's double division)
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+              .as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("y"))
+        val m0 = d.agg(min(col("day")).as("d0"))
+        val t = d.crossJoin(broadcast(m0))
+          .select(col("event_type"), (col("day") - col("d0")).as("x"),
+            col("y"))
+        val xd = col("x").cast(d38)
+        val yd = col("y").cast(d38)
+        val m = t.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(d38).as("n"), sum(xd).as("sx"),
+            sum(yd).as("sy"), sum(xd * xd).as("sxx"),
+            sum(xd * yd).as("sxy"), sum(yd * yd).as("syy"))
+        def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+        val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
+        val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
+        val syyN = col("n") * col("syy") - col("sy") * col("sy")
+        m.select(col("event_type"), col("n").cast("long").as("n_days"),
+            round(dd(sxyN) / dd(sxxN), 6).as("slope"),
+            round(dd(col("sy") * col("sxx") - col("sx") * col("sxy"))
+              / dd(sxxN), 6).as("intercept"),
+            round((dd(sxyN) * dd(sxyN)) / (dd(sxxN) * dd(syyN)), 6)
+              .as("r2"))
+          .orderBy(col("event_type"))
+      },
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         m0 AS (SELECT min(day) AS d0 FROM d),
+         t AS (SELECT event_type, day - d0 AS x, y FROM d, m0),
+         m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                      sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy,
+                      sum(y*y) AS syy
+               FROM t GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+                round(CAST(n*sxy - sx*sy AS DOUBLE)
+                      / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+                round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                      / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept,
+                round((CAST(n*sxy - sx*sy AS DOUBLE)
+                       * CAST(n*sxy - sx*sy AS DOUBLE))
+                      / (CAST(n*sxx - sx*sx AS DOUBLE)
+                         * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+         FROM m ORDER BY event_type"""),
+
     "e21_autocorrelation" -> api(
       (s, dir) => {
         // moment products are events²-scale, so they go through
@@ -11633,6 +11751,51 @@ object SparkEntry {
           .orderBy(col("kind"), col("k"))
       },
       unigramLmOracle(budget = 24, rounds = 2, nSeg = 5)),
+
+    // Tokenize the CORPUS with the trained unigram model (t30): the
+    // apply step after t29's training — final pieces rank into vocab
+    // ids (score desc, piece — deterministic), the distinct-word vocab
+    // segments ONCE (Viterbi fold, map-only), and per-document stats
+    // roll up through the doc→word stream: token counts, OOV words
+    // (beyond the trained length cap — counted, never segmented), and
+    // the exact id-sum fingerprint. Work = corpus explode + vocab-sized
+    // segmentation + two keyed aggs; the oracle re-runs training AND
+    // applies the same model over every word (the t29 CTE chain with a
+    // full-vocab Viterbi tail).
+    "t30_unigram_tokenize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val pieces = graft.ops.TextAnalysis.unigramLmTrain(
+          docs, "text", budget = 24, rounds = 2)
+        val ids = pieces.select(col("piece"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_fp").desc, col("piece"))).as("pid"))
+        val dw = docs.select(col("doc_id"),
+          explode(filter(split(lower(coalesce(col("text"), lit(""))),
+            "[^a-z0-9]+"), x => x =!= "")).as("w"))
+        val words = dw.filter(length(col("w")) <= 8)
+          .select(col("w")).distinct()
+        val wstats = graft.ops.TextAnalysis.unigramSegment(words, "w", pieces)
+          .select(col("w"), explode(col("pieces")).as("piece"))
+          .join(ids, Seq("piece"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_pieces"), sum(col("pid")).as("id_sum"))
+        val agg = dw.join(wstats, Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(length(col("w")) > 8, 1L).otherwise(0L)).as("n_oov"),
+            sum(col("n_pieces")).as("n_pieces"),
+            sum(col("id_sum")).as("id_sum"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+            coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+          .orderBy(col("doc_id"))
+      },
+      unigramTokenizeOracle(budget = 24, rounds = 2)),
 
     // Trained quality-classifier INFERENCE gate (t28): the
     // fastText-style linear filter (CCNet/DCLM/FineWeb) as score →

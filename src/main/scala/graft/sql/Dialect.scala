@@ -789,7 +789,13 @@ object Dialect {
     * clause (inline the OVER).
     */
   def rewriteWindowExclude(sql: String): String = {
-    var cur = sql
+    // named-WINDOW definitions carrying EXCLUDE inline first (w13):
+    // `WINDOW w AS (spec EXCLUDE …)` becomes `OVER (spec EXCLUDE …)` at
+    // every `OVER w` reference and the definition drops from the clause
+    // (Spark's native WINDOW support keeps the exclusion-free names);
+    // the main loop below then rewrites the inlined forms like any
+    // other, and the final check only fires on shapes nothing handled
+    var cur = inlineExcludeNamedWindows(sql)
     var guard = 0
     var more = true
     while (more && guard < 64) {
@@ -831,13 +837,90 @@ object Dialect {
         if (wordAt(m, k, "current") || wordAt(m, k, "group") ||
           wordAt(m, k, "ties") || wordAt(m, k, "no"))
           throw new IllegalArgumentException(
-            "window EXCLUDE is supported only in an inline OVER (…) " +
-              "directly after an aggregate call — inline the named " +
-              "WINDOW or move the FILTER clause")
+            "window EXCLUDE is supported only in an OVER specification " +
+              "directly after an aggregate call (named WINDOW " +
+              "definitions inline automatically) — move the FILTER " +
+              "clause or restructure the expression")
       }
       i += 1
     }
     cur
+  }
+
+  /** w13: inline named-window definitions whose spec carries an EXCLUDE
+    * clause — `OVER name` references become `OVER (spec)` and the
+    * definition leaves the WINDOW clause (dropped entirely when empty).
+    * Exclusion-free definitions stay put: Spark executes them natively.
+    */
+  private def inlineExcludeNamedWindows(sql: String): String = {
+    val m = stripLiterals(sql)
+    // the WINDOW CLAUSE keyword: top level, followed by an identifier
+    // then AS — `window(ts, …)` the function and `OVER (… window …)`
+    // never match
+    var w = -1
+    var probe = findTopLevelKeywordIn(m, 0, "window")
+    while (probe >= 0 && w < 0) {
+      val k = skipWsAt(m, probe + 6)
+      if (k < m.length && isIdentStart(m.charAt(k))) {
+        var e = k
+        while (e < m.length && isIdentBoundaryChar(m.charAt(e))) e += 1
+        if (wordAt(m, skipWsAt(m, e), "as")) w = probe
+      }
+      if (w < 0) probe = findTopLevelKeywordIn(m, probe + 6, "window")
+    }
+    if (w < 0) return sql
+    // parse `name AS (spec)` comma-list until a trailing clause keyword
+    var i = skipWsAt(m, w + 6)
+    val defs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var clauseEnd = sql.length
+    var done = false
+    while (!done) {
+      val ns = i
+      while (i < m.length && isIdentBoundaryChar(m.charAt(i))) i += 1
+      val name = sql.substring(ns, i)
+      require(name.nonEmpty, "malformed WINDOW clause: missing name")
+      i = skipWsAt(m, i)
+      require(wordAt(m, i, "as"), s"malformed WINDOW clause at: $name")
+      i = skipWsAt(m, i + 2)
+      require(i < m.length && m.charAt(i) == '(',
+        s"WINDOW $name AS needs a parenthesized specification")
+      val close = matchParenAt(m, i)
+      defs += ((name, sql.substring(i + 1, close)))
+      i = skipWsAt(m, close + 1)
+      if (i < m.length && m.charAt(i) == ',') i = skipWsAt(m, i + 1)
+      else { clauseEnd = i.min(sql.length); done = true }
+    }
+    val hasExclude = (spec: String) =>
+      findTopLevelKeywordIn(stripLiterals(spec), 0, "exclude") >= 0
+    if (!defs.exists(d => hasExclude(d._2))) return sql
+    val keep = defs.filterNot(d => hasExclude(d._2))
+    val clauseText =
+      if (keep.isEmpty) ""
+      else "WINDOW " + keep.map(d => s"${d._1} AS (${d._2})").mkString(", ") + " "
+    var out = sql.substring(0, w) + clauseText + sql.substring(clauseEnd)
+    defs.filter(d => hasExclude(d._2)).foreach { case (name, spec) =>
+      // replace every `OVER name` reference (any depth, masked scan)
+      var guard = 0
+      var changed = true
+      while (changed && guard < 64) {
+        changed = false
+        val om = stripLiterals(out)
+        var o = 0
+        while (o < om.length && !changed) {
+          if (wordAt(om, o, "over")) {
+            val k = skipWsAt(om, o + 4)
+            if (wordAt(om, k, name)) {
+              out = out.substring(0, k) + s"($spec)" +
+                out.substring(k + name.length)
+              changed = true
+            }
+          }
+          o += 1
+        }
+        guard += 1
+      }
+    }
+    out
   }
 
   private def skipWsAt(m: String, k0: Int): Int = {

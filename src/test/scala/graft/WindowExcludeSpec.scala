@@ -79,7 +79,7 @@ class WindowExcludeSpec extends GraftSuite {
       Some(60L), Some(100L), Some(5L)))
   }
 
-  test("loud refusals: min, DISTINCT, ROWS+GROUP, GROUPS, named WINDOW") {
+  test("loud refusals: min, DISTINCT, ROWS+GROUP, GROUPS, bad frames") {
     fixture()
     def bad(sql: String): String =
       intercept[IllegalArgumentException](
@@ -94,12 +94,35 @@ class WindowExcludeSpec extends GraftSuite {
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
          GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM wx""")
       .contains("GROUPS"))
-    assert(bad(s"""SELECT SUM(v) OVER w FROM wx
-         WINDOW w AS ($Frame EXCLUDE CURRENT ROW)""")
-      .contains("inline OVER"))
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
          ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
          FROM wx""").contains("starting after the current row"))
+  }
+
+  test("named WINDOW with EXCLUDE inlines (w13); exclusion-free names " +
+      "stay native") {
+    fixture()
+    val got = Table.sessionSql(spark,
+      s"""SELECT p, o, v,
+            SUM(v) OVER w AS s_excl,
+            SUM(v) OVER w2 AS s_plain
+          FROM wx
+          WINDOW w AS ($Frame EXCLUDE CURRENT ROW), w2 AS ($Frame)
+          ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => (Option(r.get(3)), r.getLong(4))).toSeq
+    // s_excl matches the inline EXCLUDE CURRENT ROW run; s_plain is the
+    // ordinary running sum over the SAME spec, executed natively
+    assert(got.map(_._1) == Seq(None, Some(40L), Some(30L), Some(60L),
+      Some(60L), None))
+    assert(got.map(_._2) == Seq(10L, 60L, 60L, 60L, 100L, 5L))
+    // two EXCLUDE names, one reused reference, clause fully dropped
+    val multi = Table.sessionSql(spark,
+      s"""SELECT SUM(v) OVER w AS a, COUNT(v) OVER w AS c
+          FROM wx WINDOW w AS ($Frame EXCLUDE GROUP)
+          ORDER BY a NULLS FIRST""").toDF.collect()
+    // group-exclusion leaves NULL only where no earlier non-peer rows
+    // exist: rows (1,1,10) and (2,1,5) — two nulls (DuckDB-probed)
+    assert(multi.length == 6 && multi.count(_.isNullAt(0)) == 2)
   }
 
   test("statements without EXCLUDE pass through byte-identical") {
