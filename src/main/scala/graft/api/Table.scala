@@ -404,17 +404,17 @@ object Table {
     // token-local rewrite so np.*/# sugar works inside arm expressions;
     // bare refs resolve against the session catalog, subquery refs
     // re-enter the full pipeline
-    graft.sql.MergeSql.parse(qr) match {
-      case Some(st) =>
-        return apply(graft.sql.MergeSql.run(spark, st, ref =>
-          if (Dialect.isBareIdentifier(ref)) spark.table(ref)
-          else sessionSql(spark, ref).df))
-      case None =>
-    }
-    // PIVOT / UNPIVOT statement forms (q61/q62) — same resolve rule
+    // shared ref-resolution rule of all table-ref statement forms
+    // (MERGE / PIVOT / UNPIVOT): bare identifier → session catalog,
+    // subquery → re-enter the full pipeline
     def resolveRef(ref: String): DataFrame =
       if (Dialect.isBareIdentifier(ref)) spark.table(ref)
       else sessionSql(spark, ref).df
+    graft.sql.MergeSql.parse(qr) match {
+      case Some(st) =>
+        return apply(graft.sql.MergeSql.run(spark, st, resolveRef))
+      case None =>
+    }
     graft.sql.PivotSql.parsePivot(qr) match {
       case Some(p) => return apply(graft.sql.PivotSql.runPivot(spark, p,
         resolveRef, runStmtTail(spark, _, _)))
@@ -507,6 +507,14 @@ object Table {
         org.apache.spark.sql.functions.col(f.name)
           .cast(f.dataType).as(f.name)): _*)
     }
+    // the CTE name is STATEMENT-scoped: bind the working table under an
+    // internal name and rewrite the references (review-caught — binding
+    // st.name directly would permanently clobber a same-named session
+    // view). The rewrite hits every word occurrence, which also covers
+    // qualified column references like name.col consistently.
+    val internal = s"__rec_${st.name}__"
+    val step = Dialect.replaceIdent(st.step, st.name, internal)
+    val outer = Dialect.replaceIdent(st.outer, st.name, internal)
     var seen = seed.distinct().localCheckpoint(true)
     var frontier = seen
     var drained = frontier.isEmpty
@@ -516,8 +524,8 @@ object Table {
       // the analyzed plan holds the resolved frontier, so a concurrent
       // rebind of the same name can't leak into this round's EXCEPT
       val stepped = bindLock.synchronized {
-        frontier.createOrReplaceTempView(st.name)
-        align(sessionSqlOne(spark, st.step))
+        frontier.createOrReplaceTempView(internal)
+        align(sessionSqlOne(spark, step))
       }
       val next = stepped.except(seen).localCheckpoint(true)
       if (next.isEmpty) drained = true
@@ -531,10 +539,10 @@ object Table {
       s"UNION-distinct recursion '${st.name}' did not drain within " +
         s"$maxRounds rounds — the step keeps producing new rows; check " +
         "the recursion or split the query")
-    bindLock.synchronized {
-      seen.createOrReplaceTempView(st.name)
-      sessionSqlOne(spark, st.outer)
-    }
+    try bindLock.synchronized {
+      seen.createOrReplaceTempView(internal)
+      sessionSqlOne(spark, outer)
+    } finally spark.catalog.dropTempView(internal)
   }
 
   /** Fold of a [[Dialect.splitUnionByName]] split: operands run through

@@ -116,10 +116,18 @@ object Wap {
       val fs = fsOf(spark, ptr)
       if (!fs.exists(ptr)) None
       else {
-        val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+        // read-to-EOF on the OPENED stream, never a pre-stat'd length: a
+        // concurrent pointer swap that changes the digit count must give
+        // old-or-new, never a truncated prefix (review-caught — the
+        // open binds one complete file either side of the atomic rename)
         val in = fs.open(ptr)
-        try in.readFully(buf) finally in.close()
-        Some(new String(buf,
+        val bos = new java.io.ByteArrayOutputStream(16)
+        try {
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        Some(new String(bos.toByteArray,
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       }
     }

@@ -535,6 +535,24 @@ object Dialect {
       (k == 0 || !isIdentBoundaryChar(m.charAt(k - 1))) &&
       (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
 
+  /** Replace every word-boundary occurrence of identifier `from` with
+    * `to`, outside literals/comments (masked scan, any depth) — the
+    * statement-scoped-name isolation a CTE lowering needs: binding the
+    * working table under an internal name and rewriting the references
+    * keeps the user's session views untouched.
+    */
+  private[graft] def replaceIdent(sql: String, from: String,
+                                  to: String): String = {
+    val m = stripLiterals(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (wordAt(m, i, from)) { out ++= to; i += from.length }
+      else { out += sql.charAt(i); i += 1 }
+    }
+    out.toString
+  }
+
   /** Comma split at paren depth 0, depth/comma decisions taken on the
     * masked view (commas inside literals, quoted identifiers or comments
     * never split) while the emitted pieces keep the original text.
@@ -822,7 +840,10 @@ object Dialect {
       }
       guard += 1
     }
-    require(guard < 64, "more than 64 EXCLUDE clauses in one statement")
+    // `more` still true means the loop DIED on the guard mid-rewrite;
+    // guard == limit after a clean final scan is fine (review-caught
+    // off-by-one: exactly 63 EXCLUDEs rewrite correctly)
+    require(!more, "more than 63 EXCLUDE clauses in one statement")
     // EXCLUDE not reachable via an inline OVER — e.g. inside a named
     // WINDOW clause — must refuse, not silently keep rows
     val m = stripLiterals(cur)
@@ -893,6 +914,26 @@ object Dialect {
     val hasExclude = (spec: String) =>
       findTopLevelKeywordIn(stripLiterals(spec), 0, "exclude") >= 0
     if (!defs.exists(d => hasExclude(d._2))) return sql
+    // a SECOND window clause anywhere (e.g. a subquery's own WINDOW w)
+    // could define the same name: blind any-depth reference rewriting
+    // would capture it silently — refuse loudly instead (review-caught)
+    var clauses = 0
+    var scan = 0
+    while (scan < m.length) {
+      if (wordAt(m, scan, "window")) {
+        val k = skipWsAt(m, scan + 6)
+        if (k < m.length && isIdentStart(m.charAt(k))) {
+          var e = k
+          while (e < m.length && isIdentBoundaryChar(m.charAt(e))) e += 1
+          if (wordAt(m, skipWsAt(m, e), "as")) clauses += 1
+        }
+      }
+      scan += 1
+    }
+    require(clauses == 1,
+      "EXCLUDE in a named WINDOW cannot inline when the statement has " +
+        "more than one WINDOW clause (a subquery's same-named window " +
+        "would be captured) — inline the OVER specification by hand")
     val keep = defs.filterNot(d => hasExclude(d._2))
     val clauseText =
       if (keep.isEmpty) ""
@@ -923,13 +964,13 @@ object Dialect {
     out
   }
 
-  private def skipWsAt(m: String, k0: Int): Int = {
+  private[sql] def skipWsAt(m: String, k0: Int): Int = {
     var k = k0
     while (k < m.length && m.charAt(k).isWhitespace) k += 1
     k
   }
 
-  private def matchParenAt(m: String, open: Int): Int = {
+  private[sql] def matchParenAt(m: String, open: Int): Int = {
     var depth = 0
     var k = open
     while (k < m.length) {

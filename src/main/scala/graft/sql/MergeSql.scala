@@ -53,6 +53,7 @@ object MergeSql {
                         on: String, arms: Seq[Arm])
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
+  import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
 
   /** Masked-scan parse; None when the statement is not a MERGE (first
     * word dispatch, so literals containing "merge" never trigger).
@@ -76,14 +77,14 @@ object MergeSql {
       m.substring(usingPos + 5, onPos), "source")
     require(!tAlias.equalsIgnoreCase(sAlias),
       s"MERGE target and source aliases collide ('$tAlias') — alias one side")
-    val firstWhen = findTopLevelKeywordIn(m, onPos + 2, "when")
+    val firstWhen = findOutsideCase(m, onPos + 2, "when")
     require(firstWhen > 0, "MERGE requires at least one WHEN clause")
     val on = sql.substring(onPos + 2, firstWhen).trim
     require(on.nonEmpty, "empty MERGE ON condition")
     val arms = scala.collection.mutable.ArrayBuffer.empty[Arm]
     var w = firstWhen
     while (w >= 0) {
-      val next = findTopLevelKeywordIn(m, w + 4, "when")
+      val next = findOutsideCase(m, w + 4, "when")
       val end = if (next < 0) sql.length else next
       arms += parseArm(sql.substring(w, end), m.substring(w, end))
       w = next
@@ -91,10 +92,29 @@ object MergeSql {
     Some(Stmt(tRef, tAlias, sRef, sAlias, on, arms.toSeq))
   }
 
-  private def skipWs(m: String, k0: Int): Int = {
-    var k = k0
-    while (k < m.length && m.charAt(k).isWhitespace) k += 1
-    k
+  /** [[findTopLevelKeywordIn]] that additionally skips keywords inside
+    * a depth-0 CASE … END: a `CASE WHEN … THEN … END` in the ON
+    * condition, an arm's AND condition, or a SET expression must not be
+    * mistaken for an arm boundary or the arm's THEN (review-caught — a
+    * parenthesized CASE is already hidden by the depth rule, this
+    * handles the unparenthesized form the standard allows).
+    */
+  private def findOutsideCase(m: String, from: Int, kw: String): Int = {
+    var i = from
+    var depth = 0
+    var caseDepth = 0
+    while (i < m.length) {
+      val c = m.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0) {
+        if (wordAt(m, i, "case")) caseDepth += 1
+        else if (caseDepth > 0 && wordAt(m, i, "end")) caseDepth -= 1
+        else if (caseDepth == 0 && wordAt(m, i, kw)) return i
+      }
+      i += 1
+    }
+    -1
   }
 
   /** `name [AS alias]` or `( subquery ) [AS] alias`; a simple name with
@@ -158,7 +178,7 @@ object MergeSql {
       else if (wordAt(mask, i, "target")) { i = skipWs(mask, i + 6) }
       else require(false, "expected BY SOURCE or BY TARGET")
     }
-    val thenPos = findTopLevelKeywordIn(mask, i, "then")
+    val thenPos = findOutsideCase(mask, i, "then")
     require(thenPos > 0, s"MERGE arm needs THEN: ${seg.trim.take(60)}")
     val cond =
       if (wordAt(mask, i, "and")) {
@@ -266,18 +286,6 @@ object MergeSql {
     -1
   }
 
-  private def matchParen(mask: String, open: Int): Int = {
-    var depth = 0
-    var k = open
-    while (k < mask.length) {
-      val c = mask.charAt(k)
-      if (c == '(') depth += 1
-      else if (c == ')') { depth -= 1; if (depth == 0) return k }
-      k += 1
-    }
-    throw new IllegalArgumentException("unbalanced parens in MERGE")
-  }
-
   private val TFlag = "__merge_t_present"
   private val SFlag = "__merge_s_present"
   private val TId = "__merge_tid"
@@ -348,8 +356,29 @@ object MergeSql {
     val dropIdx = st.arms.zipWithIndex.collect {
       case (Arm(_, _, Delete), i) => i
     } :+ -2
-    val kept = joined.withColumn(ActCol, act)
+    val kept0 = joined.withColumn(ActCol, act)
       .filter(!col(ActCol).isin(dropIdx: _*))
+    // with NO MATCHED arm, a target row matched by several source rows
+    // appears once per source row, all falling to the keep fallback —
+    // emit it ONCE (review-caught: the SQL contract says every target
+    // row survives a NOT-MATCHED-only merge exactly once). The rows are
+    // output-identical (act = -1 projects target columns only), so the
+    // window's pick is immaterial; source-only (insert) rows get their
+    // own per-row partition key so no null-TId hotspot forms at scale.
+    // When a MATCHED arm exists the multi-match guard above already
+    // enforces one source row per target row — no dedup needed.
+    val kept =
+      if (st.arms.exists(_.kind == 0)) kept0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(TId),
+            when(col(TId).isNull, monotonically_increasing_id())
+              .otherwise(lit(0L)))
+          .orderBy(col(TId))
+        kept0.withColumn("__merge_rn", row_number().over(w))
+          .filter(col(TId).isNull || col("__merge_rn") === 1)
+          .drop("__merge_rn")
+      }
     val outCols = t.schema.fields.map { f =>
       val name = f.name
       var e: Column = col(s"${st.targetAlias}.`$name`")

@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
 object PivotSql {
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
+  import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
 
   final case class Pivot(ref: String, onCol: String,
                          inValues: Option[Seq[String]],
@@ -36,24 +37,6 @@ object PivotSql {
 
   final case class Unpivot(ref: String, onCols: Seq[String],
                            nameCol: String, valueCol: String, tail: String)
-
-  private def skipWs(m: String, k0: Int): Int = {
-    var k = k0
-    while (k < m.length && m.charAt(k).isWhitespace) k += 1
-    k
-  }
-
-  private def matchParen(m: String, open: Int): Int = {
-    var depth = 0
-    var k = open
-    while (k < m.length) {
-      val c = m.charAt(k)
-      if (c == '(') depth += 1
-      else if (c == ')') { depth -= 1; if (depth == 0) return k }
-      k += 1
-    }
-    throw new IllegalArgumentException("unbalanced parens in PIVOT/UNPIVOT")
-  }
 
   /** ref = bare identifier or parenthesized subquery; returns (refText,
     * next offset).
@@ -168,14 +151,17 @@ object PivotSql {
 
   /** Identifiers the aggregate expressions reference — DuckDB's
     * implicit-GROUP-BY rule excludes them (and the ON column) from the
-    * grouping set.
+    * grouping set. An identifier directly followed by `(` is a FUNCTION
+    * CALL, not a column reference (review-caught: a source column named
+    * `sum` must not vanish from the grouping set because the aggregate
+    * says `sum(v)`).
     */
   private def referencedCols(aggText: String, columns: Seq[String]): Set[String] = {
     val m = stripLiterals(aggText).toLowerCase
     columns.filter(c => {
       val p = java.util.regex.Pattern.compile(
         "(?<![a-z0-9_])" + java.util.regex.Pattern.quote(c.toLowerCase) +
-          "(?![a-z0-9_])")
+          "(?![a-z0-9_])(?!\\s*\\()")
       p.matcher(m).find()
     }).toSet
   }

@@ -35,6 +35,7 @@ object RecursiveUnion {
                         seed: String, step: String, outer: String)
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
+  import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
 
   /** None when the statement is not `WITH RECURSIVE name[(cols)] AS
     * (seed UNION step) outer` with a DISTINCT union — the native path
@@ -94,22 +95,4 @@ object RecursiveUnion {
       body.substring(u + 5).trim, outer))
   }
 
-  private def skipWs(m: String, k0: Int): Int = {
-    var k = k0
-    while (k < m.length && m.charAt(k).isWhitespace) k += 1
-    k
-  }
-
-  private def matchParen(mask: String, open: Int): Int = {
-    var depth = 0
-    var k = open
-    while (k < mask.length) {
-      val c = mask.charAt(k)
-      if (c == '(') depth += 1
-      else if (c == ')') { depth -= 1; if (depth == 0) return k }
-      k += 1
-    }
-    throw new IllegalArgumentException(
-      "unbalanced parens in WITH RECURSIVE")
-  }
 }

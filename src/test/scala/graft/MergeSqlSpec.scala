@@ -111,4 +111,30 @@ class MergeSqlSpec extends GraftSuite {
     assert(MergeSql.parse("SELECT 'merge into' AS s").isEmpty)
     assert(MergeSql.parse("-- merge into\nSELECT 1").isEmpty)
   }
+
+  test("NOT-MATCHED-only MERGE emits a multi-matched target row ONCE") {
+    bind()
+    Seq((2L, "x", 1L), (2L, "y", 2L), (9L, "n", 9L)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("mt_multi")
+    val got = run(
+      """MERGE INTO mt_target t USING mt_multi s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT *""")
+    // k=2 matched twice but must survive once, unchanged; k=9 inserts
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (9L, "n", 9L)))
+  }
+
+  test("unparenthesized CASE WHEN in ON / conditions never splits arms") {
+    bind()
+    val got = run(
+      """MERGE INTO mt_target t USING mt_source s
+         ON t.k = CASE WHEN s.v > 0 THEN s.k ELSE -1 END
+         WHEN MATCHED AND CASE WHEN s.v > 250 THEN true ELSE false END
+           THEN UPDATE SET v = CASE WHEN s.v > 350 THEN 0 ELSE s.v END
+         WHEN NOT MATCHED THEN INSERT (k, tag, v) VALUES (s.k, 'N', s.v)""")
+    // k=2 matched, cond false (200) -> kept; k=3 matched, cond true,
+    // SET CASE 300<=350 -> 300; k=4 not matched -> ('N', 400)
+    assert(got == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 300L),
+      (4L, "N", 400L)))
+  }
 }

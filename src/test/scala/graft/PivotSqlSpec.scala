@@ -80,4 +80,16 @@ class PivotSqlSpec extends GraftSuite {
     assert(graft.sql.PivotSql.parsePivot("SELECT 'pivot pv on k' AS s").isEmpty)
     assert(graft.sql.PivotSql.parseUnpivot("-- unpivot\nSELECT 1").isEmpty)
   }
+
+  test("a column named like an aggregate function stays in the " +
+      "implicit GROUP BY") {
+    Seq(("a", "x", 1L, 7L), ("a", "y", 2L, 7L), ("b", "x", 3L, 8L))
+      .toDF("g", "k", "v", "sum").createOrReplaceTempView("pv_fn")
+    val out = Table.sessionSql(spark,
+      "PIVOT pv_fn ON k USING sum(v) ORDER BY g").toDF
+    // implicit grouping = (g, sum): the word 'sum' in the aggregate is
+    // a function CALL, not a reference to the column named sum
+    assert(out.columns.toSeq == Seq("g", "sum", "x", "y"))
+    assert(out.collect().map(_.getLong(1)).toSeq == Seq(7L, 8L))
+  }
 }

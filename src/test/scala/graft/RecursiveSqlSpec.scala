@@ -109,4 +109,16 @@ class RecursiveSqlSpec extends GraftSuite {
            SELECT n FROM t)
          SELECT * FROM t""")).getMessage.contains("exactly one top-level"))
   }
+
+  test("the CTE name never clobbers a same-named session view (gr09)") {
+    Seq((100L, "real")).toDF("id", "tag").createOrReplaceTempView("rx")
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE rx(n) AS (SELECT 1 UNION
+           SELECT (n % 3) + 1 FROM rx)
+         SELECT n FROM rx ORDER BY n""").toDF.collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(1, 2, 3))
+    // the user's view survives the statement untouched
+    val after = spark.table("rx").collect()
+    assert(after.length == 1 && after.head.getString(1) == "real")
+  }
 }

@@ -131,4 +131,13 @@ class WindowExcludeSpec extends GraftSuite {
     val lit = "SELECT 'exclude current row' AS s FROM wx"
     assert(Dialect.rewriteWindowExclude(lit) == lit)
   }
+
+  test("EXCLUDE named window refuses when a second WINDOW clause exists") {
+    fixture()
+    val e = intercept[IllegalArgumentException](Table.sessionSql(spark,
+      s"""SELECT SUM(v) OVER w AS a FROM (
+            SELECT p, o, SUM(v) OVER w AS v FROM wx WINDOW w AS ($Frame)
+          ) t WINDOW w AS ($Frame EXCLUDE CURRENT ROW)""").toDF.collect())
+    assert(e.getMessage.contains("more than one WINDOW clause"))
+  }
 }
