@@ -2322,6 +2322,56 @@ object SparkEntry {
     // multimodal) — graft.ops; first-class per the build brief.
     // ------------------------------------------------------------------
 
+    // Winnowing fingerprint candidate pairs (d25 — the MOSS algorithm,
+    // Schleimer et al. 2003): per-document rightmost-min-of-window gram
+    // fingerprints (Dedup.winnowingFingerprints; the argmin tiebreak
+    // rides ONE window pass via the hash||lpad(1e9-pos) key both
+    // engines compare identically), over-common fingerprints dropped
+    // (the paper's boilerplate rule, df-cap 64), then candidate pairs =
+    // documents sharing >= 5 fingerprints. The w+k-1 shared-run
+    // detection guarantee makes this the deterministic middle ground
+    // between d01's exact hash and d02's probabilistic minhash.
+    "d25_winnowing_pairs" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val fp = graft.ops.Dedup.winnowingFingerprints(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          k = 3, w = 4, maxDocFreq = Some(64))
+        val sets = fp.select(col("doc_id"), col("h")).distinct()
+        sets.as("a").join(sets.as("b"),
+            col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH s AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8) AS h
+               FROM s, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+               WHERE len(toks) >= 3),
+         k1 AS (SELECT doc_id,
+                  min(h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
+                FROM g),
+         fp0 AS (SELECT DISTINCT doc_id, substr(key, 1, 8) AS h FROM k1),
+         hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfq
+                                FROM fp0 GROUP BY h) WHERE dfq > 64),
+         fp AS (SELECT doc_id, h FROM fp0
+                WHERE h NOT IN (SELECT h FROM hot)),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS shared
+               FROM fp a JOIN fp b
+                 ON a.h = b.h AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+         FROM p ORDER BY id_a, id_b"""),
+
     // exact dedup groups: one hash shuffle on the content digest
     "d01_dedup_exact" -> api(
       (s, dir) => {
@@ -9645,6 +9695,22 @@ object SparkEntry {
                 FROM orders)
          ON pri USING sum(cents) AS s, count(*) AS n
          GROUP BY st ORDER BY st"""),
+
+    // LATERAL correlated subquery (q63, SAME text): per-customer top-2
+    // orders via JOIN LATERAL (… ORDER BY … LIMIT 2) — the
+    // "top-N per group without a window function" idiom both engines
+    // execute natively (Spark plans it as a rewritten correlated join).
+    // Fully tie-broken ORDER BYs keep the row set deterministic.
+    "q63_lateral" -> multiSession(Seq("customer", "orders"),
+      """SELECT c.c_custkey, l.o_orderkey, l.cents
+         FROM customer c JOIN LATERAL (
+           SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY cents DESC, o_orderkey LIMIT 2) l ON true
+         WHERE c.c_custkey % 10 = 0
+         ORDER BY c.c_custkey, l.cents DESC, l.o_orderkey"""),
 
     // DuckDB's UNPIVOT statement (q62, same text): wide → long with
     // NULL cells dropped (DuckDB semantics; Spark's unpivot keeps them,

@@ -976,4 +976,67 @@ object Dedup {
         col("start_a").cast("long").as("start_a"),
         col("start_b").cast("long").as("start_b"), col("run_len"))
   }
+
+  /** Winnowing document fingerprints (d25 — Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003; the MOSS algorithm, public): hash every
+    * k-token gram, slide a window of `w` consecutive hashes, and keep
+    * each window's MINIMUM — rightmost on ties, the paper's rule, which
+    * guarantees at least one fingerprint per w grams while two
+    * documents sharing a run of ≥ w + k − 1 tokens always share a
+    * fingerprint (the detection guarantee exact dedup lacks and minhash
+    * only approximates per-document).
+    *
+    * The rightmost-tie argmin rides ONE window pass by encoding the
+    * tiebreak into the comparison key: `hash || lpad(10^9 − pos)` —
+    * the min key is the min hash, and among equal hashes the LARGEST
+    * position (an idea both engines express identically, so the oracle
+    * mirrors it verbatim). Hashes are md5 prefixes (the cross-engine
+    * hash). Leading truncated windows select like full ones —
+    * deterministic, documented divergence from the paper's
+    * full-windows-only start.
+    *
+    * `maxDocFreq`: fingerprints appearing in more than this many
+    * documents are DROPPED before any pairing — the paper's own answer
+    * to boilerplate (MOSS ignores over-common fingerprints), and what
+    * keeps the candidate join linear at 100 TB. Dropping is part of the
+    * algorithm here, not a refusal.
+    *
+    * Output: (idCol, h, pos) — one row per selected fingerprint.
+    * Scale shape: gram hashing and window selection are one map pass +
+    * one per-document window (no corpus-wide shuffle until the caller's
+    * fingerprint join); DISTINCT collapses windows that picked the same
+    * gram.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, w: Int = 4,
+                            maxDocFreq: Option[Int] = Some(64)): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1 and w >= 2, got k=$k w=$w")
+    val toks = df.select(col(idCol),
+      TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+    val grams = toks
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, size(__toks) - ${k - 1}),
+            i -> substring(md5(concat_ws(' ', slice(__toks, i, $k))), 1, 8))"""))
+        .as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__h"))
+    val key = concat(col("__h"),
+      lpad((lit(1000000000L) - col("__pos")).cast("string"), 10, "0"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(-(w - 1), 0)
+    val fp = grams.withColumn("__key", min(key).over(win))
+      .select(col(idCol), substring(col("__key"), 1, 8).as("h"),
+        (lit(1000000000L) - substring(col("__key"), 9, 10).cast("long"))
+          .as("pos"))
+      .distinct()
+    maxDocFreq match {
+      case None => fp
+      case Some(cap) =>
+        require(cap >= 1, s"maxDocFreq must be >= 1, got $cap")
+        val hot = fp.select(col(idCol), col("h")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select(col("h"))
+        fp.join(hot, Seq("h"), "left_anti")
+    }
+  }
 }

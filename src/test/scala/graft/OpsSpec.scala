@@ -2257,4 +2257,36 @@ class OpsSpec extends GraftSuite {
       TextAnalysis.unigramSegment(Seq("unsegmentablylong").toDF("w"), "w",
         pieces)).getMessage.contains("maxWordLen"))
   }
+
+  test("d25 winnowing: density and shared-run detection guarantees") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon zeta"),
+      (2L, s"one two three four five $run six seven"),
+      (3L, "completely unrelated content with nothing in common here"))
+      .toDF("id", "t")
+    val fp = Dedup.winnowingFingerprints(docs, "id", "t", k = 3, w = 4,
+      maxDocFreq = None)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+    // density: consecutive selected positions within a doc are at most
+    // w apart (every window of w grams selects one)
+    byDoc.values.foreach { rows =>
+      val ps = rows.map(_.getLong(2)).sorted
+      ps.zip(ps.tail).foreach { case (a, b) => assert(b - a <= 4) }
+    }
+    // detection: docs 1 and 2 share a 10-token run >= w + k - 1 = 6
+    // tokens, so they MUST share at least one fingerprint hash
+    val h1 = byDoc(1L).map(_.getString(1)).toSet
+    val h2 = byDoc(2L).map(_.getString(1)).toSet
+    assert((h1 & h2).nonEmpty)
+    assert((h1 & byDoc(3L).map(_.getString(1)).toSet).isEmpty)
+    // the df-cap drops an over-common fingerprint entirely
+    val many = (1L to 9L).map(i => (i, s"shared boiler plate $i")).toDF("id", "t")
+    val capped = Dedup.winnowingFingerprints(many, "id", "t", k = 3, w = 4,
+      maxDocFreq = Some(8))
+    val counts = capped.groupBy(col("h")).agg(countDistinct(col("id")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 8))
+  }
 }
