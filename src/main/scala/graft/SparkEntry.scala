@@ -1660,6 +1660,57 @@ object SparkEntry {
       },
       sessionizeOracle),
 
+    // NATIVE session windows on the stream (st25): session_window() —
+    // the dynamic-gap window whose state MERGES adjacent sessions as
+    // events arrive, the third streaming-session machinery beside st01's
+    // explicit flatMapGroupsWithState and e02's batch gap-and-islands.
+    // Append mode emits each (user, session) exactly once, CLOSED —
+    // watermark past session end (last event + gap) — so the oracle is
+    // the batch gap-sessionization with the same strict boundary.
+    "st25_session_window" -> api(
+      (outer, dir) => {
+        val s = outer.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", 8)
+        Registry.registerAll(s)
+        val ev = graft.streaming.Events.readStream(s, dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val out = ev.withWatermark("ts", "1 day")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("ws"),
+            unix_micros(col("session_window.end")).as("we"), col("n"))
+        val sink = "st25_sink_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        s.table(sink).orderBy(col("user_id"), col("ws"))
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+         o AS (SELECT user_id, tus,
+                      lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                        AS prev
+               FROM e),
+         s1 AS (SELECT user_id, tus,
+                       CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM o),
+         s2 AS (SELECT user_id, tus,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s1),
+         g AS (SELECT user_id, sid, min(tus) AS ws,
+                      max(tus) + 1800000000 AS we, count(*) AS n
+               FROM s2 GROUP BY 1, 2),
+         mx AS (SELECT max(tus) AS t1 FROM e)
+         SELECT user_id, ws, we, CAST(n AS BIGINT) AS n
+         FROM g, mx WHERE we < t1 - 86400000000
+         ORDER BY user_id, ws"""),
+
     // transformWithState + RocksDB state store in the driver surface:
     // streaming exact-dedup verdicts over a replayed document stream
     // with exact duplicates planted in-stream (docs 0-49 re-arrive as
