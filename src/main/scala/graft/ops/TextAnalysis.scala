@@ -202,8 +202,12 @@ object TextAnalysis {
       "explode(transform(sequence(1, length(w)), i -> substring(w, i, 1))) AS p")
       .distinct()
     // prune: top-budget by (c desc, p) — a total order — plus every
-    // single char (count 0 when unused), dedup'd (same p ⇒ same c)
-    def prune(counts: DataFrame): Seq[(String, Long)] = {
+    // single char (count 0 when unused), dedup'd (same p ⇒ same c).
+    // The counts frame is referenced twice below and its plan carries
+    // the round's Viterbi expressions — pin the (piece-domain-sized)
+    // rows once instead of re-running the E-step per reference
+    def prune(counts0: DataFrame): Seq[(String, Long)] = {
+      val counts = counts0.localCheckpoint(true)
       val top = counts.orderBy(col("c").desc, col("p")).limit(budget)
       val kept = top.unionByName(
         singles.join(counts, Seq("p"), "left")
@@ -314,10 +318,17 @@ object TextAnalysis {
     require(over == 0,
       s"unigramSegment: words longer than maxWordLen=$maxWordLen (or " +
         "empty) present — segment only what the model was trained for")
+    // materialize the (vocab-sized) segmentation before handing it to
+    // callers: the Viterbi fold + backtrack is a LARGE expression tree,
+    // and a downstream explode/join/aggregate re-planning over it
+    // re-evaluates and re-compiles it pathologically (measured: a
+    // 31-word segmentation cost 0.5 s alone but 93 s once an explode +
+    // join consumed the lazy plan) — the checkpoint pins rows instead
     words
       .withColumn("__best", expr(viterbiBest(wordCol, model, maxPieceLen)))
       .withColumn("pieces", expr(viterbiBacktrack(wordCol, "__best")))
       .drop("__best")
+      .localCheckpoint(true)
   }
 
   /** The stopword list RAKE splits candidate phrases on — the English
