@@ -64,7 +64,12 @@ object ScaleStress {
     // the same-text EXCLUDE algebra (window pass ∝ rows), and PIVOT
     // (one hash agg into a bounded-wide projection)
     "u09_merge_into", "gr09_recursive_distinct", "t28_quality_classifier",
-    "t29_unigram_lm", "w12_window_exclude", "q61_pivot")
+    "t29_unigram_lm", "w12_window_exclude", "q61_pivot",
+    // round 15b: winnowing (map pass + per-doc window; the pair join is
+    // df-capped so fan-in stays bounded), corpus tokenization (corpus
+    // explode + vocab-sized segmentation — must track rows), and the
+    // LATERAL top-N (one correlated join)
+    "d25_winnowing_pairs", "t30_unigram_tokenize", "q63_lateral")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is

@@ -52,7 +52,9 @@ object StreamingStateScale {
       measureQuasiIdSizes(spark, "st23_k_anon", "sf0.1", Sf01),
       measureQuasiIdSizes(spark, "st23_k_anon", "sf1", Sf1),
       measureQualityGate(spark, "st24_quality_gate", "sf0.1", Sf01),
-      measureQualityGate(spark, "st24_quality_gate", "sf1", Sf1))
+      measureQualityGate(spark, "st24_quality_gate", "sf1", Sf1),
+      measureSessionWindow(spark, "st25_session_window", "sf0.1", Sf01),
+      measureSessionWindow(spark, "st25_session_window", "sf1", Sf1))
 
     out ++= "| query | sf | input rows | batches | max rows/batch | distinct keys | state rows | RocksDB SST | RocksDB mem |\n"
     out ++= "|---|---|---|---|---|---|---|---|---|\n"
@@ -78,7 +80,7 @@ object StreamingStateScale {
     rows.foreach { m =>
       if (m.query.startsWith("st18_bounded") || m.query.startsWith("st21") ||
           m.query.startsWith("st22") || m.query.startsWith("st23") ||
-          m.query.startsWith("st24")) {
+          m.query.startsWith("st24") || m.query.startsWith("st25")) {
         require(m.stateRows > 0 && m.stateRows <= m.distinctKeys,
           s"${m.query}@${m.sf}: state rows ${m.stateRows} outside " +
             s"(0, bound ${m.distinctKeys}]")
@@ -515,6 +517,57 @@ object StreamingStateScale {
     require(s.table(sink).count() > 0, s"$q@$sf: no closed windows emitted")
     harvest(q, sf, query.recentProgress.toSeq,
       openWindowBound(s, feed, 7L * 86400000000L, 86400000000L, files))
+  }
+
+  /** st25 shape: native session_window aggregation — state is one row
+    * per OPEN session (sessions whose end the watermark has not passed);
+    * the bound is computed exactly from the batch gap-and-islands view
+    * of the same feed. Event volume beyond the open horizon never
+    * touches the store.
+    */
+  private def measureSessionWindow(outer: SparkSession, q: String,
+                                   sf: String, dir: String): Meas = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    graft.functions.Registry.registerAll(s)
+    val feed = s"target/tmp/state_scale_${q}_$sf"
+    val files = 24
+    writeSingleFeed(graft.streaming.Events.readRaw(s, dir)
+      .select(expr("timestamp_micros(ts)").as("ts"), col("user_id")),
+      feed, files)
+    val src = s.readStream.schema(s.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val out = src.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+    require(s.table(sink).count() > 0, s"$q@$sf: no closed sessions emitted")
+    // exact open-session bound from the batch gap-islands view: sessions
+    // whose end (last + gap) the final watermark (max - delay) has NOT
+    // strictly passed are still open
+    val open = s.read.parquet(feed)
+      .selectExpr("user_id", "unix_micros(ts) AS tus")
+      .withColumn("__brk", when(coalesce(col("tus") -
+        lag(col("tus"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tus"))),
+        lit(Long.MaxValue)) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("tus")).rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg((max(col("tus")) + 1800000000L).as("__we"))
+      .crossJoin(broadcast(s.read.parquet(feed)
+        .agg(max(expr("unix_micros(ts)")).as("__t1"))))
+      .filter(!(col("__we") < col("__t1") - 3600000000L))
+      .count()
+    harvest(q, sf, query.recentProgress.toSeq, open)
   }
 
   /** Fold a progress sequence into totals. `opNameContains` picks the
