@@ -404,7 +404,7 @@ object SparkEntry {
     */
   private def unigramTrainingCtes(budget: Int,
                                   rounds: Int): (Seq[String], String, Int) = {
-    val L = 3
+    val L = UnigramPieceLen
     def scores(name: String, src: String): String =
       s"""$name AS MATERIALIZED (
            SELECT p, CAST(round(ln((c + 1.0) / CAST(t + v AS DOUBLE)) * 1e6)
@@ -459,34 +459,37 @@ object SparkEntry {
   /** One Viterbi-DP + backtrack recursive-CTE pair (round index `r`)
     * over `wordsCte` with the `pm` score map.
     */
+  /** The one maxPieceLen both unigram oracle builders must share — the
+    * DP candidate span and the seed-substring lengths desynchronize
+    * silently otherwise.
+    */
+  private val UnigramPieceLen = 3
+
   private def unigramVitCtes(r: Int, wordsCte: String, pm: String): String = {
-    val L = 3
+    val L = UnigramPieceLen
     val Neg = "-1000000000000000"
-    def vit(r: Int, wordsCte: String, pm: String): String = {
-      val cands =
-        s"""list_transform(generate_series(greatest(i + 1 - $L, 0), i),
-            j -> struct_extract(arr[j + 1], 's') +
-                 coalesce(map_extract($pm.m, substr(w, j + 1, i + 1 - j))[1],
-                          CAST($Neg AS BIGINT)))"""
-      s"""vr$r(w, wn, i, arr) AS (
-           SELECT w, wn, 0, [{'s': CAST(0 AS BIGINT), 'bp': 0}] FROM $wordsCte
-           UNION ALL
-           SELECT w, wn, i + 1,
-             list_append(arr, {'s': list_max($cands),
-               'bp': CAST(greatest(i + 1 - $L, 0) +
-                          list_position($cands, list_max($cands)) - 1 AS INT)})
-           FROM vr$r, $pm WHERE i < len(w)),
-         vf$r AS MATERIALIZED (SELECT w, wn, arr FROM vr$r WHERE i = len(w)),
-         bt$r(w, wn, pos, ps) AS (
-           SELECT w, wn, len(w), CAST([] AS VARCHAR[]) FROM vf$r
-           UNION ALL
-           SELECT b.w, b.wn, struct_extract(v.arr[b.pos + 1], 'bp'),
-                  list_prepend(substr(b.w,
-                    struct_extract(v.arr[b.pos + 1], 'bp') + 1,
-                    b.pos - struct_extract(v.arr[b.pos + 1], 'bp')), b.ps)
-           FROM bt$r b JOIN vf$r v ON v.w = b.w WHERE b.pos > 0)"""
-    }
-    vit(r, wordsCte, pm)
+    val cands =
+      s"""list_transform(generate_series(greatest(i + 1 - $L, 0), i),
+          j -> struct_extract(arr[j + 1], 's') +
+               coalesce(map_extract($pm.m, substr(w, j + 1, i + 1 - j))[1],
+                        CAST($Neg AS BIGINT)))"""
+    s"""vr$r(w, wn, i, arr) AS (
+         SELECT w, wn, 0, [{'s': CAST(0 AS BIGINT), 'bp': 0}] FROM $wordsCte
+         UNION ALL
+         SELECT w, wn, i + 1,
+           list_append(arr, {'s': list_max($cands),
+             'bp': CAST(greatest(i + 1 - $L, 0) +
+                        list_position($cands, list_max($cands)) - 1 AS INT)})
+         FROM vr$r, $pm WHERE i < len(w)),
+       vf$r AS MATERIALIZED (SELECT w, wn, arr FROM vr$r WHERE i = len(w)),
+       bt$r(w, wn, pos, ps) AS (
+         SELECT w, wn, len(w), CAST([] AS VARCHAR[]) FROM vf$r
+         UNION ALL
+         SELECT b.w, b.wn, struct_extract(v.arr[b.pos + 1], 'bp'),
+                list_prepend(substr(b.w,
+                  struct_extract(v.arr[b.pos + 1], 'bp') + 1,
+                  b.pos - struct_extract(v.arr[b.pos + 1], 'bp')), b.ps)
+         FROM bt$r b JOIN vf$r v ON v.w = b.w WHERE b.pos > 0)"""
   }
 
   private val bpeCountCtes: String =
@@ -2328,11 +2331,8 @@ object SparkEntry {
         val E = graft.streaming.Events
         val ev = E.readStream(s, dir)
           .withColumn("ts", col("ts").cast("timestamp"))
-        val weights = (0 until 256).map { i =>
-          val b = f"$i%02x"
-          b -> ((b.charAt(0).toInt * 256L + b.charAt(1).toInt - 19275L) * 997L)
-        }
-        val gated = E.streamingQualityGate(ev, "ts", "props", weights,
+        val gated = E.streamingQualityGate(ev, "ts", "props",
+          E.demoQualityWeights,
           thresholdLogitFp = 0L, windowDuration = "7 days",
           watermark = "1 day")
         val sink = "st24_sink_" +

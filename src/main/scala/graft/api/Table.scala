@@ -507,41 +507,54 @@ object Table {
         org.apache.spark.sql.functions.col(f.name)
           .cast(f.dataType).as(f.name)): _*)
     }
-    // the CTE name is STATEMENT-scoped: bind the working table under an
-    // internal name and rewrite the references (review-caught — binding
-    // st.name directly would permanently clobber a same-named session
-    // view). The rewrite hits every word occurrence, which also covers
-    // qualified column references like name.col consistently.
-    val internal = s"__rec_${st.name}__"
+    // the CTE name is STATEMENT-scoped: bind the working table under a
+    // per-invocation UNIQUE internal name and rewrite the references
+    // (review-caught, twice: binding st.name directly would permanently
+    // clobber a same-named session view, and a deterministic internal
+    // name would race concurrent same-named recursions). replaceIdent
+    // rewrites table references only — qualified columns `e.name` and
+    // `AS name` aliases stay; a backquoted reference is invisible to the
+    // masked rewrite and would silently read the session catalog, so it
+    // refuses loudly here.
+    Seq("step" -> st.step, "outer statement" -> st.outer).foreach {
+      case (what, text) =>
+        require(!Dialect.containsBacktickedIdent(text, st.name),
+          s"backquoted reference to the recursive CTE '${st.name}' in " +
+            s"the $what is not supported — drop the backticks")
+    }
+    val internal = s"__rec_${st.name}_" +
+      java.util.UUID.randomUUID.toString.take(8)
     val step = Dialect.replaceIdent(st.step, st.name, internal)
     val outer = Dialect.replaceIdent(st.outer, st.name, internal)
-    var seen = seed.distinct().localCheckpoint(true)
-    var frontier = seen
-    var drained = frontier.isEmpty
-    var round = 0
-    while (!drained && round < maxRounds) {
-      // bind + analyze under the lock (the sql() concurrency contract);
-      // the analyzed plan holds the resolved frontier, so a concurrent
-      // rebind of the same name can't leak into this round's EXCEPT
-      val stepped = bindLock.synchronized {
-        frontier.createOrReplaceTempView(internal)
-        align(sessionSqlOne(spark, step))
+    try {
+      var seen = seed.distinct().localCheckpoint(true)
+      var frontier = seen
+      var drained = frontier.isEmpty
+      var round = 0
+      while (!drained && round < maxRounds) {
+        // bind + analyze under the lock (the sql() concurrency
+        // contract); the analyzed plan holds the resolved frontier, so
+        // a concurrent rebind can't leak into this round's EXCEPT
+        val stepped = bindLock.synchronized {
+          frontier.createOrReplaceTempView(internal)
+          align(sessionSqlOne(spark, step))
+        }
+        val next = stepped.except(seen).localCheckpoint(true)
+        if (next.isEmpty) drained = true
+        else {
+          seen = seen.union(next).localCheckpoint(true)
+          frontier = next
+        }
+        round += 1
       }
-      val next = stepped.except(seen).localCheckpoint(true)
-      if (next.isEmpty) drained = true
-      else {
-        seen = seen.union(next).localCheckpoint(true)
-        frontier = next
+      require(drained,
+        s"UNION-distinct recursion '${st.name}' did not drain within " +
+          s"$maxRounds rounds — the step keeps producing new rows; " +
+          "check the recursion or split the query")
+      bindLock.synchronized {
+        seen.createOrReplaceTempView(internal)
+        sessionSqlOne(spark, outer)
       }
-      round += 1
-    }
-    require(drained,
-      s"UNION-distinct recursion '${st.name}' did not drain within " +
-        s"$maxRounds rounds — the step keeps producing new rows; check " +
-        "the recursion or split the query")
-    try bindLock.synchronized {
-      seen.createOrReplaceTempView(internal)
-      sessionSqlOne(spark, outer)
     } finally spark.catalog.dropTempView(internal)
   }
 

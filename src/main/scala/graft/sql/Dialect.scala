@@ -535,23 +535,55 @@ object Dialect {
       (k == 0 || !isIdentBoundaryChar(m.charAt(k - 1))) &&
       (k + w.length == m.length || !isIdentBoundaryChar(m.charAt(k + w.length)))
 
-  /** Replace every word-boundary occurrence of identifier `from` with
+  /** Replace every TABLE-reference occurrence of identifier `from` with
     * `to`, outside literals/comments (masked scan, any depth) — the
     * statement-scoped-name isolation a CTE lowering needs: binding the
     * working table under an internal name and rewriting the references
     * keeps the user's session views untouched.
+    *
+    * Two occurrence shapes are deliberately NOT rewritten
+    * (review-caught): a QUALIFIED COLUMN `other.from` (preceded by a
+    * dot — `from.col`, where the name leads, still rewrites) and an
+    * OUTPUT ALIAS `expr AS from` (preceded by the AS keyword) — both
+    * are column-land, not table references. A backquoted occurrence
+    * cannot be rewritten at all (the mask hides it) and would silently
+    * bind to the session catalog — refused loudly by the caller via
+    * [[containsBacktickedIdent]].
     */
   private[graft] def replaceIdent(sql: String, from: String,
                                   to: String): String = {
     val m = stripLiterals(sql)
     val out = new StringBuilder
     var i = 0
+    def prevNonWs(k: Int): Int = {
+      var j = k - 1
+      while (j >= 0 && m.charAt(j).isWhitespace) j -= 1
+      j
+    }
     while (i < sql.length) {
-      if (wordAt(m, i, from)) { out ++= to; i += from.length }
+      if (wordAt(m, i, from)) {
+        val p = prevNonWs(i)
+        val qualified = p >= 0 && m.charAt(p) == '.'
+        // previous word is AS (p sits on its last char, with an
+        // identifier boundary before it)
+        val aliased = p >= 1 &&
+          m.regionMatches(true, p - 1, "as", 0, 2) &&
+          (p - 2 < 0 || !isIdentBoundaryChar(m.charAt(p - 2)))
+        if (qualified || aliased) { out += sql.charAt(i); i += 1 }
+        else { out ++= to; i += from.length }
+      }
       else { out += sql.charAt(i); i += 1 }
     }
     out.toString
   }
+
+  /** Whether the text contains a backtick-quoted occurrence of `name` —
+    * the one reference shape [[replaceIdent]] cannot see (the mask
+    * blanks it), so callers refuse instead of silently mis-binding.
+    */
+  private[graft] def containsBacktickedIdent(sql: String,
+                                             name: String): Boolean =
+    sql.toLowerCase.contains("`" + name.toLowerCase + "`")
 
   /** Comma split at paren depth 0, depth/comma decisions taken on the
     * masked view (commas inside literals, quoted identifiers or comments
@@ -875,6 +907,10 @@ object Dialect {
     */
   private def inlineExcludeNamedWindows(sql: String): String = {
     val m = stripLiterals(sql)
+    // cheap pre-test: no EXCLUDE word anywhere → nothing to inline, and
+    // the WINDOW-clause parse below never runs (review-caught: it used
+    // to run — and could falsely reject — on EXCLUDE-free statements)
+    if (findAnyDepthKeyword(m, "exclude") < 0) return sql
     // the WINDOW CLAUSE keyword: top level, followed by an identifier
     // then AS — `window(ts, …)` the function and `OVER (… window …)`
     // never match
@@ -890,9 +926,12 @@ object Dialect {
       if (w < 0) probe = findTopLevelKeywordIn(m, probe + 6, "window")
     }
     if (w < 0) return sql
-    // parse `name AS (spec)` comma-list until a trailing clause keyword
+    // parse the `name AS (spec) | name AS other_name` comma-list until a
+    // trailing clause keyword (the bare-reference form is valid Spark —
+    // review-caught; it cannot carry EXCLUDE and passes through)
     var i = skipWsAt(m, w + 6)
-    val defs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // (name, spec-or-ref, isRef)
+    val defs = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
     var clauseEnd = sql.length
     var done = false
     while (!done) {
@@ -903,17 +942,49 @@ object Dialect {
       i = skipWsAt(m, i)
       require(wordAt(m, i, "as"), s"malformed WINDOW clause at: $name")
       i = skipWsAt(m, i + 2)
-      require(i < m.length && m.charAt(i) == '(',
-        s"WINDOW $name AS needs a parenthesized specification")
-      val close = matchParenAt(m, i)
-      defs += ((name, sql.substring(i + 1, close)))
-      i = skipWsAt(m, close + 1)
+      if (i < m.length && m.charAt(i) == '(') {
+        val close = matchParenAt(m, i)
+        defs += ((name, sql.substring(i + 1, close), false))
+        i = skipWsAt(m, close + 1)
+      } else {
+        val rs = i
+        while (i < m.length && isIdentBoundaryChar(m.charAt(i))) i += 1
+        val ref = sql.substring(rs, i)
+        require(ref.nonEmpty,
+          s"WINDOW $name AS needs a specification or a window name")
+        defs += ((name, ref, true))
+        i = skipWsAt(m, i)
+      }
       if (i < m.length && m.charAt(i) == ',') i = skipWsAt(m, i + 1)
       else { clauseEnd = i.min(sql.length); done = true }
     }
-    val hasExclude = (spec: String) =>
-      findTopLevelKeywordIn(stripLiterals(spec), 0, "exclude") >= 0
-    if (!defs.exists(d => hasExclude(d._2))) return sql
+    val hasExclude = (d: (String, String, Boolean)) => !d._3 &&
+      findTopLevelKeywordIn(stripLiterals(d._2), 0, "exclude") >= 0
+    if (!defs.exists(hasExclude)) return sql
+    // chained references and EXCLUDE don't mix (review-caught): an
+    // EXCLUDE spec whose text opens with a window NAME would inline an
+    // invalid spec, and a kept definition referencing a dropped EXCLUDE
+    // name would dangle — refuse both loudly
+    defs.filter(hasExclude).foreach { case (name, spec, _) =>
+      val sm = stripLiterals(spec)
+      val f = skipWsAt(sm, 0)
+      val opensWithName = f < sm.length && isIdentStart(sm.charAt(f)) &&
+        !Seq("partition", "order", "rows", "range", "groups")
+          .exists(kw => wordAt(sm, f, kw))
+      require(!opensWithName,
+        s"WINDOW $name chains another window name with EXCLUDE — " +
+          "write the full specification inline")
+    }
+    val excludeNames = defs.filter(hasExclude).map(_._1.toLowerCase).toSet
+    defs.filterNot(hasExclude).foreach { case (name, spec, isRef) =>
+      val refHit =
+        if (isRef) excludeNames.contains(spec.toLowerCase)
+        else excludeNames.exists(en =>
+          findAnyDepthWord(stripLiterals(spec), en) >= 0)
+      require(!refHit,
+        s"WINDOW $name references an EXCLUDE-carrying window that this " +
+          "rewrite inlines away — write the full specification inline")
+    }
     // a SECOND window clause anywhere (e.g. a subquery's own WINDOW w)
     // could define the same name: blind any-depth reference rewriting
     // would capture it silently — refuse loudly instead (review-caught)
@@ -934,12 +1005,14 @@ object Dialect {
       "EXCLUDE in a named WINDOW cannot inline when the statement has " +
         "more than one WINDOW clause (a subquery's same-named window " +
         "would be captured) — inline the OVER specification by hand")
-    val keep = defs.filterNot(d => hasExclude(d._2))
+    val keep = defs.filterNot(hasExclude)
     val clauseText =
       if (keep.isEmpty) ""
-      else "WINDOW " + keep.map(d => s"${d._1} AS (${d._2})").mkString(", ") + " "
+      else "WINDOW " + keep.map { case (n, s, isRef) =>
+        if (isRef) s"$n AS $s" else s"$n AS ($s)"
+      }.mkString(", ") + " "
     var out = sql.substring(0, w) + clauseText + sql.substring(clauseEnd)
-    defs.filter(d => hasExclude(d._2)).foreach { case (name, spec) =>
+    defs.filter(hasExclude).foreach { case (name, spec, _) =>
       // replace every `OVER name` reference (any depth, masked scan)
       var guard = 0
       var changed = true
@@ -964,6 +1037,19 @@ object Dialect {
     out
   }
 
+  /** First any-depth occurrence of keyword `kw` in a masked view. */
+  private def findAnyDepthKeyword(m: String, kw: String): Int = {
+    var i = 0
+    while (i < m.length) {
+      if (wordAt(m, i, kw)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def findAnyDepthWord(m: String, w: String): Int =
+    findAnyDepthKeyword(m, w)
+
   private[sql] def skipWsAt(m: String, k0: Int): Int = {
     var k = k0
     while (k < m.length && m.charAt(k).isWhitespace) k += 1
@@ -979,7 +1065,11 @@ object Dialect {
       else if (c == ')') { depth -= 1; if (depth == 0) return k }
       k += 1
     }
-    throw new IllegalArgumentException("unbalanced parens in OVER (…)")
+    // generic wording: MERGE/PIVOT/UNPIVOT/recursive-CTE parsers and
+    // the window rewrites all share this helper (review-caught — it
+    // used to claim OVER regardless of the statement at hand)
+    throw new IllegalArgumentException(
+      "unbalanced parentheses in the statement")
   }
 
   /** Rewrite one `fn(args) OVER (spec EXCLUDE kind)` occurrence.

@@ -836,6 +836,18 @@ object Events {
     * Emits: (window_start, n_docs, n_kept, sum_fp_kept) — integers
     * only; rates divide downstream where one double is safe.
     */
+  /** The st24 demo model: a fixed mixed-sign weight per 2-hex md5
+    * bucket from pure ascii arithmetic — chosen so an external engine
+    * re-derives the weight INLINE per token (the driver oracle does).
+    * One definition: the driver query and the state-scale probe must
+    * measure the same model.
+    */
+  def demoQualityWeights: Seq[(String, Long)] =
+    (0 until 256).map { i =>
+      val b = f"$i%02x"
+      b -> ((b.charAt(0).toInt * 256L + b.charAt(1).toInt - 19275L) * 997L)
+    }
+
   def streamingQualityGate(stream: DataFrame, tsCol: String,
                            textCol: String, weights: Seq[(String, Long)],
                            thresholdLogitFp: Long, windowDuration: String,

@@ -121,4 +121,45 @@ class RecursiveSqlSpec extends GraftSuite {
     val after = spark.table("rx").collect()
     assert(after.length == 1 && after.head.getString(1) == "real")
   }
+
+  test("CTE-name rewrite leaves qualified columns and aliases alone") {
+    // a COLUMN on another table that shares the CTE's name, and an
+    // output alias of that name, must both survive (review-caught)
+    Seq((1L, 2L), (2L, 3L)).toDF("id", "rxn")
+      .createOrReplaceTempView("rn_edges")
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE rxn(n) AS (
+           SELECT CAST(1 AS BIGINT) UNION
+           SELECT e.rxn FROM rn_edges e JOIN rxn r ON e.id = r.n)
+         SELECT n AS rxn FROM rxn ORDER BY n""").toDF
+    assert(got.columns.toSeq == Seq("rxn"))
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("backquoted CTE references refuse loudly") {
+    val e = intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION
+           SELECT n + 1 FROM `t` WHERE n < 3)
+         SELECT n FROM t""").toDF.collect())
+    assert(e.getMessage.contains("backquoted"))
+  }
+
+  test("concurrent same-named recursions do not collide") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 3).map { i =>
+      Future {
+        Table.sessionSql(spark,
+          s"""WITH RECURSIVE cc(n) AS (SELECT $i UNION
+               SELECT (n % ${i + 2}) + 1 FROM cc)
+             SELECT count(*) AS c FROM cc""").toDF
+          .collect().head.getLong(0)
+      }
+    }
+    val got = Await.result(Future.sequence(fs), 120.seconds)
+    // closures of n -> (n % k)+1 from seed i: sizes i+2 ... each thread
+    // must see ITS OWN closure, never a peer's frontier
+    assert(got == Seq(3L, 4L, 5L))
+  }
 }

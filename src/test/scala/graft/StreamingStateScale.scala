@@ -503,12 +503,9 @@ object StreamingStateScale {
       feed, files)
     val src = s.readStream.schema(s.read.parquet(feed).schema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
-    val weights = (0 until 256).map { i =>
-      val b = f"$i%02x"
-      b -> ((b.charAt(0).toInt * 256L + b.charAt(1).toInt - 19275L) * 997L)
-    }
     val out = graft.streaming.Events.streamingQualityGate(src, "ts",
-      "props", weights, 0L, "7 days", "1 day")
+      "props", graft.streaming.Events.demoQualityWeights, 0L,
+      "7 days", "1 day")
     val sink = "state_scale_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val query = out.writeStream.format("memory").queryName(sink)
       .outputMode("append")

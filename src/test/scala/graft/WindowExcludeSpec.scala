@@ -140,4 +140,25 @@ class WindowExcludeSpec extends GraftSuite {
           ) t WINDOW w AS ($Frame EXCLUDE CURRENT ROW)""").toDF.collect())
     assert(e.getMessage.contains("more than one WINDOW clause"))
   }
+
+  test("bare window-reference definitions and chained EXCLUDE refuse/pass") {
+    fixture()
+    // w AS w2 (bare reference, no EXCLUDE anywhere) must pass through
+    val ok = Table.sessionSql(spark,
+      s"""SELECT SUM(v) OVER w AS a FROM wx
+          WINDOW w2 AS ($Frame), w AS w2 ORDER BY a NULLS FIRST""").toDF
+    assert(ok.count() == 6)
+    // chained window name + EXCLUDE refuses loudly
+    val e = intercept[IllegalArgumentException](Table.sessionSql(spark,
+      s"""SELECT SUM(v) OVER w AS a FROM wx
+          WINDOW base AS (PARTITION BY p ORDER BY o),
+                 w AS (base ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       EXCLUDE CURRENT ROW)""").toDF.collect())
+    assert(e.getMessage.contains("chains another window name"))
+    // a kept definition referencing a dropped EXCLUDE name refuses too
+    val e2 = intercept[IllegalArgumentException](Table.sessionSql(spark,
+      s"""SELECT SUM(v) OVER w2 AS a FROM wx
+          WINDOW w AS ($Frame EXCLUDE CURRENT ROW), w2 AS w""").toDF.collect())
+    assert(e2.getMessage.contains("inlines away"))
+  }
 }
