@@ -7433,6 +7433,42 @@ object SparkEntry {
                 true AS unpublished_absent
          FROM documents"""),
 
+    // Schema-evolution read (io20): a dataset written in TWO schema
+    // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,
+    // read back with mergeSchema=true — Spark reconciles the footers
+    // into the union schema and gen-1 rows surface the new column as
+    // NULL, exactly the lakehouse add-a-column migration. The rollup
+    // gates both generations' values and the null backfill. (Without
+    // mergeSchema Spark takes ONE footer's schema — a silent column
+    // drop; the option is the contract this query pins.)
+    "io20_schema_evolution" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val root = scratchDir(s"io20_${new java.io.File(dir).getName}")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.parquet(s"$root/gen=1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.parquet(s"$root/gen=2")
+        s.read.option("mergeSchema", "true").parquet(root)
+          .groupBy(col("gen"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("chars"),
+            sum(col("lang").isNull.cast("long")).as("n_lang_null"),
+            count_distinct(col("lang")).as("n_langs"))
+          .orderBy(col("gen"))
+      },
+      """SELECT 1 AS gen, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(*) AS n_lang_null, CAST(0 AS BIGINT) AS n_langs
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT),
+                0, count(DISTINCT lang)
+         FROM documents WHERE doc_id % 2 <> 0
+         ORDER BY gen"""),
+
     // Retention sweep over the versioned layout (io19): three publishes,
     // expire to the newest two — v=1 is deleted and a time-travel read
     // of it refuses loudly, v=2 stays reachable, the pointer (v=3) is
