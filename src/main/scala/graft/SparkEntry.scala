@@ -11052,6 +11052,70 @@ object SparkEntry {
     // combination (nation, market segment) is shared by fewer than k=10
     // rows are re-identifiable to a < k-person crowd. One keyed rollup
     // (shuffle ∝ distinct combinations) folded into one summary row.
+    // Data-quality expectation suite (pr22): the dbt-test /
+    // Great-Expectations contract gate — not_null / accepted_values /
+    // between / matches_regex fuse into ONE aggregation pass of
+    // conditional sums; each unique() is one keyed agg (violations =
+    // duplicated rows beyond the first per key = N − distinct keys).
+    // Violations are PLANTED (the fe03 null trick + a narrowed accepted
+    // set + a tight bound) so every check kind exercises both verdicts
+    // and the oracle re-derives exact counts.
+    "pr22_expectations" -> api(
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_discount"),
+            when(col("l_orderkey") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("l_linestatus")).as("status"))
+        graft.ops.Profile.expectations(li, Seq(
+            graft.ops.Profile.NotNull("status"),
+            graft.ops.Profile.AcceptedValues("l_returnflag", Seq("A", "N")),
+            graft.ops.Profile.Between("l_discount", 0.0, 0.05),
+            graft.ops.Profile.MatchesRegex("status", "^[OF]$"),
+            graft.ops.Profile.Unique(Seq("l_orderkey", "l_linenumber")),
+            graft.ops.Profile.Unique(Seq("l_orderkey"))))
+          .orderBy(col("check"), col("target"))
+      },
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                  l_discount,
+                  CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                       ELSE l_linestatus END AS status
+           FROM lineitem),
+         r AS (
+           SELECT 1 AS ord, 'not_null' AS chk, 'status' AS target,
+                  CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_violations
+           FROM li
+           UNION ALL
+           SELECT 2, 'accepted_values', 'l_returnflag',
+                  CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A', 'N')
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM li
+           UNION ALL
+           SELECT 3, 'between', 'l_discount',
+                  CAST(sum(CASE WHEN l_discount IS NOT NULL
+                                 AND (l_discount < 0.0 OR l_discount > 0.05)
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM li
+           UNION ALL
+           SELECT 4, 'matches_regex', 'status',
+                  CAST(sum(CASE WHEN status IS NOT NULL
+                                 AND NOT regexp_matches(status, '^[OF]$')
+                                THEN 1 ELSE 0 END) AS BIGINT)
+           FROM li
+           UNION ALL
+           SELECT 5, 'unique', 'l_orderkey,l_linenumber',
+                  count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           FROM li
+           UNION ALL
+           SELECT 6, 'unique', 'l_orderkey',
+                  count(*) - count(DISTINCT l_orderkey)
+           FROM li)
+         SELECT chk AS check, target, n_violations,
+                n_violations = 0 AS passed
+         FROM (SELECT * FROM r ORDER BY chk, target, ord)""" ),
+
     "pr21_k_anonymity" -> api(
       (s, dir) => {
         graft.ops.Profile.kAnonymity(

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Column-level data profiling — the corpus QA pass run before and after
   * every curation stage (did dedup drop nulls? did a join explode
@@ -393,5 +393,79 @@ object Profile {
         round(lit(2.0) * col("__ric")
             / (col("n_keys").cast("double") * col("n_rows"))
           - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
+
+  /** Data-quality expectation checks (pr22) — the dbt-test /
+    * Great-Expectations contract surface every production pipeline
+    * gates loads on, run as ONE relational pass where the checks allow:
+    * all ROW-LEVEL checks (not-null, accepted-values, between, regex)
+    * fuse into a single aggregation of conditional sums over one scan;
+    * each UNIQUE check is its own keyed aggregation (it needs per-key
+    * counts). Nothing collects; the result is one row per check:
+    * (check, target, n_violations, passed) — feed it to a WAP audit
+    * ([[graft.ops.Wap.writeAuditPublish]]) to make the gate block a
+    * publish.
+    */
+  sealed trait Check
+  final case class NotNull(column: String) extends Check
+  final case class AcceptedValues(column: String,
+                                  values: Seq[String]) extends Check
+  /** Closed interval on a numeric column; NULL never violates (pair
+    * with [[NotNull]] for that).
+    */
+  final case class Between(column: String, lo: Double,
+                           hi: Double) extends Check
+  final case class MatchesRegex(column: String, regex: String) extends Check
+  final case class Unique(columns: Seq[String]) extends Check
+
+  def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one expectation")
+    val cols = df.columns.map(_.toLowerCase).toSet
+    def known(c: String): String = {
+      require(cols.contains(c.toLowerCase),
+        s"expectation references unknown column '$c'")
+      c
+    }
+    val rowLevel: Seq[(String, String, Column)] = checks.collect {
+      case NotNull(c) =>
+        ("not_null", c, col(known(c)).isNull)
+      case AcceptedValues(c, vs) =>
+        require(vs.nonEmpty, s"accepted_values($c) needs values")
+        ("accepted_values", c,
+          col(known(c)).isNotNull && !col(c).isin(vs: _*))
+      case Between(c, lo, hi) =>
+        ("between", c, col(known(c)).isNotNull &&
+          (col(c) < lo || col(c) > hi))
+      case MatchesRegex(c, re) =>
+        ("matches_regex", c,
+          col(known(c)).isNotNull && !col(c).rlike(re))
+    }
+    val rowFrame: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else Some {
+        val agg = df.agg(
+          sum(when(rowLevel.head._3, 1L).otherwise(0L)).as("__v0"),
+          rowLevel.tail.zipWithIndex.map { case ((_, _, bad), i) =>
+            sum(when(bad, 1L).otherwise(0L)).as(s"__v${i + 1}")
+          }: _*)
+        // unpivot the one aggregate row to one row per check — driver-free
+        agg.select(explode(array(rowLevel.zipWithIndex.map {
+          case ((kind, c, _), i) => struct(lit(kind).as("check"),
+            lit(c).as("target"), col(s"__v$i").as("n_violations"))
+        }: _*)).as("__e")).select(col("__e.*"))
+      }
+    val uniqueFrames = checks.collect { case Unique(ucols) =>
+      require(ucols.nonEmpty, "unique() needs columns")
+      ucols.foreach(known)
+      df.groupBy(ucols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        // violations = surplus rows beyond the first of each key (the
+        // dbt convention counts duplicated rows, not duplicate keys)
+        .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+        .select(lit("unique").as("check"),
+          lit(ucols.mkString(",")).as("target"), col("n_violations"))
+    }
+    val all = (rowFrame.toSeq ++ uniqueFrames).reduce(_.unionByName(_))
+    all.withColumn("passed", col("n_violations") === 0L)
   }
 }

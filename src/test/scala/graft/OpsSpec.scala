@@ -2289,4 +2289,32 @@ class OpsSpec extends GraftSuite {
       .collect().map(_.getLong(1))
     assert(counts.forall(_ <= 8))
   }
+
+  test("pr22 expectations: verdicts, fused row-level pass, loud refusal") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 0.01), (1L, "b", 0.2), (2L, null, 0.03),
+      (3L, "z", -0.1)).toDF("k", "s", "d")
+    val out = Profile.expectations(df, Seq(
+        Profile.NotNull("s"), Profile.AcceptedValues("s", Seq("a", "b")),
+        Profile.Between("d", 0.0, 0.1), Profile.MatchesRegex("s", "^[ab]$"),
+        Profile.Unique(Seq("k")), Profile.Unique(Seq("k", "s"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    def m(c: String, t: String) = out((c, t))
+    assert(m("not_null", "s") == (1L, false))
+    assert(m("accepted_values", "s") == (1L, false)) // 'z'
+    assert(m("between", "d") == (2L, false))          // 0.2, -0.1
+    assert(m("matches_regex", "s") == (1L, false))    // 'z'
+    assert(m("unique", "k") == (1L, false))           // k=1 twice
+    assert(m("unique", "k,s") == (0L, true))
+    // all row-level checks ride ONE aggregate over ONE scan
+    val plan = Profile.expectations(df, Seq(Profile.NotNull("s"),
+        Profile.Between("d", 0.0, 0.1), Profile.MatchesRegex("s", "x")))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("HashAggregate").length - 1 <= 2, // partial+final
+      s"row-level checks must fuse into one aggregation:\n$plan")
+    assert(intercept[IllegalArgumentException](
+      Profile.expectations(df, Seq(Profile.NotNull("nope"))))
+      .getMessage.contains("unknown column"))
+  }
 }
