@@ -290,6 +290,39 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           }
     }
 
+  private val pivotCorpus: Seq[String] = Seq(
+    """PIVOT (SELECT g, k, v FROM t WHERE note <> 'pivot on using') ON k
+       IN ('x on using', 'group by') USING sum(v) AS s, count(*) AS n
+       GROUP BY g ORDER BY g LIMIT 3""",
+    """UNPIVOT wide ON a, b, c INTO NAME k VALUE v ORDER BY k""")
+
+  property("PIVOT/UNPIVOT parse structure is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(pivotCorpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.PivotSql
+        val j = junked(q, salt)
+        val pq = PivotSql.parsePivot(q)
+        val pj = PivotSql.parsePivot(j)
+        val uq = PivotSql.parseUnpivot(q)
+        val uj = PivotSql.parseUnpivot(j)
+        pq.isDefined == pj.isDefined && uq.isDefined == uj.isDefined &&
+          pq.zip(pj).forall { case (a, b) =>
+            a.onCol == b.onCol && a.aggs.size == b.aggs.size &&
+              a.aggs.map(_._2) == b.aggs.map(_._2) &&
+              a.inValues.map(_.size) == b.inValues.map(_.size) &&
+              a.groupBy.map(_.size) == b.groupBy.map(_.size)
+          } &&
+          uq.zip(uj).forall { case (a, b) =>
+            a.onCols == b.onCols && a.nameCol == b.nameCol &&
+              a.valueCol == b.valueCol
+          } &&
+          // the whole driver corpus must never false-trigger either form
+          PivotSql.parsePivot(junked(corpus(salt % corpus.size), salt))
+            .isEmpty &&
+          PivotSql.parseUnpivot(junked(corpus(salt % corpus.size), salt))
+            .isEmpty
+    }
+
   property("window-EXCLUDE rewrite is identical outside masked regions") =
     forAll(qAndSalt) { case (q, salt) =>
       val j = junked(q, salt)
