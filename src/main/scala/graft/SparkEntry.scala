@@ -9767,6 +9767,53 @@ object SparkEntry {
     // 3-column DESCRIBE shape at the Table surface by contract.
     "q60_describe" -> same("documents", "DESCRIBE documents"),
 
+    // DuckDB sampling clauses (q64, [[graft.sql.SampleSql]]): query-level
+    // `USING SAMPLE n% / n ROWS` and table-level `TABLESAMPLE (…)`, all
+    // three lowered onto the deterministic md5 bucket grid (DOCUMENTED
+    // divergence from DuckDB's PRNG sampling — the oracle mirrors the
+    // gate expression, the `CAST('0x'||substr(md5…))` discipline of
+    // sp14). Percent is a map-only filter (PlanSpec pins no Exchange);
+    // the rows form is a bounded TakeOrderedAndProject on the hash.
+    "q64_sample_clause" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("source"))
+        val t = Table(docs)
+        val pct = t.sql(
+          "SELECT doc_id, lang FROM docs WHERE lang <> 'de' USING SAMPLE 25%")
+          .df.select(lit("pct").as("form"), col("doc_id"))
+        val rws = t.sql(
+          "SELECT doc_id FROM docs USING SAMPLE reservoir(40 ROWS)")
+          .df.select(lit("rows").as("form"), col("doc_id"))
+        docs.createOrReplaceTempView("q64_docs")
+        val ts = Table.sessionSql(s,
+          "SELECT doc_id FROM q64_docs TABLESAMPLE (bernoulli(25%)) " +
+            "WHERE doc_id % 2 = 0")
+          .df.select(lit("ts").as("form"), col("doc_id"))
+        pct.unionByName(rws).unionByName(ts)
+          .groupBy(col("form"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .orderBy(col("form"))
+      },
+      """WITH g AS (SELECT doc_id, lang,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) AS h
+            FROM documents),
+         pct AS (SELECT 'pct' AS form, doc_id FROM g
+                 WHERE lang <> 'de' AND h < 16384),
+         rws AS (SELECT 'rows' AS form, doc_id FROM documents
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40),
+         ts AS (SELECT 'ts' AS form, doc_id FROM g
+                WHERE h < 16384 AND doc_id % 2 = 0),
+         u AS (SELECT * FROM pct UNION ALL SELECT * FROM rws
+               UNION ALL SELECT * FROM ts)
+         SELECT form, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                min(doc_id) AS mn, max(doc_id) AS mx
+         FROM u GROUP BY form ORDER BY form"""),
+
     // DuckDB's PIVOT statement (q61, SAME text both engines): dynamic ON
     // values (both engines collect the distinct domain sorted), implicit
     // GROUP BY (columns neither pivoted nor aggregated), multi-aggregate

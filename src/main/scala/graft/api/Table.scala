@@ -90,13 +90,30 @@ final class Table private (val df: DataFrame) {
   }
 
   private def sqlOne(q0: String): Table = {
+    // `… USING SAMPLE <spec>` (q64) splits first: the inner statement
+    // re-enters this pipeline whole, the deterministic md5 gate applies
+    // to its result, and the trailing ORDER BY/LIMIT runs over the
+    // sampled frame ([[graft.sql.SampleSql]] documents the divergence
+    // from DuckDB's PRNG sampling)
+    graft.sql.SampleSql.splitUsingSample(q0) match {
+      case Some((inner, spec, tail)) =>
+        val sampled = graft.sql.SampleSql.applySample(sqlOne(inner).df, spec)
+        return new Table(Table.runStmtTail(spark, sampled, tail))
+      case None =>
+    }
+    // table-level TABLESAMPLE lowers onto the same gate as a textual
+    // subquery; every FROM name is notionally the receiver here, so the
+    // gate's first column is the receiver's
+    val qTs =
+      if (!graft.sql.SampleSql.hasTablesample(q0)) q0
+      else graft.sql.SampleSql.rewriteTablesample(q0, _ => df.columns.toSeq)
     // DISTINCT ON lowers AFTER the nulls-last pass (the sort items move
     // into a window spec, where the later top-level scan can't see them)
     val q = Dialect.expandColumns(
       Dialect.expandStarRename(
         Dialect.expandStarReplace(
           Dialect.expandStarExclude(
-            Dialect.distinctOn(q0).getOrElse(q0),
+            Dialect.distinctOn(qTs).getOrElse(qTs),
             df.columns.toSeq),
           df.columns.toSeq),
         df.columns.toSeq),
@@ -204,6 +221,14 @@ final class Table private (val df: DataFrame) {
         else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
     }
     val q0 = Dialect.rewrite(query)
+    // sampling clauses have no Spark grammar: explain the constructed
+    // frame (lazy — the gate is a filter/limit, nothing executes)
+    if (graft.sql.SampleSql.hasTablesample(q0) ||
+        graft.sql.SampleSql.splitUsingSample(q0).isDefined) {
+      val qe = sql(query).df.queryExecution
+      return if (extended) qe.toString
+        else qe.explainString(org.apache.spark.sql.execution.SimpleMode)
+    }
     val q = Dialect.fromFirst(q0).getOrElse(q0)
     val view = Dialect.firstFromTable(q).getOrElse("t")
     df.createOrReplaceTempView(view)
@@ -225,8 +250,12 @@ final class Table private (val df: DataFrame) {
       case Some(t) => summarizeFrame(t).queryExecution.logical.treeString
       case None => Dialect.describeTarget(query) match {
         case Some(t) => describeFrame(t).queryExecution.logical.treeString
-        case None => spark.sessionState.sqlParser.parsePlan(
-          prep(Dialect.rewrite(query))).treeString
+        case None =>
+          val qr = Dialect.rewrite(query)
+          if (graft.sql.SampleSql.hasTablesample(qr) ||
+              graft.sql.SampleSql.splitUsingSample(qr).isDefined)
+            sql(query).df.queryExecution.logical.treeString
+          else spark.sessionState.sqlParser.parsePlan(prep(qr)).treeString
       }
     }
 
@@ -434,6 +463,16 @@ object Table {
   }
 
   private def sessionSqlOne(spark: SparkSession, qIn: String): DataFrame = {
+    // `… USING SAMPLE` splits first (q64 — same contract as Table.sql:
+    // inner re-enters whole, md5 gate on the result, tail over the
+    // sampled frame); a sampled recursive-CTE outer statement works
+    // because the inner statement re-enters and parses the recursion
+    graft.sql.SampleSql.splitUsingSample(qIn) match {
+      case Some((inner, spec, tail)) =>
+        return runStmtTail(spark, graft.sql.SampleSql.applySample(
+          sessionSqlOne(spark, inner), spec), tail)
+      case None =>
+    }
     // UNION-distinct recursion (gr09) lowers onto frontier-minus-seen
     // BEFORE the clause passes (its seed/step/outer each re-enter this
     // method and get them individually); UNION ALL recursion stays on
@@ -442,7 +481,14 @@ object Table {
       case Some(st) => return runRecursiveUnion(spark, st)
       case None =>
     }
-    val q0 = Dialect.rewriteWindowExclude(Dialect.fromFirst(qIn).getOrElse(qIn))
+    // table-level TABLESAMPLE: the gate's first column resolves from the
+    // session catalog (the same resolution rule as dynamic COLUMNS)
+    val qSampled =
+      if (!graft.sql.SampleSql.hasTablesample(qIn)) qIn
+      else graft.sql.SampleSql.rewriteTablesample(qIn,
+        n => spark.table(n).columns.toSeq)
+    val q0 = Dialect.rewriteWindowExclude(
+      Dialect.fromFirst(qSampled).getOrElse(qSampled))
     val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
     // dynamic star: schema comes from the first FROM table's session
     // view (the table COLUMNS binds to); resolution is attempted only

@@ -330,6 +330,39 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           }
     }
 
+  private val sampleCorpus: Seq[String] = Seq(
+    """SELECT id, note FROM t WHERE note <> 'using sample 99%'
+       USING SAMPLE 25% ORDER BY id LIMIT 7""",
+    "SELECT id FROM t USING SAMPLE reservoir(40 ROWS)",
+    """SELECT a.id FROM t TABLESAMPLE (bernoulli(10%)) a
+       JOIN u USING (k) WHERE a.tag <> 'tablesample (5 rows)'""")
+
+  property("sampling-clause detection is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(sampleCorpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.SampleSql
+        val j = junked(q, salt)
+        val sq = SampleSql.splitUsingSample(q)
+        val sj = SampleSql.splitUsingSample(j)
+        sq.isDefined == sj.isDefined &&
+          sq.zip(sj).forall { case (a, b) =>
+            a._2 == b._2 && a._3.length == b._3.length
+          } &&
+          SampleSql.hasTablesample(j) == SampleSql.hasTablesample(q) &&
+          // junking must never CHANGE whether a driver-corpus entry
+          // triggers either sampling form (isDefined-equality, the
+          // round-15 lesson — never assert isEmpty over the corpus)
+          {
+            val c = corpus(salt % corpus.size)
+            val cj = junked(c, salt)
+            scala.util.Try(SampleSql.splitUsingSample(cj)).toOption
+              .flatten.isDefined ==
+              scala.util.Try(SampleSql.splitUsingSample(c)).toOption
+                .flatten.isDefined &&
+            SampleSql.hasTablesample(cj) == SampleSql.hasTablesample(c)
+          }
+    }
+
   property("window-EXCLUDE rewrite is identical outside masked regions") =
     forAll(qAndSalt) { case (q, salt) =>
       val j = junked(q, salt)

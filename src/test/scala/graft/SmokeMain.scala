@@ -451,6 +451,13 @@ object SmokeMain {
       SparkEntry.queries("e25_ab_test")(spark, sf).show(1, truncate = false)
       // round-12: readability gate
       SparkEntry.queries("t24_readability")(spark, sf).show(2, truncate = false)
+      // round-16: sampling clauses (q64) — all three forms + explain
+      val smp = SparkEntry.queries("q64_sample_clause")(spark, sf)
+      smp.show(3, truncate = false)
+      val docsT = Table(spark.read.parquet(s"$sf/documents.parquet"))
+      println("q64 explain(USING SAMPLE) map-only=" +
+        !docsT.explainSql("SELECT doc_id FROM d USING SAMPLE 10%")
+          .contains("Exchange"))
     }
 
     spark.stop()
