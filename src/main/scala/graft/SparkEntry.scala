@@ -6282,6 +6282,65 @@ object SparkEntry {
     // outer join + per-column CASE chains. DuckDB 1.0 predates MERGE, so
     // the oracle is the arm-by-arm relational equivalent (the verdict's
     // anticipated fallback); the rollup gates the post-merge table.
+    // DML statement forms (u10, [[graft.sql.DmlSql]]): INSERT INTO
+    // (SELECT source + VALUES-with-column-list), UPDATE … SET … WHERE,
+    // DELETE FROM … WHERE — each returns the post-statement table (the
+    // u09 MERGE convention), chained here by re-registering views. The
+    // oracle re-derives every step relationally (UNION ALL / CASE /
+    // NOT-coalesce — the standard's semantics for each form). INSERT is
+    // a shuffle-free union, UPDATE a map-side CASE, DELETE a map-side
+    // filter.
+    "u10_dml_statements" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u10_base")
+        graft.api.Table.sessionSql(s,
+          """INSERT INTO u10_base
+             SELECT k + 1000000, 'X', cents DIV 2 FROM u10_base
+             WHERE k % 3 = 0""").df.createOrReplaceTempView("u10_i1")
+        graft.api.Table.sessionSql(s,
+          """INSERT INTO u10_i1 (st, k)
+             VALUES ('V', 999999901), ('V', 999999902)""").df
+          .createOrReplaceTempView("u10_i2")
+        graft.api.Table.sessionSql(s,
+          """UPDATE u10_i2 SET st = 'U', cents = cents * 2
+             WHERE cents < 5000000""").df
+          .createOrReplaceTempView("u10_u")
+        graft.api.Table.sessionSql(s,
+          "DELETE FROM u10_u WHERE st = 'X' AND cents % 10 = 0").df
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("st"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 7 = 0),
+         i1 AS (SELECT * FROM base
+                UNION ALL
+                SELECT k + 1000000, 'X', cents // 2 FROM base
+                WHERE k % 3 = 0),
+         i2 AS (SELECT * FROM i1
+                UNION ALL
+                SELECT * FROM (VALUES (999999901, 'V', NULL),
+                                      (999999902, 'V', NULL))
+                       v(k, st, cents)),
+         u AS (SELECT k,
+                 CASE WHEN cents < 5000000 THEN 'U' ELSE st END AS st,
+                 CASE WHEN cents < 5000000 THEN cents * 2
+                      ELSE cents END AS cents
+               FROM i2),
+         d AS (SELECT * FROM u
+               WHERE NOT coalesce(st = 'X' AND cents % 10 = 0, FALSE))
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM d GROUP BY st ORDER BY st"""),
+
     "u09_merge_into" -> api(
       (s, dir) => {
         Registry.registerAll(s)

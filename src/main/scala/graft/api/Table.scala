@@ -444,6 +444,15 @@ object Table {
         return apply(graft.sql.MergeSql.run(spark, st, resolveRef))
       case None =>
     }
+    // INSERT / UPDATE / DELETE (u10) — the simpler DML siblings, same
+    // returns-the-post-statement-table convention; a SELECT source
+    // re-enters the full pipeline
+    graft.sql.DmlSql.parse(qr) match {
+      case Some(st) =>
+        return apply(graft.sql.DmlSql.run(spark, st, resolveRef,
+          s => sessionSql(spark, s).df))
+      case None =>
+    }
     graft.sql.PivotSql.parsePivot(qr) match {
       case Some(p) => return apply(graft.sql.PivotSql.runPivot(spark, p,
         resolveRef, runStmtTail(spark, _, _)))

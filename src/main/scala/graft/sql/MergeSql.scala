@@ -148,7 +148,19 @@ object MergeSql {
         s"MERGE $side must be a table name or a parenthesized subquery, " +
           s"got: $t")
       val alias = stripAs(parts.tail.mkString(" "))
-      (name, if (alias.isEmpty) name else alias)
+      if (alias.nonEmpty) (name, alias)
+      else {
+        // default alias for a qualified/backticked name is its LAST
+        // identifier part, backticks stripped (advice r15: aliasing the
+        // frame as the raw "db.t" text makes every qualified column
+        // reference unresolvable); names whose last part is not a plain
+        // identifier must alias explicitly
+        val last = name.split("\\.").last.replaceAll("`", "")
+        require(last.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"cannot derive an alias from MERGE $side '$name' — add an " +
+            "explicit alias")
+        (name, last)
+      }
     }
   }
 
@@ -286,6 +298,79 @@ object MergeSql {
     -1
   }
 
+  // bare words that may appear inside an ON-side expression without
+  // making its alias ownership ambiguous (SQL syntax, not column refs)
+  private val SideKeywords: Set[String] = Set(
+    "case", "when", "then", "else", "end", "and", "or", "not", "null",
+    "true", "false", "in", "is", "like", "ilike", "between", "distinct",
+    "interval", "escape")
+
+  /** For a PURE equi-conjunction ON — every depth-0 AND conjunct is
+    * `x = y` with one side referencing only target-alias-qualified
+    * columns and the other only source-alias-qualified ones — the
+    * source-side key expressions. None on anything else (theta terms,
+    * bare column references, mixed sides): the caller falls back to the
+    * join-based multi-match guard, which is always correct.
+    */
+  private[graft] def equiSourceKeys(on: String, tAlias: String,
+                                    sAlias: String): Option[Seq[String]] = {
+    val m = stripLiterals(on)
+    // depth-0 AND split, CASE…END skipped (an AND inside an
+    // unparenthesized CASE predicate is not a conjunct boundary)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = findOutsideCase(m, 0, "and")
+    while (p >= 0) { bounds += p; p = findOutsideCase(m, p + 3, "and") }
+    val cuts = (-3 +: bounds.toSeq) :+ on.length
+    val conjuncts = cuts.sliding(2).map {
+      case Seq(a, b) => on.substring(a + 3, b)
+    }.toSeq
+    // ownership of one side: Some('t') all-target, Some('s') all-source
+    def side(text: String): Option[Char] = {
+      val sm = stripLiterals(text)
+      var hasT = false
+      var hasS = false
+      var i = 0
+      while (i < sm.length) {
+        val c = sm.charAt(i)
+        if (c.isLetter || c == '_') {
+          var j = i + 1
+          while (j < sm.length && (sm.charAt(j).isLetterOrDigit ||
+            sm.charAt(j) == '_')) j += 1
+          val word = sm.substring(i, j)
+          val qualified = i > 0 && sm.charAt(i - 1) == '.'
+          var k = j
+          while (k < sm.length && sm.charAt(k).isWhitespace) k += 1
+          val isQualifier = k < sm.length && sm.charAt(k) == '.'
+          val isCall = k < sm.length && sm.charAt(k) == '('
+          if (isQualifier && !qualified) {
+            if (word.equalsIgnoreCase(tAlias)) hasT = true
+            else if (word.equalsIgnoreCase(sAlias)) hasS = true
+            else return None // unknown qualifier — bail to the join guard
+          } else if (!qualified && !isCall &&
+            !SideKeywords(word.toLowerCase)) {
+            return None // bare column reference — ownership unknown
+          }
+          i = j
+        } else i += 1
+      }
+      if (hasT && !hasS) Some('t')
+      else if (hasS && !hasT) Some('s')
+      else None
+    }
+    val keys = conjuncts.map { c =>
+      val eq = findTopLevelEquals(c)
+      if (eq < 0) return None
+      val l = c.substring(0, eq)
+      val r = c.substring(eq + 1)
+      (side(l), side(r)) match {
+        case (Some('t'), Some('s')) => r.trim
+        case (Some('s'), Some('t')) => l.trim
+        case _ => return None
+      }
+    }
+    if (keys.isEmpty) None else Some(keys)
+  }
+
   private val TFlag = "__merge_t_present"
   private val SFlag = "__merge_s_present"
   private val TId = "__merge_tid"
@@ -328,16 +413,45 @@ object MergeSql {
     val matched = col(TFlag).isNotNull && col(SFlag).isNotNull
     val tOnly = col(TFlag).isNotNull && col(SFlag).isNull
     val sOnly = col(TFlag).isNull && col(SFlag).isNotNull
-    // SQL-standard multi-match refusal (bounded one-row aggregate)
+    // SQL-standard multi-match refusal. For a pure equi-ON the contract
+    // "one source row per target row" follows from source-side key
+    // uniqueness, established by ONE aggregate over the source alone —
+    // no join re-run (r15 advice; strictly stronger: duplicate source
+    // keys refuse even when unmatched, documented below). Theta/mixed
+    // ON conditions keep the join-based guard.
     if (st.arms.exists(_.kind == 0)) {
-      val mm = joined.filter(matched).groupBy(col(TId))
-        .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect().head
-      if (!mm.isNullAt(0) && mm.getLong(0) > 1)
-        throw new IllegalArgumentException(
-          s"MERGE: a target row matches ${mm.getLong(0)} source rows — " +
-            "the SQL standard forbids updating/deleting one target row " +
-            "from multiple source rows; deduplicate the source on the " +
-            "ON keys first (e.g. a latest-wins window)")
+      equiSourceKeys(st.on, st.targetAlias, st.sourceAlias) match {
+        case Some(keys) =>
+          val kcols = keys.zipWithIndex.map { case (k, i) =>
+            expr(k).as(s"__mk$i")
+          }
+          val keyed = sw.select(kcols: _*)
+          // a NULL key never equi-matches a target row — exclude before
+          // counting, else two null-keyed source rows refuse falsely
+          val nonNull = (0 until keys.size)
+            .map(i => col(s"__mk$i").isNotNull).reduce(_ && _)
+          val mm = keyed.filter(nonNull)
+            .groupBy((0 until keys.size).map(i => col(s"__mk$i")): _*)
+            .agg(count(lit(1)).as("__n")).agg(max(col("__n")))
+            .collect().head
+          if (!mm.isNullAt(0) && mm.getLong(0) > 1)
+            throw new IllegalArgumentException(
+              s"MERGE: an ON key recurs in ${mm.getLong(0)} source rows, " +
+                "so a target row could match " + mm.getLong(0) +
+                " source rows — the SQL standard forbids " +
+                "updating/deleting one target row from multiple source " +
+                "rows; deduplicate the source on the ON keys first " +
+                "(e.g. a latest-wins window)")
+        case None =>
+          val mm = joined.filter(matched).groupBy(col(TId))
+            .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect().head
+          if (!mm.isNullAt(0) && mm.getLong(0) > 1)
+            throw new IllegalArgumentException(
+              s"MERGE: a target row matches ${mm.getLong(0)} source rows — " +
+                "the SQL standard forbids updating/deleting one target row " +
+                "from multiple source rows; deduplicate the source on the " +
+                "ON keys first (e.g. a latest-wins window)")
+      }
     }
     // first arm wins, textual order; -1 keeps the target row, -2 drops
     // an unmatched source row (no INSERT arm fired)

@@ -1,0 +1,101 @@
+package graft
+
+import graft.api.Table
+import graft.sql.DmlSql
+
+/** DML statement forms (u10): INSERT INTO / UPDATE / DELETE FROM at the
+  * session surface, each returning the post-statement table (the MERGE
+  * convention). Semantics probed against DuckDB's native DML.
+  */
+class DmlSqlSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def bind(): Unit =
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v").createOrReplaceTempView("dml_t")
+
+  private def run(sql: String): Seq[(Long, String, Option[Long])] =
+    Table.sessionSql(spark, sql).toDF
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+
+  test("INSERT VALUES: positional, multi-row, cast into target types") {
+    bind()
+    val got = run("INSERT INTO dml_t VALUES (4, 'd', 40), (5, 'e', 50)")
+    assert(got.size == 5 && got.contains((4L, "d", Some(40L))) &&
+      got.contains((5L, "e", Some(50L))))
+  }
+
+  test("INSERT with column list fills unnamed columns with NULL") {
+    bind()
+    val got = run("INSERT INTO dml_t (tag, k) VALUES ('z', 9)")
+    assert(got.contains((9L, "z", None)))
+  }
+
+  test("INSERT from a SELECT source (self-reference allowed)") {
+    bind()
+    val got = run(
+      "INSERT INTO dml_t SELECT k + 100, upper(tag), v * 2 FROM dml_t")
+    assert(got.size == 6 && got.contains((101L, "A", Some(20L))))
+  }
+
+  test("UPDATE: old-row SET evaluation, WHERE gating, no-WHERE = all") {
+    bind()
+    // v reads the OLD v in both assignments (simultaneous assignment)
+    val got = run("UPDATE dml_t SET v = v + k, k = k * 10 WHERE v >= 20")
+    assert(got == Seq((1L, "a", Some(10L)), (20L, "b", Some(22L)),
+      (30L, "c", Some(33L))))
+    val all = run("UPDATE dml_t SET tag = 'x'")
+    assert(all.forall(_._2 == "x"))
+  }
+
+  test("UPDATE with alias; NULL predicate rows keep their values") {
+    Seq((1L, "a", Some(10L)), (2L, "b", None))
+      .toDF("k", "tag", "v").createOrReplaceTempView("dml_n")
+    val got = run("UPDATE dml_n AS x SET tag = 'hit' WHERE x.v > 5")
+    assert(got == Seq((1L, "hit", Some(10L)), (2L, "b", None)))
+  }
+
+  test("DELETE: TRUE removes, NULL keeps, no WHERE empties") {
+    Seq((1L, "a", Some(10L)), (2L, "b", None), (3L, "c", Some(30L)))
+      .toDF("k", "tag", "v").createOrReplaceTempView("dml_d")
+    val got = run("DELETE FROM dml_d WHERE v > 15")
+    assert(got == Seq((1L, "a", Some(10L)), (2L, "b", None)))
+    assert(Table.sessionSql(spark, "DELETE FROM dml_d").toDF.count() == 0L)
+  }
+
+  test("refusals: unknown columns, width mismatch, malformed text") {
+    bind()
+    assert(intercept[IllegalArgumentException](
+      run("INSERT INTO dml_t (nope) VALUES (1)"))
+      .getMessage.contains("unknown target column"))
+    assert(intercept[IllegalArgumentException](
+      run("INSERT INTO dml_t VALUES (1, 'x')"))
+      .getMessage.contains("positional INSERT"))
+    assert(intercept[IllegalArgumentException](
+      run("UPDATE dml_t SET nope = 1"))
+      .getMessage.contains("unknown column"))
+    assert(intercept[IllegalArgumentException](
+      run("UPDATE dml_t SET k = 1, k = 2"))
+      .getMessage.contains("duplicate column"))
+    intercept[IllegalArgumentException](run("DELETE dml_t WHERE k = 1"))
+    intercept[IllegalArgumentException](run("INSERT INTO dml_t"))
+  }
+
+  test("non-DML statements pass through; literals never trigger") {
+    assert(DmlSql.parse("SELECT 'insert into' FROM t").isEmpty)
+    assert(DmlSql.parse("-- update t\nSELECT 1").isEmpty)
+    assert(DmlSql.parse("SELECT * FROM updates").isEmpty)
+  }
+
+  test("plan shapes: INSERT has no shuffle; UPDATE/DELETE are map-side") {
+    bind()
+    val ins = Table.sessionSql(spark,
+      "INSERT INTO dml_t VALUES (4, 'd', 40)").toDF
+    assert(!ins.queryExecution.executedPlan.toString.contains("Exchange"))
+    val upd = Table.sessionSql(spark,
+      "UPDATE dml_t SET v = v + 1 WHERE k > 1").toDF
+    assert(!upd.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}

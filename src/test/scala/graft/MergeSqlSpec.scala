@@ -66,7 +66,7 @@ class MergeSqlSpec extends GraftSuite {
     assert(got == Seq((2L, "b", 200L), (3L, "c", 300L)))
   }
 
-  test("multi-match refusal is loud") {
+  test("multi-match refusal is loud (equi-ON: source-side agg, no join)") {
     bind()
     Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "tag", "v")
       .createOrReplaceTempView("mt_dup")
@@ -74,7 +74,66 @@ class MergeSqlSpec extends GraftSuite {
       run("""MERGE INTO mt_target t USING mt_dup s ON t.k = s.k
              WHEN MATCHED THEN UPDATE SET v = s.v""")
     }
+    assert(e.getMessage.contains("2 source rows"))
+    // equi-ON guard is deliberately stricter: a duplicated source key
+    // refuses even when no target row matches it (k=9 unmatched)
+    Seq((9L, "x", 1L), (9L, "y", 2L)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("mt_dup9")
+    intercept[IllegalArgumentException] {
+      run("""MERGE INTO mt_target t USING mt_dup9 s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    // null source keys never equi-match — they must NOT trip the guard
+    Seq((Option.empty[Long], "x", 1L), (Option.empty[Long], "y", 2L),
+      (Some(2L), "z", 5L)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("mt_dupn")
+    val ok = run(
+      """MERGE INTO mt_target t USING mt_dupn s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(ok.exists(_ == ((2L, "b", 5L))))
+  }
+
+  test("multi-match refusal via the join guard on theta ON") {
+    bind()
+    Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("mt_dup")
+    val e = intercept[IllegalArgumentException] {
+      run("""MERGE INTO mt_target t USING mt_dup s
+             ON t.k = s.k AND s.v < t.v
+             WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    // the theta conjunct defeats key extraction — join guard fires
     assert(e.getMessage.contains("matches 2 source rows"))
+  }
+
+  test("equi-ON MERGE plans exactly one join (guard adds none)") {
+    bind()
+    import graft.sql.MergeSql
+    val st = MergeSql.parse(
+      """MERGE INTO mt_target t USING mt_source s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v""").get
+    val out = MergeSql.run(spark, st, spark.table)
+    val p = out.queryExecution.optimizedPlan.toString
+    val joins = "(?i)join".r.findAllIn(p).length
+    assert(joins == 1, s"expected exactly one join, got $joins:\n$p")
+  }
+
+  test("equiSourceKeys: extraction and conservative bail-outs") {
+    import graft.sql.MergeSql
+    assert(MergeSql.equiSourceKeys("t.k = s.k", "t", "s")
+      .contains(Seq("s.k")))
+    assert(MergeSql.equiSourceKeys(
+      "s.a = t.x AND t.y = upper(s.b)", "t", "s")
+      .contains(Seq("s.a", "upper(s.b)")))
+    // CASE side owned by the source
+    assert(MergeSql.equiSourceKeys(
+      "t.k = CASE WHEN s.v > 0 THEN s.k ELSE -1 END", "t", "s")
+      .contains(Seq("CASE WHEN s.v > 0 THEN s.k ELSE -1 END")))
+    // theta conjunct / bare column / mixed side / unknown qualifier bail
+    assert(MergeSql.equiSourceKeys("t.k < s.k", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("t.k = s.k AND v > 0", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("t.k = s.k + t.k", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("t.k = x.k", "t", "s").isEmpty)
   }
 
   test("subquery source, arm expressions cast into target types") {

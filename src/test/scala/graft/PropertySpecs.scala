@@ -330,6 +330,37 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           }
     }
 
+  private val dmlCorpus: Seq[String] = Seq(
+    """INSERT INTO t (k, tag) VALUES (1, 'insert into values (2)'),
+       (2, 'update t set where')""",
+    "INSERT INTO t SELECT k, v FROM s WHERE tag <> 'values (1)'",
+    """UPDATE t SET tag = 'delete from t where', v = v + 1
+       WHERE note <> 'set x = 1, y = 2'""",
+    "DELETE FROM t WHERE tag <> 'update set where delete'")
+
+  property("DML parse structure is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(dmlCorpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.DmlSql
+        def shape(s: String): Option[Product] = DmlSql.parse(s).map {
+          case DmlSql.Insert(r, cols, v, src) =>
+            (r, cols, v.isDefined, src.isDefined)
+          case DmlSql.Update(r, a, sets, w) =>
+            (r, a, sets.map(_._1), w.isDefined)
+          case DmlSql.Delete(r, a, w) => (r, a, w.isDefined)
+        }
+        val sq = shape(q)
+        sq.isDefined && sq == shape(junked(q, salt)) &&
+          // isDefined-equality over the driver corpus (never isEmpty —
+          // the round-15 lesson)
+          {
+            val c = corpus(salt % corpus.size)
+            scala.util.Try(DmlSql.parse(junked(c, salt))).toOption
+              .flatten.isDefined ==
+              scala.util.Try(DmlSql.parse(c)).toOption.flatten.isDefined
+          }
+    }
+
   private val sampleCorpus: Seq[String] = Seq(
     """SELECT id, note FROM t WHERE note <> 'using sample 99%'
        USING SAMPLE 25% ORDER BY id LIMIT 7""",

@@ -458,6 +458,11 @@ object SmokeMain {
       println("q64 explain(USING SAMPLE) map-only=" +
         !docsT.explainSql("SELECT doc_id FROM d USING SAMPLE 10%")
           .contains("Exchange"))
+      // round-16: DML statement forms + the cheap MERGE guard
+      val dml = SparkEntry.queries("u10_dml_statements")(spark, sf)
+      dml.show(6, truncate = false)
+      println(s"u09 merge (equi-ON source-side guard) rows=" +
+        SparkEntry.queries("u09_merge_into")(spark, sf).count())
     }
 
     spark.stop()
