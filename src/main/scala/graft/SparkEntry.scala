@@ -5033,6 +5033,71 @@ object SparkEntry {
     // documented), the ROWS frame orders by the unique key (tied ROWS
     // order is engine-nondeterministic), AVG rounds after the one
     // division. Outer CASTs pin DuckDB's HUGEINT window sums to BIGINT.
+    // GROUPS window-frame mode (w14, [[Dialect.rewriteGroupsFrames]]):
+    // frame bounds count PEER GROUPS — lowered onto a dense_rank group
+    // index + RANGE frame over it in ONE wrapped statement. DuckDB 1.0
+    // predates GROUPS (parser error, probed), so the oracle re-derives
+    // the same semantics explicitly via dense_rank + RANGE — the u09
+    // convention for forms DuckDB can't run natively. Covers between,
+    // running (unbounded‥current), strictly-backward (2‥1 preceding,
+    // empty on the first groups → NULL) and the single-bound shorthand.
+    "w14_groups_frames" -> diff("orders",
+      """SELECT o_orderkey AS k,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_adj,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_run,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             GROUPS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_back,
+           CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             GROUPS 1 PRECEDING) AS BIGINT) AS mn_g
+         FROM orders WHERE o_orderkey % 11 = 0
+         ORDER BY k""",
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  dense_rank() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey % 5) AS gi
+           FROM orders WHERE o_orderkey % 11 = 0)
+         SELECT k,
+           CAST(sum(cents) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_adj,
+           count(*) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_run,
+           CAST(sum(cents) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 2 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s_back,
+           CAST(min(cents) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS mn_g
+         FROM b ORDER BY k"""),
+
+    // min/max window EXCLUDE CURRENT ROW (w15, SAME text both engines —
+    // DuckDB executes EXCLUDE natively, probed): lowered as the
+    // before/after ROWS-frame split LEAST/GREATEST combine (frame minus
+    // current row), incl. the edge frames whose before- or after-slice
+    // is empty. BIGINT cents keep min/max exact.
+    "w15_minmax_exclude" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+             EXCLUDE CURRENT ROW) AS mn_w,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS mx_all,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW) AS mn_f,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW) AS mx_b
+         FROM orders WHERE o_orderkey % 9 = 0
+         ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,

@@ -84,9 +84,12 @@ final class Table private (val df: DataFrame) {
     val q0 = Dialect.fromFirst(q).getOrElse(q)
     // frame-EXCLUDE algebra (w12) runs before the alias passes: it only
     // rewrites inside OVER(...) spans, and its output introduces no new
-    // aliases for them to chase
+    // aliases for them to chase. GROUPS lowering (w14) runs after
+    // alias-into-WHERE (the WHERE moves inside its wrap) and before
+    // nulls-last (the wrap's outer ORDER BY is still top-level there).
     val q1 = Dialect.rewriteWindowExclude(q0)
-    Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q1))
+    Dialect.orderByNullsLast(
+      Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
 
   private def sqlOne(q0: String): Table = {
@@ -498,7 +501,8 @@ object Table {
         n => spark.table(n).columns.toSeq)
     val q0 = Dialect.rewriteWindowExclude(
       Dialect.fromFirst(qSampled).getOrElse(qSampled))
-    val q1 = Dialect.orderByNullsLast(Dialect.aliasesIntoWhere(q0))
+    val q1 = Dialect.orderByNullsLast(
+      Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session
     // view (the table COLUMNS binds to); resolution is attempted only
     // when the statement actually carries a COLUMNS( call

@@ -1037,6 +1037,187 @@ object Dialect {
     out
   }
 
+  /** GROUPS window-frame mode (w14). Spark has no GROUPS frames; the
+    * SQL-standard semantics — frame bounds count PEER GROUPS of the
+    * ORDER BY key — lower exactly onto a dense_rank group index plus a
+    * RANGE frame over it:
+    *
+    *   agg(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN a AND b)
+    *   ≡ agg(x) OVER (PARTITION BY p ORDER BY __grp RANGE BETWEEN a AND b)
+    *     with __grp = dense_rank() OVER (PARTITION BY p ORDER BY o)
+    *
+    * (group-index distance IS the peer-group distance; RANGE CURRENT
+    * ROW covers exactly the current group's rows, matching GROUPS
+    * CURRENT ROW on both edges). The dense_rank needs a pass below the
+    * projection, so the statement is wrapped: select items move over a
+    * derived table that appends one `__grp_N` column per distinct
+    * window (partition, order) pair; the derived table is aliased to
+    * the FROM table's effective alias so qualified references keep
+    * resolving. The dense_rank ORDER BY gets the dialect's NULLS LAST
+    * default, so group indexing matches the receiver dialect's sort.
+    *
+    * Loud refusals (never silent mis-execution): GROUPS in a subquery
+    * (the wrap targets the outer statement only), under a WITH head, a
+    * multi-table / joined FROM (the wrap has one alias — pre-join into
+    * a view), top-level GROUP BY / HAVING / QUALIFY / WINDOW clause /
+    * set operators, bare `*` select items (the wrap would leak the
+    * index columns through the star), and a GROUPS spec without ORDER
+    * BY (the standard requires one). A `groups` used as an identifier
+    * never triggers: the frame keyword must be followed by
+    * BETWEEN / UNBOUNDED / CURRENT / a number.
+    */
+  def rewriteGroupsFrames(sql: String): String = {
+    val m0 = stripLiterals(sql)
+    if (findAnyDepthKeyword(m0, "groups") < 0) return sql
+    // (overPos, specOpen, specClose, groupsPosInSpec)
+    def findHit(m: String): Option[(Int, Int, Int, Int)] = {
+      var o = 0
+      while (o < m.length) {
+        if (wordAt(m, o, "over")) {
+          val k = skipWsAt(m, o + 4)
+          if (k < m.length && m.charAt(k) == '(') {
+            val close = matchParenAt(m, k)
+            val specMask = m.substring(k + 1, close)
+            var g = findTopLevelKeywordIn(specMask, 0, "groups")
+            while (g >= 0) {
+              val nx = skipWsAt(specMask, g + 6)
+              if (wordAt(specMask, nx, "between") ||
+                wordAt(specMask, nx, "unbounded") ||
+                wordAt(specMask, nx, "current") ||
+                (nx < specMask.length && specMask.charAt(nx).isDigit))
+                return Some((o, k, close, g))
+              g = findTopLevelKeywordIn(specMask, g + 6, "groups")
+            }
+          }
+        }
+        o += 1
+      }
+      None
+    }
+    if (findHit(m0).isEmpty) return sql // identifier named groups only
+    // is position p inside a nested SELECT (any open paren group that
+    // contains a select keyword)?
+    def insideSubquery(m: String, p: Int): Boolean = {
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+      var i = 0
+      while (i < p) {
+        val c = m.charAt(i)
+        if (c == '(') stack += false
+        else if (c == ')') { if (stack.nonEmpty) stack.remove(stack.size - 1) }
+        else if (stack.nonEmpty && wordAt(m, i, "select"))
+          stack(stack.size - 1) = true
+        i += 1
+      }
+      stack.contains(true)
+    }
+    // ---- statement-shape validation ----
+    val selAt = skipWsAt(m0, 0)
+    require(wordAt(m0, selAt, "select"),
+      "GROUPS frames are supported in a plain SELECT statement — " +
+        "inline any WITH clause")
+    // ---- replace every GROUPS OVER, collecting dense_rank defs ----
+    val defKeys = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val defPo = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = sql
+    var guard = 0
+    var hit = findHit(stripLiterals(cur))
+    while (hit.isDefined && guard < 64) {
+      val (o, k, close, g) = hit.get
+      val mcur = stripLiterals(cur)
+      require(!insideSubquery(mcur, o),
+        "GROUPS frames are supported in the outermost SELECT only — " +
+          "lift the windowed subquery or rewrite its frame in ROWS mode")
+      val spec = cur.substring(k + 1, close)
+      val poMask = mcur.substring(k + 1, k + 1 + g)
+      val po = spec.substring(0, g)
+      val orderPos = findTopLevelKeywordIn(poMask, 0, "order")
+      require(orderPos >= 0,
+        "a GROUPS frame requires an ORDER BY in the window specification")
+      val partText = spec.substring(0, orderPos).trim
+      val frameBody = spec.substring(g + 6) // after the GROUPS keyword
+      val key = po.trim.replaceAll("\\s+", " ").toLowerCase
+      val idx = defKeys.getOrElseUpdate(key, {
+        defPo += po.trim; defKeys.size
+      })
+      val newSpec = (if (partText.isEmpty) "" else partText + " ") +
+        s"ORDER BY `__grp_$idx` RANGE$frameBody"
+      cur = cur.substring(0, k + 1) + newSpec + cur.substring(close)
+      guard += 1
+      hit = findHit(stripLiterals(cur))
+    }
+    require(hit.isEmpty, "more than 64 GROUPS frames in one statement")
+    // ---- wrap: items over a derived table carrying the group indexes ----
+    val m = stripLiterals(cur)
+    val itemsStart = skipWsAt(m, 0) + 6
+    val fromPos = findTopLevelKeywordIn(m, itemsStart, "from")
+    require(fromPos > 0, "GROUPS frames need a FROM clause")
+    for (kw <- Seq("group", "having", "qualify", "window",
+      "union", "intersect", "except"))
+      require(findTopLevelKeywordIn(m, fromPos, kw) < 0,
+        s"GROUPS frames with a top-level ${kw.toUpperCase} clause are " +
+          "not supported — compute the grouped/combined relation in a " +
+          "view first")
+    var tailCut = cur.length
+    for (kw <- Seq("order", "limit", "offset")) {
+      val idx = findTopLevelKeywordIn(m, fromPos, kw)
+      if (idx >= 0 && idx < tailCut) tailCut = idx
+    }
+    val items = cur.substring(itemsStart, fromPos)
+    splitTopLevel(items).foreach { it =>
+      val t = stripLiterals(it).trim
+      require(t != "*" && !t.startsWith("* ") && !t.endsWith(".*"),
+        "GROUPS frames with a `*` select item are not supported — the " +
+          "wrap would leak the group-index columns through the star; " +
+          "name the columns")
+    }
+    val src = cur.substring(fromPos, tailCut)
+    val tail = cur.substring(tailCut)
+    // single-table FROM: `FROM name [[AS] alias] [WHERE …]`
+    val srcMask = m.substring(fromPos, tailCut)
+    require(findTopLevelKeywordIn(srcMask, 0, "join") < 0 &&
+      !splitTopLevel(src).drop(1).exists(_.trim.nonEmpty),
+      "GROUPS frames support a single-table FROM — pre-join into a view " +
+        "first")
+    val wherePos = findTopLevelKeywordIn(srcMask, 0, "where")
+    val refEnd = if (wherePos < 0) src.length else wherePos
+    val refParts = src.substring(4, refEnd).trim.split("\\s+")
+      .filterNot(_.equalsIgnoreCase("as"))
+    require(refParts.nonEmpty && refParts.length <= 2 &&
+      isBareIdentifier(refParts.head),
+      "GROUPS frames need a plain single-table FROM reference, got: " +
+        src.substring(4, refEnd).trim)
+    val innerAlias =
+      if (refParts.length == 2) refParts(1)
+      else refParts.head.split("\\.").last.replaceAll("`", "")
+    val defsText = defPo.zipWithIndex.map { case (po, i) =>
+      s"dense_rank() OVER (${nullsLastWindowOrder(po)}) AS `__grp_$i`"
+    }.mkString(", ")
+    s"SELECT $items FROM (SELECT *, $defsText $src) $innerAlias $tail"
+  }
+
+  /** Append the dialect's NULLS LAST default to each ORDER BY item of a
+    * window `PARTITION BY … ORDER BY …` text (the group-index sort must
+    * match the receiver dialect's null placement).
+    */
+  private def nullsLastWindowOrder(po: String): String = {
+    val m = stripLiterals(po)
+    val orderPos = findTopLevelKeywordIn(m, 0, "order")
+    if (orderPos < 0) return po
+    val by = findTopLevelKeywordIn(m, orderPos + 5, "by")
+    if (by < 0) return po
+    val items = splitTopLevel(po.substring(by + 2)).map { it =>
+      val mIt = stripLiterals(it)
+      if ("(?i)\\bnulls\\b".r.findFirstIn(mIt).isDefined) it
+      else {
+        val lastCode = mIt.lastIndexWhere(!_.isWhitespace)
+        if (lastCode < 0) it
+        else it.substring(0, lastCode + 1) + " NULLS LAST" +
+          it.substring(lastCode + 1)
+      }
+    }
+    po.substring(0, by + 2) + items.mkString(",")
+  }
+
   /** First any-depth occurrence of keyword `kw` in a masked view. */
   private def findAnyDepthKeyword(m: String, kw: String): Int = {
     var i = 0
@@ -1123,9 +1304,9 @@ object Dialect {
     while (fs >= 0 && (m.charAt(fs).isLetterOrDigit || m.charAt(fs) == '_')) fs -= 1
     fs += 1
     val fname = cur.substring(fs, fe + 1).toLowerCase
-    require(Set("sum", "count", "avg").contains(fname),
-      s"EXCLUDE rewrite supports SUM/COUNT/AVG (subtraction-decomposable" +
-        s"), got $fname — min/max cannot exclude by frame algebra")
+    require(Set("sum", "count", "avg", "min", "max").contains(fname),
+      s"EXCLUDE rewrite supports SUM/COUNT/AVG (subtraction algebra) " +
+        s"and MIN/MAX (before/after frame split), got $fname")
     val args = cur.substring(argOpen + 1, q).trim
     val argsMask = m.substring(argOpen + 1, q)
     require(findTopLevelKeywordIn(argsMask, 0, "distinct") < 0,
@@ -1143,6 +1324,14 @@ object Dialect {
       if (framePos < 0) "" else spec.substring(framePos, e).trim
     val orderPresent = findTopLevelKeywordIn(
       stripLiterals(po), 0, "order") >= 0
+    // min/max take the before/after ROWS-frame split path (w15):
+    // frame minus current row = combine(agg(start‥1 PRECEDING),
+    // agg(1 FOLLOWING‥end)) — exact for any agg whose merge is its own
+    // combine, which subtraction-decomposable algebra can't cover
+    if (fname == "min" || fname == "max")
+      return cur.substring(0, fs) +
+        minMaxExclude(fname, args, po, frameText, kind, orderPresent) +
+        cur.substring(close + 1)
     validateExcludeFrame(frameText, kind, orderPresent)
     require(kind == "current" || orderPresent,
       s"EXCLUDE ${kind.toUpperCase} needs an ORDER BY in the window " +
@@ -1182,13 +1371,87 @@ object Dialect {
     cur.substring(0, fs) + exprOut + cur.substring(close + 1)
   }
 
+  /** w15: MIN/MAX with EXCLUDE CURRENT ROW — frame minus the current
+    * row splits into two ROWS frames around it (start‥1 PRECEDING and
+    * 1 FOLLOWING‥end), combined with LEAST/GREATEST (both skip NULLs in
+    * Spark, so an empty slice — min of nothing — drops out of the
+    * combine, and both empty yields NULL, the standard's answer).
+    *
+    * Requires a row-addressable frame: an explicit ROWS frame, a RANGE
+    * frame unbounded at BOTH ends (the identical row set), or no frame
+    * with no ORDER BY (the whole partition). The default frame UNDER an
+    * ORDER BY is RANGE ‥ CURRENT ROW including peers — its row edge is
+    * not ROWS-expressible, so it refuses with the fix spelled out.
+    * GROUP/TIES exclusion needs peer slices MIN can't subtract — only
+    * CURRENT ROW (and the no-op NO OTHERS, handled before this) lower.
+    */
+  private def minMaxExclude(fname: String, args: String, po: String,
+                            frameText: String, kind: String,
+                            orderPresent: Boolean): String = {
+    require(kind == "current",
+      s"EXCLUDE ${kind.toUpperCase} over $fname is not supported — " +
+        "peer-group slices don't split into ROWS frames; only " +
+        "EXCLUDE CURRENT ROW lowers for MIN/MAX")
+    val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
+    require(!t.startsWith("groups"),
+      "EXCLUDE over a GROUPS frame is not supported — write the frame " +
+        "in ROWS mode (GROUPS itself lowers via a dense_rank group index)")
+    val (start, end) =
+      if (t.isEmpty) {
+        require(!orderPresent,
+          s"$fname EXCLUDE CURRENT ROW under an ORDER BY needs an " +
+            "explicit ROWS frame (the default RANGE frame's row edge " +
+            "is not ROWS-expressible) — e.g. ROWS BETWEEN UNBOUNDED " +
+            "PRECEDING AND CURRENT ROW")
+        ("unbounded preceding", "unbounded following")
+      } else {
+        val isRows = t.startsWith("rows")
+        val body = t.substring(if (isRows) 4 else 5).trim
+        val (s0, e0) =
+          if (body.startsWith("between")) {
+            val andPos = body.indexOf(" and ")
+            require(andPos > 0, s"malformed frame: $frameText")
+            (body.substring(7, andPos).trim, body.substring(andPos + 5).trim)
+          } else (body, "current row")
+        require(isRows || (s0 == "unbounded preceding" &&
+          e0 == "unbounded following"),
+          s"$fname EXCLUDE CURRENT ROW needs a ROWS frame (or RANGE " +
+            s"unbounded at both ends), got: $frameText")
+        require(!s0.endsWith("following"),
+          s"EXCLUDE over a frame starting after the current row " +
+            s"($frameText) would subtract rows outside the frame — refused")
+        require(!e0.endsWith("preceding"),
+          s"EXCLUDE over a frame ending before the current row " +
+            s"($frameText) would subtract rows outside the frame — refused")
+        (s0, e0)
+      }
+    val before =
+      if (start == "current row") None
+      else Some(s"$fname($args) OVER ($po ROWS BETWEEN $start AND 1 " +
+        "PRECEDING)")
+    val after =
+      if (end == "current row") None
+      else Some(s"$fname($args) OVER ($po ROWS BETWEEN 1 FOLLOWING AND " +
+        s"$end)")
+    val combine = if (fname == "min") "LEAST" else "GREATEST"
+    (before, after) match {
+      case (Some(b), Some(a)) => s"$combine($b, $a)"
+      case (Some(b), None) => s"($b)"
+      case (None, Some(a)) => s"($a)"
+      // frame was exactly the current row: excluding it leaves nothing
+      case (None, None) => s"(CASE WHEN 1 = 0 THEN ($args) END)"
+    }
+  }
+
   /** Refuse frames that may not contain the slice EXCLUDE subtracts. */
   private def validateExcludeFrame(frameText: String, kind: String,
                                    orderPresent: Boolean): Unit = {
     if (frameText.isEmpty) return // default frame contains current + peers
     val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
     require(!t.startsWith("groups"),
-      "GROUPS frame mode is not supported (Spark has no GROUPS frames)")
+      "EXCLUDE over a GROUPS frame is not supported — write the frame " +
+        "in ROWS/RANGE mode (GROUPS itself lowers via a dense_rank " +
+        "group index, w14, but not in combination with EXCLUDE)")
     val isRows = t.startsWith("rows")
     val body = t.substring(if (isRows) 4 else 5).trim
     val (start, end) =

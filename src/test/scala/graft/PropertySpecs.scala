@@ -394,6 +394,25 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           }
     }
 
+  private val groupsCorpus: Seq[String] = Seq(
+    """SELECT k, SUM(v) OVER (PARTITION BY p ORDER BY g
+       GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s
+       FROM t WHERE tag <> 'groups between current row' ORDER BY k""",
+    """SELECT k, COUNT(*) OVER (ORDER BY g GROUPS 2 PRECEDING) AS c
+       FROM t -- groups unbounded preceding""")
+
+  property("GROUPS-frame rewrite is identical outside masked regions") =
+    forAll(Gen.zip(Gen.oneOf(groupsCorpus ++ corpus),
+      Gen.chooseNum(0, 1000))) { case (q, salt) =>
+      val j = junked(q, salt)
+      val rq = scala.util.Try(Dialect.rewriteGroupsFrames(q))
+      val rj = scala.util.Try(Dialect.rewriteGroupsFrames(j))
+      rq.isSuccess == rj.isSuccess && rq.toOption.zip(rj.toOption)
+        .forall { case (a, b) =>
+          Dialect.stripLiterals(a) == Dialect.stripLiterals(b)
+        }
+    }
+
   property("window-EXCLUDE rewrite is identical outside masked regions") =
     forAll(qAndSalt) { case (q, salt) =>
       val j = junked(q, salt)

@@ -463,6 +463,11 @@ object SmokeMain {
       dml.show(6, truncate = false)
       println(s"u09 merge (equi-ON source-side guard) rows=" +
         SparkEntry.queries("u09_merge_into")(spark, sf).count())
+      // round-16: GROUPS frames + min/max EXCLUDE
+      println(s"w14 groups-frames rows=" +
+        SparkEntry.queries("w14_groups_frames")(spark, sf).count())
+      println(s"w15 minmax-exclude rows=" +
+        SparkEntry.queries("w15_minmax_exclude")(spark, sf).count())
     }
 
     spark.stop()

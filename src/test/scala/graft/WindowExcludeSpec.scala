@@ -84,8 +84,14 @@ class WindowExcludeSpec extends GraftSuite {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](
         Table.sessionSql(spark, sql).toDF.collect()).getMessage
+    // MIN lowers only over row-addressable frames (w15): the default
+    // RANGE-to-current frame's row edge is not ROWS-expressible
     assert(bad(s"SELECT MIN(v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
-      .contains("subtraction-decomposable"))
+      .contains("ROWS frame"))
+    assert(bad(s"SELECT MIN(v) OVER ($Frame EXCLUDE GROUP) FROM wx")
+      .contains("only EXCLUDE CURRENT ROW"))
+    assert(bad(s"SELECT MEDIAN(v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
+      .contains("EXCLUDE rewrite supports"))
     assert(bad(s"SELECT COUNT(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
       .contains("not decomposable"))
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
@@ -123,6 +129,39 @@ class WindowExcludeSpec extends GraftSuite {
     // group-exclusion leaves NULL only where no earlier non-peer rows
     // exist: rows (1,1,10) and (2,1,5) — two nulls (DuckDB-probed)
     assert(multi.length == 6 && multi.count(_.isNullAt(0)) == 2)
+  }
+
+  test("MIN/MAX EXCLUDE CURRENT ROW: before/after ROWS split (w15, " +
+      "DuckDB-probed incl. empty slices and all-null partitions)") {
+    Seq((1, 1, Option(10L)), (1, 2, Option(20L)), (1, 3, Option.empty[Long]),
+      (1, 4, Option(5L)), (1, 5, Option(40L)), (2, 1, Option(7L)))
+      .toDF("p", "k", "v").createOrReplaceTempView("wmx")
+    val got = Table.sessionSql(spark,
+      """SELECT p, k,
+           MIN(v) OVER (PARTITION BY p ORDER BY k
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE CURRENT ROW) AS mn,
+           MAX(v) OVER (PARTITION BY p ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS mx,
+           MIN(v) OVER (PARTITION BY p ORDER BY k
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW) AS mf,
+           MAX(v) OVER (PARTITION BY p ORDER BY k
+             ROWS BETWEEN CURRENT ROW AND CURRENT ROW
+             EXCLUDE CURRENT ROW) AS m0
+         FROM wmx ORDER BY p, k""").toDF
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)))).toSeq
+    // DuckDB native EXCLUDE on the identical fixture
+    assert(got == Seq(
+      (1, 1, Some(20L), Some(40L), Some(20L), None),
+      (1, 2, Some(10L), Some(40L), Some(5L), None),
+      (1, 3, Some(5L), Some(40L), Some(5L), None),
+      (1, 4, Some(40L), Some(40L), Some(40L), None),
+      (1, 5, Some(5L), Some(20L), None, None),
+      (2, 1, None, None, None, None)))
   }
 
   test("statements without EXCLUDE pass through byte-identical") {
