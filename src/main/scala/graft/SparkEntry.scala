@@ -329,6 +329,115 @@ object SparkEntry {
          $rows ORDER BY rank"""
   }
 
+  /** The t31 K-unrolled WordPiece training + greedy-segmentation oracle
+    * (the t25/t29 mold): per merge round, symbol counts and adjacent
+    * pair counts roll up from the '|'-delimited symbol string, the
+    * likelihood argmax (cnt/(cl·cr) DESC, l, r) picks the merge, and a
+    * recursive replace-to-fixpoint applies it (product = l ‖ strip##(r));
+    * then the induced vocabulary (initial alphabet ∪ merge products)
+    * greedy-longest-match segments the top-`nSeg` corpus words via a
+    * recursive walk that consumes the longest vocab prefix per step —
+    * exactly [[graft.ops.TextAnalysis.wordPieceTrain]] /
+    * [[graft.ops.TextAnalysis.wordPieceSegment]].
+    */
+  private def wordPieceOracle(k: Int, nSeg: Int): String = {
+    val rep = "replace(a.st, '|' || m.l || '|' || m.r || '|', " +
+      "'|' || m.l || substr(m.r, 3) || '|')"
+    // every multiply-referenced CTE is MATERIALIZED: v$i feeds s/p/a,
+    // m$i feeds a/prods/rows — inlined, DuckDB would re-execute the
+    // whole prior chain per reference, 3^k-fold (measured: > 300 s at
+    // sf0.001 without, seconds with)
+    val blocks = (0 until k).map { i =>
+      s"""
+         s$i AS MATERIALIZED (SELECT sym, sum(wn) AS c FROM (
+                  SELECT wn, unnest(list_filter(string_split(st, '|'),
+                           x -> x <> '')) AS sym FROM v$i)
+                GROUP BY sym),
+         p$i AS MATERIALIZED (SELECT s[g] AS l, s[g+1] AS r, sum(wn) AS cnt
+                FROM (SELECT wn, list_filter(string_split(st, '|'),
+                        x -> x <> '') AS s FROM v$i),
+                     unnest(generate_series(1, len(s) - 1)) u(g)
+                GROUP BY 1, 2),
+         m$i AS MATERIALIZED (SELECT p.l, p.r, p.cnt, sl.c AS cl,
+                        sr.c AS cr,
+                        CAST(p.cnt AS DOUBLE) /
+                          (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE))
+                          AS score
+                 FROM p$i p JOIN s$i sl ON sl.sym = p.l
+                            JOIN s$i sr ON sr.sym = p.r
+                 ORDER BY score DESC, p.l, p.r LIMIT 1),
+         a${i + 1}(w, wn, st, step) AS (
+           SELECT w, wn, st, 0 FROM v$i
+           UNION ALL
+           SELECT a.w, a.wn, $rep, a.step + 1
+           FROM a${i + 1} a, m$i m WHERE $rep <> a.st),
+         v${i + 1} AS MATERIALIZED (SELECT w, wn, st FROM (
+           SELECT w, wn, st,
+                  row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+           FROM a${i + 1}) WHERE rn = 1)"""
+    }.mkString(",")
+    val prods = (0 until k)
+      .map(i => s"SELECT l || substr(r, 3) AS p FROM m$i")
+      .mkString(" UNION ALL ")
+    val mergeRows = (0 until k).map(i =>
+      s"""SELECT 'merge' AS kind, l || '|' || r AS k,
+                 CAST($i AS BIGINT) AS rank, CAST(cnt AS BIGINT) AS n,
+                 CAST(cl AS BIGINT) AS cl, CAST(cr AS BIGINT) AS cr,
+                 CAST(round(score * 1e9) AS BIGINT) AS score_fp,
+                 l || substr(r, 3) AS s FROM m$i""")
+      .mkString(" UNION ALL ")
+    val best =
+      """list_max(list_filter(list_transform(
+           generate_series(1, least(vm.ml, len(w) - pos)),
+           l -> CASE WHEN map_extract(vm.m,
+                  CASE WHEN pos = 0 THEN substr(w, 1, l)
+                       ELSE '##' || substr(w, pos + 1, l) END)[1]
+                IS NOT NULL THEN l END),
+           x -> x IS NOT NULL))"""
+    s"""WITH RECURSIVE
+         wc AS MATERIALIZED (SELECT w, count(*) AS wn
+                FROM (SELECT unnest(string_split_regex(
+                        lower(coalesce(text, '')), '[^a-z0-9]+')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w),
+         v0 AS MATERIALIZED (SELECT w, wn,
+                       '|' || substr(w, 1, 1) || '|' ||
+                       regexp_replace(substr(w, 2), '(.)', '##\\1|', 'g')
+                         AS st
+                FROM wc),$blocks,
+         alpha AS (SELECT DISTINCT unnest(list_filter(string_split(st, '|'),
+                     x -> x <> '')) AS p FROM v0),
+         vocab AS MATERIALIZED (SELECT p FROM alpha UNION $prods),
+         vm AS MATERIALIZED (
+           SELECT map(list(p ORDER BY p), list(1 ORDER BY p)) AS m,
+                  max(len(p) - CASE WHEN p LIKE '##%' THEN 2 ELSE 0 END)
+                    AS ml
+           FROM vocab),
+         segwords AS MATERIALIZED (
+           SELECT w, wn FROM (SELECT w, wn, row_number()
+               OVER (ORDER BY wn DESC, w) AS rn FROM wc)
+           WHERE rn <= $nSeg),
+         wp(w, wn, pos, ps, bad) AS (
+           SELECT w, wn, 0, CAST([] AS VARCHAR[]), false FROM segwords
+           UNION ALL
+           SELECT w, wn,
+             CASE WHEN $best IS NULL THEN len(w) ELSE pos + $best END,
+             CASE WHEN $best IS NULL THEN ['[UNK]']
+                  ELSE list_append(ps,
+                    CASE WHEN pos = 0 THEN substr(w, 1, $best)
+                         ELSE '##' || substr(w, pos + 1, $best) END) END,
+             $best IS NULL
+           FROM wp, vm WHERE pos < len(w) AND NOT bad)
+       SELECT kind, k, rank, n, cl, cr, score_fp, s FROM (
+         $mergeRows
+         UNION ALL
+         SELECT 'seg', w, CAST(NULL AS BIGINT), wn,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), list_aggr(ps, 'string_agg', '.')
+         FROM wp WHERE pos = len(w)
+       ) ORDER BY kind, k"""
+  }
+
   /** The t29 K-unrolled unigram-LM training oracle: per EM round, a
     * recursive CTE carries the Viterbi DP array (one list of
     * (score, backpointer) structs per word, extended one position per
@@ -2402,15 +2511,17 @@ object SparkEntry {
                               x -> x <> '') AS toks
            FROM documents),
          g AS (SELECT doc_id, i AS pos,
-                      substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8) AS h
+                      CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),
+                                           1, 10)) AS BIGINT)
+                        % 549755813888 AS h
                FROM s, unnest(generate_series(1, len(toks) - 2)) AS u(i)
                WHERE len(toks) >= 3),
          k1 AS (SELECT doc_id,
-                  min(h || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0'))
+                  min(h * 16777216 + (16777216 - pos))
                     OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS key
                 FROM g),
-         fp0 AS (SELECT DISTINCT doc_id, substr(key, 1, 8) AS h FROM k1),
+         fp0 AS (SELECT DISTINCT doc_id, key // 16777216 AS h FROM k1),
          hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfq
                                 FROM fp0 GROUP BY h) WHERE dfq > 64),
          fp AS (SELECT doc_id, h FROM fp0
@@ -7001,6 +7112,36 @@ object SparkEntry {
                     CAST((doc_id * 13 + 3) %
                          (SELECT count(*) FROM documents) AS BIGINT)
              FROM documents) e ON e.src = r.id)
+         SELECT count(*) AS n_reached, CAST(sum(id) AS BIGINT) AS id_sum,
+                min(id) AS mn, max(id) AS mx
+         FROM reach"""),
+
+    // Multi-CTE WITH RECURSIVE (gr10): non-recursive HELPER CTEs ride
+    // alongside the one UNION-distinct recursive CTE — the common
+    // real-world shape (an edge table + a seed set next to the
+    // traversal). Helpers bind once in textual order before the
+    // recursion; same text on both engines (DuckDB executes the list
+    // natively). The graph is the gr09 cyclic functional graph; the
+    // EXCEPT-seen guard drains at the closure.
+    "gr10_recursive_helpers" -> multiSession(Seq("documents"),
+      """WITH RECURSIVE
+         e(src, dst) AS (
+           SELECT CAST(doc_id AS BIGINT),
+                  CAST((doc_id * 7 + 1) %
+                       (SELECT count(*) FROM documents) AS BIGINT)
+           FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT),
+                  CAST((doc_id * 13 + 3) %
+                       (SELECT count(*) FROM documents) AS BIGINT)
+           FROM documents),
+         seeds(id) AS (
+           SELECT CAST(doc_id AS BIGINT) FROM documents
+           WHERE doc_id % 101 = 0),
+         reach(id) AS (
+           SELECT id FROM seeds
+           UNION
+           SELECT e.dst FROM reach r JOIN e ON e.src = r.id)
          SELECT count(*) AS n_reached, CAST(sum(id) AS BIGINT) AS id_sum,
                 min(id) AS mn, max(id) AS mx
          FROM reach"""),
@@ -12184,6 +12325,45 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       },
       unigramTokenizeOracle(budget = 24, rounds = 2)),
+
+    // WordPiece tokenizer TRAINING + greedy apply (t31): the third
+    // standard subword algorithm (BERT family) beside BPE (t25,
+    // frequency argmax) and Unigram-LM (t29, EM) — merges pick the
+    // LIKELIHOOD argmax cnt/(cl·cr); inference is greedy
+    // longest-match-first with ## continuation, [UNK] on a dead end.
+    // Per round: two keyed aggs over the distinct-word vocab + a 1-row
+    // argmax collect + a map-only merge fold (Iterate.loop lineage
+    // cuts); apply inlines the induced vocabulary as a literal map —
+    // model-sized collects only. The oracle re-runs all 6 rounds
+    // K-unrolled (replace-to-fixpoint application, the t25 mold) and
+    // re-segments the top-5 words with a recursive greedy walk.
+    "t31_wordpiece" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val merges = graft.ops.TextAnalysis.wordPieceTrain(docs, "text", 6)
+        val vocab = graft.ops.TextAnalysis.wordPieceVocab(docs, "text", merges)
+        val words = docs.select(explode(split(lower(coalesce(col("text"),
+            lit(""))), "[^a-z0-9]+")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+          .orderBy(col("wn").desc, col("w")).limit(5)
+        val segs = graft.ops.TextAnalysis.wordPieceSegment(words, "w", vocab)
+          .select(lit("seg").as("kind"), col("w").as("k"),
+            lit(null).cast("long").as("rank"), col("wn").as("n"),
+            lit(null).cast("long").as("cl"), lit(null).cast("long").as("cr"),
+            lit(null).cast("long").as("score_fp"),
+            concat_ws(".", col("pieces")).as("s"))
+        merges.select(lit("merge").as("kind"),
+            concat(col("lhs"), lit("|"), col("rhs")).as("k"),
+            col("rank").cast("long").as("rank"),
+            col("pair_count").as("n"), col("lhs_count").as("cl"),
+            col("rhs_count").as("cr"), col("score_fp"),
+            concat(col("lhs"), expr("substring(rhs, 3)")).as("s"))
+          .unionByName(segs)
+          .orderBy(col("kind"), col("k"))
+      },
+      wordPieceOracle(k = 6, nSeg = 5)),
 
     // Trained quality-classifier INFERENCE gate (t28): the
     // fastText-style linear filter (CCNet/DCLM/FineWeb) as score →

@@ -551,7 +551,43 @@ object Table {
   private def runRecursiveUnion(spark: SparkSession,
                                 st: graft.sql.RecursiveUnion.Stmt,
                                 maxRounds: Int = 512): DataFrame = {
-    val seedDf = sessionSqlOne(spark, st.seed)
+    // every statement-scoped name (the recursive CTE and the gr10
+    // helper CTEs) binds under a per-invocation UNIQUE internal view
+    // name; all statement texts are rewritten consistently
+    val suffix = java.util.UUID.randomUUID.toString.take(8)
+    val names = st.helpers.map(_.name) :+ st.name
+    val rename = names.map(n => n -> s"__rec_${n}_$suffix").toMap
+    val internal = rename(st.name)
+    def rewriteAll(text: String): String =
+      names.foldLeft(text)((t, n) => Dialect.replaceIdent(t, n, rename(n)))
+    (st.helpers.map(h => s"helper ${h.name}" -> h.body) ++
+      Seq("seed" -> st.seed, "step" -> st.step,
+        "outer statement" -> st.outer)).foreach { case (what, text) =>
+      names.foreach { n =>
+        require(!Dialect.containsBacktickedIdent(text, n),
+          s"backquoted reference to the CTE '$n' in the $what is not " +
+            "supported — drop the backticks")
+      }
+    }
+    // helpers bind ONCE, in textual order (gr10): each may reference
+    // earlier helpers; references to the recursive CTE were refused at
+    // parse. The view holds the helper's lazy frame — same evaluation
+    // semantics as a native CTE
+    st.helpers.foreach { h =>
+      val df0 = bindLock.synchronized {
+        val d = sessionSqlOne(spark, rewriteAll(h.body))
+        d.queryExecution.assertAnalyzed()
+        d
+      }
+      val df = h.cols.map { cs =>
+        require(cs.size == df0.columns.length,
+          s"helper CTE ${h.name}(${cs.mkString(", ")}) declares " +
+            s"${cs.size} columns, its body produces ${df0.columns.length}")
+        df0.toDF(cs: _*)
+      }.getOrElse(df0)
+      bindLock.synchronized { df.createOrReplaceTempView(rename(h.name)) }
+    }
+    val seedDf = sessionSqlOne(spark, rewriteAll(st.seed))
     val cols = st.cols.getOrElse(seedDf.columns.toSeq)
     require(cols.size == seedDf.columns.length,
       s"recursive CTE ${st.name}(${cols.mkString(", ")}) declares " +
@@ -566,30 +602,31 @@ object Table {
         org.apache.spark.sql.functions.col(f.name)
           .cast(f.dataType).as(f.name)): _*)
     }
-    // the CTE name is STATEMENT-scoped: bind the working table under a
-    // per-invocation UNIQUE internal name and rewrite the references
-    // (review-caught, twice: binding st.name directly would permanently
-    // clobber a same-named session view, and a deterministic internal
-    // name would race concurrent same-named recursions). replaceIdent
-    // rewrites table references only — qualified columns `e.name` and
-    // `AS name` aliases stay; a backquoted reference is invisible to the
-    // masked rewrite and would silently read the session catalog, so it
-    // refuses loudly here.
-    Seq("step" -> st.step, "outer statement" -> st.outer).foreach {
-      case (what, text) =>
-        require(!Dialect.containsBacktickedIdent(text, st.name),
-          s"backquoted reference to the recursive CTE '${st.name}' in " +
-            s"the $what is not supported — drop the backticks")
-    }
-    val internal = s"__rec_${st.name}_" +
-      java.util.UUID.randomUUID.toString.take(8)
-    val step = Dialect.replaceIdent(st.step, st.name, internal)
-    val outer = Dialect.replaceIdent(st.outer, st.name, internal)
+    // the CTE names are STATEMENT-scoped: binding st.name directly
+    // would permanently clobber a same-named session view, and a
+    // deterministic internal name would race concurrent same-named
+    // recursions (review-caught, twice). replaceIdent rewrites table
+    // references only — qualified columns `e.name`, `AS name` aliases
+    // and column-land clause references stay; a backquoted reference is
+    // invisible to the masked rewrite and would silently read the
+    // session catalog — refused loudly above.
+    val step = rewriteAll(st.step)
+    val outer = rewriteAll(st.outer)
     try {
       var seen = seed.distinct().localCheckpoint(true)
       var frontier = seen
       var drained = frontier.isEmpty
       var round = 0
+      // `seen` accumulates as a UNION of already-checkpointed per-round
+      // increments — re-materializing the whole accumulation every round
+      // would write O(rounds × |closure|) where O(|closure|) suffices
+      // (review-caught, r15). The union tree still deepens the plan one
+      // leaf per round, so collapse it with a checkpoint every
+      // `collapseEvery` rounds: write volume O(|closure| · rounds / 16),
+      // plan depth ≤ 16 leaves — deep recursions pay neither full
+      // re-writes per round nor an unbounded analysis tree.
+      val collapseEvery = 16
+      var sinceCollapse = 0
       while (!drained && round < maxRounds) {
         // bind + analyze under the lock (the sql() concurrency
         // contract); the analyzed plan holds the resolved frontier, so
@@ -601,7 +638,12 @@ object Table {
         val next = stepped.except(seen).localCheckpoint(true)
         if (next.isEmpty) drained = true
         else {
-          seen = seen.union(next).localCheckpoint(true)
+          seen = seen.union(next)
+          sinceCollapse += 1
+          if (sinceCollapse >= collapseEvery) {
+            seen = seen.localCheckpoint(true)
+            sinceCollapse = 0
+          }
           frontier = next
         }
         round += 1
@@ -614,7 +656,7 @@ object Table {
         seen.createOrReplaceTempView(internal)
         sessionSqlOne(spark, outer)
       }
-    } finally spark.catalog.dropTempView(internal)
+    } finally rename.values.foreach(spark.catalog.dropTempView)
   }
 
   /** Fold of a [[Dialect.splitUnionByName]] split: operands run through

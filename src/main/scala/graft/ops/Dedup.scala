@@ -987,11 +987,17 @@ object Dedup {
     * only approximates per-document).
     *
     * The rightmost-tie argmin rides ONE window pass by encoding the
-    * tiebreak into the comparison key: `hash || lpad(10^9 − pos)` —
-    * the min key is the min hash, and among equal hashes the LARGEST
-    * position (an idea both engines express identically, so the oracle
-    * mirrors it verbatim). Hashes are md5 prefixes (the cross-engine
-    * hash). Leading truncated windows select like full ones —
+    * tiebreak into the comparison key as ONE packed LONG:
+    * `hash39 · 2²⁴ + (2²⁴ − pos)` — the min key is the min hash, and
+    * among equal hashes the LARGEST position (an idea both engines
+    * express identically, so the oracle mirrors it verbatim). The hash
+    * is the first 10 hex chars of md5 (the cross-engine hash) parsed to
+    * a long and folded to 39 bits, so key max = (2³⁹−1)·2²⁴ + 2²⁴−1 =
+    * 2⁶³−1 — exactly the signed-long range, and an 8-byte shuffle key
+    * where a string key would move 2× the bytes through the min-window
+    * and every downstream exchange. Documents longer than 2²⁴ grams
+    * refuse loudly per-row (chunk first). Leading truncated windows
+    * select like full ones —
     * deterministic, documented divergence from the paper's
     * full-windows-only start.
     *
@@ -1017,17 +1023,22 @@ object Dedup {
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(1, size(__toks) - ${k - 1}),
-            i -> substring(md5(concat_ws(' ', slice(__toks, i, $k))), 1, 8))"""))
+            i -> CAST(conv(substring(md5(concat_ws(' ',
+                   slice(__toks, i, $k))), 1, 10), 16, 10) AS BIGINT)
+                 % ${1L << 39}L)"""))
         .as(Seq("__p0", "__h")))
-      .select(col(idCol), (col("__p0") + 1).as("__pos"), col("__h"))
-    val key = concat(col("__h"),
-      lpad((lit(1000000000L) - col("__pos")).cast("string"), 10, "0"))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"),
+        col("__h"))
+    val posCap = 1L << 24
+    val key = col("__h") * lit(posCap) +
+      when(col("__pos") < posCap, lit(posCap) - col("__pos"))
+        .otherwise(raise_error(lit(
+          s"winnowing: document exceeds $posCap grams — chunk it first")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(-(w - 1), 0)
     val fp = grams.withColumn("__key", min(key).over(win))
-      .select(col(idCol), substring(col("__key"), 1, 8).as("h"),
-        (lit(1000000000L) - substring(col("__key"), 9, 10).cast("long"))
-          .as("pos"))
+      .select(col(idCol), shiftright(col("__key"), 24).as("h"),
+        (lit(posCap) - (col("__key") % lit(posCap))).as("pos"))
       .distinct()
     maxDocFreq match {
       case None => fp

@@ -331,6 +331,165 @@ object TextAnalysis {
       .localCheckpoint(true)
   }
 
+  /** WordPiece tokenizer TRAINING (t31 — Schuster & Nakajima 2012, the
+    * BERT-family trainer; Wu et al. 2016 §4.1 for the likelihood rule) —
+    * completing the public subword triad beside [[bpeTrain]]'s
+    * frequency argmax and [[unigramLmTrain]]'s EM: symbols start as
+    * characters under the `##` continuation convention (first char
+    * bare, every later char ##-prefixed), and each round merges the
+    * adjacent symbol pair with the highest LIKELIHOOD score
+    * count(l,r) / (count(l) · count(r)) — the pair whose merge most
+    * improves a unigram LM over the symbol stream, WordPiece's defining
+    * difference from BPE's raw-frequency rule. Ties break on
+    * (lhs, rhs) ascending; the score is one exact-integer division
+    * both engines compute to the identical IEEE double. The merged
+    * product is `lhs ++ strip##(rhs)` (a right symbol is always a
+    * continuation, so the product inherits the left's prefix).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word vocabulary
+    * once (one shuffle on word — the [[bpeTrain]] discipline); every
+    * round is TWO keyed aggregations over the vocab (symbol counts,
+    * adjacent-pair counts), a broadcast-sized join of pair→symbol
+    * counts, one 1-ROW argmax collect (TakeOrdered), and a map-only
+    * greedy merge fold into the next round. Rounds ride
+    * [[Iterate.loop]] (lineage cut per round); nothing corpus-sized
+    * reaches the driver. Merge application is the greedy leftmost
+    * non-overlapping fold, which repeated replace-to-fixpoint
+    * re-derives exactly (the oracle's recursive CTE) — a product can
+    * never equal its own left constituent (strip##(rhs) is non-empty).
+    *
+    * Output: one row per learned merge —
+    * (rank, lhs, rhs, pair_count, lhs_count, rhs_count, score_fp)
+    * with score_fp = round(10⁹ · cnt / (cl · cr)) (the t09 fixed-point
+    * discipline), rank 0 first.
+    */
+  def wordPieceTrain(df: DataFrame, textCol: String,
+                     numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    val vocab0 = df.select(explode(split(lower(coalesce(col(textCol),
+        lit(""))), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .select(col("wn"), expr(
+        """transform(sequence(1, length(w)),
+           i -> IF(i = 1, substring(w, 1, 1),
+                   concat('##', substring(w, i, 1))))""").as("syms"))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long, Long)]
+    Iterate.loop(vocab0, numMerges) { (vocab, _) =>
+      val syms = vocab.select(col("wn"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("wn")).as("c"))
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("wn"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(col("syms")(i).as("l"),
+            col("syms")(i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("cnt"))
+        .join(syms.select(col("s").as("l"), col("c").as("cl")), Seq("l"))
+        .join(syms.select(col("s").as("r"), col("c").as("cr")), Seq("r"))
+        .select(col("l"), col("r"), col("cnt"), col("cl"), col("cr"),
+          (col("cnt").cast("double") /
+            (col("cl").cast("double") * col("cr").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) vocab // vocabulary fully merged — remaining rounds no-op
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        require(r.startsWith("##") && r.length > 2,
+          s"internal: WordPiece right symbol must be a continuation, got $r")
+        val merged = l + r.substring(2)
+        learned += ((learned.size, l, r, top.head.getLong(2),
+          top.head.getLong(3), top.head.getLong(4),
+          Math.round(top.head.getDouble(5) * 1e9)))
+        vocab.withColumn("syms", aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(s)))))
+      }
+    }
+    spark.createDataFrame(learned.toSeq)
+      .toDF("rank", "lhs", "rhs", "pair_count", "lhs_count", "rhs_count",
+        "score_fp")
+  }
+
+  /** The WordPiece VOCABULARY a trained merge table induces: the
+    * corpus's initial symbol alphabet (first chars bare, continuation
+    * chars ##-prefixed) plus every merge product, distinct — what
+    * [[wordPieceSegment]] matches against. One corpus-collapse +
+    * one distinct; output is alphabet+merges-sized.
+    */
+  def wordPieceVocab(df: DataFrame, textCol: String,
+                     merges: DataFrame): DataFrame = {
+    val alpha = df.select(explode(split(lower(coalesce(col(textCol),
+        lit(""))), "[^a-z0-9]+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(expr(
+        """transform(sequence(1, length(w)),
+           i -> IF(i = 1, substring(w, 1, 1),
+                   concat('##', substring(w, i, 1))))""")).as("piece"))
+      .distinct()
+    alpha.unionByName(merges.select(
+        concat(col("lhs"), expr("substring(rhs, 3)")).as("piece")))
+      .distinct()
+  }
+
+  /** Segment words with a trained WordPiece vocabulary (the t31
+    * round-trip): greedy LONGEST-MATCH-FIRST — the standard WordPiece
+    * inference rule (BERT's WordpieceTokenizer; distinct from
+    * training's likelihood argmax) — consuming the longest vocab prefix
+    * at each position (##-prefixed lookups after the first), emitting
+    * `unk` for the WHOLE word when no prefix matches. Map-only: the
+    * vocabulary inlines as a literal map (bounded 512, the t28/t29
+    * broadcast-model analog); the walk is one fold of at most
+    * length(word) steps, each consuming ≥ 1 character. Adds a `pieces`
+    * array column.
+    */
+  def wordPieceSegment(words: DataFrame, wordCol: String, vocab: DataFrame,
+                       unk: String = "[UNK]"): DataFrame = {
+    val pieces = vocab.select(col("piece")).orderBy(col("piece"))
+      .collect().map(_.getString(0)).toSeq
+    require(pieces.nonEmpty && pieces.size <= 512,
+      s"WordPiece vocabulary must hold 1..512 pieces, got ${pieces.size}")
+    require(pieces.forall(_.matches("(##)?[a-z0-9]+")),
+      "WordPiece pieces must be (##)?[a-z0-9]+ — no escaping supported")
+    require(unk.matches("[A-Za-z0-9\\[\\]_]+"),
+      s"unk token must be quote-free, got '$unk'")
+    val maxLen = pieces.map(p =>
+      p.length - (if (p.startsWith("##")) 2 else 0)).max
+    val m = pieces.map(p => s"'$p', 1").mkString("map(", ", ", ")")
+    val w = wordCol
+    // the longest matching prefix length at acc.pos (NULL when none):
+    // candidate lengths filter through the vocab map, array_max picks
+    // the longest — greedy longest-match-first
+    val best =
+      s"""array_max(filter(transform(
+            sequence(1, least($maxLen, length($w) - acc.pos)),
+            l -> IF(element_at($m, IF(acc.pos = 0, substring($w, 1, l),
+                   concat('##', substring($w, acc.pos + 1, l))))
+                 IS NOT NULL, l, CAST(NULL AS INT))),
+          x -> x IS NOT NULL))"""
+    val piece =
+      s"""IF(acc.pos = 0, substring($w, 1, $best),
+            concat('##', substring($w, acc.pos + 1, $best)))"""
+    words.withColumn("pieces", expr(
+      s"""aggregate(sequence(1, length($w)),
+          struct(0 AS pos, CAST(array() AS ARRAY<STRING>) AS ps,
+                 false AS bad),
+          (acc, z) -> IF(acc.bad OR acc.pos >= length($w), acc,
+            IF($best IS NULL,
+               struct(length($w) AS pos,
+                      array('$unk') AS ps, true AS bad),
+               struct(CAST(acc.pos + $best AS INT) AS pos,
+                      concat(acc.ps, array($piece)) AS ps,
+                      false AS bad))),
+          acc -> acc.ps)"""))
+  }
+
   /** The stopword list RAKE splits candidate phrases on — the English
     * closed-class set [[StopwordRe]] uses for language ID, kept tiny
     * and fixed so both engines split identically.

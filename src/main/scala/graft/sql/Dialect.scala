@@ -541,14 +541,20 @@ object Dialect {
     * working table under an internal name and rewriting the references
     * keeps the user's session views untouched.
     *
-    * Two occurrence shapes are deliberately NOT rewritten
+    * Three occurrence shapes are deliberately NOT rewritten
     * (review-caught): a QUALIFIED COLUMN `other.from` (preceded by a
-    * dot — `from.col`, where the name leads, still rewrites) and an
-    * OUTPUT ALIAS `expr AS from` (preceded by the AS keyword) — both
-    * are column-land, not table references. A backquoted occurrence
-    * cannot be rewritten at all (the mask hides it) and would silently
-    * bind to the session catalog — refused loudly by the caller via
-    * [[containsBacktickedIdent]].
+    * dot — `from.col`, where the name leads, still rewrites), an
+    * OUTPUT ALIAS `expr AS from` (preceded by the AS keyword), and a
+    * BARE reference inside a column-land clause — ORDER BY / GROUP BY /
+    * HAVING / QUALIFY / SORT|CLUSTER|DISTRIBUTE BY at the clause's own
+    * paren depth (advice r15: `SELECT n AS rxn FROM rxn ORDER BY rxn`
+    * orders by the output alias; SQL grammar admits no table reference
+    * there except as a dot qualifier, which still rewrites, and a
+    * parenthesized subquery re-enters table-land via its SELECT). All
+    * three are column-land, not table references. A backquoted
+    * occurrence cannot be rewritten at all (the mask hides it) and
+    * would silently bind to the session catalog — refused loudly by
+    * the caller via [[containsBacktickedIdent]].
     */
   private[graft] def replaceIdent(sql: String, from: String,
                                   to: String): String = {
@@ -560,7 +566,31 @@ object Dialect {
       while (j >= 0 && m.charAt(j).isWhitespace) j -= 1
       j
     }
+    def nextNonWs(k: Int): Int = {
+      var j = k
+      while (j < m.length && m.charAt(j).isWhitespace) j += 1
+      j
+    }
+    def followedByBy(k: Int, w: String): Boolean =
+      wordAt(m, k, w) && wordAt(m, nextNonWs(k + w.length), "by")
+    // column-land state, saved/restored across parens so `ORDER BY
+    // f(x)` stays column-land while `ORDER BY (SELECT … FROM x)`
+    // re-enters table-land at its SELECT
+    var colLand = false
+    val saved = scala.collection.mutable.ArrayBuffer.empty[Boolean]
     while (i < sql.length) {
+      val mc = m.charAt(i)
+      if (mc == '(') { saved += colLand }
+      else if (mc == ')') {
+        colLand = if (saved.nonEmpty) saved.remove(saved.length - 1)
+          else false
+      }
+      else if (wordAt(m, i, "select") || wordAt(m, i, "from") ||
+        wordAt(m, i, "union") || wordAt(m, i, "intersect") ||
+        wordAt(m, i, "except")) colLand = false
+      else if (wordAt(m, i, "having") || wordAt(m, i, "qualify") ||
+        Seq("group", "order", "sort", "cluster", "distribute")
+          .exists(followedByBy(i, _))) colLand = true
       if (wordAt(m, i, from)) {
         val p = prevNonWs(i)
         val qualified = p >= 0 && m.charAt(p) == '.'
@@ -569,7 +599,11 @@ object Dialect {
         val aliased = p >= 1 &&
           m.regionMatches(true, p - 1, "as", 0, 2) &&
           (p - 2 < 0 || !isIdentBoundaryChar(m.charAt(p - 2)))
-        if (qualified || aliased) { out += sql.charAt(i); i += 1 }
+        // bare column-land occurrence: not a dot qualifier (`from.col`
+        // in ORDER BY still names the rewritten relation)
+        val nn = nextNonWs(i + from.length)
+        val bareCol = colLand && (nn >= m.length || m.charAt(nn) != '.')
+        if (qualified || aliased || bareCol) { out += sql.charAt(i); i += 1 }
         else { out ++= to; i += from.length }
       }
       else { out += sql.charAt(i); i += 1 }

@@ -2258,6 +2258,43 @@ class OpsSpec extends GraftSuite {
         pieces)).getMessage.contains("maxWordLen"))
   }
 
+  test("t31 wordPieceTrain: likelihood argmax on a hand-computed corpus; " +
+      "greedy longest-match segmentation with [UNK]") {
+    import spark.implicits._
+    // words: aa (×2) → [a, ##a]; ab (×1) → [a, ##b]
+    // round 1: sym counts a=3, ##a=2, ##b=1; pairs (a,##a)=2, (a,##b)=1;
+    //   scores 2/(3·2) = 1/(3·1) = 1/3 EXACTLY (IEEE: same real, same
+    //   rounding) — the (l, r) tie-break must pick (a, ##a) → 'aa'
+    // round 2: syms aa=2, a=1, ##b=1; only pair (a,##b)=1, score 1 → 'ab'
+    val docs = Seq("aa aa ab").toDF("text")
+    val merges = TextAnalysis.wordPieceTrain(docs, "text", 2)
+    val got = merges.orderBy(col("rank")).collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (0, "a", "##a", 2L, 3L, 2L, 333333333L),
+      (1, "a", "##b", 1L, 1L, 1L, 1000000000L)))
+    // induced vocabulary = alphabet ∪ products
+    val vocab = TextAnalysis.wordPieceVocab(docs, "text", merges)
+    assert(vocab.collect().map(_.getString(0)).toSet ==
+      Set("a", "##a", "##b", "aa", "ab"))
+    // greedy longest-match: 'aab' takes 'aa' (len 2 beats 'a'), then
+    // '##b'; 'b' is never word-initial in the corpus → whole-word [UNK]
+    val segs = TextAnalysis.wordPieceSegment(
+        Seq("aab", "aaaa", "ba").toDF("w"), "w", vocab)
+      .orderBy(col("w")).collect()
+      .map(r => r.getSeq[String](r.fieldIndex("pieces")).mkString(" "))
+    assert(segs.toSeq == Seq("aa ##a ##a", "aa ##b", "[UNK]"))
+    // bounds refuse loudly
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.wordPieceSegment(Seq("x").toDF("w"), "w",
+        Seq.fill(513)("p").zipWithIndex.map(p => p._1 + p._2)
+          .toDF("piece"))).getMessage.contains("512"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.wordPieceSegment(Seq("x").toDF("w"), "w",
+        Seq("bad piece!").toDF("piece"))).getMessage.contains("##"))
+  }
+
   test("d25 winnowing: density and shared-run detection guarantees") {
     import spark.implicits._
     val run = "the quick brown fox jumps over the lazy dog tonight"
@@ -2277,10 +2314,36 @@ class OpsSpec extends GraftSuite {
     }
     // detection: docs 1 and 2 share a 10-token run >= w + k - 1 = 6
     // tokens, so they MUST share at least one fingerprint hash
-    val h1 = byDoc(1L).map(_.getString(1)).toSet
-    val h2 = byDoc(2L).map(_.getString(1)).toSet
+    val h1 = byDoc(1L).map(_.getLong(1)).toSet
+    val h2 = byDoc(2L).map(_.getLong(1)).toSet
     assert((h1 & h2).nonEmpty)
-    assert((h1 & byDoc(3L).map(_.getString(1)).toSet).isEmpty)
+    assert((h1 & byDoc(3L).map(_.getLong(1)).toSet).isEmpty)
+    // packed-long key: h rides the top 39 bits (non-negative, < 2^39)
+    // and the rightmost-tie rule survives the packing — a doc whose
+    // grams repeat ("a b" * n gives two alternating gram hashes) must
+    // fingerprint the min-hash gram at its LAST in-window occurrence,
+    // never the first
+    assert(fp.collect().forall { r =>
+      val h = r.getLong(1); h >= 0L && h < (1L << 39)
+    })
+    // grams of "a b a b a b a b" (k=3) alternate two hashes hA ("a b a",
+    // positions 1/3/5) and hB ("b a b", 2/4/6); with w=4, rightmost-tie
+    // min selection yields EXACTLY {(hA,1),(hA,3),(hA,5)} when hA < hB
+    // (pos 1 only via the leading truncated windows) and
+    // {(hA,1),(hB,2),(hB,4),(hB,6)} otherwise — a leftmost tie rule or
+    // a broken packing would produce a different set
+    val rep = Seq((9L, "a b a b a b a b")).toDF("id", "t")
+    val byHash = Dedup.winnowingFingerprints(rep, "id", "t", k = 3, w = 4,
+      maxDocFreq = None).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val Seq(hA, hB) = Seq("a b a", "b a b").map { g =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16) % (1L << 39)
+    }
+    val expected = if (hA < hB) Set((hA, 1L), (hA, 3L), (hA, 5L))
+      else Set((hA, 1L), (hB, 2L), (hB, 4L), (hB, 6L))
+    assert(byHash === expected)
     // the df-cap drops an over-common fingerprint entirely
     val many = (1L to 9L).map(i => (i, s"shared boiler plate $i")).toDF("id", "t")
     val capped = Dedup.winnowingFingerprints(many, "id", "t", k = 3, w = 4,

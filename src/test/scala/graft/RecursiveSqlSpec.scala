@@ -99,15 +99,68 @@ class RecursiveSqlSpec extends GraftSuite {
     assert(graft.sql.RecursiveUnion.parse("SELECT 1 UNION SELECT 2").isEmpty)
   }
 
-  test("UNION-distinct recursion guards: multi-CTE and multi-UNION refuse") {
-    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
-      """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
-           u AS (SELECT 2)
-         SELECT * FROM t""")).getMessage.contains("single CTE"))
+  test("UNION-distinct recursion guards: multi-UNION, double recursion " +
+    "and helper-reads-recursion refuse") {
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT 2 UNION
            SELECT n FROM t)
          SELECT * FROM t""")).getMessage.contains("exactly one top-level"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE a(n) AS (SELECT 1 UNION SELECT n FROM a),
+           b(n) AS (SELECT 1 UNION SELECT n FROM b)
+         SELECT * FROM a""")).getMessage.contains("exactly one recursive"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
+           u AS (SELECT n + 1 FROM t)
+         SELECT * FROM u""")).getMessage
+      .contains("references the recursive CTE"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
+           u(n) AS (SELECT n + 1 FROM u)
+         SELECT * FROM t""")).getMessage.contains("references itself"))
+  }
+
+  test("gr10: non-recursive helper CTEs ride alongside the recursion") {
+    // helper BEFORE the recursive CTE feeds both seed and step — the
+    // common real-world shape (an edge/parameter table next to the
+    // traversal); a second helper after it is consumed by the outer
+    // statement only
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           edges(src, dst) AS (
+             SELECT 1, 2 UNION ALL SELECT 2, 3 UNION ALL
+             SELECT 3, 1 UNION ALL SELECT 3, 4),
+           reach(node) AS (
+             SELECT 1
+             UNION
+             SELECT e.dst FROM edges e JOIN reach r ON e.src = r.node),
+           labels(node, tag) AS (
+             SELECT 4, 'leaf' UNION ALL SELECT 1, 'root')
+         SELECT r.node, l.tag
+         FROM reach r LEFT JOIN labels l ON l.node = r.node
+         ORDER BY r.node""").toDF
+    assert(got.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)).getOrElse("-"))).toSeq ==
+      Seq((1, "root"), (2, "-"), (3, "-"), (4, "leaf")))
+    // helper chains: a later helper may read an earlier one
+    val chained = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           base(n) AS (SELECT 2),
+           doubled(n) AS (SELECT n * 2 FROM base),
+           walk(n) AS (
+             SELECT n FROM doubled
+             UNION
+             SELECT (w.n % 6) + 1 FROM walk w)
+         SELECT count(*) AS c FROM walk""").toDF
+    assert(chained.collect().head.getLong(0) == 6L)
+    // statement-scoped names never clobber same-named session views
+    Seq((9L, "keep")).toDF("id", "tag").createOrReplaceTempView("edges")
+    Table.sessionSql(spark,
+      """WITH RECURSIVE edges(n) AS (SELECT 1),
+           t(n) AS (SELECT n FROM edges UNION SELECT (n % 2) + 1 FROM t)
+         SELECT * FROM t""").toDF.collect()
+    val after = spark.table("edges").collect()
+    assert(after.length == 1 && after.head.getString(1) == "keep")
   }
 
   test("the CTE name never clobbers a same-named session view (gr09)") {
@@ -134,6 +187,56 @@ class RecursiveSqlSpec extends GraftSuite {
          SELECT n AS rxn FROM rxn ORDER BY n""").toDF
     assert(got.columns.toSeq == Seq("rxn"))
     assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("ORDER BY / GROUP BY references to an output alias of the CTE " +
+    "name stay column-land (advice r15)") {
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE rxn(n) AS (
+           SELECT 1 UNION SELECT (n % 4) + 1 FROM rxn)
+         SELECT n AS rxn FROM rxn ORDER BY rxn""").toDF
+    assert(got.columns.toSeq == Seq("rxn"))
+    assert(got.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val grouped = Table.sessionSql(spark,
+      """WITH RECURSIVE rxn(n) AS (
+           SELECT 1 UNION SELECT (n % 4) + 1 FROM rxn)
+         SELECT n % 2 AS rxn, count(*) AS c FROM rxn
+         GROUP BY rxn ORDER BY rxn""").toDF
+    assert(grouped.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 2), (1, 2)))
+    // a DOT-QUALIFIED reference in ORDER BY still names the relation —
+    // it must keep rewriting to the internal binding
+    val qual = Table.sessionSql(spark,
+      """WITH RECURSIVE rxn(n) AS (
+           SELECT 1 UNION SELECT (n % 3) + 1 FROM rxn)
+         SELECT n FROM rxn ORDER BY rxn.n DESC""").toDF
+    assert(qual.collect().map(_.getInt(0)).toSeq == Seq(3, 2, 1))
+    // and an ORDER BY subquery re-enters table-land through its SELECT
+    val sub = Table.sessionSql(spark,
+      """WITH RECURSIVE rxn(n) AS (
+           SELECT 1 UNION SELECT (n % 3) + 1 FROM rxn)
+         SELECT n FROM rxn
+         ORDER BY n = (SELECT max(n) FROM rxn), n""").toDF
+    assert(sub.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("gr09 cadence: the accumulated closure is not re-materialized " +
+    "every round (advice r15)") {
+    val sc = spark.sparkContext
+    val before = sc.getRDDStorageInfo.length
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE t(n) AS (
+           SELECT 1 UNION SELECT n + 1 FROM t WHERE n < 40)
+         SELECT count(*) AS c FROM t""").toDF.collect().head.getLong(0)
+    assert(got == 40L)
+    // 40 rounds leave ~43 cached RDDs (seed + one increment per round +
+    // ⌊40/16⌋ collapse copies); the pre-fix per-round full-`seen`
+    // re-checkpoint would add one MORE closure-sized RDD per round
+    // (~80 total) — pin the ceiling between the two regimes
+    val delta = sc.getRDDStorageInfo.length - before
+    assert(delta <= 60,
+      s"cached RDD count grew by $delta across a 40-round recursion — " +
+        "is `seen` being re-checkpointed every round?")
   }
 
   test("backquoted CTE references refuse loudly") {
