@@ -6517,6 +6517,42 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM d GROUP BY st ORDER BY st"""),
 
+    // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
+    // CREATE TABLE materializes its defining query ONCE (snapshot — an
+    // eager localCheckpoint; durable publish stays with the WAP writer)
+    // and CREATE VIEW binds the lazy plan; both bind a session view AND
+    // return the defined table (the u09/u10 statement-form convention).
+    // The chain here proves composition: a TABLE snapshot over the
+    // base, a VIEW aggregating the table, a final SELECT through both
+    // bindings. The oracle re-derives the chain as CTEs.
+    "u11_ctas" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .createOrReplaceTempView("u11_src")
+        graft.api.Table.sessionSql(s,
+          """CREATE OR REPLACE TEMP TABLE u11_hot AS
+             SELECT o_orderkey AS k, o_orderstatus AS st,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM u11_src WHERE o_orderkey % 5 = 0""")
+        graft.api.Table.sessionSql(s,
+          """CREATE OR REPLACE VIEW u11_agg AS
+             SELECT st, count(*) AS n,
+                    CAST(sum(cents) AS BIGINT) AS cents,
+                    min(k) AS mn, max(k) AS mx
+             FROM u11_hot GROUP BY st""")
+        graft.api.Table.sessionSql(s,
+          "SELECT st, n, cents, mn, mx FROM u11_agg ORDER BY st").df
+      },
+      """WITH hot AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 5 = 0),
+         agg AS (SELECT st, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS cents,
+                   min(k) AS mn, max(k) AS mx
+                 FROM hot GROUP BY st)
+         SELECT st, n, cents, mn, mx FROM agg ORDER BY st"""),
+
     "u09_merge_into" -> api(
       (s, dir) => {
         Registry.registerAll(s)
@@ -7697,6 +7733,43 @@ object SparkEntry {
                 true AS failed_audit_blocked,
                 true AS unpublished_absent
          FROM documents"""),
+
+    // COPY … TO export at the SQL surface (io21, [[graft.sql.CopySql]]):
+    // DuckDB's export statement — the source subquery re-enters the full
+    // pipeline, each task writes its partition (the only export shape
+    // that fans out at 100 TB), and the statement RETURNS the dataset
+    // READ BACK from the written files, so the gated rollup proves the
+    // round-trip preserved every value and type (timestamps included),
+    // not merely that a write happened. The oracle is the same rollup
+    // straight off the source table.
+    "io21_copy_roundtrip" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            col("l_shipdate"))
+          .createOrReplaceTempView("io21_src")
+        val out = scratchDir(s"io21_${new java.io.File(dir).getName}")
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT * FROM io21_src WHERE l_linenumber <= 4)
+              TO '$out' (FORMAT PARQUET)""").df
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH src AS (SELECT l_returnflag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                l_shipdate
+           FROM lineitem
+           WHERE l_orderkey % 11 = 0 AND l_linenumber <= 4)
+         SELECT l_returnflag, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents,
+                min(l_shipdate) AS mn, max(l_shipdate) AS mx
+         FROM src GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // Schema-evolution read (io20): a dataset written in TWO schema
     // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,
@@ -9717,6 +9790,21 @@ object SparkEntry {
     // in exactly ONE cell; only probes replicate 9×) and no distance is
     // computed outside a candidate cell. Coordinates are synthesized
     // from the key (·37, ·91 mod 1000) so both engines share them.
+    // POSITIONAL JOIN (j12, [[graft.sql.PositionalSql]] over
+    // [[graft.ops.Zip.positionalJoin]]): pair rows by position, shorter
+    // side NULL-padded — DuckDB's zip-join, same text on both engines.
+    // Both operands are ORDER BYed derived tables (position means
+    // something only under an explicit order; the zip's RDD boundary
+    // preserves it where a plain subquery-under-join would not). Scale
+    // shape: one count-per-partition pass per side (zipWithIndex), one
+    // equi-join on the position key.
+    "j12_positional_join" -> multiSession(Seq("nation", "region"),
+      """SELECT a.n_name, b.r_name
+         FROM (SELECT n_name FROM nation ORDER BY n_nationkey DESC) a
+         POSITIONAL JOIN
+              (SELECT r_name FROM region ORDER BY r_regionkey) b
+         ORDER BY a.n_name"""),
+
     "j11_spatial_grid" -> api(
       (s, dir) => {
         val pts = s.read.parquet(s"$dir/customer.parquet")

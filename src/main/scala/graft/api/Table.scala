@@ -456,6 +456,22 @@ object Table {
           s => sessionSql(spark, s).df))
       case None =>
     }
+    // CREATE [OR REPLACE] [TEMP] TABLE/VIEW … AS … (u11) — binds a
+    // session view (TABLE = materialized snapshot, VIEW = lazy binding)
+    // and returns the defined table; other CREATE forms stay native
+    graft.sql.DdlSql.parse(qr) match {
+      case Some(st) =>
+        return apply(graft.sql.DdlSql.run(spark, st,
+          s => sessionSql(spark, s).df))
+      case None =>
+    }
+    // COPY … TO '<path>' (io21) — export + read-back; the returned
+    // frame is the written dataset, proving the round-trip
+    graft.sql.CopySql.parse(qr) match {
+      case Some(st) =>
+        return apply(graft.sql.CopySql.run(spark, st, resolveRef))
+      case None =>
+    }
     graft.sql.PivotSql.parsePivot(qr) match {
       case Some(p) => return apply(graft.sql.PivotSql.runPivot(spark, p,
         resolveRef, runStmtTail(spark, _, _)))
@@ -515,6 +531,12 @@ object Table {
     val q = Dialect.distinctOn(q2).getOrElse(q2)
     if (graft.sql.AsOfSql.detect(q))
       graft.sql.AsOfSql.run(spark, q, spark.table)
+    // POSITIONAL JOIN (j12): zip-by-position lowering — derived-table
+    // operands re-enter this method (so an ordered subquery keeps its
+    // order behind the zip's RDD boundary)
+    else if (graft.sql.PositionalSql.detect(q))
+      graft.sql.PositionalSql.run(spark, q, spark.table,
+        s => sessionSqlOne(spark, s))
     // same QUALIFY lowering as Table.sql — the rewrite needs no receiver
     // schema, and the FROM names are session views already
     else qualifyAware(spark, q)(spark.sql)

@@ -361,6 +361,54 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           }
     }
 
+  private val ddlCorpus: Seq[String] = Seq(
+    "CREATE TABLE t AS SELECT k FROM s WHERE tag <> 'create table x as'",
+    """CREATE OR REPLACE TEMP VIEW v AS
+       SELECT k, 'create or replace view w as' AS note FROM s""",
+    "CREATE TEMPORARY TABLE t2 AS SELECT 'as' AS a, 1 AS b")
+
+  property("DDL parse structure is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(ddlCorpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.DdlSql
+        def shape(s: String) = DdlSql.parse(s).map(st =>
+          (st.isView, st.orReplace, st.name,
+            Dialect.stripLiterals(st.body)))
+        val sq = shape(q)
+        sq.isDefined && sq == shape(junked(q, salt)) &&
+          // isDefined-equality over the driver corpus (never isEmpty —
+          // the round-15 lesson)
+          {
+            val c = corpus(salt % corpus.size)
+            scala.util.Try(DdlSql.parse(junked(c, salt))).toOption
+              .flatten.isDefined ==
+              scala.util.Try(DdlSql.parse(c)).toOption.flatten.isDefined
+          }
+    }
+
+  // both entries carry an explicit FORMAT: the path LITERAL is junked
+  // by design, so the extension-default rule (literal-dependent) is
+  // spec'd in CopySqlSpec, not fuzzed here
+  private val copyCorpus: Seq[String] = Seq(
+    "COPY t TO 'out/x.parquet' (FORMAT PARQUET)",
+    "COPY (SELECT k FROM s WHERE tag <> 'copy t to') TO 'y.csv' (FORMAT CSV)")
+
+  property("COPY parse structure is blind to masked content") =
+    forAll(Gen.zip(Gen.oneOf(copyCorpus), Gen.chooseNum(0, 1000))) {
+      case (q, salt) =>
+        import graft.sql.CopySql
+        def shape(s: String) = CopySql.parse(s).map(st =>
+          (st.isSubquery, st.format, Dialect.stripLiterals(st.ref)))
+        val sq = shape(q)
+        sq.isDefined && sq == shape(junked(q, salt)) &&
+          {
+            val c = corpus(salt % corpus.size)
+            scala.util.Try(CopySql.parse(junked(c, salt))).toOption
+              .flatten.isDefined ==
+              scala.util.Try(CopySql.parse(c)).toOption.flatten.isDefined
+          }
+    }
+
   private val sampleCorpus: Seq[String] = Seq(
     """SELECT id, note FROM t WHERE note <> 'using sample 99%'
        USING SAMPLE 25% ORDER BY id LIMIT 7""",
