@@ -341,6 +341,76 @@ object SparkEntry {
     * [[graft.ops.TextAnalysis.wordPieceSegment]].
     */
   private def wordPieceOracle(k: Int, nSeg: Int): String = {
+    val mergeRows = (0 until k).map(i =>
+      s"""SELECT 'merge' AS kind, l || '|' || r AS k,
+                 CAST($i AS BIGINT) AS rank, CAST(cnt AS BIGINT) AS n,
+                 CAST(cl AS BIGINT) AS cl, CAST(cr AS BIGINT) AS cr,
+                 CAST(round(score * 1e9) AS BIGINT) AS score_fp,
+                 l || substr(r, 3) AS s FROM m$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+         ${wordPieceCtes(k)},
+         segwords AS MATERIALIZED (
+           SELECT w, wn FROM (SELECT w, wn, row_number()
+               OVER (ORDER BY wn DESC, w) AS rn FROM wc)
+           WHERE rn <= $nSeg),
+         ${wordPieceWalk("segwords")}
+       SELECT kind, k, rank, n, cl, cr, score_fp, s FROM (
+         $mergeRows
+         UNION ALL
+         SELECT 'seg', w, CAST(NULL AS BIGINT), wn,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), list_aggr(ps, 'string_agg', '.')
+         FROM wp WHERE pos = len(w)
+       ) ORDER BY kind, k"""
+  }
+
+  /** The t32 tokenize-the-corpus oracle (the t30 mold on the WordPiece
+    * chain): same K-unrolled training, then the induced vocabulary
+    * greedy-segments EVERY distinct word, pieces rank into ids
+    * (ORDER BY piece — the deterministic vocab-id rule; [UNK] maps to
+    * id 0), and per-document stats roll up through the doc→word stream.
+    */
+  private def wordPieceTokenizeOracle(k: Int): String =
+    s"""WITH RECURSIVE
+         ${wordPieceCtes(k)},
+         ids AS MATERIALIZED (
+           SELECT p, row_number() OVER (ORDER BY p) AS pid FROM vocab),
+         ${wordPieceWalk("wc")},
+         wstats AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS n_pieces,
+                  CAST(sum(coalesce(ids.pid, 0)) AS BIGINT) AS id_sum,
+                  CAST(max(CASE WHEN u.p = '[UNK]' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS is_unk
+           FROM (SELECT w, unnest(ps) AS p
+                 FROM wp WHERE pos = len(w)) u
+           LEFT JOIN ids ON ids.p = u.p GROUP BY w),
+         dw AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(
+                    lower(coalesce(text, '')), '[^a-z0-9]+'),
+                    x -> x <> '')) AS w
+                FROM documents),
+         agg AS (SELECT dw.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(ws.is_unk) AS BIGINT) AS n_unk,
+                   CAST(sum(ws.n_pieces) AS BIGINT) AS n_pieces,
+                   CAST(sum(ws.id_sum) AS BIGINT) AS id_sum
+                 FROM dw LEFT JOIN wstats ws ON ws.w = dw.w
+                 GROUP BY dw.doc_id)
+       SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+              coalesce(a.n_unk, 0) AS n_unk,
+              coalesce(a.n_pieces, 0) AS n_pieces,
+              coalesce(a.id_sum, 0) AS id_sum
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id"""
+
+  /** Shared K-unrolled WordPiece training CTE chain (t31/t32): distinct
+    * words, '|'-delimited ##-marked symbol strings, per-round symbol/
+    * pair counts → likelihood argmax → replace-to-fixpoint application,
+    * plus the induced vocabulary (alphabet ∪ products) and its
+    * one-row map/maxlen frame `vm`.
+    */
+  private def wordPieceCtes(k: Int): String = {
     val rep = "replace(a.st, '|' || m.l || '|' || m.r || '|', " +
       "'|' || m.l || substr(m.r, 3) || '|')"
     // every multiply-referenced CTE is MATERIALIZED: v$i feeds s/p/a,
@@ -379,23 +449,7 @@ object SparkEntry {
     val prods = (0 until k)
       .map(i => s"SELECT l || substr(r, 3) AS p FROM m$i")
       .mkString(" UNION ALL ")
-    val mergeRows = (0 until k).map(i =>
-      s"""SELECT 'merge' AS kind, l || '|' || r AS k,
-                 CAST($i AS BIGINT) AS rank, CAST(cnt AS BIGINT) AS n,
-                 CAST(cl AS BIGINT) AS cl, CAST(cr AS BIGINT) AS cr,
-                 CAST(round(score * 1e9) AS BIGINT) AS score_fp,
-                 l || substr(r, 3) AS s FROM m$i""")
-      .mkString(" UNION ALL ")
-    val best =
-      """list_max(list_filter(list_transform(
-           generate_series(1, least(vm.ml, len(w) - pos)),
-           l -> CASE WHEN map_extract(vm.m,
-                  CASE WHEN pos = 0 THEN substr(w, 1, l)
-                       ELSE '##' || substr(w, pos + 1, l) END)[1]
-                IS NOT NULL THEN l END),
-           x -> x IS NOT NULL))"""
-    s"""WITH RECURSIVE
-         wc AS MATERIALIZED (SELECT w, count(*) AS wn
+    s"""wc AS MATERIALIZED (SELECT w, count(*) AS wn
                 FROM (SELECT unnest(string_split_regex(
                         lower(coalesce(text, '')), '[^a-z0-9]+')) AS w
                       FROM documents)
@@ -412,13 +466,24 @@ object SparkEntry {
            SELECT map(list(p ORDER BY p), list(1 ORDER BY p)) AS m,
                   max(len(p) - CASE WHEN p LIKE '##%' THEN 2 ELSE 0 END)
                     AS ml
-           FROM vocab),
-         segwords AS MATERIALIZED (
-           SELECT w, wn FROM (SELECT w, wn, row_number()
-               OVER (ORDER BY wn DESC, w) AS rn FROM wc)
-           WHERE rn <= $nSeg),
-         wp(w, wn, pos, ps, bad) AS (
-           SELECT w, wn, 0, CAST([] AS VARCHAR[]), false FROM segwords
+           FROM vocab)"""
+  }
+
+  /** The greedy longest-match walk as a recursive CTE `wp` over
+    * `wordsCte` (columns w, wn), consuming the longest `vm`-vocab
+    * prefix per step, [UNK] on a dead end.
+    */
+  private def wordPieceWalk(wordsCte: String): String = {
+    val best =
+      """list_max(list_filter(list_transform(
+           generate_series(1, least(vm.ml, len(w) - pos)),
+           l -> CASE WHEN map_extract(vm.m,
+                  CASE WHEN pos = 0 THEN substr(w, 1, l)
+                       ELSE '##' || substr(w, pos + 1, l) END)[1]
+                IS NOT NULL THEN l END),
+           x -> x IS NOT NULL))"""
+    s"""wp(w, wn, pos, ps, bad) AS (
+           SELECT w, wn, 0, CAST([] AS VARCHAR[]), false FROM $wordsCte
            UNION ALL
            SELECT w, wn,
              CASE WHEN $best IS NULL THEN len(w) ELSE pos + $best END,
@@ -427,15 +492,7 @@ object SparkEntry {
                     CASE WHEN pos = 0 THEN substr(w, 1, $best)
                          ELSE '##' || substr(w, pos + 1, $best) END) END,
              $best IS NULL
-           FROM wp, vm WHERE pos < len(w) AND NOT bad)
-       SELECT kind, k, rank, n, cl, cr, score_fp, s FROM (
-         $mergeRows
-         UNION ALL
-         SELECT 'seg', w, CAST(NULL AS BIGINT), wn,
-                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                CAST(NULL AS BIGINT), list_aggr(ps, 'string_agg', '.')
-         FROM wp WHERE pos = len(w)
-       ) ORDER BY kind, k"""
+           FROM wp, vm WHERE pos < len(w) AND NOT bad)"""
   }
 
   /** The t29 K-unrolled unigram-LM training oracle: per EM round, a
@@ -12452,6 +12509,49 @@ object SparkEntry {
           .orderBy(col("kind"), col("k"))
       },
       wordPieceOracle(k = 6, nSeg = 5)),
+
+    // Tokenize the CORPUS with the trained WordPiece vocabulary (t32):
+    // the apply step after t31's training — the t30 mold on the greedy
+    // tokenizer. Vocabulary pieces rank into ids (ORDER BY piece;
+    // [UNK] → 0), the distinct-word vocab segments ONCE (map-only
+    // greedy fold, materialized), and per-document stats roll up
+    // through the doc→word stream: word/UNK/piece counts and the exact
+    // id-sum fingerprint. Work = corpus explode + vocab-sized
+    // segmentation + two keyed aggs; the oracle re-runs training AND
+    // greedy-walks every distinct word.
+    "t32_wordpiece_tokenize" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val merges = graft.ops.TextAnalysis.wordPieceTrain(docs, "text", 6)
+        val vocab = graft.ops.TextAnalysis.wordPieceVocab(docs, "text", merges)
+        val ids = vocab.select(col("piece"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("piece"))).as("pid"))
+        val dw = docs.select(col("doc_id"),
+          explode(filter(split(lower(coalesce(col("text"), lit(""))),
+            "[^a-z0-9]+"), x => x =!= "")).as("w"))
+        val words = dw.select(col("w")).distinct()
+        val wstats = graft.ops.TextAnalysis.wordPieceSegment(words, "w", vocab)
+          .select(col("w"), explode(col("pieces")).as("piece"))
+          .join(ids, Seq("piece"), "left")
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_pieces"),
+            sum(coalesce(col("pid").cast("long"), lit(0L))).as("id_sum"),
+            max((col("piece") === "[UNK]").cast("long")).as("is_unk"))
+        val agg = dw.join(wstats, Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), sum(col("is_unk")).as("n_unk"),
+            sum(col("n_pieces")).as("n_pieces"), sum(col("id_sum")).as("id_sum"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+            coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+            coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+          .orderBy(col("doc_id"))
+      },
+      wordPieceTokenizeOracle(k = 6)),
 
     // Trained quality-classifier INFERENCE gate (t28): the
     // fastText-style linear filter (CCNet/DCLM/FineWeb) as score →

@@ -476,6 +476,11 @@ object TextAnalysis {
     val piece =
       s"""IF(acc.pos = 0, substring($w, 1, $best),
             concat('##', substring($w, acc.pos + 1, $best)))"""
+    // materialize the (vocab-sized) segmentation before handing it to
+    // callers — the unigramSegment lesson: the greedy-walk fold is a
+    // LARGE expression tree, and a downstream explode/join/aggregate
+    // re-planning over it re-evaluates and re-compiles it
+    // pathologically; the checkpoint pins rows instead
     words.withColumn("pieces", expr(
       s"""aggregate(sequence(1, length($w)),
           struct(0 AS pos, CAST(array() AS ARRAY<STRING>) AS ps,
@@ -488,6 +493,7 @@ object TextAnalysis {
                       concat(acc.ps, array($piece)) AS ps,
                       false AS bad))),
           acc -> acc.ps)"""))
+      .localCheckpoint(true)
   }
 
   /** The stopword list RAKE splits candidate phrases on — the English

@@ -71,9 +71,11 @@ object ScaleStress {
     // LATERAL top-N (one correlated join)
     "d25_winnowing_pairs", "t30_unigram_tokenize", "q63_lateral",
     // round 16: WordPiece training (two keyed aggs per round over the
-    // distinct-word vocab + model-sized collects — must track rows) and
-    // multi-CTE recursion (helpers bind once; per-round work ∝ frontier)
-    "t31_wordpiece", "gr10_recursive_helpers")
+    // distinct-word vocab + model-sized collects — must track rows),
+    // corpus tokenization with the trained vocabulary (corpus explode +
+    // vocab-sized greedy segmentation), and multi-CTE recursion
+    // (helpers bind once; per-round work ∝ frontier)
+    "t31_wordpiece", "t32_wordpiece_tokenize", "gr10_recursive_helpers")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is

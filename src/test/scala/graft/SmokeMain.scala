@@ -468,6 +468,20 @@ object SmokeMain {
         SparkEntry.queries("w14_groups_frames")(spark, sf).count())
       println(s"w15 minmax-exclude rows=" +
         SparkEntry.queries("w15_minmax_exclude")(spark, sf).count())
+      // round-16: WordPiece triad completion + multi-CTE recursion
+      SparkEntry.queries("t31_wordpiece")(spark, sf).show(4, truncate = false)
+      SparkEntry.queries("gr10_recursive_helpers")(spark, sf)
+        .show(1, truncate = false)
+      // round-16: statement-form extras — CTAS chain, COPY round-trip,
+      // positional zip-join
+      println(s"u11 ctas rows=" +
+        SparkEntry.queries("u11_ctas")(spark, sf).count())
+      println(s"io21 copy-roundtrip rows=" +
+        SparkEntry.queries("io21_copy_roundtrip")(spark, sf).count())
+      println(s"j12 positional rows=" +
+        SparkEntry.queries("j12_positional_join")(spark, sf).count())
+      println(s"t32 wordpiece-tokenize rows=" +
+        SparkEntry.queries("t32_wordpiece_tokenize")(spark, sf).count())
     }
 
     spark.stop()
