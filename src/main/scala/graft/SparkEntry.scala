@@ -10184,6 +10184,31 @@ object SparkEntry {
     // gate expression, the `CAST('0x'||substr(md5…))` discipline of
     // sp14). Percent is a map-only filter (PlanSpec pins no Exchange);
     // the rows form is a bounded TakeOrderedAndProject on the hash.
+    // DuckDB list-function surface (q65): the same statement text runs
+    // on both engines through the Registry's spelling aliases —
+    // string_split_regex/list_filter/list_transform/list_distinct/
+    // list_sort/unnest/array_length/list_contains all resolve onto
+    // native codegen'd collection builtins (pure name delegation, no
+    // UDFs). Map-only token work into one keyed agg.
+    "q65_list_functions" -> multiSession(Seq("documents"),
+      """WITH s AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(coalesce(text, '')),
+                                             '[^a-z0-9]+'),
+                          x -> x <> '') AS toks
+            FROM documents),
+         g AS (SELECT doc_id, toks,
+                 list_sort(list_distinct(
+                   list_transform(toks, t -> substr(t, 1, 1)))) AS initials
+               FROM s),
+         x AS (SELECT unnest(initials) AS initial,
+                      array_length(toks) AS n_toks,
+                      list_contains(initials, 'z') AS has_z
+               FROM g)
+         SELECT initial, count(*) AS n_docs,
+                CAST(max(n_toks) AS BIGINT) AS max_toks,
+                CAST(max(CASE WHEN has_z THEN 1 ELSE 0 END) AS BIGINT) AS any_z
+         FROM x GROUP BY initial ORDER BY initial"""),
+
     "q64_sample_clause" -> api(
       (s, dir) => {
         Registry.registerAll(s)

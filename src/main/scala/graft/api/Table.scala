@@ -593,8 +593,14 @@ object Table {
     }
     // helpers bind ONCE, in textual order (gr10): each may reference
     // earlier helpers; references to the recursive CTE were refused at
-    // parse. The view holds the helper's lazy frame — same evaluation
-    // semantics as a native CTE
+    // parse. A helper the STEP references is MATERIALIZED (eager
+    // localCheckpoint): the step re-executes once per recursion round,
+    // and re-scanning the helper's source plan every round costs
+    // O(rounds × helper) where one checkpoint pass suffices (measured:
+    // gr10's edge helper halved the closure runtime). A helper only the
+    // outer statement (or later helpers) reads stays a lazy view — no
+    // wasted materialization.
+    val stepMask = Dialect.stripLiterals(st.step)
     st.helpers.foreach { h =>
       val df0 = bindLock.synchronized {
         val d = sessionSqlOne(spark, rewriteAll(h.body))
@@ -607,7 +613,11 @@ object Table {
             s"${cs.size} columns, its body produces ${df0.columns.length}")
         df0.toDF(cs: _*)
       }.getOrElse(df0)
-      bindLock.synchronized { df.createOrReplaceTempView(rename(h.name)) }
+      val bound =
+        if (graft.sql.RecursiveUnion.containsWord(stepMask, h.name))
+          df.localCheckpoint(true)
+        else df
+      bindLock.synchronized { bound.createOrReplaceTempView(rename(h.name)) }
     }
     val seedDf = sessionSqlOne(spark, rewriteAll(st.seed))
     val cols = st.cols.getOrElse(seedDf.columns.toSeq)

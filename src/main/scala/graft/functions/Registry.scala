@@ -500,5 +500,86 @@ object Registry {
       case other        => throw new IllegalArgumentException(
         s"sign_bits() takes 2-3 arguments, got ${other.length}")
     }
+
+    // ---- DuckDB list/text surface (q65): spelling aliases onto the
+    // native collection / higher-order builtins, so DuckDB-dialect
+    // statements run SAME-TEXT on both engines. Pure name delegation
+    // (UnresolvedFunction → the analyzer's own resolution): everything
+    // stays a codegen'd builtin. Only semantically IDENTICAL pairs are
+    // aliased — list_position (0 vs NULL on miss) and list_sum (typing)
+    // are deliberately absent.
+    def dialectAlias(name: String, target: String): Unit =
+      f(name)(exprs => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction(Seq(target), exprs, isDistinct = false))
+    dialectAlias("unnest", "explode")
+    // lambda arguments must land DIRECTLY in a higher-order expression —
+    // the analyzer rejects a lambda under UnresolvedFunction
+    f("list_transform") {
+      case Seq(xs, lf) => ArrayTransform(xs, lf)
+      case other => throw new IllegalArgumentException(
+        s"list_transform() takes (list, lambda), got ${other.length} args")
+    }
+    f("list_filter") {
+      case Seq(xs, lf) => ArrayFilter(xs, lf)
+      case other => throw new IllegalArgumentException(
+        s"list_filter() takes (list, lambda), got ${other.length} args")
+    }
+    dialectAlias("list_distinct", "array_distinct")
+    dialectAlias("list_contains", "array_contains")
+    dialectAlias("list_max", "array_max")
+    dialectAlias("list_min", "array_min")
+    dialectAlias("list_append", "array_append")
+    // DuckDB spells list_prepend(element, list); Spark's builtin takes
+    // (list, element) — swap at the alias boundary
+    f("list_prepend") {
+      case Seq(e, xs) => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction(Seq("array_prepend"), Seq(xs, e),
+          isDistinct = false)
+      case other => throw new IllegalArgumentException(
+        s"list_prepend() takes (element, list), got ${other.length} args")
+    }
+    dialectAlias("list_concat", "concat")
+    dialectAlias("array_length", "size")
+    // (len is already a Spark 4 builtin alias of length — not shadowed)
+    dialectAlias("string_split_regex", "split")
+    dialectAlias("generate_series", "sequence") // both ends inclusive, like DuckDB
+    // list_extract: 1-based, NULL out of bounds (DuckDB) — Spark's ANSI
+    // element_at THROWS there, try_element_at matches
+    dialectAlias("list_extract", "try_element_at")
+    f("list_sort") {
+      case Seq(e) => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction(Seq("sort_array"), Seq(e), isDistinct = false)
+      case other => throw new IllegalArgumentException(
+        s"list_sort() takes 1 argument, got ${other.length}")
+    }
+    f("list_reverse_sort") {
+      case Seq(e) => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction(Seq("sort_array"), Seq(e, Literal(false)),
+          isDistinct = false)
+      case other => throw new IllegalArgumentException(
+        s"list_reverse_sort() takes 1 argument, got ${other.length}")
+    }
+    f("list_unique") {
+      case Seq(e) => org.apache.spark.sql.catalyst.analysis
+        .UnresolvedFunction(Seq("size"), Seq(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("array_distinct"), Seq(e), isDistinct = false)),
+          isDistinct = false)
+      case other => throw new IllegalArgumentException(
+        s"list_unique() takes 1 argument, got ${other.length}")
+    }
+    // DuckDB string_split takes a LITERAL separator; Spark split takes a
+    // regex — quote the literal so both split identically. A non-literal
+    // separator refuses loudly (quoting must happen at plan time).
+    f("string_split") {
+      case Seq(s, Literal(sep, StringType)) if sep != null =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("split"), Seq(s, Literal(
+            java.util.regex.Pattern.quote(sep.toString))),
+          isDistinct = false)
+      case _ => throw new IllegalArgumentException(
+        "string_split(str, sep) needs a literal separator — use " +
+          "string_split_regex for pattern splits")
+    }
   }
 }

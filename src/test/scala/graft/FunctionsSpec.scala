@@ -301,4 +301,38 @@ class FunctionsSpec extends GraftSuite {
     assert(r.getInt(0) == 1, "CMS underestimated a key")
     assert(r.getLong(1) <= 30L, s"overestimate ${r.getLong(1)} > eps*N = 30")
   }
+
+  test("DuckDB list-surface aliases resolve onto native builtins (q65)") {
+    assert(one("list_max(list_transform(generate_series(1, 4), v -> v * v))")
+      .getInt(0) == 16)
+    assert(one("list_min(list_filter(generate_series(1, 5), v -> v % 2 = 0))")
+      .getInt(0) == 2)
+    assert(one("array_length(list_distinct(array(1, 2, 2, 3)))").getInt(0) == 3)
+    assert(one("list_unique(array(1, 2, 2, 3))").getInt(0) == 3)
+    assert(one("list_sort(array(3, 1, 2))[0]").getInt(0) == 1)
+    assert(one("list_reverse_sort(array(3, 1, 2))[0]").getInt(0) == 3)
+    assert(one("list_contains(array('a', 'b'), 'b')").getBoolean(0))
+    assert(one("list_append(array(1), 2)[1]").getInt(0) == 2)
+    assert(one("list_prepend(0, array(1))[0]").getInt(0) == 0)
+    assert(one("array_length(list_concat(array(1), array(2, 3)))")
+      .getInt(0) == 3)
+    assert(one("len('abcd')").getInt(0) == 4)
+    // list_extract: 1-based, NULL (not an error) out of bounds — the
+    // DuckDB rule, riding try_element_at under ANSI mode
+    assert(one("list_extract(array(10, 20), 2)").getInt(0) == 20)
+    assert(one("list_extract(array(10, 20), 9)").isNullAt(0))
+    // string_split quotes its LITERAL separator — regex metachars split
+    // literally; string_split_regex stays a pattern split
+    assert(one("array_length(string_split('a|b|c', '|'))").getInt(0) == 3)
+    assert(one("string_split('a.b', '.')[0]").getString(0) == "a")
+    assert(one("array_length(string_split_regex('a1b22c', '[0-9]+'))")
+      .getInt(0) == 3)
+    assert(intercept[Exception](one("string_split('a|b', x)"))
+      .getMessage.contains("literal separator"))
+    // unnest is explode: generator in the select list
+    val u = Table(Seq(1).toDF("x"))
+      .sql("select unnest(array(7, 8)) as v from t").toDF
+      .collect().map(_.getInt(0))
+    assert(u.toSeq == Seq(7, 8))
+  }
 }
