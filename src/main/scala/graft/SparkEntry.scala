@@ -6574,6 +6574,61 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM d GROUP BY st ORDER BY st"""),
 
+    // INSERT … ON CONFLICT upsert (u12, [[graft.sql.DmlSql]]): both
+    // arms — DO UPDATE with `excluded.`-referencing SET expressions
+    // (the incoming row rides the plan as a genuine struct column) and
+    // DO NOTHING — chained, each returning the post-statement table.
+    // One keyed join + one anti-join per statement; the duplicate-
+    // source-key contract enforced by one aggregate. The oracle
+    // re-derives both arms relationally (LEFT JOIN + CASE / NOT EXISTS
+    // — DuckDB's native ON CONFLICT needs a unique index, which frames
+    // don't carry).
+    "u12_insert_on_conflict" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u12_base")
+        graft.api.Table.sessionSql(s,
+          """INSERT INTO u12_base
+             SELECT k + 12, 'C', cents DIV 3 FROM u12_base WHERE k % 3 = 0
+             ON CONFLICT (k) DO UPDATE
+               SET cents = excluded.cents + cents, st = 'U'""").df
+          .createOrReplaceTempView("u12_up")
+        graft.api.Table.sessionSql(s,
+          """INSERT INTO u12_up VALUES
+               (2, 'N', 777), (4, 'N', 888)
+             ON CONFLICT (k) DO NOTHING""").df
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("st"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 4 = 0),
+         s1 AS (SELECT k + 12 AS k, 'C' AS st, cents // 3 AS cents
+                FROM base WHERE k % 3 = 0),
+         up AS (SELECT b.k,
+                  CASE WHEN s1.k IS NOT NULL THEN 'U' ELSE b.st END AS st,
+                  CASE WHEN s1.k IS NOT NULL THEN s1.cents + b.cents
+                       ELSE b.cents END AS cents
+                FROM base b LEFT JOIN s1 ON s1.k = b.k
+                UNION ALL
+                SELECT k, st, cents FROM s1 s
+                WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)),
+         s2(k, st, cents) AS (VALUES (2, 'N', 777), (4, 'N', 888)),
+         fin AS (SELECT * FROM up
+                 UNION ALL
+                 SELECT k, st, cents FROM s2 s
+                 WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.k = s.k))
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM fin GROUP BY st ORDER BY st"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)

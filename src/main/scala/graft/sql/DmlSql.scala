@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * rule). Callers chain statements by re-registering the returned frame.
   *
   *   INSERT INTO t [(cols)] VALUES (…), (…) | <select statement>
+  *     [ON CONFLICT (keys) DO NOTHING | DO UPDATE SET c = e, …]   (u12)
   *   UPDATE t [AS a] SET c = e, … [WHERE pred]
   *   DELETE FROM t [AS a] [WHERE pred]
   *
@@ -33,8 +34,20 @@ import org.apache.spark.sql.functions._
 object DmlSql {
 
   sealed trait Stmt
+  /** `ON CONFLICT (keys) DO NOTHING | DO UPDATE SET …` (u12). The
+    * conflict target is a REQUIRED explicit column list — this engine's
+    * frames carry no primary-key metadata to default to. `action` None
+    * = DO NOTHING; Some(sets) = DO UPDATE, whose right-hand sides may
+    * reference target columns bare and the incoming row as
+    * `excluded.col` (the Postgres/DuckDB spelling — exposed to the plan
+    * as a genuine struct column, so resolution is the analyzer's, not
+    * text surgery).
+    */
+  final case class Conflict(keys: Seq[String],
+                            action: Option[Seq[(String, String)]])
   final case class Insert(targetRef: String, cols: Option[Seq[String]],
-                          values: Option[String], source: Option[String])
+                          values: Option[String], source: Option[String],
+                          conflict: Option[Conflict] = None)
     extends Stmt
   final case class Update(targetRef: String, alias: String,
                           sets: Seq[(String, String)], where: Option[String])
@@ -112,18 +125,67 @@ object DmlSql {
         i = skipWs(m, close + 1)
       }
     }
-    val rest = sql.substring(i)
-    val restM = m.substring(i)
+    val restAll = sql.substring(i)
+    val restMAll = m.substring(i)
+    // trailing ON CONFLICT clause (u12) splits off the source text
+    val conflictPos = {
+      var p = findTopLevelKeywordIn(restMAll, 0, "on")
+      var found = -1
+      while (p >= 0 && found < 0) {
+        if (wordAt(restMAll, skipWs(restMAll, p + 2), "conflict")) found = p
+        else p = findTopLevelKeywordIn(restMAll, p + 2, "on")
+      }
+      found
+    }
+    val (rest, restM) =
+      if (conflictPos < 0) (restAll, restMAll)
+      else (restAll.substring(0, conflictPos), restMAll.substring(0, conflictPos))
+    val conflict =
+      if (conflictPos < 0) None
+      else Some(parseConflict(restAll.substring(conflictPos),
+        restMAll.substring(conflictPos)))
     val k = skipWs(restM, 0)
     if (wordAt(restM, k, "values")) {
       val v = rest.substring(k + 6).trim
       require(v.startsWith("("),
         "INSERT VALUES needs parenthesized row expressions")
-      Insert(name, cols, Some(v), None)
+      Insert(name, cols, Some(v), None, conflict)
     } else {
       require(rest.trim.nonEmpty,
         "INSERT INTO needs VALUES (…) or a SELECT source")
-      Insert(name, cols, None, Some(rest.trim))
+      Insert(name, cols, None, Some(rest.trim), conflict)
+    }
+  }
+
+  private def parseConflict(sql: String, m: String): Conflict = {
+    var i = skipWs(m, 0)
+    require(wordAt(m, i, "on"), "internal: conflict clause must start at ON")
+    i = skipWs(m, i + 2)
+    require(wordAt(m, i, "conflict"), "internal: expected CONFLICT")
+    i = skipWs(m, i + 8)
+    require(i < m.length && m.charAt(i) == '(',
+      "ON CONFLICT needs an explicit (column, …) conflict target — this " +
+        "engine's frames carry no primary key to default to")
+    val close = matchParen(m, i)
+    val keys = splitTopLevel(sql.substring(i + 1, close)).map(_.trim)
+    require(keys.nonEmpty &&
+      keys.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")) &&
+      keys.map(_.toLowerCase).distinct.size == keys.size,
+      s"malformed ON CONFLICT column list: ${sql.substring(i, close + 1)}")
+    i = skipWs(m, close + 1)
+    require(wordAt(m, i, "do"), "ON CONFLICT (…) must be followed by DO")
+    i = skipWs(m, i + 2)
+    if (wordAt(m, i, "nothing")) {
+      require(sql.substring(i + 7).trim.isEmpty,
+        s"unexpected text after DO NOTHING: ${sql.substring(i + 7).trim.take(40)}")
+      Conflict(keys, None)
+    } else {
+      require(wordAt(m, i, "update"),
+        "ON CONFLICT supports DO NOTHING or DO UPDATE SET …")
+      i = skipWs(m, i + 6)
+      require(wordAt(m, i, "set"), "DO UPDATE requires SET")
+      val sets = parseSets(sql.substring(i + 3), "DO UPDATE")
+      Conflict(keys, Some(sets))
     }
   }
 
@@ -134,20 +196,7 @@ object DmlSql {
       "UPDATE")
     val wherePos = findTopLevelKeywordIn(m, setPos + 3, "where")
     val setEnd = if (wherePos < 0) sql.length else wherePos
-    val sets = splitTopLevel(sql.substring(setPos + 3, setEnd)).map { item =>
-      val eq = findTopLevelEquals(item)
-      require(eq > 0, s"malformed SET assignment: ${item.trim}")
-      val lhs = item.substring(0, eq).trim
-      val rhs = item.substring(eq + 1).trim
-      require(rhs.nonEmpty, s"empty SET expression for $lhs")
-      val col = lhs.split("\\.").last
-      require(col.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"SET left-hand side must be a column name, got: $lhs")
-      (col, rhs)
-    }
-    require(sets.nonEmpty, "UPDATE SET with no assignments")
-    require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
-      "duplicate column in UPDATE SET")
+    val sets = parseSets(sql.substring(setPos + 3, setEnd), "UPDATE")
     val where =
       if (wherePos < 0) None
       else {
@@ -173,6 +222,25 @@ object DmlSql {
         Some(w)
       }
     Delete(name, alias, where)
+  }
+
+  /** `c = expr, …` assignment list (UPDATE SET and DO UPDATE SET). */
+  private def parseSets(text: String, what: String): Seq[(String, String)] = {
+    val sets = splitTopLevel(text).map { item =>
+      val eq = findTopLevelEquals(item)
+      require(eq > 0, s"malformed SET assignment: ${item.trim}")
+      val lhs = item.substring(0, eq).trim
+      val rhs = item.substring(eq + 1).trim
+      require(rhs.nonEmpty, s"empty SET expression for $lhs")
+      val col = lhs.split("\\.").last
+      require(col.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"SET left-hand side must be a column name, got: $lhs")
+      (col, rhs)
+    }
+    require(sets.nonEmpty, s"$what SET with no assignments")
+    require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
+      s"duplicate column in $what SET")
+    sets
   }
 
   // same '=' scanner as MergeSql (kept local: private there)
@@ -201,7 +269,7 @@ object DmlSql {
     */
   def run(spark: SparkSession, st: Stmt, resolve: String => DataFrame,
           runStmt: String => DataFrame): DataFrame = st match {
-    case Insert(ref, cols, values, source) =>
+    case Insert(ref, cols, values, source, conflict) =>
       val t = resolve(ref)
       val src = (values, source) match {
         case (Some(v), _) => spark.sql(s"SELECT * FROM VALUES $v")
@@ -232,7 +300,10 @@ object DmlSql {
           if (pos < 0) lit(null) else src.col(s"`${srcCols(pos)}`")
         e.cast(f.dataType).as(f.name)
       }: _*)
-      t.union(aligned)
+      conflict match {
+        case None => t.union(aligned)
+        case Some(c) => runOnConflict(t, aligned, c)
+      }
 
     case Update(ref, alias, sets, where) =>
       val t = resolve(ref).as(alias)
@@ -257,5 +328,68 @@ object DmlSql {
         case None => t.limit(0) // DELETE without WHERE removes all rows
         case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
       }
+  }
+
+  /** `ON CONFLICT` lowering (u12) over the target-ALIGNED source:
+    *
+    *   DO NOTHING — target ∪ (source ANTI-JOIN target on the keys);
+    *   DO UPDATE  — one LEFT join of target against the source, whose
+    *     row rides along as a STRUCT column literally named `excluded`,
+    *     so a SET expression's `excluded.c` resolves as native struct
+    *     field access and a bare `c` resolves to the target column
+    *     (exactly the Postgres/DuckDB scoping — no text rewriting);
+    *     non-conflicting source rows append via the same anti-join.
+    *
+    * Contracts, all loud: the conflict keys must be target columns; a
+    * source with duplicate conflict keys refuses (it would update one
+    * target row twice — the u09 MERGE one-source-row rule, enforced by
+    * ONE keyed aggregate, no join re-run); NULL keys never conflict
+    * (SQL equality), so null-keyed source rows insert. Duplicate keys
+    * in the TARGET all update — frames carry no unique constraint, the
+    * documented divergence from index-backed engines.
+    *
+    * Scale shape: one shuffle on the conflict keys for the join, one
+    * for the anti-join (AQE broadcasts a small source), the guard is
+    * one keyed count; every SET is expression-level from there.
+    */
+  private def runOnConflict(t: DataFrame, aligned: DataFrame,
+                            c: Conflict): DataFrame = {
+    c.keys.foreach { k =>
+      require(t.columns.exists(_.equalsIgnoreCase(k)),
+        s"ON CONFLICT references unknown column '$k' " +
+          s"(target has: ${t.columns.mkString(", ")})")
+    }
+    val dup = aligned.groupBy(c.keys.map(k => col(s"`$k`")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dup == 0,
+      "ON CONFLICT source contains duplicate conflict keys — one target " +
+        "row may be affected only once; deduplicate the source first")
+    val newRows = aligned.join(
+      t.select(c.keys.map(k => col(s"`$k`")): _*), c.keys, "left_anti")
+    c.action match {
+      case None => t.union(newRows) // DO NOTHING
+      case Some(sets) =>
+        sets.foreach { case (n, _) =>
+          require(t.columns.exists(_.equalsIgnoreCase(n)),
+            s"DO UPDATE SET references unknown column '$n' " +
+              s"(target has: ${t.columns.mkString(", ")})")
+        }
+        val s2 = aligned.select(
+          c.keys.map(k => col(s"`$k`").as(s"__ck_$k")) :+
+            struct(aligned.columns.map(cn => col(s"`$cn`")): _*)
+              .as("excluded"): _*)
+        val cond = c.keys.map(k =>
+          t.col(s"`$k`") === s2.col(s"`__ck_$k`")).reduce(_ && _)
+        val joined = t.join(s2, cond, "left")
+        val updated = joined.select(t.schema.fields.toSeq.map { f =>
+          sets.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) =>
+              when(col("excluded").isNotNull, expr(e).cast(f.dataType))
+                .otherwise(t.col(s"`${f.name}`")).as(f.name)
+            case None => t.col(s"`${f.name}`").as(f.name)
+          }
+        }: _*)
+        updated.union(newRows)
+    }
   }
 }

@@ -83,6 +83,45 @@ class DmlSqlSpec extends GraftSuite {
     intercept[IllegalArgumentException](run("INSERT INTO dml_t"))
   }
 
+  test("INSERT ON CONFLICT (u12): DO UPDATE applies excluded.-refs, " +
+    "DO NOTHING skips, new keys insert, contracts refuse") {
+    bind()
+    // k=2 conflicts → updated with excluded.v + v; k=7 is new → inserts
+    val up = run(
+      """INSERT INTO dml_t VALUES (2, 'X', 5), (7, 'n', 70)
+         ON CONFLICT (k) DO UPDATE SET v = excluded.v + v, tag = 'U'""")
+    assert(up.contains((2L, "U", Some(25L))), s"got $up")
+    assert(up.contains((7L, "n", Some(70L))) && up.size == 4)
+    // DO NOTHING: the conflicting row keeps its target values
+    bind()
+    val nth = run(
+      """INSERT INTO dml_t VALUES (2, 'X', 5), (8, 'h', 80)
+         ON CONFLICT (k) DO NOTHING""")
+    assert(nth.contains((2L, "b", Some(20L))) &&
+      nth.contains((8L, "h", Some(80L))) && nth.size == 4)
+    // duplicate conflict keys in the source refuse loudly (one target
+    // row may be affected only once)
+    assert(intercept[IllegalArgumentException](run(
+      """INSERT INTO dml_t VALUES (2, 'x', 1), (2, 'y', 2)
+         ON CONFLICT (k) DO NOTHING""")).getMessage
+      .contains("duplicate conflict keys"))
+    // the conflict target is required and must be a target column
+    assert(intercept[IllegalArgumentException](run(
+      "INSERT INTO dml_t VALUES (1, 'x', 1) ON CONFLICT DO NOTHING"))
+      .getMessage.contains("explicit"))
+    assert(intercept[IllegalArgumentException](run(
+      """INSERT INTO dml_t VALUES (1, 'x', 1)
+         ON CONFLICT (nope) DO NOTHING""")).getMessage
+      .contains("unknown column"))
+    // a bare SET reference means the TARGET column (Postgres scoping):
+    // v doubles from the target's own value, not the incoming one
+    bind()
+    val scope = run(
+      """INSERT INTO dml_t VALUES (3, 'x', 999)
+         ON CONFLICT (k) DO UPDATE SET v = v * 2""")
+    assert(scope.contains((3L, "c", Some(60L))))
+  }
+
   test("non-DML statements pass through; literals never trigger") {
     assert(DmlSql.parse("SELECT 'insert into' FROM t").isEmpty)
     assert(DmlSql.parse("-- update t\nSELECT 1").isEmpty)

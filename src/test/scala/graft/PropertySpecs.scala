@@ -336,15 +336,20 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
     "INSERT INTO t SELECT k, v FROM s WHERE tag <> 'values (1)'",
     """UPDATE t SET tag = 'delete from t where', v = v + 1
        WHERE note <> 'set x = 1, y = 2'""",
-    "DELETE FROM t WHERE tag <> 'update set where delete'")
+    "DELETE FROM t WHERE tag <> 'update set where delete'",
+    """INSERT INTO t SELECT k, v FROM s WHERE tag <> 'on conflict do'
+       ON CONFLICT (k) DO UPDATE SET v = excluded.v + v""",
+    """INSERT INTO t VALUES (1, 'do update set v = 2')
+       ON CONFLICT (k) DO NOTHING""")
 
   property("DML parse structure is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(dmlCorpus), Gen.chooseNum(0, 1000))) {
       case (q, salt) =>
         import graft.sql.DmlSql
         def shape(s: String): Option[Product] = DmlSql.parse(s).map {
-          case DmlSql.Insert(r, cols, v, src) =>
-            (r, cols, v.isDefined, src.isDefined)
+          case DmlSql.Insert(r, cols, v, src, cf) =>
+            (r, cols, v.isDefined, src.isDefined,
+              cf.map(x => (x.keys, x.action.map(_.map(_._1)))))
           case DmlSql.Update(r, a, sets, w) =>
             (r, a, sets.map(_._1), w.isDefined)
           case DmlSql.Delete(r, a, w) => (r, a, w.isDefined)

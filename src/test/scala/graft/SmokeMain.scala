@@ -482,6 +482,10 @@ object SmokeMain {
         SparkEntry.queries("j12_positional_join")(spark, sf).count())
       println(s"t32 wordpiece-tokenize rows=" +
         SparkEntry.queries("t32_wordpiece_tokenize")(spark, sf).count())
+      println(s"q65 list-functions rows=" +
+        SparkEntry.queries("q65_list_functions")(spark, sf).count())
+      println(s"u12 on-conflict rows=" +
+        SparkEntry.queries("u12_insert_on_conflict")(spark, sf).count())
     }
 
     spark.stop()
