@@ -37,11 +37,23 @@ object Iterate {
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     var cur = init
     var i = 1
+    var dirty = false // changed since the last cut
     while (i <= n) {
-      cur = step(cur, i)
-      if (i % checkpointEvery == 0 || i == n) cur = cut(cur, reliable)
+      val next = step(cur, i)
+      // identity return = the step declared a fixed point (a drained
+      // trainer, a converged relaxation): nothing new to cut —
+      // re-checkpointing the unchanged frame would rewrite its blocks
+      // once per remaining round for no state change (review-caught)
+      if (next ne cur) {
+        cur = next
+        dirty = true
+        if (i % checkpointEvery == 0 || i == n) { cur = cut(cur, reliable); dirty = false }
+      }
       i += 1
     }
+    // the consumers-start-materialized contract survives identity tails
+    // under checkpointEvery > 1
+    if (dirty) cur = cut(cur, reliable)
     cur
   }
 

@@ -115,7 +115,9 @@ object TextAnalysis {
         i => col("w").substr(i, lit(1))).as("syms"))
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var drained = false // once empty, remaining rounds skip their agg
     Iterate.loop(vocab0, numMerges) { (vocab, _) =>
+      if (drained) vocab else {
       val top = vocab.filter(size(col("syms")) >= 2)
         .select(col("wn"), explode(transform(
           sequence(lit(0), size(col("syms")) - 2),
@@ -125,8 +127,10 @@ object TextAnalysis {
         .agg(sum(col("wn")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
-      if (top.isEmpty) vocab // vocabulary fully merged — remaining rounds no-op
-      else {
+      if (top.isEmpty) {
+        drained = true // vocabulary fully merged — remaining rounds no-op
+        vocab
+      } else {
         val (l, r) = (top.head.getString(0), top.head.getString(1))
         learned += ((learned.size, l, r, top.head.getLong(2)))
         // greedy leftmost non-overlapping application of (l, r): fold
@@ -138,6 +142,7 @@ object TextAnalysis {
               element_at(acc, -1) === lit(l) && s === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(s)))))
+      }
       }
     }
     spark.createDataFrame(learned.toSeq)
@@ -377,7 +382,9 @@ object TextAnalysis {
                    concat('##', substring(w, i, 1))))""").as("syms"))
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long, Long, Long)]
+    var drained = false // once empty, remaining rounds skip their aggs
     Iterate.loop(vocab0, numMerges) { (vocab, _) =>
+      if (drained) vocab else {
       val syms = vocab.select(col("wn"), explode(col("syms")).as("s"))
         .groupBy(col("s")).agg(sum(col("wn")).as("c"))
       val top = vocab.filter(size(col("syms")) >= 2)
@@ -395,8 +402,10 @@ object TextAnalysis {
             .as("score"))
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1).collect()
-      if (top.isEmpty) vocab // vocabulary fully merged — remaining rounds no-op
-      else {
+      if (top.isEmpty) {
+        drained = true // vocabulary fully merged — remaining rounds no-op
+        vocab
+      } else {
         val (l, r) = (top.head.getString(0), top.head.getString(1))
         require(r.startsWith("##") && r.length > 2,
           s"internal: WordPiece right symbol must be a continuation, got $r")
@@ -410,6 +419,7 @@ object TextAnalysis {
               element_at(acc, -1) === lit(l) && s === lit(r),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
             .otherwise(concat(acc, array(s)))))
+      }
       }
     }
     spark.createDataFrame(learned.toSeq)

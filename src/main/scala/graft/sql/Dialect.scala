@@ -611,6 +611,38 @@ object Dialect {
     out.toString
   }
 
+  /** First depth-0 bare `=` (not `<= >= != ==`) on the masked view —
+    * the SET-assignment / ON-conjunct splitter shared by MERGE, DML and
+    * ON CONFLICT (one copy: a boundary-rule fix lands here once).
+    */
+  private[graft] def findTopLevelEquals(item: String): Int = {
+    val m = stripLiterals(item)
+    var depth = 0
+    var i = 0
+    while (i < m.length) {
+      val c = m.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == '=' && depth == 0) {
+        val prev = if (i > 0) m.charAt(i - 1) else ' '
+        val nxt = if (i + 1 < m.length) m.charAt(i + 1) else ' '
+        if (prev != '<' && prev != '>' && prev != '!' && prev != '=' &&
+          nxt != '=') return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Default alias of a possibly dotted/backticked table reference:
+    * the LAST identifier part, backticks stripped — the shared
+    * MERGE/DML/GROUPS rule (advice r15: aliasing a frame as the raw
+    * `db.t` text makes every qualified column unresolvable). Callers
+    * validate the result against their own identifier contract.
+    */
+  private[graft] def defaultAliasOf(name: String): String =
+    name.split("\\.").last.replaceAll("`", "")
+
   /** Whether the text contains a backtick-quoted occurrence of `name` —
     * the one reference shape [[replaceIdent]] cannot see (the mask
     * blanks it), so callers refuse instead of silently mis-binding.
@@ -1222,7 +1254,7 @@ object Dialect {
         src.substring(4, refEnd).trim)
     val innerAlias =
       if (refParts.length == 2) refParts(1)
-      else refParts.head.split("\\.").last.replaceAll("`", "")
+      else defaultAliasOf(refParts.head)
     val defsText = defPo.zipWithIndex.map { case (po, i) =>
       s"dense_rank() OVER (${nullsLastWindowOrder(po)}) AS `__grp_$i`"
     }.mkString(", ")

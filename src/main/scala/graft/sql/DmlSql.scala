@@ -86,7 +86,7 @@ object DmlSql {
     val explicit = parts.tail.filterNot(_.equalsIgnoreCase("as"))
     require(explicit.size <= 1, s"malformed $what target: $t")
     val alias = explicit.headOption.getOrElse {
-      val last = name.split("\\.").last.replaceAll("`", "")
+      val last = Dialect.defaultAliasOf(name)
       require(last.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"cannot derive an alias from '$name' — add an explicit alias")
       last
@@ -227,7 +227,7 @@ object DmlSql {
   /** `c = expr, …` assignment list (UPDATE SET and DO UPDATE SET). */
   private def parseSets(text: String, what: String): Seq[(String, String)] = {
     val sets = splitTopLevel(text).map { item =>
-      val eq = findTopLevelEquals(item)
+      val eq = Dialect.findTopLevelEquals(item)
       require(eq > 0, s"malformed SET assignment: ${item.trim}")
       val lhs = item.substring(0, eq).trim
       val rhs = item.substring(eq + 1).trim
@@ -243,25 +243,6 @@ object DmlSql {
     sets
   }
 
-  // same '=' scanner as MergeSql (kept local: private there)
-  private def findTopLevelEquals(item: String): Int = {
-    val m = stripLiterals(item)
-    var depth = 0
-    var i = 0
-    while (i < m.length) {
-      val c = m.charAt(i)
-      if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
-      else if (c == '=' && depth == 0) {
-        val prev = if (i > 0) m.charAt(i - 1) else ' '
-        val nxt = if (i + 1 < m.length) m.charAt(i + 1) else ' '
-        if (prev != '<' && prev != '>' && prev != '!' && prev != '=' &&
-          nxt != '=') return i
-      }
-      i += 1
-    }
-    -1
-  }
 
   /** Execute a parsed DML statement. `resolve` maps the target name to
     * its frame (session catalog at the session surface); `runStmt` runs
@@ -359,7 +340,13 @@ object DmlSql {
         s"ON CONFLICT references unknown column '$k' " +
           s"(target has: ${t.columns.mkString(", ")})")
     }
-    val dup = aligned.groupBy(c.keys.map(k => col(s"`$k`")): _*)
+    // NULL keys never conflict (SQL equality), so they are EXCLUDED from
+    // the uniqueness guard — two null-keyed source rows both insert
+    // (review-caught: counting them grouped the NULLs together and
+    // falsely refused; same rule as MergeSql's guard)
+    val dup = aligned
+      .filter(c.keys.map(k => col(s"`$k`").isNotNull).reduce(_ && _))
+      .groupBy(c.keys.map(k => col(s"`$k`")): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dup == 0,
       "ON CONFLICT source contains duplicate conflict keys — one target " +

@@ -155,7 +155,7 @@ object MergeSql {
         // frame as the raw "db.t" text makes every qualified column
         // reference unresolvable); names whose last part is not a plain
         // identifier must alias explicitly
-        val last = name.split("\\.").last.replaceAll("`", "")
+        val last = Dialect.defaultAliasOf(name)
         require(last.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"cannot derive an alias from MERGE $side '$name' — add an " +
             "explicit alias")
@@ -209,7 +209,7 @@ object MergeSql {
         a = skipWs(mask, a + 6)
         require(wordAt(mask, a, "set"), "UPDATE in MERGE requires SET")
         val sets = splitTopLevel(seg.substring(a + 3)).map { item =>
-          val eq = findTopLevelEquals(item)
+          val eq = Dialect.findTopLevelEquals(item)
           require(eq > 0, s"malformed SET assignment: ${item.trim}")
           val lhs = item.substring(0, eq).trim
           val rhs = item.substring(eq + 1).trim
@@ -279,24 +279,6 @@ object MergeSql {
   /** First '=' at paren depth 0 that is a bare assignment (not part of
     * `>=`, `<=`, `!=`, `==`, `<>`), scanning the masked view.
     */
-  private def findTopLevelEquals(item: String): Int = {
-    val m = stripLiterals(item)
-    var depth = 0
-    var i = 0
-    while (i < m.length) {
-      val c = m.charAt(i)
-      if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
-      else if (c == '=' && depth == 0) {
-        val prev = if (i > 0) m.charAt(i - 1) else ' '
-        val nxt = if (i + 1 < m.length) m.charAt(i + 1) else ' '
-        if (prev != '<' && prev != '>' && prev != '!' && prev != '=' &&
-          nxt != '=') return i
-      }
-      i += 1
-    }
-    -1
-  }
 
   // bare words that may appear inside an ON-side expression without
   // making its alias ownership ambiguous (SQL syntax, not column refs)
@@ -358,7 +340,7 @@ object MergeSql {
       else None
     }
     val keys = conjuncts.map { c =>
-      val eq = findTopLevelEquals(c)
+      val eq = Dialect.findTopLevelEquals(c)
       if (eq < 0) return None
       val l = c.substring(0, eq)
       val r = c.substring(eq + 1)

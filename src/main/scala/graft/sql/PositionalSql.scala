@@ -53,6 +53,11 @@ object PositionalSql {
     val m = stripLiterals(sql)
     val sel = findTopLevelKeywordIn(m, 0, "select")
     require(sel >= 0, "POSITIONAL JOIN statement must start with SELECT")
+    // a WITH head would silently vanish (the statement is reassembled
+    // from the SELECT) — refuse loudly, like rewriteGroupsFrames does
+    require(skipWs(m, 0) == sel,
+      "POSITIONAL JOIN statements must start with SELECT — inline the " +
+        "WITH clause into the operands")
     val from = findTopLevelKeywordIn(m, sel + 6, "from")
     require(from >= 0, "POSITIONAL JOIN statement needs a FROM clause")
     val pos = findTopLevelKeywordIn(m, from + 4, "positional")

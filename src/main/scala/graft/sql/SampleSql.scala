@@ -147,7 +147,11 @@ object SampleSql {
         else df.filter(
           conv(substring(h, 1, 4), 16, 10).cast("long") < lit(thr))
       case Rows(n) =>
-        df.orderBy(h.asc, c1.asc).limit(n.toInt)
+        // NULLS LAST on both keys: a null first column hashes to a null
+        // md5, and Spark's default NULLS FIRST would select those rows
+        // where DuckDB's NULLS LAST default never does (review-caught —
+        // the cross-engine grid must order identically)
+        df.orderBy(h.asc_nulls_last, c1.asc_nulls_last).limit(n.toInt)
     }
   }
 
@@ -231,8 +235,8 @@ object SampleSql {
           else s"SELECT * FROM $name WHERE cast(conv(substring(" +
             s"md5(cast(`$c1` as string)), 1, 4), 16, 10) as bigint) < $thr"
         case Rows(n) =>
-          s"SELECT * FROM $name ORDER BY md5(cast(`$c1` as string)), " +
-            s"`$c1` LIMIT $n"
+          s"SELECT * FROM $name ORDER BY md5(cast(`$c1` as string)) " +
+            s"NULLS LAST, `$c1` NULLS LAST LIMIT $n"
       }
       cur = cur.substring(0, s + 1) + s"($gate) AS $alias" +
         cur.substring(consumedTo)

@@ -120,6 +120,15 @@ class DmlSqlSpec extends GraftSuite {
       """INSERT INTO dml_t VALUES (3, 'x', 999)
          ON CONFLICT (k) DO UPDATE SET v = v * 2""")
     assert(scope.contains((3L, "c", Some(60L))))
+    // NULL keys never conflict: two null-keyed incoming rows BOTH
+    // insert and must NOT trip the duplicate-key guard (review-caught:
+    // the guard once grouped the NULLs together and falsely refused)
+    bind()
+    val nulls = Table.sessionSql(spark,
+      """INSERT INTO dml_t (tag, v) VALUES ('p', 1), ('q', 2)
+         ON CONFLICT (k) DO NOTHING""").toDF
+    assert(nulls.count() == 5)
+    assert(nulls.filter("k IS NULL").count() == 2)
   }
 
   test("non-DML statements pass through; literals never trigger") {

@@ -2293,6 +2293,11 @@ class OpsSpec extends GraftSuite {
     assert(intercept[IllegalArgumentException](
       TextAnalysis.wordPieceSegment(Seq("x").toDF("w"), "w",
         Seq("bad piece!").toDF("piece"))).getMessage.contains("##"))
+    // over-budget rounds drain cleanly: only 2 merges are learnable
+    // from this corpus; rounds 3..10 must no-op (no re-aggregation, no
+    // re-checkpoint — review-caught) and the output stays the 2 merges
+    val over = TextAnalysis.wordPieceTrain(docs, "text", 10)
+    assert(over.count() == 2)
   }
 
   test("d25 winnowing: density and shared-run detection guarantees") {

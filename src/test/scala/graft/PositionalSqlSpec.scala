@@ -47,5 +47,12 @@ class PositionalSqlSpec extends GraftSuite {
     assert(!graft.sql.PositionalSql.detect("SELECT positional FROM t"))
     assert(!graft.sql.PositionalSql.detect(
       "SELECT x FROM t WHERE tag = 'positional join'"))
+    // a WITH head would silently vanish in the reassembly — refuse
+    // loudly instead (review-caught)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH seed AS (SELECT 1 AS a)
+         SELECT * FROM (SELECT a FROM seed) x
+         POSITIONAL JOIN (SELECT 2 AS b) y"""))
+      .getMessage.contains("inline the WITH"))
   }
 }

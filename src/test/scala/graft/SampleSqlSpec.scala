@@ -126,4 +126,18 @@ class SampleSqlSpec extends GraftSuite {
       .select(sum($"id")).collect().head.getLong(0)
     assert(a == b)
   }
+
+  test("rows-form orders NULLS LAST — cross-engine hash grid parity " +
+    "(review-caught)") {
+    // a null first column hashes to a null md5; Spark's default NULLS
+    // FIRST would always select those rows where DuckDB's NULLS LAST
+    // default never does — the gate pins last-ness on both keys
+    val withNulls = Seq[(Option[Long], String)](
+      (None, "n1"), (None, "n2"), (Some(1L), "a"), (Some(2L), "b"),
+      (Some(3L), "c")).toDF("id", "tag")
+    val got = SampleSql.applySample(withNulls, SampleSql.Rows(3))
+      .collect()
+    assert(got.forall(!_.isNullAt(0)),
+      "null-keyed rows must sort last and never enter an undersized sample")
+  }
 }
