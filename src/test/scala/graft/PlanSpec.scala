@@ -17,6 +17,18 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join in d04 plan")
   }
 
+  test("u12 ON CONFLICT: keyed joins only — no cartesian/nested-loop") {
+    val p = planOf("u12_insert_on_conflict")
+    assert(!p.contains("CartesianProduct"), "cartesian in u12 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in u12 plan")
+  }
+
+  test("j12 positional join: one equi-join on the position key") {
+    val p = planOf("j12_positional_join")
+    assert(!p.contains("CartesianProduct"), "cartesian in j12 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in j12 plan")
+  }
+
   test("ap01 approx aggregates: single-distinct planning, no Expand") {
     // ap01's r9 oracle promotion added ONE exact count_distinct next to
     // the sketches it gates; Spark's single-distinct rewrite plans that
