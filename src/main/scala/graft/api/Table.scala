@@ -615,7 +615,11 @@ object Table {
       }.getOrElse(df0)
       val bound =
         if (graft.sql.RecursiveUnion.containsWord(stepMask, h.name))
+          // same constraint-pruning projection as the recursion loop's
+          // checkpoints (the step may union/except over this view)
           df.localCheckpoint(true)
+            .select(df.columns.map(cn =>
+              org.apache.spark.sql.functions.col(s"`$cn`").as(cn)): _*)
         else df
       bindLock.synchronized { bound.createOrReplaceTempView(rename(h.name)) }
     }
@@ -645,7 +649,17 @@ object Table {
     val step = rewriteAll(st.step)
     val outer = rewriteAll(st.outer)
     try {
-      var seen = seed.distinct().localCheckpoint(true)
+      // every checkpoint is wrapped in a fresh aliasing projection: a
+      // localCheckpoint's LogicalRDD can carry origin constraints that
+      // reference attributes outside its own output, and the LAZY
+      // accumulation union below computes Union constraints over its
+      // children (Spark's rewrite then dies with `key not found: k#N`
+      // — surfaced by a recursion over an ON CONFLICT result). A
+      // Project keeps only output-expressible constraints.
+      def freshCols(df: DataFrame): DataFrame =
+        df.select(df.columns.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`").as(c)): _*)
+      var seen = freshCols(seed.distinct().localCheckpoint(true))
       var frontier = seen
       var drained = frontier.isEmpty
       var round = 0
@@ -667,13 +681,13 @@ object Table {
           frontier.createOrReplaceTempView(internal)
           align(sessionSqlOne(spark, step))
         }
-        val next = stepped.except(seen).localCheckpoint(true)
+        val next = freshCols(stepped.except(seen).localCheckpoint(true))
         if (next.isEmpty) drained = true
         else {
           seen = seen.union(next)
           sinceCollapse += 1
           if (sinceCollapse >= collapseEvery) {
-            seen = seen.localCheckpoint(true)
+            seen = freshCols(seen.localCheckpoint(true))
             sinceCollapse = 0
           }
           frontier = next

@@ -353,8 +353,15 @@ object DmlSql {
         "row may be affected only once; deduplicate the source first")
     val newRows = aligned.join(
       t.select(c.keys.map(k => col(s"`$k`")): _*), c.keys, "left_anti")
+    // re-alias every output before the union: the anti-join can carry a
+    // constraint referencing the pruned target key attribute, and
+    // Union's constraint rewriting crashes on it (key not found: k#N —
+    // surfaced when the target is a CTAS snapshot); a fresh Project
+    // with aliases keeps only output-expressible constraints
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(cn => col(s"`$cn`").as(cn)): _*)
     c.action match {
-      case None => t.union(newRows) // DO NOTHING
+      case None => fresh(t).union(fresh(newRows)) // DO NOTHING
       case Some(sets) =>
         sets.foreach { case (n, _) =>
           require(t.columns.exists(_.equalsIgnoreCase(n)),
@@ -376,7 +383,7 @@ object DmlSql {
             case None => t.col(s"`${f.name}`").as(f.name)
           }
         }: _*)
-        updated.union(newRows)
+        fresh(updated).union(fresh(newRows))
     }
   }
 }

@@ -72,6 +72,45 @@ class DdlSqlSpec extends GraftSuite {
       "CREATE TABLE t (k INT)")).getMessage.contains("AS <select>"))
   }
 
+  test("round-16 statement forms COMPOSE: CTAS over a sampled body, " +
+    "ON CONFLICT into it, recursion over it, COPY out") {
+    import org.apache.spark.sql.functions._
+    spark.range(1, 101).selectExpr("id AS k", "id * 10 AS v")
+      .createOrReplaceTempView("comp_src")
+    // 1. CTAS whose body carries a sampling clause (the md5 grid is
+    //    deterministic, so the snapshot is reproducible)
+    val t = Table.sessionSql(spark,
+      """CREATE OR REPLACE TEMP TABLE comp_t AS
+         SELECT k, v FROM comp_src USING SAMPLE 50%""").toDF
+    val n0 = t.count()
+    assert(n0 > 10 && n0 < 90, s"50% grid sample out of range: $n0")
+    // 2. upsert INTO the snapshot's view binding
+    val up = Table.sessionSql(spark,
+      """INSERT INTO comp_t SELECT k, 1 FROM comp_src WHERE k <= 3
+         ON CONFLICT (k) DO UPDATE SET v = excluded.v""").toDF
+    up.createOrReplaceTempView("comp_t2")
+    assert(up.filter("k <= 3 AND v = 1").count() == 3)
+    // 3. a recursive statement with a helper CTE reading the result
+    val reach = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           small(k) AS (SELECT k FROM comp_t2 WHERE k <= 10),
+           walk(k) AS (
+             SELECT k FROM small WHERE k = 1
+             UNION
+             SELECT s.k FROM walk w JOIN small s ON s.k = w.k + 1)
+         SELECT count(*) AS c FROM walk""").toDF.collect().head.getLong(0)
+    // the walk covers the contiguous k<=10 prefix present in comp_t2
+    // (k=1..3 guaranteed by the upsert)
+    assert(reach >= 3)
+    // 4. COPY the upserted table out and read it back
+    val dir = s"target/tmp/comp_${java.util.UUID.randomUUID.toString.take(8)}"
+    val back = Table.sessionSql(spark,
+      s"COPY comp_t2 TO '$dir' (FORMAT PARQUET)").toDF
+    assert(back.count() == up.count())
+    assert(back.agg(sum(col("v"))).collect().head.getLong(0) ==
+      up.agg(sum(col("v"))).collect().head.getLong(0))
+  }
+
   test("TABLE materializes once: the snapshot survives source removal") {
     Seq((7L, "x")).toDF("k", "tag").createOrReplaceTempView("ddl_tmp_src")
     Table.sessionSql(spark,
