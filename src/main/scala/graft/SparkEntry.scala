@@ -6629,6 +6629,109 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM fin GROUP BY st ORDER BY st"""),
 
+    // Correlated DML (u13, [[graft.sql.DmlSql]]): UPDATE … FROM (the
+    // Postgres/DuckDB enrich-from-lookup form — WHERE is the JOIN
+    // predicate, matched rows take both-alias SET expressions,
+    // unmatched pass through; a target row matching several source
+    // rows REFUSES) and DELETE … USING (any match deletes). The mixed
+    // equi+theta predicate here exercises the checkpoint-guard path:
+    // the join materializes ONCE, guard and output read the blocks.
+    // The oracle re-derives both statements relationally (LEFT JOIN +
+    // CASE / NOT EXISTS — the standard's semantics).
+    "u13_correlated_dml" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u13_base")
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("ck"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+          .createOrReplaceTempView("u13_src")
+        s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nat"))
+          .createOrReplaceTempView("u13_sup")
+        graft.api.Table.sessionSql(s,
+          """UPDATE u13_base AS t SET cents = t.cents + s.bal_cents,
+               st = 'J'
+             FROM u13_src AS s
+             WHERE t.k = s.ck AND t.cents < 20000000""").df
+          .createOrReplaceTempView("u13_u")
+        graft.api.Table.sessionSql(s,
+          """DELETE FROM u13_u AS t USING u13_sup AS s
+             WHERE t.k = s.sk AND s.nat < 10""").df
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("st"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 7 = 0),
+         src AS (SELECT c_custkey AS ck,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer),
+         u AS (SELECT t.k,
+                 CASE WHEN s.ck IS NOT NULL THEN 'J' ELSE t.st END AS st,
+                 CASE WHEN s.ck IS NOT NULL THEN t.cents + s.bal_cents
+                      ELSE t.cents END AS cents
+               FROM base t LEFT JOIN src s
+                 ON t.k = s.ck AND t.cents < 20000000),
+         s2 AS (SELECT s_suppkey AS sk, s_nationkey AS nat FROM supplier),
+         d AS (SELECT * FROM u t WHERE NOT EXISTS (
+                 SELECT 1 FROM s2 s WHERE t.k = s.sk AND s.nat < 10))
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM d GROUP BY st ORDER BY st"""),
+
+    // Conditional upsert (u14, [[graft.sql.DmlSql]]): ON CONFLICT …
+    // DO UPDATE SET … WHERE — a conflicting row updates only when the
+    // condition holds (bare names = target columns, excluded. = the
+    // incoming row); FALSE/NULL keeps the target row AND still blocks
+    // the insert (DuckDB's probed rule, see DmlSqlSpec). The oracle
+    // re-derives the arm relationally (DuckDB's native ON CONFLICT
+    // needs a unique index, which frames don't carry).
+    "u14_conflict_where" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u14_base")
+        graft.api.Table.sessionSql(s,
+          """INSERT INTO u14_base
+             SELECT k + 8, 'C', cents DIV 5 FROM u14_base WHERE k % 3 = 0
+             ON CONFLICT (k) DO UPDATE
+               SET cents = excluded.cents + cents, st = 'W'
+               WHERE cents < 15000000""").df
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("st"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 4 = 0),
+         s1 AS (SELECT k + 8 AS k, 'C' AS st, cents // 5 AS cents
+                FROM base WHERE k % 3 = 0),
+         up AS (SELECT b.k,
+                  CASE WHEN s1.k IS NOT NULL AND b.cents < 15000000
+                       THEN 'W' ELSE b.st END AS st,
+                  CASE WHEN s1.k IS NOT NULL AND b.cents < 15000000
+                       THEN s1.cents + b.cents ELSE b.cents END AS cents
+                FROM base b LEFT JOIN s1 ON s1.k = b.k
+                UNION ALL
+                SELECT k, st, cents FROM s1 s
+                WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k))
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM up GROUP BY st ORDER BY st"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)
@@ -7882,6 +7985,62 @@ object SparkEntry {
                 CAST(sum(cents) AS BIGINT) AS cents,
                 min(l_shipdate) AS mn, max(l_shipdate) AS mx
          FROM src GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // COPY … FROM import (io22, [[graft.sql.CopySql]]) — the ingestion
+    // twin of io21, all three formats in one chain: three slices export
+    // (PARQUET / CSV / JSON), then three COPY FROM statements append
+    // them into a seed table, file columns aligned BY NAME and cast
+    // into the target types (CSV comes back via header + inference,
+    // JSON as NDJSON — the documented lossy-format divergences are
+    // erased by the cast-into-target contract). The final rollup gates
+    // every imported value; the oracle is the same rollup straight off
+    // the source rows, so the query proves export → import → append
+    // lost nothing. Each import is one pruned scan + one shuffle-free
+    // union.
+    "io22_copy_from" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val src = s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+            col("l_returnflag").as("flag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        src.createOrReplaceTempView("io22_all")
+        src.filter(col("ln") === 1).drop("ln")
+          .createOrReplaceTempView("io22_t")
+        val base = new java.io.File(dir).getName
+        val (p1, p2, p3) = (scratchDir(s"io22p_$base") + ".parquet",
+          scratchDir(s"io22c_$base") + ".csv",
+          scratchDir(s"io22j_$base") + ".json")
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 2)
+              TO '$p1' (FORMAT PARQUET)""")
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 3)
+              TO '$p2' (FORMAT CSV)""")
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 4)
+              TO '$p3' (FORMAT JSON)""")
+        graft.api.Table.sessionSql(s, s"COPY io22_t FROM '$p1'").df
+          .createOrReplaceTempView("io22_s1")
+        graft.api.Table.sessionSql(s,
+          s"COPY io22_s1 FROM '$p2' (FORMAT CSV)").df
+          .createOrReplaceTempView("io22_s2")
+        graft.api.Table.sessionSql(s,
+          s"COPY io22_s2 FROM '$p3' (FORMAT JSON)").df
+          .groupBy(col("flag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("flag"))
+      },
+      """WITH src AS (SELECT l_orderkey AS k, l_linenumber AS ln,
+                l_returnflag AS flag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE l_orderkey % 13 = 0)
+         SELECT flag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM src WHERE ln <= 4 GROUP BY flag ORDER BY flag"""),
 
     // Schema-evolution read (io20): a dataset written in TWO schema
     // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,

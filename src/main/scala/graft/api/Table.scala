@@ -465,8 +465,9 @@ object Table {
           s => sessionSql(spark, s).df))
       case None =>
     }
-    // COPY … TO '<path>' (io21) — export + read-back; the returned
-    // frame is the written dataset, proving the round-trip
+    // COPY … TO '<path>' (io21) — export + read-back (the returned
+    // frame is the written dataset, proving the round-trip) — and
+    // COPY … FROM '<path>' (io22) — import appended into the target
     graft.sql.CopySql.parse(qr) match {
       case Some(st) =>
         return apply(graft.sql.CopySql.run(spark, st, resolveRef))

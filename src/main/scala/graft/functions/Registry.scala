@@ -542,7 +542,35 @@ object Registry {
     dialectAlias("array_length", "size")
     // (len is already a Spark 4 builtin alias of length — not shadowed)
     dialectAlias("string_split_regex", "split")
-    dialectAlias("generate_series", "sequence") // both ends inclusive, like DuckDB
+    // generate_series: both ends inclusive like Spark sequence, BUT the
+    // engines disagree off the happy path (probed): DuckDB returns []
+    // when the step's sign cannot reach stop from start (including
+    // step = 0), while Spark's sequence(1, 0) DESCENDS to [1, 0] and a
+    // sign-mismatched 3-arg form throws — a bare name alias would
+    // silently diverge on any data-dependent, possibly-empty range
+    // (advice r16). Guarded lowering: emit the range only when the
+    // direction reaches, else an empty array of the argument type.
+    def guardedSeries(args: Seq[Expression], cond: Expression): Expression =
+      CaseWhen(Seq(
+        // any NULL argument → NULL (DuckDB, probed; the ELSE arm would
+        // otherwise turn a null-bounded range into [] silently)
+        (args.map(IsNull(_): Expression).reduce(Or),
+          Literal.create(null, NullType)),
+        (cond, org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("sequence"), args, isDistinct = false))),
+        // unreachable-direction ELSE: an empty array of the bound type
+        Some(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+          Seq("slice"),
+          Seq(CreateArray(Seq(args.head)), Literal(1), Literal(0)),
+          isDistinct = false)))
+    f("generate_series") {
+      case Seq(a, b) => guardedSeries(Seq(a, b), GreaterThanOrEqual(b, a))
+      case Seq(a, b, s) => guardedSeries(Seq(a, b, s),
+        Or(And(GreaterThan(s, Literal(0)), GreaterThanOrEqual(b, a)),
+          And(LessThan(s, Literal(0)), LessThanOrEqual(b, a))))
+      case other => throw new IllegalArgumentException(
+        s"generate_series() takes 2-3 arguments, got ${other.length}")
+    }
     // list_extract: 1-based, NULL out of bounds (DuckDB) — Spark's ANSI
     // element_at THROWS there, try_element_at matches
     dialectAlias("list_extract", "try_element_at")

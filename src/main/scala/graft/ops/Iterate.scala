@@ -47,7 +47,14 @@ object Iterate {
       if (next ne cur) {
         cur = next
         dirty = true
-        if (i % checkpointEvery == 0 || i == n) { cur = cut(cur, reliable); dirty = false }
+      }
+      // the boundary check sits OUTSIDE the changed branch: uncut
+      // progress cuts on every cadence round, whether or not THIS round
+      // changed the frame — else alternating changed/identity rounds
+      // that never land on a boundary defer every cut to the trailing
+      // one and lineage grows O(n) despite checkpointEvery (advice r16)
+      if (dirty && (i % checkpointEvery == 0 || i == n)) {
+        cur = cut(cur, reliable); dirty = false
       }
       i += 1
     }

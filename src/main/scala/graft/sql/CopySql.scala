@@ -2,39 +2,52 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** `COPY … TO '<path>'` export statement form (io21) — DuckDB's export
-  * surface:
+/** `COPY … TO '<path>'` export (io21) and `COPY … FROM '<path>'` import
+  * (io22) statement forms — DuckDB's file-transfer surface:
   *
-  *   COPY name TO 'path' [(FORMAT PARQUET | CSV)]
-  *   COPY ( <select statement> ) TO 'path' [(FORMAT PARQUET | CSV)]
+  *   COPY name TO 'path' [(FORMAT PARQUET | CSV | JSON)]
+  *   COPY ( <select statement> ) TO 'path' [(FORMAT …)]
+  *   COPY name FROM 'path' [(FORMAT …)]
   *
-  * The format defaults from the path extension (.parquet / .csv) when
-  * no FORMAT option is given — DuckDB's rule. The statement RETURNS the
-  * exported table READ BACK from the written files (the u09/u10
-  * statement-form convention, strengthened: the returned frame proves
-  * the round-trip, not just the write). Parquet round-trips arrow types
-  * exactly; CSV is written with a header and read back with schema
-  * inference — the lossy-format divergence every engine shares,
-  * documented rather than hidden. An existing target is overwritten
-  * (DuckDB COPY semantics).
+  * The format defaults from the path extension (.parquet / .csv / .json
+  * / .ndjson) when no FORMAT option is given — DuckDB's rule. Both
+  * directions RETURN a table (the u09/u10 statement-form convention):
+  * COPY TO returns the exported dataset READ BACK from the written
+  * files (the returned frame proves the round-trip, not just the
+  * write); COPY FROM returns the post-statement table — the target
+  * table with the file's rows APPENDED (DuckDB appends into an existing
+  * table), file columns aligned to the target schema by NAME and cast
+  * into its types. Parquet round-trips arrow types exactly; CSV is
+  * written with a header and read back with schema inference; JSON is
+  * newline-delimited (DuckDB's default JSON export shape) and loses
+  * date/timestamp typing to strings on read-back — the lossy-format
+  * divergences every engine shares, documented rather than hidden.
+  *
+  * Overwrite safety (advice r16): Spark's overwrite mode RECURSIVELY
+  * DELETES the target directory, where DuckDB's COPY replaces a single
+  * file — a mistyped path in a SQL statement must not wipe an arbitrary
+  * tree. COPY TO therefore refuses a non-empty existing target unless
+  * it looks like a prior export (a directory carrying _SUCCESS or
+  * part-* files — Spark's own writer layout).
   *
   * Spark writes a DIRECTORY of part files where DuckDB writes one file —
   * the distributed-writer shape; the path names the dataset, not a
   * single file. Scale shape: the write is the terminal exchange-free
   * action of the defining plan (each task writes its partition — this
-  * is exactly how a 100 TB export must fan out); the read-back is a
-  * fresh pruned scan.
+  * is exactly how a 100 TB export must fan out); the read-back and the
+  * import are fresh pruned scans, and the import's append is one
+  * shuffle-free union.
   */
 object CopySql {
 
-  final case class Stmt(ref: String, isSubquery: Boolean, path: String,
-                        format: String)
+  final case class Stmt(ref: String, isSubquery: Boolean, toTarget: Boolean,
+                        path: String, format: String)
 
   import Dialect.{stripLiterals, wordAt, matchParenAt => matchParen,
     skipWsAt => skipWs}
 
   /** First-word dispatch (masked scan): None unless the statement is
-    * COPY … TO. Malformed COPY fails loudly from here.
+    * COPY … TO/FROM. Malformed COPY fails loudly from here.
     */
   def parse(sql: String): Option[Stmt] = {
     val m = stripLiterals(sql)
@@ -53,63 +66,130 @@ object CopySql {
       }
     require(ref.nonEmpty, "empty COPY source")
     if (!isSub) require(Dialect.isBareIdentifier(ref),
-      s"COPY source must be a table name or a parenthesized statement, " +
-        s"got: $ref")
+      s"COPY must name a table or a parenthesized statement, got: $ref " +
+        "(a COPY column list is not supported — project in a subquery)")
     var k = afterRef
-    require(wordAt(m, k, "to"), "COPY requires TO '<path>'")
+    val toTarget =
+      if (wordAt(m, k, "to")) { k += 2; true }
+      else if (wordAt(m, k, "from")) { k += 4; false }
+      else throw new IllegalArgumentException(
+        "COPY requires TO '<path>' (export) or FROM '<path>' (import)")
+    require(toTarget || !isSub,
+      "COPY FROM imports into a named table — a subquery cannot receive " +
+        "rows")
     // the path literal is INVISIBLE on the mask (quotes included), so
     // walk the original text: skip real whitespace, then scan to the
     // closing quote with the mask's own escape rule
-    k += 2
     while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
     require(k < sql.length && sql.charAt(k) == '\'',
-      "COPY TO requires a single-quoted path literal")
+      "COPY requires a single-quoted path literal")
     var pathEnd = k + 1
     while (pathEnd < sql.length && sql.charAt(pathEnd) != '\'') {
       pathEnd += (if (sql.charAt(pathEnd) == '\\') 2 else 1)
     }
-    require(pathEnd < sql.length, "unterminated COPY TO path literal")
+    require(pathEnd < sql.length, "unterminated COPY path literal")
     val path = sql.substring(k + 1, pathEnd)
     require(path.nonEmpty && !path.contains("'") && !path.contains("\\"),
-      "COPY TO path must be a plain non-empty literal")
+      "COPY path must be a plain non-empty literal")
     k = skipWs(m, pathEnd + 1)
     var format = ""
     if (k < m.length && m.charAt(k) == '(') {
       val close = matchParen(m, k)
       val opts = sql.substring(k + 1, close).trim.split("\\s+").toSeq
       require(opts.length == 2 && opts.head.equalsIgnoreCase("format"),
-        s"COPY options support (FORMAT PARQUET|CSV), got: (${
+        s"COPY options support (FORMAT PARQUET|CSV|JSON), got: (${
           sql.substring(k + 1, close).trim})")
       format = opts(1).toLowerCase
       k = skipWs(m, close + 1)
     }
     require(k >= m.length,
       s"unexpected text after COPY options: ${sql.substring(k).trim.take(40)}")
-    if (format.isEmpty)
+    if (format.isEmpty) {
+      val p = path.toLowerCase
       format =
-        if (path.toLowerCase.endsWith(".parquet")) "parquet"
-        else if (path.toLowerCase.endsWith(".csv")) "csv"
+        if (p.endsWith(".parquet")) "parquet"
+        else if (p.endsWith(".csv")) "csv"
+        else if (p.endsWith(".json") || p.endsWith(".ndjson")) "json"
         else ""
-    require(format == "parquet" || format == "csv",
-      "COPY TO needs FORMAT PARQUET or CSV (or a .parquet/.csv path) — " +
-        "other formats are not supported")
-    Some(Stmt(ref, isSub, path, format))
+    }
+    require(Set("parquet", "csv", "json").contains(format),
+      "COPY needs FORMAT PARQUET, CSV or JSON (or a matching path " +
+        "extension) — other formats are not supported")
+    Some(Stmt(ref, isSub, toTarget, path, format))
+  }
+
+  /** The COPY TO overwrite gate: allow a fresh path, an empty
+    * directory, or a directory that looks like a prior Spark export
+    * (_SUCCESS / part-* / _temporary entries, possibly nested under
+    * partition dirs — checked one level down too); refuse everything
+    * else LOUDLY before `mode("overwrite")` recursively deletes it.
+    */
+  private def assertSafeTarget(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      s"COPY TO target '$path' exists and $why — Spark's overwrite " +
+        "deletes the whole tree recursively (unlike DuckDB's " +
+        "single-file COPY); remove it yourself or point at a fresh path")
+    val st = fs.getFileStatus(hPath)
+    if (!st.isDirectory) refuse("is a plain file, not a prior export")
+    val entries = fs.listStatus(hPath).toSeq
+    if (entries.isEmpty) return
+    def exportMarker(n: String): Boolean =
+      n == "_SUCCESS" || n == "_temporary" || n.startsWith("part-") ||
+        n.startsWith(".part-") || n == "_metadata" || n == "_common_metadata"
+    val ok = entries.forall { e =>
+      val n = e.getPath.getName
+      exportMarker(n) ||
+        // a partitioned export: key=value dirs holding part files
+        (e.isDirectory && n.contains("=") &&
+          fs.listStatus(e.getPath).forall(c => exportMarker(c.getPath.getName)))
+    }
+    if (!ok) refuse("does not look like a prior export (no _SUCCESS / " +
+      "part-* layout)")
   }
 
   /** Execute: resolve the source (bare name → session catalog,
-    * subquery → the caller's full pipeline), write, read back, return.
+    * subquery → the caller's full pipeline). TO writes + reads back;
+    * FROM reads the files, aligns them to the target schema by name,
+    * and returns target ∪ file rows.
     */
   def run(spark: SparkSession, st: Stmt,
-          resolve: String => DataFrame): DataFrame = {
-    val src = resolve(st.ref)
-    st.format match {
-      case "parquet" =>
-        src.write.mode("overwrite").parquet(st.path)
-        spark.read.parquet(st.path)
-      case "csv" =>
-        src.write.mode("overwrite").option("header", "true").csv(st.path)
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .csv(st.path)
+          resolve: String => DataFrame): DataFrame =
+    if (st.toTarget) {
+      val src = resolve(st.ref)
+      assertSafeTarget(spark, st.path)
+      st.format match {
+        case "parquet" =>
+          src.write.mode("overwrite").parquet(st.path)
+          spark.read.parquet(st.path)
+        case "csv" =>
+          src.write.mode("overwrite").option("header", "true").csv(st.path)
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(st.path)
+        case "json" =>
+          src.write.mode("overwrite").json(st.path)
+          spark.read.json(st.path)
+      }
+    } else {
+      val target = resolve(st.ref)
+      val incoming = st.format match {
+        case "parquet" => spark.read.parquet(st.path)
+        case "csv" => spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(st.path)
+        case "json" => spark.read.json(st.path)
+      }
+      // align by NAME into the target schema (DuckDB maps file columns
+      // to table columns; unmatched target columns would silently null-
+      // fill on a reordered file if this aligned positionally)
+      val aligned = target.schema.fields.toSeq.map { f =>
+        val src = incoming.columns.find(_.equalsIgnoreCase(f.name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"COPY FROM: file at '${st.path}' has no column '${f.name}' " +
+              s"(file has: ${incoming.columns.mkString(", ")})"))
+        incoming.col(s"`$src`").cast(f.dataType).as(f.name)
+      }
+      target.union(incoming.select(aligned: _*))
     }
-  }
 }

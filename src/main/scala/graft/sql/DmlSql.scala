@@ -3,19 +3,21 @@ package graft.sql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** DML statement forms (u10): `INSERT INTO`, `UPDATE … SET … [WHERE]`,
-  * `DELETE FROM … [WHERE]` — the three simpler siblings of MERGE INTO
-  * (u09), sharing its convention: this engine's tables are immutable
-  * frames, so each statement RETURNS the post-statement table instead
-  * of mutating in place ([[MergeSql]] doc, the q59/q60 statement-form
-  * rule). Callers chain statements by re-registering the returned frame.
+/** DML statement forms (u10/u12/u13/u14): `INSERT INTO`,
+  * `UPDATE … SET … [FROM …] [WHERE]`, `DELETE FROM … [USING …] [WHERE]`
+  * — the simpler siblings of MERGE INTO (u09), sharing its convention:
+  * this engine's tables are immutable frames, so each statement RETURNS
+  * the post-statement table instead of mutating in place ([[MergeSql]]
+  * doc, the q59/q60 statement-form rule). Callers chain statements by
+  * re-registering the returned frame.
   *
   *   INSERT INTO t [(cols)] VALUES (…), (…) | <select statement>
-  *     [ON CONFLICT (keys) DO NOTHING | DO UPDATE SET c = e, …]   (u12)
-  *   UPDATE t [AS a] SET c = e, … [WHERE pred]
-  *   DELETE FROM t [AS a] [WHERE pred]
+  *     [ON CONFLICT (keys) DO NOTHING
+  *      | DO UPDATE SET c = e, … [WHERE cond]]            (u12/u14)
+  *   UPDATE t [AS a] SET c = e, … [FROM s [AS b]] [WHERE pred]  (u13)
+  *   DELETE FROM t [AS a] [USING s [AS b]] [WHERE pred]         (u13)
   *
-  * Semantics (SQL standard, probed against DuckDB):
+  * Semantics (SQL standard / Postgres, probed against DuckDB):
   *   - INSERT with a column list fills unnamed target columns with
   *     NULL; without one the source is positional over the full target
   *     schema. Inserted expressions cast into the target column types.
@@ -23,37 +25,61 @@ import org.apache.spark.sql.functions._
   *     standard's simultaneous-assignment rule — a CASE projection over
   *     the input columns gives exactly that); rows where the predicate
   *     is false or NULL keep their values.
+  *   - UPDATE … FROM (the correlated form): WHERE is the JOIN predicate
+  *     between target and source; target rows with a match update (SET
+  *     expressions may reference both aliases), rows without one keep
+  *     their values. A target row matching SEVERAL source rows is
+  *     REFUSED loudly (Postgres picks one arbitrarily, DuckDB likewise
+  *     — a nondeterministic answer is a wrong answer here; the MERGE
+  *     one-source-row contract).
   *   - DELETE removes rows where the predicate is TRUE; false or NULL
   *     keep the row. No WHERE removes every row (valid SQL — loudness
-  *     would be wrong here).
+  *     would be wrong here). DELETE … USING removes target rows with
+  *     at least one predicate-matching source row (multi-match is fine
+  *     — any match deletes).
   *
   * Scale shape: INSERT is one union (no shuffle), UPDATE a map-side
   * CASE projection, DELETE a map-side filter — all three stay inside
-  * whole-stage codegen with no exchange of their own.
+  * whole-stage codegen with no exchange of their own. The correlated
+  * forms add exactly one join: UPDATE…FROM a left join (+ the
+  * multi-match guard — one source-side aggregate for a pure equi
+  * predicate, else one count over the join materialized ONCE via
+  * localCheckpoint), DELETE…USING one anti-join.
   */
 object DmlSql {
 
   sealed trait Stmt
-  /** `ON CONFLICT (keys) DO NOTHING | DO UPDATE SET …` (u12). The
-    * conflict target is a REQUIRED explicit column list — this engine's
-    * frames carry no primary-key metadata to default to. `action` None
-    * = DO NOTHING; Some(sets) = DO UPDATE, whose right-hand sides may
-    * reference target columns bare and the incoming row as
-    * `excluded.col` (the Postgres/DuckDB spelling — exposed to the plan
-    * as a genuine struct column, so resolution is the analyzer's, not
-    * text surgery).
+  /** `name` (bare identifier) or a parenthesized subquery text, plus
+    * its alias — the correlated source of UPDATE…FROM / DELETE…USING.
+    */
+  final case class Source(ref: String, alias: String)
+  /** `ON CONFLICT (keys) DO NOTHING | DO UPDATE SET … [WHERE cond]`
+    * (u12/u14). The conflict target is a REQUIRED explicit column list —
+    * this engine's frames carry no primary-key metadata to default to.
+    * `action` None = DO NOTHING; Some(sets) = DO UPDATE, whose
+    * right-hand sides may reference target columns bare and the
+    * incoming row as `excluded.col` (the Postgres/DuckDB spelling —
+    * exposed to the plan as a genuine struct column, so resolution is
+    * the analyzer's, not text surgery). `updWhere` is DO UPDATE's
+    * conditional arm (u14): a conflicting row updates only when the
+    * condition is TRUE (bare = target column, `excluded.` = incoming);
+    * FALSE or NULL keeps the target row unchanged — and still blocks
+    * the insert (the row conflicted), DuckDB's probed rule.
     */
   final case class Conflict(keys: Seq[String],
-                            action: Option[Seq[(String, String)]])
+                            action: Option[Seq[(String, String)]],
+                            updWhere: Option[String] = None)
   final case class Insert(targetRef: String, cols: Option[Seq[String]],
                           values: Option[String], source: Option[String],
                           conflict: Option[Conflict] = None)
     extends Stmt
   final case class Update(targetRef: String, alias: String,
-                          sets: Seq[(String, String)], where: Option[String])
+                          sets: Seq[(String, String)], where: Option[String],
+                          from: Option[Source] = None)
     extends Stmt
   final case class Delete(targetRef: String, alias: String,
-                          where: Option[String]) extends Stmt
+                          where: Option[String],
+                          using: Option[Source] = None) extends Stmt
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
   import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
@@ -184,8 +210,43 @@ object DmlSql {
         "ON CONFLICT supports DO NOTHING or DO UPDATE SET …")
       i = skipWs(m, i + 6)
       require(wordAt(m, i, "set"), "DO UPDATE requires SET")
-      val sets = parseSets(sql.substring(i + 3), "DO UPDATE")
-      Conflict(keys, Some(sets))
+      // the optional conditional arm (u14): … DO UPDATE SET … WHERE cond
+      val wherePos = findTopLevelKeywordIn(m, i + 3, "where")
+      val setEnd = if (wherePos < 0) sql.length else wherePos
+      val sets = parseSets(sql.substring(i + 3, setEnd), "DO UPDATE")
+      val updWhere =
+        if (wherePos < 0) None
+        else {
+          val w = sql.substring(wherePos + 5).trim
+          require(w.nonEmpty, "empty WHERE in DO UPDATE")
+          Some(w)
+        }
+      Conflict(keys, Some(sets), updWhere)
+    }
+  }
+
+  /** Correlated source of UPDATE…FROM / DELETE…USING: `name [AS alias]`
+    * or `( subquery ) [AS] alias` — the MERGE shapes.
+    */
+  private def parseSource(text: String, what: String): Source = {
+    val t = text.trim
+    require(t.nonEmpty, s"empty $what source")
+    if (t.head == '(') {
+      val mask = stripLiterals(text)
+      val off = text.indexOf('(')
+      val close = matchParen(mask, off)
+      val rest = text.substring(close + 1).trim
+      val alias =
+        if (rest.length >= 2 && rest.substring(0, 2).equalsIgnoreCase("as")
+          && (rest.length == 2 || rest.charAt(2).isWhitespace))
+          rest.substring(2).trim
+        else rest
+      require(alias.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"a $what subquery source needs an alias: (…) AS name")
+      Source(text.substring(off + 1, close).trim, alias)
+    } else {
+      val (name, alias) = parseTargetRef(t, what)
+      Source(name, alias)
     }
   }
 
@@ -194,9 +255,22 @@ object DmlSql {
     require(setPos > 0, "UPDATE requires SET")
     val (name, alias) = parseTargetRef(sql.substring(start + 6, setPos),
       "UPDATE")
+    // clause order is SET … [FROM …] [WHERE …] (u13); a top-level FROM
+    // after WHERE has no grammar here and must not ride silently into
+    // the predicate text
+    val fromPos = findTopLevelKeywordIn(m, setPos + 3, "from")
     val wherePos = findTopLevelKeywordIn(m, setPos + 3, "where")
-    val setEnd = if (wherePos < 0) sql.length else wherePos
+    require(fromPos < 0 || wherePos < 0 || fromPos < wherePos,
+      "UPDATE clause order is SET … FROM … WHERE … — found FROM after " +
+        "WHERE")
+    val setEnd = Seq(fromPos, wherePos, sql.length).filter(_ >= 0).min
     val sets = parseSets(sql.substring(setPos + 3, setEnd), "UPDATE")
+    val from =
+      if (fromPos < 0) None
+      else {
+        val srcEnd = if (wherePos < 0) sql.length else wherePos
+        Some(parseSource(sql.substring(fromPos + 4, srcEnd), "UPDATE FROM"))
+      }
     val where =
       if (wherePos < 0) None
       else {
@@ -204,16 +278,32 @@ object DmlSql {
         require(w.nonEmpty, "empty WHERE in UPDATE")
         Some(w)
       }
-    Update(name, alias, sets, where)
+    from.foreach { s =>
+      require(!s.alias.equalsIgnoreCase(alias),
+        s"UPDATE target and FROM source aliases collide ('$alias') — " +
+          "alias one side")
+    }
+    Update(name, alias, sets, where, from)
   }
 
   private def parseDelete(sql: String, m: String, start: Int): Delete = {
     var i = skipWs(m, start + 6)
     require(wordAt(m, i, "from"), "DELETE must be followed by FROM")
     i = skipWs(m, i + 4)
+    val usingPos = findTopLevelKeywordIn(m, i, "using")
     val wherePos = findTopLevelKeywordIn(m, i, "where")
-    val refEnd = if (wherePos < 0) sql.length else wherePos
+    require(usingPos < 0 || wherePos < 0 || usingPos < wherePos,
+      "DELETE clause order is FROM … USING … WHERE … — found USING " +
+        "after WHERE")
+    val refEnd = Seq(usingPos, wherePos, sql.length).filter(_ >= 0).min
     val (name, alias) = parseTargetRef(sql.substring(i, refEnd), "DELETE")
+    val using =
+      if (usingPos < 0) None
+      else {
+        val srcEnd = if (wherePos < 0) sql.length else wherePos
+        Some(parseSource(sql.substring(usingPos + 5, srcEnd),
+          "DELETE USING"))
+      }
     val where =
       if (wherePos < 0) None
       else {
@@ -221,7 +311,12 @@ object DmlSql {
         require(w.nonEmpty, "empty WHERE in DELETE")
         Some(w)
       }
-    Delete(name, alias, where)
+    using.foreach { s =>
+      require(!s.alias.equalsIgnoreCase(alias),
+        s"DELETE target and USING source aliases collide ('$alias') — " +
+          "alias one side")
+    }
+    Delete(name, alias, where, using)
   }
 
   /** `c = expr, …` assignment list (UPDATE SET and DO UPDATE SET). */
@@ -232,6 +327,18 @@ object DmlSql {
       val lhs = item.substring(0, eq).trim
       val rhs = item.substring(eq + 1).trim
       require(rhs.nonEmpty, s"empty SET expression for $lhs")
+      // a clause keyword still in the assignment text means the caller
+      // had no grammar for it (e.g. USING in UPDATE, FROM in DO
+      // UPDATE) — refuse NAMING it instead of failing later as a
+      // confusing Spark ParseException inside the expression (advice
+      // r16; the supported clauses were split off before this point)
+      val rhsMask = stripLiterals(rhs)
+      for (kw <- Seq("where", "from", "using"))
+        require(findTopLevelKeywordIn(rhsMask, 0, kw) < 0,
+          s"$what SET does not support a trailing ${kw.toUpperCase} " +
+            s"clause here (found it inside the expression for '$lhs') — " +
+            "see UPDATE … FROM … WHERE / DELETE … USING … WHERE / " +
+            "ON CONFLICT … DO UPDATE SET … WHERE for the supported forms")
       val col = lhs.split("\\.").last
       require(col.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"SET left-hand side must be a column name, got: $lhs")
@@ -286,29 +393,111 @@ object DmlSql {
         case Some(c) => runOnConflict(t, aligned, c)
       }
 
-    case Update(ref, alias, sets, where) =>
+    case Update(ref, alias, sets, where, fromOpt) =>
       val t = resolve(ref).as(alias)
       sets.foreach { case (n, _) =>
         require(t.columns.exists(_.equalsIgnoreCase(n)),
           s"UPDATE references unknown column '$n' " +
             s"(target has: ${t.columns.mkString(", ")})")
       }
-      val pred = where.map(expr).getOrElse(lit(true))
-      t.select(t.schema.fields.toSeq.map { f =>
-        sets.find(_._1.equalsIgnoreCase(f.name)) match {
-          case Some((_, e)) =>
-            when(pred, expr(e).cast(f.dataType))
-              .otherwise(col(s"$alias.`${f.name}`")).as(f.name)
-          case None => col(s"$alias.`${f.name}`").as(f.name)
-        }
-      }: _*)
-
-    case Delete(ref, alias, where) =>
-      val t = resolve(ref).as(alias)
-      where match {
-        case None => t.limit(0) // DELETE without WHERE removes all rows
-        case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
+      fromOpt match {
+        case None =>
+          val pred = where.map(expr).getOrElse(lit(true))
+          t.select(t.schema.fields.toSeq.map { f =>
+            sets.find(_._1.equalsIgnoreCase(f.name)) match {
+              case Some((_, e)) =>
+                when(pred, expr(e).cast(f.dataType))
+                  .otherwise(col(s"$alias.`${f.name}`")).as(f.name)
+              case None => col(s"$alias.`${f.name}`").as(f.name)
+            }
+          }: _*)
+        case Some(src) =>
+          runUpdateFrom(spark, t, alias, sets, where, src, resolve)
       }
+
+    case Delete(ref, alias, where, usingOpt) =>
+      val t = resolve(ref).as(alias)
+      usingOpt match {
+        case None => where match {
+          case None => t.limit(0) // DELETE without WHERE removes all rows
+          case Some(w) => t.filter(!coalesce(expr(w), lit(false)))
+        }
+        case Some(src) =>
+          // DELETE … USING: drop target rows with ≥1 matching source
+          // row — exactly one ANTI-join on the predicate (multi-match
+          // is fine: any match deletes). No WHERE = any source row
+          // matches every target row (the cross-join rule): a nonempty
+          // source deletes everything, an empty one nothing.
+          val s = resolve(src.ref).as(src.alias)
+          val pred = where.map(expr).getOrElse(lit(true))
+          t.join(s, pred, "left_anti")
+      }
+  }
+
+  private val UTId = "__upd_tid"
+  private val USFlag = "__upd_s_present"
+
+  /** Correlated UPDATE (u13): ONE left join of target against source on
+    * the WHERE predicate; matched rows take the SET expressions (which
+    * may reference both aliases), unmatched rows pass through. The
+    * "one source row per target row" contract is refused loudly: for a
+    * pure equi-conjunction predicate it follows from source-side key
+    * uniqueness — ONE aggregate over the source alone, join stays lazy
+    * ([[MergeSql.equiSourceKeys]], nulls excluded, strictly stronger:
+    * duplicate source keys refuse even when unmatched); theta/mixed
+    * predicates materialize the join ONCE (eager localCheckpoint —
+    * alias qualifiers survive it, probed) and count matches over the
+    * checkpointed blocks, so guard + output pay a single execution.
+    */
+  private def runUpdateFrom(spark: SparkSession, t: DataFrame, alias: String,
+                            sets: Seq[(String, String)],
+                            where: Option[String], src: Source,
+                            resolve: String => DataFrame): DataFrame = {
+    val s = resolve(src.ref)
+    Seq(UTId, USFlag).foreach { r =>
+      require(!t.columns.contains(r) && !s.columns.contains(r),
+        s"UPDATE … FROM reserves the column name $r")
+    }
+    val tw = t.withColumn(UTId, monotonically_increasing_id()).as(alias)
+    val sw = s.withColumn(USFlag, lit(true)).as(src.alias)
+    val pred = where.map(expr).getOrElse(lit(true))
+    val joined0 = tw.join(sw, pred, "left")
+    def refuse(n: Long): Nothing = throw new IllegalArgumentException(
+      s"UPDATE … FROM: a target row matches $n source rows — one target " +
+        "row may take its values from exactly one source row; " +
+        "deduplicate the source on the join keys first (e.g. a " +
+        "latest-wins window)")
+    val joined = where.flatMap(
+      MergeSql.equiSourceKeys(_, alias, src.alias)) match {
+      case Some(keys) =>
+        val kcols = keys.zipWithIndex.map { case (k, i) =>
+          expr(k).as(s"__uk$i")
+        }
+        val keyed = sw.select(kcols: _*)
+        val nonNull = keys.indices.map(i => col(s"__uk$i").isNotNull)
+          .reduce(_ && _)
+        val mm = keyed.filter(nonNull)
+          .groupBy(keys.indices.map(i => col(s"__uk$i")): _*)
+          .agg(count(lit(1)).as("__n")).agg(max(col("__n")))
+          .collect().head
+        if (!mm.isNullAt(0) && mm.getLong(0) > 1) refuse(mm.getLong(0))
+        joined0
+      case None =>
+        val cp = joined0.localCheckpoint(true)
+        val mm = cp.filter(col(USFlag).isNotNull).groupBy(col(UTId))
+          .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect().head
+        if (!mm.isNullAt(0) && mm.getLong(0) > 1) refuse(mm.getLong(0))
+        cp
+    }
+    val matched = col(USFlag).isNotNull
+    joined.select(t.schema.fields.toSeq.map { f =>
+      sets.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, e)) =>
+          when(matched, expr(e).cast(f.dataType))
+            .otherwise(col(s"$alias.`${f.name}`")).as(f.name)
+        case None => col(s"$alias.`${f.name}`").as(f.name)
+      }
+    }: _*)
   }
 
   /** `ON CONFLICT` lowering (u12) over the target-ALIGNED source:
@@ -375,10 +564,21 @@ object DmlSql {
         val cond = c.keys.map(k =>
           t.col(s"`$k`") === s2.col(s"`__ck_$k`")).reduce(_ && _)
         val joined = t.join(s2, cond, "left")
+        // the DO UPDATE … WHERE arm (u14): a conflicting row updates
+        // only when the condition is TRUE (FALSE/NULL keeps the target
+        // row — and still blocks the insert, DuckDB's probed rule).
+        // Bare names resolve to target columns, `excluded.c` to the
+        // incoming row; on a non-conflicting row the struct is NULL so
+        // any excluded.-reference nulls the condition → keep (safe).
+        val updGate = c.updWhere match {
+          case None => col("excluded").isNotNull
+          case Some(w) =>
+            col("excluded").isNotNull && coalesce(expr(w), lit(false))
+        }
         val updated = joined.select(t.schema.fields.toSeq.map { f =>
           sets.find(_._1.equalsIgnoreCase(f.name)) match {
             case Some((_, e)) =>
-              when(col("excluded").isNotNull, expr(e).cast(f.dataType))
+              when(updGate, expr(e).cast(f.dataType))
                 .otherwise(t.col(s"`${f.name}`")).as(f.name)
             case None => t.col(s"`${f.name}`").as(f.name)
           }

@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the join shuffles both sides on the ON keys once (AQE
   * broadcasts a small source); every arm is expression-level from there.
-  * The multi-match guard is one extra keyed count over the matched
-  * pairs — it re-runs the join, the price of refusing wrong answers;
-  * deployments that guarantee key-unique sources can see it fold into
-  * the same exchange reuse.
+  * The multi-match guard costs one source-side aggregate for a pure
+  * equi-ON; a theta/mixed ON materializes the join ONCE (eager
+  * localCheckpoint) and counts matches over the checkpointed blocks —
+  * guard + output pay a single join execution either way.
   */
 object MergeSql {
 
@@ -391,49 +391,59 @@ object MergeSql {
     val tw = t.withColumn(TFlag, lit(true))
       .withColumn(TId, monotonically_increasing_id()).as(st.targetAlias)
     val sw = s.withColumn(SFlag, lit(true)).as(st.sourceAlias)
-    val joined = tw.join(sw, expr(st.on), "full_outer")
+    val joined0 = tw.join(sw, expr(st.on), "full_outer")
     val matched = col(TFlag).isNotNull && col(SFlag).isNotNull
     val tOnly = col(TFlag).isNotNull && col(SFlag).isNull
     val sOnly = col(TFlag).isNull && col(SFlag).isNotNull
     // SQL-standard multi-match refusal. For a pure equi-ON the contract
     // "one source row per target row" follows from source-side key
     // uniqueness, established by ONE aggregate over the source alone —
-    // no join re-run (r15 advice; strictly stronger: duplicate source
-    // keys refuse even when unmatched, documented below). Theta/mixed
-    // ON conditions keep the join-based guard.
-    if (st.arms.exists(_.kind == 0)) {
-      equiSourceKeys(st.on, st.targetAlias, st.sourceAlias) match {
-        case Some(keys) =>
-          val kcols = keys.zipWithIndex.map { case (k, i) =>
-            expr(k).as(s"__mk$i")
-          }
-          val keyed = sw.select(kcols: _*)
-          // a NULL key never equi-matches a target row — exclude before
-          // counting, else two null-keyed source rows refuse falsely
-          val nonNull = (0 until keys.size)
-            .map(i => col(s"__mk$i").isNotNull).reduce(_ && _)
-          val mm = keyed.filter(nonNull)
-            .groupBy((0 until keys.size).map(i => col(s"__mk$i")): _*)
-            .agg(count(lit(1)).as("__n")).agg(max(col("__n")))
-            .collect().head
-          if (!mm.isNullAt(0) && mm.getLong(0) > 1)
-            throw new IllegalArgumentException(
-              s"MERGE: an ON key recurs in ${mm.getLong(0)} source rows, " +
-                "so a target row could match " + mm.getLong(0) +
-                " source rows — the SQL standard forbids " +
-                "updating/deleting one target row from multiple source " +
-                "rows; deduplicate the source on the ON keys first " +
-                "(e.g. a latest-wins window)")
-        case None =>
-          val mm = joined.filter(matched).groupBy(col(TId))
-            .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect().head
-          if (!mm.isNullAt(0) && mm.getLong(0) > 1)
-            throw new IllegalArgumentException(
-              s"MERGE: a target row matches ${mm.getLong(0)} source rows — " +
-                "the SQL standard forbids updating/deleting one target row " +
-                "from multiple source rows; deduplicate the source on the " +
-                "ON keys first (e.g. a latest-wins window)")
-      }
+    // the join stays lazy (r15 advice; strictly stronger: duplicate
+    // source keys refuse even when unmatched, documented below). A
+    // theta/mixed ON needs the join-based guard — there the join is
+    // materialized ONCE with an eager localCheckpoint (alias qualifiers
+    // survive it, probed) so the guard count and the merge output both
+    // read the checkpointed blocks instead of executing the join twice
+    // (r16 advice).
+    val hasMatchedArm = st.arms.exists(_.kind == 0)
+    val equiKeys =
+      if (hasMatchedArm)
+        equiSourceKeys(st.on, st.targetAlias, st.sourceAlias)
+      else None
+    val joined =
+      if (hasMatchedArm && equiKeys.isEmpty) joined0.localCheckpoint(true)
+      else joined0
+    if (hasMatchedArm) equiKeys match {
+      case Some(keys) =>
+        val kcols = keys.zipWithIndex.map { case (k, i) =>
+          expr(k).as(s"__mk$i")
+        }
+        val keyed = sw.select(kcols: _*)
+        // a NULL key never equi-matches a target row — exclude before
+        // counting, else two null-keyed source rows refuse falsely
+        val nonNull = (0 until keys.size)
+          .map(i => col(s"__mk$i").isNotNull).reduce(_ && _)
+        val mm = keyed.filter(nonNull)
+          .groupBy((0 until keys.size).map(i => col(s"__mk$i")): _*)
+          .agg(count(lit(1)).as("__n")).agg(max(col("__n")))
+          .collect().head
+        if (!mm.isNullAt(0) && mm.getLong(0) > 1)
+          throw new IllegalArgumentException(
+            s"MERGE: an ON key recurs in ${mm.getLong(0)} source rows, " +
+              "so a target row could match " + mm.getLong(0) +
+              " source rows — the SQL standard forbids " +
+              "updating/deleting one target row from multiple source " +
+              "rows; deduplicate the source on the ON keys first " +
+              "(e.g. a latest-wins window)")
+      case None =>
+        val mm = joined.filter(matched).groupBy(col(TId))
+          .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).collect().head
+        if (!mm.isNullAt(0) && mm.getLong(0) > 1)
+          throw new IllegalArgumentException(
+            s"MERGE: a target row matches ${mm.getLong(0)} source rows — " +
+              "the SQL standard forbids updating/deleting one target row " +
+              "from multiple source rows; deduplicate the source on the " +
+              "ON keys first (e.g. a latest-wins window)")
     }
     // first arm wins, textual order; -1 keeps the target row, -2 drops
     // an unmatched source row (no INSERT arm fired)

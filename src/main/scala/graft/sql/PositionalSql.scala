@@ -65,10 +65,18 @@ object PositionalSql {
     val join = findTopLevelKeywordIn(m, pos + 10, "join")
     require(join >= 0 && sql.substring(pos + 10, join).trim.isEmpty,
       "POSITIONAL must be immediately followed by JOIN")
+    // GROUP/ORDER bound the tail only when followed by BY (the
+    // replaceIdent discipline): without the check a right-operand alias
+    // spelled `order` or `group` would silently truncate the operand
+    // and reinterpret the alias as tail text (advice r16; aliases named
+    // after the non-BY keywords are rejected in stripAs instead)
     var tailStart = sql.length
     for (kw <- Seq("where", "group", "having", "qualify", "order",
       "limit", "offset", "window")) {
-      val k = findTopLevelKeywordIn(m, join + 4, kw)
+      var k = findTopLevelKeywordIn(m, join + 4, kw)
+      while ((kw == "group" || kw == "order") && k >= 0 &&
+        !wordAt(m, skipWs(m, k + kw.length), "by"))
+        k = findTopLevelKeywordIn(m, k + kw.length, kw)
       if (k >= 0 && k < tailStart) tailStart = k
     }
     require(findTopLevelKeywordIn(m, join + 4, "positional") < 0,
@@ -122,13 +130,28 @@ object PositionalSql {
     }
   }
 
+  // clause keywords an operand alias may not shadow: the tail-boundary
+  // scan above could not tell such an alias from the clause it names
+  private val ReservedAliases: Set[String] = Set(
+    "where", "group", "having", "qualify", "order", "limit", "offset",
+    "window", "positional", "join", "on", "using", "select", "from")
+
   private def stripAs(s: String): String = {
     val t = s.trim
-    val out = if (t.length >= 2 && t.substring(0, 2).equalsIgnoreCase("as")
-      && (t.length == 2 || t.charAt(2).isWhitespace)) t.substring(2).trim
-    else t
+    val hadAs = t.length >= 2 && t.substring(0, 2).equalsIgnoreCase("as") &&
+      (t.length == 2 || t.charAt(2).isWhitespace)
+    val out = if (hadAs) t.substring(2).trim else t
+    // `AS <clause keyword>` leaves a dangling AS here (the tail scan
+    // already claimed the keyword) — refuse instead of silently taking
+    // the table name as the alias and the keyword as tail text
+    require(!hadAs || out.nonEmpty,
+      "dangling AS — a POSITIONAL JOIN operand alias may not be a " +
+        "clause keyword; rename the alias")
     require(out.isEmpty || out.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"malformed POSITIONAL JOIN alias: '$s'")
+    require(!ReservedAliases(out.toLowerCase),
+      s"'$out' is a clause keyword — rename the POSITIONAL JOIN " +
+        "operand alias")
     out
   }
 

@@ -51,13 +51,78 @@ class CopySqlSpec extends GraftSuite {
     assert(back.columns.toSeq == Seq("k", "tag"))
     assert(back.collect().head.getString(1) == "x")
     assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
-      "COPY t TO 'x.json'")).getMessage.contains("FORMAT"))
+      "COPY t TO 'x.txt'")).getMessage.contains("FORMAT"))
     assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
       "COPY t TO x.parquet")).getMessage.contains("single-quoted"))
     assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
       "COPY t TO 'x.parquet' (DELIMITER ',')")).getMessage
       .contains("FORMAT"))
+    // a subquery cannot RECEIVE rows
+    assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
+      "COPY (SELECT 1) FROM 'x.parquet'")).getMessage
+      .contains("named table"))
     // non-COPY statements are not claimed
     assert(graft.sql.CopySql.parse("SELECT 'copy t to' AS s").isEmpty)
+  }
+
+  test("JSON COPY writes NDJSON and reads back (documented lossy " +
+    "typing divergence)") {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .createOrReplaceTempView("copy_json")
+    val p = tmp("json") + ".json"
+    val back = Table.sessionSql(spark, s"COPY copy_json TO '$p'").toDF
+    assert(back.columns.sorted.toSeq == Seq("k", "s"))
+    assert(back.count() == 2)
+    // the written files are newline-delimited JSON objects
+    val lines = spark.read.text(p).collect().map(_.getString(0))
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
+  test("COPY FROM appends file rows into the target, aligned by name " +
+    "and cast into the target types") {
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "tag", "v")
+      .createOrReplaceTempView("copy_from_t")
+    // the file carries the columns in a DIFFERENT order + narrower types
+    Seq((5, 99, "z")).toDF("v", "k", "tag")
+      .createOrReplaceTempView("copy_from_extra")
+    val p = tmp("from") + ".parquet"
+    Table.sessionSql(spark, s"COPY copy_from_extra TO '$p'")
+    val out = Table.sessionSql(spark, s"COPY copy_from_t FROM '$p'").toDF
+    // names + types match the target (nullability widens: the union of
+    // target rows with cast file rows is nullable wherever either is)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      spark.table("copy_from_t").schema.map(f => (f.name, f.dataType)))
+    assert(out.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (99L, "z", 5.0)))
+    // a file missing a target column refuses loudly
+    Seq((1L, "only")).toDF("k", "tag").createOrReplaceTempView("copy_narrow")
+    val p2 = tmp("fromn") + ".parquet"
+    Table.sessionSql(spark, s"COPY copy_narrow TO '$p2'")
+    assert(intercept[IllegalArgumentException](
+      Table.sessionSql(spark, s"COPY copy_from_t FROM '$p2'"))
+      .getMessage.contains("no column 'v'"))
+  }
+
+  test("COPY TO refuses to overwrite a target that is not a prior " +
+    "export (recursive-delete guard)") {
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("copy_guard")
+    val dir = tmp("guard")
+    new java.io.File(dir).mkdirs()
+    // a stray user file in the target → loud refusal, nothing deleted
+    val stray = new java.io.File(dir, "important.txt")
+    java.nio.file.Files.write(stray.toPath, "keep me".getBytes)
+    val err = intercept[IllegalArgumentException](
+      Table.sessionSql(spark, s"COPY copy_guard TO '$dir' (FORMAT PARQUET)"))
+    assert(err.getMessage.contains("prior export"))
+    assert(stray.exists() && new String(
+      java.nio.file.Files.readAllBytes(stray.toPath)) == "keep me")
+    // an empty directory and a prior export both overwrite fine
+    val dir2 = tmp("guard2")
+    new java.io.File(dir2).mkdirs()
+    assert(Table.sessionSql(spark,
+      s"COPY copy_guard TO '$dir2' (FORMAT PARQUET)").toDF.count() == 1)
+    assert(Table.sessionSql(spark,
+      s"COPY copy_guard TO '$dir2' (FORMAT PARQUET)").toDF.count() == 1)
   }
 }

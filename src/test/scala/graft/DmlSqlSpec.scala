@@ -131,6 +131,93 @@ class DmlSqlSpec extends GraftSuite {
     assert(nulls.filter("k IS NULL").count() == 2)
   }
 
+  test("UPDATE … FROM (u13): matched rows take both-alias SET " +
+    "expressions, unmatched pass through; multi-match refuses") {
+    bind()
+    Seq((1L, 100L), (3L, 300L), (9L, 900L)).toDF("k", "d")
+      .createOrReplaceTempView("dml_s")
+    // probed DuckDB: UPDATE t SET c = s.d + t.c FROM s WHERE t.k = s.k
+    val got = run(
+      """UPDATE dml_t AS t SET v = s.d + t.v
+         FROM dml_s AS s WHERE t.k = s.k""")
+    assert(got == Seq((1L, "a", Some(110L)), (2L, "b", Some(20L)),
+      (3L, "c", Some(330L))))
+    // a subquery source with mixed (theta) predicate — checkpoint path
+    bind()
+    val theta = run(
+      """UPDATE dml_t AS t SET tag = s.nm
+         FROM (SELECT k AS sk, 'hit' AS nm FROM dml_s WHERE k < 5) AS s
+         WHERE t.k = s.sk AND t.v > 15""")
+    assert(theta == Seq((1L, "a", Some(10L)), (2L, "b", Some(20L)),
+      (3L, "hit", Some(30L))))
+    // duplicate join keys in the source refuse loudly (both paths)
+    bind()
+    Seq((1L, 7L), (1L, 8L)).toDF("k", "d")
+      .createOrReplaceTempView("dml_dup")
+    assert(intercept[IllegalArgumentException](run(
+      """UPDATE dml_t AS t SET v = s.d FROM dml_dup AS s
+         WHERE t.k = s.k""")).getMessage.contains("deduplicate"))
+    assert(intercept[IllegalArgumentException](run(
+      """UPDATE dml_t AS t SET v = s.d FROM dml_dup AS s
+         WHERE t.k = s.k AND t.v >= 0""")).getMessage
+      .contains("deduplicate"))
+    // alias collision and FROM-after-WHERE refuse at parse time
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "UPDATE t SET v = 1 FROM t WHERE a = b")).getMessage
+      .contains("collide"))
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "UPDATE t SET v = 1 WHERE a = b FROM s")).getMessage
+      .contains("clause order"))
+  }
+
+  test("DELETE … USING (u13): any match deletes; no WHERE = cross " +
+    "semantics; USING-after-WHERE refuses") {
+    bind()
+    Seq((1L, 1L), (1L, 2L), (3L, 3L)).toDF("k", "d")
+      .createOrReplaceTempView("dml_del_s")
+    // multi-match is fine for DELETE — any match removes the row
+    val got = run(
+      """DELETE FROM dml_t AS t USING dml_del_s AS s
+         WHERE t.k = s.k AND s.d < 3""")
+    assert(got == Seq((2L, "b", Some(20L)), (3L, "c", Some(30L))))
+    // no WHERE: any source row matches every target row
+    bind()
+    assert(run("DELETE FROM dml_t USING dml_del_s AS s").isEmpty)
+    bind()
+    Seq.empty[(Long, Long)].toDF("k", "d")
+      .createOrReplaceTempView("dml_del_empty")
+    assert(run("DELETE FROM dml_t USING dml_del_empty AS s").size == 3)
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "DELETE FROM t WHERE a = 1 USING s")).getMessage
+      .contains("clause order"))
+  }
+
+  test("ON CONFLICT DO UPDATE … WHERE (u14): TRUE updates, FALSE/NULL " +
+    "keeps the row AND blocks the insert") {
+    // probed DuckDB: INSERT (1,111),(2,222),(5,50) ON CONFLICT (k)
+    // DO UPDATE SET c = excluded.c WHERE u.c < 15 → (1,111),(2,20),(5,50)
+    bind()
+    val got = run(
+      """INSERT INTO dml_t VALUES (1, 'i', 111), (2, 'i', 222), (5, 'i', 50)
+         ON CONFLICT (k) DO UPDATE SET v = excluded.v WHERE v < 15""")
+    assert(got == Seq((1L, "a", Some(111L)), (2L, "b", Some(20L)),
+      (3L, "c", Some(30L)), (5L, "i", Some(50L))))
+    // a NULL condition keeps the target row (and still blocks insert)
+    bind()
+    val nullCond = run(
+      """INSERT INTO dml_t VALUES (1, 'i', 111)
+         ON CONFLICT (k) DO UPDATE SET v = excluded.v
+         WHERE v > CAST(NULL AS BIGINT)""")
+    assert(nullCond == Seq((1L, "a", Some(10L)), (2L, "b", Some(20L)),
+      (3L, "c", Some(30L))))
+    // stray clause keywords in SET text refuse NAMING the clause
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "INSERT INTO t VALUES (1) ON CONFLICT (k) DO UPDATE SET v = 1 FROM s"))
+      .getMessage.contains("FROM"))
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "UPDATE t SET v = 1 USING s")).getMessage.contains("USING"))
+  }
+
   test("non-DML statements pass through; literals never trigger") {
     assert(DmlSql.parse("SELECT 'insert into' FROM t").isEmpty)
     assert(DmlSql.parse("-- update t\nSELECT 1").isEmpty)

@@ -307,6 +307,19 @@ class FunctionsSpec extends GraftSuite {
       .getInt(0) == 16)
     assert(one("list_min(list_filter(generate_series(1, 5), v -> v % 2 = 0))")
       .getInt(0) == 2)
+    // guarded lowering (advice r16): DuckDB returns [] when the step's
+    // direction cannot reach stop (incl. step 0), where a bare sequence
+    // alias DESCENDED for (1, 0) and THREW for sign mismatches; NULL
+    // bounds stay NULL (probed against DuckDB 1.x)
+    assert(one("array_length(generate_series(1, 0))").getInt(0) == 0)
+    assert(one("array_length(generate_series(1, 5, -1))").getInt(0) == 0)
+    assert(one("array_length(generate_series(1, 5, 0))").getInt(0) == 0)
+    assert(one("generate_series(5, 1, -2)").getList[Int](0)
+      .toArray.toSeq == Seq(5, 3, 1))
+    assert(one("generate_series(2, 2, -3)").getList[Int](0)
+      .toArray.toSeq == Seq(2))
+    assert(one("generate_series(1, NULL) IS NULL").getBoolean(0))
+    assert(one("generate_series(NULL, 5, 1) IS NULL").getBoolean(0))
     assert(one("array_length(list_distinct(array(1, 2, 2, 3)))").getInt(0) == 3)
     assert(one("list_unique(array(1, 2, 2, 3))").getInt(0) == 3)
     assert(one("list_sort(array(3, 1, 2))[0]").getInt(0) == 1)

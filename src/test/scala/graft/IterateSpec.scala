@@ -44,6 +44,34 @@ class IterateSpec extends GraftSuite {
     assert(n9 <= 3, s"expected a checkpoint-cut scan, got $n9 nodes")
   }
 
+  test("cadence cuts fire on boundary rounds even when THAT round " +
+    "returned identity (advice r16: alternating changed/identity rounds)") {
+    // change on odd rounds only; boundaries (every 2nd round) always
+    // land on identity rounds — pre-fix, every cut was deferred to the
+    // single trailing one, so the INTERMEDIATE plan the step received
+    // grew one layer per change round despite checkpointEvery = 2
+    def maxMidLoopNodes(n: Int): Int = {
+      var worst = 0
+      Iterate.loop(base, n, checkpointEvery = 2) { (df, i) =>
+        worst = math.max(worst,
+          df.queryExecution.optimizedPlan.collect { case p => p }.size)
+        if (i % 2 == 1)
+          df.groupBy((col("x") % 2).as("k")).agg(sum(col("x")).as("x"))
+            .select(col("x"))
+        else df // identity — declared fixed point this round
+      }
+      worst
+    }
+    val n4 = maxMidLoopNodes(4)
+    val n12 = maxMidLoopNodes(12)
+    assert(n4 == n12,
+      s"mid-loop plan grew with iteration count: n=4 -> $n4, n=12 -> $n12")
+    assert(n12 <= 4, s"expected cadence-bounded plans, got $n12 nodes")
+    // an all-identity loop still returns the (already materialized) init
+    assert(Iterate.loop(base, 5, checkpointEvery = 2)((df, _) => df)
+      .count() == 3)
+  }
+
   test("loopUntil stops at the fixed point, not maxIter") {
     var rounds = 0
     // clamping step: x -> min(x+1, 5); fixed point after a few rounds

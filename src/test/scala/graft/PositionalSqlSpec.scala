@@ -55,4 +55,22 @@ class PositionalSqlSpec extends GraftSuite {
          POSITIONAL JOIN (SELECT 2 AS b) y"""))
       .getMessage.contains("inline the WITH"))
   }
+
+  test("clause-keyword aliases refuse; GROUP/ORDER bound the tail only " +
+    "with BY (advice r16)") {
+    Seq((1L, "a")).toDF("k", "s").createOrReplaceTempView("pos_kw_l")
+    Seq(7L).toDF("v").createOrReplaceTempView("pos_kw_r")
+    // pre-fix: `AS window` silently truncated the right operand and
+    // reinterpreted the alias as tail text — now a loud refusal
+    for (kw <- Seq("window", "order", "group", "limit"))
+      assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+        s"SELECT s, v FROM pos_kw_l POSITIONAL JOIN pos_kw_r AS $kw"))
+        .getMessage.contains("alias"), s"alias $kw")
+    // a genuine ORDER BY after an aliased operand still bounds the tail
+    val got = Table.sessionSql(spark,
+      "SELECT s, v FROM pos_kw_l AS a POSITIONAL JOIN pos_kw_r AS b " +
+        "ORDER BY s").toDF.collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 7L)))
+  }
 }

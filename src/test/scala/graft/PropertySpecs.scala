@@ -340,7 +340,14 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
     """INSERT INTO t SELECT k, v FROM s WHERE tag <> 'on conflict do'
        ON CONFLICT (k) DO UPDATE SET v = excluded.v + v""",
     """INSERT INTO t VALUES (1, 'do update set v = 2')
-       ON CONFLICT (k) DO NOTHING""")
+       ON CONFLICT (k) DO NOTHING""",
+    """INSERT INTO t VALUES (1, 'where v < 2')
+       ON CONFLICT (k) DO UPDATE SET v = excluded.v WHERE v < 'from'""",
+    """UPDATE t AS a SET v = b.v FROM s AS b
+       WHERE a.k = b.k AND a.tag <> 'update from where'""",
+    """UPDATE t SET v = 1 FROM (SELECT k FROM s WHERE tag <> 'using') AS b
+       WHERE t.k = b.k""",
+    "DELETE FROM t AS a USING s AS b WHERE a.k = b.k AND b.tag <> 'using'")
 
   property("DML parse structure is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(dmlCorpus), Gen.chooseNum(0, 1000))) {
@@ -349,10 +356,12 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         def shape(s: String): Option[Product] = DmlSql.parse(s).map {
           case DmlSql.Insert(r, cols, v, src, cf) =>
             (r, cols, v.isDefined, src.isDefined,
-              cf.map(x => (x.keys, x.action.map(_.map(_._1)))))
-          case DmlSql.Update(r, a, sets, w) =>
-            (r, a, sets.map(_._1), w.isDefined)
-          case DmlSql.Delete(r, a, w) => (r, a, w.isDefined)
+              cf.map(x => (x.keys, x.action.map(_.map(_._1)),
+                x.updWhere.isDefined)))
+          case DmlSql.Update(r, a, sets, w, f) =>
+            (r, a, sets.map(_._1), w.isDefined, f.map(_.alias))
+          case DmlSql.Delete(r, a, w, u) =>
+            (r, a, w.isDefined, u.map(_.alias))
         }
         val sq = shape(q)
         sq.isDefined && sq == shape(junked(q, salt)) &&
@@ -396,14 +405,17 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
   // spec'd in CopySqlSpec, not fuzzed here
   private val copyCorpus: Seq[String] = Seq(
     "COPY t TO 'out/x.parquet' (FORMAT PARQUET)",
-    "COPY (SELECT k FROM s WHERE tag <> 'copy t to') TO 'y.csv' (FORMAT CSV)")
+    "COPY (SELECT k FROM s WHERE tag <> 'copy t to') TO 'y.csv' (FORMAT CSV)",
+    "COPY t FROM 'in/x.json' (FORMAT JSON)",
+    "COPY t2 FROM 'in/y.parquet' (FORMAT PARQUET)")
 
   property("COPY parse structure is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(copyCorpus), Gen.chooseNum(0, 1000))) {
       case (q, salt) =>
         import graft.sql.CopySql
         def shape(s: String) = CopySql.parse(s).map(st =>
-          (st.isSubquery, st.format, Dialect.stripLiterals(st.ref)))
+          (st.isSubquery, st.toTarget, st.format,
+            Dialect.stripLiterals(st.ref)))
         val sq = shape(q)
         sq.isDefined && sq == shape(junked(q, salt)) &&
           {

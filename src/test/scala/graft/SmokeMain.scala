@@ -486,6 +486,17 @@ object SmokeMain {
         SparkEntry.queries("q65_list_functions")(spark, sf).count())
       println(s"u12 on-conflict rows=" +
         SparkEntry.queries("u12_insert_on_conflict")(spark, sf).count())
+      // round-17: correlated DML, conditional upsert, COPY FROM import,
+      // guarded generate_series
+      println(s"u13 correlated-dml rows=" +
+        SparkEntry.queries("u13_correlated_dml")(spark, sf).count())
+      println(s"u14 conflict-where rows=" +
+        SparkEntry.queries("u14_conflict_where")(spark, sf).count())
+      println(s"io22 copy-from rows=" +
+        SparkEntry.queries("io22_copy_from")(spark, sf).count())
+      println("gs-guard " + spark.sql(
+        "SELECT size(generate_series(1, 0)) z, generate_series(5, 1, -2) d")
+        .collect().head)
     }
 
     spark.stop()
