@@ -5266,6 +5266,37 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 9 = 0
          ORDER BY k"""),
 
+    // min/max window EXCLUDE GROUP / TIES (w16, SAME text both engines —
+    // DuckDB executes EXCLUDE natively, probed): subtraction algebra
+    // has no inverse for min, so the frame minus the PEER GROUP splits
+    // into before/after GROUPS frames (lowered through the w14
+    // dense_rank group index) combined with LEAST/GREATEST; TIES keeps
+    // the current row as a third combine leg. The order key is coarse
+    // (mod 5) so peer groups are real; group-defined slices make the
+    // result order-insensitive within ties. Shrinks the w15 refusal
+    // matrix to its genuinely-unaddressable corners (row edges inside
+    // peer groups, value-offset RANGE edges).
+    "w16_minmax_exclude_group" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE GROUP) AS mn_run,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE TIES) AS mx_ties,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE GROUP) AS mn_all,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES) AS mx_fwd
+         FROM orders WHERE o_orderkey % 9 = 0
+         ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,
@@ -7396,6 +7427,43 @@ object SparkEntry {
          SELECT count(*) AS n_reached, CAST(sum(id) AS BIGINT) AS id_sum,
                 min(id) AS mn, max(id) AS mx
          FROM reach"""),
+
+    // Several independent recursions in ONE WITH RECURSIVE (gr11):
+    // they drain SEQUENTIALLY in textual order, each closure binding
+    // before the next starts — here the second traversal SEEDS from the
+    // first's drained closure (frontier = far edge of reach-7), the
+    // helper edge tables feed both, and the outer statement joins both
+    // closures. Same text on both engines (DuckDB executes multiple
+    // recursive CTEs natively, probed). Mutual/forward recursion stays
+    // a loud refusal — sequential drains are the shape that scales (one
+    // frontier loop at a time, lineage cut per round).
+    "gr11_multi_recursion" -> multiSession(Seq("documents"),
+      """WITH RECURSIVE
+         e7(src, dst) AS (
+           SELECT CAST(doc_id AS BIGINT),
+                  CAST((doc_id * 7 + 1) %
+                       (SELECT count(*) FROM documents) AS BIGINT)
+           FROM documents),
+         e13(src, dst) AS (
+           SELECT CAST(doc_id AS BIGINT),
+                  CAST((doc_id * 13 + 3) %
+                       (SELECT count(*) FROM documents) AS BIGINT)
+           FROM documents),
+         reach7(id) AS (
+           SELECT CAST(doc_id AS BIGINT) FROM documents
+           WHERE doc_id % 103 = 0
+           UNION
+           SELECT e7.dst FROM reach7 r JOIN e7 ON e7.src = r.id),
+         reach13(id) AS (
+           SELECT max(id) FROM reach7
+           UNION
+           SELECT e13.dst FROM reach13 r JOIN e13 ON e13.src = r.id)
+         SELECT (SELECT count(*) FROM reach7) AS n7,
+                (SELECT CAST(sum(id) AS BIGINT) FROM reach7) AS s7,
+                (SELECT count(*) FROM reach13) AS n13,
+                (SELECT CAST(sum(id) AS BIGINT) FROM reach13) AS s13,
+                count(*) AS n_both
+         FROM reach7 r7 JOIN reach13 r13 ON r7.id = r13.id"""),
 
     // graph analytics in the d08 loop discipline (per-iteration keyed
     // join + aggregation, nothing driver-side but the tiny N). Ranks

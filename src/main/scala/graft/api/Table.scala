@@ -569,141 +569,165 @@ object Table {
     * the accumulated set (the cycle guard) and one emptiness probe —
     * data-dependent termination costs one small job per round. A
     * non-draining recursion refuses loudly at `maxRounds` instead of
-    * looping forever.
+    * looping forever. SEVERAL independent recursions (gr11) drain
+    * SEQUENTIALLY in textual order, each closure binding before the
+    * next starts — a later seed/step may consume an earlier closure
+    * like any bound view (mutual/forward recursion refused at parse).
     */
   private def runRecursiveUnion(spark: SparkSession,
                                 st: graft.sql.RecursiveUnion.Stmt,
                                 maxRounds: Int = 512): DataFrame = {
-    // every statement-scoped name (the recursive CTE and the gr10
+    // every statement-scoped name (the recursive CTEs and the gr10
     // helper CTEs) binds under a per-invocation UNIQUE internal view
     // name; all statement texts are rewritten consistently
     val suffix = java.util.UUID.randomUUID.toString.take(8)
-    val names = st.helpers.map(_.name) :+ st.name
+    val names = st.helpers.map(_.name) ++ st.recs.map(_.name)
     val rename = names.map(n => n -> s"__rec_${n}_$suffix").toMap
-    val internal = rename(st.name)
     def rewriteAll(text: String): String =
       names.foldLeft(text)((t, n) => Dialect.replaceIdent(t, n, rename(n)))
     (st.helpers.map(h => s"helper ${h.name}" -> h.body) ++
-      Seq("seed" -> st.seed, "step" -> st.step,
-        "outer statement" -> st.outer)).foreach { case (what, text) =>
+      st.recs.flatMap(r => Seq(s"seed of ${r.name}" -> r.seed,
+        s"step of ${r.name}" -> r.step)) ++
+      Seq("outer statement" -> st.outer)).foreach { case (what, text) =>
       names.foreach { n =>
         require(!Dialect.containsBacktickedIdent(text, n),
           s"backquoted reference to the CTE '$n' in the $what is not " +
             "supported — drop the backticks")
       }
     }
+    // every checkpoint is wrapped in a fresh aliasing projection: a
+    // localCheckpoint's LogicalRDD can carry origin constraints that
+    // reference attributes outside its own output, and the LAZY
+    // accumulation union below computes Union constraints over its
+    // children (Spark's rewrite then dies with `key not found: k#N`
+    // — surfaced by a recursion over an ON CONFLICT result). A
+    // Project keeps only output-expressible constraints.
+    def freshCols(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(s"`$c`").as(c)): _*)
     // helpers bind ONCE, in textual order (gr10): each may reference
-    // earlier helpers; references to the recursive CTE were refused at
-    // parse. A helper the STEP references is MATERIALIZED (eager
-    // localCheckpoint): the step re-executes once per recursion round,
-    // and re-scanning the helper's source plan every round costs
+    // earlier helpers; references to recursive CTEs were refused at
+    // parse. A helper ANY step references is MATERIALIZED (eager
+    // localCheckpoint): steps re-execute once per recursion round, and
+    // re-scanning the helper's source plan every round costs
     // O(rounds × helper) where one checkpoint pass suffices (measured:
     // gr10's edge helper halved the closure runtime). A helper only the
     // outer statement (or later helpers) reads stays a lazy view — no
     // wasted materialization.
-    val stepMask = Dialect.stripLiterals(st.step)
-    st.helpers.foreach { h =>
-      val df0 = bindLock.synchronized {
-        val d = sessionSqlOne(spark, rewriteAll(h.body))
-        d.queryExecution.assertAnalyzed()
-        d
+    val stepMasks = st.recs.map(r => Dialect.stripLiterals(r.step))
+    try {
+      st.helpers.foreach { h =>
+        val df0 = bindLock.synchronized {
+          val d = sessionSqlOne(spark, rewriteAll(h.body))
+          d.queryExecution.assertAnalyzed()
+          d
+        }
+        val df = h.cols.map { cs =>
+          require(cs.size == df0.columns.length,
+            s"helper CTE ${h.name}(${cs.mkString(", ")}) declares " +
+              s"${cs.size} columns, its body produces ${df0.columns.length}")
+          df0.toDF(cs: _*)
+        }.getOrElse(df0)
+        val bound =
+          if (stepMasks.exists(
+            graft.sql.RecursiveUnion.containsWord(_, h.name)))
+            // same constraint-pruning projection as the recursion loop's
+            // checkpoints (a step may union/except over this view)
+            freshCols(df.localCheckpoint(true))
+          else df
+        bindLock.synchronized {
+          bound.createOrReplaceTempView(rename(h.name))
+        }
       }
-      val df = h.cols.map { cs =>
-        require(cs.size == df0.columns.length,
-          s"helper CTE ${h.name}(${cs.mkString(", ")}) declares " +
-            s"${cs.size} columns, its body produces ${df0.columns.length}")
-        df0.toDF(cs: _*)
-      }.getOrElse(df0)
-      val bound =
-        if (graft.sql.RecursiveUnion.containsWord(stepMask, h.name))
-          // same constraint-pruning projection as the recursion loop's
-          // checkpoints (the step may union/except over this view)
-          df.localCheckpoint(true)
-            .select(df.columns.map(cn =>
-              org.apache.spark.sql.functions.col(s"`$cn`").as(cn)): _*)
-        else df
-      bindLock.synchronized { bound.createOrReplaceTempView(rename(h.name)) }
-    }
-    val seedDf = sessionSqlOne(spark, rewriteAll(st.seed))
-    val cols = st.cols.getOrElse(seedDf.columns.toSeq)
+      // drain each recursion in textual order, binding its closure as a
+      // plain view before the next one (or the outer statement) runs
+      st.recs.foreach { rec =>
+        val closure = drainRecursion(spark, rec, rename(rec.name),
+          rewriteAll, freshCols, maxRounds)
+        bindLock.synchronized {
+          closure.createOrReplaceTempView(rename(rec.name))
+        }
+      }
+      bindLock.synchronized {
+        sessionSqlOne(spark, rewriteAll(st.outer))
+      }
+    } finally rename.values.foreach(spark.catalog.dropTempView)
+  }
+
+  /** One frontier-minus-seen drain loop (see [[runRecursiveUnion]]);
+    * returns the checkpointed closure. The rec's internal view name is
+    * rebound to the frontier each round while the loop runs.
+    */
+  private def drainRecursion(spark: SparkSession,
+                             rec: graft.sql.RecursiveUnion.Rec,
+                             internal: String,
+                             rewriteAll: String => String,
+                             freshCols: DataFrame => DataFrame,
+                             maxRounds: Int): DataFrame = {
+    val seedDf = sessionSqlOne(spark, rewriteAll(rec.seed))
+    val cols = rec.cols.getOrElse(seedDf.columns.toSeq)
     require(cols.size == seedDf.columns.length,
-      s"recursive CTE ${st.name}(${cols.mkString(", ")}) declares " +
+      s"recursive CTE ${rec.name}(${cols.mkString(", ")}) declares " +
         s"${cols.size} columns, the seed produces ${seedDf.columns.length}")
     val seed = seedDf.toDF(cols: _*)
     val schema = seed.schema
     def align(df: DataFrame): DataFrame = {
       require(df.columns.length == cols.size,
-        s"recursive step of ${st.name} produces ${df.columns.length} " +
+        s"recursive step of ${rec.name} produces ${df.columns.length} " +
           s"columns, expected ${cols.size}")
       df.toDF(cols: _*).select(schema.fields.toSeq.map(f =>
         org.apache.spark.sql.functions.col(f.name)
           .cast(f.dataType).as(f.name)): _*)
     }
-    // the CTE names are STATEMENT-scoped: binding st.name directly
+    // the CTE names are STATEMENT-scoped: binding rec.name directly
     // would permanently clobber a same-named session view, and a
     // deterministic internal name would race concurrent same-named
     // recursions (review-caught, twice). replaceIdent rewrites table
     // references only — qualified columns `e.name`, `AS name` aliases
     // and column-land clause references stay; a backquoted reference is
     // invisible to the masked rewrite and would silently read the
-    // session catalog — refused loudly above.
-    val step = rewriteAll(st.step)
-    val outer = rewriteAll(st.outer)
-    try {
-      // every checkpoint is wrapped in a fresh aliasing projection: a
-      // localCheckpoint's LogicalRDD can carry origin constraints that
-      // reference attributes outside its own output, and the LAZY
-      // accumulation union below computes Union constraints over its
-      // children (Spark's rewrite then dies with `key not found: k#N`
-      // — surfaced by a recursion over an ON CONFLICT result). A
-      // Project keeps only output-expressible constraints.
-      def freshCols(df: DataFrame): DataFrame =
-        df.select(df.columns.map(c =>
-          org.apache.spark.sql.functions.col(s"`$c`").as(c)): _*)
-      var seen = freshCols(seed.distinct().localCheckpoint(true))
-      var frontier = seen
-      var drained = frontier.isEmpty
-      var round = 0
-      // `seen` accumulates as a UNION of already-checkpointed per-round
-      // increments — re-materializing the whole accumulation every round
-      // would write O(rounds × |closure|) where O(|closure|) suffices
-      // (review-caught, r15). The union tree still deepens the plan one
-      // leaf per round, so collapse it with a checkpoint every
-      // `collapseEvery` rounds: write volume O(|closure| · rounds / 16),
-      // plan depth ≤ 16 leaves — deep recursions pay neither full
-      // re-writes per round nor an unbounded analysis tree.
-      val collapseEvery = 16
-      var sinceCollapse = 0
-      while (!drained && round < maxRounds) {
-        // bind + analyze under the lock (the sql() concurrency
-        // contract); the analyzed plan holds the resolved frontier, so
-        // a concurrent rebind can't leak into this round's EXCEPT
-        val stepped = bindLock.synchronized {
-          frontier.createOrReplaceTempView(internal)
-          align(sessionSqlOne(spark, step))
-        }
-        val next = freshCols(stepped.except(seen).localCheckpoint(true))
-        if (next.isEmpty) drained = true
-        else {
-          seen = seen.union(next)
-          sinceCollapse += 1
-          if (sinceCollapse >= collapseEvery) {
-            seen = freshCols(seen.localCheckpoint(true))
-            sinceCollapse = 0
-          }
-          frontier = next
-        }
-        round += 1
+    // session catalog — refused loudly by the caller.
+    val step = rewriteAll(rec.step)
+    var seen = freshCols(seed.distinct().localCheckpoint(true))
+    var frontier = seen
+    var drained = frontier.isEmpty
+    var round = 0
+    // `seen` accumulates as a UNION of already-checkpointed per-round
+    // increments — re-materializing the whole accumulation every round
+    // would write O(rounds × |closure|) where O(|closure|) suffices
+    // (review-caught, r15). The union tree still deepens the plan one
+    // leaf per round, so collapse it with a checkpoint every
+    // `collapseEvery` rounds: write volume O(|closure| · rounds / 16),
+    // plan depth ≤ 16 leaves — deep recursions pay neither full
+    // re-writes per round nor an unbounded analysis tree.
+    val collapseEvery = 16
+    var sinceCollapse = 0
+    while (!drained && round < maxRounds) {
+      // bind + analyze under the lock (the sql() concurrency
+      // contract); the analyzed plan holds the resolved frontier, so
+      // a concurrent rebind can't leak into this round's EXCEPT
+      val stepped = bindLock.synchronized {
+        frontier.createOrReplaceTempView(internal)
+        align(sessionSqlOne(spark, step))
       }
-      require(drained,
-        s"UNION-distinct recursion '${st.name}' did not drain within " +
-          s"$maxRounds rounds — the step keeps producing new rows; " +
-          "check the recursion or split the query")
-      bindLock.synchronized {
-        seen.createOrReplaceTempView(internal)
-        sessionSqlOne(spark, outer)
+      val next = freshCols(stepped.except(seen).localCheckpoint(true))
+      if (next.isEmpty) drained = true
+      else {
+        seen = seen.union(next)
+        sinceCollapse += 1
+        if (sinceCollapse >= collapseEvery) {
+          seen = freshCols(seen.localCheckpoint(true))
+          sinceCollapse = 0
+        }
+        frontier = next
       }
-    } finally rename.values.foreach(spark.catalog.dropTempView)
+      round += 1
+    }
+    require(drained,
+      s"UNION-distinct recursion '${rec.name}' did not drain within " +
+        s"$maxRounds rounds — the step keeps producing new rows; " +
+        "check the recursion or split the query")
+    seen
   }
 
   /** Fold of a [[Dialect.splitUnionByName]] split: operands run through

@@ -1437,95 +1437,151 @@ object Dialect {
     cur.substring(0, fs) + exprOut + cur.substring(close + 1)
   }
 
-  /** w15: MIN/MAX with EXCLUDE CURRENT ROW — frame minus the current
-    * row splits into two ROWS frames around it (start‥1 PRECEDING and
-    * 1 FOLLOWING‥end), combined with LEAST/GREATEST (both skip NULLs in
-    * Spark, so an empty slice — min of nothing — drops out of the
-    * combine, and both empty yields NULL, the standard's answer).
+  /** Split a frame body (`[between] <start> [and <end>]` after the mode
+    * keyword) into its bounds; a single bound means `… AND CURRENT ROW`.
+    */
+  private def frameBounds(t: String, frameText: String): (String, String) = {
+    val body = t.substring(
+      if (t.startsWith("groups")) 6 else if (t.startsWith("rows")) 4
+      else 5).trim
+    if (body.startsWith("between")) {
+      val andPos = body.indexOf(" and ")
+      require(andPos > 0, s"malformed frame: $frameText")
+      (body.substring(7, andPos).trim, body.substring(andPos + 5).trim)
+    } else (body, "current row")
+  }
+
+  /** w15/w16: MIN/MAX with EXCLUDE — subtraction algebra does not apply
+    * (min has no inverse), so the frame minus the excluded slice splits
+    * into the pieces BEFORE and AFTER it, combined with LEAST/GREATEST
+    * (both skip NULLs in Spark, so an empty slice — min of nothing —
+    * drops out of the combine, and all-empty yields NULL, the
+    * standard's answer).
     *
-    * Requires a row-addressable frame: an explicit ROWS frame, a RANGE
-    * frame unbounded at BOTH ends (the identical row set), or no frame
-    * with no ORDER BY (the whole partition). The default frame UNDER an
+    * EXCLUDE CURRENT ROW (w15) splits at the row: two ROWS frames
+    * (start‥1 PRECEDING and 1 FOLLOWING‥end). Requires a
+    * row-addressable frame: an explicit ROWS frame, a RANGE frame
+    * unbounded at BOTH ends (the identical row set), or no frame with
+    * no ORDER BY (the whole partition). The default frame UNDER an
     * ORDER BY is RANGE ‥ CURRENT ROW including peers — its row edge is
     * not ROWS-expressible, so it refuses with the fix spelled out.
-    * GROUP/TIES exclusion needs peer slices MIN can't subtract — only
-    * CURRENT ROW (and the no-op NO OTHERS, handled before this) lower.
+    *
+    * EXCLUDE GROUP / TIES (w16) split at the PEER GROUP: two GROUPS
+    * frames (start‥1 group PRECEDING and 1 group FOLLOWING‥end) — the
+    * emitted GROUPS specs lower through [[rewriteGroupsFrames]]'s
+    * dense_rank group index (w14), which runs after this pass. TIES
+    * keeps the current row itself: its value joins the combine as a
+    * third leg. The original frame translates into GROUPS space:
+    * GROUPS bounds carry over verbatim; RANGE bounds must be
+    * UNBOUNDED/CURRENT ROW (a RANGE edge at CURRENT ROW IS a group
+    * boundary, numeric RANGE offsets are not group-addressable); ROWS
+    * frames only when unbounded at both ends (a bounded ROWS frame can
+    * cut a peer group mid-way); the default ORDER BY frame is GROUPS
+    * UNBOUNDED PRECEDING‥CURRENT ROW exactly.
     */
   private def minMaxExclude(fname: String, args: String, po: String,
                             frameText: String, kind: String,
                             orderPresent: Boolean): String = {
-    require(kind == "current",
-      s"EXCLUDE ${kind.toUpperCase} over $fname is not supported — " +
-        "peer-group slices don't split into ROWS frames; only " +
-        "EXCLUDE CURRENT ROW lowers for MIN/MAX")
     val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
-    require(!t.startsWith("groups"),
-      "EXCLUDE over a GROUPS frame is not supported — write the frame " +
-        "in ROWS mode (GROUPS itself lowers via a dense_rank group index)")
-    val (start, end) =
-      if (t.isEmpty) {
-        require(!orderPresent,
-          s"$fname EXCLUDE CURRENT ROW under an ORDER BY needs an " +
-            "explicit ROWS frame (the default RANGE frame's row edge " +
-            "is not ROWS-expressible) — e.g. ROWS BETWEEN UNBOUNDED " +
-            "PRECEDING AND CURRENT ROW")
-        ("unbounded preceding", "unbounded following")
-      } else {
-        val isRows = t.startsWith("rows")
-        val body = t.substring(if (isRows) 4 else 5).trim
-        val (s0, e0) =
-          if (body.startsWith("between")) {
-            val andPos = body.indexOf(" and ")
-            require(andPos > 0, s"malformed frame: $frameText")
-            (body.substring(7, andPos).trim, body.substring(andPos + 5).trim)
-          } else (body, "current row")
-        require(isRows || (s0 == "unbounded preceding" &&
-          e0 == "unbounded following"),
-          s"$fname EXCLUDE CURRENT ROW needs a ROWS frame (or RANGE " +
-            s"unbounded at both ends), got: $frameText")
-        require(!s0.endsWith("following"),
-          s"EXCLUDE over a frame starting after the current row " +
-            s"($frameText) would subtract rows outside the frame — refused")
-        require(!e0.endsWith("preceding"),
-          s"EXCLUDE over a frame ending before the current row " +
-            s"($frameText) would subtract rows outside the frame — refused")
-        (s0, e0)
-      }
-    val before =
-      if (start == "current row") None
-      else Some(s"$fname($args) OVER ($po ROWS BETWEEN $start AND 1 " +
-        "PRECEDING)")
-    val after =
-      if (end == "current row") None
-      else Some(s"$fname($args) OVER ($po ROWS BETWEEN 1 FOLLOWING AND " +
-        s"$end)")
     val combine = if (fname == "min") "LEAST" else "GREATEST"
-    (before, after) match {
-      case (Some(b), Some(a)) => s"$combine($b, $a)"
-      case (Some(b), None) => s"($b)"
-      case (None, Some(a)) => s"($a)"
-      // frame was exactly the current row: excluding it leaves nothing
-      case (None, None) => s"(CASE WHEN 1 = 0 THEN ($args) END)"
+    def emit(parts: Seq[String]): String = parts match {
+      // the excluded slice was the whole frame: min of nothing is NULL
+      case Nil => s"(CASE WHEN 1 = 0 THEN ($args) END)"
+      case Seq(p) => s"($p)"
+      case ps => s"$combine(${ps.mkString(", ")})"
+    }
+    if (kind == "current") {
+      require(!t.startsWith("groups"),
+        s"$fname EXCLUDE CURRENT ROW over a GROUPS frame is not " +
+          "supported — a row edge inside a peer group is not " +
+          "GROUPS-addressable; write the frame in ROWS mode")
+      val (start, end) =
+        if (t.isEmpty) {
+          require(!orderPresent,
+            s"$fname EXCLUDE CURRENT ROW under an ORDER BY needs an " +
+              "explicit ROWS frame (the default RANGE frame's row edge " +
+              "is not ROWS-expressible) — e.g. ROWS BETWEEN UNBOUNDED " +
+              "PRECEDING AND CURRENT ROW")
+          ("unbounded preceding", "unbounded following")
+        } else {
+          val isRows = t.startsWith("rows")
+          val (s0, e0) = frameBounds(t, frameText)
+          require(isRows || (s0 == "unbounded preceding" &&
+            e0 == "unbounded following"),
+            s"$fname EXCLUDE CURRENT ROW needs a ROWS frame (or RANGE " +
+              s"unbounded at both ends), got: $frameText")
+          require(!s0.endsWith("following"),
+            s"EXCLUDE over a frame starting after the current row " +
+              s"($frameText) would subtract rows outside the frame — refused")
+          require(!e0.endsWith("preceding"),
+            s"EXCLUDE over a frame ending before the current row " +
+              s"($frameText) would subtract rows outside the frame — refused")
+          (s0, e0)
+        }
+      val before =
+        if (start == "current row") None
+        else Some(s"$fname($args) OVER ($po ROWS BETWEEN $start AND 1 " +
+          "PRECEDING)")
+      val after =
+        if (end == "current row") None
+        else Some(s"$fname($args) OVER ($po ROWS BETWEEN 1 FOLLOWING AND " +
+          s"$end)")
+      emit(Seq(before, after).flatten)
+    } else { // group | ties (w16)
+      require(orderPresent,
+        s"EXCLUDE ${kind.toUpperCase} needs an ORDER BY in the window " +
+          "spec — without one every partition row is a peer")
+      val (gs, ge) =
+        if (t.isEmpty) ("unbounded preceding", "current row")
+        else {
+          val (s0, e0) = frameBounds(t, frameText)
+          if (t.startsWith("groups")) (s0, e0)
+          else if (t.startsWith("rows")) {
+            require(s0 == "unbounded preceding" &&
+              e0 == "unbounded following",
+              s"EXCLUDE ${kind.toUpperCase} over a bounded ROWS frame " +
+                s"($frameText) can cut the peer group mid-way — use a " +
+                "RANGE/GROUPS frame or unbounded ROWS")
+            (s0, e0)
+          } else {
+            require(Set("unbounded preceding", "current row")(s0) &&
+              Set("current row", "unbounded following")(e0),
+              s"$fname EXCLUDE ${kind.toUpperCase} over a RANGE frame " +
+                s"with value offsets ($frameText) is not " +
+                "group-addressable — use a GROUPS frame")
+            (s0, e0)
+          }
+        }
+      require(!gs.endsWith("following"),
+        s"EXCLUDE over a frame starting after the current row " +
+          s"($frameText) would subtract rows outside the frame — refused")
+      require(!ge.endsWith("preceding"),
+        s"EXCLUDE over a frame ending before the current row " +
+          s"($frameText) would subtract rows outside the frame — refused")
+      val before =
+        if (gs == "current row") None
+        else Some(s"$fname($args) OVER ($po GROUPS BETWEEN $gs AND 1 " +
+          "PRECEDING)")
+      val after =
+        if (ge == "current row") None
+        else Some(s"$fname($args) OVER ($po GROUPS BETWEEN 1 FOLLOWING " +
+          s"AND $ge)")
+      val self = if (kind == "ties") Seq(s"($args)") else Nil
+      emit(Seq(before, after).flatten ++ self)
     }
   }
 
-  /** Refuse frames that may not contain the slice EXCLUDE subtracts. */
+  /** Refuse frames that may not contain the slice EXCLUDE subtracts.
+    * GROUPS frames pass (w16): their boundaries are whole peer groups,
+    * so the peer-sum subtraction is exact; the GROUPS spec the rewrite
+    * emits lowers through [[rewriteGroupsFrames]] afterwards.
+    */
   private def validateExcludeFrame(frameText: String, kind: String,
                                    orderPresent: Boolean): Unit = {
     if (frameText.isEmpty) return // default frame contains current + peers
     val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
-    require(!t.startsWith("groups"),
-      "EXCLUDE over a GROUPS frame is not supported — write the frame " +
-        "in ROWS/RANGE mode (GROUPS itself lowers via a dense_rank " +
-        "group index, w14, but not in combination with EXCLUDE)")
     val isRows = t.startsWith("rows")
-    val body = t.substring(if (isRows) 4 else 5).trim
-    val (start, end) =
-      if (body.startsWith("between")) {
-        val andPos = body.indexOf(" and ")
-        require(andPos > 0, s"malformed frame: $frameText")
-        (body.substring(7, andPos).trim, body.substring(andPos + 5).trim)
-      } else (body, "current row")
+    val (start, end) = frameBounds(t, frameText)
     require(!start.endsWith("following"),
       s"EXCLUDE over a frame starting after the current row " +
         s"($frameText) would subtract rows outside the frame — refused")
@@ -1536,8 +1592,9 @@ object Dialect {
       require(!isRows ||
         (start == "unbounded preceding" && end == "unbounded following"),
         s"EXCLUDE ${kind.toUpperCase} over a bounded ROWS frame " +
-          s"($frameText) can cut the peer group mid-way — use a RANGE " +
-          "frame (peers are always whole there) or unbounded ROWS")
+          s"($frameText) can cut the peer group mid-way — use a " +
+          "RANGE/GROUPS frame (peers are always whole there) or " +
+          "unbounded ROWS")
   }
 
   /** DuckDB's FROM-first statement form: `FROM t` ≡ `SELECT * FROM t`,

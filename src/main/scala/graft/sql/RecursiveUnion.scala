@@ -19,12 +19,19 @@ package graft.sql
   * UNION ALL form keeps Spark's native path — this file returns None
   * for it.
   *
-  * Non-recursive HELPER CTEs may ride alongside the one recursive CTE
+  * Non-recursive HELPER CTEs may ride alongside the recursive CTEs
   * (gr10 — the common real-world shape: a seed-data or parameter CTE
   * next to the traversal). Helpers bind once, in textual order, before
-  * the recursion runs; a helper must not reference the recursive CTE
+  * any recursion runs; a helper must not reference a recursive CTE
   * (its closure does not exist until the loop drains — refused loudly).
-  * Exactly one CTE may be the UNION-distinct recursive one.
+  *
+  * SEVERAL INDEPENDENT recursions may share one WITH RECURSIVE (gr11 —
+  * DuckDB/Postgres execute them in one statement): they drain
+  * SEQUENTIALLY in textual order, each closure binding before the next
+  * recursion starts, so a later recursion may consume an earlier one's
+  * closure (probed against DuckDB: a recursion seeded from another's
+  * result). TRUE mutual recursion — a recursive CTE referencing one
+  * declared later — has no sequential order and refuses loudly.
   *
   * Scale shape: each round is one distinct + one EXCEPT (both keyed
   * shuffles on the full row), lineage cut every round (the Iterate
@@ -35,16 +42,19 @@ package graft.sql
   */
 object RecursiveUnion {
 
-  /** A non-recursive helper CTE bound once before the recursion. */
+  /** A non-recursive helper CTE bound once before any recursion. */
   final case class Helper(name: String, cols: Option[Seq[String]],
                           body: String)
 
-  /** One recursive CTE: declared name/columns, seed text, step text,
-    * helper CTEs in textual order, and the outer statement after the
-    * CTE list.
+  /** One recursive CTE: declared name/columns, seed text, step text. */
+  final case class Rec(name: String, cols: Option[Seq[String]],
+                       seed: String, step: String)
+
+  /** The statement: helper CTEs and recursive CTEs (each list in
+    * textual order — recursions drain sequentially, gr11) and the outer
+    * statement after the CTE list.
     */
-  final case class Stmt(name: String, cols: Option[Seq[String]],
-                        seed: String, step: String, outer: String,
+  final case class Stmt(recs: Seq[Rec], outer: String,
                         helpers: Seq[Helper] = Nil)
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
@@ -115,46 +125,62 @@ object RecursiveUnion {
       else more = false
     }
     if (ctes.map(_.name.toLowerCase).distinct.size != ctes.size) return None
-    // the recursive CTE: a UNION-distinct body that references its own
-    // name; with a SINGLE CTE the self-reference is not required (a
+    // the recursive CTEs: UNION-distinct bodies that reference their
+    // own name; with a SINGLE CTE the self-reference is not required (a
     // degenerate non-recursive UNION-distinct body still lowers here —
     // it drains in one extra round and keeps pre-gr10 behavior)
     val selfRef = ctes.filter(c =>
       unionDistinctAt(c.bodyMask).isDefined && containsWord(c.bodyMask, c.name))
-    val rec =
-      if (selfRef.nonEmpty) selfRef
+    val recs =
+      if (selfRef.nonEmpty) selfRef.toSeq
       else if (ctes.size == 1 && unionDistinctAt(ctes.head.bodyMask).isDefined)
         ctes.toSeq
       else return None // no UNION-distinct recursion — native handles it
-    require(rec.size == 1,
-      s"UNION-distinct recursion supports exactly one recursive CTE, " +
-        s"found ${rec.map(_.name).mkString(", ")} — rewrite all but one")
-    val r = rec.head
-    val u = unionDistinctAt(r.bodyMask).get
     // this lowering owns the statement from here — malformed shapes
     // error loudly instead of falling through to a confusing native error
-    require(findTopLevelKeywordIn(r.bodyMask, u + 5, "union") < 0 &&
-      Seq("intersect", "except")
-        .forall(findTopLevelKeywordIn(r.bodyMask, 0, _) < 0),
-      "UNION-distinct recursion supports exactly one top-level UNION in " +
-        "the recursive CTE body (seed UNION step) — parenthesize inner " +
-        "set operations")
-    val helpers = ctes.toSeq.filter(_ ne r)
+    recs.foreach { r =>
+      val u = unionDistinctAt(r.bodyMask).get
+      require(findTopLevelKeywordIn(r.bodyMask, u + 5, "union") < 0 &&
+        Seq("intersect", "except")
+          .forall(findTopLevelKeywordIn(r.bodyMask, 0, _) < 0),
+        "UNION-distinct recursion supports exactly one top-level UNION " +
+          s"in the recursive CTE body of ${r.name} (seed UNION step) — " +
+          "parenthesize inner set operations")
+    }
+    // recursions drain in textual order: a body referencing a LATER
+    // recursive CTE has no sequential execution — true mutual recursion
+    // stays a loud refusal (gr11)
+    val recIdx = recs.zipWithIndex.toMap
+    recs.foreach { r =>
+      recs.drop(recIdx(r) + 1).foreach { later =>
+        require(!containsWord(r.bodyMask, later.name),
+          s"recursive CTE ${r.name} references ${later.name}, declared " +
+            "after it — recursions drain in textual order (no mutual " +
+            "recursion); reorder so each references only earlier ones")
+      }
+    }
+    val helpers = ctes.toSeq.filterNot(c => recs.exists(_ eq c))
     helpers.foreach { h =>
       require(!containsWord(h.bodyMask, h.name),
-        s"helper CTE ${h.name} references itself — only ${r.name} may " +
-          "recurse; rewrite or rename")
-      require(!containsWord(h.bodyMask, r.name),
-        s"helper CTE ${h.name} references the recursive CTE ${r.name} — " +
-          "its closure exists only after the recursion; consume it in " +
-          "the outer statement instead")
+        s"helper CTE ${h.name} references itself — only a UNION-distinct " +
+          "self-referencing CTE may recurse; rewrite or rename")
+      recs.foreach { r =>
+        require(!containsWord(h.bodyMask, r.name),
+          s"helper CTE ${h.name} references the recursive CTE ${r.name} — " +
+            "its closure exists only after the recursion; consume it in " +
+            "the outer statement instead")
+      }
     }
     val outer = sql.substring(i).trim
     require(outer.nonEmpty,
       "WITH RECURSIVE needs an outer statement after the CTE list")
-    Some(Stmt(r.name, r.cols, r.body.substring(0, u).trim,
-      r.body.substring(u + 5).trim, outer,
-      helpers.map(h => Helper(h.name, h.cols, h.body))))
+    Some(Stmt(
+      recs.map { r =>
+        val u = unionDistinctAt(r.bodyMask).get
+        Rec(r.name, r.cols, r.body.substring(0, u).trim,
+          r.body.substring(u + 5).trim)
+      },
+      outer, helpers.map(h => Helper(h.name, h.cols, h.body))))
   }
 
 }

@@ -284,9 +284,12 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         val pj = scala.util.Try(RecursiveUnion.parse(j)).toOption.flatten
         pq.isDefined == pj.isDefined &&
           pq.zip(pj).forall { case (a, b) =>
-            a.name == b.name && a.cols == b.cols &&
-              Dialect.stripLiterals(a.seed) == Dialect.stripLiterals(b.seed) &&
-              Dialect.stripLiterals(a.step) == Dialect.stripLiterals(b.step)
+            def shape(s: RecursiveUnion.Stmt) =
+              (s.recs.map(r => (r.name, r.cols,
+                Dialect.stripLiterals(r.seed),
+                Dialect.stripLiterals(r.step))),
+                s.helpers.map(h => (h.name, h.cols)))
+            shape(a) == shape(b)
           }
     }
 

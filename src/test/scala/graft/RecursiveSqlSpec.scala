@@ -99,16 +99,18 @@ class RecursiveSqlSpec extends GraftSuite {
     assert(graft.sql.RecursiveUnion.parse("SELECT 1 UNION SELECT 2").isEmpty)
   }
 
-  test("UNION-distinct recursion guards: multi-UNION, double recursion " +
+  test("UNION-distinct recursion guards: multi-UNION, mutual recursion " +
     "and helper-reads-recursion refuse") {
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT 2 UNION
            SELECT n FROM t)
          SELECT * FROM t""")).getMessage.contains("exactly one top-level"))
+    // an earlier recursion referencing a LATER one has no sequential
+    // drain order — mutual/forward recursion refuses loudly (gr11)
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
-      """WITH RECURSIVE a(n) AS (SELECT 1 UNION SELECT n FROM a),
-           b(n) AS (SELECT 1 UNION SELECT n FROM b)
-         SELECT * FROM a""")).getMessage.contains("exactly one recursive"))
+      """WITH RECURSIVE a(n) AS (SELECT 1 UNION SELECT n FROM a JOIN b USING (n)),
+           b(n) AS (SELECT 1 UNION SELECT n + 1 FROM b WHERE n < 3)
+         SELECT * FROM a""")).getMessage.contains("declared after it"))
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
            u AS (SELECT n + 1 FROM t)
@@ -118,6 +120,39 @@ class RecursiveSqlSpec extends GraftSuite {
       """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
            u(n) AS (SELECT n + 1 FROM u)
          SELECT * FROM t""")).getMessage.contains("references itself"))
+  }
+
+  test("gr11: several independent recursions drain sequentially; a " +
+    "later one consumes an earlier closure (DuckDB-probed)") {
+    // probed DuckDB: two independent recursions → sums 15 and 100
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE a(x) AS (SELECT 1 UNION SELECT x + 1 FROM a
+           WHERE x < 5),
+         b(y) AS (SELECT 10 UNION SELECT y + 10 FROM b WHERE y < 40)
+         SELECT (SELECT sum(x) FROM a) AS sa,
+                (SELECT sum(y) FROM b) AS sb""").toDF.collect().head
+    assert((got.getLong(0), got.getLong(1)) == (15L, 100L))
+    // probed DuckDB: b seeds from a's drained closure → sum(y) = 60
+    val chained = Table.sessionSql(spark,
+      """WITH RECURSIVE a(x) AS (SELECT 1 UNION SELECT x + 1 FROM a
+           WHERE x < 4),
+         b(y) AS (SELECT max(x) FROM a UNION SELECT y * 2 FROM b
+           WHERE y < 30)
+         SELECT sum(y) AS s FROM b""").toDF.collect().head
+    assert(chained.getLong(0) == 60L)
+    // a helper may feed several recursions; each closure is visible to
+    // the outer statement
+    val mixed = Table.sessionSql(spark,
+      """WITH RECURSIVE seed(v) AS (SELECT 2),
+         a(x) AS (SELECT v FROM seed UNION SELECT x * 2 FROM a
+           WHERE x < 16),
+         b(y) AS (SELECT v + 1 FROM seed UNION SELECT y * 3 FROM b
+           WHERE y < 27)
+         SELECT (SELECT count(*) FROM a) AS na,
+                (SELECT sum(y) FROM b) AS sb""").toDF.collect().head
+    // a = {2, 4, 8, 16} (doubling stops at 16) → na = 4;
+    // b = {3, 9, 27} (tripling stops at 27) → sb = 39
+    assert((mixed.getLong(0), mixed.getLong(1)) == (4L, 39L))
   }
 
   test("gr10: non-recursive helper CTEs ride alongside the recursion") {

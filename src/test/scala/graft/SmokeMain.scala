@@ -497,6 +497,10 @@ object SmokeMain {
       println("gs-guard " + spark.sql(
         "SELECT size(generate_series(1, 0)) z, generate_series(5, 1, -2) d")
         .collect().head)
+      println(s"w16 minmax-exclude-group rows=" +
+        SparkEntry.queries("w16_minmax_exclude_group")(spark, sf).count())
+      println(s"gr11 multi-recursion rows=" +
+        SparkEntry.queries("gr11_multi_recursion")(spark, sf).count())
     }
 
     spark.stop()

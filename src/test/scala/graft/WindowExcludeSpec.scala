@@ -88,8 +88,16 @@ class WindowExcludeSpec extends GraftSuite {
     // RANGE-to-current frame's row edge is not ROWS-expressible
     assert(bad(s"SELECT MIN(v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
       .contains("ROWS frame"))
-    assert(bad(s"SELECT MIN(v) OVER ($Frame EXCLUDE GROUP) FROM wx")
-      .contains("only EXCLUDE CURRENT ROW"))
+    // min EXCLUDE GROUP/TIES over a value-offset RANGE frame is not
+    // group-addressable (w16 lowers UNBOUNDED/CURRENT RANGE edges only)
+    assert(bad("""SELECT MIN(v) OVER (PARTITION BY p ORDER BY o
+         RANGE BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+         FROM wx""").contains("not group-addressable"))
+    // min EXCLUDE CURRENT ROW over a GROUPS frame: a row edge inside a
+    // peer group is not GROUPS-addressable
+    assert(bad("""SELECT MIN(v) OVER (PARTITION BY p ORDER BY o
+         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+         FROM wx""").contains("GROUPS-addressable"))
     assert(bad(s"SELECT MEDIAN(v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
       .contains("EXCLUDE rewrite supports"))
     assert(bad(s"SELECT COUNT(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
@@ -97,12 +105,52 @@ class WindowExcludeSpec extends GraftSuite {
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM wx""")
       .contains("cut the peer group"))
-    assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
-         GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM wx""")
-      .contains("GROUPS"))
+    assert(bad("""SELECT MIN(v) OVER (PARTITION BY p ORDER BY o
+         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) FROM wx""")
+      .contains("cut the peer group"))
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
          ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
          FROM wx""").contains("starting after the current row"))
+  }
+
+  test("MIN/MAX EXCLUDE GROUP/TIES: before/after GROUPS split (w16, " +
+      "DuckDB-probed); sum-family EXCLUDE over GROUPS frames") {
+    fixture()
+    val got = Table.sessionSql(spark,
+      s"""SELECT p, o, v,
+            MIN(v) OVER ($Frame EXCLUDE GROUP) AS mg,
+            MAX(v) OVER ($Frame EXCLUDE TIES) AS mt,
+            MIN(v) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN
+              UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              EXCLUDE GROUP) AS mb,
+            MAX(v) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN
+              CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS mf
+          FROM wx ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => (Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)))).toSeq
+    // DuckDB native EXCLUDE on the identical fixture
+    assert(got == Seq(
+      (None, Some(10L), Some(20L), Some(40L)),
+      (Some(10L), Some(20L), Some(10L), Some(40L)),
+      (Some(10L), Some(30L), Some(10L), Some(40L)),
+      (Some(10L), Some(30L), Some(10L), Some(40L)),
+      (Some(10L), Some(40L), Some(10L), Some(40L)),
+      (None, Some(5L), None, Some(5L))))
+    // sum/count over GROUPS frames with EXCLUDE (DuckDB has no GROUPS
+    // mode — expectations hand-derived from the standard's semantics:
+    // peer groups in p=1 are {10},{20,30},{NULL},{40})
+    val gsum = Table.sessionSql(spark,
+      """SELECT p, o, v,
+           SUM(v) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN
+             1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS sg,
+           SUM(v) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN
+             1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS st
+         FROM wx ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => (Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(gsum == Seq(
+      (Some(50L), Some(10L)), (Some(10L), Some(30L)),
+      (Some(10L), Some(40L)), (Some(90L), Some(50L)),
+      (None, Some(40L)), (None, Some(5L))))
   }
 
   test("named WINDOW with EXCLUDE inlines (w13); exclusion-free names " +
