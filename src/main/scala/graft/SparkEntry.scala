@@ -10508,7 +10508,14 @@ object SparkEntry {
           "SELECT doc_id FROM q64_docs TABLESAMPLE (bernoulli(25%)) " +
             "WHERE doc_id % 2 = 0")
           .df.select(lit("ts").as("form"), col("doc_id"))
-        pct.unionByName(rws).unionByName(ts)
+        // derived-table target (r17 ext): the gate keys on the
+        // SUBQUERY's first column, alias before the clause (DuckDB's
+        // only accepted position there, probed)
+        val tsd = Table.sessionSql(s,
+          """SELECT doc_id FROM (SELECT doc_id, lang FROM q64_docs
+               WHERE lang <> 'fr') AS d TABLESAMPLE (25%)""")
+          .df.select(lit("tsd").as("form"), col("doc_id"))
+        pct.unionByName(rws).unionByName(ts).unionByName(tsd)
           .groupBy(col("form"))
           .agg(count(lit(1)).as("n"),
             sum(col("doc_id")).cast("long").as("id_sum"),
@@ -10525,8 +10532,10 @@ object SparkEntry {
                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 40),
          ts AS (SELECT 'ts' AS form, doc_id FROM g
                 WHERE h < 16384 AND doc_id % 2 = 0),
+         tsd AS (SELECT 'tsd' AS form, doc_id FROM g
+                 WHERE lang <> 'fr' AND h < 16384),
          u AS (SELECT * FROM pct UNION ALL SELECT * FROM rws
-               UNION ALL SELECT * FROM ts)
+               UNION ALL SELECT * FROM ts UNION ALL SELECT * FROM tsd)
          SELECT form, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
                 min(doc_id) AS mn, max(doc_id) AS mx
          FROM u GROUP BY form ORDER BY form"""),

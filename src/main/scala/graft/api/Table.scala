@@ -109,7 +109,15 @@ final class Table private (val df: DataFrame) {
     // gate's first column is the receiver's
     val qTs =
       if (!graft.sql.SampleSql.hasTablesample(q0)) q0
-      else graft.sql.SampleSql.rewriteTablesample(q0, _ => df.columns.toSeq)
+      else graft.sql.SampleSql.rewriteTablesample(q0, { ref =>
+        // derived-table targets need the session surface's resolution
+        // (the receiver's columns would silently mis-key the gate here)
+        require(Dialect.isBareIdentifier(ref),
+          "TABLESAMPLE on a derived table is supported at the session " +
+            "surface (sessionSql) — or sample at the query level with " +
+            "USING SAMPLE")
+        df.columns.toSeq
+      })
     // DISTINCT ON lowers AFTER the nulls-last pass (the sort items move
     // into a window spec, where the later top-level scan can't see them)
     val q = Dialect.expandColumns(
@@ -510,12 +518,15 @@ object Table {
       case Some(st) => return runRecursiveUnion(spark, st)
       case None =>
     }
-    // table-level TABLESAMPLE: the gate's first column resolves from the
-    // session catalog (the same resolution rule as dynamic COLUMNS)
+    // table-level TABLESAMPLE: the gate's first column resolves from
+    // the session catalog; a derived-table target (q64 ext) resolves by
+    // running its subquery text back through this pipeline lazily —
+    // analysis only, nothing executes for the column list
     val qSampled =
       if (!graft.sql.SampleSql.hasTablesample(qIn)) qIn
-      else graft.sql.SampleSql.rewriteTablesample(qIn,
-        n => spark.table(n).columns.toSeq)
+      else graft.sql.SampleSql.rewriteTablesample(qIn, ref =>
+        if (Dialect.isBareIdentifier(ref)) spark.table(ref).columns.toSeq
+        else sessionSqlOne(spark, ref).columns.toSeq)
     val q0 = Dialect.rewriteWindowExclude(
       Dialect.fromFirst(qSampled).getOrElse(qSampled))
     val q1 = Dialect.orderByNullsLast(

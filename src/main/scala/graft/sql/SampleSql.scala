@@ -177,15 +177,26 @@ object SampleSql {
     "left", "right", "full", "cross", "natural", "using", "as",
     "tablesample", "asof")
 
-  /** Rewrite every `name TABLESAMPLE (<spec>) [AS alias]` table
-    * reference onto the md5 gate: the reference becomes a parenthesized
-    * subquery aliased back to the original name (or the explicit
-    * alias), so qualified column references keep resolving.
-    * `resolveCols` maps a table name to its columns — the gate needs
-    * the FIRST one. Only bare (possibly dotted) names can carry
-    * TABLESAMPLE here; a subquery target should move the clause to the
-    * query level (`USING SAMPLE`). Unrewritten occurrences (backticked
-    * names, subquery targets) refuse loudly rather than reach Spark's
+  // words that may directly precede a TABLESAMPLE'd table reference —
+  // when the token before the reference's last identifier is one of
+  // these, that identifier IS the table name (not an alias of an
+  // earlier reference)
+  private val PrecedingKeywords: Set[String] = Set(
+    "from", "join", "inner", "left", "right", "full", "cross", "natural",
+    "asof", "positional", "outer", "semi", "anti", "lateral")
+
+  /** Rewrite every TABLESAMPLE'd table reference onto the md5 gate: the
+    * reference becomes a parenthesized subquery aliased back to the
+    * original name (or the explicit alias), so qualified column
+    * references keep resolving. Accepted shapes (DuckDB-probed):
+    *
+    *   name TABLESAMPLE (spec) [AS alias]      — alias after the clause
+    *   name [AS] alias TABLESAMPLE (spec)      — alias before (DuckDB)
+    *   ( subquery ) [[AS] alias] TABLESAMPLE (spec)   — derived table
+    *
+    * `resolveCols` maps a reference — a bare (possibly dotted) name OR
+    * the bare subquery text — to its columns; the gate needs the FIRST
+    * one. Backticked names refuse loudly rather than reach Spark's
     * nondeterministic native sampler.
     */
   def rewriteTablesample(sql: String,
@@ -196,49 +207,129 @@ object SampleSql {
       val m = stripLiterals(cur)
       val ts = findAnyDepth(m, "tablesample")
       if (ts < 0) return cur
-      // the table name runs backwards from TABLESAMPLE: dotted ident
-      var e = ts - 1
-      while (e >= 0 && m.charAt(e).isWhitespace) e -= 1
-      var s = e
-      while (s >= 0 && (m.charAt(s).isLetterOrDigit ||
-        m.charAt(s) == '_' || m.charAt(s) == '.')) s -= 1
-      val name = cur.substring(s + 1, e + 1)
-      require(name.nonEmpty && Dialect.isBareIdentifier(name),
-        "TABLESAMPLE must follow a plain table name — for a subquery " +
-          "or quoted name, sample at the query level with USING SAMPLE")
+      def prevNonWs(p0: Int): Int = {
+        var p = p0
+        while (p >= 0 && m.charAt(p).isWhitespace) p -= 1
+        p
+      }
+      def isIdentChar(c: Char): Boolean =
+        c.isLetterOrDigit || c == '_' || c == '.'
+      def identStart(pEnd: Int): Int = {
+        var p = pEnd
+        while (p >= 0 && isIdentChar(m.charAt(p))) p -= 1
+        p + 1
+      }
+      // matching '(' of a ')' at `close`, scanning backwards
+      def openOf(close: Int): Int = {
+        var depth = 0
+        var p = close
+        var open = -1
+        while (p >= 0 && open < 0) {
+          val ch = m.charAt(p)
+          if (ch == ')') depth += 1
+          else if (ch == '(') { depth -= 1; if (depth == 0) open = p }
+          p -= 1
+        }
+        require(open >= 0, "unbalanced parens before TABLESAMPLE")
+        open
+      }
+      // ---- the sampled reference runs BACKWARDS from TABLESAMPLE ----
+      val e = prevNonWs(ts - 1)
+      require(e >= 0, "TABLESAMPLE must follow a table reference")
+      var name = "" // bare name when sub is None
+      var sub: Option[String] = None
+      var aliasPre: Option[String] = None
+      var replaceFrom = -1
+      if (m.charAt(e) == ')') { // ( subquery ) TABLESAMPLE
+        val open = openOf(e)
+        sub = Some(cur.substring(open + 1, e).trim)
+        replaceFrom = open
+      } else {
+        require(isIdentChar(m.charAt(e)),
+          "TABLESAMPLE must follow a table name, an aliased reference " +
+            "or a parenthesized subquery — for a quoted name, sample at " +
+            "the query level with USING SAMPLE")
+        val ws = identStart(e)
+        val w = cur.substring(ws, e + 1)
+        val p1 = prevNonWs(ws - 1)
+        def identBefore(pEnd: Int): (String, Int) = {
+          val st = identStart(pEnd)
+          (cur.substring(st, pEnd + 1), st)
+        }
+        if (p1 >= 0 && m.charAt(p1) == ')') { // ( subquery ) w TABLESAMPLE
+          val open = openOf(p1)
+          sub = Some(cur.substring(open + 1, p1).trim)
+          aliasPre = Some(w)
+          replaceFrom = open
+        } else if (p1 >= 0 && isIdentChar(m.charAt(p1))) {
+          val (tok, tokSt) = identBefore(p1)
+          if (tok.equalsIgnoreCase("as")) {
+            val p2 = prevNonWs(tokSt - 1)
+            if (p2 >= 0 && m.charAt(p2) == ')') { // (subq) AS w TABLESAMPLE
+              val open = openOf(p2)
+              sub = Some(cur.substring(open + 1, p2).trim)
+              aliasPre = Some(w)
+              replaceFrom = open
+            } else { // name AS w TABLESAMPLE
+              require(p2 >= 0 && isIdentChar(m.charAt(p2)),
+                s"malformed reference before TABLESAMPLE: … AS $w")
+              val (nm, nmSt) = identBefore(p2)
+              name = nm; aliasPre = Some(w); replaceFrom = nmSt
+            }
+          } else if (PrecedingKeywords(tok.toLowerCase)) {
+            name = w; replaceFrom = ws // FROM w TABLESAMPLE
+          } else { // name w TABLESAMPLE (bare alias)
+            name = tok; aliasPre = Some(w); replaceFrom = tokSt
+          }
+        } else {
+          name = w; replaceFrom = ws // statement head / after '(' or ','
+        }
+      }
+      if (sub.isEmpty)
+        require(name.nonEmpty && Dialect.isBareIdentifier(name),
+          "TABLESAMPLE must follow a plain table name or a " +
+            "parenthesized subquery — for a quoted name, sample at the " +
+            "query level with USING SAMPLE")
+      else
+        require(sub.get.nonEmpty, "empty subquery under TABLESAMPLE")
       var k = skipWsAt(m, ts + "tablesample".length)
       require(k < m.length && m.charAt(k) == '(',
         "TABLESAMPLE requires a parenthesized specification")
       val close = matchParenAt(m, k)
       val spec = parseSpec(cur.substring(k + 1, close))
-      // optional alias after the spec
+      // optional alias after the spec (this dialect's original shape;
+      // skipped when the reference already carried one before)
       var a = skipWsAt(m, close + 1)
-      var alias = name
+      var alias = aliasPre.getOrElse(
+        if (sub.isEmpty) name else s"__ts_sub_$guard")
       var consumedTo = close + 1
-      if (a < m.length && wordAt(m, a, "as")) a = skipWsAt(m, a + 2)
-      if (a < m.length && (m.charAt(a).isLetter || m.charAt(a) == '_')) {
-        var ae = a
-        while (ae < m.length && (m.charAt(ae).isLetterOrDigit ||
-          m.charAt(ae) == '_')) ae += 1
-        val word = cur.substring(a, ae)
-        if (!TrailingKeywords(word.toLowerCase)) {
-          alias = word; consumedTo = ae
+      if (aliasPre.isEmpty) {
+        if (a < m.length && wordAt(m, a, "as")) a = skipWsAt(m, a + 2)
+        if (a < m.length && (m.charAt(a).isLetter || m.charAt(a) == '_')) {
+          var ae = a
+          while (ae < m.length && (m.charAt(ae).isLetterOrDigit ||
+            m.charAt(ae) == '_')) ae += 1
+          val word = cur.substring(a, ae)
+          if (!TrailingKeywords(word.toLowerCase)) {
+            alias = word; consumedTo = ae
+          }
         }
       }
-      val cols = resolveCols(name)
-      require(cols.nonEmpty, s"cannot sample zero-column table $name")
+      val rel = sub.map(s => s"($s) __ts_src").getOrElse(name)
+      val cols = resolveCols(sub.getOrElse(name))
+      require(cols.nonEmpty, s"cannot sample a zero-column relation")
       val c1 = cols.head
       val gate = spec match {
         case Percent(p) =>
           val thr = threshold(p)
-          if (thr >= Buckets) s"SELECT * FROM $name"
-          else s"SELECT * FROM $name WHERE cast(conv(substring(" +
+          if (thr >= Buckets) s"SELECT * FROM $rel"
+          else s"SELECT * FROM $rel WHERE cast(conv(substring(" +
             s"md5(cast(`$c1` as string)), 1, 4), 16, 10) as bigint) < $thr"
         case Rows(n) =>
-          s"SELECT * FROM $name ORDER BY md5(cast(`$c1` as string)) " +
+          s"SELECT * FROM $rel ORDER BY md5(cast(`$c1` as string)) " +
             s"NULLS LAST, `$c1` NULLS LAST LIMIT $n"
       }
-      cur = cur.substring(0, s + 1) + s"($gate) AS $alias" +
+      cur = cur.substring(0, replaceFrom) + s"($gate) AS $alias" +
         cur.substring(consumedTo)
       guard += 1
     }

@@ -434,7 +434,10 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
        USING SAMPLE 25% ORDER BY id LIMIT 7""",
     "SELECT id FROM t USING SAMPLE reservoir(40 ROWS)",
     """SELECT a.id FROM t TABLESAMPLE (bernoulli(10%)) a
-       JOIN u USING (k) WHERE a.tag <> 'tablesample (5 rows)'""")
+       JOIN u USING (k) WHERE a.tag <> 'tablesample (5 rows)'""",
+    """SELECT d.id FROM (SELECT id FROM t WHERE tag <> 'tablesample')
+       AS d TABLESAMPLE (25%)""",
+    "SELECT x.id FROM t AS x TABLESAMPLE (3 ROWS)")
 
   property("sampling-clause detection is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(sampleCorpus), Gen.chooseNum(0, 1000))) {

@@ -99,12 +99,42 @@ class SampleSqlSpec extends GraftSuite {
     assert(out == expect)
   }
 
-  test("refusals: subquery TABLESAMPLE target; malformed spec") {
+  test("TABLESAMPLE on derived tables (r17): gate keys on the " +
+    "subquery's first column; all alias positions (DuckDB-probed)") {
     docs.createOrReplaceTempView("smp_t")
-    intercept[IllegalArgumentException] {
-      Table.sessionSql(spark,
-        "SELECT * FROM (SELECT id FROM smp_t) TABLESAMPLE (10%)")
-    }
+    val expect = (1L to 100L).filter(bucket(_) < 16384)
+    // (subq) AS alias TABLESAMPLE — DuckDB's only derived-table shape
+    val sub = Table.sessionSql(spark,
+      """SELECT d.id FROM (SELECT id FROM smp_t WHERE id <= 100)
+           AS d TABLESAMPLE (25%) ORDER BY d.id""")
+      .df.collect().map(_.getLong(0)).toSeq
+    assert(sub == expect)
+    // unaliased and bare-alias variants parse too
+    assert(Table.sessionSql(spark,
+      "SELECT id FROM (SELECT id FROM smp_t WHERE id <= 100) " +
+        "TABLESAMPLE (25%)").toDF.count() == expect.size)
+    assert(Table.sessionSql(spark,
+      "SELECT s.id FROM (SELECT id FROM smp_t WHERE id <= 100) s " +
+        "TABLESAMPLE (25%)").toDF.count() == expect.size)
+    // alias BEFORE the clause on a base table (DuckDB's position)
+    val pre = Table.sessionSql(spark,
+      "SELECT x.id FROM smp_t AS x TABLESAMPLE (25%) " +
+        "WHERE x.id <= 100 ORDER BY x.id")
+      .df.collect().map(_.getLong(0)).toSeq
+    assert(pre == expect)
+    // a subquery whose FIRST column differs keys the gate on ITS column
+    val flip = Table.sessionSql(spark,
+      """SELECT cnt FROM (SELECT count(*) AS cnt FROM smp_t)
+           AS a TABLESAMPLE (100%)""").toDF.collect().head.getLong(0)
+    assert(flip == 200L)
+  }
+
+  test("refusals: derived-table TABLESAMPLE on the single-table " +
+    "surface; malformed spec") {
+    docs.createOrReplaceTempView("smp_t")
+    assert(intercept[IllegalArgumentException] {
+      Table(docs).sql("SELECT id FROM (SELECT id FROM d) TABLESAMPLE (10%)")
+    }.getMessage.contains("session surface"))
     intercept[IllegalArgumentException] {
       Table(docs).sql("SELECT id FROM d USING SAMPLE grp PERCENT")
     }
