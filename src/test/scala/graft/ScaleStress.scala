@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  private val Sf01 = "/root/testdata/sf0.1"
-  private val Sf1 = "target/sf1_derived"
+  private[graft] val Sf01 = "/root/testdata/sf0.1"
+  private[graft] val Sf1 = "target/sf1_derived"
   private val Sf3 = "target/sf3_derived"
 
   private val Queries = Seq(
@@ -160,7 +160,7 @@ object ScaleStress {
     (sw, sr)
   }
 
-  private def buildSf1(spark: SparkSession): Unit =
+  private[graft] def buildSf1(spark: SparkSession): Unit =
     buildScaled(spark, 10, Sf1)
 
   /** Derive a copies-x corpus (idempotent: skipped when already on disk). */
