@@ -5297,6 +5297,39 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 9 = 0
          ORDER BY k"""),
 
+    // FILTER-carrying aggregates under EXCLUDE (w17, SAME text both
+    // engines — DuckDB executes FILTER + EXCLUDE natively, probed):
+    // `agg(x) FILTER (WHERE c)` folds into `agg(CASE WHEN c THEN x
+    // END)` — exactly the FILTER semantics for SUM/COUNT/AVG/MIN/MAX
+    // since the aggregate skips the CASE's NULLs — and the folded call
+    // re-enters the w12/w15/w16 EXCLUDE algebra unchanged. Closes the
+    // FILTER cell of the EXCLUDE residual matrix; only DISTINCT stays
+    // refused (genuinely not decomposable). Integer cents keep the
+    // sums exact; the AVG arm rounds after its one division.
+    "w17_filter_exclude" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderpriority < '3') OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE GROUP) AS BIGINT) AS s_f,
+           COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES) AS c_f,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderkey % 3 = 0) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE GROUP) AS mn_f,
+           round(AVG(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderkey % 2 = 1) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               EXCLUDE CURRENT ROW), 6) AS avg_f
+         FROM orders WHERE o_orderkey % 9 = 0
+         ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,
@@ -6762,6 +6795,58 @@ object SparkEntry {
          SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
                 min(k) AS mn, max(k) AS mx
          FROM up GROUP BY st ORDER BY st"""),
+
+    // RETURNING (u15, [[graft.sql.DmlSql]]): every plain DML form
+    // returns its AFFECTED rows projected through the item list —
+    // inserted rows, the post-image of updated rows (SET over the OLD
+    // row), deleted rows (Postgres/DuckDB semantics, probed). Each arm
+    // stays expression-level over the plain statement's plan (the
+    // DELETE arm is the complement filter of the statement's own
+    // anti-join). The oracle re-derives each arm relationally.
+    "u15_dml_returning" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u15_base")
+        val ins = graft.api.Table.sessionSql(s,
+          """INSERT INTO u15_base
+             SELECT k + 5000000, 'I', cents DIV 2 FROM u15_base
+             WHERE k % 4 = 0
+             RETURNING k, st, cents""").df
+          .select(lit("ins").as("arm"), col("k"), col("cents"))
+        val upd = graft.api.Table.sessionSql(s,
+          """UPDATE u15_base SET cents = cents + 7, st = 'U'
+             WHERE k % 5 = 0
+             RETURNING k, st, cents""").df
+          .select(lit("upd").as("arm"), col("k"), col("cents"))
+        val del = graft.api.Table.sessionSql(s,
+          """DELETE FROM u15_base WHERE cents % 3 = 0
+             RETURNING k, st, cents * 2 AS cents""").df
+          .select(lit("del").as("arm"), col("k"), col("cents"))
+        ins.unionByName(upd).unionByName(del)
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("arm"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 6 = 0),
+         ins AS (SELECT 'ins' AS arm, k + 5000000 AS k, cents // 2 AS cents
+                 FROM base WHERE k % 4 = 0),
+         upd AS (SELECT 'upd' AS arm, k, cents + 7 AS cents
+                 FROM base WHERE k % 5 = 0),
+         del AS (SELECT 'del' AS arm, k, cents * 2 AS cents
+                 FROM base WHERE cents % 3 = 0),
+         u AS (SELECT * FROM ins UNION ALL SELECT * FROM upd
+               UNION ALL SELECT * FROM del)
+         SELECT arm, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM u GROUP BY arm ORDER BY arm"""),
 
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an

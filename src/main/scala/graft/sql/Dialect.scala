@@ -1352,8 +1352,8 @@ object Dialect {
     var q = o - 1
     while (q >= 0 && m.charAt(q).isWhitespace) q -= 1
     require(q >= 0 && m.charAt(q) == ')',
-      "EXCLUDE (rewritten as frame algebra) needs agg(args) directly " +
-        "before OVER — FILTER clauses and bare calls are not supported")
+      "EXCLUDE (rewritten as frame algebra) needs agg(args) [FILTER " +
+        "(WHERE …)] directly before OVER — bare calls are not supported")
     var depth = 0
     var a = q
     var argOpen = -1
@@ -1370,6 +1370,52 @@ object Dialect {
     while (fs >= 0 && (m.charAt(fs).isLetterOrDigit || m.charAt(fs) == '_')) fs -= 1
     fs += 1
     val fname = cur.substring(fs, fe + 1).toLowerCase
+    if (fname == "filter") {
+      // w17: `agg(args) FILTER (WHERE cond) OVER (spec EXCLUDE …)` —
+      // fold the filter into the argument: agg(CASE WHEN cond THEN arg
+      // END) is EXACTLY the FILTER semantics for SUM/COUNT/AVG/MIN/MAX
+      // (the aggregate skips the NULLs the CASE produces; COUNT(*)
+      // becomes COUNT(CASE WHEN cond THEN 1 END), probed vs DuckDB's
+      // native FILTER+EXCLUDE). The folded text re-enters this rewrite
+      // as a plain call on the loop's next pass.
+      val inner = cur.substring(argOpen + 1, q).trim
+      val innerMask = stripLiterals(inner)
+      val wp = skipWsAt(innerMask, 0)
+      require(wordAt(innerMask, wp, "where"),
+        s"malformed FILTER clause before OVER: (${inner.take(40)})")
+      val cond = inner.substring(wp + 5).trim
+      require(cond.nonEmpty, "empty FILTER condition")
+      var q2 = fs - 1
+      while (q2 >= 0 && m.charAt(q2).isWhitespace) q2 -= 1
+      require(q2 >= 0 && m.charAt(q2) == ')',
+        "FILTER must directly follow agg(args)")
+      var depth2 = 0
+      var a2 = q2
+      var argOpen2 = -1
+      while (a2 >= 0 && argOpen2 < 0) {
+        val c = m.charAt(a2)
+        if (c == ')') depth2 += 1
+        else if (c == '(') { depth2 -= 1; if (depth2 == 0) argOpen2 = a2 }
+        a2 -= 1
+      }
+      require(argOpen2 > 0, "unbalanced parens before FILTER")
+      var fe2 = argOpen2 - 1
+      while (fe2 >= 0 && m.charAt(fe2).isWhitespace) fe2 -= 1
+      var fs2 = fe2
+      while (fs2 >= 0 && (m.charAt(fs2).isLetterOrDigit ||
+        m.charAt(fs2) == '_')) fs2 -= 1
+      fs2 += 1
+      val fname2 = cur.substring(fs2, fe2 + 1)
+      require(fname2.nonEmpty, "FILTER needs an aggregate call before it")
+      val args2 = cur.substring(argOpen2 + 1, q2).trim
+      require(findTopLevelKeywordIn(stripLiterals(args2), 0,
+        "distinct") < 0,
+        "EXCLUDE over a DISTINCT aggregate is not decomposable")
+      val folded =
+        if (args2 == "*") s"(CASE WHEN ($cond) THEN 1 END)"
+        else s"(CASE WHEN ($cond) THEN ($args2) END)"
+      return cur.substring(0, fs2) + fname2 + folded + cur.substring(q + 1)
+    }
     require(Set("sum", "count", "avg", "min", "max").contains(fname),
       s"EXCLUDE rewrite supports SUM/COUNT/AVG (subtraction algebra) " +
         s"and MIN/MAX (before/after frame split), got $fname")

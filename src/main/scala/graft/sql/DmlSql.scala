@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   *      | DO UPDATE SET c = e, … [WHERE cond]]            (u12/u14)
   *   UPDATE t [AS a] SET c = e, … [FROM s [AS b]] [WHERE pred]  (u13)
   *   DELETE FROM t [AS a] [USING s [AS b]] [WHERE pred]         (u13)
+  *   <any of the above> RETURNING item, …                       (u15)
   *
   * Semantics (SQL standard / Postgres, probed against DuckDB):
   *   - INSERT with a column list fills unnamed target columns with
@@ -80,6 +81,13 @@ object DmlSql {
   final case class Delete(targetRef: String, alias: String,
                           where: Option[String],
                           using: Option[Source] = None) extends Stmt
+  /** `… RETURNING item, …` (u15, Postgres/DuckDB): the statement
+    * returns the AFFECTED rows — inserted rows, the post-image of
+    * updated rows, deleted rows — projected through the item list,
+    * instead of the post-statement table. Items evaluate over the
+    * target schema (`*` = all target columns).
+    */
+  final case class Returning(inner: Stmt, items: Seq[String]) extends Stmt
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
   import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
@@ -91,10 +99,24 @@ object DmlSql {
   def parse(sql: String): Option[Stmt] = {
     val m = stripLiterals(sql)
     val i = skipWs(m, 0)
-    if (wordAt(m, i, "insert")) Some(parseInsert(sql, m, i))
-    else if (wordAt(m, i, "update")) Some(parseUpdate(sql, m, i))
-    else if (wordAt(m, i, "delete")) Some(parseDelete(sql, m, i))
-    else None
+    if (!wordAt(m, i, "insert") && !wordAt(m, i, "update") &&
+      !wordAt(m, i, "delete")) return None
+    // a trailing RETURNING list (u15) splits off before the statement
+    // body parses — it is the last clause in the Postgres/DuckDB grammar
+    val retPos = findTopLevelKeywordIn(m, i, "returning")
+    val (body, bodyM, items) =
+      if (retPos < 0) (sql, m, None)
+      else {
+        val it = splitTopLevel(sql.substring(retPos + 9)).map(_.trim)
+        require(it.nonEmpty && it.forall(_.nonEmpty),
+          "empty RETURNING list")
+        (sql.substring(0, retPos), m.substring(0, retPos), Some(it))
+      }
+    val base =
+      if (wordAt(bodyM, i, "insert")) parseInsert(body, bodyM, i)
+      else if (wordAt(bodyM, i, "update")) parseUpdate(body, bodyM, i)
+      else parseDelete(body, bodyM, i)
+    Some(items.fold(base: Stmt)(its => Returning(base, its)))
   }
 
   /** `name [AS alias]` — the MERGE rule: a bare (possibly dotted /
@@ -191,7 +213,8 @@ object DmlSql {
     i = skipWs(m, i + 8)
     require(i < m.length && m.charAt(i) == '(',
       "ON CONFLICT needs an explicit (column, …) conflict target — this " +
-        "engine's frames carry no primary key to default to")
+        "engine's frames carry no primary key to default to; for " +
+        "arbitrary match conditions use MERGE INTO instead")
     val close = matchParen(m, i)
     val keys = splitTopLevel(sql.substring(i + 1, close)).map(_.trim)
     require(keys.nonEmpty &&
@@ -359,35 +382,7 @@ object DmlSql {
           runStmt: String => DataFrame): DataFrame = st match {
     case Insert(ref, cols, values, source, conflict) =>
       val t = resolve(ref)
-      val src = (values, source) match {
-        case (Some(v), _) => spark.sql(s"SELECT * FROM VALUES $v")
-        case (_, Some(s)) => runStmt(s)
-        case _ => throw new IllegalStateException("unreachable")
-      }
-      cols.foreach { cs =>
-        cs.foreach { c =>
-          require(t.columns.exists(_.equalsIgnoreCase(c)),
-            s"INSERT references unknown target column '$c' " +
-              s"(target has: ${t.columns.mkString(", ")})")
-        }
-        require(cs.size == src.columns.length,
-          s"INSERT column list (${cs.size}) and source width " +
-            s"(${src.columns.length}) differ")
-      }
-      if (cols.isEmpty)
-        require(src.columns.length == t.columns.length,
-          s"positional INSERT source has ${src.columns.length} columns, " +
-            s"target has ${t.columns.length}")
-      val srcCols = src.columns
-      val aligned = src.select(t.schema.fields.toSeq.map { f =>
-        val pos = cols match {
-          case Some(cs) => cs.indexWhere(_.equalsIgnoreCase(f.name))
-          case None => t.columns.indexOf(f.name)
-        }
-        val e: Column =
-          if (pos < 0) lit(null) else src.col(s"`${srcCols(pos)}`")
-        e.cast(f.dataType).as(f.name)
-      }: _*)
+      val aligned = alignedInsert(spark, t, cols, values, source, runStmt)
       conflict match {
         case None => t.union(aligned)
         case Some(c) => runOnConflict(t, aligned, c)
@@ -395,11 +390,7 @@ object DmlSql {
 
     case Update(ref, alias, sets, where, fromOpt) =>
       val t = resolve(ref).as(alias)
-      sets.foreach { case (n, _) =>
-        require(t.columns.exists(_.equalsIgnoreCase(n)),
-          s"UPDATE references unknown column '$n' " +
-            s"(target has: ${t.columns.mkString(", ")})")
-      }
+      requireSetCols(t, sets, "UPDATE")
       fromOpt match {
         case None =>
           val pred = where.map(expr).getOrElse(lit(true))
@@ -432,6 +423,97 @@ object DmlSql {
           val pred = where.map(expr).getOrElse(lit(true))
           t.join(s, pred, "left_anti")
       }
+
+    // RETURNING (u15): project the AFFECTED rows — inserted rows, the
+    // post-image of updated rows (SET expressions applied over the OLD
+    // row), deleted rows — through the item list. The DELETE arm is a
+    // filter/semi-join (the complement of the statement's own
+    // anti-join); every arm stays expression-level over the same plans
+    // the plain statements build.
+    case Returning(inner, items) =>
+      val affected: DataFrame = inner match {
+        case Insert(ref, cols, values, source, None) =>
+          alignedInsert(spark, resolve(ref), cols, values, source, runStmt)
+        case Insert(_, _, _, _, Some(_)) =>
+          throw new IllegalArgumentException(
+            "RETURNING with ON CONFLICT is not supported — consume the " +
+              "returned post-statement table instead")
+        case Update(ref, alias, sets, where, None) =>
+          val t = resolve(ref).as(alias)
+          requireSetCols(t, sets, "UPDATE")
+          val gate = where.map(w => coalesce(expr(w), lit(false)))
+            .getOrElse(lit(true))
+          t.filter(gate).select(t.schema.fields.toSeq.map { f =>
+            sets.find(_._1.equalsIgnoreCase(f.name)) match {
+              case Some((_, e)) => expr(e).cast(f.dataType).as(f.name)
+              case None => col(s"$alias.`${f.name}`").as(f.name)
+            }
+          }: _*)
+        case Update(ref, alias, sets, where, Some(src)) =>
+          val t = resolve(ref).as(alias)
+          requireSetCols(t, sets, "UPDATE")
+          runUpdateFrom(spark, t, alias, sets, where, src, resolve,
+            onlyMatched = true)
+        case Delete(ref, alias, where, None) =>
+          val t = resolve(ref).as(alias)
+          where.map(w => t.filter(coalesce(expr(w), lit(false))))
+            .getOrElse(t)
+        case Delete(ref, alias, where, Some(src)) =>
+          val t = resolve(ref).as(alias)
+          val s = resolve(src.ref).as(src.alias)
+          val pred = where.map(expr).getOrElse(lit(true))
+          t.join(s, pred, "left_semi")
+        case Returning(_, _) =>
+          throw new IllegalStateException("nested RETURNING")
+      }
+      affected.selectExpr(items: _*)
+  }
+
+  private def requireSetCols(t: DataFrame, sets: Seq[(String, String)],
+                             what: String): Unit =
+    sets.foreach { case (n, _) =>
+      require(t.columns.exists(_.equalsIgnoreCase(n)),
+        s"$what references unknown column '$n' " +
+          s"(target has: ${t.columns.mkString(", ")})")
+    }
+
+  /** The INSERT source aligned into the target schema: explicit column
+    * list fills unnamed target columns with NULL; no list is positional
+    * over the full width; every expression casts into the target type.
+    */
+  private def alignedInsert(spark: SparkSession, t: DataFrame,
+                            cols: Option[Seq[String]],
+                            values: Option[String], source: Option[String],
+                            runStmt: String => DataFrame): DataFrame = {
+    val src = (values, source) match {
+      case (Some(v), _) => spark.sql(s"SELECT * FROM VALUES $v")
+      case (_, Some(s)) => runStmt(s)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    cols.foreach { cs =>
+      cs.foreach { c =>
+        require(t.columns.exists(_.equalsIgnoreCase(c)),
+          s"INSERT references unknown target column '$c' " +
+            s"(target has: ${t.columns.mkString(", ")})")
+      }
+      require(cs.size == src.columns.length,
+        s"INSERT column list (${cs.size}) and source width " +
+          s"(${src.columns.length}) differ")
+    }
+    if (cols.isEmpty)
+      require(src.columns.length == t.columns.length,
+        s"positional INSERT source has ${src.columns.length} columns, " +
+          s"target has ${t.columns.length}")
+    val srcCols = src.columns
+    src.select(t.schema.fields.toSeq.map { f =>
+      val pos = cols match {
+        case Some(cs) => cs.indexWhere(_.equalsIgnoreCase(f.name))
+        case None => t.columns.indexOf(f.name)
+      }
+      val e: Column =
+        if (pos < 0) lit(null) else src.col(s"`${srcCols(pos)}`")
+      e.cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   private val UTId = "__upd_tid"
@@ -452,7 +534,8 @@ object DmlSql {
   private def runUpdateFrom(spark: SparkSession, t: DataFrame, alias: String,
                             sets: Seq[(String, String)],
                             where: Option[String], src: Source,
-                            resolve: String => DataFrame): DataFrame = {
+                            resolve: String => DataFrame,
+                            onlyMatched: Boolean = false): DataFrame = {
     val s = resolve(src.ref)
     Seq(UTId, USFlag).foreach { r =>
       require(!t.columns.contains(r) && !s.columns.contains(r),
@@ -490,7 +573,11 @@ object DmlSql {
         cp
     }
     val matched = col(USFlag).isNotNull
-    joined.select(t.schema.fields.toSeq.map { f =>
+    // onlyMatched = the RETURNING arm: just the post-image of rows a
+    // source row matched (the projection below is unchanged — matched
+    // is TRUE on every surviving row, so each CASE takes its SET arm)
+    val base = if (onlyMatched) joined.filter(matched) else joined
+    base.select(t.schema.fields.toSeq.map { f =>
       sets.find(_._1.equalsIgnoreCase(f.name)) match {
         case Some((_, e)) =>
           when(matched, expr(e).cast(f.dataType))

@@ -218,6 +218,42 @@ class DmlSqlSpec extends GraftSuite {
       "UPDATE t SET v = 1 USING s")).getMessage.contains("USING"))
   }
 
+  test("RETURNING (u15): inserted rows, post-image of updates, deleted " +
+    "rows (DuckDB-probed); ON CONFLICT combination refuses") {
+    bind()
+    val ins = Table.sessionSql(spark,
+      "INSERT INTO dml_t VALUES (4, 'd', 40), (5, 'e', 50) " +
+        "RETURNING k, v * 2 AS v2").toDF
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ins == Seq((4L, 80L), (5L, 100L)))
+    val upd = Table.sessionSql(spark,
+      "UPDATE dml_t SET v = v + 1 WHERE k >= 2 RETURNING *").toDF
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(upd == Seq((2L, "b", 21L), (3L, "c", 31L)))
+    val del = Table.sessionSql(spark,
+      "DELETE FROM dml_t WHERE k <= 2 RETURNING k").toDF
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(del == Seq(1L, 2L))
+    // correlated arms: UPDATE … FROM returns the matched post-image,
+    // DELETE … USING the deleted rows (a semi-join)
+    Seq((3L, 300L)).toDF("k", "d").createOrReplaceTempView("dml_ret_s")
+    val uf = Table.sessionSql(spark,
+      """UPDATE dml_t AS t SET v = s.d FROM dml_ret_s AS s
+         WHERE t.k = s.k RETURNING k, v""").toDF
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(uf == Seq((3L, 300L)))
+    val du = Table.sessionSql(spark,
+      """DELETE FROM dml_t AS t USING dml_ret_s AS s
+         WHERE t.k = s.k RETURNING *""").toDF.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(du == Seq((3L, "c", 30L)))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """INSERT INTO dml_t VALUES (1, 'x', 1)
+         ON CONFLICT (k) DO NOTHING RETURNING k""")).getMessage
+      .contains("RETURNING with ON CONFLICT"))
+  }
+
   test("non-DML statements pass through; literals never trigger") {
     assert(DmlSql.parse("SELECT 'insert into' FROM t").isEmpty)
     assert(DmlSql.parse("-- update t\nSELECT 1").isEmpty)

@@ -350,13 +350,16 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
        WHERE a.k = b.k AND a.tag <> 'update from where'""",
     """UPDATE t SET v = 1 FROM (SELECT k FROM s WHERE tag <> 'using') AS b
        WHERE t.k = b.k""",
-    "DELETE FROM t AS a USING s AS b WHERE a.k = b.k AND b.tag <> 'using'")
+    "DELETE FROM t AS a USING s AS b WHERE a.k = b.k AND b.tag <> 'using'",
+    """INSERT INTO t VALUES (1, 'returning k') RETURNING k, v * 2 AS v2""",
+    "UPDATE t SET v = 2 WHERE tag <> 'returning *' RETURNING *",
+    "DELETE FROM t WHERE k < 9 RETURNING k")
 
   property("DML parse structure is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(dmlCorpus), Gen.chooseNum(0, 1000))) {
       case (q, salt) =>
         import graft.sql.DmlSql
-        def shape(s: String): Option[Product] = DmlSql.parse(s).map {
+        def shapeOf(st: DmlSql.Stmt): Product = st match {
           case DmlSql.Insert(r, cols, v, src, cf) =>
             (r, cols, v.isDefined, src.isDefined,
               cf.map(x => (x.keys, x.action.map(_.map(_._1)),
@@ -365,7 +368,10 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
             (r, a, sets.map(_._1), w.isDefined, f.map(_.alias))
           case DmlSql.Delete(r, a, w, u) =>
             (r, a, w.isDefined, u.map(_.alias))
+          case DmlSql.Returning(inner, items) =>
+            (shapeOf(inner), items.size)
         }
+        def shape(s: String): Option[Product] = DmlSql.parse(s).map(shapeOf)
         val sq = shape(q)
         sq.isDefined && sq == shape(junked(q, salt)) &&
           // isDefined-equality over the driver corpus (never isEmpty —

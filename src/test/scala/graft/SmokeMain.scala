@@ -501,6 +501,10 @@ object SmokeMain {
         SparkEntry.queries("w16_minmax_exclude_group")(spark, sf).count())
       println(s"gr11 multi-recursion rows=" +
         SparkEntry.queries("gr11_multi_recursion")(spark, sf).count())
+      println(s"w17 filter-exclude rows=" +
+        SparkEntry.queries("w17_filter_exclude")(spark, sf).count())
+      println(s"u15 dml-returning rows=" +
+        SparkEntry.queries("u15_dml_returning")(spark, sf).count())
     }
 
     spark.stop()

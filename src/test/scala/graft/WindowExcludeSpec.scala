@@ -212,6 +212,31 @@ class WindowExcludeSpec extends GraftSuite {
       (2, 1, None, None, None, None)))
   }
 
+  test("FILTER-carrying aggregates under EXCLUDE (w17): the filter " +
+    "folds into a CASE argument (DuckDB-probed)") {
+    fixture()
+    val got = Table.sessionSql(spark,
+      s"""SELECT p, o, v,
+            SUM(v) FILTER (WHERE v > 10) OVER ($Frame EXCLUDE GROUP) AS fs,
+            COUNT(*) FILTER (WHERE o % 2 = 1) OVER (PARTITION BY p
+              ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+              FOLLOWING EXCLUDE TIES) AS fc,
+            MIN(v) FILTER (WHERE v < 35) OVER ($Frame EXCLUDE GROUP) AS fm
+          FROM wx ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => (Option(r.get(3)), r.getLong(4),
+        Option(r.get(5)))).toSeq
+    // DuckDB native FILTER + EXCLUDE on the identical fixture
+    assert(got == Seq(
+      (None, 2L, None), (None, 2L, Some(10L)), (None, 2L, Some(10L)),
+      (Some(50L), 2L, Some(10L)), (Some(50L), 2L, Some(10L)),
+      (None, 1L, None)))
+    // DISTINCT under a FILTER still refuses (not decomposable)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      s"SELECT SUM(DISTINCT v) FILTER (WHERE v > 0) OVER " +
+        s"($Frame EXCLUDE GROUP) FROM wx")).getMessage
+      .contains("not decomposable"))
+  }
+
   test("statements without EXCLUDE pass through byte-identical") {
     val q = "SELECT SUM(v) OVER (PARTITION BY p ORDER BY o) AS s FROM wx"
     assert(Dialect.rewriteWindowExclude(q) == q)
