@@ -6848,6 +6848,54 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM u GROUP BY arm ORDER BY arm"""),
 
+    // CTE-headed DML (u16, [[graft.api.Table.cteHeadedDml]]): `WITH c
+    // AS (…) UPDATE/INSERT …` — Postgres/DuckDB's form (probed). CTEs
+    // bind as statement-scoped views (unique internal names, the
+    // recursion lowering's scoping rule), the rewritten DML re-enters
+    // the normal statement dispatch, so the correlated-UPDATE guard,
+    // RETURNING, and every other DML feature compose. The oracle
+    // re-derives the chain relationally (the hot CTE keys on the
+    // target's own k, so the UPDATE…FROM is a CASE).
+    "u16_cte_dml" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u16_base")
+        graft.api.Table.sessionSql(s,
+          """WITH hot(hk) AS (
+               SELECT k FROM u16_base WHERE cents > 20000000)
+             UPDATE u16_base AS t SET st = 'H'
+             FROM hot WHERE t.k = hot.hk""").df
+          .createOrReplaceTempView("u16_u")
+        graft.api.Table.sessionSql(s,
+          """WITH extra(k, st, cents) AS (
+               SELECT k + 30000000, 'X', cents DIV 4 FROM u16_u
+               WHERE k % 5 = 0)
+             INSERT INTO u16_u SELECT * FROM extra""").df
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("st"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 8 = 0),
+         u AS (SELECT k,
+                 CASE WHEN cents > 20000000 THEN 'H' ELSE st END AS st,
+                 cents
+               FROM base),
+         fin AS (SELECT * FROM u
+                 UNION ALL
+                 SELECT k + 30000000, 'X', cents // 4 FROM u
+                 WHERE k % 5 = 0)
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM fin GROUP BY st ORDER BY st"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)

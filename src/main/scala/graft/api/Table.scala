@@ -450,6 +450,21 @@ object Table {
     def resolveRef(ref: String): DataFrame =
       if (Dialect.isBareIdentifier(ref)) spark.table(ref)
       else sessionSql(spark, ref).df
+    // CTE-headed DML (u16): `WITH c AS (…) INSERT/UPDATE/DELETE/MERGE …`
+    // (Postgres/DuckDB, probed) — the CTEs bind as statement-scoped
+    // views (unique internal names, textual order, each may read
+    // earlier ones) and the rewritten DML re-enters this method to hit
+    // the normal statement dispatch below. WITH RECURSIVE heads stay
+    // with the recursion lowering / native path.
+    graft.sql.RecursiveUnion.tokenizeWith(qr) match {
+      case Some((false, ctes, restStart)) =>
+        val rest = qr.substring(restStart)
+        val firstWord = Dialect.stripLiterals(rest).trim
+          .takeWhile(c => c.isLetter || c == '_').toLowerCase
+        if (Set("insert", "update", "delete", "merge")(firstWord))
+          return cteHeadedDml(spark, ctes, rest)
+      case _ =>
+    }
     graft.sql.MergeSql.parse(qr) match {
       case Some(st) =>
         return apply(graft.sql.MergeSql.run(spark, st, resolveRef))
@@ -662,6 +677,69 @@ object Table {
       bindLock.synchronized {
         sessionSqlOne(spark, rewriteAll(st.outer))
       }
+    } finally rename.values.foreach(spark.catalog.dropTempView)
+  }
+
+  /** CTE-headed DML execution (u16): bind each CTE as a
+    * statement-scoped view (unique internal name — the recursion
+    * lowering's scoping rule — in textual order, each body may read
+    * earlier CTEs), then re-enter [[sessionSql]] with the rewritten DML
+    * text so it hits the normal statement dispatch. Binding is LAZY (a
+    * CTE is typically read once; the analyzed plan inlines the view, so
+    * dropping the names afterwards is safe). The DML target must be a
+    * real table: Postgres scopes the target OUTSIDE the WITH, so a CTE
+    * sharing its name refuses loudly rather than silently receiving
+    * the rows.
+    */
+  private def cteHeadedDml(spark: SparkSession,
+                           ctes: Seq[graft.sql.RecursiveUnion.RawCte],
+                           rest: String): Table = {
+    val suffix = java.util.UUID.randomUUID.toString.take(8)
+    val names = ctes.map(_.name)
+    val rename = names.map(n => n -> s"__cte_${n}_$suffix").toMap
+    def rewriteAll(text: String): String =
+      names.foldLeft(text)((t, n) => Dialect.replaceIdent(t, n, rename(n)))
+    (ctes.map(c => s"CTE ${c.name}" -> c.body) :+
+      ("statement" -> rest)).foreach { case (what, text) =>
+      names.foreach { n =>
+        require(!Dialect.containsBacktickedIdent(text, n),
+          s"backquoted reference to the CTE '$n' in the $what is not " +
+            "supported — drop the backticks")
+      }
+    }
+    def dmlTarget(st: graft.sql.DmlSql.Stmt): String = st match {
+      case graft.sql.DmlSql.Insert(r, _, _, _, _) => r
+      case graft.sql.DmlSql.Update(r, _, _, _, _) => r
+      case graft.sql.DmlSql.Delete(r, _, _, _) => r
+      case graft.sql.DmlSql.Returning(inner, _) => dmlTarget(inner)
+    }
+    val targetRef: Option[String] =
+      scala.util.Try(graft.sql.DmlSql.parse(rest)).toOption.flatten
+        .map(dmlTarget)
+        .orElse(scala.util.Try(graft.sql.MergeSql.parse(rest)).toOption
+          .flatten.map(_.targetRef))
+    targetRef.foreach { t =>
+      require(!names.exists(_.equalsIgnoreCase(t)),
+        s"the CTE '$t' shares the DML target's name — the target is a " +
+          "real table outside the WITH scope (Postgres rule); rename " +
+          "the CTE")
+    }
+    try {
+      ctes.foreach { c =>
+        val df0 = bindLock.synchronized {
+          val d = sessionSqlOne(spark, rewriteAll(c.body))
+          d.queryExecution.assertAnalyzed()
+          d
+        }
+        val df = c.cols.map { cs =>
+          require(cs.size == df0.columns.length,
+            s"CTE ${c.name}(${cs.mkString(", ")}) declares ${cs.size} " +
+              s"columns, its body produces ${df0.columns.length}")
+          df0.toDF(cs: _*)
+        }.getOrElse(df0)
+        bindLock.synchronized { df.createOrReplaceTempView(rename(c.name)) }
+      }
+      sessionSql(spark, rewriteAll(rest))
     } finally rename.values.foreach(spark.catalog.dropTempView)
   }
 

@@ -60,43 +60,25 @@ object RecursiveUnion {
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
   import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
 
-  private final case class RawCte(name: String, cols: Option[Seq[String]],
-                                  body: String, bodyMask: String)
+  private[graft] final case class RawCte(name: String,
+                                         cols: Option[Seq[String]],
+                                         body: String, bodyMask: String)
 
-  /** Word-boundary occurrence search on a masked view. */
-  private[graft] def containsWord(mask: String, w: String): Boolean =
-    (0 until mask.length).exists(k => wordAt(mask, k, w))
-
-  /** The top-level UNION-distinct boundary of a CTE body, or None when
-    * the body has no top-level bare UNION (UNION ALL / BY NAME keep
-    * their own paths).
+  /** QUIET tokenization of a `WITH [RECURSIVE] name [(cols)] AS (body),
+    * …` head: Some((recursive?, ctes, restStart)) — None when any shape
+    * this scanner does not recognize appears (AS MATERIALIZED,
+    * unparenthesized bodies, duplicate names, …), so callers fall back
+    * to the native path. Shared by the recursion lowering and the
+    * CTE-headed DML form (u16).
     */
-  private def unionDistinctAt(bodyMask: String): Option[Int] = {
-    val u = findTopLevelKeywordIn(bodyMask, 0, "union")
-    if (u < 0) return None
-    val after = skipWs(bodyMask, u + 5)
-    if (wordAt(bodyMask, after, "all") || wordAt(bodyMask, after, "by")) None
-    else Some(u)
-  }
-
-  /** None when the statement is not `WITH RECURSIVE …` with a
-    * UNION-distinct recursive CTE — the native path keeps everything
-    * else. Loud on shapes this lowering would mis-execute (several
-    * UNION-distinct candidates, other self-referencing CTEs, multiple
-    * top-level set operators in the recursive body, a helper that
-    * reads the recursion's result).
-    */
-  def parse(sql: String): Option[Stmt] = {
+  private[graft] def tokenizeWith(
+      sql: String): Option[(Boolean, Seq[RawCte], Int)] = {
     val m = stripLiterals(sql)
     var i = skipWs(m, 0)
     if (!wordAt(m, i, "with")) return None
     i = skipWs(m, i + 4)
-    if (!wordAt(m, i, "recursive")) return None
-    i = skipWs(m, i + 9)
-    // stage 1 — QUIET list tokenization: any shape this scanner does
-    // not recognize (AS MATERIALIZED, unparenthesized bodies, …) keeps
-    // the native path; loudness starts only once a UNION-distinct
-    // recursive CTE establishes ownership below
+    val rec = wordAt(m, i, "recursive")
+    if (rec) i = skipWs(m, i + 9)
     val ctes = scala.collection.mutable.ArrayBuffer.empty[RawCte]
     var more = true
     while (more) {
@@ -125,6 +107,41 @@ object RecursiveUnion {
       else more = false
     }
     if (ctes.map(_.name.toLowerCase).distinct.size != ctes.size) return None
+    Some((rec, ctes.toSeq, i))
+  }
+
+  /** Word-boundary occurrence search on a masked view. */
+  private[graft] def containsWord(mask: String, w: String): Boolean =
+    (0 until mask.length).exists(k => wordAt(mask, k, w))
+
+  /** The top-level UNION-distinct boundary of a CTE body, or None when
+    * the body has no top-level bare UNION (UNION ALL / BY NAME keep
+    * their own paths).
+    */
+  private def unionDistinctAt(bodyMask: String): Option[Int] = {
+    val u = findTopLevelKeywordIn(bodyMask, 0, "union")
+    if (u < 0) return None
+    val after = skipWs(bodyMask, u + 5)
+    if (wordAt(bodyMask, after, "all") || wordAt(bodyMask, after, "by")) None
+    else Some(u)
+  }
+
+  /** None when the statement is not `WITH RECURSIVE …` with a
+    * UNION-distinct recursive CTE — the native path keeps everything
+    * else. Loud on shapes this lowering would mis-execute (several
+    * UNION-distinct candidates, other self-referencing CTEs, multiple
+    * top-level set operators in the recursive body, a helper that
+    * reads the recursion's result).
+    */
+  def parse(sql: String): Option[Stmt] = {
+    // stage 1 — QUIET list tokenization: any shape the scanner does
+    // not recognize (AS MATERIALIZED, unparenthesized bodies, …) keeps
+    // the native path; loudness starts only once a UNION-distinct
+    // recursive CTE establishes ownership below
+    val (ctes, i) = tokenizeWith(sql) match {
+      case Some((true, cs, rest)) => (cs, rest)
+      case _ => return None // not WITH RECURSIVE — native handles it
+    }
     // the recursive CTEs: UNION-distinct bodies that reference their
     // own name; with a SINGLE CTE the self-reference is not required (a
     // degenerate non-recursive UNION-distinct body still lowers here —

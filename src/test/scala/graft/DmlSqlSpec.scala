@@ -254,6 +254,41 @@ class DmlSqlSpec extends GraftSuite {
       .contains("RETURNING with ON CONFLICT"))
   }
 
+  test("CTE-headed DML (u16): WITH binds statement-scoped views the " +
+    "DML reads (DuckDB-probed); target-name CTE refuses") {
+    bind()
+    // probed DuckDB: WITH x AS (SELECT 3, 30) INSERT INTO t SELECT ...
+    val ins = run(
+      """WITH x(k, tag, v) AS (SELECT 9, 'x', CAST(90 AS BIGINT))
+         INSERT INTO dml_t SELECT k, tag, v FROM x""")
+    assert(ins.size == 4 && ins.contains((9L, "x", Some(90L))))
+    // the CTE feeds the UPDATE via a correlated FROM; RETURNING rides
+    val upd = Table.sessionSql(spark,
+      """WITH m(mk, inc) AS (SELECT 2, CAST(100 AS BIGINT))
+         UPDATE dml_t AS t SET v = t.v + m.inc FROM m
+         WHERE t.k = m.mk RETURNING k, v""").toDF
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(upd == Seq((2L, 120L)))
+    // DELETE … USING a CTE; chained CTEs (second reads the first)
+    val del = run(
+      """WITH base(bk) AS (SELECT 1), d(dk) AS (SELECT bk + 2 FROM base)
+         DELETE FROM dml_t AS t USING d WHERE t.k = d.dk""")
+    assert(del.map(_._1) == Seq(1L, 2L))
+    // a CTE sharing the DML target's name refuses loudly (the target
+    // is a real table outside the WITH scope — Postgres rule)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH dml_t AS (SELECT 1 AS k)
+         DELETE FROM dml_t WHERE k = 1""")).getMessage
+      .contains("real table outside the WITH scope"))
+    // plain WITH + SELECT keeps the native path
+    assert(Table.sessionSql(spark,
+      "WITH s AS (SELECT 5 AS x) SELECT x FROM s").toDF
+      .collect().head.getInt(0) == 5)
+    // the statement-scoped names do not leak into the session catalog
+    assert(!spark.catalog.tableExists("x") &&
+      !spark.catalog.tableExists("m") && !spark.catalog.tableExists("d"))
+  }
+
   test("non-DML statements pass through; literals never trigger") {
     assert(DmlSql.parse("SELECT 'insert into' FROM t").isEmpty)
     assert(DmlSql.parse("-- update t\nSELECT 1").isEmpty)

@@ -75,7 +75,14 @@ object ScaleStress {
     // corpus tokenization with the trained vocabulary (corpus explode +
     // vocab-sized greedy segmentation), and multi-CTE recursion
     // (helpers bind once; per-round work ∝ frontier)
-    "t31_wordpiece", "t32_wordpiece_tokenize", "gr10_recursive_helpers")
+    "t31_wordpiece", "t32_wordpiece_tokenize", "gr10_recursive_helpers",
+    // round 17: correlated UPDATE (one left join + the checkpointed
+    // single-execution guard — shuffle must track rows), sequential
+    // multi-recursion (one frontier loop at a time), the GROUPS-split
+    // min/max EXCLUDE (three windows, ONE exchange), and the COPY
+    // round-trip chain (terminal writes + pruned re-scans)
+    "u13_correlated_dml", "gr11_multi_recursion",
+    "w16_minmax_exclude_group", "io22_copy_from")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is

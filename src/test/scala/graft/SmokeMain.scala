@@ -505,6 +505,8 @@ object SmokeMain {
         SparkEntry.queries("w17_filter_exclude")(spark, sf).count())
       println(s"u15 dml-returning rows=" +
         SparkEntry.queries("u15_dml_returning")(spark, sf).count())
+      println(s"u16 cte-dml rows=" +
+        SparkEntry.queries("u16_cte_dml")(spark, sf).count())
     }
 
     spark.stop()
