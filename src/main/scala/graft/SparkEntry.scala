@@ -8213,6 +8213,7 @@ object SparkEntry {
         val (p1, p2, p3) = (scratchDir(s"io22p_$base") + ".parquet",
           scratchDir(s"io22c_$base") + ".csv",
           scratchDir(s"io22j_$base") + ".json")
+        val p4 = scratchDir(s"io22h_$base") + ".csv"
         graft.api.Table.sessionSql(s,
           s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 2)
               TO '$p1' (FORMAT PARQUET)""")
@@ -8222,6 +8223,13 @@ object SparkEntry {
         graft.api.Table.sessionSql(s,
           s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 4)
               TO '$p3' (FORMAT JSON)""")
+        // headerless pipe-delimited arm: the file carries NO names, so
+        // the import maps positionally into the target schema (DuckDB's
+        // HEADER-false rule) — the exporting subquery must emit the
+        // target's column order, exactly the contract a user signs
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 5)
+              TO '$p4' (FORMAT CSV, HEADER false, DELIMITER '|')""")
         graft.api.Table.sessionSql(s, s"COPY io22_t FROM '$p1'").df
           .createOrReplaceTempView("io22_s1")
         graft.api.Table.sessionSql(s,
@@ -8229,6 +8237,10 @@ object SparkEntry {
           .createOrReplaceTempView("io22_s2")
         graft.api.Table.sessionSql(s,
           s"COPY io22_s2 FROM '$p3' (FORMAT JSON)").df
+          .createOrReplaceTempView("io22_s3")
+        graft.api.Table.sessionSql(s,
+          s"COPY io22_s3 FROM '$p4' (FORMAT CSV, HEADER false, DELIM '|')")
+          .df
           .groupBy(col("flag"))
           .agg(count(lit(1)).as("n"),
             sum(col("cents")).cast("long").as("cents"),
@@ -8241,7 +8253,7 @@ object SparkEntry {
            FROM lineitem WHERE l_orderkey % 13 = 0)
          SELECT flag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
                 min(k) AS mn, max(k) AS mx
-         FROM src WHERE ln <= 4 GROUP BY flag ORDER BY flag"""),
+         FROM src WHERE ln <= 5 GROUP BY flag ORDER BY flag"""),
 
     // Schema-evolution read (io20): a dataset written in TWO schema
     // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,

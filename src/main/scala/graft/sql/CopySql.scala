@@ -5,9 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** `COPY … TO '<path>'` export (io21) and `COPY … FROM '<path>'` import
   * (io22) statement forms — DuckDB's file-transfer surface:
   *
-  *   COPY name TO 'path' [(FORMAT PARQUET | CSV | JSON)]
-  *   COPY ( <select statement> ) TO 'path' [(FORMAT …)]
-  *   COPY name FROM 'path' [(FORMAT …)]
+  *   COPY name TO 'path' [(FORMAT PARQUET | CSV | JSON, …)]
+  *   COPY ( <select statement> ) TO 'path' [(FORMAT …, …)]
+  *   COPY name FROM 'path' [(FORMAT …, …)]
+  *
+  * CSV options (DuckDB grammar, probed): `HEADER [true|false]` (bare
+  * HEADER = true; the default) and `DELIMITER|DELIM|SEP '<char>'`. A
+  * headerless import maps columns POSITIONALLY into the target schema;
+  * headered formats align by NAME.
   *
   * The format defaults from the path extension (.parquet / .csv / .json
   * / .ndjson) when no FORMAT option is given — DuckDB's rule. Both
@@ -41,7 +46,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CopySql {
 
   final case class Stmt(ref: String, isSubquery: Boolean, toTarget: Boolean,
-                        path: String, format: String)
+                        path: String, format: String,
+                        header: Boolean = true, delimiter: String = ",")
 
   import Dialect.{stripLiterals, wordAt, matchParenAt => matchParen,
     skipWsAt => skipWs}
@@ -93,13 +99,42 @@ object CopySql {
       "COPY path must be a plain non-empty literal")
     k = skipWs(m, pathEnd + 1)
     var format = ""
+    var header: Option[Boolean] = None
+    var delim: Option[String] = None
     if (k < m.length && m.charAt(k) == '(') {
       val close = matchParen(m, k)
-      val opts = sql.substring(k + 1, close).trim.split("\\s+").toSeq
-      require(opts.length == 2 && opts.head.equalsIgnoreCase("format"),
-        s"COPY options support (FORMAT PARQUET|CSV|JSON), got: (${
-          sql.substring(k + 1, close).trim})")
-      format = opts(1).toLowerCase
+      // options parse over the RAW slice (a DELIMITER literal is
+      // invisible on the mask); splitTopLevel keeps quoted commas whole
+      Dialect.splitTopLevel(sql.substring(k + 1, close)).foreach { item =>
+        val parts = item.trim.split("\\s+", 2)
+        parts(0).toLowerCase match {
+          case "format" =>
+            require(parts.length == 2, "COPY FORMAT needs a value")
+            format = parts(1).trim.toLowerCase
+            require(format.matches("[a-z]+"),
+              s"malformed COPY FORMAT: ${parts(1).trim}")
+          case "header" => // bare HEADER means true (DuckDB, probed)
+            val v =
+              if (parts.length == 1) "true" else parts(1).trim.toLowerCase
+            header = Some(v match {
+              case "true" | "1" | "on" => true
+              case "false" | "0" | "off" => false
+              case other => throw new IllegalArgumentException(
+                s"malformed COPY HEADER value: $other")
+            })
+          case "delimiter" | "delim" | "sep" =>
+            require(parts.length == 2,
+              "COPY DELIMITER needs a quoted value")
+            val v = parts(1).trim
+            require(v.length == 3 && v.head == '\'' && v.last == '\'',
+              s"COPY DELIMITER needs a quoted ONE-character value, " +
+                s"got: $v")
+            delim = Some(v.substring(1, 2))
+          case other => throw new IllegalArgumentException(
+            s"COPY option '$other' is not supported — FORMAT, HEADER " +
+              "and DELIMITER/DELIM/SEP are")
+        }
+      }
       k = skipWs(m, close + 1)
     }
     require(k >= m.length,
@@ -115,7 +150,10 @@ object CopySql {
     require(Set("parquet", "csv", "json").contains(format),
       "COPY needs FORMAT PARQUET, CSV or JSON (or a matching path " +
         "extension) — other formats are not supported")
-    Some(Stmt(ref, isSub, toTarget, path, format))
+    require(format == "csv" || (header.isEmpty && delim.isEmpty),
+      "HEADER/DELIMITER are CSV options — not valid for " + format)
+    Some(Stmt(ref, isSub, toTarget, path, format,
+      header.getOrElse(true), delim.getOrElse(",")))
   }
 
   /** The COPY TO overwrite gate: allow a fresh path, an empty
@@ -165,8 +203,10 @@ object CopySql {
           src.write.mode("overwrite").parquet(st.path)
           spark.read.parquet(st.path)
         case "csv" =>
-          src.write.mode("overwrite").option("header", "true").csv(st.path)
-          spark.read.option("header", "true").option("inferSchema", "true")
+          src.write.mode("overwrite").option("header", st.header.toString)
+            .option("sep", st.delimiter).csv(st.path)
+          spark.read.option("header", st.header.toString)
+            .option("sep", st.delimiter).option("inferSchema", "true")
             .csv(st.path)
         case "json" =>
           src.write.mode("overwrite").json(st.path)
@@ -176,20 +216,31 @@ object CopySql {
       val target = resolve(st.ref)
       val incoming = st.format match {
         case "parquet" => spark.read.parquet(st.path)
-        case "csv" => spark.read.option("header", "true")
-          .option("inferSchema", "true").csv(st.path)
+        case "csv" => spark.read.option("header", st.header.toString)
+          .option("sep", st.delimiter).option("inferSchema", "true")
+          .csv(st.path)
         case "json" => spark.read.json(st.path)
       }
-      // align by NAME into the target schema (DuckDB maps file columns
-      // to table columns; unmatched target columns would silently null-
-      // fill on a reordered file if this aligned positionally)
-      val aligned = target.schema.fields.toSeq.map { f =>
-        val src = incoming.columns.find(_.equalsIgnoreCase(f.name))
-          .getOrElse(throw new IllegalArgumentException(
-            s"COPY FROM: file at '${st.path}' has no column '${f.name}' " +
-              s"(file has: ${incoming.columns.mkString(", ")})"))
-        incoming.col(s"`$src`").cast(f.dataType).as(f.name)
-      }
+      // a HEADERLESS csv carries no names — map POSITIONALLY into the
+      // target schema (DuckDB's rule); named formats align by NAME
+      // (unmatched target columns would silently null-fill on a
+      // reordered file if those aligned positionally)
+      val aligned =
+        if (st.format == "csv" && !st.header) {
+          require(incoming.columns.length == target.columns.length,
+            s"COPY FROM (HEADER false): file at '${st.path}' has " +
+              s"${incoming.columns.length} columns, target has " +
+              s"${target.columns.length}")
+          target.schema.fields.toSeq.zip(incoming.columns).map {
+            case (f, c) => incoming.col(s"`$c`").cast(f.dataType).as(f.name)
+          }
+        } else target.schema.fields.toSeq.map { f =>
+          val src = incoming.columns.find(_.equalsIgnoreCase(f.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"COPY FROM: file at '${st.path}' has no column '${f.name}' " +
+                s"(file has: ${incoming.columns.mkString(", ")})"))
+          incoming.col(s"`$src`").cast(f.dataType).as(f.name)
+        }
       target.union(incoming.select(aligned: _*))
     }
 }

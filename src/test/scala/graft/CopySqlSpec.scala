@@ -56,7 +56,7 @@ class CopySqlSpec extends GraftSuite {
       "COPY t TO x.parquet")).getMessage.contains("single-quoted"))
     assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
       "COPY t TO 'x.parquet' (DELIMITER ',')")).getMessage
-      .contains("FORMAT"))
+      .contains("CSV options"))
     // a subquery cannot RECEIVE rows
     assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
       "COPY (SELECT 1) FROM 'x.parquet'")).getMessage
@@ -102,6 +102,41 @@ class CopySqlSpec extends GraftSuite {
     assert(intercept[IllegalArgumentException](
       Table.sessionSql(spark, s"COPY copy_from_t FROM '$p2'"))
       .getMessage.contains("no column 'v'"))
+  }
+
+  test("CSV options (HEADER/DELIMITER, DuckDB grammar): headerless " +
+    "pipe-delimited round-trip maps positionally") {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+      .createOrReplaceTempView("copy_opt")
+    val p = tmp("opt")
+    Table.sessionSql(spark,
+      s"COPY copy_opt TO '$p' (FORMAT CSV, HEADER false, DELIMITER '|')")
+    // raw file: no header line, pipe-separated
+    val lines = spark.read.text(p).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("1|a", "2|b"))
+    // import appends positionally into the target schema
+    Seq((9L, "z")).toDF("k", "tag").createOrReplaceTempView("copy_opt_t")
+    val out = Table.sessionSql(spark,
+      s"COPY copy_opt_t FROM '$p' (FORMAT CSV, HEADER false, DELIM '|')")
+      .toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b"), (9L, "z")))
+    // bare HEADER means true; unknown options and non-CSV carriers refuse
+    val p2 = tmp("opt2")
+    Table.sessionSql(spark, s"COPY copy_opt TO '$p2' (FORMAT CSV, HEADER)")
+    // header lines exist (one per part file — the distributed-writer
+    // shape) and the headered read-back recovers exactly the 2 rows
+    assert(spark.read.text(p2).count() > 2)
+    assert(spark.read.option("header", "true").csv(p2).count() == 2)
+    assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
+      "COPY t TO 'x.parquet' (FORMAT PARQUET, HEADER false)"))
+      .getMessage.contains("CSV options"))
+    assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
+      "COPY t TO 'x.csv' (FORMAT CSV, QUOTE '~')")).getMessage
+      .contains("not supported"))
+    assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
+      "COPY t TO 'x.csv' (DELIMITER 'ab')")).getMessage
+      .contains("ONE-character"))
   }
 
   test("COPY TO refuses to overwrite a target that is not a prior " +
