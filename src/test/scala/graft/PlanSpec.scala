@@ -29,6 +29,30 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in j12 plan")
   }
 
+  test("u13 correlated DML: equi-anchored joins only — no " +
+    "cartesian/nested-loop (the theta term rides the equi join)") {
+    val p = planOf("u13_correlated_dml")
+    assert(!p.contains("CartesianProduct"), "cartesian in u13 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in u13 plan")
+  }
+
+  test("u16 CTE-headed DML: keyed joins only — no cartesian/nested-loop") {
+    val p = planOf("u16_cte_dml")
+    assert(!p.contains("CartesianProduct"), "cartesian in u16 plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop in u16 plan")
+  }
+
+  test("w16 GROUPS-split EXCLUDE: all four windows share ONE exchange " +
+    "(partition-local algebra, no extra shuffle)") {
+    val p = planOf("w16_minmax_exclude_group")
+    // one shuffle for the window partitioning (+ possibly one for the
+    // final ORDER BY range partitioning) — the before/after GROUPS
+    // split must NOT add exchanges of its own
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex <= 3, s"w16 plan grew to $ex exchanges")
+    assert(!p.contains("CartesianProduct"), "cartesian in w16 plan")
+  }
+
   test("ap01 approx aggregates: single-distinct planning, no Expand") {
     // ap01's r9 oracle promotion added ONE exact count_distinct next to
     // the sketches it gates; Spark's single-distinct rewrite plans that
