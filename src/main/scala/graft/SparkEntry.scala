@@ -6896,6 +6896,62 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM fin GROUP BY st ORDER BY st"""),
 
+    // Schema-defined DDL + by-name/bulk DML (u17): CREATE TABLE
+    // (col TYPE …) binds an EMPTY typed frame the chain builds on;
+    // INSERT BY NAME maps source columns by name (unnamed target
+    // columns NULL — DuckDB, probed); TRUNCATE empties keeping the
+    // schema. The chain seeds an empty table, loads it by name from a
+    // shuffled projection, appends VALUES, and rolls up; a TRUNCATE
+    // arm pins the empty result. The oracle re-derives relationally
+    // (the empty table is a WHERE FALSE base).
+    "u17_schema_ddl" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 9 === 0)
+          .createOrReplaceTempView("u17_src")
+        graft.api.Table.sessionSql(s,
+          """CREATE OR REPLACE TEMP TABLE u17_t (
+               k BIGINT NOT NULL, st VARCHAR, cents BIGINT, note VARCHAR)""")
+        graft.api.Table.sessionSql(s,
+          """INSERT INTO u17_t BY NAME
+             SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                    o_orderkey AS k, o_orderstatus AS st
+             FROM u17_src""").df.createOrReplaceTempView("u17_f")
+        graft.api.Table.sessionSql(s,
+          "INSERT INTO u17_f (k, note) VALUES (1, 'manual')").df
+          .createOrReplaceTempView("u17_g")
+        val full = graft.api.Table.sessionSql(s,
+          """SELECT 'full' AS arm, count(*) AS n,
+                    CAST(sum(cents) AS BIGINT) AS cents,
+                    count(note) AS n_note, count(st) AS n_st
+             FROM u17_g""").df
+        graft.api.Table.sessionSql(s, "TRUNCATE u17_g").df
+          .createOrReplaceTempView("u17_e")
+        val empty = graft.api.Table.sessionSql(s,
+          """SELECT 'trunc' AS arm, count(*) AS n,
+                    CAST(sum(cents) AS BIGINT) AS cents,
+                    count(note) AS n_note, count(st) AS n_st
+             FROM u17_e""").df
+        full.unionByName(empty).orderBy(col("arm"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                CAST(NULL AS VARCHAR) AS note
+           FROM orders WHERE o_orderkey % 9 = 0),
+         g AS (SELECT * FROM base
+               UNION ALL
+               SELECT 1, NULL, NULL, 'manual'),
+         fl AS (SELECT 'full' AS arm, count(*) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents,
+                  count(note) AS n_note, count(st) AS n_st
+                FROM g),
+         tr AS (SELECT 'trunc' AS arm, count(*) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents,
+                  count(note) AS n_note, count(st) AS n_st
+                FROM g WHERE FALSE)
+         SELECT * FROM fl UNION ALL SELECT * FROM tr ORDER BY arm"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)
@@ -7564,11 +7620,15 @@ object SparkEntry {
     // Several independent recursions in ONE WITH RECURSIVE (gr11):
     // they drain SEQUENTIALLY in textual order, each closure binding
     // before the next starts — here the second traversal SEEDS from the
-    // first's drained closure (frontier = far edge of reach-7), the
-    // helper edge tables feed both, and the outer statement joins both
-    // closures. Same text on both engines (DuckDB executes multiple
-    // recursive CTEs natively, probed). Mutual/forward recursion stays
-    // a loud refusal — sequential drains are the shape that scales (one
+    // first's drained closure (its far edge starts a DEPTH-CAPPED walk:
+    // the single-seed orbit of a functional graph has diameter ∝ N, so
+    // an uncapped second recursion would need rounds ∝ corpus size —
+    // the depth column bounds it at 40 rounds at ANY scale, the
+    // recursion shape that survives a 100× corpus), the helper edge
+    // tables feed both, and the outer statement joins both closures.
+    // Same text on both engines (DuckDB executes multiple recursive
+    // CTEs natively, probed). Mutual/forward recursion stays a loud
+    // refusal — sequential drains are the shape that scales (one
     // frontier loop at a time, lineage cut per round).
     "gr11_multi_recursion" -> multiSession(Seq("documents"),
       """WITH RECURSIVE
@@ -7587,16 +7647,19 @@ object SparkEntry {
            WHERE doc_id % 103 = 0
            UNION
            SELECT e7.dst FROM reach7 r JOIN e7 ON e7.src = r.id),
-         reach13(id) AS (
-           SELECT max(id) FROM reach7
+         walk13(id, d) AS (
+           SELECT max(id), 0 FROM reach7
            UNION
-           SELECT e13.dst FROM reach13 r JOIN e13 ON e13.src = r.id)
+           SELECT e13.dst, r.d + 1 FROM walk13 r
+           JOIN e13 ON e13.src = r.id WHERE r.d < 40)
          SELECT (SELECT count(*) FROM reach7) AS n7,
                 (SELECT CAST(sum(id) AS BIGINT) FROM reach7) AS s7,
-                (SELECT count(*) FROM reach13) AS n13,
-                (SELECT CAST(sum(id) AS BIGINT) FROM reach13) AS s13,
+                (SELECT count(DISTINCT id) FROM walk13) AS n13,
+                (SELECT CAST(sum(id) AS BIGINT)
+                 FROM (SELECT DISTINCT id FROM walk13) u) AS s13,
                 count(*) AS n_both
-         FROM reach7 r7 JOIN reach13 r13 ON r7.id = r13.id"""),
+         FROM reach7 r7
+         JOIN (SELECT DISTINCT id FROM walk13) r13 ON r7.id = r13.id"""),
 
     // graph analytics in the d08 loop discipline (per-iteration keyed
     // join + aggregation, nothing driver-side but the tiny N). Ranks

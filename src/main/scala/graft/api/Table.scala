@@ -708,9 +708,10 @@ object Table {
       }
     }
     def dmlTarget(st: graft.sql.DmlSql.Stmt): String = st match {
-      case graft.sql.DmlSql.Insert(r, _, _, _, _) => r
+      case graft.sql.DmlSql.Insert(r, _, _, _, _, _) => r
       case graft.sql.DmlSql.Update(r, _, _, _, _) => r
       case graft.sql.DmlSql.Delete(r, _, _, _) => r
+      case graft.sql.DmlSql.Truncate(r) => r
       case graft.sql.DmlSql.Returning(inner, _) => dmlTarget(inner)
     }
     val targetRef: Option[String] =

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   CREATE [OR REPLACE] [TEMP | TEMPORARY] TABLE name AS <select>
   *   CREATE [OR REPLACE] [TEMP | TEMPORARY] VIEW  name AS <select>
+  *   CREATE [OR REPLACE] [TEMP | TEMPORARY] TABLE name
+  *     (col TYPE [NOT NULL], …)                               (u17)
   *
   * This engine's tables are immutable frames bound to session views, so
   * both forms bind `name` in the session catalog AND return the defined
@@ -32,10 +34,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DdlSql {
 
+  /** `columns` set (and `body` empty) = the schema-defined form (u17):
+    * `CREATE TABLE name (col TYPE [NOT NULL], …)` binds an EMPTY frame
+    * with the declared schema — the seed INSERT chains build on (this
+    * engine's frames are immutable, so "a table with no rows yet" is
+    * simply an empty frame). Constraints beyond NOT NULL (PRIMARY KEY,
+    * UNIQUE, DEFAULT, CHECK) refuse loudly — frames carry none.
+    */
   final case class Stmt(isView: Boolean, orReplace: Boolean,
-                        name: String, body: String)
+                        name: String, body: String,
+                        columns: Option[Seq[(String, String, Boolean)]] =
+                          None)
 
-  import Dialect.{stripLiterals, wordAt, skipWsAt => skipWs}
+  import Dialect.{splitTopLevel, stripLiterals, wordAt,
+    matchParenAt => matchParen, skipWsAt => skipWs}
 
   /** First-words dispatch (masked scan): None unless the statement is
     * `CREATE [OR REPLACE] [TEMP|TEMPORARY] TABLE|VIEW … AS …` — other
@@ -70,13 +82,74 @@ object DdlSql {
         s"view name (got '${sql.substring(ns).trim.take(30)}') — " +
         "qualified names have no session-catalog meaning here")
     i = skipWs(m, i)
+    // schema-defined form (u17): `CREATE TABLE name (col TYPE …, …)`
+    if (!isView && i < m.length && m.charAt(i) == '(') {
+      val close = matchParen(m, i)
+      val defs = splitTopLevel(sql.substring(i + 1, close)).map { d =>
+        val parts = d.trim.split("\\s+").toSeq
+        require(parts.length >= 2,
+          s"malformed column definition: '${d.trim}' — expected name TYPE")
+        val col = parts.head
+        require(col.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"malformed column name: $col")
+        // TYPE may carry parenthesized args glued or spaced; NOT NULL
+        // is the one supported constraint suffix
+        val restWords = parts.tail
+        val (nn, typeWords) =
+          if (restWords.length >= 2 &&
+            restWords(restWords.length - 2).equalsIgnoreCase("not") &&
+            restWords.last.equalsIgnoreCase("null"))
+            (true, restWords.dropRight(2))
+          else (false, restWords)
+        val tpe = typeWords.mkString(" ")
+        require(tpe.nonEmpty && !tpe.toLowerCase.matches(
+          ".*\\b(primary|unique|default|check|references)\\b.*"),
+          s"column constraint on '$col' is not supported — frames carry " +
+            s"no keys/defaults; only NOT NULL parses (got: '${d.trim}')")
+        (col, tpe, nn)
+      }
+      require(defs.map(_._1.toLowerCase).distinct.size == defs.size,
+        "duplicate column in CREATE TABLE")
+      val k = skipWs(m, close + 1)
+      require(k >= m.length,
+        s"unexpected text after the column list: ${sql.substring(k).trim
+          .take(40)}")
+      return Some(Stmt(isView = false, orReplace, name, "", Some(defs)))
+    }
     require(wordAt(m, i, "as"),
       s"CREATE ${if (isView) "VIEW" else "TABLE"} $name must be followed " +
-        "by AS <select> — column-defined CREATE TABLE is not a form of " +
-        "this engine (tables are immutable frames)")
+        "by AS <select> (or, for TABLE, a (col TYPE, …) column list)")
     val body = sql.substring(i + 2).trim
     require(body.nonEmpty, s"empty defining query for $name")
     Some(Stmt(isView, orReplace, name, body))
+  }
+
+  /** SQL type name → Spark type (the DuckDB spellings a schema-defined
+    * CREATE TABLE uses; unknown names refuse loudly).
+    */
+  private[graft] def sparkType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val norm = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val dec = """(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    val vchar = """(?:varchar|char|text|string)(?:\s*\(\s*\d+\s*\))?""".r
+    norm match {
+      case "int" | "integer" | "int4" | "signed" => IntegerType
+      case "bigint" | "int8" | "long" | "hugeint" => LongType
+      case "smallint" | "int2" | "short" => ShortType
+      case "tinyint" | "int1" => ByteType
+      case "double" | "float8" | "double precision" => DoubleType
+      case "real" | "float4" | "float" => FloatType
+      case "boolean" | "bool" | "logical" => BooleanType
+      case "date" => DateType
+      case "timestamp" | "datetime" | "timestamp without time zone" =>
+        TimestampType
+      case "blob" | "bytea" | "binary" | "varbinary" => BinaryType
+      case dec(p, s) => DecimalType(p.toInt, s.toInt)
+      case "decimal" | "numeric" => DecimalType(18, 3) // DuckDB default
+      case vchar() => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported column type in CREATE TABLE: '$other'")
+    }
   }
 
   /** Execute: run the defining query through `runBody` (the caller's
@@ -89,8 +162,19 @@ object DdlSql {
       require(!spark.catalog.tableExists(st.name),
         s"${if (st.isView) "view" else "table"} '${st.name}' already " +
           "exists — use CREATE OR REPLACE")
-    val defined = runBody(st.body)
-    val bound = if (st.isView) defined else defined.localCheckpoint(true)
+    val bound = st.columns match {
+      case Some(defs) => // schema-defined (u17): an EMPTY typed frame
+        val schema = org.apache.spark.sql.types.StructType(defs.map {
+          case (col, tpe, notNull) =>
+            org.apache.spark.sql.types.StructField(col, sparkType(tpe),
+              nullable = !notNull)
+        })
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None =>
+        val defined = runBody(st.body)
+        if (st.isView) defined else defined.localCheckpoint(true)
+    }
     bound.createOrReplaceTempView(st.name)
     bound
   }

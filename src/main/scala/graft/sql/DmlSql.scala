@@ -72,8 +72,13 @@ object DmlSql {
                             updWhere: Option[String] = None)
   final case class Insert(targetRef: String, cols: Option[Seq[String]],
                           values: Option[String], source: Option[String],
-                          conflict: Option[Conflict] = None)
+                          conflict: Option[Conflict] = None,
+                          byName: Boolean = false)
     extends Stmt
+  /** `TRUNCATE [TABLE] t` (u17) — all rows removed; DELETE without
+    * WHERE, as a first-class statement.
+    */
+  final case class Truncate(targetRef: String) extends Stmt
   final case class Update(targetRef: String, alias: String,
                           sets: Seq[(String, String)], where: Option[String],
                           from: Option[Source] = None)
@@ -99,6 +104,12 @@ object DmlSql {
   def parse(sql: String): Option[Stmt] = {
     val m = stripLiterals(sql)
     val i = skipWs(m, 0)
+    if (wordAt(m, i, "truncate")) {
+      var j = skipWs(m, i + 8)
+      if (wordAt(m, j, "table")) j = skipWs(m, j + 5)
+      val (name, _) = parseTargetRef(sql.substring(j), "TRUNCATE")
+      return Some(Truncate(name))
+    }
     if (!wordAt(m, i, "insert") && !wordAt(m, i, "update") &&
       !wordAt(m, i, "delete")) return None
     // a trailing RETURNING list (u15) splits off before the statement
@@ -155,6 +166,16 @@ object DmlSql {
     require(name.nonEmpty && Dialect.isBareIdentifier(name),
       "INSERT INTO needs a table name")
     i = skipWs(m, i)
+    // `BY NAME` (u17, DuckDB): source columns map to target columns by
+    // NAME — unnamed target columns fill NULL, a source column with no
+    // target refuses (probed)
+    var byName = false
+    if (wordAt(m, i, "by")) {
+      val j = skipWs(m, i + 2)
+      require(wordAt(m, j, "name"), "INSERT INTO t BY must be BY NAME")
+      byName = true
+      i = skipWs(m, j + 4)
+    }
     var cols: Option[Seq[String]] = None
     if (i < m.length && m.charAt(i) == '(') {
       // a paren here is the column list ONLY if the remainder still has
@@ -192,8 +213,14 @@ object DmlSql {
       if (conflictPos < 0) None
       else Some(parseConflict(restAll.substring(conflictPos),
         restMAll.substring(conflictPos)))
+    require(!byName || cols.isEmpty,
+      "INSERT BY NAME maps columns by name — drop the explicit column " +
+        "list")
     val k = skipWs(restM, 0)
     if (wordAt(restM, k, "values")) {
+      require(!byName,
+        "INSERT BY NAME needs a SELECT source (VALUES rows carry no " +
+          "column names)")
       val v = rest.substring(k + 6).trim
       require(v.startsWith("("),
         "INSERT VALUES needs parenthesized row expressions")
@@ -201,7 +228,7 @@ object DmlSql {
     } else {
       require(rest.trim.nonEmpty,
         "INSERT INTO needs VALUES (…) or a SELECT source")
-      Insert(name, cols, None, Some(rest.trim), conflict)
+      Insert(name, cols, None, Some(rest.trim), conflict, byName)
     }
   }
 
@@ -380,13 +407,16 @@ object DmlSql {
     */
   def run(spark: SparkSession, st: Stmt, resolve: String => DataFrame,
           runStmt: String => DataFrame): DataFrame = st match {
-    case Insert(ref, cols, values, source, conflict) =>
+    case Insert(ref, cols, values, source, conflict, byName) =>
       val t = resolve(ref)
-      val aligned = alignedInsert(spark, t, cols, values, source, runStmt)
+      val aligned = alignedInsert(spark, t, cols, values, source, runStmt,
+        byName)
       conflict match {
         case None => t.union(aligned)
         case Some(c) => runOnConflict(t, aligned, c)
       }
+
+    case Truncate(ref) => resolve(ref).limit(0)
 
     case Update(ref, alias, sets, where, fromOpt) =>
       val t = resolve(ref).as(alias)
@@ -432,9 +462,10 @@ object DmlSql {
     // the plain statements build.
     case Returning(inner, items) =>
       val affected: DataFrame = inner match {
-        case Insert(ref, cols, values, source, None) =>
-          alignedInsert(spark, resolve(ref), cols, values, source, runStmt)
-        case Insert(_, _, _, _, Some(_)) =>
+        case Insert(ref, cols, values, source, None, byName) =>
+          alignedInsert(spark, resolve(ref), cols, values, source, runStmt,
+            byName)
+        case Insert(_, _, _, _, Some(_), _) =>
           throw new IllegalArgumentException(
             "RETURNING with ON CONFLICT is not supported — consume the " +
               "returned post-statement table instead")
@@ -465,6 +496,9 @@ object DmlSql {
           t.join(s, pred, "left_semi")
         case Returning(_, _) =>
           throw new IllegalStateException("nested RETURNING")
+        case Truncate(_) =>
+          throw new IllegalArgumentException(
+            "TRUNCATE takes no RETURNING clause")
       }
       affected.selectExpr(items: _*)
   }
@@ -484,11 +518,27 @@ object DmlSql {
   private def alignedInsert(spark: SparkSession, t: DataFrame,
                             cols: Option[Seq[String]],
                             values: Option[String], source: Option[String],
-                            runStmt: String => DataFrame): DataFrame = {
+                            runStmt: String => DataFrame,
+                            byName: Boolean = false): DataFrame = {
     val src = (values, source) match {
       case (Some(v), _) => spark.sql(s"SELECT * FROM VALUES $v")
       case (_, Some(s)) => runStmt(s)
       case _ => throw new IllegalStateException("unreachable")
+    }
+    if (byName) {
+      // BY NAME (u17): every SOURCE column must name a target column
+      // (DuckDB refuses unknowns, probed); unnamed target columns NULL
+      src.columns.foreach { c =>
+        require(t.columns.exists(_.equalsIgnoreCase(c)),
+          s"INSERT BY NAME: source column '$c' does not exist in the " +
+            s"target (target has: ${t.columns.mkString(", ")})")
+      }
+      return src.select(t.schema.fields.toSeq.map { f =>
+        src.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => src.col(s"`$c`").cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
     }
     cols.foreach { cs =>
       cs.foreach { c =>

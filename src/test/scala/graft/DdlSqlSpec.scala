@@ -68,8 +68,11 @@ class DdlSqlSpec extends GraftSuite {
     assert(intercept[IllegalArgumentException](graft.sql.DdlSql.parse(
       "CREATE TABLE db.t AS SELECT 1")).getMessage
       .contains("plain session view name"))
+    // a bare (typeless) column definition refuses; the TYPED list is
+    // the u17 schema-defined form, spec'd below
     assert(intercept[IllegalArgumentException](graft.sql.DdlSql.parse(
-      "CREATE TABLE t (k INT)")).getMessage.contains("AS <select>"))
+      "CREATE TABLE t (k)")).getMessage
+      .contains("malformed column definition"))
   }
 
   test("round-16 statement forms COMPOSE: CTAS over a sampled body, " +
@@ -119,5 +122,29 @@ class DdlSqlSpec extends GraftSuite {
     // a VIEW over the dropped source would fail to analyze; the TABLE
     // snapshot still serves
     assert(spark.table("ddl_snap").collect().head.getLong(0) == 7L)
+  }
+
+  test("schema-defined CREATE TABLE (u17): empty typed frame; NOT NULL; " +
+    "constraint and unknown-type refusals") {
+    import org.apache.spark.sql.types._
+    val t = Table.sessionSql(spark,
+      """CREATE OR REPLACE TEMP TABLE ddl_schema (
+           k BIGINT NOT NULL, s VARCHAR, v DOUBLE, d DATE,
+           f BOOLEAN, g DECIMAL(12, 2), ts TIMESTAMP, n INT)""").toDF
+    assert(t.count() == 0)
+    assert(t.schema.map(f => (f.name, f.dataType, f.nullable)) == Seq(
+      ("k", LongType, false), ("s", StringType, true),
+      ("v", DoubleType, true), ("d", DateType, true),
+      ("f", BooleanType, true), ("g", DecimalType(12, 2), true),
+      ("ts", TimestampType, true), ("n", IntegerType, true)))
+    // the binding is a session view the DML chain builds on
+    assert(Table.sessionSql(spark,
+      "INSERT INTO ddl_schema (k, s) VALUES (1, 'a')").toDF.count() == 1)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "CREATE TABLE ddl_pk (k INT PRIMARY KEY)")).getMessage
+      .contains("constraint"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "CREATE TABLE ddl_bad (k FANCYTYPE)")).getMessage
+      .contains("unsupported column type"))
   }
 }

@@ -289,10 +289,49 @@ class DmlSqlSpec extends GraftSuite {
       !spark.catalog.tableExists("m") && !spark.catalog.tableExists("d"))
   }
 
+  test("INSERT BY NAME (u17): source columns map by name, unnamed " +
+    "target columns NULL, unknown source columns refuse (DuckDB-probed)") {
+    bind()
+    // (the WHERE filters on v, not k: an alias named like an input
+    // column SHADOWS it in WHERE — the documented reference-binder
+    // parity rule — so `… 9 AS k … WHERE k = 1` would filter on 9)
+    val got = run(
+      "INSERT INTO dml_t BY NAME SELECT 'z' AS tag, 9 AS k FROM dml_t " +
+        "WHERE v = 10")
+    assert(got.size == 4 && got.contains((9L, "z", None)))
+    assert(intercept[IllegalArgumentException](run(
+      "INSERT INTO dml_t BY NAME SELECT 1 AS k, 2 AS nope FROM dml_t"))
+      .getMessage.contains("does not exist in the target"))
+    // BY NAME with VALUES or a column list refuses at parse time
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "INSERT INTO t BY NAME VALUES (1)")).getMessage
+      .contains("SELECT source"))
+    assert(intercept[IllegalArgumentException](DmlSql.parse(
+      "INSERT INTO t BY NAME (k) SELECT 1 AS k FROM s")).getMessage
+      .contains("drop the explicit column list"))
+    // RETURNING composes: the inserted (by-name aligned) rows
+    bind()
+    val ret = Table.sessionSql(spark,
+      "INSERT INTO dml_t BY NAME SELECT 7 AS k, 'r' AS tag FROM dml_t " +
+        "WHERE v = 20 RETURNING k, tag, v").toDF.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq
+    assert(ret == Seq((7L, "r", true)))
+  }
+
+  test("TRUNCATE (u17): all rows removed, schema kept") {
+    bind()
+    val t = Table.sessionSql(spark, "TRUNCATE dml_t").toDF
+    assert(t.count() == 0 && t.columns.toSeq == Seq("k", "tag", "v"))
+    assert(Table.sessionSql(spark, "TRUNCATE TABLE dml_t").toDF.count() == 0)
+    assert(intercept[Exception](Table.sessionSql(spark,
+      "TRUNCATE dml_t RETURNING k")).getMessage.nonEmpty)
+  }
+
   test("non-DML statements pass through; literals never trigger") {
     assert(DmlSql.parse("SELECT 'insert into' FROM t").isEmpty)
     assert(DmlSql.parse("-- update t\nSELECT 1").isEmpty)
     assert(DmlSql.parse("SELECT * FROM updates").isEmpty)
+    assert(DmlSql.parse("SELECT truncated FROM t").isEmpty)
   }
 
   test("plan shapes: INSERT has no shuffle; UPDATE/DELETE are map-side") {

@@ -353,21 +353,24 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
     "DELETE FROM t AS a USING s AS b WHERE a.k = b.k AND b.tag <> 'using'",
     """INSERT INTO t VALUES (1, 'returning k') RETURNING k, v * 2 AS v2""",
     "UPDATE t SET v = 2 WHERE tag <> 'returning *' RETURNING *",
-    "DELETE FROM t WHERE k < 9 RETURNING k")
+    "DELETE FROM t WHERE k < 9 RETURNING k",
+    "INSERT INTO t BY NAME SELECT v, k FROM s WHERE tag <> 'by name'",
+    "TRUNCATE TABLE t")
 
   property("DML parse structure is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(dmlCorpus), Gen.chooseNum(0, 1000))) {
       case (q, salt) =>
         import graft.sql.DmlSql
         def shapeOf(st: DmlSql.Stmt): Product = st match {
-          case DmlSql.Insert(r, cols, v, src, cf) =>
+          case DmlSql.Insert(r, cols, v, src, cf, byName) =>
             (r, cols, v.isDefined, src.isDefined,
               cf.map(x => (x.keys, x.action.map(_.map(_._1)),
-                x.updWhere.isDefined)))
+                x.updWhere.isDefined)), byName)
           case DmlSql.Update(r, a, sets, w, f) =>
             (r, a, sets.map(_._1), w.isDefined, f.map(_.alias))
           case DmlSql.Delete(r, a, w, u) =>
             (r, a, w.isDefined, u.map(_.alias))
+          case DmlSql.Truncate(r) => Tuple1(r)
           case DmlSql.Returning(inner, items) =>
             (shapeOf(inner), items.size)
         }
@@ -388,7 +391,8 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
     "CREATE TABLE t AS SELECT k FROM s WHERE tag <> 'create table x as'",
     """CREATE OR REPLACE TEMP VIEW v AS
        SELECT k, 'create or replace view w as' AS note FROM s""",
-    "CREATE TEMPORARY TABLE t2 AS SELECT 'as' AS a, 1 AS b")
+    "CREATE TEMPORARY TABLE t2 AS SELECT 'as' AS a, 1 AS b",
+    "CREATE TABLE t3 (k BIGINT NOT NULL, s VARCHAR, v DECIMAL(10, 2))")
 
   property("DDL parse structure is blind to masked content") =
     forAll(Gen.zip(Gen.oneOf(ddlCorpus), Gen.chooseNum(0, 1000))) {
@@ -396,7 +400,7 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
         import graft.sql.DdlSql
         def shape(s: String) = DdlSql.parse(s).map(st =>
           (st.isView, st.orReplace, st.name,
-            Dialect.stripLiterals(st.body)))
+            Dialect.stripLiterals(st.body), st.columns))
         val sq = shape(q)
         sq.isDefined && sq == shape(junked(q, salt)) &&
           // isDefined-equality over the driver corpus (never isEmpty —

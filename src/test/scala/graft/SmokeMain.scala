@@ -507,6 +507,8 @@ object SmokeMain {
         SparkEntry.queries("u15_dml_returning")(spark, sf).count())
       println(s"u16 cte-dml rows=" +
         SparkEntry.queries("u16_cte_dml")(spark, sf).count())
+      println(s"u17 schema-ddl rows=" +
+        SparkEntry.queries("u17_schema_ddl")(spark, sf).count())
     }
 
     spark.stop()
