@@ -5330,6 +5330,40 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 9 = 0
          ORDER BY k"""),
 
+    // DISTINCT window aggregates (w18, [[graft.sql.Dialect
+    // .rewriteDistinctWindow]] + the COUNT branch of the EXCLUDE
+    // algebra): Spark refuses DISTINCT window functions natively;
+    // COUNT(DISTINCT) lowers onto size(array_distinct(collect_list OVER
+    // the same spec)) — NULL-skipping, empty-frame and BIGINT semantics
+    // all line up with DuckDB's native evaluation (probed). The five
+    // arms pin: whole partition, bounded ROWS frame, EXCLUDE CURRENT
+    // ROW (before/after collect split), FILTER folded inside the
+    // DISTINCT, and EXCLUDE TIES (GROUPS split + typed self singleton).
+    // Same text on both engines. sum/avg DISTINCT over a window refuse
+    // loudly (not reproducibly ordered); DialectSpec pins that.
+    "w18_count_distinct_window" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           count(DISTINCT o_orderpriority) OVER (
+             PARTITION BY o_orderstatus) AS cd_part,
+           count(DISTINCT o_custkey % 10) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS cd_frame,
+           count(DISTINCT o_custkey % 10) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS cd_excl,
+           count(DISTINCT o_orderpriority)
+             FILTER (WHERE o_totalprice > 150000) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING
+               EXCLUDE CURRENT ROW) AS cd_filt,
+           count(DISTINCT o_custkey % 10) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE TIES) AS cd_ties
+         FROM orders WHERE o_orderkey % 7 = 0
+         ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,
@@ -10352,6 +10386,26 @@ object SparkEntry {
               (SELECT r_name FROM region ORDER BY r_regionkey) b
          ORDER BY a.n_name"""),
 
+    // SEMI JOIN / ANTI JOIN keyword forms (j13): DuckDB's explicit join
+    // types; Spark's grammar accepts the same bare SEMI/ANTI spellings
+    // (LEFT is optional), so the text is shared verbatim. Semantically
+    // identical to the EXISTS/NOT EXISTS forms j03/j02 pin — the output
+    // carries only left-side columns, duplicates on the right collapse.
+    // Plan shape: LeftSemi/LeftAnti hash joins, right side broadcast
+    // when small (orders at sf0.01 is, and the theta term rides the
+    // join condition — no post-filter).
+    "j13_semi_anti" -> multiSession(Seq("customer", "orders"),
+      """WITH s AS (SELECT c_custkey FROM customer
+                    SEMI JOIN orders ON c_custkey = o_custkey
+                                    AND o_totalprice > 400000),
+              a AS (SELECT c_custkey FROM customer
+                    ANTI JOIN orders ON c_custkey = o_custkey
+                                    AND o_totalprice > 400000)
+         SELECT 'has_big' AS tag, c_custkey FROM s
+         UNION ALL
+         SELECT 'no_big' AS tag, c_custkey FROM a
+         ORDER BY tag, c_custkey"""),
+
     "j11_spatial_grid" -> api(
       (s, dir) => {
         val pts = s.read.parquet(s"$dir/customer.parquet")
@@ -10698,6 +10752,19 @@ object SparkEntry {
                 CAST(max(n_toks) AS BIGINT) AS max_toks,
                 CAST(max(CASE WHEN has_z THEN 1 ELSE 0 END) AS BIGINT) AS any_z
          FROM x GROUP BY initial ORDER BY initial"""),
+
+    // GROUP BY ALL / ORDER BY ALL (q66): DuckDB's shorthand, adopted
+    // natively by Spark 3.4+ — ALL groups every non-aggregate select
+    // item and orders by the full output list, so the same text runs on
+    // both engines (probed: both also accept `ORDER BY ALL NULLS LAST`,
+    // which the dialect's nulls-last rewrite appends, and agree on the
+    // null placement of the nullif-derived key). Plan shape: identical
+    // to the spelled-out GROUP BY — one partial+final hash aggregate.
+    "q66_by_all" -> multiSession(Seq("lineitem"),
+      """SELECT nullif(l_returnflag, 'N') AS rf, l_linestatus AS ls,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+         FROM lineitem GROUP BY ALL ORDER BY ALL"""),
 
     "q64_sample_clause" -> api(
       (s, dir) => {

@@ -87,7 +87,10 @@ final class Table private (val df: DataFrame) {
     // aliases for them to chase. GROUPS lowering (w14) runs after
     // alias-into-WHERE (the WHERE moves inside its wrap) and before
     // nulls-last (the wrap's outer ORDER BY is still top-level there).
-    val q1 = Dialect.rewriteWindowExclude(q0)
+    // DISTINCT window aggregates (w18) lower after the EXCLUDE algebra:
+    // EXCLUDE-carrying DISTINCT forms split there and re-enter
+    // DISTINCT-free; the bare forms collect-and-dedup here
+    val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowExclude(q0))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -542,8 +545,8 @@ object Table {
       else graft.sql.SampleSql.rewriteTablesample(qIn, ref =>
         if (Dialect.isBareIdentifier(ref)) spark.table(ref).columns.toSeq
         else sessionSqlOne(spark, ref).columns.toSeq)
-    val q0 = Dialect.rewriteWindowExclude(
-      Dialect.fromFirst(qSampled).getOrElse(qSampled))
+    val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowExclude(
+      Dialect.fromFirst(qSampled).getOrElse(qSampled)))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

@@ -966,6 +966,109 @@ object Dialect {
     cur
   }
 
+  /** w18: DISTINCT aggregates over a window. Spark refuses them
+    * natively ("Distinct window functions are not supported"); DuckDB
+    * runs them. COUNT(DISTINCT x) OVER (spec) lowers exactly onto
+    * CAST(size(array_distinct(collect_list(x) OVER (spec))) AS BIGINT):
+    * collect_list skips NULLs like COUNT DISTINCT does, an empty frame
+    * collects an empty array (size 0 = the empty count), the spec
+    * passes through verbatim (named-window references included), and
+    * the result type matches DuckDB's BIGINT. Non-COUNT DISTINCT window
+    * aggregates refuse loudly — a SUM/AVG re-fold over the collected
+    * array is not reproducibly ordered against a native engine's float
+    * sum. Runs AFTER [[rewriteWindowExclude]]: EXCLUDE-carrying
+    * DISTINCT forms take the collect-split path there and re-enter here
+    * DISTINCT-free. Cost shape: the per-row array materializes the
+    * frame slice — bounded frames stay O(frame), unbounded frames are
+    * O(partition) per row (the memory shape a naive DISTINCT window
+    * evaluation pays in any engine).
+    */
+  def rewriteDistinctWindow(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      var o = 0
+      while (!more && o < m.length) {
+        if (wordAt(m, o, "over")) {
+          // ---- the call directly before OVER: agg '(' args ')' ----
+          var q = o - 1
+          while (q >= 0 && m.charAt(q).isWhitespace) q -= 1
+          if (q >= 0 && m.charAt(q) == ')') {
+            var depth = 0
+            var a = q
+            var argOpen = -1
+            while (a >= 0 && argOpen < 0) {
+              val c = m.charAt(a)
+              if (c == ')') depth += 1
+              else if (c == '(') { depth -= 1; if (depth == 0) argOpen = a }
+              a -= 1
+            }
+            if (argOpen > 0) {
+              var fe = argOpen - 1
+              while (fe >= 0 && m.charAt(fe).isWhitespace) fe -= 1
+              var fs = fe
+              while (fs >= 0 && (m.charAt(fs).isLetterOrDigit ||
+                m.charAt(fs) == '_')) fs -= 1
+              fs += 1
+              val fname = cur.substring(fs, fe + 1).toLowerCase
+              val argsMask = m.substring(argOpen + 1, q)
+              val dPos = findTopLevelKeywordIn(argsMask, 0, "distinct")
+              if (fname.nonEmpty && dPos >= 0 &&
+                skipWsAt(argsMask, 0) == dPos) {
+                require(fname == "count",
+                  s"DISTINCT window aggregates are supported only for " +
+                    s"COUNT (got $fname) — a DISTINCT re-fold of a " +
+                    "float aggregate is not reproducibly ordered")
+                // single argument only (top-level comma = a second one)
+                var dd = 0
+                var multiArg = false
+                argsMask.substring(dPos + 8).foreach {
+                  case '(' => dd += 1
+                  case ')' => dd -= 1
+                  case ',' if dd == 0 => multiArg = true
+                  case _ =>
+                }
+                require(!multiArg,
+                  "COUNT(DISTINCT a, b) over a window is not supported " +
+                    "— combine the keys into one expression (e.g. a " +
+                    "struct or concat)")
+                val arg =
+                  cur.substring(argOpen + 1 + dPos + 8, q).trim
+                require(arg.nonEmpty, "COUNT(DISTINCT) needs an argument")
+                // ---- the OVER target: (spec) or a named window ----
+                val k = skipWsAt(m, o + 4)
+                require(k < m.length,
+                  "dangling OVER after COUNT(DISTINCT …)")
+                val overEnd =
+                  if (m.charAt(k) == '(') matchParenAt(m, k)
+                  else {
+                    require(isIdentStart(m.charAt(k)),
+                      "OVER needs a (specification) or a window name")
+                    var z = k
+                    while (z < m.length && isIdentChar(m.charAt(z))) z += 1
+                    z - 1
+                  }
+                val overText = cur.substring(k, overEnd + 1)
+                cur = cur.substring(0, fs) +
+                  s"CAST(size(array_distinct(collect_list($arg) OVER " +
+                  s"$overText)) AS BIGINT)" + cur.substring(overEnd + 1)
+                more = true
+              }
+            }
+          }
+        }
+        o += 1
+      }
+      guard += 1
+    }
+    require(!more,
+      "more than 63 DISTINCT window aggregates in one statement")
+    cur
+  }
+
   /** w13: inline named-window definitions whose spec carries an EXCLUDE
     * clause — `OVER name` references become `OVER (spec)` and the
     * definition leaves the WINDOW clause (dropped entirely when empty).
@@ -1408,21 +1511,57 @@ object Dialect {
       val fname2 = cur.substring(fs2, fe2 + 1)
       require(fname2.nonEmpty, "FILTER needs an aggregate call before it")
       val args2 = cur.substring(argOpen2 + 1, q2).trim
-      require(findTopLevelKeywordIn(stripLiterals(args2), 0,
-        "distinct") < 0,
-        "EXCLUDE over a DISTINCT aggregate is not decomposable")
+      val args2Mask = stripLiterals(args2)
+      val d2 = findTopLevelKeywordIn(args2Mask, 0, "distinct")
+      // COUNT(DISTINCT x) FILTER (w18): the filter folds INSIDE the
+      // DISTINCT — the CASE's filtered-out NULL is skipped by both the
+      // distinct count and the collect_list it later lowers onto, so
+      // count(DISTINCT CASE WHEN c THEN x END) IS the FILTER semantics.
+      // Other DISTINCT aggregates stay refused: their fold is not
+      // subtraction-decomposable and a float re-fold is not
+      // reproducibly ordered against a native engine.
+      require(d2 < 0 || fname2.toLowerCase == "count",
+        "EXCLUDE over a DISTINCT aggregate is only supported for COUNT")
       val folded =
-        if (args2 == "*") s"(CASE WHEN ($cond) THEN 1 END)"
+        if (d2 >= 0) {
+          require(skipWsAt(args2Mask, 0) == d2,
+            s"malformed DISTINCT argument list: ${args2.take(40)}")
+          val bare = args2.substring(d2 + 8).trim
+          s"(DISTINCT CASE WHEN ($cond) THEN ($bare) END)"
+        }
+        else if (args2 == "*") s"(CASE WHEN ($cond) THEN 1 END)"
         else s"(CASE WHEN ($cond) THEN ($args2) END)"
       return cur.substring(0, fs2) + fname2 + folded + cur.substring(q + 1)
     }
     require(Set("sum", "count", "avg", "min", "max").contains(fname),
       s"EXCLUDE rewrite supports SUM/COUNT/AVG (subtraction algebra) " +
         s"and MIN/MAX (before/after frame split), got $fname")
-    val args = cur.substring(argOpen + 1, q).trim
+    val argsRaw = cur.substring(argOpen + 1, q)
     val argsMask = m.substring(argOpen + 1, q)
-    require(findTopLevelKeywordIn(argsMask, 0, "distinct") < 0,
-      "EXCLUDE over COUNT(DISTINCT …) is not decomposable")
+    val dPos = findTopLevelKeywordIn(argsMask, 0, "distinct")
+    require(dPos < 0 || fname == "count",
+      "EXCLUDE over a DISTINCT aggregate is only supported for COUNT — " +
+        "a SUM/AVG DISTINCT re-fold is not reproducibly ordered")
+    val isDistinct = dPos >= 0
+    if (isDistinct) {
+      require(skipWsAt(argsMask, 0) == dPos,
+        s"malformed DISTINCT argument list: ${argsRaw.trim.take(40)}")
+      // only a TOP-LEVEL comma is a second argument (a comma inside
+      // coalesce(a, b) parens is content)
+      var dd = 0
+      var multiArg = false
+      argsMask.substring(dPos + 8).foreach {
+        case '(' => dd += 1
+        case ')' => dd -= 1
+        case ',' if dd == 0 => multiArg = true
+        case _ =>
+      }
+      require(!multiArg,
+        "COUNT(DISTINCT a, b) under EXCLUDE is not supported — combine " +
+          "the keys into one expression (e.g. a struct or concat)")
+    }
+    val args =
+      if (isDistinct) argsRaw.substring(dPos + 8).trim else argsRaw.trim
     val isStar = args == "*"
     require(!isStar || fname == "count", s"$fname(*) is not valid SQL")
     require(args.nonEmpty, s"$fname() needs an argument")
@@ -1443,6 +1582,15 @@ object Dialect {
     if (fname == "min" || fname == "max")
       return cur.substring(0, fs) +
         minMaxExclude(fname, args, po, frameText, kind, orderPresent) +
+        cur.substring(close + 1)
+    // COUNT(DISTINCT x) takes the collect-and-dedup split path (w18):
+    // subtraction algebra cannot remove a value that also occurs
+    // elsewhere in the frame, so the frame's before/after slices are
+    // COLLECTED and the distinct count is the size of the deduplicated
+    // concatenation — exact for any element type
+    if (isDistinct)
+      return cur.substring(0, fs) +
+        countDistinctExclude(args, po, frameText, kind, orderPresent) +
         cur.substring(close + 1)
     validateExcludeFrame(frameText, kind, orderPresent)
     require(kind == "current" || orderPresent,
@@ -1537,33 +1685,7 @@ object Dialect {
       case ps => s"$combine(${ps.mkString(", ")})"
     }
     if (kind == "current") {
-      require(!t.startsWith("groups"),
-        s"$fname EXCLUDE CURRENT ROW over a GROUPS frame is not " +
-          "supported — a row edge inside a peer group is not " +
-          "GROUPS-addressable; write the frame in ROWS mode")
-      val (start, end) =
-        if (t.isEmpty) {
-          require(!orderPresent,
-            s"$fname EXCLUDE CURRENT ROW under an ORDER BY needs an " +
-              "explicit ROWS frame (the default RANGE frame's row edge " +
-              "is not ROWS-expressible) — e.g. ROWS BETWEEN UNBOUNDED " +
-              "PRECEDING AND CURRENT ROW")
-          ("unbounded preceding", "unbounded following")
-        } else {
-          val isRows = t.startsWith("rows")
-          val (s0, e0) = frameBounds(t, frameText)
-          require(isRows || (s0 == "unbounded preceding" &&
-            e0 == "unbounded following"),
-            s"$fname EXCLUDE CURRENT ROW needs a ROWS frame (or RANGE " +
-              s"unbounded at both ends), got: $frameText")
-          require(!s0.endsWith("following"),
-            s"EXCLUDE over a frame starting after the current row " +
-              s"($frameText) would subtract rows outside the frame — refused")
-          require(!e0.endsWith("preceding"),
-            s"EXCLUDE over a frame ending before the current row " +
-              s"($frameText) would subtract rows outside the frame — refused")
-          (s0, e0)
-        }
+      val (start, end) = excludeRowBounds(fname, t, frameText, orderPresent)
       val before =
         if (start == "current row") None
         else Some(s"$fname($args) OVER ($po ROWS BETWEEN $start AND 1 " +
@@ -1574,36 +1696,8 @@ object Dialect {
           s"$end)")
       emit(Seq(before, after).flatten)
     } else { // group | ties (w16)
-      require(orderPresent,
-        s"EXCLUDE ${kind.toUpperCase} needs an ORDER BY in the window " +
-          "spec — without one every partition row is a peer")
       val (gs, ge) =
-        if (t.isEmpty) ("unbounded preceding", "current row")
-        else {
-          val (s0, e0) = frameBounds(t, frameText)
-          if (t.startsWith("groups")) (s0, e0)
-          else if (t.startsWith("rows")) {
-            require(s0 == "unbounded preceding" &&
-              e0 == "unbounded following",
-              s"EXCLUDE ${kind.toUpperCase} over a bounded ROWS frame " +
-                s"($frameText) can cut the peer group mid-way — use a " +
-                "RANGE/GROUPS frame or unbounded ROWS")
-            (s0, e0)
-          } else {
-            require(Set("unbounded preceding", "current row")(s0) &&
-              Set("current row", "unbounded following")(e0),
-              s"$fname EXCLUDE ${kind.toUpperCase} over a RANGE frame " +
-                s"with value offsets ($frameText) is not " +
-                "group-addressable — use a GROUPS frame")
-            (s0, e0)
-          }
-        }
-      require(!gs.endsWith("following"),
-        s"EXCLUDE over a frame starting after the current row " +
-          s"($frameText) would subtract rows outside the frame — refused")
-      require(!ge.endsWith("preceding"),
-        s"EXCLUDE over a frame ending before the current row " +
-          s"($frameText) would subtract rows outside the frame — refused")
+        excludeGroupBounds(fname, t, frameText, kind, orderPresent)
       val before =
         if (gs == "current row") None
         else Some(s"$fname($args) OVER ($po GROUPS BETWEEN $gs AND 1 " +
@@ -1613,6 +1707,139 @@ object Dialect {
         else Some(s"$fname($args) OVER ($po GROUPS BETWEEN 1 FOLLOWING " +
           s"AND $ge)")
       val self = if (kind == "ties") Seq(s"($args)") else Nil
+      emit(Seq(before, after).flatten ++ self)
+    }
+  }
+
+  /** ROWS bounds of an EXCLUDE CURRENT ROW before/after split (w15/w18):
+    * the frame's row edges, validated to contain the current row. The
+    * shared refusal set: GROUPS frames (a row edge inside a peer group
+    * is not GROUPS-addressable), the default RANGE frame under an ORDER
+    * BY, and bounded RANGE frames.
+    */
+  private def excludeRowBounds(what: String, t: String, frameText: String,
+                               orderPresent: Boolean): (String, String) = {
+    require(!t.startsWith("groups"),
+      s"$what EXCLUDE CURRENT ROW over a GROUPS frame is not " +
+        "supported — a row edge inside a peer group is not " +
+        "GROUPS-addressable; write the frame in ROWS mode")
+    if (t.isEmpty) {
+      require(!orderPresent,
+        s"$what EXCLUDE CURRENT ROW under an ORDER BY needs an " +
+          "explicit ROWS frame (the default RANGE frame's row edge " +
+          "is not ROWS-expressible) — e.g. ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW")
+      ("unbounded preceding", "unbounded following")
+    } else {
+      val isRows = t.startsWith("rows")
+      val (s0, e0) = frameBounds(t, frameText)
+      require(isRows || (s0 == "unbounded preceding" &&
+        e0 == "unbounded following"),
+        s"$what EXCLUDE CURRENT ROW needs a ROWS frame (or RANGE " +
+          s"unbounded at both ends), got: $frameText")
+      require(!s0.endsWith("following"),
+        s"EXCLUDE over a frame starting after the current row " +
+          s"($frameText) would subtract rows outside the frame — refused")
+      require(!e0.endsWith("preceding"),
+        s"EXCLUDE over a frame ending before the current row " +
+          s"($frameText) would subtract rows outside the frame — refused")
+      (s0, e0)
+    }
+  }
+
+  /** GROUPS bounds of an EXCLUDE GROUP/TIES before/after split
+    * (w16/w18): the frame's peer-group edges, validated to be
+    * group-addressable (GROUPS frames pass whole; ROWS only unbounded;
+    * RANGE only unbounded/current-row edges).
+    */
+  private def excludeGroupBounds(what: String, t: String,
+                                 frameText: String, kind: String,
+                                 orderPresent: Boolean): (String, String) = {
+    require(orderPresent,
+      s"EXCLUDE ${kind.toUpperCase} needs an ORDER BY in the window " +
+        "spec — without one every partition row is a peer")
+    val (gs, ge) =
+      if (t.isEmpty) ("unbounded preceding", "current row")
+      else {
+        val (s0, e0) = frameBounds(t, frameText)
+        if (t.startsWith("groups")) (s0, e0)
+        else if (t.startsWith("rows")) {
+          require(s0 == "unbounded preceding" &&
+            e0 == "unbounded following",
+            s"EXCLUDE ${kind.toUpperCase} over a bounded ROWS frame " +
+              s"($frameText) can cut the peer group mid-way — use a " +
+              "RANGE/GROUPS frame or unbounded ROWS")
+          (s0, e0)
+        } else {
+          require(Set("unbounded preceding", "current row")(s0) &&
+            Set("current row", "unbounded following")(e0),
+            s"$what EXCLUDE ${kind.toUpperCase} over a RANGE frame " +
+              s"with value offsets ($frameText) is not " +
+              "group-addressable — use a GROUPS frame")
+          (s0, e0)
+        }
+      }
+    require(!gs.endsWith("following"),
+      s"EXCLUDE over a frame starting after the current row " +
+        s"($frameText) would subtract rows outside the frame — refused")
+    require(!ge.endsWith("preceding"),
+      s"EXCLUDE over a frame ending before the current row " +
+        s"($frameText) would subtract rows outside the frame — refused")
+    (gs, ge)
+  }
+
+  /** w18: COUNT(DISTINCT x) under EXCLUDE — subtraction algebra cannot
+    * remove a value that also occurs elsewhere in the frame, so the
+    * frame splits into its before/after slices (w15's shape), each
+    * slice COLLECTS its values (collect_list skips NULLs exactly like
+    * COUNT DISTINCT; an empty slice collects an empty array), and the
+    * distinct count is the size of the deduplicated concatenation —
+    * exact for any element type, no float re-fold involved. TIES adds
+    * the current row's own value back as a typed singleton (empty when
+    * NULL). Frame-bound validation is shared with min/max
+    * ([[excludeRowBounds]]/[[excludeGroupBounds]]); the emitted GROUPS
+    * specs lower through [[rewriteGroupsFrames]] afterwards. Cost: the
+    * per-row array materializes the frame slice — bounded frames stay
+    * O(frame), unbounded frames are O(partition) per row, the same
+    * memory shape DuckDB's naive DISTINCT window evaluation pays.
+    */
+  private def countDistinctExclude(arg: String, po: String,
+                                   frameText: String, kind: String,
+                                   orderPresent: Boolean): String = {
+    val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
+    def emit(parts: Seq[String]): String = parts match {
+      case Nil => "CAST(0 AS BIGINT)" // the exclusion ate the whole frame
+      case Seq(p) => s"CAST(size(array_distinct($p)) AS BIGINT)"
+      case ps =>
+        s"CAST(size(array_distinct(concat(${ps.mkString(", ")}))) AS BIGINT)"
+    }
+    if (kind == "current") {
+      val (start, end) =
+        excludeRowBounds("count(DISTINCT)", t, frameText, orderPresent)
+      val before =
+        if (start == "current row") None
+        else Some(s"collect_list($arg) OVER ($po ROWS BETWEEN $start " +
+          "AND 1 PRECEDING)")
+      val after =
+        if (end == "current row") None
+        else Some(s"collect_list($arg) OVER ($po ROWS BETWEEN 1 " +
+          s"FOLLOWING AND $end)")
+      emit(Seq(before, after).flatten)
+    } else { // group | ties
+      val (gs, ge) = excludeGroupBounds("count(DISTINCT)", t, frameText,
+        kind, orderPresent)
+      val before =
+        if (gs == "current row") None
+        else Some(s"collect_list($arg) OVER ($po GROUPS BETWEEN $gs " +
+          "AND 1 PRECEDING)")
+      val after =
+        if (ge == "current row") None
+        else Some(s"collect_list($arg) OVER ($po GROUPS BETWEEN 1 " +
+          s"FOLLOWING AND $ge)")
+      val self =
+        if (kind == "ties") Seq(s"filter(array($arg), __w18v -> __w18v " +
+          "IS NOT NULL)")
+        else Nil
       emit(Seq(before, after).flatten ++ self)
     }
   }

@@ -257,6 +257,10 @@ class DmlSqlSpec extends GraftSuite {
   test("CTE-headed DML (u16): WITH binds statement-scoped views the " +
     "DML reads (DuckDB-probed); target-name CTE refuses") {
     bind()
+    // other suites share this session's catalog (CodegenProbe binds a
+    // view literally named "d"), so leak detection compares against the
+    // PRE-state instead of asserting absence
+    val pre = Seq("x", "m", "d").map(n => n -> spark.catalog.tableExists(n))
     // probed DuckDB: WITH x AS (SELECT 3, 30) INSERT INTO t SELECT ...
     val ins = run(
       """WITH x(k, tag, v) AS (SELECT 9, 'x', CAST(90 AS BIGINT))
@@ -284,9 +288,15 @@ class DmlSqlSpec extends GraftSuite {
     assert(Table.sessionSql(spark,
       "WITH s AS (SELECT 5 AS x) SELECT x FROM s").toDF
       .collect().head.getInt(0) == 5)
-    // the statement-scoped names do not leak into the session catalog
-    assert(!spark.catalog.tableExists("x") &&
-      !spark.catalog.tableExists("m") && !spark.catalog.tableExists("d"))
+    // the statement-scoped names do not leak into the session catalog:
+    // existence is unchanged vs the pre-state, and no internal
+    // __cte_-renamed view survived the statement
+    pre.foreach { case (n, existed) =>
+      assert(spark.catalog.tableExists(n) == existed,
+        s"CTE name '$n' leaked into the session catalog")
+    }
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__cte_")))
   }
 
   test("INSERT BY NAME (u17): source columns map by name, unnamed " +

@@ -509,6 +509,18 @@ object SmokeMain {
         SparkEntry.queries("u16_cte_dml")(spark, sf).count())
       println(s"u17 schema-ddl rows=" +
         SparkEntry.queries("u17_schema_ddl")(spark, sf).count())
+      // round-17: DISTINCT window aggregates (w18), BY-ALL shorthand
+      // (q66), SEMI/ANTI keyword joins (j13)
+      println(s"w18 count-distinct-window rows=" +
+        SparkEntry.queries("w18_count_distinct_window")(spark, sf).count())
+      println("w18 inline " + Table.sessionSql(spark,
+        """SELECT count(DISTINCT l_linenumber) OVER
+             (PARTITION BY l_returnflag) AS cd
+           FROM lineitem LIMIT 1""").toDF.collect().head)
+      println(s"q66 by-all rows=" +
+        SparkEntry.queries("q66_by_all")(spark, sf).count())
+      println(s"j13 semi-anti rows=" +
+        SparkEntry.queries("j13_semi_anti")(spark, sf).count())
     }
 
     spark.stop()

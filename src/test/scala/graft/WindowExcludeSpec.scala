@@ -100,8 +100,14 @@ class WindowExcludeSpec extends GraftSuite {
          FROM wx""").contains("GROUPS-addressable"))
     assert(bad(s"SELECT MEDIAN(v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
       .contains("EXCLUDE rewrite supports"))
+    // COUNT(DISTINCT) EXCLUDE is supported since w18, but the collect
+    // split needs row-addressable frames like min/max — the default
+    // RANGE-to-current frame still refuses with the fix spelled out
     assert(bad(s"SELECT COUNT(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
-      .contains("not decomposable"))
+      .contains("ROWS frame"))
+    // non-COUNT DISTINCT aggregates stay refused under EXCLUDE
+    assert(bad(s"SELECT SUM(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
+      .contains("only supported for COUNT"))
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM wx""")
       .contains("cut the peer group"))
@@ -230,11 +236,71 @@ class WindowExcludeSpec extends GraftSuite {
       (None, 2L, None), (None, 2L, Some(10L)), (None, 2L, Some(10L)),
       (Some(50L), 2L, Some(10L)), (Some(50L), 2L, Some(10L)),
       (None, 1L, None)))
-    // DISTINCT under a FILTER still refuses (not decomposable)
+    // non-COUNT DISTINCT under a FILTER still refuses (w18 supports
+    // COUNT only — a SUM re-fold is not reproducibly ordered)
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       s"SELECT SUM(DISTINCT v) FILTER (WHERE v > 0) OVER " +
         s"($Frame EXCLUDE GROUP) FROM wx")).getMessage
-      .contains("not decomposable"))
+      .contains("only supported for COUNT"))
+  }
+
+  test("COUNT(DISTINCT) over windows (w18): partition, bounded ROWS, " +
+      "EXCLUDE CURRENT/GROUP/TIES, FILTER fold — DuckDB-probed") {
+    // duplicate values make DISTINCT != COUNT; the NULL at o=4 pins the
+    // NULL-skipping contract (collect_list drops it like COUNT DISTINCT)
+    Seq((1, 1, Option(10L)), (1, 2, Option(10L)), (1, 3, Option(20L)),
+      (1, 4, Option.empty[Long]), (1, 5, Option(10L)), (2, 1, Option(5L)),
+      (2, 2, Option(5L)))
+      .toDF("p", "o", "v").createOrReplaceTempView("wy")
+    def run(expr: String): Seq[Long] =
+      Table.sessionSql(spark,
+        s"SELECT p, o, $expr AS c FROM wy ORDER BY p, o").toDF
+        .collect().map(_.getLong(2)).toSeq
+    // whole partition (Spark refuses this natively — the lowering runs)
+    assert(run("count(DISTINCT v) OVER (PARTITION BY p)") ==
+      Seq(2L, 2L, 2L, 2L, 2L, 1L, 1L))
+    // bounded ROWS frame
+    assert(run("count(DISTINCT v) OVER (PARTITION BY p ORDER BY o " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)") ==
+      Seq(1L, 2L, 2L, 2L, 1L, 1L, 1L))
+    // EXCLUDE CURRENT ROW: before/after collect split
+    assert(run("count(DISTINCT v) OVER (PARTITION BY p ORDER BY o " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE CURRENT ROW)") == Seq(2L, 2L, 1L, 2L, 2L, 1L, 1L))
+    // EXCLUDE TIES over a RANGE frame: GROUPS split + typed self
+    // singleton (the NULL self row counts 0 — probed)
+    assert(run("count(DISTINCT v) OVER (PARTITION BY p ORDER BY o % 2 " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)")
+      == Seq(1L, 1L, 2L, 0L, 1L, 1L, 1L))
+    // EXCLUDE GROUP over an unbounded RANGE frame
+    assert(run("count(DISTINCT v) OVER (PARTITION BY p ORDER BY o % 2 " +
+      "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING " +
+      "EXCLUDE GROUP)") == Seq(1L, 2L, 1L, 2L, 1L, 1L, 1L))
+    // FILTER folds INSIDE the DISTINCT
+    assert(run("count(DISTINCT v) FILTER (WHERE o % 2 = 1) OVER " +
+      "(PARTITION BY p ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)") ==
+      Seq(2L, 2L, 1L, 2L, 2L, 0L, 1L))
+    // named-window reference lowers too
+    assert(Table.sessionSql(spark,
+      """SELECT p, o, count(DISTINCT v) OVER w AS c FROM wy
+         WINDOW w AS (PARTITION BY p) ORDER BY p, o""").toDF
+      .collect().map(_.getLong(2)).toSeq ==
+      Seq(2L, 2L, 2L, 2L, 2L, 1L, 1L))
+    // refusals: non-COUNT DISTINCT, multi-key DISTINCT
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "SELECT avg(DISTINCT v) OVER (PARTITION BY p) FROM wy"))
+      .getMessage.contains("only for COUNT"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "SELECT count(DISTINCT o, v) OVER (PARTITION BY p) FROM wy"))
+      .getMessage.contains("combine the keys"))
+    // a comma inside the single argument's parens is NOT a second key
+    assert(run("count(DISTINCT coalesce(v, 99)) OVER (PARTITION BY p)")
+      == Seq(3L, 3L, 3L, 3L, 3L, 1L, 1L))
+    // non-window COUNT(DISTINCT) is untouched (native Spark path)
+    assert(Table.sessionSql(spark,
+      "SELECT count(DISTINCT v) AS c FROM wy").toDF
+      .collect().head.getLong(0) == 3L)
   }
 
   test("statements without EXCLUDE pass through byte-identical") {
