@@ -5364,6 +5364,63 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 7 = 0
          ORDER BY k"""),
 
+    // EXCLUDE over GROUPS frames (w19): the last practical cell of the
+    // EXCLUDE matrix — the w14 GROUPS lowering (dense_rank group index)
+    // composes with the w12/w16/w18 exclusion algebra, so every
+    // aggregate family runs: sum/avg subtraction, count, min/max
+    // before/after GROUPS split, COUNT(DISTINCT) collect split. DuckDB
+    // has no GROUPS mode ("not implemented yet", probed), so the oracle
+    // hand-builds the identical semantics: dense_rank() AS gi, then the
+    // same frames in RANGE mode over gi with DuckDB's NATIVE EXCLUDE
+    // (peer groups by gi == peer groups by g). One exchange+sort total:
+    // every window shares the partition/order pair.
+    "w19_groups_exclude" -> diff("orders",
+      """SELECT o_orderkey AS k,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 7
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP) AS BIGINT) AS s_g,
+           COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 7
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE TIES) AS c_t,
+           round(AVG(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 7
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP), 6) AS a_g,
+           MAX(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 7
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE TIES) AS mx_t,
+           count(DISTINCT CAST(round(o_totalprice*100) AS BIGINT) % 1000)
+             OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey % 7
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP) AS cd_g
+         FROM orders WHERE o_orderkey % 11 = 0 ORDER BY k""",
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                  o_orderkey % 7 AS g,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 11 = 0),
+         r AS (SELECT *, dense_rank() OVER (PARTITION BY st ORDER BY g)
+                 AS gi FROM b)
+         SELECT k,
+           CAST(SUM(cents) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP) AS BIGINT) AS s_g,
+           COUNT(*) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE TIES) AS c_t,
+           round(AVG(cents) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP), 6) AS a_g,
+           MAX(cents) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE TIES) AS mx_t,
+           count(DISTINCT cents % 1000) OVER (PARTITION BY st ORDER BY gi
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             EXCLUDE GROUP) AS cd_g
+         FROM r ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,
