@@ -3009,6 +3009,49 @@ object SparkEntry {
       },
       exactTopKOracle),
 
+    // Semi-hard negative mining for contrastive training (s20,
+    // [[graft.ops.Similarity.hardNegatives]] — the FaceNet/SBERT band):
+    // per (anchor, positive) pair, the top-10 corpus vectors inside
+    // [pos_sim − 0.1, pos_sim), anchor and positive excluded. The pair
+    // set here is anchors vec_id < 5 with positive vec_id + 1. Scale
+    // shape: pairs broadcast at every join, corpus never shuffles, band
+    // filter precedes the k-bounded topk_by heap — no rank window over
+    // the corpus, no CartesianProduct (PlanSpec pins it). The oracle
+    // re-derives the band + ranking with DuckDB's native
+    // list_cosine_similarity (bitwise-identical doubles, the s01
+    // fixed-order cosine discipline).
+    "s20_hard_negatives" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val pairs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("a_id"),
+            (col("vec_id") + 1).as("p_id"))
+        graft.ops.Similarity.hardNegatives(
+            emb, pairs, "vec_id", "embedding", "a_id", "p_id",
+            k = 10, margin = 0.1)
+          .orderBy(col("anchor_id"), col("rank"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+           pr AS (SELECT a.vec_id AS anchor_id, p.vec_id AS pos_id,
+                         a.emb AS avec,
+                         list_cosine_similarity(a.emb, p.emb) AS pos_sim
+                  FROM e a JOIN e p ON p.vec_id = a.vec_id + 1
+                  WHERE a.vec_id < 5),
+           scored AS (SELECT pr.anchor_id, pr.pos_sim, c.vec_id AS neg_id,
+                             list_cosine_similarity(pr.avec, c.emb) AS sim
+                      FROM pr, e c
+                      WHERE c.vec_id <> pr.anchor_id
+                        AND c.vec_id <> pr.pos_id),
+           band AS (SELECT * FROM scored
+                    WHERE sim < pos_sim AND sim >= pos_sim - 0.1),
+           r AS (SELECT anchor_id, neg_id, sim, pos_sim,
+                        CAST(row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY sim DESC, neg_id) AS BIGINT) AS rank
+                 FROM band)
+         SELECT anchor_id, rank, neg_id, sim, pos_sim FROM r
+         WHERE rank <= 10 ORDER BY anchor_id, rank"""),
+
     // Okapi BM25 lexical scoring (graft.ops.Search.bm25) — search-side
     // retrieval over the corpus with a broadcast bag-of-terms query.
     // k1 = 1.25 / b = 0.75 are binary-exact constants; per-(doc,term)

@@ -100,4 +100,53 @@ object Similarity {
       .select(col("probe_id"), posexplode(col("top")).as(Seq("rank0", "hit")))
       .select(col("probe_id"), (col("rank0") + 1).as("rank"),
         col("hit.id").as("vec_id"), col("hit.sim").as("sim"))
+
+  /** Semi-hard negative mining for contrastive training (the
+    * FaceNet/SBERT band): for each (anchor, positive) pair, the top-k
+    * corpus vectors — excluding the anchor and its positive — whose
+    * anchor-similarity falls in the semi-hard band
+    * [pos_sim − margin, pos_sim): harder than random, easier than the
+    * positive, i.e. the negatives that actually move a
+    * triplet/contrastive loss. Output: (anchor_id, rank, neg_id, sim,
+    * pos_sim), rank 1..k by sim DESC with ascending-id ties.
+    *
+    * Scale shape (100 TB discipline): the pair set is the bounded probe
+    * side — its anchor/positive vectors bind through two joins where
+    * the PAIRS side broadcasts (the corpus side stays map-side, never
+    * shuffles), candidates score in one broadcast pass over the corpus,
+    * the band filter runs before any aggregation, and the only exchange
+    * is the k-bounded `topk_by` heap aggregation per anchor. No rank
+    * window over the corpus, no CartesianProduct.
+    */
+  def hardNegatives(emb: DataFrame, pairs: DataFrame, idCol: String,
+                    vecCol: String, anchorCol: String, posCol: String,
+                    k: Int, margin: Double): DataFrame = {
+    val pSel = pairs.select(col(anchorCol).as("anchor_id"),
+      col(posCol).as("pos_id"))
+    val av = emb.select(col(idCol).as("__aid"), col(vecCol).as("anchor_vec"))
+    val pv = emb.select(col(idCol).as("__pid"), col(vecCol).as("pos_vec"))
+    // bind the pair vectors: broadcast the PAIR side — the corpus scans
+    // map-side; each join's output is pair-sized
+    val pr = av.join(broadcast(pSel), col("anchor_id") === col("__aid"))
+      .select(col("anchor_id"), col("pos_id"), col("anchor_vec"))
+    val prFull = pv.join(broadcast(pr), col("pos_id") === col("__pid"))
+      .select(col("anchor_id"), col("pos_id"), col("anchor_vec"),
+        cosine(col("anchor_vec"), col("pos_vec")).as("pos_sim"))
+    val e = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val scored = e.crossJoin(broadcast(prFull))
+      .filter(col("cand_id") =!= col("anchor_id") &&
+        col("cand_id") =!= col("pos_id"))
+      .select(col("anchor_id"), col("pos_sim"), col("cand_id"),
+        cosine(col("anchor_vec"), col("cand_vec")).as("sim"))
+      .filter(col("sim") < col("pos_sim") &&
+        col("sim") >= col("pos_sim") - lit(margin))
+    scored.groupBy("anchor_id", "pos_sim")
+      .agg(call_function("topk_by", col("sim"), col("cand_id"), lit(k))
+        .as("top"))
+      .select(col("anchor_id"), col("pos_sim"),
+        posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(col("anchor_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("hit.id").as("neg_id"), col("hit.sim").as("sim"),
+        col("pos_sim"))
+  }
 }

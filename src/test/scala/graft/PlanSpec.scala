@@ -53,6 +53,35 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in w16 plan")
   }
 
+  test("s20 hard negatives: pairs broadcast everywhere, corpus never " +
+    "shuffles, no cartesian") {
+    val p = planOf("s20_hard_negatives")
+    assert(!p.contains("CartesianProduct"), "cartesian in s20 plan")
+    // the corpus side must not hash-shuffle for any join: every join is
+    // a broadcast of the pair side (BNLJ for the scoring cross is the
+    // s01-pinned broadcast shape)
+    assert(!p.contains("SortMergeJoin"), "corpus shuffle join in s20 plan")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3,
+      "s20 pair side should broadcast at each of its three joins")
+  }
+
+  test("w18 count-distinct windows: the collect lowering adds no " +
+    "exchange beyond the shared window partitioning") {
+    val p = planOf("w18_count_distinct_window")
+    // three distinct (partition, order) pairs + the final ORDER BY — the
+    // collect_list split must reuse the window exchanges, not add more
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex <= 5, s"w18 plan grew to $ex exchanges")
+    assert(!p.contains("CartesianProduct"), "cartesian in w18 plan")
+  }
+
+  test("w19 GROUPS-frame EXCLUDE: every window shares one exchange") {
+    val p = planOf("w19_groups_exclude")
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex <= 3, s"w19 plan grew to $ex exchanges")
+    assert(!p.contains("CartesianProduct"), "cartesian in w19 plan")
+  }
+
   test("ap01 approx aggregates: single-distinct planning, no Expand") {
     // ap01's r9 oracle promotion added ONE exact count_distinct next to
     // the sketches it gates; Spark's single-distinct rewrite plans that

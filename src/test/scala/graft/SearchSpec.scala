@@ -128,6 +128,41 @@ class SearchSpec extends GraftSuite {
     assert(r.getDouble(5) == 0.5)        // 3 of 6
   }
 
+  test("hardNegatives: band boundaries, anchor/positive exclusion, " +
+    "k cap, empty band drops the anchor") {
+    // 1-d unit "embeddings" don't discriminate (cosine = ±1), so use 2-d
+    // vectors with hand-computable cosines against anchor (1, 0):
+    // cand sim = x / |v|. pos = (1, 1) -> pos_sim = 1/sqrt(2) ~ 0.7071
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),      // anchor
+      (1L, Seq(1f, 1f)),      // positive: pos_sim ~ 0.7071
+      (2L, Seq(2f, 1f)),      // sim ~ 0.8944 — ABOVE pos_sim, excluded
+      (3L, Seq(1f, 2f)),      // sim ~ 0.4472 — below band, excluded
+      (4L, Seq(3f, 2f)),      // sim ~ 0.8321 — above pos_sim, excluded
+      (5L, Seq(2f, 2f)),      // sim ~ 0.7071 — equals pos_sim: sim <
+                              // pos_sim is FALSE (strict), excluded
+      (6L, Seq(3f, 3.2f))     // sim ~ 0.6839 — inside the band
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((0L, 1L)).toDF("a_id", "p_id")
+    val got = graft.ops.Similarity.hardNegatives(
+      emb, pairs, "vec_id", "embedding", "a_id", "p_id",
+      k = 10, margin = 0.1)
+      .orderBy("anchor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 6L)))
+    // a zero margin empties the band — the anchor emits no rows (the
+    // topk_by group never forms), not a zero-row placeholder
+    assert(graft.ops.Similarity.hardNegatives(
+      emb, pairs, "vec_id", "embedding", "a_id", "p_id",
+      k = 10, margin = 0.0).count() == 0)
+    // k caps the band: margin wide enough for 3+ negatives, k = 2
+    val capped = graft.ops.Similarity.hardNegatives(
+      emb, pairs, "vec_id", "embedding", "a_id", "p_id",
+      k = 2, margin = 0.7)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(capped == Seq(6L, 3L)) // sim desc, anchor/pos never appear
+  }
+
   test("rrfFuse: full-outer semantics, absent rank contributes zero") {
     val lex = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val vec = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
