@@ -5464,6 +5464,36 @@ object SparkEntry {
              EXCLUDE GROUP) AS cd_g
          FROM r ORDER BY k"""),
 
+    // FILTER over windows WITHOUT EXCLUDE (w20,
+    // [[graft.sql.Dialect.rewriteWindowFilter]]): Spark refuses FILTER
+    // on window functions entirely; the w17 fold — agg(CASE WHEN cond
+    // THEN arg END) — is exact for every NULL-skipping aggregate, so it
+    // now runs standalone: running counts/sums over a filtered subset
+    // without losing the unfiltered row grid (the classic "events vs
+    // qualifying events" window shape). COUNT(DISTINCT)+FILTER chains
+    // into the w18 collect lowering. Same text on both engines.
+    "w20_window_filter" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey) AS c_run,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderkey % 2 = 0) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s_f,
+           MIN(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderpriority < '3') OVER (
+               PARTITION BY o_orderstatus) AS mn_f,
+           round(AVG(CAST(round(o_totalprice * 100) AS BIGINT))
+             FILTER (WHERE o_orderkey % 3 = 0) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS a_f,
+           count(DISTINCT o_orderpriority)
+             FILTER (WHERE o_totalprice > 100000) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS cd_f
+         FROM orders WHERE o_orderkey % 13 = 0
+         ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,

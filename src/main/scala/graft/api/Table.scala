@@ -90,7 +90,8 @@ final class Table private (val df: DataFrame) {
     // DISTINCT window aggregates (w18) lower after the EXCLUDE algebra:
     // EXCLUDE-carrying DISTINCT forms split there and re-enter
     // DISTINCT-free; the bare forms collect-and-dedup here
-    val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowExclude(q0))
+    val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
+      Dialect.rewriteWindowExclude(q0)))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -545,8 +546,9 @@ object Table {
       else graft.sql.SampleSql.rewriteTablesample(qIn, ref =>
         if (Dialect.isBareIdentifier(ref)) spark.table(ref).columns.toSeq
         else sessionSqlOne(spark, ref).columns.toSeq)
-    val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowExclude(
-      Dialect.fromFirst(qSampled).getOrElse(qSampled)))
+    val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
+      Dialect.rewriteWindowExclude(
+        Dialect.fromFirst(qSampled).getOrElse(qSampled))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

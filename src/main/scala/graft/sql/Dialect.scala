@@ -966,6 +966,117 @@ object Dialect {
     cur
   }
 
+  /** w20: `agg(args) FILTER (WHERE cond) OVER …` WITHOUT an EXCLUDE
+    * clause (the EXCLUDE-carrying forms fold inside
+    * [[rewriteWindowExclude]], w17). Spark refuses FILTER on window
+    * functions entirely; DuckDB runs it. The fold is the w17 algebra:
+    * agg(CASE WHEN cond THEN arg END) — the CASE's NULL is skipped by
+    * every NULL-skipping aggregate, COUNT(*) becomes COUNT(CASE WHEN
+    * cond THEN 1 END), and COUNT(DISTINCT x) folds INSIDE the DISTINCT
+    * (the result then lowers through [[rewriteDistinctWindow]], which
+    * must run after this pass). Restricted to SUM/COUNT/AVG/MIN/MAX —
+    * the aggregates whose NULL-skip contract makes the fold exact;
+    * anything else refuses loudly.
+    */
+  def rewriteWindowFilter(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      var o = 0
+      while (!more && o < m.length) {
+        if (wordAt(m, o, "over")) {
+          // ---- a FILTER (WHERE …) clause directly before OVER? ----
+          var q = o - 1
+          while (q >= 0 && m.charAt(q).isWhitespace) q -= 1
+          if (q >= 0 && m.charAt(q) == ')') {
+            var depth = 0
+            var a = q
+            var fOpen = -1
+            while (a >= 0 && fOpen < 0) {
+              val c = m.charAt(a)
+              if (c == ')') depth += 1
+              else if (c == '(') { depth -= 1; if (depth == 0) fOpen = a }
+              a -= 1
+            }
+            if (fOpen > 0) {
+              var fe = fOpen - 1
+              while (fe >= 0 && m.charAt(fe).isWhitespace) fe -= 1
+              var fs = fe
+              while (fs >= 0 && (m.charAt(fs).isLetterOrDigit ||
+                m.charAt(fs) == '_')) fs -= 1
+              fs += 1
+              if (cur.substring(fs, fe + 1).equalsIgnoreCase("filter")) {
+                val inner = cur.substring(fOpen + 1, q).trim
+                val innerMask = stripLiterals(inner)
+                val wp = skipWsAt(innerMask, 0)
+                require(wordAt(innerMask, wp, "where"),
+                  s"malformed FILTER clause before OVER: " +
+                    s"(${inner.take(40)})")
+                val cond = inner.substring(wp + 5).trim
+                require(cond.nonEmpty, "empty FILTER condition")
+                // ---- the aggregate call before FILTER ----
+                var q2 = fs - 1
+                while (q2 >= 0 && m.charAt(q2).isWhitespace) q2 -= 1
+                require(q2 >= 0 && m.charAt(q2) == ')',
+                  "FILTER must directly follow agg(args)")
+                var depth2 = 0
+                var a2 = q2
+                var argOpen2 = -1
+                while (a2 >= 0 && argOpen2 < 0) {
+                  val c = m.charAt(a2)
+                  if (c == ')') depth2 += 1
+                  else if (c == '(') {
+                    depth2 -= 1; if (depth2 == 0) argOpen2 = a2
+                  }
+                  a2 -= 1
+                }
+                require(argOpen2 > 0, "unbalanced parens before FILTER")
+                var fe2 = argOpen2 - 1
+                while (fe2 >= 0 && m.charAt(fe2).isWhitespace) fe2 -= 1
+                var fs2 = fe2
+                while (fs2 >= 0 && (m.charAt(fs2).isLetterOrDigit ||
+                  m.charAt(fs2) == '_')) fs2 -= 1
+                fs2 += 1
+                val fname = cur.substring(fs2, fe2 + 1)
+                val fnameLc = fname.toLowerCase
+                require(Set("sum", "count", "avg", "min", "max")
+                  .contains(fnameLc),
+                  s"FILTER over a window supports SUM/COUNT/AVG/MIN/MAX " +
+                    s"(the NULL-skip fold), got $fname")
+                val args2 = cur.substring(argOpen2 + 1, q2).trim
+                val args2Mask = stripLiterals(args2)
+                val d2 = findTopLevelKeywordIn(args2Mask, 0, "distinct")
+                require(d2 < 0 || fnameLc == "count",
+                  "FILTER over a DISTINCT window aggregate is only " +
+                    "supported for COUNT")
+                val folded =
+                  if (d2 >= 0) {
+                    require(skipWsAt(args2Mask, 0) == d2,
+                      s"malformed DISTINCT argument list: " +
+                        s"${args2.take(40)}")
+                    val bare = args2.substring(d2 + 8).trim
+                    s"(DISTINCT CASE WHEN ($cond) THEN ($bare) END)"
+                  }
+                  else if (args2 == "*") s"(CASE WHEN ($cond) THEN 1 END)"
+                  else s"(CASE WHEN ($cond) THEN ($args2) END)"
+                cur = cur.substring(0, fs2) + fname + folded +
+                  cur.substring(q + 1)
+                more = true
+              }
+            }
+          }
+        }
+        o += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 63 window FILTER clauses in one statement")
+    cur
+  }
+
   /** w18: DISTINCT aggregates over a window. Spark refuses them
     * natively ("Distinct window functions are not supported"); DuckDB
     * runs them. COUNT(DISTINCT x) OVER (spec) lowers exactly onto

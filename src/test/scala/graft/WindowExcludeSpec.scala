@@ -303,6 +303,47 @@ class WindowExcludeSpec extends GraftSuite {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("FILTER over windows without EXCLUDE (w20): NULL-skip fold, " +
+      "DISTINCT chains into w18, non-foldable aggs refuse") {
+    // count/sum/min/avg arms DuckDB-probed on this fixture; the cd arm
+    // is hand-derived (x%2 = 0 for every x >= 10 in p=1 -> 1; p=2's only
+    // row filters out -> 0) — DuckDB's native count(DISTINCT)+FILTER
+    // over a whole partition hits an INTERNAL error on this corner (its
+    // bug, probed; the framed form in the w20 driver query runs fine
+    // there and strict-matches)
+    Seq((1, 1, 10L), (1, 2, 20L), (1, 3, 30L), (2, 1, 5L))
+      .toDF("p", "o", "x").createOrReplaceTempView("wf")
+    val got = Table.sessionSql(spark,
+      """SELECT p, o,
+           count(*) FILTER (WHERE x > 10) OVER (PARTITION BY p
+             ORDER BY o) AS c,
+           sum(x) FILTER (WHERE o % 2 = 1) OVER (PARTITION BY p
+             ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s,
+           min(x) FILTER (WHERE x > 5) OVER (PARTITION BY p) AS mn,
+           avg(x) FILTER (WHERE x < 25) OVER (PARTITION BY p) AS av,
+           count(DISTINCT x % 2) FILTER (WHERE x >= 10) OVER (
+             PARTITION BY p) AS cd
+         FROM wf ORDER BY p, o""").toDF
+      .collect().map(r => (r.getLong(2), r.getLong(3),
+        Option(r.get(4)), r.getDouble(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (0L, 10L, Some(10L), 15.0, 1L), (1L, 40L, Some(10L), 15.0, 1L),
+      (2L, 30L, Some(10L), 15.0, 1L), (0L, 5L, None, 5.0, 0L)))
+    // non-foldable aggregate refuses loudly (stddev does skip NULLs,
+    // but the fold contract is pinned to the five proven ones)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "SELECT stddev(x) FILTER (WHERE x > 0) OVER (PARTITION BY p) FROM wf"))
+      .getMessage.contains("SUM/COUNT/AVG/MIN/MAX"))
+    // sum(DISTINCT)+FILTER over a window refuses (w18 count-only rule)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "SELECT sum(DISTINCT x) FILTER (WHERE x > 0) OVER (PARTITION BY p) " +
+        "FROM wf")).getMessage.contains("only supported for COUNT"))
+    // non-window FILTER stays on the native Spark path
+    assert(Table.sessionSql(spark,
+      "SELECT count(*) FILTER (WHERE x > 5) AS c FROM wf").toDF
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("statements without EXCLUDE pass through byte-identical") {
     val q = "SELECT SUM(v) OVER (PARTITION BY p ORDER BY o) AS s FROM wx"
     assert(Dialect.rewriteWindowExclude(q) == q)
