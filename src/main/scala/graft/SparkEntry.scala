@@ -5494,6 +5494,43 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 13 = 0
          ORDER BY k"""),
 
+    // Chained named windows (w21, [[graft.sql.Dialect
+    // .inlineChainedWindows]]): a window spec that STARTS with another
+    // window's name copies the base and appends clauses —
+    // `WINDOW w1 AS (PARTITION BY st), w2 AS (w1 ORDER BY k)` plus the
+    // inline forms `OVER (w1 ...)` / bare-copy `OVER (w1)`. Spark
+    // resolves only bare `OVER w`; the pass inlines the base text with
+    // the standard's refusal matrix (no framed base, no PARTITION
+    // override, no double ORDER BY — each probed to match DuckDB's own
+    // parser errors). DIVERGENCE (probed, so the oracle pre-inlines the
+    // specs): when a chained reference APPENDS A FRAME, DuckDB silently
+    // drops the copied PARTITION BY and frames over the whole relation
+    // — Postgres and the standard copy the partitioning; this engine
+    // follows the standard.
+    "w21_chained_windows" -> diff("orders",
+      """SELECT o_orderkey AS k,
+           COUNT(*) OVER w2 AS c_run,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             w2 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS s_roll,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (w1)
+             AS mx_p
+         FROM orders WHERE o_orderkey % 17 = 0
+         WINDOW w1 AS (PARTITION BY o_orderstatus),
+                w2 AS (w1 ORDER BY o_orderkey)
+         ORDER BY k""",
+      """SELECT o_orderkey AS k,
+           COUNT(*) OVER (PARTITION BY o_orderstatus
+             ORDER BY o_orderkey) AS c_run,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS s_roll,
+           MAX(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_orderstatus) AS mx_p
+         FROM orders WHERE o_orderkey % 17 = 0
+         ORDER BY k"""),
+
     "w12_window_exclude" -> multiSession(Seq("orders"),
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
                   o_orderkey % 20 AS g,

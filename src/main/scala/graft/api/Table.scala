@@ -91,7 +91,7 @@ final class Table private (val df: DataFrame) {
     // EXCLUDE-carrying DISTINCT forms split there and re-enter
     // DISTINCT-free; the bare forms collect-and-dedup here
     val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
-      Dialect.rewriteWindowExclude(q0)))
+      Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(q0))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -547,8 +547,8 @@ object Table {
         if (Dialect.isBareIdentifier(ref)) spark.table(ref).columns.toSeq
         else sessionSqlOne(spark, ref).columns.toSeq)
     val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
-      Dialect.rewriteWindowExclude(
-        Dialect.fromFirst(qSampled).getOrElse(qSampled))))
+      Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
+        Dialect.fromFirst(qSampled).getOrElse(qSampled)))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

@@ -966,6 +966,161 @@ object Dialect {
     cur
   }
 
+  /** w21: chained named-window definitions. Postgres/DuckDB let a
+    * window specification START with another window's name — both in a
+    * definition (`WINDOW w1 AS (PARTITION BY p), w2 AS (w1 ORDER BY o)`)
+    * and in an inline reference (`OVER (w1 ORDER BY o)`) — copying the
+    * base spec and appending clauses. Spark resolves only bare `OVER w`
+    * references, so this pass inlines the base spec text at every
+    * chained use. Standard rules enforced loudly: the base must carry
+    * no frame clause, the referencing spec may not add PARTITION BY,
+    * and may add ORDER BY only when the base has none. Chains of chains
+    * resolve in textual order (a name must be defined before use, the
+    * Postgres rule). A statement with MULTIPLE window clauses (e.g. a
+    * subquery's own WINDOW) refuses when a chain needs rewriting — a
+    * blind inline could capture the wrong definition.
+    */
+  def inlineChainedWindows(sql: String): String = {
+    val m = stripLiterals(sql)
+    // ---- locate the WINDOW clause (keyword + ident + AS) ----
+    var w = -1
+    var clauseCount = 0
+    var probe = findAnyDepthKeyword(m, "window")
+    while (probe >= 0) {
+      val k = skipWsAt(m, probe + 6)
+      if (k < m.length && isIdentStart(m.charAt(k))) {
+        var e = k
+        while (e < m.length && isIdentBoundaryChar(m.charAt(e))) e += 1
+        if (wordAt(m, skipWsAt(m, e), "as")) {
+          clauseCount += 1
+          if (w < 0) w = probe
+        }
+      }
+      probe = {
+        val next = findAnyDepthKeyword(m.substring(probe + 6), "window")
+        if (next < 0) -1 else probe + 6 + next
+      }
+    }
+    if (w < 0) return sql
+    // ---- parse `name AS (spec) | name AS ref` comma-list ----
+    var i = skipWsAt(m, w + 6)
+    // (lcName, specText, specStart, specEnd) — bare refs keep start < 0
+    val defs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Int, Int)]
+    var done = false
+    while (!done) {
+      val ns = i
+      while (i < m.length && isIdentBoundaryChar(m.charAt(i))) i += 1
+      val name = sql.substring(ns, i)
+      require(name.nonEmpty, "malformed WINDOW clause: missing name")
+      i = skipWsAt(m, i)
+      require(wordAt(m, i, "as"), s"malformed WINDOW clause at: $name")
+      i = skipWsAt(m, i + 2)
+      if (i < m.length && m.charAt(i) == '(') {
+        val close = matchParenAt(m, i)
+        defs += ((name.toLowerCase, sql.substring(i + 1, close),
+          i + 1, close))
+        i = skipWsAt(m, close + 1)
+      } else {
+        val rs = i
+        while (i < m.length && isIdentBoundaryChar(m.charAt(i))) i += 1
+        defs += ((name.toLowerCase, sql.substring(rs, i).toLowerCase,
+          -1, -1))
+        i = skipWsAt(m, i)
+      }
+      if (i < m.length && m.charAt(i) == ',') i = skipWsAt(m, i + 1)
+      else done = true
+    }
+    val specKw = Seq("partition", "order", "rows", "range", "groups",
+      "exclude")
+    def headName(spec: String): Option[(Int, Int)] = {
+      val sm = stripLiterals(spec)
+      val f = skipWsAt(sm, 0)
+      if (f >= sm.length || !isIdentStart(sm.charAt(f))) return None
+      if (specKw.exists(kw => wordAt(sm, f, kw))) return None
+      var e = f
+      while (e < sm.length && isIdentBoundaryChar(sm.charAt(e))) e += 1
+      Some((f, e))
+    }
+    def hasFrame(spec: String): Boolean =
+      Seq("rows", "range", "groups").exists(kw =>
+        findTopLevelKeywordIn(stripLiterals(spec), 0, kw) >= 0)
+    def hasOrder(spec: String): Boolean =
+      findTopLevelKeywordIn(stripLiterals(spec), 0, "order") >= 0
+    // ---- resolve chains + append-clause validation ----
+    def compose(baseName: String, base: String, suffix: String,
+                at: String): String = {
+      val sTrim = suffix.trim
+      if (sTrim.isEmpty) return base
+      val sm = stripLiterals(sTrim)
+      require(!wordAt(sm, 0, "partition"),
+        s"$at chains window '$baseName' and adds PARTITION BY — a " +
+          "chained window cannot override the base partitioning")
+      require(specKw.exists(kw => wordAt(sm, 0, kw)),
+        s"$at chains window '$baseName' but continues with " +
+          s"'${sTrim.take(20)}' — only ORDER BY and a frame clause can " +
+          "follow a chained window name")
+      require(hasFrame(base) == false,
+        s"$at chains window '$baseName', whose specification carries a " +
+          "frame clause — the standard forbids copying a framed window")
+      require(!(hasOrder(base) && wordAt(sm, 0, "order")),
+        s"$at chains window '$baseName' and adds ORDER BY, but the " +
+          "base already orders — the standard forbids overriding it")
+      s"$base $sTrim"
+    }
+    val resolved = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // (specStart, specEnd, replacementText)
+    val edits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var chained = false
+    defs.foreach { case (lcName, spec, s0, e0) =>
+      if (s0 < 0) { // bare `w2 AS w1`: valid Spark — record, keep text
+        resolved(lcName) = resolved.getOrElse(spec, spec)
+      } else headName(spec) match {
+        case Some((f, e)) if resolved.contains(
+            spec.substring(f, e).toLowerCase) =>
+          val ref = spec.substring(f, e).toLowerCase
+          val full = compose(ref, resolved(ref), spec.substring(e),
+            s"WINDOW definition '$lcName'")
+          resolved(lcName) = full
+          edits += ((s0, e0, full))
+          chained = true
+        case _ => resolved(lcName) = spec
+      }
+    }
+    // ---- inline `OVER (name …)` references ----
+    var o = 0
+    while (o < m.length) {
+      if (wordAt(m, o, "over")) {
+        val k = skipWsAt(m, o + 4)
+        if (k < m.length && m.charAt(k) == '(' &&
+          // skip the WINDOW clause span itself (already edited above)
+          (k <= w || k >= i)) {
+          val close = matchParenAt(m, k)
+          val spec = sql.substring(k + 1, close)
+          headName(spec) match {
+            case Some((f, e)) if resolved.contains(
+                spec.substring(f, e).toLowerCase) =>
+              val ref = spec.substring(f, e).toLowerCase
+              val full = compose(ref, resolved(ref), spec.substring(e),
+                "an OVER specification")
+              edits += ((k + 1, close, full))
+              chained = true
+            case _ =>
+          }
+        }
+      }
+      o += 1
+    }
+    if (!chained) return sql
+    require(clauseCount == 1,
+      "chained window definitions with MULTIPLE window clauses in one " +
+        "statement are not supported — inline the chained specification")
+    // apply right-to-left so earlier offsets stay valid
+    edits.sortBy(-_._1).foldLeft(sql) { case (cur, (s0, e0, text)) =>
+      cur.substring(0, s0) + text + cur.substring(e0)
+    }
+  }
+
   /** w20: `agg(args) FILTER (WHERE cond) OVER …` WITHOUT an EXCLUDE
     * clause (the EXCLUDE-carrying forms fold inside
     * [[rewriteWindowExclude]], w17). Spark refuses FILTER on window

@@ -344,6 +344,54 @@ class WindowExcludeSpec extends GraftSuite {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("chained named windows (w21): definition and inline chains " +
+      "resolve; the standard's refusal matrix holds") {
+    Seq((1, 1, 10L), (1, 2, 20L), (1, 3, 30L), (2, 1, 5L))
+      .toDF("p", "o", "x").createOrReplaceTempView("wc")
+    val got = Table.sessionSql(spark,
+      """SELECT p, o,
+           sum(x) OVER w2 AS s_run,
+           sum(x) OVER (w1 ORDER BY o
+             ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s_roll,
+           count(*) OVER (w1) AS c_p,
+           max(x) OVER (w2 ROWS BETWEEN CURRENT ROW AND
+             UNBOUNDED FOLLOWING) AS mx_f
+         FROM wc WINDOW w1 AS (PARTITION BY p), w2 AS (w1 ORDER BY o)
+         ORDER BY p, o""").toDF
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    // hand-derived (Postgres semantics — the chained frame KEEPS the
+    // base partitioning; DuckDB's frame-appending chain drops it, the
+    // documented w21 divergence)
+    assert(got == Seq(
+      (10L, 10L, 3L, 30L), (30L, 30L, 3L, 30L), (60L, 50L, 3L, 30L),
+      (5L, 5L, 1L, 5L)))
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException](
+        Table.sessionSql(spark, sql).toDF.collect()).getMessage
+    // the three standard refusals, matching DuckDB's own parser errors
+    assert(bad("""SELECT sum(x) OVER (w1 ORDER BY x) FROM wc
+        WINDOW w1 AS (PARTITION BY p ORDER BY o)""")
+      .contains("adds ORDER BY"))
+    assert(bad("""SELECT sum(x) OVER (w1 ORDER BY o) FROM wc
+        WINDOW w1 AS (PARTITION BY p ROWS BETWEEN 1 PRECEDING AND
+        CURRENT ROW)""").contains("frame clause"))
+    assert(bad("""SELECT sum(x) OVER (w1 PARTITION BY o) FROM wc
+        WINDOW w1 AS (PARTITION BY p)""")
+      .contains("PARTITION BY"))
+    // chains of chains resolve in textual order
+    assert(Table.sessionSql(spark,
+      """SELECT sum(x) OVER w3 AS s FROM wc
+         WINDOW w1 AS (PARTITION BY p), w2 AS (w1 ORDER BY o),
+                w3 AS (w2 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+         ORDER BY p, o""").toDF.collect().map(_.getLong(0)).toSeq ==
+      Seq(10L, 30L, 50L, 5L))
+    // an unknown head name passes through (Spark reports it natively)
+    assertThrows[Exception](Table.sessionSql(spark,
+      """SELECT sum(x) OVER (nope ORDER BY o) FROM wc
+         WINDOW w1 AS (PARTITION BY p)""").toDF.collect())
+  }
+
   test("statements without EXCLUDE pass through byte-identical") {
     val q = "SELECT SUM(v) OVER (PARTITION BY p ORDER BY o) AS s FROM wx"
     assert(Dialect.rewriteWindowExclude(q) == q)
@@ -367,13 +415,21 @@ class WindowExcludeSpec extends GraftSuite {
       s"""SELECT SUM(v) OVER w AS a FROM wx
           WINDOW w2 AS ($Frame), w AS w2 ORDER BY a NULLS FIRST""").toDF
     assert(ok.count() == 6)
-    // chained window name + EXCLUDE refuses loudly
-    val e = intercept[IllegalArgumentException](Table.sessionSql(spark,
-      s"""SELECT SUM(v) OVER w AS a FROM wx
+    // chained window name + EXCLUDE RESOLVES since w21: the chain
+    // inlines first, then the EXCLUDE algebra lowers the full spec.
+    // Only tie-free rows assert values (ROWS order among o=2 peers is
+    // engine-nondeterministic): first-of-partition rows exclude their
+    // whole frame (NULL), the post-tie rows see the fixed prefix sum.
+    val ch = Table.sessionSql(spark,
+      s"""SELECT p, o, v, SUM(v) OVER w AS a FROM wx
           WINDOW base AS (PARTITION BY p ORDER BY o),
                  w AS (base ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       EXCLUDE CURRENT ROW)""").toDF.collect())
-    assert(e.getMessage.contains("chains another window name"))
+                       EXCLUDE CURRENT ROW)
+          ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    assert(ch.length == 6)
+    assert(ch(0).isEmpty && ch(5).isEmpty) // partition heads: frame = self
+    assert(ch(3) == Some(60L) && ch(4) == Some(60L))
     // a kept definition referencing a dropped EXCLUDE name refuses too
     val e2 = intercept[IllegalArgumentException](Table.sessionSql(spark,
       s"""SELECT SUM(v) OVER w2 AS a FROM wx
