@@ -8519,6 +8519,51 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM src WHERE ln <= 5 GROUP BY flag ORDER BY flag"""),
 
+    // Partitioned export (io23, COPY ... TO (PARTITION_BY ...)): the
+    // hive-layout twin of io21 — two partition levels (returnflag,
+    // linestatus), key=value directories both engines write
+    // identically; each task writes its partition files (exchange-free
+    // terminal write), downstream scans prune on the keys. The
+    // statement returns the read-back (partition columns recovered from
+    // directory names), a partition-pruned filter rides on it, and the
+    // rollup gates values AND the partition-column recovery; the oracle
+    // is the same rollup straight off the source. A second COPY TO onto
+    // the same path proves the overwrite gate recognizes the nested
+    // partitioned layout as a prior export.
+    "io23_copy_partitioned" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("io23_src")
+        val out = scratchDir(s"io23_${new java.io.File(dir).getName}")
+        graft.api.Table.sessionSql(s,
+          s"""COPY io23_src TO '$out'
+              (FORMAT PARQUET, PARTITION_BY (l_returnflag, l_linestatus))""")
+        // overwrite the export in place: the safety gate must accept the
+        // nested key=value layout (and refuse anything else loudly)
+        graft.api.Table.sessionSql(s,
+          s"""COPY io23_src TO '$out'
+              (FORMAT PARQUET, PARTITION_BY (l_returnflag, l_linestatus))""")
+          .df
+          .filter(col("l_returnflag") =!= "N") // prunes on the hive key
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("l_orderkey")).as("mn"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents,
+                min(l_orderkey) AS mn
+         FROM lineitem
+         WHERE l_orderkey % 19 = 0 AND l_returnflag <> 'N'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""),
+
     // Schema-evolution read (io20): a dataset written in TWO schema
     // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,
     // read back with mergeSchema=true — Spark reconciles the footers

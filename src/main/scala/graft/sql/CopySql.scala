@@ -14,6 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * headerless import maps columns POSITIONALLY into the target schema;
   * headered formats align by NAME.
   *
+  * `PARTITION_BY (col, …)` (io23, export only): hive-layout export —
+  * key=value directories, one level per column, part files at the
+  * leaves; both engines write the identical layout. Downstream scans
+  * prune on the partition keys, and the read-back recovers the
+  * partition columns from the directory names (moved to the END of the
+  * schema — Spark's layout rule).
+  *
   * The format defaults from the path extension (.parquet / .csv / .json
   * / .ndjson) when no FORMAT option is given — DuckDB's rule. Both
   * directions RETURN a table (the u09/u10 statement-form convention):
@@ -47,7 +54,8 @@ object CopySql {
 
   final case class Stmt(ref: String, isSubquery: Boolean, toTarget: Boolean,
                         path: String, format: String,
-                        header: Boolean = true, delimiter: String = ",")
+                        header: Boolean = true, delimiter: String = ",",
+                        partitionBy: Seq[String] = Nil)
 
   import Dialect.{stripLiterals, wordAt, matchParenAt => matchParen,
     skipWsAt => skipWs}
@@ -101,6 +109,7 @@ object CopySql {
     var format = ""
     var header: Option[Boolean] = None
     var delim: Option[String] = None
+    var partitionBy: Seq[String] = Nil
     if (k < m.length && m.charAt(k) == '(') {
       val close = matchParen(m, k)
       // options parse over the RAW slice (a DELIMITER literal is
@@ -130,9 +139,24 @@ object CopySql {
               s"COPY DELIMITER needs a quoted ONE-character value, " +
                 s"got: $v")
             delim = Some(v.substring(1, 2))
+          case "partition_by" =>
+            require(parts.length == 2,
+              "COPY PARTITION_BY needs a column list")
+            val v = parts(1).trim
+            val cols =
+              if (v.startsWith("(")) {
+                require(v.endsWith(")"),
+                  s"unbalanced parens in PARTITION_BY: $v")
+                v.substring(1, v.length - 1).split(",").map(_.trim).toSeq
+              } else Seq(v)
+            cols.foreach(c => require(Dialect.isBareIdentifier(c),
+              s"PARTITION_BY needs bare column names, got: '$c'"))
+            require(cols.distinct.size == cols.size,
+              "duplicate column in PARTITION_BY")
+            partitionBy = cols
           case other => throw new IllegalArgumentException(
-            s"COPY option '$other' is not supported — FORMAT, HEADER " +
-              "and DELIMITER/DELIM/SEP are")
+            s"COPY option '$other' is not supported — FORMAT, HEADER, " +
+              "DELIMITER/DELIM/SEP and PARTITION_BY are")
         }
       }
       k = skipWs(m, close + 1)
@@ -152,8 +176,11 @@ object CopySql {
         "extension) — other formats are not supported")
     require(format == "csv" || (header.isEmpty && delim.isEmpty),
       "HEADER/DELIMITER are CSV options — not valid for " + format)
+    require(toTarget || partitionBy.isEmpty,
+      "PARTITION_BY is an export (COPY ... TO) option — an import " +
+        "discovers the layout from the files")
     Some(Stmt(ref, isSub, toTarget, path, format,
-      header.getOrElse(true), delim.getOrElse(",")))
+      header.getOrElse(true), delim.getOrElse(","), partitionBy))
   }
 
   /** The COPY TO overwrite gate: allow a fresh path, an empty
@@ -177,12 +204,16 @@ object CopySql {
     def exportMarker(n: String): Boolean =
       n == "_SUCCESS" || n == "_temporary" || n.startsWith("part-") ||
         n.startsWith(".part-") || n == "_metadata" || n == "_common_metadata"
+    // a partitioned export nests key=value directories (one level per
+    // PARTITION_BY column) with part files at the leaves — walk them,
+    // depth-capped (a deliberate deep tree should be removed by hand)
+    def partitionedLayout(
+        e: org.apache.hadoop.fs.FileStatus, depth: Int): Boolean =
+      e.isDirectory && depth <= 8 && e.getPath.getName.contains("=") &&
+        fs.listStatus(e.getPath).forall(c =>
+          exportMarker(c.getPath.getName) || partitionedLayout(c, depth + 1))
     val ok = entries.forall { e =>
-      val n = e.getPath.getName
-      exportMarker(n) ||
-        // a partitioned export: key=value dirs holding part files
-        (e.isDirectory && n.contains("=") &&
-          fs.listStatus(e.getPath).forall(c => exportMarker(c.getPath.getName)))
+      exportMarker(e.getPath.getName) || partitionedLayout(e, 1)
     }
     if (!ok) refuse("does not look like a prior export (no _SUCCESS / " +
       "part-* layout)")
@@ -198,18 +229,27 @@ object CopySql {
     if (st.toTarget) {
       val src = resolve(st.ref)
       assertSafeTarget(spark, st.path)
+      // PARTITION_BY: hive-layout export (key=value directories) — the
+      // 100 TB export shape: each task writes its partition files under
+      // the layout, downstream scans prune on the partition keys. The
+      // read-back recovers the partition columns from the directory
+      // names (they move to the END of the schema — Spark's layout
+      // rule; alignment downstream is by NAME).
+      val w0 = src.write.mode("overwrite")
+      val w = if (st.partitionBy.isEmpty) w0
+              else w0.partitionBy(st.partitionBy: _*)
       st.format match {
         case "parquet" =>
-          src.write.mode("overwrite").parquet(st.path)
+          w.parquet(st.path)
           spark.read.parquet(st.path)
         case "csv" =>
-          src.write.mode("overwrite").option("header", st.header.toString)
+          w.option("header", st.header.toString)
             .option("sep", st.delimiter).csv(st.path)
           spark.read.option("header", st.header.toString)
             .option("sep", st.delimiter).option("inferSchema", "true")
             .csv(st.path)
         case "json" =>
-          src.write.mode("overwrite").json(st.path)
+          w.json(st.path)
           spark.read.json(st.path)
       }
     } else {

@@ -160,4 +160,39 @@ class CopySqlSpec extends GraftSuite {
     assert(Table.sessionSql(spark,
       s"COPY copy_guard TO '$dir2' (FORMAT PARQUET)").toDF.count() == 1)
   }
+
+  test("PARTITION_BY (io23): hive layout on disk, partition columns " +
+    "recovered on read-back, overwrite gate accepts the nested layout") {
+    Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 30L))
+      .toDF("k", "p1", "p2", "v").createOrReplaceTempView("copy_part")
+    val dir = tmp("part")
+    val back = Table.sessionSql(spark,
+      s"COPY copy_part TO '$dir' (FORMAT PARQUET, PARTITION_BY (p1, p2))")
+      .toDF
+    // partition columns come back (at the END — Spark's layout rule)
+    assert(back.columns.toSeq == Seq("k", "v", "p1", "p2"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(2),
+      r.getString(3), r.getLong(1))).toSet ==
+      Set((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 30L)))
+    // the layout on disk is the nested key=value tree both engines write
+    assert(new java.io.File(s"$dir/p1=a/p2=y").isDirectory)
+    // a second export onto the same path passes the overwrite gate
+    // (nested partitioned layout recognized as a prior export)
+    assert(Table.sessionSql(spark,
+      s"COPY copy_part TO '$dir' (FORMAT PARQUET, PARTITION_BY (p1, p2))")
+      .toDF.count() == 3)
+    // single-column unparenthesized form
+    val dir2 = tmp("part1")
+    assert(Table.sessionSql(spark,
+      s"COPY copy_part TO '$dir2' (FORMAT PARQUET, PARTITION_BY p1)")
+      .toDF.count() == 3)
+    // refusals: import direction, non-bare column
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      s"COPY copy_part FROM '$dir' (FORMAT PARQUET, PARTITION_BY (p1))"))
+      .getMessage.contains("export"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      s"COPY copy_part TO '${tmp("partbad")}' " +
+        "(FORMAT PARQUET, PARTITION_BY (p1 + 1))"))
+      .getMessage.contains("bare column"))
+  }
 }
