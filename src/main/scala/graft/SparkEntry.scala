@@ -13153,6 +13153,63 @@ object SparkEntry {
          FROM documents d LEFT JOIN pd USING (doc_id)
          ORDER BY d.doc_id"""),
 
+    // Corpus bits-per-byte per source under the KN bigram LM (t33,
+    // [[graft.ops.TextAnalysis.bitsPerByte]]) — the compression-style
+    // eval every LM-data paper reports; the per-source ranking is the
+    // mixing signal. Σ log P is the exact fixed-point corpus sum (t27's
+    // per-doc scores, order-free integer addition); the ONLY float work
+    // is one double chain per source — negate, un-fix, divide by a
+    // shared ln-2 LITERAL (Math.log(2.0) is not guaranteed correctly
+    // rounded; the literal is bit-identical by construction), divide by
+    // the byte total (DuckDB spells octet_length as strlen), round 6 —
+    // mirrored verbatim below. One doc-keyed equi-join + one tiny
+    // source-keyed rollup on top of the t27 aggregations.
+    "t33_bits_per_byte" -> api(
+      (s, dir) => {
+        graft.ops.TextAnalysis.bitsPerByte(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", "source")
+          .orderBy(col("source"))
+      },
+      """WITH s AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                   '\W+'), x -> x <> '') AS toks FROM documents),
+         bg AS (SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+                FROM s, unnest(generate_series(1, len(toks) - 1)) u(i)),
+         c2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         ctx AS (SELECT a, CAST(sum(c2) AS BIGINT) AS c1,
+                        count(*) AS n1f FROM c2 GROUP BY a),
+         cont AS (SELECT b, count(*) AS n1b FROM c2 GROUP BY b),
+         nbi AS (SELECT count(*) AS nbi FROM c2),
+         sc AS (SELECT doc_id,
+                  CAST(round(ln(
+                    greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0)
+                      / CAST(ctx.c1 AS DOUBLE)
+                    + 0.75 * CAST(ctx.n1f AS DOUBLE)
+                      / CAST(ctx.c1 AS DOUBLE)
+                      * (CAST(cont.n1b AS DOUBLE)
+                         / CAST(nbi.nbi AS DOUBLE))) * 1e6)
+                    AS BIGINT) AS fp
+                FROM bg JOIN c2 USING (a, b) JOIN ctx USING (a)
+                        JOIN cont USING (b), nbi),
+         pd AS (SELECT doc_id, count(*) AS nb,
+                       CAST(sum(fp) AS BIGINT) AS sf
+                FROM sc GROUP BY doc_id),
+         m AS (SELECT d.doc_id, d.source,
+                      CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS bytes,
+                      coalesce(pd.nb, 0) AS nb, coalesce(pd.sf, 0) AS sf
+               FROM documents d LEFT JOIN pd USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(nb) AS BIGINT) AS n_bigrams,
+                CAST(-sum(sf) AS BIGINT) AS neg_logprob_fp,
+                CAST(sum(bytes) AS BIGINT) AS n_bytes,
+                CASE WHEN sum(bytes) = 0 THEN NULL
+                     ELSE round(CAST(-sum(sf) AS DOUBLE) / 1e6
+                                / 0.6931471805599453
+                                / CAST(sum(bytes) AS DOUBLE), 6)
+                END AS bpb
+         FROM m GROUP BY source ORDER BY source"""),
+
     // RAKE keyword extraction (TextAnalysis.rakeKeywords, t26): top-20
     // corpus keywords by degree/frequency phrase scores — candidate
     // phrases are maximal runs between stopwords/punctuation, per-word

@@ -915,6 +915,52 @@ object TextAnalysis {
     perDocFpSum(df, scored, idCol, "kn_score_fp")
   }
 
+  /** ln 2 as an exact double LITERAL, mirrored verbatim in every oracle
+    * text — Math.log(2.0) is not guaranteed correctly rounded, a
+    * shared literal is bit-identical by construction.
+    */
+  val Ln2 = 0.6931471805599453
+
+  /** Corpus bits-per-byte under the Kneser–Ney bigram LM (t33) — the
+    * compression-style eval every LM-data paper reports: per group
+    * (e.g. source),
+    *
+    *   bpb = (−Σ log P) / ln 2 / Σ bytes
+    *
+    * where Σ log P is the EXACT fixed-point corpus sum of the
+    * [[knBigramScore]] per-doc scores (order-free integer addition) and
+    * bytes = octet_length of the raw text. The only float work is ONE
+    * double chain per output group — negate, un-fix, divide by the
+    * [[Ln2]] literal, divide by bytes, round to 6 — mirrored verbatim
+    * by the oracle. Lower bpb = the corpus the LM compresses best
+    * (in-domain / repetitive); the per-source ranking is the mixing
+    * signal.
+    *
+    * Scale shape: the scorer's aggregations (vocabulary-shaped) + one
+    * doc-keyed equi-join + ONE tiny group-keyed rollup; nothing
+    * corpus-sized reaches the driver. Output: (groupCol, n_docs,
+    * n_bigrams, neg_logprob_fp, n_bytes, bpb).
+    */
+  def bitsPerByte(df: DataFrame, idCol: String, textCol: String,
+                  groupCol: String): DataFrame = {
+    val scored = knBigramScore(df, idCol, textCol)
+    val meta = df.select(col(idCol), col(groupCol),
+      octet_length(coalesce(col(textCol), lit(""))).cast("long")
+        .as("__bytes"))
+    meta.join(scored, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        (-sum(col("kn_score_fp"))).as("neg_logprob_fp"),
+        sum(col("__bytes")).as("n_bytes"))
+      .select(col(groupCol), col("n_docs"), col("n_bigrams"),
+        col("neg_logprob_fp"), col("n_bytes"),
+        when(col("n_bytes") === 0, lit(null))
+          .otherwise(round(
+            col("neg_logprob_fp").cast("double") / 1e6 / lit(Ln2) /
+              col("n_bytes").cast("double"), 6)).as("bpb"))
+  }
+
   /** Sliding-window token chunking (RAG/pretraining shape): tokenize,
     * then emit one chunk per `stride` starting offset, `size` tokens
     * long (the final chunks truncate at the document end; overlap =

@@ -1745,6 +1745,30 @@ class OpsSpec extends GraftSuite {
     assert(got(4L) == ((0L, 0L)), "null doc stays represented at 0")
   }
 
+  test("bitsPerByte (t33): exact fixed-point rollup, ln-2 literal " +
+      "chain, zero-byte group yields NULL bpb") {
+    val fixture = Seq(
+      (1L, "a b a b", "s1"), (2L, "a b a b", "s1"),
+      (3L, "a b c", "s2"),
+      (4L, null.asInstanceOf[String], "s0"), (5L, "", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bitsPerByte(fixture, "doc_id", "text", "source")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), Option(r.get(5)))).toSeq
+    // s0: two empty docs -> 0 bigrams, 0 bytes -> NULL bpb (guarded)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq(("s0", 2L, 0L, 0L), ("s1", 2L, 6L, 14L), ("s2", 1L, 2L, 5L)))
+    assert(got.head._5.isEmpty, "zero-byte group must yield NULL bpb")
+    // s1's bpb re-derived by hand through the SAME double chain
+    val negFp = -TextAnalysis.knBigramScore(fixture, "doc_id", "text")
+      .filter(col("doc_id") <= 2).agg(sum(col("kn_score_fp")))
+      .collect().head.getLong(0)
+    val want = BigDecimal(negFp.toDouble / 1e6 / TextAnalysis.Ln2 / 14.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1)._5.contains(want))
+  }
+
   test("temperatureSample keeps the smallest source whole, others at (nmin/n)^0.5") {
     val small = (0L until 100L).map(i => (i, "s")).toDF("id", "src")
     val large = (100L until 500L).map(i => (i, "l")).toDF("id", "src")
