@@ -8564,6 +8564,36 @@ object SparkEntry {
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus"""),
 
+    // DuckDB's file-reading FROM forms (io24, [[graft.sql
+    // .FileReadSql]]): read_parquet('p') / read_csv('p') table
+    // functions and the bare FROM '<path>' literal, each binding a
+    // statement-scoped lazy reader view (pruning/pushdown reach the
+    // file scan — the io01-io04 shape at the SQL surface). The chain:
+    // COPY exports a CSV slice whose source is itself a read_parquet()
+    // call (the COPY subquery re-enters the session pipeline), then one
+    // statement joins read_csv() of that export against a bare-literal
+    // parquet join target. The oracle is the same join over the bound
+    // tables — proving the file forms read exactly the table contents.
+    "io24_file_read_sql" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val out = scratchDir(s"io24_${new java.io.File(dir).getName}") +
+          ".csv"
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT n_nationkey, n_name, n_regionkey
+                    FROM read_parquet('$dir/nation.parquet'))
+              TO '$out' (FORMAT CSV)""")
+        graft.api.Table.sessionSql(s,
+          s"""SELECT r.r_name, count(*) AS n, min(c.n_name) AS mn
+              FROM read_csv('$out') c
+              JOIN '$dir/region.parquet' r
+                ON c.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name ORDER BY r.r_name""").toDF
+      },
+      """SELECT r.r_name, count(*) AS n, min(n.n_name) AS mn
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name"""),
+
     // Schema-evolution read (io20): a dataset written in TWO schema
     // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,
     // read back with mergeSchema=true — Spark reconciles the footers

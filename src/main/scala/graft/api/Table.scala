@@ -500,6 +500,31 @@ object Table {
         return apply(graft.sql.CopySql.run(spark, st, resolveRef))
       case None =>
     }
+    // DuckDB's file-reading FROM forms (io24): read_parquet('p') /
+    // read_csv('p', …) / read_json('p') table functions and bare
+    // FROM '<path>' literals bind as statement-scoped views (unique
+    // names, dropped after — the analyzed plan inlines the lazy reader,
+    // so pruning/pushdown reach the file scan). Runs AFTER the COPY
+    // dispatch: COPY's own path literals never reach this pass. DML /
+    // CTE / DDL sources compose for free — their SELECT texts re-enter
+    // this method through their resolver callbacks.
+    graft.sql.FileReadSql.rewrite(qr) match {
+      case Some((rewritten, binds)) =>
+        try {
+          binds.foreach { b =>
+            val df = b.kind match {
+              case "parquet" => spark.read.parquet(b.path)
+              case "csv" => spark.read.option("header", b.header.toString)
+                .option("sep", b.delim).option("inferSchema", "true")
+                .csv(b.path)
+              case _ => spark.read.json(b.path)
+            }
+            bindLock.synchronized { df.createOrReplaceTempView(b.view) }
+          }
+          return sessionSql(spark, rewritten)
+        } finally binds.foreach(b => spark.catalog.dropTempView(b.view))
+      case None =>
+    }
     graft.sql.PivotSql.parsePivot(qr) match {
       case Some(p) => return apply(graft.sql.PivotSql.runPivot(spark, p,
         resolveRef, runStmtTail(spark, _, _)))

@@ -504,6 +504,28 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
           Dialect.stripLiterals(a) == Dialect.stripLiterals(b)
         }
     }
+
+  // the round-17 window passes (w18 DISTINCT lowering, w20 FILTER fold,
+  // w21 chained-window inlining) obey the same masked-content contract
+  private def maskedInvariant(f: String => String) =
+    forAll(qAndSalt) { case (q, salt) =>
+      val j = junked(q, salt)
+      val rq = scala.util.Try(f(q))
+      val rj = scala.util.Try(f(j))
+      rq.isSuccess == rj.isSuccess && rq.toOption.zip(rj.toOption)
+        .forall { case (a, b) =>
+          Dialect.stripLiterals(a) == Dialect.stripLiterals(b)
+        }
+    }
+
+  property("DISTINCT-window rewrite is identical outside masked regions") =
+    maskedInvariant(Dialect.rewriteDistinctWindow)
+
+  property("window-FILTER fold is identical outside masked regions") =
+    maskedInvariant(Dialect.rewriteWindowFilter)
+
+  property("chained-window inlining is identical outside masked regions") =
+    maskedInvariant(Dialect.inlineChainedWindows)
 }
 
 /** Model-based property for the as-of join family (rewritten to the

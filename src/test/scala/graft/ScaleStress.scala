@@ -82,7 +82,14 @@ object ScaleStress {
     // min/max EXCLUDE (three windows, ONE exchange), and the COPY
     // round-trip chain (terminal writes + pruned re-scans)
     "u13_correlated_dml", "gr11_multi_recursion",
-    "w16_minmax_exclude_group", "io22_copy_from")
+    "w16_minmax_exclude_group", "io22_copy_from",
+    // round 17b: hard-negative mining (pairs broadcast, corpus map-side,
+    // shuffle ∝ k·pairs), DISTINCT-count windows (per-row collect ∝
+    // frame — bounded frames stay O(frame)), the bits-per-byte rollup
+    // (t27's vocabulary-shaped aggs + one group rollup), and the
+    // partitioned export (terminal exchange-free write, pruned re-scan)
+    "s20_hard_negatives", "w18_count_distinct_window",
+    "t33_bits_per_byte", "io23_copy_partitioned")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
