@@ -1134,6 +1134,10 @@ object Dialect {
     * anything else refuses loudly.
     */
   def rewriteWindowFilter(sql: String): String = {
+    // cheap pre-test: no FILTER or no OVER anywhere → nothing to do
+    val pre = stripLiterals(sql)
+    if (findAnyDepthKeyword(pre, "filter") < 0 ||
+      findAnyDepthKeyword(pre, "over") < 0) return sql
     var cur = sql
     var guard = 0
     var more = true
@@ -1250,6 +1254,10 @@ object Dialect {
     * evaluation pays in any engine).
     */
   def rewriteDistinctWindow(sql: String): String = {
+    // cheap pre-test: no DISTINCT or no OVER anywhere → nothing to do
+    val pre = stripLiterals(sql)
+    if (findAnyDepthKeyword(pre, "distinct") < 0 ||
+      findAnyDepthKeyword(pre, "over") < 0) return sql
     var cur = sql
     var guard = 0
     var more = true
