@@ -5376,9 +5376,12 @@ object SparkEntry {
     // DISTINCT window aggregates (w18, [[graft.sql.Dialect
     // .rewriteDistinctWindow]] + the COUNT branch of the EXCLUDE
     // algebra): Spark refuses DISTINCT window functions natively;
-    // COUNT(DISTINCT) lowers onto size(array_distinct(collect_list OVER
-    // the same spec)) — NULL-skipping, empty-frame and BIGINT semantics
-    // all line up with DuckDB's native evaluation (probed). The five
+    // COUNT(DISTINCT) lowers onto size(collect_set OVER the same spec)
+    // — NULL-skipping, empty-frame and BIGINT semantics all line up
+    // with DuckDB's native evaluation (probed); the set dedups inside
+    // the aggregation buffer so unbounded frames stay O(partition), and
+    // the whole-partition EXCLUDE CURRENT ROW arm is pure counting
+    // algebra (no per-row collect at all). The five
     // arms pin: whole partition, bounded ROWS frame, EXCLUDE CURRENT
     // ROW (before/after collect split), FILTER folded inside the
     // DISTINCT, and EXCLUDE TIES (GROUPS split + typed self singleton).
@@ -7153,6 +7156,39 @@ object SparkEntry {
                 FROM g WHERE FALSE)
          SELECT * FROM fl UNION ALL SELECT * FROM tr ORDER BY arm"""),
 
+    // DROP TABLE/VIEW + ALTER TABLE surgery (u18, [[graft.sql.DdlSql
+    // .parseDrop]]/[[graft.sql.DdlSql.parseAlter]]): the catalog-DDL
+    // completion — DROP [IF EXISTS] unbinds, ALTER re-binds the
+    // immutable frame derived per the action (RENAME TO / RENAME
+    // COLUMN / ADD COLUMN with NULL backfill / DROP COLUMN). The chain
+    // proves each action composes with DML on the altered frame
+    // (UPDATE fills the added column) and repeat runs exercise the real
+    // DROP (the leading IF EXISTS is a no-op only on the first pass).
+    // The oracle rebuilds the final shape straight off nation.
+    "u18_drop_alter" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/nation.parquet")
+          .createOrReplaceTempView("nation")
+        def ss(q: String) = graft.api.Table.sessionSql(s, q)
+        ss("DROP TABLE IF EXISTS u18_final")
+        ss("""CREATE OR REPLACE TEMP TABLE u18_t AS
+              SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+              FROM nation""")
+        ss("ALTER TABLE u18_t ADD COLUMN score BIGINT")
+        ss("UPDATE u18_t SET score = k * 10 WHERE r <= 2").df
+          .createOrReplaceTempView("u18_t")
+        ss("ALTER TABLE u18_t RENAME COLUMN name TO nation_name")
+        ss("ALTER TABLE u18_t DROP COLUMN r")
+        ss("ALTER TABLE u18_t RENAME TO u18_final")
+        ss("""SELECT k, nation_name, score FROM u18_final
+              ORDER BY k""").df
+      },
+      """SELECT n_nationkey AS k, n_name AS nation_name,
+                CASE WHEN n_regionkey <= 2
+                     THEN CAST(n_nationkey * 10 AS BIGINT) END AS score
+         FROM nation ORDER BY k"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)
@@ -7821,16 +7857,18 @@ object SparkEntry {
     // Several independent recursions in ONE WITH RECURSIVE (gr11):
     // they drain SEQUENTIALLY in textual order, each closure binding
     // before the next starts — here the second traversal SEEDS from the
-    // first's drained closure (its far edge starts a DEPTH-CAPPED walk:
-    // the single-seed orbit of a functional graph has diameter ∝ N, so
-    // an uncapped second recursion would need rounds ∝ corpus size —
-    // the depth column bounds it at 40 rounds at ANY scale, the
-    // recursion shape that survives a 100× corpus), the helper edge
-    // tables feed both, and the outer statement joins both closures.
-    // Same text on both engines (DuckDB executes multiple recursive
-    // CTEs natively, probed). Mutual/forward recursion stays a loud
-    // refusal — sequential drains are the shape that scales (one
-    // frontier loop at a time, lineage cut per round).
+    // first's drained closure, the helper edge tables feed both, and
+    // the outer statement joins both closures. BOTH recursions are
+    // DEPTH-CAPPED (d < 16 / d < 24): a functional graph's orbits have
+    // diameter ∝ N, so an uncapped drain needs rounds ∝ corpus size —
+    // measured 65 s at sf0.1 (≈400 rounds: max seed gap along the orbit
+    // is (N/k)·ln k) before the cap; hop-bounded traversal is the
+    // recursion shape that survives a 100× corpus (rounds fixed by the
+    // cap, per-round work ∝ frontier). Same text on both engines
+    // (DuckDB executes multiple recursive CTEs natively, probed).
+    // Mutual/forward recursion stays a loud refusal — sequential drains
+    // are the shape that scales (one frontier loop at a time, lineage
+    // cut per round).
     "gr11_multi_recursion" -> multiSession(Seq("documents"),
       """WITH RECURSIVE
          e7(src, dst) AS (
@@ -7843,23 +7881,25 @@ object SparkEntry {
                   CAST((doc_id * 13 + 3) %
                        (SELECT count(*) FROM documents) AS BIGINT)
            FROM documents),
-         reach7(id) AS (
-           SELECT CAST(doc_id AS BIGINT) FROM documents
+         reach7(id, d) AS (
+           SELECT CAST(doc_id AS BIGINT), 0 FROM documents
            WHERE doc_id % 103 = 0
            UNION
-           SELECT e7.dst FROM reach7 r JOIN e7 ON e7.src = r.id),
+           SELECT e7.dst, r.d + 1 FROM reach7 r
+           JOIN e7 ON e7.src = r.id WHERE r.d < 16),
          walk13(id, d) AS (
            SELECT max(id), 0 FROM reach7
            UNION
            SELECT e13.dst, r.d + 1 FROM walk13 r
-           JOIN e13 ON e13.src = r.id WHERE r.d < 40)
-         SELECT (SELECT count(*) FROM reach7) AS n7,
-                (SELECT CAST(sum(id) AS BIGINT) FROM reach7) AS s7,
+           JOIN e13 ON e13.src = r.id WHERE r.d < 24)
+         SELECT (SELECT count(DISTINCT id) FROM reach7) AS n7,
+                (SELECT CAST(sum(id) AS BIGINT)
+                 FROM (SELECT DISTINCT id FROM reach7) v) AS s7,
                 (SELECT count(DISTINCT id) FROM walk13) AS n13,
                 (SELECT CAST(sum(id) AS BIGINT)
                  FROM (SELECT DISTINCT id FROM walk13) u) AS s13,
                 count(*) AS n_both
-         FROM reach7 r7
+         FROM (SELECT DISTINCT id FROM reach7) r7
          JOIN (SELECT DISTINCT id FROM walk13) r13 ON r7.id = r13.id"""),
 
     // graph analytics in the d08 loop discipline (per-iteration keyed

@@ -492,6 +492,16 @@ object Table {
           s => sessionSql(spark, s).df))
       case None =>
     }
+    // DROP TABLE|VIEW and ALTER TABLE (u18) — session-binding surgery;
+    // other DROP/ALTER forms keep Spark's native path
+    graft.sql.DdlSql.parseDrop(qr) match {
+      case Some(st) => return apply(graft.sql.DdlSql.runDrop(spark, st))
+      case None =>
+    }
+    graft.sql.DdlSql.parseAlter(qr) match {
+      case Some(st) => return apply(graft.sql.DdlSql.runAlter(spark, st))
+      case None =>
+    }
     // COPY … TO '<path>' (io21) — export + read-back (the returned
     // frame is the written dataset, proving the round-trip) — and
     // COPY … FROM '<path>' (io22) — import appended into the target

@@ -178,4 +178,179 @@ object DdlSql {
     bound.createOrReplaceTempView(st.name)
     bound
   }
+
+  // ---------------------------------------------------------------- u18
+
+  /** `DROP TABLE|VIEW [IF EXISTS] name` — unbinds the session view.
+    * Frames are immutable and the session catalog holds only view
+    * bindings, so TABLE and VIEW both drop the binding (a TABLE/VIEW
+    * type mismatch cannot be detected here — documented divergence
+    * from engines with a typed catalog). Other DROP forms (FUNCTION,
+    * SCHEMA, …) keep Spark's native path.
+    */
+  final case class Drop(ifExists: Boolean, name: String)
+
+  def parseDrop(sql: String): Option[Drop] = {
+    val m = stripLiterals(sql)
+    var i = skipWs(m, 0)
+    if (!wordAt(m, i, "drop")) return None
+    i = skipWs(m, i + 4)
+    if (wordAt(m, i, "table")) i = skipWs(m, i + 5)
+    else if (wordAt(m, i, "view")) i = skipWs(m, i + 4)
+    else return None
+    var ifExists = false
+    if (wordAt(m, i, "if")) {
+      val j = skipWs(m, i + 2)
+      require(wordAt(m, j, "exists"), "malformed DROP … IF (EXISTS?)")
+      ifExists = true
+      i = skipWs(m, j + 6)
+    }
+    val (name, after) = ident(sql, m, i, "DROP")
+    require(skipWs(m, after) >= m.length,
+      s"unexpected text after DROP $name: " +
+        s"${sql.substring(after).trim.take(40)}")
+    Some(Drop(ifExists, name))
+  }
+
+  /** `ALTER TABLE name <action>` — frame-level schema surgery on the
+    * session binding (frames are immutable: each action re-binds the
+    * name to a derived frame):
+    *
+    *   RENAME TO new_name          — re-bind under the new name
+    *   RENAME COLUMN a TO b        — withColumnRenamed
+    *   ADD COLUMN c TYPE           — NULL-backfilled typed column
+    *                                 (NOT NULL refuses: existing rows
+    *                                 have no value — DuckDB's own rule
+    *                                 without a DEFAULT)
+    *   DROP COLUMN c               — project the column away
+    */
+  final case class Alter(name: String, action: AlterAction)
+  sealed trait AlterAction
+  final case class RenameTable(to: String) extends AlterAction
+  final case class RenameColumn(from: String, to: String) extends AlterAction
+  final case class AddColumn(col: String, tpe: String) extends AlterAction
+  final case class DropColumn(col: String) extends AlterAction
+
+  private def ident(sql: String, m: String, at: Int,
+                    what: String): (String, Int) = {
+    var i = at
+    while (i < m.length &&
+      (m.charAt(i).isLetterOrDigit || m.charAt(i) == '_')) i += 1
+    val name = sql.substring(at, i)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      (i >= m.length || (m.charAt(i) != '.' && sql.charAt(i) != '`')),
+      s"$what needs a plain session view name, got: " +
+        s"'${sql.substring(at).trim.take(30)}'")
+    (name, i)
+  }
+
+  def parseAlter(sql: String): Option[Alter] = {
+    val m = stripLiterals(sql)
+    var i = skipWs(m, 0)
+    if (!wordAt(m, i, "alter")) return None
+    i = skipWs(m, i + 5)
+    require(wordAt(m, i, "table"),
+      "only ALTER TABLE is supported — ALTER VIEW re-binds via CREATE " +
+        "OR REPLACE VIEW")
+    i = skipWs(m, i + 5)
+    val (name, afterName) = ident(sql, m, i, "ALTER TABLE")
+    i = skipWs(m, afterName)
+    val action: (AlterAction, Int) =
+      if (wordAt(m, i, "rename")) {
+        val j = skipWs(m, i + 6)
+        if (wordAt(m, j, "to")) {
+          val (to, a) = ident(sql, m, skipWs(m, j + 2), "RENAME TO")
+          (RenameTable(to), a)
+        } else {
+          require(wordAt(m, j, "column"),
+            "malformed ALTER TABLE … RENAME (TO name | COLUMN a TO b)")
+          val (from, a1) = ident(sql, m, skipWs(m, j + 6), "RENAME COLUMN")
+          val t = skipWs(m, a1)
+          require(wordAt(m, t, "to"), "RENAME COLUMN a TO b needs TO")
+          val (to, a2) = ident(sql, m, skipWs(m, t + 2), "RENAME COLUMN")
+          (RenameColumn(from, to), a2)
+        }
+      } else if (wordAt(m, i, "add")) {
+        var j = skipWs(m, i + 3)
+        if (wordAt(m, j, "column")) j = skipWs(m, j + 6)
+        val (colName, a1) = ident(sql, m, j, "ADD COLUMN")
+        val tpe = sql.substring(a1).trim
+        require(tpe.nonEmpty, s"ADD COLUMN $colName needs a type")
+        require(!tpe.toLowerCase.matches(
+          ".*\\b(not\\s+null|primary|unique|default|check)\\b.*"),
+          s"ADD COLUMN $colName: constraints are not supported — " +
+            "existing rows have no value for a NOT NULL/DEFAULT column")
+        (AddColumn(colName, tpe), sql.length)
+      } else if (wordAt(m, i, "drop")) {
+        var j = skipWs(m, i + 4)
+        if (wordAt(m, j, "column")) j = skipWs(m, j + 6)
+        val (colName, a1) = ident(sql, m, j, "DROP COLUMN")
+        (DropColumn(colName), a1)
+      } else throw new IllegalArgumentException(
+        "ALTER TABLE supports RENAME TO / RENAME COLUMN / ADD COLUMN / " +
+          s"DROP COLUMN — got: ${sql.substring(i).trim.take(40)}")
+    require(skipWs(m, action._2.min(sql.length)) >= m.length,
+      s"unexpected text after ALTER TABLE: " +
+        s"${sql.substring(action._2.min(sql.length)).trim.take(40)}")
+    Some(Alter(name, action._1))
+  }
+
+  /** Execute DROP: returns the dropped table's EMPTY shape (the data is
+    * gone — the post-statement-table convention). Unknown name: IF
+    * EXISTS returns an empty 0-column frame, otherwise refuses loudly.
+    */
+  def runDrop(spark: SparkSession, st: Drop): DataFrame = {
+    if (!spark.catalog.tableExists(st.name)) {
+      require(st.ifExists,
+        s"cannot DROP '${st.name}': no such session table/view — " +
+          "add IF EXISTS to make this a no-op")
+      return spark.emptyDataFrame
+    }
+    val shape = spark.table(st.name).limit(0).localCheckpoint(true)
+    spark.catalog.dropTempView(st.name)
+    shape
+  }
+
+  /** Execute ALTER: re-binds the (immutable) frame derived per the
+    * action and returns it.
+    */
+  def runAlter(spark: SparkSession, st: Alter): DataFrame = {
+    require(spark.catalog.tableExists(st.name),
+      s"cannot ALTER '${st.name}': no such session table/view")
+    val cur = spark.table(st.name)
+    def requireCol(c: String): String =
+      cur.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE ${st.name}: no column '$c' " +
+            s"(has: ${cur.columns.mkString(", ")})"))
+    import org.apache.spark.sql.functions.{col, lit}
+    st.action match {
+      case RenameTable(to) =>
+        require(!spark.catalog.tableExists(to),
+          s"cannot RENAME TO '$to': name already bound")
+        cur.createOrReplaceTempView(to)
+        spark.catalog.dropTempView(st.name)
+        cur
+      case RenameColumn(from, to) =>
+        val f = requireCol(from)
+        require(!cur.columns.exists(_.equalsIgnoreCase(to)),
+          s"RENAME COLUMN: '$to' already exists")
+        val next = cur.withColumnRenamed(f, to)
+        next.createOrReplaceTempView(st.name)
+        next
+      case AddColumn(c, tpe) =>
+        require(!cur.columns.exists(_.equalsIgnoreCase(c)),
+          s"ADD COLUMN: '$c' already exists")
+        val next = cur.withColumn(c, lit(null).cast(sparkType(tpe)))
+        next.createOrReplaceTempView(st.name)
+        next
+      case DropColumn(c) =>
+        val f = requireCol(c)
+        require(cur.columns.length > 1,
+          "DROP COLUMN would leave a zero-column table")
+        val next = cur.drop(col(f))
+        next.createOrReplaceTempView(st.name)
+        next
+    }
+  }
 }

@@ -1239,9 +1239,11 @@ object Dialect {
   /** w18: DISTINCT aggregates over a window. Spark refuses them
     * natively ("Distinct window functions are not supported"); DuckDB
     * runs them. COUNT(DISTINCT x) OVER (spec) lowers exactly onto
-    * CAST(size(array_distinct(collect_list(x) OVER (spec))) AS BIGINT):
-    * collect_list skips NULLs like COUNT DISTINCT does, an empty frame
-    * collects an empty array (size 0 = the empty count), the spec
+    * CAST(size(collect_set(x) OVER (spec)) AS BIGINT): collect_set
+    * skips NULLs like COUNT DISTINCT does and dedups INSIDE the
+    * aggregation buffer (Spark's incremental frame processors stay
+    * O(partition); a per-row array_distinct would be O(n²) there), an
+    * empty frame collects an empty set (size 0 = the empty count), the spec
     * passes through verbatim (named-window references included), and
     * the result type matches DuckDB's BIGINT. Non-COUNT DISTINCT window
     * aggregates refuse loudly — a SUM/AVG re-fold over the collected
@@ -1326,9 +1328,16 @@ object Dialect {
                     z - 1
                   }
                 val overText = cur.substring(k, overEnd + 1)
+                // collect_SET, not collect_list + array_distinct: the
+                // set dedups INSIDE the aggregation buffer, so Spark's
+                // incremental frame processors stay O(partition) and the
+                // per-row projection is a constant-time size() — the
+                // list variant re-deduplicated an O(frame) array per
+                // row (O(n²) per partition on unbounded frames; 220 s
+                // on the sf0.1 bench before this change)
                 cur = cur.substring(0, fs) +
-                  s"CAST(size(array_distinct(collect_list($arg) OVER " +
-                  s"$overText)) AS BIGINT)" + cur.substring(overEnd + 1)
+                  s"CAST(size(collect_set($arg) OVER " +
+                  s"$overText) AS BIGINT)" + cur.substring(overEnd + 1)
                 more = true
               }
             }
@@ -2065,22 +2074,27 @@ object Dialect {
   /** w18: COUNT(DISTINCT x) under EXCLUDE — subtraction algebra cannot
     * remove a value that also occurs elsewhere in the frame, so the
     * frame splits into its before/after slices (w15's shape), each
-    * slice COLLECTS its values (collect_list skips NULLs exactly like
-    * COUNT DISTINCT; an empty slice collects an empty array), and the
+    * slice COLLECTS its value set (collect_set skips NULLs exactly like
+    * COUNT DISTINCT; an empty slice collects an empty set), and the
     * distinct count is the size of the deduplicated concatenation —
     * exact for any element type, no float re-fold involved. TIES adds
     * the current row's own value back as a typed singleton (empty when
     * NULL). Frame-bound validation is shared with min/max
     * ([[excludeRowBounds]]/[[excludeGroupBounds]]); the emitted GROUPS
-    * specs lower through [[rewriteGroupsFrames]] afterwards. Cost: the
-    * per-row array materializes the frame slice — bounded frames stay
-    * O(frame), unbounded frames are O(partition) per row, the same
-    * memory shape DuckDB's naive DISTINCT window evaluation pays.
+    * specs lower through [[rewriteGroupsFrames]] afterwards. Cost:
+    * bounded slices are O(frame) per row; slices anchored at UNBOUNDED
+    * PRECEDING ride Spark's incremental frame processor (O(partition)
+    * total); the whole-partition EXCLUDE CURRENT ROW shape skips the
+    * split entirely for pure counting algebra (see the branch).
     */
   private def countDistinctExclude(arg: String, po: String,
                                    frameText: String, kind: String,
                                    orderPresent: Boolean): String = {
     val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
+    // collect_SET in every slice (dedup inside the aggregation buffer —
+    // see rewriteDistinctWindow's cost note); concat of two sets can
+    // still repeat a value across the sides, so the combiner keeps one
+    // array_distinct over the (already small) set concatenation
     def emit(parts: Seq[String]): String = parts match {
       case Nil => "CAST(0 AS BIGINT)" // the exclusion ate the whole frame
       case Seq(p) => s"CAST(size(array_distinct($p)) AS BIGINT)"
@@ -2090,13 +2104,26 @@ object Dialect {
     if (kind == "current") {
       val (start, end) =
         excludeRowBounds("count(DISTINCT)", t, frameText, orderPresent)
+      if (start == "unbounded preceding" && end == "unbounded following") {
+        // whole-partition frame: pure counting algebra, no split — the
+        // distinct count drops by exactly 1 iff the current row's value
+        // occurs ONCE in the partition (count over the value-keyed
+        // partition is an O(n) window, where an after-slice collect
+        // would re-aggregate per row, O(n²) per partition)
+        val pOnly = partitionOnly(po)
+        val keyed =
+          if (pOnly.isEmpty) s"PARTITION BY ($arg)" else s"$pOnly, ($arg)"
+        return s"CAST((size(collect_set($arg) OVER ($pOnly)) - " +
+          s"(CASE WHEN ($arg) IS NOT NULL AND count($arg) OVER " +
+          s"($keyed) = 1 THEN 1 ELSE 0 END)) AS BIGINT)"
+      }
       val before =
         if (start == "current row") None
-        else Some(s"collect_list($arg) OVER ($po ROWS BETWEEN $start " +
+        else Some(s"collect_set($arg) OVER ($po ROWS BETWEEN $start " +
           "AND 1 PRECEDING)")
       val after =
         if (end == "current row") None
-        else Some(s"collect_list($arg) OVER ($po ROWS BETWEEN 1 " +
+        else Some(s"collect_set($arg) OVER ($po ROWS BETWEEN 1 " +
           s"FOLLOWING AND $end)")
       emit(Seq(before, after).flatten)
     } else { // group | ties
@@ -2104,11 +2131,11 @@ object Dialect {
         kind, orderPresent)
       val before =
         if (gs == "current row") None
-        else Some(s"collect_list($arg) OVER ($po GROUPS BETWEEN $gs " +
+        else Some(s"collect_set($arg) OVER ($po GROUPS BETWEEN $gs " +
           "AND 1 PRECEDING)")
       val after =
         if (ge == "current row") None
-        else Some(s"collect_list($arg) OVER ($po GROUPS BETWEEN 1 " +
+        else Some(s"collect_set($arg) OVER ($po GROUPS BETWEEN 1 " +
           s"FOLLOWING AND $ge)")
       val self =
         if (kind == "ties") Seq(s"filter(array($arg), __w18v -> __w18v " +
@@ -2116,6 +2143,14 @@ object Dialect {
         else Nil
       emit(Seq(before, after).flatten ++ self)
     }
+  }
+
+  /** The partition clause of a window spec, ORDER BY stripped (empty
+    * when the spec has neither).
+    */
+  private def partitionOnly(po: String): String = {
+    val ob = findTopLevelKeywordIn(stripLiterals(po), 0, "order")
+    (if (ob < 0) po else po.substring(0, ob)).trim
   }
 
   /** Refuse frames that may not contain the slice EXCLUDE subtracts.

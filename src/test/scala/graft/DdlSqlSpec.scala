@@ -147,4 +147,55 @@ class DdlSqlSpec extends GraftSuite {
       "CREATE TABLE ddl_bad (k FANCYTYPE)")).getMessage
       .contains("unsupported column type"))
   }
+
+  test("DROP TABLE/VIEW (u18): unbinds, IF EXISTS no-op, missing name " +
+    "refuses; returns the dropped table's empty shape") {
+    Table.sessionSql(spark,
+      "CREATE OR REPLACE TEMP TABLE u18d AS SELECT 1 AS k, 'a' AS s")
+    val shape = Table.sessionSql(spark, "DROP TABLE u18d").toDF
+    assert(shape.columns.toSeq == Seq("k", "s") && shape.count() == 0)
+    assert(!spark.catalog.tableExists("u18d"))
+    // IF EXISTS on a missing name: clean no-op
+    assert(Table.sessionSql(spark, "DROP VIEW IF EXISTS u18d").toDF
+      .columns.isEmpty)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "DROP TABLE u18d")).getMessage.contains("IF EXISTS"))
+    // other DROP forms keep the native path (loud Spark error, not ours)
+    assert(graft.sql.DdlSql.parseDrop("DROP FUNCTION f").isEmpty)
+  }
+
+  test("ALTER TABLE (u18): rename table/column, add/drop column; " +
+    "refusals for constraints, clashes, unknown columns") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("k", "s")
+      .createOrReplaceTempView("u18a")
+    Table.sessionSql(spark, "ALTER TABLE u18a ADD COLUMN v BIGINT")
+    assert(spark.table("u18a").columns.toSeq == Seq("k", "s", "v"))
+    assert(spark.table("u18a").filter("v IS NULL").count() == 2)
+    Table.sessionSql(spark, "ALTER TABLE u18a RENAME COLUMN s TO label")
+    assert(spark.table("u18a").columns.toSeq == Seq("k", "label", "v"))
+    Table.sessionSql(spark, "ALTER TABLE u18a DROP COLUMN v")
+    assert(spark.table("u18a").columns.toSeq == Seq("k", "label"))
+    Table.sessionSql(spark, "ALTER TABLE u18a RENAME TO u18b")
+    assert(!spark.catalog.tableExists("u18a") &&
+      spark.table("u18b").count() == 2)
+    def bad(q: String): String =
+      intercept[IllegalArgumentException](
+        Table.sessionSql(spark, q)).getMessage
+    assert(bad("ALTER TABLE u18b ADD COLUMN c INT NOT NULL")
+      .contains("constraints are not supported"))
+    assert(bad("ALTER TABLE u18b ADD COLUMN k INT")
+      .contains("already exists"))
+    assert(bad("ALTER TABLE u18b DROP COLUMN nope")
+      .contains("no column"))
+    assert(bad("ALTER TABLE u18b RENAME COLUMN k TO label")
+      .contains("already exists"))
+    assert(bad("ALTER TABLE nope_t RENAME TO x")
+      .contains("no such session"))
+    // dropping the last column refuses (a zero-column frame is useless)
+    Table.sessionSql(spark, "ALTER TABLE u18b DROP COLUMN label")
+    assert(bad("ALTER TABLE u18b DROP COLUMN k")
+      .contains("zero-column"))
+    spark.catalog.dropTempView("u18b")
+  }
 }
