@@ -112,7 +112,12 @@ object ScaleStress {
       "t22_corpus_novelty")
     val runs = Seq("sf0.1" -> Sf01, "sf1" -> Sf1) ++
       (if (sf3) Seq("sf3" -> Sf3) else Nil)
-    for (q <- Queries; (sfName, dir) <- runs
+    // optional subset (comma-separated names) — a new round's additions
+    // can stress alone without re-running the whole accumulated list
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    for (q <- Queries.filter(n => only.forall(_.contains(n)));
+         (sfName, dir) <- runs
          if sfName != "sf3" || scaleSensitive(q)) {
       val t0 = System.currentTimeMillis()
       // construction INSIDE the timing (matches graft.Bench): builders
