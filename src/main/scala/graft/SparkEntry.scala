@@ -7189,6 +7189,89 @@ object SparkEntry {
                      THEN CAST(n_nationkey * 10 AS BIGINT) END AS score
          FROM nation ORDER BY k"""),
 
+    // Subquery-correlated DML (u19): the remaining DML expressiveness
+    // tier — a CORRELATED scalar subquery in SET (the enrich-from-
+    // aggregate shape), NOT EXISTS and IN-subquery DELETE predicates —
+    // all flow through the existing DmlSql lowering because the CASE
+    // projection / filter are full Spark expressions (scalar subqueries
+    // plan as broadcast subquery joins; the anti/semi shapes stay
+    // equi-joins). Chain probed against DuckDB's native execution; the
+    // oracle rebuilds the final state with the groupby-left-join
+    // equivalence of the correlated max.
+    "u19_subquery_dml" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        Seq("orders", "customer").foreach { t =>
+          s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+        }
+        def ss(q: String) = graft.api.Table.sessionSql(s, q)
+        ss("""CREATE OR REPLACE TEMP TABLE u19_t AS
+              SELECT o_orderkey AS k, o_custkey AS c,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey % 23 = 0""")
+        ss("""UPDATE u19_t SET cents = coalesce(
+                (SELECT CAST(max(round(o_totalprice * 100)) AS BIGINT)
+                 FROM orders
+                 WHERE o_custkey = u19_t.c AND o_orderkey % 23 <> 0),
+                cents)""").df.createOrReplaceTempView("u19_t")
+        ss("""DELETE FROM u19_t WHERE NOT EXISTS
+                (SELECT 1 FROM customer
+                 WHERE c_custkey = u19_t.c AND c_acctbal > 0)""").df
+          .createOrReplaceTempView("u19_t")
+        ss("""DELETE FROM u19_t WHERE k IN
+                (SELECT o_orderkey FROM orders
+                 WHERE o_totalprice > 450000)""").df
+          .createOrReplaceTempView("u19_t")
+        ss("""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                     min(k) AS mn, max(k) AS mx
+              FROM u19_t""").df
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 23 = 0),
+         mx AS (SELECT o_custkey AS c,
+                  CAST(max(round(o_totalprice * 100)) AS BIGINT) AS m
+                FROM orders WHERE o_orderkey % 23 <> 0 GROUP BY 1),
+         upd AS (SELECT b.k, b.c, coalesce(mx.m, b.cents) AS cents
+                 FROM base b LEFT JOIN mx USING (c)),
+         d1 AS (SELECT * FROM upd u
+                WHERE EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = u.c AND c_acctbal > 0)),
+         d2 AS (SELECT * FROM d1
+                WHERE k NOT IN (SELECT o_orderkey FROM orders
+                                WHERE o_totalprice > 450000))
+         SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM d2"""),
+
+    // Multi-statement script execution (u20, [[graft.sql.Dialect
+    // .splitStatements]] + the sessionSql script loop): top-level
+    // semicolons split into sequential statements; a statement that
+    // MUTATES a bare-named table re-binds the name to its post-image
+    // (the script sees its own writes — DuckDB's execute semantics),
+    // and the final statement's table is the result. The oracle
+    // rebuilds the end state in one query. RETURNING mid-script refuses
+    // (its projection is not the post-image); a semicolon inside a
+    // literal never splits (masked scan, fuzz-pinned).
+    "u20_script" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/region.parquet")
+          .createOrReplaceTempView("region")
+        graft.api.Table.sessionSql(s,
+          """DROP TABLE IF EXISTS u20_t;
+             CREATE OR REPLACE TEMP TABLE u20_t AS
+               SELECT r_regionkey AS k, r_name AS nm FROM region;
+             INSERT INTO u20_t VALUES (99, 'extra;not a split');
+             UPDATE u20_t SET nm = upper(nm) WHERE k % 2 = 0;
+             DELETE FROM u20_t WHERE k = 1;
+             SELECT k, nm FROM u20_t ORDER BY k;""").df
+      },
+      """WITH t AS (SELECT r_regionkey AS k, r_name AS nm FROM region
+                    UNION ALL SELECT 99, 'extra;not a split')
+         SELECT k, CASE WHEN k % 2 = 0 THEN upper(nm) ELSE nm END AS nm
+         FROM t WHERE k <> 1 ORDER BY k"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)

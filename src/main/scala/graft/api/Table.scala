@@ -425,6 +425,34 @@ object Table {
     */
   def sessionSql(spark: SparkSession, query: String): Table = {
     Registry.registerAll(spark)
+    // multi-statement scripts (u20): top-level semicolons run as a
+    // sequential script (DuckDB's execute shape) — each statement
+    // re-enters this method; a statement that MUTATES a bare-named
+    // session table re-binds the name to its post-image, so later
+    // statements see the script's own writes (our DML returns the
+    // post-statement table without re-binding — outside scripts the
+    // caller chooses). RETURNING only on the FINAL statement: its
+    // projected rows are not the post-image the rest must read.
+    Dialect.splitStatements(query) match {
+      case Some(stmts) =>
+        var out: Table = null
+        stmts.zipWithIndex.foreach { case (st, ix) =>
+          out = sessionSql(spark, st)
+          mutationTarget(st) match {
+            case Some((t, isReturning)) if ix < stmts.size - 1 =>
+              require(!isReturning,
+                "RETURNING is supported only on a script's FINAL " +
+                  "statement — an earlier statement must leave the " +
+                  "post-image for the rest of the script to read")
+              bindLock.synchronized {
+                out.df.createOrReplaceTempView(t)
+              }
+            case _ =>
+          }
+        }
+        return out
+      case None =>
+    }
     // SUMMARIZE/DESCRIBE first (dialect parity with Table.sql); here a
     // bare identifier resolves against the session catalog
     Dialect.summarizeTarget(query) match {
@@ -731,6 +759,31 @@ object Table {
     * sharing its name refuses loudly rather than silently receiving
     * the rows.
     */
+  /** The session name a statement MUTATES (DML / MERGE / COPY FROM
+    * with a bare target) plus whether a RETURNING clause makes the
+    * returned frame differ from the post-image. None for non-mutating
+    * statements and subquery targets. Parse failures are None — the
+    * caller's normal dispatch reports malformed statements.
+    */
+  private def mutationTarget(stmt: String): Option[(String, Boolean)] = {
+    def dmlTarget(st: graft.sql.DmlSql.Stmt): (String, Boolean) = st match {
+      case graft.sql.DmlSql.Insert(r, _, _, _, _, _) => (r, false)
+      case graft.sql.DmlSql.Update(r, _, _, _, _) => (r, false)
+      case graft.sql.DmlSql.Delete(r, _, _, _) => (r, false)
+      case graft.sql.DmlSql.Truncate(r) => (r, false)
+      case graft.sql.DmlSql.Returning(inner, _) => (dmlTarget(inner)._1, true)
+    }
+    scala.util.Try(graft.sql.DmlSql.parse(stmt)).toOption.flatten
+      .map(dmlTarget)
+      .orElse(scala.util.Try(graft.sql.MergeSql.parse(stmt)).toOption
+        .flatten.map(m => (m.targetRef, false)))
+      .orElse(scala.util.Try(graft.sql.CopySql.parse(stmt)).toOption
+        .flatten.collect {
+          case c if !c.toTarget && !c.isSubquery => (c.ref, false)
+        })
+      .filter(t => Dialect.isBareIdentifier(t._1))
+  }
+
   private def cteHeadedDml(spark: SparkSession,
                            ctes: Seq[graft.sql.RecursiveUnion.RawCte],
                            rest: String): Table = {
@@ -747,18 +800,7 @@ object Table {
             "supported — drop the backticks")
       }
     }
-    def dmlTarget(st: graft.sql.DmlSql.Stmt): String = st match {
-      case graft.sql.DmlSql.Insert(r, _, _, _, _, _) => r
-      case graft.sql.DmlSql.Update(r, _, _, _, _) => r
-      case graft.sql.DmlSql.Delete(r, _, _, _) => r
-      case graft.sql.DmlSql.Truncate(r) => r
-      case graft.sql.DmlSql.Returning(inner, _) => dmlTarget(inner)
-    }
-    val targetRef: Option[String] =
-      scala.util.Try(graft.sql.DmlSql.parse(rest)).toOption.flatten
-        .map(dmlTarget)
-        .orElse(scala.util.Try(graft.sql.MergeSql.parse(rest)).toOption
-          .flatten.map(_.targetRef))
+    val targetRef: Option[String] = mutationTarget(rest).map(_._1)
     targetRef.foreach { t =>
       require(!names.exists(_.equalsIgnoreCase(t)),
         s"the CTE '$t' shares the DML target's name — the target is a " +

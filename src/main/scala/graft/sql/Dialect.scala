@@ -966,6 +966,36 @@ object Dialect {
     cur
   }
 
+  /** u20: split a multi-statement SCRIPT on top-level semicolons
+    * (masked scan — a ';' inside a literal or comment is content; a
+    * ';' inside parens is not legal SQL and stays unsplit rather than
+    * guessed at). None when the text is a single statement with no
+    * separator; a lone trailing ';' yields the one statement.
+    */
+  def splitStatements(sql: String): Option[Seq[String]] = {
+    val m = stripLiterals(sql)
+    if (!m.contains(';')) return None
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var last = 0
+    var depth = 0
+    var i = 0
+    while (i < m.length) {
+      m.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ';' if depth == 0 =>
+          parts += sql.substring(last, i)
+          last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += sql.substring(last)
+    val stmts = parts.map(_.trim).filter(_.nonEmpty).toSeq
+    require(stmts.nonEmpty, "the script contains no statements")
+    Some(stmts)
+  }
+
   /** w21: chained named-window definitions. Postgres/DuckDB let a
     * window specification START with another window's name — both in a
     * definition (`WINDOW w1 AS (PARTITION BY p), w2 AS (w1 ORDER BY o)`)

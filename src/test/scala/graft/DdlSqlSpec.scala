@@ -198,4 +198,34 @@ class DdlSqlSpec extends GraftSuite {
       .contains("zero-column"))
     spark.catalog.dropTempView("u18b")
   }
+
+  test("multi-statement scripts (u20): sequential execution, DML " +
+    "post-images visible downstream, RETURNING only terminal") {
+    import spark.implicits._
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")
+      .createOrReplaceTempView("u20src")
+    val got = Table.sessionSql(spark,
+      """DROP TABLE IF EXISTS u20x;
+         CREATE OR REPLACE TEMP TABLE u20x AS SELECT * FROM u20src;
+         INSERT INTO u20x VALUES (4, 'd;e');
+         UPDATE u20x SET s = upper(s) WHERE k >= 3;
+         DELETE FROM u20x WHERE k = 1;
+         SELECT k, s FROM u20x ORDER BY k""").toDF
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((2, "b"), (3, "C"), (4, "D;E")))
+    // the mutations persisted in the session binding too
+    assert(spark.table("u20x").count() == 3)
+    // terminal RETURNING is fine; mid-script RETURNING refuses
+    assert(Table.sessionSql(spark,
+      """INSERT INTO u20x VALUES (9, 'z') RETURNING k;""").toDF
+      .collect().head.getInt(0) == 9)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """INSERT INTO u20x VALUES (10, 'y') RETURNING k;
+         SELECT count(*) FROM u20x""")).getMessage
+      .contains("FINAL statement"))
+    // trailing semicolon on a single statement is tolerated
+    assert(Table.sessionSql(spark, "SELECT 1 AS one;").toDF
+      .collect().head.getInt(0) == 1)
+    spark.catalog.dropTempView("u20x")
+  }
 }
