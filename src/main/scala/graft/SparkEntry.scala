@@ -8717,6 +8717,40 @@ object SparkEntry {
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
          GROUP BY r.r_name ORDER BY r.r_name"""),
 
+    // EXPORT / IMPORT DATABASE (io25, [[graft.sql.ExportSql]]): the
+    // whole-catalog transfer pair over the session temp views — every
+    // bound table writes as <dir>/<name>.parquet plus a manifest; the
+    // import reads the manifest and binds everything back. Runs in
+    // CHILD sessions (newSession isolates the temp-view catalog — the
+    // shared driver session binds dozens of unrelated query views), and
+    // the gating rollup joins the two RE-IMPORTED tables in the second
+    // child session, proving the round-trip carried data AND bindings.
+    // One exchange-free terminal write per table; the manifest is a
+    // driver-side byte file. FORMAT defaults to PARQUET (type-exact;
+    // DuckDB defaults CSV — documented divergence).
+    "io25_export_database" -> api(
+      (s, dir) => {
+        val s2 = s.newSession()
+        Registry.registerAll(s2)
+        s2.read.parquet(s"$dir/nation.parquet")
+          .createOrReplaceTempView("nation_x")
+        s2.read.parquet(s"$dir/region.parquet")
+          .createOrReplaceTempView("region_x")
+        val out = scratchDir(s"io25_${new java.io.File(dir).getName}")
+        graft.api.Table.sessionSql(s2, s"EXPORT DATABASE '$out'")
+        val s3 = s.newSession()
+        Registry.registerAll(s3)
+        graft.api.Table.sessionSql(s3, s"IMPORT DATABASE '$out'")
+        graft.api.Table.sessionSql(s3,
+          """SELECT r.r_name, count(*) AS n, min(n.n_name) AS mn
+             FROM nation_x n JOIN region_x r
+               ON n.n_regionkey = r.r_regionkey
+             GROUP BY r.r_name ORDER BY r.r_name""").df
+      },
+      """SELECT r.r_name, count(*) AS n, min(n.n_name) AS mn
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name"""),
+
     // Schema-evolution read (io20): a dataset written in TWO schema
     // generations (gen-1 lacks `lang`; gen-2 adds it) under one root,
     // read back with mergeSchema=true — Spark reconciles the footers

@@ -538,6 +538,12 @@ object Table {
         return apply(graft.sql.CopySql.run(spark, st, resolveRef))
       case None =>
     }
+    // EXPORT/IMPORT DATABASE (io25) — whole-catalog transfer over the
+    // session temp views; same overwrite gate as COPY TO
+    graft.sql.ExportSql.parse(qr) match {
+      case Some(st) => return apply(graft.sql.ExportSql.run(spark, st))
+      case None =>
+    }
     // DuckDB's file-reading FROM forms (io24): read_parquet('p') /
     // read_csv('p', …) / read_json('p') table functions and bare
     // FROM '<path>' literals bind as statement-scoped views (unique

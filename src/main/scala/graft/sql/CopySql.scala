@@ -189,7 +189,7 @@ object CopySql {
     * partition dirs — checked one level down too); refuse everything
     * else LOUDLY before `mode("overwrite")` recursively deletes it.
     */
-  private def assertSafeTarget(spark: SparkSession, path: String): Unit = {
+  private[sql] def assertSafeTarget(spark: SparkSession, path: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return

@@ -195,4 +195,45 @@ class CopySqlSpec extends GraftSuite {
         "(FORMAT PARQUET, PARTITION_BY (p1 + 1))"))
       .getMessage.contains("bare column"))
   }
+
+  test("EXPORT/IMPORT DATABASE (io25): catalog round-trip in isolated " +
+    "sessions, manifest, gate, refusals") {
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.functions.col
+    s2.range(5).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .createOrReplaceTempView("exp_a")
+    s2.range(3).select(col("id").as("k")).createOrReplaceTempView("exp_b")
+    // internal __-prefixed views are machinery, never exported
+    s2.range(1).createOrReplaceTempView("__scratch_x")
+    val dir = tmp("expdb")
+    val summary = Table.sessionSql(s2, s"EXPORT DATABASE '$dir'").toDF
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(summary == Seq(("exp_a", 5L), ("exp_b", 3L)))
+    assert(new java.io.File(s"$dir/_graft_tables.txt").exists())
+    val s3 = spark.newSession()
+    val imported = Table.sessionSql(s3, s"IMPORT DATABASE '$dir'").toDF
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(imported == Seq(("exp_a", 5L), ("exp_b", 3L)))
+    assert(s3.table("exp_a").agg(org.apache.spark.sql.functions
+      .sum(col("v"))).collect().head.getLong(0) == 20L)
+    // refusals: import of a non-export dir, options on IMPORT, empty
+    // catalog export, unsafe target
+    assert(intercept[IllegalArgumentException](Table.sessionSql(s3,
+      s"IMPORT DATABASE '${tmp("notdb")}'")).getMessage
+      .contains("not a prior EXPORT"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(s3,
+      s"IMPORT DATABASE '$dir' (FORMAT CSV)")).getMessage
+      .contains("takes no options"))
+    val s4 = spark.newSession()
+    assert(intercept[IllegalArgumentException](Table.sessionSql(s4,
+      s"EXPORT DATABASE '${tmp("empty")}'")).getMessage
+      .contains("binds no tables"))
+    val guarded = tmp("guarddb")
+    new java.io.File(guarded).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(guarded, "user.txt"), "keep".getBytes)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(s2,
+      s"EXPORT DATABASE '$guarded'")).getMessage
+      .contains("prior export"))
+  }
 }
