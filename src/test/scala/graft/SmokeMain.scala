@@ -521,6 +521,13 @@ object SmokeMain {
         SparkEntry.queries("q66_by_all")(spark, sf).count())
       println(s"j13 semi-anti rows=" +
         SparkEntry.queries("j13_semi_anti")(spark, sf).count())
+      // round-17 second wave
+      for (q <- Seq("w19_groups_exclude", "w20_window_filter",
+        "w21_chained_windows", "s20_hard_negatives", "t33_bits_per_byte",
+        "io23_copy_partitioned", "io24_file_read_sql",
+        "io25_export_database", "u18_drop_alter", "u19_subquery_dml",
+        "u20_script", "gr11_multi_recursion"))
+        println(s"$q rows=" + SparkEntry.queries(q)(spark, sf).count())
     }
 
     spark.stop()
