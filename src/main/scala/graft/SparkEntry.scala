@@ -11165,6 +11165,25 @@ object SparkEntry {
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
          FROM lineitem GROUP BY ALL ORDER BY ALL"""),
 
+    // Ordered aggregates, DuckDB's inline spelling (q67, [[graft.sql
+    // .Dialect.rewriteOrderedAggs]]): `agg(args ORDER BY keys)` with
+    // the sort inside the argument list. string_agg/listagg lower onto
+    // Spark's native listagg … WITHIN GROUP (any key direction);
+    // array_agg and DuckDB's list() — which have NO Spark ordered
+    // variant — lower onto a struct-sort (collect into (keys, value)
+    // structs, array_sort, project the value; ASC keys only, refusals
+    // pinned in DialectSpec). list()/array_to_string() ride the
+    // registry's name delegation. Same text on both engines.
+    "q67_ordered_aggs" -> multiSession(Seq("nation", "region"),
+      """SELECT r_regionkey AS k,
+           string_agg(n_name, '|' ORDER BY n_name DESC) AS names_desc,
+           array_to_string(array_agg(n_name ORDER BY n_nationkey),
+                           ',') AS by_key,
+           array_to_string(list(substr(n_name, 8) ORDER BY n_name),
+                           ',') AS tails
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_regionkey ORDER BY k"""),
+
     "q64_sample_clause" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -540,6 +540,13 @@ object Registry {
     }
     dialectAlias("list_concat", "concat")
     dialectAlias("array_length", "size")
+    // array_to_string(arr, sep) ≡ array_join (both skip NULL elements —
+    // probed 'a',NULL,'b' → "a,b" on both engines)
+    dialectAlias("array_to_string", "array_join")
+    // DuckDB's list(x) aggregate ≡ collect_list (both insertion-ordered,
+    // both order-nondeterministic without the q67 ORDER BY form, which
+    // the ordered-aggregate rewrite handles before name resolution)
+    dialectAlias("list", "collect_list")
     // (len is already a Spark 4 builtin alias of length — not shadowed)
     dialectAlias("string_split_regex", "split")
     // generate_series: both ends inclusive like Spark sequence, BUT the

@@ -966,6 +966,103 @@ object Dialect {
     cur
   }
 
+  /** q67: DuckDB's ordered-aggregate spelling — `agg(args ORDER BY
+    * keys)` carries the sort INSIDE the argument list. Spark wants
+    * WITHIN GROUP (string_agg/listagg) or has no ordered variant at all
+    * (array_agg / DuckDB's list), so:
+    *
+    *   string_agg/listagg(x [, sep] ORDER BY keys)
+    *     → listagg(x, sep) WITHIN GROUP (ORDER BY keys)   — native,
+    *       any key direction (separator defaults to ',', DuckDB's)
+    *   array_agg/list(x ORDER BY k1 [, k2 …])
+    *     → transform(array_sort(collect_list(struct(k1 AS __o0, …,
+    *         (x) AS __ov))), __oa -> __oa.__ov)
+    *       — struct field order IS the sort order; DESC / NULLS
+    *       modifiers refuse loudly (struct comparison is ASC with
+    *       nulls-first, where DuckDB sorts nulls last — a NULL sort
+    *       key would silently diverge, documented).
+    */
+  def rewriteOrderedAggs(sql: String): String = {
+    val pre = stripLiterals(sql)
+    if (findAnyDepthKeyword(pre, "order") < 0) return sql
+    val names = Seq("string_agg", "listagg", "array_agg", "list")
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i < m.length) {
+        names.find(n => wordAt(m, i, n)) match {
+          case Some(fn) =>
+            val k = skipWsAt(m, i + fn.length)
+            if (k < m.length && m.charAt(k) == '(') {
+              val close = matchParenAt(m, k)
+              val argsMask = m.substring(k + 1, close)
+              val ob = findTopLevelKeywordIn(argsMask, 0, "order")
+              val byOk = ob >= 0 && {
+                val b = skipWsAt(argsMask, ob + 5)
+                b + 2 <= argsMask.length &&
+                  argsMask.regionMatches(true, b, "by", 0, 2)
+              }
+              if (byOk) {
+                val argsRaw = cur.substring(k + 1, close)
+                val head = argsRaw.substring(0, ob).trim
+                val byPos = skipWsAt(argsMask, ob + 5) + 2
+                val keys = argsRaw.substring(byPos).trim
+                require(head.nonEmpty && keys.nonEmpty,
+                  s"malformed ordered aggregate: $fn(${argsRaw.take(40)})")
+                val out =
+                  if (fn == "string_agg" || fn == "listagg") {
+                    val parts = splitTopLevel(head).map(_.trim)
+                    require(parts.size <= 2,
+                      s"$fn() takes (expr [, separator] ORDER BY …), " +
+                        s"got ${parts.size} arguments")
+                    val sep = if (parts.size == 2) parts(1) else "','"
+                    s"listagg(${parts.head}, $sep) WITHIN GROUP " +
+                      s"(ORDER BY $keys)"
+                  } else {
+                    require(splitTopLevel(head).size == 1,
+                      s"$fn() takes one expression before ORDER BY")
+                    val ks = splitTopLevel(keys).map(_.trim)
+                    ks.foreach { kx =>
+                      val km = stripLiterals(kx)
+                      Seq("desc", "nulls").foreach { bad =>
+                        require(findTopLevelKeywordIn(km, 0, bad) < 0,
+                          s"$fn(… ORDER BY …) supports ASC keys only — " +
+                            "the struct-sort lowering has no key " +
+                            "direction; use string_agg/listagg or sort " +
+                            "downstream")
+                      }
+                    }
+                    // strip an optional ASC suffix per key
+                    val cleaned = ks.map { kx =>
+                      val km = stripLiterals(kx)
+                      val a = findTopLevelKeywordIn(km, 0, "asc")
+                      if (a >= 0 && skipWsAt(km, a + 3) >= km.length)
+                        kx.substring(0, a).trim
+                      else kx
+                    }
+                    val fields = cleaned.zipWithIndex
+                      .map { case (kx, ix) => s"($kx) AS __o$ix" }
+                      .mkString(", ")
+                    s"transform(array_sort(collect_list(struct($fields," +
+                      s" ($head) AS __ov))), __oa -> __oa.__ov)"
+                  }
+                cur = cur.substring(0, i) + out + cur.substring(close + 1)
+                more = true
+              } else i += 1
+            } else i += 1
+          case None => i += 1
+        }
+      }
+      guard += 1
+    }
+    require(!more, "more than 63 ordered aggregates in one statement")
+    cur
+  }
+
   /** u20: split a multi-statement SCRIPT on top-level semicolons
     * (masked scan — a ';' inside a literal or comment is content; a
     * ';' inside parens is not legal SQL and stays unsplit rather than

@@ -420,4 +420,35 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.splitUnionByName(
       "SELECT 'UNION ALL BY NAME' AS s FROM t1").isEmpty)
   }
+
+  test("ordered aggregates (q67): WITHIN GROUP / struct-sort lowering, " +
+    "refusals, non-aggregate ORDER BY untouched") {
+    // string_agg with inline ORDER BY (any direction) -> native listagg
+    assert(Dialect.rewriteOrderedAggs(
+      "SELECT string_agg(s, '|' ORDER BY s DESC) FROM t GROUP BY k") ==
+      "SELECT listagg(s, '|') WITHIN GROUP (ORDER BY s DESC) FROM t " +
+        "GROUP BY k")
+    // separator defaults to ',' (DuckDB's)
+    assert(Dialect.rewriteOrderedAggs(
+      "SELECT listagg(s ORDER BY o) FROM t") ==
+      "SELECT listagg(s, ',') WITHIN GROUP (ORDER BY o) FROM t")
+    // array_agg -> struct sort; a trailing ASC strips
+    assert(Dialect.rewriteOrderedAggs(
+      "SELECT array_agg(s ORDER BY o ASC, s) FROM t") ==
+      "SELECT transform(array_sort(collect_list(struct((o) AS __o0, " +
+        "(s) AS __o1, (s) AS __ov))), __oa -> __oa.__ov) FROM t")
+    // refusals: DESC / NULLS on the struct path
+    assert(intercept[IllegalArgumentException](Dialect.rewriteOrderedAggs(
+      "SELECT array_agg(s ORDER BY o DESC) FROM t")).getMessage
+      .contains("ASC keys only"))
+    assert(intercept[IllegalArgumentException](Dialect.rewriteOrderedAggs(
+      "SELECT list(s ORDER BY o NULLS LAST) FROM t")).getMessage
+      .contains("ASC keys only"))
+    // an ORDER BY outside the aggregate parens never triggers
+    val plain = "SELECT array_agg(s) FROM t GROUP BY k ORDER BY k"
+    assert(Dialect.rewriteOrderedAggs(plain) == plain)
+    // ORDER not followed by BY inside the args is content, not a sort
+    val noBy = "SELECT string_agg(s, order_col) FROM t"
+    assert(Dialect.rewriteOrderedAggs(noBy) == noBy)
+  }
 }

@@ -526,6 +526,20 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
 
   property("chained-window inlining is identical outside masked regions") =
     maskedInvariant(Dialect.inlineChainedWindows)
+
+  property("ordered-aggregate rewrite is identical outside masked regions") =
+    maskedInvariant(Dialect.rewriteOrderedAggs)
+
+  property("script splitting is blind to masked content") =
+    forAll(qAndSalt) { case (q, salt) =>
+      val j = junked(q, salt)
+      val rq = scala.util.Try(Dialect.splitStatements(q))
+      val rj = scala.util.Try(Dialect.splitStatements(j))
+      rq.isSuccess == rj.isSuccess && rq.toOption.zip(rj.toOption)
+        .forall { case (a, b) =>
+          a.map(_.size) == b.map(_.size)
+        }
+    }
 }
 
 /** Model-based property for the as-of join family (rewritten to the
