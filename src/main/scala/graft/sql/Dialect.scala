@@ -1013,6 +1013,10 @@ object Dialect {
                 val keys = argsRaw.substring(byPos).trim
                 require(head.nonEmpty && keys.nonEmpty,
                   s"malformed ordered aggregate: $fn(${argsRaw.take(40)})")
+                require(findTopLevelKeywordIn(stripLiterals(head), 0,
+                  "distinct") < 0,
+                  s"$fn(DISTINCT … ORDER BY …) is not supported — " +
+                    "deduplicate in a subquery first")
                 val out =
                   if (fn == "string_agg" || fn == "listagg") {
                     val parts = splitTopLevel(head).map(_.trim)
