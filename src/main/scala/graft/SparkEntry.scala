@@ -11184,6 +11184,22 @@ object SparkEntry {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_regionkey ORDER BY k"""),
 
+    // Pattern operators (q68): ILIKE is native on BOTH engines (probed,
+    // case-insensitive LIKE); SIMILAR TO — DuckDB's FULL-string regex
+    // match, no %-conversion — and GLOB — the unix-glob operator —
+    // lower onto anchored RLIKE ([[graft.sql.Dialect
+    // .rewriteSimilarGlob]]). NOT variants stay in place (Spark accepts
+    // NOT RLIKE). Same text on both engines.
+    "q68_pattern_ops" -> multiSession(Seq("part"),
+      """SELECT p_partkey AS k, p_name, p_type,
+             (p_name ILIKE 'SMALL%') AS is_small,
+             (p_name SIMILAR TO '(red|blue) [a-z]+') AS rb,
+             (p_name GLOB '*g[ei]*') AS has_gei,
+             (p_name NOT SIMILAR TO '.*o.*') AS no_o
+         FROM part
+         WHERE p_name ILIKE '%e%' AND p_partkey % 7 = 0
+         ORDER BY k"""),
+
     "q64_sample_clause" -> api(
       (s, dir) => {
         Registry.registerAll(s)

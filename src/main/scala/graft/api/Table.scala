@@ -92,7 +92,7 @@ final class Table private (val df: DataFrame) {
     // DISTINCT-free; the bare forms collect-and-dedup here
     val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
-        Dialect.rewriteOrderedAggs(q0)))))
+        Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(q0))))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -618,8 +618,8 @@ object Table {
         else sessionSqlOne(spark, ref).columns.toSeq)
     val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
-        Dialect.rewriteOrderedAggs(
-          Dialect.fromFirst(qSampled).getOrElse(qSampled))))))
+        Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
+          Dialect.fromFirst(qSampled).getOrElse(qSampled)))))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

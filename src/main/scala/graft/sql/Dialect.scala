@@ -1067,6 +1067,101 @@ object Dialect {
     cur
   }
 
+  /** q68: `expr SIMILAR TO '<regex>'` and `expr GLOB '<glob>'` pattern
+    * operators (DuckDB/Postgres grammar; Spark has neither). DuckDB's
+    * SIMILAR TO is a FULL-string regex match with NO `%`/`_` conversion
+    * (probed: 'banana' SIMILAR TO 'ban%' is FALSE), so it lowers
+    * exactly onto `RLIKE '^(?:<regex>)$'`; GLOB translates the unix
+    * glob (`*` `?` `[...]`/`[!...]`, other regex specials escaped) into
+    * the same anchored RLIKE. A preceding NOT stays in place — Spark
+    * accepts `NOT RLIKE`. Backslashes in the emitted literal DOUBLE:
+    * Spark processes string-literal escapes where DuckDB does not, so
+    * '\d' must re-emit as '\\d' to reach the regex engine intact. The
+    * pattern must be a quoted literal: SIMILAR TO refuses loudly on
+    * anything else (committed by its TO), while a bare `glob` not
+    * followed by a literal is left alone (it may be an identifier).
+    */
+  def rewriteSimilarGlob(sql: String): String = {
+    val pre = stripLiterals(sql)
+    if (findAnyDepthKeyword(pre, "similar") < 0 &&
+      findAnyDepthKeyword(pre, "glob") < 0) return sql
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i < m.length) {
+        val isSim = wordAt(m, i, "similar")
+        val isGlob = !isSim && wordAt(m, i, "glob")
+        if (isSim || isGlob) {
+          val j0 = skipWsAt(m, i + (if (isSim) 7 else 4))
+          // position right AFTER the operator keywords; the literal that
+          // follows is BLANK on the mask, so the final whitespace hop
+          // must walk the RAW text (mask-skipping would sail through it)
+          val after =
+            if (isSim) { if (wordAt(m, j0, "to")) j0 + 2 else -1 }
+            else i + 4
+          // SIMILAR not followed by TO is an identifier — skip
+          if (after >= 0) {
+            var k = after
+            while (k < cur.length && cur.charAt(k).isWhitespace) k += 1
+            val hasLit = k < cur.length && cur.charAt(k) == '\'' &&
+              k < m.length && m.charAt(k) == ' '
+            if (isSim) require(hasLit,
+              "SIMILAR TO supports a quoted literal pattern — compute " +
+                "dynamic patterns with rlike() directly")
+            if (hasLit) {
+              var e = k + 1
+              while (e < cur.length && cur.charAt(e) != '\'') e += 1
+              require(e < cur.length, "unterminated pattern literal")
+              val lit = cur.substring(k + 1, e)
+              val rx =
+                if (isSim) lit.replace("\\", "\\\\")
+                else globToRegex(lit)
+              cur = cur.substring(0, i) + s"RLIKE '^(?:$rx)$$'" +
+                cur.substring(e + 1)
+              more = true
+            }
+          }
+        }
+        i += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 63 pattern operators in one statement")
+    cur
+  }
+
+  /** Unix glob → anchored-regex body: `*` `?` translate, `[...]`
+    * passes as a class (`[!…]` negates), every other regex special
+    * escapes. Backslashes double for Spark's literal-escape layer.
+    */
+  private def globToRegex(g: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = g.indexOf(']', i + 1)
+          require(close > i, s"unterminated [class] in GLOB pattern: $g")
+          val inner = g.substring(i + 1, close)
+          val body =
+            if (inner.startsWith("!")) "^" + inner.substring(1) else inner
+          sb.append('[').append(body.replace("\\", "\\\\")).append(']')
+          i = close
+        case c if "\\.^$+(){}|".indexOf(c) >= 0 =>
+          sb.append("\\\\").append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** u20: split a multi-statement SCRIPT on top-level semicolons
     * (masked scan — a ';' inside a literal or comment is content; a
     * ';' inside parens is not legal SQL and stays unsplit rather than

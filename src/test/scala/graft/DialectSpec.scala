@@ -450,5 +450,43 @@ class DialectSpec extends AnyFunSuite {
     // ORDER not followed by BY inside the args is content, not a sort
     val noBy = "SELECT string_agg(s, order_col) FROM t"
     assert(Dialect.rewriteOrderedAggs(noBy) == noBy)
+    // DISTINCT inside an ordered aggregate refuses
+    assert(intercept[IllegalArgumentException](Dialect.rewriteOrderedAggs(
+      "SELECT array_agg(DISTINCT s ORDER BY s) FROM t")).getMessage
+      .contains("not supported"))
+  }
+
+  test("pattern operators (q68): SIMILAR TO / GLOB lower onto anchored " +
+    "RLIKE; NOT rides; identifiers never trigger") {
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s SIMILAR TO '(a|b)c' FROM t") ==
+      "SELECT s RLIKE '^(?:(a|b)c)$' FROM t")
+    // backslashes double for Spark's literal-escape layer
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s SIMILAR TO '\\d+' FROM t") ==
+      "SELECT s RLIKE '^(?:\\\\d+)$' FROM t")
+    // NOT stays in place (Spark accepts NOT RLIKE)
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s NOT SIMILAR TO 'x.*' FROM t") ==
+      "SELECT s NOT RLIKE '^(?:x.*)$' FROM t")
+    // glob translation: * ? [..] [!..] + regex-special escaping
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s GLOB 'f*.t?t' FROM t") ==
+      "SELECT s RLIKE '^(?:f.*\\\\.t.t)$' FROM t")
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s GLOB 'a[!xy]c' FROM t") ==
+      "SELECT s RLIKE '^(?:a[^xy]c)$' FROM t")
+    // a column named glob / an alias named similar never trigger
+    val g = "SELECT glob FROM t WHERE glob = 1"
+    assert(Dialect.rewriteSimilarGlob(g) == g)
+    val sAlias = "SELECT x AS similar FROM t"
+    assert(Dialect.rewriteSimilarGlob(sAlias) == sAlias)
+    // SIMILAR TO with a non-literal pattern refuses loudly
+    assert(intercept[IllegalArgumentException](Dialect.rewriteSimilarGlob(
+      "SELECT s SIMILAR TO p FROM t")).getMessage
+      .contains("quoted literal"))
+    // pattern text inside an unrelated literal never triggers
+    val lit = "SELECT 'x SIMILAR TO y' AS s FROM t"
+    assert(Dialect.rewriteSimilarGlob(lit) == lit)
   }
 }

@@ -530,6 +530,9 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
   property("ordered-aggregate rewrite is identical outside masked regions") =
     maskedInvariant(Dialect.rewriteOrderedAggs)
 
+  property("pattern-operator rewrite is identical outside masked regions") =
+    maskedInvariant(Dialect.rewriteSimilarGlob)
+
   property("script splitting is blind to masked content") =
     forAll(qAndSalt) { case (q, salt) =>
       val j = junked(q, salt)
