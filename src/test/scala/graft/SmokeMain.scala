@@ -526,7 +526,8 @@ object SmokeMain {
         "w21_chained_windows", "s20_hard_negatives", "t33_bits_per_byte",
         "io23_copy_partitioned", "io24_file_read_sql",
         "io25_export_database", "u18_drop_alter", "u19_subquery_dml",
-        "u20_script", "gr11_multi_recursion"))
+        "u20_script", "gr11_multi_recursion", "q67_ordered_aggs",
+        "q68_pattern_ops"))
         println(s"$q rows=" + SparkEntry.queries(q)(spark, sf).count())
     }
 
