@@ -3038,18 +3038,20 @@ object SparkEntry {
                          list_cosine_similarity(a.emb, p.emb) AS pos_sim
                   FROM e a JOIN e p ON p.vec_id = a.vec_id + 1
                   WHERE a.vec_id < 5),
-           scored AS (SELECT pr.anchor_id, pr.pos_sim, c.vec_id AS neg_id,
+           scored AS (SELECT pr.anchor_id, pr.pos_id, pr.pos_sim,
+                             c.vec_id AS neg_id,
                              list_cosine_similarity(pr.avec, c.emb) AS sim
                       FROM pr, e c
                       WHERE c.vec_id <> pr.anchor_id
                         AND c.vec_id <> pr.pos_id),
            band AS (SELECT * FROM scored
                     WHERE sim < pos_sim AND sim >= pos_sim - 0.1),
-           r AS (SELECT anchor_id, neg_id, sim, pos_sim,
-                        CAST(row_number() OVER (PARTITION BY anchor_id
+           r AS (SELECT anchor_id, pos_id, neg_id, sim, pos_sim,
+                        CAST(row_number() OVER (
+                          PARTITION BY anchor_id, pos_id, pos_sim
                           ORDER BY sim DESC, neg_id) AS BIGINT) AS rank
                  FROM band)
-         SELECT anchor_id, rank, neg_id, sim, pos_sim FROM r
+         SELECT anchor_id, pos_id, rank, neg_id, sim, pos_sim FROM r
          WHERE rank <= 10 ORDER BY anchor_id, rank"""),
 
     // Okapi BM25 lexical scoring (graft.ops.Search.bm25) — search-side
@@ -11199,6 +11201,32 @@ object SparkEntry {
          FROM part
          WHERE p_name ILIKE '%e%' AND p_partkey % 7 = 0
          ORDER BY k"""),
+
+    // 1-based bracket subscripts (q69, [[graft.sql.Dialect
+    // .rewriteSubscripts]]): DuckDB/Postgres `l[1]` is the FIRST
+    // element — unrewritten, the same text reaches Spark's 0-based
+    // subscript and silently returns the SECOND (the engine's one
+    // silent same-text divergence until r18). Every bracket subscript
+    // lowers onto try_element_at: 1-based, negative-from-end, NULL out
+    // of bounds, NULL at literal index 0 (Spark throws there even in
+    // try mode), function-call receivers included. Same text on both
+    // engines; the plan is one map-only projection over the scan.
+    "q69_subscripts" -> multiSession(Seq("documents"),
+      """WITH s AS (SELECT doc_id, text,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE string_split(text, ' ') END AS toks
+            FROM documents)
+         SELECT doc_id,
+                toks[1] AS first_tok,
+                toks[2] AS second_tok,
+                toks[-1] AS last_tok,
+                toks[array_length(toks) + 5] AS oob,
+                toks[0] AS zero_idx,
+                toks[1 + doc_id % 3] AS dyn,
+                string_split(coalesce(text, ''), ' ')[1] AS fn_recv
+         FROM s
+         WHERE doc_id % 5 = 0
+         ORDER BY doc_id"""),
 
     "q64_sample_clause" -> api(
       (s, dir) => {

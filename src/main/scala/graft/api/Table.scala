@@ -92,7 +92,8 @@ final class Table private (val df: DataFrame) {
     // DISTINCT-free; the bare forms collect-and-dedup here
     val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
-        Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(q0))))))
+        Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
+          Dialect.rewriteSubscripts(q0)))))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -619,7 +620,8 @@ object Table {
     val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
-          Dialect.fromFirst(qSampled).getOrElse(qSampled)))))))
+          Dialect.rewriteSubscripts(
+            Dialect.fromFirst(qSampled).getOrElse(qSampled))))))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

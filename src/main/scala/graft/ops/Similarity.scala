@@ -107,8 +107,10 @@ object Similarity {
     * anchor-similarity falls in the semi-hard band
     * [pos_sim − margin, pos_sim): harder than random, easier than the
     * positive, i.e. the negatives that actually move a
-    * triplet/contrastive loss. Output: (anchor_id, rank, neg_id, sim,
-    * pos_sim), rank 1..k by sim DESC with ascending-id ties.
+    * triplet/contrastive loss. Output: (anchor_id, pos_id, rank,
+    * neg_id, sim, pos_sim), rank 1..k per PAIR by sim DESC with
+    * ascending-id ties — two pairs sharing an anchor each get their
+    * own band.
     *
     * Scale shape (100 TB discipline): the pair set is the bounded probe
     * side — its anchor/positive vectors bind through two joins where
@@ -136,16 +138,21 @@ object Similarity {
     val scored = e.crossJoin(broadcast(prFull))
       .filter(col("cand_id") =!= col("anchor_id") &&
         col("cand_id") =!= col("pos_id"))
-      .select(col("anchor_id"), col("pos_sim"), col("cand_id"),
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"),
+        col("cand_id"),
         cosine(col("anchor_vec"), col("cand_vec")).as("sim"))
       .filter(col("sim") < col("pos_sim") &&
         col("sim") >= col("pos_sim") - lit(margin))
-    scored.groupBy("anchor_id", "pos_sim")
+    // group by the PAIR, not just the anchor — two pairs sharing an
+    // anchor (even with equal pos_sim) each get their own top-k band;
+    // pos_id rides through the output so pairs stay distinguishable
+    scored.groupBy("anchor_id", "pos_id", "pos_sim")
       .agg(call_function("topk_by", col("sim"), col("cand_id"), lit(k))
         .as("top"))
-      .select(col("anchor_id"), col("pos_sim"),
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"),
         posexplode(col("top")).as(Seq("rank0", "hit")))
-      .select(col("anchor_id"), (col("rank0") + 1).cast("long").as("rank"),
+      .select(col("anchor_id"), col("pos_id"),
+        (col("rank0") + 1).cast("long").as("rank"),
         col("hit.id").as("neg_id"), col("hit.sim").as("sim"),
         col("pos_sim"))
   }

@@ -1113,15 +1113,13 @@ object Dialect {
               "SIMILAR TO supports a quoted literal pattern — compute " +
                 "dynamic patterns with rlike() directly")
             if (hasLit) {
-              var e = k + 1
-              while (e < cur.length && cur.charAt(e) != '\'') e += 1
-              require(e < cur.length, "unterminated pattern literal")
-              val lit = cur.substring(k + 1, e)
-              val rx =
-                if (isSim) lit.replace("\\", "\\\\")
-                else globToRegex(lit)
+              val (lit, after2) = scanQuoted(cur, k, "pattern")
+              // re-double quotes for the emitted literal; backslashes
+              // double for Spark's literal-escape layer
+              val rx = (if (isSim) lit.replace("\\", "\\\\")
+                        else globToRegex(lit)).replace("'", "''")
               cur = cur.substring(0, i) + s"RLIKE '^(?:$rx)$$'" +
-                cur.substring(e + 1)
+                cur.substring(after2)
               more = true
             }
           }
@@ -1162,6 +1160,130 @@ object Dialect {
     sb.toString
   }
 
+  /** q69: 1-based bracket subscripts. DuckDB/Postgres `arr[1]` is the
+    * FIRST element; the same text unrewritten reaches Spark's 0-based
+    * subscript and silently returns the SECOND — the one surface where
+    * same-text SQL could disagree with the oracle without erroring.
+    * Every bracket subscript whose receiver is an identifier, qualified
+    * name, function call, parenthesized expression, or chained
+    * subscript lowers onto `try_element_at(recv, idx)` — 1-based,
+    * negative-from-end, NULL out of bounds: exactly DuckDB's
+    * list_extract semantics (the `functions/Registry.scala`
+    * list_extract precedent). A literal `0` index becomes a typed NULL
+    * index (DuckDB: `l[0]` IS NULL; Spark throws on index 0 even in
+    * try mode). Map subscripts `m['k']` take the same path —
+    * try_element_at is key lookup there, NULL on a missing key
+    * (DuckDB's behavior; Spark's ANSI subscript throws). Slices
+    * `arr[i:j]` refuse loudly with a slice() pointer; `[` after
+    * anything else (array literals `[1,2,3]`, quoted-identifier
+    * receivers) is left for Spark's parser to refuse loudly, and a
+    * bracket group with a top-level comma is never a subscript.
+    */
+  def rewriteSubscripts(sql: String): String = {
+    if (sql.indexOf('[') < 0) return sql
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 256) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i < m.length) {
+        if (m.charAt(i) == '[') {
+          // receiver tail: previous non-ws MASK char must end an
+          // expression — identifier char or ')' (']' can't occur here:
+          // the leftmost-first restart rewrites inner groups away)
+          var p = i - 1
+          while (p >= 0 && m.charAt(p).isWhitespace) p -= 1
+          val recvOk = p >= 0 && {
+            val c = m.charAt(p)
+            c.isLetterOrDigit || c == '_' || c == '$' || c == ')'
+          }
+          if (recvOk) {
+            // matching ']' on the mask
+            var depth = 0
+            var close = i
+            while (close < m.length && {
+              val c = m.charAt(close)
+              if (c == '[') depth += 1
+              else if (c == ']') depth -= 1
+              depth != 0 || c != ']'
+            }) close += 1
+            require(close < m.length, "unbalanced [ ] in the statement")
+            val inner = m.substring(i + 1, close)
+            // content shape checks run on the MASK (literals blank)
+            var d2 = 0
+            var hasComma = false
+            var hasSlice = false
+            var j = 0
+            while (j < inner.length) {
+              inner.charAt(j) match {
+                case '(' | '[' => d2 += 1
+                case ')' | ']' => d2 -= 1
+                case ',' if d2 == 0 => hasComma = true
+                case ':' if d2 == 0 &&
+                  (j + 1 >= inner.length || inner.charAt(j + 1) != ':') &&
+                  (j == 0 || inner.charAt(j - 1) != ':') => hasSlice = true
+                case _ =>
+              }
+              j += 1
+            }
+            val idxRaw = cur.substring(i + 1, close).trim
+            if (hasSlice) throw new IllegalArgumentException(
+              s"list slice '[${idxRaw.take(30)}]' is not supported — " +
+                "use slice(arr, start, length) (1-based start)")
+            if (!hasComma && idxRaw.nonEmpty) {
+              // receiver start: walk back over ident runs / () groups,
+              // chaining through '.' qualifiers and function names
+              var s = p
+              var cont = true
+              while (cont && s >= 0) {
+                val c = m.charAt(s)
+                if (c == ')') {
+                  var bd = 0
+                  while (s >= 0 && {
+                    val cc = m.charAt(s)
+                    if (cc == ')') bd += 1
+                    else if (cc == '(') bd -= 1
+                    bd != 0 || cc != '('
+                  }) s -= 1
+                  require(s >= 0, "unbalanced ( ) before a subscript")
+                  s -= 1 // a function name may precede — loop again
+                } else if (c.isLetterOrDigit || c == '_' || c == '$') {
+                  while (s >= 0 && {
+                    val cc = m.charAt(s)
+                    cc.isLetterOrDigit || cc == '_' || cc == '$'
+                  }) s -= 1
+                  if (s >= 0 && m.charAt(s) == '.') s -= 1
+                  else cont = false
+                } else cont = false
+              }
+              val start = s + 1
+              val recv = cur.substring(start, p + 1)
+              // Spark's try_element_at requires an INT index (DuckDB
+              // accepts BIGINT — `1 + doc_id % 3` types BIGINT there),
+              // so numeric index expressions gain a CAST; a quoted
+              // literal (blank on the mask) is a map string key and
+              // rides unchanged. A dynamic STRING map key would cast
+              // loudly under ANSI — the documented ambiguity refusal.
+              val idx =
+                if (idxRaw == "0") "CAST(NULL AS INTEGER)"
+                else if (inner.forall(_.isWhitespace)) idxRaw
+                else s"CAST($idxRaw AS INT)"
+              cur = cur.substring(0, start) +
+                s"try_element_at($recv, $idx)" + cur.substring(close + 1)
+              more = true
+            }
+          }
+        }
+        i += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 255 bracket subscripts in one statement")
+    cur
+  }
+
   /** u20: split a multi-statement SCRIPT on top-level semicolons
     * (masked scan — a ';' inside a literal or comment is content; a
     * ';' inside parens is not legal SQL and stays unsplit rather than
@@ -1175,17 +1297,23 @@ object Dialect {
     var last = 0
     var depth = 0
     var i = 0
+    var splitFound = false
     while (i < m.length) {
       m.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case ';' if depth == 0 =>
+          splitFound = true
           parts += sql.substring(last, i)
           last = i + 1
         case _ =>
       }
       i += 1
     }
+    // every ';' sat inside parens (e.g. malformed `SELECT f(1;2)`) —
+    // NOT a script; returning the unchanged text would make the session
+    // entry point re-enter itself forever
+    if (!splitFound) return None
     parts += sql.substring(last)
     val stmts = parts.map(_.trim).filter(_.nonEmpty).toSeq
     require(stmts.nonEmpty, "the script contains no statements")
@@ -2529,6 +2657,36 @@ object Dialect {
     * lone trailing backslash masks itself and ends with the string
     * still open — same recovery as any unterminated literal.
     */
+  /** Scan a single-quoted literal starting at the opening quote at `at`
+    * in RAW text, honoring SQL doubled-quote escapes (`''` is one quote
+    * INSIDE the value, not a close+reopen) and the same `\x` skip the
+    * mask applies. Returns (unescaped value, index just after the
+    * closing quote). The raw-scan sites that extract literal text
+    * (pattern operators, file paths) must use this instead of a bare
+    * `!= '\''` loop — that loop truncates `'it''s'` at the first inner
+    * quote and splices the leftover back into the statement.
+    */
+  private[graft] def scanQuoted(sql: String, at: Int,
+                                what: String): (String, Int) = {
+    require(at < sql.length && sql.charAt(at) == '\'',
+      s"$what needs a single-quoted literal")
+    val sb = new StringBuilder
+    var e = at + 1
+    var closed = -1
+    while (closed < 0 && e < sql.length) {
+      val c = sql.charAt(e)
+      if (c == '\'') {
+        if (e + 1 < sql.length && sql.charAt(e + 1) == '\'') {
+          sb.append('\''); e += 2
+        } else closed = e + 1
+      } else if (c == '\\' && e + 1 < sql.length) {
+        sb.append(c).append(sql.charAt(e + 1)); e += 2
+      } else { sb.append(c); e += 1 }
+    }
+    require(closed > 0, s"unterminated $what literal")
+    (sb.toString, closed)
+  }
+
   private[graft] def stripLiterals(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var i = 0

@@ -48,13 +48,10 @@ object ExportSql {
     while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
     require(k < sql.length && sql.charAt(k) == '\'',
       "EXPORT/IMPORT DATABASE needs a single-quoted directory literal")
-    var e = k + 1
-    while (e < sql.length && sql.charAt(e) != '\'') e += 1
-    require(e < sql.length, "unterminated DATABASE path literal")
-    val path = sql.substring(k + 1, e)
+    val (path, afterLit) = Dialect.scanQuoted(sql, k, "DATABASE path")
     require(path.nonEmpty && !path.contains("\\"),
       "DATABASE path must be a plain non-empty literal")
-    var p = skipWs(m, e + 1)
+    var p = skipWs(m, afterLit)
     var format = "parquet"
     if (p < m.length && m.charAt(p) == '(') {
       require(isExport,
@@ -105,7 +102,11 @@ object ExportSql {
       val mf = fs(spark, st.path)
       val out = mf.create(
         new org.apache.hadoop.fs.Path(s"${st.path}/$Manifest"), true)
-      out.write((st.format +: names).mkString("\n").getBytes("UTF-8"))
+      // each table line carries the exact schema DDL after a tab so a
+      // CSV re-import is type-exact (no inferSchema lossiness); parquet
+      // imports ignore it (the footer is authoritative)
+      val lines = names.map(n => s"$n\t${spark.table(n).schema.toDDL}")
+      out.write((st.format +: lines).mkString("\n").getBytes("UTF-8"))
       out.close()
       counted.toDF("table_name", "n_rows")
     } else {
@@ -122,18 +123,31 @@ object ExportSql {
       }
       require(lines.nonEmpty, "empty DATABASE manifest")
       val format = lines.head.trim
-      val names = lines.tail.map(_.trim).filter(_.nonEmpty)
-      require(names.nonEmpty, "DATABASE manifest lists no tables")
-      val counted = names.map { n =>
+      // "name" (pre-r18 manifests) or "name\tschemaDDL"
+      val entries = lines.tail.map(_.trim).filter(_.nonEmpty).map { ln =>
+        val tab = ln.indexOf('\t')
+        if (tab < 0) (ln, None)
+        else (ln.substring(0, tab).trim, Some(ln.substring(tab + 1).trim))
+      }
+      require(entries.nonEmpty, "DATABASE manifest lists no tables")
+      val counted = entries.map { case (n, ddl) =>
         require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
           s"malformed table name in manifest: '$n'")
         val target = s"${st.path}/$n.$format"
         val df = format match {
           case "parquet" => spark.read.parquet(target)
-          case _ => spark.read.option("header", "true")
-            .option("inferSchema", "true").csv(target)
+          case _ =>
+            val rd = spark.read.option("header", "true")
+            ddl match {
+              case Some(d) => rd.schema(
+                org.apache.spark.sql.types.StructType.fromDDL(d)).csv(target)
+              case None => rd.option("inferSchema", "true").csv(target)
+            }
         }
-        df.createOrReplaceTempView(n)
+        // same bind discipline as every other session-catalog bind site
+        graft.api.Table.bindLock.synchronized {
+          df.createOrReplaceTempView(n)
+        }
         (n, df.count())
       }
       counted.toDF("table_name", "n_rows")

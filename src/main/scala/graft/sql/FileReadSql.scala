@@ -27,7 +27,10 @@ import scala.collection.mutable.ArrayBuffer
   * The bare-literal form rewrites only directly after a top-level-or-
   * nested FROM or JOIN keyword (a literal anywhere else is data);
   * its format comes from the extension (.parquet/.csv/.json/.ndjson —
-  * DuckDB's rule, unknown extensions refuse loudly). COPY statements
+  * DuckDB's rule). A FROM inside trim/extract/substring/overlay
+  * argument lists is expression syntax and never rewritten, and a
+  * literal without a data-file extension is left untouched (it is data,
+  * e.g. extract(year FROM '2020-01-01')). COPY statements
   * never reach this pass (dispatched earlier), so COPY's own path
   * literals are untouched.
   */
@@ -69,26 +72,55 @@ object FileReadSql {
     * returns (path, index just after the closing quote).
     */
   private def pathLit(sql: String, at: Int, what: String): (String, Int) = {
-    require(at < sql.length && sql.charAt(at) == '\'',
-      s"$what needs a single-quoted path literal")
-    var e = at + 1
-    while (e < sql.length && sql.charAt(e) != '\'') e += 1
-    require(e < sql.length, s"unterminated $what path literal")
-    val p = sql.substring(at + 1, e)
+    val (p, after) = Dialect.scanQuoted(sql, at, s"$what path")
     require(p.nonEmpty && !p.contains("\\"),
       s"$what path must be a plain non-empty literal")
-    (p, e + 1)
+    (p, after)
   }
 
-  private def extKind(path: String, what: String): String = {
+  private def extKind(path: String): Option[String] = {
     val p = path.toLowerCase
-    if (p.endsWith(".parquet")) "parquet"
-    else if (p.endsWith(".csv")) "csv"
-    else if (p.endsWith(".json") || p.endsWith(".ndjson")) "json"
-    else throw new IllegalArgumentException(
-      s"$what '$path' has no recognized extension " +
-        "(.parquet/.csv/.json/.ndjson) — use read_parquet/read_csv/" +
-        "read_json to name the format")
+    if (p.endsWith(".parquet")) Some("parquet")
+    else if (p.endsWith(".csv")) Some("csv")
+    else if (p.endsWith(".json") || p.endsWith(".ndjson")) Some("json")
+    else None
+  }
+
+  /** Standard-SQL functions whose argument lists legally contain the
+    * FROM keyword (trim(BOTH 'x' FROM y), extract(year FROM ts),
+    * substring(s FROM i [FOR n]), overlay(s PLACING r FROM i)). A FROM
+    * inside such a call is expression syntax, never a table position —
+    * pass 2 must not rewrite a literal that follows it.
+    */
+  private val FromEmbeddingFns =
+    Set("trim", "extract", "substring", "substr", "overlay", "position")
+
+  /** True when position `at` sits inside a paren group whose opening
+    * paren is a call to one of [[FromEmbeddingFns]]. Scans the mask from
+    * the start maintaining an open-paren stack — O(statement) per call,
+    * fine at SQL-text sizes.
+    */
+  private def insideFromEmbeddingFn(m: String, at: Int): Boolean = {
+    val stack = scala.collection.mutable.Stack.empty[Int]
+    var i = 0
+    while (i < at) {
+      val c = m.charAt(i)
+      if (c == '(') stack.push(i)
+      else if (c == ')' && stack.nonEmpty) stack.pop()
+      i += 1
+    }
+    stack.exists { open =>
+      var e = open - 1
+      while (e >= 0 && m.charAt(e).isWhitespace) e -= 1
+      if (e < 0) false
+      else {
+        var s = e
+        while (s >= 0 && (m.charAt(s).isLetterOrDigit || m.charAt(s) == '_'))
+          s -= 1
+        val word = m.substring(s + 1, e + 1).toLowerCase
+        FromEmbeddingFns.contains(word)
+      }
+    }
   }
 
   /** Rewrite every file-read form to a fresh view name. None when the
@@ -180,10 +212,18 @@ object FileReadSql {
         while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
         if (k < sql.length && sql.charAt(k) == '\'' &&
           k < m.length && m.charAt(k) == ' ' &&
-          !hits.exists(h => k >= h._1 && k < h._2)) {
+          !hits.exists(h => k >= h._1 && k < h._2) &&
+          !insideFromEmbeddingFn(m, i)) {
           val (path, after) = pathLit(sql, k, "FROM")
-          hits += ((k, after, Bind(fresh(), extKind(path, "FROM"), path)))
-          i = after
+          extKind(path) match {
+            case Some(kind) =>
+              hits += ((k, after, Bind(fresh(), kind, path)))
+              i = after
+            // no data-file extension → a plain string literal (e.g.
+            // extract(... FROM '2020-01-01')) — leave it untouched;
+            // Spark's parser rejects a true table-position literal loudly
+            case None => i = after
+          }
         } else i += kw
       } else i += 1
     }

@@ -488,5 +488,68 @@ class DialectSpec extends AnyFunSuite {
     // pattern text inside an unrelated literal never triggers
     val lit = "SELECT 'x SIMILAR TO y' AS s FROM t"
     assert(Dialect.rewriteSimilarGlob(lit) == lit)
+    // SQL doubled-quote escape inside the pattern: the scan must not
+    // truncate at the inner quote and splice leftovers back in
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s SIMILAR TO 'it''s' FROM t") ==
+      "SELECT s RLIKE '^(?:it''s)$' FROM t")
+    assert(Dialect.rewriteSimilarGlob(
+      "SELECT s GLOB 'it''s*' FROM t") ==
+      "SELECT s RLIKE '^(?:it''s.*)$' FROM t")
+  }
+
+  test("subscripts (q69): bracket access lowers onto 1-based " +
+    "try_element_at; slices refuse; literals/array-literals untouched") {
+    assert(Dialect.rewriteSubscripts("SELECT l[1] FROM t") ==
+      "SELECT try_element_at(l, CAST(1 AS INT)) FROM t")
+    // qualified receiver, expression index (Spark needs INT, DuckDB
+    // types integer arithmetic BIGINT — hence the cast), negative index
+    assert(Dialect.rewriteSubscripts("SELECT t.arr[i + 1] FROM t") ==
+      "SELECT try_element_at(t.arr, CAST(i + 1 AS INT)) FROM t")
+    assert(Dialect.rewriteSubscripts("SELECT l[-1] FROM t") ==
+      "SELECT try_element_at(l, CAST(-1 AS INT)) FROM t")
+    // function-call and parenthesized receivers
+    assert(Dialect.rewriteSubscripts(
+      "SELECT string_split(s, ' ')[2] FROM t") ==
+      "SELECT try_element_at(string_split(s, ' '), CAST(2 AS INT)) FROM t")
+    assert(Dialect.rewriteSubscripts("SELECT (l)[1] FROM t") ==
+      "SELECT try_element_at((l), CAST(1 AS INT)) FROM t")
+    // chained subscripts nest
+    assert(Dialect.rewriteSubscripts("SELECT ll[1][2] FROM t") ==
+      "SELECT try_element_at(try_element_at(ll, CAST(1 AS INT)), " +
+        "CAST(2 AS INT)) FROM t")
+    // map key subscript rides the same lowering
+    assert(Dialect.rewriteSubscripts("SELECT m['k'] FROM t") ==
+      "SELECT try_element_at(m, 'k') FROM t")
+    // literal 0 index: DuckDB yields NULL, Spark throws — NULL index
+    assert(Dialect.rewriteSubscripts("SELECT l[0] FROM t") ==
+      "SELECT try_element_at(l, CAST(NULL AS INTEGER)) FROM t")
+    // slices refuse loudly
+    assert(intercept[IllegalArgumentException](
+      Dialect.rewriteSubscripts("SELECT l[1:3] FROM t")).getMessage
+      .contains("slice"))
+    // brackets inside string literals are data (GLOB patterns etc.)
+    val g = "SELECT s GLOB '*g[ei]*' FROM t"
+    assert(Dialect.rewriteSubscripts(g) == g)
+    // a bracket group with a top-level comma is not a subscript
+    val al = "SELECT ARRAY[1, 2, 3] FROM t"
+    assert(Dialect.rewriteSubscripts(al) == al)
+    // no brackets → untouched text identity
+    val plain = "SELECT a FROM t"
+    assert(Dialect.rewriteSubscripts(plain) eq plain)
+  }
+
+  test("splitStatements: paren-enclosed semicolons never split NOR " +
+    "return the input unchanged (re-entry guard)") {
+    // malformed text whose only ';' sits inside parens: None, not
+    // Some(Seq(input)) — the latter makes sessionSql re-enter forever
+    assert(Dialect.splitStatements("SELECT f(1;2)").isEmpty)
+    assert(Dialect.splitStatements("SELECT 1").isEmpty)
+    // real scripts still split; lone trailing ';' yields one statement
+    assert(Dialect.splitStatements("SELECT 1; SELECT 2") ==
+      Some(Seq("SELECT 1", "SELECT 2")))
+    assert(Dialect.splitStatements("SELECT 1;") == Some(Seq("SELECT 1")))
+    // a ';' inside a literal is content, not a separator
+    assert(Dialect.splitStatements("SELECT ';' AS s").isEmpty)
   }
 }

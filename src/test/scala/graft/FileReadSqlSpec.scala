@@ -60,9 +60,35 @@ class FileReadSqlSpec extends GraftSuite {
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       s"SELECT * FROM read_csv('$d/h.csv', quote = 'x')"))
       .getMessage.contains("not supported"))
-    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+    // a FROM literal without a data-file extension is left untouched
+    // (it is data, not a path) — Spark's parser rejects it loudly
+    assert(intercept[Exception](Table.sessionSql(spark,
       s"SELECT * FROM '$d/file.unknown'"))
-      .getMessage.contains("no recognized extension"))
+      .getMessage.toLowerCase.contains("syntax"))
+  }
+
+  test("FROM inside trim/extract/substring argument lists is expression " +
+    "syntax — never rewritten, even when the literal looks like a path") {
+    // standard-SQL forms that previously mangled
+    assert(FileReadSql.rewrite(
+      "SELECT trim(BOTH 'x' FROM 'xxabcxx') AS s FROM t").isEmpty)
+    assert(FileReadSql.rewrite(
+      "SELECT extract(year FROM '2020-01-01') AS y FROM t").isEmpty)
+    assert(FileReadSql.rewrite(
+      "SELECT substring('abcdef' FROM 2 FOR 3) AS s FROM t").isEmpty)
+    // even a .csv-suffixed literal inside trim stays data
+    assert(FileReadSql.rewrite(
+      "SELECT trim(BOTH 'x' FROM 'weird.csv') AS s FROM t").isEmpty)
+    // but a genuine table-position literal in the same statement still
+    // rewrites while the function-embedded one does not
+    val Some((rw, binds)) = FileReadSql.rewrite(
+      "SELECT trim(BOTH 'x' FROM 'xxaxx') AS s FROM '/p/t.parquet'")
+    assert(binds.map(_.path) == Seq("/p/t.parquet"))
+    assert(rw.contains("FROM 'xxaxx'"))
+    // doubled-quote escape in a path literal un-doubles
+    val Some((_, b2)) = FileReadSql.rewrite(
+      "SELECT * FROM '/p/it''s.parquet'")
+    assert(b2.head.path == "/p/it's.parquet")
   }
 
   test("rewrite surgical: literals elsewhere untouched, COPY paths " +

@@ -205,7 +205,18 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
       val fj = Dialect.fromFirst(j)
       val uq = scala.util.Try(Dialect.splitUnionByName(q)).toOption.flatten
       val uj = scala.util.Try(Dialect.splitUnionByName(j)).toOption.flatten
+      // round-18 passes: bracket subscripts (q69 — corpus oracles carry
+      // DuckDB slices, which refuse loudly: Try-compare) and pattern
+      // operators (q68) must be blind to masked content too
+      val bq = scala.util.Try(Dialect.rewriteSubscripts(q)).toOption
+      val bj = scala.util.Try(Dialect.rewriteSubscripts(j)).toOption
+      val gq = scala.util.Try(Dialect.rewriteSimilarGlob(q)).toOption
+      val gj = scala.util.Try(Dialect.rewriteSimilarGlob(j)).toOption
       maskedEq(Dialect.rewrite(j), Dialect.rewrite(q)) &&
+        (bq.isDefined == bj.isDefined) &&
+        bq.zip(bj).forall { case (a, b) => maskedEq(a, b) } &&
+        (gq.isDefined == gj.isDefined) &&
+        gq.zip(gj).forall { case (a, b) => maskedEq(a, b) } &&
         maskedEq(Dialect.aliasesIntoWhere(j), Dialect.aliasesIntoWhere(q)) &&
         maskedEq(Dialect.orderByNullsLast(j), Dialect.orderByNullsLast(q)) &&
         (sq.isDefined == sj.isDefined) &&

@@ -148,8 +148,9 @@ class SearchSpec extends GraftSuite {
       emb, pairs, "vec_id", "embedding", "a_id", "p_id",
       k = 10, margin = 0.1)
       .orderBy("anchor_id", "rank")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((0L, 1L, 6L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 1L, 6L))) // (anchor, pos, rank, neg)
     // a zero margin empties the band — the anchor emits no rows (the
     // topk_by group never forms), not a zero-row placeholder
     assert(graft.ops.Similarity.hardNegatives(
@@ -159,8 +160,24 @@ class SearchSpec extends GraftSuite {
     val capped = graft.ops.Similarity.hardNegatives(
       emb, pairs, "vec_id", "embedding", "a_id", "p_id",
       k = 2, margin = 0.7)
-      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      .orderBy("rank").collect().map(_.getLong(3)).toSeq
     assert(capped == Seq(6L, 3L)) // sim desc, anchor/pos never appear
+    // two pairs sharing an anchor (same pos_sim by symmetry) each get
+    // their OWN band keyed by (anchor_id, pos_id) — no merged groups,
+    // no duplicated candidates inside one group
+    val twoPairs = Seq((0L, 1L), (0L, 5L)).toDF("a_id", "p_id")
+    val perPair = graft.ops.Similarity.hardNegatives(
+      emb, twoPairs, "vec_id", "embedding", "a_id", "p_id",
+      k = 10, margin = 0.1)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toSeq
+    // pos_sim is ~0.7071 for BOTH pairs (vec 1 and vec 5 are parallel);
+    // pair (0,1): band holds 6 only (5 == pos_sim excluded strictly);
+    // pair (0,5): candidate 1 now sits AT pos_sim (excluded), 6 in band
+    val grouped = perPair.groupBy(_._1).map { case (k2, v) =>
+      (k2, v.map(_._2).sorted) }
+    assert(grouped((0L, 1L)) == Seq(6L))
+    assert(grouped((0L, 5L)) == Seq(6L))
   }
 
   test("rrfFuse: full-outer semantics, absent rank contributes zero") {
