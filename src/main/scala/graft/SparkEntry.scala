@@ -7274,6 +7274,69 @@ object SparkEntry {
          SELECT k, CASE WHEN k % 2 = 0 THEN upper(nm) ELSE nm END AS nm
          FROM t WHERE k <> 1 ORDER BY k"""),
 
+    // Upsert RETURNING (u21, [[graft.sql.DmlSql]] runOnConflict
+    // returningOnly): RETURNING composed with ON CONFLICT — Postgres
+    // semantics, probed: DO NOTHING returns ONLY the inserted rows
+    // (conflicting rows are not affected); DO UPDATE returns inserted
+    // rows plus the post-image of rows whose u14 WHERE gate fired
+    // (FALSE/NULL blocks the update AND the return). The most common
+    // RETURNING shape in application code (get-or-create / upsert-
+    // and-read). The oracle re-derives both arms relationally (DuckDB's
+    // native ON CONFLICT needs a unique index, which frames don't
+    // carry — the u12/u14 discipline). Both statements target the
+    // ORIGINAL base (sessionSql DML outside scripts never rebinds).
+    "u21_upsert_returning" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u21_base")
+        val up = graft.api.Table.sessionSql(s,
+          """INSERT INTO u21_base
+             SELECT k + 18, 'C', cents DIV 3 FROM u21_base WHERE k % 2 = 0
+             ON CONFLICT (k) DO UPDATE
+               SET cents = excluded.cents + cents, st = 'U'
+               WHERE cents < 18000000
+             RETURNING k, st, cents""").df
+          .select(lit("up").as("arm"), col("k"), col("st"), col("cents"))
+        val dn = graft.api.Table.sessionSql(s,
+          """INSERT INTO u21_base
+             SELECT min(k), 'N', 111 FROM u21_base
+             UNION ALL SELECT 999000001, 'N', 222
+             ON CONFLICT (k) DO NOTHING
+             RETURNING k, st, cents""").df
+          .select(lit("dn").as("arm"), col("k"), col("st"), col("cents"))
+        up.unionByName(dn)
+          .groupBy(col("arm"), col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).cast("long").as("cents"),
+            min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .orderBy(col("arm"), col("st"))
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 9 = 0),
+         s1 AS (SELECT k + 18 AS k, 'C' AS st, cents // 3 AS cents
+                FROM base WHERE k % 2 = 0),
+         upd AS (SELECT 'up' AS arm, b.k, 'U' AS st,
+                        s1.cents + b.cents AS cents
+                 FROM base b JOIN s1 ON s1.k = b.k
+                 WHERE b.cents < 18000000),
+         ins1 AS (SELECT 'up' AS arm, k, st, cents FROM s1 s
+                  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)),
+         s2 AS (SELECT min(k) AS k, 'N' AS st, CAST(111 AS BIGINT) AS cents
+                FROM base
+                UNION ALL SELECT 999000001, 'N', 222),
+         ins2 AS (SELECT 'dn' AS arm, k, st, cents FROM s2 s
+                  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)),
+         u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins1
+               UNION ALL SELECT * FROM ins2)
+         SELECT arm, st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM u GROUP BY arm, st ORDER BY arm, st"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)

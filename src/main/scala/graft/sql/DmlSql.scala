@@ -465,10 +465,16 @@ object DmlSql {
         case Insert(ref, cols, values, source, None, byName) =>
           alignedInsert(spark, resolve(ref), cols, values, source, runStmt,
             byName)
-        case Insert(_, _, _, _, Some(_), _) =>
-          throw new IllegalArgumentException(
-            "RETURNING with ON CONFLICT is not supported — consume the " +
-              "returned post-statement table instead")
+        // upsert RETURNING (u21, Postgres semantics, probed): DO
+        // NOTHING returns ONLY the inserted rows (conflicting rows are
+        // not affected); DO UPDATE returns inserted rows plus the
+        // post-image of rows whose update gate fired (a FALSE/NULL
+        // u14 WHERE arm blocks the update AND the return)
+        case Insert(ref, cols, values, source, Some(cflt), byName) =>
+          val t = resolve(ref)
+          val aligned = alignedInsert(spark, t, cols, values, source,
+            runStmt, byName)
+          runOnConflict(t, aligned, cflt, returningOnly = true)
         case Update(ref, alias, sets, where, None) =>
           val t = resolve(ref).as(alias)
           requireSetCols(t, sets, "UPDATE")
@@ -658,9 +664,15 @@ object DmlSql {
     * Scale shape: one shuffle on the conflict keys for the join, one
     * for the anti-join (AQE broadcasts a small source), the guard is
     * one keyed count; every SET is expression-level from there.
+    *
+    * `returningOnly` (u21): return the AFFECTED set instead of the
+    * post-statement table — inserted rows for DO NOTHING (Postgres:
+    * conflicting rows are not affected), inserted rows ∪ the
+    * post-image of gate-fired updates for DO UPDATE.
     */
   private def runOnConflict(t: DataFrame, aligned: DataFrame,
-                            c: Conflict): DataFrame = {
+                            c: Conflict,
+                            returningOnly: Boolean = false): DataFrame = {
     c.keys.foreach { k =>
       require(t.columns.exists(_.equalsIgnoreCase(k)),
         s"ON CONFLICT references unknown column '$k' " +
@@ -687,7 +699,9 @@ object DmlSql {
     def fresh(df: DataFrame): DataFrame =
       df.select(df.columns.map(cn => col(s"`$cn`").as(cn)): _*)
     c.action match {
-      case None => fresh(t).union(fresh(newRows)) // DO NOTHING
+      case None => // DO NOTHING
+        if (returningOnly) fresh(newRows)
+        else fresh(t).union(fresh(newRows))
       case Some(sets) =>
         sets.foreach { case (n, _) =>
           require(t.columns.exists(_.equalsIgnoreCase(n)),
@@ -711,6 +725,19 @@ object DmlSql {
           case None => col("excluded").isNotNull
           case Some(w) =>
             col("excluded").isNotNull && coalesce(expr(w), lit(false))
+        }
+        if (returningOnly) {
+          // affected = gate-fired post-images only: the filter makes
+          // the gate TRUE on every surviving row, so each SET applies
+          // unconditionally
+          val updatedAffected = joined.filter(updGate)
+            .select(t.schema.fields.toSeq.map { f =>
+              sets.find(_._1.equalsIgnoreCase(f.name)) match {
+                case Some((_, e)) => expr(e).cast(f.dataType).as(f.name)
+                case None => t.col(s"`${f.name}`").as(f.name)
+              }
+            }: _*)
+          return fresh(updatedAffected).union(fresh(newRows))
         }
         val updated = joined.select(t.schema.fields.toSeq.map { f =>
           sets.find(_._1.equalsIgnoreCase(f.name)) match {

@@ -219,7 +219,7 @@ class DmlSqlSpec extends GraftSuite {
   }
 
   test("RETURNING (u15): inserted rows, post-image of updates, deleted " +
-    "rows (DuckDB-probed); ON CONFLICT combination refuses") {
+    "rows (DuckDB-probed)") {
     bind()
     val ins = Table.sessionSql(spark,
       "INSERT INTO dml_t VALUES (4, 'd', 40), (5, 'e', 50) " +
@@ -248,10 +248,41 @@ class DmlSqlSpec extends GraftSuite {
          WHERE t.k = s.k RETURNING *""").toDF.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(du == Seq((3L, "c", 30L)))
+  }
+
+  test("upsert RETURNING (u21): DO NOTHING returns only inserted rows; " +
+    "DO UPDATE returns insertions + gate-fired post-images") {
+    bind()
+    // DO NOTHING: k=1 conflicts (not returned), k=9 inserts (returned)
+    val dn = Table.sessionSql(spark,
+      """INSERT INTO dml_t VALUES (1, 'x', 1), (9, 'i', 90)
+         ON CONFLICT (k) DO NOTHING RETURNING k, tag""").toDF
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(dn == Seq((9L, "i")))
+    // DO UPDATE: k=2 conflicts and updates (post-image returned),
+    // k=9 inserts (returned); RETURNING items evaluate post-image
+    val up = Table.sessionSql(spark,
+      """INSERT INTO dml_t VALUES (2, 'x', 5), (9, 'i', 90)
+         ON CONFLICT (k) DO UPDATE SET v = excluded.v + v, tag = 'U'
+         RETURNING k, tag, v""").toDF
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(up == Seq((2L, "U", 25L), (9L, "i", 90L)))
+    // the u14 WHERE arm gates the RETURN too: k=2 (v=20) fails the
+    // gate — not updated, NOT returned; k=3 (v=30) passes
+    val gw = Table.sessionSql(spark,
+      """INSERT INTO dml_t VALUES (2, 'x', 5), (3, 'y', 7)
+         ON CONFLICT (k) DO UPDATE SET v = excluded.v + v, tag = 'W'
+           WHERE v >= 30
+         RETURNING k, tag, v""").toDF
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(gw == Seq((3L, "W", 37L)))
+    // the duplicate-source-key guard still applies under RETURNING
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
-      """INSERT INTO dml_t VALUES (1, 'x', 1)
-         ON CONFLICT (k) DO NOTHING RETURNING k""")).getMessage
-      .contains("RETURNING with ON CONFLICT"))
+      """INSERT INTO dml_t VALUES (7, 'a', 1), (7, 'b', 2)
+         ON CONFLICT (k) DO NOTHING RETURNING k""").toDF.collect())
+      .getMessage.contains("duplicate conflict keys"))
   }
 
   test("CTE-headed DML (u16): WITH binds statement-scoped views the " +
