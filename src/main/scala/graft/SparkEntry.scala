@@ -5412,6 +5412,52 @@ object SparkEntry {
          FROM orders WHERE o_orderkey % 7 = 0
          ORDER BY k"""),
 
+    // sum/avg(DISTINCT …) OVER for integral/decimal inputs (w22,
+    // [[graft.sql.Dialect.rewriteDistinctWindow]] +
+    // [[graft.functions.ArrayFoldExact]]): the last practical w18 cell.
+    // The DISTINCT set collects once per frame (collect_set — dedup
+    // inside the aggregation buffer) and folds through the order-free
+    // EXACT sum: integral/decimal addition commutes exactly, so the
+    // set's nondeterministic element order cannot change the answer;
+    // float inputs refuse at analysis time with the w18 reproducibility
+    // reason. AVG is the exact sum cast to double once, divided once —
+    // bitwise equal to DuckDB's double accumulation while the sum is
+    // double-exact. Composes with FILTER (folds inside the DISTINCT)
+    // and EXCLUDE (collect-split for bounded frames, subtraction
+    // algebra for the whole-partition case — both exact). Same text on
+    // both engines; raw doubles compare bitwise, no rounding needed.
+    "w22_sum_distinct_window" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           CAST(sum(DISTINCT o_custkey % 97) OVER (
+             PARTITION BY o_orderstatus) AS BIGINT) AS sd_part,
+           avg(DISTINCT o_custkey % 97) OVER (
+             PARTITION BY o_orderstatus) AS ad_part,
+           CAST(sum(DISTINCT o_custkey % 11) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS BIGINT)
+             AS sd_frame,
+           CAST(sum(DISTINCT o_custkey % 11)
+             FILTER (WHERE o_totalprice > 120000) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS BIGINT)
+             AS sd_filt,
+           CAST(sum(DISTINCT o_custkey % 11) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE CURRENT ROW) AS BIGINT) AS sd_excl,
+           avg(DISTINCT o_custkey % 13) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+             EXCLUDE CURRENT ROW) AS ad_excl,
+           CAST(sum(DISTINCT o_custkey % 10) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey % 5
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE TIES) AS BIGINT) AS sd_ties,
+           CAST(sum(DISTINCT CAST(round(o_totalprice) AS DECIMAL(18,2))
+             ) OVER (PARTITION BY o_orderstatus) AS DOUBLE) AS sd_dec
+         FROM orders WHERE o_orderkey % 7 = 0
+         ORDER BY k"""),
+
     // EXCLUDE over GROUPS frames (w19): the last practical cell of the
     // EXCLUDE matrix — the w14 GROUPS lowering (dense_rank group index)
     // composes with the w12/w16/w18 exclusion algebra, so every

@@ -363,4 +363,76 @@ object Kernels {
     }
     inside
   }
+
+  /** Exact integral array sum for [[graft.functions.ArrayFoldExact]]
+    * (w22): accumulates in Long with loud overflow (Math.addExact — the
+    * ANSI discipline), skips null elements, returns boxed null for an
+    * empty/all-null array (SQL aggregate semantics). `kind` selects the
+    * element getter: 0 byte, 1 short, 2 int, 3 long.
+    */
+  def arraySumExactLong(a: ArrayData, kind: Int): java.lang.Long = {
+    var acc = 0L
+    var any = false
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        any = true
+        val v = kind match {
+          case 0 => a.getByte(i).toLong
+          case 1 => a.getShort(i).toLong
+          case 2 => a.getInt(i).toLong
+          case _ => a.getLong(i)
+        }
+        acc = Math.addExact(acc, v)
+      }
+      i += 1
+    }
+    if (any) java.lang.Long.valueOf(acc) else null
+  }
+
+  /** Exact decimal array sum: java.math.BigDecimal accumulation (exact
+    * at any magnitude), result re-checked into DECIMAL(38, s) — loud on
+    * precision overflow, boxed null on empty/all-null.
+    */
+  def arraySumExactDecimal(a: ArrayData, p: Int,
+                           s: Int): org.apache.spark.sql.types.Decimal = {
+    var acc = java.math.BigDecimal.ZERO
+    var any = false
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        any = true
+        acc = acc.add(a.getDecimal(i, p, s).toJavaBigDecimal)
+      }
+      i += 1
+    }
+    if (!any) return null
+    val d = org.apache.spark.sql.types.Decimal(acc)
+    if (!d.changePrecision(38, s)) throw new ArithmeticException(
+      s"array_sum_exact overflowed DECIMAL(38, $s)")
+    d
+  }
+
+  /** Exact-sum average: the integral/decimal sum above cast to double
+    * ONCE, divided ONCE — a single IEEE rounding point. Boxed null on
+    * empty/all-null (SQL avg semantics).
+    */
+  def arrayAvgExact(a: ArrayData, kind: Int, p: Int,
+                    s: Int): java.lang.Double = {
+    var cnt = 0L
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) cnt += 1
+      i += 1
+    }
+    if (cnt == 0) return null
+    val sumD: Double =
+      if (kind == 4) arraySumExactDecimal(a, p, s).toDouble
+      else arraySumExactLong(a, kind).longValue().toDouble
+    java.lang.Double.valueOf(sumD / cnt)
+  }
+
 }

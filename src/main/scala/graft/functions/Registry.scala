@@ -103,6 +103,20 @@ object Registry {
       case Seq(e)  => Cast(e, t)
       case many    => Cast(CreateArray(many), ArrayType(t))
     }
+    // ---- w22: the order-free exact folds behind sum/avg(DISTINCT x)
+    // OVER — see [[graft.functions.ArrayFoldExact]]; float element
+    // types refuse at analysis time
+    f("array_sum_exact") {
+      case Seq(a) => ArrayFoldExact(a, isAvg = false)
+      case other => throw new IllegalArgumentException(
+        s"array_sum_exact() takes 1 array argument, got ${other.length}")
+    }
+    f("array_avg_exact") {
+      case Seq(a) => ArrayFoldExact(a, isAvg = true)
+      case other => throw new IllegalArgumentException(
+        s"array_avg_exact() takes 1 array argument, got ${other.length}")
+    }
+
     f("to_int")(castFn(LongType))
     f("to_long")(castFn(LongType))
     f("to_float")(castFn(DoubleType))

@@ -478,3 +478,97 @@ case class PointInPolygon(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird,
       fourth = newFourth)
 }
+
+/** `array_sum_exact(arr)` / `array_avg_exact(arr)` — the order-free
+  * exact fold behind `sum/avg(DISTINCT x) OVER spec` (w22): the dialect
+  * lowers the DISTINCT window aggregate onto this fold over
+  * `collect_set(x) OVER spec`, and because integer/decimal addition is
+  * associative-commutative EXACT, the set's nondeterministic element
+  * order cannot change the answer. Float element types REFUSE at
+  * analysis time (checkInputDataTypes) — a float re-fold is not
+  * reproducibly ordered against a native engine's sum, exactly the
+  * reason the w18 refusal documented. Semantics mirror SQL aggregates:
+  * null elements skip, an empty/all-null array yields NULL. Sum
+  * overflow is loud (Math.addExact / Decimal precision check); avg is
+  * the exact sum cast to double once, divided once — a single IEEE
+  * rounding against DuckDB's double accumulation, identical while the
+  * sum is double-exact (< 2^53, the fixture discipline).
+  */
+case class ArrayFoldExact(child: Expression, isAvg: Boolean)
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private lazy val elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: ByteType | _: ShortType | _: IntegerType |
+                   _: LongType | _: DecimalType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} supports integral and decimal element types, got " +
+        s"${other.simpleString} — a float DISTINCT re-fold is not " +
+        "reproducibly ordered; cast the argument to DECIMAL explicitly " +
+        "if one rounding is acceptable")
+  }
+
+  override def dataType: DataType =
+    if (isAvg) DoubleType
+    else elementType match {
+      // the widened exact accumulator types (Spark's Sum discipline)
+      case d: DecimalType => DecimalType(38, d.scale)
+      case _ => LongType
+    }
+
+  // empty / all-null input folds to NULL (SQL aggregate semantics)
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (isAvg) "array_avg_exact" else "array_sum_exact"
+
+  /** 0 = byte, 1 = short, 2 = int, 3 = long, 4 = decimal. */
+  private lazy val kind: Int = elementType match {
+    case _: ByteType => 0
+    case _: ShortType => 1
+    case _: IntegerType => 2
+    case _: LongType => 3
+    case _: DecimalType => 4
+  }
+
+  private lazy val (decP, decS) = elementType match {
+    case d: DecimalType => (d.precision, d.scale)
+    case _ => (0, 0)
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (isAvg) Kernels.arrayAvgExact(arr, kind, decP, decS)
+    else if (kind == 4) Kernels.arraySumExactDecimal(arr, decP, decS)
+    else Kernels.arraySumExactLong(arr, kind)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (call, box, unbox) =
+        if (isAvg)
+          (s"graft.functions.Kernels.arrayAvgExact($a, $kind, $decP, $decS)",
+            "java.lang.Double", "doubleValue")
+        else if (kind == 4)
+          (s"graft.functions.Kernels.arraySumExactDecimal($a, $decP, $decS)",
+            "org.apache.spark.sql.types.Decimal", "")
+        else
+          (s"graft.functions.Kernels.arraySumExactLong($a, $kind)",
+            "java.lang.Long", "longValue")
+      val assign =
+        if (unbox.isEmpty) s"${ev.value} = ${ev.value}_raw;"
+        else s"${ev.value} = ${ev.value}_raw.$unbox();"
+      s"""
+         |$box ${ev.value}_raw = $call;
+         |if (${ev.value}_raw == null) { ${ev.isNull} = true; }
+         |else { $assign }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1562,9 +1562,10 @@ object Dialect {
                 val args2 = cur.substring(argOpen2 + 1, q2).trim
                 val args2Mask = stripLiterals(args2)
                 val d2 = findTopLevelKeywordIn(args2Mask, 0, "distinct")
-                require(d2 < 0 || fnameLc == "count",
-                  "FILTER over a DISTINCT window aggregate is only " +
-                    "supported for COUNT")
+                require(d2 < 0 ||
+                  Set("count", "sum", "avg").contains(fnameLc),
+                  "FILTER over a DISTINCT window aggregate is " +
+                    "supported for COUNT/SUM/AVG")
                 val folded =
                   if (d2 >= 0) {
                     require(skipWsAt(args2Mask, 0) == d2,
@@ -1648,10 +1649,12 @@ object Dialect {
               val dPos = findTopLevelKeywordIn(argsMask, 0, "distinct")
               if (fname.nonEmpty && dPos >= 0 &&
                 skipWsAt(argsMask, 0) == dPos) {
-                require(fname == "count",
-                  s"DISTINCT window aggregates are supported only for " +
-                    s"COUNT (got $fname) — a DISTINCT re-fold of a " +
-                    "float aggregate is not reproducibly ordered")
+                require(Set("count", "sum", "avg").contains(fname),
+                  s"DISTINCT window aggregates are supported for " +
+                    s"COUNT/SUM/AVG (got $fname) — and SUM/AVG only " +
+                    "over integral/decimal inputs (the order-free exact " +
+                    "fold); a float DISTINCT re-fold is not reproducibly " +
+                    "ordered")
                 // single argument only (top-level comma = a second one)
                 var dd = 0
                 var multiArg = false
@@ -1662,12 +1665,13 @@ object Dialect {
                   case _ =>
                 }
                 require(!multiArg,
-                  "COUNT(DISTINCT a, b) over a window is not supported " +
-                    "— combine the keys into one expression (e.g. a " +
-                    "struct or concat)")
+                  s"${fname.toUpperCase}(DISTINCT a, b) over a window " +
+                    "is not supported — combine the keys into one " +
+                    "expression (e.g. a struct or concat)")
                 val arg =
                   cur.substring(argOpen + 1 + dPos + 8, q).trim
-                require(arg.nonEmpty, "COUNT(DISTINCT) needs an argument")
+                require(arg.nonEmpty,
+                  s"${fname.toUpperCase}(DISTINCT) needs an argument")
                 // ---- the OVER target: (spec) or a named window ----
                 val k = skipWsAt(m, o + 4)
                 require(k < m.length,
@@ -1688,10 +1692,19 @@ object Dialect {
                 // per-row projection is a constant-time size() — the
                 // list variant re-deduplicated an O(frame) array per
                 // row (O(n²) per partition on unbounded frames; 220 s
-                // on the sf0.1 bench before this change)
+                // on the sf0.1 bench before this change). SUM/AVG (w22)
+                // ride the same set through the order-free exact fold
+                // ([[graft.functions.ArrayFoldExact]]), which refuses
+                // float element types at analysis time.
+                val outer = fname match {
+                  case "count" => (a: String) =>
+                    s"CAST(size($a) AS BIGINT)"
+                  case "sum" => (a: String) => s"array_sum_exact($a)"
+                  case _ => (a: String) => s"array_avg_exact($a)"
+                }
                 cur = cur.substring(0, fs) +
-                  s"CAST(size(collect_set($arg) OVER " +
-                  s"$overText) AS BIGINT)" + cur.substring(overEnd + 1)
+                  outer(s"collect_set($arg) OVER $overText") +
+                  cur.substring(overEnd + 1)
                 more = true
               }
             }
@@ -2150,15 +2163,16 @@ object Dialect {
       val args2 = cur.substring(argOpen2 + 1, q2).trim
       val args2Mask = stripLiterals(args2)
       val d2 = findTopLevelKeywordIn(args2Mask, 0, "distinct")
-      // COUNT(DISTINCT x) FILTER (w18): the filter folds INSIDE the
-      // DISTINCT — the CASE's filtered-out NULL is skipped by both the
-      // distinct count and the collect_list it later lowers onto, so
-      // count(DISTINCT CASE WHEN c THEN x END) IS the FILTER semantics.
-      // Other DISTINCT aggregates stay refused: their fold is not
-      // subtraction-decomposable and a float re-fold is not
-      // reproducibly ordered against a native engine.
-      require(d2 < 0 || fname2.toLowerCase == "count",
-        "EXCLUDE over a DISTINCT aggregate is only supported for COUNT")
+      // COUNT/SUM/AVG(DISTINCT x) FILTER (w18/w22): the filter folds
+      // INSIDE the DISTINCT — the CASE's filtered-out NULL is skipped
+      // by both the distinct aggregate and the collect_set it later
+      // lowers onto, so agg(DISTINCT CASE WHEN c THEN x END) IS the
+      // FILTER semantics. Other DISTINCT aggregates stay refused:
+      // their fold is not subtraction-decomposable.
+      require(d2 < 0 ||
+        Set("count", "sum", "avg").contains(fname2.toLowerCase),
+        "EXCLUDE over a DISTINCT aggregate is supported for " +
+          "COUNT/SUM/AVG")
       val folded =
         if (d2 >= 0) {
           require(skipWsAt(args2Mask, 0) == d2,
@@ -2176,9 +2190,11 @@ object Dialect {
     val argsRaw = cur.substring(argOpen + 1, q)
     val argsMask = m.substring(argOpen + 1, q)
     val dPos = findTopLevelKeywordIn(argsMask, 0, "distinct")
-    require(dPos < 0 || fname == "count",
-      "EXCLUDE over a DISTINCT aggregate is only supported for COUNT — " +
-        "a SUM/AVG DISTINCT re-fold is not reproducibly ordered")
+    require(dPos < 0 || Set("count", "sum", "avg").contains(fname),
+      "EXCLUDE over a DISTINCT aggregate is supported for COUNT/SUM/AVG " +
+        "(SUM/AVG only over integral/decimal inputs — the order-free " +
+        "exact fold; a float DISTINCT re-fold is not reproducibly " +
+        "ordered)")
     val isDistinct = dPos >= 0
     if (isDistinct) {
       require(skipWsAt(argsMask, 0) == dPos,
@@ -2227,7 +2243,7 @@ object Dialect {
     // concatenation — exact for any element type
     if (isDistinct)
       return cur.substring(0, fs) +
-        countDistinctExclude(args, po, frameText, kind, orderPresent) +
+        distinctExclude(fname, args, po, frameText, kind, orderPresent) +
         cur.substring(close + 1)
     validateExcludeFrame(frameText, kind, orderPresent)
     require(kind == "current" || orderPresent,
@@ -2441,35 +2457,60 @@ object Dialect {
     * total); the whole-partition EXCLUDE CURRENT ROW shape skips the
     * split entirely for pure counting algebra (see the branch).
     */
-  private def countDistinctExclude(arg: String, po: String,
-                                   frameText: String, kind: String,
-                                   orderPresent: Boolean): String = {
+  private def distinctExclude(fname: String, arg: String, po: String,
+                              frameText: String, kind: String,
+                              orderPresent: Boolean): String = {
     val t = frameText.trim.toLowerCase.replaceAll("\\s+", " ")
+    val label = s"$fname(DISTINCT)"
+    // the distinct aggregate over a combined slice array: COUNT is the
+    // deduplicated size; SUM/AVG (w22) fold through the order-free
+    // exact functions (empty array → NULL, SQL semantics — COUNT's
+    // empty is 0, so its Nil arm stays a literal)
+    def overArr(a: String): String = fname match {
+      case "count" => s"CAST(size(array_distinct($a)) AS BIGINT)"
+      case "sum" => s"array_sum_exact(array_distinct($a))"
+      case _ => s"array_avg_exact(array_distinct($a))"
+    }
+    // a zero-length array CARRYING the argument's type — the Nil arm
+    // must fold to a correctly-typed NULL for SUM/AVG
+    def typedEmpty: String = s"slice(array($arg), 1, 0)"
     // collect_SET in every slice (dedup inside the aggregation buffer —
     // see rewriteDistinctWindow's cost note); concat of two sets can
     // still repeat a value across the sides, so the combiner keeps one
     // array_distinct over the (already small) set concatenation
     def emit(parts: Seq[String]): String = parts match {
-      case Nil => "CAST(0 AS BIGINT)" // the exclusion ate the whole frame
-      case Seq(p) => s"CAST(size(array_distinct($p)) AS BIGINT)"
-      case ps =>
-        s"CAST(size(array_distinct(concat(${ps.mkString(", ")}))) AS BIGINT)"
+      case Nil => // the exclusion ate the whole frame
+        if (fname == "count") "CAST(0 AS BIGINT)" else overArr(typedEmpty)
+      case Seq(p) => overArr(p)
+      case ps => overArr(s"concat(${ps.mkString(", ")})")
     }
     if (kind == "current") {
       val (start, end) =
-        excludeRowBounds("count(DISTINCT)", t, frameText, orderPresent)
+        excludeRowBounds(label, t, frameText, orderPresent)
       if (start == "unbounded preceding" && end == "unbounded following") {
-        // whole-partition frame: pure counting algebra, no split — the
-        // distinct count drops by exactly 1 iff the current row's value
-        // occurs ONCE in the partition (count over the value-keyed
-        // partition is an O(n) window, where an after-slice collect
-        // would re-aggregate per row, O(n²) per partition)
+        // whole-partition frame: pure counting/subtraction algebra, no
+        // split — the distinct set loses exactly the current row's
+        // value iff it occurs ONCE in the partition (count over the
+        // value-keyed partition is an O(n) window, where an after-slice
+        // collect would re-aggregate per row, O(n²) per partition).
+        // SUM subtracts that value; AVG divides the adjusted exact sum
+        // by the adjusted count — both exact for integral/decimal.
         val pOnly = partitionOnly(po)
         val keyed =
           if (pOnly.isEmpty) s"PARTITION BY ($arg)" else s"$pOnly, ($arg)"
-        return s"CAST((size(collect_set($arg) OVER ($pOnly)) - " +
-          s"(CASE WHEN ($arg) IS NOT NULL AND count($arg) OVER " +
-          s"($keyed) = 1 THEN 1 ELSE 0 END)) AS BIGINT)"
+        val once = s"CASE WHEN ($arg) IS NOT NULL AND count($arg) OVER " +
+          s"($keyed) = 1 THEN 1 ELSE 0 END"
+        val cntExcl = s"(size(collect_set($arg) OVER ($pOnly)) - ($once))"
+        if (fname == "count") return s"CAST($cntExcl AS BIGINT)"
+        val adj = s"CASE WHEN ($arg) IS NOT NULL AND count($arg) OVER " +
+          s"($keyed) = 1 THEN ($arg) ELSE 0 END"
+        val sumExcl = s"(array_sum_exact(collect_set($arg) OVER " +
+          s"($pOnly)) - ($adj))"
+        return if (fname == "sum")
+          s"(CASE WHEN $cntExcl = 0 THEN NULL ELSE $sumExcl END)"
+        else
+          s"(CASE WHEN $cntExcl = 0 THEN CAST(NULL AS DOUBLE) " +
+            s"ELSE CAST($sumExcl AS DOUBLE) / $cntExcl END)"
       }
       val before =
         if (start == "current row") None
@@ -2481,7 +2522,7 @@ object Dialect {
           s"FOLLOWING AND $end)")
       emit(Seq(before, after).flatten)
     } else { // group | ties
-      val (gs, ge) = excludeGroupBounds("count(DISTINCT)", t, frameText,
+      val (gs, ge) = excludeGroupBounds(label, t, frameText,
         kind, orderPresent)
       val before =
         if (gs == "current row") None

@@ -176,4 +176,34 @@ class ExpressionsSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaAgg == viaSort)
   }
+
+  test("array_sum_exact / array_avg_exact (w22): exact integral and " +
+      "decimal folds, null skips, empty -> NULL, overflow loud, " +
+      "float refuses") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT array_sum_exact(array(3L, 1L, 2L)) AS s,
+                array_avg_exact(array(3L, 1L, 2L)) AS a,
+                array_sum_exact(array(CAST(NULL AS BIGINT))) AS sn,
+                array_sum_exact(slice(array(1L), 1, 0)) AS se,
+                array_sum_exact(array(CAST(1.25 AS DECIMAL(10,2)),
+                                      CAST(2.50 AS DECIMAL(10,2)))) AS sd,
+                array_avg_exact(array(CAST(1.25 AS DECIMAL(10,2)),
+                                      CAST(2.50 AS DECIMAL(10,2)))) AS ad,
+                array_sum_exact(array(2, null, 5)) AS ni
+      """).collect()(0)
+    assert(r.getLong(0) == 6L && r.getDouble(1) == 2.0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDecimal(4).toPlainString == "3.75")
+    assert(r.getDouble(5) == 1.875)
+    assert(r.getLong(6) == 7L)
+    // integer overflow is loud (Math.addExact), not a silent wrap
+    assert(intercept[Exception](spark.sql(
+      s"SELECT array_sum_exact(array(${Long.MaxValue}L, 1L))").collect())
+      .toString.contains("overflow"))
+    // float element types refuse at analysis time
+    assert(intercept[Exception](spark.sql(
+      "SELECT array_sum_exact(array(1.5D, 2.5D))").collect())
+      .getMessage.contains("integral and decimal"))
+  }
 }

@@ -105,9 +105,11 @@ class WindowExcludeSpec extends GraftSuite {
     // RANGE-to-current frame still refuses with the fix spelled out
     assert(bad(s"SELECT COUNT(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
       .contains("ROWS frame"))
-    // non-COUNT DISTINCT aggregates stay refused under EXCLUDE
+    // SUM(DISTINCT) under EXCLUDE needs the same row-addressable frame
+    // as COUNT(DISTINCT) — the default RANGE-to-current frame refuses
+    // with the fix spelled out (the aggregate itself is supported, w22)
     assert(bad(s"SELECT SUM(DISTINCT v) OVER ($Frame EXCLUDE CURRENT ROW) FROM wx")
-      .contains("only supported for COUNT"))
+      .contains("ROWS frame"))
     assert(bad("""SELECT SUM(v) OVER (PARTITION BY p ORDER BY o
          ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM wx""")
       .contains("cut the peer group"))
@@ -236,12 +238,18 @@ class WindowExcludeSpec extends GraftSuite {
       (None, 2L, None), (None, 2L, Some(10L)), (None, 2L, Some(10L)),
       (Some(50L), 2L, Some(10L)), (Some(50L), 2L, Some(10L)),
       (None, 1L, None)))
-    // non-COUNT DISTINCT under a FILTER still refuses (w18 supports
-    // COUNT only — a SUM re-fold is not reproducibly ordered)
-    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
-      s"SELECT SUM(DISTINCT v) FILTER (WHERE v > 0) OVER " +
-        s"($Frame EXCLUDE GROUP) FROM wx")).getMessage
-      .contains("only supported for COUNT"))
+    // SUM(DISTINCT)+FILTER under EXCLUDE (w22): filter folds inside the
+    // DISTINCT, the GROUP exclusion takes the collect-split, the fold
+    // is exact — values hand-derived (no duplicate v in the fixture, so
+    // DISTINCT sum = the w12 GROUP-excluded sums)
+    val sdg = Table.sessionSql(spark,
+      s"""SELECT p, o, v,
+            SUM(DISTINCT v) FILTER (WHERE v > 0) OVER
+              ($Frame EXCLUDE GROUP) AS sd
+          FROM wx ORDER BY p, o, v NULLS LAST""").toDF
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Long])).toSeq
+    assert(sdg == Seq(None, Some(10L), Some(10L), Some(60L), Some(60L),
+      None))
   }
 
   test("COUNT(DISTINCT) over windows (w18): partition, bounded ROWS, " +
@@ -287,12 +295,21 @@ class WindowExcludeSpec extends GraftSuite {
          WINDOW w AS (PARTITION BY p) ORDER BY p, o""").toDF
       .collect().map(_.getLong(2)).toSeq ==
       Seq(2L, 2L, 2L, 2L, 2L, 1L, 1L))
-    // refusals: non-COUNT DISTINCT, multi-key DISTINCT
+    // avg(DISTINCT) now lowers through the exact fold (w22): p=1
+    // distinct {10, 20} → 15.0, p=2 distinct {5} → 5.0
+    assert(Table.sessionSql(spark,
+      "SELECT p, o, avg(DISTINCT v) OVER (PARTITION BY p) AS a FROM wy " +
+        "ORDER BY p, o").toDF.collect().map(_.getDouble(2)).toSeq ==
+      Seq(15.0, 15.0, 15.0, 15.0, 15.0, 5.0, 5.0))
+    // refusals: non-foldable DISTINCT aggregate, multi-key DISTINCT
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
-      "SELECT avg(DISTINCT v) OVER (PARTITION BY p) FROM wy"))
-      .getMessage.contains("only for COUNT"))
+      "SELECT median(DISTINCT v) OVER (PARTITION BY p) FROM wy"))
+      .getMessage.contains("COUNT/SUM/AVG"))
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       "SELECT count(DISTINCT o, v) OVER (PARTITION BY p) FROM wy"))
+      .getMessage.contains("combine the keys"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "SELECT sum(DISTINCT o, v) OVER (PARTITION BY p) FROM wy"))
       .getMessage.contains("combine the keys"))
     // a comma inside the single argument's parens is NOT a second key
     assert(run("count(DISTINCT coalesce(v, 99)) OVER (PARTITION BY p)")
@@ -334,10 +351,23 @@ class WindowExcludeSpec extends GraftSuite {
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       "SELECT stddev(x) FILTER (WHERE x > 0) OVER (PARTITION BY p) FROM wf"))
       .getMessage.contains("SUM/COUNT/AVG/MIN/MAX"))
-    // sum(DISTINCT)+FILTER over a window refuses (w18 count-only rule)
-    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
-      "SELECT sum(DISTINCT x) FILTER (WHERE x > 0) OVER (PARTITION BY p) " +
-        "FROM wf")).getMessage.contains("only supported for COUNT"))
+    // sum/avg(DISTINCT)+FILTER over a window (w22): the filter folds
+    // INSIDE the DISTINCT, then the exact-fold lowering applies
+    val sd = Table.sessionSql(spark,
+      """SELECT p, o,
+           sum(DISTINCT x) FILTER (WHERE x > 10) OVER (PARTITION BY p)
+             AS sd,
+           avg(DISTINCT x) OVER (PARTITION BY p) AS ad
+         FROM wf ORDER BY p, o""").toDF
+      .collect().map(r => (Option(r.get(2)), r.getDouble(3))).toSeq
+    assert(sd == Seq((Some(50L), 20.0), (Some(50L), 20.0),
+      (Some(50L), 20.0), (None, 5.0)))
+    // float inputs refuse at analysis time (the w18 reproducibility
+    // reason, now enforced by the fold's type check)
+    assert(intercept[Exception](Table.sessionSql(spark,
+      "SELECT sum(DISTINCT CAST(x AS DOUBLE)) OVER (PARTITION BY p) " +
+        "FROM wf").toDF.collect()).getMessage
+      .contains("integral and decimal"))
     // non-window FILTER stays on the native Spark path
     assert(Table.sessionSql(spark,
       "SELECT count(*) FILTER (WHERE x > 5) AS c FROM wf").toDF
