@@ -11291,7 +11291,11 @@ object SparkEntry {
            array_to_string(array_agg(n_name ORDER BY n_nationkey),
                            ',') AS by_key,
            array_to_string(list(substr(n_name, 8) ORDER BY n_name),
-                           ',') AS tails
+                           ',') AS tails,
+           string_agg(DISTINCT substr(n_name, 1, 1), ''
+                      ORDER BY substr(n_name, 1, 1)) AS initials,
+           array_to_string(array_agg(DISTINCT n_nationkey % 4
+                             ORDER BY n_nationkey % 4 DESC), ',') AS quads
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_regionkey ORDER BY k"""),
 

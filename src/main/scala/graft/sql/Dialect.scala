@@ -1013,12 +1013,16 @@ object Dialect {
                 val keys = argsRaw.substring(byPos).trim
                 require(head.nonEmpty && keys.nonEmpty,
                   s"malformed ordered aggregate: $fn(${argsRaw.take(40)})")
-                require(findTopLevelKeywordIn(stripLiterals(head), 0,
-                  "distinct") < 0,
-                  s"$fn(DISTINCT … ORDER BY …) is not supported — " +
-                    "deduplicate in a subquery first")
+                val headMask = stripLiterals(head)
+                val dPos = findTopLevelKeywordIn(headMask, 0, "distinct")
                 val out =
-                  if (fn == "string_agg" || fn == "listagg") {
+                  if (dPos >= 0) {
+                    require(skipWsAt(headMask, 0) == dPos,
+                      s"malformed DISTINCT argument list: ${head.take(40)}")
+                    distinctOrderedAgg(fn, head.substring(dPos + 8).trim,
+                      keys)
+                  }
+                  else if (fn == "string_agg" || fn == "listagg") {
                     val parts = splitTopLevel(head).map(_.trim)
                     require(parts.size <= 2,
                       s"$fn() takes (expr [, separator] ORDER BY …), " +
@@ -1065,6 +1069,75 @@ object Dialect {
     }
     require(!more, "more than 63 ordered aggregates in one statement")
     cur
+  }
+
+  /** q67 extension (r18): DISTINCT inside an ordered aggregate —
+    * `string_agg(DISTINCT x [, sep] ORDER BY x [DESC])` and
+    * `array_agg/list(DISTINCT x ORDER BY x [DESC])`. Legal in
+    * DuckDB/Postgres ONLY when the sort key IS the DISTINCT argument
+    * (Postgres: "in an aggregate with DISTINCT, ORDER BY expressions
+    * must appear in argument list" — a non-argument key has no defined
+    * value per deduplicated element); that restriction is exactly what
+    * makes the lowering deterministic: collect_set + array_sort is
+    * order-free, and DESC is legal here (reverse of the sorted set)
+    * where the non-DISTINCT struct-sort path must refuse it. NULL
+    * handling matches the aggregate family: string_agg skips NULLs in
+    * both engines; collect_set drops them for array_agg too (DuckDB's
+    * list would keep one trailing NULL — divergence documented, refuse
+    * nothing: the deduplicated-NULL case is the q67 fixture
+    * discipline's non-case). Empty set → NULL (string_agg semantics,
+    * size-guarded — array_join alone would yield '').
+    */
+  private def distinctOrderedAgg(fn: String, bare: String,
+                                 keys: String): String = {
+    require(bare.nonEmpty, s"$fn(DISTINCT) needs an argument")
+    val ks = splitTopLevel(keys).map(_.trim)
+    require(ks.size == 1,
+      s"$fn(DISTINCT … ORDER BY …) takes ONE sort key — and it must be " +
+        "the DISTINCT argument itself")
+    // optional trailing ASC/DESC; NULLS modifiers refuse (the set never
+    // contains NULL, so a placement directive would silently no-op)
+    val k0 = ks.head
+    val km = stripLiterals(k0)
+    require(findTopLevelKeywordIn(km, 0, "nulls") < 0,
+      s"$fn(DISTINCT … ORDER BY … NULLS …) is not supported — the " +
+        "deduplicated set contains no NULLs to place")
+    val descPos = findTopLevelKeywordIn(km, 0, "desc")
+    val ascPos = findTopLevelKeywordIn(km, 0, "asc")
+    val desc = descPos >= 0 && skipWsAt(km, descPos + 4) >= km.length
+    val keyExpr =
+      if (desc) k0.substring(0, descPos).trim
+      else if (ascPos >= 0 && skipWsAt(km, ascPos + 3) >= km.length)
+        k0.substring(0, ascPos).trim
+      else k0.trim
+    def norm(s: String) = s.replaceAll("\\s+", " ").trim
+    val (argExpr, sep) =
+      if (fn == "string_agg" || fn == "listagg") {
+        val parts = splitTopLevel(bare).map(_.trim)
+        require(parts.size <= 2,
+          s"$fn() takes (DISTINCT expr [, separator] ORDER BY …), got " +
+            s"${parts.size} arguments")
+        (parts.head, if (parts.size == 2) Some(parts(1)) else Some("','"))
+      } else {
+        require(splitTopLevel(bare).size == 1,
+          s"$fn() takes one expression before ORDER BY")
+        (bare, None)
+      }
+    require(norm(keyExpr).equalsIgnoreCase(norm(argExpr)),
+      s"in $fn(DISTINCT …), the ORDER BY expression must be the " +
+        s"DISTINCT argument itself (got key '$keyExpr' for argument " +
+        s"'$argExpr') — the Postgres/DuckDB rule: a non-argument key " +
+        "has no defined value per deduplicated element")
+    val sorted =
+      if (desc) s"reverse(array_sort(collect_set($argExpr)))"
+      else s"array_sort(collect_set($argExpr))"
+    sep match {
+      case Some(s) =>
+        // empty set → NULL, string_agg's semantics (array_join → '')
+        s"(CASE WHEN size(collect_set($argExpr)) = 0 THEN " +
+          s"CAST(NULL AS STRING) ELSE array_join($sorted, $s) END)"
+      case None => sorted
+    }
   }
 
   /** q68: `expr SIMILAR TO '<regex>'` and `expr GLOB '<glob>'` pattern

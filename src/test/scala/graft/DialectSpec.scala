@@ -450,10 +450,30 @@ class DialectSpec extends AnyFunSuite {
     // ORDER not followed by BY inside the args is content, not a sort
     val noBy = "SELECT string_agg(s, order_col) FROM t"
     assert(Dialect.rewriteOrderedAggs(noBy) == noBy)
-    // DISTINCT inside an ordered aggregate refuses
+    // DISTINCT inside an ordered aggregate (r18): sort key = argument
+    // lowers onto the sorted set; DESC is legal HERE (keys are values)
+    assert(Dialect.rewriteOrderedAggs(
+      "SELECT array_agg(DISTINCT s ORDER BY s) FROM t") ==
+      "SELECT array_sort(collect_set(s)) FROM t")
+    assert(Dialect.rewriteOrderedAggs(
+      "SELECT list(DISTINCT s ORDER BY s DESC) FROM t") ==
+      "SELECT reverse(array_sort(collect_set(s))) FROM t")
+    assert(Dialect.rewriteOrderedAggs(
+      "SELECT string_agg(DISTINCT s, '|' ORDER BY s) FROM t") ==
+      "SELECT (CASE WHEN size(collect_set(s)) = 0 THEN " +
+        "CAST(NULL AS STRING) ELSE array_join(array_sort(collect_set(s))" +
+        ", '|') END) FROM t")
+    // … and the Postgres/DuckDB rule pins the refusal matrix: a
+    // non-argument sort key has no defined value per dedup'd element
     assert(intercept[IllegalArgumentException](Dialect.rewriteOrderedAggs(
-      "SELECT array_agg(DISTINCT s ORDER BY s) FROM t")).getMessage
-      .contains("not supported"))
+      "SELECT array_agg(DISTINCT s ORDER BY o) FROM t")).getMessage
+      .contains("must be the DISTINCT argument"))
+    assert(intercept[IllegalArgumentException](Dialect.rewriteOrderedAggs(
+      "SELECT string_agg(DISTINCT s, ',' ORDER BY s, o) FROM t"))
+      .getMessage.contains("ONE sort key"))
+    assert(intercept[IllegalArgumentException](Dialect.rewriteOrderedAggs(
+      "SELECT list(DISTINCT s ORDER BY s NULLS LAST) FROM t")).getMessage
+      .contains("no NULLs to place"))
   }
 
   test("pattern operators (q68): SIMILAR TO / GLOB lower onto anchored " +
