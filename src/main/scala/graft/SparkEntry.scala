@@ -7383,6 +7383,53 @@ object SparkEntry {
                 min(k) AS mn, max(k) AS mx
          FROM u GROUP BY arm, st ORDER BY arm, st"""),
 
+    // Script transactions (u22, [[graft.api.Table.sessionSql]] script
+    // loop): `BEGIN; …; COMMIT|ROLLBACK;` — the engine's tables are
+    // immutable lazy frames bound by name, so a transaction IS a
+    // catalog snapshot: BEGIN captures every session binding (name →
+    // analyzed plan, zero execution), ROLLBACK restores the bindings
+    // and drops views created since, COMMIT discards the snapshot; a
+    // failing statement inside an open transaction rolls back before
+    // rethrowing. The script below runs a transaction that ROLLS BACK
+    // (cents*3 — absent from the oracle: a broken rollback would
+    // change every sum) and one that COMMITS; the oracle re-derives
+    // the committed chain relationally (the u12/u20 discipline — the
+    // driver's oracle runs as one DuckDB statement).
+    "u22_script_txn" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .createOrReplaceTempView("u22_base")
+        graft.api.Table.sessionSql(s,
+          """BEGIN;
+             UPDATE u22_base SET cents = cents * 3 WHERE k % 4 = 0;
+             CREATE OR REPLACE TEMP TABLE u22_tmp AS
+               SELECT k FROM u22_base WHERE k % 4 = 0;
+             ROLLBACK;
+             BEGIN TRANSACTION;
+             UPDATE u22_base SET st = 'T', cents = cents + 5
+               WHERE k % 3 = 0;
+             DELETE FROM u22_base WHERE cents > 30000000;
+             COMMIT;
+             SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                    min(k) AS mn, max(k) AS mx
+             FROM u22_base GROUP BY st ORDER BY st""").df
+      },
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 10 = 0),
+         u AS (SELECT k,
+                 CASE WHEN k % 3 = 0 THEN 'T' ELSE st END AS st,
+                 CASE WHEN k % 3 = 0 THEN cents + 5 ELSE cents END AS cents
+               FROM base),
+         d AS (SELECT * FROM u WHERE cents <= 30000000)
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+         FROM d GROUP BY st ORDER BY st"""),
+
     // CTAS / CREATE VIEW statement forms (u11, [[graft.sql.DdlSql]]):
     // CREATE TABLE materializes its defining query ONCE (snapshot — an
     // eager localCheckpoint; durable publish stays with the WAP writer)

@@ -435,25 +435,83 @@ object Table {
     // post-statement table without re-binding — outside scripts the
     // caller chooses). RETURNING only on the FINAL statement: its
     // projected rows are not the post-image the rest must read.
+    //
+    // Transactions (u22): `BEGIN; …; COMMIT|ROLLBACK;` — the engine's
+    // tables are immutable lazy frames bound by name, so a transaction
+    // IS a catalog snapshot: BEGIN captures every session temp-view
+    // binding (name → analyzed plan, zero execution), ROLLBACK restores
+    // the captured bindings and drops views created since, COMMIT
+    // discards the snapshot. Statement errors inside an open
+    // transaction roll back before rethrowing (statement atomicity —
+    // the Postgres abort-on-error shape). No durability dimension:
+    // binding is the only state these statements govern (durable
+    // publish stays with the WAP writer, which has its own atomicity).
     Dialect.splitStatements(query) match {
       case Some(stmts) =>
         var out: Table = null
+        var snapshot: Option[Map[String, DataFrame]] = None
+        def rollback(): Unit = {
+          val snap = snapshot.get
+          bindLock.synchronized {
+            val now = spark.catalog.listTables().collect()
+              .filter(_.isTemporary).map(_.name)
+            now.filterNot(snap.contains)
+              .foreach(spark.catalog.dropTempView(_))
+            snap.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+          }
+          snapshot = None
+        }
         stmts.zipWithIndex.foreach { case (st, ix) =>
-          out = sessionSql(spark, st)
-          mutationTarget(st) match {
-            case Some((t, isReturning)) if ix < stmts.size - 1 =>
-              require(!isReturning,
-                "RETURNING is supported only on a script's FINAL " +
-                  "statement — an earlier statement must leave the " +
-                  "post-image for the rest of the script to read")
-              bindLock.synchronized {
-                out.df.createOrReplaceTempView(t)
-              }
+          Dialect.txnKind(st) match {
+            case Some("begin") =>
+              require(snapshot.isEmpty,
+                "BEGIN inside an open transaction — transactions do " +
+                  "not nest")
+              snapshot = Some(bindLock.synchronized {
+                spark.catalog.listTables().collect()
+                  .filter(_.isTemporary).map(_.name)
+                  .map(n => n -> spark.table(n)).toMap
+              })
+              out = Table(spark.sql("SELECT 'begin' AS statement"))
+            case Some("commit") =>
+              require(snapshot.nonEmpty, "COMMIT without BEGIN")
+              snapshot = None
+              out = Table(spark.sql("SELECT 'commit' AS statement"))
+            case Some("rollback") =>
+              require(snapshot.nonEmpty, "ROLLBACK without BEGIN")
+              rollback()
+              out = Table(spark.sql("SELECT 'rollback' AS statement"))
             case _ =>
+              try out = sessionSql(spark, st)
+              catch {
+                case e: Throwable if snapshot.nonEmpty =>
+                  rollback(); throw e
+              }
+              mutationTarget(st) match {
+                case Some((t, isReturning)) if ix < stmts.size - 1 =>
+                  require(!isReturning,
+                    "RETURNING is supported only on a script's FINAL " +
+                      "statement — an earlier statement must leave the " +
+                      "post-image for the rest of the script to read")
+                  bindLock.synchronized {
+                    out.df.createOrReplaceTempView(t)
+                  }
+                case _ =>
+              }
           }
         }
+        require(snapshot.isEmpty,
+          "the script ended inside an open transaction — add COMMIT " +
+            "or ROLLBACK")
         return out
       case None =>
+    }
+    // a lone transaction statement has no script to scope it
+    Dialect.txnKind(query).foreach { k =>
+      throw new IllegalArgumentException(
+        s"${k.toUpperCase} is supported inside multi-statement scripts " +
+          "(u22) — run `BEGIN; …; COMMIT|ROLLBACK;` as one sessionSql " +
+          "call")
     }
     // SUMMARIZE/DESCRIBE first (dialect parity with Table.sql); here a
     // bare identifier resolves against the session catalog

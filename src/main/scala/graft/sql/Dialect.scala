@@ -1357,6 +1357,27 @@ object Dialect {
     cur
   }
 
+  /** u22: transaction-control statements — `BEGIN [TRANSACTION]`,
+    * `COMMIT`, `ROLLBACK` (and Postgres' `ABORT` alias for ROLLBACK).
+    * Only a statement that is EXACTLY the control word (plus the
+    * optional TRANSACTION noise word) classifies; anything longer is
+    * not ours and falls through to the normal pipeline's loud errors.
+    */
+  def txnKind(sql: String): Option[String] = {
+    val m = stripLiterals(sql)
+    val i = skipWsAt(m, 0)
+    def only(endIdx: Int): Boolean = skipWsAt(m, endIdx) >= m.length
+    if (wordAt(m, i, "begin")) {
+      val j = skipWsAt(m, i + 5)
+      if (only(i + 5)) Some("begin")
+      else if (wordAt(m, j, "transaction") && only(j + 11)) Some("begin")
+      else None
+    } else if (wordAt(m, i, "commit") && only(i + 6)) Some("commit")
+    else if (wordAt(m, i, "rollback") && only(i + 8)) Some("rollback")
+    else if (wordAt(m, i, "abort") && only(i + 5)) Some("rollback")
+    else None
+  }
+
   /** u20: split a multi-statement SCRIPT on top-level semicolons
     * (masked scan — a ';' inside a literal or comment is content; a
     * ';' inside parens is not legal SQL and stays unsplit rather than

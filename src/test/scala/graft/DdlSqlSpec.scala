@@ -228,4 +228,56 @@ class DdlSqlSpec extends GraftSuite {
       .collect().head.getInt(0) == 1)
     spark.catalog.dropTempView("u20x")
   }
+
+  test("script transactions (u22): COMMIT keeps, ROLLBACK restores the " +
+    "pre-BEGIN catalog (rebinds AND created views), errors abort") {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("u22t")
+    // COMMIT: the transaction's writes persist
+    val c = Table.sessionSql(spark,
+      """BEGIN;
+         UPDATE u22t SET v = v + 1;
+         COMMIT;
+         SELECT sum(v) AS sv FROM u22t""").toDF.collect().head.getLong(0)
+    assert(c == 32L)
+    // ROLLBACK: pre-BEGIN state returns — the UPDATE, an INSERT and a
+    // CREATE all unwind; post-script SELECT sees the committed 32
+    val r = Table.sessionSql(spark,
+      """BEGIN TRANSACTION;
+         UPDATE u22t SET v = v * 100;
+         CREATE OR REPLACE TEMP TABLE u22new AS SELECT 1 AS one;
+         ROLLBACK;
+         SELECT sum(v) AS sv FROM u22t""").toDF.collect().head.getLong(0)
+    assert(r == 32L)
+    // the view created inside the rolled-back transaction is GONE
+    assert(!spark.catalog.tableExists("u22new"))
+    // a failing statement inside an open transaction rolls back first
+    assert(intercept[Exception](Table.sessionSql(spark,
+      """BEGIN;
+         UPDATE u22t SET v = v * 7;
+         SELECT no_such_column FROM u22t;
+         COMMIT;
+         SELECT 1""")).getMessage.nonEmpty)
+    assert(Table.sessionSql(spark, "SELECT sum(v) AS sv FROM u22t").toDF
+      .collect().head.getLong(0) == 32L)
+    // refusal matrix: nesting, dangling BEGIN, orphan control words
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "BEGIN; BEGIN; COMMIT; SELECT 1")).getMessage
+      .contains("do not nest"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "BEGIN; SELECT 1")).getMessage.contains("open transaction"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "SELECT 1; COMMIT")).getMessage.contains("COMMIT without BEGIN"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "ROLLBACK")).getMessage.contains("multi-statement scripts"))
+    // ABORT is ROLLBACK's alias (Postgres)
+    val a = Table.sessionSql(spark,
+      """BEGIN;
+         DELETE FROM u22t WHERE k = 1;
+         ABORT;
+         SELECT count(*) AS n FROM u22t""").toDF.collect().head.getLong(0)
+    assert(a == 2L)
+    spark.catalog.dropTempView("u22t")
+  }
 }
