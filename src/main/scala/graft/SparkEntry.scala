@@ -7228,13 +7228,19 @@ object SparkEntry {
           .createOrReplaceTempView("u18_t")
         ss("ALTER TABLE u18_t RENAME COLUMN name TO nation_name")
         ss("ALTER TABLE u18_t DROP COLUMN r")
+        // the type-change arm (r18): plain cast, then a USING
+        // conversion — both in-place cast projections
+        ss("ALTER TABLE u18_t ALTER COLUMN score TYPE DOUBLE")
+        ss("ALTER TABLE u18_t ALTER COLUMN nation_name SET DATA TYPE " +
+          "VARCHAR USING substr(nation_name, 1, 5)")
         ss("ALTER TABLE u18_t RENAME TO u18_final")
         ss("""SELECT k, nation_name, score FROM u18_final
               ORDER BY k""").df
       },
-      """SELECT n_nationkey AS k, n_name AS nation_name,
+      """SELECT n_nationkey AS k,
+                substr(n_name, 1, 5) AS nation_name,
                 CASE WHEN n_regionkey <= 2
-                     THEN CAST(n_nationkey * 10 AS BIGINT) END AS score
+                     THEN CAST(n_nationkey * 10 AS DOUBLE) END AS score
          FROM nation ORDER BY k"""),
 
     // Subquery-correlated DML (u19): the remaining DML expressiveness

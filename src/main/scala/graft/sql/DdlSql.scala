@@ -223,6 +223,9 @@ object DdlSql {
     *                                 have no value — DuckDB's own rule
     *                                 without a DEFAULT)
     *   DROP COLUMN c               — project the column away
+    *   ALTER COLUMN c TYPE t       — cast projection in place (u18 ext;
+    *     [SET DATA] TYPE, optional USING expr; ANSI casts throw on
+    *     lossy/malformed conversions — DuckDB's cast errors)
     */
   final case class Alter(name: String, action: AlterAction)
   sealed trait AlterAction
@@ -230,6 +233,13 @@ object DdlSql {
   final case class RenameColumn(from: String, to: String) extends AlterAction
   final case class AddColumn(col: String, tpe: String) extends AlterAction
   final case class DropColumn(col: String) extends AlterAction
+  /** `ALTER [COLUMN] c [SET DATA] TYPE t [USING expr]` (u18 ext, r18):
+    * a cast projection in place — ANSI mode makes a lossy or malformed
+    * cast THROW at execution, mirroring DuckDB's cast errors; USING
+    * supplies the conversion expression (DuckDB/Postgres grammar).
+    */
+  final case class AlterColumnType(col: String, tpe: String,
+                                   using: Option[String]) extends AlterAction
 
   private def ident(sql: String, m: String, at: Int,
                     what: String): (String, Int) = {
@@ -286,9 +296,37 @@ object DdlSql {
         if (wordAt(m, j, "column")) j = skipWs(m, j + 6)
         val (colName, a1) = ident(sql, m, j, "DROP COLUMN")
         (DropColumn(colName), a1)
+      } else if (wordAt(m, i, "alter")) {
+        var j = skipWs(m, i + 5)
+        if (wordAt(m, j, "column")) j = skipWs(m, j + 6)
+        val (colName, a1) = ident(sql, m, j, "ALTER COLUMN")
+        var t = skipWs(m, a1)
+        if (wordAt(m, t, "set")) {
+          val d = skipWs(m, t + 3)
+          require(wordAt(m, d, "data"),
+            "ALTER COLUMN … SET must be SET DATA TYPE")
+          t = skipWs(m, d + 4)
+        }
+        require(wordAt(m, t, "type"),
+          s"ALTER COLUMN $colName needs [SET DATA] TYPE <type> " +
+            "[USING expr]")
+        t = skipWs(m, t + 4)
+        val usingPos = Dialect.findTopLevelKeywordIn(m, t, "using")
+        val tpe = (if (usingPos < 0) sql.substring(t)
+                   else sql.substring(t, usingPos)).trim
+        require(tpe.nonEmpty, s"ALTER COLUMN $colName TYPE needs a type")
+        val usingExpr =
+          if (usingPos < 0) None
+          else {
+            val u = sql.substring(usingPos + 5).trim
+            require(u.nonEmpty, "empty USING expression")
+            Some(u)
+          }
+        (AlterColumnType(colName, tpe, usingExpr), sql.length)
       } else throw new IllegalArgumentException(
         "ALTER TABLE supports RENAME TO / RENAME COLUMN / ADD COLUMN / " +
-          s"DROP COLUMN — got: ${sql.substring(i).trim.take(40)}")
+          "DROP COLUMN / ALTER COLUMN … TYPE — got: " +
+          s"${sql.substring(i).trim.take(40)}")
     require(skipWs(m, action._2.min(sql.length)) >= m.length,
       s"unexpected text after ALTER TABLE: " +
         s"${sql.substring(action._2.min(sql.length)).trim.take(40)}")
@@ -349,6 +387,18 @@ object DdlSql {
         require(cur.columns.length > 1,
           "DROP COLUMN would leave a zero-column table")
         val next = cur.drop(col(f))
+        next.createOrReplaceTempView(st.name)
+        next
+      case AlterColumnType(c, tpe, usingExpr) =>
+        val f = requireCol(c)
+        val target = sparkType(tpe)
+        // cast projection in place (column position preserved); ANSI
+        // makes a lossy/malformed cast THROW at execution — DuckDB's
+        // cast-error behavior; USING supplies the conversion expression
+        val e = usingExpr
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(col(s"`$f`"))
+        val next = cur.withColumn(f, e.cast(target))
         next.createOrReplaceTempView(st.name)
         next
     }

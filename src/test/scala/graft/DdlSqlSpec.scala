@@ -199,6 +199,42 @@ class DdlSqlSpec extends GraftSuite {
     spark.catalog.dropTempView("u18b")
   }
 
+  test("ALTER COLUMN TYPE (u18 ext): in-place cast projection, SET DATA " +
+    "TYPE spelling, USING conversion, lossy casts throw (ANSI)") {
+    import spark.implicits._
+    Seq((1L, "10", 2.5), (2L, "20", 3.5)).toDF("k", "s", "d")
+      .createOrReplaceTempView("u18c")
+    Table.sessionSql(spark, "ALTER TABLE u18c ALTER COLUMN s TYPE BIGINT")
+    val t1 = spark.table("u18c")
+    assert(t1.schema("s").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // column position preserved; values cast
+    assert(t1.columns.toSeq == Seq("k", "s", "d"))
+    assert(t1.orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L))
+    // SET DATA TYPE spelling + USING conversion expression
+    Table.sessionSql(spark,
+      "ALTER TABLE u18c ALTER COLUMN d SET DATA TYPE STRING " +
+        "USING concat('v', CAST(d AS INT))")
+    assert(spark.table("u18c").orderBy("k").collect()
+      .map(_.getString(2)).toSeq == Seq("v2", "v3"))
+    // a malformed cast throws at execution (ANSI — DuckDB's behavior)
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("u18m")
+    assert(intercept[Exception](
+      Table.sessionSql(spark,
+        "ALTER TABLE u18m ALTER COLUMN s TYPE INT").toDF.collect())
+      .toString.nonEmpty)
+    // unknown column / missing TYPE keyword refuse loudly
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "ALTER TABLE u18c ALTER COLUMN nope TYPE INT")).getMessage
+      .contains("no column"))
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      "ALTER TABLE u18c ALTER COLUMN s BIGINT")).getMessage
+      .contains("TYPE"))
+    spark.catalog.dropTempView("u18c")
+    spark.catalog.dropTempView("u18m")
+  }
+
   test("multi-statement scripts (u20): sequential execution, DML " +
     "post-images visible downstream, RETURNING only terminal") {
     import spark.implicits._
