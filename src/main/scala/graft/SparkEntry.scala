@@ -8781,6 +8781,18 @@ object SparkEntry {
         graft.api.Table.sessionSql(s,
           s"""COPY (SELECT k, flag, cents FROM io22_all WHERE ln = 5)
               TO '$p4' (FORMAT CSV, HEADER false, DELIMITER '|')""")
+        // dirty-CSV fidelity arm (r18): values carrying the delimiter,
+        // the quote char itself, and NULLs round-trip byte-exact via
+        // QUOTE/ESCAPE/NULLSTR (single-quote as the CSV quote char,
+        // doubling-style escape, '~N~' as the NULL marker)
+        val p5 = scratchDir(s"io22q_$base") + ".csv"
+        graft.api.Table.sessionSql(s,
+          s"""COPY (SELECT k,
+                      CASE WHEN k % 2 = 0 THEN NULL
+                           ELSE concat('v,', flag, '''q''') END AS flag,
+                      cents FROM io22_all WHERE ln = 6)
+              TO '$p5' (FORMAT CSV, QUOTE '''', ESCAPE '''',
+                        NULLSTR '~N~')""")
         graft.api.Table.sessionSql(s, s"COPY io22_t FROM '$p1'").df
           .createOrReplaceTempView("io22_s1")
         graft.api.Table.sessionSql(s,
@@ -8791,20 +8803,32 @@ object SparkEntry {
           .createOrReplaceTempView("io22_s3")
         graft.api.Table.sessionSql(s,
           s"COPY io22_s3 FROM '$p4' (FORMAT CSV, HEADER false, DELIM '|')")
-          .df
+          .df.createOrReplaceTempView("io22_s4")
+        graft.api.Table.sessionSql(s,
+          s"""COPY io22_s4 FROM '$p5' (FORMAT CSV, QUOTE '''',
+                ESCAPE '''', NULLSTR '~N~')""").df
           .groupBy(col("flag"))
           .agg(count(lit(1)).as("n"),
             sum(col("cents")).cast("long").as("cents"),
             min(col("k")).as("mn"), max(col("k")).as("mx"))
-          .orderBy(col("flag"))
+          // the NULLSTR arm makes a NULL flag group — DuckDB default
+          // sort is nulls LAST where Spark's is first
+          .orderBy(col("flag").asc_nulls_last)
       },
       """WITH src AS (SELECT l_orderkey AS k, l_linenumber AS ln,
                 l_returnflag AS flag,
                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
-           FROM lineitem WHERE l_orderkey % 13 = 0)
+           FROM lineitem WHERE l_orderkey % 13 = 0),
+         u AS (SELECT k, flag, cents FROM src WHERE ln <= 5
+               UNION ALL
+               SELECT k,
+                      CASE WHEN k % 2 = 0 THEN NULL
+                           ELSE concat('v,', flag, '''q''') END AS flag,
+                      cents
+               FROM src WHERE ln = 6)
          SELECT flag, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
                 min(k) AS mn, max(k) AS mx
-         FROM src WHERE ln <= 5 GROUP BY flag ORDER BY flag"""),
+         FROM u GROUP BY flag ORDER BY flag"""),
 
     // Partitioned export (io23, COPY ... TO (PARTITION_BY ...)): the
     // hive-layout twin of io21 — two partition levels (returnflag,

@@ -10,9 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   COPY name FROM 'path' [(FORMAT …, …)]
   *
   * CSV options (DuckDB grammar, probed): `HEADER [true|false]` (bare
-  * HEADER = true; the default) and `DELIMITER|DELIM|SEP '<char>'`. A
-  * headerless import maps columns POSITIONALLY into the target schema;
-  * headered formats align by NAME.
+  * HEADER = true; the default), `DELIMITER|DELIM|SEP '<char>'`, and the
+  * dirty-CSV fidelity trio (r18): `QUOTE '<char>'`, `ESCAPE '<char>'`
+  * (DuckDB's default escape IS the quote char — QUOTE without ESCAPE
+  * sets both, quote-doubling style; write '\\' for a backslash escape),
+  * `NULLSTR|NULL '<string>'` (the string written for NULL and read back
+  * as NULL). The same options apply on write and read, so round-trips
+  * are byte-exact. A headerless import maps columns POSITIONALLY into
+  * the target schema; headered formats align by NAME.
   *
   * `PARTITION_BY (col, …)` (io23, export only): hive-layout export —
   * key=value directories, one level per column, part files at the
@@ -55,7 +60,10 @@ object CopySql {
   final case class Stmt(ref: String, isSubquery: Boolean, toTarget: Boolean,
                         path: String, format: String,
                         header: Boolean = true, delimiter: String = ",",
-                        partitionBy: Seq[String] = Nil)
+                        partitionBy: Seq[String] = Nil,
+                        quote: Option[String] = None,
+                        escape: Option[String] = None,
+                        nullStr: Option[String] = None)
 
   import Dialect.{stripLiterals, wordAt, matchParenAt => matchParen,
     skipWsAt => skipWs}
@@ -110,6 +118,22 @@ object CopySql {
     var header: Option[Boolean] = None
     var delim: Option[String] = None
     var partitionBy: Seq[String] = Nil
+    var quote: Option[String] = None
+    var escape: Option[String] = None
+    var nullStr: Option[String] = None
+    // one-character quoted option value: '<c>' or the Spark-spelled
+    // escape '\\' (a bare '\'' backslash literal breaks SQL literal
+    // masking upstream, so the doubled spelling is the supported one)
+    def oneChar(what: String, raw: String): String = {
+      val v = raw.trim
+      if (v == "'\\\\'") "\\"
+      else if (v == "''''") "'"
+      else {
+        require(v.length == 3 && v.head == '\'' && v.last == '\'',
+          s"COPY $what needs a quoted ONE-character value, got: $v")
+        v.substring(1, 2)
+      }
+    }
     if (k < m.length && m.charAt(k) == '(') {
       val close = matchParen(m, k)
       // options parse over the RAW slice (a DELIMITER literal is
@@ -134,11 +158,25 @@ object CopySql {
           case "delimiter" | "delim" | "sep" =>
             require(parts.length == 2,
               "COPY DELIMITER needs a quoted value")
+            delim = Some(oneChar("DELIMITER", parts(1)))
+          // the dirty-CSV fidelity trio (io21/io22 ext, r18; DuckDB
+          // grammar) — mapped onto Spark's csv quote/escape/nullValue.
+          // DuckDB's default escape IS the quote char (doubling), so a
+          // QUOTE without an ESCAPE sets both; Spark's backslash
+          // default applies only when neither is given.
+          case "quote" =>
+            require(parts.length == 2, "COPY QUOTE needs a quoted value")
+            quote = Some(oneChar("QUOTE", parts(1)))
+          case "escape" =>
+            require(parts.length == 2, "COPY ESCAPE needs a quoted value")
+            escape = Some(oneChar("ESCAPE", parts(1)))
+          case "nullstr" | "null" =>
+            require(parts.length == 2,
+              "COPY NULLSTR needs a quoted value")
             val v = parts(1).trim
-            require(v.length == 3 && v.head == '\'' && v.last == '\'',
-              s"COPY DELIMITER needs a quoted ONE-character value, " +
-                s"got: $v")
-            delim = Some(v.substring(1, 2))
+            require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+              s"COPY NULLSTR needs a quoted value, got: $v")
+            nullStr = Some(v.substring(1, v.length - 1).replace("''", "'"))
           case "partition_by" =>
             require(parts.length == 2,
               "COPY PARTITION_BY needs a column list")
@@ -156,7 +194,8 @@ object CopySql {
             partitionBy = cols
           case other => throw new IllegalArgumentException(
             s"COPY option '$other' is not supported — FORMAT, HEADER, " +
-              "DELIMITER/DELIM/SEP and PARTITION_BY are")
+              "DELIMITER/DELIM/SEP, QUOTE, ESCAPE, NULLSTR and " +
+              "PARTITION_BY are")
         }
       }
       k = skipWs(m, close + 1)
@@ -174,13 +213,33 @@ object CopySql {
     require(Set("parquet", "csv", "json").contains(format),
       "COPY needs FORMAT PARQUET, CSV or JSON (or a matching path " +
         "extension) — other formats are not supported")
-    require(format == "csv" || (header.isEmpty && delim.isEmpty),
-      "HEADER/DELIMITER are CSV options — not valid for " + format)
+    require(format == "csv" || (header.isEmpty && delim.isEmpty &&
+      quote.isEmpty && escape.isEmpty && nullStr.isEmpty),
+      "HEADER/DELIMITER/QUOTE/ESCAPE/NULLSTR are CSV options — not " +
+        "valid for " + format)
     require(toTarget || partitionBy.isEmpty,
       "PARTITION_BY is an export (COPY ... TO) option — an import " +
         "discovers the layout from the files")
     Some(Stmt(ref, isSub, toTarget, path, format,
-      header.getOrElse(true), delim.getOrElse(","), partitionBy))
+      header.getOrElse(true), delim.getOrElse(","), partitionBy,
+      quote, escape, nullStr))
+  }
+
+  /** Apply the dirty-CSV fidelity trio (QUOTE/ESCAPE/NULLSTR, r18) to a
+    * reader or writer builder symmetrically — the SAME options on both
+    * directions is what makes the round-trip byte-exact. DuckDB's
+    * default escape IS the quote char (quote doubling), so QUOTE
+    * without ESCAPE sets both; Spark's backslash default applies only
+    * when neither option is given.
+    */
+  private def csvFidelity[B](st: Stmt, b: B)(opt: (B, String, String) => B): B = {
+    var out = b
+    st.quote.foreach { q =>
+      out = opt(opt(out, "quote", q), "escape", st.escape.getOrElse(q))
+    }
+    st.escape.foreach(e => out = opt(out, "escape", e))
+    st.nullStr.foreach(n => out = opt(out, "nullValue", n))
+    out
   }
 
   /** The COPY TO overwrite gate: allow a fresh path, an empty
@@ -243,11 +302,13 @@ object CopySql {
           w.parquet(st.path)
           spark.read.parquet(st.path)
         case "csv" =>
-          w.option("header", st.header.toString)
-            .option("sep", st.delimiter).csv(st.path)
-          spark.read.option("header", st.header.toString)
-            .option("sep", st.delimiter).option("inferSchema", "true")
-            .csv(st.path)
+          csvFidelity(st,
+            w.option("header", st.header.toString)
+              .option("sep", st.delimiter))(_.option(_, _)).csv(st.path)
+          csvFidelity(st,
+            spark.read.option("header", st.header.toString)
+              .option("sep", st.delimiter).option("inferSchema", "true"))(
+            _.option(_, _)).csv(st.path)
         case "json" =>
           w.json(st.path)
           spark.read.json(st.path)
@@ -256,9 +317,10 @@ object CopySql {
       val target = resolve(st.ref)
       val incoming = st.format match {
         case "parquet" => spark.read.parquet(st.path)
-        case "csv" => spark.read.option("header", st.header.toString)
-          .option("sep", st.delimiter).option("inferSchema", "true")
-          .csv(st.path)
+        case "csv" => csvFidelity(st,
+          spark.read.option("header", st.header.toString)
+            .option("sep", st.delimiter).option("inferSchema", "true"))(
+          _.option(_, _)).csv(st.path)
         case "json" => spark.read.json(st.path)
       }
       // a HEADERLESS csv carries no names — map POSITIONALLY into the

@@ -132,11 +132,56 @@ class CopySqlSpec extends GraftSuite {
       "COPY t TO 'x.parquet' (FORMAT PARQUET, HEADER false)"))
       .getMessage.contains("CSV options"))
     assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
-      "COPY t TO 'x.csv' (FORMAT CSV, QUOTE '~')")).getMessage
-      .contains("not supported"))
-    assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
       "COPY t TO 'x.csv' (DELIMITER 'ab')")).getMessage
       .contains("ONE-character"))
+  }
+
+  test("CSV fidelity trio (QUOTE/ESCAPE/NULLSTR, r18): embedded " +
+    "delimiters, embedded quote chars and NULLs round-trip byte-exact") {
+    val dirty = Seq(
+      (1L, Option("a,b")),        // embedded delimiter
+      (2L, Option("say \"hi\"")), // embedded default-quote char
+      (3L, Option.empty[String]), // NULL -> NULLSTR -> NULL
+      (4L, Option("~N~ not null")), // contains the marker as CONTENT
+      (5L, Option("")))           // empty string stays empty, not NULL
+      .toDF("k", "s")
+    dirty.createOrReplaceTempView("copy_dirty")
+    val p = tmp("dirty")
+    Table.sessionSql(spark,
+      s"""COPY copy_dirty TO '$p'
+          (FORMAT CSV, QUOTE '"', ESCAPE '"', NULLSTR '~N~')""")
+    // COPY TO returns the read-back — but prove it independently too
+    Seq((0L, Option("seed"))).toDF("k", "s")
+      .createOrReplaceTempView("copy_dirty_t")
+    val back = Table.sessionSql(spark,
+      s"""COPY copy_dirty_t FROM '$p'
+          (FORMAT CSV, QUOTE '"', ESCAPE '"', NULLSTR '~N~')""").toDF
+      .filter("k > 0").orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(back == Seq((1L, Some("a,b")), (2L, Some("say \"hi\"")),
+      (3L, None), (4L, Some("~N~ not null")), (5L, Some(""))))
+    // quote-doubling style on disk: the embedded quote doubles
+    val raw = spark.read.text(p).collect().map(_.getString(0))
+    assert(raw.exists(_.contains("\"say \"\"hi\"\"\"")))
+    assert(raw.exists(_.contains("~N~")))
+    // QUOTE without ESCAPE defaults the escape to the quote char
+    // (DuckDB's doubling rule) — same file reads back identically
+    val p2 = tmp("dirty2")
+    Table.sessionSql(spark,
+      s"COPY copy_dirty TO '$p2' (FORMAT CSV, QUOTE '\"', NULLSTR '~N~')")
+    val b2 = Table.sessionSql(spark,
+      s"COPY copy_dirty_t FROM '$p2' (FORMAT CSV, QUOTE '\"', " +
+        "NULLSTR '~N~')").toDF
+      .filter("k = 2").collect().map(_.getString(1)).toSeq
+    assert(b2 == Seq("say \"hi\""))
+    // single-quote as the CSV quote char spells '''' (doubled)
+    val st = graft.sql.CopySql.parse(
+      "COPY t TO 'x.csv' (QUOTE '''', ESCAPE '''')").get
+    assert(st.quote == Some("'") && st.escape == Some("'"))
+    // non-CSV carriers refuse the trio
+    assert(intercept[IllegalArgumentException](graft.sql.CopySql.parse(
+      "COPY t TO 'x.parquet' (FORMAT PARQUET, QUOTE '\"')")).getMessage
+      .contains("CSV options"))
   }
 
   test("COPY TO refuses to overwrite a target that is not a prior " +
