@@ -3054,6 +3054,52 @@ object SparkEntry {
          SELECT anchor_id, pos_id, rank, neg_id, sim, pos_sim FROM r
          WHERE rank <= 10 ORDER BY anchor_id, rank"""),
 
+    // Random-projection embedding compression (s21,
+    // [[graft.ops.Similarity.randomProjection]] — the cheap tier below
+    // PQ): Achlioptas ±1 sign projection 64 → 16 dims with md5-derived
+    // deterministic signs (rebuildable from (seed, j, i) in any engine
+    // carrying md5). The sign matrix is a driver-precomputed broadcast
+    // literal, so the encode is pure map-side zip_with/aggregate
+    // arithmetic — zero shuffles, 4× compression. The query gates
+    // recall@10 of compressed-space cosine against the IN-PLAN exact
+    // top-k (the s02 recall-contract discipline): the oracle pins the
+    // exact-set size and the floor constant, so a recall below the
+    // floor hash-mismatches.
+    "s21_random_projection" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val rp = graft.ops.Similarity.randomProjection(
+          emb, "vec_id", "embedding", inDim = 64, outDim = 16)
+        val approx = graft.ops.Similarity.bruteForceTopK(
+            rp, rp.filter(col("vec_id") < 5), "vec_id", "rp_vec", k = 10)
+          .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+        val exact = graft.ops.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10)
+          .select(col("probe_id"), col("vec_id"))
+        exact.join(approx, Seq("probe_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            (sum(coalesce(col("__hit"), lit(0L))).cast("double")
+              / count(lit(1))).as("__r"))
+          .select(col("n_exact"),
+            when(col("__r") >= 0.1, lit(0.1)).otherwise(col("__r"))
+              .as("recall_floor"))
+      },
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         scored AS (
+           SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(p.emb, c.emb) AS sim
+           FROM e p, e c WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+         topk AS (SELECT probe_id, vec_id FROM (
+             SELECT probe_id, vec_id,
+                    row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+             FROM scored) t WHERE rank <= 10)
+         SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                CAST(0.1 AS DOUBLE) AS recall_floor
+         FROM topk"""),
+
     // Okapi BM25 lexical scoring (graft.ops.Search.bm25) — search-side
     // retrieval over the corpus with a broadcast bag-of-terms query.
     // k1 = 1.25 / b = 0.75 are binary-exact constants; per-(doc,term)

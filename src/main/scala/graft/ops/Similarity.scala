@@ -23,6 +23,45 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Random-projection embedding compression (s21) — the cheap tier
+    * below PQ: the Achlioptas/JL ±1 sign projection
+    * `y_j = Σ_i s_ij · x_i`, with signs derived deterministically from
+    * md5 over `(seed, j, i)` (first digest byte's low bit) — the same
+    * derivation is expressible in any engine carrying md5, so a
+    * verifier can rebuild the exact matrix from the three integers
+    * alone; no RNG state anywhere.
+    *
+    * Scale shape (100 TB discipline): the sign matrix is PRECOMPUTED
+    * driver-side (outDim × inDim doubles — kilobytes, a broadcast
+    * literal inside the plan), so the encode is pure map-side
+    * arithmetic per row (`zip_with` + `aggregate`, whole-stage
+    * codegen'd): zero shuffles, zero lookups, compression ratio
+    * inDim/outDim (e.g. 64 → 16 floats). Cosine in the compressed
+    * space approximates the original (JL lemma); callers gate recall
+    * against the in-plan exact top-k — the s02/s03 contract.
+    *
+    * Output: (idCol, rp_vec array<double> of length outDim).
+    */
+  def randomProjection(emb: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int,
+                       seed: Long = Registry.DefaultSeed): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"randomProjection needs 0 < outDim <= inDim, got $outDim/$inDim")
+    def sign(j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${j}_$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    val comps: Seq[Column] = (0 until outDim).map { j =>
+      val signs = (0 until inDim).map(i => sign(j, i)).toArray
+      aggregate(
+        zip_with(col(vecCol), typedLit(signs),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    emb.select(col(idCol), array(comps: _*).as("rp_vec"))
+  }
+
   /** Exact top-k neighbors per probe. Output:
     * (probe_id, rank, vec_id, sim) with rank 1..k, ties by ascending id.
     */

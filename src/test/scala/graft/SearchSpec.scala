@@ -180,6 +180,38 @@ class SearchSpec extends GraftSuite {
     assert(grouped((0L, 5L)) == Seq(6L))
   }
 
+  test("randomProjection (s21): deterministic md5 signs, exact map-side " +
+    "arithmetic, outDim shape") {
+    def sign(seed: Long, j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${j}_$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+    val seed = graft.functions.Registry.DefaultSeed
+    val emb = Seq((1L, (1 to 8).map(_.toFloat)),
+      (2L, (1 to 8).map(i => (9 - i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.randomProjection(
+        emb, "vec_id", "embedding", inDim = 8, outDim = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(got.forall(_._2.length == 3))
+    // hand-recompute y_j = sum_i s_ij * x_i with the same derivation
+    val expected1 = (0 until 3).map(j =>
+      (0 until 8).map(i => sign(seed, j, i) * (i + 1).toDouble).sum)
+    assert(got(0)._2 == expected1)
+    // deterministic across invocations
+    val again = graft.ops.Similarity.randomProjection(
+        emb, "vec_id", "embedding", inDim = 8, outDim = 3)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(got.map(_._2).toSeq == again.toSeq)
+    // shape refusal
+    assert(intercept[IllegalArgumentException](
+      graft.ops.Similarity.randomProjection(
+        emb, "vec_id", "embedding", inDim = 8, outDim = 9))
+      .getMessage.contains("outDim"))
+  }
+
   test("rrfFuse: full-outer semantics, absent rank contributes zero") {
     val lex = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
     val vec = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
