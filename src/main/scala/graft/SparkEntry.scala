@@ -11459,10 +11459,30 @@ object SparkEntry {
                 toks[array_length(toks) + 5] AS oob,
                 toks[0] AS zero_idx,
                 toks[1 + doc_id % 3] AS dyn,
-                string_split(coalesce(text, ''), ' ')[1] AS fn_recv
+                string_split(coalesce(text, ''), ' ')[1] AS fn_recv,
+                array_to_string(toks[2:4], '_') AS sl_mid,
+                array_to_string(toks[:2], '_') AS sl_head,
+                array_to_string(toks[-2:], '_') AS sl_tail,
+                array_to_string(toks[3:999], '_') AS sl_clamp
          FROM s
          WHERE doc_id % 5 = 0
          ORDER BY doc_id"""),
+
+    // DuckDB literal syntax (q70, [[graft.sql.Dialect
+    // .rewriteStructLiterals]] + the rewriteSubscripts literal arms):
+    // `[a, b]` / `ARRAY[a, b]` list literals lower onto array(); struct
+    // literals `{'k': v}` onto named_struct() — nested forms re-enter
+    // the passes, subscripts/slices compose on top, and dotted field
+    // access stays native on both engines. Same text throughout.
+    "q70_literal_syntax" -> multiSession(Seq("nation"),
+      """SELECT n_nationkey AS k,
+           ({'name': n_name, 'reg': n_regionkey}).name AS sname,
+           ({'a': {'r2': CAST(n_regionkey * 2 AS BIGINT)}}).a.r2 AS r2,
+           CAST([n_regionkey, n_nationkey][1] AS BIGINT) AS first_el,
+           CAST(ARRAY[n_nationkey % 3, 4][2] AS BIGINT) AS second_el,
+           array_to_string(['x', n_name], '|') AS joined,
+           array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
+         FROM nation ORDER BY k"""),
 
     "q64_sample_clause" -> api(
       (s, dir) => {

@@ -93,7 +93,7 @@ final class Table private (val df: DataFrame) {
     val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
-          Dialect.rewriteSubscripts(q0)))))))
+          Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(q0))))))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -678,8 +678,8 @@ object Table {
     val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
-          Dialect.rewriteSubscripts(
-            Dialect.fromFirst(qSampled).getOrElse(qSampled))))))))
+          Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
+            Dialect.fromFirst(qSampled).getOrElse(qSampled)))))))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

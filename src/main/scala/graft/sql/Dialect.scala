@@ -1247,10 +1247,13 @@ object Dialect {
     * try mode). Map subscripts `m['k']` take the same path —
     * try_element_at is key lookup there, NULL on a missing key
     * (DuckDB's behavior; Spark's ANSI subscript throws). Slices
-    * `arr[i:j]` refuse loudly with a slice() pointer; `[` after
-    * anything else (array literals `[1,2,3]`, quoted-identifier
-    * receivers) is left for Spark's parser to refuse loudly, and a
-    * bracket group with a top-level comma is never a subscript.
+    * `arr[b:e]` (either bound omittable, negative counts from the end,
+    * out-of-range clamps — DuckDB's rules) lower onto
+    * slice(arr, start, length) with the normalize/clamp arithmetic
+    * spelled out. `[` after anything else (array literals `[1,2,3]`,
+    * quoted-identifier receivers) is left for Spark's parser to refuse
+    * loudly, and a bracket group with a top-level comma is never a
+    * subscript.
     */
   def rewriteSubscripts(sql: String): String = {
     if (sql.indexOf('[') < 0) return sql
@@ -1263,90 +1266,130 @@ object Dialect {
       var i = 0
       while (!more && i < m.length) {
         if (m.charAt(i) == '[') {
+          // matching ']' on the mask
+          var depth = 0
+          var close = i
+          while (close < m.length && {
+            val c = m.charAt(close)
+            if (c == '[') depth += 1
+            else if (c == ']') depth -= 1
+            depth != 0 || c != ']'
+          }) close += 1
+          require(close < m.length, "unbalanced [ ] in the statement")
+          val inner = m.substring(i + 1, close)
+          // content shape checks run on the MASK (literals blank)
+          var d2 = 0
+          var hasComma = false
+          var slicePos = -1 // top-level ':' that is not part of '::'
+          var j = 0
+          while (j < inner.length) {
+            inner.charAt(j) match {
+              case '(' | '[' => d2 += 1
+              case ')' | ']' => d2 -= 1
+              case ',' if d2 == 0 => hasComma = true
+              case ':' if d2 == 0 && slicePos < 0 &&
+                (j + 1 >= inner.length || inner.charAt(j + 1) != ':') &&
+                (j == 0 || inner.charAt(j - 1) != ':') => slicePos = j
+              case _ =>
+            }
+            j += 1
+          }
+          val idxRaw = cur.substring(i + 1, close).trim
           // receiver tail: previous non-ws MASK char must end an
           // expression — identifier char or ')' (']' can't occur here:
           // the leftmost-first restart rewrites inner groups away)
           var p = i - 1
           while (p >= 0 && m.charAt(p).isWhitespace) p -= 1
-          val recvOk = p >= 0 && {
-            val c = m.charAt(p)
-            c.isLetterOrDigit || c == '_' || c == '$' || c == ')'
+          val prevC = if (p >= 0) m.charAt(p) else ' '
+          val recvTail =
+            prevC.isLetterOrDigit || prevC == '_' || prevC == '$' ||
+              prevC == ')'
+          // receiver start: walk back over ident runs / () groups,
+          // chaining through '.' qualifiers and function names
+          var s = p
+          if (recvTail) {
+            var cont = true
+            while (cont && s >= 0) {
+              val c = m.charAt(s)
+              if (c == ')') {
+                var bd = 0
+                while (s >= 0 && {
+                  val cc = m.charAt(s)
+                  if (cc == ')') bd += 1
+                  else if (cc == '(') bd -= 1
+                  bd != 0 || cc != '('
+                }) s -= 1
+                require(s >= 0, "unbalanced ( ) before a subscript")
+                s -= 1 // a function name may precede — loop again
+              } else if (c.isLetterOrDigit || c == '_' || c == '$') {
+                while (s >= 0 && {
+                  val cc = m.charAt(s)
+                  cc.isLetterOrDigit || cc == '_' || cc == '$'
+                }) s -= 1
+                if (s >= 0 && m.charAt(s) == '.') s -= 1
+                else cont = false
+              } else cont = false
+            }
           }
-          if (recvOk) {
-            // matching ']' on the mask
-            var depth = 0
-            var close = i
-            while (close < m.length && {
-              val c = m.charAt(close)
-              if (c == '[') depth += 1
-              else if (c == ']') depth -= 1
-              depth != 0 || c != ']'
-            }) close += 1
-            require(close < m.length, "unbalanced [ ] in the statement")
-            val inner = m.substring(i + 1, close)
-            // content shape checks run on the MASK (literals blank)
-            var d2 = 0
-            var hasComma = false
-            var hasSlice = false
-            var j = 0
-            while (j < inner.length) {
-              inner.charAt(j) match {
-                case '(' | '[' => d2 += 1
-                case ')' | ']' => d2 -= 1
-                case ',' if d2 == 0 => hasComma = true
-                case ':' if d2 == 0 &&
-                  (j + 1 >= inner.length || inner.charAt(j + 1) != ':') &&
-                  (j == 0 || inner.charAt(j - 1) != ':') => hasSlice = true
-                case _ =>
+          val start = s + 1
+          val recv = if (recvTail) cur.substring(start, p + 1) else ""
+          val recvLower = recv.toLowerCase
+          // a bare SQL keyword is never a subscript receiver — `SELECT
+          // [1]` subscripts nothing; the bracket group is a DuckDB list
+          // literal. ARRAY[…] is the Postgres/DuckDB array-literal
+          // spelling (the keyword drops).
+          val isArrayKw = recvLower == "array"
+          val literalCtx = !recvTail || SubscriptKeywordStops(recvLower)
+          if (isArrayKw || literalCtx) {
+            // list literal (r18): `[a, b, …]` / `ARRAY[a, b, …]` →
+            // array(a, b, …); nested bracket groups inside re-enter on
+            // the next pass (their prev char is '(' or ',')
+            val content = cur.substring(i + 1, close)
+            val from = if (isArrayKw) start else i
+            cur = cur.substring(0, from) + s"array($content)" +
+              cur.substring(close + 1)
+            more = true
+          } else if (recvTail && !hasComma &&
+            (idxRaw.nonEmpty || slicePos >= 0)) {
+            val out =
+              if (slicePos >= 0) {
+                // slice `arr[b:e]` (r18, DuckDB/Postgres): 1-based
+                // INCLUSIVE bounds, either side omittable, negative
+                // bounds count from the end, out-of-range CLAMPS —
+                // lowered onto Spark's slice(arr, start, length) with
+                // the normalize/clamp arithmetic spelled out (INT
+                // casts: slice requires int where DuckDB integer
+                // arithmetic types BIGINT)
+                val bRaw = cur.substring(i + 1, i + 1 + slicePos).trim
+                val eRaw = cur.substring(i + 1 + slicePos + 1, close).trim
+                val nb =
+                  if (bRaw.isEmpty) "1"
+                  else s"(CASE WHEN ($bRaw) < 0 THEN size($recv) + " +
+                    s"($bRaw) + 1 ELSE ($bRaw) END)"
+                val ne =
+                  if (eRaw.isEmpty) s"size($recv)"
+                  else s"(CASE WHEN ($eRaw) < 0 THEN size($recv) + " +
+                    s"($eRaw) + 1 ELSE ($eRaw) END)"
+                val gb = s"greatest($nb, 1)"
+                s"slice($recv, CAST($gb AS INT), " +
+                  s"CAST(greatest(least($ne, size($recv)) - $gb + 1, " +
+                  s"0) AS INT))"
+              } else {
+                // Spark's try_element_at requires an INT index
+                // (DuckDB accepts BIGINT — `1 + doc_id % 3` types
+                // BIGINT there), so numeric index expressions gain a
+                // CAST; a quoted literal (blank on the mask) is a map
+                // string key and rides unchanged. A dynamic STRING
+                // map key would cast loudly under ANSI — the
+                // documented ambiguity refusal.
+                val idx =
+                  if (idxRaw == "0") "CAST(NULL AS INTEGER)"
+                  else if (inner.forall(_.isWhitespace)) idxRaw
+                  else s"CAST($idxRaw AS INT)"
+                s"try_element_at($recv, $idx)"
               }
-              j += 1
-            }
-            val idxRaw = cur.substring(i + 1, close).trim
-            if (hasSlice) throw new IllegalArgumentException(
-              s"list slice '[${idxRaw.take(30)}]' is not supported — " +
-                "use slice(arr, start, length) (1-based start)")
-            if (!hasComma && idxRaw.nonEmpty) {
-              // receiver start: walk back over ident runs / () groups,
-              // chaining through '.' qualifiers and function names
-              var s = p
-              var cont = true
-              while (cont && s >= 0) {
-                val c = m.charAt(s)
-                if (c == ')') {
-                  var bd = 0
-                  while (s >= 0 && {
-                    val cc = m.charAt(s)
-                    if (cc == ')') bd += 1
-                    else if (cc == '(') bd -= 1
-                    bd != 0 || cc != '('
-                  }) s -= 1
-                  require(s >= 0, "unbalanced ( ) before a subscript")
-                  s -= 1 // a function name may precede — loop again
-                } else if (c.isLetterOrDigit || c == '_' || c == '$') {
-                  while (s >= 0 && {
-                    val cc = m.charAt(s)
-                    cc.isLetterOrDigit || cc == '_' || cc == '$'
-                  }) s -= 1
-                  if (s >= 0 && m.charAt(s) == '.') s -= 1
-                  else cont = false
-                } else cont = false
-              }
-              val start = s + 1
-              val recv = cur.substring(start, p + 1)
-              // Spark's try_element_at requires an INT index (DuckDB
-              // accepts BIGINT — `1 + doc_id % 3` types BIGINT there),
-              // so numeric index expressions gain a CAST; a quoted
-              // literal (blank on the mask) is a map string key and
-              // rides unchanged. A dynamic STRING map key would cast
-              // loudly under ANSI — the documented ambiguity refusal.
-              val idx =
-                if (idxRaw == "0") "CAST(NULL AS INTEGER)"
-                else if (inner.forall(_.isWhitespace)) idxRaw
-                else s"CAST($idxRaw AS INT)"
-              cur = cur.substring(0, start) +
-                s"try_element_at($recv, $idx)" + cur.substring(close + 1)
-              more = true
-            }
+            cur = cur.substring(0, start) + out + cur.substring(close + 1)
+            more = true
           }
         }
         i += 1
@@ -1356,6 +1399,118 @@ object Dialect {
     require(!more, "more than 255 bracket subscripts in one statement")
     cur
   }
+
+  /** r18: DuckDB struct literals — `{'k': v, …}` → named_struct('k',
+    * v, …). Braces are not Spark syntax anywhere outside string
+    * literals (masked), so every visible `{` is either a DuckDB struct
+    * literal or an error the rewrite surfaces loudly (a malformed item
+    * refuses with the offending text). Keys must be quoted literals
+    * (DuckDB's rule); values re-enter the other passes (a nested
+    * struct/list literal rewrites on the next iteration). Struct-field
+    * access stays the native `s.k` / dotted path — Spark resolves it.
+    */
+  def rewriteStructLiterals(sql: String): String = {
+    if (sql.indexOf('{') < 0) return sql
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 128) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i < m.length) {
+        if (m.charAt(i) == '{') {
+          var depth = 0
+          var close = i
+          while (close < m.length && {
+            val c = m.charAt(close)
+            if (c == '{') depth += 1
+            else if (c == '}') depth -= 1
+            depth != 0 || c != '}'
+          }) close += 1
+          require(close < m.length, "unbalanced { } in the statement")
+          val content = cur.substring(i + 1, close)
+          require(content.trim.nonEmpty,
+            "empty struct literal {} — a struct needs at least one field")
+          val items = splitTopLevelAll(content)
+          val args = items.map { item =>
+            val im = stripLiterals(item)
+            // the key:value split is the first top-level ':' not '::'
+            var d2 = 0
+            var colon = -1
+            var j = 0
+            while (colon < 0 && j < im.length) {
+              im.charAt(j) match {
+                case '(' | '[' | '{' => d2 += 1
+                case ')' | ']' | '}' => d2 -= 1
+                case ':' if d2 == 0 &&
+                  (j + 1 >= im.length || im.charAt(j + 1) != ':') &&
+                  (j == 0 || im.charAt(j - 1) != ':') => colon = j
+                case _ =>
+              }
+              j += 1
+            }
+            require(colon > 0,
+              s"malformed struct literal field (need 'key': value): " +
+                s"${item.trim.take(40)}")
+            val key = item.substring(0, colon).trim
+            val value = item.substring(colon + 1).trim
+            require(key.length >= 2 && key.head == '\'' &&
+              key.last == '\'',
+              s"struct literal keys must be quoted literals, got: $key")
+            require(value.nonEmpty,
+              s"empty value for struct literal key $key")
+            s"$key, $value"
+          }
+          cur = cur.substring(0, i) +
+            s"named_struct(${args.mkString(", ")})" +
+            cur.substring(close + 1)
+          more = true
+        }
+        i += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 127 struct literals in one statement")
+    cur
+  }
+
+  /** [[splitTopLevel]] tracking ALL bracket kinds — () [] {} — for
+    * struct-literal item splitting.
+    */
+  private def splitTopLevelAll(text: String): Seq[String] = {
+    val m = stripLiterals(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < m.length) {
+      m.charAt(i) match {
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ',' if depth == 0 =>
+          out += text.substring(last, i)
+          last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += text.substring(last)
+    out.toSeq
+  }
+
+  /** Bare keywords that can precede a '[' without being a subscript
+    * receiver — after any of these the bracket group is a list literal,
+    * not an access expression.
+    */
+  private val SubscriptKeywordStops: Set[String] = Set(
+    "select", "from", "where", "when", "then", "else", "case", "end",
+    "and", "or", "not", "on", "in", "as", "by", "join", "union", "all",
+    "distinct", "having", "group", "order", "limit", "offset", "values",
+    "set", "like", "ilike", "between", "is", "exists", "any", "some",
+    "returning", "with", "over", "partition", "range", "rows", "groups",
+    "filter", "lateral", "cross", "inner", "left", "right", "full",
+    "semi", "anti", "using", "natural")
 
   /** u22: transaction-control statements — `BEGIN [TRANSACTION]`,
     * `COMMIT`, `ROLLBACK` (and Postgres' `ABORT` alias for ROLLBACK).

@@ -544,15 +544,40 @@ class DialectSpec extends AnyFunSuite {
     // literal 0 index: DuckDB yields NULL, Spark throws — NULL index
     assert(Dialect.rewriteSubscripts("SELECT l[0] FROM t") ==
       "SELECT try_element_at(l, CAST(NULL AS INTEGER)) FROM t")
-    // slices refuse loudly
-    assert(intercept[IllegalArgumentException](
-      Dialect.rewriteSubscripts("SELECT l[1:3] FROM t")).getMessage
-      .contains("slice"))
+    // slices lower onto slice() with normalize/clamp arithmetic
+    assert(Dialect.rewriteSubscripts("SELECT l[2:3] FROM t") ==
+      "SELECT slice(l, CAST(greatest((CASE WHEN (2) < 0 THEN size(l) + " +
+        "(2) + 1 ELSE (2) END), 1) AS INT), CAST(greatest(least((CASE " +
+        "WHEN (3) < 0 THEN size(l) + (3) + 1 ELSE (3) END), size(l)) - " +
+        "greatest((CASE WHEN (2) < 0 THEN size(l) + (2) + 1 ELSE (2) " +
+        "END), 1) + 1, 0) AS INT)) FROM t")
+    // omitted bounds default to 1 / size(l)
+    assert(Dialect.rewriteSubscripts("SELECT l[:2] FROM t")
+      .contains("slice(l, CAST(greatest(1, 1) AS INT)"))
+    assert(Dialect.rewriteSubscripts("SELECT l[2:] FROM t")
+      .contains("least(size(l), size(l))"))
+    // a '::' cast inside the index is NOT a slice separator
+    assert(Dialect.rewriteSubscripts("SELECT l[i::INT] FROM t") ==
+      "SELECT try_element_at(l, CAST(i::INT AS INT)) FROM t")
     // brackets inside string literals are data (GLOB patterns etc.)
     val g = "SELECT s GLOB '*g[ei]*' FROM t"
     assert(Dialect.rewriteSubscripts(g) == g)
-    // a bracket group with a top-level comma is not a subscript
-    val al = "SELECT ARRAY[1, 2, 3] FROM t"
+    // list literals (r18): bare and ARRAY-keyword spellings → array();
+    // nested groups re-enter; a chained subscript applies on top
+    assert(Dialect.rewriteSubscripts("SELECT [1, 2, 3] FROM t") ==
+      "SELECT array(1, 2, 3) FROM t")
+    assert(Dialect.rewriteSubscripts("SELECT ARRAY[1, 2, 3] FROM t") ==
+      "SELECT array(1, 2, 3) FROM t")
+    assert(Dialect.rewriteSubscripts("SELECT [[1, 2], [3]] FROM t") ==
+      "SELECT array(array(1, 2), array(3)) FROM t")
+    assert(Dialect.rewriteSubscripts("SELECT ['a', 'b'][2] FROM t") ==
+      "SELECT try_element_at(array('a', 'b'), CAST(2 AS INT)) FROM t")
+    // a keyword is never a subscript receiver: `IN [..]` is a literal
+    assert(Dialect.rewriteSubscripts("SELECT [1] FROM t WHERE x = 1") ==
+      "SELECT array(1) FROM t WHERE x = 1")
+    // a bracket group with a top-level comma after a REAL receiver is
+    // not a subscript (x[1,2] has no meaning — left for loud refusal)
+    val al = "SELECT x[1, 2] FROM t"
     assert(Dialect.rewriteSubscripts(al) == al)
     // no brackets → untouched text identity
     val plain = "SELECT a FROM t"
