@@ -8159,9 +8159,8 @@ object SparkEntry {
     // recursion shape that survives a 100× corpus (rounds fixed by the
     // cap, per-round work ∝ frontier). Same text on both engines
     // (DuckDB executes multiple recursive CTEs natively, probed).
-    // Mutual/forward recursion stays a loud refusal — sequential drains
-    // are the shape that scales (one frontier loop at a time, lineage
-    // cut per round).
+    // TRUE mutual recursion is gr12 below; acyclic references (either
+    // text direction) drain dependencies-first via the SCC plan.
     "gr11_multi_recursion" -> multiSession(Seq("documents"),
       """WITH RECURSIVE
          e7(src, dst) AS (
@@ -8194,6 +8193,53 @@ object SparkEntry {
                 count(*) AS n_both
          FROM (SELECT DISTINCT id FROM reach7) r7
          JOIN (SELECT DISTINCT id FROM walk13) r13 ON r7.id = r13.id"""),
+
+    // TRUE mutual recursion (gr12, [[graft.sql.RecursiveUnion]] SCC
+    // grouping + [[graft.api.Table]] drainMutualGroup): pp steps
+    // through the 7-edge relation FROM qq and qq steps through the
+    // 13-edge relation FROM pp — a cyclic reference pair, so the two
+    // drain as ONE simultaneous loop (each round: every member's step
+    // against the round-start state — own frontier for self, sibling
+    // closures for cross-references; stop when a round adds nothing
+    // anywhere). DuckDB executes the same text natively (semantics
+    // probed: even/odd chain, empty-seed member, drained-frontier
+    // sibling feeding through its closure). Both alternation depths
+    // are CAPPED (d < 12) — the gr11 lesson: rounds fixed by the cap,
+    // per-round work ∝ frontier × sibling closure, the only recursion
+    // shape that survives a 100× corpus.
+    "gr12_mutual_recursion" -> multiSession(Seq("documents"),
+      """WITH RECURSIVE
+         e7(src, dst) AS (
+           SELECT CAST(doc_id AS BIGINT),
+                  CAST((doc_id * 7 + 1) %
+                       (SELECT count(*) FROM documents) AS BIGINT)
+           FROM documents),
+         e13(src, dst) AS (
+           SELECT CAST(doc_id AS BIGINT),
+                  CAST((doc_id * 13 + 3) %
+                       (SELECT count(*) FROM documents) AS BIGINT)
+           FROM documents),
+         pp(id, d) AS (
+           SELECT CAST(doc_id AS BIGINT), 0 FROM documents
+           WHERE doc_id % 103 = 0
+           UNION
+           SELECT e7.dst, q.d + 1 FROM qq q
+           JOIN e7 ON e7.src = q.id WHERE q.d < 12),
+         qq(id, d) AS (
+           SELECT CAST(doc_id AS BIGINT), 1 FROM documents
+           WHERE doc_id % 97 = 0
+           UNION
+           SELECT e13.dst, p.d + 1 FROM pp p
+           JOIN e13 ON e13.src = p.id WHERE p.d < 12)
+         SELECT (SELECT count(*) FROM pp) AS np,
+                (SELECT CAST(sum(id) AS BIGINT)
+                 FROM (SELECT DISTINCT id FROM pp) v) AS sp,
+                (SELECT count(*) FROM qq) AS nq,
+                (SELECT CAST(sum(id) AS BIGINT)
+                 FROM (SELECT DISTINCT id FROM qq) u) AS sq,
+                count(*) AS n_both
+         FROM (SELECT DISTINCT id FROM pp) a
+         JOIN (SELECT DISTINCT id FROM qq) b ON a.id = b.id"""),
 
     // graph analytics in the d08 loop discipline (per-iteration keyed
     // join + aggregation, nothing driver-side but the tiny N). Ranks

@@ -731,10 +731,12 @@ object Table {
     * the accumulated set (the cycle guard) and one emptiness probe —
     * data-dependent termination costs one small job per round. A
     * non-draining recursion refuses loudly at `maxRounds` instead of
-    * looping forever. SEVERAL independent recursions (gr11) drain
-    * SEQUENTIALLY in textual order, each closure binding before the
-    * next starts — a later seed/step may consume an earlier closure
-    * like any bound view (mutual/forward recursion refused at parse).
+    * looping forever. SEVERAL recursions (gr11/gr12) drain by SCC
+    * group, dependencies first: singleton groups sequentially, each
+    * closure binding before later groups — a dependent seed/step
+    * consumes an earlier closure like any bound view — and a cyclic
+    * group (TRUE mutual recursion) via [[drainMutualGroup]]'s
+    * simultaneous loop.
     */
   private def runRecursiveUnion(spark: SparkSession,
                                 st: graft.sql.RecursiveUnion.Stmt,
@@ -801,13 +803,22 @@ object Table {
           bound.createOrReplaceTempView(rename(h.name))
         }
       }
-      // drain each recursion in textual order, binding its closure as a
-      // plain view before the next one (or the outer statement) runs
-      st.recs.foreach { rec =>
-        val closure = drainRecursion(spark, rec, rename(rec.name),
-          rewriteAll, freshCols, maxRounds)
+      // drain the SCC groups dependencies-first (gr11/gr12), binding
+      // each closure as a plain view before later groups (or the outer
+      // statement) run. A singleton group is the sequential case; a
+      // multi-member group is TRUE mutual recursion — one simultaneous
+      // loop over all members.
+      st.drainGroups.foreach { group =>
+        val closures =
+          if (group.size == 1)
+            Seq(drainRecursion(spark, group.head, rename(group.head.name),
+              rewriteAll, freshCols, maxRounds))
+          else drainMutualGroup(spark, group, r => rename(r.name),
+            rewriteAll, freshCols, maxRounds)
         bindLock.synchronized {
-          closure.createOrReplaceTempView(rename(rec.name))
+          group.zip(closures).foreach { case (rec, closure) =>
+            closure.createOrReplaceTempView(rename(rec.name))
+          }
         }
       }
       bindLock.synchronized {
@@ -968,6 +979,101 @@ object Table {
         s"$maxRounds rounds — the step keeps producing new rows; " +
         "check the recursion or split the query")
     seen
+  }
+
+  /** TRUE mutual recursion (gr12): one simultaneous drain loop over a
+    * strongly-connected group of recursive CTEs. DuckDB-probed
+    * semantics (see [[graft.sql.RecursiveUnion]]): each round every
+    * member's step evaluates against the round-start state — the
+    * member's OWN view bound to its frontier (last round's new rows,
+    * the standard working table), every SIBLING's view bound to that
+    * sibling's closure-so-far — and new rows land simultaneously after
+    * all members step, so in-round evaluation order cannot leak (the
+    * analyzed plan pins the bindings). The loop stops when a full
+    * round adds no row to any member; a member whose frontier drains
+    * keeps stepping — a sibling's growing closure can still feed it
+    * (probed: an empty-seed member fed purely by its sibling).
+    *
+    * Scale shape: per round each member pays one step + one
+    * distinct-EXCEPT against its own closure plus one emptiness probe
+    * (all frontier/closure-sized, never path-count-sized — the
+    * UNION-distinct cycle guard); closures accumulate as unions of
+    * checkpointed per-round increments collapsed every 16 rounds, the
+    * [[drainRecursion]] discipline. Cross-references scan the sibling
+    * CLOSURE each round — inherent to the probed semantics, O(rounds ×
+    * closure) like DuckDB's own evaluation.
+    */
+  private def drainMutualGroup(spark: SparkSession,
+                               group: Seq[graft.sql.RecursiveUnion.Rec],
+                               internal: graft.sql.RecursiveUnion.Rec => String,
+                               rewriteAll: String => String,
+                               freshCols: DataFrame => DataFrame,
+                               maxRounds: Int): Seq[DataFrame] = {
+    final class Member(val rec: graft.sql.RecursiveUnion.Rec) {
+      // seeds bind with NO sibling in scope (a seed referencing a
+      // sibling was refused at parse — DuckDB's circular-ref error)
+      private val seedDf = sessionSqlOne(spark, rewriteAll(rec.seed))
+      val cols: Seq[String] = rec.cols.getOrElse(seedDf.columns.toSeq)
+      require(cols.size == seedDf.columns.length,
+        s"recursive CTE ${rec.name}(${cols.mkString(", ")}) declares " +
+          s"${cols.size} columns, the seed produces " +
+          s"${seedDf.columns.length}")
+      private val schema = seedDf.toDF(cols: _*).schema
+      val step: String = rewriteAll(rec.step)
+      var seen: DataFrame =
+        freshCols(seedDf.toDF(cols: _*).distinct().localCheckpoint(true))
+      var frontier: DataFrame = seen
+      var sinceCollapse: Int = 0
+      def align(df: DataFrame): DataFrame = {
+        require(df.columns.length == cols.size,
+          s"recursive step of ${rec.name} produces ${df.columns.length} " +
+            s"columns, expected ${cols.size}")
+        df.toDF(cols: _*).select(schema.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(f.dataType).as(f.name)): _*)
+      }
+    }
+    val members = group.map(new Member(_))
+    var drained = false
+    var round = 0
+    while (!drained && round < maxRounds) {
+      // one member at a time under the lock: siblings bound to their
+      // round-start closures, the member itself to its frontier; the
+      // eager analysis freezes the resolved frontier/closure into the
+      // plan, so later rebinds (the next member, the next round) can't
+      // leak into this step's EXCEPT
+      val next = members.map { mb =>
+        val stepped = bindLock.synchronized {
+          members.foreach { o =>
+            (if (o eq mb) o.frontier else o.seen)
+              .createOrReplaceTempView(internal(o.rec))
+          }
+          mb.align(sessionSqlOne(spark, mb.step))
+        }
+        val nf = freshCols(stepped.except(mb.seen).localCheckpoint(true))
+        (nf, nf.isEmpty)
+      }
+      drained = next.forall(_._2)
+      if (!drained) members.zip(next).foreach { case (mb, (nf, empty)) =>
+        // an empty increment leaves the closure untouched but still
+        // empties the frontier (the member keeps stepping off siblings)
+        if (!empty) {
+          mb.seen = mb.seen.union(nf)
+          mb.sinceCollapse += 1
+          if (mb.sinceCollapse >= 16) {
+            mb.seen = freshCols(mb.seen.localCheckpoint(true))
+            mb.sinceCollapse = 0
+          }
+        }
+        mb.frontier = nf
+      }
+      round += 1
+    }
+    require(drained,
+      s"mutual recursion over ${group.map(_.name).mkString(", ")} did " +
+        s"not drain within $maxRounds rounds — the steps keep producing " +
+        "new rows; check the recursion or split the query")
+    members.map(_.seen)
   }
 
   /** Fold of a [[Dialect.splitUnionByName]] split: operands run through

@@ -25,13 +25,22 @@ package graft.sql
   * any recursion runs; a helper must not reference a recursive CTE
   * (its closure does not exist until the loop drains — refused loudly).
   *
-  * SEVERAL INDEPENDENT recursions may share one WITH RECURSIVE (gr11 —
-  * DuckDB/Postgres execute them in one statement): they drain
-  * SEQUENTIALLY in textual order, each closure binding before the next
-  * recursion starts, so a later recursion may consume an earlier one's
-  * closure (probed against DuckDB: a recursion seeded from another's
-  * result). TRUE mutual recursion — a recursive CTE referencing one
-  * declared later — has no sequential order and refuses loudly.
+  * SEVERAL recursions may share one WITH RECURSIVE (gr11/gr12 —
+  * DuckDB executes them in one statement, Postgres refuses mutual
+  * shapes): the parser groups them into strongly-connected components
+  * of the reference graph and emits the groups dependencies-first, so
+  * an ACYCLIC reference (backward or forward in text) drains the
+  * referenced recursion fully before the referencing one starts —
+  * legal because UNION-distinct steps are monotone, so staged and
+  * simultaneous evaluation reach the same least fixpoint. A CYCLIC
+  * group (TRUE mutual recursion, gr12) drains as ONE simultaneous
+  * loop: each round every member's step runs against the round-start
+  * state — its OWN frontier for the self-reference, the SIBLINGS'
+  * closures-so-far for cross-references — and the loop stops when a
+  * full round adds no row to any member. Both rules were probed
+  * against DuckDB 1.x (even/odd mutual chain; a three-CTE statement
+  * mixing a cycle with a dependent; a member whose frontier drains
+  * while a sibling keeps consuming its closure).
   *
   * Scale shape: each round is one distinct + one EXCEPT (both keyed
   * shuffles on the full row), lineage cut every round (the Iterate
@@ -50,12 +59,19 @@ object RecursiveUnion {
   final case class Rec(name: String, cols: Option[Seq[String]],
                        seed: String, step: String)
 
-  /** The statement: helper CTEs and recursive CTEs (each list in
-    * textual order — recursions drain sequentially, gr11) and the outer
-    * statement after the CTE list.
+  /** The statement: helper CTEs, recursive CTEs (textual order), the
+    * outer statement after the CTE list, and the drain plan — SCC
+    * groups of the recursion reference graph, dependencies first
+    * (gr11/gr12). A singleton group is an ordinary recursion; a
+    * multi-member group is a mutual recursion draining as one
+    * simultaneous loop.
     */
   final case class Stmt(recs: Seq[Rec], outer: String,
-                        helpers: Seq[Helper] = Nil)
+                        helpers: Seq[Helper] = Nil,
+                        groups: Seq[Seq[Rec]] = Nil) {
+    def drainGroups: Seq[Seq[Rec]] =
+      if (groups.nonEmpty) groups else recs.map(Seq(_))
+  }
 
   import Dialect.{findTopLevelKeywordIn, splitTopLevel, stripLiterals, wordAt}
   import Dialect.{matchParenAt => matchParen, skipWsAt => skipWs}
@@ -143,15 +159,20 @@ object RecursiveUnion {
       case _ => return None // not WITH RECURSIVE — native handles it
     }
     // the recursive CTEs: UNION-distinct bodies that reference their
-    // own name; with a SINGLE CTE the self-reference is not required (a
-    // degenerate non-recursive UNION-distinct body still lowers here —
-    // it drains in one extra round and keeps pre-gr10 behavior)
-    val selfRef = ctes.filter(c =>
-      unionDistinctAt(c.bodyMask).isDefined && containsWord(c.bodyMask, c.name))
+    // own name OR any other UNION-distinct candidate — mutual members
+    // (gr12) reference only each other, never themselves, so the
+    // self-reference test alone would miss them. With a SINGLE CTE the
+    // reference is not required at all (a degenerate non-recursive
+    // UNION-distinct body still lowers here — it drains in one extra
+    // round and keeps pre-gr10 behavior).
+    val candidates = ctes.filter(c =>
+      unionDistinctAt(c.bodyMask).isDefined)
+    val refs = candidates.filter(c =>
+      containsWord(c.bodyMask, c.name) ||
+        candidates.exists(o => !(o eq c) && containsWord(c.bodyMask, o.name)))
     val recs =
-      if (selfRef.nonEmpty) selfRef.toSeq
-      else if (ctes.size == 1 && unionDistinctAt(ctes.head.bodyMask).isDefined)
-        ctes.toSeq
+      if (refs.nonEmpty) refs.toSeq
+      else if (ctes.size == 1 && candidates.nonEmpty) ctes.toSeq
       else return None // no UNION-distinct recursion — native handles it
     // this lowering owns the statement from here — malformed shapes
     // error loudly instead of falling through to a confusing native error
@@ -164,16 +185,33 @@ object RecursiveUnion {
           s"in the recursive CTE body of ${r.name} (seed UNION step) — " +
           "parenthesize inner set operations")
     }
-    // recursions drain in textual order: a body referencing a LATER
-    // recursive CTE has no sequential execution — true mutual recursion
-    // stays a loud refusal (gr11)
-    val recIdx = recs.zipWithIndex.toMap
-    recs.foreach { r =>
-      recs.drop(recIdx(r) + 1).foreach { later =>
-        require(!containsWord(r.bodyMask, later.name),
-          s"recursive CTE ${r.name} references ${later.name}, declared " +
-            "after it — recursions drain in textual order (no mutual " +
-            "recursion); reorder so each references only earlier ones")
+    // drain plan (gr11/gr12): SCC groups of the reference graph,
+    // dependencies first. An edge r→x means r's body reads x; Tarjan
+    // emits components sink-first, so every group's dependencies are
+    // drained (and bound) before the group runs. A singleton group is
+    // the ordinary sequential case; a multi-member group is TRUE
+    // mutual recursion and drains as one simultaneous loop.
+    val n = recs.size
+    val adj: IndexedSeq[Seq[Int]] = recs.toIndexedSeq.map(r =>
+      recs.indices.filter(k =>
+        !(recs(k) eq r) && containsWord(r.bodyMask, recs(k).name)).toSeq)
+    val groups = sccGroups(n, adj)
+    // within a mutual group DuckDB binds seeds BEFORE any sibling
+    // exists — a seed referencing a sibling is its own Binder error
+    // ("Circular reference"); mirror the refusal. The group's seed
+    // span is body[0, union) — recompute per rec below.
+    groups.filter(_.size > 1).foreach { g =>
+      g.foreach { gi =>
+        val r = recs(gi)
+        val u = unionDistinctAt(r.bodyMask).get
+        val seedMask = r.bodyMask.substring(0, u)
+        g.foreach { gj =>
+          require(gi == gj || !containsWord(seedMask, recs(gj).name),
+            s"the seed of recursive CTE ${recs(gi).name} references its " +
+              s"mutual-recursion sibling ${recs(gj).name} — seeds bind " +
+              "before any sibling exists (DuckDB's circular-reference " +
+              "error); reference siblings only in the step")
+        }
       }
     }
     val helpers = ctes.toSeq.filterNot(c => recs.exists(_ eq c))
@@ -191,13 +229,66 @@ object RecursiveUnion {
     val outer = sql.substring(i).trim
     require(outer.nonEmpty,
       "WITH RECURSIVE needs an outer statement after the CTE list")
-    Some(Stmt(
-      recs.map { r =>
-        val u = unionDistinctAt(r.bodyMask).get
-        Rec(r.name, r.cols, r.body.substring(0, u).trim,
-          r.body.substring(u + 5).trim)
-      },
-      outer, helpers.map(h => Helper(h.name, h.cols, h.body))))
+    val parsed = recs.map { r =>
+      val u = unionDistinctAt(r.bodyMask).get
+      Rec(r.name, r.cols, r.body.substring(0, u).trim,
+        r.body.substring(u + 5).trim)
+    }
+    Some(Stmt(parsed, outer,
+      helpers.map(h => Helper(h.name, h.cols, h.body)),
+      groups.map(_.map(parsed))))
+  }
+
+  /** Tarjan SCC over `n` nodes with adjacency `adj` (edge r→x = r
+    * depends on x), emitting components sink-first — every component
+    * appears before any component that depends on it, which is exactly
+    * drain order. Iterative (an explicit stack): CTE lists are tiny
+    * but a parser must not be stack-depth-bound.
+    */
+  private def sccGroups(n: Int,
+                        adj: IndexedSeq[Seq[Int]]): Seq[Seq[Int]] = {
+    val index = Array.fill(n)(-1)
+    val low = Array.fill(n)(0)
+    val onStack = Array.fill(n)(false)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    var counter = 0
+    // explicit DFS frames: (node, next-child cursor)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    for (root <- 0 until n if index(root) < 0) {
+      frames += Array(root, 0)
+      index(root) = counter; low(root) = counter; counter += 1
+      stack += root; onStack(root) = true
+      while (frames.nonEmpty) {
+        val f = frames.last
+        val v = f(0)
+        if (f(1) < adj(v).size) {
+          val w = adj(v)(f(1)); f(1) += 1
+          if (index(w) < 0) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack += w; onStack(w) = true
+            frames += Array(w, 0)
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          frames.remove(frames.size - 1)
+          if (frames.nonEmpty) {
+            val p = frames.last(0)
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var w = -1
+            while (w != v) {
+              w = stack.remove(stack.size - 1); onStack(w) = false
+              comp += w
+            }
+            // textual order inside the group (stable driver output)
+            out += comp.sorted.toSeq
+          }
+        }
+      }
+    }
+    out.toSeq
   }
 
 }

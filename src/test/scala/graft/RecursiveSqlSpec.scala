@@ -105,12 +105,12 @@ class RecursiveSqlSpec extends GraftSuite {
       """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT 2 UNION
            SELECT n FROM t)
          SELECT * FROM t""")).getMessage.contains("exactly one top-level"))
-    // an earlier recursion referencing a LATER one has no sequential
-    // drain order — mutual/forward recursion refuses loudly (gr11)
-    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+    // an ACYCLIC forward reference drains the referenced recursion
+    // first (gr12 SCC ordering — DuckDB-probed: a = {1})
+    assert(Table.sessionSql(spark,
       """WITH RECURSIVE a(n) AS (SELECT 1 UNION SELECT n FROM a JOIN b USING (n)),
            b(n) AS (SELECT 1 UNION SELECT n + 1 FROM b WHERE n < 3)
-         SELECT * FROM a""")).getMessage.contains("declared after it"))
+         SELECT * FROM a""").toDF.collect().map(_.getInt(0)).toSeq == Seq(1))
     assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
       """WITH RECURSIVE t(n) AS (SELECT 1 UNION SELECT n FROM t),
            u AS (SELECT n + 1 FROM t)
@@ -153,6 +153,57 @@ class RecursiveSqlSpec extends GraftSuite {
     // a = {2, 4, 8, 16} (doubling stops at 16) → na = 4;
     // b = {3, 9, 27} (tripling stops at 27) → sb = 39
     assert((mixed.getLong(0), mixed.getLong(1)) == (4L, 39L))
+  }
+
+  test("gr12: TRUE mutual recursion drains as one simultaneous loop " +
+    "(every case DuckDB-probed)") {
+    // even/odd mutual chain → ev = {0,2,4,6,8}, od = {1,3,5,7,9}
+    val evod = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           ev(n) AS (SELECT 0 UNION SELECT od.n + 1 FROM od WHERE od.n < 9),
+           od(n) AS (SELECT 1 UNION SELECT ev.n + 1 FROM ev WHERE ev.n < 9)
+         SELECT (SELECT sum(n) FROM ev) AS se,
+                (SELECT sum(n) FROM od) AS so""").toDF.collect().head
+    assert((evod.getLong(0), evod.getLong(1)) == (20L, 25L))
+    // a sibling whose frontier drains still feeds the other member's
+    // rounds through its CLOSURE (DuckDB-probed: a = 1,3,5,…,21)
+    val closure = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           a(n) AS (SELECT 1 UNION SELECT a.n + b.m FROM a, b WHERE a.n < 20),
+           b(m) AS (SELECT 2 UNION SELECT 100 FROM b WHERE false)
+         SELECT count(*) AS c, max(n) AS mx FROM a""").toDF.collect().head
+    assert((closure.getLong(0), closure.getInt(1)) == (11L, 21))
+    // a cyclic pair plus a dependent singleton in one statement
+    // (DuckDB-probed: x = {0,3,6}, y = {10,20}, z = {100,2,5})
+    val threeWay = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           x(n) AS (SELECT 0 UNION SELECT z.n + 1 FROM z WHERE z.n < 6),
+           y(n) AS (SELECT 10 UNION SELECT x.n + 20 FROM x WHERE x.n < 3),
+           z(n) AS (SELECT 100 UNION SELECT x.n + 2 FROM x WHERE x.n < 6)
+         SELECT (SELECT sum(n) FROM x) AS sx,
+                (SELECT sum(n) FROM y) AS sy,
+                (SELECT sum(n) FROM z) AS sz""").toDF.collect().head
+    assert((threeWay.getLong(0), threeWay.getLong(1), threeWay.getLong(2))
+      == (9L, 30L, 107L))
+    // an empty-seed member fed purely by its sibling (DuckDB-probed:
+    // a = {1,3}, b = {2,6})
+    val emptySeed = Table.sessionSql(spark,
+      """WITH RECURSIVE
+           a(n) AS (SELECT 1 UNION SELECT b.n + 1 FROM b WHERE b.n < 4),
+           b(n) AS (SELECT CAST(NULL AS INT) WHERE false
+                    UNION SELECT a.n * 2 FROM a WHERE a.n < 4)
+         SELECT (SELECT sum(n) FROM a) AS sa,
+                (SELECT sum(n) FROM b) AS sb""").toDF.collect().head
+    assert((emptySeed.getLong(0), emptySeed.getLong(1)) == (4L, 8L))
+    // a SEED referencing a mutual sibling refuses loudly (DuckDB's own
+    // Binder "Circular reference" error)
+    assert(intercept[IllegalArgumentException](Table.sessionSql(spark,
+      """WITH RECURSIVE
+           a(n) AS (SELECT 1 UNION SELECT b.n + 1 FROM b WHERE b.n < 5),
+           b(n) AS (SELECT a.n + 10 FROM a
+                    UNION SELECT a.n + 1 FROM a WHERE a.n < 5)
+         SELECT * FROM a""")).getMessage
+      .contains("seeds bind before any sibling exists"))
   }
 
   test("gr10: non-recursive helper CTEs ride alongside the recursion") {
