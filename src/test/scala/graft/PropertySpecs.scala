@@ -212,9 +212,15 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
       val bj = scala.util.Try(Dialect.rewriteSubscripts(j)).toOption
       val gq = scala.util.Try(Dialect.rewriteSimilarGlob(q)).toOption
       val gj = scala.util.Try(Dialect.rewriteSimilarGlob(j)).toOption
+      // struct literals (q70): braces inside string literals are data;
+      // a malformed visible brace refuses loudly — Try-compare
+      val hq = scala.util.Try(Dialect.rewriteStructLiterals(q)).toOption
+      val hj = scala.util.Try(Dialect.rewriteStructLiterals(j)).toOption
       maskedEq(Dialect.rewrite(j), Dialect.rewrite(q)) &&
         (bq.isDefined == bj.isDefined) &&
         bq.zip(bj).forall { case (a, b) => maskedEq(a, b) } &&
+        (hq.isDefined == hj.isDefined) &&
+        hq.zip(hj).forall { case (a, b) => maskedEq(a, b) } &&
         (gq.isDefined == gj.isDefined) &&
         gq.zip(gj).forall { case (a, b) => maskedEq(a, b) } &&
         maskedEq(Dialect.aliasesIntoWhere(j), Dialect.aliasesIntoWhere(q)) &&
