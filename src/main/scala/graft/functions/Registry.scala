@@ -116,6 +116,20 @@ object Registry {
       case other => throw new IllegalArgumentException(
         s"array_avg_exact() takes 1 array argument, got ${other.length}")
     }
+    // the AGGREGATE forms — sum/avg(DISTINCT) OVER lowers onto these
+    // (the set lives in the aggregation buffer, folded once at eval:
+    // O(partition) on whole-partition specs; see
+    // [[graft.functions.SumDistinctExact]])
+    f("sum_distinct_exact") {
+      case Seq(a) => SumDistinctExact(a, isAvg = false)
+      case other => throw new IllegalArgumentException(
+        s"sum_distinct_exact() takes 1 argument, got ${other.length}")
+    }
+    f("avg_distinct_exact") {
+      case Seq(a) => SumDistinctExact(a, isAvg = true)
+      case other => throw new IllegalArgumentException(
+        s"avg_distinct_exact() takes 1 argument, got ${other.length}")
+    }
 
     f("to_int")(castFn(LongType))
     f("to_long")(castFn(LongType))

@@ -1942,17 +1942,23 @@ object Dialect {
                 // list variant re-deduplicated an O(frame) array per
                 // row (O(n²) per partition on unbounded frames; 220 s
                 // on the sf0.1 bench before this change). SUM/AVG (w22)
-                // ride the same set through the order-free exact fold
-                // ([[graft.functions.ArrayFoldExact]]), which refuses
-                // float element types at analysis time.
-                val outer = fname match {
-                  case "count" => (a: String) =>
-                    s"CAST(size($a) AS BIGINT)"
-                  case "sum" => (a: String) => s"array_sum_exact($a)"
-                  case _ => (a: String) => s"array_avg_exact($a)"
+                // lower onto the AGGREGATE forms
+                // ([[graft.functions.SumDistinctExact]] — set in the
+                // buffer, order-free exact fold ONCE at eval, float
+                // inputs refused at analysis time): the scalar
+                // fold-over-collect_set shape folded an identical
+                // per-partition array once PER ROW on whole-partition
+                // specs — O(rows × distinct), 8.3 s for one column on
+                // the round-18 sf0.1 bench before this change.
+                val rewritten = fname match {
+                  case "count" =>
+                    s"CAST(size(collect_set($arg) OVER $overText) AS BIGINT)"
+                  case "sum" =>
+                    s"sum_distinct_exact($arg) OVER $overText"
+                  case _ =>
+                    s"avg_distinct_exact($arg) OVER $overText"
                 }
-                cur = cur.substring(0, fs) +
-                  outer(s"collect_set($arg) OVER $overText") +
+                cur = cur.substring(0, fs) + rewritten +
                   cur.substring(overEnd + 1)
                 more = true
               }
