@@ -11530,6 +11530,25 @@ object SparkEntry {
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
 
+    // List comprehensions and MAP literals (q71, the r18 literal-pass
+    // second wave): `[expr FOR v IN lst [IF cond]]` lowers onto
+    // transform(filter(…)) — DuckDB's filter-then-map order — and
+    // `MAP {k: v}` onto map(); reads go through map_keys/cardinality,
+    // which agree across engines (the map SUBSCRIPT diverges: DuckDB
+    // wraps in a one-element list — documented in the dialect pass).
+    // Subscripts compose on top of comprehensions. Same text on both.
+    "q71_comprehension_map" -> multiSession(Seq("nation"),
+      """SELECT n_nationkey AS k,
+           array_to_string([upper(s) FOR s IN string_split(n_name, '_')],
+             '-') AS comp_up,
+           CAST(len([x FOR x IN [n_regionkey, n_nationkey, 7]
+             IF x % 2 = 1]) AS BIGINT) AS n_odd,
+           array_to_string(map_keys(MAP {'r': n_regionkey,
+             'k2': n_nationkey * 2}), ',') AS mk,
+           CAST(cardinality(MAP {'a': 1, 'b': 2}) AS BIGINT) AS mc,
+           CAST([y * y FOR y IN [n_nationkey % 5, 2]][1] AS BIGINT) AS sq1
+         FROM nation ORDER BY k"""),
+
     "q64_sample_clause" -> api(
       (s, dir) => {
         Registry.registerAll(s)

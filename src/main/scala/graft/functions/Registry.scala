@@ -575,7 +575,16 @@ object Registry {
     // both order-nondeterministic without the q67 ORDER BY form, which
     // the ordered-aggregate rewrite handles before name resolution)
     dialectAlias("list", "collect_list")
-    // (len is already a Spark 4 builtin alias of length — not shadowed)
+    // len: Spark's builtin is a pure length alias (strings/binary); the
+    // DuckDB spelling is polymorphic — arrays/maps count elements
+    // (q71: len([x FOR x IN …]) is idiomatic there). LenPoly dispatches
+    // on the resolved child type and replaces with the native Size /
+    // Length, so nothing leaves codegen.
+    f("len") {
+      case Seq(e) => LenPoly(e)
+      case other => throw new IllegalArgumentException(
+        s"len() takes 1 argument, got ${other.length}")
+    }
     dialectAlias("string_split_regex", "split")
     // generate_series: both ends inclusive like Spark sequence, BUT the
     // engines disagree off the happy path (probed): DuckDB returns []

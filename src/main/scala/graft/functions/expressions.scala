@@ -572,3 +572,25 @@ case class ArrayFoldExact(child: Expression, isAvg: Boolean)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** DuckDB's polymorphic `len()` (q71): element count for arrays/maps,
+  * string/binary length otherwise — Spark's builtin `len` is a pure
+  * `length` alias and refuses arrays, but DuckDB list comprehensions
+  * make `len([...])` a natural spelling. RuntimeReplaceable: the
+  * analyzer swaps in Size/Length after the child resolves, so codegen
+  * and evaluation are exactly the native expressions'.
+  */
+case class LenPoly(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[
+      org.apache.spark.sql.catalyst.expressions.Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{Length, Size}
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType | _: MapType => Size(child, legacySizeOfNull = false)
+    case _ => Length(child)
+  }
+  override def prettyName: String = "len"
+  override protected def withNewChildInternal(
+      newChild: Expression): LenPoly = copy(child = newChild)
+}

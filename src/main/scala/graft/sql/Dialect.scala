@@ -1340,7 +1340,40 @@ object Dialect {
           // spelling (the keyword drops).
           val isArrayKw = recvLower == "array"
           val literalCtx = !recvTail || SubscriptKeywordStops(recvLower)
-          if (isArrayKw || literalCtx) {
+          // list comprehension (r18, DuckDB): `[expr FOR v IN lst]` /
+          // `[expr FOR v IN lst IF cond]` → transform(lst, v -> expr)
+          // with the IF filter applied to the source list first —
+          // DuckDB's evaluation order (filter, then map). Keyword
+          // positions come off the MASK at top level only, so FOR/IN/IF
+          // inside nested brackets, parens, or literals never trigger.
+          val forPos = findTopLevelKeywordIn(inner, 0, "for")
+          if ((isArrayKw || literalCtx) && forPos >= 0) {
+            val inPos = findTopLevelKeywordIn(inner, forPos + 3, "in")
+            require(inPos > forPos,
+              "malformed list comprehension — need [expr FOR var IN list]")
+            val ifPos = findTopLevelKeywordIn(inner, inPos + 2, "if")
+            val expr = cur.substring(i + 1, i + 1 + forPos).trim
+            val v = cur.substring(i + 1 + forPos + 3, i + 1 + inPos).trim
+            require(v.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"list-comprehension variable must be a bare identifier, " +
+                s"got: $v")
+            val srcEnd = if (ifPos >= 0) i + 1 + ifPos else close
+            val src = cur.substring(i + 1 + inPos + 2, srcEnd).trim
+            require(expr.nonEmpty && src.nonEmpty,
+              "malformed list comprehension — need [expr FOR var IN list]")
+            val filtered =
+              if (ifPos < 0) src
+              else {
+                val cond = cur.substring(i + 1 + ifPos + 2, close).trim
+                require(cond.nonEmpty,
+                  "empty IF condition in a list comprehension")
+                s"filter($src, $v -> $cond)"
+              }
+            val from = if (isArrayKw) start else i
+            cur = cur.substring(0, from) +
+              s"transform($filtered, $v -> $expr)" + cur.substring(close + 1)
+            more = true
+          } else if (isArrayKw || literalCtx) {
             // list literal (r18): `[a, b, …]` / `ARRAY[a, b, …]` →
             // array(a, b, …); nested bracket groups inside re-enter on
             // the next pass (their prev char is '(' or ',')
@@ -1400,14 +1433,22 @@ object Dialect {
     cur
   }
 
-  /** r18: DuckDB struct literals — `{'k': v, …}` → named_struct('k',
-    * v, …). Braces are not Spark syntax anywhere outside string
-    * literals (masked), so every visible `{` is either a DuckDB struct
-    * literal or an error the rewrite surfaces loudly (a malformed item
-    * refuses with the offending text). Keys must be quoted literals
-    * (DuckDB's rule); values re-enter the other passes (a nested
-    * struct/list literal rewrites on the next iteration). Struct-field
-    * access stays the native `s.k` / dotted path — Spark resolves it.
+  /** r18: DuckDB struct and map literals — `{'k': v, …}` →
+    * named_struct('k', v, …) and `MAP {k: v, …}` → map(k, v, …).
+    * Braces are not Spark syntax anywhere outside string literals
+    * (masked), so every visible `{` is one of the two literal forms or
+    * an error the rewrite surfaces loudly (a malformed item refuses
+    * with the offending text). STRUCT keys must be quoted literals
+    * (DuckDB's rule); MAP keys are arbitrary expressions (probed:
+    * `MAP {upper('k'): 1 + 1}` binds) and `MAP {}` is the valid empty
+    * map where a bare `{}` struct refuses. Values re-enter the other
+    * passes (a nested struct/list literal rewrites on the next
+    * iteration). Struct-field access stays the native `s.k` / dotted
+    * path — Spark resolves it. DOCUMENTED DIVERGENCE: DuckDB's map
+    * SUBSCRIPT returns a one-element LIST (`MAP {'a': 1}['a']` = [1]);
+    * the engine's subscript pass returns the VALUE (try_element_at) —
+    * same-text map queries should read through map_keys / map_values /
+    * cardinality / element-compare, which agree on both engines.
     */
   def rewriteStructLiterals(sql: String): String = {
     if (sql.indexOf('{') < 0) return sql
@@ -1429,10 +1470,22 @@ object Dialect {
             depth != 0 || c != '}'
           }) close += 1
           require(close < m.length, "unbalanced { } in the statement")
+          // MAP keyword directly before the brace → map literal
+          var p = i - 1
+          while (p >= 0 && m.charAt(p).isWhitespace) p -= 1
+          var ks = p
+          while (ks >= 0 && (m.charAt(ks).isLetterOrDigit ||
+            m.charAt(ks) == '_')) ks -= 1
+          // (after the ident walk ks sits on a non-ident char; '.'
+          // there means a QUALIFIED name like a.map — not the keyword)
+          val isMap = p >= 0 &&
+            cur.substring(ks + 1, p + 1).equalsIgnoreCase("map") &&
+            (ks < 0 || m.charAt(ks) != '.')
           val content = cur.substring(i + 1, close)
-          require(content.trim.nonEmpty,
+          require(isMap || content.trim.nonEmpty,
             "empty struct literal {} — a struct needs at least one field")
-          val items = splitTopLevelAll(content)
+          val items =
+            if (content.trim.isEmpty) Nil else splitTopLevelAll(content)
           val args = items.map { item =>
             val im = stripLiterals(item)
             // the key:value split is the first top-level ':' not '::'
@@ -1451,19 +1504,21 @@ object Dialect {
               j += 1
             }
             require(colon > 0,
-              s"malformed struct literal field (need 'key': value): " +
-                s"${item.trim.take(40)}")
+              s"malformed ${if (isMap) "map" else "struct"} literal " +
+                s"field (need key: value): ${item.trim.take(40)}")
             val key = item.substring(0, colon).trim
             val value = item.substring(colon + 1).trim
-            require(key.length >= 2 && key.head == '\'' &&
-              key.last == '\'',
+            require(isMap || (key.length >= 2 && key.head == '\'' &&
+              key.last == '\''),
               s"struct literal keys must be quoted literals, got: $key")
-            require(value.nonEmpty,
-              s"empty value for struct literal key $key")
+            require(key.nonEmpty && value.nonEmpty,
+              s"empty key or value in a literal field: ${item.trim.take(40)}")
             s"$key, $value"
           }
-          cur = cur.substring(0, i) +
-            s"named_struct(${args.mkString(", ")})" +
+          val (from, fn) =
+            if (isMap) (ks + 1, "map") else (i, "named_struct")
+          cur = cur.substring(0, from) +
+            s"$fn(${args.mkString(", ")})" +
             cur.substring(close + 1)
           more = true
         }

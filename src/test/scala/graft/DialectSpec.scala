@@ -584,6 +584,52 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewriteSubscripts(plain) eq plain)
   }
 
+  test("struct/map literals and list comprehensions (q70/q71) lower " +
+    "onto named_struct/map/transform") {
+    // struct literal → named_struct; nested values re-enter
+    assert(Dialect.rewriteStructLiterals("SELECT {'a': 1, 'b': x} FROM t")
+      == "SELECT named_struct('a', 1, 'b', x) FROM t")
+    assert(Dialect.rewriteStructLiterals("SELECT {'a': {'b': 2}} FROM t")
+      == "SELECT named_struct('a', named_struct('b', 2)) FROM t")
+    // MAP literal → map(); arbitrary expression keys; empty map legal
+    assert(Dialect.rewriteStructLiterals(
+      "SELECT MAP {'a': 1, 'b': 2} FROM t")
+      == "SELECT map('a', 1, 'b', 2) FROM t")
+    assert(Dialect.rewriteStructLiterals(
+      "SELECT MAP {upper(k): v + 1} FROM t")
+      == "SELECT map(upper(k), v + 1) FROM t")
+    assert(Dialect.rewriteStructLiterals("SELECT cardinality(MAP {}) AS n")
+      == "SELECT cardinality(map()) AS n")
+    // a QUALIFIED a.map name is not the keyword; bare {} refuses
+    assert(intercept[IllegalArgumentException](
+      Dialect.rewriteStructLiterals("SELECT {} FROM t")).getMessage
+      .contains("empty struct literal"))
+    // struct keys must be quoted; '::' casts in values survive
+    assert(intercept[IllegalArgumentException](
+      Dialect.rewriteStructLiterals("SELECT {a: 1} FROM t")).getMessage
+      .contains("quoted literals"))
+    assert(Dialect.rewriteStructLiterals("SELECT {'a': x::INT} FROM t")
+      == "SELECT named_struct('a', x::INT) FROM t")
+    // braces inside string literals are data
+    val lit = "SELECT '{not: a struct}' FROM t"
+    assert(Dialect.rewriteStructLiterals(lit) == lit)
+    // list comprehensions (q71): map / filter+map; nested literals
+    // re-enter; FOR/IN/IF inside strings or nested brackets inert
+    assert(Dialect.rewriteSubscripts("SELECT [x + 1 FOR x IN l] FROM t")
+      == "SELECT transform(l, x -> x + 1) FROM t")
+    assert(Dialect.rewriteSubscripts(
+      "SELECT [x * 2 FOR x IN [1, 2, 3] IF x % 2 = 0] FROM t")
+      == "SELECT transform(filter(array(1, 2, 3), x -> x % 2 = 0), " +
+        "x -> x * 2) FROM t")
+    assert(Dialect.rewriteSubscripts(
+      "SELECT [f(y, ',') FOR y IN string_split(s, ' ')] FROM t")
+      == "SELECT transform(string_split(s, ' '), y -> f(y, ',')) FROM t")
+    // a subscript composes on top of a comprehension
+    assert(Dialect.rewriteSubscripts("SELECT [x FOR x IN l][1] FROM t")
+      == "SELECT try_element_at(transform(l, x -> x), CAST(1 AS INT)) " +
+        "FROM t")
+  }
+
   test("splitStatements: paren-enclosed semicolons never split NOR " +
     "return the input unchanged (re-entry guard)") {
     // malformed text whose only ';' sits inside parens: None, not
