@@ -7447,6 +7447,50 @@ object SparkEntry {
     // change every sum) and one that COMMITS; the oracle re-derives
     // the committed chain relationally (the u12/u20 discipline — the
     // driver's oracle runs as one DuckDB statement).
+    // SQL macros (u23, [[graft.sql.MacroSql]]): CREATE MACRO stores
+    // session-scoped TEXT; calls expand before the dialect passes, so
+    // bodies compose with the whole surface (here: a scalar macro
+    // using a list comprehension + subscript, a defaulted parameter
+    // bound by name, a TABLE macro consumed in FROM, and one macro
+    // calling another — late-bound like DuckDB's). The oracle
+    // re-derives the same result with every macro inlined by hand
+    // (the u20 end-state-oracle convention: the driver's DuckDB runner
+    // gets ONE statement).
+    "u23_sql_macros" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/nation.parquet")
+          .createOrReplaceTempView("u23_nation")
+        graft.api.Table.sessionSql(s,
+          """CREATE OR REPLACE MACRO disc(v, pct := 10) AS
+               CAST(v * (100 - pct) / 100 AS BIGINT);
+             CREATE OR REPLACE MACRO tag(n) AS
+               upper(n) || '#' || CAST(len([c FOR c IN
+                 string_split(n, '_') IF c <> '']) AS STRING);
+             CREATE OR REPLACE MACRO both_m(n, v) AS
+               tag(n) || '@' || CAST(disc(v) AS STRING);
+             CREATE OR REPLACE MACRO south_keys(r) AS TABLE
+               SELECT n_nationkey AS k, n_name AS nm,
+                      CAST(n_regionkey AS BIGINT) AS reg
+               FROM u23_nation WHERE n_regionkey <= r;
+             SELECT k, both_m(nm, k * 100) AS t,
+                    disc(k * 100, pct := 25) AS d25, reg
+             FROM south_keys(2) ORDER BY k""").df
+      },
+      """SELECT k,
+                upper(nm) || '#' ||
+                  CAST(len(list_filter(string_split(nm, '_'),
+                    c -> c <> '')) AS STRING) ||
+                  '@' ||
+                  CAST(CAST((k * 100) * (100 - 10) / 100 AS BIGINT)
+                    AS STRING) AS t,
+                CAST((k * 100) * (100 - 25) / 100 AS BIGINT) AS d25,
+                reg
+         FROM (SELECT n_nationkey AS k, n_name AS nm,
+                      CAST(n_regionkey AS BIGINT) AS reg
+               FROM nation WHERE n_regionkey <= 2)
+         ORDER BY k"""),
+
     "u22_script_txn" -> api(
       (s, dir) => {
         Registry.registerAll(s)

@@ -529,9 +529,24 @@ object Table {
           else sessionSql(spark, t).df))
       case None =>
     }
+    // SQL macros (u23): CREATE/DROP MACRO manage the session-scoped
+    // registry; every other statement expands macro calls FIRST, so the
+    // body text flows through the whole dialect pipeline below (and a
+    // macro referencing another macro late-binds at call time, DuckDB's
+    // rule)
+    graft.sql.MacroSql.parseCreate(query) match {
+      case Some(c) => return apply(graft.sql.MacroSql.runCreate(spark, c))
+      case None =>
+    }
+    graft.sql.MacroSql.parseDrop(query) match {
+      case Some((n, ifEx)) =>
+        return apply(graft.sql.MacroSql.runDrop(spark, n, ifEx))
+      case None =>
+    }
+    val qx = graft.sql.MacroSql.expand(spark, query)
     // same pass ordering as [[Table.sql]]: split UNION BY NAME on the
     // token-local rewrite, then run the clause-scoped passes per operand
-    val qr = Dialect.rewrite(query)
+    val qr = Dialect.rewrite(qx)
     // MERGE INTO is a whole-statement form (u09): parse AFTER the
     // token-local rewrite so np.*/# sugar works inside arm expressions;
     // bare refs resolve against the session catalog, subquery refs

@@ -1533,7 +1533,7 @@ object Dialect {
   /** [[splitTopLevel]] tracking ALL bracket kinds — () [] {} — for
     * struct-literal item splitting.
     */
-  private def splitTopLevelAll(text: String): Seq[String] = {
+  private[sql] def splitTopLevelAll(text: String): Seq[String] = {
     val m = stripLiterals(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
