@@ -7447,6 +7447,39 @@ object SparkEntry {
     // change every sum) and one that COMMITS; the oracle re-derives
     // the committed chain relationally (the u12/u20 discipline — the
     // driver's oracle runs as one DuckDB statement).
+    // Prepared statements (u24, [[graft.sql.PrepareSql]]): PREPARE
+    // stores text with $N / ? placeholders, EXECUTE substitutes the
+    // argument expressions (paren-wrapped) and re-enters the dispatch,
+    // DEALLOCATE drops — DuckDB's probed rules (re-PREPARE replaces,
+    // $1 repeats against one argument, excess arguments error). The
+    // script proves placeholders in WHERE, LIMIT, and a projected
+    // expression; the oracle is the hand-substituted single statement.
+    "u24_prepared_stmt" -> api(
+      (s, dir) => {
+        Registry.registerAll(s)
+        s.read.parquet(s"$dir/orders.parquet")
+          .createOrReplaceTempView("u24_orders")
+        graft.api.Table.sessionSql(s,
+          """PREPARE u24p AS
+               SELECT o_orderstatus AS st, count(*) AS n,
+                      CAST(sum(CAST(round(o_totalprice) AS BIGINT) % $2)
+                        AS BIGINT) AS modsum,
+                      CAST($2 AS BIGINT) AS modulus
+               FROM u24_orders
+               WHERE o_orderkey % $1 = 0 AND o_totalprice > $3
+               GROUP BY o_orderstatus
+               ORDER BY st;
+             EXECUTE u24p(7, 97, 50000.0)""").df
+      },
+      """SELECT o_orderstatus AS st, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice) AS BIGINT) % 97)
+                  AS BIGINT) AS modsum,
+                CAST(97 AS BIGINT) AS modulus
+         FROM orders
+         WHERE o_orderkey % 7 = 0 AND o_totalprice > 50000.0
+         GROUP BY o_orderstatus
+         ORDER BY st"""),
+
     // SQL macros (u23, [[graft.sql.MacroSql]]): CREATE MACRO stores
     // session-scoped TEXT; calls expand before the dialect passes, so
     // bodies compose with the whole surface (here: a scalar macro

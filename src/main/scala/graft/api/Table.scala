@@ -543,6 +543,28 @@ object Table {
         return apply(graft.sql.MacroSql.runDrop(spark, n, ifEx))
       case None =>
     }
+    // prepared statements (u24): PREPARE stores text (placeholders
+    // validate at EXECUTE — DuckDB's shape), EXECUTE substitutes and
+    // re-enters this method, DEALLOCATE drops the entry
+    graft.sql.PrepareSql.parsePrepare(query) match {
+      case Some((n, body)) =>
+        graft.sql.PrepareSql.prepare(spark, n, body)
+        return apply(spark.sql(
+          s"SELECT 'prepare' AS statement, '$n' AS name"))
+      case None =>
+    }
+    graft.sql.PrepareSql.parseExecute(query) match {
+      case Some((n, args)) =>
+        return sessionSql(spark, graft.sql.PrepareSql.bind(spark, n, args))
+      case None =>
+    }
+    graft.sql.PrepareSql.parseDeallocate(query) match {
+      case Some(n) =>
+        graft.sql.PrepareSql.deallocate(spark, n)
+        return apply(spark.sql(
+          s"SELECT 'deallocate' AS statement, '$n' AS name"))
+      case None =>
+    }
     val qx = graft.sql.MacroSql.expand(spark, query)
     // same pass ordering as [[Table.sql]]: split UNION BY NAME on the
     // token-local rewrite, then run the clause-scoped passes per operand
