@@ -13812,6 +13812,39 @@ object SparkEntry {
     // the byte total (DuckDB spells octet_length as strlen), round 6 —
     // mirrored verbatim below. One doc-keyed equi-join + one tiny
     // source-keyed rollup on top of the t27 aggregations.
+    // Token-window chunking (t34, [[graft.ops.TextAnalysis
+    // .tokenWindows]]): fixed 128-token windows at stride 64 (50%
+    // overlap) — the context-window shape between documents and a
+    // model's input budget. MAP-ONLY (split + sequence/explode +
+    // slice per chunk; no shuffle); the tail window clamps, empty
+    // docs produce no chunks. The oracle re-derives with DuckDB's
+    // 1-based inclusive slices and generate_series; chunk text
+    // compares by md5 to keep the gated parquet narrow.
+    "t34_token_windows" -> api(
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 3 === 0)
+        graft.ops.TextAnalysis
+          .tokenWindows(docs, "doc_id", "text", 128, 64)
+          .select(col("doc_id"), col("chunk_ix"), col("n_tokens"),
+            md5(col("chunk")).as("h"))
+          .orderBy(col("doc_id"), col("chunk_ix"))
+      },
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 3 = 0 AND length(coalesce(text, '')) > 0),
+         s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         n AS (SELECT doc_id, toks, len(toks) AS nt FROM s),
+         w AS (SELECT doc_id, toks, nt,
+                      unnest(generate_series(0, nt - 1, 64)) AS start
+               FROM n)
+         SELECT doc_id,
+                CAST(start / 64 AS BIGINT) AS chunk_ix,
+                CAST(least(nt - start, 128) AS BIGINT) AS n_tokens,
+                md5(array_to_string(toks[start + 1 : start + 128], ' '))
+                  AS h
+         FROM w
+         ORDER BY doc_id, chunk_ix"""),
+
     "t33_bits_per_byte" -> api(
       (s, dir) => {
         graft.ops.TextAnalysis.bitsPerByte(

@@ -1059,4 +1059,39 @@ object TextAnalysis {
         round(coalesce(col("n_novel"), lit(0L)).cast("double")
           / col("n_grams"), 6).as("novelty"))
   }
+  /** Token-window chunking (t34): fixed-size token windows with a
+    * stride (overlap = window − stride tokens) — the context-window
+    * shape every training/RAG pipeline needs between documents and a
+    * model's input budget. Whitespace tokens, chunk `k` covering token
+    * indices [k·stride, k·stride + window); the final windows clamp at
+    * the document end (a tail shorter than `window` is still a chunk —
+    * discarding it would silently drop corpus text). Empty/NULL
+    * documents produce NO chunks.
+    *
+    * Scale shape: MAP-ONLY — split + one `sequence`/`explode` per doc
+    * + a slice per chunk; no shuffle, no state, output rows ∝
+    * tokens / stride. At 100 TB the operator is embarrassingly
+    * parallel and the only knob is output partition sizing (chunks
+    * are ~window/stride × input bytes). Every formula mirrors in
+    * DuckDB SQL (1-based inclusive slices) for the exact oracle.
+    */
+  def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    docs
+      .where(length(coalesce(col(textCol), lit(""))) > 0)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(col("__nt") - 1, lit(0)),
+          lit(stride))))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_ix"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)),
+          " ").as("chunk"),
+        least(col("__nt") - col("__start"), lit(window)).cast("long")
+          .as("n_tokens"))
+  }
 }

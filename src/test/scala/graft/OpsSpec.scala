@@ -2409,4 +2409,37 @@ class OpsSpec extends GraftSuite {
       Profile.expectations(df, Seq(Profile.NotNull("nope"))))
       .getMessage.contains("unknown column"))
   }
+  test("t34 tokenWindows: stride/overlap, tail clamp, empty-doc drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"),      // 7 tokens
+      (2L, "x y"),                // shorter than one window
+      (3L, ""),                   // empty -> no chunks
+      (4L, null.asInstanceOf[String]) // NULL -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenWindows(docs, "doc_id", "text",
+        window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_ix")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "a b c d", 4L),
+      (1L, 1L, "c d e f", 4L),
+      (1L, 2L, "e f g", 3L),   // tail clamps
+      (1L, 3L, "g", 1L),       // last start < nt
+      (2L, 0L, "x y", 2L)))
+    // stride = window: disjoint cover, no overlap
+    val disjoint = TextAnalysis.tokenWindows(docs, "doc_id", "text",
+        window = 3, stride = 3)
+      .where($"doc_id" === 1L).orderBy("chunk_ix")
+      .collect().map(_.getString(2))
+    assert(disjoint.toSeq == Seq("a b c", "d e f", "g"))
+    // parameter guards refuse loudly
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.tokenWindows(docs, "doc_id", "text", 0, 1))
+      .getMessage.contains("window"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.tokenWindows(docs, "doc_id", "text", 4, 5))
+      .getMessage.contains("stride"))
+  }
 }
