@@ -11421,6 +11421,19 @@ object SparkEntry {
       """SELECT COLUMNS('_id') FROM events
          WHERE event_id <= 5 ORDER BY event_id"""),
 
+    // COLUMNS extensions (q55b, r18): the LAMBDA form — the predicate
+    // evaluates over column NAMES (here via Spark's own expr, exact
+    // SQL LIKE/length semantics) — and the star-modifier form
+    // COLUMNS(* EXCLUDE (…)). Wrapped-aggregate naming composes. Same
+    // text on both engines.
+    "q55b_columns_lambda" -> same("events",
+      """SELECT COLUMNS(c -> c LIKE '%_id' AND length(c) > 6),
+                COLUMNS(* EXCLUDE (props, ts, event_id, user_id)),
+                min(COLUMNS(c -> c = 'ts'))
+         FROM events WHERE event_id <= 5
+         GROUP BY event_id, user_id, event_type, value
+         ORDER BY event_id"""),
+
     // DuckDB's UNION ALL BY NAME — the dialect splits at the top-level
     // BY NAME operator and folds with unionByName(allowMissingColumns):
     // result columns are the first operand's then new names appended,

@@ -126,12 +126,16 @@ final class Table private (val df: DataFrame) {
       })
     // DISTINCT ON lowers AFTER the nulls-last pass (the sort items move
     // into a window spec, where the later top-level scan can't see them)
-    val q = Dialect.expandColumns(
-      Dialect.expandStarRename(
-        Dialect.expandStarReplace(
-          Dialect.expandStarExclude(
+    // COLUMNS expands FIRST: its star-modifier arm owns `* EXCLUDE`
+    // INSIDE a COLUMNS(...) argument — the bare-star passes below
+    // would otherwise rewrite that inner star and leave a mangled
+    // argument (r18, caught by the q55-extension probe)
+    val q = Dialect.expandStarRename(
+      Dialect.expandStarReplace(
+        Dialect.expandStarExclude(
+          Dialect.expandColumns(
             Dialect.distinctOn(qTs).getOrElse(qTs),
-            df.columns.toSeq),
+            df.columns.toSeq, Some(df.sparkSession)),
           df.columns.toSeq),
         df.columns.toSeq),
       df.columns.toSeq)
@@ -726,7 +730,7 @@ object Table {
       if (!Dialect.hasDynamicColumns(q1)) q1
       else Dialect.firstFromTable(q1)
         .flatMap(t => scala.util.Try(spark.table(t).columns.toSeq).toOption)
-        .map(cols => Dialect.expandColumns(q1, cols))
+        .map(cols => Dialect.expandColumns(q1, cols, Some(spark)))
         .getOrElse(q1)
     val q = Dialect.distinctOn(q2).getOrElse(q2)
     if (graft.sql.AsOfSql.detect(q))

@@ -688,11 +688,19 @@ object Dialect {
     * argument — expands to one `f(col) AS col` per hit, which is
     * exactly how DuckDB names those outputs (probed: plain column
     * names, not `f(col)`). No matching column errors loudly, mirroring
-    * DuckDB's binder error. Lambda-form `COLUMNS(c -> ...)` is not
-    * supported — the regex form covers the same selections on named
-    * schemas and keeps the argument a literal the masked scan can own.
+    * DuckDB's binder error.
+    *
+    * r18 extensions beyond the regex literal: the LAMBDA form
+    * `COLUMNS(c -> predicate)` — the predicate text evaluates over the
+    * column NAMES through Spark itself (a one-column local frame +
+    * `expr(pred)`, so LIKE/ILIKE/SIMILAR TO/lower()/length() keep
+    * exact SQL semantics; needs the optional `spark`), and the
+    * star-modifier form `COLUMNS(*)` / `COLUMNS(* EXCLUDE (a, b))`.
+    * Hits always come back in schema order.
     */
-  def expandColumns(sql: String, columns: Seq[String]): String = {
+  def expandColumns(sql: String, columns: Seq[String],
+                    spark: Option[org.apache.spark.sql.SparkSession] =
+                      None): String = {
     var cur = sql
     var guard = 0
     while (guard < 64) {
@@ -711,13 +719,71 @@ object Dialect {
       }
       require(close > open, "unbalanced parens in COLUMNS(...)")
       val arg = cur.substring(open + 1, close).trim
-      require(arg.length >= 2 && arg.head == '\'' && arg.last == '\'' &&
-        !arg.substring(1, arg.length - 1).contains('\''),
-        s"COLUMNS(...) supports a single quoted regex literal, got: $arg")
-      val re = arg.substring(1, arg.length - 1)
-      val p = java.util.regex.Pattern.compile(re)
-      val hit = columns.filter(c => p.matcher(c).find())
-      require(hit.nonEmpty, s"""no matching columns found that match regex "$re"""")
+      val argMask = stripLiterals(arg)
+      val arrowAt = argMask.indexOf("->")
+      val hit: Seq[String] =
+        if (arg.startsWith("*")) {
+          // star-modifier form: COLUMNS(*) / COLUMNS(* EXCLUDE (a, b))
+          val rest = arg.substring(1).trim
+          if (rest.isEmpty) columns
+          else {
+            val rm = stripLiterals(rest)
+            require(wordAt(rm, 0, "exclude"),
+              s"COLUMNS(* ...) supports only EXCLUDE (cols), got: $rest")
+            val o = skipWsAt(rm, 7)
+            require(o < rm.length && rm.charAt(o) == '(' &&
+              matchParenAt(rm, o) == rm.length - 1,
+              s"COLUMNS(* EXCLUDE ...) needs a parenthesized column " +
+                s"list, got: $rest")
+            val excl = splitTopLevel(rest.substring(o + 1, rest.length - 1))
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            val unknown = excl.filterNot(e =>
+              columns.exists(_.equalsIgnoreCase(e)))
+            require(unknown.isEmpty,
+              s"COLUMNS(* EXCLUDE ...) names not in the table: " +
+                s"${unknown.mkString(", ")}")
+            val kept = columns.filterNot(c =>
+              excl.exists(_.equalsIgnoreCase(c)))
+            require(kept.nonEmpty, "COLUMNS(* EXCLUDE ...) removed " +
+              "every column")
+            kept
+          }
+        } else if (arrowAt >= 0) {
+          // lambda form: `v -> predicate` — evaluate the predicate over
+          // the column NAMES via Spark (exact SQL semantics for LIKE /
+          // ILIKE / SIMILAR TO / string functions)
+          val v = arg.substring(0, arrowAt).trim
+          require(v.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"COLUMNS lambda variable must be a bare identifier, got: $v")
+          val pred = arg.substring(arrowAt + 2).trim
+          require(pred.nonEmpty, "empty COLUMNS lambda predicate")
+          val s = spark.getOrElse(throw new IllegalArgumentException(
+            "COLUMNS(c -> ...) needs a bound session — use the regex " +
+              "form here"))
+          val matched = {
+            import org.apache.spark.sql.functions.{expr => sexpr}
+            import s.implicits._
+            val names = s.createDataset(columns.toList).toDF(v)
+            names.where(sexpr(rewriteSimilarGlob(
+                s"SELECT 1 WHERE $pred").substring(15)))
+              .collect().map(_.getString(0)).toSet
+          }
+          val sel = columns.filter(matched.contains)
+          require(sel.nonEmpty,
+            s"no columns satisfy the COLUMNS lambda predicate: $pred")
+          sel
+        } else {
+          require(arg.length >= 2 && arg.head == '\'' && arg.last == '\'' &&
+            !arg.substring(1, arg.length - 1).contains('\''),
+            s"COLUMNS(...) supports a quoted regex literal, a lambda " +
+              s"`c -> pred`, or `* [EXCLUDE (...)]`, got: $arg")
+          val re = arg.substring(1, arg.length - 1)
+          val p = java.util.regex.Pattern.compile(re)
+          val h = columns.filter(c => p.matcher(c).find())
+          require(h.nonEmpty,
+            s"""no matching columns found that match regex "$re"""")
+          h
+        }
       // wrapped form: an enclosing call whose ONLY argument is this
       // COLUMNS(...) — identifier '(' COLUMNS(...) ')'
       var a = m.get.start - 1

@@ -363,6 +363,19 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.expandColumns(
       "SELECT a FROM t WHERE a IN (COLUMNS('^user')) ", cols) ==
       "SELECT a FROM t WHERE a IN (`user_id`) ")
+    // star-modifier form (r18): COLUMNS(*) and COLUMNS(* EXCLUDE (…))
+    assert(Dialect.expandColumns("SELECT COLUMNS(*) FROM t", cols) ==
+      "SELECT `event_id`, `ts`, `user_id`, `event_type` FROM t")
+    assert(Dialect.expandColumns(
+      "SELECT COLUMNS(* EXCLUDE (ts, event_type)) FROM t", cols) ==
+      "SELECT `event_id`, `user_id` FROM t")
+    assert(intercept[IllegalArgumentException](Dialect.expandColumns(
+      "SELECT COLUMNS(* EXCLUDE (nope)) FROM t", cols)).getMessage
+      .contains("not in the table"))
+    // lambda form without a bound session refuses with a pointer
+    assert(intercept[IllegalArgumentException](Dialect.expandColumns(
+      "SELECT COLUMNS(c -> c LIKE '%id') FROM t", cols)).getMessage
+      .contains("bound session"))
     assert(!Dialect.hasDynamicColumns(lit))
     assert(Dialect.hasDynamicColumns("SELECT COLUMNS('a') FROM t"))
     // an outer alias on a WRAPPED call has no well-defined meaning (the

@@ -493,4 +493,32 @@ class TableApiSpec extends GraftSuite {
     })
     Await.result(runs, 120.seconds)
   }
+  test("COLUMNS lambda and star-modifier forms (q55 r18 extension)") {
+    import spark.implicits._
+    import graft.api.Table
+    val df = Seq((1, 2, 3, 4)).toDF("ab", "ac", "bd", "ab_x")
+    // lambda: the predicate runs over column NAMES with SQL semantics
+    val lam = Table(df).sql("SELECT COLUMNS(c -> c LIKE 'a%') FROM t")
+      .toDF.columns.toSeq
+    assert(lam == Seq("ab", "ac", "ab_x"))
+    // boolean composition + function calls in the predicate
+    val comp = Table(df)
+      .sql("SELECT COLUMNS(c -> c LIKE 'a%' AND length(c) = 2) FROM t")
+      .toDF.columns.toSeq
+    assert(comp == Seq("ab", "ac"))
+    // wrapped aggregate over a lambda selection
+    val agg = Table(df)
+      .sql("SELECT min(COLUMNS(c -> c LIKE 'b%')) FROM t")
+      .toDF.columns.toSeq
+    assert(agg == Seq("bd"))
+    // star-modifier with EXCLUDE
+    val ex = Table(df)
+      .sql("SELECT COLUMNS(* EXCLUDE (ab_x, bd)) FROM t")
+      .toDF.columns.toSeq
+    assert(ex == Seq("ab", "ac"))
+    // empty selection refuses loudly
+    assert(intercept[IllegalArgumentException](
+      Table(df).sql("SELECT COLUMNS(c -> c LIKE 'zz%') FROM t"))
+      .getMessage.contains("no columns satisfy"))
+  }
 }
