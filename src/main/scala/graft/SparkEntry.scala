@@ -7495,20 +7495,20 @@ object SparkEntry {
         s.read.parquet(s"$dir/nation.parquet")
           .createOrReplaceTempView("u23_nation")
         graft.api.Table.sessionSql(s,
-          """CREATE OR REPLACE MACRO disc(v, pct := 10) AS
+          """CREATE OR REPLACE MACRO u23_disc(v, pct := 10) AS
                CAST(v * (100 - pct) / 100 AS BIGINT);
-             CREATE OR REPLACE MACRO tag(n) AS
+             CREATE OR REPLACE MACRO u23_tag(n) AS
                upper(n) || '#' || CAST(len([c FOR c IN
                  string_split(n, '_') IF c <> '']) AS STRING);
-             CREATE OR REPLACE MACRO both_m(n, v) AS
-               tag(n) || '@' || CAST(disc(v) AS STRING);
-             CREATE OR REPLACE MACRO south_keys(r) AS TABLE
+             CREATE OR REPLACE MACRO u23_both(n, v) AS
+               u23_tag(n) || '@' || CAST(u23_disc(v) AS STRING);
+             CREATE OR REPLACE MACRO u23_south(r) AS TABLE
                SELECT n_nationkey AS k, n_name AS nm,
                       CAST(n_regionkey AS BIGINT) AS reg
                FROM u23_nation WHERE n_regionkey <= r;
-             SELECT k, both_m(nm, k * 100) AS t,
-                    disc(k * 100, pct := 25) AS d25, reg
-             FROM south_keys(2) ORDER BY k""").df
+             SELECT k, u23_both(nm, k * 100) AS t,
+                    u23_disc(k * 100, pct := 25) AS d25, reg
+             FROM u23_south(2) ORDER BY k""").df
       },
       """SELECT k,
                 upper(nm) || '#' ||
@@ -11619,6 +11619,21 @@ object SparkEntry {
            array_to_string(['x', n_name], '|') AS joined,
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
+
+    // Trailing commas (q72, [[graft.sql.Dialect.stripTrailingCommas]]):
+    // DuckDB tolerates a dangling comma before a clause keyword, in
+    // list/struct literals, and in IN lists — but NOT in ordinary
+    // function arguments or at end of input (the pass removes exactly
+    // the legal commas, keeping refusal parity cell for cell). Same
+    // text on both engines.
+    "q72_trailing_commas" -> multiSession(Seq("nation"),
+      """SELECT n_regionkey AS r,
+                count(*) AS n,
+                array_to_string([n_regionkey, 7,], '-') AS lit,
+         FROM nation
+         WHERE n_regionkey IN (0, 1, 2,)
+         GROUP BY n_regionkey,
+         ORDER BY r"""),
 
     // List comprehensions and MAP literals (q71, the r18 literal-pass
     // second wave): `[expr FOR v IN lst [IF cond]]` lowers onto

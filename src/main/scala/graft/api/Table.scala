@@ -93,7 +93,8 @@ final class Table private (val df: DataFrame) {
     val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
-          Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(q0))))))))
+          Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
+            Dialect.stripTrailingCommas(q0)))))))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -720,7 +721,8 @@ object Table {
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
           Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
-            Dialect.fromFirst(qSampled).getOrElse(qSampled)))))))))
+            Dialect.stripTrailingCommas(
+              Dialect.fromFirst(qSampled).getOrElse(qSampled))))))))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

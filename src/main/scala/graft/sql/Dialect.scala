@@ -1271,6 +1271,64 @@ object Dialect {
     cur
   }
 
+  /** r18: DuckDB's trailing-comma tolerance, probed cell by cell —
+    * a dangling `,` is LEGAL before a clause keyword (`SELECT a, FROM`,
+    * `GROUP BY a, ORDER BY`), inside list/struct literals
+    * (`[1, 2, 3,]`, `{'a': 1,}`), and in an IN list (`IN (1, 2,)`) —
+    * but NOT in ordinary function arguments (`concat(a, b,)` is
+    * DuckDB's own parser error) nor at end of input. This pass removes
+    * exactly the legal commas and leaves the illegal ones for the
+    * parser to refuse, keeping error parity. Runs BEFORE the literal
+    * rewrites (a kept comma would otherwise reach `array(1, 2, 3,)`).
+    */
+  def stripTrailingCommas(sql: String): String = {
+    if (sql.indexOf(',') < 0) return sql
+    val keywords = Set("from", "group", "order", "having", "window",
+      "qualify", "limit", "offset", "union", "except", "intersect",
+      "returning", "into", "where")
+    val sb = new StringBuilder
+    val m = stripLiterals(sql)
+    var i = 0
+    while (i < m.length) {
+      if (m.charAt(i) == ',') {
+        // advance over RAW whitespace only — a masked literal reads as
+        // blanks on the mask, and `, 'lit'` must keep its comma
+        var j = i + 1
+        while (j < m.length && sql.charAt(j).isWhitespace) j += 1
+        val drop =
+          if (j >= m.length) false // end of input: DuckDB refuses too
+          else if (m.charAt(j).isWhitespace) false // literal follows
+          else m.charAt(j) match {
+            case ']' | '}' => true // list / struct literal
+            case ')' =>
+              // only an IN list tolerates `, )` — walk to the matching
+              // open paren and check the preceding word (fn args keep
+              // DuckDB's own refusal)
+              var d = 0
+              var k = j
+              while (k >= 0 && {
+                val c = m.charAt(k)
+                if (c == ')') d += 1
+                else if (c == '(') d -= 1
+                d != 0 || c != '('
+              }) k -= 1
+              var w = k - 1
+              while (w >= 0 && m.charAt(w).isWhitespace) w -= 1
+              w >= 1 && wordAt(m, w - 1, "in")
+            case c if c.isLetter || c == '_' =>
+              var e = j
+              while (e < m.length && (m.charAt(e).isLetterOrDigit ||
+                m.charAt(e) == '_')) e += 1
+              keywords(m.substring(j, e).toLowerCase)
+            case _ => false
+          }
+        if (!drop) sb.append(sql.charAt(i))
+      } else sb.append(sql.charAt(i))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Unix glob → anchored-regex body: `*` `?` translate, `[...]`
     * passes as a class (`[!…]` negates), every other regex special
     * escapes. Backslashes double for Spark's literal-escape layer.

@@ -206,6 +206,15 @@ object MacroSql {
   def expand(spark: SparkSession, sql: String): String = {
     val r = reg(spark)
     if (r.isEmpty) return sql
+    // CTE names SHADOW macros inside their statement (DuckDB's scoping
+    // — and the head `name(cols) AS (…)` is a DEFINITION, not a call;
+    // expanding it corrupts the statement, caught by gr10 + u16 when a
+    // session macro shared a CTE's name)
+    val shadowed: Set[String] =
+      RecursiveUnion.tokenizeWith(sql) match {
+        case Some((_, ctes, _)) => ctes.map(_.name.toLowerCase).toSet
+        case None => Set.empty
+      }
     var cur = sql
     // counts EXPANSIONS, not scans: a statement may legitimately call
     // many distinct macros; only a cycle reaches the cap
@@ -223,9 +232,17 @@ object MacroSql {
             m.charAt(e) == '_')) e += 1
           val word = cur.substring(i, e).toLowerCase
           val qualified = i > 0 && m.charAt(i - 1) == '.'
+          // `INTO name(cols)` is a column list on a TABLE target, not
+          // a call — INSERT INTO must never expand its target
+          val prevWordIsInto = {
+            var p = i - 1
+            while (p >= 0 && m.charAt(p).isWhitespace) p -= 1
+            p >= 3 && wordAt(m, p - 3, "into")
+          }
           val callOpen = skipWsAt(m, e)
           r.get(word) match {
-            case Some(mac) if !qualified && callOpen < m.length &&
+            case Some(mac) if !qualified && !prevWordIsInto &&
+              !shadowed(word) && callOpen < m.length &&
               m.charAt(callOpen) == '(' =>
               val close = matchParenAt(m, callOpen)
               val argText = cur.substring(callOpen + 1, close)

@@ -643,6 +643,32 @@ class DialectSpec extends AnyFunSuite {
         "FROM t")
   }
 
+  test("trailing commas (r18): DuckDB's tolerance matrix cell by cell") {
+    // legal cells drop the comma
+    assert(Dialect.stripTrailingCommas("SELECT a, b, FROM t") ==
+      "SELECT a, b FROM t")
+    assert(Dialect.stripTrailingCommas("SELECT a FROM t GROUP BY a, ORDER BY a")
+      == "SELECT a FROM t GROUP BY a ORDER BY a")
+    assert(Dialect.stripTrailingCommas("SELECT [1, 2, 3,] AS l") ==
+      "SELECT [1, 2, 3] AS l")
+    assert(Dialect.stripTrailingCommas("SELECT {'a': 1,} AS s") ==
+      "SELECT {'a': 1} AS s")
+    assert(Dialect.stripTrailingCommas("SELECT a FROM t WHERE a IN (1, 2,)")
+      == "SELECT a FROM t WHERE a IN (1, 2)")
+    // illegal cells keep the comma for the parser's own refusal
+    val fn = "SELECT concat(a, b,) FROM t"
+    assert(Dialect.stripTrailingCommas(fn) == fn)
+    val eoi = "SELECT a FROM t ORDER BY a,"
+    assert(Dialect.stripTrailingCommas(eoi) == eoi)
+    // commas inside string literals are data
+    val lit = "SELECT 'a, FROM' AS s FROM t"
+    assert(Dialect.stripTrailingCommas(lit) == lit)
+    // an IN-list close nested inside fn args resolves to ITS paren
+    val nested = "SELECT f(x IN (1, 2,), y,) FROM t"
+    assert(Dialect.stripTrailingCommas(nested) ==
+      "SELECT f(x IN (1, 2), y,) FROM t")
+  }
+
   test("splitStatements: paren-enclosed semicolons never split NOR " +
     "return the input unchanged (re-entry guard)") {
     // malformed text whose only ';' sits inside parens: None, not

@@ -20,6 +20,7 @@ class MacroSqlSpec extends GraftSuite {
     assert(one("SELECT dbl(1 + 1) AS v").head.getInt(0) == 4)
     // arguments may be full expressions including function calls
     assert(one("SELECT dbl(length('abc')) AS v").head.getInt(0) == 6)
+    one("DROP MACRO addx"); one("DROP MACRO dbl")
   }
 
   test("defaulted parameters: named-only (the DuckDB binder rule)") {
@@ -34,6 +35,7 @@ class MacroSqlSpec extends GraftSuite {
     assert(intercept[IllegalArgumentException](
       one("SELECT defm(3, z := 4) AS v")).getMessage
       .contains("no parameter"))
+    one("DROP MACRO defm")
   }
 
   test("TABLE macro expands to a derived table in FROM position") {
@@ -43,6 +45,7 @@ class MacroSqlSpec extends GraftSuite {
       "SELECT id FROM mt WHERE id <= n")
     assert(one("SELECT CAST(sum(id) AS BIGINT) AS s FROM top_ids(2)")
       .head.getLong(0) == 3L)
+    one("DROP MACRO top_ids")
   }
 
   test("late binding: a macro calling another resolves at CALL time") {
@@ -53,6 +56,12 @@ class MacroSqlSpec extends GraftSuite {
     // text macros late-bind)
     one("CREATE OR REPLACE MACRO base(x) AS x + 2")
     assert(one("SELECT outer_m(1) AS v").head.getInt(0) == 30)
+    // a CTE name SHADOWS a same-named macro inside its statement
+    // (DuckDB scoping; the definition head must never expand)
+    assert(one(
+      """WITH base(n) AS (SELECT 41)
+         SELECT n + 1 AS v FROM base""").head.getInt(0) == 42)
+    one("DROP MACRO base"); one("DROP MACRO outer_m")
   }
 
   test("macro body composes with the dialect passes (literals, " +
@@ -61,6 +70,7 @@ class MacroSqlSpec extends GraftSuite {
     assert(one("SELECT second_el([10, 20, 30]) AS v").head.getInt(0) == 20)
     one("CREATE OR REPLACE MACRO squares(l) AS [x * x FOR x IN l]")
     assert(one("SELECT squares([1, 2, 3])[3] AS v").head.getInt(0) == 9)
+    one("DROP MACRO second_el"); one("DROP MACRO squares")
   }
 
   test("CREATE without OR REPLACE refuses a duplicate; DROP manages " +
