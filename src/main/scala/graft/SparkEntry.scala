@@ -5472,6 +5472,33 @@ object SparkEntry {
     // and EXCLUDE (collect-split for bounded frames, subtraction
     // algebra for the whole-partition case — both exact). Same text on
     // both engines; raw doubles compare bitwise, no rounding needed.
+    // IGNORE/RESPECT NULLS on navigation window functions (w23,
+    // [[graft.sql.Dialect.rewriteIgnoreNulls]]): DuckDB spells the
+    // modifier INSIDE the call's parens, Spark outside — each parser
+    // refuses the other's spelling (both probed), so the pass moves
+    // the in-parens form out and the DuckDB text runs on both. NULLs
+    // are manufactured with a % gate; last_value needs the explicit
+    // full frame (both engines default to CURRENT ROW-bounded).
+    "w23_ignore_nulls" -> multiSession(Seq("orders"),
+      """SELECT o_orderkey AS k,
+           lag(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE CAST(round(o_totalprice) AS BIGINT) END
+               IGNORE NULLS) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_np,
+           first_value(CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                            ELSE o_custkey END IGNORE NULLS) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey) AS first_np,
+           last_value(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE o_custkey END IGNORE NULLS) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_np,
+           lead(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                     ELSE o_custkey END RESPECT NULLS) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey) AS next_rn
+         FROM orders WHERE o_orderkey % 7 = 0
+         ORDER BY k"""),
+
     "w22_sum_distinct_window" -> multiSession(Seq("orders"),
       """SELECT o_orderkey AS k,
            CAST(sum(DISTINCT o_custkey % 97) OVER (

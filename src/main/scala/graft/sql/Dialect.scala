@@ -1271,6 +1271,47 @@ object Dialect {
     cur
   }
 
+  /** r18: DuckDB spells IGNORE/RESPECT NULLS INSIDE the window
+    * function's argument list (`lag(b IGNORE NULLS) OVER …`) while
+    * Spark's grammar wants it OUTSIDE (`lag(b) IGNORE NULLS OVER …`)
+    * — and each parser refuses the other's spelling (both probed).
+    * This pass moves the trailing in-parens keyword out: the token
+    * must be the LAST thing before the call's `)`, anything else is
+    * left for the parser. Which functions accept the modifier stays
+    * each engine's own analysis error (Spark: lead/lag/first/last/
+    * nth_value/any_value).
+    */
+  def rewriteIgnoreNulls(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i < m.length) {
+        val isIgn = wordAt(m, i, "ignore")
+        if (isIgn || wordAt(m, i, "respect")) {
+          val wlen = if (isIgn) 6 else 7
+          val k = skipWsAt(m, i + wlen)
+          if (wordAt(m, k, "nulls")) {
+            val j = skipWsAt(m, k + 5)
+            if (j < m.length && m.charAt(j) == ')') {
+              val kw = if (isIgn) "IGNORE" else "RESPECT"
+              cur = cur.substring(0, i).stripTrailing() + ") " + kw +
+                " NULLS" + cur.substring(j + 1)
+              more = true
+            }
+          }
+        }
+        i += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 63 IGNORE/RESPECT NULLS in one statement")
+    cur
+  }
+
   /** r18: DuckDB's trailing-comma tolerance, probed cell by cell —
     * a dangling `,` is LEGAL before a clause keyword (`SELECT a, FROM`,
     * `GROUP BY a, ORDER BY`), inside list/struct literals

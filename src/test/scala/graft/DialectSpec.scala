@@ -643,6 +643,25 @@ class DialectSpec extends AnyFunSuite {
         "FROM t")
   }
 
+  test("IGNORE/RESPECT NULLS (w23): the in-parens DuckDB spelling " +
+    "moves outside for Spark") {
+    assert(Dialect.rewriteIgnoreNulls(
+      "SELECT lag(b IGNORE NULLS) OVER (ORDER BY a) FROM t") ==
+      "SELECT lag(b) IGNORE NULLS OVER (ORDER BY a) FROM t")
+    assert(Dialect.rewriteIgnoreNulls(
+      "SELECT nth_value(b, 2 RESPECT NULLS) OVER w FROM t") ==
+      "SELECT nth_value(b, 2) RESPECT NULLS OVER w FROM t")
+    // already-outside spelling and plain text ride through
+    val out = "SELECT last_value(b) IGNORE NULLS OVER (ORDER BY a) FROM t"
+    assert(Dialect.rewriteIgnoreNulls(out) == out)
+    // inside a string literal: data
+    val lit = "SELECT 'x IGNORE NULLS)' FROM t"
+    assert(Dialect.rewriteIgnoreNulls(lit) == lit)
+    // not directly before ')': untouched (the parser refuses)
+    val mid = "SELECT f(a IGNORE NULLS, b) FROM t"
+    assert(Dialect.rewriteIgnoreNulls(mid) == mid)
+  }
+
   test("trailing commas (r18): DuckDB's tolerance matrix cell by cell") {
     // legal cells drop the comma
     assert(Dialect.stripTrailingCommas("SELECT a, b, FROM t") ==
