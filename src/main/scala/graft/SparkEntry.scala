@@ -11647,6 +11647,21 @@ object SparkEntry {
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
 
+    // Dot-call function chaining (q73, [[graft.sql.Dialect
+    // .rewriteDotCalls]]): DuckDB's `recv.fn(args)` = `fn(recv,
+    // args)`, chaining left to right — lowered one link at a time,
+    // leftmost-first, so `text.string_split(' ').len()` nests inside
+    // out. Qualified columns WITHOUT a call stay; a bare string
+    // literal receiver is DuckDB's own parser error (parenthesize).
+    // Same text on both engines.
+    "q73_dot_calls" -> multiSession(Seq("documents"),
+      """SELECT doc_id AS k,
+             text.lower().md5() AS h,
+             lang.upper() AS lu,
+             CAST(text.string_split(' ').len() AS BIGINT) AS ntok,
+             CAST((source).trim().len() AS BIGINT) AS slen
+         FROM documents WHERE doc_id % 11 = 0 ORDER BY k"""),
+
     // Trailing commas (q72, [[graft.sql.Dialect.stripTrailingCommas]]):
     // DuckDB tolerates a dangling comma before a clause keyword, in
     // list/struct literals, and in IN lists — but NOT in ordinary

@@ -93,9 +93,9 @@ final class Table private (val df: DataFrame) {
     val q1 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
-          Dialect.rewriteIgnoreNulls(
+          Dialect.rewriteIgnoreNulls(Dialect.rewriteDotCalls(
             Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
-              Dialect.stripTrailingCommas(q0))))))))))
+              Dialect.stripTrailingCommas(q0)))))))))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -721,10 +721,10 @@ object Table {
     val q0 = Dialect.rewriteDistinctWindow(Dialect.rewriteWindowFilter(
       Dialect.rewriteWindowExclude(Dialect.inlineChainedWindows(
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
-          Dialect.rewriteIgnoreNulls(
+          Dialect.rewriteIgnoreNulls(Dialect.rewriteDotCalls(
             Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
               Dialect.stripTrailingCommas(
-                Dialect.fromFirst(qSampled).getOrElse(qSampled)))))))))))
+                Dialect.fromFirst(qSampled).getOrElse(qSampled))))))))))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

@@ -1271,6 +1271,104 @@ object Dialect {
     cur
   }
 
+  /** r18: DuckDB's dot-call function chaining — `recv.fn(args)` is
+    * `fn(recv, args)` (`[1,2,3].list_sum()`, `(s).string_split(' ')
+    * .len()`). The receiver is a dotted identifier chain or a
+    * `)`-/`]`-terminated group (walked back like a subscript
+    * receiver); a bare string literal receiver is DuckDB's OWN parser
+    * error (probed: `'abc'.upper()` refuses there too — parenthesize),
+    * and `ident.ident` WITHOUT a call stays a qualified column.
+    * Chains re-enter leftmost-first, so `a.f(x).g()` lowers inside
+    * out. Runs AFTER the literal/subscript passes (their outputs are
+    * paren groups this pass accepts as receivers) and after the
+    * np.* namespace map (no `np.` receiver survives to here).
+    */
+  def rewriteDotCalls(sql: String): String = {
+    if (sql.indexOf('.') < 0) return sql
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 128) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i < m.length) {
+        if (m.charAt(i) == '.' && i + 1 < m.length &&
+          isIdentStart(m.charAt(i + 1))) {
+          // STRICT ident walk — isIdentChar counts '.' (qualified-name
+          // scans elsewhere), but the fn name of a dot-call must stop
+          // at the next dot so chains lower one link at a time
+          var e = i + 1
+          while (e < m.length && {
+            val c = m.charAt(e)
+            c.isLetterOrDigit || c == '_'
+          }) e += 1
+          val callOpen = e
+          // a TIGHT '(' only — `x.f (…)` stays a qualified name plus
+          // parenthesized expression for the parser to judge
+          if (callOpen < m.length && m.charAt(callOpen) == '(') {
+            // receiver end: char before '.' must close an expression
+            val p = i - 1
+            if (p >= 0 && {
+              val c = m.charAt(p)
+              c.isLetterOrDigit || c == '_' || c == '$' || c == ')' ||
+                c == ']'
+            }) {
+              // walk back over ident runs / () [] groups, chaining
+              // through '.' qualifiers (the subscript-receiver walk)
+              var s = p
+              var cont = true
+              var ok = true
+              while (cont && s >= 0 && ok) {
+                val c = m.charAt(s)
+                if (c == ')' || c == ']') {
+                  val openC = if (c == ')') '(' else '['
+                  var bd = 0
+                  while (s >= 0 && {
+                    val cc = m.charAt(s)
+                    if (cc == c) bd += 1
+                    else if (cc == openC) bd -= 1
+                    bd != 0 || cc != openC
+                  }) s -= 1
+                  if (s < 0) ok = false
+                  else s -= 1 // a function name may precede
+                } else if (c.isLetterOrDigit || c == '_' || c == '$') {
+                  while (s >= 0 && {
+                    val cc = m.charAt(s)
+                    cc.isLetterOrDigit || cc == '_' || cc == '$'
+                  }) s -= 1
+                  if (s >= 0 && m.charAt(s) == '.') s -= 1
+                  else cont = false
+                } else cont = false
+              }
+              val start = s + 1
+              val recv = if (ok) cur.substring(start, p + 1).trim else ""
+              // a pure-numeric receiver is a decimal literal's dot,
+              // not a call chain ("1.5" never reaches here — the fn
+              // ident can't start with a digit — but "(1).f()" does
+              // and is legal)
+              if (ok && recv.nonEmpty && !recv.forall(_.isDigit)) {
+                val close = matchParenAt(m, callOpen)
+                val args = cur.substring(callOpen + 1, close).trim
+                val fn = cur.substring(i + 1, e)
+                val call =
+                  if (args.isEmpty) s"$fn($recv)"
+                  else s"$fn($recv, $args)"
+                cur = cur.substring(0, start) + call +
+                  cur.substring(close + 1)
+                more = true
+              }
+            }
+          }
+        }
+        i += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 127 dot-calls in one statement")
+    cur
+  }
+
   /** r18: DuckDB spells IGNORE/RESPECT NULLS INSIDE the window
     * function's argument list (`lag(b IGNORE NULLS) OVER …`) while
     * Spark's grammar wants it OUTSIDE (`lag(b) IGNORE NULLS OVER …`)

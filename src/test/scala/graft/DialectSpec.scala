@@ -643,6 +643,30 @@ class DialectSpec extends AnyFunSuite {
         "FROM t")
   }
 
+  test("dot-call chaining (q73): recv.fn(args) lowers onto " +
+    "fn(recv, args); qualified columns stay") {
+    assert(Dialect.rewriteDotCalls("SELECT s.upper() FROM t") ==
+      "SELECT upper(s) FROM t")
+    assert(Dialect.rewriteDotCalls("SELECT (s).string_split(' ').len() FROM t")
+      == "SELECT len(string_split((s), ' ')) FROM t")
+    assert(Dialect.rewriteDotCalls("SELECT array(1, 2).size() FROM t") ==
+      "SELECT size(array(1, 2)) FROM t")
+    // qualified column WITHOUT a call: untouched
+    val q = "SELECT t.col FROM t"
+    assert(Dialect.rewriteDotCalls(q) == q)
+    // qualified receiver chains through the qualifier
+    assert(Dialect.rewriteDotCalls("SELECT t.s.lower() FROM t") ==
+      "SELECT lower(t.s) FROM t")
+    // decimal literals never chain; spaced parens stay qualified
+    val d = "SELECT 1.5 FROM t"
+    assert(Dialect.rewriteDotCalls(d) == d)
+    val sp = "SELECT a.b (1) FROM t"
+    assert(Dialect.rewriteDotCalls(sp) == sp)
+    // inside a string literal: data
+    val lit = "SELECT 'x.upper()' FROM t"
+    assert(Dialect.rewriteDotCalls(lit) == lit)
+  }
+
   test("IGNORE/RESPECT NULLS (w23): the in-parens DuckDB spelling " +
     "moves outside for Spark") {
     assert(Dialect.rewriteIgnoreNulls(

@@ -216,11 +216,25 @@ object DialectCorpusFuzzProps extends Properties("DialectCorpusFuzz") {
       // a malformed visible brace refuses loudly — Try-compare
       val hq = scala.util.Try(Dialect.rewriteStructLiterals(q)).toOption
       val hj = scala.util.Try(Dialect.rewriteStructLiterals(j)).toOption
+      // r18 second wave: trailing commas, in-parens IGNORE NULLS,
+      // dot-call chaining — all must be blind to masked content
+      val tcq = scala.util.Try(Dialect.stripTrailingCommas(q)).toOption
+      val tcj = scala.util.Try(Dialect.stripTrailingCommas(j)).toOption
+      val inq = scala.util.Try(Dialect.rewriteIgnoreNulls(q)).toOption
+      val inj = scala.util.Try(Dialect.rewriteIgnoreNulls(j)).toOption
+      val dcq = scala.util.Try(Dialect.rewriteDotCalls(q)).toOption
+      val dcj = scala.util.Try(Dialect.rewriteDotCalls(j)).toOption
       maskedEq(Dialect.rewrite(j), Dialect.rewrite(q)) &&
         (bq.isDefined == bj.isDefined) &&
         bq.zip(bj).forall { case (a, b) => maskedEq(a, b) } &&
         (hq.isDefined == hj.isDefined) &&
         hq.zip(hj).forall { case (a, b) => maskedEq(a, b) } &&
+        (tcq.isDefined == tcj.isDefined) &&
+        tcq.zip(tcj).forall { case (a, b) => maskedEq(a, b) } &&
+        (inq.isDefined == inj.isDefined) &&
+        inq.zip(inj).forall { case (a, b) => maskedEq(a, b) } &&
+        (dcq.isDefined == dcj.isDefined) &&
+        dcq.zip(dcj).forall { case (a, b) => maskedEq(a, b) } &&
         (gq.isDefined == gj.isDefined) &&
         gq.zip(gj).forall { case (a, b) => maskedEq(a, b) } &&
         maskedEq(Dialect.aliasesIntoWhere(j), Dialect.aliasesIntoWhere(q)) &&
