@@ -11647,6 +11647,28 @@ object SparkEntry {
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
 
+    // DuckDB aggregate spellings (q74): arg_max/arg_min (Spark's
+    // max_by/min_by), bool_and/bool_or, bit_and/or/xor, mode,
+    // quantile_cont (the exact interpolating percentile — Registry
+    // lowering shared with np.quantile) and median — same text on
+    // both engines, integral/clean inputs so interpolation compares
+    // bitwise. arg/mode determinism relies on unique extrema/modes in
+    // the fixture groups (hash-verified).
+    "q74_duckdb_aggregates" -> multiSession(Seq("orders"),
+      """SELECT o_orderstatus AS st,
+             arg_max(o_orderkey, o_totalprice) AS k_of_max,
+             arg_min(o_orderkey, o_totalprice) AS k_of_min,
+             bool_and(o_totalprice > 1000) AS all_gt,
+             bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             bit_and(o_custkey) AS band,
+             bit_or(o_custkey) AS bor,
+             bit_xor(o_custkey) AS bxor,
+             mode(o_orderpriority) AS m,
+             quantile_cont(CAST(round(o_totalprice) AS BIGINT), 0.25)
+               AS q25,
+             median(CAST(round(o_totalprice) AS BIGINT)) AS med
+         FROM orders GROUP BY o_orderstatus ORDER BY st"""),
+
     // Dot-call function chaining (q73, [[graft.sql.Dialect
     // .rewriteDotCalls]]): DuckDB's `recv.fn(args)` = `fn(recv,
     // args)`, chaining left to right — lowered one link at a time,

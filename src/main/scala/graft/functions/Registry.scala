@@ -575,6 +575,17 @@ object Registry {
     // both order-nondeterministic without the q67 ORDER BY form, which
     // the ordered-aggregate rewrite handles before name resolution)
     dialectAlias("list", "collect_list")
+    // DuckDB aggregate spellings (q74): arg_max/arg_min are Spark's
+    // max_by/min_by; quantile_cont is the exact interpolating
+    // percentile (the np_quantile lowering — Spark's median/percentile
+    // use the same interpolation, probed equal against DuckDB)
+    dialectAlias("arg_max", "max_by")
+    dialectAlias("arg_min", "min_by")
+    f("quantile_cont") {
+      case Seq(x, q) => new Percentile(x, Cast(q, DoubleType))
+      case other => throw new IllegalArgumentException(
+        s"quantile_cont() takes (value, q), got ${other.length} args")
+    }
     // len: Spark's builtin is a pure length alias (strings/binary); the
     // DuckDB spelling is polymorphic — arrays/maps count elements
     // (q71: len([x FOR x IN …]) is idiomatic there). LenPoly dispatches
