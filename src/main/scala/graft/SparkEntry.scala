@@ -11647,6 +11647,25 @@ object SparkEntry {
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
 
+    // FROM-position series table functions (q75, [[graft.sql.Dialect
+    // .rewriteSeriesTvf]]): DuckDB's `FROM range(…)` (stop-exclusive,
+    // column `range`) rides Spark's native range TVF with the column
+    // aliased; `FROM generate_series(…)` (stop-inclusive) explodes
+    // the engine's guarded scalar. DOCUMENTED DIVERGENCE probed: the
+    // DuckDB TVF form THROWS on an unreachable stop ("cannot generate
+    // infinite series") where its scalar returns [] — this engine
+    // yields zero rows (the scalar's guard); the empty-series leg
+    // here uses range(3, 3), empty on both. The join leg proves
+    // table-position composition. Same text throughout.
+    "q75_series_tvf" -> multiSession(Seq(),
+      """SELECT CAST(sum(r.range) AS BIGINT) AS s_range,
+                count(*) AS n_pairs,
+                CAST(sum(g.generate_series) AS BIGINT) AS s_series,
+                (SELECT count(*) FROM range(3, 3)) AS n_empty
+         FROM range(0, 30, 7) r
+         JOIN generate_series(1, 9, 2) g
+           ON g.generate_series > r.range"""),
+
     // DuckDB aggregate spellings (q74): arg_max/arg_min (Spark's
     // max_by/min_by), bool_and/bool_or, bit_and/or/xor, mode,
     // quantile_cont (the exact interpolating percentile — Registry

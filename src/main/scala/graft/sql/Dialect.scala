@@ -1271,6 +1271,54 @@ object Dialect {
     cur
   }
 
+  /** r18: DuckDB's FROM-position series table functions — `FROM
+    * range(…)` (stop-EXCLUSIVE, output column `range`) and `FROM
+    * generate_series(…)` (stop-INCLUSIVE, column `generate_series`).
+    * `range` lowers onto Spark's native range TVF with the column
+    * aliased (`id` → `range`); `generate_series` lowers onto an
+    * explode of the engine's GUARDED scalar generate_series (q65 —
+    * empty array on an unreachable stop → zero rows, exactly DuckDB's
+    * off-happy-path behavior). Only table position (directly after
+    * FROM or a JOIN keyword) rewrites; scalar calls elsewhere keep
+    * their existing lowering. Trailing table/column aliases
+    * (`range(5) t(n)`) ride on the emitted derived table.
+    */
+  def rewriteSeriesTvf(sql: String): String = {
+    // single left-to-right pass over the INPUT (the emitted derived
+    // table itself contains `FROM range(…)` — a rescan would loop)
+    val m = stripLiterals(sql)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < m.length) {
+      if (wordAt(m, i, "from") || wordAt(m, i, "join")) {
+        val k = skipWsAt(m, i + 4)
+        val (fn, flen) =
+          if (wordAt(m, k, "range")) ("range", 5)
+          else if (wordAt(m, k, "generate_series"))
+            ("generate_series", 15)
+          else ("", 0)
+        if (fn.nonEmpty && k + flen < m.length &&
+          m.charAt(k + flen) == '(') {
+          val close = matchParenAt(m, k + flen)
+          val args = sql.substring(k + flen + 1, close)
+          val derived =
+            if (fn == "range")
+              s"(SELECT id AS range FROM range($args))"
+            else
+              s"(SELECT explode(generate_series($args)) " +
+                "AS generate_series)"
+          sb.append(sql.substring(i, k)).append(derived)
+          i = close + 1
+        } else {
+          sb.append(sql.charAt(i)); i += 1
+        }
+      } else {
+        sb.append(sql.charAt(i)); i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** r18: DuckDB's dot-call function chaining — `recv.fn(args)` is
     * `fn(recv, args)` (`[1,2,3].list_sum()`, `(s).string_split(' ')
     * .len()`). The receiver is a dotted identifier chain or a

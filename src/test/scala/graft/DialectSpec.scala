@@ -643,6 +643,25 @@ class DialectSpec extends AnyFunSuite {
         "FROM t")
   }
 
+  test("series table functions (q75): FROM range / generate_series " +
+    "lower onto derived tables; scalar calls stay") {
+    assert(Dialect.rewriteSeriesTvf("SELECT sum(range) FROM range(100)")
+      == "SELECT sum(range) FROM (SELECT id AS range FROM range(100))")
+    assert(Dialect.rewriteSeriesTvf("SELECT * FROM generate_series(1, 5) g")
+      == "SELECT * FROM (SELECT explode(generate_series(1, 5)) " +
+        "AS generate_series) g")
+    assert(Dialect.rewriteSeriesTvf(
+      "SELECT * FROM t JOIN range(3) r ON r.range = t.x")
+      == "SELECT * FROM t JOIN (SELECT id AS range FROM range(3)) r " +
+        "ON r.range = t.x")
+    // scalar generate_series in SELECT position: untouched
+    val sc = "SELECT generate_series(1, 5) FROM t"
+    assert(Dialect.rewriteSeriesTvf(sc) == sc)
+    // inside a string literal: data
+    val lit = "SELECT 'FROM range(3)' AS s FROM t"
+    assert(Dialect.rewriteSeriesTvf(lit) == lit)
+  }
+
   test("dot-call chaining (q73): recv.fn(args) lowers onto " +
     "fn(recv, args); qualified columns stay") {
     assert(Dialect.rewriteDotCalls("SELECT s.upper() FROM t") ==
