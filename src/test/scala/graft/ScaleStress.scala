@@ -89,7 +89,10 @@ object ScaleStress {
     // (t27's vocabulary-shaped aggs + one group rollup), and the
     // partitioned export (terminal exchange-free write, pruned re-scan)
     "s20_hard_negatives", "w18_count_distinct_window",
-    "t33_bits_per_byte", "io23_copy_partitioned")
+    "t33_bits_per_byte", "io23_copy_partitioned",
+    // round 18
+    "gr12_mutual_recursion", "t34_token_windows", "s21_random_projection",
+    "w22_sum_distinct_window", "w23_ignore_nulls")
 
   def main(args: Array[String]): Unit = {
     // UI ON (overriding the engine default) — the REST stage endpoint is
