@@ -11647,6 +11647,27 @@ object SparkEntry {
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
 
+    // DuckDB arithmetic operators (q76): `//` integer division (→
+    // Spark div, both truncate toward zero; the float-operand cell is
+    // a documented loud-refusal divergence), `**` power (→ power(),
+    // left-associative, unary minus binds tighter — both probed), and
+    // `<<`/`>>` shifts (native on BOTH engines, no rewrite). Integral
+    // inputs keep every double bitwise-comparable. Same text.
+    "q76_arith_operators" -> multiSession(Seq("lineitem"),
+      """SELECT l_linenumber AS ln,
+             CAST(sum(CAST(l_quantity AS BIGINT) // 7) AS BIGINT)
+               AS idiv,
+             CAST(sum((CAST(l_quantity AS BIGINT) - 25) // 4) AS BIGINT)
+               AS idiv_neg,
+             CAST(sum(CAST(l_quantity AS BIGINT) << 2) AS BIGINT)
+               AS shl,
+             CAST(sum(CAST(l_quantity AS BIGINT) >> 1) AS BIGINT)
+               AS shr,
+             CAST(sum(CAST(2 ** (l_linenumber % 5) AS BIGINT))
+               AS BIGINT) AS pw,
+             CAST(max(-2 ** 2) AS BIGINT) AS neg_pw
+         FROM lineitem GROUP BY l_linenumber ORDER BY ln"""),
+
     // FROM-position series table functions (q75, [[graft.sql.Dialect
     // .rewriteSeriesTvf]]): DuckDB's `FROM range(…)` (stop-exclusive,
     // column `range`) rides Spark's native range TVF with the column

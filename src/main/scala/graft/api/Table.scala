@@ -95,8 +95,8 @@ final class Table private (val df: DataFrame) {
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
           Dialect.rewriteIgnoreNulls(Dialect.rewriteDotCalls(
             Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
-              Dialect.rewriteSeriesTvf(
-                Dialect.stripTrailingCommas(q0))))))))))))
+              Dialect.rewritePowerOp(Dialect.rewriteSeriesTvf(
+                Dialect.stripTrailingCommas(q0)))))))))))))
     Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q1)))
   }
@@ -724,8 +724,9 @@ object Table {
         Dialect.rewriteOrderedAggs(Dialect.rewriteSimilarGlob(
           Dialect.rewriteIgnoreNulls(Dialect.rewriteDotCalls(
             Dialect.rewriteSubscripts(Dialect.rewriteStructLiterals(
-              Dialect.rewriteSeriesTvf(Dialect.stripTrailingCommas(
-                Dialect.fromFirst(qSampled).getOrElse(qSampled)))))))))))))
+              Dialect.rewritePowerOp(
+                Dialect.rewriteSeriesTvf(Dialect.stripTrailingCommas(
+                  Dialect.fromFirst(qSampled).getOrElse(qSampled))))))))))))))
     val q1 = Dialect.orderByNullsLast(
       Dialect.rewriteGroupsFrames(Dialect.aliasesIntoWhere(q0)))
     // dynamic star: schema comes from the first FROM table's session

@@ -32,6 +32,13 @@ object Dialect {
     while (i < n) {
       m.charAt(i) match {
         case '#' => out.append('^'); i += 1
+        // DuckDB integer division `//` → Spark's `div` (both truncate
+        // toward zero, probed -7 → -3). DOCUMENTED DIVERGENCE: DuckDB's
+        // `//` on float operands silently degrades to plain division;
+        // Spark's div refuses non-integral operands loudly — loud
+        // beats silent-wrong.
+        case '/' if i + 1 < n && m.charAt(i + 1) == '/' =>
+          out.append(" div "); i += 2
         case 'n' | 'N'
             if i + 2 < n &&
               (m.charAt(i + 1) == 'p' || m.charAt(i + 1) == 'P') &&
@@ -1268,6 +1275,123 @@ object Dialect {
       guard += 1
     }
     require(!more, "more than 63 pattern operators in one statement")
+    cur
+  }
+
+  /** r18: DuckDB's power operator `a ** b` → `power(a, b)` (Spark has
+    * the function, not the operator). Probed DuckDB rules: LEFT-
+    * associative (`2 ** 3 ** 2` = 64 — leftmost-first restart yields
+    * power(power(2,3),2) naturally) and binds LOOSER than unary minus
+    * (`-2 ** 2` = 4), so a leading sign that is genuinely unary (no
+    * expression ends before it) absorbs into the left operand.
+    * Operands are number/identifier runs or paren/bracket groups
+    * (with a preceding function name); anything else leaves the text
+    * for the parser's own error.
+    */
+  def rewritePowerOp(sql: String): String = {
+    if (!sql.contains("**")) return sql
+    var cur = sql
+    var guard = 0
+    var more = true
+    while (more && guard < 64) {
+      more = false
+      val m = stripLiterals(cur)
+      var i = 0
+      while (!more && i + 1 < m.length) {
+        if (m.charAt(i) == '*' && m.charAt(i + 1) == '*') {
+          // ---- left operand ----
+          var p = i - 1
+          while (p >= 0 && m.charAt(p).isWhitespace) p -= 1
+          var s = p
+          var ok = p >= 0
+          if (ok) m.charAt(p) match {
+            case ')' | ']' =>
+              val closeC = m.charAt(p)
+              val openC = if (closeC == ')') '(' else '['
+              var bd = 0
+              while (s >= 0 && {
+                val cc = m.charAt(s)
+                if (cc == closeC) bd += 1
+                else if (cc == openC) bd -= 1
+                bd != 0 || cc != openC
+              }) s -= 1
+              if (s < 0) ok = false
+              else {
+                s -= 1 // an optional function name before the group
+                while (s >= 0 && (m.charAt(s).isLetterOrDigit ||
+                  m.charAt(s) == '_')) s -= 1
+              }
+            case c if c.isLetterOrDigit || c == '_' || c == '.' =>
+              while (s >= 0 && {
+                val cc = m.charAt(s)
+                cc.isLetterOrDigit || cc == '_' || cc == '.' || cc == '$'
+              }) s -= 1
+            case _ => ok = false
+          }
+          if (ok) {
+            var start = s + 1
+            // absorb a UNARY sign (DuckDB: ** binds looser than unary
+            // minus): unary iff no expression ends right before it
+            var u = start - 1
+            while (u >= 0 && m.charAt(u).isWhitespace) u -= 1
+            if (u >= 0 && (m.charAt(u) == '-' || m.charAt(u) == '+')) {
+              var b = u - 1
+              while (b >= 0 && m.charAt(b).isWhitespace) b -= 1
+              // an expression ends before the sign → binary; a bare
+              // KEYWORD there (SELECT -2 ** 2, WHERE …, THEN …) does
+              // not end an expression — the sign is unary
+              val binary = b >= 0 && {
+                val c = m.charAt(b)
+                if (c == ')' || c == ']' || c == '\'' || c == '"') true
+                else if (c.isLetterOrDigit || c == '_') {
+                  var ws = b
+                  while (ws >= 0 && {
+                    val cc = m.charAt(ws)
+                    cc.isLetterOrDigit || cc == '_'
+                  }) ws -= 1
+                  val word = m.substring(ws + 1, b + 1).toLowerCase
+                  !SubscriptKeywordStops(word)
+                } else false
+              }
+              if (!binary) start = u
+            }
+            // ---- right operand ----
+            var r = i + 2
+            while (r < m.length && m.charAt(r).isWhitespace) r += 1
+            val rStart = r
+            if (r < m.length && (m.charAt(r) == '-' || m.charAt(r) == '+'))
+              r += 1
+            while (r < m.length && m.charAt(r).isWhitespace) r += 1
+            var rEnd = -1
+            if (r < m.length) {
+              val c = m.charAt(r)
+              if (c == '(') rEnd = matchParenAt(m, r)
+              else if (c.isLetterOrDigit || c == '_' || c == '.') {
+                var e = r
+                while (e < m.length && {
+                  val cc = m.charAt(e)
+                  cc.isLetterOrDigit || cc == '_' || cc == '.' || cc == '$'
+                }) e += 1
+                // a function call: ident directly followed by '('
+                if (e < m.length && m.charAt(e) == '(')
+                  rEnd = matchParenAt(m, e)
+                else rEnd = e - 1
+              }
+            }
+            if (rEnd >= 0 && start <= p) {
+              val lhs = cur.substring(start, p + 1).trim
+              val rhs = cur.substring(rStart, rEnd + 1).trim
+              cur = cur.substring(0, start) + s"power($lhs, $rhs)" +
+                cur.substring(rEnd + 1)
+              more = true
+            }
+          }
+        }
+        i += 1
+      }
+      guard += 1
+    }
+    require(!more, "more than 63 ** operators in one statement")
     cur
   }
 

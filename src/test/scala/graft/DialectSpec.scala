@@ -643,6 +643,32 @@ class DialectSpec extends AnyFunSuite {
         "FROM t")
   }
 
+  test("power operator (q76): a ** b lowers onto power(a, b) with " +
+    "DuckDB's associativity and unary-minus binding") {
+    assert(Dialect.rewritePowerOp("SELECT 2 ** 10 FROM t") ==
+      "SELECT power(2, 10) FROM t")
+    // LEFT-associative: 2 ** 3 ** 2 = (2**3)**2 = 64 (probed)
+    assert(Dialect.rewritePowerOp("SELECT 2 ** 3 ** 2 FROM t") ==
+      "SELECT power(power(2, 3), 2) FROM t")
+    // unary minus absorbs into the LEFT operand: -2 ** 2 = 4 (probed)
+    assert(Dialect.rewritePowerOp("SELECT -2 ** 2 FROM t") ==
+      "SELECT power(-2, 2) FROM t")
+    // a BINARY minus stays outside: a - 2 ** 2 subtracts the power
+    assert(Dialect.rewritePowerOp("SELECT a - 2 ** 2 FROM t") ==
+      "SELECT a - power(2, 2) FROM t")
+    // paren groups and function calls as operands
+    assert(Dialect.rewritePowerOp("SELECT (x + 1) ** abs(y) FROM t") ==
+      "SELECT power((x + 1), abs(y)) FROM t")
+    // `*` and `**` never confuse; literals are data
+    val mul = "SELECT a * b FROM t"
+    assert(Dialect.rewritePowerOp(mul) == mul)
+    val lit = "SELECT '2 ** 3' AS s FROM t"
+    assert(Dialect.rewritePowerOp(lit) == lit)
+    // // maps onto div in the token pass
+    assert(Dialect.rewrite("SELECT 7 // 2 FROM t") ==
+      "SELECT 7  div  2 FROM t")
+  }
+
   test("series table functions (q75): FROM range / generate_series " +
     "lower onto derived tables; scalar calls stay") {
     assert(Dialect.rewriteSeriesTvf("SELECT sum(range) FROM range(100)")
