@@ -2808,7 +2808,8 @@ object SparkEntry {
           .orderBy(col("doc_id"))
       },
       s"""$exactSubstrCtes,
-         iv AS (SELECT ib AS id, sb AS st, sb + rl AS en FROM runs),
+         iv AS (SELECT DISTINCT ib AS id, sb AS st, sb + rl AS en
+                FROM runs),
          isl0 AS (SELECT id, st, en,
                    coalesce(max(en) OVER (PARTITION BY id ORDER BY st, en
                               ROWS BETWEEN UNBOUNDED PRECEDING

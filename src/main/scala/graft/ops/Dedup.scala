@@ -885,9 +885,19 @@ object Dedup {
                        maxAnchorFreq: Option[Long] = None): DataFrame = {
     val runs = sharedRuns(df, idCol, textCol, minRun, maxAnchorFreq)
     // removal intervals land on the HIGHER id of each pair (id_a < id_b
-    // by construction): [start_b, start_b + run_len)
+    // by construction): [start_b, start_b + run_len). DISTINCT is
+    // correctness, not hygiene: the same interval arrives once per
+    // LOWER-id partner (a passage shared by docs 92 and 450 lands on
+    // 2000450 twice), and duplicate (start, end) rows TIE in the
+    // island pass's ORDER BY — the flag-computing window and the
+    // running-sum window may then order the tied peers differently
+    // (parallel sorts are not stable), splitting one island into two
+    // and double-counting the removal (caught as a 1-in-N flake by the
+    // round-18 full gate: n_removed 15 vs 30 on one doc). Deduping
+    // removes every tie; merging is idempotent to duplicates anyway.
     val iv = runs.select(col("id_b").as("__id"),
       col("start_b").as("__s"), (col("start_b") + col("run_len")).as("__e"))
+      .distinct()
     // merge overlapping/adjacent intervals per doc: an interval starts a
     // new island when its start exceeds the running max end of all
     // EARLIER intervals (start-ordered)
