@@ -11648,6 +11648,24 @@ object SparkEntry {
            array_to_string([n_name, 'y', 'z'][2:3], ',') AS lit_slice
          FROM nation ORDER BY k"""),
 
+    // strftime/strptime (q77, [[graft.functions.Registry
+    // .strftimeToJava]]): DuckDB's C-style %-directive formats
+    // translate to Spark's Java datetime patterns at ANALYSIS time
+    // (literal formats only — a runtime-varying format refuses
+    // loudly); free literal text Java-pattern-quotes so words never
+    // become pattern letters. The round-trip leg proves strptime
+    // parses what strftime printed. Same text on both engines.
+    "q77_strftime" -> multiSession(Seq("events"),
+      """SELECT event_id AS k,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso,
+             strftime(ts, '%d/%m/%y %I %p') AS uk,
+             strftime(ts, '%a %b %j') AS dow,
+             strftime(ts, 'on %-d at %-H h %%') AS freeform,
+             CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M'),
+               '%Y-%m-%d %H:%M') AS STRING) AS round_trip
+         FROM events WHERE event_id % 101 = 0
+         ORDER BY k"""),
+
     // DuckDB arithmetic operators (q76): `//` integer division (→
     // Spark div, both truncate toward zero; the float-operand cell is
     // a documented loud-refusal divergence), `**` power (→ power(),

@@ -586,6 +586,29 @@ object Registry {
       case other => throw new IllegalArgumentException(
         s"quantile_cont() takes (value, q), got ${other.length} args")
     }
+    // strftime/strptime (q77): DuckDB's %-directive formats translate
+    // to Spark's Java datetime patterns at ANALYSIS time (the format
+    // must be a literal — a runtime-varying format cannot translate);
+    // literal runs with letters get Java-pattern quoting. Curated
+    // directive map; an unmapped %x refuses loudly.
+    def strfArgs(name: String, exprs: Seq[Expression],
+                 build: (Expression, String) => Expression): Expression =
+      exprs match {
+        case Seq(v, Literal(fmt: org.apache.spark.unsafe.types.UTF8String,
+                            StringType)) =>
+          build(v, strftimeToJava(fmt.toString))
+        case Seq(_, _) => throw new IllegalArgumentException(
+          s"$name() needs a LITERAL format string — a runtime-varying " +
+            "%-format cannot translate to a Spark datetime pattern")
+        case other => throw new IllegalArgumentException(
+          s"$name() takes (value, format), got ${other.length} args")
+      }
+    f("strftime")(exprs => strfArgs("strftime", exprs, (v, jf) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("date_format"), Seq(v, Literal(jf)), isDistinct = false)))
+    f("strptime")(exprs => strfArgs("strptime", exprs, (v, jf) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("to_timestamp"), Seq(v, Literal(jf)), isDistinct = false)))
     // len: Spark's builtin is a pure length alias (strings/binary); the
     // DuckDB spelling is polymorphic — arrays/maps count elements
     // (q71: len([x FOR x IN …]) is idiomatic there). LenPoly dispatches
@@ -664,5 +687,62 @@ object Registry {
         "string_split(str, sep) needs a literal separator — use " +
           "string_split_regex for pattern splits")
     }
+  }
+  /** DuckDB/C strftime %-directives → Spark's Java datetime pattern
+    * (q77). Curated map; unmapped directives refuse loudly. Literal
+    * runs containing letters (or quotes) are Java-pattern-quoted so
+    * free text like "at" never becomes a pattern letter.
+    */
+  private[functions] def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter) || s.contains("'"))
+        out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val dash = fmt.charAt(i + 1) == '-' && i + 2 < fmt.length
+        val dir = if (dash) fmt.substring(i, i + 3) else fmt.substring(i, i + 2)
+        val mapped = dir match {
+          case "%Y" => "yyyy"
+          case "%y" => "yy"
+          case "%m" => "MM"
+          case "%d" => "dd"
+          case "%H" => "HH"
+          case "%M" => "mm"
+          case "%S" => "ss"
+          case "%I" => "hh"
+          case "%p" => "a"
+          case "%a" => "EEE"
+          case "%A" => "EEEE"
+          case "%b" => "MMM"
+          case "%B" => "MMMM"
+          case "%j" => "DDD"
+          case "%f" => "SSSSSS"
+          case "%g" => "SSS"
+          case "%-d" => "d"
+          case "%-m" => "M"
+          case "%-H" => "H"
+          case "%-M" => "m"
+          case "%-S" => "s"
+          case "%-j" => "D"
+          case "%%" => ""
+          case other => throw new IllegalArgumentException(
+            s"strftime/strptime directive '$other' has no Spark datetime " +
+              "pattern mapping - supported: %Y %y %m %d %H %M %S %I %p " +
+              "%a %A %b %B %j %f %g (%-variants for no-pad) %%")
+        }
+        if (dir == "%%") lit.append('%')
+        else { flush(); out.append(mapped) }
+        i += dir.length
+      } else { lit.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    out.toString
   }
 }

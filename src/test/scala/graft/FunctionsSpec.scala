@@ -349,4 +349,23 @@ class FunctionsSpec extends GraftSuite {
       .collect().map(_.getInt(0))
     assert(u.toSeq == Seq(7, 8))
   }
+  test("strftime/strptime (q77): %-directives translate to Java patterns") {
+    assert(one("strftime(TIMESTAMP '2024-03-05 14:07:09', " +
+      "'%Y-%m-%d %H:%M:%S')").getString(0) == "2024-03-05 14:07:09")
+    assert(one("strftime(TIMESTAMP '2024-03-05 14:07:09', " +
+      "'%d/%m/%y %I %p')").getString(0) == "05/03/24 02 PM")
+    assert(one("strftime(DATE '2024-03-05', '%a %b %j')")
+      .getString(0) == "Tue Mar 065")
+    // literal text with letters survives via Java-pattern quoting
+    assert(one("strftime(DATE '2024-03-05', '%-d and %%')")
+      .getString(0) == "5 and %")
+    assert(one("CAST(strptime('2024-03-05 14:07', '%Y-%m-%d %H:%M') " +
+      "AS STRING)").getString(0) == "2024-03-05 14:07:00")
+    // unmapped directive and non-literal format refuse loudly
+    assert(intercept[Exception](one("strftime(DATE '2024-03-05', '%V')"))
+      .getMessage.contains("no Spark datetime pattern"))
+    assert(intercept[Exception](
+      one("strftime(DATE '2024-03-05', to_str(1))"))
+      .getMessage.contains("LITERAL"))
+  }
 }
