@@ -35,4 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage-codegen class cache (STATIC conf, so it must be set
+  // before the first SparkSession). The default (100 entries) thrashes
+  // on this plan-diverse workload: 420 distinct queries generate a few
+  // thousand codegen units, so by the time a bench pass revisits a
+  // query its generated classes have been evicted and Janino recompiles
+  // them (tens of ms per unit, driver-side, serial). The value is
+  // workload-sized, not host-sized: any driver running this suite —
+  // local[8] or a 1000-executor cluster — wants the cache to hold one
+  // suite's worth of fragments. Parameterised for A/B measurement.
+  "-Dspark.sql.codegen.cache.maxEntries=" +
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"),
 )

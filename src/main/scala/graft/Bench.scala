@@ -90,6 +90,12 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // generated-class cache sized to the suite (static conf; see
+      // GraftSession) — the 100-entry default recompiles every codegen
+      // unit on every bench pass, charging ~17% on the overhead-
+      // dominated query majority (A/B in OPTIMIZATION_r18.md)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -24,6 +24,14 @@ object GraftSession {
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
+      // Static conf (read once, before the first codegen): the default
+      // 100-entry generated-class cache thrashes on plan-diverse
+      // workloads (this suite's 420 queries produce a few thousand
+      // codegen units), recompiling every fragment on every revisit.
+      // Workload-sized, not host-sized; ~8k small classes of driver
+      // metaspace. Overridable for A/B via SPARK_GRAFT_CODEGEN_CACHE.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
