@@ -98,6 +98,10 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // same sorted-bucketed-scan setting as GraftSession — io16's
       // exchange-free merge join must bench as the plan it pins

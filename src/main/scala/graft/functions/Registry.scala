@@ -91,6 +91,14 @@ object Registry {
       Cast(GraftColumnBridge.toExpression(value), LongType)))
 
   def registerAll(spark: SparkSession): Unit = {
+    // session optimizer rule (idempotent install): N same-column exact
+    // percentiles share ONE buffer — see [[graft.sql.MergePercentiles]].
+    // SPARK_GRAFT_NO_MERGE_PCT disables for A/B and before-plan capture.
+    if (!sys.env.contains("SPARK_GRAFT_NO_MERGE_PCT") &&
+        !spark.experimental.extraOptimizations.contains(
+        graft.sql.MergePercentiles))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sql.MergePercentiles
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
