@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, GetAr
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Merges several exact-percentile aggregates over the same column into
   * ONE array-argument [[Percentile]] call (optimization round 18).
@@ -65,26 +65,72 @@ object MergePercentiles extends Rule[LogicalPlan] {
           }
         case _ =>
       })
-      val mergeable = groups.values.filter(_.members.size >= 2).toSeq
-      if (mergeable.isEmpty) agg
+      // unit frequency is the precondition for the primitive-buffer swap
+      def unitFreq(p: Percentile): Boolean =
+        p.frequencyExpression.foldable &&
+          (p.frequencyExpression.eval() match {
+            case l: java.lang.Long => l.longValue() == 1L
+            case i: java.lang.Integer => i.intValue() == 1
+            case _ => false
+          })
+      val candidates = groups.values.filter { g =>
+        // merge when ≥2 points share a buffer; a single scalar call
+        // still gains the primitive-key buffer when the child is DOUBLE
+        g.members.size >= 2 ||
+          (g.rep.child.dataType == DoubleType && unitFreq(g.rep))
+      }.toSeq
+      // array-percentage calls (e.g. percentile(x, array(...)) written
+      // directly — ap01's shape) can't merge further but still gain the
+      // primitive-key buffer
+      val arrayCands = mutable.LinkedHashMap.empty[Expression, AggregateExpression]
+      agg.aggregateExpressions.foreach(_.foreach {
+        case ae @ AggregateExpression(p: Percentile, _, false, None, _)
+            if p.getClass == classOf[Percentile] && !p.reverse &&
+              p.child.dataType == DoubleType &&
+              p.percentageExpression.foldable &&
+              p.percentageExpression.dataType.isInstanceOf[ArrayType] &&
+              unitFreq(p) =>
+          if (!arrayCands.contains(ae.canonicalized))
+            arrayCands.put(ae.canonicalized, ae)
+        case _ =>
+      })
+      if (candidates.isEmpty && arrayCands.isEmpty) agg
       else {
         val repl = mutable.HashMap.empty[Expression, Expression]
-        mergeable.foreach { g =>
-          val ps = g.members.values.map(_._2).toSeq
-          val merged = AggregateExpression(
-            new Percentile(g.rep.child,
-              CreateArray(ps.map(Literal(_, DoubleType))),
-              g.rep.frequencyExpression),
-            g.mode.mode, isDistinct = false, filter = None)
-          g.members.keys.zipWithIndex.foreach { case (canon, i) =>
-            repl(canon) = GetArrayItem(merged, Literal(i))
-          }
+        arrayCands.foreach { case (canon, ae) =>
+          val p = ae.aggregateFunction.asInstanceOf[Percentile]
+          repl(canon) = AggregateExpression(
+            graft.functions.FastPercentileDouble(
+              p.child, p.percentageExpression),
+            ae.mode, isDistinct = false, filter = None)
         }
-        val newExprs = agg.aggregateExpressions.map(_.transformUp {
-          case ae: AggregateExpression if repl.contains(ae.canonicalized) =>
-            repl(ae.canonicalized)
-        }.asInstanceOf[NamedExpression])
-        agg.copy(aggregateExpressions = newExprs)
+        candidates.foreach { g =>
+          val ps = g.members.values.map(_._2).toSeq
+          val fast = g.rep.child.dataType == DoubleType && unitFreq(g.rep)
+          val pctExpr: Expression =
+            if (ps.size >= 2) CreateArray(ps.map(Literal(_, DoubleType)))
+            else Literal(ps.head, DoubleType)
+          val fn =
+            if (fast)
+              graft.functions.FastPercentileDouble(g.rep.child, pctExpr)
+            else new Percentile(g.rep.child, pctExpr,
+              g.rep.frequencyExpression)
+          val merged = AggregateExpression(
+            fn, g.mode.mode, isDistinct = false, filter = None)
+          if (ps.size >= 2)
+            g.members.keys.zipWithIndex.foreach { case (canon, i) =>
+              repl(canon) = GetArrayItem(merged, Literal(i))
+            }
+          else if (fast) repl(g.members.keys.head) = merged
+        }
+        if (repl.isEmpty) agg
+        else {
+          val newExprs = agg.aggregateExpressions.map(_.transformUp {
+            case ae: AggregateExpression if repl.contains(ae.canonicalized) =>
+              repl(ae.canonicalized)
+          }.asInstanceOf[NamedExpression])
+          agg.copy(aggregateExpressions = newExprs)
+        }
       }
   }
 }

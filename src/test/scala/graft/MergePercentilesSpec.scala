@@ -52,6 +52,42 @@ class MergePercentilesSpec extends GraftSuite {
     }
   }
 
+  test("fast path handles -0.0 / 0.0 / NaN / empty groups like Spark") {
+    val vals: Seq[(Int, java.lang.Double)] = Seq(
+      (0, -0.0), (0, 0.0), (0, 0.0), (0, -0.0), (0, 1.0),
+      (1, Double.NaN), (1, 1.0), (1, 2.0),
+      (2, null), (3, 5.0))
+    val d = spark.createDataFrame(vals).toDF("g", "x")
+    d.createOrReplaceTempView("pct_edge")
+    val qe =
+      """SELECT g, percentile(x, 0.25D) a, percentile(x, 0.5D) b,
+                percentile(x, 0.9D) c
+         FROM pct_edge GROUP BY g ORDER BY g"""
+    val fast = spark.sql(qe).collect()
+    val bare = spark.newSession()
+    bare.createDataFrame(vals).toDF("g", "x")
+      .createOrReplaceTempView("pct_edge")
+    val plain = bare.sql(qe).collect()
+    fast.zip(plain).foreach { case (a, b) =>
+      (1 to 3).foreach { i =>
+        val (x, y) = (a.get(i), b.get(i))
+        assert((x == null) == (y == null), s"null mismatch $a vs $b")
+        if (x != null)
+          assert(java.lang.Double.doubleToRawLongBits(
+            x.asInstanceOf[Double]) == java.lang.Double.doubleToRawLongBits(
+            y.asInstanceOf[Double]), s"bits mismatch $a vs $b col $i")
+      }
+    }
+  }
+
+  test("single scalar percentile over double swaps to the fast buffer") {
+    df.createOrReplaceTempView("pct_t")
+    val p = spark.sql(
+      "SELECT g, percentile(x, 0.5D) m FROM pct_t GROUP BY g")
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("fast_percentile"), s"fast swap missing:\n$p")
+  }
+
   test("DISTINCT / FILTER / different-column percentiles do not merge") {
     df.createOrReplaceTempView("pct_t")
     val p = spark.sql(
