@@ -1454,15 +1454,26 @@ object SparkEntry {
         def relerr(a: Column, e: Column): Column = abs(a - e).cast("double") / e
         def gate(err: Column, bound: Double): Column =
           when(err <= bound, lit(bound)).otherwise(err)
-        s.read.parquet(s"$dir/lineitem.parquet")
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        // the exact COUNT(DISTINCT) runs as its OWN aggregation and
+        // joins back on the 3-value group key: fused into one agg,
+        // Spark's distinct rewrite keys the partial aggregate on
+        // (l_returnflag, l_partkey) and builds an HLL sketch + BOTH
+        // percentile buffers PER (flag, partkey) GROUP — ~200k heavy
+        // buffers where 3 suffice (plan in plans/r18/ap01_approx_*;
+        // measured 5.3 s → the split's two lean passes). Same rows,
+        // same values: the join key is the group key, one row per side.
+        val sketch = li
           .groupBy(col("l_returnflag"))
           .agg(
             approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__acd"),
-            count_distinct(col("l_partkey")).as("n_parts"),
             percentile_approx(col("l_extendedprice"),
               array(lit(0.25), lit(0.75), lit(0.9)), lit(2000)).as("__pa"),
             expr("percentile(l_extendedprice, array(0.25D, 0.75D, 0.9D))")
               .as("__pe"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(count_distinct(col("l_partkey")).as("n_parts"))
+        sketch.join(exact, Seq("l_returnflag"))
           .select(col("l_returnflag"), col("n_parts"),
             gate(relerr(col("__acd"), col("n_parts")), 0.05).as("cd_err_bound"),
             gate(relerr(col("__pa")(0), col("__pe")(0)), 0.01).as("p25_err_bound"),
@@ -1561,18 +1572,26 @@ object SparkEntry {
     // sketches are deterministic for fixed input, so the gate is exact).
     // Lives NEXT TO ap01 rather than replacing it: ap01 pins the
     // sketch-only plan (no Expand), this query deliberately pays the
-    // exact-distinct Expand to measure the error.
+    // exact-distinct pass to measure the error (its own aggregation,
+    // joined back on the group key — see the ap01 split note).
     "ap02_approx_bounds" -> api(
       (s, dir) => {
         Registry.registerAll(s)
         val relerrCd = abs(col("__acd") - col("n_parts")).cast("double") / col("n_parts")
         val relerrP50 = abs(col("__p50a") - col("__p50e")) / col("__p50e")
-        s.read.parquet(s"$dir/lineitem.parquet")
-          .groupBy(col("l_returnflag"))
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        // split like ap01: fused with count(DISTINCT), the partial agg
+        // keys on (l_returnflag, l_partkey) and builds the quantile
+        // sketch + exact-percentile buffer once per (flag, partkey)
+        // group; two lean passes joined on the 3-value key compute the
+        // identical error gates
+        val sketch = li.groupBy(col("l_returnflag"))
           .agg(approx_count_distinct(col("l_partkey")).as("__acd"),
-            count_distinct(col("l_partkey")).as("n_parts"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__p50a"),
             expr("percentile(l_extendedprice, 0.5)").as("__p50e"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(count_distinct(col("l_partkey")).as("n_parts"))
+        sketch.join(exact, Seq("l_returnflag"))
           .select(col("l_returnflag"), col("n_parts"),
             when(relerrCd <= 0.05, lit(0.05)).otherwise(relerrCd).as("cd_err_bound"),
             when(relerrP50 <= 0.01, lit(0.01)).otherwise(relerrP50).as("p50_err_bound"))

@@ -952,6 +952,66 @@ object Table {
     } finally rename.values.foreach(spark.catalog.dropTempView)
   }
 
+  /** Byte ceiling under which the recursion loops broadcast-hint their
+    * frontier / seen frames (0 disables — the A/B kill-switch). The
+    * gate is runtime-MEASURED state, not a planner estimate: a
+    * localCheckpoint's LogicalRDD reports no statistics, so without the
+    * hint every per-round step join and EXCEPT plans as a full
+    * exchange-both-sides join of frames that are typically a few
+    * thousand rows — O(rounds) shuffles of the corpus-sized edge
+    * tables where O(0) suffices (guide §2.4/§3.1). 32 MB is
+    * workload-independent (well under the 8 GB broadcast cap and any
+    * sane executor memory); a frontier that outgrows it simply keeps
+    * the shuffle plan, so scale safety is unconditional.
+    */
+  private def recBroadcastBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_REC_BROADCAST_BYTES", "33554432").toLong
+
+  /** Measured bytes of an eagerly localCheckpointed frame, read from
+    * the block manager's storage info — ZERO extra jobs (the blocks
+    * were just written by the checkpoint). The frame may be wrapped in
+    * the constraint-pruning projection, so the LogicalRDD is found by
+    * leaf scan. Unknown shapes report Long.MaxValue: the gate then
+    * simply keeps the shuffle plan — fail-safe in the scale direction.
+    * Sizes are SizeEstimator JVM-object sizes (an overestimate of data
+    * bytes), which only makes the gate more conservative.
+    */
+  private def checkpointedBytes(df: DataFrame): Long =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.flatMap { id =>
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id)
+        .map(i => i.memSize + i.diskSize)
+    }.getOrElse(Long.MaxValue)
+
+  /** Broadcast-hint `df` when its measured bytes clear the gate. Safe
+    * unconditionally: a hint never changes results, and a join shape it
+    * cannot serve (e.g. build-left anti) ignores it.
+    */
+  private def maybeBroadcastHint(df: DataFrame, bytes: Long): DataFrame =
+    if (recBroadcastBytes > 0 && bytes <= recBroadcastBytes) df.hint("broadcast")
+    else df
+
+  /** `left EXCEPT DISTINCT right` spelled as the identical
+    * Distinct-over-null-safe-anti-join Spark's own
+    * ReplaceExceptWithAntiJoin produces — written out so the SEEN side
+    * can carry a broadcast hint (a hint on a Dataset.except operand is
+    * eliminated before the optimizer rewrites Except into the join, so
+    * it can never attach there). Columns pair positionally with `<=>`,
+    * matching Except's null-safe set semantics bit for bit.
+    */
+  private def exceptDistinctVia(left: DataFrame, right: DataFrame,
+                                rightBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val names = left.columns.toSeq
+    val tmp = names.indices.map(i => s"__ed$i")
+    val l = left.toDF(tmp: _*).as("__edl")
+    val r = maybeBroadcastHint(right.toDF(tmp: _*), rightBytes).as("__edr")
+    val cond = tmp.map(c => col(s"__edl.$c") <=> col(s"__edr.$c"))
+      .reduce(_ && _)
+    l.join(r, cond, "left_anti").toDF(names: _*).distinct()
+  }
+
   /** One frontier-minus-seen drain loop (see [[runRecursiveUnion]]);
     * returns the checkpointed closure. The rec's internal view name is
     * rebound to the frontier each round while the loop runs.
@@ -987,7 +1047,12 @@ object Table {
     // session catalog — refused loudly by the caller.
     val step = rewriteAll(rec.step)
     var seen = freshCols(seed.distinct().localCheckpoint(true))
+    // measured state sizes drive the broadcast gates: the frontier hint
+    // rides the bound view into the step (its join keeps the edge side
+    // map-local), the seen bytes gate the EXCEPT's anti-join build side
+    var seenBytes = checkpointedBytes(seen)
     var frontier = seen
+    var frontierBytes = seenBytes
     var drained = frontier.isEmpty
     var round = 0
     // `seen` accumulates as a UNION of already-checkpointed per-round
@@ -1005,19 +1070,32 @@ object Table {
       // contract); the analyzed plan holds the resolved frontier, so
       // a concurrent rebind can't leak into this round's EXCEPT
       val stepped = bindLock.synchronized {
-        frontier.createOrReplaceTempView(internal)
+        maybeBroadcastHint(frontier, frontierBytes)
+          .createOrReplaceTempView(internal)
         align(sessionSqlOne(spark, step))
       }
-      val next = freshCols(stepped.except(seen).localCheckpoint(true))
+      val increment = exceptDistinctVia(stepped, seen, seenBytes)
+      // evidence hook: the per-round plan is invisible from the outer
+      // statement's explain, so optimization rounds can dump it here
+      if (sys.env.get("SPARK_GRAFT_REC_EXPLAIN")
+            .exists(_.split(",").contains(round.toString)))
+        // scalastyle:off println
+        println(increment.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        // scalastyle:on println
+      val next = freshCols(increment.localCheckpoint(true))
+      val nBytes = checkpointedBytes(next)
       if (next.isEmpty) drained = true
       else {
         seen = seen.union(next)
+        seenBytes += nBytes // increments are disjoint by construction
         sinceCollapse += 1
         if (sinceCollapse >= collapseEvery) {
           seen = freshCols(seen.localCheckpoint(true))
           sinceCollapse = 0
         }
         frontier = next
+        frontierBytes = nBytes
       }
       round += 1
     }
@@ -1070,6 +1148,11 @@ object Table {
       var seen: DataFrame =
         freshCols(seedDf.toDF(cols: _*).distinct().localCheckpoint(true))
       var frontier: DataFrame = seen
+      // measured sizes drive the broadcast gates (see [[drainRecursion]]):
+      // both the member's own frontier binding and the sibling-closure
+      // bindings hint when small, and seenBytes gates the EXCEPT build
+      var seenBytes: Long = checkpointedBytes(seen)
+      var frontierBytes: Long = seenBytes
       var sinceCollapse: Int = 0
       def align(df: DataFrame): DataFrame = {
         require(df.columns.length == cols.size,
@@ -1092,27 +1175,32 @@ object Table {
       val next = members.map { mb =>
         val stepped = bindLock.synchronized {
           members.foreach { o =>
-            (if (o eq mb) o.frontier else o.seen)
+            (if (o eq mb) maybeBroadcastHint(o.frontier, o.frontierBytes)
+             else maybeBroadcastHint(o.seen, o.seenBytes))
               .createOrReplaceTempView(internal(o.rec))
           }
           mb.align(sessionSqlOne(spark, mb.step))
         }
-        val nf = freshCols(stepped.except(mb.seen).localCheckpoint(true))
-        (nf, nf.isEmpty)
+        val nf = freshCols(exceptDistinctVia(stepped, mb.seen, mb.seenBytes)
+          .localCheckpoint(true))
+        (nf, nf.isEmpty, checkpointedBytes(nf))
       }
       drained = next.forall(_._2)
-      if (!drained) members.zip(next).foreach { case (mb, (nf, empty)) =>
-        // an empty increment leaves the closure untouched but still
-        // empties the frontier (the member keeps stepping off siblings)
-        if (!empty) {
-          mb.seen = mb.seen.union(nf)
-          mb.sinceCollapse += 1
-          if (mb.sinceCollapse >= 16) {
-            mb.seen = freshCols(mb.seen.localCheckpoint(true))
-            mb.sinceCollapse = 0
+      if (!drained) members.zip(next).foreach {
+        case (mb, (nf, empty, nBytes)) =>
+          // an empty increment leaves the closure untouched but still
+          // empties the frontier (the member keeps stepping off siblings)
+          if (!empty) {
+            mb.seen = mb.seen.union(nf)
+            mb.seenBytes += nBytes
+            mb.sinceCollapse += 1
+            if (mb.sinceCollapse >= 16) {
+              mb.seen = freshCols(mb.seen.localCheckpoint(true))
+              mb.sinceCollapse = 0
+            }
           }
-        }
-        mb.frontier = nf
+          mb.frontier = nf
+          mb.frontierBytes = nBytes
       }
       round += 1
     }

@@ -333,6 +333,28 @@ class RecursiveSqlSpec extends GraftSuite {
     assert(e.getMessage.contains("backquoted"))
   }
 
+  test("drain EXCEPT is null-safe and distinct through the anti-join path") {
+    // the drain loop spells EXCEPT as Distinct(anti-join on <=>) so the
+    // seen side can broadcast; this pins the two semantics that rewrite
+    // must preserve: (a) a step that CYCLES BACK to a seen row whose
+    // columns hold NULL must drain (NULL <=> NULL is true — plain `=`
+    // would keep re-adding the row until maxRounds), and (b) a step
+    // emitting the same new row twice contributes it ONCE
+    val got = Table.sessionSql(spark,
+      """WITH RECURSIVE t(n, tag) AS (
+           SELECT CAST(1 AS BIGINT), CAST(NULL AS STRING)
+           UNION
+           SELECT CASE WHEN n < 3 THEN n + 1 ELSE CAST(1 AS BIGINT) END,
+                  tag
+           FROM (SELECT n, tag FROM t
+                 UNION ALL
+                 SELECT n, tag FROM t) d)
+         SELECT count(*) AS c, count(tag) AS tags,
+                CAST(sum(n) AS BIGINT) AS s
+         FROM t""").toDF.collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (3L, 0L, 6L))
+  }
+
   test("concurrent same-named recursions do not collide") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -212,6 +212,22 @@ object SmokeMain {
       SparkEntry.queries("t14_sentences")(spark, sf).show(3, truncate = false)
     }
 
+    println("=== [r18] recursion drain loop (broadcast-gated EXCEPT path) ===")
+    locally {
+      // exercises the optimization-round drain internals end-to-end: the
+      // UNION-distinct cycle guard now runs as a measured-size-gated
+      // broadcast anti-join; closure of n -> (n % 5) + 1 from seed 1 is
+      // {1..5} whatever the join strategy
+      val r = Table.sessionSql(spark,
+        """WITH RECURSIVE cc(n) AS (SELECT 1 UNION
+             SELECT (n % 5) + 1 FROM cc)
+           SELECT count(*) AS c, CAST(sum(n) AS BIGINT) AS s FROM cc""").toDF
+        .collect().head
+      println(s"recursion closure count=${r.getLong(0)} sum=${r.getLong(1)}")
+      assert(r.getLong(0) == 5L && r.getLong(1) == 15L,
+        "recursion closure mismatch through the gated drain path")
+    }
+
     println("=== [9] round-9 surface: QUALIFY dialect clause ===")
     locally {
       val orders = Table.fromParquet(spark, "/root/testdata/sf0.001/orders.parquet")
