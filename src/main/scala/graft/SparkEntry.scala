@@ -2676,7 +2676,12 @@ object SparkEntry {
           .localCheckpoint(true)
         val cand = graft.ops.Dedup.fingerprintPairs(fp, maxHamming = 7, chunks = 8)
           .select(col("id_a"), col("id_b"))
-        graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text", shingleK = 5)
+        // hashGrams: the verify tier compares WindowHashes longs instead
+        // of 5-gram strings (jaccard identical modulo 64-bit collisions
+        // — zero on this corpus, and the string-gram oracle re-checks
+        // every value bitwise; the d14 hash≡string discipline)
+        graft.ops.Dedup.ngramJaccard(docs, cand, "doc_id", "text",
+            shingleK = 5, hashGrams = true)
           .filter(col("jaccard") >= 0.9)
           .orderBy(col("id_a"), col("id_b"))
       },
@@ -2700,7 +2705,8 @@ object SparkEntry {
         Registry.registerAll(s)
         graft.ops.Dedup.nearDupJaccard(
             s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-            numHashes = 128, bands = 32, shingleK = 3, threshold = 0.6)
+            numHashes = 128, bands = 32, shingleK = 3, threshold = 0.6,
+            hashGrams = true)
           .orderBy(col("id_a"), col("id_b"))
       },
       """WITH s AS (

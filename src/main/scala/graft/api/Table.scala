@@ -952,45 +952,20 @@ object Table {
     } finally rename.values.foreach(spark.catalog.dropTempView)
   }
 
-  /** Byte ceiling under which the recursion loops broadcast-hint their
-    * frontier / seen frames (0 disables — the A/B kill-switch). The
-    * gate is runtime-MEASURED state, not a planner estimate: a
-    * localCheckpoint's LogicalRDD reports no statistics, so without the
-    * hint every per-round step join and EXCEPT plans as a full
+  /** The recursion loops broadcast-hint their frontier / seen frames
+    * under [[FrameStats]]' measured-size gate: a localCheckpoint's
+    * LogicalRDD reports plan-derived statistics, so without the hint
+    * every per-round step join and EXCEPT plans as a full
     * exchange-both-sides join of frames that are typically a few
     * thousand rows — O(rounds) shuffles of the corpus-sized edge
-    * tables where O(0) suffices (guide §2.4/§3.1). 32 MB is
-    * workload-independent (well under the 8 GB broadcast cap and any
-    * sane executor memory); a frontier that outgrows it simply keeps
-    * the shuffle plan, so scale safety is unconditional.
-    */
-  private def recBroadcastBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_REC_BROADCAST_BYTES", "33554432").toLong
-
-  /** Measured bytes of an eagerly localCheckpointed frame, read from
-    * the block manager's storage info — ZERO extra jobs (the blocks
-    * were just written by the checkpoint). The frame may be wrapped in
-    * the constraint-pruning projection, so the LogicalRDD is found by
-    * leaf scan. Unknown shapes report Long.MaxValue: the gate then
-    * simply keeps the shuffle plan — fail-safe in the scale direction.
-    * Sizes are SizeEstimator JVM-object sizes (an overestimate of data
-    * bytes), which only makes the gate more conservative.
+    * tables where O(0) suffices (guide §2.4/§3.1). Oversized state
+    * keeps the shuffle plan, so scale safety is unconditional.
     */
   private def checkpointedBytes(df: DataFrame): Long =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.flatMap { id =>
-      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id)
-        .map(i => i.memSize + i.diskSize)
-    }.getOrElse(Long.MaxValue)
+    FrameStats.checkpointedBytes(df)
 
-  /** Broadcast-hint `df` when its measured bytes clear the gate. Safe
-    * unconditionally: a hint never changes results, and a join shape it
-    * cannot serve (e.g. build-left anti) ignores it.
-    */
   private def maybeBroadcastHint(df: DataFrame, bytes: Long): DataFrame =
-    if (recBroadcastBytes > 0 && bytes <= recBroadcastBytes) df.hint("broadcast")
-    else df
+    FrameStats.broadcastIfSmall(df, bytes)
 
   /** `left EXCEPT DISTINCT right` spelled as the identical
     * Distinct-over-null-safe-anti-join Spark's own

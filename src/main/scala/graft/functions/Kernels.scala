@@ -153,6 +153,27 @@ object Kernels {
     * used here). Both-empty input returns NaN, matching 0/0 double
     * division in the old formulation.
     */
+  /** [[jaccardSorted]] over sorted distinct BIGINT arrays (the hashGrams
+    * verify tier): identical merge scan with primitive long compares —
+    * no UTF8String indirection per element.
+    */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) Double.NaN else inter.toDouble / union
+  }
+
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()

@@ -315,11 +315,14 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Exact Jaccard over sorted distinct string arrays —
+/** Exact Jaccard over sorted distinct arrays —
   * `jaccard_sorted(a, b) -> DOUBLE` backed by the allocation-free merge
-  * scan in [[Kernels.jaccardSorted]]. The dedup verify stages call this
-  * per candidate pair; see the kernel's scaladoc for the preconditions
-  * (sorted ascending by binary UTF8 order, distinct, no null elements).
+  * scans in [[Kernels]]. The dedup verify stages call this per candidate
+  * pair; see the kernels' scaladoc for the preconditions (sorted
+  * ascending, distinct, no null elements). String arrays compare by
+  * binary UTF8 order; BIGINT arrays (the hashGrams verify tier — no
+  * per-gram string ever materializes) by signed long order — both the
+  * order `sort_array` produces.
   */
 case class JaccardSorted(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -327,12 +330,24 @@ case class JaccardSorted(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  private def longElems: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (longElems)
+      Kernels.jaccardSortedLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      Kernels.jaccardSorted(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (longElems) "jaccardSortedLong" else "jaccardSorted"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.Kernels.jaccardSorted($a, $b)")
+      s"graft.functions.Kernels.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

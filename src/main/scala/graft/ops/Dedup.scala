@@ -190,7 +190,14 @@ object Dedup {
                      numHashes: Int = 128, bands: Int = 32, shingleK: Int = 3,
                      threshold: Double = 0.6,
                      seed: Long = Registry.DefaultSeed,
-                     eager: Boolean = true): DataFrame = {
+                     eager: Boolean = true,
+                     hashGrams: Boolean = false): DataFrame = {
+    // hashGrams: verify over WindowHashes longs instead of gram strings
+    // (see [[ngramJaccard]] — values identical modulo 64-bit collisions,
+    // re-checked by every caller's strict string-gram oracle)
+    def gramsOf(c: Column): Column =
+      if (hashGrams) array_distinct(TextOps.shingleHashes(c, shingleK))
+      else array_distinct(TextOps.shingles(c, shingleK))
     // The candidate list is consumed twice (id projection for the
     // semi-filter, then the verify join); it is a slim (long, long)
     // frame, so persisting it avoids re-running the whole signature
@@ -215,8 +222,7 @@ object Dedup {
       return jaccardOn(
         df.join(cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct(),
             col(idCol) === col("id"), "left_semi")
-          .select(col(idCol).as("id"),
-            array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh")),
+          .select(col(idCol).as("id"), gramsOf(col(textCol)).as("sh")),
         cand).filter(col("jaccard") >= threshold)
     }
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleK, seed)
@@ -224,14 +230,18 @@ object Dedup {
     try {
       // compute shingle sets ONLY for documents that appear in some pair:
       // a semi-join keeps the verify cost proportional to the candidate
-      // volume, not the corpus size. No broadcast hint: the candidate id
-      // set scales with corpus duplication, so AQE must stay free to pick
-      // a shuffle join when it outgrows the broadcast limit.
+      // volume, not the corpus size. The sets checkpoint once (both
+      // attach joins read the materialized rows instead of re-shingling
+      // per side — the ngramJaccard discipline) and broadcast under the
+      // MEASURED-size gate only: the candidate id set scales with corpus
+      // duplication, so an outgrown set keeps the shuffle join.
       val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
       val needed = df.join(ids, col(idCol) === col("id"), "left_semi")
       val sets = needed.select(col(idCol).as("id"),
-        array_distinct(TextOps.shingles(col(textCol), shingleK)).as("sh"))
-      jaccardOn(sets, cand).filter(col("jaccard") >= threshold)
+        gramsOf(col(textCol)).as("sh"))
+        .localCheckpoint(true)
+      jaccardOn(graft.api.FrameStats.broadcastIfSmall(sets), cand)
+        .filter(col("jaccard") >= threshold)
         .localCheckpoint(true)
     } finally cand.unpersist()
   }
@@ -312,15 +322,30 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, candidates: DataFrame,
                    idCol: String, textCol: String,
-                   shingleK: Int = 3): DataFrame = {
+                   shingleK: Int = 3, hashGrams: Boolean = false): DataFrame = {
     val ids = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // hashGrams is the production verify tier (the d14/ap04 mold):
+    // grams live as WindowHashes longs — no per-gram string is ever
+    // materialized (d03 measured the string set build at 3.8 of 7.9 s)
+    // — and the pair merge scan compares primitive longs. Jaccard
+    // values are identical modulo 64-bit collisions, which every
+    // caller's strict string-gram oracle re-checks.
+    def grams(c: Column): Column =
+      if (hashGrams) TextOps.shingleHashes(c, shingleK)
+      else TextOps.shingles(c, shingleK)
     val sets = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .join(ids, Seq("id"), "left_semi")
       .select(col("id"),
-        array_distinct(TextOps.shingles(col("__t"), shingleK)).as("sh"))
+        array_distinct(grams(col("__t"))).as("sh"))
       .localCheckpoint(true)
-    jaccardOn(sets, candidates)
+    // measured-size broadcast gate (guide §3.1): without it the second
+    // attach join shuffles every candidate pair WITH the first side's
+    // whole shingle array as payload (d03 at sf0.1: the verify phase
+    // owned 4.9 of 8.6 s); a broadcast set frame keeps the pair stream
+    // map-side through both joins. The gate reads the checkpoint's
+    // REAL bytes, so an eval-scale candidate set keeps the shuffle plan.
+    jaccardOn(graft.api.FrameStats.broadcastIfSmall(sets), candidates)
   }
 
   /** Join shingle sets onto a (id_a, id_b) pair frame and compute exact

@@ -394,8 +394,15 @@ object TextAnalysis {
             col("syms")(i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wn")).as("cnt"))
-        .join(syms.select(col("s").as("l"), col("c").as("cl")), Seq("l"))
-        .join(syms.select(col("s").as("r"), col("c").as("cr")), Seq("r"))
+        // the symbol-count side is alphabet+merges-sized (≤ a few
+        // hundred rows) but its estimate is an aggregate over the
+        // checkpointed vocab, which the planner can size above the
+        // broadcast threshold — hint it so neither likelihood join
+        // shuffles the pair counts (guide §3.1)
+        .join(broadcast(syms.select(col("s").as("l"), col("c").as("cl"))),
+          Seq("l"))
+        .join(broadcast(syms.select(col("s").as("r"), col("c").as("cr"))),
+          Seq("r"))
         .select(col("l"), col("r"), col("cnt"), col("cl"), col("cr"),
           (col("cnt").cast("double") /
             (col("cl").cast("double") * col("cr").cast("double")))

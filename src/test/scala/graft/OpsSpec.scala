@@ -82,6 +82,26 @@ class OpsSpec extends GraftSuite {
     assert(j == 1.0) // identical texts
   }
 
+  test("ngramJaccard hashGrams tier matches the string tier bitwise") {
+    // the hashed verify tier (WindowHashes longs + the primitive-long
+    // merge scan) must produce the identical jaccard for every pair —
+    // including partial overlaps and the sub-k whole-document gram
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    def vals(hash: Boolean) =
+      Dedup.ngramJaccard(docs, cand, "doc_id", "text",
+          shingleK = 3, hashGrams = hash)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val s = vals(hash = false)
+    val h = vals(hash = true)
+    assert(s.keySet == h.keySet)
+    s.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(h(k)), s"pair $k: $v vs ${h(k)}")
+    }
+  }
+
   test("contaminationFlags marks gram overlap with the eval set, counts distinct grams") {
     // eval = doc 1; doc 2 (exact dup) shares all grams, doc 3 (near dup)
     // shares the prefix/suffix grams, docs 4/5 share none at n=5
