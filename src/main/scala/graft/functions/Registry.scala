@@ -99,6 +99,22 @@ object Registry {
         graft.sql.MergePercentiles))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.sql.MergePercentiles
+    // defer expensive projections past global sorts (the range-sample
+    // double-execution fix — see [[graft.sql.DeferExpensiveProjection]]).
+    // SPARK_GRAFT_NO_DEFER_PROJ disables for A/B and before-plan capture.
+    if (!sys.env.contains("SPARK_GRAFT_NO_DEFER_PROJ") &&
+        !spark.experimental.extraOptimizations.contains(
+        graft.sql.DeferExpensiveProjection))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sql.DeferExpensiveProjection
+    // O(n²) suffix window frames → reversed-order running frames
+    // (see [[graft.sql.ReverseSuffixFrames]]). SPARK_GRAFT_NO_REV_SUFFIX
+    // disables for A/B and before-plan capture.
+    if (!sys.env.contains("SPARK_GRAFT_NO_REV_SUFFIX") &&
+        !spark.experimental.extraOptimizations.contains(
+        graft.sql.ReverseSuffixFrames))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.sql.ReverseSuffixFrames
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
