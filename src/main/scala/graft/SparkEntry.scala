@@ -3718,13 +3718,24 @@ object SparkEntry {
     // benchmark set; their planted near-dup partners are the true
     // contamination). Broadcast eval-gram join, corpus side map-only —
     // fully oracled against DuckDB's exhaustive gram intersection.
+    //
+    // Round 19: switched to the hashed-gram tier (VERDICT r18 #3 — the
+    // d14/d03 discipline): grams join as WindowHashes longs, no per-gram
+    // string ever materializes (the string build owned ~5.7 of d10's
+    // 6.3 s at sf0.1). The UNCHANGED string-gram oracle stays a strict
+    // check of the hashed path: the tiers diverge only on zero-token
+    // docs (string tier emits a whole-doc '' gram; hashed emits none) or
+    // 64-bit collisions — the corpus has zero zero-token docs at every
+    // SF (probed via DuckDB r19) and d14's green hash pins collisions at
+    // zero, so flags AND distinct-gram hit counts are value-identical.
     "d10_decontaminate" -> api(
       (s, dir) => {
         Registry.registerAll(s)
         val docs = s.read.parquet(s"$dir/documents.parquet")
         graft.ops.Dedup.contaminationFlags(
             docs, "doc_id", "text",
-            docs.filter(col("doc_id").between(450, 459)), "text", n = 8)
+            docs.filter(col("doc_id").between(450, 459)), "text", n = 8,
+            hashGrams = true)
           .orderBy(col("doc_id"))
       },
       s"""${gramSets(8)},

@@ -17,7 +17,8 @@ object ExplainMain {
     val spark = GraftSession.getOrCreate(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans", "r18")
+    val outDir = Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_TAG", "r19"))
     Files.createDirectories(outDir)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
@@ -25,7 +26,7 @@ object ExplainMain {
         org.apache.spark.sql.execution.FormattedMode)
       Files.write(outDir.resolve(s"${n}_$suffix.txt"),
         formatted.getBytes(StandardCharsets.UTF_8))
-      println(s"[explain] wrote plans/r18/${n}_$suffix.txt")
+      println(s"[explain] wrote $outDir/${n}_$suffix.txt")
     }
     spark.stop()
   }

@@ -101,4 +101,70 @@ class ReverseSuffixFramesSpec extends GraftSuite {
     assert(opt.contains("unboundedfollowing$()"),
       s"collect_list must keep its suffix frame:\n$opt")
   }
+
+  // --- round-19 hardening (ADVICE r18) --------------------------------
+
+  test("TIED ROWS keys: reversal still matches stock exactly when every " +
+    "legal enumeration agrees (values constant within tie groups)") {
+    // k % 5 ties ~3,000 rows per (st, key) group; v is a function of the
+    // tie key, so EVERY legal enumeration yields the same min/max/count —
+    // stock and rewritten must agree bit for bit. (The round-18 rule
+    // reversed the raw sort and could mix two tie enumerations across
+    // split legs; the rn-pinned rewrite cannot.)
+    Registry.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select((col("o_orderkey") % 5).cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        ((col("o_orderkey") % 5) * 11).cast("long").as("v"),
+        col("o_orderkey").as("orig"))
+      .createOrReplaceTempView("rsf_ties")
+    val sql =
+      """SELECT orig,
+           min(v)   OVER (PARTITION BY st ORDER BY k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mn,
+           count(v) OVER (PARTITION BY st ORDER BY k ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c,
+           max(v)   OVER (PARTITION BY st ORDER BY k ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS sib
+         FROM rsf_ties ORDER BY orig, mn, c, sib"""
+    val fired = spark.sql(sql)
+    val opt = fired.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("unboundedfollowing$()"),
+      s"suffix frame survived on tied keys:\n$opt")
+    assert(opt.contains("__rev_rn"),
+      s"expected the pinned row_number enumeration:\n$opt")
+    val bare = spark.newSession()
+    bare.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select((col("o_orderkey") % 5).cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        ((col("o_orderkey") % 5) * 11).cast("long").as("v"),
+        col("o_orderkey").as("orig"))
+      .createOrReplaceTempView("rsf_ties")
+    val plain = bare.sql(sql).collect()
+    assert(fired.collect().sameElements(plain),
+      "tied-key reversal diverged from the stock evaluation")
+  }
+
+  test("does not fire: a positional sibling that cannot share the pinned " +
+    "enumeration (row_number) refuses the WHOLE node") {
+    df.createOrReplaceTempView("rsf_t")
+    val q = spark.sql(
+      """SELECT k,
+           min(v) OVER (PARTITION BY st ORDER BY k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mn,
+           row_number() OVER (PARTITION BY st ORDER BY k) AS rn
+         FROM rsf_t""")
+    val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("unboundedfollowing$()"),
+      s"node with a row_number sibling must stay stock:\n$opt")
+  }
+
+  test("does not fire: MinValue FOLLOWING bound (negation cannot " +
+    "round-trip)") {
+    df.createOrReplaceTempView("rsf_t")
+    val q = spark.sql(
+      s"""SELECT k, min(v) OVER (PARTITION BY st ORDER BY k
+           ROWS BETWEEN ${Int.MinValue} FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS mn
+         FROM rsf_t""")
+    val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("unboundedfollowing$()"),
+      s"MinValue bound must refuse the rewrite:\n$opt")
+  }
 }
