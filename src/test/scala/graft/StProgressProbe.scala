@@ -26,10 +26,32 @@ object StProgressProbe {
     outer.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Seq("st21", "st04", "st01")
 
+    // stage-level accounting: wall-bounded per-stage task sums, printed
+    // after each run so addBatch decomposes into scan/shuffle/state work
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    outer.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val m = si.taskMetrics
+          stages.add(f"    stage=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+            f"run=${m.executorRunTime}%6dms cpu=${m.executorCpuTime / 1000000}%6dms " +
+            f"srRows=${m.shuffleReadMetrics.recordsRead}%8d " +
+            f"swRows=${m.shuffleWriteMetrics.recordsWritten}%8d " +
+            f"in=${m.inputMetrics.recordsRead}%8d  ${si.name.takeWhile(_ != '(')}")
+        }
+      })
+
     def run(name: String): Unit = {
       val s = outer.newSession()
       s.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_ST_PARTS", "8"))
+      sys.env.get("SPARK_GRAFT_ST_PROVIDER").foreach(p =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+      sys.env.get("SPARK_GRAFT_ST_CKPT").foreach(d =>
+        s.conf.set("spark.sql.streaming.checkpointLocation",
+          d + "/ckpt_" + java.util.UUID.randomUUID))
       graft.functions.Registry.registerAll(s)
       val E = graft.streaming.Events
       val out = name match {
@@ -65,6 +87,8 @@ object StProgressProbe {
             s"mem=${so.memoryUsedBytes} shufflePartitions=${so.numShufflePartitions}")
         }
       }
+      Thread.sleep(200)
+      while (!stages.isEmpty) println(stages.poll())
     }
     names.foreach(run)
     outer.stop()
